@@ -1,0 +1,324 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational/BI query surface re-expressed Spark-first.
+  *
+  * Covers SURVEY.md §2.2 (projections/filters), §2.3 (joins J1-J4),
+  * §2.4 (aggregations A1-A8), §2.5 (windows W1-W2), §2.6 (sort/limit/
+  * sample/union O1-O4) over the driver-provided TPC-H-ish tables.
+  *
+  * Numeric discipline for oracle parity: monetary doubles are cast to
+  * DECIMAL before SUM (exact in both Spark and DuckDB; double summation
+  * order would otherwise differ), conditional counts use COUNT (BIGINT in
+  * both engines; DuckDB's SUM(int) widens to HUGEINT which would not
+  * hash-compare equal to Spark's LONG).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  /** A1/A2/A4 hash aggregate with map-side partial agg — the TPC-H Q1 shape.
+    * Mirrors the reference's profiling aggregates (ingest_runner.py audit +
+    * debug_serialization.py) in one pass over lineitem. */
+  val q01_pricing_summary = Q(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
+      |  sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
+      |  sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A2/O1 — the reference's flagship BI shape: GROUP BY date ORDER BY date
+    * DESC LIMIT 10 (superset_bootstrap/test_sql_lab.py:144). Group keys are
+    * unique so the LIMIT is deterministic. */
+  val q02_orders_by_date = Q(
+    "q02_orders_by_date",
+    """SELECT o_orderdate, count(*) AS n
+      |FROM orders GROUP BY o_orderdate
+      |ORDER BY o_orderdate DESC LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderdate"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("o_orderdate"))
+      .limit(10)
+  }
+
+  /** A3 — multi-key group count (multi_database_auditor.py:234). */
+  val q03_user_event_counts = Q(
+    "q03_user_event_counts",
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** A4 — conditional aggregates (null/zero profiling,
+    * debug_serialization.py:64-71). COUNT(CASE WHEN) keeps BIGINT in both
+    * engines. */
+  val q04_profile_lineitem = Q(
+    "q04_profile_lineitem",
+    """SELECT l_returnflag,
+      |  count(CASE WHEN l_discount = 0 THEN 1 END) AS zero_discount,
+      |  count(CASE WHEN l_tax > 0.05 THEN 1 END) AS high_tax,
+      |  count(CASE WHEN l_quantity IS NULL THEN 1 END) AS null_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_discount") === 0, 1)).as("zero_discount"),
+        count(when(col("l_tax") > 0.05, 1)).as("high_tax"),
+        count(when(col("l_quantity").isNull, 1)).as("null_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A5/O1 — value-distribution top-N (debug_serialization.py:48-55);
+    * count ties broken by key for cross-engine determinism. */
+  val q05_event_type_distribution = Q(
+    "q05_event_type_distribution",
+    """SELECT event_type, count(*) AS n
+      |FROM events GROUP BY event_type
+      |ORDER BY n DESC, event_type LIMIT 20""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("event_type"))
+      .limit(20)
+  }
+
+  /** A7 — exact distinct count (data_cleaner_robust.py:460 nunique). */
+  val q06_distinct_customers = Q(
+    "q06_distinct_customers",
+    """SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+      |FROM orders""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** J1 — LEFT equi-join typed tables then aggregate
+    * (superset_bootstrap/test_sql_lab.py:151-160 shape). Customer is the
+    * small build side; Catalyst/AQE broadcasts it. */
+  val q07_join_orders_customer = Q(
+    "q07_join_orders_customer",
+    """SELECT c_mktsegment,
+      |  count(*) AS n_orders,
+      |  sum(cast(o_totalprice as decimal(18,2))) AS sum_price
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** J4/O1 — inner equi-join at row level with deterministic top-k
+    * (TakeOrderedAndProject, no full sort/shuffle of the join output). */
+  val q08_join_lineitem_part = Q(
+    "q08_join_lineitem_part",
+    """SELECT l_orderkey, l_linenumber, p_brand, p_type,
+      |  cast(l_extendedprice as decimal(18,2)) AS price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("p_type"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100)
+  }
+
+  /** J3 — metadata-style LEFT JOIN USING + NOT IN filter + group + order
+    * (verify_clean_state.py:41-48 shape). */
+  val q09_region_nation_counts = Q(
+    "q09_region_nation_counts",
+    """SELECT r_name, count(n_nationkey) AS n_nations
+      |FROM region LEFT JOIN nation ON r_regionkey = n_regionkey
+      |WHERE r_name NOT IN ('ASIA')
+      |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, dir) =>
+    t(s, dir, "region")
+      .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"), "left")
+      .filter(!col("r_name").isin("ASIA"))
+      .groupBy(col("r_name"))
+      .agg(count(col("n_nationkey")).as("n_nations"))
+      .orderBy("r_name")
+  }
+
+  /** J2 — reconciliation audit as a FULL OUTER join of per-key counts with
+    * diff column (ingest_runner.py:1853-1932 semantics, distributed). */
+  val q10_audit_counts = Q(
+    "q10_audit_counts",
+    """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS customers
+      |           FROM customer GROUP BY 1),
+      |     s AS (SELECT s_nationkey AS nationkey, count(*) AS suppliers
+      |           FROM supplier GROUP BY 1)
+      |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |  coalesce(customers, 0) AS customers,
+      |  coalesce(suppliers, 0) AS suppliers,
+      |  coalesce(customers, 0) - coalesce(suppliers, 0) AS diff
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("customers"))
+    val p = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("suppliers"))
+    c.join(p, Seq("nationkey"), "full_outer")
+      .na.fill(0L, Seq("customers", "suppliers"))
+      .withColumn("diff", col("customers") - col("suppliers"))
+      .orderBy("nationkey")
+  }
+
+  /** W1 — dedup-by-latest-version window (ingest_runner.py:1576-1592):
+    * row_number over (partition by key order by version desc) = 1.
+    * Tie-break by event_id so ns-vs-µs truncation can't reorder. */
+  val q11_latest_event_per_user = Q(
+    "q11_latest_event_per_user",
+    """SELECT user_id, event_id AS latest_event_id,
+      |  event_type AS latest_event_type
+      |FROM (SELECT user_id, event_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY cast(ts AS timestamp) DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("event_id").as("latest_event_id"),
+        col("event_type").as("latest_event_type"))
+      .orderBy("user_id")
+  }
+
+  /** P2 — JSON field projection (create_working_metabase_questions.py:81-100
+    * JSONExtractString shape) with aggregation over the extracted value. */
+  val q12_json_extract = Q(
+    "q12_json_extract",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("props"), "$.k").cast("bigint")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  /** P3 — JSON key introspection (metabase_schema_discovery.py:202-210
+    * JSONExtractKeys + isValidJSON shape). */
+  val q13_json_keys = Q(
+    "q13_json_keys",
+    """SELECT event_id, list_sort(json_keys(props)) AS keys
+      |FROM events WHERE json_valid(props) AND event_id < 50
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(get_json_object(col("props"), "$").isNotNull && col("event_id") < 50)
+      .select(col("event_id"), array_sort(json_object_keys(col("props"))).as("keys"))
+      .orderBy("event_id")
+  }
+
+  /** O3 — sampling. A true Bernoulli sample is engine-specific RNG, so the
+    * oracle-checked variant samples deterministically via md5-bucketing
+    * (stable in both engines); `df.sample` remains the library surface. */
+  val q14_deterministic_sample = Q(
+    "q14_deterministic_sample",
+    """SELECT event_id, event_type
+      |FROM events
+      |WHERE substring(md5(cast(event_id AS varchar)), 1, 1) = 'a'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(substring(md5(col("event_id").cast("string")), 1, 1) === "a")
+      .select(col("event_id"), col("event_type"))
+      .orderBy("event_id")
+  }
+
+  /** O4 — UNION ALL summary card
+    * (create_working_metabase_questions.py:101-120). */
+  val q15_union_summary = Q(
+    "q15_union_summary",
+    """SELECT 'customer' AS tbl, count(*) AS n FROM customer
+      |UNION ALL SELECT 'orders' AS tbl, count(*) AS n FROM orders
+      |UNION ALL SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+      |UNION ALL SELECT 'events' AS tbl, count(*) AS n FROM events
+      |ORDER BY tbl""".stripMargin) { (s, dir) =>
+    Seq("customer", "orders", "lineitem", "events")
+      .map(n => t(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
+      .reduce(_.unionByName(_))
+      .orderBy("tbl")
+  }
+
+  /** D7/D8 — analytics-view date helpers (generate_analytics_views.py:83-143
+    * + toStartOfDay/toYYYYMM BI bucketing): *_date, day bucket, yyyyMM. */
+  val q16_date_helpers = Q(
+    "q16_date_helpers",
+    """SELECT o_orderkey,
+      |  cast(o_orderdate AS date) AS o_orderdate_date,
+      |  date_trunc('day', o_orderdate) AS day_bucket,
+      |  strftime(o_orderdate, '%Y%m') AS yyyymm
+      |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate_date"),
+        date_trunc("day", col("o_orderdate")).as("day_bucket"),
+        date_format(col("o_orderdate"), "yyyyMM").as("yyyymm"))
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
+  /** P5/P6 — predicate filters: range, NOT IN, regex (rlike), null checks
+    * (metabase_schema_discovery.py:150-160, debug_serialization.py:83-91). */
+  val q17_predicates = Q(
+    "q17_predicates",
+    """SELECT event_id, user_id, event_type, cast(value AS decimal(18,2)) AS value
+      |FROM events
+      |WHERE value > 100 AND event_type NOT IN ('click', 'view')
+      |  AND regexp_matches(event_type, '^[a-z]+$') AND props IS NOT NULL
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("value") > 100 && !col("event_type").isin("click", "view") &&
+        col("event_type").rlike("^[a-z]+$") && col("props").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    q01_pricing_summary, q02_orders_by_date, q03_user_event_counts,
+    q04_profile_lineitem, q05_event_type_distribution, q06_distinct_customers,
+    q07_join_orders_customer, q08_join_lineitem_part, q09_region_nation_counts,
+    q10_audit_counts, q11_latest_event_per_user, q12_json_extract,
+    q13_json_keys, q14_deterministic_sample, q15_union_summary,
+    q16_date_helpers, q17_predicates)
+}
