@@ -1,24 +1,42 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":...,"queries":{...}}. Failures are
+  * reported per-query (negative sentinel + errors map) instead of being
+  * swallowed as fast "passes".
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.fromEnv("graft-bench")
+
+    // Warm the session (JVM/codegen/parquet footer caches) on the smallest
+    // table so the first timed query doesn't absorb startup cost. Non-fatal:
+    // a broken sfDir must still produce the JSON line (with per-query errors).
+    try Tables.load(spark, sfDir, "region").count()
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    var errors = List.empty[(String, String)]
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors ::= (name -> e.getMessage.take(200).replaceAll("[\"\\n\\r]", " "))
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) sec else -sec)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, v) => math.abs(v) }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,7 +19,11 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default.
     // Read nanos as Long and truncate to microseconds — the same truncation
     // DuckDB applies when it reads the file, so oracle results line up.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // (Set once here only if the caller's session didn't already set it —
+    // GraftSession does; the driver's own session may not. The DIV 1000
+    // truncation equals ns→µs flooring because the fixtures are post-epoch.)
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

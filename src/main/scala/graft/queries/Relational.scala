@@ -23,13 +23,18 @@ object Relational {
 
   /** A1/A2/A4 hash aggregate with map-side partial agg — the TPC-H Q1 shape.
     * Mirrors the reference's profiling aggregates (ingest_runner.py audit +
-    * debug_serialization.py) in one pass over lineitem. */
+    * debug_serialization.py) in one pass over lineitem.
+    *
+    * Decimal casts stay INSIDE the SUM (exact, order-independent math in
+    * both engines); every final output column is cast to double so the
+    * driver's pandas comparator sees identical float64 on both sides —
+    * decimal outputs hash-mismatch on scale/repr (CORRECTNESS_r01 q01). */
   val q01_pricing_summary = Q(
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |  sum(cast(l_quantity as decimal(18,2))) AS sum_qty,
-      |  sum(cast(l_extendedprice as decimal(18,2))) AS sum_base_price,
-      |  sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) AS sum_disc_price,
+      |  cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+      |  cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+      |  cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -37,10 +42,10 @@ object Relational {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
         sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("sum_disc_price"),
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -119,38 +124,43 @@ object Relational {
   }
 
   /** J1 — LEFT equi-join typed tables then aggregate
-    * (superset_bootstrap/test_sql_lab.py:151-160 shape). Customer is the
-    * small build side; Catalyst/AQE broadcasts it. */
+    * (superset_bootstrap/test_sql_lab.py:151-160 shape). No broadcast hint:
+    * customer scales linearly with SF, so hardcoding broadcast OOMs at the
+    * 100 TB design point — AQE picks broadcast automatically when the side
+    * is actually small. */
   val q07_join_orders_customer = Q(
     "q07_join_orders_customer",
     """SELECT c_mktsegment,
       |  count(*) AS n_orders,
-      |  sum(cast(o_totalprice as decimal(18,2))) AS sum_price
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")),
+      .join(t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"), "left")
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
       .orderBy("c_mktsegment")
   }
 
   /** J4/O1 — inner equi-join at row level with deterministic top-k
-    * (TakeOrderedAndProject, no full sort/shuffle of the join output). */
+    * (TakeOrderedAndProject, no full sort/shuffle of the join output).
+    * No broadcast hint (part scales with SF — AQE decides); price is the
+    * raw parquet double, bit-identical in both engines, because per-row
+    * double→decimal casts round differently across engines. */
   val q08_join_lineitem_part = Q(
     "q08_join_lineitem_part",
     """SELECT l_orderkey, l_linenumber, p_brand, p_type,
-      |  cast(l_extendedprice as decimal(18,2)) AS price
+      |  l_extendedprice AS price
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin) { (s, dir) =>
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("p_brand"), col("p_type"),
-        col("l_extendedprice").cast("decimal(18,2)").as("price"))
+        col("l_extendedprice").as("price"))
       .orderBy("l_orderkey", "l_linenumber")
       .limit(100)
   }
@@ -225,7 +235,7 @@ object Relational {
     "q12_json_extract",
     """SELECT event_type,
       |  count(*) AS n,
-      |  sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k
+      |  cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
       .groupBy(col("event_type"))
@@ -236,15 +246,19 @@ object Relational {
   }
 
   /** P3 — JSON key introspection (metabase_schema_discovery.py:202-210
-    * JSONExtractKeys + isValidJSON shape). */
+    * JSONExtractKeys + isValidJSON shape). The key list is joined to a
+    * scalar string — the driver's pandas comparator cannot canonicalize
+    * array-typed output columns (CORRECTNESS_r01 q13). */
   val q13_json_keys = Q(
     "q13_json_keys",
-    """SELECT event_id, list_sort(json_keys(props)) AS keys
+    """SELECT event_id, array_to_string(list_sort(json_keys(props)), ',') AS keys
       |FROM events WHERE json_valid(props) AND event_id < 50
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
     t(s, dir, "events")
       .filter(get_json_object(col("props"), "$").isNotNull && col("event_id") < 50)
-      .select(col("event_id"), array_sort(json_object_keys(col("props"))).as("keys"))
+      .select(
+        col("event_id"),
+        array_join(array_sort(json_object_keys(col("props"))), ",").as("keys"))
       .orderBy("event_id")
   }
 
@@ -301,7 +315,7 @@ object Relational {
     * (metabase_schema_discovery.py:150-160, debug_serialization.py:83-91). */
   val q17_predicates = Q(
     "q17_predicates",
-    """SELECT event_id, user_id, event_type, cast(value AS decimal(18,2)) AS value
+    """SELECT event_id, user_id, event_type, value
       |FROM events
       |WHERE value > 100 AND event_type NOT IN ('click', 'view')
       |  AND regexp_matches(event_type, '^[a-z]+$') AND props IS NOT NULL
@@ -309,8 +323,7 @@ object Relational {
     t(s, dir, "events")
       .filter(col("value") > 100 && !col("event_type").isin("click", "view") &&
         col("event_type").rlike("^[a-z]+$") && col("props").isNotNull)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("value").cast("decimal(18,2)").as("value"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy("event_id")
   }
 

@@ -3,36 +3,64 @@
 
 Usage: python3 tools/check_correctness.py <sfDir> <verifyOutDir>
 
-Reads each <verifyOutDir>/<name>/ parquet produced by graft.Verify, runs the
-matching oracle SQL from oracle_sql.json in DuckDB over the same parquet
-tables, canonicalizes both sides (columns sorted by name, rows sorted by all
-columns, values stringified) and diffs. Dev-tooling only — not shipped.
+Mirrors the driver's pandas-based comparator (round-1 lesson: a local
+checker that string-canonicalizes passes queries the driver fails, and
+vice versa). So: Spark output parquet -> pandas via pyarrow, oracle SQL
+-> DuckDB .df() (pandas), columns sorted by name, rows sorted by all
+columns, then VALUES COMPARED AT DTYPE LEVEL (no stringification, no
+Decimal.normalize). Decimal/object and list-typed output columns are
+treated as FORBIDDEN in final schemas, exactly because the driver either
+hash-mismatches (decimal repr) or crashes (ndarray sort) on them.
+Dev-tooling only — not shipped.
 """
 import sys, os, json, glob
-import duckdb
-import pyarrow.parquet as pq
-import pyarrow as pa
 from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon_value(v):
-    if isinstance(v, float):
-        return repr(v)
-    if isinstance(v, Decimal):
-        return str(v.normalize())
-    if isinstance(v, list):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    return str(v)
+def forbidden_cols(df):
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], (Decimal, list, np.ndarray, dict)):
+                bad.append((c, type(sample.iloc[0]).__name__))
+    return bad
 
 
-def canon(rows, names):
-    order = sorted(range(len(names)), key=lambda i: names[i])
-    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
-    out.sort()
-    return sorted(n for n in names), out
+def canon(df):
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def frames_equal(a, b):
+    if list(a.columns) != list(b.columns) or len(a) != len(b):
+        return False
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        # Match the driver: compare post-pandas values. Floats exact
+        # (the driver hashes), ints/strings exact, NaN==NaN.
+        an, bn = av.isna(), bv.isna()
+        if not an.equals(bn):
+            return False
+        mask = ~an
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            if not np.array_equal(av[mask].astype("float64").values,
+                                  bv[mask].astype("float64").values):
+                return False
+        else:
+            if not (av[mask].astype(str).values == bv[mask].astype(str).values).all():
+                return False
+    return True
 
 
 def main():
@@ -48,47 +76,45 @@ def main():
         if not os.path.isdir(d):
             continue
         name = os.path.basename(d)
-        files = glob.glob(os.path.join(d, "*.parquet"))
-        tbl = pa.concat_tables([pq.read_table(f) for f in files]) if files else None
-        if tbl is None:
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
             print(f"FAIL {name}: no parquet output")
             n_fail += 1
             continue
-        got_names = tbl.column_names
-        got_rows = [tuple(r[c] for c in got_names) for r in tbl.to_pylist()]
+        got = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                        ignore_index=True)
+        bad = forbidden_cols(got)
+        if bad:
+            print(f"FAIL {name}: forbidden output column types {bad} "
+                  f"(decimal/list crash or hash-mismatch the driver)")
+            n_fail += 1
+            continue
         if name not in oracles:
-            print(f"ROWS {name}: rows={len(got_rows)} (no oracle)")
+            print(f"ROWS {name}: rows={len(got)} (no oracle)")
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            exp_names = [x[0] for x in res.description]
-            exp_rows = res.fetchall()
+            exp = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        gn, gr = canon(got_rows, got_names)
-        en, er = canon(exp_rows, exp_names)
-        if gn != en:
-            print(f"FAIL {name}: schema {gn} != {en}")
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: schema {sorted(got.columns)} != {sorted(exp.columns)}")
             n_fail += 1
-        elif gr != er:
-            print(f"FAIL {name}: rows {len(gr)} vs {len(er)}")
-            for i, (a, b) in enumerate(zip(gr, er)):
-                if a != b:
-                    print(f"  first diff row {i}:\n    spark={a}\n    duck ={b}")
+            continue
+        g, e = canon(got), canon(exp)
+        if not frames_equal(g, e):
+            print(f"FAIL {name}: values differ ({len(g)} vs {len(e)} rows)")
+            for i in range(min(len(g), len(e))):
+                if not frames_equal(g.iloc[[i]].reset_index(drop=True),
+                                    e.iloc[[i]].reset_index(drop=True)):
+                    print(f"  first diff row {i}:\n    spark={g.iloc[i].to_dict()}"
+                          f"\n    duck ={e.iloc[i].to_dict()}")
                     break
-            if len(gr) != len(er):
-                only_g = set(gr) - set(er)
-                only_e = set(er) - set(gr)
-                for r in list(only_g)[:3]:
-                    print(f"  only-spark: {r}")
-                for r in list(only_e)[:3]:
-                    print(f"  only-duck : {r}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(gr)} rows")
+            print(f"PASS {name}: {len(g)} rows")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only ==")
     sys.exit(1 if n_fail else 0)
