@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines. Nothing here exists in the reference (its dedup is
+  * row-version W1, SURVEY.md §2.5); these are the LLM-data extensions the
+  * engine adds, designed shuffle-minimal for 100 TB:
+  *
+  *  - exact:   one hash-aggregate on a 32-char content key (never on the
+  *             full text), so the shuffle carries keys + ids only.
+  *  - minhash: banded LSH — per-row signature (narrow), explode to
+  *             (band, bucket) keys, self-join per bucket. Candidate work
+  *             scales with bucket occupancy, never |docs|^2.
+  */
+object Dedup {
+  import TextHash._
+
+  /** Exact dedup on normalized content: returns one row per distinct
+    * content with the smallest id kept and the duplicate count. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), contentKey(col(textCol)).as("ck"))
+      .groupBy("ck")
+      .agg(min(idCol).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("ck")
+
+  /** MinHash-LSH near-duplicate candidate pairs (a_id < b_id).
+    *
+    * @param minTokens  docs shorter than this are skipped (shingling needs
+    *                   context; also bounds tiny-doc bucket blowup)
+    */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      minTokens: Int = 8): DataFrame =
+    minhashCandidatesFromTokens(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
+        .filter(size(col("tok")) >= minTokens),
+      shingleN, k, bands)
+
+  /** Same, over pre-tokenized docs (columns `id`, `tok`). */
+  def minhashCandidatesFromTokens(
+      toks: DataFrame, shingleN: Int = 3, k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = toks
+      .withColumn("sh", shingles("tok", shingleN))
+      .withColumn("sig", minhashSignature("sh", k))
+      .select(col("id"), explode(lshBands("sig", bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** SimHash fingerprints: (id, simhash). Near-dups share fingerprints (or
+    * differ in few bits); grouping by fingerprint is a single hash shuffle. */
+  def simhashFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("tok"))
+      .withColumn("hs",
+        expr("transform(tok, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
+      .select(col(idCol), simhash("hs", bits).as("simhash"))
+
+  /** Exact n-gram (token-set) Jaccard similarity between paired docs —
+    * the verification stage after LSH candidate generation. Input must
+    * already be pairs (it is NEVER applied all-pairs at scale). */
+  def jaccard(tokA: org.apache.spark.sql.Column, tokB: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val da = array_distinct(tokA)
+    val db = array_distinct(tokB)
+    val inter = size(array_intersect(da, db)).cast("double")
+    round(inter / (size(da) + size(db) - inter), 6)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (ANN) over Array[Float] columns — the
+  * LLM-data extension queries (brief: brute-force cosine baseline + an
+  * LSH-bucketed scale path).
+  *
+  * All vector math is built-in higher-order functions (zip_with /
+  * aggregate) over array<double> — codegen'd, no UDFs, and exactly
+  * reproducible in the DuckDB oracle (list_cosine_similarity /
+  * list_transform), so even the ANN operators are hash-checked.
+  */
+object Similarity {
+
+  /** dot(a, b) over array<double> columns (sequential fold — same
+    * summation order as the oracle's list accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force exact top-k cosine neighbors for a bounded query set.
+    *
+    * Scale design: the QUERY side is broadcast (it is k user queries, not
+    * a scaling table — the one case where an explicit broadcast hint is
+    * correct); the corpus side streams through a single narrow pass, then
+    * a per-query top-k window. Cost is O(|corpus| * |queries|) — the
+    * baseline the LSH path is measured against.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+    val scored = c.join(q, col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
+  /** Deterministic random-hyperplane signature (`bits` wide) of an
+    * array<double> embedding: bit b = sign of <e, p_b> with plane
+    * components p_b[i] = sin(97*b + i). Deterministic planes (instead of
+    * a seeded RNG) keep the operator oracle-reproducible AND make
+    * signatures stable across jobs — required for incremental indexing at
+    * scale (re-ingesting a shard must not re-bucket the old shards). */
+  def hyperplaneSig(vecCol: String, bits: Int, dim: Int): Column =
+    (0 until bits).map { b =>
+      val proj = expr(
+        s"aggregate(sequence(0, ${dim - 1}), cast(0.0 as double), " +
+          s"(acc, i) -> acc + $vecCol[i] * sin(${97 * b} + i))")
+      when(proj > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: candidates are only corpus vectors in
+    * the query's hyperplane bucket — the 100 TB path (bucket join, no full
+    * scan per query). Recall is tuned by `bits` (fewer bits = bigger
+    * buckets = higher recall, more work). */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bits: Int, dim: Int): DataFrame = {
+    // cast BEFORE sig so the signature math sees double
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+      .withColumn("nsig", hyperplaneSig("nv", bits, dim))
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+        .withColumn("qsig", hyperplaneSig("qv", bits, dim)))
+    val scored = c.join(q, col("nsig") === col("qsig") && col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+}

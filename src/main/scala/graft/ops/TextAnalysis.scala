@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (LLM-data
+  * extensions): token counting, quality scoring, heuristic language ID,
+  * document fingerprinting. All pure Column expressions — per-row, no
+  * shuffle, safe at any scale.
+  */
+object TextAnalysis {
+  import TextHash.tokens
+
+  /** English-ish stopword profile used by the ratio/quality heuristics.
+    * Deliberately tiny + deterministic so the oracle can replicate it. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(trim(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Stopword ratio of a token-array column. */
+  def stopwordRatioOf(tok: Column): Column = {
+    val swArr = array(stopwords.map(lit): _*)
+    size(filter(tok, t => array_contains(swArr, t))).cast("double") / size(tok)
+  }
+
+  /** Heuristic quality score in [0,1] (brief: length/punct/stopword
+    * ratios): rewards length up to 100 tokens, lexical diversity, and a
+    * low stopword rate. Deterministic and oracle-reproducible. */
+  def qualityScore(tok: Column): Column = {
+    val nTok = size(tok).cast("double")
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    val diversity = size(array_distinct(tok)).cast("double") / nTok
+    val stopPenalty = lit(1.0) - stopwordRatioOf(tok)
+    round(lit(0.3) * lengthScore + lit(0.3) * diversity + lit(0.4) * stopPenalty, 6)
+  }
+
+  /** Stopword profiles for the heuristic language classifier (n-gram
+    * profile method in miniature). Order = tie-break priority. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"))
+
+  /** Heuristic language ID: per-profile stopword-hit ratio, argmax with
+    * first-profile-wins tie-break, 'und' below a 2% floor. Per-row,
+    * codegen'd, oracle-reproducible. */
+  def langId(tok: Column): Column = {
+    val scores = langProfiles.map { case (lang, words) =>
+      val wArr = array(words.map(lit): _*)
+      lang -> (size(filter(tok, t => array_contains(wArr, t))).cast("double") / size(tok))
+    }
+    val maxScore = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore >= 0.02, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Rolling document fingerprint: polynomial hash of the token-hash
+    * stream (h = h*31 + (t mod 2^32), mod 2^32) — order-sensitive, unlike
+    * the SimHash bag fingerprint. */
+  def rollingFingerprint(hashArrCol: String): Column =
+    expr(s"aggregate($hashArrCol, cast(0 as bigint), " +
+      "(acc, h) -> pmod(acc * 31 + pmod(h, 4294967296), 4294967296))")
+}

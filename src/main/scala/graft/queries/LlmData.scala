@@ -1,0 +1,256 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.ops.{Dedup, Similarity, TextAnalysis, TextHash}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators over the `documents` / `embeddings`
+  * fixtures (the brief's training-data extensions; absent from the
+  * reference — SURVEY.md §0 honesty note, §7.6).
+  *
+  * Every operator — including MinHash LSH, SimHash, and hyperplane-LSH
+  * ANN — is oracle-HASH-checked, not just rows-checked: all hashing is
+  * built on the engine-portable md5-prefix hash (TextHash.portableHash),
+  * and the ANN queries emit integer ranks (not raw float sims), so DuckDB
+  * reproduces results bit-for-bit.
+  *
+  * Near-dup fixtures: the corpus has no natural duplicates, so q30/q31
+  * synthesize them deterministically (doc_id+1000000 copies; q31's copies
+  * drop the last 5 tokens to make them NEAR-duplicates) — both sides of
+  * the oracle build the identical corpus.
+  */
+object LlmData {
+
+  private val swList = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Exact dedup by normalized-content hash: one hash-aggregate on a
+    * 32-char key — the 100 TB shape (shuffle carries keys+ids, not text). */
+  val q30_exact_dedup = Q(
+    "q30_exact_dedup",
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50),
+      |k AS (SELECT doc_id,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS ck
+      |  FROM all_docs)
+      |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM k GROUP BY ck""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.exact(withDups, "doc_id", "text")
+  }
+
+  /** MinHash LSH near-dup candidates: banded/bucketed self-join, never
+    * all-pairs. k=8 minhashes, 4 bands x 2 rows. */
+  val q31_minhash_pairs = {
+    val sigEntries = (0 until 8).map { seed =>
+      s"list_min(list_transform(sh, x -> ('0x'||substr(md5(x||'#$seed'),1,15))::bigint))"
+    }.mkString(",\n      |    ")
+    Q(
+      "q31_minhash_pairs",
+      s"""WITH toks AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS tok
+        |  FROM documents),
+        |base AS (SELECT id, tok FROM toks WHERE len(tok) >= 8),
+        |copies AS (SELECT id + 1000000 AS id, array_slice(tok, 1, len(tok) - 5) AS tok
+        |  FROM toks WHERE id < 25 AND len(tok) >= 20),
+        |ad AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+        |shs AS (SELECT id, list_transform(range(1, len(tok) - 1),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS sh FROM ad),
+        |sig AS (SELECT id, [
+        |    $sigEntries
+        |  ] AS sig FROM shs),
+        |bands AS (SELECT id, j,
+        |    md5(sig[2*j+1]::varchar || ',' || sig[2*j+2]::varchar) AS bh
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) u)
+        |SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.id < b.id""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), TextHash.tokens(col("text")).as("tok"))
+      val base = toks.filter(size(col("tok")) >= 8)
+      val copies = toks.filter(col("id") < 25 && size(col("tok")) >= 20)
+        .select((col("id") + 1000000).as("id"),
+          expr("slice(tok, 1, size(tok) - 5)").as("tok"))
+      Dedup.minhashCandidatesFromTokens(base.unionByName(copies), 3, 8, 4)
+    }
+  }
+
+  /** SimHash 16-bit fingerprints (bag-of-tokens majority bits). */
+  val q32_simhash = {
+    val bitTerms = (0 until 16).map { k =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $k) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << k} ELSE 0 END)"
+    }.mkString("\n      |    + ")
+    Q(
+      "q32_simhash",
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM documents),
+        |hss AS (SELECT doc_id,
+        |    list_transform(tok, t -> ('0x'||substr(md5(t),1,15))::bigint) AS hs
+        |  FROM toks)
+        |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+        |FROM hss""".stripMargin) { (s, dir) =>
+      Dedup.simhashFingerprints(
+        Tables.load(s, dir, "documents"), "doc_id", "text", 16)
+    }
+  }
+
+  /** Exact n-gram Jaccard between each doc and its truncated near-copy —
+    * the LSH post-verification stage, applied to PAIRS (never all-pairs). */
+  val q33_ngram_jaccard = Q(
+    "q33_ngram_jaccard",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents),
+      |p AS (SELECT doc_id, tok AS ta, array_slice(tok, 1, len(tok) - 5) AS tb
+      |  FROM toks WHERE doc_id < 25 AND len(tok) >= 20),
+      |d AS (SELECT doc_id, list_distinct(ta) AS da, list_distinct(tb) AS db FROM p)
+      |SELECT doc_id, round(len(list_intersect(da, db))::double
+      |  / (len(da) + len(db) - len(list_intersect(da, db))), 6) AS jaccard
+      |FROM d""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tok"))
+      .filter(col("doc_id") < 25 && size(col("tok")) >= 20)
+      .select(col("doc_id"),
+        Dedup.jaccard(col("tok"), expr("slice(tok, 1, size(tok) - 5)")).as("jaccard"))
+  }
+
+  /** Brute-force exact cosine top-10 for 5 query vectors: the ANN
+    * baseline. Integer output (qid, rank, nid) keeps the oracle hash
+    * float-robust. */
+  val q34_ann_bruteforce = Q(
+    "q34_ann_bruteforce",
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings),
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS sim
+      |  FROM q CROSS JOIN c WHERE nid != qid)
+      |SELECT qid, rank, nid FROM (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM s) WHERE rank <= 10""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", 10)
+  }
+
+  /** Hyperplane-LSH bucketed ANN (8-bit signatures, deterministic
+    * sin-planes): the 100 TB path — per-bucket candidate join instead of a
+    * full scan per query. */
+  val q35_ann_lsh = {
+    val bitTerms = (0 until 8).map { b =>
+      s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * sin(${97 * b} + i))) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("\n      |    + ")
+    Q(
+      "q35_ann_lsh",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sig AS (SELECT vec_id, v, $bitTerms AS bucket FROM e),
+        |q AS (SELECT vec_id AS qid, bucket AS qb, v AS qv FROM sig WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, bucket AS nb, v AS nv FROM sig),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS sim
+        |  FROM q JOIN c ON nb = qb AND nid != qid)
+        |SELECT qid, rank, nid FROM (
+        |  SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, bits = 8, dim = 64)
+    }
+  }
+
+  /** Per-language corpus stats: doc counts, token/char means, stopword
+    * ratio. Sum/count division (not avg()) so both engines compute the
+    * identical exact double. */
+  val q36_text_stats = Q(
+    "q36_text_stats",
+    s"""WITH t AS (SELECT lang, string_split_regex(trim(text), '\\s+') AS tok,
+      |    length(trim(text)) AS nc FROM documents),
+      |s AS (SELECT lang, len(tok) AS nt, nc,
+      |    len(list_filter(tok, x -> x IN ($swList))) AS sw FROM t)
+      |SELECT lang, count(*) AS n_docs,
+      |  round(sum(nt)::double / count(*), 6) AS avg_tokens,
+      |  round(sum(nc)::double / count(*), 6) AS avg_chars,
+      |  round(sum(sw)::double / sum(nt), 6) AS stop_ratio
+      |FROM s GROUP BY lang""".stripMargin) { (s, dir) =>
+    val swArr = array(TextAnalysis.stopwords.map(lit): _*)
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), TextHash.tokens(col("text")).as("tok"),
+        TextAnalysis.charCount(col("text")).as("nc"))
+      .select(col("lang"), size(col("tok")).as("nt"), col("nc"),
+        size(filter(col("tok"), t => array_contains(swArr, t))).as("sw"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum("nt").cast("double") / count(lit(1)), 6).as("avg_tokens"),
+        round(sum("nc").cast("double") / count(lit(1)), 6).as("avg_chars"),
+        round(sum("sw").cast("double") / sum("nt"), 6).as("stop_ratio"))
+  }
+
+  /** Per-doc quality scores, top-20 (deterministic tie-break on doc_id). */
+  val q37_quality_scores = Q(
+    "q37_quality_scores",
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    round(0.3 * least(len(tok) / 100.0, 1.0)
+      |        + 0.3 * (len(list_distinct(tok))::double / len(tok))
+      |        + 0.4 * (1.0 - len(list_filter(tok, x -> x IN ($swList)))::double / len(tok)),
+      |      6) AS score
+      |  FROM t)
+      |SELECT doc_id, score FROM q ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tok"))
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("tok")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** Heuristic language-ID distribution (stopword-profile argmax). */
+  val q38_lang_id = {
+    val profScores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      val w = words.map(x => s"'$x'").mkString(", ")
+      s"len(list_filter(tok, x -> x IN ($w)))::double / len(tok) AS s_$lang"
+    }.mkString(",\n      |    ")
+    val names = TextAnalysis.langProfiles.map(_._1)
+    val maxExpr = s"greatest(${names.map("s_" + _).mkString(", ")})"
+    val pick = names.map(l => s"WHEN s_$l = m AND m >= 0.02 THEN '$l'").mkString(" ")
+    Q(
+      "q38_lang_id",
+      s"""WITH t AS (SELECT string_split_regex(trim(text), '\\s+') AS tok FROM documents),
+        |sc AS (SELECT
+        |    $profScores
+        |  FROM t),
+        |p AS (SELECT CASE $pick ELSE 'und' END AS lang_pred
+        |  FROM (SELECT *, $maxExpr AS m FROM sc))
+        |SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(TextHash.tokens(col("text")).as("tok"))
+        .select(TextAnalysis.langId(col("tok")).as("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n"))
+    }
+  }
+
+  /** Multimodal column plumbing: binary payload + prunable metadata
+    * struct (decode stage itself is the stubbed mapPartitions batch op,
+    * unit-tested in MultimodalSpec). */
+  val q39_multimodal_meta = Q(
+    "q39_multimodal_meta",
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS byte_len,
+      |  substr(md5(text), 1, 8) AS sig,
+      |  octet_length(encode(text)) % 16 AS frames
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Multimodal.attachBinary(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+        col("meta.sig").as("sig"),
+        pmod(col("meta.byte_len"), lit(16)).as("frames"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
+    q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
+    q38_lang_id, q39_multimodal_meta)
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-data operators: exact/fuzzy dedup and ANN behave as specified on
+  * small controlled corpora (the oracle-hash queries q30-q35 check engine
+  * parity; these check semantics).
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("id", LongType, false), StructField("text", StringType, true)))
+
+  test("exact dedup: whitespace/case variants collapse, min id kept") {
+    val df = mkDf(docSchema,
+      Row(1L, "Hello  World"), Row(2L, "hello world"), Row(3L, " HELLO WORLD "),
+      Row(4L, "different"))
+    val out = Dedup.exact(df, "id", "text").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 3L), (4L, 1L)))
+  }
+
+  test("minhash LSH: identical docs collide in every band; disjoint docs don't") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (31 to 60).map(i => s"w$i").mkString(" ")
+    val df = mkDf(docSchema, Row(1L, words), Row(2L, words), Row(3L, other))
+    val pairs = Dedup.minhashCandidates(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("simhash: identical token bags share fingerprints") {
+    val df = mkDf(docSchema, Row(1L, "a b c d e f g h"), Row(2L, "a b c d e f g h"),
+      Row(3L, "q r s t u v w x"))
+    val fp = Dedup.simhashFingerprints(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+
+  test("jaccard: exact overlap arithmetic on distinct token sets") {
+    val df = mkDf(docSchema, Row(1L, "a b c d"), Row(2L, "x"))
+      .filter(col("id") === 1L)
+      .select(Dedup.jaccard(
+        split(col("text"), " "), array(lit("a"), lit("b"))).as("j"))
+    assert(df.collect()(0).getDouble(0) === 0.5) // |{a,b}| / |{a,b,c,d}|
+  }
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType, false),
+    StructField("embedding", ArrayType(FloatType), true)))
+
+  private def vec(xs: Double*) = xs.map(_.toFloat)
+
+  test("brute-force ANN: rank 1 is the true nearest neighbor by cosine") {
+    val df = mkDf(vecSchema,
+      Row(0L, vec(1, 0, 0)), Row(1L, vec(0.9, 0.1, 0)),
+      Row(2L, vec(0, 1, 0)), Row(3L, vec(-1, 0, 0)))
+    val out = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", 3).orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
+  }
+
+  test("LSH ANN: results are a subset of brute-force, same relative order") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i => Row(i, vec(Seq.fill(8)(rnd.nextGaussian()): _*)))
+    val df = mkDf(vecSchema, rows: _*)
+    val q = df.filter(col("vec_id") < 2L)
+    val brute = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 39)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._3).map(_._2).toSeq }
+    val lsh = Similarity.lshTopK(df, q, "vec_id", "embedding", 10, bits = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    for ((qid, rank, nid) <- lsh) {
+      val bruteOrder = brute(qid)
+      assert(bruteOrder.contains(nid))
+      // LSH ranks must preserve brute-force relative order within the bucket
+      val prev = lsh.filter(t => t._1 == qid && t._2 < rank).map(_._3)
+      for (p <- prev) assert(bruteOrder.indexOf(p) < bruteOrder.indexOf(nid))
+    }
+  }
+}
