@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All query groups; grows as modules land. */
-  private def allQ: Seq[Q] = Relational.all ++ Cleaning.all ++ LlmData.all
+  private def allQ: Seq[Q] =
+    Relational.all ++ Cleaning.all ++ LlmData.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship BI shape: GROUP BY date ORDER BY date DESC

@@ -1,0 +1,133 @@
+package graft.ingest
+
+import graft.clean.TableCleaner
+import graft.schema.TableMeta
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dedup policy for a table load, mirroring the reference's `--dedup`
+  * flag (tools/ingest_runner.py:2061-2063). */
+sealed trait DedupMode
+object DedupMode {
+  /** Append/overwrite as-is. */
+  case object NoDedup extends DedupMode
+  /** Merge-with-existing semantics (ReplacingMergeTree + OPTIMIZE FINAL,
+    * tools/ingest_runner.py:1341-1342,1782-1787): incoming rows are
+    * unioned with the current target and collapsed to latest-per-key at
+    * write time. */
+  case object Replacing extends DedupMode
+  /** Window-dedup into a staging dir + atomic swap
+    * (tools/ingest_runner.py:1529-1592). */
+  case object Staging extends DedupMode
+}
+
+final case class IngestResult(
+    table: String, sourceRows: Long, writtenRows: Long, dedupDropped: Long)
+
+/** The batch ingest pipeline `read → clean → dedup → write → audit`
+  * (tools/ingest_runner.py:1598-1789 ingest_one_table), as one declarative
+  * Spark lineage per table.
+  *
+  * Scale notes: the reference chunks pandas frames to bound memory; Spark
+  * partitions natively (no chunk loop). Cleaning is a narrow projection
+  * (no shuffle); the only shuffle in the pipeline is the dedup window's
+  * hash partition on the unique key — the same shuffle a MergeTree sort
+  * would need. Audit is per-table count aggregation (tiny) unioned into
+  * one frame — no driver-side dict matching.
+  */
+object Ingest {
+
+  /** W1 dedup-by-latest-version (tools/ingest_runner.py:1576-1592):
+    * row_number over key ordered by version DESC NULLS LAST (+ stable
+    * tie-breaks), keep first. */
+  def dedupLatest(df: DataFrame, keys: Seq[String], version: Option[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val ordering =
+      version.map(v => col(v).desc_nulls_last).toSeq ++
+        tieBreak.map(col(_).desc) match {
+        case Nil => Seq(keys.map(col).head.asc) // degenerate: stable order
+        case o => o
+      }
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Ingest one table: clean per reflected metadata, apply the dedup mode,
+    * write parquet to `targetDir/table` (staging swap when asked), return
+    * the audit counts. `monthPartitionCol` mirrors the reference's
+    * PARTITION BY toYYYYMM heuristic for log tables
+    * (tools/create_clickhouse_models.py:46-68). */
+  def ingestTable(
+      spark: SparkSession, source: DataFrame, meta: TableMeta,
+      targetDir: String, mode: DedupMode = DedupMode.NoDedup,
+      monthPartitionCol: Option[String] = None): IngestResult = {
+    val cleaned = TableCleaner.clean(source, meta)
+    val keys = meta.pkColumns
+    val version = meta.versionColumn
+    val finalPath = s"$targetDir/${meta.table}"
+
+    def write(df: DataFrame, path: String): Unit = {
+      val writer = df.write.mode(SaveMode.Overwrite)
+      monthPartitionCol match {
+        case Some(c) =>
+          df.withColumn("__yyyymm", date_format(col(c), "yyyyMM"))
+            .write.mode(SaveMode.Overwrite).partitionBy("__yyyymm").parquet(path)
+        case None => writer.parquet(path)
+      }
+    }
+
+    val sourceRows = cleaned.count()
+    val written = mode match {
+      case DedupMode.NoDedup =>
+        write(cleaned, finalPath)
+        cleaned
+      case DedupMode.Staging =>
+        require(keys.nonEmpty, s"staging dedup needs a PK for ${meta.table}")
+        val deduped = dedupLatest(cleaned, keys, version)
+        val staging = s"$targetDir/.staging_${meta.table}"
+        write(deduped, staging)
+        Maintenance.stagingSwap(spark, staging, finalPath)
+        deduped
+      case DedupMode.Replacing =>
+        require(keys.nonEmpty, s"replacing dedup needs a PK for ${meta.table}")
+        val existing =
+          if (Maintenance.exists(spark, finalPath))
+            Some(spark.read.parquet(finalPath))
+          else None
+        val merged = existing match {
+          case Some(old) => old.unionByName(cleaned, allowMissingColumns = true)
+          case None => cleaned
+        }
+        val deduped = dedupLatest(merged, keys, version)
+        val staging = s"$targetDir/.staging_${meta.table}"
+        write(deduped, staging)
+        Maintenance.stagingSwap(spark, staging, finalPath)
+        deduped
+    }
+    // Read back for the written count so the audit measures the TARGET,
+    // not the lineage (ingest_runner.py run_audit reads ClickHouse counts).
+    val writtenRows = spark.read.parquet(finalPath).count()
+    IngestResult(meta.table, sourceRows, writtenRows, sourceRows - writtenRows)
+  }
+
+  /** Row-count reconciliation audit (tools/ingest_runner.py:1813-1937,
+    * tools/multi_database_auditor.py:252+): full-outer count parity per
+    * table, as one small DataFrame. */
+  def audit(spark: SparkSession,
+      tables: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    val counts = tables.map { case (name, src, tgt) =>
+      val s = src.agg(count(lit(1)).as("source_rows"))
+        .select(lit(name).as("tbl"), col("source_rows"))
+      val t = tgt.agg(count(lit(1)).as("target_rows"))
+        .select(lit(name).as("tbl"), col("target_rows"))
+      s.join(t, Seq("tbl"), "full_outer")
+    }
+    counts.reduce(_ unionByName _)
+      .na.fill(0L, Seq("source_rows", "target_rows"))
+      .withColumn("diff", col("source_rows") - col("target_rows"))
+      .withColumn("ok", (col("diff") === 0L).cast("int"))
+  }
+}

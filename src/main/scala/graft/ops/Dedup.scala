@@ -40,16 +40,25 @@ object Dedup {
         .filter(size(col("tok")) >= minTokens),
       shingleN, k, bands)
 
-  /** Same, over pre-tokenized docs (columns `id`, `tok`). */
+  /** Same, over pre-tokenized docs (columns `id`, `tok`).
+    *
+    * The band table is cached before the self-join: it is tiny relative
+    * to the corpus (id + band + 32-char hash per band), and without it
+    * each join side would re-evaluate the whole shingle+md5 pipeline.
+    * At warehouse scale the same role is played by materializing the
+    * signature table once per corpus version.
+    */
   def minhashCandidatesFromTokens(
       toks: DataFrame, shingleN: Int = 3, k: Int = 8,
       bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
     val sigs = toks
       .withColumn("sh", shingles("tok", shingleN))
-      .withColumn("sig", minhashSignature("sh", k))
+      .withColumn("hs", shingleHashes("sh"))
+      .withColumn("sig", minhashSignature("hs", k))
       .select(col("id"), explode(lshBands("sig", bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .cache()
     val a = sigs.as("a")
     val b = sigs.as("b")
     a.join(b,

@@ -39,11 +39,25 @@ object TextHash {
     expr(s"transform(sequence(0, size($tokCol) - $n), i -> concat_ws(' ', $parts))")
   }
 
-  /** MinHash signature: array of k minima over per-seed portable hashes of
-    * the shingle array column (one array pass per seed; linear, no shuffle). */
-  def minhashSignature(shCol: String, k: Int): Column = {
+  /** 32-bit portable hash array of a shingle array column — the ONE md5
+    * pass per shingle; all k MinHash functions derive from it
+    * arithmetically (universal hashing), so the expensive hashing is never
+    * re-expanded by projection collapse. */
+  def shingleHashes(shCol: String): Column =
+    expr(s"transform($shCol, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), 4294967296))")
+
+  /** MinHash parameters: h_k(x) = (a_k*x + b_k) mod p over 32-bit inputs;
+    * products stay < 2^60, exactly reproducible in int64 SQL. */
+  val minhashP = 4294967291L // largest 32-bit prime
+  def minhashA(k: Int): Long = 15485863L * (k + 1)
+  def minhashB(k: Int): Long = 32452843L * k
+
+  /** MinHash signature: array of k minima of universal-hash permutations
+    * of the precomputed 32-bit shingle-hash array (arithmetic only — no
+    * md5 re-evaluation even when Catalyst collapses projections). */
+  def minhashSignature(hashArrCol: String, k: Int): Column = {
     val mins = (0 until k).map { s =>
-      s"array_min(transform($shCol, x -> cast(conv(substring(md5(concat(x, '#$s')), 1, 15), 16, 10) as bigint)))"
+      s"array_min(transform($hashArrCol, h -> pmod(h * ${minhashA(s)}L + ${minhashB(s)}L, ${minhashP}L)))"
     }
     expr(s"array(${mins.mkString(", ")})")
   }

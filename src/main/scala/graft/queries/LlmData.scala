@@ -45,10 +45,13 @@ object LlmData {
   }
 
   /** MinHash LSH near-dup candidates: banded/bucketed self-join, never
-    * all-pairs. k=8 minhashes, 4 bands x 2 rows. */
+    * all-pairs. k=8 minhash permutations derived arithmetically from ONE
+    * md5 pass per shingle (universal hashing — md5 is the expensive part
+    * and must not be repeated per permutation). */
   val q31_minhash_pairs = {
-    val sigEntries = (0 until 8).map { seed =>
-      s"list_min(list_transform(sh, x -> ('0x'||substr(md5(x||'#$seed'),1,15))::bigint))"
+    import graft.ops.TextHash.{minhashA, minhashB, minhashP}
+    val sigEntries = (0 until 8).map { s =>
+      s"list_min(list_transform(hs, h -> (h * ${minhashA(s)} + ${minhashB(s)}) % $minhashP))"
     }.mkString(",\n      |    ")
     Q(
       "q31_minhash_pairs",
@@ -61,9 +64,11 @@ object LlmData {
         |ad AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
         |shs AS (SELECT id, list_transform(range(1, len(tok) - 1),
         |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS sh FROM ad),
+        |hss AS (SELECT id, list_transform(sh,
+        |    x -> ('0x'||substr(md5(x),1,15))::bigint % 4294967296) AS hs FROM shs),
         |sig AS (SELECT id, [
         |    $sigEntries
-        |  ] AS sig FROM shs),
+        |  ] AS sig FROM hss),
         |bands AS (SELECT id, j,
         |    md5(sig[2*j+1]::varchar || ',' || sig[2*j+2]::varchar) AS bh
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) u)

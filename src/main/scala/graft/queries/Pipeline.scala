@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.Tables
+import graft.ingest.{DedupMode, Ingest}
+import graft.schema.{ColumnMeta, SchemaReflector, TableMeta}
+import graft.views.Views
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end pipeline surfaces: batch ingest (read → clean → dedup →
+  * write → audit), CDC envelope decode, and the analytics-view layer —
+  * SURVEY.md §3.1/§2.8/§2.9/§7.3-7.5 as oracle-checked queries.
+  */
+object Pipeline {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** §3.1 e2e: events through the full pipeline with STAGING dedup
+    * (key=user_id, version=ts, tie=event_id), written to parquet via
+    * atomic staging swap, read back from the target. The oracle is the
+    * same latest-per-key window straight over the source — proving the
+    * clean+dedup+swap+write path is lossless and exact. */
+  val q40_ingest_staging_dedup = Q(
+    "q40_ingest_staging_dedup",
+    """SELECT user_id, event_id, event_type
+      |FROM (SELECT user_id, event_id, event_type,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events) t
+      |WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val meta = TableMeta("events", Seq(
+      ColumnMeta("event_id", "bigint", nullable = false),
+      ColumnMeta("ts", "datetime"),
+      ColumnMeta("user_id", "bigint", nullable = false, isPk = true),
+      ColumnMeta("event_type", "varchar"),
+      ColumnMeta("value", "double"),
+      ColumnMeta("props", "json")))
+    val out = tmpDir("graft_ingest_q40_")
+    // version autodetect finds none of the reference names -> explicit ts
+    val source = Tables.load(s, dir, "events")
+    val cleaned = graft.clean.TableCleaner.clean(source, meta)
+    val deduped = Ingest.dedupLatest(cleaned, Seq("user_id"), Some("ts"), Seq("event_id"))
+    deduped.write.mode("overwrite").parquet(s"$out/.staging_events")
+    graft.ingest.Maintenance.stagingSwap(s, s"$out/.staging_events", s"$out/events")
+    s.read.parquet(s"$out/events").select("user_id", "event_id", "event_type")
+  }
+
+  /** §3.1 step 4: multi-table ingest + row-count reconciliation audit
+    * (run_audit, ingest_runner.py:1813-1937). Each table goes through the
+    * full clean+write path; the audit proves count parity. */
+  val q41_ingest_audit = Q(
+    "q41_ingest_audit",
+    """SELECT 'nation' AS tbl,
+      |  (SELECT count(*) FROM nation) AS source_rows,
+      |  (SELECT count(*) FROM nation) AS target_rows,
+      |  0 AS diff, 1 AS ok
+      |UNION ALL SELECT 'region',
+      |  (SELECT count(*) FROM region), (SELECT count(*) FROM region), 0, 1
+      |UNION ALL SELECT 'supplier',
+      |  (SELECT count(*) FROM supplier), (SELECT count(*) FROM supplier), 0, 1""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_ingest_q41_")
+    val pairs = Seq("nation", "region", "supplier").map { name =>
+      val src = Tables.load(s, dir, name)
+      val meta = SchemaReflector.fromParquet(s, s"$dir/$name.parquet", name)
+      Ingest.ingestTable(s, src, meta, out, DedupMode.NoDedup)
+      (name, src, s.read.parquet(s"$out/$name"))
+    }
+    Ingest.audit(s, pairs)
+  }
+
+  /** §2.9 CDC envelope decode (Debezium {before,after,op,ts_ms};
+    * tools/kafka_to_clickhouse.py:57-110): keep rows with an `after`
+    * image and op != 'd' (parity mode: deletes dropped), project typed
+    * fields out of the JSON. */
+  val q42_cdc_envelope_decode = Q(
+    "q42_cdc_envelope_decode",
+    """WITH env(value) AS (VALUES
+      |  ('{"before":null,"after":{"id":1,"nombre":"Expediente_001.pdf","tipo":"PDF"},"op":"c","ts_ms":1700000000001}'),
+      |  ('{"before":null,"after":{"id":2,"nombre":"acta.docx","tipo":"DOCX"},"op":"r","ts_ms":1700000000002}'),
+      |  ('{"before":{"id":1},"after":{"id":1,"nombre":"Expediente_001_v2.pdf","tipo":"PDF"},"op":"u","ts_ms":1700000000003}'),
+      |  ('{"before":{"id":2},"after":null,"op":"d","ts_ms":1700000000004}'),
+      |  ('{"op":"c","ts_ms":1700000000005}'))
+      |SELECT json_extract(value, '$.after.id')::bigint AS id,
+      |  json_extract_string(value, '$.after.nombre') AS nombre,
+      |  json_extract_string(value, '$.op') AS op,
+      |  json_extract(value, '$.ts_ms')::bigint AS ts_ms
+      |FROM env
+      |WHERE json_extract(value, '$.after') IS NOT NULL
+      |  AND json_extract_string(value, '$.op') != 'd'""".stripMargin) { (s, _) =>
+    val rows = Seq(
+      """{"before":null,"after":{"id":1,"nombre":"Expediente_001.pdf","tipo":"PDF"},"op":"c","ts_ms":1700000000001}""",
+      """{"before":null,"after":{"id":2,"nombre":"acta.docx","tipo":"DOCX"},"op":"r","ts_ms":1700000000002}""",
+      """{"before":{"id":1},"after":{"id":1,"nombre":"Expediente_001_v2.pdf","tipo":"PDF"},"op":"u","ts_ms":1700000000003}""",
+      """{"before":{"id":2},"after":null,"op":"d","ts_ms":1700000000004}""",
+      """{"op":"c","ts_ms":1700000000005}""")
+    val schema = StructType(Seq(StructField("value", StringType, true)))
+    val df = s.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows.map(Row(_)): _*)), schema)
+    val afterSchema = StructType(Seq(
+      StructField("id", LongType, true),
+      StructField("nombre", StringType, true),
+      StructField("tipo", StringType, true)))
+    graft.streaming.CdcEnvelope.decodeParity(df, afterSchema)
+      .select(col("id"), col("nombre"), col("op"), col("ts_ms"))
+  }
+
+  /** D7 full matrix through the view generator: timestamp -> toDate
+    * helper, date -> passthrough helper, fecha-named string -> multi-
+    * format parse helper; non-fecha strings get none
+    * (tools/generate_analytics_views.py:83-143). */
+  val q43_analytics_view = Q(
+    "q43_analytics_view",
+    """WITH v(id, creado, alta, fecha_doc, nombre) AS (VALUES
+      |  (1, TIMESTAMP '2021-03-15 10:11:12', DATE '2020-01-02', '15-03-2021', 'x'),
+      |  (2, TIMESTAMP '1995-06-01 00:00:00', DATE '2021-12-31', '2021-03-15', 'y'),
+      |  (3, NULL, NULL, 'garbage', 'z'))
+      |SELECT id, nombre, fecha_doc,
+      |  cast(creado AS date) AS creado_date,
+      |  alta AS alta_date,
+      |  coalesce(cast(try_cast(trim(fecha_doc) AS timestamp) AS date),
+      |           cast(try_strptime(trim(fecha_doc), '%d-%m-%Y') AS date)) AS fecha_doc_date
+      |FROM v ORDER BY id""".stripMargin) { (s, _) =>
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, false),
+      StructField("creado", TimestampType, true),
+      StructField("alta", DateType, true),
+      StructField("fecha_doc", StringType, true),
+      StructField("nombre", StringType, true)))
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    def dt(x: String) = java.sql.Date.valueOf(x)
+    val rows = Seq(
+      Row(1, ts("2021-03-15 10:11:12"), dt("2020-01-02"), "15-03-2021", "x"),
+      Row(2, ts("1995-06-01 00:00:00"), dt("2021-12-31"), "2021-03-15", "y"),
+      Row(3, null, null, "garbage", "z"))
+    val df = s.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+    Views.withDateHelpers(df)
+      .select("id", "nombre", "fecha_doc", "creado_date", "alta_date", "fecha_doc_date")
+      .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(
+    q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
+    q43_analytics_view)
+}

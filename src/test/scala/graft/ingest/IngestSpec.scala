@@ -1,0 +1,89 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.schema.{ColumnMeta, TableMeta}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Batch ingest pipeline: dedup modes, staging swap atomicity shape,
+  * audit parity (ingest_runner.py:1598-1789).
+  */
+class IngestSpec extends SparkSpec {
+
+  private val meta = TableMeta("t", Seq(
+    ColumnMeta("id", "bigint", nullable = false, isPk = true),
+    ColumnMeta("v", "varchar"),
+    ColumnMeta("factualizacion", "datetime")))
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, false),
+    StructField("v", StringType, true),
+    StructField("factualizacion", TimestampType, true)))
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def dirtyDf = mkDf(schema,
+    Row(1L, "a", ts("2021-01-01 00:00:00")),
+    Row(1L, "a2", ts("2021-06-01 00:00:00")), // newer version of id=1
+    Row(2L, "b", null),
+    Row(3L, "c", ts("2021-01-01 00:00:00")))
+
+  test("staging dedup keeps latest version per PK; swap leaves only the final table") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    val res = Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.Staging)
+    assert(res.sourceRows === 4 && res.writtenRows === 3 && res.dedupDropped === 1)
+    val rows = spark.read.parquet(s"$out/t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    assert(!Maintenance.exists(spark, s"$out/.staging_t"))
+    assert(!Maintenance.exists(spark, s"$out/t__old"))
+  }
+
+  test("replacing mode merges with existing target (latest version wins across loads)") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.Replacing)
+    // second load: newer id=2, older id=1 (must NOT win), new id=9
+    val second = mkDf(schema,
+      Row(1L, "stale", ts("2020-01-01 00:00:00")),
+      Row(2L, "b2", ts("2022-01-01 00:00:00")),
+      Row(9L, "new", ts("2021-01-01 00:00:00")))
+    val res = Ingest.ingestTable(spark, second, meta, out, DedupMode.Replacing)
+    assert(res.writtenRows === 4)
+    val rows = spark.read.parquet(s"$out/t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a2", 2L -> "b2", 3L -> "c", 9L -> "new"))
+  }
+
+  test("audit reports per-table parity with diff and ok flags") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.NoDedup)
+    val tgt = spark.read.parquet(s"$out/t")
+    val audit = Ingest.audit(spark,
+      Seq(("t", dirtyDf, tgt), ("t_bad", dirtyDf, tgt.limit(2)))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(audit("t") === ((4L, 4L, 0L, 1)))
+    assert(audit("t_bad") === ((4L, 2L, 2L, 0)))
+  }
+
+  test("maintenance: createFromSchema + truncate + compact are idempotent") {
+    val out = Files.createTempDirectory("ingest_spec_").toString + "/m"
+    val st = StructType(Seq(StructField("x", LongType, true)))
+    Maintenance.createFromSchema(spark, out, st)
+    assert(spark.read.parquet(out).count() === 0)
+    Maintenance.createFromSchema(spark, out, st) // M8 idempotent re-create
+    mkDf(st, Row(1L), Row(2L)).write.mode("append").parquet(out)
+    Maintenance.optimizeCompact(spark, out)
+    assert(spark.read.parquet(out).count() === 2)
+    Maintenance.truncate(spark, out)
+    assert(!Maintenance.exists(spark, out))
+  }
+
+  test("relaxSchema: non-PK fields become nullable, PK stays required") {
+    val st = graft.schema.SchemaReflector.toStructType(meta)
+    val relaxed = Maintenance.relaxSchema(
+      StructType(st.fields.map(_.copy(nullable = false))))
+    assert(!relaxed("id").nullable)
+    assert(relaxed("v").nullable && relaxed("factualizacion").nullable)
+  }
+}

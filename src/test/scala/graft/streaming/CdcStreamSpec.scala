@@ -1,0 +1,103 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** Streaming CDC path with deterministic file-source micro-batches:
+  * snapshot bootstrap + streamed envelope upserts must converge to the
+  * same table a batch ingest of the final images produces (SURVEY.md
+  * §2.9; envelope shape FIXTURES.md §5).
+  */
+class CdcStreamSpec extends SparkSpec {
+
+  private val afterSchema = StructType(Seq(
+    StructField("id", LongType, true),
+    StructField("nombre", StringType, true)))
+
+  private def writeBatch(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name), String.join("\n", lines: _*).getBytes)
+
+  private def env(id: Long, nombre: String, op: String, tsMs: Long): String =
+    if (op == "d")
+      s"""{"before":{"id":$id,"nombre":null},"after":null,"op":"d","ts_ms":$tsMs}"""
+    else
+      s"""{"before":null,"after":{"id":$id,"nombre":"$nombre"},"op":"$op","ts_ms":$tsMs}"""
+
+  private def runStream(srcDir: String, target: String, ckpt: String,
+      applyDeletes: Boolean): Unit = {
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .text(srcDir)
+    val q = CdcStream.typedUpsertQuery(
+      stream, afterSchema, Seq("id"), target, ckpt, applyDeletes)
+    q.awaitTermination()
+  }
+
+  private def tableOf(target: String): Map[Long, String] =
+    spark.read.parquet(target).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("nombre")).toMap
+
+  test("parity mode: snapshot + stream converge; deletes are dropped (reference behavior)") {
+    val base = Files.createTempDirectory("cdc_spec_").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val target = s"$base/typed"; val ckpt = s"$base/ckpt"
+
+    // snapshot.mode=initial: batch image first
+    import scala.jdk.CollectionConverters._
+    val snap = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, "uno"), org.apache.spark.sql.Row(2L, "dos")).asJava,
+      afterSchema)
+    CdcStream.bootstrap(spark, snap, target)
+
+    writeBatch(src, "b1.json", Seq(
+      env(1L, "uno_v2", "u", 100), env(3L, "tres", "c", 101)))
+    writeBatch(src, "b2.json", Seq(
+      env(1L, "uno_v3", "u", 200), env(2L, null, "d", 201)))
+    runStream(src, target, ckpt, applyDeletes = false)
+
+    // delete of id=2 is DROPPED in parity mode -> snapshot row survives
+    assert(tableOf(target) === Map(1L -> "uno_v3", 2L -> "dos", 3L -> "tres"))
+  }
+
+  test("improved mode: deletes applied when newer than the surviving row") {
+    val base = Files.createTempDirectory("cdc_spec_").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val target = s"$base/typed"; val ckpt = s"$base/ckpt"
+
+    writeBatch(src, "b1.json", Seq(
+      env(1L, "uno", "c", 100), env(2L, "dos", "c", 100)))
+    writeBatch(src, "b2.json", Seq(
+      env(2L, null, "d", 200),       // delete id=2 (newer -> applied)
+      env(3L, "tres", "c", 201)))
+    runStream(src, target, ckpt, applyDeletes = true)
+    assert(tableOf(target) === Map(1L -> "uno", 3L -> "tres"))
+  }
+
+  test("raw layer: append-only (ingested_at, value) with every envelope kept") {
+    val base = Files.createTempDirectory("cdc_spec_").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    writeBatch(src, "b1.json", Seq(
+      env(1L, "uno", "c", 100), env(1L, null, "d", 101)))
+    val q = CdcStream.rawLayerQuery(
+      spark.readStream.text(src), s"$base/raw", s"$base/ckpt_raw")
+    q.awaitTermination()
+    val raw = spark.read.parquet(s"$base/raw")
+    assert(raw.columns.toSeq === Seq("ingested_at", "value"))
+    assert(raw.count() === 2) // deletes kept in raw (parity with MV shape)
+  }
+
+  test("checkpointed restart does not reprocess already-drained files") {
+    val base = Files.createTempDirectory("cdc_spec_").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val target = s"$base/typed"; val ckpt = s"$base/ckpt"
+    writeBatch(src, "b1.json", Seq(env(1L, "uno", "c", 100)))
+    runStream(src, target, ckpt, applyDeletes = false)
+    // restart with NO new files: state must be unchanged, no failure
+    runStream(src, target, ckpt, applyDeletes = false)
+    assert(tableOf(target) === Map(1L -> "uno"))
+    writeBatch(src, "b2.json", Seq(env(1L, "uno_v2", "u", 200)))
+    runStream(src, target, ckpt, applyDeletes = false)
+    assert(tableOf(target) === Map(1L -> "uno_v2"))
+  }
+}
