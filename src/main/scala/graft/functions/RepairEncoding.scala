@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.ByteBuffer
+import java.nio.charset.{CharacterCodingException, CodingErrorAction, StandardCharsets}
+
+/** Byte-level mojibake repair (§2.10; the reference's latin1→utf8
+  * re-decode retry, /root/reference/tools/ingest_runner.py:308-341):
+  * if every code point fits in latin-1 AND those bytes form valid UTF-8
+  * that differs from the input, the string was UTF-8 mis-read as latin-1 —
+  * return the re-decoded form; otherwise return the input unchanged.
+  *
+  * Exposed three ways, strongest first (SURVEY.md §2.10 preference order):
+  * native Catalyst `UnaryExpression` WITH `doGenCode` (stays inside
+  * whole-stage codegen — no UDF boundary, null handling for free), the
+  * `repair_encoding` SQL function, and `GraftExtensions` for
+  * `spark.sql.extensions` injection.
+  */
+object RepairEncodingUtil {
+  /** Static entry point referenced by both eval and generated code. */
+  def repair(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    var i = 0
+    while (i < n) { // any code point > 0xFF cannot be a latin-1 mis-read
+      if (str.charAt(i) > 0xFF) return s
+      i += 1
+    }
+    val bytes = new Array[Byte](n)
+    i = 0
+    while (i < n) { bytes(i) = str.charAt(i).toByte; i += 1 }
+    try {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val repaired = dec.decode(ByteBuffer.wrap(bytes)).toString
+      if (repaired == str) s else UTF8String.fromString(repaired)
+    } catch {
+      case _: CharacterCodingException => s // plain latin-1 text: keep as-is
+    }
+  }
+}
+
+/** Input must be StringType (the `graft.functions.repairEncoding` helper
+  * casts for you; SQL callers should cast explicitly). */
+case class RepairEncoding(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "repair_encoding"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepairEncodingUtil.repair(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepairEncodingUtil.repair($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepairEncoding =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+  private val repairInfo = new ExpressionInfo(
+    classOf[RepairEncoding].getName, "repair_encoding")
+
+  /** Imperative registration for an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("repair_encoding"), repairInfo,
+      (args: Seq[Expression]) => RepairEncoding(args.head))
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("repair_encoding"),
+      new ExpressionInfo(classOf[RepairEncoding].getName, "repair_encoding"),
+      (args: Seq[Expression]) => RepairEncoding(args.head)))
+}

@@ -228,8 +228,33 @@ object Cleaning {
       .orderBy("id")
   }
 
+  /** §2.10 — byte-level latin1→utf8 re-decode (custom Catalyst
+    * expression graft.functions.RepairEncoding, with codegen) composed
+    * with the T1 mojibake table. Not expressible in DuckDB SQL, so the
+    * oracle is the GOLDEN expected output for this fixed fixture
+    * (derived from ingest_runner.py:308-341 semantics). */
+  val q28_repair_encoding = Q(
+    "q28_repair_encoding",
+    """WITH v(id, repaired, full_t1) AS (VALUES
+      |  (1, 'café', 'café'),
+      |  (2, 'café', 'café'),
+      |  (3, 'plain', 'plain'),
+      |  (4, 'mañana óptimo', 'mañana óptimo'),
+      |  (5, NULL, NULL),
+      |  (6, 'Actualizaci??n', 'Actualización'))
+      |SELECT id, repaired, full_t1 FROM v ORDER BY id""".stripMargin) { (s, _) =>
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, false), StructField("st", StringType, true)))
+    val rows = Seq(1 -> "cafÃ©", 2 -> "café", 3 -> "plain",
+      4 -> "maÃ±ana Ã³ptimo", 5 -> null, 6 -> "Actualizaci??n")
+    val re = graft.functions.columns.repairEncoding(col("st"))
+    df(s, schema, rows.map { case (i, d) => Row(i, d) }: _*)
+      .select(col("id"), re.as("repaired"), repairMojibake(re).as("full_t1"))
+      .orderBy("id")
+  }
+
   val all: Seq[Q] = Seq(
     q20_clean_dates, q21_view_date_helper, q22_clean_time,
     q23_clean_integers, q24_clean_numeric, q25_clean_strings,
-    q26_clean_mojibake, q27_clean_defaults)
+    q26_clean_mojibake, q27_clean_defaults, q28_repair_encoding)
 }
