@@ -64,7 +64,13 @@ object Ingest {
       spark: SparkSession, source: DataFrame, meta: TableMeta,
       targetDir: String, mode: DedupMode = DedupMode.NoDedup,
       monthPartitionCol: Option[String] = None): IngestResult = {
+    // A8 partial/final agg metrics: the reference accumulates per-chunk
+    // inserted counts (ingest_runner.py:1730-1748); Spark's observe() API
+    // collects the same metric DURING the write pass — no extra scan.
+    val obs = new org.apache.spark.sql.Observation(
+      s"ingest_${meta.table}_${java.util.UUID.randomUUID().toString.take(8)}")
     val cleaned = TableCleaner.clean(source, meta)
+      .observe(obs, count(lit(1)).as("rows"))
     val keys = meta.pkColumns
     val version = meta.versionColumn
     val finalPath = s"$targetDir/${meta.table}"
@@ -79,7 +85,6 @@ object Ingest {
       }
     }
 
-    val sourceRows = cleaned.count()
     val written = mode match {
       case DedupMode.NoDedup =>
         write(cleaned, finalPath)
@@ -110,6 +115,8 @@ object Ingest {
     // Read back for the written count so the audit measures the TARGET,
     // not the lineage (ingest_runner.py run_audit reads ClickHouse counts).
     val writtenRows = spark.read.parquet(finalPath).count()
+    val sourceRows = obs.get("rows").asInstanceOf[Long]
+    val _ = written // lineage handle kept for clarity; target re-read is the truth
     IngestResult(meta.table, sourceRows, writtenRows, sourceRows - writtenRows)
   }
 

@@ -42,4 +42,18 @@ object CdcEnvelope {
   /** One-liner for schema-typed parity decode over a batch of raw values. */
   def decodeParity(df: DataFrame, afterSchema: StructType): DataFrame =
     upserts(decode(df, afterSchema))
+
+  /** M2 — infer the `after` schema from sample envelope messages
+    * (tools/kafka_to_clickhouse.py:53-95 creates the table from the first
+    * JSON message): Spark's JSON inference over the samples, then the
+    * `after` struct is the table schema. */
+  def inferAfterSchema(spark: org.apache.spark.sql.SparkSession,
+      sampleValues: Seq[String]): StructType = {
+    import spark.implicits._
+    val full = spark.read.json(spark.createDataset(sampleValues)).schema
+    full.find(_.name == "after").map(_.dataType) match {
+      case Some(st: StructType) => st
+      case _ => sys.error("no 'after' struct in sampled envelopes")
+    }
+  }
 }

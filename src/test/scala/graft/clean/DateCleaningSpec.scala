@@ -106,6 +106,15 @@ class DateCleaningSpec extends SparkSpec {
       assert(re.findFirstIn(n).isEmpty, s"$n should not match")
   }
 
+  test("D4: tz-aware -> UTC naive (ingest_runner.py:210-224)") {
+    val schema = StructType(Seq(StructField("ts", TimestampType, true)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // session TZ is UTC; a naive Mexico_City noon is 18:00 UTC
+    val df = mkDf(schema, Row(ts("2021-01-01 12:00:00")), Row(null))
+      .select(toUtcNaive(col("ts"), "America/Mexico_City").cast("string").as("c"))
+    assert(col0[String](df) === Seq("2021-01-01 18:00:00", null))
+  }
+
   test("D8: toStartOfDay / toYYYYMM (verify_sql_lab.py:74-76)") {
     val schema = StructType(Seq(StructField("ts", TimestampType, true)))
     val df = mkDf(schema, Row(java.sql.Timestamp.valueOf("2021-03-15 10:11:12")))
