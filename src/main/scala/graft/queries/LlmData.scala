@@ -254,8 +254,36 @@ object LlmData {
         pmod(col("meta.byte_len"), lit(16)).as("frames"))
   }
 
+  /** Distributed TF-IDF top terms (text analysis over the corpus): tf per
+    * (doc, token) and df per token are two hash aggregations; the join is
+    * on the token key. score = tf * ln(N/df), top-10 with full
+    * deterministic tie-breaks. */
+  val q46_tfidf_top_terms = Q(
+    "q46_tfidf_top_terms",
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, token,
+      |  round(tf * ln(n::double / df), 6) AS score
+      |FROM tf JOIN df USING (token) CROSS JOIN n
+      |ORDER BY score DESC, doc_id, token LIMIT 10""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val n = docs.count() // corpus size: one scalar, computed once
+    tf.join(dfreq, Seq("token"))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("token"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
-    q38_lang_id, q39_multimodal_meta)
+    q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms)
 }

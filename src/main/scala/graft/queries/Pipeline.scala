@@ -141,7 +141,61 @@ object Pipeline {
       .orderBy("id")
   }
 
+  /** §2.9 e2e THROUGH THE STREAMING ENGINE: snapshot bootstrap + two
+    * file-source micro-batches drained with Trigger.AvailableNow into the
+    * checkpointed foreachBatch upsert. The oracle is the golden final
+    * table (deterministic fixture): update chains collapse to latest,
+    * the delete is dropped (parity mode), the snapshot survivor keeps
+    * version 0. */
+  val q44_cdc_stream_e2e = Q(
+    "q44_cdc_stream_e2e",
+    """WITH g(id, nombre, op, ts_ms) AS (VALUES
+      |  (1, 'uno_v3', 'u', 200),
+      |  (2, 'dos', 'r', 0),
+      |  (3, 'tres', 'c', 101))
+      |SELECT id, nombre, op, ts_ms FROM g ORDER BY id""".stripMargin) { (s, _) =>
+    import java.nio.file.{Files, Paths}
+    val base = tmpDir("graft_cdc_q44_")
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val target = s"$base/typed"
+    val afterSchema = StructType(Seq(
+      StructField("id", LongType, true), StructField("nombre", StringType, true)))
+    val snap = s.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "uno"), Row(2L, "dos")), afterSchema)
+    graft.streaming.CdcStream.bootstrap(s, snap, target)
+    Files.write(Paths.get(src, "b1.json"), java.util.Arrays.asList(
+      """{"before":null,"after":{"id":1,"nombre":"uno_v2"},"op":"u","ts_ms":100}""",
+      """{"before":null,"after":{"id":3,"nombre":"tres"},"op":"c","ts_ms":101}"""))
+    Files.write(Paths.get(src, "b2.json"), java.util.Arrays.asList(
+      """{"before":null,"after":{"id":1,"nombre":"uno_v3"},"op":"u","ts_ms":200}""",
+      """{"before":{"id":2,"nombre":null},"after":null,"op":"d","ts_ms":201}"""))
+    val stream = s.readStream.option("maxFilesPerTrigger", 1).text(src)
+    graft.streaming.CdcStream.typedUpsertQuery(
+      stream, afterSchema, Seq("id"), target, s"$base/ckpt").awaitTermination()
+    s.read.parquet(target).select("id", "nombre", "op", "ts_ms").orderBy("id")
+  }
+
+  /** Month-partitioned write (PARTITION BY toYYYYMM heuristic for log
+    * tables, tools/create_clickhouse_models.py:46-68) + partition-pruned
+    * read-back: the scan touches only the requested month's files
+    * (pruning asserted in PartitionPruningSpec). */
+  val q45_month_partition_pruning = Q(
+    "q45_month_partition_pruning",
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y%m') = '199501'
+      |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_part_q45_")
+    val meta = SchemaReflector.fromParquet(s, s"$dir/orders.parquet", "orders")
+    Ingest.ingestTable(s, Tables.load(s, dir, "orders"), meta, out,
+      DedupMode.NoDedup, monthPartitionCol = Some("o_orderdate"))
+    s.read.parquet(s"$out/orders")
+      .filter(col("__yyyymm") === "199501")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
-    q43_analytics_view)
+    q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning)
 }
