@@ -282,8 +282,67 @@ object LlmData {
       .limit(10)
   }
 
+  /** Embedding-cosine near-dup detection, LSH-bucketed (the vector
+    * counterpart of q31): near-dups are synthesized as positively-scaled
+    * copies (scaling preserves both the hyperplane bucket and cosine=1
+    * exactly, so the fixture is bit-deterministic in both engines).
+    * Candidate pairs come ONLY from shared buckets — never all-pairs. */
+  val q47_embedding_near_dup = {
+    val bitTerms = (0 until 8).map { b =>
+      s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * sin(${97 * b} + i))) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("\n      |    + ")
+    Q(
+      "q47_embedding_near_dup",
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |copies AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(v, x -> x * 1.01) AS v FROM base WHERE vec_id < 20),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+        |sig AS (SELECT vec_id, v, $bitTerms AS bucket FROM e),
+        |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT a_id, b_id FROM pairs WHERE sim >= 0.9999""".stripMargin) { (s, dir) =>
+      val base = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val copies = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(v, x -> x * 1.01d)").as("v"))
+      val all = base.unionByName(copies)
+        .withColumn("bucket", Similarity.hyperplaneSig("v", 8, 64))
+        .select("vec_id", "v", "bucket")
+        .cache() // tiny (id, 64 doubles, int); avoids double sig compute in self-join
+      val a = all.select(col("vec_id").as("a_id"), col("v").as("va"), col("bucket"))
+      val b = all.select(col("vec_id").as("b_id"), col("v").as("vb"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("sim") >= 0.9999)
+        .select("a_id", "b_id")
+    }
+  }
+
+  /** Token counting, whitespace vs BPE-ish regex segmentation (brief:
+    * "token counting (whitespace + a BPE-ish regex)") — per-language
+    * totals of both tokenizations. Identical regex runs in both engines. */
+  val q48_token_counts = Q(
+    "q48_token_counts",
+    """WITH t AS (SELECT lang,
+      |    len(string_split_regex(trim(text), '\s+')) AS ws,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+      |  FROM documents)
+      |SELECT lang, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
+      |FROM t GROUP BY lang""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        size(TextHash.tokens(col("text"))).as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe"))
+      .groupBy("lang")
+      .agg(sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"))
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
-    q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms)
+    q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,
+    q47_embedding_near_dup, q48_token_counts)
 }
