@@ -105,14 +105,24 @@ object CleanRules {
   /** N1 — integer cleaning (tools/ingest_runner.py:506-574
     * clean_integer_column): null-ish strings → NULL; "123.0" → 123;
     * non-integral or unparseable → NULL; if the column is PK/NOT-NULL,
-    * NULL → 0. Works on any input type via string round-trip. */
+    * NULL → 0. Works on any input type via string round-trip.
+    *
+    * Documented improvement over the reference: pure-integer strings cast
+    * DIRECTLY to bigint, so values beyond 2^53 keep full precision — the
+    * reference's `int(float(s))` (and a naive double round-trip) silently
+    * corrupts them. The double path is only the fallback for float-repr
+    * inputs like "123.0" / "1e4". */
   def cleanInteger(c: Column, required: Boolean = false): Column = {
     val s = trim(c.cast("string"))
     val pre = when(c.isNull || s.isin(nullishStrings: _*), lit(null).cast("string")).otherwise(s)
+    // direct path ONLY for pure-integer strings: engines disagree on
+    // decimal-string → int casts (Spark truncates, DuckDB rounds)
+    val direct = when(pre.rlike("^[+-]?[0-9]+$"), pre.try_cast("bigint"))
     val d = pre.try_cast("double")
-    val asLong = when(d.isNull || isnan(d), lit(null).cast("bigint"))
+    val viaDouble = when(d.isNull || isnan(d), lit(null).cast("bigint"))
       .when(d =!= floor(d), lit(null).cast("bigint"))
       .otherwise(d.try_cast("bigint"))
+    val asLong = coalesce(direct, viaDouble)
     if (required) coalesce(asLong, lit(0L)) else asLong
   }
 

@@ -105,10 +105,14 @@ object Cleaning {
       |  (12,'1e4'), (13,'123456789012345678901234567890')),
       |p AS (SELECT id, CASE WHEN x IS NULL OR trim(x) IN
       |    ('','null','NULL','None','none','nan','NaN','na','NA','NaT')
-      |    THEN NULL ELSE try_cast(trim(x) AS double) END AS d
+      |    THEN NULL ELSE trim(x) END AS s
       |  FROM v),
-      |c AS (SELECT id, CASE WHEN d IS NULL OR isnan(d) OR d != floor(d)
-      |    THEN NULL ELSE try_cast(d AS bigint) END AS cleaned
+      |c AS (SELECT id, coalesce(
+      |    CASE WHEN regexp_matches(s, '^[+-]?[0-9]+$')
+      |      THEN try_cast(s AS bigint) END,
+      |    CASE WHEN try_cast(s AS double) IS NULL OR isnan(try_cast(s AS double))
+      |           OR try_cast(s AS double) != floor(try_cast(s AS double))
+      |      THEN NULL ELSE try_cast(try_cast(s AS double) AS bigint) END) AS cleaned
       |  FROM p)
       |SELECT id, cleaned, coalesce(cleaned, 0) AS cleaned_required
       |FROM c ORDER BY id""".stripMargin) { (s, _) =>
