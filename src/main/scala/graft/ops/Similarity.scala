@@ -60,6 +60,45 @@ object Similarity {
       when(proj > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Squared L2 distance over array<double> columns (sequential fold,
+    * oracle-reproducible). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+
+  /** IVF (inverted-file) ANN — the other scale path from the brief.
+    *
+    * Coarse quantizer: `centroids` (a bounded, broadcastable set — in a
+    * real index the output of k-means; here any deterministic sample).
+    * Build = ONE broadcast-join pass assigning each corpus vector to its
+    * nearest centroid (the "inverted lists", naturally expressible as a
+    * table partitioned/bucketed by centroid id). Query = probe the
+    * `nprobe` nearest centroids and scan only their lists — work scales
+    * with corpus/centroids * nprobe, not |corpus|.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv")))
+    def assign(df: DataFrame, id: String, v: String, keep: Int) = {
+      val w = Window.partitionBy(id).orderBy(col("__d").asc, col("cid").asc)
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+        .join(cent)
+        .withColumn("__d", l2sq(col(v), col("cv")))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= keep)
+        .drop("__d", "__r", "cv")
+    }
+    val lists = assign(corpus, "nid", "nv", 1) // inverted lists: (cid, nid, nv)
+    val probes = assign(queries, "qid", "qv", nprobe)
+    val scored = lists.join(probes, Seq("cid")).filter(col("nid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates are only corpus vectors in
     * the query's hyperplane bucket — the 100 TB path (bucket join, no full
     * scan per query). Recall is tuned by `bits` (fewer bits = bigger

@@ -340,9 +340,40 @@ object LlmData {
       .agg(sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"))
   }
 
+  /** IVF ANN: vectors 100..107 serve as deterministic coarse centroids;
+    * each corpus vector joins its nearest centroid's inverted list (one
+    * broadcast pass); queries probe the 2 nearest lists. Integer output
+    * keeps the oracle hash float-robust. */
+  val q49_ann_ivf = Q(
+    "q49_ann_ivf",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 100 AND 107),
+      |dists AS (SELECT e.vec_id, cent.cid,
+      |    list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d
+      |  FROM e CROSS JOIN cent),
+      |lists AS (SELECT vec_id AS nid, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r FROM dists)
+      |  WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r FROM dists)
+      |  WHERE r <= 2 AND vec_id < 5),
+      |cand AS (SELECT p.qid, l.nid,
+      |    list_cosine_similarity(eq.v, en.v) AS sim
+      |  FROM probes p JOIN lists l USING (cid)
+      |  JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = l.nid
+      |  WHERE l.nid != p.qid)
+      |SELECT qid, rank, nid FROM (SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM cand) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+      emb.filter(col("vec_id").between(100, 107)),
+      "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
     q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,
-    q47_embedding_near_dup, q48_token_counts)
+    q47_embedding_near_dup, q48_token_counts, q49_ann_ivf)
 }
