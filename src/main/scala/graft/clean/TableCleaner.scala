@@ -30,13 +30,15 @@ object TableCleaner {
       } else if (t == "time") {
         timeToHms(c.cast("string"))
       } else if (t.startsWith("tinyint") && t.contains("(1)") || t == "bool" || t == "boolean") {
-        c.cast("boolean")
+        // try_cast: ANSI mode (Spark 4 default) makes plain cast THROW on
+        // junk strings — cleaning must coerce, never fail (errors='coerce')
+        c.try_cast("boolean")
       } else if (Seq("tinyint", "smallint", "int", "integer", "mediumint", "bigint").exists(t.startsWith)) {
         val cleaned = cleanInteger(c, required = meta.isPk || !meta.nullable)
         if (t.startsWith("bigint")) cleaned
         else int32RangeGuard(cleaned).cast("int")
       } else if (Seq("float", "real", "double").exists(t.startsWith)) {
-        nanInfToNull(c.cast("double"))
+        nanInfToNull(c.try_cast("double"))
       } else if (t.startsWith("decimal") || t.startsWith("numeric")) {
         c // DecimalType is exact; no string hack needed (SURVEY §1.2 N5)
       } else if (t.startsWith("binary") || t.startsWith("varbinary") || t.endsWith("blob")) {

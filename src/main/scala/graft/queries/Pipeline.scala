@@ -195,7 +195,93 @@ object Pipeline {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** THE showcase e2e (FIXTURES.md §6): a dirty all-strings table goes
+    * through parquet → reflect → clean (every D/N/T family, PK defaults)
+    * → staging dedup (version autodetected from `factualizacion`) →
+    * atomic swap → read-back. The oracle replicates every rule in SQL
+    * over the identical VALUES — rule-for-rule parity of the whole
+    * pipeline, not just single rules. */
+  val q50_dirty_ingest_e2e = Q(
+    "q50_dirty_ingest_e2e",
+    """WITH v(id, fk_ref, descripcion, obligatorio, creado_en, hora, activo, factualizacion) AS (VALUES
+      |  ('1', '8.0', '  Actualizaci??n ' || chr(10) || ' ya ', 'x', '2020-05-15', '0 days 12:02:03', 'true', '2021-01-01 00:00:00'),
+      |  ('1', '9', 'better row', 'y', '2021-06-01 10:00:00', '12:02:03', 'false', '2021-06-01 00:00:00'),
+      |  (NULL, 'abc', '', NULL, '0000-00-00', 'oops', NULL, '2021-01-01 00:00:00'),
+      |  ('4', 'null', 'Ã¡Ã©', 'z', '1899-12-31', '1:02:03', 'true', NULL),
+      |  ('5', '1e4', 'ok', 'w', '15/03/2021', '23:59:59.123', 'false', '2020-05-05 05:05:05')),
+      |cleaned AS (SELECT
+      |  coalesce(CASE WHEN regexp_matches(trim(coalesce(id,'')), '^[+-]?[0-9]+$')
+      |      THEN try_cast(trim(id) AS bigint) END, 0) AS id,
+      |  coalesce(
+      |    CASE WHEN fk_ref IS NULL OR trim(fk_ref) IN
+      |        ('','null','NULL','None','none','nan','NaN','na','NA','NaT') THEN NULL
+      |      WHEN regexp_matches(trim(fk_ref), '^[+-]?[0-9]+$')
+      |        THEN try_cast(trim(fk_ref) AS bigint) END,
+      |    CASE WHEN try_cast(trim(fk_ref) AS double) IS NULL
+      |           OR isnan(try_cast(trim(fk_ref) AS double))
+      |           OR try_cast(trim(fk_ref) AS double) != floor(try_cast(trim(fk_ref) AS double))
+      |      THEN NULL ELSE try_cast(try_cast(trim(fk_ref) AS double) AS bigint) END) AS fk_ref,
+      |  nullif(trim(regexp_replace(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(descripcion, '[\x01-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      |      'Actualizaci??n', 'Actualización'), '??', 'ó'),
+      |      'Ã¡','á'),'Ã©','é'),'Ã­','í'),'Ã³','ó'),'Ãº','ú'),'Ã±','ñ'),
+      |    '[\r\n\t]+', ' ', 'g'), ' {2,}', ' ', 'g')), '') AS descripcion,
+      |  coalesce(nullif(trim(coalesce(obligatorio, '')), ''), 'N/A') AS obligatorio,
+      |  CASE WHEN year(ts) <= 1900 OR year(ts) >= 2100 THEN NULL ELSE ts END AS creado_en,
+      |  CASE WHEN regexp_extract(trim(hora), '(\d{1,2}):(\d{2}):(\d{2})(\.\d+)?$', 0) = '' THEN NULL
+      |    ELSE lpad(regexp_extract(trim(hora), '(\d{1,2}):(\d{2}):(\d{2})(\.\d+)?$', 1), 2, '0')
+      |      || ':' || regexp_extract(trim(hora), '(\d{1,2}):(\d{2}):(\d{2})(\.\d+)?$', 2)
+      |      || ':' || regexp_extract(trim(hora), '(\d{1,2}):(\d{2}):(\d{2})(\.\d+)?$', 3) END AS hora,
+      |  try_cast(activo AS boolean) AS activo,
+      |  CASE WHEN year(fts) <= 1900 OR year(fts) >= 2100 THEN NULL ELSE fts END AS factualizacion
+      |FROM (SELECT *,
+      |    coalesce(
+      |      try_cast(CASE WHEN trim(coalesce(creado_en,'x')) IN ('0000-00-00','0000-00-00 00:00:00','','null','NULL','None','none','nan','NaN','na','NA','NaT') THEN NULL ELSE trim(creado_en) END AS timestamp),
+      |      try_strptime(trim(creado_en), '%d/%m/%Y %H:%M:%S'),
+      |      try_strptime(trim(creado_en), '%d/%m/%Y'),
+      |      try_strptime(trim(creado_en), '%Y%m%d%H%M%S'),
+      |      try_strptime(trim(creado_en), '%Y%m%d')) AS ts,
+      |    try_cast(trim(factualizacion) AS timestamp) AS fts
+      |  FROM v) t),
+      |dedup AS (SELECT * FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY id
+      |      ORDER BY factualizacion DESC NULLS LAST) AS rn FROM cleaned)
+      |  WHERE rn = 1)
+      |SELECT id, fk_ref, descripcion, obligatorio, creado_en, hora, activo, factualizacion
+      |FROM dedup ORDER BY id""".stripMargin) { (s, dir) =>
+    val schema = StructType(
+      Seq("id", "fk_ref", "descripcion", "obligatorio", "creado_en",
+        "hora", "activo", "factualizacion").map(StructField(_, StringType, true)))
+    val rows = Seq(
+      Row("1", "8.0", "  Actualizaci??n \n ya ", "x", "2020-05-15", "0 days 12:02:03", "true", "2021-01-01 00:00:00"),
+      Row("1", "9", "better row", "y", "2021-06-01 10:00:00", "12:02:03", "false", "2021-06-01 00:00:00"),
+      Row(null, "abc", "", null, "0000-00-00", "oops", null, "2021-01-01 00:00:00"),
+      Row("4", "null", "Ã¡Ã©", "z", "1899-12-31", "1:02:03", "true", null),
+      Row("5", "1e4", "ok", "w", "15/03/2021", "23:59:59.123", "false", "2020-05-05 05:05:05"))
+    val out = tmpDir("graft_dirty_q50_")
+    // authentic arrival: raw all-strings parquet, then reflect + ingest
+    s.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$out/src")
+    val meta = TableMeta("dirty", Seq(
+      ColumnMeta("id", "int", nullable = false, isPk = true),
+      ColumnMeta("fk_ref", "int"),
+      ColumnMeta("descripcion", "varchar(200)"),
+      ColumnMeta("obligatorio", "varchar(20)", nullable = false),
+      ColumnMeta("creado_en", "datetime"),
+      ColumnMeta("hora", "time"),
+      ColumnMeta("activo", "tinyint(1)"),
+      ColumnMeta("factualizacion", "datetime")))
+    Ingest.ingestTable(s, s.read.parquet(s"$out/src"), meta, out, DedupMode.Staging)
+    s.read.parquet(s"$out/dirty")
+      .select("id", "fk_ref", "descripcion", "obligatorio", "creado_en",
+        "hora", "activo", "factualizacion")
+      .orderBy("id")
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
-    q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning)
+    q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
+    q50_dirty_ingest_e2e)
 }

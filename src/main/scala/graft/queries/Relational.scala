@@ -327,11 +327,60 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** ROLLUP hierarchy totals (free from Catalyst; the BI drill-down shape
+    * on top of A2/A6). GROUPING() distinguishes subtotal rows from NULL
+    * keys — cast to int for a driver-stable dtype. */
+  val q18_rollup = Q(
+    "q18_rollup",
+    """SELECT
+      |  coalesce(r_name, '(all)') AS region_name,
+      |  coalesce(n_name, '(all)') AS nation_name,
+      |  count(*) AS n,
+      |  cast(grouping(r_name) + grouping(n_name) AS int) AS lvl
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin) { (s, dir) =>
+    val joined = t(s, dir, "customer")
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+    joined.rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("r_name")) + grouping(col("n_name"))).cast("int").as("lvl"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("region_name"),
+        coalesce(col("n_name"), lit("(all)")).as("nation_name"),
+        col("n"), col("lvl"))
+  }
+
+  /** JSON promotion (§1.2): the opaque `props` string promoted to typed
+    * columns via from_json with an explicit schema — the schema-on-read
+    * upgrade path from P2's per-field extraction. */
+  val q19_json_promotion = Q(
+    "q19_json_promotion",
+    """SELECT event_id,
+      |  json_extract(props, '$.k')::bigint AS k,
+      |  json_extract_string(props, '$.absent') AS absent
+      |FROM events
+      |WHERE props IS NOT NULL AND event_id < 200
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("absent",
+        org.apache.spark.sql.types.StringType, true)))
+    t(s, dir, "events")
+      .filter(col("props").isNotNull && col("event_id") < 200)
+      .withColumn("p", from_json(col("props"), schema))
+      .select(col("event_id"), col("p.k").as("k"), col("p.absent").as("absent"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_orders_by_date, q03_user_event_counts,
     q04_profile_lineitem, q05_event_type_distribution, q06_distinct_customers,
     q07_join_orders_customer, q08_join_lineitem_part, q09_region_nation_counts,
     q10_audit_counts, q11_latest_event_per_user, q12_json_extract,
     q13_json_keys, q14_deterministic_sample, q15_union_summary,
-    q16_date_helpers, q17_predicates)
+    q16_date_helpers, q17_predicates, q18_rollup, q19_json_promotion)
 }

@@ -87,6 +87,19 @@ class CdcStreamSpec extends SparkSpec {
     assert(raw.count() === 2) // deletes kept in raw (parity with MV shape)
   }
 
+  test("schema drift: unknown fields ignored, missing fields NULL (permissive from_json)") {
+    val base = Files.createTempDirectory("cdc_spec_").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val target = s"$base/typed"; val ckpt = s"$base/ckpt"
+    writeBatch(src, "b1.json", Seq(
+      // extra column the table schema doesn't know yet
+      """{"before":null,"after":{"id":1,"nombre":"uno","nueva_col":"x"},"op":"c","ts_ms":100}""",
+      // missing known column
+      """{"before":null,"after":{"id":2},"op":"c","ts_ms":101}"""))
+    runStream(src, target, ckpt, applyDeletes = false)
+    assert(tableOf(target) === Map(1L -> "uno", 2L -> null))
+  }
+
   test("checkpointed restart does not reprocess already-drained files") {
     val base = Files.createTempDirectory("cdc_spec_").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
