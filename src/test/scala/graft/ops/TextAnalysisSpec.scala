@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators not fully exercised by the oracle gate, plus
+  * O3's native df.sample form (seeded: deterministic within Spark).
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, false), StructField("text", StringType, true)))
+
+  test("rollingFingerprint: order-sensitive, stable, bounded to 32 bits") {
+    val df = mkDf(schema, Row(1L, "a b c"), Row(2L, "c b a"), Row(3L, "a b c"))
+      .select(col("id"), TextHash.tokens(col("text")).as("tok"))
+      .withColumn("hs",
+        expr("transform(tok, t -> cast(conv(substring(md5(t),1,15),16,10) as bigint))"))
+      .select(col("id"), TextAnalysis.rollingFingerprint("hs").as("fp"))
+    val fp = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(3L))      // same order -> same fingerprint
+    assert(fp(1L) !== fp(2L))      // reversed order -> different (bag ops wouldn't see this)
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("langId picks the dominant stopword profile; und below floor") {
+    val df = mkDf(schema,
+      Row(1L, "the cat and the dog of a house"),
+      Row(2L, "der hund und die katze und das haus"),
+      Row(3L, "xyzzy qwerty asdf"))
+      .select(col("id"), TextAnalysis.langId(TextHash.tokens(col("text"))).as("l"))
+    val l = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(l === Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("qualityScore in [0,1]; diverse long text beats repetitive stopword text") {
+    val good = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val bad = Seq.fill(40)("the a").mkString(" ")
+    val df = mkDf(schema, Row(1L, good), Row(2L, bad))
+      .select(col("id"), TextAnalysis.qualityScore(TextHash.tokens(col("text"))).as("q"))
+    val q = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+
+  test("O3: native df.sample with seed is deterministic and proportionate") {
+    val df = spark.range(10000).toDF("id")
+    val a = df.sample(withReplacement = false, 0.1, seed = 7).collect().map(_.getLong(0))
+    val b = df.sample(withReplacement = false, 0.1, seed = 7).collect().map(_.getLong(0))
+    assert(a.toSeq === b.toSeq)           // seeded -> reproducible
+    assert(a.length > 700 && a.length < 1300) // ~10%
+  }
+}
