@@ -76,12 +76,16 @@ object Ingest {
     val finalPath = s"$targetDir/${meta.table}"
 
     def write(df: DataFrame, path: String): Unit = {
-      val writer = df.write.mode(SaveMode.Overwrite)
       monthPartitionCol match {
         case Some(c) =>
+          // repartition on the partition key first: otherwise EVERY task
+          // writes EVERY month -> tasks x months tiny files (the classic
+          // dynamic-partition small-files explosion at scale). For skewed
+          // months add a salt column to this repartition.
           df.withColumn("__yyyymm", date_format(col(c), "yyyyMM"))
+            .repartition(col("__yyyymm"))
             .write.mode(SaveMode.Overwrite).partitionBy("__yyyymm").parquet(path)
-        case None => writer.parquet(path)
+        case None => df.write.mode(SaveMode.Overwrite).parquet(path)
       }
     }
 

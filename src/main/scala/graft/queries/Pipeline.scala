@@ -183,12 +183,16 @@ object Pipeline {
     "q45_month_partition_pruning",
     """SELECT o_orderpriority, count(*) AS n
       |FROM orders
-      |WHERE strftime(o_orderdate, '%Y%m') = '199501'
+      |WHERE year(o_orderdate) = 1995
+      |  AND strftime(o_orderdate, '%Y%m') = '199501'
       |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
     val out = tmpDir("graft_part_q45_")
     val meta = SchemaReflector.fromParquet(s, s"$dir/orders.parquet", "orders")
-    Ingest.ingestTable(s, Tables.load(s, dir, "orders"), meta, out,
-      DedupMode.NoDedup, monthPartitionCol = Some("o_orderdate"))
+    // one year is enough to demonstrate the partitioned-write + pruned-read
+    // contract; the year filter is pushed into the source scan
+    Ingest.ingestTable(s,
+      Tables.load(s, dir, "orders").filter(year(col("o_orderdate")) === 1995),
+      meta, out, DedupMode.NoDedup, monthPartitionCol = Some("o_orderdate"))
     s.read.parquet(s"$out/orders")
       .filter(col("__yyyymm") === "199501")
       .groupBy("o_orderpriority")

@@ -41,9 +41,16 @@ object CdcStream {
     * atomic staging swap. Deletes are dropped in parity mode and applied
     * when `applyDeletes` (improved mode, SURVEY.md §2.9). */
   def upsertBatch(spark: SparkSession, batch: DataFrame, afterSchema: StructType,
-      pk: Seq[String], targetDir: String, applyDeletes: Boolean = false): Unit = {
+      pk: Seq[String], targetDir: String, applyDeletes: Boolean = false,
+      cleanMeta: Option[graft.schema.TableMeta] = None): Unit = {
     val decoded = CdcEnvelope.decode(batch, afterSchema)
-    val ups = CdcEnvelope.upserts(decoded)
+    // same cleaning layer as batch ingest (streamed rows must not bypass
+    // D/N/T normalization — the reference's stream path diverging from its
+    // batch path was one of its bugs, SURVEY.md §2.9 NULL note)
+    val ups = cleanMeta match {
+      case Some(m) => graft.clean.TableCleaner.clean(CdcEnvelope.upserts(decoded), m)
+      case None => CdcEnvelope.upserts(decoded)
+    }
     val existing =
       if (Maintenance.exists(spark, targetDir)) spark.read.parquet(targetDir)
       else spark.createDataFrame(
@@ -70,12 +77,14 @@ object CdcStream {
     * processing-time trigger. */
   def typedUpsertQuery(stream: DataFrame, afterSchema: StructType, pk: Seq[String],
       targetDir: String, checkpointDir: String,
-      applyDeletes: Boolean = false): StreamingQuery =
+      applyDeletes: Boolean = false,
+      cleanMeta: Option[graft.schema.TableMeta] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertBatch(batch.sparkSession, batch, afterSchema, pk, targetDir, applyDeletes)
+        upsertBatch(batch.sparkSession, batch, afterSchema, pk, targetDir,
+          applyDeletes, cleanMeta)
       }
       .start()
 

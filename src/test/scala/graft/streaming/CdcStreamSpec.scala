@@ -100,6 +100,28 @@ class CdcStreamSpec extends SparkSpec {
     assert(tableOf(target) === Map(1L -> "uno", 2L -> null))
   }
 
+  test("cleanMeta: streamed rows pass through the same D/N/T cleaning as batch ingest") {
+    val base = Files.createTempDirectory("cdc_spec_").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val target = s"$base/typed"; val ckpt = s"$base/ckpt"
+    val schemaWithDate = StructType(Seq(
+      StructField("id", LongType, true), StructField("fecha", StringType, true)))
+    writeBatch(src, "b1.json", Seq(
+      """{"before":null,"after":{"id":1,"fecha":"0000-00-00"},"op":"c","ts_ms":100}""",
+      """{"before":null,"after":{"id":2,"fecha":"2021-03-15"},"op":"c","ts_ms":101}"""))
+    val meta = graft.schema.TableMeta("t", Seq(
+      graft.schema.ColumnMeta("id", "bigint", nullable = false, isPk = true),
+      graft.schema.ColumnMeta("fecha", "datetime")))
+    val q = CdcStream.typedUpsertQuery(
+      spark.readStream.text(src), schemaWithDate, Seq("id"), target, ckpt,
+      applyDeletes = false, cleanMeta = Some(meta))
+    q.awaitTermination()
+    val rows = spark.read.parquet(target).collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[java.sql.Timestamp]("fecha"))).toMap
+    assert(rows(1L).isEmpty) // zero-date -> NULL, typed as timestamp
+    assert(rows(2L).exists(_.toString.startsWith("2021-03-15")))
+  }
+
   test("checkpointed restart does not reprocess already-drained files") {
     val base = Files.createTempDirectory("cdc_spec_").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
