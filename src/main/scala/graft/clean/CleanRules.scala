@@ -161,10 +161,14 @@ object CleanRules {
   def repairMojibake(c: Column): Column = {
     val specific = regexp_replace(c, "Actualizaci\\?\\?n", "Actualización")
     val qq = regexp_replace(specific, "\\?\\?", "ó")
-    Seq("Ã¡" -> "á", "Ã©" -> "é", "Ã­" -> "í", "Ã³" -> "ó", "Ãº" -> "ú", "Ã±" -> "ñ")
+    val chain = Seq("Ã¡" -> "á", "Ã©" -> "é", "Ã­" -> "í", "Ã³" -> "ó", "Ãº" -> "ú", "Ã±" -> "ñ")
       .foldLeft(qq) { case (acc, (broken, fixed)) =>
         regexp_replace(acc, broken, fixed)
       }
+    // guard: one cheap rlike skips the 8-regex chain for the overwhelming
+    // majority of clean rows (identity on non-matching input, so
+    // semantics — and the oracle SQL — are unchanged)
+    when(c.rlike("(\\?\\?)|Ã"), chain).otherwise(c)
   }
 
   /** T2 — strip C0/C1 control characters
@@ -176,7 +180,10 @@ object CleanRules {
     * single, trim; empty → NULL (tools/data_cleaner_robust.py:125-159;
     * empty-string→NULL tools/ingest_runner.py:786-787). */
   def normalizeWhitespace(c: Column): Column = {
-    val collapsed = trim(regexp_replace(regexp_replace(c, "[\\r\\n\\t]+", " "), " {2,}", " "))
+    // single \s+ pass ≡ the reference's two-step ([\r\n\t]+→' ' then
+    // multi-space collapse): control chars outside \s are already
+    // stripped by T2 before this runs
+    val collapsed = trim(regexp_replace(c, "\\s+", " "))
     when(collapsed === "", lit(null).cast("string")).otherwise(collapsed)
   }
 

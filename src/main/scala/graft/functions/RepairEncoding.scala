@@ -75,11 +75,27 @@ object GraftFunctions {
       (args: Seq[Expression]) => RepairEncoding(args.head))
 }
 
+/** Optimizer rule: `repair_encoding` is idempotent (its output is either
+  * the input or valid repaired UTF-8, which a second pass leaves alone),
+  * so nested applications collapse to one — the kind of algebraic rewrite
+  * Catalyst can't know about custom expressions without being told.
+  * Demonstrates `Rule[LogicalPlan]` injection alongside the expression. */
+object CollapseRepairEncoding
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.transformAllExpressions {
+      case RepairEncoding(inner @ RepairEncoding(_)) => inner
+    }
+}
+
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injection point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("repair_encoding"),
       new ExpressionInfo(classOf[RepairEncoding].getName, "repair_encoding"),
       (args: Seq[Expression]) => RepairEncoding(args.head)))
+    ext.injectOptimizerRule(_ => CollapseRepairEncoding)
+  }
 }

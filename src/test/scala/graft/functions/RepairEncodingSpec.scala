@@ -39,6 +39,15 @@ class RepairEncodingSpec extends SparkSpec {
     assert(out(0).getString(0) === "café")
   }
 
+  test("CollapseRepairEncoding optimizer rule removes nested applications") {
+    val df = mkDf(schema, Row("cafÃ©"))
+      .select(columns.repairEncoding(columns.repairEncoding(col("s"))).as("r"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert("repair_encoding".r.findAllIn(optimized).size <= 1,
+      s"nested repair_encoding not collapsed:\n$optimized")
+    assert(df.collect()(0).getString(0) === "café")
+  }
+
   test("expression stays inside whole-stage codegen (no fallback)") {
     // A local relation constant-folds away; use a parquet scan so the
     // projection actually plans + runs through generated code.
