@@ -179,13 +179,13 @@ object CleanRules {
   /** T3 — whitespace normalization: CR/LF/TAB runs → space, multi-space →
     * single, trim; empty → NULL (tools/data_cleaner_robust.py:125-159;
     * empty-string→NULL tools/ingest_runner.py:786-787). */
-  def normalizeWhitespace(c: Column): Column = {
+  def normalizeWhitespace(c: Column): Column =
     // single \s+ pass ≡ the reference's two-step ([\r\n\t]+→' ' then
-    // multi-space collapse): control chars outside \s are already
-    // stripped by T2 before this runs
-    val collapsed = trim(regexp_replace(c, "\\s+", " "))
-    when(collapsed === "", lit(null).cast("string")).otherwise(collapsed)
-  }
+    // multi-space collapse). nullif (not when/otherwise) so the collapsed
+    // expression is evaluated ONCE — a when(x==="",null).otherwise(x)
+    // re-evaluates the whole upstream chain per reference, which
+    // multiplies regex cost when rules compose (see cleanString).
+    nullif(trim(regexp_replace(c, "\\s+", " ")), lit(""))
 
   /** T4 — NOT NULL defaults driven by reflected schema metadata
     * (tools/ingest_runner.py:637-655): plain NOT NULL string → 'N/A',
@@ -202,8 +202,13 @@ object CleanRules {
   def fromBase64(c: Column): Column = unbase64(c)
 
   /** Full string-cleaning pipeline the reference applies to every textual
-    * column (control-strip → whitespace-normalize → mojibake repair →
-    * empty→NULL), with NOT-NULL/PK defaults applied last. */
+    * column, with NOT-NULL/PK defaults applied last.
+    *
+    * Composition order: mojibake FIRST so its three input references
+    * (guard + chain + passthrough) hit the cheap raw attribute, not a
+    * nested regex chain; control-strip and whitespace-normalize then each
+    * reference their input exactly once. Equivalent to the reference's
+    * order (the rule families touch disjoint character classes). */
   def cleanString(c: Column): Column =
-    normalizeWhitespace(repairMojibake(stripControlChars(c)))
+    normalizeWhitespace(stripControlChars(repairMojibake(c)))
 }

@@ -17,16 +17,23 @@ import org.apache.spark.sql.types._
   */
 object TableCleaner {
 
-  /** Clean one column according to its reflected source type + constraints. */
-  def cleanColumn(c: Column, meta: ColumnMeta): Column = {
+  /** Clean one column according to its reflected source type + constraints.
+    * `actual` is the column's arrival type: already-typed timestamps skip
+    * the 5-format string parse (a large per-row cost at scale) and go
+    * straight to the range guards. */
+  def cleanColumn(c: Column, meta: ColumnMeta,
+      actual: DataType = StringType): Column = {
     import CleanRules._
     val t = meta.sourceType.toLowerCase
     val base: Column =
       if (t.startsWith("date") || t.startsWith("timestamp")) {
-        // D1-D3: arrives as string from the raw read (zero-date survival);
-        // typed arrivals pass through the same guards.
-        nullifyOutsideSupportedRange(
-          nullifyOutOfRangeYears(cleanDateStringOrTyped(c)))
+        // D1-D3: strings go through zero-date NULLing + multi-format
+        // parse; typed arrivals only need the guards.
+        val parsed = actual match {
+          case TimestampType | TimestampNTZType | DateType => c.cast("timestamp")
+          case _ => cleanDateStringOrTyped(c)
+        }
+        nullifyOutsideSupportedRange(nullifyOutOfRangeYears(parsed))
       } else if (t == "time") {
         timeToHms(c.cast("string"))
       } else if (t.startsWith("tinyint") && t.contains("(1)") || t == "bool" || t == "boolean") {
@@ -34,7 +41,16 @@ object TableCleaner {
         // junk strings — cleaning must coerce, never fail (errors='coerce')
         c.try_cast("boolean")
       } else if (Seq("tinyint", "smallint", "int", "integer", "mediumint", "bigint").exists(t.startsWith)) {
-        val cleaned = cleanInteger(c, required = meta.isPk || !meta.nullable)
+        // typed integer arrivals skip the string round-trip entirely —
+        // N1's parsing exists for dirty STRING input, not for columns the
+        // source already delivers as integers
+        val required = meta.isPk || !meta.nullable
+        val cleaned = actual match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            val base = c.cast("bigint")
+            if (required) coalesce(base, lit(0L)) else base
+          case _ => cleanInteger(c, required)
+        }
         if (t.startsWith("bigint")) cleaned
         else int32RangeGuard(cleaned).cast("int")
       } else if (Seq("float", "real", "double").exists(t.startsWith)) {
@@ -43,6 +59,8 @@ object TableCleaner {
         c // DecimalType is exact; no string hack needed (SURVEY §1.2 N5)
       } else if (t.startsWith("binary") || t.startsWith("varbinary") || t.endsWith("blob")) {
         c
+      } else if (t == "array" || t == "map" || t == "struct") {
+        c // composite columns pass through untouched
       } else {
         // char/varchar/text/enum/set/json: T1-T4 pipeline
         val cleaned = cleanString(c.cast("string"))
@@ -61,9 +79,10 @@ object TableCleaner {
     * unlisted columns pass through untouched. */
   def clean(df: DataFrame, meta: TableMeta): DataFrame = {
     val byName = meta.columns.map(c => c.name -> c).toMap
+    val actualTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     df.select(df.columns.toIndexedSeq.map { name =>
       byName.get(name) match {
-        case Some(cm) => cleanColumn(col(name), cm).as(name)
+        case Some(cm) => cleanColumn(col(name), cm, actualTypes(name)).as(name)
         case None => col(name)
       }
     }: _*)

@@ -69,7 +69,18 @@ object Ingest {
     // collects the same metric DURING the write pass — no extra scan.
     val obs = new org.apache.spark.sql.Observation(
       s"ingest_${meta.table}_${java.util.UUID.randomUUID().toString.take(8)}")
-    val cleaned = TableCleaner.clean(source, meta)
+    // A single-file (or few-row-group) source arrives as 1-2 partitions;
+    // the cleaning projection is per-row CPU (regex) and must parallelize.
+    // Rebalance BEFORE cleaning so the work spreads across cores; no-op
+    // on well-partitioned inputs (the normal case on a cluster).
+    val par = spark.sparkContext.defaultParallelism
+    val sizeInBytes = source.queryExecution.optimizedPlan.stats.sizeInBytes
+    val balanced =
+      if (sizeInBytes > (8L << 20) &&
+          source.rdd.getNumPartitions < math.max(2, par / 2))
+        source.repartition(par)
+      else source // small tables: a shuffle would cost more than it buys
+    val cleaned = TableCleaner.clean(balanced, meta)
       .observe(obs, count(lit(1)).as("rows"))
     val keys = meta.pkColumns
     val version = meta.versionColumn

@@ -284,8 +284,31 @@ object Pipeline {
       .orderBy("id")
   }
 
+  /** BASELINE.md headline target: full batch ingest (read → clean →
+    * write → audit) of EVERY driver table in one run, with per-table
+    * count parity as the output. The reference's analogue is its whole
+    * per-DB ingest inside a 30-minute budget; this lineage is the
+    * measured Spark equivalent (per-round BENCH times this entry). */
+  val q51_full_ingest_audit = {
+    val names = graft.Tables.names
+    val oracle = names.map { n =>
+      s"SELECT '$n' AS tbl, (SELECT count(*) FROM $n) AS source_rows, " +
+        s"(SELECT count(*) FROM $n) AS target_rows, 0 AS diff, 1 AS ok"
+    }.mkString("\n|UNION ALL ")
+    Q("q51_full_ingest_audit", oracle.stripMargin) { (s, dir) =>
+      val out = tmpDir("graft_full_q51_")
+      val pairs = names.map { name =>
+        val src = Tables.load(s, dir, name)
+        val meta = SchemaReflector.fromParquet(s, s"$dir/$name.parquet", name)
+        Ingest.ingestTable(s, src, meta, out, DedupMode.NoDedup)
+        (name, src, s.read.parquet(s"$out/$name"))
+      }
+      Ingest.audit(s, pairs)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
-    q50_dirty_ingest_e2e)
+    q50_dirty_ingest_e2e, q51_full_ingest_audit)
 }

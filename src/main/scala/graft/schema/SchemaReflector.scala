@@ -106,7 +106,14 @@ object SchemaReflector {
     case d: DecimalType => s"decimal(${d.precision},${d.scale})"
     case DateType => "date"
     case TimestampType => "datetime"
+    case TimestampNTZType => "datetime" // parquet isAdjustedToUTC=false
     case BinaryType => "blob"
+    // composite types have no MySQL analogue: mark for passthrough so the
+    // cleaner never stringifies an array/map/struct column
+    case _: ArrayType => "array"
+    case _: MapType => "map"
+    case _: StructType => "struct"
+    case StringType => "varchar"
     case _ => "varchar"
   }
 
