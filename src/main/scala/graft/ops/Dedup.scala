@@ -52,7 +52,7 @@ object Dedup {
       toks: DataFrame, shingleN: Int = 3, k: Int = 8,
       bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = toks
+    val sigs = Balance(toks)
       .withColumn("sh", shingles("tok", shingleN))
       .withColumn("hs", shingleHashes("sh"))
       .withColumn("sig", minhashSignature("hs", k))
@@ -73,7 +73,7 @@ object Dedup {
   def simhashFingerprints(
       docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame =
-    docs
+    Balance(docs)
       .select(col(idCol), tokens(col(textCol)).as("tok"))
       .withColumn("hs",
         expr("transform(tok, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))

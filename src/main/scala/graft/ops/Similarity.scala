@@ -37,7 +37,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv")))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+    val c = Balance(corpus)
+      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
     val scored = c.join(q, col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
@@ -89,7 +90,7 @@ object Similarity {
         .filter(col("__r") <= keep)
         .drop("__d", "__r", "cv")
     }
-    val lists = assign(corpus, "nid", "nv", 1) // inverted lists: (cid, nid, nv)
+    val lists = assign(Balance(corpus), "nid", "nv", 1) // inverted lists: (cid, nid, nv)
     val probes = assign(queries, "qid", "qv", nprobe)
     val scored = lists.join(probes, Seq("cid")).filter(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
@@ -108,7 +109,8 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       bits: Int, dim: Int): DataFrame = {
     // cast BEFORE sig so the signature math sees double
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+    val c = Balance(corpus)
+      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
       .withColumn("nsig", hyperplaneSig("nv", bits, dim))
     val q = broadcast(
       queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
