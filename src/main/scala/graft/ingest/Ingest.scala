@@ -135,6 +135,29 @@ object Ingest {
     IngestResult(meta.table, sourceRows, writtenRows, sourceRows - writtenRows)
   }
 
+  /** Concurrent multi-table ingest — the Spark analogue of the
+    * reference's per-database subprocess parallelism
+    * (tools/multi_database_ingest.py:129-151): independent table lineages
+    * submitted as concurrent jobs share the executor pool, overlapping
+    * small-table scheduling gaps with big-table compute. */
+  def ingestAll(
+      spark: SparkSession,
+      tables: Seq[(graft.schema.TableMeta, DataFrame)],
+      targetDir: String, mode: DedupMode = DedupMode.NoDedup,
+      parallelism: Int = 4): Seq[IngestResult] = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(parallelism)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = tables.map { case (meta, src) =>
+        Future(ingestTable(spark, src, meta, targetDir, mode))
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   /** Row-count reconciliation audit (tools/ingest_runner.py:1813-1937,
     * tools/multi_database_auditor.py:252+): full-outer count parity per
     * table, as one small DataFrame. */

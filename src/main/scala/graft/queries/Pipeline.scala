@@ -297,13 +297,14 @@ object Pipeline {
     }.mkString("\n|UNION ALL ")
     Q("q51_full_ingest_audit", oracle.stripMargin) { (s, dir) =>
       val out = tmpDir("graft_full_q51_")
-      val pairs = names.map { name =>
-        val src = Tables.load(s, dir, name)
-        val meta = SchemaReflector.fromParquet(s, s"$dir/$name.parquet", name)
-        Ingest.ingestTable(s, src, meta, out, DedupMode.NoDedup)
-        (name, src, s.read.parquet(s"$out/$name"))
+      val tables = names.map { name =>
+        (SchemaReflector.fromParquet(s, s"$dir/$name.parquet", name),
+          Tables.load(s, dir, name))
       }
-      Ingest.audit(s, pairs)
+      Ingest.ingestAll(s, tables, out, DedupMode.NoDedup, parallelism = 4)
+      Ingest.audit(s, names.map { name =>
+        (name, Tables.load(s, dir, name), s.read.parquet(s"$out/$name"))
+      })
     }
   }
 

@@ -64,6 +64,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(_.getInt(1)).toSeq === Seq(1, 2, 3))
   }
 
+  test("IVF ANN with exhaustive probe equals brute force exactly") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 60L).map(i => Row(i, vec(Seq.fill(8)(rnd.nextGaussian()): _*)))
+    val df = mkDf(vecSchema, rows: _*)
+    val q = df.filter(col("vec_id") < 3L)
+    val cent = df.filter(col("vec_id") >= 55L) // 5 centroids
+    // probing EVERY list makes IVF an exact search — results must match
+    val ivf = Similarity.ivfTopK(df, q, cent, "vec_id", "embedding", k = 5, nprobe = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf === brute)
+  }
+
   test("LSH ANN: results are a subset of brute-force, same relative order") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 40L).map(i => Row(i, vec(Seq.fill(8)(rnd.nextGaussian()): _*)))
