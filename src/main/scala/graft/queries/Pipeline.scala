@@ -308,8 +308,54 @@ object Pipeline {
     }
   }
 
+  /** Skew-salted two-stage aggregation in the gate: the salt is engine-
+    * internal (Spark murmur3) but the FINAL combine must equal a plain
+    * GROUP BY — so the oracle is the direct aggregation. Proves the skew
+    * mitigation changes the plan, never the result. */
+  val q52_salted_agg = Q(
+    "q52_salted_agg",
+    """SELECT event_type, count(*) AS n,
+      |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("v", col("value").cast("decimal(18,4)"))
+    import graft.ops.Salting
+    val counts = Salting.saltedCount(ev, "event_type", col("event_id"), salts = 16)
+    val sums = Salting.saltedSum(ev, "event_type", "v", col("event_id"), salts = 16)
+    counts.join(sums, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("total").cast("double").as("total"))
+  }
+
+  /** Batch sessionization (lag + cumulative-sum windows — the analytic
+    * window family beyond W1's row_number): per-user session count with a
+    * 30-minute gap rule. */
+  val q53_batch_sessions = Q(
+    "q53_batch_sessions",
+    """WITH m AS (SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      |  FROM m)
+      |SELECT user_id, cast(max(session_id) AS bigint) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id""".stripMargin) { (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(s, dir, "events")
+      .withColumn("new_s",
+        when(lag("ts", 1).over(w).isNull ||
+          col("ts").cast("long") - lag("ts", 1).over(w).cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(w))
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
-    q50_dirty_ingest_e2e, q51_full_ingest_audit)
+    q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
+    q53_batch_sessions)
 }
