@@ -87,16 +87,22 @@ object Ingest {
     val finalPath = s"$targetDir/${meta.table}"
 
     def write(df: DataFrame, path: String): Unit = {
+      // MergeTree ORDER BY analogue (SURVEY §1.3): sort within partitions
+      // on the PK/sorting key so parquet row-group min/max stats enable
+      // key-range skipping on read. Local sort only — no shuffle.
+      val sortKey = meta.sortingKey.filter(df.columns.contains)
+      def sorted(d: DataFrame) =
+        if (sortKey.nonEmpty) d.sortWithinPartitions(sortKey.map(col): _*) else d
       monthPartitionCol match {
         case Some(c) =>
           // repartition on the partition key first: otherwise EVERY task
           // writes EVERY month -> tasks x months tiny files (the classic
           // dynamic-partition small-files explosion at scale). For skewed
           // months add a salt column to this repartition.
-          df.withColumn("__yyyymm", date_format(col(c), "yyyyMM"))
-            .repartition(col("__yyyymm"))
+          sorted(df.withColumn("__yyyymm", date_format(col(c), "yyyyMM"))
+              .repartition(col("__yyyymm")))
             .write.mode(SaveMode.Overwrite).partitionBy("__yyyymm").parquet(path)
-        case None => df.write.mode(SaveMode.Overwrite).parquet(path)
+        case None => sorted(df).write.mode(SaveMode.Overwrite).parquet(path)
       }
     }
 
