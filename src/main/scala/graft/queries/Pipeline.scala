@@ -370,9 +370,32 @@ object Pipeline {
     }
   }
 
+  /** As-of join: each purchase matched to the user's latest click at or
+    * before it (point-in-time, no future leakage). Spark side is the
+    * union+window composition (one shuffle); the oracle uses DuckDB's
+    * native ASOF LEFT JOIN — two independent implementations of the
+    * semantics must hash-agree. */
+  val q55_asof_join = Q(
+    "q55_asof_join",
+    """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |     r AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT l.event_id, l.user_id, r.click_id AS prior_click
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    graft.ops.AsOfJoin.lastAtOrBefore(
+      purchases, clicks, key = "user_id",
+      leftTs = "ts", rightTs = "ts", rightVal = "event_id",
+      as = "prior_click")
+      .select("event_id", "user_id", "prior_click")
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
-    q53_batch_sessions, q54_catalog_profile)
+    q53_batch_sessions, q54_catalog_profile, q55_asof_join)
 }
