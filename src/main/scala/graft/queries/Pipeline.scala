@@ -393,9 +393,25 @@ object Pipeline {
       .select("event_id", "user_id", "prior_click")
   }
 
+  /** Interval join: per-user event pairs within 10 minutes. Spark side is
+    * the bucketized equi-join (no theta cross product); the oracle is the
+    * naive range join — the two must agree pair-for-pair. */
+  val q56_range_join = Q(
+    "q56_range_join",
+    """SELECT a.user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600 * 1000000
+      |GROUP BY a.user_id""".stripMargin) { (s, dir) =>
+    graft.ops.RangeJoin.selfPairsWithin(
+      Tables.load(s, dir, "events"), "user_id", "ts", "event_id", 600L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
-    q53_batch_sessions, q54_catalog_profile, q55_asof_join)
+    q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join)
 }
