@@ -24,7 +24,9 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
-          errors ::= (name -> e.getMessage.take(200).replaceAll("[\"\\n\\r]", " "))
+          // getMessage can be null (NPE, some SparkExceptions)
+          val msg = Option(e.getMessage).getOrElse(e.toString)
+          errors ::= (name -> msg.take(200).replaceAll("[\"\\n\\r]", " "))
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9

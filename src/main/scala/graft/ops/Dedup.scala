@@ -46,11 +46,18 @@ object Dedup {
     * to the corpus (id + band + 32-char hash per band), and without it
     * each join side would re-evaluate the whole shingle+md5 pipeline.
     * At warehouse scale the same role is played by materializing the
-    * signature table once per corpus version.
+    * signature table once per corpus version. The cache lives until the
+    * session ends (the returned plan references it lazily, so this
+    * function cannot unpersist); long-running callers that materialize
+    * the result should `spark.catalog.clearCache()` or unpersist the
+    * plan's cached child afterwards.
     */
   def minhashCandidatesFromTokens(
       toks: DataFrame, shingleN: Int = 3, k: Int = 8,
       bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"minhash k ($k) must be divisible by bands ($bands); " +
+        "otherwise k % bands trailing signature entries would be silently dropped")
     val rowsPerBand = k / bands
     val sigs = Balance(toks)
       .withColumn("sh", shingles("tok", shingleN))

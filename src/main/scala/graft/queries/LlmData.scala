@@ -322,19 +322,29 @@ object LlmData {
 
   /** Token counting, whitespace vs BPE-ish regex segmentation (brief:
     * "token counting (whitespace + a BPE-ish regex)") — per-language
-    * totals of both tokenizations. Identical regex runs in both engines. */
+    * totals of both tokenizations.
+    *
+    * Engine portability: Java regex walks UTF-16 code units while RE2
+    * (DuckDB) walks Unicode code points, so `[^A-Za-z0-9\s]` counts
+    * non-ASCII text differently per engine (surrogate pairs count twice
+    * in Java). Both tokenizations therefore run on an ASCII projection —
+    * every char outside printable ASCII becomes a space (a token
+    * separator) first, where code unit == code point and the engines
+    * agree exactly. */
   val q48_token_counts = Q(
     "q48_token_counts",
-    """WITH t AS (SELECT lang,
-      |    len(string_split_regex(trim(text), '\s+')) AS ws,
-      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
-      |  FROM documents)
+    """WITH t AS (SELECT lang, regexp_replace(text, '[^ -~]', ' ', 'g') AS a FROM documents),
+      |c AS (SELECT lang,
+      |    len(string_split_regex(trim(a), '\s+')) AS ws,
+      |    len(regexp_extract_all(a, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
+      |  FROM t)
       |SELECT lang, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
-      |FROM t GROUP BY lang""".stripMargin) { (s, dir) =>
+      |FROM c GROUP BY lang""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
+      .withColumn("a", regexp_replace(col("text"), "[^ -~]", " "))
       .select(col("lang"),
-        size(TextHash.tokens(col("text"))).as("ws"),
-        size(regexp_extract_all(col("text"),
+        size(TextHash.tokens(col("a"))).as("ws"),
+        size(regexp_extract_all(col("a"),
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe"))
       .groupBy("lang")
       .agg(sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"))

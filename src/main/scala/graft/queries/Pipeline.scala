@@ -345,8 +345,10 @@ object Pipeline {
       .partitionBy("user_id").orderBy("ts", "event_id")
     Tables.load(s, dir, "events")
       .withColumn("new_s",
+        // microsecond-exact gap, matching the oracle's INTERVAL comparison
+        // (cast-to-long would truncate sub-second components at the boundary)
         when(lag("ts", 1).over(w).isNull ||
-          col("ts").cast("long") - lag("ts", 1).over(w).cast("long") > 1800L, 1L)
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum("new_s").over(w))
       .groupBy("user_id")

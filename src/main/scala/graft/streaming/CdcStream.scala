@@ -60,8 +60,12 @@ object CdcStream {
       pk, Some("ts_ms"))
     val result =
       if (applyDeletes) {
+        // one delete row per PK (the newest): multiple deletes for a key in
+        // a batch must not fan the left join out into duplicate survivors,
+        // and a row must be compared against the NEWEST delete only
         val dels = CdcEnvelope.deletes(decoded)
-          .select(pk.map(col) :+ col("ts_ms").as("__del_ts"): _*)
+          .groupBy(pk.map(col): _*)
+          .agg(max("ts_ms").as("__del_ts"))
         merged.join(dels, pk, "left")
           .filter(col("__del_ts").isNull || col("__del_ts") < col("ts_ms"))
           .drop("__del_ts")
