@@ -16,7 +16,11 @@ object Bench {
     try Tables.load(spark, sfDir, "region").count()
     catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
 
+    // Optional comma-separated subset (dev profiling): SPARK_GRAFT_ONLY=q51,q45
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(f => f.exists(n.startsWith)))
     var errors = List.empty[(String, String)]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -30,6 +34,10 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Each query is timed standalone; drop its cached blocks so later
+      // queries aren't taxed by accumulated executor-memory pressure/GC
+      // from earlier ones (q31/q47 cache small tables by design).
+      spark.catalog.clearCache()
       name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

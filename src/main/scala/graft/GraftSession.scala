@@ -24,6 +24,22 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Unfiltered count/min/max over parquet read row-group STATS, not
+      // data — the audit/reconciliation surface (q41/q51/q54, run_audit
+      // shape) becomes footer-only I/O. Same result, pushed to the scan.
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Local-mode split size: fixture tables arrive as one ~100MB file
+      // each; 16MB splits give the 32 cores parallel scan+clean work
+      // without a repartition shuffle. On a 1000-executor cluster inputs
+      // are many files and the 128MB default is the right granularity.
+      .config("spark.sql.files.maxPartitionBytes", s"${16 << 20}")
+      // Wide cleaned projections fuse into ONE consume method under
+      // whole-stage codegen (variable-based input cannot split methods);
+      // beyond ~8KB bytecode HotSpot refuses to JIT it and the stage runs
+      // interpreted (observed 4x on the 16-column lineitem clean). Capping
+      // at the JIT threshold makes Spark fall back to per-operator codegen
+      // — whose expression splitting keeps every method JIT-able.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ingest.{DedupMode, Ingest}
+import graft.schema.SchemaReflector
+
+/** Dev-only phase profiler for the ingest path (not part of the driver
+  * contract; remove or ignore in review). */
+object Profile {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.fromEnv("graft-profile")
+    Tables.load(spark, dir, "region").count() // warm
+
+    val out = java.nio.file.Files.createTempDirectory("graft_prof_").toString
+    Seq("lineitem", "events").foreach { n =>
+      val meta = SchemaReflector.fromParquet(spark, s"$dir/$n.parquet", n)
+      val src = Tables.load(spark, dir, n)
+      println(s"[profile] $n partitions=${src.rdd.getNumPartitions}")
+      time(s"$n raw count") { src.count() }
+      val cleaned = graft.clean.TableCleaner.clean(src, meta)
+      time(s"$n clean+count") { cleaned.count() }
+      time(s"$n clean+write") {
+        cleaned.write.mode("overwrite").parquet(s"$out/${n}_cw")
+      }
+      time(s"$n write-only") {
+        src.write.mode("overwrite").parquet(s"$out/${n}_w")
+      }
+      time(s"$n sortWithin+write") {
+        val sortKey = meta.sortingKey.filter(src.columns.contains)
+        cleaned.sortWithinPartitions(sortKey.map(org.apache.spark.sql.functions.col): _*)
+          .write.mode("overwrite").parquet(s"$out/${n}_sw")
+      }
+      time(s"$n full ingestTable") {
+        Ingest.ingestTable(spark, src, meta, out, DedupMode.NoDedup)
+      }
+      // bisect: clean only one type family at a time
+      import org.apache.spark.sql.types._
+      def familyClean(pred: DataType => Boolean, label: String): Unit = {
+        val actual = src.schema.fields.map(f => f.name -> f.dataType).toMap
+        val byName = meta.columns.map(c => c.name -> c).toMap
+        val picked = src.select(src.columns.toIndexedSeq.map { cn =>
+          if (pred(actual(cn)) && byName.contains(cn))
+            graft.clean.TableCleaner.cleanColumn(
+              org.apache.spark.sql.functions.col(cn), byName(cn), actual(cn)).as(cn)
+          else org.apache.spark.sql.functions.col(cn)
+        }: _*)
+        time(s"$n clean[$label]+write") {
+          picked.write.mode("overwrite").parquet(s"$out/${n}_$label")
+        }
+      }
+      familyClean(_ == StringType, "str")
+      familyClean(t => t == DateType || t == TimestampType || t == TimestampNTZType, "date")
+      familyClean(t => t.isInstanceOf[NumericType], "num")
+      if (n == "lineitem") {
+        println("=== codegen stats of full clean ===")
+        import org.apache.spark.sql.execution.debug._
+        val codegen = cleaned.queryExecution.debug.codegenToSeq()
+        codegen.foreach { case (subtree, code, _) =>
+          println(s"--- subtree (code ${code.length} chars): " + subtree.linesIterator.next())
+        }
+      }
+    }
+    spark.stop()
+  }
+}

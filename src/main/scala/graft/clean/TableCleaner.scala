@@ -12,63 +12,96 @@ import org.apache.spark.sql.types._
   * deciding NULL-vs-default semantics (tools/ingest_runner.py:598-655).
   *
   * Every rule is a Column expression (CleanRules), so the whole pass is a
-  * single narrow projection: no shuffle, fully codegen'd, scales linearly
-  * with input size.
+  * narrow projection: no shuffle, fully codegen'd, scales linearly with
+  * input size.
+  *
+  * The pass is TWO stacked projections, not one. Guard rules are CASE
+  * WHENs that reference their input several times (`when(year(x) <= 1900,
+  * null).otherwise(x)`), and codegen does not subexpression-eliminate
+  * inside conditional branches — one projection would inline the
+  * expensive core (multi-format parse, mojibake/regex chain) once per
+  * reference, tripling per-row CPU and bloating generated methods past
+  * JIT limits. Stage 1 computes each column's expensive core exactly
+  * once; stage 2 applies guards/defaults to the now-cheap attribute.
+  * CollapseProject leaves the pair alone (its cost model refuses to
+  * duplicate non-cheap expressions), so the split survives optimization.
   */
 object TableCleaner {
 
-  /** Clean one column according to its reflected source type + constraints.
-    * `actual` is the column's arrival type: already-typed timestamps skip
-    * the 5-format string parse (a large per-row cost at scale) and go
-    * straight to the range guards. */
-  def cleanColumn(c: Column, meta: ColumnMeta,
-      actual: DataType = StringType): Column = {
+  /** The cleaning rule for one column, split as (stage-1 core expression,
+    * stage-2 guard applied to the materialized attribute). `actual` is the
+    * column's arrival type: already-typed timestamps skip the 5-format
+    * string parse (a large per-row cost at scale) and go straight to the
+    * range guards. */
+  def cleanColumnStaged(c: Column, meta: ColumnMeta,
+      actual: DataType = StringType): (Column, Column => Column) = {
     import CleanRules._
     val t = meta.sourceType.toLowerCase
-    val base: Column =
-      if (t.startsWith("date") || t.startsWith("timestamp")) {
-        // D1-D3: strings go through zero-date NULLing + multi-format
-        // parse; typed arrivals only need the guards.
-        val parsed = actual match {
-          case TimestampType | TimestampNTZType | DateType => c.cast("timestamp")
-          case _ => cleanDateStringOrTyped(c)
-        }
-        nullifyOutsideSupportedRange(nullifyOutOfRangeYears(parsed))
-      } else if (t == "time") {
-        timeToHms(c.cast("string"))
-      } else if (t.startsWith("tinyint") && t.contains("(1)") || t == "bool" || t == "boolean") {
-        // try_cast: ANSI mode (Spark 4 default) makes plain cast THROW on
-        // junk strings — cleaning must coerce, never fail (errors='coerce')
-        c.try_cast("boolean")
-      } else if (Seq("tinyint", "smallint", "int", "integer", "mediumint", "bigint").exists(t.startsWith)) {
-        // typed integer arrivals skip the string round-trip entirely —
-        // N1's parsing exists for dirty STRING input, not for columns the
-        // source already delivers as integers
-        val required = meta.isPk || !meta.nullable
-        val cleaned = actual match {
-          case LongType | IntegerType | ShortType | ByteType =>
-            val base = c.cast("bigint")
-            if (required) coalesce(base, lit(0L)) else base
-          case _ => cleanInteger(c, required)
-        }
-        if (t.startsWith("bigint")) cleaned
-        else int32RangeGuard(cleaned).cast("int")
-      } else if (Seq("float", "real", "double").exists(t.startsWith)) {
-        nanInfToNull(c.try_cast("double"))
-      } else if (t.startsWith("decimal") || t.startsWith("numeric")) {
-        c // DecimalType is exact; no string hack needed (SURVEY §1.2 N5)
-      } else if (t.startsWith("binary") || t.startsWith("varbinary") || t.endsWith("blob")) {
-        c
-      } else if (t == "array" || t == "map" || t == "struct") {
-        c // composite columns pass through untouched
-      } else {
-        // char/varchar/text/enum/set/json: T1-T4 pipeline
-        val cleaned = cleanString(c.cast("string"))
-        if (meta.isPk) pkStringDefault(cleaned, meta.name)
-        else if (!meta.nullable) notNullStringDefault(cleaned)
-        else cleaned
+    if (t.startsWith("date") || t.startsWith("timestamp")) {
+      // D1-D3: strings go through zero-date NULLing + multi-format parse
+      // (expensive, stage 1); typed arrivals only need the guards.
+      val parsed = actual match {
+        case TimestampType | TimestampNTZType | DateType => c.cast("timestamp")
+        case _ => cleanDateStringOrTyped(c)
       }
-    base
+      // D2+D3 as ONE CASE: nesting the two guards would re-expand the
+      // inner guard three times inside the outer one's branches
+      (parsed, a => when(
+        year(a) <= 1900 || year(a) >= 2100 ||
+          a < to_timestamp(lit("1970-01-01 00:00:00")) ||
+          a > to_timestamp(lit("2299-12-31 23:59:59")),
+        lit(null).cast("timestamp")).otherwise(a.cast("timestamp")))
+    } else if (t == "time") {
+      // D5: one regex extraction in stage 1; null-guard + zero-pad after
+      (regexp_extract(trim(c.cast("string")),
+        "(\\d{1,2}:\\d{2}:\\d{2})(?:\\.\\d+)?$", 1),
+        a => when(a.isNull || a === "", lit(null).cast("string"))
+          .otherwise(lpad(a, 8, "0")))
+    } else if (t.startsWith("tinyint") && t.contains("(1)") || t == "bool" || t == "boolean") {
+      // try_cast: ANSI mode (Spark 4 default) makes plain cast THROW on
+      // junk strings — cleaning must coerce, never fail (errors='coerce')
+      (c.try_cast("boolean"), identity)
+    } else if (Seq("tinyint", "smallint", "int", "integer", "mediumint", "bigint").exists(t.startsWith)) {
+      // typed integer arrivals skip the string round-trip entirely —
+      // N1's parsing exists for dirty STRING input, not for columns the
+      // source already delivers as integers
+      val required = meta.isPk || !meta.nullable
+      val core = actual match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          val base = c.cast("bigint")
+          if (required) coalesce(base, lit(0L)) else base
+        case _ => cleanInteger(c, required)
+      }
+      if (t.startsWith("bigint")) (core, identity)
+      else (core, a => int32RangeGuard(a).cast("int"))
+    } else if (Seq("float", "real", "double").exists(t.startsWith)) {
+      (c.try_cast("double"), a => nanInfToNull(a))
+    } else if (t.startsWith("decimal") || t.startsWith("numeric")) {
+      (c, identity) // DecimalType is exact; no string hack needed (SURVEY §1.2 N5)
+    } else if (t.startsWith("binary") || t.startsWith("varbinary") || t.endsWith("blob")) {
+      (c, identity)
+    } else if (t == "array" || t == "map" || t == "struct") {
+      (c, identity) // composite columns pass through untouched
+    } else {
+      // char/varchar/text/enum/set/json: T1-T3 core in stage 1 (probe +
+      // repair chain evaluated once), empty→NULL + T4 defaults in stage 2
+      val core = cleanStringCore(c.cast("string"))
+      val finish: Column => Column = a => {
+        val nulled = nullif(a, lit(""))
+        if (meta.isPk) pkStringDefault(nulled, meta.name)
+        else if (!meta.nullable) notNullStringDefault(nulled)
+        else nulled
+      }
+      (core, finish)
+    }
+  }
+
+  /** Single-expression form of the rule (tests / ad-hoc single columns).
+    * Semantics identical to the staged pair composed. */
+  def cleanColumn(c: Column, meta: ColumnMeta,
+      actual: DataType = StringType): Column = {
+    val (core, finish) = cleanColumnStaged(c, meta, actual)
+    finish(core)
   }
 
   /** Typed timestamps skip the string parse; strings go through D1+D6. */
@@ -80,11 +113,17 @@ object TableCleaner {
   def clean(df: DataFrame, meta: TableMeta): DataFrame = {
     val byName = meta.columns.map(c => c.name -> c).toMap
     val actualTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    df.select(df.columns.toIndexedSeq.map { name =>
+    val staged = df.columns.toIndexedSeq.map { name =>
       byName.get(name) match {
-        case Some(cm) => cleanColumn(col(name), cm, actualTypes(name)).as(name)
-        case None => col(name)
+        case Some(cm) =>
+          val (core, finish) = cleanColumnStaged(col(name), cm, actualTypes(name))
+          (core.as(name), finish)
+        case None => (col(name), identity[Column] _)
       }
+    }
+    val mid = df.select(staged.map(_._1): _*)
+    mid.select(df.columns.toIndexedSeq.zip(staged).map {
+      case (name, (_, finish)) => finish(col(name)).as(name)
     }: _*)
   }
 }
