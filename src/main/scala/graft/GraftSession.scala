@@ -43,6 +43,14 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Dev A/B knob: SPARK_GRAFT_CONF="key=value;key=value" overrides any
+    // session conf (runtime-settable ones) for profiling experiments.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { s =>
+      s.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
