@@ -97,5 +97,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RepairEncoding].getName, "repair_encoding"),
       (args: Seq[Expression]) => RepairEncoding(args.head)))
     ext.injectOptimizerRule(_ => CollapseRepairEncoding)
+    // Native vector math for SQL callers (typed callers use
+    // graft.functions.columns). hyperplane_sig's bits arg must be a
+    // foldable int literal — it parameterizes generated code.
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2_squared"),
+      new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
+      (args: Seq[Expression]) => L2Squared(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => HyperplaneSignature(
+        args(0), args(1).eval().asInstanceOf[Int])))
   }
 }

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+
+/** Native Catalyst expressions for embedding math (brief: "custom
+  * `Expression`" as the scale path for similarity search).
+  *
+  * The composable alternative — `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+  * — is semantically right but runs interpreted: higher-order functions
+  * are CodegenFallback, so every element pays lambda-variable binding and
+  * boxing, and `zip_with` allocates an intermediate array per row. For a
+  * 64-dim corpus scan that is the ANN hot loop. These expressions make
+  * one primitive pass over the two ArrayData buffers (dot + both norms in
+  * a single traversal for cosine) and stay inside whole-stage codegen.
+  *
+  * Numerics: accumulation is sequential in element order — bit-identical
+  * to the `aggregate` fold they replace (and to the DuckDB oracle's list
+  * accumulation), so hash-checked gates are unaffected.
+  *
+  * Null semantics: SQL-null result when either side is null, lengths
+  * differ, or an element is null (the HOF form also nulls the first two;
+  * fixture embeddings carry no null elements).
+  */
+object VectorOpsUtil {
+
+  /** null ⇔ length mismatch or null element. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** dot/(|a||b|) in ONE traversal; 0-vector → NaN (0/0), matching the
+    * composed division. */
+  def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var d = 0.0d; var na = 0.0d; var nb = 0.0d
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH bucket: bit b = sign of <v, p_b>, plane
+    * p_b[i] = sin(97b + i) — the same deterministic planes (and the same
+    * per-bit sequential sums) as Similarity.hyperplaneSig's HOF form and
+    * the oracle SQL. One pass per bit over the raw buffer, Math.sin only
+    * (both engines' sin). */
+  def hyperplaneSig(v: ArrayData, bits: Int): java.lang.Integer = {
+    val n = v.numElements()
+    var sig = 0
+    var b = 0
+    while (b < bits) {
+      var acc = 0.0d
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        acc += v.getDouble(i) * java.lang.Math.sin((97 * b + i).toDouble)
+        i += 1
+      }
+      if (acc > 0) sig |= 1 << b
+      b += 1
+    }
+    sig
+  }
+}
+
+private[functions] trait BoxedDoubleBinaryVectorExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  /** Fully-qualified static method in VectorOpsUtil. */
+  protected def utilMethod: String
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = evalBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+  protected def evalBoxed(a: ArrayData, b: ArrayData): java.lang.Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VectorOpsUtil.$utilMethod($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+}
+
+/** dot(a, b) over array<double>. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BoxedDoubleBinaryVectorExpression {
+  override def prettyName: String = "dot_product"
+  override protected def utilMethod: String = "dot"
+  override protected def evalBoxed(a: ArrayData, b: ArrayData): java.lang.Double =
+    VectorOpsUtil.dot(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Σ(a_i-b_i)² over array<double>. */
+case class L2Squared(left: Expression, right: Expression)
+    extends BoxedDoubleBinaryVectorExpression {
+  override def prettyName: String = "l2_squared"
+  override protected def utilMethod: String = "l2sq"
+  override protected def evalBoxed(a: ArrayData, b: ArrayData): java.lang.Double =
+    VectorOpsUtil.l2sq(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Squared =
+    copy(left = l, right = r)
+}
+
+/** Cosine similarity over array<double> — dot and both norms in one pass. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BoxedDoubleBinaryVectorExpression {
+  override def prettyName: String = "cosine_sim"
+  override protected def utilMethod: String = "cosine"
+  override protected def evalBoxed(a: ArrayData, b: ArrayData): java.lang.Double =
+    VectorOpsUtil.cosine(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** `bits`-wide deterministic hyperplane LSH signature of an array<double>. */
+case class HyperplaneSignature(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = VectorOpsUtil.hyperplaneSig(input.asInstanceOf[ArrayData], bits)
+    if (r == null) null else r.intValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |java.lang.Integer $boxed = graft.functions.VectorOpsUtil.hyperplaneSig($c, $bits);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.intValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}

@@ -8,4 +8,16 @@ object columns {
   /** T1/§2.10 byte-level encoding repair as a typed Column op. */
   def repairEncoding(c: Column): Column =
     ColumnBridge.column(RepairEncoding(ColumnBridge.expression(c.cast("string"))))
+
+  /** Native one-pass vector math (ANN hot loop); inputs are cast to
+    * array<double> so callers can pass raw array<float> embeddings. */
+  private def vec(c: Column) = ColumnBridge.expression(c.cast("array<double>"))
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(vec(a), vec(b)))
+  def l2Squared(a: Column, b: Column): Column =
+    ColumnBridge.column(L2Squared(vec(a), vec(b)))
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(vec(a), vec(b)))
+  def hyperplaneSig(v: Column, bits: Int): Column =
+    ColumnBridge.column(HyperplaneSignature(vec(v), bits))
 }

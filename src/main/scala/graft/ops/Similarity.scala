@@ -15,14 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over array<double> columns (sequential fold — same
-    * summation order as the oracle's list accumulation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** dot(a, b) over array<double> columns — native one-pass expression
+    * (graft.functions.DotProduct); sequential accumulation, bit-identical
+    * to the HOF fold `aggregate(zip_with(a,b,_*_), 0.0, _+_)` it replaces
+    * (kept below as `dotHof` for the equivalence spec) and to the oracle's
+    * list accumulation. */
+  def dot(a: Column, b: Column): Column = graft.functions.columns.dotProduct(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** One traversal computes dot + both norms (CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column = graft.functions.columns.cosineSim(a, b)
+
+  /** Interpreted higher-order-function forms — the readable reference
+    * implementations the native expressions are tested against. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Brute-force exact top-k cosine neighbors for a bounded query set.
     *
@@ -54,6 +64,10 @@ object Similarity {
     * signatures stable across jobs — required for incremental indexing at
     * scale (re-ingesting a shard must not re-bucket the old shards). */
   def hyperplaneSig(vecCol: String, bits: Int, dim: Int): Column =
+    graft.functions.columns.hyperplaneSig(col(vecCol), bits)
+
+  /** HOF reference form of the signature (equivalence spec only). */
+  def hyperplaneSigHof(vecCol: String, bits: Int, dim: Int): Column =
     (0 until bits).map { b =>
       val proj = expr(
         s"aggregate(sequence(0, ${dim - 1}), cast(0.0 as double), " +
@@ -61,10 +75,9 @@ object Similarity {
       when(proj > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Squared L2 distance over array<double> columns (sequential fold,
-    * oracle-reproducible). */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+  /** Squared L2 distance over array<double> columns (native one-pass,
+    * sequential accumulation, oracle-reproducible). */
+  def l2sq(a: Column, b: Column): Column = graft.functions.columns.l2Squared(a, b)
 
   /** IVF (inverted-file) ANN — the other scale path from the brief.
     *
