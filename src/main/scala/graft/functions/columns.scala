@@ -20,4 +20,12 @@ object columns {
     ColumnBridge.column(CosineSimilarity(vec(a), vec(b)))
   def hyperplaneSig(v: Column, bits: Int): Column =
     ColumnBridge.column(HyperplaneSignature(vec(v), bits))
+
+  /** Native text-hash pipeline (dedup hot loop). */
+  def shingleHashes(tokens: Column, n: Int, mod32: Boolean): Column =
+    ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), n, mod32))
+  def minhashSig(hashes: Column, k: Int, p: Long, aBase: Long, bBase: Long): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(hashes), k, p, aBase, bBase))
+  def simhash(hashes: Column, bits: Int): Column =
+    ColumnBridge.column(SimHash(ColumnBridge.expression(hashes), bits))
 }

@@ -59,10 +59,14 @@ object Dedup {
       s"minhash k ($k) must be divisible by bands ($bands); " +
         "otherwise k % bands trailing signature entries would be silently dropped")
     val rowsPerBand = k / bands
+    // native one-pass shingle-hash + signature (graft.functions.TextHashOps;
+    // bit-identical to the shingles/shingleHashes/minhashSignature HOF
+    // chain — TextHashOpsSpec asserts it)
     val sigs = Balance(toks)
-      .withColumn("sh", shingles("tok", shingleN))
-      .withColumn("hs", shingleHashes("sh"))
-      .withColumn("sig", minhashSignature("hs", k))
+      .withColumn("hs",
+        graft.functions.columns.shingleHashes(col("tok"), shingleN, mod32 = true))
+      .withColumn("sig", graft.functions.columns.minhashSig(
+        col("hs"), k, minhashP, 15485863L, 32452843L))
       .select(col("id"), explode(lshBands("sig", bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
       .cache()
@@ -82,9 +86,11 @@ object Dedup {
       bits: Int = 16): DataFrame =
     Balance(docs)
       .select(col(idCol), tokens(col(textCol)).as("tok"))
-      .withColumn("hs",
-        expr("transform(tok, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"))
-      .select(col(idCol), simhash("hs", bits).as("simhash"))
+      // n=1 shingle hash == md5(token) 60-bit value; native single pass
+      .withColumn("hs", graft.functions.columns.shingleHashes(
+        col("tok"), 1, mod32 = false))
+      .select(col(idCol),
+        graft.functions.columns.simhash(col("hs"), bits).as("simhash"))
 
   /** Exact n-gram (token-set) Jaccard similarity between paired docs —
     * the verification stage after LSH candidate generation. Input must
