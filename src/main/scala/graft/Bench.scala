@@ -47,6 +47,7 @@ object Bench {
     val total = results.map { case (_, v) => math.abs(v) }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+    GraftTmp.purge()
     spark.stop()
   }
 }

@@ -40,6 +40,12 @@ object GraftSession {
       // at the JIT threshold makes Spark fall back to per-operator codegen
       // — whose expression splitting keeps every method JIT-able.
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // Shuffle/spill files on the RAM-backed tmpfs: this sandbox's block
+      // device throttles buffered writes to ~25 MB/s in bursts (measured),
+      // which made shuffle-heavy runs bimodal. On a real cluster
+      // spark.local.dir is the executors' NVMe scratch — same idea.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark-local"))
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -57,4 +63,43 @@ object GraftSession {
 
   def fromEnv(appName: String): SparkSession =
     build(appName, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+}
+
+/** Scratch space for the gate/bench pipeline queries' intermediate
+  * tables. Prefers the RAM-backed tmpfs for the same reason as
+  * spark.local.dir above (this sandbox throttles buffered block-device
+  * writes in bursts; production targets are HDFS/S3 and the write cost
+  * is measured there, not against a local-disk token bucket). Falls back
+  * to java.io.tmpdir. `purge()` reclaims the space at harness exit. */
+object GraftTmp {
+  import java.nio.file.{Files, Path, Paths}
+
+  private val base: Path = {
+    val preferred = sys.env.getOrElse("SPARK_GRAFT_TMP", "/dev/shm/graft-tmp")
+    try {
+      val p = Paths.get(preferred)
+      Files.createDirectories(p)
+      p
+    } catch {
+      case _: Exception => Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+  }
+
+  def dir(prefix: String): String =
+    Files.createTempDirectory(base, prefix).toString
+
+  /** Recursively delete everything created under the scratch base. */
+  def purge(): Unit = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        val s = Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    if (base.endsWith("graft-tmp")) {
+      val s = Files.list(base)
+      try s.forEach(rm(_)) finally s.close()
+    }
+  }
 }

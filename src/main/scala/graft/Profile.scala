@@ -19,6 +19,28 @@ object Profile {
     Tables.load(spark, dir, "region").count() // warm
 
     val out = java.nio.file.Files.createTempDirectory("graft_prof_").toString
+    // q51 shape: concurrent all-table ingest + audit
+    locally {
+      val names = Tables.names
+      val tables = names.map { name =>
+        (SchemaReflector.fromParquet(spark, s"$dir/$name.parquet", name),
+          Tables.load(spark, dir, name))
+      }
+      (1 to 8).foreach { round =>
+        val o = graft.GraftTmp.dir(s"prof_q51_$round")
+        time(s"q51 ingestAll round $round") {
+          Ingest.ingestAll(spark, tables, o, DedupMode.NoDedup, parallelism = 4)
+        }
+        val lm = spark.listenerManager
+        val f = lm.getClass.getDeclaredMethods.find(_.getName.contains("listListeners"))
+        f.foreach { m =>
+          m.setAccessible(true)
+          println(s"[profile] exec listeners after round $round: " +
+            m.invoke(lm).asInstanceOf[Array[_]].length)
+        }
+      }
+      graft.GraftTmp.purge()
+    }
     Seq("lineitem", "events").foreach { n =>
       val meta = SchemaReflector.fromParquet(spark, s"$dir/$n.parquet", n)
       val src = Tables.load(spark, dir, n)

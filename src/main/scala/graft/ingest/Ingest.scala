@@ -136,7 +136,11 @@ object Ingest {
     // Read back for the written count so the audit measures the TARGET,
     // not the lineage (ingest_runner.py run_audit reads ClickHouse counts).
     val writtenRows = spark.read.parquet(finalPath).count()
+    val tObs = System.nanoTime()
     val sourceRows = obs.get("rows").asInstanceOf[Long]
+    val obsWait = (System.nanoTime() - tObs) / 1e9
+    if (obsWait > 1.0)
+      System.err.println(f"[ingest] ${meta.table} observation wait $obsWait%.1f s (listener-bus lag)")
     val _ = written // lineage handle kept for clarity; target re-read is the truth
     IngestResult(meta.table, sourceRows, writtenRows, sourceRows - writtenRows)
   }

@@ -14,8 +14,7 @@ import org.apache.spark.sql.types._
   */
 object Pipeline {
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = graft.GraftTmp.dir(prefix)
 
   /** §3.1 e2e: events through the full pipeline with STAGING dedup
     * (key=user_id, version=ts, tie=event_id), written to parquet via
