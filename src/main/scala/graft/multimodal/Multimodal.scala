@@ -11,6 +11,13 @@ case class MediaRow(id: Long, mime: String, payload: Array[Byte])
 /** Output of the (stubbed) decode/feature-extract stage. */
 case class MediaFeatures(id: Long, byteLen: Int, featureDim: Int, checksum: Long)
 
+/** Output of the (stubbed) resize stage: payload replaced by the resized
+  * rendition, metadata records both geometries. */
+case class ResizedMedia(id: Long, srcBytes: Int, dstBytes: Int, payload: Array[Byte])
+
+/** One sampled frame of a (stubbed) video payload. */
+case class SampledFrame(id: Long, frameIdx: Int, frameBytes: Array[Byte])
+
 /** Multimodal-column plumbing: binary payload columns with a typed
   * metadata struct, and a partition-batched decode/feature-extract stage.
   *
@@ -53,6 +60,52 @@ object Multimodal {
         batch.iterator.map { m =>
           val cs = m.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
           MediaFeatures(m.id, m.payload.length, 16, cs)
+        }
+      }
+    }
+  }
+
+  /** Partition-batched resize. STUB: real codecs would decode → scale →
+    * re-encode; here the "rendition" is a deterministic byte
+    * downsampling to `scalePct`% of the payload (every k-th byte). The
+    * row-preserving 1:1 shape (narrow, no shuffle, output size bounded
+    * by input × scale) is the real contract — at scale this runs where
+    * the payload partition already lives. */
+  def resize(ds: Dataset[MediaRow], scalePct: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
+    require(scalePct > 0 && scalePct <= 100, s"scalePct out of range: $scalePct")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val stride = math.max(1, 100 / scalePct)
+          val out = m.payload.indices.collect {
+            case i if i % stride == 0 => m.payload(i)
+          }.toArray
+          ResizedMedia(m.id, m.payload.length, out.length, out)
+        }
+      }
+    }
+  }
+
+  /** Partition-batched frame sampling (1:N explode). STUB: real ffmpeg
+    * would demux keyframes; here each "frame" is a fixed-size slice taken
+    * every `everyNth` slice. The flatMap shape (one input row → bounded
+    * frame rows, still no shuffle) is the contract a real sampler keeps;
+    * downstream feature-extract consumes the frames exactly like
+    * decodeFeatures consumes whole payloads. */
+  def sampleFrames(ds: Dataset[MediaRow], frameBytes: Int = 32,
+      everyNth: Int = 4, batchSize: Int = 64): Dataset[SampledFrame] = {
+    require(frameBytes > 0 && everyNth > 0)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val nSlices = math.max(1, m.payload.length / frameBytes)
+          (0 until nSlices by everyNth).iterator.map { s =>
+            val from = s * frameBytes
+            val until = math.min(from + frameBytes, m.payload.length)
+            SampledFrame(m.id, s, java.util.Arrays.copyOfRange(m.payload, from, until))
+          }
         }
       }
     }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Column-profiling / sketch surface: the data-profiling sweep a BI admin
+  * or training-data pipeline runs before modelling (the reference's
+  * profiling probes are A4/A5/A7, debug_serialization.py:48-91 +
+  * data_cleaner_robust.py:460 nunique; these add the distribution/sketch
+  * depth Spark gives for free — exact percentiles and HLL distinct counts).
+  */
+object Profiling {
+
+  /** q57 — distribution + sketch profile of lineitem.
+    *
+    * Percentiles are the exact interpolated form (identical rank formula
+    * index = p*(n-1) in Spark `percentile` and DuckDB `quantile_cont`);
+    * computed over an integral-valued column so the interpolation
+    * arithmetic is reproducible bit-for-bit, rounded defensively anyway.
+    * The HLL sketch (approx_count_distinct, default rsd 5%) cannot
+    * hash-match an oracle, so the gate checks the CONTRACT: the relative
+    * error vs the exact distinct count stays inside the 5% bound — the
+    * oracle asserts the same invariant trivially (TRUE), making any
+    * out-of-bound sketch a hash mismatch. At 100 TB the sketch is the
+    * only viable distinct count (exact COUNT DISTINCT shuffles every key;
+    * HLL is a fixed few-KB state mergeable map-side). */
+  val q57_sketch_profile = Q(
+    "q57_sketch_profile",
+    """SELECT round(quantile_cont(cast(l_quantity AS double), 0.5), 6) AS p50_qty,
+      |  round(quantile_cont(cast(l_quantity AS double), 0.95), 6) AS p95_qty,
+      |  round(quantile_cont(cast(l_quantity AS double), 0.99), 6) AS p99_qty,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS hll_within_5pct
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .agg(
+        round(expr("percentile(cast(l_quantity as double), 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(cast(l_quantity as double), 0.95)"), 6).as("p95_qty"),
+        round(expr("percentile(cast(l_quantity as double), 0.99)"), 6).as("p99_qty"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("hll"))
+      .select(col("p50_qty"), col("p95_qty"), col("p99_qty"), col("exact_orders"),
+        (abs(col("hll") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.05).as("hll_within_5pct"))
+  }
+
+  /** q58 — GROUPING SETS (the explicit multi-grain form beyond q18's
+    * rollup): per-status, per-priority, and grand-total grains of the
+    * orders table in ONE pass (Spark plans a single Expand + hash
+    * aggregate — no re-scan per grain). Labels via coalesce so the
+    * all-grain rows are portable (no engine-specific grouping-id
+    * encoding in the output). */
+  val q58_grouping_sets = Q(
+    "q58_grouping_sets",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n,
+      |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+    val view = s"orders_q58_${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    Tables.load(s, dir, "orders").createOrReplaceTempView(view)
+    s.sql(
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  count(*) AS n,
+         |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total
+         |FROM $view
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(q57_sketch_profile, q58_grouping_sets)
+}

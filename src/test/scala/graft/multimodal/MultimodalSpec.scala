@@ -36,4 +36,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).checksum !== out(2).checksum)
     assert(out.forall(_.featureDim === 16))
   }
+
+  test("resize: bounded rendition, geometry recorded, 1:1 rows") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](100)(_.toByte)
+    val ds = spark.createDataset(Seq(MediaRow(1L, "image/png", payload)))
+    val out = Multimodal.resize(ds, scalePct = 25).collect().head
+    assert(out.srcBytes === 100)
+    assert(out.dstBytes === 25) // every 4th byte
+    assert(out.payload.toSeq === (0 until 100 by 4).map(_.toByte))
+  }
+
+  test("sampleFrames: 1:N explode, every-nth fixed slices, deterministic") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](128)(_.toByte)
+    val ds = spark.createDataset(Seq(MediaRow(7L, "video/mp4", payload)))
+    val frames = Multimodal.sampleFrames(ds, frameBytes = 32, everyNth = 2)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq === Seq(0, 2)) // 4 slices, every 2nd
+    assert(frames(0).frameBytes.toSeq === (0 until 32).map(_.toByte))
+    assert(frames(1).frameBytes.toSeq === (64 until 96).map(_.toByte))
+  }
 }
