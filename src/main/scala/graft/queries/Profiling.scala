@@ -30,7 +30,8 @@ object Profiling {
       |  round(quantile_cont(cast(l_quantity AS double), 0.95), 6) AS p95_qty,
       |  round(quantile_cont(cast(l_quantity AS double), 0.99), 6) AS p99_qty,
       |  count(DISTINCT l_orderkey) AS exact_orders,
-      |  TRUE AS hll_within_5pct
+      |  TRUE AS hll_within_5pct,
+      |  TRUE AS gk_sketch_ok
       |FROM lineitem""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .agg(
@@ -38,10 +39,17 @@ object Profiling {
         round(expr("percentile(cast(l_quantity as double), 0.95)"), 6).as("p95_qty"),
         round(expr("percentile(cast(l_quantity as double), 0.99)"), 6).as("p99_qty"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey")).as("hll"))
+        approx_count_distinct(col("l_orderkey")).as("hll"),
+        // the 100 TB quantile path: GK sketch, fixed memory, mergeable
+        // map-side — exact percentile (above) buffers every value per
+        // group and is only the small-SF oracle anchor
+        expr("approx_percentile(cast(l_quantity as double), 0.95, 10000)").as("gk95"))
       .select(col("p50_qty"), col("p95_qty"), col("p99_qty"), col("exact_orders"),
         (abs(col("hll") - col("exact_orders")).cast("double") /
-          col("exact_orders") <= 0.05).as("hll_within_5pct"))
+          col("exact_orders") <= 0.05).as("hll_within_5pct"),
+        // rank error ≤ n/accuracy ⇒ on 1..50 integral quantities the
+        // value error is ≤ 1 unless the sketch is broken
+        (abs(col("gk95") - col("p95_qty")) <= 1.0).as("gk_sketch_ok"))
   }
 
   /** q58 — GROUPING SETS (the explicit multi-grain form beyond q18's
@@ -69,5 +77,25 @@ object Profiling {
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(q57_sketch_profile, q58_grouping_sets)
+  /** q59 — set operations (INTERSECT / EXCEPT): conversion-funnel cohort
+    * counts over events. Not in the reference's surface (SURVEY §2.6 "no
+    * INTERSECT/EXCEPT"), free from Dataset.intersect/except — Catalyst
+    * plans both as a distinct + left-semi/anti hash join, one shuffle
+    * each on user_id. */
+  val q59_set_ops = Q(
+    "q59_set_ops",
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT
+      |  (SELECT count(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p)) AS n_converted,
+      |  (SELECT count(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)) AS n_click_only""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click").select("user_id").distinct()
+    val purchases = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val converted = clicks.intersect(purchases).agg(count(lit(1)).as("n_converted"))
+    val clickOnly = clicks.except(purchases).agg(count(lit(1)).as("n_click_only"))
+    converted.crossJoin(clickOnly)
+  }
+
+  val all: Seq[Q] = Seq(q57_sketch_profile, q58_grouping_sets, q59_set_ops)
 }
