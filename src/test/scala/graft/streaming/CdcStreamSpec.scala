@@ -74,6 +74,28 @@ class CdcStreamSpec extends SparkSpec {
     assert(tableOf(target) === Map(1L -> "uno", 3L -> "tres"))
   }
 
+  test("improved mode: multiple deletes for one PK in a batch — no fan-out, newest delete wins") {
+    val base = Files.createTempDirectory("cdc_spec_").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val target = s"$base/typed"; val ckpt = s"$base/ckpt"
+
+    // regression (round-2 advice): two deletes for id=1 in ONE batch must
+    // not duplicate survivors via the join, and a row NEWER than the
+    // newest delete must survive even though an OLDER delete row exists
+    writeBatch(src, "b1.json", Seq(
+      env(1L, "uno", "c", 100),
+      env(1L, null, "d", 150),       // older delete
+      env(1L, "uno_v2", "u", 300),   // re-created after the deletes
+      env(1L, null, "d", 200),       // newest delete (but < 300)
+      env(2L, "dos", "c", 100),
+      env(2L, null, "d", 150),
+      env(2L, null, "d", 250)))      // id=2: newest delete wins -> gone
+    runStream(src, target, ckpt, applyDeletes = true)
+    val rows = spark.read.parquet(target).collect()
+    assert(rows.length === 1, s"expected exactly one survivor, got ${rows.toSeq}")
+    assert(tableOf(target) === Map(1L -> "uno_v2"))
+  }
+
   test("raw layer: append-only (ingested_at, value) with every envelope kept") {
     val base = Files.createTempDirectory("cdc_spec_").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
