@@ -21,9 +21,21 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(f => f.exists(n.startsWith)))
+
+    // Aggregate executor task time per query: wall >> task flags external
+    // interference (this sandbox's CPU/IO contention comes in episodes),
+    // wall ≈ task flags genuine compute. Attribution smears slightly when
+    // listener events drain late; good enough for triage.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorRunTime)
+    })
     var errors = List.empty[(String, String)]
+    var taskSecs = List.empty[(String, Double)]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      val task0 = taskMs.get()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -34,6 +46,7 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      taskSecs ::= (name -> (taskMs.get() - task0) / 1e3)
       // Each query is timed standalone; drop its cached blocks so later
       // queries aren't taxed by accumulated executor-memory pressure/GC
       // from earlier ones (q31/q47 cache small tables by design).
@@ -45,8 +58,10 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
+    val taskJson = taskSecs.reverse.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"task_sec":$taskJson,"sf":"$sfDir"}""")
     GraftTmp.purge()
     spark.stop()
   }
