@@ -1,0 +1,100 @@
+package graft
+
+import graft.ingest.{DedupMode, Ingest}
+import graft.ops.{Dedup, Similarity}
+import graft.schema.SchemaReflector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling experiment: replicate the sf0.1 fixtures N× (ids
+  * re-keyed so dedup/join cardinalities scale honestly), run the operator
+  * kernels at 1× and N×, and report wall-clock ratios. A kernel whose
+  * ratio is ≤ ~N scales linearly on fixed cores; findings recorded in
+  * SCALE.md. Usage: SPARK_GRAFT_SCALE_N=8 sbt "runMain graft.ScaleCheck".
+  */
+object ScaleCheck {
+
+  def time[A](label: String)(f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] $label%-42s $s%8.2f s")
+    s
+  }
+
+  /** N copies with disjoint id spaces (offset per replica). */
+  def replicate(df: DataFrame, n: Int, idCols: Seq[String], offset: Long): DataFrame =
+    (0 until n).map { r =>
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(r * offset)))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark: SparkSession = GraftSession.fromEnv("graft-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.load(spark, sf, "region").count()
+
+    val base = GraftTmp.dir("scalecheck_")
+
+    // materialize 1x and Nx inputs once so kernel timings exclude the
+    // replication cost itself
+    def mat(name: String, df: DataFrame): String = {
+      val p = s"$base/$name"
+      df.write.mode("overwrite").parquet(p)
+      p
+    }
+    val docs1 = mat("docs1", Tables.load(spark, sf, "documents"))
+    val docsN = mat("docsN", replicate(
+      Tables.load(spark, sf, "documents"), n, Seq("doc_id"), 10_000_000L))
+    val line1 = mat("line1", Tables.load(spark, sf, "lineitem"))
+    val lineN = mat("lineN", replicate(
+      Tables.load(spark, sf, "lineitem"), n, Seq("l_orderkey"), 100_000_000L))
+    val emb1 = mat("emb1", Tables.load(spark, sf, "embeddings"))
+    val embN = mat("embN", replicate(
+      Tables.load(spark, sf, "embeddings"), n, Seq("vec_id"), 10_000_000L))
+
+    def kernels(tag: String, docs: String, line: String, emb: String): Map[String, Double] = {
+      val d = spark.read.parquet(docs)
+      val l = spark.read.parquet(line)
+      val e = spark.read.parquet(emb)
+      val r = scala.collection.mutable.Map[String, Double]()
+      r("ingest_clean_write") = time(s"$tag ingest lineitem (clean+sort+write)") {
+        val meta = SchemaReflector.fromParquet(spark, line, "lineitem")
+        Ingest.ingestTable(spark, l, meta, s"$base/out_$tag", DedupMode.NoDedup)
+      }
+      r("exact_dedup") = time(s"$tag exact dedup documents") {
+        Dedup.exact(d, "doc_id", "text").count()
+      }
+      r("minhash_lsh") = time(s"$tag minhash LSH candidates") {
+        Dedup.minhashCandidates(d, "doc_id", "text").count()
+      }
+      r("simhash") = time(s"$tag simhash fingerprints") {
+        Dedup.simhashFingerprints(d, "doc_id", "text").count()
+      }
+      r("window_dedup") = time(s"$tag W1 window dedup lineitem") {
+        Ingest.dedupLatest(l, Seq("l_orderkey"), Some("l_shipdate"), Seq("l_linenumber")).count()
+      }
+      r("ann_lsh") = time(s"$tag ANN LSH (corpus bucket join)") {
+        val q = e.filter(col("vec_id") % 10000000L < 5)
+        Similarity.lshTopK(e, q, "vec_id", "embedding", k = 10, bits = 8, dim = 64).count()
+      }
+      r("group_agg") = time(s"$tag hash agg (q01 shape)") {
+        l.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count()
+      }
+      r.toMap
+    }
+
+    println(s"[scale] --- 1x (sf0.1) ---")
+    val one = kernels("1x", docs1, line1, emb1)
+    println(s"[scale] --- ${n}x ---")
+    val big = kernels(s"${n}x", docsN, lineN, embN)
+    println(f"[scale] ratios at ${n}x data (linear == ≤ $n%d on fixed cores):")
+    one.keys.toSeq.sorted.foreach { k =>
+      println(f"[scale]   $k%-20s ${big(k) / one(k)}%6.2f x")
+    }
+    GraftTmp.purge()
+    spark.stop()
+  }
+}

@@ -51,10 +51,20 @@ object Dedup {
     * function cannot unpersist); long-running callers that materialize
     * the result should `spark.catalog.clearCache()` or unpersist the
     * plan's cached child afterwards.
+    *
+    * Hot buckets: all-pairs WITHIN a bucket is quadratic in occupancy —
+    * on a duplication-heavy corpus (boilerplate, mirrored pages) one
+    * viral bucket dominates the whole job (measured: 8x-replicated docs
+    * → 11.9x wall, see SCALE.md). Buckets larger than `maxBucketSize`
+    * therefore emit STAR pairs (every member ↔ the bucket's min-id
+    * representative) instead of the clique: connectivity for the
+    * downstream dup-cluster union-find is preserved, cost becomes linear
+    * in occupancy. Small buckets (the near-dup signal) keep exact
+    * all-pairs semantics.
     */
   def minhashCandidatesFromTokens(
       toks: DataFrame, shingleN: Int = 3, k: Int = 8,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBucketSize: Int = 64): DataFrame = {
     require(k % bands == 0,
       s"minhash k ($k) must be divisible by bands ($bands); " +
         "otherwise k % bands trailing signature entries would be silently dropped")
@@ -69,14 +79,24 @@ object Dedup {
         col("hs"), k, minhashP, 15485863L, 32452843L))
       .select(col("id"), explode(lshBands("sig", bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // occupancy histogram: one narrow-key shuffle, the same stats table a
+    // production LSH job materializes for bucket monitoring
+    val sized = sigs
+      .join(sigs.groupBy("band", "bh")
+        .agg(count(lit(1)).as("__bn"), min("id").as("__rep")),
+        Seq("band", "bh"))
       .cache()
-    val a = sigs.as("a")
-    val b = sigs.as("b")
-    a.join(b,
+    val small = sized.filter(col("__bn") <= maxBucketSize)
+    val a = small.as("a")
+    val b = small.as("b")
+    val cliquePairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
+    val starPairs = sized
+      .filter(col("__bn") > maxBucketSize && col("id") =!= col("__rep"))
+      .select(col("__rep").as("a_id"), col("id").as("b_id")) // rep = min ⇒ a_id < b_id
+    cliquePairs.unionByName(starPairs).distinct()
   }
 
   /** SimHash fingerprints: (id, simhash). Near-dups share fingerprints (or

@@ -31,6 +31,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("minhash LSH hot bucket: star pairs, linear in occupancy, connectivity kept") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    // 200 identical docs: every band bucket has occupancy 200 (> cap 64)
+    val rows = (1L to 200L).map(i => Row(i, words))
+    val df = mkDf(docSchema, rows: _*)
+    val pairs = Dedup.minhashCandidates(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // star around the min-id representative: 199 pairs, not C(200,2)=19900
+    assert(pairs.length === 199)
+    assert(pairs.forall(_._1 == 1L))
+    assert(pairs.map(_._2).sorted === (2L to 200L))
+    // below the cap the clique semantics are unchanged
+    val small = mkDf(docSchema, (1L to 10L).map(i => Row(i, words)): _*)
+    val cliq = Dedup.minhashCandidates(small, "id", "text").count()
+    assert(cliq === 45) // C(10,2)
+  }
+
   test("simhash: identical token bags share fingerprints") {
     val df = mkDf(docSchema, Row(1L, "a b c d e f g h"), Row(2L, "a b c d e f g h"),
       Row(3L, "q r s t u v w x"))
