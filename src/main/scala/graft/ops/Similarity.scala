@@ -113,6 +113,47 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"))
   }
 
+  /** Embedding near-duplicate candidate pairs: self-join on the
+    * hyperplane bucket, cosine-filtered — the vector counterpart of
+    * MinHash near-dup. All-pairs within a bucket is quadratic in
+    * occupancy, so (exactly like `Dedup.minhashCandidatesFromTokens`)
+    * buckets over `maxBucketSize` emit STAR pairs around the min-id
+    * representative: cluster connectivity survives, cost is linear.
+    * Size `bits` ~ log2(corpus / targetOccupancy) so typical buckets
+    * stay small; the cap is the guard for the skewed tail (embedding
+    * collapse, repeated payloads). */
+  def cosineNearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int, dim: Int,
+      maxBucketSize: Int = 64): DataFrame = {
+    val sig = Balance(corpus)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", hyperplaneSig("v", bits, dim))
+    val sized = sig
+      .join(sig.groupBy("bucket")
+        .agg(count(lit(1)).as("__bn"), min("id").as("__rep")), Seq("bucket"))
+      .cache()
+    val small = sized.filter(col("__bn") <= maxBucketSize)
+    val a = small.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
+    val b = small.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))
+    val clique = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+    val repRows = sized.filter(col("__bn") > maxBucketSize && col("id") === col("__rep"))
+      .select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
+    val star = sized.filter(col("__bn") > maxBucketSize && col("id") =!= col("__rep"))
+      .select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))
+      .join(repRows, Seq("bucket"))
+      .select(col("a_id"), col("b_id"), col("va"), col("vb"))
+    val cliqueScored = clique
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id")
+    val starScored = star
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id")
+    cliqueScored.unionByName(starScored).distinct()
+  }
+
   /** LSH-bucketed approximate top-k: candidates are only corpus vectors in
     * the query's hyperplane bucket — the 100 TB path (bucket join, no full
     * scan per query). Recall is tuned by `bits` (fewer bits = bigger

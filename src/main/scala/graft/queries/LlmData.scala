@@ -307,16 +307,9 @@ object LlmData {
       val copies = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           expr("transform(v, x -> x * 1.01d)").as("v"))
-      val all = base.unionByName(copies)
-        .withColumn("bucket", Similarity.hyperplaneSig("v", 8, 64))
-        .select("vec_id", "v", "bucket")
-        .cache() // tiny (id, 64 doubles, int); avoids double sig compute in self-join
-      val a = all.select(col("vec_id").as("a_id"), col("v").as("va"), col("bucket"))
-      val b = all.select(col("vec_id").as("b_id"), col("v").as("vb"), col("bucket"))
-      a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-        .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
-        .filter(col("sim") >= 0.9999)
-        .select("a_id", "b_id")
+      Similarity.cosineNearDupPairs(
+        base.unionByName(copies), "vec_id", "v",
+        threshold = 0.9999, bits = 8, dim = 64)
     }
   }
 

@@ -42,6 +42,23 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(df.filter(col("sn") =!= col("sh")).count() === 0)
   }
 
+  test("cosineNearDupPairs hot bucket: star pairs, linear in occupancy") {
+    val s = spark
+    import s.implicits._
+    // 200 identical unit vectors -> one bucket with occupancy 200 (> 64)
+    val v = (0 until 16).map(i => math.sin(i + 1.0)).toArray
+    val df = (1L to 200L).map(i => (i, v)).toDF("vec_id", "emb")
+    val pairs = Similarity.cosineNearDupPairs(
+      df, "vec_id", "emb", threshold = 0.9999, bits = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.length === 199) // star, not C(200,2)
+    assert(pairs.forall(_._1 == 1L))
+    // small corpus below the cap keeps the exact clique
+    val small = (1L to 10L).map(i => (i, v)).toDF("vec_id", "emb")
+    assert(Similarity.cosineNearDupPairs(
+      small, "vec_id", "emb", 0.9999, 4, 16).count() === 45)
+  }
+
   test("null semantics: null side, length mismatch, null element") {
     val s = spark
     import s.implicits._
