@@ -116,6 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
       (args: Seq[Expression]) => HyperplaneSignature(
-        args(0), args(1).eval().asInstanceOf[Int])))
+        args(0), args(1).eval().asInstanceOf[Int],
+        if (args.length > 2) args(2).eval().asInstanceOf[Int] else 0)))
   }
 }

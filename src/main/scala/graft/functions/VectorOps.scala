@@ -70,12 +70,13 @@ object VectorOpsUtil {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Random-hyperplane LSH bucket: bit b = sign of <v, p_b>, plane
-    * p_b[i] = sin(97b + i) — the same deterministic planes (and the same
-    * per-bit sequential sums) as Similarity.hyperplaneSig's HOF form and
-    * the oracle SQL. One pass per bit over the raw buffer, Math.sin only
-    * (both engines' sin). */
-  def hyperplaneSig(v: ArrayData, bits: Int): java.lang.Integer = {
+  /** Random-hyperplane LSH bucket: bit b = sign of <v, p_(b+offset)>,
+    * plane p_k[i] = sin(97k + i) — the same deterministic planes (and the
+    * same per-bit sequential sums) as Similarity.hyperplaneSig's HOF form
+    * and the oracle SQL. One pass per bit over the raw buffer, Math.sin
+    * only (both engines' sin). `offset` selects a disjoint plane family —
+    * used by adaptive bucket refinement (depth d uses offset = bits*d). */
+  def hyperplaneSig(v: ArrayData, bits: Int, offset: Int): java.lang.Integer = {
     val n = v.numElements()
     var sig = 0
     var b = 0
@@ -84,7 +85,7 @@ object VectorOpsUtil {
       var i = 0
       while (i < n) {
         if (v.isNullAt(i)) return null
-        acc += v.getDouble(i) * java.lang.Math.sin((97 * b + i).toDouble)
+        acc += v.getDouble(i) * java.lang.Math.sin((97 * (b + offset) + i).toDouble)
         i += 1
       }
       if (acc > 0) sig |= 1 << b
@@ -151,15 +152,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** `bits`-wide deterministic hyperplane LSH signature of an array<double>. */
-case class HyperplaneSignature(child: Expression, bits: Int)
+/** `bits`-wide deterministic hyperplane LSH signature of an array<double>;
+  * `offset` picks the plane family (refinement depth d → offset bits*d). */
+case class HyperplaneSignature(child: Expression, bits: Int, offset: Int = 0)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "hyperplane_sig"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val r = VectorOpsUtil.hyperplaneSig(input.asInstanceOf[ArrayData], bits)
+    val r = VectorOpsUtil.hyperplaneSig(input.asInstanceOf[ArrayData], bits, offset)
     if (r == null) null else r.intValue()
   }
 
@@ -167,7 +169,7 @@ case class HyperplaneSignature(child: Expression, bits: Int)
     nullSafeCodeGen(ctx, ev, c => {
       val boxed = ctx.freshName("boxed")
       s"""
-         |java.lang.Integer $boxed = graft.functions.VectorOpsUtil.hyperplaneSig($c, $bits);
+         |java.lang.Integer $boxed = graft.functions.VectorOpsUtil.hyperplaneSig($c, $bits, $offset);
          |if ($boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $boxed.intValue(); }
        """.stripMargin

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over candidate-pair edges — the step AFTER LSH
+  * candidate generation in a dedup pipeline: pairs (from
+  * `Dedup.minhashCandidates` / `Similarity.cosineNearDupPairs`, both of
+  * which guarantee hot-bucket connectivity via star pairs) become
+  * duplicate CLUSTERS, from which one representative per cluster is kept.
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping —
+  * each round every node takes the min of (its label, its neighbors'
+  * labels, its label's label). Plain propagation needs diameter rounds;
+  * the pointer-jump (label-of-label) halves remaining chain length per
+  * round, so convergence is O(log diameter) — dup clusters (stars/
+  * cliques + short chains) converge in 2-4 rounds. Each round is two
+  * hash joins + an aggregate; `localCheckpoint` cuts the growing lineage
+  * so round N's plan doesn't replay rounds 1..N-1.
+  */
+object Components {
+
+  /** @param edges columns (src, dst), undirected semantics
+    * @return (id, cluster) where cluster = min id reachable */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // min label among neighbors
+      val nbr = und
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("nlbl").as("nbrMin"))
+      // pointer jump: my label's current label
+      val jump = labels
+        .join(labels.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+      val next = jump
+        .join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbrMin"), col("lbl")),
+            coalesce(col("lbl2"), col("lbl"))).as("newLbl"),
+          col("lbl"))
+      val stepped = next
+        .select(col("id"), col("newLbl").as("lbl"),
+          (col("newLbl") =!= col("lbl")).cast("long").as("__chg"))
+        .localCheckpoint(true)
+      changed = stepped.agg(sum("__chg")).collect()(0).getLong(0)
+      labels = stepped.select("id", "lbl")
+      i += 1
+    }
+    labels
+  }
+}

@@ -116,42 +116,66 @@ object Similarity {
   /** Embedding near-duplicate candidate pairs: self-join on the
     * hyperplane bucket, cosine-filtered — the vector counterpart of
     * MinHash near-dup. All-pairs within a bucket is quadratic in
-    * occupancy, so (exactly like `Dedup.minhashCandidatesFromTokens`)
-    * buckets over `maxBucketSize` emit STAR pairs around the min-id
-    * representative: cluster connectivity survives, cost is linear.
-    * Size `bits` ~ log2(corpus / targetOccupancy) so typical buckets
-    * stay small; the cap is the guard for the skewed tail (embedding
-    * collapse, repeated payloads). */
+    * occupancy, so oversized buckets are ADAPTIVELY REFINED: their
+    * members get `bits` more signature bits from a disjoint plane family
+    * per depth (offset = bits*d) until every bucket fits
+    * `maxBucketSize` or `maxDepth` is reached. Near-dup pairs at the
+    * thresholds this operator targets (cosine → 1, angle → 0) survive
+    * every refinement split with probability 1 - depth*bits*θ/π ≈ 1, so
+    * candidate semantics match the unrefined all-pairs join on real
+    * corpora (and exactly, for exact-scaled duplicates). A bucket still
+    * oversized at maxDepth holds ≥cap near-identical vectors — its
+    * members pair with the bucket's min-id representative (star): the
+    * rep IS a near-dup of each member there, so thresholded pairs
+    * survive and cost stays linear in occupancy. */
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int, dim: Int,
-      maxBucketSize: Int = 64): DataFrame = {
-    val sig = Balance(corpus)
+      maxBucketSize: Int = 64, maxDepth: Int = 3): DataFrame = {
+    var cur = Balance(corpus)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", hyperplaneSig("v", bits, dim))
-    val sized = sig
-      .join(sig.groupBy("bucket")
-        .agg(count(lit(1)).as("__bn"), min("id").as("__rep")), Seq("bucket"))
+      .withColumn("bucket", hyperplaneSig("v", bits, dim).cast("string"))
       .cache()
+    var depth = 0
+    var maxOcc = cur.groupBy("bucket").count()
+      .agg(coalesce(max("count"), lit(0L))).collect()(0).getLong(0)
+    while (maxOcc > maxBucketSize && depth < maxDepth) {
+      depth += 1
+      val sizes = cur.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      val refined = cur.join(sizes, Seq("bucket"))
+        .withColumn("bucket",
+          when(col("__bn") > maxBucketSize,
+            concat(col("bucket"), lit("_"),
+              graft.functions.columns.hyperplaneSig(col("v"), bits, bits * depth)
+                .cast("string")))
+            .otherwise(col("bucket")))
+        .drop("__bn")
+        .cache()
+      maxOcc = refined.groupBy("bucket").count()
+        .agg(coalesce(max("count"), lit(0L))).collect()(0).getLong(0)
+      cur.unpersist()
+      cur = refined
+    }
+    val sized = cur
+      .join(cur.groupBy("bucket")
+        .agg(count(lit(1)).as("__bn"), min("id").as("__rep")), Seq("bucket"))
     val small = sized.filter(col("__bn") <= maxBucketSize)
     val a = small.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
     val b = small.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))
     val clique = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "va", "vb")
+    // residual hot buckets after maxDepth: near-identical clusters → star
     val repRows = sized.filter(col("__bn") > maxBucketSize && col("id") === col("__rep"))
       .select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
     val star = sized.filter(col("__bn") > maxBucketSize && col("id") =!= col("__rep"))
       .select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))
       .join(repRows, Seq("bucket"))
       .select(col("a_id"), col("b_id"), col("va"), col("vb"))
-    val cliqueScored = clique
+    clique.unionByName(star)
       .withColumn("sim", cosine(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id")
-    val starScored = star
-      .withColumn("sim", cosine(col("va"), col("vb")))
-      .filter(col("sim") >= threshold)
-      .select("a_id", "b_id")
-    cliqueScored.unionByName(starScored).distinct()
+      .distinct()
   }
 
   /** LSH-bucketed approximate top-k: candidates are only corpus vectors in

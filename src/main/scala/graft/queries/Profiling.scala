@@ -97,5 +97,38 @@ object Profiling {
     converted.crossJoin(clickOnly)
   }
 
-  val all: Seq[Q] = Seq(q57_sketch_profile, q58_grouping_sets, q59_set_ops)
+  /** q60 — duplicate-cluster resolution (connected components over
+    * candidate-pair edges — the step after LSH candidate generation;
+    * ops.Components pointer-jumping min-label propagation). Edges are a
+    * deterministic chain fixture over documents (consecutive doc_ids
+    * within blocks of 5), so the expected fixpoint is arithmetically
+    * checkable by the oracle while the Spark side genuinely iterates:
+    * chains force multi-round propagation, blocks of 5 converge in
+    * ~3 pointer-jump rounds. Output: docs per cluster + its
+    * representative (the dedup "keep one per cluster" decision). */
+  val q60_dup_clusters = Q(
+    "q60_dup_clusters",
+    """SELECT cast(doc_id - doc_id % 5 AS bigint) AS cluster,
+      |  count(*) AS n_docs,
+      |  cast(min(doc_id) AS bigint) AS keep_id
+      |FROM documents
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    // chain edges inside each 5-block: (d, d+1) unless d ends the block;
+    // block ends/gaps fall out via the inner join on existing doc_ids
+    val e = docs.select(col("doc_id").as("src"),
+        (col("doc_id") + 1).as("dst"))
+      .filter(col("src") % 5 =!= 4)
+      .join(docs.select(col("doc_id").as("dst")), Seq("dst"))
+    val clusters = graft.ops.Components.connectedComponents(e)
+    // singletons (no edges) are their own cluster
+    val labeled = docs
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q57_sketch_profile, q58_grouping_sets, q59_set_ops, q60_dup_clusters)
 }
