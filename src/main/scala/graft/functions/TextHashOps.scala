@@ -30,7 +30,7 @@ object TextHashUtil {
   private val SPACE = Array[Byte](' ')
 
   /** int64 of the first 15 hex chars of the digest = top 60 bits. */
-  private def prefix60(digest: Array[Byte]): Long = {
+  private[functions] def prefix60(digest: Array[Byte]): Long = {
     var v = 0L
     var j = 0
     while (j < 15) {

@@ -5,6 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
 
+import java.security.MessageDigest
+
 /** Native Catalyst expressions for embedding math (brief: "custom
   * `Expression`" as the scale path for similarity search).
   *
@@ -70,22 +72,44 @@ object VectorOpsUtil {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Deterministic pseudo-random hyperplane components, portable across
+    * engines BY CONSTRUCTION: p_k[i] = md5_60bit("k:i") / 2^60 * 2 - 1.
+    * The value is an exact int64 → IEEE nearest double → exact
+    * power-of-two scaling, so Spark and the DuckDB oracle compute
+    * bit-identical planes with no libm involvement. (An earlier family
+    * sin(97k + i) had rank 2 — sin(a+i) = sin(a)cos(i) + cos(a)sin(i)
+    * spans only {cos i, sin i} — so every bucket bit cut the SAME 2D
+    * projection and adaptive refinement could not split hot buckets;
+    * measured at sf0.1: occupancy 143 → 116 after 24 extra bits.) */
+  private val PlaneMaxDim = 4096
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+  def plane(k: Int): Array[Double] =
+    planeCache.computeIfAbsent(k, _ => {
+      val md = MessageDigest.getInstance("MD5")
+      Array.tabulate(PlaneMaxDim) { i =>
+        md.reset()
+        val digest = md.digest(s"$k:$i".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        (TextHashUtil.prefix60(digest).toDouble / 1.152921504606846976e18) * 2.0 - 1.0
+      }
+    })
+
   /** Random-hyperplane LSH bucket: bit b = sign of <v, p_(b+offset)>,
-    * plane p_k[i] = sin(97k + i) — the same deterministic planes (and the
-    * same per-bit sequential sums) as Similarity.hyperplaneSig's HOF form
-    * and the oracle SQL. One pass per bit over the raw buffer, Math.sin
-    * only (both engines' sin). `offset` selects a disjoint plane family —
-    * used by adaptive bucket refinement (depth d uses offset = bits*d). */
+    * same per-bit sequential sums as the HOF form and the oracle SQL.
+    * One pass per bit over the raw buffer. `offset` selects a disjoint
+    * plane family — adaptive bucket refinement uses offset = bits*depth. */
   def hyperplaneSig(v: ArrayData, bits: Int, offset: Int): java.lang.Integer = {
     val n = v.numElements()
+    require(n <= PlaneMaxDim, s"embedding dim $n exceeds plane table $PlaneMaxDim")
     var sig = 0
     var b = 0
     while (b < bits) {
+      val p = plane(b + offset)
       var acc = 0.0d
       var i = 0
       while (i < n) {
         if (v.isNullAt(i)) return null
-        acc += v.getDouble(i) * java.lang.Math.sin((97 * (b + offset) + i).toDouble)
+        acc += v.getDouble(i) * p(i)
         i += 1
       }
       if (acc > 0) sig |= 1 << b

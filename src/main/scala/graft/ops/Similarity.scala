@@ -59,19 +59,33 @@ object Similarity {
 
   /** Deterministic random-hyperplane signature (`bits` wide) of an
     * array<double> embedding: bit b = sign of <e, p_b> with plane
-    * components p_b[i] = sin(97*b + i). Deterministic planes (instead of
-    * a seeded RNG) keep the operator oracle-reproducible AND make
-    * signatures stable across jobs — required for incremental indexing at
-    * scale (re-ingesting a shard must not re-bucket the old shards). */
+    * components p_b[i] = md5_60bit("b:i")/2^60*2 - 1 (full-rank
+    * pseudo-random planes, engine-portable by exact digest arithmetic —
+    * see graft.functions.VectorOpsUtil.plane). Deterministic planes
+    * (instead of a seeded RNG) keep the operator oracle-reproducible AND
+    * make signatures stable across jobs — required for incremental
+    * indexing at scale (re-ingesting a shard must not re-bucket the old
+    * shards). */
   def hyperplaneSig(vecCol: String, bits: Int, dim: Int): Column =
     graft.functions.columns.hyperplaneSig(col(vecCol), bits)
+
+  /** The plane-component formula in each engine's SQL (Spark for the HOF
+    * reference form, DuckDB for the oracle builders). `iExpr` is the
+    * 0-based dimension expression. Both reduce the same md5-prefix int64
+    * through identical IEEE steps, so the doubles are bit-equal. */
+  def planeSql(k: Int, iExpr: String): String =
+    s"((cast(conv(substring(md5(concat('$k:', cast($iExpr as string))), 1, 15), 16, 10) as double)" +
+      s" / 1152921504606846976.0) * 2 - 1)"
+  def planeSqlDuck(k: Int, iExpr: String): String =
+    s"((('0x' || substr(md5('$k:' || CAST($iExpr AS VARCHAR)), 1, 15))::BIGINT::DOUBLE" +
+      s" / 1152921504606846976.0) * 2 - 1)"
 
   /** HOF reference form of the signature (equivalence spec only). */
   def hyperplaneSigHof(vecCol: String, bits: Int, dim: Int): Column =
     (0 until bits).map { b =>
       val proj = expr(
         s"aggregate(sequence(0, ${dim - 1}), cast(0.0 as double), " +
-          s"(acc, i) -> acc + $vecCol[i] * sin(${97 * b} + i))")
+          s"(acc, i) -> acc + $vecCol[i] * ${planeSql(b, "i")})")
       when(proj > 0, lit(1 << b)).otherwise(lit(0))
     }.reduce(_ + _)
 

@@ -142,11 +142,12 @@ object LlmData {
   }
 
   /** Hyperplane-LSH bucketed ANN (8-bit signatures, deterministic
-    * sin-planes): the 100 TB path — per-bucket candidate join instead of a
-    * full scan per query. */
+    * md5-derived planes — engine-portable by exact digest arithmetic):
+    * the 100 TB path — per-bucket candidate join instead of a full scan
+    * per query. */
   val q35_ann_lsh = {
     val bitTerms = (0 until 8).map { b =>
-      s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * sin(${97 * b} + i))) > 0 THEN ${1 << b} ELSE 0 END)"
+      s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * ${Similarity.planeSqlDuck(b, "i")})) > 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString("\n      |    + ")
     Q(
       "q35_ann_lsh",
@@ -289,7 +290,7 @@ object LlmData {
     * Candidate pairs come ONLY from shared buckets — never all-pairs. */
   val q47_embedding_near_dup = {
     val bitTerms = (0 until 8).map { b =>
-      s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * sin(${97 * b} + i))) > 0 THEN ${1 << b} ELSE 0 END)"
+      s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * ${Similarity.planeSqlDuck(b, "i")})) > 0 THEN ${1 << b} ELSE 0 END)"
     }.mkString("\n      |    + ")
     Q(
       "q47_embedding_near_dup",

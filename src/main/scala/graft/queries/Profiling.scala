@@ -129,6 +129,74 @@ object Profiling {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
   }
 
+  /** q61 — the full corpus-CURATION pipeline in one lineage (the
+    * composition a training-data run executes nightly): exact dedup
+    * (content-key window, keep min doc_id) → quality gate (≥ 0.5) →
+    * language gate (heuristic langId ≠ 'und') → per-language corpus
+    * stats. Every stage reuses the independently-gated operator
+    * (q30/q37/q38 semantics), and the oracle replicates the whole
+    * composition — proving the stages compose losslessly, not just work
+    * in isolation. One shuffle for the dedup window + one for the final
+    * agg; everything between is narrow. */
+  val q61_corpus_curation = {
+    import graft.ops.TextAnalysis
+    val swList = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+    val profScores = TextAnalysis.langProfiles.map { case (lang, words) =>
+      val w = words.map(x => s"'$x'").mkString(", ")
+      s"len(list_filter(tok, x -> x IN ($w)))::double / len(tok) AS s_$lang"
+    }.mkString(",\n      |    ")
+    val names = TextAnalysis.langProfiles.map(_._1)
+    val maxExpr = s"greatest(${names.map("s_" + _).mkString(", ")})"
+    val pick = names.map(l => s"WHEN s_$l = m AND m >= 0.02 THEN '$l'").mkString(" ")
+    Q(
+      "q61_corpus_curation",
+      s"""WITH dedup AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |        PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+        |        ORDER BY doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok FROM dedup),
+        |scored AS (SELECT doc_id, tok,
+        |    round(0.3 * least(len(tok) / 100.0, 1.0)
+        |        + 0.3 * (len(list_distinct(tok))::double / len(tok))
+        |        + 0.4 * (1.0 - len(list_filter(tok, x -> x IN ($swList)))::double / len(tok)),
+        |      6) AS score,
+        |    $profScores
+        |  FROM t),
+        |curated AS (SELECT doc_id, tok, score,
+        |    CASE $pick ELSE 'und' END AS lang_pred
+        |  FROM (SELECT *, $maxExpr AS m FROM scored)
+        |  WHERE score >= 0.5)
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  round(avg(score), 6) AS avg_quality,
+        |  sum(len(tok)) AS total_tokens
+        |FROM curated WHERE lang_pred != 'und'
+        |GROUP BY lang_pred""".stripMargin) { (s, dir) =>
+      import graft.ops.TextHash
+      // W1 window shape on the content key, keep-min-doc_id (q30's exact
+      // dedup as the pipeline's first stage)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__ck").orderBy(col("doc_id").asc)
+      val kept = Tables.load(s, dir, "documents")
+        .withColumn("__ck", TextHash.contentKey(col("text")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__ck", "__rn")
+      kept
+        .select(col("doc_id"), TextHash.tokens(col("text")).as("tok"))
+        .select(col("doc_id"), col("tok"),
+          TextAnalysis.qualityScore(col("tok")).as("score"),
+          TextAnalysis.langId(col("tok")).as("lang_pred"))
+        .filter(col("score") >= 0.5 && col("lang_pred") =!= "und")
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("score"), 6).as("avg_quality"),
+          sum(size(col("tok"))).as("total_tokens"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    q57_sketch_profile, q58_grouping_sets, q59_set_ops, q60_dup_clusters)
+    q57_sketch_profile, q58_grouping_sets, q59_set_ops, q60_dup_clusters,
+    q61_corpus_curation)
 }
