@@ -29,7 +29,7 @@ object Bench {
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorRunTime)
+        if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorCpuTime / 1000000L)
     })
     var errors = List.empty[(String, String)]
     var taskSecs = List.empty[(String, Double)]

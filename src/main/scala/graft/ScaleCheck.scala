@@ -14,12 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object ScaleCheck {
 
+  /** Executor task-time (CPU) per kernel, not wall — this sandbox has
+    * episodic external CPU/IO interference that corrupts wall ratios
+    * (observed 8x runs "faster" than 1x). Task time is what actually
+    * scales with data. */
+  private val taskMs = new java.util.concurrent.atomic.AtomicLong
+
+  private var session: SparkSession = _
+
   def time[A](label: String)(f: => A): Double = {
-    val t0 = System.nanoTime()
-    f
-    val s = (System.nanoTime() - t0) / 1e9
-    println(f"[scale] $label%-42s $s%8.2f s")
-    s
+    // two reps, min task time: robust to interference episodes and to
+    // first-rep codegen warm-up. Cache cleared per rep — operators that
+    // cache internally would otherwise make rep 2 free (CacheManager
+    // dedups identical plans).
+    val reps = (1 to 2).map { _ =>
+      session.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val task0 = taskMs.get()
+      f
+      ((System.nanoTime() - t0) / 1e9, (taskMs.get() - task0) / 1e3)
+    }
+    val (wall, task) = reps.minBy(_._2)
+    println(f"[scale] $label%-42s wall $wall%7.2f s  task $task%8.2f s")
+    task
   }
 
   /** N copies with disjoint id spaces (offset per replica). */
@@ -32,7 +49,12 @@ object ScaleCheck {
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = GraftSession.fromEnv("graft-scale")
+    session = spark
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorCpuTime / 1000000L)
+    })
     Tables.load(spark, sf, "region").count()
 
     val base = GraftTmp.dir("scalecheck_")
@@ -78,6 +100,12 @@ object ScaleCheck {
       r("ann_lsh") = time(s"$tag ANN LSH (corpus bucket join)") {
         val q = e.filter(col("vec_id") % 10000000L < 5)
         Similarity.lshTopK(e, q, "vec_id", "embedding", k = 10, bits = 8, dim = 64).count()
+      }
+      // the replicated corpus duplicates every vector N times — the
+      // duplication-heavy stress for the adaptive refinement + star cap
+      r("cosine_near_dup") = time(s"$tag cosine near-dup pairs") {
+        Similarity.cosineNearDupPairs(
+          e, "vec_id", "embedding", threshold = 0.9999, bits = 8, dim = 64).count()
       }
       r("group_agg") = time(s"$tag hash agg (q01 shape)") {
         l.groupBy("l_returnflag", "l_linestatus")

@@ -196,7 +196,45 @@ object Profiling {
     }
   }
 
+  /** q62 — benchmark decontamination: which corpus documents share an
+    * 8-token shingle with a held-out benchmark set (stand-in: doc_id <
+    * 10)? The training-data hygiene op — eval contamination is exact
+    * n-gram overlap, not fuzzy similarity. Shape: shingle-hash both
+    * sides (native ShingleHash, one pass), explode, inner-join on the
+    * 60-bit hash — an inverted-index join that shuffles narrow (hash,
+    * id) rows, never text; the benchmark side is tiny and AQE broadcasts
+    * it. Null rate of 60-bit collisions ≈ 0 at any realistic corpus. */
+  val q62_decontamination = {
+    val sh8 = (0 until 8).map(j => s"tok[i + $j]").mkString(" || ' ' || ")
+    Q(
+      "q62_decontamination",
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(tok) - 6),
+        |      i -> ('0x' || substr(md5($sh8), 1, 15))::BIGINT)) AS h
+        |  FROM t WHERE len(tok) >= 8),
+        |bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 10),
+        |hits AS (SELECT s.doc_id, count(DISTINCT s.h) AS n_shared
+        |  FROM sh s JOIN bench b ON s.h = b.h
+        |  WHERE s.doc_id >= 10
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, n_shared FROM hits""".stripMargin) { (s, dir) =>
+      import graft.ops.TextHash
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextHash.tokens(col("text")).as("tok"))
+        .filter(size(col("tok")) >= 8)
+        .select(col("doc_id"), explode(
+          graft.functions.columns.shingleHashes(col("tok"), 8, mod32 = false)).as("h"))
+      val bench = sh.filter(col("doc_id") < 10).select("h").distinct()
+      sh.filter(col("doc_id") >= 10)
+        .join(bench, Seq("h"))
+        .groupBy("doc_id")
+        .agg(countDistinct("h").as("n_shared"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q57_sketch_profile, q58_grouping_sets, q59_set_ops, q60_dup_clusters,
-    q61_corpus_curation)
+    q61_corpus_curation, q62_decontamination)
 }
