@@ -66,4 +66,45 @@ object TextAnalysis {
   def rollingFingerprint(hashArrCol: String): Column =
     expr(s"aggregate($hashArrCol, cast(0 as bigint), " +
       "(acc, h) -> pmod(acc * 31 + pmod(h, 4294967296), 4294967296))")
+
+  // ---------------------------------------------------- staged evaluation
+  //
+  // qualityScore/langId above are single nested Column expressions whose
+  // sub-terms reference `tok` many times; built over a non-materialized
+  // tok (= split(text)), Catalyst inlines the split per reference —
+  // measured 78 split() copies in q61's one-projection form, 28 CPU-s at
+  // sf0.1. The staged form computes each count ONCE per document in a
+  // dedicated projection, then derives the same formulas from cheap
+  // scalar attributes (same arithmetic, bit-identical results).
+
+  /** Stage 1: per-document counts, each referencing `tok` exactly once. */
+  def profileCounts(tok: Column): Seq[(String, Column)] = {
+    val swArr = array(stopwords.map(lit): _*)
+    Seq(
+      "__n" -> size(tok),
+      "__nd" -> size(array_distinct(tok)),
+      "__nsw" -> size(filter(tok, t => array_contains(swArr, t)))) ++
+      langProfiles.map { case (lang, words) =>
+        val wArr = array(words.map(lit): _*)
+        s"__s_$lang" -> size(filter(tok, t => array_contains(wArr, t)))
+      }
+  }
+
+  /** Stage 2: qualityScore from the stage-1 counts (same arithmetic). */
+  def qualityFromCounts(n: Column, nd: Column, nsw: Column): Column = {
+    val nTok = n.cast("double")
+    val lengthScore = least(nTok / lit(100.0), lit(1.0))
+    val diversity = nd.cast("double") / nTok
+    val stopPenalty = lit(1.0) - nsw.cast("double") / n
+    round(lit(0.3) * lengthScore + lit(0.3) * diversity + lit(0.4) * stopPenalty, 6)
+  }
+
+  /** Stage 2: langId from the stage-1 counts (same fold + tie-breaks). */
+  def langIdFromCounts(n: Column, hits: Seq[(String, Column)]): Column = {
+    val scores = hits.map { case (lang, h) => lang -> (h.cast("double") / n) }
+    val maxScore = scores.map(_._2).reduce(greatest(_, _))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore >= 0.02, lit(lang)).otherwise(acc)
+    }
+  }
 }

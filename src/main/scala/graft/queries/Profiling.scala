@@ -183,16 +183,22 @@ object Profiling {
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__ck", "__rn")
-      kept
+      // staged: counts once per doc, formulas on scalar attributes
+      // (the one-projection form inlined split() 78x per row)
+      val counts = TextAnalysis.profileCounts(col("tok"))
+      val staged = kept
         .select(col("doc_id"), TextHash.tokens(col("text")).as("tok"))
-        .select(col("doc_id"), col("tok"),
-          TextAnalysis.qualityScore(col("tok")).as("score"),
-          TextAnalysis.langId(col("tok")).as("lang_pred"))
+        .select(col("doc_id") +: counts.map { case (nm, c) => c.as(nm) }: _*)
+      staged
+        .select(col("doc_id"), col("__n"),
+          TextAnalysis.qualityFromCounts(col("__n"), col("__nd"), col("__nsw")).as("score"),
+          TextAnalysis.langIdFromCounts(col("__n"),
+            TextAnalysis.langProfiles.map { case (l, _) => l -> col(s"__s_$l") }).as("lang_pred"))
         .filter(col("score") >= 0.5 && col("lang_pred") =!= "und")
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n_docs"),
           round(avg("score"), 6).as("avg_quality"),
-          sum(size(col("tok"))).as("total_tokens"))
+          sum(col("__n")).as("total_tokens"))
     }
   }
 
