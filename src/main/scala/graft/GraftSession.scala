@@ -86,9 +86,13 @@ object GraftTmp {
   import java.nio.file.{Files, Path, Paths}
 
   private val base: Path = {
+    // per-process subdirectory: purge() must never touch the scratch of a
+    // concurrently running harness (e.g. Bench finishing while a Verify
+    // is mid-query)
     val preferred = sys.env.getOrElse("SPARK_GRAFT_TMP", "/dev/shm/graft-tmp")
+    val pid = ProcessHandle.current().pid()
     try {
-      val p = Paths.get(preferred)
+      val p = Paths.get(preferred, s"pid-$pid")
       Files.createDirectories(p)
       p
     } catch {
@@ -99,7 +103,7 @@ object GraftTmp {
   def dir(prefix: String): String =
     Files.createTempDirectory(base, prefix).toString
 
-  /** Recursively delete everything created under the scratch base. */
+  /** Recursively delete THIS process's scratch subtree. */
   def purge(): Unit = {
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
@@ -108,9 +112,6 @@ object GraftTmp {
       }
       Files.deleteIfExists(p)
     }
-    if (base.endsWith("graft-tmp")) {
-      val s = Files.list(base)
-      try s.forEach(rm(_)) finally s.close()
-    }
+    if (base.getFileName.toString.startsWith("pid-")) rm(base)
   }
 }

@@ -45,11 +45,18 @@ object CleanRules {
       try_to_timestamp(s, lit("yyyyMMdd")))
   }
 
+  /** D2/D3 bounds — the single source for every date guard. */
+  val usefulYearMin = 1900
+  val usefulYearMax = 2100
+  val supportedLo = "1970-01-01 00:00:00"
+  val supportedHi = "2299-12-31 23:59:59"
+
   /** D2 — "useful range" guard: year ≤ 1900 or ≥ 2100 → NULL, NULL kept
     * (tools/ingest_runner.py:290-297; golden expectations
     * test_date_processing.py:69-99). Input: timestamp/date col. */
   def nullifyOutOfRangeYears(ts: Column): Column =
-    when(year(ts) <= 1900 || year(ts) >= 2100, lit(null).cast("timestamp"))
+    when(year(ts) <= usefulYearMin || year(ts) >= usefulYearMax,
+      lit(null).cast("timestamp"))
       .otherwise(ts.cast("timestamp"))
 
   /** D3 — hard clamp to the target engine's representable range
@@ -57,9 +64,17 @@ object CleanRules {
     * tools/ingest_runner.py:807-876; the clamp-to-bounds variant at
     * :833-841 is intentionally not implemented — SURVEY.md §7 picks one). */
   def nullifyOutsideSupportedRange(ts: Column): Column =
-    when(ts < to_timestamp(lit("1970-01-01 00:00:00")) ||
-         ts > to_timestamp(lit("2299-12-31 23:59:59")),
+    when(ts < to_timestamp(lit(supportedLo)) || ts > to_timestamp(lit(supportedHi)),
       lit(null).cast("timestamp")).otherwise(ts.cast("timestamp"))
+
+  /** D2+D3 as ONE CASE over an already-materialized timestamp attribute —
+    * the form TableCleaner's stage 2 applies (nesting the two rules would
+    * re-expand the inner guard inside the outer one's branches). */
+  def dateRangeGuard(a: Column): Column =
+    when(
+      year(a) <= usefulYearMin || year(a) >= usefulYearMax ||
+        a < to_timestamp(lit(supportedLo)) || a > to_timestamp(lit(supportedHi)),
+      lit(null).cast("timestamp")).otherwise(a.cast("timestamp"))
 
   /** D1+D6+D2 composed: the full string-date ingestion pipeline the
     * reference applies to every MySQL date/datetime column read as string
@@ -74,14 +89,17 @@ object CleanRules {
   /** D5 — MySQL TIME / pandas timedelta repr → "HH:MM:SS" string,
     * including "0 days 12:02:03" → "12:02:03"
     * (tools/ingest_runner.py:380-405). Unparseable → NULL. */
-  def timeToHms(c: Column): Column = {
-    // one extraction (group 1 = the H:MM:SS slice, fraction dropped);
-    // zero-padding the whole slice to 8 chars ≡ lpad of the hour field.
-    // NULL input stays NULL (regexp_extract propagates it).
-    val hms = regexp_extract(trim(c), "(\\d{1,2}:\\d{2}:\\d{2})(?:\\.\\d+)?$", 1)
-    when(hms.isNull || hms === "", lit(null).cast("string"))
-      .otherwise(lpad(hms, 8, "0"))
-  }
+  /** D5 split into the staged pair TableCleaner uses: one extraction
+    * (group 1 = the H:MM:SS slice, fraction dropped), then null-guard +
+    * zero-pad (padding the whole slice to 8 chars ≡ lpad of the hour
+    * field). NULL input stays NULL (regexp_extract propagates it). */
+  def timeHmsExtract(c: Column): Column =
+    regexp_extract(trim(c), "(\\d{1,2}:\\d{2}:\\d{2})(?:\\.\\d+)?$", 1)
+  def timeHmsFinish(a: Column): Column =
+    when(a.isNull || a === "", lit(null).cast("string"))
+      .otherwise(lpad(a, 8, "0"))
+
+  def timeToHms(c: Column): Column = timeHmsFinish(timeHmsExtract(c))
 
   /** D7 — view-layer date helper for string columns whose NAME matches the
     * fecha regex (tools/generate_analytics_views.py:83-143): best-effort

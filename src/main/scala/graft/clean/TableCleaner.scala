@@ -44,19 +44,10 @@ object TableCleaner {
         case TimestampType | TimestampNTZType | DateType => c.cast("timestamp")
         case _ => cleanDateStringOrTyped(c)
       }
-      // D2+D3 as ONE CASE: nesting the two guards would re-expand the
-      // inner guard three times inside the outer one's branches
-      (parsed, a => when(
-        year(a) <= 1900 || year(a) >= 2100 ||
-          a < to_timestamp(lit("1970-01-01 00:00:00")) ||
-          a > to_timestamp(lit("2299-12-31 23:59:59")),
-        lit(null).cast("timestamp")).otherwise(a.cast("timestamp")))
+      (parsed, a => dateRangeGuard(a))
     } else if (t == "time") {
       // D5: one regex extraction in stage 1; null-guard + zero-pad after
-      (regexp_extract(trim(c.cast("string")),
-        "(\\d{1,2}:\\d{2}:\\d{2})(?:\\.\\d+)?$", 1),
-        a => when(a.isNull || a === "", lit(null).cast("string"))
-          .otherwise(lpad(a, 8, "0")))
+      (timeHmsExtract(c.cast("string")), a => timeHmsFinish(a))
     } else if (t.startsWith("tinyint") && t.contains("(1)") || t == "bool" || t == "boolean") {
       // try_cast: ANSI mode (Spark 4 default) makes plain cast THROW on
       // junk strings — cleaning must coerce, never fail (errors='coerce')

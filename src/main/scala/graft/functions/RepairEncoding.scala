@@ -98,25 +98,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => RepairEncoding(args.head)))
     ext.injectOptimizerRule(_ => CollapseRepairEncoding)
     // Native vector math for SQL callers (typed callers use
-    // graft.functions.columns). hyperplane_sig's bits arg must be a
-    // foldable int literal — it parameterizes generated code.
+    // graft.functions.columns). Inputs are coerced to array<double> here
+    // — the expressions read raw 8-byte doubles from ArrayData, so an
+    // uncast array<float> argument would be reinterpreted, not converted.
+    def vec(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = true))
+    def foldableInt(args: Seq[Expression], idx: Int, name: String, default: Option[Int] = None): Int =
+      if (idx >= args.length)
+        default.getOrElse(throw new IllegalArgumentException(
+          s"$name: missing argument ${idx + 1}"))
+      else args(idx).eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${idx + 1} must be a foldable integer literal, got $other")
+      }
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(vec(args(0)), vec(args(1)))))
     ext.injectFunction((
       FunctionIdentifier("l2_squared"),
       new ExpressionInfo(classOf[L2Squared].getName, "l2_squared"),
-      (args: Seq[Expression]) => L2Squared(args(0), args(1))))
+      (args: Seq[Expression]) => L2Squared(vec(args(0)), vec(args(1)))))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(vec(args(0)), vec(args(1)))))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
-      (args: Seq[Expression]) => HyperplaneSignature(
-        args(0), args(1).eval().asInstanceOf[Int],
-        if (args.length > 2) args(2).eval().asInstanceOf[Int] else 0)))
+      (args: Seq[Expression]) => HyperplaneSignature(vec(args(0)),
+        foldableInt(args, 1, "hyperplane_sig"),
+        foldableInt(args, 2, "hyperplane_sig", default = Some(0)))))
   }
 }

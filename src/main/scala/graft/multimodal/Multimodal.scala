@@ -77,9 +77,14 @@ object Multimodal {
     ds.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { m =>
-          val stride = math.max(1, 100 / scalePct)
+          // monotone decimation: keep byte i when the scaled index
+          // advances — output length == ceil(n * scalePct / 100) for
+          // every rate (an integer stride would round 51-99% up to 100%
+          // and collapse 34-50% to exactly 50%)
           val out = m.payload.indices.collect {
-            case i if i % stride == 0 => m.payload(i)
+            case i if i == 0 ||
+              (i.toLong * scalePct) / 100 != ((i.toLong - 1) * scalePct) / 100 =>
+              m.payload(i)
           }.toArray
           ResizedMedia(m.id, m.payload.length, out.length, out)
         }

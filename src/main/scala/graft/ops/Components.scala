@@ -52,7 +52,9 @@ object Components {
         .select(col("id"), col("newLbl").as("lbl"),
           (col("newLbl") =!= col("lbl")).cast("long").as("__chg"))
         .localCheckpoint(true)
-      changed = stepped.agg(sum("__chg")).collect()(0).getLong(0)
+      // coalesce: sum over an empty frame is NULL (no-edge input)
+      changed = stepped.agg(coalesce(sum("__chg"), lit(0L)))
+        .collect()(0).getLong(0)
       labels = stepped.select("id", "lbl")
       i += 1
     }

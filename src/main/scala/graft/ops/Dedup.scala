@@ -34,11 +34,11 @@ object Dedup {
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-      minTokens: Int = 8): DataFrame =
+      minTokens: Int = 8, maxBucketSize: Int = 64): DataFrame =
     minhashCandidatesFromTokens(
       docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
         .filter(size(col("tok")) >= minTokens),
-      shingleN, k, bands)
+      shingleN, k, bands, maxBucketSize)
 
   /** Same, over pre-tokenized docs (columns `id`, `tok`).
     *
@@ -72,6 +72,9 @@ object Dedup {
     // native one-pass shingle-hash + signature (graft.functions.TextHashOps;
     // bit-identical to the shingles/shingleHashes/minhashSignature HOF
     // chain — TextHashOpsSpec asserts it)
+    // cached BEFORE the histogram join: both join sides read the band
+    // table, and without the cache each would re-run the whole
+    // shingle+minhash pipeline
     val sigs = Balance(toks)
       .withColumn("hs",
         graft.functions.columns.shingleHashes(col("tok"), shingleN, mod32 = true))
@@ -79,6 +82,7 @@ object Dedup {
         col("hs"), k, minhashP, 15485863L, 32452843L))
       .select(col("id"), explode(lshBands("sig", bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .cache()
     // occupancy histogram: one narrow-key shuffle, the same stats table a
     // production LSH job materializes for bucket monitoring
     val sized = sigs
@@ -106,11 +110,15 @@ object Dedup {
       bits: Int = 16): DataFrame =
     Balance(docs)
       .select(col(idCol), tokens(col(textCol)).as("tok"))
-      // n=1 shingle hash == md5(token) 60-bit value; native single pass
+      // n=1 shingle hash == md5(token) 60-bit value; native single pass.
+      // coalesce 0: the HOF form this replaced folded a NULL token array
+      // to fingerprint 0 (per-bit when(null>0).otherwise(0)), and oracle
+      // SQL agrees — keep that contract for null text.
       .withColumn("hs", graft.functions.columns.shingleHashes(
         col("tok"), 1, mod32 = false))
       .select(col(idCol),
-        graft.functions.columns.simhash(col("hs"), bits).as("simhash"))
+        coalesce(graft.functions.columns.simhash(col("hs"), bits), lit(0L))
+          .as("simhash"))
 
   /** Exact n-gram (token-set) Jaccard similarity between paired docs —
     * the verification stage after LSH candidate generation. Input must

@@ -80,7 +80,11 @@ object LlmData {
       val copies = toks.filter(col("id") < 25 && size(col("tok")) >= 20)
         .select((col("id") + 1000000).as("id"),
           expr("slice(tok, 1, size(tok) - 5)").as("tok"))
-      Dedup.minhashCandidatesFromTokens(base.unionByName(copies), 3, 8, 4)
+      // maxBucketSize pinned wide: this gate's oracle replicates the full
+      // per-bucket clique, so the hot-bucket star cap (unit-tested in
+      // DedupSimilaritySpec) must not rewrite pairs at ANY scale factor
+      Dedup.minhashCandidatesFromTokens(base.unionByName(copies), 3, 8, 4,
+        maxBucketSize = Int.MaxValue)
     }
   }
 

@@ -105,7 +105,11 @@ object Profiling {
     * checkable by the oracle while the Spark side genuinely iterates:
     * chains force multi-round propagation, blocks of 5 converge in
     * ~3 pointer-jump rounds. Output: docs per cluster + its
-    * representative (the dedup "keep one per cluster" decision). */
+    * representative (the dedup "keep one per cluster" decision).
+    *
+    * NOTE the ORACLE's arithmetic shortcut assumes dense consecutive
+    * doc_ids (true of the fixture generator at every SF — verified 0..N-1
+    * with N % 5 == 0); the Spark side is the general graph computation. */
   val q60_dup_clusters = Q(
     "q60_dup_clusters",
     """SELECT cast(doc_id - doc_id % 5 AS bigint) AS cluster,
@@ -240,7 +244,38 @@ object Profiling {
     }
   }
 
+  /** q63 — stratified mixture sampling: per-language keep-rates (the
+    * training-mixture reweighting step — downsample the dominant
+    * language, keep the tail). Deterministic md5-bucket per doc (same
+    * portable-hash contract as O3/q14) so the sample is reproducible
+    * across engines and across runs — a rand() sample would break
+    * retries and the oracle. Pure narrow filter + one count shuffle. */
+  val q63_mixture_sample = {
+    val rates = Map("en" -> 25, "es" -> 50, "de" -> 100, "fr" -> 100, "zh" -> 100)
+    val duckRate = rates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    Q(
+      "q63_mixture_sample",
+      s"""WITH r AS (SELECT lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+        |    CASE lang $duckRate ELSE 100 END AS rate
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_sampled
+        |FROM r WHERE b < rate GROUP BY lang""".stripMargin) { (s, dir) =>
+      val rateCol = rates.foldLeft(lit(100): org.apache.spark.sql.Column) {
+        case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      Tables.load(s, dir, "documents")
+        .withColumn("b", pmod(
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint"),
+          lit(100L)))
+        .withColumn("rate", rateCol)
+        .filter(col("b") < col("rate"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q57_sketch_profile, q58_grouping_sets, q59_set_ops, q60_dup_clusters,
-    q61_corpus_curation, q62_decontamination)
+    q61_corpus_curation, q62_decontamination, q63_mixture_sample)
 }

@@ -45,6 +45,12 @@ class MultimodalSpec extends SparkSpec {
     assert(out.srcBytes === 100)
     assert(out.dstBytes === 25) // every 4th byte
     assert(out.payload.toSeq === (0 until 100 by 4).map(_.toByte))
+    // non-divisor rates decimate monotonically (an integer stride would
+    // keep 100% for any rate over 50)
+    val p75 = Multimodal.resize(ds, scalePct = 75).collect().head
+    assert(p75.dstBytes === 75)
+    val p51 = Multimodal.resize(ds, scalePct = 51).collect().head
+    assert(p51.dstBytes === 51)
   }
 
   test("sampleFrames: 1:N explode, every-nth fixed slices, deterministic") {
