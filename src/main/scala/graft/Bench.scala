@@ -42,7 +42,9 @@ object Bench {
         catch { case e: Throwable =>
           // getMessage can be null (NPE, some SparkExceptions)
           val msg = Option(e.getMessage).getOrElse(e.toString)
-          errors ::= (name -> msg.take(200).replaceAll("[\"\\n\\r]", " "))
+          // strip everything JSON-hostile (backslashes included: a regex
+          // in an exception message would otherwise emit illegal escapes)
+          errors ::= (name -> msg.take(200).replaceAll("[\"\\\\\\p{Cntrl}]", " "))
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9

@@ -91,12 +91,18 @@ object GraftTmp {
     // is mid-query)
     val preferred = sys.env.getOrElse("SPARK_GRAFT_TMP", "/dev/shm/graft-tmp")
     val pid = ProcessHandle.current().pid()
+    def mk(root: String): Path = {
+      val p = Paths.get(root, s"graft-tmp-pid-$pid")
+      Files.createDirectories(p)
+      p
+    }
     try {
       val p = Paths.get(preferred, s"pid-$pid")
       Files.createDirectories(p)
       p
     } catch {
-      case _: Exception => Paths.get(System.getProperty("java.io.tmpdir"))
+      // fallback keeps the per-pid scoping so purge() still works
+      case _: Exception => mk(System.getProperty("java.io.tmpdir"))
     }
   }
 
@@ -112,6 +118,7 @@ object GraftTmp {
       }
       Files.deleteIfExists(p)
     }
-    if (base.getFileName.toString.startsWith("pid-")) rm(base)
+    if (base.getFileName.toString.contains(s"pid-${ProcessHandle.current().pid()}"))
+      rm(base)
   }
 }

@@ -98,7 +98,9 @@ object ScaleCheck {
         Ingest.dedupLatest(l, Seq("l_orderkey"), Some("l_shipdate"), Seq("l_linenumber")).count()
       }
       r("ann_lsh") = time(s"$tag ANN LSH (corpus bucket join)") {
-        val q = e.filter(col("vec_id") % 10000000L < 5)
+        // fixed 5-query set (base replica only): the kernel must scale
+        // the CORPUS alone, or the ratio yardstick is corpus x queries
+        val q = e.filter(col("vec_id") < 5)
         Similarity.lshTopK(e, q, "vec_id", "embedding", k = 10, bits = 8, dim = 64).count()
       }
       // the replicated corpus duplicates every vector N times — the

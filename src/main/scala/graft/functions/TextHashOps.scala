@@ -87,7 +87,9 @@ object TextHashUtil {
       var min = Long.MaxValue
       var i = 0
       while (i < n) {
-        val h = (hashes.getLong(i) * a + b) % p // operands nonneg: % == pmod
+        // floorMod, not %: matches Spark's pmod for ANY input — negative
+        // hashes or int64 wrap on h*a (public API accepts any array<long>)
+        val h = java.lang.Math.floorMod(hashes.getLong(i) * a + b, p)
         if (h < min) min = h
         i += 1
       }

@@ -97,9 +97,12 @@ object VectorOpsUtil {
   /** Random-hyperplane LSH bucket: bit b = sign of <v, p_(b+offset)>,
     * same per-bit sequential sums as the HOF form and the oracle SQL.
     * One pass per bit over the raw buffer. `offset` selects a disjoint
-    * plane family — adaptive bucket refinement uses offset = bits*depth. */
-  def hyperplaneSig(v: ArrayData, bits: Int, offset: Int): java.lang.Integer = {
-    val n = v.numElements()
+    * plane family — adaptive bucket refinement uses offset = bits*depth.
+    * `dim` > 0 projects only the first dim components (the documented
+    * signature contract — a longer vector must not change the bucket);
+    * dim <= 0 uses the full vector. */
+  def hyperplaneSig(v: ArrayData, bits: Int, offset: Int, dim: Int): java.lang.Integer = {
+    val n = if (dim > 0) math.min(dim, v.numElements()) else v.numElements()
     require(n <= PlaneMaxDim, s"embedding dim $n exceeds plane table $PlaneMaxDim")
     var sig = 0
     var b = 0
@@ -177,15 +180,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 /** `bits`-wide deterministic hyperplane LSH signature of an array<double>;
-  * `offset` picks the plane family (refinement depth d → offset bits*d). */
-case class HyperplaneSignature(child: Expression, bits: Int, offset: Int = 0)
-    extends UnaryExpression {
+  * `offset` picks the plane family (refinement depth d → offset bits*d);
+  * `dim` > 0 projects only the first dim components. */
+case class HyperplaneSignature(child: Expression, bits: Int, offset: Int = 0,
+    dim: Int = -1) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
   override def prettyName: String = "hyperplane_sig"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val r = VectorOpsUtil.hyperplaneSig(input.asInstanceOf[ArrayData], bits, offset)
+    val r = VectorOpsUtil.hyperplaneSig(input.asInstanceOf[ArrayData], bits, offset, dim)
     if (r == null) null else r.intValue()
   }
 
@@ -193,7 +197,7 @@ case class HyperplaneSignature(child: Expression, bits: Int, offset: Int = 0)
     nullSafeCodeGen(ctx, ev, c => {
       val boxed = ctx.freshName("boxed")
       s"""
-         |java.lang.Integer $boxed = graft.functions.VectorOpsUtil.hyperplaneSig($c, $bits, $offset);
+         |java.lang.Integer $boxed = graft.functions.VectorOpsUtil.hyperplaneSig($c, $bits, $offset, $dim);
          |if ($boxed == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $boxed.intValue(); }
        """.stripMargin

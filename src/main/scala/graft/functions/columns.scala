@@ -18,8 +18,8 @@ object columns {
     ColumnBridge.column(L2Squared(vec(a), vec(b)))
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(vec(a), vec(b)))
-  def hyperplaneSig(v: Column, bits: Int, offset: Int = 0): Column =
-    ColumnBridge.column(HyperplaneSignature(vec(v), bits, offset))
+  def hyperplaneSig(v: Column, bits: Int, offset: Int = 0, dim: Int = -1): Column =
+    ColumnBridge.column(HyperplaneSignature(vec(v), bits, offset, dim))
 
   /** Native text-hash pipeline (dedup hot loop). */
   def shingleHashes(tokens: Column, n: Int, mod32: Boolean): Column =

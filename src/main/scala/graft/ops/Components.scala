@@ -28,9 +28,12 @@ object Components {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
+    val sc = edges.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
+    var prevRoundIds: Set[Int] = Set.empty
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -48,13 +51,27 @@ object Components {
           least(col("lbl"), coalesce(col("nbrMin"), col("lbl")),
             coalesce(col("lbl2"), col("lbl"))).as("newLbl"),
           col("lbl"))
+      // localCheckpoint is REQUIRED here, not an optimization: the
+      // pointer-jump join references `labels` twice, so without plan
+      // truncation the logical plan doubles per round and Catalyst
+      // analysis goes exponential (a persist() caches data but not the
+      // plan — measured: the 200-node chain test burned an hour of CPU
+      // in the analyzer). Eager, so the round is materialized before we
+      // free the round-before-last's blocks below.
+      val before = persistedIds
       val stepped = next
         .select(col("id"), col("newLbl").as("lbl"),
           (col("newLbl") =!= col("lbl")).cast("long").as("__chg"))
         .localCheckpoint(true)
+      val thisRoundIds = persistedIds -- before
       // coalesce: sum over an empty frame is NULL (no-edge input)
       changed = stepped.agg(coalesce(sum("__chg"), lit(0L)))
         .collect()(0).getLong(0)
+      // free the blocks of the round before last (localCheckpoint pins
+      // its RDD until GC otherwise — one full label-table copy per round)
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRoundIds = thisRoundIds
       labels = stepped.select("id", "lbl")
       i += 1
     }

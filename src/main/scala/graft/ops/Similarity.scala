@@ -67,7 +67,7 @@ object Similarity {
     * indexing at scale (re-ingesting a shard must not re-bucket the old
     * shards). */
   def hyperplaneSig(vecCol: String, bits: Int, dim: Int): Column =
-    graft.functions.columns.hyperplaneSig(col(vecCol), bits)
+    graft.functions.columns.hyperplaneSig(col(vecCol), bits, offset = 0, dim = dim)
 
   /** The plane-component formula in each engine's SQL (Spark for the HOF
     * reference form, DuckDB for the oracle builders). `iExpr` is the
@@ -160,8 +160,8 @@ object Similarity {
         .withColumn("bucket",
           when(col("__bn") > maxBucketSize,
             concat(col("bucket"), lit("_"),
-              graft.functions.columns.hyperplaneSig(col("v"), bits, bits * depth)
-                .cast("string")))
+              graft.functions.columns.hyperplaneSig(
+                col("v"), bits, offset = bits * depth, dim = dim).cast("string")))
             .otherwise(col("bucket")))
         .drop("__bn")
         .cache()
@@ -170,9 +170,13 @@ object Similarity {
       cur.unpersist()
       cur = refined
     }
+    // cached: referenced three times below (clique sides, reps, star
+    // members). Like the minhash twin, the cache lives until session end
+    // — callers that materialize results can clearCache afterwards.
     val sized = cur
       .join(cur.groupBy("bucket")
         .agg(count(lit(1)).as("__bn"), min("id").as("__rep")), Seq("bucket"))
+      .cache()
     val small = sized.filter(col("__bn") <= maxBucketSize)
     val a = small.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
     val b = small.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))

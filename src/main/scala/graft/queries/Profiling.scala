@@ -30,7 +30,7 @@ object Profiling {
       |  round(quantile_cont(cast(l_quantity AS double), 0.95), 6) AS p95_qty,
       |  round(quantile_cont(cast(l_quantity AS double), 0.99), 6) AS p99_qty,
       |  count(DISTINCT l_orderkey) AS exact_orders,
-      |  TRUE AS hll_within_5pct,
+      |  TRUE AS hll_within_tol,
       |  TRUE AS gk_sketch_ok
       |FROM lineitem""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
@@ -45,8 +45,10 @@ object Profiling {
         // group and is only the small-SF oracle anchor
         expr("approx_percentile(cast(l_quantity as double), 0.95, 10000)").as("gk95"))
       .select(col("p50_qty"), col("p95_qty"), col("p99_qty"), col("exact_orders"),
+        // tol = 3x the configured rsd (5% is a STANDARD DEVIATION, not a
+        // bound — a 1-sigma gate would legitimately fail ~1/3 of datasets)
         (abs(col("hll") - col("exact_orders")).cast("double") /
-          col("exact_orders") <= 0.05).as("hll_within_5pct"),
+          col("exact_orders") <= 0.15).as("hll_within_tol"),
         // rank error ≤ n/accuracy ⇒ on 1..50 integral quantities the
         // value error is ≤ 1 unless the sketch is broken
         (abs(col("gk95") - col("p95_qty")) <= 1.0).as("gk_sketch_ok"))
