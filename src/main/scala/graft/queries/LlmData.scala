@@ -336,7 +336,8 @@ object LlmData {
       |    len(string_split_regex(trim(a), '\s+')) AS ws,
       |    len(regexp_extract_all(a, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe
       |  FROM t)
-      |SELECT lang, sum(ws) AS ws_tokens, sum(bpe) AS bpe_tokens
+      |SELECT lang, cast(sum(ws) AS BIGINT) AS ws_tokens,
+      |  cast(sum(bpe) AS BIGINT) AS bpe_tokens
       |FROM c GROUP BY lang""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
       .withColumn("a", regexp_replace(col("text"), "[^ -~]", " "))

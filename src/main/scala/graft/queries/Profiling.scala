@@ -176,7 +176,7 @@ object Profiling {
         |  WHERE score >= 0.5)
         |SELECT lang_pred, count(*) AS n_docs,
         |  round(avg(score), 6) AS avg_quality,
-        |  sum(len(tok)) AS total_tokens
+        |  cast(sum(len(tok)) AS BIGINT) AS total_tokens
         |FROM curated WHERE lang_pred != 'und'
         |GROUP BY lang_pred""".stripMargin) { (s, dir) =>
       import graft.ops.TextHash

@@ -54,6 +54,15 @@ def frames_equal(a, b):
             return False
         mask = ~an
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            # The driver hash-compares post-pandas VALUES, so int64 99111 vs
+            # float64 99111.0 is a MISMATCH even though the numbers are equal
+            # (round-3 lesson: q48/q61 shipped red through the old
+            # both-to-float compare). One side float => both must be float.
+            if not (np.issubdtype(av.dtype, np.floating)
+                    and np.issubdtype(bv.dtype, np.floating)):
+                print(f"    dtype mix {av.dtype} vs {bv.dtype} "
+                      "(int-vs-float hash-mismatches the driver)")
+                return False
             if not np.array_equal(av[mask].astype("float64").values,
                                   bv[mask].astype("float64").values):
                 return False
