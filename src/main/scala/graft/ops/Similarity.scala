@@ -106,16 +106,34 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv")))
+    // The coarse quantizer is bounded by definition (IVF uses ~sqrt(N)
+    // centroids; a real index trains a few thousand), so assignment must
+    // NOT be a join: the old cross-join + row_number form exploded every
+    // corpus vector x |centroids| and shuffled the full vector payload
+    // just to take an argmin. Collect the centroids once and fold a
+    // map-side argmin instead — a narrow projection, zero shuffle, zero
+    // row explosion, exactly the plan a 1000-executor scan wants.
+    //
+    // array_min / array_sort over (d, cid) structs: struct ordering
+    // compares d first then cid — the same `ORDER BY d, cid` tie-break as
+    // the window form — and evaluates each distance exactly once (a
+    // when/otherwise fold would re-expand the accumulator per centroid).
+    val centRows = centroids
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .collect()
+      .sortBy(_.get(0).toString)
+    require(centRows.nonEmpty, "ivfTopK needs at least one centroid")
+    def distArr(v: Column): Column = array(centRows.map { r =>
+      val cv = r.getSeq[Double](1)
+      struct(l2sq(v, typedLit(cv)).as("d"), lit(r.get(0)).as("cid"))
+    }.toIndexedSeq: _*)
     def assign(df: DataFrame, id: String, v: String, keep: Int) = {
-      val w = Window.partitionBy(id).orderBy(col("__d").asc, col("cid").asc)
+      val picked =
+        if (keep == 1) array(array_min(distArr(col(v))))
+        else slice(array_sort(distArr(col(v))), 1, keep)
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
-        .join(cent)
-        .withColumn("__d", l2sq(col(v), col("cv")))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= keep)
-        .drop("__d", "__r", "cv")
+        .select(col(id), col(v), explode(picked).as("__s"))
+        .select(col(id), col(v), col("__s").getField("cid").as("cid"))
     }
     val lists = assign(Balance(corpus), "nid", "nv", 1) // inverted lists: (cid, nid, nv)
     val probes = assign(queries, "qid", "qv", nprobe)
