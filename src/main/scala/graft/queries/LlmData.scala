@@ -349,6 +349,35 @@ object LlmData {
       .agg(sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"))
   }
 
+  /** Rolling document fingerprint (the brief's "document fingerprinting
+    * (rolling hash)"): polynomial hash of the 3-shingle 60-bit-hash
+    * stream, folded left — ORDER-sensitive, unlike SimHash's bag
+    * fingerprint, so token reordering changes it. Per-row aggregate()
+    * over the in-row hash array: narrow, codegen'd, no shuffle. The
+    * oracle folds the identical arithmetic with list_reduce (prepending
+    * the zero accumulator, since DuckDB's reduce has no init element). */
+  val q64_rolling_fingerprint = Q(
+    "q64_rolling_fingerprint",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok
+      |  FROM documents WHERE doc_id < 50),
+      |s AS (SELECT doc_id, list_transform(range(1, len(tok) - 1),
+      |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS sh
+      |  FROM t WHERE len(tok) >= 3),
+      |h AS (SELECT doc_id, list_transform(sh,
+      |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 4294967296) AS hs
+      |  FROM s)
+      |SELECT doc_id, list_reduce(list_prepend(0, hs),
+      |    (acc, x) -> (acc * 31 + x % 4294967296) % 4294967296) AS fp
+      |FROM h""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("doc_id"), TextHash.shingles("tok", 3).as("sh"))
+      .select(col("doc_id"), TextHash.shingleHashes("sh").as("hs"))
+      .select(col("doc_id"), TextAnalysis.rollingFingerprint("hs").as("fp"))
+  }
+
   /** IVF ANN: vectors 100..107 serve as deterministic coarse centroids;
     * each corpus vector joins its nearest centroid's inverted list (one
     * broadcast pass); queries probe the 2 nearest lists. Integer output
@@ -384,5 +413,6 @@ object LlmData {
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
     q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,
-    q47_embedding_near_dup, q48_token_counts, q49_ann_ivf)
+    q47_embedding_near_dup, q48_token_counts, q49_ann_ivf,
+    q64_rolling_fingerprint)
 }
