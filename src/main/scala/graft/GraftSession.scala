@@ -109,7 +109,11 @@ object GraftTmp {
   def dir(prefix: String): String =
     Files.createTempDirectory(base, prefix).toString
 
-  /** Recursively delete THIS process's scratch subtree. */
+  /** Recursively delete THIS process's scratch subtree, plus any sibling
+    * pid subtree whose owning process is gone — a run killed before its
+    * own purge (OOM, harness timeout) must not leak RAM-backed tmpfs
+    * forever. Live siblings (a Bench finishing while a Verify runs) are
+    * never touched. */
   def purge(): Unit = {
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
@@ -118,7 +122,20 @@ object GraftTmp {
       }
       Files.deleteIfExists(p)
     }
-    if (base.getFileName.toString.contains(s"pid-${ProcessHandle.current().pid()}"))
-      rm(base)
+    val self = ProcessHandle.current().pid()
+    if (base.getFileName.toString.contains(s"pid-$self")) rm(base)
+    val pidPattern = "^(?:graft-tmp-)?pid-([0-9]+)$".r
+    val parent = base.getParent
+    if (parent != null && Files.isDirectory(parent)) {
+      val s = Files.list(parent)
+      try s.forEach { sib =>
+        sib.getFileName.toString match {
+          case pidPattern(p) if p.toLong != self &&
+              !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            try rm(sib) catch { case _: Exception => () } // racing sibling purge
+          case _ => ()
+        }
+      } finally s.close()
+    }
   }
 }

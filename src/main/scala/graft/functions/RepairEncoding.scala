@@ -110,7 +110,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         default.getOrElse(throw new IllegalArgumentException(
           s"$name: missing argument ${idx + 1}"))
       else args(idx).eval() match {
-        case n: Number => n.intValue()
+        // integral types only: a Number catch-all would silently truncate
+        // hyperplane_sig(v, 8.9) to 8 instead of rejecting it
+        case n: java.lang.Integer => n.intValue()
+        case n: java.lang.Long => math.toIntExact(n.longValue())
+        case n: java.lang.Short => n.intValue()
+        case n: java.lang.Byte => n.intValue()
         case other => throw new IllegalArgumentException(
           s"$name: argument ${idx + 1} must be a foldable integer literal, got $other")
       }

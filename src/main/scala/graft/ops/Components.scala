@@ -28,12 +28,20 @@ object Components {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
-    val sc = edges.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    // Track each round's checkpoint RDD DIRECTLY from the dataset's plan
+    // (a LogicalRDD after localCheckpoint). Diffing the SparkContext-global
+    // persistent-RDD registry instead would race concurrent jobs on the
+    // same session and could unpersist THEIR blocks — fatal for a
+    // lineage-truncated localCheckpoint, whose blocks are the only copy.
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None // unexpected plan shape: leak to GC rather than guess
+      }
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
-    var prevRoundIds: Set[Int] = Set.empty
+    var prevRoundRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -58,20 +66,17 @@ object Components {
       // plan — measured: the 200-node chain test burned an hour of CPU
       // in the analyzer). Eager, so the round is materialized before we
       // free the round-before-last's blocks below.
-      val before = persistedIds
       val stepped = next
         .select(col("id"), col("newLbl").as("lbl"),
           (col("newLbl") =!= col("lbl")).cast("long").as("__chg"))
         .localCheckpoint(true)
-      val thisRoundIds = persistedIds -- before
       // coalesce: sum over an empty frame is NULL (no-edge input)
       changed = stepped.agg(coalesce(sum("__chg"), lit(0L)))
         .collect()(0).getLong(0)
       // free the blocks of the round before last (localCheckpoint pins
       // its RDD until GC otherwise — one full label-table copy per round)
-      prevRoundIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevRoundIds = thisRoundIds
+      prevRoundRdd.foreach(_.unpersist(blocking = false))
+      prevRoundRdd = checkpointRdd(stepped)
       labels = stepped.select("id", "lbl")
       i += 1
     }

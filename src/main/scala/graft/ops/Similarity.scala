@@ -122,7 +122,10 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .collect()
       .sortBy(_.get(0).toString)
-    require(centRows.nonEmpty, "ivfTopK needs at least one centroid")
+    if (centRows.isEmpty) // no lists, no probes — empty result, same schema
+      return queries
+        .select(col(idCol).as("qid"), lit(1).as("rank"), col(idCol).as("nid"))
+        .filter(lit(false))
     def distArr(v: Column): Column = array(centRows.map { r =>
       val cv = r.getSeq[Double](1)
       struct(l2sq(v, typedLit(cv)).as("d"), lit(r.get(0)).as("cid"))

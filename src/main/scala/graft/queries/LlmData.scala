@@ -312,9 +312,16 @@ object LlmData {
       val copies = base.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"),
           expr("transform(v, x -> x * 1.01d)").as("v"))
+      // maxBucketSize pinned wide, same rationale as q31: the oracle
+      // replicates the full unrefined per-bucket clique, so adaptive
+      // refinement / the hot-bucket star cap (the scale defaults,
+      // unit-tested in DedupSimilaritySpec) must not rewrite pairs at any
+      // scale factor. sf0.1 occupancy: 254 buckets, max 26 deep, ~10k
+      // pair-evals — the uncapped clique is cheap at gate scales.
       Similarity.cosineNearDupPairs(
         base.unionByName(copies), "vec_id", "v",
-        threshold = 0.9999, bits = 8, dim = 64)
+        threshold = 0.9999, bits = 8, dim = 64,
+        maxBucketSize = Int.MaxValue)
     }
   }
 
