@@ -103,6 +103,15 @@ object ScaleCheck {
         val q = e.filter(col("vec_id") < 5)
         Similarity.lshTopK(e, q, "vec_id", "embedding", k = 10, bits = 8, dim = 64).count()
       }
+      r("ann_ivf") = time(s"$tag ANN IVF (narrow argmin assignment)") {
+        // centroids live only in the base replica (vec_id 100..107): a
+        // FIXED coarse quantizer while the corpus scales — assignment
+        // must stay one narrow pass, linear in corpus size
+        val q = e.filter(col("vec_id") < 5)
+        val cent = e.filter(col("vec_id").between(100, 107))
+        Similarity.ivfTopK(e, q, cent, "vec_id", "embedding",
+          k = 10, nprobe = 2).count()
+      }
       // the replicated corpus duplicates every vector N times — the
       // duplication-heavy stress for the adaptive refinement + star cap
       r("cosine_near_dup") = time(s"$tag cosine near-dup pairs") {
