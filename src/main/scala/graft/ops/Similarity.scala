@@ -148,6 +148,29 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"))
   }
 
+  /** Int8 scalar quantization of an embedding column (the IVF-SQ8 memory
+    * lever: a 100 TB float32 corpus becomes 25 TB of int8 codes, the
+    * difference between an index that fits executor memory and one that
+    * doesn't). Per-vector symmetric scale: q_i = floor(v_i * 127 / max|v|
+    * + 0.5) ∈ [-127, 127], stored as integer-valued doubles so the native
+    * vector expressions consume them directly — dot products of int8
+    * codes are EXACT in double arithmetic (|dot| ≤ 64·127² ≪ 2^53), so
+    * quantized scoring is bit-reproducible across engines.
+    *
+    * floor(x + 0.5), not round(): both engines' floor is exact IEEE,
+    * while round() half-case modes differ. The expression shape
+    * (x * 127.0 / ma) is pinned left-associative on both sides.
+    *
+    * Cosine is invariant under the per-vector positive scale, so
+    * quantized cosine search needs NO dequantization — rank directly on
+    * the codes (the scale would matter only for L2/dot scoring). */
+  def quantizeInt8(v: Column): Column = {
+    // nullif + coalesce: an all-zero vector quantizes to zeros instead of
+    // NaN codes from the 0/0 scale
+    val ma = nullif(array_max(transform(v, x => abs(x))), lit(0.0))
+    transform(v, x => coalesce(floor(x * lit(127.0) / ma + lit(0.5)), lit(0.0)))
+  }
+
   /** Embedding near-duplicate candidate pairs: self-join on the
     * hyperplane bucket, cosine-filtered — the vector counterpart of
     * MinHash near-dup. All-pairs within a bucket is quadratic in

@@ -416,10 +416,36 @@ object LlmData {
       "vec_id", "embedding", k = 5, nprobe = 2)
   }
 
+  /** Int8-quantized ANN (the IVF-SQ8 memory path: 4x smaller corpus
+    * residency — see Similarity.quantizeInt8). Cosine is scale-invariant,
+    * so ranking runs directly on the integer codes; code dot products are
+    * exact in double arithmetic, making even the QUANTIZED scores
+    * engine-reproducible. Output is integer ranks, as for every ANN
+    * gate. */
+  val q65_quantized_ann = Q(
+    "q65_quantized_ann",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |    nullif(list_max(list_transform(v, x -> abs(x))), 0.0) AS ma FROM e),
+      |q AS (SELECT vec_id, list_transform(v,
+      |    x -> coalesce(floor(x * 127.0 / ma + 0.5), 0.0)) AS qv FROM m),
+      |cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    list_cosine_similarity(a.qv, b.qv) AS sim
+      |  FROM q a JOIN q b ON a.vec_id < 5 AND b.vec_id != a.vec_id)
+      |SELECT qid, rank, nid FROM (SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM cand) WHERE rank <= 10""".stripMargin) { (s, dir) =>
+    val quant = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding").cast("array<double>")).as("qv"))
+    Similarity.bruteForceTopK(quant, quant.filter(col("vec_id") < 5),
+      "vec_id", "qv", k = 10)
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
     q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,
     q47_embedding_near_dup, q48_token_counts, q49_ann_ivf,
-    q64_rolling_fingerprint)
+    q64_rolling_fingerprint, q65_quantized_ann)
 }

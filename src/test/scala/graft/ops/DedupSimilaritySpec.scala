@@ -95,6 +95,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("int8 quantization: codes bounded, scale-invariant, zero-safe, recall high") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 40L).map(i => Row(i, vec(Seq.fill(8)(rnd.nextGaussian()): _*))) :+
+      Row(40L, vec(0, 0, 0, 0, 0, 0, 0, 0))
+    val df = mkDf(vecSchema, rows: _*)
+    val quant = df.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding").cast("array<double>")).as("qv"))
+    val codes = quant.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, qv) <- codes) {
+      assert(qv.forall(x => x == math.floor(x)), s"non-integer code for $id")
+      assert(qv.forall(x => x >= -127.0 && x <= 127.0), s"code out of range for $id")
+      if (id < 40L) assert(qv.exists(x => math.abs(x) == 127.0),
+        s"max component of $id must hit +-127")
+    }
+    assert(codes(40L).forall(_ == 0.0)) // zero vector -> zero codes, no NaN
+    // top-1 neighbor survives quantization for every query (int8 on
+    // 8-dim gaussians: quantization error ~0.4% per component)
+    val q = df.filter(col("vec_id") < 5L)
+    val exact = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approx = Similarity.bruteForceTopK(
+        quant, quant.filter(col("vec_id") < 5L), "vec_id", "qv", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact === approx)
+  }
+
   test("LSH ANN: results are a subset of brute-force, same relative order") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 40L).map(i => Row(i, vec(Seq.fill(8)(rnd.nextGaussian()): _*)))
