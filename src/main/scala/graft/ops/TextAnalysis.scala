@@ -60,6 +60,40 @@ object TextAnalysis {
     }
   }
 
+  /** PII redaction — the scrub pass every LLM training corpus runs before
+    * the data leaves the pipeline. Conservative ASCII patterns (identical
+    * semantics under Java regex and RE2, so the pass is oracle-checkable):
+    * emails, IPv4 addresses, then phone-like digit runs — in THAT order,
+    * so the phone pattern can never consume the digits of an address it
+    * overlaps. Pure per-row projection: three regex passes, no shuffle,
+    * linear at any scale. Spark's regexp_replace is replace-ALL (the
+    * DuckDB oracle mirrors with the 'g' flag). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "\\+?[0-9][0-9()\\s-]{6,}[0-9]" -> "<PHONE>")
+
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, marker)) =>
+      regexp_replace(acc, pat, marker)
+    }
+
+  /** Occurrences of a literal marker in a string column (portable:
+    * length-difference arithmetic, no regex). */
+  def markerCount(t: Column, marker: String): Column =
+    ((length(t) - length(replace(t, lit(marker), lit("")))) / marker.length)
+      .cast("bigint")
+
+  /** Repetition profile of a token array (C4/Gopher-style quality
+    * signals): the duplicate-bigram ratio 1 - distinct/total — high
+    * values mark boilerplate/spam documents that repetition filters
+    * discard before training. Per-row array arithmetic, no shuffle. */
+  def dupBigramRatio(tokCol: String): Column = {
+    val grams = expr(s"transform(sequence(0, size($tokCol) - 2), " +
+      s"i -> concat_ws(' ', $tokCol[i], $tokCol[i + 1]))")
+    round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
+  }
+
   /** Rolling document fingerprint: polynomial hash of the token-hash
     * stream (h = h*31 + (t mod 2^32), mod 2^32) — order-sensitive, unlike
     * the SimHash bag fingerprint. */

@@ -442,10 +442,91 @@ object LlmData {
       "vec_id", "qv", k = 10)
   }
 
+  /** PII redaction (the pre-release scrub of every training corpus). The
+    * fixture corpus carries no PII, so docs with doc_id < 30 get a
+    * deterministic contact line appended ON BOTH SIDES; the gate then
+    * checks the redacted marker counts per language — proving the three
+    * patterns fire, in order, with replace-all semantics in both engines.
+    * Everything is a narrow projection; the only shuffle is the final
+    * 5-group aggregate. */
+  val q66_pii_redaction = {
+    // single-quoted SQL literals are NOT escape-processed in DuckDB: the
+    // Scala-level pattern string goes in verbatim
+    val duckRedact = TextAnalysis.piiPatterns.foldLeft("t2") {
+      case (acc, (pat, marker)) =>
+        s"regexp_replace($acc, '$pat', '$marker', 'g')"
+    }
+    def duckCount(m: String) =
+      s"cast((len(red) - len(replace(red, '$m', ''))) / ${m.length} AS BIGINT)"
+    Q(
+      "q66_pii_redaction",
+      s"""WITH aug AS (SELECT lang,
+        |    CASE WHEN doc_id < 30 THEN text || ' contact user' || doc_id ||
+        |      '@example.com at 10.0.' || doc_id || '.1 or +1 555-000-' || doc_id
+        |      ELSE text END AS t2
+        |  FROM documents),
+        |red AS (SELECT lang, $duckRedact AS red FROM aug),
+        |c AS (SELECT lang,
+        |    ${duckCount("<EMAIL>")} AS ne,
+        |    ${duckCount("<IP>")} AS ni,
+        |    ${duckCount("<PHONE>")} AS np
+        |  FROM red)
+        |SELECT lang, cast(sum(ne) AS BIGINT) AS n_email,
+        |  cast(sum(ni) AS BIGINT) AS n_ip,
+        |  cast(sum(np) AS BIGINT) AS n_phone,
+        |  cast(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit
+        |FROM c GROUP BY lang""".stripMargin) { (s, dir) =>
+      val aug = Tables.load(s, dir, "documents")
+        .select(col("lang"),
+          when(col("doc_id") < 30,
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com at 10.0."), col("doc_id"), lit(".1 or +1 555-000-"),
+              col("doc_id")))
+            .otherwise(col("text")).as("t2"))
+      val red = aug.select(col("lang"), TextAnalysis.redactPii(col("t2")).as("red"))
+      red
+        .select(col("lang"),
+          TextAnalysis.markerCount(col("red"), "<EMAIL>").as("ne"),
+          TextAnalysis.markerCount(col("red"), "<IP>").as("ni"),
+          TextAnalysis.markerCount(col("red"), "<PHONE>").as("np"))
+        .groupBy("lang")
+        .agg(sum("ne").as("n_email"), sum("ni").as("n_ip"), sum("np").as("n_phone"),
+          sum(when(col("ne") + col("ni") + col("np") > 0, 1L).otherwise(0L))
+            .as("n_docs_hit"))
+    }
+  }
+
+  /** Repetition quality filter (the C4/Gopher duplicate-n-gram rule):
+    * per-language average duplicate-bigram ratio and the count of docs a
+    * 5%-repetition filter would discard. Per-row array arithmetic, one
+    * aggregate shuffle. */
+  val q67_repetition_filter = Q(
+    "q67_repetition_filter",
+    """WITH t AS (SELECT lang, string_split_regex(trim(text), '\s+') AS tok
+      |  FROM documents),
+      |g AS (SELECT lang, list_transform(range(1, len(tok)),
+      |    i -> tok[i] || ' ' || tok[i+1]) AS grams
+      |  FROM t WHERE len(tok) >= 2),
+      |r AS (SELECT lang,
+      |    round(1.0 - len(list_distinct(grams))::double / len(grams), 6) AS rep
+      |  FROM g)
+      |SELECT lang, round(sum(rep) / count(*), 6) AS avg_rep,
+      |  cast(sum(CASE WHEN rep > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered
+      |FROM r GROUP BY lang""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), TextHash.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(col("lang"), TextAnalysis.dupBigramRatio("tok").as("rep"))
+      .groupBy("lang")
+      .agg(round(sum("rep") / count(lit(1)), 6).as("avg_rep"),
+        sum(when(col("rep") > 0.05, 1L).otherwise(0L)).as("n_filtered"))
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
     q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,
     q47_embedding_near_dup, q48_token_counts, q49_ann_ivf,
-    q64_rolling_fingerprint, q65_quantized_ann)
+    q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
+    q67_repetition_filter)
 }

@@ -25,6 +25,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
   }
 
+  test("redactPii: email/IP/phone replaced everywhere, clean text untouched") {
+    val df = mkDf(schema,
+      Row(1L, "mail a.b+c@ex-1.org and d@e.io, host 192.168.0.1, call +1 (555) 123-4567"),
+      Row(2L, "no pii here, just v1.2 and the year 1995"),
+      Row(3L, null))
+      .select(col("id"), TextAnalysis.redactPii(col("text")).as("red"))
+    val red = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(red(1L).get === "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE>")
+    assert(red(2L).get === "no pii here, just v1.2 and the year 1995")
+    assert(red(3L).isEmpty) // null propagates, never throws
+  }
+
+  test("markerCount counts literal occurrences by length arithmetic") {
+    val df = mkDf(schema, Row(1L, "<IP> x <IP> y <EMAIL>"), Row(2L, "none"))
+      .select(col("id"),
+        TextAnalysis.markerCount(col("text"), "<IP>").as("n_ip"),
+        TextAnalysis.markerCount(col("text"), "<EMAIL>").as("n_em"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m === Map(1L -> ((2L, 1L)), 2L -> ((0L, 0L))))
+  }
+
+  test("dupBigramRatio: 0 for all-distinct bigrams, rises with repetition") {
+    val df = mkDf(schema,
+      Row(1L, "a b c d e"),             // 4 bigrams, all distinct
+      Row(2L, "a b a b a b"),           // 5 bigrams, 2 distinct
+      Row(3L, "x y"))                   // single bigram
+      .select(col("id"), TextHash.tokens(col("text")).as("tok"))
+      .select(col("id"), TextAnalysis.dupBigramRatio("tok").as("rep"))
+    val rep = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rep(1L) === 0.0)
+    assert(rep(2L) === 0.6) // 1 - 2/5
+    assert(rep(3L) === 0.0)
+  }
+
   test("langId picks the dominant stopword profile; und below floor") {
     val df = mkDf(schema,
       Row(1L, "the cat and the dog of a house"),
