@@ -41,6 +41,47 @@ object Profile {
       }
       graft.GraftTmp.purge()
     }
+    // q31 bisect: where does the minhash pipeline spend CPU?
+    locally {
+      import org.apache.spark.sql.functions._
+      val taskMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorCpuTime / 1000000L)
+      })
+      def t(label: String)(f: => Any): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); val c0 = taskMs.get()
+        f
+        println(f"[profile] q31 $label%-36s wall ${(System.nanoTime() - t0) / 1e9}%6.2f s  task ${(taskMs.get() - c0) / 1e3}%6.2f s")
+      }
+      val toks = Tables.load(spark, dir, "documents")
+        .select(col("doc_id").as("id"), graft.ops.TextHash.tokens(col("text")).as("tok"))
+      val base = toks.filter(size(col("tok")) >= 8)
+      val copies = toks.filter(col("id") < 25 && size(col("tok")) >= 20)
+        .select((col("id") + 1000000).as("id"), expr("slice(tok, 1, size(tok) - 5)").as("tok"))
+      val ad = base.unionByName(copies)
+      t("tokenize+count")(ad.count())
+      t("shingleHashes")(ad.withColumn("hs",
+        graft.functions.columns.shingleHashes(col("tok"), 3, mod32 = true))
+        .select(sum(size(col("hs")))).collect())
+      t("sig (hashes+minhash)")(ad.withColumn("hs",
+        graft.functions.columns.shingleHashes(col("tok"), 3, mod32 = true))
+        .withColumn("sig", graft.functions.columns.minhashSig(
+          col("hs"), 8, graft.ops.TextHash.minhashP, 15485863L, 32452843L))
+        .select(sum(size(col("sig")))).collect())
+      t("bands explode")(ad.withColumn("hs",
+        graft.functions.columns.shingleHashes(col("tok"), 3, mod32 = true))
+        .withColumn("sig", graft.functions.columns.minhashSig(
+          col("hs"), 8, graft.ops.TextHash.minhashP, 15485863L, 32452843L))
+        .select(col("id"), explode(graft.ops.TextHash.lshBands("sig", 4, 2)).as("b"))
+        .count())
+      t("full candidates")(graft.ops.Dedup.minhashCandidatesFromTokens(
+        ad, 3, 8, 4, maxBucketSize = Int.MaxValue).count())
+      t("full candidates (2nd)")(graft.ops.Dedup.minhashCandidatesFromTokens(
+        ad, 3, 8, 4, maxBucketSize = Int.MaxValue).count())
+    }
+
     Seq("lineitem", "events").foreach { n =>
       val meta = SchemaReflector.fromParquet(spark, s"$dir/$n.parquet", n)
       val src = Tables.load(spark, dir, n)
