@@ -8,12 +8,27 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.fromEnv("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Concurrent query dumps (same pattern as Ingest.ingestAll): the
+    // lineages are independent — distinct output dirs, UUID/unique temp
+    // scratch — and concurrent jobs overlap small-query scheduling gaps
+    // with big-query compute. Failure isolation preserved per query.
+    locally {
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
       }
+      try Await.result(Future.sequence(fs), Duration.Inf)
+      finally pool.shutdown()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
