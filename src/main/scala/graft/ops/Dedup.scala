@@ -65,24 +65,13 @@ object Dedup {
   def minhashCandidatesFromTokens(
       toks: DataFrame, shingleN: Int = 3, k: Int = 8,
       bands: Int = 4, maxBucketSize: Int = 64): DataFrame = {
-    require(k % bands == 0,
-      s"minhash k ($k) must be divisible by bands ($bands); " +
-        "otherwise k % bands trailing signature entries would be silently dropped")
-    val rowsPerBand = k / bands
     // native one-pass shingle-hash + signature (graft.functions.TextHashOps;
     // bit-identical to the shingles/shingleHashes/minhashSignature HOF
     // chain — TextHashOpsSpec asserts it)
     // cached BEFORE the histogram join: both join sides read the band
     // table, and without the cache each would re-run the whole
     // shingle+minhash pipeline
-    val sigs = Balance(toks)
-      .withColumn("hs",
-        graft.functions.columns.shingleHashes(col("tok"), shingleN, mod32 = true))
-      .withColumn("sig", graft.functions.columns.minhashSig(
-        col("hs"), k, minhashP, 15485863L, 32452843L))
-      .select(col("id"), explode(lshBands("sig", bands, rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .cache()
+    val sigs = bandTable(Balance(toks), shingleN, k, bands).cache()
     if (maxBucketSize == Int.MaxValue) {
       // cap disabled (oracle-pinned gates): skip the occupancy histogram
       // entirely — the star branch is provably empty
@@ -113,6 +102,38 @@ object Dedup {
       .select(col("__rep").as("a_id"), col("id").as("b_id")) // rep = min ⇒ a_id < b_id
     cliquePairs.unionByName(starPairs).distinct()
   }
+
+  /** The persistable LSH band table (id, band, bh) of a tokenized corpus —
+    * the INDEX a production dedup pipeline materializes once per corpus
+    * version (bucket-partitioned on (band, bh) at scale). Incremental
+    * shards then join against it without recomputing the corpus. */
+  def bandTable(toks: DataFrame, shingleN: Int = 3, k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    require(k % bands == 0,
+      s"minhash k ($k) must be divisible by bands ($bands)")
+    toks
+      .withColumn("hs",
+        graft.functions.columns.shingleHashes(col("tok"), shingleN, mod32 = true))
+      .withColumn("sig", graft.functions.columns.minhashSig(
+        col("hs"), k, minhashP, 15485863L, 32452843L))
+      .select(col("id"), explode(lshBands("sig", bands, k / bands)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Incremental near-dup candidates: NEW shard docs vs an EXISTING corpus
+    * band table — the operational mode at 100 TB, where re-banding the
+    * whole corpus per arriving shard is unaffordable. One narrow join on
+    * (band, bh): work scales with |shard| and bucket occupancy, never
+    * |corpus|. Returns (new_id, corpus_id) pairs. */
+  def incrementalCandidates(newToks: DataFrame, corpusBands: DataFrame,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
+    bandTable(Balance(newToks), shingleN, k, bands)
+      .select(col("id").as("new_id"), col("band"), col("bh"))
+      .join(corpusBands.select(col("id").as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .select("new_id", "corpus_id")
+      .distinct()
 
   /** SimHash fingerprints: (id, simhash). Near-dups share fingerprints (or
     * differ in few bits); grouping by fingerprint is a single hash shuffle. */

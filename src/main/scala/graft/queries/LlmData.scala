@@ -522,11 +522,56 @@ object LlmData {
         sum(when(col("rep") > 0.05, 1L).otherwise(0L)).as("n_filtered"))
   }
 
+  /** Incremental near-dup dedup: a NEW shard (the q31-style truncated
+    * copies) against the EXISTING corpus's persisted band table — the
+    * operational mode at 100 TB, where the corpus index is materialized
+    * once and each arriving shard joins it (work ∝ |shard|, never
+    * |corpus|). The oracle builds both band tables with q31's exact sig
+    * arithmetic and takes the cross join pairs only. */
+  val q68_incremental_dedup = {
+    import graft.ops.TextHash.{minhashA, minhashB, minhashP}
+    val sigEntries = (0 until 8).map { s =>
+      s"list_min(list_transform(hs, h -> (h * ${minhashA(s)} + ${minhashB(s)}) % $minhashP))"
+    }.mkString(",\n      |    ")
+    def bandsOf(src: String) =
+      s"""SELECT id, j,
+        |    md5(sig[2*j+1]::varchar || ',' || sig[2*j+2]::varchar) AS bh
+        |  FROM (SELECT id, [
+        |    $sigEntries
+        |  ] AS sig FROM (SELECT id, list_transform(sh,
+        |      x -> ('0x'||substr(md5(x),1,15))::bigint % 4294967296) AS hs
+        |    FROM (SELECT id, list_transform(range(1, len(tok) - 1),
+        |        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS sh FROM $src)))
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) u""".stripMargin
+    Q(
+      "q68_incremental_dedup",
+      s"""WITH toks AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS tok
+        |  FROM documents),
+        |corpus AS (SELECT id, tok FROM toks WHERE len(tok) >= 8),
+        |shard AS (SELECT id + 1000000 AS id, array_slice(tok, 1, len(tok) - 5) AS tok
+        |  FROM toks WHERE id < 25 AND len(tok) >= 20),
+        |cb AS (${bandsOf("corpus")}),
+        |nb AS (${bandsOf("shard")})
+        |SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+        |FROM nb n JOIN cb c ON n.j = c.j AND n.bh = c.bh AND n.id != c.id""".stripMargin) { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("id"), TextHash.tokens(col("text")).as("tok"))
+      val corpus = toks.filter(size(col("tok")) >= 8)
+      val shard = toks.filter(col("id") < 25 && size(col("tok")) >= 20)
+        .select((col("id") + 1000000).as("id"),
+          expr("slice(tok, 1, size(tok) - 5)").as("tok"))
+      // the index a production run would have persisted + bucket-partitioned
+      val index = Dedup.bandTable(corpus)
+      Dedup.incrementalCandidates(shard, index)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
     q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,
     q47_embedding_near_dup, q48_token_counts, q49_ann_ivf,
     q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
-    q67_repetition_filter)
+    q67_repetition_filter, q68_incremental_dedup)
 }

@@ -48,6 +48,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cliq === 45) // C(10,2)
   }
 
+  test("incremental dedup == full-corpus candidates restricted to cross pairs") {
+    import graft.ops.TextHash.tokens
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (31 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = mkDf(docSchema, Row(1L, words), Row(2L, other), Row(3L, words))
+    val shard = mkDf(docSchema, Row(10L, words), Row(11L, "zz " * 20))
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), tokens(col("text")).as("tok"))
+    val incr = Dedup.incrementalCandidates(toks(shard), Dedup.bandTable(toks(corpus)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // shard doc 10 duplicates corpus docs 1 and 3; doc 11 matches nothing
+    assert(incr === Set((10L, 1L), (10L, 3L)))
+    // parity with the full pipeline: its cross-boundary pairs, reoriented
+    val full = Dedup.minhashCandidates(
+        corpus.unionByName(shard), "id", "text", maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a >= 10L) != (b >= 10L) }
+      .map { case (a, b) => if (a >= 10L) (a, b) else (b, a) }.toSet
+    assert(incr === full)
+  }
+
   test("simhash: identical token bags share fingerprints") {
     val df = mkDf(docSchema, Row(1L, "a b c d e f g h"), Row(2L, "a b c d e f g h"),
       Row(3L, "q r s t u v w x"))
