@@ -124,8 +124,15 @@ object GraftTmp {
     }
     val self = ProcessHandle.current().pid()
     if (base.getFileName.toString.contains(s"pid-$self")) rm(base)
-    val pidPattern = "^(?:graft-tmp-)?pid-([0-9]+)$".r
+    // Sibling-name pattern depends on where base landed: bare `pid-N` is
+    // only safe under the graft-OWNED root (…/graft-tmp/); in the shared
+    // system tmpdir fallback, only the fully-prefixed `graft-tmp-pid-N`
+    // may be touched — a bare /tmp/pid-N could be someone else's data.
     val parent = base.getParent
+    val ownRoot = parent != null && parent.getFileName != null &&
+      parent.getFileName.toString == "graft-tmp"
+    val pidPattern =
+      (if (ownRoot) "^(?:graft-tmp-)?pid-([0-9]{1,18})$" else "^graft-tmp-pid-([0-9]{1,18})$").r
     if (parent != null && Files.isDirectory(parent)) {
       val s = Files.list(parent)
       try s.forEach { sib =>

@@ -45,21 +45,23 @@ object Profile {
     locally {
       import org.apache.spark.sql.functions._
       val taskMs = new java.util.concurrent.atomic.AtomicLong
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorCpuTime / 1000000L)
-      })
+      }
+      spark.sparkContext.addSparkListener(listener)
       def t(label: String)(f: => Any): Unit = {
         spark.catalog.clearCache()
-        val t0 = System.nanoTime(); val c0 = taskMs.get()
+        // listener-bus delivery is async (and the bus is private[spark]):
+        // a short settle keeps one phase's tail CPU from being credited
+        // to the next — good enough for a dev bisect
+        def drained(): Long = { Thread.sleep(300); taskMs.get() }
+        val c0 = drained(); val t0 = System.nanoTime()
         f
-        println(f"[profile] q31 $label%-36s wall ${(System.nanoTime() - t0) / 1e9}%6.2f s  task ${(taskMs.get() - c0) / 1e3}%6.2f s")
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] q31 $label%-36s wall $wall%6.2f s  task ${(drained() - c0) / 1e3}%6.2f s")
       }
-      val toks = Tables.load(spark, dir, "documents")
-        .select(col("doc_id").as("id"), graft.ops.TextHash.tokens(col("text")).as("tok"))
-      val base = toks.filter(size(col("tok")) >= 8)
-      val copies = toks.filter(col("id") < 25 && size(col("tok")) >= 20)
-        .select((col("id") + 1000000).as("id"), expr("slice(tok, 1, size(tok) - 5)").as("tok"))
+      val (base, copies) = graft.queries.LlmData.nearDupFixture(spark, dir)
       val ad = base.unionByName(copies)
       t("tokenize+count")(ad.count())
       t("shingleHashes")(ad.withColumn("hs",

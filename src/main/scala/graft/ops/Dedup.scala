@@ -124,16 +124,37 @@ object Dedup {
     * band table — the operational mode at 100 TB, where re-banding the
     * whole corpus per arriving shard is unaffordable. One narrow join on
     * (band, bh): work scales with |shard| and bucket occupancy, never
-    * |corpus|. Returns (new_id, corpus_id) pairs. */
+    * |corpus|. Returns (new_id, corpus_id) pairs.
+    *
+    * Same hot-bucket hazard as the full pipeline: a viral corpus bucket
+    * (boilerplate) joined by a boilerplate-heavy shard is |shard bucket| x
+    * |corpus bucket| pairs. Corpus buckets over `maxBucketSize` therefore
+    * yield only the (new_id, bucket-representative) pair — connectivity
+    * for downstream clustering preserved, cost linear. A production
+    * deployment precomputes the (__bn, __rep) histogram WITH the index;
+    * here it is derived on the fly. */
   def incrementalCandidates(newToks: DataFrame, corpusBands: DataFrame,
-      shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame =
-    bandTable(Balance(newToks), shingleN, k, bands)
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucketSize: Int = 64): DataFrame = {
+    val nb = bandTable(Balance(newToks), shingleN, k, bands)
       .select(col("id").as("new_id"), col("band"), col("bh"))
-      .join(corpusBands.select(col("id").as("corpus_id"), col("band"), col("bh")),
-        Seq("band", "bh"))
+    val cb = corpusBands.select(col("id").as("corpus_id"), col("band"), col("bh"))
+    val cbKept =
+      if (maxBucketSize == Int.MaxValue) cb
+      else {
+        // prune the corpus side BEFORE the shard join — filtering after
+        // would still materialize the quadratic bucket cross product
+        val hist = cb.groupBy("band", "bh")
+          .agg(count(lit(1)).as("__bn"), min("corpus_id").as("__rep"))
+        cb.join(hist, Seq("band", "bh"))
+          .filter(col("__bn") <= maxBucketSize || col("corpus_id") === col("__rep"))
+          .drop("__bn", "__rep")
+      }
+    nb.join(cbKept, Seq("band", "bh"))
       .filter(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id")
       .distinct()
+  }
 
   /** SimHash fingerprints: (id, simhash). Near-dups share fingerprints (or
     * differ in few bits); grouping by fingerprint is a single hash shuffle. */

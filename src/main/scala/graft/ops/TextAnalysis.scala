@@ -62,16 +62,21 @@ object TextAnalysis {
 
   /** PII redaction — the scrub pass every LLM training corpus runs before
     * the data leaves the pipeline. Conservative ASCII patterns (identical
-    * semantics under Java regex and RE2, so the pass is oracle-checkable):
-    * emails, IPv4 addresses, then phone-like digit runs — in THAT order,
-    * so the phone pattern can never consume the digits of an address it
-    * overlaps. Pure per-row projection: three regex passes, no shuffle,
-    * linear at any scale. Spark's regexp_replace is replace-ALL (the
-    * DuckDB oracle mirrors with the 'g' flag). */
+    * semantics under Java regex and RE2, so the pass is oracle-checkable;
+    * deliberately NO `\s` — Java's includes \x0B, RE2's doesn't):
+    * emails, IPv4 addresses, then phone numbers — in THAT order, so the
+    * phone pattern can never consume the digits of an address it
+    * overlaps. The phone shape requires the 3-3-4 grouping (+ optional
+    * 1-3 digit country code), ≥10 digits total: a loose "digit run"
+    * pattern redacted year ranges ('2019-2020') and spaced quantities
+    * ('1 000 000') — exactly the text a training scrub must preserve.
+    * Pure per-row projection: three regex passes, no shuffle, linear at
+    * any scale. Spark's regexp_replace is replace-ALL (the DuckDB oracle
+    * mirrors with the 'g' flag). */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
-    "\\+?[0-9][0-9()\\s-]{6,}[0-9]" -> "<PHONE>")
+    "(\\+?[0-9]{1,3}[ .-])?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}" -> "<PHONE>")
 
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (acc, (pat, marker)) =>
@@ -91,7 +96,11 @@ object TextAnalysis {
   def dupBigramRatio(tokCol: String): Column = {
     val grams = expr(s"transform(sequence(0, size($tokCol) - 2), " +
       s"i -> concat_ws(' ', $tokCol[i], $tokCol[i + 1]))")
-    round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
+    val ratio =
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
+    // <2 tokens has no bigrams — and sequence(0, size-2) would COUNT DOWN
+    // (Spark infers step -1 when start > stop), fabricating phantom grams
+    when(expr(s"size($tokCol)") >= 2, ratio).otherwise(lit(0.0))
   }
 
   /** Rolling document fingerprint: polynomial hash of the token-hash

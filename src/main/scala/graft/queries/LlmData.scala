@@ -24,6 +24,22 @@ object LlmData {
 
   private val swList = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Shared near-dup fixture for q31/q68 (and the dev profiler):
+    * corpus = tokenized docs with ≥8 tokens; shard = NEAR-duplicate
+    * copies of docs 0-24 (id + 1000000, last 5 tokens dropped). One
+    * builder so the ids/truncation can never drift between the gates —
+    * the oracle SQL replicates the same construction. */
+  private[graft] def nearDupFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("id"), TextHash.tokens(col("text")).as("tok"))
+    val corpus = toks.filter(size(col("tok")) >= 8)
+    val shard = toks.filter(col("id") < 25 && size(col("tok")) >= 20)
+      .select((col("id") + 1000000).as("id"),
+        expr("slice(tok, 1, size(tok) - 5)").as("tok"))
+    (corpus, shard)
+  }
+
   /** Exact dedup by normalized-content hash: one hash-aggregate on a
     * 32-char key — the 100 TB shape (shuffle carries keys+ids, not text). */
   val q30_exact_dedup = Q(
@@ -74,12 +90,7 @@ object LlmData {
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) u)
         |SELECT DISTINCT a.id AS a_id, b.id AS b_id
         |FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.id < b.id""".stripMargin) { (s, dir) =>
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id").as("id"), TextHash.tokens(col("text")).as("tok"))
-      val base = toks.filter(size(col("tok")) >= 8)
-      val copies = toks.filter(col("id") < 25 && size(col("tok")) >= 20)
-        .select((col("id") + 1000000).as("id"),
-          expr("slice(tok, 1, size(tok) - 5)").as("tok"))
+      val (base, copies) = nearDupFixture(s, dir)
       // maxBucketSize pinned wide: this gate's oracle replicates the full
       // per-bucket clique, so the hot-bucket star cap (unit-tested in
       // DedupSimilaritySpec) must not rewrite pairs at ANY scale factor
@@ -462,7 +473,7 @@ object LlmData {
       "q66_pii_redaction",
       s"""WITH aug AS (SELECT lang,
         |    CASE WHEN doc_id < 30 THEN text || ' contact user' || doc_id ||
-        |      '@example.com at 10.0.' || doc_id || '.1 or +1 555-000-' || doc_id
+        |      '@example.com at 10.0.' || doc_id || '.1 or +1 555-000-4321'
         |      ELSE text END AS t2
         |  FROM documents),
         |red AS (SELECT lang, $duckRedact AS red FROM aug),
@@ -480,8 +491,8 @@ object LlmData {
         .select(col("lang"),
           when(col("doc_id") < 30,
             concat(col("text"), lit(" contact user"), col("doc_id"),
-              lit("@example.com at 10.0."), col("doc_id"), lit(".1 or +1 555-000-"),
-              col("doc_id")))
+              lit("@example.com at 10.0."), col("doc_id"),
+              lit(".1 or +1 555-000-4321")))
             .otherwise(col("text")).as("t2"))
       val red = aug.select(col("lang"), TextAnalysis.redactPii(col("t2")).as("red"))
       red
@@ -555,15 +566,12 @@ object LlmData {
         |nb AS (${bandsOf("shard")})
         |SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
         |FROM nb n JOIN cb c ON n.j = c.j AND n.bh = c.bh AND n.id != c.id""".stripMargin) { (s, dir) =>
-      val toks = Tables.load(s, dir, "documents")
-        .select(col("doc_id").as("id"), TextHash.tokens(col("text")).as("tok"))
-      val corpus = toks.filter(size(col("tok")) >= 8)
-      val shard = toks.filter(col("id") < 25 && size(col("tok")) >= 20)
-        .select((col("id") + 1000000).as("id"),
-          expr("slice(tok, 1, size(tok) - 5)").as("tok"))
-      // the index a production run would have persisted + bucket-partitioned
+      val (corpus, shard) = nearDupFixture(s, dir)
+      // the index a production run would have persisted + bucket-partitioned;
+      // cap pinned wide: the oracle replicates the full bucket cross join
+      // (same rationale as q31/q47 — the capped path is unit-tested)
       val index = Dedup.bandTable(corpus)
-      Dedup.incrementalCandidates(shard, index)
+      Dedup.incrementalCandidates(shard, index, maxBucketSize = Int.MaxValue)
     }
   }
 

@@ -69,6 +69,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(incr === full)
   }
 
+  test("incremental dedup hot corpus bucket: rep pair only, linear in occupancy") {
+    import graft.ops.TextHash.tokens
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    // 100 identical corpus docs: every bucket occupancy 100 > cap 64
+    val corpus = mkDf(docSchema, (1L to 100L).map(i => Row(i, words)): _*)
+    val shard = mkDf(docSchema, Row(500L, words))
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), tokens(col("text")).as("tok"))
+    val pairs = Dedup.incrementalCandidates(toks(shard), Dedup.bandTable(toks(corpus)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((500L, 1L))) // only the min-id representative
+  }
+
   test("simhash: identical token bags share fingerprints") {
     val df = mkDf(docSchema, Row(1L, "a b c d e f g h"), Row(2L, "a b c d e f g h"),
       Row(3L, "q r s t u v w x"))
