@@ -137,5 +137,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => HyperplaneSignature(vec(args(0)),
         foldableInt(args, 1, "hyperplane_sig"),
         foldableInt(args, 2, "hyperplane_sig", default = Some(0)))))
+    // Text-hash natives for pure-SQL dedup pipelines (same expressions the
+    // typed Dedup operators use): shingle_hashes(tok, n[, mod32!=0]),
+    // minhash_sig(hashes, k) with the engine's canonical universal-hash
+    // constants, simhash(hashes, bits).
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHash(args(0),
+        foldableInt(args, 1, "shingle_hashes"),
+        foldableInt(args, 2, "shingle_hashes", default = Some(0)) != 0)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinhashSig(args(0),
+        foldableInt(args, 1, "minhash_sig"),
+        graft.ops.TextHash.minhashP, 15485863L, 32452843L)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (args: Seq[Expression]) => SimHash(args(0),
+        foldableInt(args, 1, "simhash"))))
   }
 }

@@ -28,6 +28,33 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(re(0).getString(0) === "café")
   }
 
+  test("pure-SQL dedup pipeline via registered text-hash natives") {
+    Tables.registerAll(spark, dir)
+    // a SQL analyst's near-dup candidate query — no Scala API, and the
+    // natives must agree with the typed operators' arithmetic
+    val pairs = spark.sql(
+      """WITH toks AS (
+        |  SELECT doc_id AS id, split(trim(text), '\\s+') AS tok FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS id, split(trim(text), '\\s+') AS tok
+        |  FROM documents WHERE doc_id < 5),
+        |sigs AS (SELECT id, minhash_sig(shingle_hashes(tok, 3, 1), 8) AS sig
+        |  FROM toks WHERE size(tok) >= 8),
+        |bands AS (SELECT id, j, md5(concat_ws(',', sig[2*j], sig[2*j+1])) AS bh
+        |  FROM sigs LATERAL VIEW explode(sequence(0, 3)) AS j)
+        |SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.id < b.id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact copies of docs 0..4 must all be found
+    val expected = (0L until 5L).map(i => (i, i + 1000000L)).toSet
+    assert(expected.subsetOf(pairs))
+    // simhash native callable from SQL, identical docs agree
+    val sh = spark.sql(
+      """SELECT doc_id, simhash(shingle_hashes(split(trim(text), '\\s+'), 1, 0), 16) AS f
+        |FROM documents WHERE doc_id < 2""".stripMargin).collect()
+    assert(sh.length === 2 && sh.forall(!_.isNullAt(1)))
+  }
+
   test("A7 at scale: approx_count_distinct within 5% of exact") {
     val events = Tables.load(spark, dir, "events")
     val row = events.agg(
