@@ -85,10 +85,12 @@ object GraftSession {
 object GraftTmp {
   import java.nio.file.{Files, Path, Paths}
 
-  private val base: Path = {
+  private val (base: Path, graftOwnedRoot: Boolean) = {
     // per-process subdirectory: purge() must never touch the scratch of a
     // concurrently running harness (e.g. Bench finishing while a Verify
-    // is mid-query)
+    // is mid-query). graftOwnedRoot records WHICH branch created base —
+    // the preferred root (default or SPARK_GRAFT_TMP) is dedicated to
+    // graft, the system-tmpdir fallback is shared with everyone.
     val preferred = sys.env.getOrElse("SPARK_GRAFT_TMP", "/dev/shm/graft-tmp")
     val pid = ProcessHandle.current().pid()
     def mk(root: String): Path = {
@@ -99,10 +101,10 @@ object GraftTmp {
     try {
       val p = Paths.get(preferred, s"pid-$pid")
       Files.createDirectories(p)
-      p
+      (p, true)
     } catch {
       // fallback keeps the per-pid scoping so purge() still works
-      case _: Exception => mk(System.getProperty("java.io.tmpdir"))
+      case _: Exception => (mk(System.getProperty("java.io.tmpdir")), false)
     }
   }
 
@@ -124,15 +126,15 @@ object GraftTmp {
     }
     val self = ProcessHandle.current().pid()
     if (base.getFileName.toString.contains(s"pid-$self")) rm(base)
-    // Sibling-name pattern depends on where base landed: bare `pid-N` is
-    // only safe under the graft-OWNED root (…/graft-tmp/); in the shared
-    // system tmpdir fallback, only the fully-prefixed `graft-tmp-pid-N`
-    // may be touched — a bare /tmp/pid-N could be someone else's data.
+    // Sibling-name pattern depends on where base landed (recorded at
+    // creation): bare `pid-N` is only safe under the graft-OWNED root; in
+    // the shared system-tmpdir fallback, only the fully-prefixed
+    // `graft-tmp-pid-N` may be touched — a bare /tmp/pid-N could be
+    // someone else's data.
     val parent = base.getParent
-    val ownRoot = parent != null && parent.getFileName != null &&
-      parent.getFileName.toString == "graft-tmp"
     val pidPattern =
-      (if (ownRoot) "^(?:graft-tmp-)?pid-([0-9]{1,18})$" else "^graft-tmp-pid-([0-9]{1,18})$").r
+      (if (graftOwnedRoot) "^(?:graft-tmp-)?pid-([0-9]{1,18})$"
+       else "^graft-tmp-pid-([0-9]{1,18})$").r
     if (parent != null && Files.isDirectory(parent)) {
       val s = Files.list(parent)
       try s.forEach { sib =>

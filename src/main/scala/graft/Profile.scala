@@ -70,12 +70,12 @@ object Profile {
       t("sig (hashes+minhash)")(ad.withColumn("hs",
         graft.functions.columns.shingleHashes(col("tok"), 3, mod32 = true))
         .withColumn("sig", graft.functions.columns.minhashSig(
-          col("hs"), 8, graft.ops.TextHash.minhashP, 15485863L, 32452843L))
+          col("hs"), 8, graft.ops.TextHash.minhashP, graft.ops.TextHash.minhashABase, graft.ops.TextHash.minhashBBase))
         .select(sum(size(col("sig")))).collect())
       t("bands explode")(ad.withColumn("hs",
         graft.functions.columns.shingleHashes(col("tok"), 3, mod32 = true))
         .withColumn("sig", graft.functions.columns.minhashSig(
-          col("hs"), 8, graft.ops.TextHash.minhashP, 15485863L, 32452843L))
+          col("hs"), 8, graft.ops.TextHash.minhashP, graft.ops.TextHash.minhashABase, graft.ops.TextHash.minhashBBase))
         .select(col("id"), explode(graft.ops.TextHash.lshBands("sig", 4, 2)).as("b"))
         .count())
       t("full candidates")(graft.ops.Dedup.minhashCandidatesFromTokens(

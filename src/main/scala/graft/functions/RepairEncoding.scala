@@ -140,23 +140,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Text-hash natives for pure-SQL dedup pipelines (same expressions the
     // typed Dedup operators use): shingle_hashes(tok, n[, mod32!=0]),
     // minhash_sig(hashes, k) with the engine's canonical universal-hash
-    // constants, simhash(hashes, bits).
+    // constants, simhash(hashes, bits). Same coercion discipline as vec():
+    // the expressions read UTF8String / 8-byte longs straight from
+    // ArrayData, so an uncast array<int> would be misread, not converted.
+    def strArr(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.ArrayType(StringType, containsNull = true))
+    def longArr(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true))
     ext.injectFunction((
       FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHash].getName, "shingle_hashes"),
-      (args: Seq[Expression]) => ShingleHash(args(0),
+      (args: Seq[Expression]) => ShingleHash(strArr(args(0)),
         foldableInt(args, 1, "shingle_hashes"),
         foldableInt(args, 2, "shingle_hashes", default = Some(0)) != 0)))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinhashSig(args(0),
+      (args: Seq[Expression]) => MinhashSig(longArr(args(0)),
         foldableInt(args, 1, "minhash_sig"),
-        graft.ops.TextHash.minhashP, 15485863L, 32452843L)))
+        graft.ops.TextHash.minhashP, graft.ops.TextHash.minhashABase, graft.ops.TextHash.minhashBBase)))
     ext.injectFunction((
       FunctionIdentifier("simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),
-      (args: Seq[Expression]) => SimHash(args(0),
+      (args: Seq[Expression]) => SimHash(longArr(args(0)),
         foldableInt(args, 1, "simhash"))))
   }
 }

@@ -115,7 +115,7 @@ object Dedup {
       .withColumn("hs",
         graft.functions.columns.shingleHashes(col("tok"), shingleN, mod32 = true))
       .withColumn("sig", graft.functions.columns.minhashSig(
-        col("hs"), k, minhashP, 15485863L, 32452843L))
+        col("hs"), k, minhashP, minhashABase, minhashBBase))
       .select(col("id"), explode(lshBands("sig", bands, k / bands)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
@@ -143,10 +143,16 @@ object Dedup {
       if (maxBucketSize == Int.MaxValue) cb
       else {
         // prune the corpus side BEFORE the shard join — filtering after
-        // would still materialize the quadratic bucket cross product
-        val hist = cb.groupBy("band", "bh")
+        // would still materialize the quadratic bucket cross product.
+        // cached: cb feeds both the histogram and the join; an unpersisted
+        // corpusBands plan (e.g. bandTable(...) passed directly) would
+        // otherwise re-run its whole pipeline twice. Same session-lifetime
+        // cache contract as the sibling operator; a production deployment
+        // reads the index from a materialized table instead.
+        val cbc = cb.cache()
+        val hist = cbc.groupBy("band", "bh")
           .agg(count(lit(1)).as("__bn"), min("corpus_id").as("__rep"))
-        cb.join(hist, Seq("band", "bh"))
+        cbc.join(hist, Seq("band", "bh"))
           .filter(col("__bn") <= maxBucketSize || col("corpus_id") === col("__rep"))
           .drop("__bn", "__rep")
       }

@@ -66,17 +66,22 @@ object TextAnalysis {
     * deliberately NO `\s` — Java's includes \x0B, RE2's doesn't):
     * emails, IPv4 addresses, then phone numbers — in THAT order, so the
     * phone pattern can never consume the digits of an address it
-    * overlaps. The phone shape requires the 3-3-4 grouping (+ optional
-    * 1-3 digit country code), ≥10 digits total: a loose "digit run"
-    * pattern redacted year ranges ('2019-2020') and spaced quantities
-    * ('1 000 000') — exactly the text a training scrub must preserve.
+    * overlaps. The phone shape requires the 3-3-4 grouping with MANDATORY
+    * separators between groups (+ optional 1-3 digit country code):
+    * a loose "digit run" pattern redacted year ranges ('2019-2020') and
+    * spaced quantities ('1 000 000'), and optional separators would let
+    * a 10-digit substring of any longer numeric ID (epoch millis,
+    * order numbers) half-match — both exactly the text a training scrub
+    * must preserve. Solid digit runs are therefore never redacted (RE2
+    * has no lookarounds, so digit-boundary guards can't be expressed
+    * portably; mandatory separators are the conservative substitute).
     * Pure per-row projection: three regex passes, no shuffle, linear at
     * any scale. Spark's regexp_replace is replace-ALL (the DuckDB oracle
     * mirrors with the 'g' flag). */
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
-    "(\\+?[0-9]{1,3}[ .-])?\\(?[0-9]{3}\\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}" -> "<PHONE>")
+    "(\\+?[0-9]{1,3}[ .-])?\\(?[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}" -> "<PHONE>")
 
   def redactPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (acc, (pat, marker)) =>
@@ -99,8 +104,11 @@ object TextAnalysis {
     val ratio =
       round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6)
     // <2 tokens has no bigrams — and sequence(0, size-2) would COUNT DOWN
-    // (Spark infers step -1 when start > stop), fabricating phantom grams
-    when(expr(s"size($tokCol)") >= 2, ratio).otherwise(lit(0.0))
+    // (Spark infers step -1 when start > stop), fabricating phantom grams.
+    // NULL input stays NULL (a missing doc is not a zero-repetition doc).
+    when(expr(s"$tokCol IS NULL"), lit(null).cast("double"))
+      .when(expr(s"size($tokCol)") >= 2, ratio)
+      .otherwise(lit(0.0))
   }
 
   /** Rolling document fingerprint: polynomial hash of the token-hash

@@ -47,10 +47,15 @@ object TextHash {
     expr(s"transform($shCol, x -> pmod(cast(conv(substring(md5(x), 1, 15), 16, 10) as bigint), 4294967296))")
 
   /** MinHash parameters: h_k(x) = (a_k*x + b_k) mod p over 32-bit inputs;
-    * products stay < 2^60, exactly reproducible in int64 SQL. */
+    * products stay < 2^60, exactly reproducible in int64 SQL. The base
+    * constants are THE single source for every surface (typed operators,
+    * SQL registration, oracle builders) — duplicating them would let the
+    * hash family silently desynchronize. */
   val minhashP = 4294967291L // largest 32-bit prime
-  def minhashA(k: Int): Long = 15485863L * (k + 1)
-  def minhashB(k: Int): Long = 32452843L * k
+  val minhashABase = 15485863L
+  val minhashBBase = 32452843L
+  def minhashA(k: Int): Long = minhashABase * (k + 1)
+  def minhashB(k: Int): Long = minhashBBase * k
 
   /** MinHash signature: array of k minima of universal-hash permutations
     * of the precomputed 32-bit shingle-hash array (arithmetic only — no

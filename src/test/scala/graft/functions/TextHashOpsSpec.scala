@@ -45,7 +45,7 @@ class TextHashOpsSpec extends AnyFunSuite with SparkSpec {
     val both = base
       .withColumn("hof", TextHash.minhashSignature("hs", 8))
       .withColumn("nat", columns.minhashSig(col("hs"), 8,
-        TextHash.minhashP, 15485863L, 32452843L))
+        TextHash.minhashP, TextHash.minhashABase, TextHash.minhashBBase))
     assert(both.filter(expr("hof != nat")).count() === 0)
   }
 

@@ -30,7 +30,8 @@ class TextAnalysisSpec extends SparkSpec {
       Row(1L, "mail a.b+c@ex-1.org and d@e.io, host 192.168.0.1, call +1 (555) 123-4567"),
       Row(2L, "no pii here, just v1.2 and the year 1995"),
       Row(3L, null),
-      Row(4L, "revenue grew from 2019-2020, up 1 000 000 units; bare 555-000-4321"))
+      Row(4L, "revenue grew from 2019-2020, up 1 000 000 units; bare 555-000-4321"),
+      Row(5L, "ts 1691234567890 and order 12345678901234 stay intact"))
       .select(col("id"), TextAnalysis.redactPii(col("text")).as("red"))
     val red = df.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(red(1L).get === "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE>")
@@ -38,6 +39,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(red(3L).isEmpty) // null propagates, never throws
     // year ranges and spaced quantities are NOT phones; a bare 3-3-4 is
     assert(red(4L).get === "revenue grew from 2019-2020, up 1 000 000 units; bare <PHONE>")
+    // solid digit runs (epoch millis, order ids) are never half-redacted:
+    // mandatory group separators forbid mid-run matches
+    assert(red(5L).get === "ts 1691234567890 and order 12345678901234 stay intact")
   }
 
   test("markerCount counts literal occurrences by length arithmetic") {
