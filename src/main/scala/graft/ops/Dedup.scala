@@ -162,6 +162,36 @@ object Dedup {
       .distinct()
   }
 
+  /** ExactSubstr-style repeated-span coverage (the span-level dedup
+    * metric from "Deduplicating Training Data Makes Language Models
+    * Better": repeated w-token spans, not whole-doc dups, are what
+    * inflate memorization). Shape: w-gram inverted index (one explode),
+    * histogram of gram hashes, join back, then per-doc interval-union
+    * arithmetic via a lag window — `least(w, p - lag(p))` sums exactly
+    * the union size of the overlapping [p, p+w-1] intervals. Returns
+    * (id, covered_tokens) for docs with any repeated span. Within-doc
+    * repeats count (as in the paper). Shuffles: gram histogram + the
+    * per-doc window — both on narrow (hash|id, pos) rows, never text. */
+  def repeatedSpanCoverage(toks: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached: the per-doc hash arrays feed both the histogram and the
+    // join-back (compact: one int64 per gram; the EXPLODED rows are not
+    // cached). Same session-lifetime contract as the band-table cache.
+    val hs = Balance(toks).filter(size(col("tok")) >= w)
+      .select(col("id"),
+        graft.functions.columns.shingleHashes(col("tok"), w, mod32 = false).as("hs"))
+      .cache()
+    val g = hs.select(col("id"), posexplode(col("hs")).as(Seq("p", "h")))
+    val rep = g.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("h")
+    val win = Window.partitionBy("id").orderBy("p")
+    g.join(rep, Seq("h"))
+      .withColumn("__c",
+        least(lit(w), col("p") - coalesce(lag("p", 1).over(win), col("p") - w)))
+      .groupBy("id")
+      .agg(sum("__c").cast("bigint").as("covered_tokens"))
+  }
+
   /** SimHash fingerprints: (id, simhash). Near-dups share fingerprints (or
     * differ in few bits); grouping by fingerprint is a single hash shuffle. */
   def simhashFingerprints(

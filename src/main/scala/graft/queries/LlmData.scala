@@ -575,11 +575,46 @@ object LlmData {
     }
   }
 
+  /** Repeated-span coverage (ExactSubstr span dedup metric) over the
+    * near-dup fixture: the truncated copies share long token prefixes
+    * with their originals, so both sides of each pair report the shared
+    * spans' union size. The oracle replicates the inverted-index +
+    * lag-window interval-union arithmetic (positions are 1-based there,
+    * 0-based in Spark — only differences enter the sum, so the offset
+    * cancels). */
+  val q69_span_coverage = {
+    val sh8 = (0 until 8).map(j => s"tok[i + $j]").mkString(" || ' ' || ")
+    Q(
+      "q69_span_coverage",
+      s"""WITH toks AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS tok
+        |  FROM documents),
+        |corpus AS (SELECT id, tok FROM toks WHERE len(tok) >= 8),
+        |shard AS (SELECT id + 1000000 AS id, array_slice(tok, 1, len(tok) - 5) AS tok
+        |  FROM toks WHERE id < 25 AND len(tok) >= 20),
+        |ad AS (SELECT * FROM corpus UNION ALL SELECT * FROM shard),
+        |h8 AS (SELECT id, list_transform(range(1, len(tok) - 6),
+        |    i -> ('0x' || substr(md5($sh8), 1, 15))::BIGINT) AS hs
+        |  FROM ad WHERE len(tok) >= 8),
+        |g AS (SELECT id, u['p'] AS p, u['h'] AS h
+        |  FROM (SELECT id, unnest(list_transform(range(1, len(hs) + 1),
+        |      i -> struct_pack(p := i, h := hs[i]))) AS u FROM h8)),
+        |rep AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |c AS (SELECT g.id, least(8, g.p - coalesce(
+        |      lag(g.p) OVER (PARTITION BY g.id ORDER BY g.p), g.p - 8)) AS c
+        |  FROM g JOIN rep ON g.h = rep.h)
+        |SELECT id, cast(sum(c) AS BIGINT) AS covered_tokens
+        |FROM c GROUP BY id""".stripMargin) { (s, dir) =>
+      val (corpus, shard) = nearDupFixture(s, dir)
+      Dedup.repeatedSpanCoverage(corpus.unionByName(shard), w = 8)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
     q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,
     q47_embedding_near_dup, q48_token_counts, q49_ann_ivf,
     q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
-    q67_repetition_filter, q68_incremental_dedup)
+    q67_repetition_filter, q68_incremental_dedup, q69_span_coverage)
 }

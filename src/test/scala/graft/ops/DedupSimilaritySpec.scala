@@ -82,6 +82,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Set((500L, 1L))) // only the min-id representative
   }
 
+  test("repeatedSpanCoverage: interval-union arithmetic on shared prefixes") {
+    import graft.ops.TextHash.tokens
+    val shared = (1 to 10).map(i => s"t$i")
+    val d1 = (shared ++ (11 to 20).map(i => s"x$i")).mkString(" ")
+    val d2 = (shared ++ (11 to 20).map(i => s"y$i")).mkString(" ")
+    val d3 = ((1 to 8) ++ (1 to 8)).map(i => s"v$i").mkString(" ") // 8-span twice
+    val d4 = (21 to 40).map(i => s"z$i").mkString(" ")             // no repeats
+    val df = mkDf(docSchema, Row(1L, d1), Row(2L, d2), Row(3L, d3), Row(4L, d4))
+      .select(col("id"), tokens(col("text")).as("tok"))
+    val cov = Dedup.repeatedSpanCoverage(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // docs 1/2: 10-token shared prefix -> grams at 3 positions, union = 10;
+    // doc 3: identical grams at p0 and p8, union = 8 + 8 = whole doc;
+    // doc 4 has no repeated span and is absent
+    assert(cov === Map(1L -> 10L, 2L -> 10L, 3L -> 16L))
+  }
+
   test("simhash: identical token bags share fingerprints") {
     val df = mkDf(docSchema, Row(1L, "a b c d e f g h"), Row(2L, "a b c d e f g h"),
       Row(3L, "q r s t u v w x"))
