@@ -24,7 +24,10 @@ object Views {
   /** Columns that get a helper, with the helper expression. */
   def dateHelperFor(field: StructField): Option[org.apache.spark.sql.Column] =
     field.dataType match {
-      case TimestampType => Some(to_date(col(field.name)))
+      // NTZ included: parquet timestamp WITHOUT timezone (the fixtures'
+      // and most warehouses' physical type) arrives as TimestampNTZType,
+      // which a TimestampType-only match silently skips
+      case TimestampType | TimestampNTZType => Some(to_date(col(field.name)))
       case DateType => Some(col(field.name))
       case StringType if fechaRe.findFirstIn(field.name).isDefined =>
         Some(CleanRules.stringDateHelper(col(field.name)))
@@ -48,4 +51,13 @@ object Views {
     withDateHelpers(df).createOrReplaceTempView(name)
     name
   }
+
+  /** The whole-database sweep (generate_analytics_views.py main loop):
+    * one `*_v` analytics view per table in the parquet directory.
+    * Returns the registered view names. */
+  def registerAll(spark: SparkSession, dir: String,
+      db: String = "graft"): Seq[String] =
+    graft.Tables.names.map { n =>
+      registerAnalyticsView(spark, graft.Tables.load(spark, dir, n), db, n)
+    }
 }

@@ -55,6 +55,17 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sh.length === 2 && sh.forall(!_.isNullAt(1)))
   }
 
+  test("Views.registerAll: one analytics view per table, date helpers queryable") {
+    val names = graft.views.Views.registerAll(spark, dir)
+    assert(names.length === Tables.names.length)
+    assert(names.forall(_.endsWith("_v")))
+    // the BI query the reference's views exist for: group by the helper
+    val byDay = spark.sql(
+      """SELECT o_orderdate_date AS d, count(*) AS n
+        |FROM graft_analytics__orders_v GROUP BY 1 ORDER BY d DESC LIMIT 5""".stripMargin)
+    assert(byDay.count() === 5)
+  }
+
   test("A7 at scale: approx_count_distinct within 5% of exact") {
     val events = Tables.load(spark, dir, "events")
     val row = events.agg(
