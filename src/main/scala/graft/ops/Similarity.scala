@@ -148,6 +148,43 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"))
   }
 
+  /** Two-stage retrieval: COARSE rank in a `projDim`-dimensional random
+    * projection (deterministic md5-derived planes — the same family as
+    * the LSH signatures, so projections are stable across jobs and
+    * reproducible in the oracle), keep a per-query `shortlist`, then
+    * EXACT-cosine rerank only the shortlist. The production pattern when
+    * neither IVF lists nor LSH buckets fit: per-pair coarse cost drops
+    * dim/projDim-fold (64→8 here), and the expensive exact scoring
+    * touches `shortlist` rows per query instead of the corpus. The
+    * projection itself is a narrow per-row pass (projDim native dot
+    * products against plan-time literal planes); at scale the coarse
+    * stage composes with the LSH bucket join to avoid the full scan too. */
+  def projectedRerankTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      projDim: Int, shortlist: Int, dim: Int): DataFrame = {
+    def proj(v: Column): Column = array((0 until projDim).map { j =>
+      graft.functions.columns.dotProduct(v,
+        typedLit(graft.functions.VectorOpsUtil.plane(j).take(dim).toIndexedSeq))
+    }: _*)
+    val c = Balance(corpus)
+      .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
+      .withColumn("np", proj(col("nv")))
+    val q = broadcast(
+      queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+        .withColumn("qp", proj(col("qv"))))
+    val coarse = c.join(q, col("nid") =!= col("qid"))
+      .withColumn("csim", cosine(col("qp"), col("np")))
+    val w1 = Window.partitionBy("qid").orderBy(col("csim").desc, col("nid"))
+    val sl = coarse.withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= shortlist)
+    val w2 = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    sl.withColumn("sim", cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
   /** Int8 scalar quantization of an embedding column (the IVF-SQ8 memory
     * lever: a 100 TB float32 corpus becomes 25 TB of int8 codes, the
     * difference between an index that fits executor memory and one that

@@ -610,11 +610,42 @@ object LlmData {
     }
   }
 
+  /** Two-stage ANN (coarse 8-dim projection shortlist → exact rerank):
+    * the oracle computes the identical projections from the shared
+    * md5-derived plane formula (bit-equal doubles — int64→double rounds
+    * half-even in both engines, /2^60 and *2 are exact power-of-two
+    * scalings), the same 50-deep shortlist, and the same exact-cosine
+    * rerank. Integer ranks out, as for every ANN gate. */
+  val q70_two_stage_ann = {
+    val projList = (0 until 8).map { j =>
+      s"list_sum(list_transform(range(0, 64), i -> v[i+1] * ${Similarity.planeSqlDuck(j, "i")}))"
+    }.mkString("[\n      |    ", ",\n      |    ", "]")
+    Q(
+      "q70_two_stage_ann",
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id, v, $projList AS pv FROM e),
+        |c AS (SELECT q.vec_id AS qid, n.vec_id AS nid, q.v AS qv, n.v AS nv,
+        |    list_cosine_similarity(q.pv, n.pv) AS csim
+        |  FROM p q JOIN p n ON q.vec_id < 5 AND n.vec_id != q.vec_id),
+        |sl AS (SELECT qid, nid, qv, nv FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY qid ORDER BY csim DESC, nid) AS r FROM c)
+        |  WHERE r <= 50)
+        |SELECT qid, rank, nid FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY list_cosine_similarity(qv, nv) DESC, nid) AS rank
+        |  FROM sl) WHERE rank <= 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.projectedRerankTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, projDim = 8, shortlist = 50, dim = 64)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
     q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,
     q47_embedding_near_dup, q48_token_counts, q49_ann_ivf,
     q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
-    q67_repetition_filter, q68_incremental_dedup, q69_span_coverage)
+    q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
+    q70_two_stage_ann)
 }

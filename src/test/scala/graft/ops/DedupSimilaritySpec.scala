@@ -172,6 +172,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact === approx)
   }
 
+  test("two-stage ANN with full-corpus shortlist equals brute force exactly") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 40L).map(i => Row(i, vec(Seq.fill(8)(rnd.nextGaussian()): _*)))
+    val df = mkDf(vecSchema, rows: _*)
+    val q = df.filter(col("vec_id") < 3L)
+    // shortlist covers the whole corpus -> the coarse stage filters
+    // nothing and the exact rerank must reproduce brute force
+    val ts = Similarity.projectedRerankTopK(df, q, "vec_id", "embedding",
+        k = 5, projDim = 4, shortlist = 39, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ts === brute)
+  }
+
   test("LSH ANN: results are a subset of brute-force, same relative order") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 40L).map(i => Row(i, vec(Seq.fill(8)(rnd.nextGaussian()): _*)))
