@@ -51,10 +51,7 @@ object Similarity {
       .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
     val scored = c.join(q, col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"))
+    topKPerQuery(scored, "sim", k)
   }
 
   /** Deterministic random-hyperplane signature (`bits` wide) of an
@@ -142,10 +139,7 @@ object Similarity {
     val probes = assign(queries, "qid", "qv", nprobe)
     val scored = lists.join(probes, Seq("cid")).filter(col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"))
+    topKPerQuery(scored, "sim", k)
   }
 
   /** Two-stage retrieval: COARSE rank in a `projDim`-dimensional random
@@ -163,24 +157,42 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       projDim: Int, shortlist: Int, dim: Int): DataFrame = {
+    // slice to `dim` first: same contract as hyperplaneSig ("a longer
+    // vector must not change the result") — the strict-length native dot
+    // would otherwise NULL every projection on a dim mismatch and the
+    // shortlist would silently degenerate to an ordering by id
     def proj(v: Column): Column = array((0 until projDim).map { j =>
-      graft.functions.columns.dotProduct(v,
+      graft.functions.columns.dotProduct(slice(v, 1, dim),
         typedLit(graft.functions.VectorOpsUtil.plane(j).take(dim).toIndexedSeq))
     }: _*)
     val c = Balance(corpus)
       .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
-      .withColumn("np", proj(col("nv")))
     val q = broadcast(
-      queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-        .withColumn("qp", proj(col("qv"))))
-    val coarse = c.join(q, col("nid") =!= col("qid"))
-      .withColumn("csim", cosine(col("qp"), col("np")))
+      queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv")))
+    // coarse stage on NARROW rows: (qid, nid, csim) only — the shortlist
+    // window must never shuffle the full vector payload (that would cost
+    // MORE than brute force); survivors re-join the corpus for their
+    // vectors (sl is queries x shortlist rows — AQE broadcasts it, so
+    // the fetch is a second narrow pass over the corpus, not a shuffle)
+    val coarse = c
+      .select(col("nid"), proj(col("nv")).as("np"))
+      .join(q.select(col("qid"), proj(col("qv")).as("qp")), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qp"), col("np")).as("csim"))
     val w1 = Window.partitionBy("qid").orderBy(col("csim").desc, col("nid"))
     val sl = coarse.withColumn("__r", row_number().over(w1))
       .filter(col("__r") <= shortlist)
-    val w2 = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    sl.withColumn("sim", cosine(col("qv"), col("nv")))
-      .withColumn("rank", row_number().over(w2))
+      .select("qid", "nid")
+    val rerank = sl.join(c, Seq("nid")).join(q, Seq("qid"))
+      .withColumn("sim", cosine(col("qv"), col("nv")))
+    topKPerQuery(rerank, "sim", k)
+  }
+
+  /** Shared final stage of every ANN operator: per-query rank by score
+    * desc with the id tie-break, keep k — ONE place for the output/
+    * tie-break contract the oracles pin. */
+  private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col(scoreCol).desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"))
   }
@@ -294,9 +306,6 @@ object Similarity {
         .withColumn("qsig", hyperplaneSig("qv", bits, dim)))
     val scored = c.join(q, col("nsig") === col("qsig") && col("nid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"))
+    topKPerQuery(scored, "sim", k)
   }
 }

@@ -53,11 +53,13 @@ object Views {
   }
 
   /** The whole-database sweep (generate_analytics_views.py main loop):
-    * one `*_v` analytics view per table in the parquet directory.
-    * Returns the registered view names. */
+    * one `*_v` analytics view per table DISCOVERED in the parquet
+    * directory (S2 discovery, like the reference enumerating
+    * information_schema — not a hardcoded list: extra tables are swept,
+    * missing ones simply absent). Returns the registered view names. */
   def registerAll(spark: SparkSession, dir: String,
       db: String = "graft"): Seq[String] =
-    graft.Tables.names.map { n =>
+    graft.sources.Sources.discoverParquetTables(spark, dir).map { n =>
       registerAnalyticsView(spark, graft.Tables.load(spark, dir, n), db, n)
     }
 }
