@@ -15,12 +15,39 @@ object Profile {
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // comma-separated phase selector: q51,q31,q47,ingest (default: all)
+    val phases = sys.env.getOrElse("SPARK_GRAFT_PROFILE", "q51,q31,ingest")
+      .split(",").map(_.trim).toSet
     val spark = GraftSession.fromEnv("graft-profile")
     Tables.load(spark, dir, "region").count() // warm
 
     val out = java.nio.file.Files.createTempDirectory("graft_prof_").toString
+    // q47 bisect: where does the embedding near-dup pipeline spend time?
+    if (phases("q47")) {
+      import org.apache.spark.sql.functions._
+      def t(label: String)(f: => Any): Unit = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        f
+        println(f"[profile] q47 $label%-36s wall ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      val base = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val copies = base.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          expr("transform(v, x -> x * 1.01d)").as("v"))
+      val e = base.unionByName(copies)
+      t("load+count")(e.count())
+      t("hyperplaneSig")(e.withColumn("bucket",
+        graft.ops.Similarity.hyperplaneSig("v", 8, 64)).groupBy("bucket").count().count())
+      (1 to 3).foreach { rep =>
+        t(s"full cosineNearDupPairs rep $rep")(graft.ops.Similarity.cosineNearDupPairs(
+          e, "vec_id", "v", threshold = 0.9999, bits = 8, dim = 64,
+          maxBucketSize = Int.MaxValue).count())
+      }
+    }
     // q51 shape: concurrent all-table ingest + audit
-    locally {
+    if (phases("q51")) {
       val names = Tables.names
       val tables = names.map { name =>
         (SchemaReflector.fromParquet(spark, s"$dir/$name.parquet", name),
@@ -42,7 +69,7 @@ object Profile {
       graft.GraftTmp.purge()
     }
     // q31 bisect: where does the minhash pipeline spend CPU?
-    locally {
+    if (phases("q31")) {
       import org.apache.spark.sql.functions._
       val taskMs = new java.util.concurrent.atomic.AtomicLong
       val listener = new org.apache.spark.scheduler.SparkListener {
@@ -84,7 +111,7 @@ object Profile {
         ad, 3, 8, 4, maxBucketSize = Int.MaxValue).count())
     }
 
-    Seq("lineitem", "events").foreach { n =>
+    (if (phases("ingest")) Seq("lineitem", "events") else Seq.empty[String]).foreach { n =>
       val meta = SchemaReflector.fromParquet(spark, s"$dir/$n.parquet", n)
       val src = Tables.load(spark, dir, n)
       println(s"[profile] $n partitions=${src.rdd.getNumPartitions}")

@@ -18,7 +18,12 @@ object Verify {
       import scala.concurrent.duration.Duration
       val pool = Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val fs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      // optional dev-only subset (driver sets no env → all queries)
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val fs = SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+        .map { case (name, fn) =>
         Future {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")

@@ -1,0 +1,216 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines (LLM-data
+  * extensions beyond the reference): line-level corpus dedup (C4-style),
+  * Bloom-prefiltered decontamination, global sequence packing, sliding
+  * token-window chunking, deterministic weighted sampling.
+  *
+  * Every operator is built from native `functions._` expressions (no
+  * UDFs): whole-stage-codegen-friendly and arithmetic-portable to the
+  * DuckDB oracle. Hashes reuse the md5-based `TextHash.portableHash`
+  * family so oracle SQL reproduces them bit-for-bit.
+  */
+object Corpus {
+
+  // ---------------------------------------------------------------- lines
+
+  /** C4-style line-level corpus dedup: a "line" (any `delim`-separated
+    * segment) that occurs more than `maxOcc` times across the WHOLE corpus
+    * is dropped from every document; surviving lines are reassembled in
+    * their original order.
+    *
+    * Shape (scale-first): posexplode lines (narrow) → one hash-count
+    * shuffle on the 60-bit line hash → hash join back (line table is
+    * skew-resistant: key = content hash) → one reassembly shuffle on the
+    * doc id. Work is linear in corpus lines; no per-pair comparisons. At
+    * 100 TB the count table is itself large but stays (hash, count) — two
+    * longs per distinct line — and the join is a plain shuffled hash join;
+    * a production variant can swap the exact count for a CountMinSketch
+    * broadcast when approximate thresholds are acceptable.
+    *
+    * Returns (idCol, text, n_kept, n_dropped) — `text` is the surviving
+    * document (empty string when every line was boilerplate).
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      delimRegex: String = "\n", maxOcc: Long = 1): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), delimRegex)).as(Seq("pos", "line")))
+      .withColumn("h", TextHash.portableHash(col("line")))
+    val counts = lines.groupBy("h").agg(count(lit(1)).as("__n"))
+    val kept = lines.join(counts, Seq("h"))
+      .filter(col("__n") <= maxOcc)
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("text"),
+        count(lit(1)).as("n_kept"))
+    val total = lines.groupBy(idCol).agg(count(lit(1)).as("__tot"))
+    docs.select(col(idCol)).join(kept, Seq(idCol), "left").join(total, Seq(idCol))
+      .select(col(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__tot") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  // ---------------------------------------------------------------- bloom
+
+  /** Driver-side Bloom-filter build over a (small) benchmark hash set:
+    * `mBits` bits as a packed long[] with `k` probes per element. The
+    * probe scheme is double hashing derived arithmetically from the
+    * 60-bit input hash — build and probe only need to agree; filter
+    * quality affects cost, never correctness (no false negatives). */
+  def bloomBuild(hashes: Array[Long], mBits: Int, k: Int): Array[Long] = {
+    require(mBits > 0 && mBits % 64 == 0, s"mBits ($mBits) must be a positive multiple of 64")
+    val bits = new Array[Long](mBits / 64)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      val g2 = ((h >>> 17) | 1L) % mBits
+      var j = 0
+      while (j < k) {
+        val pos = (((h % mBits) + j * g2) % mBits + mBits) % mBits
+        bits((pos / 64).toInt) |= (1L << (pos % 64))
+        j += 1
+      }
+      i += 1
+    }
+    bits
+  }
+
+  /** Membership probe as a pure Column expression over the SAME double-
+    * hashing scheme as [[bloomBuild]]: the bit array ships as a literal
+    * (constant-folded into codegen; at production scale, an executor
+    * broadcast with a native expression). k AND-ed bit tests per row —
+    * no shuffle, no UDF. */
+  def bloomMightContain(h: Column, bits: Array[Long], mBits: Int, k: Int): Column = {
+    val arr = lit(bits)
+    val m = lit(mBits.toLong)
+    val g2 = (shiftrightunsigned(h, 17).bitwiseOR(lit(1L))) % m
+    (0 until k).map { j =>
+      val pos = pmod((pmod(h, m)) + lit(j.toLong) * g2, m)
+      // the functions-API shiftright only takes a literal shift amount;
+      // call_function reaches the SQL overload with a column amount
+      (call_function("shiftright",
+        element_at(arr, (pos / 64).cast("int") + 1), (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L)
+    }.reduce(_ && _)
+  }
+
+  /** Benchmark decontamination with a Bloom prefilter: corpus shingle
+    * hashes are screened map-side against a compact filter built from the
+    * benchmark's shingles, and only Bloom-positive shingles reach the
+    * exact confirm join. Because a Bloom filter has NO false negatives,
+    * the output is bit-identical to the exact semi-join — the filter
+    * only shrinks the shuffled side (at 100 TB: megabytes broadcast
+    * instead of re-shuffling every corpus shingle).
+    *
+    * Returns (docIdCol, n_shared) for corpus docs with ≥1 benchmark
+    * shingle hit.
+    */
+  def bloomDecontaminate(corpusShingles: DataFrame, benchShingles: DataFrame,
+      docIdCol: String = "doc_id", hCol: String = "h",
+      mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    val benchHashes = benchShingles.select(col(hCol)).distinct()
+    // the benchmark side is small by construction (held-out eval suites);
+    // collect is the explicit, documented driver-side step of the build
+    val hs = benchHashes.collect().map(_.getLong(0))
+    val bits = bloomBuild(hs, mBits, k)
+    corpusShingles
+      .filter(bloomMightContain(col(hCol), bits, mBits, k))
+      .join(benchHashes, Seq(hCol))
+      .groupBy(docIdCol)
+      .agg(countDistinct(hCol).as("n_shared"))
+  }
+
+  // -------------------------------------------------------------- packing
+
+  /** Global exclusive-prefix token offset per doc in `orderCol` order,
+    * WITHOUT a single-partition global window: per-range-partition
+    * cumulative sums run in parallel, the tiny per-partition totals are
+    * prefix-summed on the driver, and each partition's offset joins back
+    * by partition id. This is the textbook distributed scan — the naive
+    * `Window.orderBy(orderCol)` (no partitionBy) collapses 100 TB into
+    * one task. Adds (__start) = tokens before this doc. */
+  def globalTokenOffsets(docs: DataFrame, orderCol: String, tokCol: String,
+      numParts: Int = 32): DataFrame = {
+    val parts = docs.repartitionByRange(numParts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    val local = parts.withColumn("__cum", sum(col(tokCol)).over(w))
+    val totals = local.groupBy("__pid").agg(max("__cum").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p))).toMap
+    val offCol = pids.foldLeft(lit(0L)) { (acc, p) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    local.withColumn("__start", col("__cum") - col(tokCol) + offCol)
+      .drop("__pid", "__cum")
+  }
+
+  /** Offset-chunk sequence packing: documents in deterministic `orderCol`
+    * order are laid head-to-tail on a global token tape; a document joins
+    * the training sequence its FIRST token lands in (`floor(start /
+    * budget)`). One distributed scan ([[globalTokenOffsets]]) + one
+    * aggregation — the packing a concat-and-chunk pretraining loader
+    * applies, computed corpus-parallel.
+    *
+    * Returns per-sequence stats (seq_id, n_docs, n_tokens, first_doc,
+    * last_doc).
+    */
+  def packSequences(docs: DataFrame, orderCol: String, tokCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    globalTokenOffsets(docs, orderCol, tokCol)
+      .withColumn("seq_id", floor(col("__start") / budget))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokCol)).as("n_tokens"),
+        min(orderCol).as("first_doc"), max(orderCol).as("last_doc"))
+  }
+
+  // ------------------------------------------------------------- chunking
+
+  /** Sliding token-window chunk spans per document (the RAG / long-context
+    * chunking primitive): starts at 0, stride, 2·stride, … while < n_tok;
+    * each chunk holds `least(window, n_tok - start)` tokens. Pure narrow
+    * explode — rows out ≈ rows in × n/stride, no shuffle until the caller
+    * aggregates. Returns (idCol, chunk_id, start, n_chunk_tokens). */
+  def chunkSpans(docs: DataFrame, idCol: String, tokCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive")
+    docs
+      .select(col(idCol), col(tokCol).cast("long").as("__n"))
+      .withColumn("start",
+        explode(sequence(lit(0L), greatest(col("__n") - 1, lit(0L)), lit(stride.toLong))))
+      .select(col(idCol),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start"),
+        least(lit(window.toLong), col("__n") - col("start")).as("n_chunk_tokens"))
+  }
+
+  // ------------------------------------------------------------- sampling
+
+  /** Deterministic weighted priority sample: top-`k` docs by key
+    * `u / weight` ASC where `u` is the doc's md5-derived 60-bit uniform —
+    * heavier docs draw systematically smaller keys, so selection
+    * probability rises with weight. Deliberately libm-free (no ln/pow —
+    * int64→double conversion and one IEEE division are bit-identical in
+    * every engine; an exact A-Res would use ln(u)/w and stop being
+    * hash-reproducible across libms). One narrow projection + TakeOrdered
+    * top-k — no full sort materialization. */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame =
+    docs
+      .withColumn("__key",
+        TextHash.portableHash(col(idCol).cast("string")).cast("double") /
+          col(weightCol).cast("double"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__key")
+}

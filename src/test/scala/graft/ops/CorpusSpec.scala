@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators: line dedup semantics, Bloom filter
+  * exactness (prefilter must equal the exact semi-join), distributed
+  * prefix-sum packing vs the naive global window, chunk-span arithmetic,
+  * weighted-sample determinism.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType, false),
+    StructField("text", StringType, true)))
+
+  test("lineDedup drops corpus-repeated lines, keeps order, counts both sides") {
+    val df = mkDf(docSchema,
+      Row(1L, "alpha\nshared line\nbeta"),
+      Row(2L, "shared line\ngamma"),
+      Row(3L, "delta\nepsilon"),
+      Row(4L, "")) // single empty line, unique only if no other doc is empty
+    val out = Corpus.lineDedup(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha\nbeta", 2L, 1L)))      // shared line dropped, order kept
+    assert(out(2L) == (("gamma", 1L, 1L)))
+    assert(out(3L) == (("delta\nepsilon", 2L, 0L)))   // nothing repeated
+    assert(out(4L) == (("", 1L, 0L)))                 // unique empty line survives
+  }
+
+  test("lineDedup with all lines dropped yields empty text, n_kept 0") {
+    val df = mkDf(docSchema,
+      Row(1L, "same"), Row(2L, "same"), Row(3L, "same"))
+    val out = Corpus.lineDedup(df, "doc_id", "text").collect()
+    assert(out.length == 3)
+    assert(out.forall(r => r.getString(1) == "" && r.getLong(2) == 0L && r.getLong(3) == 1L))
+  }
+
+  test("bloomBuild/bloomMightContain: no false negatives, measurable selectivity") {
+    val members = (0L until 200L).map(i => i * 7919L + 13L).toArray
+    val bits = Corpus.bloomBuild(members, mBits = 1 << 12, k = 3)
+    val probe = mkDf(
+      StructType(Seq(StructField("h", LongType, false))),
+      ((members.toSeq ++ (100000L until 102000L).map(_ * 104729L)).map(Row(_))): _*)
+    val pos = probe.filter(Corpus.bloomMightContain(col("h"), bits, 1 << 12, 3))
+      .collect().map(_.getLong(0)).toSet
+    assert(members.forall(pos.contains), "bloom dropped a true member (false negative)")
+    // 4096 bits / 200 keys / k=3 → fp rate ~2%; allow generous slack
+    assert(pos.size - members.length < 400,
+      s"bloom passed ${pos.size - members.length} of 2000 non-members — filter is not filtering")
+  }
+
+  test("bloomDecontaminate equals the exact semi-join") {
+    val mk = (ids: Seq[(Long, Long)]) => mkDf(
+      StructType(Seq(StructField("doc_id", LongType, false),
+        StructField("h", LongType, false))),
+      ids.map { case (d, h) => Row(d, h) }: _*)
+    val corpus = mk(Seq(10L -> 1L, 10L -> 2L, 10L -> 2L, 11L -> 3L, 12L -> 4L, 12L -> 1L))
+    val bench = mk(Seq(0L -> 1L, 0L -> 2L, 1L -> 9L))
+    val got = Corpus.bloomDecontaminate(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact: doc 10 shares {1,2}, doc 12 shares {1}; doc 11 clean
+    assert(got == Map(10L -> 2L, 12L -> 1L))
+  }
+
+  test("globalTokenOffsets/packSequences match the naive global window") {
+    val rows = (1L to 500L).map(i => Row(i, (i * 2654435761L % 97L) + 1L))
+    val docs = mkDf(StructType(Seq(StructField("id", LongType, false),
+      StructField("tok", LongType, false))), rows: _*).repartition(7)
+    val naive = docs
+      .withColumn("__start",
+        sum("tok").over(org.apache.spark.sql.expressions.Window.orderBy("id")) - col("tok"))
+      .select("id", "__start").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Corpus.globalTokenOffsets(docs, "id", "tok", numParts = 5)
+      .select("id", "__start").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == naive)
+
+    val packed = Corpus.packSequences(docs, "id", "tok", budget = 256L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // sequences partition the docs: doc counts and token sums add back up
+    assert(packed.values.map(_._1).sum == 500L)
+    assert(packed.values.map(_._2).sum == rows.map(_.getLong(1)).sum)
+    // every doc's first token lands in its sequence's budget window
+    val seqOf = naive.map { case (id, st) => id -> st / 256L }
+    assert(seqOf.values.toSet == packed.keySet)
+  }
+
+  test("chunkSpans covers every token, stride arithmetic exact") {
+    val docs = mkDf(StructType(Seq(StructField("id", LongType, false),
+      StructField("tok", IntegerType, false))),
+      Row(1L, 100), Row(2L, 32), Row(3L, 33), Row(4L, 1), Row(5L, 24))
+    val out = Corpus.chunkSpans(docs, "id", "tok", window = 32, stride = 24)
+      .groupBy("id").agg(count(lit(1)).as("n"), max(col("start") + col("n_chunk_tokens")).as("hi"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((5L, 100L)))  // starts 0,24,48,72,96; last chunk 4 tokens
+    assert(out(2L) == ((2L, 32L)))   // 0 (full) + 24 (8 tokens)
+    assert(out(3L) == ((2L, 33L)))
+    assert(out(4L) == ((1L, 1L)))
+    assert(out(5L) == ((1L, 24L)))   // stride == n → single chunk
+  }
+
+  test("weightedSample is deterministic and favors heavy docs") {
+    val docs = mkDf(StructType(Seq(StructField("doc_id", LongType, false),
+      StructField("w", LongType, false))),
+      (1L to 400L).map(i => Row(i, if (i <= 200) 1000L else 1L)): _*)
+    val a = Corpus.weightedSample(docs, "doc_id", "w", 50).collect().map(_.getLong(0)).toSet
+    val b = Corpus.weightedSample(docs, "doc_id", "w", 50).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same inputs must select the same sample")
+    val heavy = a.count(_ <= 200L)
+    assert(heavy > 40, s"only $heavy of 50 sampled docs are from the 1000x-weighted half")
+  }
+}
