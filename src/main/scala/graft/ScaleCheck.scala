@@ -76,11 +76,20 @@ object ScaleCheck {
     val embN = mat("embN", replicate(
       Tables.load(spark, sf, "embeddings"), n, Seq("vec_id"), 10_000_000L))
 
+    // comma-separated kernel-name filter for focused re-measurement
+    // (JIT/interference triage): SPARK_GRAFT_KERNELS=bloom_decontam,...
+    val kernelFilter = sys.env.get("SPARK_GRAFT_KERNELS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     def kernels(tag: String, docs: String, line: String, emb: String): Map[String, Double] = {
       val d = spark.read.parquet(docs)
       val l = spark.read.parquet(line)
       val e = spark.read.parquet(emb)
-      val r = scala.collection.mutable.Map[String, Double]()
+      val all = scala.collection.mutable.Map[String, Double]()
+      val r = new {
+        def update(k: String, v: => Double): Unit =
+          if (kernelFilter.forall(_.contains(k))) all(k) = v
+      }
       r("ingest_clean_write") = time(s"$tag ingest lineitem (clean+sort+write)") {
         val meta = SchemaReflector.fromParquet(spark, line, "lineitem")
         Ingest.ingestTable(spark, l, meta, s"$base/out_$tag", DedupMode.NoDedup)
@@ -122,7 +131,31 @@ object ScaleCheck {
         l.groupBy("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count()
       }
-      r.toMap
+      // replicated docs repeat every line N times → N-fold drops: the
+      // hash-count + join-back + reassembly path under max duplication
+      r("line_dedup") = time(s"$tag C4 line-level dedup") {
+        graft.ops.Corpus.lineDedup(
+          d.select(col("doc_id"),
+            regexp_replace(col("text"), " (the|a) ", "\n").as("text")),
+          "doc_id", "text").agg(sum("n_dropped")).collect()
+      }
+      r("seq_packing") = time(s"$tag sequence packing (two-phase scan)") {
+        graft.ops.Corpus.packSequences(
+          d.select(col("doc_id"), col("n_chars").as("tok")),
+          "doc_id", "tok", budget = 4096L).count()
+      }
+      r("bloom_decontam") = time(s"$tag bloom decontamination") {
+        // fixed bench set (base replica, every 50th doc) while the corpus
+        // scales — the broadcast-filter side must stay constant
+        val sh = d.select(col("doc_id"), graft.ops.TextHash.tokens(col("text")).as("tok"))
+          .filter(size(col("tok")) >= 6)
+          .select(col("doc_id"), explode(
+            graft.functions.columns.shingleHashes(col("tok"), 6, mod32 = false)).as("h"))
+        val bench = sh.filter(col("doc_id") < 10_000_000L && col("doc_id") % 50 === 0)
+        graft.ops.Corpus.bloomDecontaminate(
+          sh.filter(col("doc_id") % 50 =!= 0), bench).count()
+      }
+      all.toMap
     }
 
     println(s"[scale] --- 1x (sf0.1) ---")

@@ -66,13 +66,15 @@ object Components {
       // plan — measured: the 200-node chain test burned an hour of CPU
       // in the analyzer). Eager, so the round is materialized before we
       // free the round-before-last's blocks below.
+      // the convergence metric rides the checkpoint's materialization job
+      // via observe() — no separate aggregate job per round
+      val obs = new org.apache.spark.sql.Observation()
       val stepped = next
         .select(col("id"), col("newLbl").as("lbl"),
           (col("newLbl") =!= col("lbl")).cast("long").as("__chg"))
+        .observe(obs, coalesce(sum("__chg"), lit(0L)).as("chg"))
         .localCheckpoint(true)
-      // coalesce: sum over an empty frame is NULL (no-edge input)
-      changed = stepped.agg(coalesce(sum("__chg"), lit(0L)))
-        .collect()(0).getLong(0)
+      changed = obs.get("chg").asInstanceOf[Long]
       // free the blocks of the round before last (localCheckpoint pins
       // its RDD until GC otherwise — one full label-table copy per round)
       prevRoundRdd.foreach(_.unpersist(blocking = false))
