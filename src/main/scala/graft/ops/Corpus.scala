@@ -194,6 +194,60 @@ object Corpus {
         least(lit(window.toLong), col("__n") - col("start")).as("n_chunk_tokens"))
   }
 
+  /** Chunk TEXT materialization on top of [[chunkSpans]]: the chunk's
+    * tokens re-joined with single spaces. Token-slice arithmetic mirrors
+    * the span variant exactly; still one narrow explode. */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive")
+    docs
+      .select(col(idCol), TextHash.tokens(col(textCol)).as("__tok"))
+      .withColumn("__n", size(col("__tok")).cast("long"))
+      .withColumn("start",
+        explode(sequence(lit(0L), greatest(col("__n") - 1, lit(0L)), lit(stride.toLong))))
+      .select(col(idCol),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start"),
+        array_join(slice(col("__tok"), (col("start") + 1).cast("int"), lit(window)), " ")
+          .as("chunk_text"))
+  }
+
+  // --------------------------------------------------------------- shards
+
+  /** Deterministic training-shard assignment — the global-shuffle step a
+    * pretraining export runs after curation: shard = portable hash of the
+    * doc id mod `nShards` (uniform, reproducible across runs/engines) and
+    * an independent within-shard order key (second hash family), so
+    * neighboring source docs land in different shards in decorrelated
+    * order. Pure narrow projection; the writer path is
+    * `.repartition(nShards, col("shard")).sortWithinPartitions("ord")` +
+    * `partitionBy("shard")` — one shuffle, every shard written in
+    * parallel. */
+  def shardAssign(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards ($nShards) must be positive")
+    docs
+      .withColumn("shard",
+        pmod(TextHash.portableHash(col(idCol).cast("string")), lit(nShards.toLong)))
+      .withColumn("ord", TextHash.portableHash(col(idCol).cast("string"), seed = 1))
+  }
+
+  /** Write the curated corpus as `nShards` deterministic shards (one
+    * parquet directory per shard, rows shuffled within shard by the
+    * decorrelated order key). Returns the per-shard (shard, n_docs)
+    * manifest. */
+  def writeShards(docs: DataFrame, idCol: String, nShards: Int,
+      outDir: String): DataFrame = {
+    val assigned = shardAssign(docs, idCol, nShards)
+    assigned
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    assigned.sparkSession.read.parquet(outDir)
+      // partition-directory columns read back as int: pin the manifest type
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   // ------------------------------------------------------------- sampling
 
   /** Deterministic weighted priority sample: top-`k` docs by key

@@ -210,7 +210,31 @@ object Curation {
     }
   }
 
+  /** q77 — deterministic training-shard export (the global shuffle a
+    * pretraining run applies after curation): shard = portable hash of
+    * doc_id mod 8, within-shard order from an independent hash family.
+    * The gate pins shard balance, token totals, AND the order-key range
+    * per shard (min/max ord), proving both hash families reproduce. */
+  val q77_shard_export = Q(
+    "q77_shard_export",
+    """WITH a AS (SELECT doc_id,
+      |    ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+      |    ('0x' || substr(md5(cast(doc_id AS VARCHAR) || '#1'), 1, 15))::BIGINT AS ord,
+      |    len(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs, cast(sum(tok) AS BIGINT) AS n_tokens,
+      |  min(ord) AS min_ord, max(ord) AS max_ord
+      |FROM a GROUP BY shard""".stripMargin) { (s, dir) =>
+    Corpus.shardAssign(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("tok")),
+      "doc_id", nShards = 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+        min("ord").as("min_ord"), max("ord").as("max_ord"))
+  }
+
   val all: Seq[Q] = Seq(
     q71_line_dedup, q72_bloom_decontam, q73_sequence_packing,
-    q74_chunk_spans, q75_weighted_sample, q76_cluster_reps)
+    q74_chunk_spans, q75_weighted_sample, q76_cluster_reps, q77_shard_export)
 }

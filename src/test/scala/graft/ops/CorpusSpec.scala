@@ -101,6 +101,43 @@ class CorpusSpec extends SparkSpec {
     assert(out(5L) == ((1L, 24L)))   // stride == n → single chunk
   }
 
+  test("chunkText slices match chunkSpans arithmetic and reassemble the doc") {
+    val docs = mkDf(docSchema, Row(1L, (1 to 10).map("t" + _).mkString(" ")))
+    val out = Corpus.chunkText(docs, "doc_id", "text", window = 4, stride = 4)
+      .orderBy("chunk_id").collect().map(_.getString(3))
+    assert(out.toSeq == Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10"))
+    // non-overlapping stride == window ⇒ concatenation restores the doc
+    assert(out.mkString(" ") == (1 to 10).map("t" + _).mkString(" "))
+    val overlapped = Corpus.chunkText(docs, "doc_id", "text", window = 4, stride = 2)
+      .orderBy("chunk_id").collect().map(_.getString(3))
+    assert(overlapped.head == "t1 t2 t3 t4" && overlapped(1) == "t3 t4 t5 t6")
+  }
+
+  test("writeShards: deterministic assignment, complete, balanced-ish") {
+    val docs = mkDf(docSchema, (1L to 400L).map(i => Row(i, s"doc $i")): _*)
+    val out = java.nio.file.Files.createTempDirectory("shards_").toString
+    val manifest = Corpus.writeShards(docs, "doc_id", nShards = 8, out)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.keySet == (0L until 8L).toSet)
+    assert(manifest.values.sum == 400L)
+    assert(manifest.values.min > 20L, s"pathological shard skew: $manifest")
+    // same input ⇒ same assignment (reproducible export)
+    val again = Corpus.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = Corpus.shardAssign(docs, "doc_id", 8)
+      .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first)
+  }
+
+  test("lineDedup with maxOcc=MaxValue is an identity on counts") {
+    val df = mkDf(docSchema,
+      Row(1L, "a\nb\na"), Row(2L, "a\nc"))
+    val out = Corpus.lineDedup(df, "doc_id", "text", maxOcc = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("a\nb\na", 3L, 0L)))
+    assert(out(2L) == (("a\nc", 2L, 0L)))
+  }
+
   test("weightedSample is deterministic and favors heavy docs") {
     val docs = mkDf(StructType(Seq(StructField("doc_id", LongType, false),
       StructField("w", LongType, false))),
