@@ -47,7 +47,9 @@ object Bench {
       var minSec = Double.MaxValue
       var lastTask = 0.0
       var ok = true
-      (1 to reps).foreach { rep =>
+      // takeWhile(_ => ok): once a rep fails, re-running the known-broken
+      // query only multiplies the failure's wall-clock by reps
+      (1 to reps).iterator.takeWhile(_ => ok).foreach { rep =>
         val task0 = taskMs.get()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()

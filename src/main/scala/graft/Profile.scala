@@ -16,7 +16,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // comma-separated phase selector: q51,q31,q47,ingest (default: all)
-    val phases = sys.env.getOrElse("SPARK_GRAFT_PROFILE", "q51,q31,ingest")
+    val phases = sys.env.getOrElse("SPARK_GRAFT_PROFILE", "q51,q31,q47,ingest")
       .split(",").map(_.trim).toSet
     val spark = GraftSession.fromEnv("graft-profile")
     Tables.load(spark, dir, "region").count() // warm

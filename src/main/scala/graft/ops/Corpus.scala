@@ -38,7 +38,11 @@ object Corpus {
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
       delimRegex: String = "\n", maxOcc: Long = 1): DataFrame = {
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), delimRegex)).as(Seq("pos", "line")))
+      // NULL text ≡ empty doc: posexplode(split(NULL)) emits no rows, which
+      // would silently DROP the document from the (inner-joined) totals
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), delimRegex))
+          .as(Seq("pos", "line")))
       .withColumn("h", TextHash.portableHash(col("line")))
     val counts = lines.groupBy("h").agg(count(lit(1)).as("__n"))
     val kept = lines.join(counts, Seq("h"))
@@ -115,14 +119,20 @@ object Corpus {
     */
   def bloomDecontaminate(corpusShingles: DataFrame, benchShingles: DataFrame,
       docIdCol: String = "doc_id", hCol: String = "h",
-      mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+      mBits: Int = 0, k: Int = 3): DataFrame = {
     val benchHashes = benchShingles.select(col(hCol)).distinct()
     // the benchmark side is small by construction (held-out eval suites);
     // collect is the explicit, documented driver-side step of the build
     val hs = benchHashes.collect().map(_.getLong(0))
-    val bits = bloomBuild(hs, mBits, k)
+    // mBits <= 0 → auto-size at ~10 bits/key (fp ≈ 1%): a FIXED width
+    // saturates once the bench set outgrows it and the "prefilter" stops
+    // filtering — selectivity, never correctness, but the whole point
+    val m = if (mBits > 0) mBits
+      else math.max(1 << 10, ((hs.length * 10L + 63) / 64 * 64)
+        .min(1L << 30).toInt)
+    val bits = bloomBuild(hs, m, k)
     corpusShingles
-      .filter(bloomMightContain(col(hCol), bits, mBits, k))
+      .filter(bloomMightContain(col(hCol), bits, m, k))
       .join(benchHashes, Seq(hCol))
       .groupBy(docIdCol)
       .agg(countDistinct(hCol).as("n_shared"))
@@ -141,8 +151,22 @@ object Corpus {
       numParts: Int = 32): DataFrame = {
     val parts = docs.repartitionByRange(numParts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+    // ROWS frame, not the default RANGE: peers (duplicate orderCol values)
+    // must not share a cumulative sum or the exclusive prefix double-counts
+    // them. With duplicates the per-duplicate split is still partition-
+    // internal order — pass a unique orderCol for fully deterministic
+    // output.
     val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // localCheckpoint is REQUIRED for correctness, not a cache hint: the
+    // per-partition cumsum executes twice (totals job below + the returned
+    // plan), and RangePartitioner's sample seed varies per RDD id — two
+    // executions could draw DIFFERENT range boundaries, applying each
+    // partition's offset to the wrong rows. Pinning the materialized RDD
+    // makes both jobs read the same partitioning. (Production: persist the
+    // staged scan; it is one narrow materialization of the corpus.)
     val local = parts.withColumn("__cum", sum(col(tokCol)).over(w))
+      .localCheckpoint(true)
     val totals = local.groupBy("__pid").agg(max("__cum").as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted
@@ -185,9 +209,12 @@ object Corpus {
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, s"window/stride must be positive")
     docs
-      .select(col(idCol), col(tokCol).cast("long").as("__n"))
+      .select(col(idCol), coalesce(col(tokCol).cast("long"), lit(0L)).as("__n"))
       .withColumn("start",
         explode(sequence(lit(0L), greatest(col("__n") - 1, lit(0L)), lit(stride.toLong))))
+      // "starts while < n": a 0-token doc yields NO chunks (the sequence
+      // floor of 0 would otherwise emit one phantom empty chunk)
+      .filter(col("start") < col("__n"))
       .select(col(idCol),
         (col("start") / stride).cast("long").as("chunk_id"),
         col("start"),
@@ -201,10 +228,11 @@ object Corpus {
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, s"window/stride must be positive")
     docs
-      .select(col(idCol), TextHash.tokens(col(textCol)).as("__tok"))
+      .select(col(idCol), TextHash.tokens(coalesce(col(textCol), lit(""))).as("__tok"))
       .withColumn("__n", size(col("__tok")).cast("long"))
       .withColumn("start",
         explode(sequence(lit(0L), greatest(col("__n") - 1, lit(0L)), lit(stride.toLong))))
+      .filter(col("start") < col("__n"))
       .select(col(idCol),
         (col("start") / stride).cast("long").as("chunk_id"),
         col("start"),
@@ -240,7 +268,12 @@ object Corpus {
     val assigned = shardAssign(docs, idCol, nShards)
     assigned
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions("ord")
+      // sort key must LEAD with the partition column: the partitioned write
+      // requires child ordering on `shard`, and a bare ord-sort would be
+      // dropped (EliminateSorts) in favor of the writer's own shard-sort.
+      // (shard, ord) satisfies the writer's requirement by prefix, so the
+      // within-shard ord order actually reaches the files.
+      .sortWithinPartitions(col("shard"), col("ord"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     assigned.sparkSession.read.parquet(outDir)
       // partition-directory columns read back as int: pin the manifest type
@@ -257,7 +290,8 @@ object Corpus {
     * int64→double conversion and one IEEE division are bit-identical in
     * every engine; an exact A-Res would use ln(u)/w and stop being
     * hash-reproducible across libms). One narrow projection + TakeOrdered
-    * top-k — no full sort materialization. */
+    * top-k — no full sort materialization. Weights must be positive
+    * (zero/negative weights produce infinite/negated keys). */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame =
     docs

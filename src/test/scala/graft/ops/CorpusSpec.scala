@@ -127,6 +127,45 @@ class CorpusSpec extends SparkSpec {
     val first = Corpus.shardAssign(docs, "doc_id", 8)
       .select("doc_id", "shard").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == first)
+    // the within-shard ord order must actually reach the files (a bare
+    // ord-sort is eliminated by the partitioned write's own shard-sort)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { dir =>
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val ords = spark.read.parquet(f.getAbsolutePath)
+          .select("ord").collect().map(_.getLong(0)).toSeq
+        assert(ords == ords.sorted, s"${f.getName} rows not in ord order")
+      }
+    }
+  }
+
+  test("globalTokenOffsets with duplicate order keys keeps the tape length exact") {
+    val docs = mkDf(StructType(Seq(StructField("k", LongType, false),
+      StructField("tok", LongType, false))),
+      (1L to 100L).map(i => Row(i / 10, 5L)): _*) // ten docs per key value
+    val offs = Corpus.globalTokenOffsets(docs, "k", "tok", numParts = 4)
+      .select("__start").collect().map(_.getLong(0)).sorted
+    // ROWS frame: starts are exactly 0,5,10,...,495 — the RANGE default
+    // would give every peer the same cum and double-count the tape
+    assert(offs.toSeq == (0L until 100L).map(_ * 5L))
+  }
+
+  test("chunkSpans/chunkText emit no chunks for zero-token docs") {
+    val spans = Corpus.chunkSpans(
+      mkDf(StructType(Seq(StructField("id", LongType, false),
+        StructField("tok", IntegerType, true))), Row(1L, 0), Row(2L, null), Row(3L, 3)),
+      "id", "tok", window = 4, stride = 2).collect()
+    assert(spans.map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("lineDedup keeps NULL-text docs as empty rather than dropping them") {
+    val out = Corpus.lineDedup(
+      mkDf(docSchema, Row(1L, null), Row(2L, "x")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(2L) == (("x", 1L)))
   }
 
   test("lineDedup with maxOcc=MaxValue is an identity on counts") {

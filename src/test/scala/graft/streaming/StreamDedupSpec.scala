@@ -23,6 +23,13 @@ class StreamDedupSpec extends SparkSpec {
     Files.write(Paths.get(src, "b.json"), java.util.Arrays.asList(
       """{"ts":"2024-01-01 10:00:25","id":2,"v":"dup-next-batch"}""",
       """{"ts":"2024-01-01 10:02:00","id":3,"v":"first"}"""))
+    // FileStreamSource orders files by modification time; back-to-back
+    // writes can tie at fs timestamp granularity, making batch order (and
+    // which duplicate survives) flaky — pin distinct mtimes explicitly
+    Files.setLastModifiedTime(Paths.get(src, "a.json"),
+      java.nio.file.attribute.FileTime.fromMillis(1000000))
+    Files.setLastModifiedTime(Paths.get(src, "b.json"),
+      java.nio.file.attribute.FileTime.fromMillis(2000000))
 
     val deduped = StreamDedup.withinWatermark(
       spark.readStream.option("maxFilesPerTrigger", 1).text(src)
