@@ -82,8 +82,13 @@ object Bench {
     val total = results.map { case (_, v) => math.abs(v) }.sum
     val taskJson = jmap(taskSecs.reverse)
     val coldJson = jmap(coldSecs.reverse)
+    // Diagnostics (per-query task CPU + cold-run wall) go to STDERR: the
+    // stdout JSON line is parsed by a parent process whose line buffer is
+    // finite — keep it to the contract fields only.
+    System.err.println(
+      s"""[bench-diag] {"task_sec":$taskJson,"cold_sec":$coldJson,"reps":$reps}""")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"task_sec":$taskJson,"cold_sec":$coldJson,"reps":$reps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     GraftTmp.purge()
     spark.stop()
   }
