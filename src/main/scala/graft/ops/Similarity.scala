@@ -243,6 +243,19 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", hyperplaneSig("v", bits, dim).cast("string"))
       .cache()
+    if (maxBucketSize == Int.MaxValue) {
+      // cap disabled (oracle-pinned gates): refinement and the occupancy
+      // histogram are provably no-ops — skip their actions/joins and go
+      // straight to the per-bucket clique (same shortcut as the minhash
+      // twin in Dedup.minhashCandidatesFromTokens)
+      val a = cur.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
+      val b = cur.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))
+      return a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        .withColumn("sim", cosine(col("va"), col("vb")))
+        .filter(col("sim") >= threshold)
+        .select("a_id", "b_id")
+        .distinct()
+    }
     var depth = 0
     var maxOcc = cur.groupBy("bucket").count()
       .agg(coalesce(max("count"), lit(0L))).collect()(0).getLong(0)
