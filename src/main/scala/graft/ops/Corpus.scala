@@ -301,4 +301,23 @@ object Corpus {
       .orderBy(col("__key").asc, col(idCol).asc)
       .limit(k)
       .drop("__key")
+
+  /** Per-domain document cap (the RefinedWeb/CCNet host-level guard: a
+    * handful of mirror-heavy hosts must not dominate the corpus): keep at
+    * most `cap` documents per `domainCol`, ordered by `priority` (ties
+    * must be broken deterministically by the caller's last sort key).
+    *
+    * Shape: ONE hash shuffle on the domain key + a row_number window —
+    * the same W1 window as ingest dedup, so hot domains (the exact
+    * motivation for the operator) fall under the same AQE skew split.
+    * The window never sorts the corpus globally: ordering is per-domain
+    * partition. */
+  def domainCap(docs: DataFrame, domainCol: String, cap: Int,
+      priority: Seq[Column]): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = Window.partitionBy(col(domainCol)).orderBy(priority: _*)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

@@ -234,7 +234,27 @@ object Curation {
         min("ord").as("min_ord"), max("ord").as("max_ord"))
   }
 
+  /** q79 — per-domain document cap (RefinedWeb/CCNet host-level guard):
+    * keep the 5 highest-value docs per `source` (value = length, doc_id
+    * tie-break), so no mirror-heavy domain dominates the corpus mixture.
+    * One hash shuffle on the domain key; hot domains hit the same AQE
+    * skew handling as ingest dedup (Corpus.domainCap scaladoc). */
+  val q79_domain_cap = Q(
+    "q79_domain_cap",
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5""".stripMargin) { (s, dir) =>
+    Corpus.domainCap(
+      Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "source", cap = 5,
+      priority = Seq(col("n_chars").desc, col("doc_id").asc))
+  }
+
   val all: Seq[Q] = Seq(
     q71_line_dedup, q72_bloom_decontam, q73_sequence_packing,
-    q74_chunk_spans, q75_weighted_sample, q76_cluster_reps, q77_shard_export)
+    q74_chunk_spans, q75_weighted_sample, q76_cluster_reps, q77_shard_export,
+    q79_domain_cap)
 }

@@ -410,9 +410,64 @@ object Pipeline {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Streaming windowed-aggregation parity: the events table replayed
+    * through the STREAMING engine (file source → event-time tumbling
+    * window → complete-mode memory sink) must produce exactly the batch
+    * GROUP BY — the stream/batch-unification guarantee q44 proves for
+    * CDC upserts, here for the watermark+window agg family (§2.9's
+    * aggregate side; watermark late-drop semantics are pinned separately
+    * in StreamingWindowSpec, where append-mode emission is deterministic).
+    *
+    * Scale: the window agg shuffles once on (window, event_type) with
+    * map-side partial aggregation; streaming state is one row per open
+    * window per key, bounded by the watermark horizon. The decimal sum
+    * keeps accumulation exact, so result equality is bitwise, not
+    * approximate. */
+  val q78_stream_window = Q(
+    "q78_stream_window",
+    """SELECT event_type,
+      |  strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+      |  count(*) AS n,
+      |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    Tables.load(s, dir, "events") // ensures nanosAsLong before the schema read
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema // ts arrives as nanos Long
+    // the streaming file source ingests DIRECTORIES (files arrive over
+    // time); stage the fixture file into one, as a landing zone would
+    val src = tmpDir("graft_q78_src_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(src, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val sink = "q78_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val ckpt = tmpDir("graft_q78_ckpt_")
+    val q = s.readStream.schema(rawSchema).parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("tot"))
+      .writeStream
+      .outputMode("complete") // full deterministic result; no emission races
+      .format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).select(
+      col("event_type"),
+      date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+      col("n"),
+      col("tot").cast("double").as("total"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
-    q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join)
+    q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
+    q78_stream_window)
 }

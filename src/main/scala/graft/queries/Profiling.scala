@@ -277,7 +277,34 @@ object Profiling {
     }
   }
 
+  /** q80 — MERGEABLE distinct-count sketches across shards: each of 8
+    * shards builds a DataSketches HLL sketch of its customer keys
+    * (hll_sketch_agg, map-side mergeable, fixed memory); the shard
+    * sketches are then hll_union_agg'd and estimated. This is the 100 TB
+    * profiling path — per-partition sketches merge associatively, so
+    * distinct counts never need a global exact-distinct shuffle — and the
+    * sf-scale gate proves the union estimate lands within tolerance of
+    * the exact count (lgK=14 → rsd ≈ 0.8%; the 5% gate is >3σ).
+    * Oracle pins the exact count and the boolean, same pattern as q57. */
+  val q80_sketch_union = Q(
+    "q80_sketch_union",
+    """SELECT count(DISTINCT o_custkey) AS exact_custs, TRUE AS hll_union_ok
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val o = Tables.load(s, dir, "orders")
+    val shardSketches = o
+      .withColumn("__shard", pmod(col("o_orderkey"), lit(8)))
+      .groupBy("__shard")
+      .agg(expr("hll_sketch_agg(o_custkey, 14)").as("sk"))
+    shardSketches
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .crossJoin(o.agg(countDistinct("o_custkey").as("exact_custs")))
+      .select(col("exact_custs"),
+        (abs(col("est") - col("exact_custs")).cast("double") /
+          col("exact_custs") <= 0.05).as("hll_union_ok"))
+  }
+
   val all: Seq[Q] = Seq(
     q57_sketch_profile, q58_grouping_sets, q59_set_ops, q60_dup_clusters,
-    q61_corpus_curation, q62_decontamination, q63_mixture_sample)
+    q61_corpus_curation, q62_decontamination, q63_mixture_sample,
+    q80_sketch_union)
 }

@@ -177,6 +177,25 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) == (("a\nc", 2L, 0L)))
   }
 
+  test("domainCap keeps at most cap docs per domain, priority-ordered") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, false),
+      StructField("host", StringType, false),
+      StructField("len", LongType, false)))
+    val docs = mkDf(schema,
+      (1L to 10L).map(i => Row(i, "big.com", i * 10)) ++
+        Seq(Row(100L, "small.org", 5L)): _*)
+    val out = Corpus.domainCap(docs, "host", cap = 3,
+      priority = Seq(col("len").desc, col("doc_id").asc)).collect()
+    val byHost = out.groupBy(_.getString(1))
+    // top-3 by length for the hot host; the under-cap host is untouched
+    assert(byHost("big.com").map(_.getLong(0)).sorted.toSeq == Seq(8L, 9L, 10L))
+    assert(byHost("small.org").map(_.getLong(0)).toSeq == Seq(100L))
+    assert(out.length == 4)
+    assertThrows[IllegalArgumentException](
+      Corpus.domainCap(docs, "host", cap = 0, priority = Seq(col("len"))))
+  }
+
   test("weightedSample is deterministic and favors heavy docs") {
     val docs = mkDf(StructType(Seq(StructField("doc_id", LongType, false),
       StructField("w", LongType, false))),
