@@ -76,7 +76,16 @@ object Bench {
     }
     def jmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val qs = jmap(results)
+    // stdout keys are the short qNN prefix (the contract's `"q1":sec` shape):
+    // the parent's line buffer is ~2000 chars and 80 full names overflow it.
+    // Full names live in the stderr diag line. Prefix collisions (none
+    // today) fall back to the full name so keys stay unique.
+    val shortOf: String => String = {
+      val pref = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }.toMap
+      val dup = pref.values.groupBy(identity).collect { case (p, vs) if vs.size > 1 => p }.toSet
+      n => { val p = pref.getOrElse(n, n); if (dup(p)) n else p }
+    }
+    val qs = jmap(results.map { case (n, v) => shortOf(n) -> v })
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
