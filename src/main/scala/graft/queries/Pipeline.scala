@@ -464,10 +464,64 @@ object Pipeline {
       col("tot").cast("double").as("total"))
   }
 
+  /** Stream-stream interval join — the streaming counterpart of q56's
+    * range join: purchases joined to the SAME user's clicks in the
+    * preceding 10 minutes, with both sides arriving as streams. The
+    * oracle is the identical batch join, so the gate pins streaming
+    * inner-join semantics (each match emitted exactly once) against the
+    * relational definition.
+    *
+    * Determinism: the fixture lands in one micro-batch and watermarks
+    * only advance BETWEEN batches, so no state is evicted before every
+    * match is emitted. Scale: join state is partitioned by the equi-key
+    * (user_id) and the event-time bound + watermark give Spark an
+    * eviction horizon — state per key is the 10-minute window, not the
+    * stream's history. */
+  val q81_stream_stream_join = Q(
+    "q81_stream_stream_join",
+    """SELECT a.user_id AS user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      |  AND a.event_type = 'purchase' AND b.event_type = 'click'
+      |  AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+      |GROUP BY a.user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    Tables.load(s, dir, "events")
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema
+    val src = tmpDir("graft_q81_src_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(src, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    def stream() = s.readStream.schema(rawSchema).parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("a_user = user_id AND b_ts >= a_ts - INTERVAL 10 MINUTES AND b_ts < a_ts"))
+    val sink = "q81_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .option("checkpointLocation", tmpDir("graft_q81_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
-    q78_stream_window)
+    q78_stream_window, q81_stream_stream_join)
 }
