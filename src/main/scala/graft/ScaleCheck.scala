@@ -144,6 +144,21 @@ object ScaleCheck {
           d.select(col("doc_id"), col("n_chars").as("tok")),
           "doc_id", "tok", budget = 4096L).count()
       }
+      r("domain_cap") = time(s"$tag per-domain cap (hot-domain window)") {
+        // replication multiplies per-source occupancy N-fold — exactly the
+        // hot-domain condition the operator exists for; work must stay
+        // linear because WindowGroupLimit prunes to cap rows map-side
+        graft.ops.Corpus.domainCap(
+          d.select(col("doc_id"), col("source"), col("n_chars")),
+          "source", cap = 5,
+          priority = Seq(col("n_chars").desc, col("doc_id").asc)).count()
+      }
+      r("sketch_union") = time(s"$tag HLL sketch build+union") {
+        l.withColumn("__shard", pmod(col("l_orderkey"), lit(8)))
+          .groupBy("__shard")
+          .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect()
+      }
       r("bloom_decontam") = time(s"$tag bloom decontamination") {
         // fixed bench set (base replica, every 50th doc) while the corpus
         // scales — the broadcast-filter side must stay constant
