@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an `array<double>` embedding column —
+  * the coarse-quantizer TRAINER for the IVF index (`Similarity.ivfTopK`
+  * consumes the centroids; its scaladoc calls them "in a real index the
+  * output of k-means" — this is that trainer).
+  *
+  * Deterministic by construction (gate-grade, oracle-reproducible):
+  *  - init = the k lowest-id vectors (a production run would swap in
+  *    k-means||; the init strategy is orthogonal to the iteration plan)
+  *  - E-step = argmin over plan-literal centroids with (dist, cid) struct
+  *    ordering — exact IEEE doubles, deterministic cid tie-break, and a
+  *    NARROW per-row pass (no join, no row explosion; the same shape as
+  *    `Similarity.ivfTopK` assignment)
+  *  - M-step = per-dimension mean with DECIMAL accumulation: distributed
+  *    double summation is order-nondeterministic, decimal sums are exact
+  *    and order-free; ONE decimal→double rounding then one double
+  *    division, bit-identical in the DuckDB oracle.
+  *
+  * Scale: each iteration is one narrow argmin projection + one posexplode
+  * shuffle keyed (cid, dim) — work linear in corpus × dim. Centroids
+  * (k × dim doubles) ride to the driver once per iteration; k is bounded
+  * by design (IVF practice: ~sqrt(N), trained on a sample). Clusters that
+  * lose every member simply drop out (documented Lloyd behavior; k-means||
+  * re-seeding is an init-side concern).
+  */
+object Clustering {
+
+  private def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
+    val ds = cents.map { case (cid, cv) =>
+      struct(
+        graft.functions.columns.l2Squared(v, typedLit(cv)).as("d"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(ds: _*)).getField("cid")
+  }
+
+  /** One E-step: corpus rows tagged with their nearest centroid id. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cid", assignExpr(cents, col("v")))
+
+  /** Fit `iters` Lloyd iterations; returns (cid, cv array<double>, n)
+    * where n is the cluster size in the FINAL assignment (the E-step the
+    * last M-step averaged over). */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
+    val e = Balance(corpus)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .cache()
+    var cents: Seq[(Long, Seq[Double])] = e.orderBy("id").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    var fitted: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val assigned = e.withColumn("cid", assignExpr(cents, col("v")))
+      fitted = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        // exact order-free sum, ONE rounding to double, one division —
+        // the arithmetic the oracle replicates verbatim
+        .agg((sum(col("x").cast("decimal(25,10)")).cast("double") /
+          count(lit(1))).as("m"),
+          count(lit(1)).as("__n"))
+        .groupBy("cid")
+        .agg(
+          expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
+            .as("cv"),
+          first("__n").as("n"))
+      cents = fitted.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    }
+    fitted
+  }
+}

@@ -640,6 +640,97 @@ object LlmData {
     }
   }
 
+  /** q82 — curriculum/quality binning: docs bucketed into deciles of the
+    * quality score. NOT a global ntile (a no-partition ORDER BY window
+    * serializes the corpus through one task): the cut points come from
+    * ONE exact-percentile aggregate (9 doubles to the driver — bounded,
+    * the same pattern as IVF's collected centroids) and bin assignment
+    * is then a narrow per-row comparison fold. Both engines interpolate
+    * percentiles with the same lower+(upper-lower)*frac arithmetic over
+    * the same 6-decimal scores, so the cuts are bit-equal and the gate
+    * hash-checks. At 100 TB the exact percentile becomes approx_percentile
+    * (GK sketch, q57's path) and everything else is unchanged. */
+  val q82_curriculum_bins = Q(
+    "q82_curriculum_bins",
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tok
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |    round(0.3 * least(len(tok) / 100.0, 1.0)
+      |        + 0.3 * (len(list_distinct(tok))::double / len(tok))
+      |        + 0.4 * (1.0 - len(list_filter(tok, x -> x IN ($swList)))::double / len(tok)),
+      |      6) AS score
+      |  FROM t),
+      |c AS (SELECT quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+      |  FROM q),
+      |b AS (SELECT doc_id, score,
+      |    1 + len(list_filter(c.cuts, x -> score > x)) AS bin FROM q, c)
+      |SELECT bin, count(*) AS n, round(min(score), 6) AS lo,
+      |  round(max(score), 6) AS hi
+      |FROM b GROUP BY bin""".stripMargin) { (s, dir) =>
+    val scored = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("tok"))
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.qualityScore(col("tok")).as("score"))
+    val cuts = scored
+      .agg(expr("percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"))
+      .first().getSeq[Double](0)
+    val bin = cuts.foldLeft(lit(1L)) { (acc, c) =>
+      acc + when(col("score") > lit(c), 1L).otherwise(0L)
+    }
+    scored.withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("score"), 6).as("lo"), round(max("score"), 6).as("hi"))
+  }
+
+  /** q83 — distributed k-means training (2 Lloyd iterations, k=8) for
+    * the IVF coarse quantizer (ops.Clustering). The oracle replicates
+    * BOTH iterations in SQL — E-step argmin with the (dist, cid)
+    * tie-break, M-step per-dimension mean in exact decimal accumulation —
+    * so centroid VALUES (not just sizes) are pinned cross-engine: csum is
+    * the 6-decimal-rounded component sum of each final centroid. Decimal
+    * M-step sums make the result independent of partitioning/order; a
+    * double sum would be run-nondeterministic and could never gate. */
+  val q83_kmeans = Q(
+    "q83_kmeans",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      |  FROM e CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |m1 AS (SELECT a1.cid, r.i AS dim,
+      |    (sum(CAST(e.v[r.i] AS DECIMAL(25,10))))::DOUBLE / count(*) AS m
+      |  FROM a1 JOIN e USING (vec_id), range(1, 65) r(i)
+      |  GROUP BY a1.cid, r.i),
+      |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM d2) WHERE rn = 1),
+      |m2 AS (SELECT a2.cid, r.i AS dim,
+      |    (sum(CAST(e.v[r.i] AS DECIMAL(25,10))))::DOUBLE / count(*) AS m,
+      |    count(*) AS n
+      |  FROM a2 JOIN e USING (vec_id), range(1, 65) r(i)
+      |  GROUP BY a2.cid, r.i),
+      |c2 AS (SELECT cid, list(m ORDER BY dim) AS cv, any_value(n) AS n
+      |  FROM m2 GROUP BY cid)
+      |SELECT cid, n, round(list_sum(cv), 6) AS csum FROM c2""".stripMargin) {
+    (s, dir) =>
+    graft.ops.Clustering.kmeans(
+      Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+      k = 8, iters = 2)
+      .select(col("cid"), col("n"),
+        round(expr("aggregate(cv, cast(0.0 as double), (a, x) -> a + x)"), 6)
+          .as("csum"))
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -647,5 +738,5 @@ object LlmData {
     q47_embedding_near_dup, q48_token_counts, q49_ann_ivf,
     q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
-    q70_two_stage_ann)
+    q70_two_stage_ann, q82_curriculum_bins, q83_kmeans)
 }
