@@ -731,6 +731,66 @@ object LlmData {
           .as("csum"))
   }
 
+  /** q84 — the COMPLETE IVF lifecycle: k-means-trained centroids (q83's
+    * two Lloyd iterations) feeding the inverted-file index + probe
+    * (q49's shape). q49 proves the index with fixed sample centroids;
+    * this gate proves trainer and index compose — the oracle replays
+    * training AND probing end-to-end in SQL, so a centroid drifting by
+    * one ulp anywhere in the pipeline would flip the hash. */
+  val q84_ann_ivf_trained = Q(
+    "q84_ann_ivf_trained",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      |d1 AS (SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      |  FROM e CROSS JOIN c0 c),
+      |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |m1 AS (SELECT a1.cid, r.i AS dim,
+      |    (sum(CAST(e.v[r.i] AS DECIMAL(25,10))))::DOUBLE / count(*) AS m
+      |  FROM a1 JOIN e USING (vec_id), range(1, 65) r(i)
+      |  GROUP BY a1.cid, r.i),
+      |c1 AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+      |d2 AS (SELECT e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM d2) WHERE rn = 1),
+      |m2 AS (SELECT a2.cid, r.i AS dim,
+      |    (sum(CAST(e.v[r.i] AS DECIMAL(25,10))))::DOUBLE / count(*) AS m
+      |  FROM a2 JOIN e USING (vec_id), range(1, 65) r(i)
+      |  GROUP BY a2.cid, r.i),
+      |cent AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m2 GROUP BY cid),
+      |dists AS (SELECT e.vec_id, cent.cid,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))) AS d
+      |  FROM e CROSS JOIN cent),
+      |lists AS (SELECT vec_id AS nid, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r FROM dists)
+      |  WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r FROM dists)
+      |  WHERE r <= 2 AND vec_id < 5),
+      |cand AS (SELECT p.qid, l.nid,
+      |    list_cosine_similarity(eq.v, en.v) AS sim
+      |  FROM probes p JOIN lists l USING (cid)
+      |  JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = l.nid
+      |  WHERE l.nid != p.qid)
+      |SELECT qid, rank, nid FROM (SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM cand) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val cents = graft.ops.Clustering.kmeans(
+      emb, "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("cid").as("vec_id"), col("cv").as("embedding"))
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cents,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -738,5 +798,5 @@ object LlmData {
     q47_embedding_near_dup, q48_token_counts, q49_ann_ivf,
     q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
-    q70_two_stage_ann, q82_curriculum_bins, q83_kmeans)
+    q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained)
 }
