@@ -51,6 +51,11 @@ object Clustering {
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
+    // cached: read once per iteration for the E-step plus once for init.
+    // Like the band-table twin in Dedup, the cache lives until session
+    // end because the RETURNED frame references it lazily — callers that
+    // materialize results can clearCache/unpersist afterwards (the bench
+    // harness does so between reps).
     val e = Balance(corpus)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))

@@ -791,6 +791,33 @@ object LlmData {
       "vec_id", "embedding", k = 5, nprobe = 2)
   }
 
+  /** q85 — the distributed BPE MERGE STEP: corpus-wide adjacent-token-pair
+    * frequencies, top-10 (score desc, pair tie-break). Tokenizer training
+    * is exactly this loop — count pairs, merge the argmax, repeat — and
+    * the count is the distributed part: one narrow pair-explode + one
+    * hash-count shuffle carrying (pair, 1) rows, the same shape at 100 TB
+    * (a production trainer samples the corpus and caps pair cardinality;
+    * both are plain filters on this lineage). */
+  val q85_bpe_pair_counts = Q(
+    "q85_bpe_pair_counts",
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok
+      |  FROM documents),
+      |p AS (SELECT unnest(list_transform(range(1, len(tok)),
+      |    i -> tok[i] || ' ' || tok[i+1])) AS pair FROM t WHERE len(tok) >= 2)
+      |SELECT pair, count(*) AS n FROM p GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(TextHash.tokens(col("text")).as("tok"))
+      .filter(size(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(slice(tok, 1, size(tok) - 1), (x, i) -> concat(x, ' ', tok[i + 1]))"))
+        .as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -798,5 +825,6 @@ object LlmData {
     q47_embedding_near_dup, q48_token_counts, q49_ann_ivf,
     q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
-    q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained)
+    q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
+    q85_bpe_pair_counts)
 }
