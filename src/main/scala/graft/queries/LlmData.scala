@@ -818,6 +818,32 @@ object LlmData {
       .limit(10)
   }
 
+  /** q86 — frame-sampling parity: the `mapPartitions` video-frame sampler
+    * (Multimodal.sampleFrames: 32-byte slices, every 4th) audited against
+    * an independent SQL derivation of the same slice arithmetic. The
+    * Dataset path emits REAL frame rows (1:N flatMap, no shuffle) whose
+    * per-doc count and byte totals must equal the closed-form oracle —
+    * pinning the only non-Column operator family to the same gate
+    * standard as everything else. */
+  val q86_frame_sample_stats = Q(
+    "q86_frame_sample_stats",
+    """WITH t AS (SELECT doc_id AS id, strlen(text) AS len FROM documents),
+      |s AS (SELECT id, len, greatest(1, len // 32) AS nslices FROM t)
+      |SELECT id, (nslices - 1) // 4 + 1 AS n_frames,
+      |  cast(list_sum(list_transform(range(0, nslices::INT, 4),
+      |    x -> least(x * 32 + 32, len) - x * 32)) AS BIGINT) AS sampled_bytes
+      |FROM s""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ds = Tables.load(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("text/plain").as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[graft.multimodal.MediaRow]
+    Multimodal.sampleFrames(ds, frameBytes = 32, everyNth = 4)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frameBytes"))).as("sampled_bytes"))
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -826,5 +852,5 @@ object LlmData {
     q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
-    q85_bpe_pair_counts)
+    q85_bpe_pair_counts, q86_frame_sample_stats)
 }
