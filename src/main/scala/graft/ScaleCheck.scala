@@ -159,6 +159,12 @@ object ScaleCheck {
           .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
           .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).collect()
       }
+      r("kmeans_train") = time(s"$tag k-means train (2 Lloyd iterations, k=8)") {
+        // fixed k while the corpus scales: E-step argmin is a narrow pass,
+        // M-step shuffles (cid, dim, decimal) rows — both linear in rows
+        graft.ops.Clustering.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
+          .count()
+      }
       r("bloom_decontam") = time(s"$tag bloom decontamination") {
         // fixed bench set (base replica, every 50th doc) while the corpus
         // scales — the broadcast-filter side must stay constant
