@@ -376,11 +376,44 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** q87 — analytic-window breadth beyond W1/q53 (row_number, lag,
+    * cumsum): lead (next-event gap), first_value (session anchor),
+    * percent_rank (in-group value percentile) in ONE window pass per
+    * frame. All three share the (user_id | ts, event_id) sort, so Spark
+    * plans a single hash shuffle + sort for the user frames; the
+    * percent_rank frame shuffles on event_type independently. Gap is
+    * microsecond-exact (q53 lesson); percent_rank is (rank-1)/(n-1) in
+    * both engines — exact rational arithmetic, rounded 6 for the gate. */
+  val q87_window_suite = Q(
+    "q87_window_suite",
+    """SELECT user_id, event_id,
+      |  epoch_us(lead(ts) OVER w) - epoch_us(ts) AS next_gap_us,
+      |  first_value(event_type) OVER w AS first_type,
+      |  round(percent_rank() OVER (PARTITION BY event_type
+      |    ORDER BY value, event_id), 6) AS pr
+      |FROM events
+      |WHERE user_id < 50
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) {
+    (s, dir) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value", "event_id")
+    t(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(lead("ts", 1).over(w)) - unix_micros(col("ts")))
+          .as("next_gap_us"),
+        first_value(col("event_type")).over(w).as("first_type"),
+        round(percent_rank().over(wt), 6).as("pr"))
+  }
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_orders_by_date, q03_user_event_counts,
     q04_profile_lineitem, q05_event_type_distribution, q06_distinct_customers,
     q07_join_orders_customer, q08_join_lineitem_part, q09_region_nation_counts,
     q10_audit_counts, q11_latest_event_per_user, q12_json_extract,
     q13_json_keys, q14_deterministic_sample, q15_union_summary,
-    q16_date_helpers, q17_predicates, q18_rollup, q19_json_promotion)
+    q16_date_helpers, q17_predicates, q18_rollup, q19_json_promotion,
+    q87_window_suite)
 }
