@@ -16,11 +16,7 @@ object Bench {
     try Tables.load(spark, sfDir, "region").count()
     catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
 
-    // Optional comma-separated subset (dev profiling): SPARK_GRAFT_ONLY=q51,q45
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(f => f.exists(n.startsWith)))
+    val names = GraftSession.selectedNames(SparkEntry.queries.keys.toSeq.sorted)
 
     // Aggregate executor task time per query: wall >> task flags external
     // interference (this sandbox's CPU/IO contention comes in episodes),

@@ -74,6 +74,15 @@ object GraftSession {
 
   def fromEnv(appName: String): SparkSession =
     build(appName, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+  /** Dev-only query subset (SPARK_GRAFT_ONLY=q51,q78 — comma-separated
+    * name prefixes). ONE implementation so Bench and Verify can never
+    * diverge on the selection semantics. No env var → everything. */
+  def selectedNames(all: Seq[String]): Seq[String] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    all.filter(n => only.forall(f => f.exists(n.startsWith)))
+  }
 }
 
 /** Scratch space for the gate/bench pipeline queries' intermediate

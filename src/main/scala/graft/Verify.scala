@@ -19,10 +19,9 @@ object Verify {
       val pool = Executors.newFixedThreadPool(4)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // optional dev-only subset (driver sets no env → all queries)
-      val only = sys.env.get("SPARK_GRAFT_ONLY")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val picked = GraftSession.selectedNames(SparkEntry.queries.keys.toSeq).toSet
       val fs = SparkEntry.queries.toSeq
-        .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+        .filter { case (name, _) => picked(name) }
         .map { case (name, fn) =>
         Future {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -51,21 +51,20 @@ object Clustering {
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters > 0, s"k=$k iters=$iters must be positive")
-    // cached: read once per iteration for the E-step plus once for init.
-    // Like the band-table twin in Dedup, the cache lives until session
-    // end because the RETURNED frame references it lazily — callers that
-    // materialize results can clearCache/unpersist afterwards (the bench
-    // harness does so between reps).
+    // cached: read once per iteration for the E-step plus once for init;
+    // unpersisted before returning (the returned frame is a materialized
+    // local relation, so nothing references the cache afterwards)
     val e = Balance(corpus)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .cache()
     var cents: Seq[(Long, Seq[Double])] = e.orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    var fitted: DataFrame = null
+    var fittedRows: Array[org.apache.spark.sql.Row] = Array.empty
+    var fittedSchema: org.apache.spark.sql.types.StructType = null
     (1 to iters).foreach { _ =>
       val assigned = e.withColumn("cid", assignExpr(cents, col("v")))
-      fitted = assigned
+      val fitted = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         // exact order-free sum, ONE rounding to double, one division —
@@ -78,9 +77,17 @@ object Clustering {
           expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)")
             .as("cv"),
           first("__n").as("n"))
-      cents = fitted.collect()
+      fittedRows = fitted.collect()
+      fittedSchema = fitted.schema
+      cents = fittedRows
         .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     }
-    fitted
+    e.unpersist()
+    // centroids are ALREADY on the driver (the loop collected them to feed
+    // the next E-step) — return them as a materialized local frame instead
+    // of the lazy plan, which would re-execute the whole final iteration on
+    // every caller action
+    corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(fittedRows: _*), fittedSchema)
   }
 }

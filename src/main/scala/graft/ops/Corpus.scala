@@ -35,8 +35,14 @@ object Corpus {
     * Returns (idCol, text, n_kept, n_dropped) — `text` is the surviving
     * document (empty string when every line was boilerplate).
     */
+  /** `joinDelim` is the literal separator used to reassemble surviving
+    * lines — callers passing a non-default `delimRegex` must supply the
+    * matching literal (a regex is not invertible, so it cannot be
+    * derived); with the defaults a doc with no dropped lines round-trips
+    * byte-identically. */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-      delimRegex: String = "\n", maxOcc: Long = 1): DataFrame = {
+      delimRegex: String = "\n", maxOcc: Long = 1,
+      joinDelim: String = "\n"): DataFrame = {
     val lines = docs
       // NULL text ≡ empty doc: posexplode(split(NULL)) emits no rows, which
       // would silently DROP the document from the (inner-joined) totals
@@ -52,7 +58,7 @@ object Corpus {
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line")),
-          "\n").as("text"),
+          joinDelim).as("text"),
         count(lit(1)).as("n_kept"))
     val total = lines.groupBy(idCol).agg(count(lit(1)).as("__tot"))
     docs.select(col(idCol)).join(kept, Seq(idCol), "left").join(total, Seq(idCol))
@@ -149,7 +155,12 @@ object Corpus {
     * one task. Adds (__start) = tokens before this doc. */
   def globalTokenOffsets(docs: DataFrame, orderCol: String, tokCol: String,
       numParts: Int = 32): DataFrame = {
-    val parts = docs.repartitionByRange(numParts, col(orderCol))
+    // NULL token count ≡ 0-token doc (same convention as chunkSpans):
+    // without the coalesce a null row gets a NULL cumsum/__start (and an
+    // all-null lowest partition would NPE the totals collect below)
+    val parts = docs
+      .withColumn(tokCol, coalesce(col(tokCol).cast("long"), lit(0L)))
+      .repartitionByRange(numParts, col(orderCol))
       .withColumn("__pid", spark_partition_id())
     // ROWS frame, not the default RANGE: peers (duplicate orderCol values)
     // must not share a cumulative sum or the exclusive prefix double-counts

@@ -423,6 +423,25 @@ object Pipeline {
     * window per key, bounded by the watermark horizon. The decimal sum
     * keeps accumulation exact, so result equality is bitwise, not
     * approximate. */
+  /** Shared staging for the streaming gates (q78/q81): the streaming file
+    * source ingests DIRECTORIES, so the events fixture is copied into a
+    * temp landing zone once; the returned factory builds independent
+    * nanos→micros-converted streams over it (q81 needs two sides). ONE
+    * implementation so the ts conversion and schema handling can never
+    * diverge between the streaming gates. */
+  private def eventsStreamFactory(s: SparkSession, dir: String): () => DataFrame = {
+    Tables.load(s, dir, "events") // side-effect: nanosAsLong conf
+    val path = s"$dir/events.parquet"
+    val rawSchema = s.read.parquet(path).schema // ts arrives as nanos Long
+    val src = tmpDir("graft_stream_src_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(src, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    () => s.readStream.schema(rawSchema).parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
   val q78_stream_window = Q(
     "q78_stream_window",
     """SELECT event_type,
@@ -431,20 +450,9 @@ object Pipeline {
       |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.streaming.Trigger
-    Tables.load(s, dir, "events") // ensures nanosAsLong before the schema read
-    val path = s"$dir/events.parquet"
-    val rawSchema = s.read.parquet(path).schema // ts arrives as nanos Long
-    // the streaming file source ingests DIRECTORIES (files arrive over
-    // time); stage the fixture file into one, as a landing zone would
-    val src = tmpDir("graft_q78_src_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(path),
-      java.nio.file.Paths.get(src, "events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val sink = "q78_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val ckpt = tmpDir("graft_q78_ckpt_")
-    val q = s.readStream.schema(rawSchema).parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = eventsStreamFactory(s, dir)()
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -486,16 +494,7 @@ object Pipeline {
       |  AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
       |GROUP BY a.user_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.streaming.Trigger
-    Tables.load(s, dir, "events")
-    val path = s"$dir/events.parquet"
-    val rawSchema = s.read.parquet(path).schema
-    val src = tmpDir("graft_q81_src_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(path),
-      java.nio.file.Paths.get(src, "events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    def stream() = s.readStream.schema(rawSchema).parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = eventsStreamFactory(s, dir)
     val purchases = stream().filter(col("event_type") === "purchase")
       .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
       .withWatermark("a_ts", "1 hour")
