@@ -177,6 +177,29 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) == (("a\nc", 2L, 0L)))
   }
 
+  test("packSequences treats NULL token counts as 0 (no null seq_id, no NPE)") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, false),
+      StructField("tok", LongType, true)))
+    val docs = mkDf(schema,
+      Row(1L, 10L), Row(2L, null), Row(3L, 10L), Row(4L, null), Row(5L, 5L))
+    val out = Corpus.packSequences(docs, "doc_id", "tok", budget = 20L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // tape: d1@0(10) d2@10(0) d3@10(10) d4@20(0) d5@20(5) → seq0 {1,2,3}, seq1 {4,5}
+    assert(out.keySet == Set(0L, 1L), s"unexpected seq ids: ${out.keySet}")
+    assert(out(0L) == ((3L, 20L)) && out(1L) == ((2L, 5L)))
+  }
+
+  test("lineDedup joins survivors with the caller's delimiter") {
+    val df = mkDf(docSchema,
+      Row(1L, "keep1|shared|keep2"), Row(2L, "shared|only"))
+    val out = Corpus.lineDedup(df, "doc_id", "text",
+      delimRegex = "\\|", joinDelim = "|").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "keep1|keep2") // original delimiter preserved
+    assert(out(2L) == "only")
+  }
+
   test("domainCap keeps at most cap docs per domain, priority-ordered") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, false),
