@@ -313,6 +313,28 @@ object Corpus {
       .limit(k)
       .drop("__key")
 
+  /** Leakage-free train/val/test split: the assignment is a pure function
+    * of the duplicate-CLUSTER label (not the document), so near-duplicates
+    * — same cluster by construction — can never straddle splits. A per-doc
+    * random split leaves that contamination channel open: the val copy of
+    * a training document leaks. Deterministic via the portable hash
+    * (stable across jobs/shards, like every other hash in this engine);
+    * pure narrow projection, zero shuffle. */
+  def clusterSplit(docs: DataFrame, clusterCol: String, nBuckets: Int = 10,
+      valBucket: Int = 8, testBucket: Int = 9): DataFrame = {
+    require(nBuckets > 2 && valBucket != testBucket &&
+      valBucket < nBuckets && testBucket < nBuckets,
+      s"invalid split config: $nBuckets/$valBucket/$testBucket")
+    docs
+      .withColumn("__b",
+        pmod(TextHash.portableHash(col(clusterCol).cast("string")), lit(nBuckets)))
+      .withColumn("split",
+        when(col("__b") === valBucket, "val")
+          .when(col("__b") === testBucket, "test")
+          .otherwise("train"))
+      .drop("__b")
+  }
+
   /** Per-domain document cap (the RefinedWeb/CCNet host-level guard: a
     * handful of mirror-heavy hosts must not dominate the corpus): keep at
     * most `cap` documents per `domainCol`, ordered by `priority` (ties

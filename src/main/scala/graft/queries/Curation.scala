@@ -253,8 +253,44 @@ object Curation {
       priority = Seq(col("n_chars").desc, col("doc_id").asc))
   }
 
+  /** q88 — leakage-free dataset split: documents are split train/val/test
+    * as a pure function of their DUP-CLUSTER label (q60's connected
+    * components on the Spark side; the oracle uses the fixture's dense-id
+    * arithmetic shortcut for the same labels), so near-duplicates can
+    * never straddle splits — the contamination channel a per-doc random
+    * split leaves open. Both engines hash the identical cluster labels
+    * through the portable md5 hash, so split membership is pinned
+    * cross-engine, not just the sizes. */
+  val q88_leakage_split = Q(
+    "q88_leakage_split",
+    """WITH c AS (SELECT doc_id,
+      |    cast(doc_id - doc_id % 5 AS BIGINT) AS cluster FROM documents),
+      |b AS (SELECT doc_id, cluster,
+      |    CASE WHEN ('0x' || substr(md5(cluster::VARCHAR), 1, 15))::BIGINT % 10 = 8
+      |        THEN 'val'
+      |      WHEN ('0x' || substr(md5(cluster::VARCHAR), 1, 15))::BIGINT % 10 = 9
+      |        THEN 'test'
+      |      ELSE 'train' END AS split
+      |  FROM c)
+      |SELECT split, count(DISTINCT cluster) AS n_clusters, count(*) AS n_docs
+      |FROM b GROUP BY split""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").select("doc_id")
+    // q60's dup-cluster labeling: chain edges inside each 5-block, general
+    // connected-components computation (labels = block min id)
+    val e = docs.select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      .filter(col("src") % 5 =!= 4)
+      .join(docs.select(col("doc_id").as("dst")), Seq("dst"))
+    val labeled = docs
+      .join(Components.connectedComponents(e).withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    Corpus.clusterSplit(labeled, "cluster")
+      .groupBy("split")
+      .agg(countDistinct("cluster").as("n_clusters"), count(lit(1)).as("n_docs"))
+  }
+
   val all: Seq[Q] = Seq(
     q71_line_dedup, q72_bloom_decontam, q73_sequence_packing,
     q74_chunk_spans, q75_weighted_sample, q76_cluster_reps, q77_shard_export,
-    q79_domain_cap)
+    q79_domain_cap, q88_leakage_split)
 }
