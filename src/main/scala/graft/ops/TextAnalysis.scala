@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (LLM-data
@@ -157,5 +157,47 @@ object TextAnalysis {
     scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
       when(s === maxScore && maxScore >= 0.02, lit(lang)).otherwise(acc)
     }
+  }
+
+  /** Deflate compression ratio of each document (compressed/raw bytes) —
+    * the Gopher/CCNet-style repetitiveness signal: boilerplate and
+    * looping text compresses far below natural prose, natural text sits
+    * near ~0.4-0.7, and near-random text approaches 1. NOT expressible as
+    * SQL (the only such operator family besides the multimodal codecs),
+    * so it runs as a partition-batched mapPartitions stage like
+    * Multimodal.decodeFeatures — one Deflater per partition, reused
+    * across rows (the expensive init amortized, the 100 TB shape).
+    * Deterministic: fixed level + strategy on the JDK's zlib.
+    * Returns (idCol, raw_bytes, zip_bytes, ratio rounded 6). */
+  def compressionRatio(docs: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("raw_bytes", IntegerType, false),
+      StructField("zip_bytes", IntegerType, false),
+      StructField("ratio", DoubleType, true)))
+    val rdd = docs
+      .select(col(idCol).cast("long"), coalesce(col(textCol), lit("")))
+      .rdd.mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(level, false)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { r =>
+          val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var z = 0
+          while (!deflater.finished()) z += deflater.deflate(buf)
+          val ratio =
+            if (raw.length == 0) null
+            else math.rint(z.toDouble / raw.length * 1e6) / 1e6
+          Row(r.getLong(0), raw.length, z, ratio)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+      .withColumnRenamed("id", idCol)
   }
 }

@@ -844,6 +844,24 @@ object LlmData {
         sum(length(col("frameBytes"))).as("sampled_bytes"))
   }
 
+  /** q89 — compression-ratio quality profile (Gopher/CCNet-style
+    * repetitiveness signal): per-language doc counts, corpus-level
+    * deflate compressibility (exact integer byte sums — no float-order
+    * nondeterminism), and the count of suspiciously-compressible docs
+    * (ratio < 0.35 → looping/boilerplate text). Deflate has no SQL
+    * equivalent, so this is a rows-only gate by design — the one operator
+    * family (with the multimodal codecs) outside the oracle's reach. */
+  val q89_compression_profile = Q.noOracle("q89_compression_profile") { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    graft.ops.TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("zip_bytes")).cast("double") /
+          sum(col("raw_bytes")), 6).as("corpus_ratio"),
+        sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_repetitive"))
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -852,5 +870,5 @@ object LlmData {
     q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
-    q85_bpe_pair_counts, q86_frame_sample_stats)
+    q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile)
 }
