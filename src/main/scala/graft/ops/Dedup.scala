@@ -192,6 +192,46 @@ object Dedup {
       .agg(sum("__c").cast("bigint").as("covered_tokens"))
   }
 
+  /** ExactSubstr span REMOVAL — the transform behind the
+    * [[repeatedSpanCoverage]] metric: every token covered by ANY
+    * corpus-repeated w-gram is dropped, survivors reassemble in order
+    * (the Lee-et-al. dedup that actually edits the corpus rather than
+    * dropping whole docs). Same inverted-index machinery as the metric;
+    * the extra work is one bounded explode (covered gram → w positions)
+    * and one anti-join on (id, pos) — both on narrow int rows, never
+    * text, until the final per-doc reassembly. Docs shorter than w emit
+    * no grams and pass through whole. Returns (id, text, n_kept,
+    * n_removed). */
+  def removeRepeatedSpans(toks: DataFrame, w: Int = 8): DataFrame = {
+    val base = Balance(toks).select(col("id"), col("tok"))
+    val g = base.filter(size(col("tok")) >= w)
+      .select(col("id"),
+        posexplode(graft.functions.columns.shingleHashes(
+          col("tok"), w, mod32 = false)).as(Seq("p", "h")))
+    val rep = g.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2).select("h")
+    val covered = g.join(rep, Seq("h"))
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + lit(w - 1))).as("t"))
+      .distinct()
+    val kept = base
+      .select(col("id"), posexplode(col("tok")).as(Seq("t", "token")))
+      .join(covered, Seq("id", "t"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("t"), col("token")))),
+            x => x.getField("token")),
+          " ").as("text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("id"), size(col("tok")).cast("bigint").as("__tot"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__tot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** SimHash fingerprints: (id, simhash). Near-dups share fingerprints (or
     * differ in few bits); grouping by fingerprint is a single hash shuffle. */
   def simhashFingerprints(

@@ -610,6 +610,55 @@ object LlmData {
     }
   }
 
+  /** q90 — ExactSubstr span REMOVAL (the transform behind q69's metric):
+    * tokens covered by any corpus-repeated 8-gram are dropped, survivors
+    * reassemble in original order. The oracle recomputes the covered
+    * position sets and pins the reassembled text BYTES via the portable
+    * hash — byte parity of an edited corpus, not just counts. Output =
+    * docs that lost at least one token. */
+  val q90_span_removal = {
+    val sh8 = (0 until 8).map(j => s"tok[i + $j]").mkString(" || ' ' || ")
+    Q(
+      "q90_span_removal",
+      s"""WITH toks AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS tok
+        |  FROM documents),
+        |corpus AS (SELECT id, tok FROM toks WHERE len(tok) >= 8),
+        |shard AS (SELECT id + 1000000 AS id, array_slice(tok, 1, len(tok) - 5) AS tok
+        |  FROM toks WHERE id < 25 AND len(tok) >= 20),
+        |ad AS (SELECT * FROM corpus UNION ALL SELECT * FROM shard),
+        |h8 AS (SELECT id, list_transform(range(1, len(tok) - 6),
+        |    i -> ('0x' || substr(md5($sh8), 1, 15))::BIGINT) AS hs
+        |  FROM ad WHERE len(tok) >= 8),
+        |g AS (SELECT id, u['p'] AS p, u['h'] AS h
+        |  FROM (SELECT id, unnest(list_transform(range(1, len(hs) + 1),
+        |      i -> struct_pack(p := i, h := hs[i]))) AS u FROM h8)),
+        |rep AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |cov0 AS (SELECT g.id, unnest(range(g.p, g.p + 8)) AS t
+        |  FROM g JOIN rep ON g.h = rep.h),
+        |cov AS (SELECT DISTINCT id, t FROM cov0),
+        |tokpos AS (SELECT id, u['t'] AS t, u['tk'] AS tk
+        |  FROM (SELECT id, unnest(list_transform(range(1, len(tok) + 1),
+        |      i -> struct_pack(t := i, tk := tok[i]))) AS u FROM ad)),
+        |kept AS (SELECT tp.id, tp.t, tp.tk
+        |  FROM tokpos tp LEFT JOIN cov ON tp.id = cov.id AND tp.t = cov.t
+        |  WHERE cov.id IS NULL),
+        |agg AS (SELECT id, string_agg(tk, ' ' ORDER BY t) AS text,
+        |    count(*) AS n_kept FROM kept GROUP BY id),
+        |tot AS (SELECT id, len(tok) AS tot FROM ad)
+        |SELECT t.id, coalesce(a.n_kept, 0) AS n_kept,
+        |  cast(t.tot - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  ('0x' || substr(md5(coalesce(a.text, '')), 1, 15))::BIGINT AS thash
+        |FROM tot t LEFT JOIN agg a USING (id)
+        |WHERE t.tot - coalesce(a.n_kept, 0) > 0""".stripMargin) { (s, dir) =>
+      val (corpus, shard) = nearDupFixture(s, dir)
+      Dedup.removeRepeatedSpans(corpus.unionByName(shard), w = 8)
+        .filter(col("n_removed") > 0)
+        .select(col("id"), col("n_kept"), col("n_removed"),
+          TextHash.portableHash(col("text")).as("thash"))
+    }
+  }
+
   /** Two-stage ANN (coarse 8-dim projection shortlist → exact rerank):
     * the oracle computes the identical projections from the shared
     * md5-derived plane formula (bit-equal doubles — int64→double rounds
@@ -870,5 +919,6 @@ object LlmData {
     q64_rolling_fingerprint, q65_quantized_ann, q66_pii_redaction,
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
-    q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile)
+    q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
+    q90_span_removal)
 }
