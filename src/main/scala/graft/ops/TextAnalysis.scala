@@ -184,7 +184,7 @@ object TextAnalysis {
       .rdd.mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(level, false)
         val buf = new Array[Byte](1 << 16)
-        rows.map { r =>
+        val out = rows.map { r =>
           val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           deflater.reset()
           deflater.setInput(raw)
@@ -196,6 +196,9 @@ object TextAnalysis {
             else math.rint(z.toDouble / raw.length * 1e6) / 1e6
           Row(r.getLong(0), raw.length, z, ratio)
         }
+        // release the native zlib buffer at exhaustion (++ rhs is by-name):
+        // waiting for GC leaks native memory across long-lived executors
+        out ++ { deflater.end(); Iterator.empty }
       }
     spark.createDataFrame(rdd, schema)
       .withColumnRenamed("id", idCol)
