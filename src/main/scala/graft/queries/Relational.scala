@@ -408,6 +408,43 @@ object Relational {
         round(percent_rank().over(wt), 6).as("pr"))
   }
 
+  /** q91 — TPC-H Q3 shape (shipping priority): the three-table analytical
+    * join a BI dashboard runs hourly — segment-filtered customers ⋈
+    * date-filtered orders ⋈ date-filtered lineitem → revenue per order,
+    * top-10. No join hints anywhere: AQE picks broadcast-vs-SMJ per side
+    * from runtime sizes (at 100 TB all three inputs scale, so a pinned
+    * broadcast would be the round-1 OOM mistake). Filters sit directly on
+    * each scan for pushdown; decimal revenue math is exact, cast to
+    * double only at the output boundary. */
+  val q91_shipping_priority = Q(
+    "q91_shipping_priority",
+    """SELECT l.l_orderkey AS o_key,
+      |  cast(sum(cast(l.l_extendedprice AS decimal(18,2)) *
+      |    (1 - cast(l.l_discount AS decimal(18,2)))) AS double) AS revenue,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS odate, o.o_orderpriority
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < DATE '1995-03-15'
+      |  AND l.l_shipdate > DATE '1995-03-15'
+      |GROUP BY 1, 3, 4
+      |ORDER BY revenue DESC, o_key LIMIT 10""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("o_key"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .select("o_key", "revenue", "odate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_key"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_orders_by_date, q03_user_event_counts,
     q04_profile_lineitem, q05_event_type_distribution, q06_distinct_customers,
@@ -415,5 +452,5 @@ object Relational {
     q10_audit_counts, q11_latest_event_per_user, q12_json_extract,
     q13_json_keys, q14_deterministic_sample, q15_union_summary,
     q16_date_helpers, q17_predicates, q18_rollup, q19_json_promotion,
-    q87_window_suite)
+    q87_window_suite, q91_shipping_priority)
 }
