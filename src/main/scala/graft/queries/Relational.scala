@@ -445,6 +445,31 @@ object Relational {
       .limit(10)
   }
 
+  /** q92 — semi/anti join depth (EXISTS / NOT EXISTS, the join family
+    * beyond q07-q10's left/inner/full-outer): customers with at least one
+    * order vs customers with none, in ONE pass each. Spark plans
+    * LeftSemi/LeftAnti — the build side carries ONLY the join key (no
+    * payload columns survive the probe), the shape that makes
+    * existence checks cheap at 100 TB. */
+  val q92_semi_anti = Q(
+    "q92_semi_anti",
+    """SELECT
+      |  (SELECT count(*) FROM customer c
+      |    WHERE EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = c.c_custkey)) AS n_with_orders,
+      |  (SELECT count(*) FROM customer c
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = c.c_custkey)) AS n_without_orders""".stripMargin) {
+    (s, dir) =>
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val o = t(s, dir, "orders").select(col("o_custkey"))
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without_orders"))
+    semi.crossJoin(anti)
+  }
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_orders_by_date, q03_user_event_counts,
     q04_profile_lineitem, q05_event_type_distribution, q06_distinct_customers,
@@ -452,5 +477,5 @@ object Relational {
     q10_audit_counts, q11_latest_event_per_user, q12_json_extract,
     q13_json_keys, q14_deterministic_sample, q15_union_summary,
     q16_date_helpers, q17_predicates, q18_rollup, q19_json_promotion,
-    q87_window_suite, q91_shipping_priority)
+    q87_window_suite, q91_shipping_priority, q92_semi_anti)
 }
