@@ -121,6 +121,15 @@ object ScaleCheck {
         Similarity.ivfTopK(e, q, cent, "vec_id", "embedding",
           k = 10, nprobe = 2).count()
       }
+      r("ann_ivf_wide") = time(s"$tag ANN IVF wide quantizer (k=1024 broadcast)") {
+        // a realistic coarse-quantizer width: 1024 centroids ride ONE
+        // torrent broadcast; assignment stays a narrow codegen'd pass
+        // (the old plan-literal form would not even analyze at this k)
+        val q = e.filter(col("vec_id") < 5)
+        val cent = e.filter(col("vec_id") >= 100 && col("vec_id") < 1124)
+        Similarity.ivfTopK(e, q, cent, "vec_id", "embedding",
+          k = 10, nprobe = 4).count()
+      }
       // the replicated corpus duplicates every vector N times — the
       // duplication-heavy stress for the adaptive refinement + star cap
       r("cosine_near_dup") = time(s"$tag cosine near-dup pairs") {

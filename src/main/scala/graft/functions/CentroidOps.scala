@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** The coarse-quantizer centroid table as ONE broadcast payload.
+  *
+  * Why this exists: the previous IVF/k-means assignment embedded every
+  * centroid vector as `typedLit` literals in a k-element struct array —
+  * at realistic index sizes (a few thousand centroids × 1024-dim doubles)
+  * that is tens of millions of PLAN literals: Catalyst analysis cost grows
+  * with the plan tree and generated code exceeds JVM method limits long
+  * before the data is the problem. Here the matrix is a plain JVM object
+  * shipped via torrent broadcast (once per executor, not per task), and
+  * the expression holds only the broadcast HANDLE — plan size is O(1) in
+  * k·dim. This is the same coarse-quantizer shape as a production IVF
+  * index (reference semantics: SURVEY.md §7.6).
+  */
+final case class CentroidMatrix(cids: Array[Long], vecs: Array[Array[Double]])
+    extends Serializable {
+  require(cids.length == vecs.length,
+    s"cids (${cids.length}) and vecs (${vecs.length}) must align")
+  def k: Int = cids.length
+}
+
+object CentroidOpsUtil {
+
+  /** Spark SQL double ordering for our domain: NaN sorts largest
+    * (l2sq never yields -0.0, so Double.compare matches SQL exactly). */
+  private def before(d1: Double, c1: Long, d2: Double, c2: Long): Boolean = {
+    val cmp = java.lang.Double.compare(d1, d2)
+    cmp < 0 || (cmp == 0 && c1 < c2)
+  }
+
+  /** cids of the `keep` nearest centroids by (l2sq, cid) ascending — the
+    * same sequential-accumulation distance and the same deterministic
+    * tie-break as the `array_min(array(struct(l2sq, cid)...))` plan-literal
+    * form this replaces (bit-identical IEEE doubles, argmin ties broken by
+    * smaller cid). Null ⇔ a null element or a dim mismatch with any
+    * centroid (the l2sq null contract). One pass per centroid over a
+    * primitive buffer; bounded insertion keeps O(k·keep) worst case with
+    * keep ≤ nprobe (small). */
+  def nearest(v: ArrayData, m: CentroidMatrix, keep: Int): Array[Long] = {
+    val n = v.numElements()
+    val k = m.k
+    val kk = math.min(keep, k)
+    if (kk <= 0) return new Array[Long](0)
+    val vv = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      vv(i) = v.getDouble(i)
+      i += 1
+    }
+    val bd = new Array[Double](kk)
+    val bc = new Array[Long](kk)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val cv = m.vecs(c)
+      if (cv.length != n) return null
+      var acc = 0.0d
+      var j = 0
+      while (j < n) {
+        val d = vv(j) - cv(j)
+        acc += d * d
+        j += 1
+      }
+      val cid = m.cids(c)
+      if (filled < kk) {
+        var pos = filled
+        while (pos > 0 && before(acc, cid, bd(pos - 1), bc(pos - 1))) {
+          bd(pos) = bd(pos - 1); bc(pos) = bc(pos - 1); pos -= 1
+        }
+        bd(pos) = acc; bc(pos) = cid
+        filled += 1
+      } else if (before(acc, cid, bd(kk - 1), bc(kk - 1))) {
+        var pos = kk - 1
+        while (pos > 0 && before(acc, cid, bd(pos - 1), bc(pos - 1))) {
+          bd(pos) = bd(pos - 1); bc(pos) = bc(pos - 1); pos -= 1
+        }
+        bd(pos) = acc; bc(pos) = cid
+      }
+      c += 1
+    }
+    if (filled == kk) bc else java.util.Arrays.copyOf(bc, filled)
+  }
+}
+
+/** array<bigint> of the `keep` nearest centroid ids for an array<double>
+  * vector, ordered by (distance, cid) — the IVF assignment / probe kernel.
+  * The centroid matrix rides a `Broadcast` (the expression serializes only
+  * the handle), and the argmin fold is a codegen'd primitive loop. */
+case class NearestCentroids(child: Expression, bcast: Broadcast[CentroidMatrix],
+    keep: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = CentroidOpsUtil.nearest(input.asInstanceOf[ArrayData], bcast.value, keep)
+    if (r == null) null else new GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidBcast", bcast,
+      classOf[Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("cids")
+      s"""
+         |long[] $arr = graft.functions.CentroidOpsUtil.nearest($c,
+         |  (graft.functions.CentroidMatrix) $ref.value(), $keep);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}

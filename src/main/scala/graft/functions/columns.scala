@@ -20,6 +20,10 @@ object columns {
     ColumnBridge.column(CosineSimilarity(vec(a), vec(b)))
   def hyperplaneSig(v: Column, bits: Int, offset: Int = 0, dim: Int = -1): Column =
     ColumnBridge.column(HyperplaneSignature(vec(v), bits, offset, dim))
+  def nearestCentroids(v: Column,
+      bcast: org.apache.spark.broadcast.Broadcast[CentroidMatrix],
+      keep: Int): Column =
+    ColumnBridge.column(NearestCentroids(vec(v), bcast, keep))
 
   /** Native text-hash pipeline (dedup hot loop). */
   def shingleHashes(tokens: Column, n: Int, mod32: Boolean): Column =

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * Deterministic by construction (gate-grade, oracle-reproducible):
   *  - init = the k lowest-id vectors (a production run would swap in
   *    k-means||; the init strategy is orthogonal to the iteration plan)
-  *  - E-step = argmin over plan-literal centroids with (dist, cid) struct
-  *    ordering — exact IEEE doubles, deterministic cid tie-break, and a
-  *    NARROW per-row pass (no join, no row explosion; the same shape as
-  *    `Similarity.ivfTopK` assignment)
+  *  - E-step = argmin over BROADCAST centroids via the native
+  *    NearestCentroids kernel — exact IEEE doubles, deterministic cid
+  *    tie-break, a NARROW per-row pass (no join, no row explosion; the
+  *    same shape as `Similarity.ivfTopK` assignment), and O(1) plan size
+  *    in k·dim (the matrix rides a torrent broadcast, not plan literals)
   *  - M-step = per-dimension mean with DECIMAL accumulation: distributed
   *    double summation is order-nondeterministic, decimal sums are exact
   *    and order-free; ONE decimal→double rounding then one double
@@ -29,21 +30,29 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  private def assignExpr(cents: Seq[(Long, Seq[Double])], v: Column): Column = {
-    val ds = cents.map { case (cid, cv) =>
-      struct(
-        graft.functions.columns.l2Squared(v, typedLit(cv)).as("d"),
-        lit(cid).as("cid"))
-    }
-    array_min(array(ds: _*)).getField("cid")
-  }
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Nearest-centroid id via the broadcast NearestCentroids kernel — the
+    * centroid matrix rides a torrent broadcast (once per executor) and the
+    * plan holds only the handle, so plan size is O(1) in k·dim (the old
+    * typedLit struct-array argmin grew the plan with every centroid
+    * component — a few thousand 1024-dim centroids would blow Catalyst
+    * analysis and codegen method limits). Same (distance, cid) argmin
+    * tie-break, bit-identical IEEE distances. */
+  private def assignCol(bc: org.apache.spark.broadcast.Broadcast[
+      graft.functions.CentroidMatrix], v: Column): Column =
+    element_at(graft.functions.columns.nearestCentroids(v, bc, keep = 1), 1)
+
+  private def toBroadcast(corpus: DataFrame, cents: Seq[(Long, Seq[Double])]) =
+    corpus.sparkSession.sparkContext.broadcast(graft.functions.CentroidMatrix(
+      cents.map(_._1).toArray, cents.map(_._2.toArray).toArray))
 
   /** One E-step: corpus rows tagged with their nearest centroid id. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Seq[(Long, Seq[Double])]): DataFrame =
     corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-      .withColumn("cid", assignExpr(cents, col("v")))
+      .withColumn("cid", assignCol(toBroadcast(corpus, cents), col("v")))
 
   /** Fit `iters` Lloyd iterations; returns (cid, cv array<double>, n)
     * where n is the cluster size in the FINAL assignment (the E-step the
@@ -60,10 +69,18 @@ object Clustering {
       .cache()
     var cents: Seq[(Long, Seq[Double])] = e.orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    require(cents.nonEmpty, "kmeans: corpus is empty — no init centroids")
+    if (cents.length < k)
+      log.warn(
+        s"kmeans: corpus has only ${cents.length} vectors < k=$k; " +
+          s"training ${cents.length} clusters")
     var fittedRows: Array[org.apache.spark.sql.Row] = Array.empty
     var fittedSchema: org.apache.spark.sql.types.StructType = null
     (1 to iters).foreach { _ =>
-      val assigned = e.withColumn("cid", assignExpr(cents, col("v")))
+      // per-iteration broadcast of this E-step's centroids; released as
+      // soon as the M-step collect below has consumed the assignment
+      val bc = toBroadcast(corpus, cents)
+      val assigned = e.withColumn("cid", assignCol(bc, col("v")))
       val fitted = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
@@ -79,6 +96,7 @@ object Clustering {
           first("__n").as("n"))
       fittedRows = fitted.collect()
       fittedSchema = fitted.schema
+      bc.unpersist(blocking = false)
       cents = fittedRows
         .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     }

@@ -107,34 +107,33 @@ object Similarity {
     // centroids; a real index trains a few thousand), so assignment must
     // NOT be a join: the old cross-join + row_number form exploded every
     // corpus vector x |centroids| and shuffled the full vector payload
-    // just to take an argmin. Collect the centroids once and fold a
-    // map-side argmin instead — a narrow projection, zero shuffle, zero
-    // row explosion, exactly the plan a 1000-executor scan wants.
-    //
-    // array_min / array_sort over (d, cid) structs: struct ordering
-    // compares d first then cid — the same `ORDER BY d, cid` tie-break as
-    // the window form — and evaluates each distance exactly once (a
-    // when/otherwise fold would re-expand the accumulator per centroid).
+    // just to take an argmin. Collect the centroids once (k × dim doubles
+    // — the bounded driver read this operator is defined by), BROADCAST
+    // the matrix, and fold a map-side argmin in a native expression
+    // (NearestCentroids): a narrow projection, zero shuffle, zero row
+    // explosion, and — unlike the earlier typedLit struct-array form —
+    // O(1) plan size in k·dim, so a few-thousand-centroid × 1024-dim
+    // index neither blows up Catalyst analysis nor busts codegen method
+    // limits. The (distance, cid) tie-break is identical to the
+    // `ORDER BY d, cid` window form. Centroid ids are int64 (the IVF
+    // index contract; numeric ids cast losslessly).
     val centRows = centroids
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cv"))
       .collect()
-      .sortBy(_.get(0).toString)
     if (centRows.isEmpty) // no lists, no probes — empty result, same schema
       return queries
         .select(col(idCol).as("qid"), lit(1).as("rank"), col(idCol).as("nid"))
         .filter(lit(false))
-    def distArr(v: Column): Column = array(centRows.map { r =>
-      val cv = r.getSeq[Double](1)
-      struct(l2sq(v, typedLit(cv)).as("d"), lit(r.get(0)).as("cid"))
-    }.toIndexedSeq: _*)
-    def assign(df: DataFrame, id: String, v: String, keep: Int) = {
-      val picked =
-        if (keep == 1) array(array_min(distArr(col(v))))
-        else slice(array_sort(distArr(col(v))), 1, keep)
+    val matrix = graft.functions.CentroidMatrix(
+      centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Double](1).toArray))
+    val bc = corpus.sparkSession.sparkContext.broadcast(matrix)
+    def assign(df: DataFrame, id: String, v: String, keep: Int) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
-        .select(col(id), col(v), explode(picked).as("__s"))
-        .select(col(id), col(v), col("__s").getField("cid").as("cid"))
-    }
+        .select(col(id), col(v),
+          explode(graft.functions.columns.nearestCentroids(col(v), bc, keep))
+            .as("cid"))
     val lists = assign(Balance(corpus), "nid", "nv", 1) // inverted lists: (cid, nid, nv)
     val probes = assign(queries, "qid", "qv", nprobe)
     val scored = lists.join(probes, Seq("cid")).filter(col("nid") =!= col("qid"))

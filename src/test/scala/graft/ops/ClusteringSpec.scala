@@ -50,4 +50,36 @@ class ClusteringSpec extends SparkSpec {
       mkDf(schema, Row(9L, Seq(1.0, 0.0))), "id", "v", cents).collect()
     assert(out.head.getAs[Long]("cid") == 1L) // equidistant → min cid
   }
+
+  test("assignment plan is O(1) in k·dim at k=1024, dim=64 and codegen'd") {
+    // a realistic coarse quantizer: 1024 centroids × 64 dims = 65536
+    // doubles. The old typedLit form embedded all of them as plan
+    // literals; the broadcast kernel must keep the plan tree bounded.
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    val cents: Seq[(Long, Seq[Double])] = (0 until 1024).map(c =>
+      (c.toLong, Seq.tabulate(dim)(i => ((c * 31 + i * 17) % 101).toDouble / 7.0)))
+    // plain array(), not transform(): HOFs are CodegenFallback and would
+    // knock the collapsed Project out of codegen regardless of the kernel
+    val corpus = spark.range(200).select(col("id"),
+      array((0 until dim).map(i =>
+        ((col("id") * 13 + lit(i)) % 19).cast("double")): _*).as("v"))
+    val assigned = Clustering.assign(corpus, "id", "v", cents)
+    val planStr = assigned.queryExecution.executedPlan.toString
+    assert(planStr.length < 20000,
+      s"plan string is ${planStr.length} chars — centroids are leaking into the plan")
+    assert(planStr.contains("nearest_centroids"))
+    // "*(n)" is the whole-stage-codegen stage marker in simpleString —
+    // the Project computing cid must carry it
+    assert(planStr.linesIterator.exists(l =>
+      l.contains("nearest_centroids") && l.trim.startsWith("*(")),
+      "assignment must stay inside whole-stage codegen")
+    // cross-check one assignment against plain-Scala argmin
+    val got = assigned.filter(col("id") === 7L).collect().head.getAs[Long]("cid")
+    val v = Seq.tabulate(dim)(i => ((7 * 13 + i) % 19).toDouble)
+    val expect = cents.minBy { case (cid, cv) =>
+      (cv.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum, cid)
+    }._1
+    assert(got == expect)
+  }
 }
