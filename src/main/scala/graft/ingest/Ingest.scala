@@ -12,10 +12,13 @@ sealed trait DedupMode
 object DedupMode {
   /** Append/overwrite as-is. */
   case object NoDedup extends DedupMode
-  /** Merge-with-existing semantics (ReplacingMergeTree + OPTIMIZE FINAL,
-    * tools/ingest_runner.py:1341-1342,1782-1787): incoming rows are
-    * unioned with the current target and collapsed to latest-per-key at
-    * write time. */
+  /** ReplacingMergeTree part model (tools/ingest_runner.py:1341-1342,
+    * 1782-1787): each load APPENDS a batch-sized, intra-batch-collapsed
+    * delta part; duplicates across parts collapse at read
+    * (`Ingest.readFinal` = SELECT ... FINAL) and physically at
+    * compaction (`Maintenance.compactFinal` = OPTIMIZE FINAL). Write
+    * amplification is ∝ batch, not ∝ target — the property that makes
+    * incremental loads viable on a 100 TB table. */
   case object Replacing extends DedupMode
   /** Window-dedup into a staging dir + atomic swap
     * (tools/ingest_runner.py:1529-1592). */
@@ -86,7 +89,8 @@ object Ingest {
     val version = meta.versionColumn
     val finalPath = s"$targetDir/${meta.table}"
 
-    def write(df: DataFrame, path: String): Unit = {
+    def write(df: DataFrame, path: String,
+        saveMode: SaveMode = SaveMode.Overwrite): Unit = {
       // MergeTree ORDER BY analogue (SURVEY §1.3): sort within partitions
       // on the PK/sorting key so parquet row-group min/max stats enable
       // key-range skipping on read. Local sort only — no shuffle.
@@ -101,8 +105,8 @@ object Ingest {
           // months add a salt column to this repartition.
           sorted(df.withColumn("__yyyymm", date_format(col(c), "yyyyMM"))
               .repartition(col("__yyyymm")))
-            .write.mode(SaveMode.Overwrite).partitionBy("__yyyymm").parquet(path)
-        case None => sorted(df).write.mode(SaveMode.Overwrite).parquet(path)
+            .write.mode(saveMode).partitionBy("__yyyymm").parquet(path)
+        case None => sorted(df).write.mode(saveMode).parquet(path)
       }
     }
 
@@ -119,23 +123,23 @@ object Ingest {
         deduped
       case DedupMode.Replacing =>
         require(keys.nonEmpty, s"replacing dedup needs a PK for ${meta.table}")
-        val existing =
-          if (Maintenance.exists(spark, finalPath))
-            Some(spark.read.parquet(finalPath))
-          else None
-        val merged = existing match {
-          case Some(old) => old.unionByName(cleaned, allowMissingColumns = true)
-          case None => cleaned
-        }
-        val deduped = dedupLatest(merged, keys, version)
-        val staging = s"$targetDir/.staging_${meta.table}"
-        write(deduped, staging)
-        Maintenance.stagingSwap(spark, staging, finalPath)
+        // INSERT = append a delta part. The old form unioned with the
+        // full existing target and rewrote it — O(target) write
+        // amplification per load. Intra-batch collapse keeps the part
+        // minimal; cross-part duplicates are the read/compaction layer's
+        // job, exactly as in ReplacingMergeTree.
+        val deduped = dedupLatest(cleaned, keys, version)
+        write(deduped, finalPath, SaveMode.Append)
         deduped
     }
     // Read back for the written count so the audit measures the TARGET,
     // not the lineage (ingest_runner.py run_audit reads ClickHouse counts).
-    val writtenRows = spark.read.parquet(finalPath).count()
+    // Replacing targets audit their FINAL view (duplicates across delta
+    // parts are not rows of the logical table).
+    val writtenRows = mode match {
+      case DedupMode.Replacing => readFinal(spark, finalPath, keys, version).count()
+      case _ => spark.read.parquet(finalPath).count()
+    }
     val tObs = System.nanoTime()
     val sourceRows = obs.get("rows").asInstanceOf[Long]
     val obsWait = (System.nanoTime() - tObs) / 1e9
@@ -144,6 +148,17 @@ object Ingest {
     val _ = written // lineage handle kept for clarity; target re-read is the truth
     IngestResult(meta.table, sourceRows, writtenRows, sourceRows - writtenRows)
   }
+
+  /** FINAL read surface for a Replacing target (SELECT ... FINAL):
+    * collapse appended delta parts to latest-per-key. `mergeSchema`
+    * tolerates parts written before a column existed — the read-time
+    * analogue of unionByName(allowMissingColumns). One PK-hash shuffle,
+    * the same cost the write path used to pay on EVERY load. */
+  def readFinal(spark: SparkSession, path: String, keys: Seq[String],
+      version: Option[String], tieBreak: Seq[String] = Nil): DataFrame =
+    dedupLatest(
+      spark.read.option("mergeSchema", "true").parquet(path),
+      keys, version, tieBreak)
 
   /** Concurrent multi-table ingest — the Spark analogue of the
     * reference's per-database subprocess parallelism

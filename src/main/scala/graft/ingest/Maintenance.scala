@@ -63,6 +63,24 @@ object Maintenance {
     stagingSwap(spark, staging, path)
   }
 
+  /** M5 companion — OPTIMIZE FINAL for a Replacing target: physically
+    * collapse latest-per-key across delta parts and rewrite as
+    * ~`targetMB`-sized files via atomic swap
+    * (tools/ingest_runner.py:1782-1787 runs exactly this after ingest).
+    * O(target) by nature — runs on a maintenance schedule, never on the
+    * per-batch write path. */
+  def compactFinal(spark: SparkSession, path: String, keys: Seq[String],
+      version: Option[String], tieBreak: Seq[String] = Nil,
+      targetMB: Int = 128): Unit = {
+    val f = fs(spark, path)
+    val bytes = f.getContentSummary(new Path(path)).getLength
+    val parts = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
+    val collapsed = Ingest.readFinal(spark, path, keys, version, tieBreak)
+    val staging = path + "__compact"
+    collapsed.repartition(parts).write.mode(SaveMode.Overwrite).parquet(staging)
+    stagingSwap(spark, staging, path)
+  }
+
   /** M6 — schema-relax: every non-PK field nullable
     * (tools/fix_clickhouse_schemas.py:73-166). Our reflected schemas are
     * already nullable-by-default for non-PK; this normalizes external ones. */

@@ -171,6 +171,10 @@ object Pipeline {
     val stream = s.readStream.option("maxFilesPerTrigger", 1).text(src)
     graft.streaming.CdcStream.typedUpsertQuery(
       stream, afterSchema, Seq("id"), target, s"$base/ckpt").awaitTermination()
+    // each micro-batch appended a delta part; OPTIMIZE FINAL collapses
+    // them physically (the reference's post-ingest step), then the plain
+    // read proves the collapsed table IS the golden final image
+    graft.streaming.CdcStream.optimizeFinal(s, target, Seq("id"))
     s.read.parquet(target).select("id", "nombre", "op", "ts_ms").orderBy("id")
   }
 

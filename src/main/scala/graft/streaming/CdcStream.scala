@@ -15,11 +15,16 @@ import org.apache.spark.sql.types.StructType
   * layout the reference generates) or, in this sandbox, the file `text`
   * source for deterministic micro-batch tests.
   *
-  * Scale notes: each micro-batch merge shuffles only on the PK (the same
-  * window as batch staging dedup); the target rewrite is the
-  * parquet-sandbox stand-in for a transactional MERGE — on a real
-  * deployment `upsertBatch` body becomes `DeltaTable.merge` and
-  * everything else is unchanged.
+  * Scale notes: each micro-batch is ONE batch-sized appended delta part
+  * (bytes written ∝ batch, never ∝ target — the ReplacingMergeTree
+  * insert model). Duplicates and delete tombstones collapse in
+  * `finalView` (SELECT ... FINAL: one PK-hash shuffle) and physically in
+  * `optimizeFinal` (OPTIMIZE FINAL — scheduled maintenance, off the
+  * per-batch path). Version collapse also makes replayed batches
+  * idempotent in the final view: a re-appended part carries identical
+  * (pk, ts_ms) rows, which latest-per-key folds away. On a deployment
+  * with a transactional format `upsertBatch` becomes `DeltaTable.merge`
+  * and everything else is unchanged.
   */
 object CdcStream {
 
@@ -36,42 +41,54 @@ object CdcStream {
       .withColumn("ts_ms", lit(0L))
       .write.mode(SaveMode.Overwrite).parquet(targetDir)
 
-  /** Merge one (micro-)batch of raw envelope values into the typed
-    * target: decode → latest-per-PK against the existing table →
-    * atomic staging swap. Deletes are dropped in parity mode and applied
-    * when `applyDeletes` (improved mode, SURVEY.md §2.9). */
+  /** INSERT one (micro-)batch of raw envelope values as a delta part of
+    * the typed target: decode → clean → append. Deletes are dropped in
+    * parity mode; in improved mode (`applyDeletes`) they append as
+    * TOMBSTONE rows (op='d', key from the `before` image) that
+    * `finalView`/`optimizeFinal` apply — the ReplacingMergeTree
+    * (ver, is_deleted) model. The old form re-read and rewrote the whole
+    * target every batch: O(target) write amplification, a non-starter
+    * for a 100 TB table taking small CDC batches. */
   def upsertBatch(spark: SparkSession, batch: DataFrame, afterSchema: StructType,
       pk: Seq[String], targetDir: String, applyDeletes: Boolean = false,
       cleanMeta: Option[graft.schema.TableMeta] = None): Unit = {
     val decoded = CdcEnvelope.decode(batch, afterSchema)
     // same cleaning layer as batch ingest (streamed rows must not bypass
     // D/N/T normalization — the reference's stream path diverging from its
-    // batch path was one of its bugs, SURVEY.md §2.9 NULL note)
-    val ups = cleanMeta match {
-      case Some(m) => graft.clean.TableCleaner.clean(CdcEnvelope.upserts(decoded), m)
-      case None => CdcEnvelope.upserts(decoded)
+    // batch path was one of its bugs, SURVEY.md §2.9 NULL note). Tombstones
+    // are cleaned too so their PK representation matches the upserts'.
+    def clean(df: DataFrame) = cleanMeta match {
+      case Some(m) => graft.clean.TableCleaner.clean(df, m)
+      case None => df
     }
-    val existing =
-      if (Maintenance.exists(spark, targetDir)) spark.read.parquet(targetDir)
-      else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), ups.schema)
-    val merged = Ingest.dedupLatest(
-      existing.unionByName(ups, allowMissingColumns = true),
-      pk, Some("ts_ms"))
-    val result =
+    val ups = clean(CdcEnvelope.upserts(decoded))
+    val delta =
       if (applyDeletes) {
-        // one delete row per PK (the newest): multiple deletes for a key in
-        // a batch must not fan the left join out into duplicate survivors,
-        // and a row must be compared against the NEWEST delete only
-        val dels = CdcEnvelope.deletes(decoded)
-          .groupBy(pk.map(col): _*)
-          .agg(max("ts_ms").as("__del_ts"))
-        merged.join(dels, pk, "left")
-          .filter(col("__del_ts").isNull || col("__del_ts") < col("ts_ms"))
-          .drop("__del_ts")
-      } else merged
+        val tombs = clean(CdcEnvelope.deletes(decoded).withColumn("op", lit("d")))
+        ups.unionByName(tombs, allowMissingColumns = true)
+      } else ups
+    delta.write.mode(SaveMode.Append).parquet(targetDir)
+  }
+
+  /** SELECT ... FINAL over the typed target: latest-per-key across all
+    * parts (delete tombstones win ts_ms ties, as the newest-delete rule
+    * requires), then tombstoned keys drop out. One PK-hash shuffle. */
+  def finalView(spark: SparkSession, targetDir: String, pk: Seq[String]): DataFrame = {
+    val all = spark.read.option("mergeSchema", "true").parquet(targetDir)
+    val tagged = all.withColumn("__del",
+      when(col("op") === "d", lit(1)).otherwise(lit(0)))
+    Ingest.dedupLatest(tagged, pk, Some("ts_ms"), tieBreak = Seq("__del"))
+      .filter(col("__del") === 0)
+      .drop("__del")
+  }
+
+  /** OPTIMIZE FINAL: physically collapse the parts (and purge
+    * tombstones) via atomic staging swap. Scheduled maintenance — the
+    * reference runs it post-ingest (tools/ingest_runner.py:1782-1787). */
+  def optimizeFinal(spark: SparkSession, targetDir: String, pk: Seq[String]): Unit = {
     val staging = targetDir + "__staging"
-    result.write.mode(SaveMode.Overwrite).parquet(staging)
+    finalView(spark, targetDir, pk)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
     Maintenance.stagingSwap(spark, staging, targetDir)
   }
 

@@ -50,9 +50,43 @@ class IngestSpec extends SparkSpec {
       Row(9L, "new", ts("2021-01-01 00:00:00")))
     val res = Ingest.ingestTable(spark, second, meta, out, DedupMode.Replacing)
     assert(res.writtenRows === 4)
-    val rows = spark.read.parquet(s"$out/t").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(rows === Map(1L -> "a2", 2L -> "b2", 3L -> "c", 9L -> "new"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    val want = Map(1L -> "a2", 2L -> "b2", 3L -> "c", 9L -> "new")
+    // the logical table is the FINAL view over the appended parts...
+    assert(asMap(Ingest.readFinal(spark, s"$out/t", Seq("id"),
+      Some("factualizacion"))) === want)
+    // ...and OPTIMIZE FINAL makes the physical layout match it
+    Maintenance.compactFinal(spark, s"$out/t", Seq("id"), Some("factualizacion"))
+    assert(asMap(spark.read.parquet(s"$out/t")) === want)
+  }
+
+  test("replacing loads append batch-sized delta parts (no target rewrite)") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    def dirBytes: Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$out/t")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    // base load: 5000 rows; delta load: 10 rows. If the delta write were
+    // rewriting the target, the bytes added by load 2 would be ~the full
+    // table; appended parts must cost a small fraction of it.
+    val base = spark.range(5000).selectExpr(
+      "id", "concat('v_', id) AS v",
+      "timestamp'2021-01-01 00:00:00' AS factualizacion")
+    Ingest.ingestTable(spark, base, meta, out, DedupMode.Replacing)
+    val afterBase = dirBytes
+    val delta = spark.range(10).selectExpr(
+      "id + 10000 AS id", "concat('d_', id) AS v",
+      "timestamp'2022-01-01 00:00:00' AS factualizacion")
+    Ingest.ingestTable(spark, delta, meta, out, DedupMode.Replacing)
+    val added = dirBytes - afterBase
+    assert(added > 0, "delta load must append data")
+    assert(added < afterBase / 2,
+      s"delta load added $added bytes vs $afterBase base — write amplification " +
+        "is ∝ target, not ∝ batch")
+    assert(Ingest.readFinal(spark, s"$out/t", Seq("id"),
+      Some("factualizacion")).count() === 5010)
   }
 
   test("audit reports per-table parity with diff and ok flags") {

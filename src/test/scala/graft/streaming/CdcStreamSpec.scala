@@ -34,8 +34,10 @@ class CdcStreamSpec extends SparkSpec {
     q.awaitTermination()
   }
 
+  /** The documented read surface for the appended-parts target:
+    * SELECT ... FINAL (latest-per-key, tombstones applied). */
   private def tableOf(target: String): Map[Long, String] =
-    spark.read.parquet(target).collect()
+    CdcStream.finalView(spark, target, Seq("id")).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[String]("nombre")).toMap
 
   test("parity mode: snapshot + stream converge; deletes are dropped (reference behavior)") {
@@ -91,9 +93,12 @@ class CdcStreamSpec extends SparkSpec {
       env(2L, null, "d", 150),
       env(2L, null, "d", 250)))      // id=2: newest delete wins -> gone
     runStream(src, target, ckpt, applyDeletes = true)
+    assert(tableOf(target) === Map(1L -> "uno_v2"))
+    // OPTIMIZE FINAL purges the collapsed duplicates AND the tombstones
+    // physically — the plain read then shows exactly one survivor
+    CdcStream.optimizeFinal(spark, target, Seq("id"))
     val rows = spark.read.parquet(target).collect()
     assert(rows.length === 1, s"expected exactly one survivor, got ${rows.toSeq}")
-    assert(tableOf(target) === Map(1L -> "uno_v2"))
   }
 
   test("raw layer: append-only (ingested_at, value) with every envelope kept") {
