@@ -36,11 +36,16 @@ object Bench {
     // "queries"/"value" report the steady-state MINIMUM (also the robust
     // statistic against this sandbox's interference episodes) and
     // "cold_sec" keeps the first-run wall clock for transparency.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
+    // reps >= 3 so min AND median are both meaningful: min is the robust
+    // steady-state statistic, median exposes interference episodes —
+    // reporting both stops round-over-round comparisons conflating
+    // measurement-method changes with real wins.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
     var coldSecs = List.empty[(String, Double)]
+    var medSecs = List.empty[(String, Double)]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      var minSec = Double.MaxValue
+      var repSecs = List.empty[Double]
       var lastTask = 0.0
       var ok = true
       // takeWhile(_ => ok): once a rep fails, re-running the known-broken
@@ -59,7 +64,7 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         if (rep == 1) coldSecs ::= (name -> sec)
-        minSec = math.min(minSec, sec)
+        repSecs ::= sec
         lastTask = (taskMs.get() - task0) / 1e3 // steady-state rep's task CPU
         // Each rep is timed standalone; drop cached blocks so a rep isn't
         // taxed by accumulated executor-memory pressure/GC from earlier
@@ -68,10 +73,17 @@ object Bench {
         spark.catalog.clearCache()
       }
       taskSecs ::= (name -> lastTask)
+      val sorted = repSecs.sorted
+      if (sorted.nonEmpty) medSecs ::= (name -> sorted(sorted.size / 2))
+      val minSec = if (sorted.nonEmpty) sorted.head else Double.MaxValue
       name -> (if (ok) minSec else -minSec)
     }
+    // Locale.ROOT: the default-locale f"%.3f" would emit decimal COMMAS
+    // under e.g. a German JVM locale and corrupt the machine-parsed line
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // stdout keys are the short qNN prefix (the contract's `"q1":sec` shape):
     // the parent's line buffer is ~2000 chars and 80 full names overflow it.
     // Full names live in the stderr diag line. Prefix collisions (none
@@ -85,15 +97,17 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
+    val medianTotal = medSecs.map(_._2).sum
     val taskJson = jmap(taskSecs.reverse)
     val coldJson = jmap(coldSecs.reverse)
-    // Diagnostics (per-query task CPU + cold-run wall) go to STDERR: the
-    // stdout JSON line is parsed by a parent process whose line buffer is
-    // finite — keep it to the contract fields only.
+    val medJson = jmap(medSecs.reverse)
+    // Diagnostics (per-query task CPU, cold-run wall, per-query medians)
+    // go to STDERR: the stdout JSON line is parsed by a parent process
+    // whose line buffer is finite — keep it to the contract fields only.
     System.err.println(
-      s"""[bench-diag] {"task_sec":$taskJson,"cold_sec":$coldJson,"reps":$reps}""")
+      s"""[bench-diag] {"task_sec":$taskJson,"cold_sec":$coldJson,"med_sec":$medJson,"reps":$reps}""")
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"median_total":${fmt(medianTotal)},"sf":"$sfDir"}""")
     GraftTmp.purge()
     spark.stop()
   }

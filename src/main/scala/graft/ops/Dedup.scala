@@ -224,7 +224,12 @@ object Dedup {
             x => x.getField("token")),
           " ").as("text"),
         count(lit(1)).as("n_kept"))
-    base.select(col("id"), size(col("tok")).cast("bigint").as("__tot"))
+    // NULL tok ≡ empty doc (the lineDedup/globalTokenOffsets convention):
+    // size(NULL) is -1/NULL depending on legacy conf — clamp either to 0
+    // so the removal count can never go negative
+    base.select(col("id"),
+      coalesce(greatest(size(col("tok")), lit(0)), lit(0))
+        .cast("bigint").as("__tot"))
       .join(kept, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("text"), lit("")).as("text"),

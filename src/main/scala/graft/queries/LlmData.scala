@@ -876,16 +876,19 @@ object LlmData {
     * standard as everything else. */
   val q86_frame_sample_stats = Q(
     "q86_frame_sample_stats",
-    """WITH t AS (SELECT doc_id AS id, strlen(text) AS len FROM documents),
+    """WITH t AS (SELECT doc_id AS id, strlen(coalesce(text, '')) AS len FROM documents),
       |s AS (SELECT id, len, greatest(1, len // 32) AS nslices FROM t)
       |SELECT id, (nslices - 1) // 4 + 1 AS n_frames,
       |  cast(list_sum(list_transform(range(0, nslices::INT, 4),
       |    x -> least(x * 32 + 32, len) - x * 32)) AS BIGINT) AS sampled_bytes
       |FROM s""".stripMargin) { (s, dir) =>
     import s.implicits._
+    // coalesce BEFORE encode: a NULL text would otherwise produce a NULL
+    // payload and an executor NPE inside sampleFrames' mapPartitions
+    // (NULL ≡ empty doc, same convention as compressionRatio)
     val ds = Tables.load(s, dir, "documents")
       .select(col("doc_id").as("id"), lit("text/plain").as("mime"),
-        encode(col("text"), "UTF-8").as("payload"))
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[graft.multimodal.MediaRow]
     Multimodal.sampleFrames(ds, frameBytes = 32, everyNth = 4)
       .groupBy("id")
@@ -898,9 +901,21 @@ object LlmData {
     * deflate compressibility (exact integer byte sums — no float-order
     * nondeterminism), and the count of suspiciously-compressible docs
     * (ratio < 0.35 → looping/boilerplate text). Deflate has no SQL
-    * equivalent, so this is a rows-only gate by design — the one operator
-    * family (with the multimodal codecs) outside the oracle's reach. */
-  val q89_compression_profile = Q.noOracle("q89_compression_profile") { (s, dir) =>
+    * equivalent, so the deflate-derived columns are pinned as GOLDEN
+    * values (computed once from the JDK Deflater at level 6 on the
+    * sf0.01 fixture — exact integer byte sums, deterministic for a given
+    * zlib) while n_docs stays live from the documents table: the gate
+    * now hash-checks all columns instead of accepting any 5 rows, and a
+    * Deflater/plan regression flips it red. */
+  val q89_compression_profile = Q(
+    "q89_compression_profile",
+    """WITH g(lang, corpus_ratio, n_repetitive) AS (VALUES
+      |  ('de', 0.510525, 0), ('en', 0.499853, 0), ('es', 0.498897, 0),
+      |  ('fr', 0.484605, 0), ('zh', 0.495949, 0)),
+      |d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+      |SELECT d.lang, d.n_docs, CAST(g.corpus_ratio AS DOUBLE) AS corpus_ratio,
+      |  CAST(g.n_repetitive AS BIGINT) AS n_repetitive
+      |FROM d JOIN g USING (lang)""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
     graft.ops.TextAnalysis.compressionRatio(docs, "doc_id", "text")
       .join(docs.select("doc_id", "lang"), Seq("doc_id"))

@@ -416,7 +416,7 @@ object Pipeline {
 
   /** Streaming windowed-aggregation parity: the events table replayed
     * through the STREAMING engine (file source → event-time tumbling
-    * window → complete-mode memory sink) must produce exactly the batch
+    * window → complete-mode parquet refresh) must produce exactly the batch
     * GROUP BY — the stream/batch-unification guarantee q44 proves for
     * CDC upserts, here for the watermark+window agg family (§2.9's
     * aggregate side; watermark late-drop semantics are pinned separately
@@ -454,22 +454,26 @@ object Pipeline {
       |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.streaming.Trigger
-    val sink = "q78_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val out = tmpDir("graft_q78_out_")
     val ckpt = tmpDir("graft_q78_ckpt_")
+    // complete mode (full deterministic result; no emission races)
+    // through foreachBatch refreshing a parquet target — the
+    // materialized-aggregate pattern; nothing collects to the driver
     val q = eventsStreamFactory(s, dir)()
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).as("tot"))
       .writeStream
-      .outputMode("complete") // full deterministic result; no emission races
-      .format("memory")
-      .queryName(sink)
+      .outputMode("complete")
       .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/agg")
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink).select(
+    s.read.parquet(s"$out/agg").select(
       col("event_type"),
       date_format(col("w.start"), "yyyy-MM-dd").as("day"),
       col("n"),
@@ -507,16 +511,18 @@ object Pipeline {
       .withWatermark("b_ts", "1 hour")
     val joined = purchases.join(clicks,
       expr("a_user = user_id AND b_ts >= a_ts - INTERVAL 10 MINUTES AND b_ts < a_ts"))
-    val sink = "q81_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // append-mode parquet FILE sink + read-back: the production shape
+    // (matched pairs land in the lake; nothing collects to the driver)
+    val out = tmpDir("graft_q81_out_")
     val q = joined.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(sink)
+      .format("parquet")
+      .option("path", s"$out/pairs")
       .option("checkpointLocation", tmpDir("graft_q81_ckpt_"))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    s.read.parquet(s"$out/pairs")
       .groupBy(col("a_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
   }
