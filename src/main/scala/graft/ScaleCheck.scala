@@ -140,6 +140,18 @@ object ScaleCheck {
         l.groupBy("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1))).count()
       }
+      r("skewed_agg") = time(s"$tag skewed hot-key agg (salted two-stage)") {
+        // ~50% of ALL rows share ONE key (the viral-user / default-PK
+        // shape, and the q79 hot-domain condition at its extreme).
+        // Replication multiplies the hot key's row count 8x; the salted
+        // two-stage agg spreads it over 16 partials so the worst task
+        // stays bounded — a plain groupBy would funnel half the corpus
+        // through a single reducer however many executors exist
+        val skewed = l.withColumn("k",
+          when(col("l_orderkey") % 2 === 0, lit(0L)).otherwise(col("l_orderkey")))
+        graft.ops.Salting.saltedSum(skewed, "k", "l_quantity",
+          col("l_orderkey") * 8 + col("l_linenumber")).count()
+      }
       // replicated docs repeat every line N times → N-fold drops: the
       // hash-count + join-back + reassembly path under max duplication
       r("line_dedup") = time(s"$tag C4 line-level dedup") {

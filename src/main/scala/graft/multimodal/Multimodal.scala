@@ -11,6 +11,10 @@ case class MediaRow(id: Long, mime: String, payload: Array[Byte])
 /** Output of the (stubbed) decode/feature-extract stage. */
 case class MediaFeatures(id: Long, byteLen: Int, featureDim: Int, checksum: Long)
 
+/** Output of the REAL image-decode stage: decoded geometry + an exact
+  * pixel checksum; (-1, -1, -1) marks an undecodable payload. */
+case class ImageFeatures(id: Long, width: Int, height: Int, checksum: Long)
+
 /** Output of the (stubbed) resize stage: payload replaced by the resized
   * rendition, metadata records both geometries. */
 case class ResizedMedia(id: Long, srcBytes: Int, dstBytes: Int, payload: Array[Byte])
@@ -21,13 +25,16 @@ case class SampledFrame(id: Long, frameIdx: Int, frameBytes: Array[Byte])
 /** Multimodal-column plumbing: binary payload columns with a typed
   * metadata struct, and a partition-batched decode/feature-extract stage.
   *
-  * The decode itself is a STUB — this container has no image/audio codecs,
-  * so features are a deterministic fake derived from the payload bytes.
-  * Everything around it is real and scale-shaped: `BinaryType` storage,
-  * metadata carried as a struct (prunable columns), and decoding via
-  * `mapPartitions` over fixed-size batches — the Scala analogue of a
-  * `mapInPandas` batch UDF, amortizing per-batch setup (model load, codec
-  * init) exactly as a real decoder would at 1000-executor scale.
+  * IMAGE decode is REAL: `decodeImageFeatures` round-trips PNG/BMP/GIF
+  * through the JDK's ImageIO (zero extra dependencies) and emits exact
+  * decoded geometry + pixel checksums. The audio/video stages remain
+  * STUBS — this container has no ffmpeg-class codecs — with deterministic
+  * fakes derived from the payload bytes. Everything around both is real
+  * and scale-shaped: `BinaryType` storage, metadata carried as a struct
+  * (prunable columns), and decoding via `mapPartitions` over fixed-size
+  * batches — the Scala analogue of a `mapInPandas` batch UDF, amortizing
+  * per-batch setup (model load, codec init) exactly as a real decoder
+  * would at 1000-executor scale.
   */
 object Multimodal {
 
@@ -60,6 +67,65 @@ object Multimodal {
         batch.iterator.map { m =>
           val cs = m.payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL)
           MediaFeatures(m.id, m.payload.length, 16, cs)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic PNG: pixel (x, y) of image `id` is
+    * rgb = ((x*7 + y*13 + id) % 256, (x*3 + y*5) % 256, (x + y + id) % 256)
+    * encoded through the JDK ImageIO PNG writer. PNG truecolor is
+    * lossless, so the closed-form pixel function doubles as the decode
+    * oracle regardless of encoder byte layout. */
+  def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 7 + y * 13 + id) % 256).toInt
+        val g = (x * 3 + y * 5) % 256
+        val b = ((x + y + id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL partition-batched image decode via the JDK's ImageIO
+    * (PNG/BMP/GIF — no external codec libs needed): decoded width/height
+    * plus an exact position-weighted pixel checksum
+    * Σ (y*w + x + 1) * rgb24(x, y) — order-fixed integer arithmetic, so
+    * the value is reproducible in a closed-form SQL oracle for synthetic
+    * images. Undecodable payloads yield (-1, -1, -1) instead of throwing
+    * (a corrupt object in a 100 TB scan must not kill the job). Same
+    * batched mapPartitions shape as the stub stages. */
+  def decodeImageFeatures(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null) ImageFeatures(m.id, -1, -1, -1L)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            var cs = 0L
+            var i = 0
+            while (i < px.length) {
+              cs += (i + 1).toLong * (px(i) & 0xffffff)
+              i += 1
+            }
+            ImageFeatures(m.id, w, h, cs)
+          }
         }
       }
     }

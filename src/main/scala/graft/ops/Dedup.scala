@@ -34,11 +34,12 @@ object Dedup {
   def minhashCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-      minTokens: Int = 8, maxBucketSize: Int = 64): DataFrame =
+      minTokens: Int = 8, maxBucketSize: Int = 64,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
     minhashCandidatesFromTokens(
       docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tok"))
         .filter(size(col("tok")) >= minTokens),
-      shingleN, k, bands, maxBucketSize)
+      shingleN, k, bands, maxBucketSize, scope)
 
   /** Same, over pre-tokenized docs (columns `id`, `tok`).
     *
@@ -46,11 +47,10 @@ object Dedup {
     * to the corpus (id + band + 32-char hash per band), and without it
     * each join side would re-evaluate the whole shingle+md5 pipeline.
     * At warehouse scale the same role is played by materializing the
-    * signature table once per corpus version. The cache lives until the
-    * session ends (the returned plan references it lazily, so this
-    * function cannot unpersist); long-running callers that materialize
-    * the result should `spark.catalog.clearCache()` or unpersist the
-    * plan's cached child afterwards.
+    * signature table once per corpus version. The caches are registered
+    * with `scope`: the default (CacheScope.unmanaged) keeps them until
+    * session end (gate mode); a long-lived caller passes its own scope
+    * and calls `scope.release()` after materializing the result.
     *
     * Hot buckets: all-pairs WITHIN a bucket is quadratic in occupancy —
     * on a duplication-heavy corpus (boilerplate, mirrored pages) one
@@ -64,14 +64,15 @@ object Dedup {
     */
   def minhashCandidatesFromTokens(
       toks: DataFrame, shingleN: Int = 3, k: Int = 8,
-      bands: Int = 4, maxBucketSize: Int = 64): DataFrame = {
+      bands: Int = 4, maxBucketSize: Int = 64,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // native one-pass shingle-hash + signature (graft.functions.TextHashOps;
     // bit-identical to the shingles/shingleHashes/minhashSignature HOF
     // chain — TextHashOpsSpec asserts it)
     // cached BEFORE the histogram join: both join sides read the band
     // table, and without the cache each would re-run the whole
     // shingle+minhash pipeline
-    val sigs = bandTable(Balance(toks), shingleN, k, bands).cache()
+    val sigs = scope.own(bandTable(Balance(toks), shingleN, k, bands).cache())
     if (maxBucketSize == Int.MaxValue) {
       // cap disabled (oracle-pinned gates): skip the occupancy histogram
       // entirely — the star branch is provably empty
@@ -85,11 +86,11 @@ object Dedup {
     }
     // occupancy histogram: one narrow-key shuffle, the same stats table a
     // production LSH job materializes for bucket monitoring
-    val sized = sigs
+    val sized = scope.own(sigs
       .join(sigs.groupBy("band", "bh")
         .agg(count(lit(1)).as("__bn"), min("id").as("__rep")),
         Seq("band", "bh"))
-      .cache()
+      .cache())
     val small = sized.filter(col("__bn") <= maxBucketSize)
     val a = small.as("a")
     val b = small.as("b")
@@ -135,7 +136,8 @@ object Dedup {
     * here it is derived on the fly. */
   def incrementalCandidates(newToks: DataFrame, corpusBands: DataFrame,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-      maxBucketSize: Int = 64): DataFrame = {
+      maxBucketSize: Int = 64,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val nb = bandTable(Balance(newToks), shingleN, k, bands)
       .select(col("id").as("new_id"), col("band"), col("bh"))
     val cb = corpusBands.select(col("id").as("corpus_id"), col("band"), col("bh"))
@@ -146,10 +148,10 @@ object Dedup {
         // would still materialize the quadratic bucket cross product.
         // cached: cb feeds both the histogram and the join; an unpersisted
         // corpusBands plan (e.g. bandTable(...) passed directly) would
-        // otherwise re-run its whole pipeline twice. Same session-lifetime
-        // cache contract as the sibling operator; a production deployment
+        // otherwise re-run its whole pipeline twice. Scope-owned (same
+        // contract as the sibling operator); a production deployment
         // reads the index from a materialized table instead.
-        val cbc = cb.cache()
+        val cbc = scope.own(cb.cache())
         val hist = cbc.groupBy("band", "bh")
           .agg(count(lit(1)).as("__bn"), min("corpus_id").as("__rep"))
         cbc.join(hist, Seq("band", "bh"))
@@ -172,15 +174,16 @@ object Dedup {
     * (id, covered_tokens) for docs with any repeated span. Within-doc
     * repeats count (as in the paper). Shuffles: gram histogram + the
     * per-doc window — both on narrow (hash|id, pos) rows, never text. */
-  def repeatedSpanCoverage(toks: DataFrame, w: Int = 8): DataFrame = {
+  def repeatedSpanCoverage(toks: DataFrame, w: Int = 8,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // cached: the per-doc hash arrays feed both the histogram and the
     // join-back (compact: one int64 per gram; the EXPLODED rows are not
-    // cached). Same session-lifetime contract as the band-table cache.
-    val hs = Balance(toks).filter(size(col("tok")) >= w)
+    // cached). Scope-owned, same contract as the band-table cache.
+    val hs = scope.own(Balance(toks).filter(size(col("tok")) >= w)
       .select(col("id"),
         graft.functions.columns.shingleHashes(col("tok"), w, mod32 = false).as("hs"))
-      .cache()
+      .cache())
     val g = hs.select(col("id"), posexplode(col("hs")).as(Seq("p", "h")))
     val rep = g.groupBy("h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= 2).select("h")

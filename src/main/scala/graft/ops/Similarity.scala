@@ -237,11 +237,12 @@ object Similarity {
   def cosineNearDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int, dim: Int,
-      maxBucketSize: Int = 64, maxDepth: Int = 3): DataFrame = {
-    var cur = Balance(corpus)
+      maxBucketSize: Int = 64, maxDepth: Int = 3,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    var cur = scope.own(Balance(corpus)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", hyperplaneSig("v", bits, dim).cast("string"))
-      .cache()
+      .cache())
     if (maxBucketSize == Int.MaxValue) {
       // cap disabled (oracle-pinned gates): refinement and the occupancy
       // histogram are provably no-ops — skip their actions/joins and go
@@ -261,7 +262,7 @@ object Similarity {
     while (maxOcc > maxBucketSize && depth < maxDepth) {
       depth += 1
       val sizes = cur.groupBy("bucket").agg(count(lit(1)).as("__bn"))
-      val refined = cur.join(sizes, Seq("bucket"))
+      val refined = scope.own(cur.join(sizes, Seq("bucket"))
         .withColumn("bucket",
           when(col("__bn") > maxBucketSize,
             concat(col("bucket"), lit("_"),
@@ -269,19 +270,19 @@ object Similarity {
                 col("v"), bits, offset = bits * depth, dim = dim).cast("string")))
             .otherwise(col("bucket")))
         .drop("__bn")
-        .cache()
+        .cache())
       maxOcc = refined.groupBy("bucket").count()
         .agg(coalesce(max("count"), lit(0L))).collect()(0).getLong(0)
       cur.unpersist()
       cur = refined
     }
     // cached: referenced three times below (clique sides, reps, star
-    // members). Like the minhash twin, the cache lives until session end
-    // — callers that materialize results can clearCache afterwards.
-    val sized = cur
+    // members). Scope-owned like the minhash twin — long-lived callers
+    // release after materializing.
+    val sized = scope.own(cur
       .join(cur.groupBy("bucket")
         .agg(count(lit(1)).as("__bn"), min("id").as("__rep")), Seq("bucket"))
-      .cache()
+      .cache())
     val small = sized.filter(col("__bn") <= maxBucketSize)
     val a = small.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
     val b = small.select(col("bucket"), col("id").as("b_id"), col("v").as("vb"))

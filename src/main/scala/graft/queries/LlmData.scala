@@ -926,6 +926,43 @@ object LlmData {
         sum(when(col("ratio") < 0.35, 1L).otherwise(0L)).as("n_repetitive"))
   }
 
+  /** q93 — REAL image decode through the JDK ImageIO codec: synthetic
+    * truecolor PNGs (pixel values a closed form of (id, x, y)) are
+    * encoded executor-side, decoded back via `decodeImageFeatures`, and
+    * the decoded geometry + position-weighted pixel checksum must equal
+    * the oracle's direct evaluation of the same closed form — PNG is
+    * lossless, so one ulp of codec drift anywhere flips the hash. A
+    * corrupt payload row proves the (-1,-1,-1) no-throw contract. */
+  val q93_image_decode = Q(
+    "q93_image_decode",
+    """WITH imgs(id, w, h) AS (VALUES
+      |  (1, 8, 6), (2, 16, 16), (3, 32, 24), (4, 5, 7), (5, 1, 1)),
+      |px AS (SELECT id, w, h, x.r AS x, y.r AS y
+      |  FROM imgs, range(0, 32) x(r), range(0, 24) y(r)
+      |  WHERE x.r < w AND y.r < h),
+      |v AS (SELECT id, w, h,
+      |    ((x*7 + y*13 + id) % 256) * 65536
+      |      + ((x*3 + y*5) % 256) * 256 + ((x + y + id) % 256) AS p,
+      |    y * w + x AS idx
+      |  FROM px),
+      |ok AS (SELECT CAST(id AS BIGINT) AS id, any_value(w) AS width,
+      |    any_value(h) AS height,
+      |    CAST(sum(CAST(p AS BIGINT) * (idx + 1)) AS BIGINT) AS checksum
+      |  FROM v GROUP BY id)
+      |SELECT * FROM ok
+      |UNION ALL SELECT CAST(99 AS BIGINT), -1, -1, CAST(-1 AS BIGINT)""".stripMargin) {
+    (s, _) =>
+    import s.implicits._
+    val specs = Seq((1L, 8, 6), (2L, 16, 16), (3L, 32, 24), (4L, 5, 7), (5L, 1, 1))
+    val media = s.createDataset(specs).map { case (id, w, h) =>
+      graft.multimodal.MediaRow(id, "image/png", Multimodal.encodePng(id, w, h))
+    }
+    val corrupt = s.createDataset(Seq(
+      graft.multimodal.MediaRow(99L, "image/png", Array[Byte](1, 2, 3))))
+    Multimodal.decodeImageFeatures(media.unionByName(corrupt))
+      .select(col("id"), col("width"), col("height"), col("checksum"))
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -935,5 +972,5 @@ object LlmData {
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
-    q90_span_removal)
+    q90_span_removal, q93_image_decode)
 }

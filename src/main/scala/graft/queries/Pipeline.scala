@@ -178,6 +178,44 @@ object Pipeline {
     s.read.parquet(target).select("id", "nombre", "op", "ts_ms").orderBy("id")
   }
 
+  /** §2.9/§7 schema drift — a column APPEARS mid-stream (Debezium emits
+    * it after an upstream ALTER; the reference repairs the target with
+    * tools/fix_clickhouse_schemas.py:73-166): batch 1 lands under the
+    * original schema, batch 2 under the widened one. Permissive
+    * from_json + appended delta parts + mergeSchema in the FINAL view
+    * give drift tolerance with NO rewrite of old parts: pre-drift rows
+    * read back with the new column NULL, and latest-per-key collapses
+    * across the schema boundary. The oracle is the golden post-drift
+    * table. */
+  val q94_cdc_schema_drift = Q(
+    "q94_cdc_schema_drift",
+    """WITH g(id, nombre, extra, ts_ms) AS (VALUES
+      |  (1, 'uno', CAST(NULL AS VARCHAR), 100),
+      |  (2, 'dos_v2', 'x', 200),
+      |  (3, 'tres', 'y', 201))
+      |SELECT CAST(id AS BIGINT) AS id, nombre, extra,
+      |  CAST(ts_ms AS BIGINT) AS ts_ms
+      |FROM g ORDER BY id""".stripMargin) { (s, _) =>
+    val target = tmpDir("graft_cdc_q94_") + "/typed"
+    val v1 = StructType(Seq(
+      StructField("id", LongType, true), StructField("nombre", StringType, true)))
+    val v2 = StructType(v1.fields :+ StructField("extra", StringType, true))
+    def batch(lines: String*) = s.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(
+        lines.map(Row(_)): _*)),
+      StructType(Seq(StructField("value", StringType, true))))
+    graft.streaming.CdcStream.upsertBatch(s, batch(
+      """{"before":null,"after":{"id":1,"nombre":"uno"},"op":"c","ts_ms":100}""",
+      """{"before":null,"after":{"id":2,"nombre":"dos"},"op":"c","ts_ms":101}"""),
+      v1, Seq("id"), target)
+    graft.streaming.CdcStream.upsertBatch(s, batch(
+      """{"before":null,"after":{"id":2,"nombre":"dos_v2","extra":"x"},"op":"u","ts_ms":200}""",
+      """{"before":null,"after":{"id":3,"nombre":"tres","extra":"y"},"op":"c","ts_ms":201}"""),
+      v2, Seq("id"), target)
+    graft.streaming.CdcStream.finalView(s, target, Seq("id"))
+      .select("id", "nombre", "extra", "ts_ms").orderBy("id")
+  }
+
   /** Month-partitioned write (PARTITION BY toYYYYMM heuristic for log
     * tables, tools/create_clickhouse_models.py:46-68) + partition-pruned
     * read-back: the scan touches only the requested month's files
@@ -530,6 +568,7 @@ object Pipeline {
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
+    q94_cdc_schema_drift,
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
     q78_stream_window, q81_stream_stream_join)

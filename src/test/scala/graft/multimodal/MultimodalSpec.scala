@@ -53,6 +53,25 @@ class MultimodalSpec extends SparkSpec {
     assert(p51.dstBytes === 51)
   }
 
+  test("decodeImageFeatures: REAL ImageIO round-trip recovers exact pixels") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRow(3L, "image/png", Multimodal.encodePng(3L, 4, 2)),
+      MediaRow(99L, "image/png", Array[Byte](9, 9, 9)))) // undecodable
+    val out = Multimodal.decodeImageFeatures(ds).collect()
+      .map(f => f.id -> f).toMap
+    assert(out(3L).width === 4 && out(3L).height === 2)
+    // independent closed-form evaluation of the synthetic pixel function
+    var expect = 0L
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val p = (((x * 7 + y * 13 + 3) % 256) << 16) |
+        (((x * 3 + y * 5) % 256) << 8) | ((x + y + 3) % 256)
+      expect += (y * 4 + x + 1).toLong * p
+    }
+    assert(out(3L).checksum === expect)
+    assert(out(99L) === ImageFeatures(99L, -1, -1, -1L)) // no-throw contract
+  }
+
   test("sampleFrames: 1:N explode, every-nth fixed slices, deterministic") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](128)(_.toByte)

@@ -31,6 +31,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("CacheScope: operator caches release once the result materializes") {
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = mkDf(docSchema, Row(1L, words), Row(2L, words), Row(3L, "x " * 20))
+    val scope = new CacheScope
+    val pairs = Dedup.minhashCandidates(df, "id", "text", scope = scope)
+    pairs.collect() // materialize — caches are live and owned
+    val owned = scope.frames
+    assert(owned.size === 2, "band table + occupancy join should be owned")
+    assert(owned.forall(_.storageLevel.useMemory), "caches live before release")
+    scope.release()
+    assert(owned.forall(_.storageLevel === org.apache.spark.storage.StorageLevel.NONE),
+      "release() must unpersist every owned cache")
+    assert(scope.size === 0)
+    // the unmanaged default tracks nothing (session-lifetime behavior)
+    assert(CacheScope.unmanaged.size === 0)
+  }
+
   test("minhash LSH hot bucket: star pairs, linear in occupancy, connectivity kept") {
     val words = (1 to 30).map(i => s"w$i").mkString(" ")
     // 200 identical docs: every band bucket has occupancy 200 (> cap 64)

@@ -127,6 +127,32 @@ class CdcStreamSpec extends SparkSpec {
     assert(tableOf(target) === Map(1L -> "uno", 2L -> null))
   }
 
+  test("schema drift: column added mid-stream via widened schema on restart") {
+    val base = Files.createTempDirectory("cdc_spec_").toString
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val target = s"$base/typed"; val ckpt = s"$base/ckpt"
+    // phase 1: original schema
+    writeBatch(src, "b1.json", Seq(env(1L, "uno", "c", 100)))
+    runStream(src, target, ckpt, applyDeletes = false)
+    // upstream ALTER adds `extra`; the consumer restarts with the WIDENED
+    // schema (the reference's fix_clickhouse_schemas repair step) and the
+    // same checkpoint — old delta parts are NOT rewritten
+    val widened = StructType(afterSchema.fields :+
+      StructField("extra", StringType, true))
+    writeBatch(src, "b2.json", Seq(
+      """{"before":null,"after":{"id":2,"nombre":"dos","extra":"x"},"op":"c","ts_ms":200}""",
+      """{"before":null,"after":{"id":1,"nombre":"uno_v2","extra":"y"},"op":"u","ts_ms":201}"""))
+    CdcStream.typedUpsertQuery(
+      spark.readStream.text(src), widened, Seq("id"), target, ckpt)
+      .awaitTermination()
+    val rows = CdcStream.finalView(spark, target, Seq("id")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("nombre"), r.getAs[String]("extra"))).toMap
+    // latest-per-key collapses ACROSS the schema boundary; the pre-drift
+    // part reads back with extra = NULL via mergeSchema
+    assert(rows === Map(1L -> ("uno_v2", "y"), 2L -> ("dos", "x")))
+  }
+
   test("cleanMeta: streamed rows pass through the same D/N/T cleaning as batch ingest") {
     val base = Files.createTempDirectory("cdc_spec_").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
