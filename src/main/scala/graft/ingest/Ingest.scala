@@ -66,7 +66,8 @@ object Ingest {
   def ingestTable(
       spark: SparkSession, source: DataFrame, meta: TableMeta,
       targetDir: String, mode: DedupMode = DedupMode.NoDedup,
-      monthPartitionCol: Option[String] = None): IngestResult = {
+      monthPartitionCol: Option[String] = None,
+      replacingCompactParts: Int = 256): IngestResult = {
     // A8 partial/final agg metrics: the reference accumulates per-chunk
     // inserted counts (ingest_runner.py:1730-1748); Spark's observe() API
     // collects the same metric DURING the write pass — no extra scan.
@@ -130,6 +131,13 @@ object Ingest {
         // job, exactly as in ReplacingMergeTree.
         val deduped = dedupLatest(cleaned, keys, version)
         write(deduped, finalPath, SaveMode.Append)
+        // background-merge analogue: once the part count crosses the
+        // threshold, one O(target) compaction collapses everything —
+        // amortized write amplification O(target/threshold) per load,
+        // and read amplification (parts touched per FINAL read) stays
+        // bounded however many loads arrive
+        if (Maintenance.dataFileCount(spark, finalPath) > replacingCompactParts)
+          Maintenance.compactFinal(spark, finalPath, keys, version)
         deduped
     }
     // Read back for the written count so the audit measures the TARGET,

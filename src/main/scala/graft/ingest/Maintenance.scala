@@ -18,6 +18,20 @@ object Maintenance {
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
 
+  /** Number of data files under a table dir (hidden/_metadata excluded) —
+    * the part count that drives Replacing-table compaction policy. */
+  def dataFileCount(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    val it = f.listFiles(new Path(path), true)
+    var n = 0
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
   /** M1 — create-from-reflected-schema: materialize an empty table with
     * the exact schema (idempotent; M8's DROP-then-CREATE becomes
     * overwrite-empty). */

@@ -75,8 +75,13 @@ object Sources {
   /** S5 — Kafka topic-pattern stream (tools/kafka_to_clickhouse.py:118-187
     * subscribes to `{prefix}*`): the standard Structured-Streaming source
     * with the raw value surfaced as a string `value` column, matching the
-    * CdcStream contract. Requires the spark-sql-kafka package at runtime
-    * (absent in this sandbox — the file `text` source covers tests). */
+    * CdcStream contract. Requires the spark-sql-kafka package at runtime.
+    * An embedded-broker integration test was investigated (round 6): no
+    * spark-sql-kafka / kafka-clients artifact exists in /opt/spark/jars
+    * or the offline coursier/ivy caches and the sandbox has no egress,
+    * so it cannot resolve; the file `text` source keeps the same `value`
+    * contract under test (CdcStreamSpec, q44), and this builder is the
+    * only thing that changes in deployment. */
   def kafkaStream(spark: SparkSession, brokers: String, topicPattern: String,
       startingOffsets: String = "earliest"): DataFrame =
     spark.readStream

@@ -89,6 +89,22 @@ class IngestSpec extends SparkSpec {
       Some("factualizacion")).count() === 5010)
   }
 
+  test("replacing auto-compaction bounds the part count across many loads") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    def load(i: Int) = spark.range(3).selectExpr(
+      s"id + ${i * 10} AS id", "concat('v', id) AS v",
+      "timestamp'2021-01-01 00:00:00' AS factualizacion")
+    (0 until 5).foreach(i =>
+      Ingest.ingestTable(spark, load(i), meta, out, DedupMode.Replacing,
+        replacingCompactParts = 4))
+    // without compaction 5 loads × >=1 part each would exceed the
+    // threshold; the background-merge analogue keeps the count bounded
+    assert(Maintenance.dataFileCount(spark, s"$out/t") <= 5)
+    assert(spark.read.parquet(s"$out/t").count() === 15)
+    assert(Ingest.readFinal(spark, s"$out/t", Seq("id"),
+      Some("factualizacion")).count() === 15)
+  }
+
   test("audit reports per-table parity with diff and ok flags") {
     val out = Files.createTempDirectory("ingest_spec_").toString
     Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.NoDedup)
