@@ -135,8 +135,12 @@ object Ingest {
         // threshold, one O(target) compaction collapses everything —
         // amortized write amplification O(target/threshold) per load,
         // and read amplification (parts touched per FINAL read) stays
-        // bounded however many loads arrive
-        if (Maintenance.dataFileCount(spark, finalPath) > replacingCompactParts)
+        // bounded however many loads arrive. Month-partitioned targets
+        // are excluded: compactFinal's flat rewrite would silently drop
+        // the partition layout — they compact per-partition via explicit
+        // maintenance instead.
+        if (monthPartitionCol.isEmpty &&
+            Maintenance.dataFileCount(spark, finalPath) > replacingCompactParts)
           Maintenance.compactFinal(spark, finalPath, keys, version)
         deduped
     }

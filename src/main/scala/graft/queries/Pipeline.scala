@@ -471,6 +471,21 @@ object Pipeline {
     * nanos→micros-converted streams over it (q81 needs two sides). ONE
     * implementation so the ts conversion and schema handling can never
     * diverge between the streaming gates. */
+  /** Session clone for the STREAMING gates: shares the SparkContext (and
+    * all builder conf) but runs with fewer shuffle/state partitions. A
+    * stream-stream join maintains four state stores PER PARTITION, so
+    * per-batch overhead scales with the partition count, not the data —
+    * measured on the sf0.1 fixture: q81 5.8s → 2.6s at 8 partitions.
+    * This mirrors production practice: a streaming query's partition
+    * count is frozen into its state layout at first run, so it is sized
+    * to state volume deliberately rather than inherited from the batch
+    * default. */
+  private def streamingSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   private def eventsStreamFactory(s: SparkSession, dir: String): () => DataFrame = {
     Tables.load(s, dir, "events") // side-effect: nanosAsLong conf
     val path = s"$dir/events.parquet"
@@ -497,7 +512,7 @@ object Pipeline {
     // complete mode (full deterministic result; no emission races)
     // through foreachBatch refreshing a parquet target — the
     // materialized-aggregate pattern; nothing collects to the driver
-    val q = eventsStreamFactory(s, dir)()
+    val q = eventsStreamFactory(streamingSession(s), dir)()
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -540,7 +555,7 @@ object Pipeline {
       |  AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
       |GROUP BY a.user_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.streaming.Trigger
-    val stream = eventsStreamFactory(s, dir)
+    val stream = eventsStreamFactory(streamingSession(s), dir)
     val purchases = stream().filter(col("event_type") === "purchase")
       .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
       .withWatermark("a_ts", "1 hour")
