@@ -342,7 +342,7 @@ object Pipeline {
         (SchemaReflector.fromParquet(s, s"$dir/$name.parquet", name),
           Tables.load(s, dir, name))
       }
-      Ingest.ingestAll(s, tables, out, DedupMode.NoDedup, parallelism = 4)
+      Ingest.ingestAll(s, tables, out, DedupMode.NoDedup, parallelism = 8)
       Ingest.audit(s, names.map { name =>
         (name, Tables.load(s, dir, name), s.read.parquet(s"$out/$name"))
       })
