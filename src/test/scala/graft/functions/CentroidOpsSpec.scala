@@ -35,6 +35,26 @@ class CentroidOpsSpec extends AnyFunSuite {
     assert(CentroidOpsUtil.nearest(withNull, m, 1) == null)
   }
 
+  test("property: selection equals the sort oracle on random matrices (ties included)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { trial =>
+      val dim = rnd.nextInt(8) + 1
+      val k = rnd.nextInt(20) + 1
+      val keep = rnd.nextInt(k + 3) + 1
+      val cids = Array.tabulate(k)(c => rnd.nextInt(50).toLong) // dup cids possible
+      // small integer grid values force frequent EXACT distance ties,
+      // exercising the (d, cid) tie-break path hard
+      val vecs = Array.tabulate(k)(_ => Array.fill(dim)(rnd.nextInt(3).toDouble))
+      val v = Array.fill(dim)(rnd.nextInt(3).toDouble)
+      val m = CentroidMatrix(cids, vecs)
+      def d2(cv: Array[Double]) = cv.zip(v).map { case (a, b) => (b - a) * (b - a) }.sum
+      val expect = cids.indices.map(c => (d2(vecs(c)), cids(c)))
+        .sorted.take(math.min(keep, k)).map(_._2)
+      val got = CentroidOpsUtil.nearest(new GenericArrayData(v), m, keep).toSeq
+      assert(got == expect, s"trial $trial: dim=$dim k=$k keep=$keep")
+    }
+  }
+
   test("selection matches a full sort at k=1024, dim=64") {
     // pseudo-random but deterministic matrix; verify the bounded-buffer
     // insertion against an independent sort-based oracle
