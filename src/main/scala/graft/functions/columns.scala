@@ -25,6 +25,10 @@ object columns {
       keep: Int): Column =
     ColumnBridge.column(NearestCentroids(vec(v), bcast, keep))
 
+  /** BPE merge-pass kernel (trainer hot loop). */
+  def mergeAdjacentPair(tokens: Column, left: String, right: String): Column =
+    ColumnBridge.column(MergeAdjacentPair(ColumnBridge.expression(tokens), left, right))
+
   /** Native text-hash pipeline (dedup hot loop). */
   def shingleHashes(tokens: Column, n: Int, mod32: Boolean): Column =
     ColumnBridge.column(ShingleHash(ColumnBridge.expression(tokens), n, mod32))

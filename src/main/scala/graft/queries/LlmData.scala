@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Multimodal
-import graft.ops.{Dedup, Similarity, TextAnalysis, TextHash}
+import graft.ops.{Bpe, Dedup, Similarity, TextAnalysis, TextHash}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators over the `documents` / `embeddings`
@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
 object LlmData {
 
   private val swList = TextAnalysis.stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** q95 golden merge table — computed once on the sf0.01 fixture and
+    * pinned (the trainer is deterministic by construction, so these are
+    * a faithful oracle; steps 4-5 share n=45 and differ only by the
+    * (left, right) tie-break, so the pin also guards argmax ordering). */
+  private val BPE_ORACLE =
+    """WITH g(step, l, r, n) AS (VALUES
+      |  (1, 'table', 'hash', 48),
+      |  (2, 'part', 'filter', 46),
+      |  (3, 'customer', 'join', 45),
+      |  (4, 'merge', 'group', 45),
+      |  (5, 'slow', 'key', 45))
+      |SELECT step, l AS "left", r AS "right", CAST(n AS BIGINT) AS n
+      |FROM g ORDER BY step""".stripMargin
 
   /** Shared near-dup fixture for q31/q68 (and the dev profiler):
     * corpus = tokenized docs with ≥8 tokens; shard = NEAR-duplicate
@@ -963,6 +977,24 @@ object LlmData {
       .select(col("id"), col("width"), col("height"), col("checksum"))
   }
 
+  /** q95 — the FULL distributed BPE merge LOOP (q85 is its single count
+    * step): five iterations of count-pairs → merge-argmax → recount over
+    * the documents corpus. Each iteration's winning pair depends on every
+    * previous greedy merge pass, so the five pinned rows verify the whole
+    * chain — counts, (count, left, right) argmax tie-breaks, and the
+    * non-overlapping merge transform — end to end. The merge table is
+    * deterministic by construction (total-order argmax + greedy
+    * left-to-right pass), so golden VALUES are a faithful oracle (q89
+    * pattern); step-1 semantics are additionally live-checked by q85. */
+  val q95_bpe_train = Q(
+    "q95_bpe_train",
+    BPE_ORACLE) { (s, dir) =>
+    Bpe.trainMerges(
+      Tables.load(s, dir, "documents")
+        .select(TextHash.tokens(col("text")).as("tok")),
+      steps = 5)
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -972,5 +1004,5 @@ object LlmData {
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
-    q90_span_removal, q93_image_decode)
+    q90_span_removal, q93_image_decode, q95_bpe_train)
 }
