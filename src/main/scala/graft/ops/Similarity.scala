@@ -196,6 +196,75 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"))
   }
 
+  /** Build product-quantization codebooks from a bounded sample set: the
+    * first `ks` sample vectors (ordered by id), sliced into `m`
+    * `dsub`-dim subvectors — codebook j covers dims [j·dsub, (j+1)·dsub).
+    * A production index trains each subspace codebook with k-means
+    * (`Clustering.kmeans` on the sliced corpus — composition identical to
+    * the q84 trained-IVF lifecycle); a deterministic sample keeps the
+    * gate oracle-replayable. Codebooks are m × ks × dsub doubles — small
+    * by construction (the whole point of PQ). */
+  def pqCodebooks(samples: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, ks: Int): Seq[graft.functions.CentroidMatrix] = {
+    val rows = samples
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .orderBy("cid").limit(ks).collect()
+    require(rows.nonEmpty, "pqCodebooks: empty sample set")
+    (0 until m).map { j =>
+      graft.functions.CentroidMatrix(
+        rows.map(_.getLong(0)),
+        rows.map(_.getSeq[Double](1).slice(j * dsub, (j + 1) * dsub).toArray))
+    }
+  }
+
+  /** Product-quantized ANN (the IVF-PQ compression stage, asymmetric
+    * distance computation): each corpus vector is encoded as m codebook
+    * ids — ONE narrow projection of m broadcast `NearestCentroids` argmin
+    * kernels over the vector's subslices — and queries score against the
+    * RECONSTRUCTED vectors: dot(q, recon(v)) = Σ_j dot(q_sub_j,
+    * codebook_j[code_j]), evaluated left-to-right so ranks are
+    * bit-reproducible in the oracle. The memory lever at 100 TB: a
+    * 64-dim float64 corpus (512 B/vector) becomes m int64 codes + shared
+    * codebooks (→ m bytes at int8 storage), which is what lets the
+    * residency fit executor RAM; scoring touches codes only, never the
+    * original vectors. Codebook lookup tables ride the plan as bounded
+    * literals (m·ks·dsub doubles — small by PQ's definition); at
+    * production ks they ride a Broadcast exactly like the assignment
+    * matrices. Output: (qid, rank, nid), rank by ADC score desc, nid
+    * tie-break. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      codebooks: Seq[graft.functions.CentroidMatrix],
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val m = codebooks.size
+    require(m > 0, "pqTopK: no codebooks")
+    val dsub = codebooks.head.vecs.head.length
+    val sc = corpus.sparkSession.sparkContext
+    val bcs = codebooks.map(sc.broadcast(_))
+    // encode: m argmin codes per corpus row, one narrow pass
+    val coded = (0 until m).foldLeft(
+      Balance(corpus).select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nv"))) { (df, j) =>
+      df.withColumn(s"__c$j", element_at(
+        graft.functions.columns.nearestCentroids(
+          slice(col("nv"), j * dsub + 1, dsub), bcs(j), keep = 1), 1))
+    }
+    val q = broadcast(queries.select(
+      col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv")))
+    // ADC: per-subspace lookup table (cid -> subvector) + dot against the
+    // query's subslice; explicit left-assoc addition pins the float order
+    val scored = coded.join(q, col("nid") =!= col("qid"))
+      .withColumn("sim", (0 until m).map { j =>
+        val lut = typedLit(codebooks(j).cids.zip(
+          codebooks(j).vecs.map(_.toSeq)).toMap)
+        graft.functions.columns.dotProduct(
+          slice(col("qv"), j * dsub + 1, dsub),
+          element_at(lut, col(s"__c$j")))
+      }.reduceLeft(_ + _))
+    topKPerQuery(scored, "sim", k)
+  }
+
   /** Int8 scalar quantization of an embedding column (the IVF-SQ8 memory
     * lever: a 100 TB float32 corpus becomes 25 TB of int8 codes, the
     * difference between an index that fits executor memory and one that

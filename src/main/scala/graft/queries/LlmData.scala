@@ -995,6 +995,52 @@ object LlmData {
       steps = 5)
   }
 
+  /** q96 — product-quantized ANN (IVF-PQ's compression stage): corpus
+    * vectors collapse to m=8 codebook ids (subspace argmin over a
+    * deterministic 16-entry codebook), queries rank by asymmetric
+    * distance against the reconstructions. The oracle replays the entire
+    * chain LIVE in SQL — per-subspace encode (row_number argmin with the
+    * (d, cid) tie-break), lookup, per-subspace dots, explicit
+    * left-associated addition — so both the m codes of every corpus
+    * vector and the float ranking order are pinned bit-for-bit. Integer
+    * ranks keep the hash float-robust (the ANN-gate standard). */
+  val q96_pq_ann = Q(
+    "q96_pq_ann",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sam AS (SELECT vec_id AS cid, v FROM e WHERE vec_id BETWEEN 200 AND 215),
+      |cb AS (SELECT j.j, cid, list_transform(range(1, 9), i -> v[j.j*8 + i]) AS cv
+      |  FROM sam, range(0, 8) j(j)),
+      |sub AS (SELECT e.vec_id, j.j, list_transform(range(1, 9), i -> e.v[j.j*8 + i]) AS sv
+      |  FROM e, range(0, 8) j(j)),
+      |d AS (SELECT sub.vec_id, sub.j, cb.cid,
+      |    list_sum(list_transform(range(1, 9), i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS d
+      |  FROM sub JOIN cb USING (j)),
+      |codes AS (SELECT vec_id, j, cid FROM (SELECT vec_id, j, cid,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn FROM d)
+      |  WHERE rn = 1),
+      |part AS (SELECT q.vec_id AS qid, c.vec_id AS nid, c.j,
+      |    list_sum(list_transform(range(1, 9), i -> q.v[c.j*8 + i] * cb.cv[i])) AS s
+      |  FROM codes c JOIN cb ON cb.j = c.j AND cb.cid = c.cid
+      |  JOIN e q ON q.vec_id < 5
+      |  WHERE c.vec_id != q.vec_id),
+      |piv AS (SELECT qid, nid,
+      |    sum(CASE WHEN j=0 THEN s END) AS s0, sum(CASE WHEN j=1 THEN s END) AS s1,
+      |    sum(CASE WHEN j=2 THEN s END) AS s2, sum(CASE WHEN j=3 THEN s END) AS s3,
+      |    sum(CASE WHEN j=4 THEN s END) AS s4, sum(CASE WHEN j=5 THEN s END) AS s5,
+      |    sum(CASE WHEN j=6 THEN s END) AS s6, sum(CASE WHEN j=7 THEN s END) AS s7
+      |  FROM part GROUP BY qid, nid)
+      |SELECT qid, rank, nid FROM (SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY ((((((s0+s1)+s2)+s3)+s4)+s5)+s6)+s7 DESC, nid) AS rank
+      |  FROM piv) WHERE rank <= 10""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val cbs = Similarity.pqCodebooks(
+      emb.filter(col("vec_id").between(200, 215)), "vec_id", "embedding",
+      m = 8, dsub = 8, ks = 16)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), cbs,
+      "vec_id", "embedding", k = 10)
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -1004,5 +1050,5 @@ object LlmData {
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
-    q90_span_removal, q93_image_decode, q95_bpe_train)
+    q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann)
 }

@@ -31,6 +31,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("pq ANN: codebook members reconstruct exactly; non-members snap to nearest") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, false),
+      StructField("embedding", ArrayType(DoubleType, false), false)))
+    val members = Seq(
+      Row(1L, Seq(1.0, 0.0, 0.0, 0.0)), Row(2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      Row(3L, Seq(0.0, 0.0, 1.0, 1.0)), Row(4L, Seq(1.0, 1.0, 1.0, 0.0)))
+    // non-member: subspace (0.9, 0.1) snaps to (1,0) [cid 1]; (0,0) ties
+    // cids 1 and 2 -> min cid; reconstruction = (1,0,0,0)
+    val corpus = mkDf(schema, (members :+ Row(9L, Seq(0.9, 0.1, 0.0, 0.0))): _*)
+    val cbs = Similarity.pqCodebooks(
+      mkDf(schema, members: _*), "vec_id", "embedding", m = 2, dsub = 2, ks = 4)
+    val q = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity.pqTopK(corpus, q, cbs, "vec_id", "embedding", k = 4)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // ADC scores vs (1,0,0,0): v4 -> 1, v9 (recon (1,0,0,0)) -> 1 (tie,
+    // nid asc), v2 -> 0, v3 -> 0 (tie, nid asc)
+    assert(out == Seq((1, 4L), (2, 9L), (3, 2L), (4, 3L)))
+  }
+
   test("CacheScope: operator caches release once the result materializes") {
     val words = (1 to 30).map(i => s"w$i").mkString(" ")
     val df = mkDf(docSchema, Row(1L, words), Row(2L, words), Row(3L, "x " * 20))
