@@ -94,6 +94,26 @@ object VectorOpsUtil {
       }
     })
 
+  /** <v[0..dim), p_k> — the coarse-space projection of the two-stage
+    * rerank. Plane components are computed (and cached) EXECUTOR-side
+    * from the deterministic md5 family, so the plan carries only the two
+    * ints (k, dim) — no per-component literals (the same plan-size
+    * discipline as the broadcast centroid matrices). Null ⇔ null element
+    * or fewer than `dim` components (the strict-length dot contract the
+    * typedLit form had). */
+  def project(v: ArrayData, k: Int, dim: Int): java.lang.Double = {
+    if (v.numElements() < dim) return null
+    val p = plane(k)
+    var acc = 0.0d
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      acc += v.getDouble(i) * p(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Random-hyperplane LSH bucket: bit b = sign of <v, p_(b+offset)>,
     * same per-bit sequential sums as the HOF form and the oracle SQL.
     * One pass per bit over the raw buffer. `offset` selects a disjoint
@@ -177,6 +197,33 @@ case class CosineSimilarity(left: Expression, right: Expression)
     VectorOpsUtil.cosine(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
+}
+
+/** Deterministic plane projection <v[0..dim), p_k> (see
+  * VectorOpsUtil.project) — the literal-free coarse-space kernel. */
+case class PlaneProjection(child: Expression, k: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "plane_projection"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = VectorOpsUtil.project(input.asInstanceOf[ArrayData], k, dim)
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("proj")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VectorOpsUtil.project($c, $k, $dim);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneProjection =
+    copy(child = newChild)
 }
 
 /** `bits`-wide deterministic hyperplane LSH signature of an array<double>;

@@ -20,6 +20,8 @@ object columns {
     ColumnBridge.column(CosineSimilarity(vec(a), vec(b)))
   def hyperplaneSig(v: Column, bits: Int, offset: Int = 0, dim: Int = -1): Column =
     ColumnBridge.column(HyperplaneSignature(vec(v), bits, offset, dim))
+  def planeProjection(v: Column, k: Int, dim: Int): Column =
+    ColumnBridge.column(PlaneProjection(vec(v), k, dim))
   def nearestCentroids(v: Column,
       bcast: org.apache.spark.broadcast.Broadcast[CentroidMatrix],
       keep: Int): Column =

@@ -156,13 +156,13 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       projDim: Int, shortlist: Int, dim: Int): DataFrame = {
-    // slice to `dim` first: same contract as hyperplaneSig ("a longer
-    // vector must not change the result") — the strict-length native dot
-    // would otherwise NULL every projection on a dim mismatch and the
-    // shortlist would silently degenerate to an ordering by id
+    // literal-free projection: PlaneProjection computes the md5-derived
+    // plane components executor-side (cached), so the plan carries only
+    // (j, dim) per coordinate — the same plan-size discipline as the
+    // broadcast centroid matrices (the old typedLit form embedded
+    // projDim × dim literals). Bit-identical accumulation order.
     def proj(v: Column): Column = array((0 until projDim).map { j =>
-      graft.functions.columns.dotProduct(slice(v, 1, dim),
-        typedLit(graft.functions.VectorOpsUtil.plane(j).take(dim).toIndexedSeq))
+      graft.functions.columns.planeProjection(v, j, dim)
     }: _*)
     val c = Balance(corpus)
       .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nv"))
