@@ -237,31 +237,80 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       codebooks: Seq[graft.functions.CentroidMatrix],
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val m = codebooks.size
-    require(m > 0, "pqTopK: no codebooks")
-    val dsub = codebooks.head.vecs.head.length
-    val sc = corpus.sparkSession.sparkContext
-    val bcs = codebooks.map(sc.broadcast(_))
-    // encode: m argmin codes per corpus row, one narrow pass
-    val coded = (0 until m).foldLeft(
+    require(codebooks.nonEmpty, "pqTopK: no codebooks")
+    val coded = pqEncode(
       Balance(corpus).select(col(idCol).as("nid"),
-        col(vecCol).cast("array<double>").as("nv"))) { (df, j) =>
-      df.withColumn(s"__c$j", element_at(
-        graft.functions.columns.nearestCentroids(
-          slice(col("nv"), j * dsub + 1, dsub), bcs(j), keep = 1), 1))
-    }
+        col(vecCol).cast("array<double>").as("nv")), "nv", codebooks)
     val q = broadcast(queries.select(
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv")))
-    // ADC: per-subspace lookup table (cid -> subvector) + dot against the
-    // query's subslice; explicit left-assoc addition pins the float order
     val scored = coded.join(q, col("nid") =!= col("qid"))
-      .withColumn("sim", (0 until m).map { j =>
-        val lut = typedLit(codebooks(j).cids.zip(
-          codebooks(j).vecs.map(_.toSeq)).toMap)
-        graft.functions.columns.dotProduct(
-          slice(col("qv"), j * dsub + 1, dsub),
-          element_at(lut, col(s"__c$j")))
-      }.reduceLeft(_ + _))
+      .withColumn("sim", adcScore(codebooks, col("qv")))
+    topKPerQuery(scored, "sim", k)
+  }
+
+  /** Encode: m argmin codes per row, ONE narrow pass of broadcast
+    * `NearestCentroids` kernels over the vector's subslices (columns
+    * __c0..__c{m-1}). */
+  private def pqEncode(df: DataFrame, vecCol: String,
+      codebooks: Seq[graft.functions.CentroidMatrix]): DataFrame = {
+    val dsub = codebooks.head.vecs.head.length
+    val sc = df.sparkSession.sparkContext
+    codebooks.zipWithIndex.foldLeft(df) { case (d, (cb, j)) =>
+      d.withColumn(s"__c$j", element_at(
+        graft.functions.columns.nearestCentroids(
+          slice(col(vecCol), j * dsub + 1, dsub), sc.broadcast(cb), keep = 1), 1))
+    }
+  }
+
+  /** ADC: per-subspace lookup table (cid -> subvector) + dot against the
+    * query's subslice; explicit left-assoc addition pins the float order
+    * so ranks are oracle-reproducible. */
+  private def adcScore(codebooks: Seq[graft.functions.CentroidMatrix],
+      qv: Column): Column = {
+    val dsub = codebooks.head.vecs.head.length
+    codebooks.zipWithIndex.map { case (cb, j) =>
+      val lut = typedLit(cb.cids.zip(cb.vecs.map(_.toSeq)).toMap)
+      graft.functions.columns.dotProduct(
+        slice(qv, j * dsub + 1, dsub), element_at(lut, col(s"__c$j")))
+    }.reduceLeft(_ + _)
+  }
+
+  /** The COMPLETE IVF-PQ index: coarse inverted lists (ivfTopK's
+    * broadcast-argmin assignment) bound the candidate set to the probed
+    * lists, and PQ codes + asymmetric distance score the candidates —
+    * scoring never touches original corpus vectors, so the per-query
+    * cost is (corpus/centroids)·nprobe rows × m code lookups over a
+    * corpus resident as m small ints per vector. This is the standard
+    * billion-scale ANN layout (coarse quantizer + PQ residency); both
+    * stages are the already-gated kernels composed. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: Seq[graft.functions.CentroidMatrix],
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    require(codebooks.nonEmpty, "ivfPqTopK: no codebooks")
+    val centRows = centroids
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .collect()
+    require(centRows.nonEmpty, "ivfPqTopK: no centroids")
+    val matrix = graft.functions.CentroidMatrix(
+      centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Double](1).toArray))
+    val bc = corpus.sparkSession.sparkContext.broadcast(matrix)
+    // inverted lists WITH codes: one narrow projection computes the
+    // coarse cid and the m PQ codes together — single corpus pass
+    val lists = pqEncode(
+      Balance(corpus).select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nv")), "nv", codebooks)
+      .withColumn("cid", element_at(
+        graft.functions.columns.nearestCentroids(col("nv"), bc, keep = 1), 1))
+      .drop("nv") // codes + cid only: the PQ residency, vectors dropped
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .select(col("qid"), col("qv"), explode(
+        graft.functions.columns.nearestCentroids(col("qv"), bc, nprobe)).as("cid"))
+    val scored = lists.join(probes, Seq("cid")).filter(col("nid") =!= col("qid"))
+      .withColumn("sim", adcScore(codebooks, col("qv")))
     topKPerQuery(scored, "sim", k)
   }
 

@@ -1041,6 +1041,63 @@ object LlmData {
       "vec_id", "embedding", k = 10)
   }
 
+  /** q97 — the COMPLETE IVF-PQ index (q49's coarse lists × q96's PQ
+    * scoring): candidates come only from the nprobe probed inverted
+    * lists, and are ranked by asymmetric distance over their m=8 PQ
+    * codes — original corpus vectors never touched after encode. The
+    * oracle replays coarse assignment, probe selection, per-subspace
+    * encode, and the ADC float chain live in SQL, so the composed index
+    * is pinned end-to-end exactly like the trained-IVF lifecycle (q84). */
+  val q97_ivf_pq = Q(
+    "q97_ivf_pq",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id BETWEEN 100 AND 107),
+      |cd AS (SELECT e.vec_id, cent.ccid,
+      |    list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d
+      |  FROM e CROSS JOIN cent),
+      |lists AS (SELECT vec_id AS nid, ccid FROM (SELECT vec_id, ccid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS r FROM cd)
+      |  WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, ccid FROM (SELECT vec_id, ccid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS r FROM cd)
+      |  WHERE r <= 2 AND vec_id < 5),
+      |sam AS (SELECT vec_id AS cid, v FROM e WHERE vec_id BETWEEN 200 AND 215),
+      |cb AS (SELECT j.j, cid, list_transform(range(1, 9), i -> v[j.j*8 + i]) AS cv
+      |  FROM sam, range(0, 8) j(j)),
+      |sub AS (SELECT e.vec_id, j.j, list_transform(range(1, 9), i -> e.v[j.j*8 + i]) AS sv
+      |  FROM e, range(0, 8) j(j)),
+      |pd AS (SELECT sub.vec_id, sub.j, cb.cid,
+      |    list_sum(list_transform(range(1, 9), i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS d
+      |  FROM sub JOIN cb USING (j)),
+      |codes AS (SELECT vec_id, j, cid FROM (SELECT vec_id, j, cid,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn FROM pd)
+      |  WHERE rn = 1),
+      |cand AS (SELECT p.qid, l.nid FROM probes p JOIN lists l USING (ccid)
+      |  WHERE l.nid != p.qid),
+      |part AS (SELECT cand.qid, cand.nid, c.j,
+      |    list_sum(list_transform(range(1, 9), i -> q.v[c.j*8 + i] * cb.cv[i])) AS s
+      |  FROM cand JOIN codes c ON c.vec_id = cand.nid
+      |  JOIN cb ON cb.j = c.j AND cb.cid = c.cid
+      |  JOIN e q ON q.vec_id = cand.qid),
+      |piv AS (SELECT qid, nid,
+      |    sum(CASE WHEN j=0 THEN s END) AS s0, sum(CASE WHEN j=1 THEN s END) AS s1,
+      |    sum(CASE WHEN j=2 THEN s END) AS s2, sum(CASE WHEN j=3 THEN s END) AS s3,
+      |    sum(CASE WHEN j=4 THEN s END) AS s4, sum(CASE WHEN j=5 THEN s END) AS s5,
+      |    sum(CASE WHEN j=6 THEN s END) AS s6, sum(CASE WHEN j=7 THEN s END) AS s7
+      |  FROM part GROUP BY qid, nid)
+      |SELECT qid, rank, nid FROM (SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY ((((((s0+s1)+s2)+s3)+s4)+s5)+s6)+s7 DESC, nid) AS rank
+      |  FROM piv) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val cbs = Similarity.pqCodebooks(
+      emb.filter(col("vec_id").between(200, 215)), "vec_id", "embedding",
+      m = 8, dsub = 8, ks = 16)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5),
+      emb.filter(col("vec_id").between(100, 107)), cbs,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -1050,5 +1107,6 @@ object LlmData {
     q67_repetition_filter, q68_incremental_dedup, q69_span_coverage,
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
-    q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann)
+    q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
+    q97_ivf_pq)
 }
