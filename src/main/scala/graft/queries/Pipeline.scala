@@ -580,11 +580,62 @@ object Pipeline {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Streaming SESSIONIZATION parity — the custom-state engine path
+    * (`flatMapGroupsWithState` + EventTimeTimeout, Sessionize.byGap)
+    * replaying the events fixture: per-user 30-min-gap sessions, closed
+    * either by a later in-batch event (gap exceeded) or by the
+    * event-time timeout once the watermark passes session_end + gap. The
+    * oracle derives the same sessions relationally and keeps exactly the
+    * CLOSED ones (all but each user's last session, plus the last when
+    * the final watermark = max(ts) - 1h passed its timeout) — pinning
+    * the state machine's emission semantics, not just the windowing.
+    * Times are millisecond-floored on both sides (GroupState timeouts
+    * are ms-granular). */
+  val q98_stream_sessions = Q(
+    "q98_stream_sessions",
+    """WITH ev AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),
+      |m AS (SELECT user_id, t, event_id, CASE WHEN lag(t) OVER w IS NULL
+      |      OR t - lag(t) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |s AS (SELECT user_id, t, sum(new_s) OVER
+      |    (PARTITION BY user_id ORDER BY t, event_id) AS sid FROM m
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      |g AS (SELECT user_id, sid, min(t) AS session_start, max(t) AS session_end,
+      |    count(*) AS n FROM s GROUP BY user_id, sid),
+      |wm AS (SELECT max(t) - 3600000 AS w FROM ev)
+      |SELECT g.user_id, g.session_start, g.session_end,
+      |  CAST(g.n AS INT) AS n_events
+      |FROM g, wm
+      |WHERE g.sid < (SELECT max(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+      |   OR g.session_end + 1800000 < wm.w""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = streamingSession(s)
+    val ev = eventsStreamFactory(ss, dir)()
+      .select(col("user_id").cast("string").as("user"), col("ts"))
+      .as(org.apache.spark.sql.Encoders.product[graft.streaming.SessionEvent])
+    val out = graft.streaming.Sessionize.byGap(
+      ev, gapMs = 1800000L, watermarkDelay = "1 hour")
+    val dst = tmpDir("graft_q98_out_")
+    val q = out.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$dst/sessions")
+      .option("checkpointLocation", tmpDir("graft_q98_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$dst/sessions")
+      .select(col("user").cast("long").as("user_id"),
+        unix_millis(col("session_start")).as("session_start"),
+        unix_millis(col("session_end")).as("session_end"),
+        col("events").as("n_events"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
     q94_cdc_schema_drift,
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
-    q78_stream_window, q81_stream_stream_join)
+    q78_stream_window, q81_stream_stream_join, q98_stream_sessions)
 }
