@@ -130,6 +130,16 @@ object ScaleCheck {
         Similarity.ivfTopK(e, q, cent, "vec_id", "embedding",
           k = 10, nprobe = 4).count()
       }
+      r("ann_pq") = time(s"$tag ANN PQ (codes-only ADC scoring)") {
+        // fixed 16-entry codebooks from the base replica; the corpus
+        // scales while encode stays one narrow m-argmin projection and
+        // scoring touches codes only — never the original vectors
+        val q = e.filter(col("vec_id") < 5)
+        val cbs = Similarity.pqCodebooks(
+          e.filter(col("vec_id").between(200, 215)), "vec_id", "embedding",
+          m = 8, dsub = 8, ks = 16)
+        Similarity.pqTopK(e, q, cbs, "vec_id", "embedding", k = 10).count()
+      }
       // the replicated corpus duplicates every vector N times — the
       // duplication-heavy stress for the adaptive refinement + star cap
       r("cosine_near_dup") = time(s"$tag cosine near-dup pairs") {

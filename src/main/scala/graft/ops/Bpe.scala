@@ -27,6 +27,16 @@ object Bpe {
     StructField("right", StringType, false),
     StructField("n", LongType, false)))
 
+  /** APPLY a trained merge table to a corpus — the tokenizer's encode
+    * side: the merge passes run in training order (BPE's defining
+    * invariant), each a narrow codegen'd projection, so applying m
+    * merges is m stacked per-row passes with zero shuffles. */
+  def applyMerges(toks: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(toks) { case (df, (l, r)) =>
+      df.withColumn("tok",
+        graft.functions.columns.mergeAdjacentPair(col("tok"), l, r))
+    }
+
   /** Adjacent (left, right) pairs of a token-array column. */
   private def pairsOf(df: DataFrame): DataFrame =
     df.filter(size(col("tok")) >= 2)

@@ -40,6 +40,15 @@ class BpeSpec extends SparkSpec {
     assert(m.length == 2, s"expected convergence after 2 merges, got ${m.toSeq}")
   }
 
+  test("applyMerges replays training-order passes (encode side)") {
+    val corpus = Seq(Seq("x", "y", "z"), Seq("y", "z"))
+    val out = Bpe.applyMerges(toks(corpus), Seq(("x", "y"), ("x y", "z")))
+      .collect().map(_.getSeq[String](0)).toSeq
+    // first pass merges (x,y); second merges the RESULT with z — order
+    // matters: applying ("x y", "z") first would be a no-op
+    assert(out == Seq(Seq("x y z"), Seq("y", "z")))
+  }
+
   test("argmax ties break by (left, right) ascending") {
     // "a b" and "b c" both occur twice; (a, b) < (b, c)
     val corpus = Seq(Seq("a", "b"), Seq("a", "b"), Seq("b", "c"), Seq("b", "c"))
