@@ -102,7 +102,8 @@ object Similarity {
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     // The coarse quantizer is bounded by definition (IVF uses ~sqrt(N)
     // centroids; a real index trains a few thousand), so assignment must
     // NOT be a join: the old cross-join + row_number form exploded every
@@ -128,7 +129,7 @@ object Similarity {
     val matrix = graft.functions.CentroidMatrix(
       centRows.map(_.getLong(0)),
       centRows.map(_.getSeq[Double](1).toArray))
-    val bc = corpus.sparkSession.sparkContext.broadcast(matrix)
+    val bc = scope.ownBroadcast(corpus.sparkSession.sparkContext.broadcast(matrix))
     def assign(df: DataFrame, id: String, v: String, keep: Int) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
         .select(col(id), col(v),
@@ -236,11 +237,12 @@ object Similarity {
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       codebooks: Seq[graft.functions.CentroidMatrix],
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(codebooks.nonEmpty, "pqTopK: no codebooks")
     val coded = pqEncode(
       Balance(corpus).select(col(idCol).as("nid"),
-        col(vecCol).cast("array<double>").as("nv")), "nv", codebooks)
+        col(vecCol).cast("array<double>").as("nv")), "nv", codebooks, scope)
     val q = broadcast(queries.select(
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv")))
     val scored = coded.join(q, col("nid") =!= col("qid"))
@@ -252,13 +254,15 @@ object Similarity {
     * `NearestCentroids` kernels over the vector's subslices (columns
     * __c0..__c{m-1}). */
   private def pqEncode(df: DataFrame, vecCol: String,
-      codebooks: Seq[graft.functions.CentroidMatrix]): DataFrame = {
+      codebooks: Seq[graft.functions.CentroidMatrix],
+      scope: CacheScope): DataFrame = {
     val dsub = codebooks.head.vecs.head.length
     val sc = df.sparkSession.sparkContext
     codebooks.zipWithIndex.foldLeft(df) { case (d, (cb, j)) =>
       d.withColumn(s"__c$j", element_at(
         graft.functions.columns.nearestCentroids(
-          slice(col(vecCol), j * dsub + 1, dsub), sc.broadcast(cb), keep = 1), 1))
+          slice(col(vecCol), j * dsub + 1, dsub),
+          scope.ownBroadcast(sc.broadcast(cb)), keep = 1), 1))
     }
   }
 
@@ -286,7 +290,8 @@ object Similarity {
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       codebooks: Seq[graft.functions.CentroidMatrix],
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(codebooks.nonEmpty, "ivfPqTopK: no codebooks")
     val centRows = centroids
       .select(col(idCol).cast("long").as("cid"),
@@ -296,12 +301,12 @@ object Similarity {
     val matrix = graft.functions.CentroidMatrix(
       centRows.map(_.getLong(0)),
       centRows.map(_.getSeq[Double](1).toArray))
-    val bc = corpus.sparkSession.sparkContext.broadcast(matrix)
+    val bc = scope.ownBroadcast(corpus.sparkSession.sparkContext.broadcast(matrix))
     // inverted lists WITH codes: one narrow projection computes the
     // coarse cid and the m PQ codes together — single corpus pass
     val lists = pqEncode(
       Balance(corpus).select(col(idCol).as("nid"),
-        col(vecCol).cast("array<double>").as("nv")), "nv", codebooks)
+        col(vecCol).cast("array<double>").as("nv")), "nv", codebooks, scope)
       .withColumn("cid", element_at(
         graft.functions.columns.nearestCentroids(col("nv"), bc, keep = 1), 1))
       .drop("nv") // codes + cid only: the PQ residency, vectors dropped

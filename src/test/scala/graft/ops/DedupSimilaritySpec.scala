@@ -44,11 +44,16 @@ class DedupSimilaritySpec extends SparkSpec {
     val cbs = Similarity.pqCodebooks(
       mkDf(schema, members: _*), "vec_id", "embedding", m = 2, dsub = 2, ks = 4)
     val q = corpus.filter(col("vec_id") === 1L)
-    val out = Similarity.pqTopK(corpus, q, cbs, "vec_id", "embedding", k = 4)
+    val scope = new CacheScope
+    val out = Similarity.pqTopK(corpus, q, cbs, "vec_id", "embedding", k = 4,
+        scope = scope)
       .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
     // ADC scores vs (1,0,0,0): v4 -> 1, v9 (recon (1,0,0,0)) -> 1 (tie,
     // nid asc), v2 -> 0, v3 -> 0 (tie, nid asc)
     assert(out == Seq((1, 4L), (2, 9L), (3, 2L), (4, 3L)))
+    assert(scope.size === 2, "both subspace codebook broadcasts owned")
+    scope.release() // broadcasts unpersist with the caches
+    assert(scope.size === 0)
   }
 
   test("CacheScope: operator caches release once the result materializes") {
