@@ -167,5 +167,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),
       (args: Seq[Expression]) => SimHash(longArr(args(0)),
         foldableInt(args, 1, "simhash"))))
+    def foldableStr(args: Seq[Expression], idx: Int, name: String): String =
+      args(idx).eval() match {
+        case s: UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${idx + 1} must be a foldable string literal, got $other")
+      }
+    // BPE merge pass for pure-SQL tokenizer pipelines:
+    // merge_adjacent_pair(tok, 'left', 'right')
+    ext.injectFunction((
+      FunctionIdentifier("merge_adjacent_pair"),
+      new ExpressionInfo(classOf[MergeAdjacentPair].getName, "merge_adjacent_pair"),
+      (args: Seq[Expression]) => MergeAdjacentPair(strArr(args(0)),
+        foldableStr(args, 1, "merge_adjacent_pair"),
+        foldableStr(args, 2, "merge_adjacent_pair"))))
+    // deterministic plane projection: plane_projection(v, k, dim)
+    ext.injectFunction((
+      FunctionIdentifier("plane_projection"),
+      new ExpressionInfo(classOf[PlaneProjection].getName, "plane_projection"),
+      (args: Seq[Expression]) => PlaneProjection(vec(args(0)),
+        foldableInt(args, 1, "plane_projection"),
+        foldableInt(args, 2, "plane_projection"))))
   }
 }

@@ -55,6 +55,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sh.length === 2 && sh.forall(!_.isNullAt(1)))
   }
 
+  test("BPE and projection natives callable from plain SQL") {
+    // merge_adjacent_pair: the tokenizer encode pass as pure SQL
+    val merged = spark.sql(
+      "SELECT merge_adjacent_pair(array('a', 'a', 'a', 'b'), 'a', 'a') AS t")
+      .collect().head.getSeq[String](0)
+    assert(merged == Seq("a a", "a", "b")) // greedy non-overlapping
+    // plane_projection agrees with the typed column (same md5 planes)
+    val row = spark.sql(
+      "SELECT plane_projection(array(1.0d, 0.0d), 0, 2) AS p").collect().head
+    val expect = graft.functions.VectorOpsUtil.plane(0)(0)
+    assert(row.getDouble(0) === expect)
+  }
+
   test("Views.registerAll: one analytics view per table, date helpers queryable") {
     val names = graft.views.Views.registerAll(spark, dir)
     assert(names.length === Tables.names.length)
