@@ -98,6 +98,14 @@ object Ingest {
       val sortKey = meta.sortingKey.filter(df.columns.contains)
       def sorted(d: DataFrame) =
         if (sortKey.nonEmpty) d.sortWithinPartitions(sortKey.map(col): _*) else d
+      // MergeTree PRIMARY KEY index analogue: parquet bloom filters on the
+      // PK columns let point lookups (the upsert/reconciliation access
+      // pattern) skip whole row groups whose min/max range matches but
+      // which don't contain the key — cheap at write (bits per distinct),
+      // decisive at 100 TB read where a PK probe would otherwise scan
+      // every row group the sort range admits.
+      val bloomOpts = meta.pkColumns.filter(df.columns.contains)
+        .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
       monthPartitionCol match {
         case Some(c) =>
           // repartition on the partition key first: otherwise EVERY task
@@ -106,8 +114,10 @@ object Ingest {
           // months add a salt column to this repartition.
           sorted(df.withColumn("__yyyymm", date_format(col(c), "yyyyMM"))
               .repartition(col("__yyyymm")))
-            .write.mode(saveMode).partitionBy("__yyyymm").parquet(path)
-        case None => sorted(df).write.mode(saveMode).parquet(path)
+            .write.mode(saveMode).options(bloomOpts)
+            .partitionBy("__yyyymm").parquet(path)
+        case None =>
+          sorted(df).write.mode(saveMode).options(bloomOpts).parquet(path)
       }
     }
 

@@ -105,6 +105,26 @@ class IngestSpec extends SparkSpec {
       Some("factualizacion")).count() === 15)
   }
 
+  test("ingest writes parquet bloom filters on the PK columns") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.NoDedup)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"$out/t")
+    val file = dir.getFileSystem(conf).listStatus(dir)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getRowGroups.asScala.head
+      def bloomOf(name: String) = block.getColumns.asScala
+        .find(_.getPath.toDotString == name)
+        .map(c => reader.getBloomFilterDataReader(block).readBloomFilter(c))
+      assert(bloomOf("id").exists(_ != null), "PK column must carry a bloom filter")
+      assert(bloomOf("v").forall(_ == null), "non-PK columns must not pay for one")
+    } finally reader.close()
+  }
+
   test("audit reports per-table parity with diff and ok flags") {
     val out = Files.createTempDirectory("ingest_spec_").toString
     Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.NoDedup)
