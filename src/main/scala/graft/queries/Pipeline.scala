@@ -631,11 +631,46 @@ object Pipeline {
         col("events").as("n_events"))
   }
 
+  /** Stream-STATIC enrichment join — the third streaming-join family
+    * member (q81 is stream-stream, q44 is CDC upsert): the event stream
+    * joins a static dimension (customer) row-by-row as micro-batches
+    * arrive; no watermark or state is needed because the static side is
+    * immutable — Spark broadcasts it per batch. The canonical CDC
+    * enrichment shape (fact stream + dimension snapshot) audited against
+    * the identical batch join. */
+  val q99_stream_static_enrich = Q(
+    "q99_stream_static_enrich",
+    """SELECT c.c_mktsegment AS segment, count(*) AS n,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ss = streamingSession(s)
+    val dim = Tables.load(ss, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val out = tmpDir("graft_q99_out_")
+    val q = eventsStreamFactory(ss, dir)()
+      .join(dim, col("user_id") === col("c_custkey")) // stream-static inner
+      .select(col("user_id"), col("c_mktsegment"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/enriched")
+      .option("checkpointLocation", tmpDir("graft_q99_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/enriched")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
     q94_cdc_schema_drift,
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
-    q78_stream_window, q81_stream_stream_join, q98_stream_sessions)
+    q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
+    q99_stream_static_enrich)
 }
