@@ -199,6 +199,43 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Morton/Z-order bit interleave of two int64 keys (low 31 bits each →
+  * a 62-bit non-negative code): sorting a table by z(a, b) clusters rows
+  * that are close in BOTH dimensions into the same row groups, so
+  * min/max stats prune scans for predicates on EITHER column — the
+  * multi-column clustering technique behind Delta's OPTIMIZE ZORDER,
+  * here as a plain deterministic expression usable as an ingest
+  * sorting key. Inputs beyond 31 bits are masked (callers bucket or
+  * rank into the 31-bit space first — documented contract). */
+object ZOrderUtil {
+  def interleave(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 31) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+}
+
+case class ZOrderKey(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "zorder_key"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZOrderUtil.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ZOrderUtil.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderKey =
+    copy(left = l, right = r)
+}
+
 /** Deterministic plane projection <v[0..dim), p_k> (see
   * VectorOpsUtil.project) — the literal-free coarse-space kernel. */
 case class PlaneProjection(child: Expression, k: Int, dim: Int)

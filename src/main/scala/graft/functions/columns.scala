@@ -20,6 +20,11 @@ object columns {
     ColumnBridge.column(CosineSimilarity(vec(a), vec(b)))
   def hyperplaneSig(v: Column, bits: Int, offset: Int = 0, dim: Int = -1): Column =
     ColumnBridge.column(HyperplaneSignature(vec(v), bits, offset, dim))
+  /** Z-order clustering key over two int columns (storage locality). */
+  def zorderKey(a: Column, b: Column): Column =
+    ColumnBridge.column(ZOrderKey(
+      ColumnBridge.expression(a.cast("long")),
+      ColumnBridge.expression(b.cast("long"))))
   def planeProjection(v: Column, k: Int, dim: Int): Column =
     ColumnBridge.column(PlaneProjection(vec(v), k, dim))
   def nearestCentroids(v: Column,

@@ -665,6 +665,26 @@ object Pipeline {
       .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"))
   }
 
+  /** Z-order clustering key (Delta OPTIMIZE ZORDER's technique as a plain
+    * expression): interleaving the bits of two keys makes one sort
+    * cluster rows close in BOTH dimensions, so row-group min/max stats
+    * prune scans for predicates on either column — the multi-column
+    * data-skipping lever `Ingest`'s sortingKey can use directly. The
+    * oracle recomputes the interleave bit-by-bit in SQL. */
+  val q100_zorder_key = Q(
+    "q100_zorder_key",
+    """SELECT o_orderkey,
+      |  CAST(list_sum(list_transform(range(0, 31), i ->
+      |    (((o_custkey >> i) & 1) << (2*i)) +
+      |    (((o_orderkey >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+      |FROM orders WHERE o_orderkey <= 200""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") <= 200)
+      .select(col("o_orderkey"),
+        graft.functions.columns.zorderKey(
+          col("o_custkey"), col("o_orderkey")).as("z"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -672,5 +692,5 @@ object Pipeline {
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
     q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
-    q99_stream_static_enrich)
+    q99_stream_static_enrich, q100_zorder_key)
 }
