@@ -303,8 +303,56 @@ object Profiling {
           col("exact_custs") <= 0.05).as("hll_union_ok"))
   }
 
+  /** q101 — Count-Min-Sketch heavy hitters: per-key frequency estimates
+    * from ONE mergeable fixed-size sketch (the counts-side sibling of
+    * q57/q80's HLL distinct sketches; at 100 TB the CMS exchanges a few
+    * KB of counters instead of shuffling every key). The CMS contract is
+    * one-sided — est ≥ exact always, est ≤ exact + eps·N with the
+    * configured confidence — and the gate checks it per key against the
+    * exact counts (q57's tolerance pattern: an out-of-contract sketch
+    * flips a boolean column and the hash). The sketch blob and the 5
+    * per-key probes are a bounded driver read. */
+  val q101_cms_heavy_hitters = Q(
+    "q101_cms_heavy_hitters",
+    """SELECT event_type, count(*) AS n_exact,
+      |  TRUE AS cms_lower_ok, TRUE AS cms_upper_ok
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val sketch = ev.agg(
+      expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)")).collect()(0)
+      .getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+    val total = cms.totalCount()
+    val est = udfFreeEstimates(s, ev, cms) // (event_type, n_exact, est)
+    est.select(col("event_type"), col("n_exact"),
+      (col("est") >= col("n_exact")).as("cms_lower_ok"),
+      (col("est") <= col("n_exact") + lit(math.ceil(0.001 * total).toLong))
+        .as("cms_upper_ok"))
+  }
+
+  /** The distinct keys are a bounded set (5 event types): estimate each
+    * driver-side from the deserialized sketch and rejoin as a local
+    * column — no UDF, no sketch probing inside the plan. */
+  private def udfFreeEstimates(s: org.apache.spark.sql.SparkSession,
+      ev: org.apache.spark.sql.DataFrame,
+      cms: org.apache.spark.util.sketch.CountMinSketch): org.apache.spark.sql.DataFrame = {
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    val keys = exact.select("event_type").collect().map(_.getString(0))
+    val estRows = keys.map(k => (k, cms.estimateCount(k)))
+    val estDf = s.createDataFrame(
+      java.util.Arrays.asList(estRows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("est",
+          org.apache.spark.sql.types.LongType, false))))
+    exact.join(estDf, Seq("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     q57_sketch_profile, q58_grouping_sets, q59_set_ops, q60_dup_clusters,
     q61_corpus_curation, q62_decontamination, q63_mixture_sample,
-    q80_sketch_union)
+    q80_sketch_union, q101_cms_heavy_hitters)
 }
