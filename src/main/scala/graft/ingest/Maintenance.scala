@@ -95,6 +95,29 @@ object Maintenance {
     stagingSwap(spark, staging, path)
   }
 
+  /** M5 hygiene — remove crash leftovers of the swap/compact protocol: a
+    * job killed between the staging write and the rename leaves
+    * `<table>__staging` / `<table>__compact` / `<table>__old` (and batch
+    * ingest's `.staging_<table>`) directories holding a full table copy
+    * each. They are write-scratch by construction — the LIVE table never
+    * has these names — so deleting them is always safe and reclaims the
+    * space before the next load doubles it again. Returns the paths
+    * removed. */
+  def vacuumScratch(spark: SparkSession, tableRoot: String): Seq[String] = {
+    val f = fs(spark, tableRoot)
+    val root = new Path(tableRoot)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith("__staging") || n.endsWith("__compact") ||
+          n.endsWith("__old") || n.startsWith(".staging_")
+      }
+      .map { p => f.delete(p, true); p.toString }
+  }
+
   /** M6 — schema-relax: every non-PK field nullable
     * (tools/fix_clickhouse_schemas.py:73-166). Our reflected schemas are
     * already nullable-by-default for non-PK; this normalizes external ones. */

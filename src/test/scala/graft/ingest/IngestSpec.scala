@@ -149,6 +149,22 @@ class IngestSpec extends SparkSpec {
     assert(!Maintenance.exists(spark, out))
   }
 
+  test("vacuumScratch removes swap/compact leftovers, never live tables") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.NoDedup)
+    // simulate a crash mid-swap: scratch dirs left behind
+    val st = StructType(Seq(StructField("x", LongType, true)))
+    Seq("t__staging", "t__compact", "t__old", ".staging_t").foreach { n =>
+      mkDf(st, Row(1L)).write.mode("overwrite").parquet(s"$out/$n")
+    }
+    val removed = Maintenance.vacuumScratch(spark, out)
+    assert(removed.size === 4)
+    assert(Maintenance.exists(spark, s"$out/t"), "live table untouched")
+    assert(!Maintenance.exists(spark, s"$out/t__staging"))
+    assert(!Maintenance.exists(spark, s"$out/.staging_t"))
+    assert(Maintenance.vacuumScratch(spark, out).isEmpty) // idempotent
+  }
+
   test("relaxSchema: non-PK fields become nullable, PK stays required") {
     val st = graft.schema.SchemaReflector.toStructType(meta)
     val relaxed = Maintenance.relaxSchema(
