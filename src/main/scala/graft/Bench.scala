@@ -6,6 +6,17 @@ package graft
   * swallowed as fast "passes".
   */
 object Bench {
+
+  /** qNN short key per query name; prefix collisions (none today) fall
+    * back to the full name so keys stay unique — the stdout-line-budget
+    * contract BenchContractSpec pins. */
+  def shortKeys(names: Seq[String]): String => String = {
+    val pref = names.map(n => n -> n.takeWhile(_ != '_')).toMap
+    val dup = pref.values.groupBy(identity)
+      .collect { case (p, vs) if vs.size > 1 => p }.toSet
+    n => { val p = pref.getOrElse(n, n); if (dup(p)) n else p }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv("graft-bench")
@@ -86,13 +97,8 @@ object Bench {
       xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // stdout keys are the short qNN prefix (the contract's `"q1":sec` shape):
     // the parent's line buffer is ~2000 chars and 80 full names overflow it.
-    // Full names live in the stderr diag line. Prefix collisions (none
-    // today) fall back to the full name so keys stay unique.
-    val shortOf: String => String = {
-      val pref = results.map { case (n, _) => n -> n.takeWhile(_ != '_') }.toMap
-      val dup = pref.values.groupBy(identity).collect { case (p, vs) if vs.size > 1 => p }.toSet
-      n => { val p = pref.getOrElse(n, n); if (dup(p)) n else p }
-    }
+    // Full names live in the stderr diag line.
+    val shortOf = Bench.shortKeys(results.map(_._1))
     val qs = jmap(results.map { case (n, v) => shortOf(n) -> v })
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
