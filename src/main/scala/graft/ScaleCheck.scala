@@ -196,6 +196,35 @@ object ScaleCheck {
         graft.ops.Clustering.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
           .count()
       }
+      r("stream_window_agg") = time(s"$tag streaming window agg (drain via AvailableNow)") {
+        // the streaming family's scaling shape: state is one row per open
+        // (window, key) — fixed by the fixture's time span — while the
+        // DATA scales 8x, so drain time must grow at most linearly.
+        // Each rep gets its own source stage + checkpoint (file-source
+        // offsets would otherwise dedup rep 2 to a no-op).
+        import org.apache.spark.sql.streaming.Trigger
+        val stageDir = GraftTmp.dir("scale_stream_")
+        val srcDf = spark.read.parquet(line)
+          .select(col("l_orderkey"), col("l_shipdate").cast("timestamp").as("ts"),
+            col("l_quantity"))
+        srcDf.write.mode("overwrite").parquet(s"$stageDir/src")
+        val schema = spark.read.parquet(s"$stageDir/src").schema
+        val cnt = new java.util.concurrent.atomic.AtomicLong
+        spark.readStream.schema(schema).parquet(s"$stageDir/src")
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "30 days"), col("l_orderkey") % 16)
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .outputMode("complete")
+          .option("checkpointLocation", s"$stageDir/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            cnt.set(b.count())
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+          .awaitTermination()
+        assert(cnt.get() > 0)
+      }
       r("bloom_decontam") = time(s"$tag bloom decontamination") {
         // fixed bench set (base replica, every 50th doc) while the corpus
         // scales — the broadcast-filter side must stay constant
