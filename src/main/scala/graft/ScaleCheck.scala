@@ -140,6 +140,17 @@ object ScaleCheck {
           m = 8, dsub = 8, ks = 16)
         Similarity.pqTopK(e, q, cbs, "vec_id", "embedding", k = 10).count()
       }
+      r("ann_pq_wide") = time(s"$tag ANN PQ wide codebooks (ks=256 broadcast ADC)") {
+        // production codebook width: 256 entries/subspace ride ONE
+        // broadcast AdcScore payload (the old typedLit-map ADC would
+        // re-enter m·ks·dsub plan literals at this ks); encode + scoring
+        // must stay one narrow codegen'd pass, linear in corpus size
+        val q = e.filter(col("vec_id") < 5)
+        val cbs = Similarity.pqCodebooks(
+          e.filter(col("vec_id").between(200, 455)), "vec_id", "embedding",
+          m = 8, dsub = 8, ks = 256)
+        Similarity.pqTopK(e, q, cbs, "vec_id", "embedding", k = 10).count()
+      }
       // the replicated corpus duplicates every vector N times — the
       // duplication-heavy stress for the adaptive refinement + star cap
       r("cosine_near_dup") = time(s"$tag cosine near-dup pairs") {

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** The coarse-quantizer centroid table as ONE broadcast payload.
   *
@@ -26,7 +26,69 @@ final case class CentroidMatrix(cids: Array[Long], vecs: Array[Array[Double]])
   def k: Int = cids.length
 }
 
+/** The full PQ codebook set as ONE broadcast payload: per subspace a
+  * cid → subvector table for the ADC lookup. Same plan-size discipline
+  * as [[CentroidMatrix]]: at production ks=256, m=16, dsub=64 the
+  * tables are ~2 MB of doubles — shipped once per executor via torrent
+  * broadcast, never as `typedLit` plan literals (m·ks·dsub literals
+  * would re-grow the plan the broadcast centroid rewrite just shrank). */
+final case class PqCodebookTables(
+    subs: Array[java.util.HashMap[java.lang.Long, Array[Double]]], dsub: Int)
+    extends Serializable {
+  def m: Int = subs.length
+}
+
+object PqCodebookTables {
+  def fromCodebooks(codebooks: Seq[CentroidMatrix]): PqCodebookTables = {
+    require(codebooks.nonEmpty, "PqCodebookTables: no codebooks")
+    val dsub = codebooks.head.vecs.head.length
+    val subs = codebooks.map { cb =>
+      val h = new java.util.HashMap[java.lang.Long, Array[Double]](cb.k * 2)
+      cb.cids.zip(cb.vecs).foreach { case (cid, v) =>
+        require(v.length == dsub,
+          s"PqCodebookTables: subvector dim ${v.length} != dsub $dsub")
+        h.put(cid, v)
+      }
+      h
+    }.toArray
+    PqCodebookTables(subs, dsub)
+  }
+}
+
 object CentroidOpsUtil {
+
+  /** Asymmetric-distance PQ score: Σ_j dot(qv[j·dsub..(j+1)·dsub),
+    * codebook_j[codes(j)]) — bit-identical to the
+    * `dotProduct(slice(qv,...), element_at(lut, code))` chain +
+    * `reduceLeft(_ + _)` it replaces: per-subspace accumulation is
+    * sequential in element order and the cross-subspace sum is
+    * left-associated starting from subspace 0's dot (NOT from 0.0, which
+    * could flip a -0.0). Null ⇔ qv shorter than m·dsub, a null
+    * element/code, or a code absent from its table — exactly the null
+    * propagation of the slice/element_at/dot chain. */
+  def adc(qv: ArrayData, codes: ArrayData, t: PqCodebookTables): java.lang.Double = {
+    val m = t.subs.length
+    val dsub = t.dsub
+    if (qv.numElements() < m * dsub || codes.numElements() < m) return null
+    var total = 0.0d
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val sub = t.subs(j).get(codes.getLong(j))
+      if (sub == null) return null
+      var acc = 0.0d
+      var i = 0
+      var qi = j * dsub
+      while (i < dsub) {
+        if (qv.isNullAt(qi)) return null
+        acc += qv.getDouble(qi) * sub(i)
+        i += 1; qi += 1
+      }
+      total = if (j == 0) acc else total + acc
+      j += 1
+    }
+    total
+  }
 
   /** Spark SQL double ordering for our domain: NaN sorts largest
     * (l2sq never yields -0.0, so Double.compare matches SQL exactly). */
@@ -121,4 +183,41 @@ case class NearestCentroids(child: Expression, bcast: Broadcast[CentroidMatrix],
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
     copy(child = newChild)
+}
+
+/** Asymmetric-distance PQ score of (query vector, m PQ codes) against a
+  * broadcast codebook-table set — the scoring half of the PQ residency.
+  * left = array<double> query vector, right = array<bigint> of m codes
+  * (one per subspace). The tables ride a `Broadcast` (the expression
+  * serializes only the handle — plan size is O(1) in m·ks·dsub), and the
+  * lookup+dot fold is a codegen'd primitive loop. Replaces the
+  * `typedLit`-map ADC chain bit-identically (see CentroidOpsUtil.adc). */
+case class AdcScore(left: Expression, right: Expression,
+    bcast: Broadcast[PqCodebookTables]) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_score"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val r = CentroidOpsUtil.adc(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], bcast.value)
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqTablesBcast", bcast,
+      classOf[Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("adc")
+      s"""
+         |java.lang.Double $boxed = graft.functions.CentroidOpsUtil.adc($a, $b,
+         |  (graft.functions.PqCodebookTables) $ref.value());
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
+    copy(left = l, right = r)
 }

@@ -31,6 +31,12 @@ object columns {
       bcast: org.apache.spark.broadcast.Broadcast[CentroidMatrix],
       keep: Int): Column =
     ColumnBridge.column(NearestCentroids(vec(v), bcast, keep))
+  /** PQ asymmetric-distance score: query vector × array of m codes
+    * against broadcast codebook tables. */
+  def adcScore(qv: Column, codes: Column,
+      bcast: org.apache.spark.broadcast.Broadcast[PqCodebookTables]): Column =
+    ColumnBridge.column(AdcScore(vec(qv),
+      ColumnBridge.expression(codes.cast("array<bigint>")), bcast))
 
   /** BPE merge-pass kernel (trainer hot loop). */
   def mergeAdjacentPair(tokens: Column, left: String, right: String): Column =

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -229,11 +230,10 @@ object Similarity {
     * 64-dim float64 corpus (512 B/vector) becomes m int64 codes + shared
     * codebooks (→ m bytes at int8 storage), which is what lets the
     * residency fit executor RAM; scoring touches codes only, never the
-    * original vectors. Codebook lookup tables ride the plan as bounded
-    * literals (m·ks·dsub doubles — small by PQ's definition); at
-    * production ks they ride a Broadcast exactly like the assignment
-    * matrices. Output: (qid, rank, nid), rank by ADC score desc, nid
-    * tie-break. */
+    * original vectors. Codebook lookup tables ride a Broadcast exactly
+    * like the assignment matrices (native `AdcScore` kernel — plan size
+    * O(1) in m·ks·dsub, asserted in SimilaritySpec at ks=256). Output:
+    * (qid, rank, nid), rank by ADC score desc, nid tie-break. */
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
       codebooks: Seq[graft.functions.CentroidMatrix],
@@ -246,7 +246,8 @@ object Similarity {
     val q = broadcast(queries.select(
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv")))
     val scored = coded.join(q, col("nid") =!= col("qid"))
-      .withColumn("sim", adcScore(codebooks, col("qv")))
+      .withColumn("sim", adcScore(adcTables(corpus, codebooks, scope),
+        codebooks.length, col("qv")))
     topKPerQuery(scored, "sim", k)
   }
 
@@ -266,18 +267,24 @@ object Similarity {
     }
   }
 
-  /** ADC: per-subspace lookup table (cid -> subvector) + dot against the
-    * query's subslice; explicit left-assoc addition pins the float order
-    * so ranks are oracle-reproducible. */
-  private def adcScore(codebooks: Seq[graft.functions.CentroidMatrix],
-      qv: Column): Column = {
-    val dsub = codebooks.head.vecs.head.length
-    codebooks.zipWithIndex.map { case (cb, j) =>
-      val lut = typedLit(cb.cids.zip(cb.vecs.map(_.toSeq)).toMap)
-      graft.functions.columns.dotProduct(
-        slice(qv, j * dsub + 1, dsub), element_at(lut, col(s"__c$j")))
-    }.reduceLeft(_ + _)
-  }
+  /** ADC: per-subspace lookup (cid -> subvector) + dot against the
+    * query's subslice, as ONE native `AdcScore` kernel over the m code
+    * columns. The codebook tables ride a Broadcast (plan size O(1) in
+    * m·ks·dsub — the same discipline as the assignment matrices; the old
+    * `typedLit`-map form re-entered ~260k doubles into the plan at
+    * production ks=256). Left-assoc accumulation inside the kernel pins
+    * the float order so ranks stay oracle-reproducible bit-for-bit. */
+  private def adcScore(bcT: Broadcast[graft.functions.PqCodebookTables],
+      m: Int, qv: Column): Column =
+    graft.functions.columns.adcScore(
+      qv, array((0 until m).map(j => col(s"__c$j")): _*), bcT)
+
+  /** Build + broadcast the ADC tables once per operator call. */
+  private def adcTables(df: DataFrame,
+      codebooks: Seq[graft.functions.CentroidMatrix],
+      scope: CacheScope): Broadcast[graft.functions.PqCodebookTables] =
+    scope.ownBroadcast(df.sparkSession.sparkContext.broadcast(
+      graft.functions.PqCodebookTables.fromCodebooks(codebooks)))
 
   /** The COMPLETE IVF-PQ index: coarse inverted lists (ivfTopK's
     * broadcast-argmin assignment) bound the candidate set to the probed
@@ -315,7 +322,8 @@ object Similarity {
       .select(col("qid"), col("qv"), explode(
         graft.functions.columns.nearestCentroids(col("qv"), bc, nprobe)).as("cid"))
     val scored = lists.join(probes, Seq("cid")).filter(col("nid") =!= col("qid"))
-      .withColumn("sim", adcScore(codebooks, col("qv")))
+      .withColumn("sim", adcScore(adcTables(corpus, codebooks, scope),
+        codebooks.length, col("qv")))
     topKPerQuery(scored, "sim", k)
   }
 

@@ -51,9 +51,38 @@ class DedupSimilaritySpec extends SparkSpec {
     // ADC scores vs (1,0,0,0): v4 -> 1, v9 (recon (1,0,0,0)) -> 1 (tie,
     // nid asc), v2 -> 0, v3 -> 0 (tie, nid asc)
     assert(out == Seq((1, 4L), (2, 9L), (3, 2L), (4, 3L)))
-    assert(scope.size === 2, "both subspace codebook broadcasts owned")
+    assert(scope.size === 3, "m encode broadcasts + the ADC table broadcast owned")
     scope.release() // broadcasts unpersist with the caches
     assert(scope.size === 0)
+  }
+
+  test("pq ADC plan is O(1) in m·ks·dsub at ks=256 and codegen'd") {
+    // production-shaped codebooks: ks=256 × m=4 × dsub=8 = 8192 doubles.
+    // The old typedLit-map ADC embedded all of them as plan literals; the
+    // broadcast AdcScore kernel must keep the plan tree bounded. dim=32
+    // (not larger) so the synthetic array-building cast chain stays under
+    // the session's codegen.hugeMethodLimit — the fixture must not evict
+    // the stage from codegen before the kernel is even measured.
+    val dim = 32
+    val corpus = spark.range(300).select(col("id").as("vec_id"),
+      array((0 until dim).map(i =>
+        ((col("id") * 13 + lit(i)) % 19).cast("double")): _*).as("embedding"))
+    val cbs = Similarity.pqCodebooks(
+      corpus, "vec_id", "embedding", m = 4, dsub = 8, ks = 256)
+    val q = corpus.filter(col("vec_id") === 7L)
+    val out = Similarity.pqTopK(corpus, q, cbs, "vec_id", "embedding", k = 3)
+    // materialize FIRST — via collect(), which executes THIS
+    // queryExecution (count() would build its own): under AQE the codegen
+    // stage markers only appear on the final adaptive plan
+    assert(out.collect().length === 3)
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.length < 40000,
+      s"plan string is ${planStr.length} chars — ADC LUTs are leaking into the plan")
+    assert(planStr.contains("adc_score"))
+    assert(planStr.linesIterator.exists(l =>
+      l.contains("adc_score") && l.trim.stripPrefix("+- ").startsWith("*(")),
+      "ADC scoring must stay inside whole-stage codegen; plan:\n" +
+        planStr.linesIterator.map(_.take(120)).mkString("\n"))
   }
 
   test("CacheScope: operator caches release once the result materializes") {
