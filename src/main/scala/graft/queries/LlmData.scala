@@ -210,17 +210,20 @@ object LlmData {
       |  round(sum(nc)::double / count(*), 6) AS avg_chars,
       |  round(sum(sw)::double / sum(nt), 6) AS stop_ratio
       |FROM s GROUP BY lang""".stripMargin) { (s, dir) =>
-    val swArr = array(TextAnalysis.stopwords.map(lit): _*)
+    // staged counts (q61 pattern): each count references the materialized
+    // tok exactly once, so CollapseProject cannot re-inline split(text)
+    // per reference — same expressions, bit-identical aggregates
+    val counts = TextAnalysis.profileCounts(col("tok"))
+      .filter { case (nm, _) => nm == "__n" || nm == "__nsw" }
     Tables.load(s, dir, "documents")
       .select(col("lang"), TextHash.tokens(col("text")).as("tok"),
         TextAnalysis.charCount(col("text")).as("nc"))
-      .select(col("lang"), size(col("tok")).as("nt"), col("nc"),
-        size(filter(col("tok"), t => array_contains(swArr, t))).as("sw"))
+      .select(col("lang") +: col("nc") +: counts.map { case (nm, c) => c.as(nm) }: _*)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-        round(sum("nt").cast("double") / count(lit(1)), 6).as("avg_tokens"),
+        round(sum("__n").cast("double") / count(lit(1)), 6).as("avg_tokens"),
         round(sum("nc").cast("double") / count(lit(1)), 6).as("avg_chars"),
-        round(sum("sw").cast("double") / sum("nt"), 6).as("stop_ratio"))
+        round(sum("__nsw").cast("double") / sum("__n"), 6).as("stop_ratio"))
   }
 
   /** Per-doc quality scores, top-20 (deterministic tie-break on doc_id). */
@@ -235,9 +238,19 @@ object LlmData {
       |      6) AS score
       |  FROM t)
       |SELECT doc_id, score FROM q ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    // staged counts (q61 pattern) instead of the one-projection
+    // qualityScore(tok): the nested form references tok ~5x and
+    // CollapseProject re-inlines split(text) per reference — the
+    // measured 78-copies trap (TextAnalysis.scala staged-evaluation
+    // note). Same arithmetic, bit-identical scores.
+    val counts = TextAnalysis.profileCounts(col("tok"))
+      .filter { case (nm, _) => Set("__n", "__nd", "__nsw")(nm) }
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), TextHash.tokens(col("text")).as("tok"))
-      .select(col("doc_id"), TextAnalysis.qualityScore(col("tok")).as("score"))
+      .select(col("doc_id") +: counts.map { case (nm, c) => c.as(nm) }: _*)
+      .select(col("doc_id"),
+        TextAnalysis.qualityFromCounts(col("__n"), col("__nd"), col("__nsw"))
+          .as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
   }
@@ -260,9 +273,18 @@ object LlmData {
         |p AS (SELECT CASE $pick ELSE 'und' END AS lang_pred
         |  FROM (SELECT *, $maxExpr AS m FROM sc))
         |SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred""".stripMargin) { (s, dir) =>
+      // staged counts (q61 pattern): langId(tok) references tok ~9x
+      // (4 profile filters + size per score) and CollapseProject
+      // re-inlines split(text) per reference; the staged form computes
+      // each profile hit count once. Same fold, bit-identical argmax.
+      val counts = TextAnalysis.profileCounts(col("tok"))
+        .filter { case (nm, _) => nm == "__n" || nm.startsWith("__s_") }
       Tables.load(s, dir, "documents")
         .select(TextHash.tokens(col("text")).as("tok"))
-        .select(TextAnalysis.langId(col("tok")).as("lang_pred"))
+        .select(counts.map { case (nm, c) => c.as(nm) }: _*)
+        .select(TextAnalysis.langIdFromCounts(col("__n"),
+          TextAnalysis.langProfiles.map { case (l, _) => l -> col(s"__s_$l") })
+          .as("lang_pred"))
         .groupBy("lang_pred")
         .agg(count(lit(1)).as("n"))
     }
