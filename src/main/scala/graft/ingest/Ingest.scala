@@ -145,13 +145,18 @@ object Ingest {
         // threshold, one O(target) compaction collapses everything —
         // amortized write amplification O(target/threshold) per load,
         // and read amplification (parts touched per FINAL read) stays
-        // bounded however many loads arrive. Month-partitioned targets
-        // are excluded: compactFinal's flat rewrite would silently drop
-        // the partition layout — they compact per-partition via explicit
-        // maintenance instead.
-        if (monthPartitionCol.isEmpty &&
-            Maintenance.dataFileCount(spark, finalPath) > replacingCompactParts)
-          Maintenance.compactFinal(spark, finalPath, keys, version)
+        // bounded however many loads arrive. The compactor re-establishes
+        // the ingest layout (sorting-key local sort + PK bloom filters);
+        // month-partitioned targets compact per `__yyyymm=` directory,
+        // preserving the partition layout.
+        if (Maintenance.dataFileCount(spark, finalPath) > replacingCompactParts) {
+          if (monthPartitionCol.isEmpty)
+            Maintenance.compactFinal(spark, finalPath, keys, version,
+              sortingKey = meta.sortingKey)
+          else
+            Maintenance.compactFinalPartitioned(spark, finalPath, keys, version,
+              sortingKey = meta.sortingKey)
+        }
         deduped
     }
     // Read back for the written count so the audit measures the TARGET,

@@ -1,7 +1,8 @@
 package graft.ingest
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** DDL / maintenance operators M1-M8 (SURVEY.md §2.8) re-expressed for a
@@ -50,12 +51,18 @@ object Maintenance {
   /** M4 — atomic staging swap (RENAME TABLE final→old, tmp→final; DROP
     * old — tools/ingest_runner.py:1529-1592), as filesystem renames:
     * rename is atomic per-directory on HDFS-like filesystems, so readers
-    * see either the old or the new table, never a partial one. */
-  def stagingSwap(spark: SparkSession, stagingPath: String, finalPath: String): Unit = {
+    * see either the old or the new table, never a partial one.
+    * `oldPath` overrides the parking name for the displaced dir — the
+    * per-partition compactor needs a dot-prefixed one, because its
+    * targets are `__yyyymm=` dirs and a default `<dir>__old` sibling
+    * CONTAINS '=' and would be picked up by partition discovery as a
+    * bogus partition value. */
+  def stagingSwap(spark: SparkSession, stagingPath: String, finalPath: String,
+      oldPath: Option[String] = None): Unit = {
     val f = fs(spark, finalPath)
     val staging = new Path(stagingPath)
     val fin = new Path(finalPath)
-    val old = new Path(finalPath + "__old")
+    val old = new Path(oldPath.getOrElse(finalPath + "__old"))
     if (f.exists(old)) f.delete(old, true)
     if (f.exists(fin)) {
       if (!f.rename(fin, old)) sys.error(s"swap: cannot rename $fin -> $old")
@@ -65,15 +72,34 @@ object Maintenance {
     ()
   }
 
+  /** Shared compaction writer: the SAME physical layout the ingest write
+    * path establishes — local sort on the sorting key (parquet row-group
+    * min/max → key-range skipping) + PK parquet bloom filters (point-probe
+    * row-group skipping). A compaction that dropped these would silently
+    * degrade the table's read path after the first OPTIMIZE — the skipping
+    * structures are 'decisive at 100 TB' precisely on the big compacted
+    * tables. */
+  private def writeCompacted(df: DataFrame, parts: Int, sortingKey: Seq[String],
+      bloomKeys: Seq[String], staging: String): Unit = {
+    val sortKey = sortingKey.filter(df.columns.contains)
+    val base = df.repartition(parts)
+    val sorted =
+      if (sortKey.nonEmpty) base.sortWithinPartitions(sortKey.map(col): _*) else base
+    val bloomOpts = bloomKeys.filter(df.columns.contains)
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    sorted.write.mode(SaveMode.Overwrite).options(bloomOpts).parquet(staging)
+  }
+
   /** M5 — OPTIMIZE/compaction: rewrite a table dir into ~`targetMB`-sized
-    * files (small-file compaction after incremental loads). */
-  def optimizeCompact(spark: SparkSession, path: String, targetMB: Int = 128): Unit = {
+    * files (small-file compaction after incremental loads), preserving the
+    * ingest layout when the caller supplies the keys. */
+  def optimizeCompact(spark: SparkSession, path: String, targetMB: Int = 128,
+      sortingKey: Seq[String] = Nil, bloomKeys: Seq[String] = Nil): Unit = {
     val f = fs(spark, path)
     val bytes = f.getContentSummary(new Path(path)).getLength
     val parts = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
-    val df = spark.read.parquet(path)
     val staging = path + "__compact"
-    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(staging)
+    writeCompacted(spark.read.parquet(path), parts, sortingKey, bloomKeys, staging)
     stagingSwap(spark, staging, path)
   }
 
@@ -82,40 +108,84 @@ object Maintenance {
     * ~`targetMB`-sized files via atomic swap
     * (tools/ingest_runner.py:1782-1787 runs exactly this after ingest).
     * O(target) by nature — runs on a maintenance schedule, never on the
-    * per-batch write path. */
+    * per-batch write path. `sortingKey` re-establishes the ingest write
+    * path's local sort; PK bloom filters are always rebuilt from `keys`. */
   def compactFinal(spark: SparkSession, path: String, keys: Seq[String],
       version: Option[String], tieBreak: Seq[String] = Nil,
-      targetMB: Int = 128): Unit = {
+      targetMB: Int = 128, sortingKey: Seq[String] = Nil): Unit = {
     val f = fs(spark, path)
     val bytes = f.getContentSummary(new Path(path)).getLength
     val parts = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
     val collapsed = Ingest.readFinal(spark, path, keys, version, tieBreak)
     val staging = path + "__compact"
-    collapsed.repartition(parts).write.mode(SaveMode.Overwrite).parquet(staging)
+    writeCompacted(collapsed,
+      parts, if (sortingKey.nonEmpty) sortingKey else keys, keys, staging)
     stagingSwap(spark, staging, path)
+  }
+
+  /** M5 companion for month-partitioned Replacing targets: compact each
+    * `__yyyymm=` partition directory independently, preserving the
+    * partition layout a flat compactFinal rewrite would drop. Correct wrt
+    * FINAL semantics: the globally-latest version of a key is also the
+    * latest within its own partition, so per-partition collapse never
+    * drops it; duplicates of a key ACROSS partitions still collapse at
+    * read via readFinal — the same contract as ClickHouse, where merges
+    * never cross partition boundaries. Scratch dirs are dot-prefixed and
+    * '='-free so partition discovery can never see them (a `<dir>__old`
+    * sibling would parse as partition value "<month>__old"). */
+  def compactFinalPartitioned(spark: SparkSession, path: String,
+      keys: Seq[String], version: Option[String], tieBreak: Seq[String] = Nil,
+      targetMB: Int = 128, sortingKey: Seq[String] = Nil): Unit = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return
+    f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .foreach { st =>
+        val pdir = st.getPath
+        val month = pdir.getName.substring(pdir.getName.indexOf('=') + 1)
+        val bytes = f.getContentSummary(pdir).getLength
+        val parts = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
+        val collapsed = Ingest.readFinal(spark, pdir.toString, keys, version, tieBreak)
+        val staging = new Path(root, s".staging_compact_$month").toString
+        writeCompacted(collapsed,
+          parts, if (sortingKey.nonEmpty) sortingKey else keys, keys, staging)
+        stagingSwap(spark, staging, pdir.toString,
+          oldPath = Some(new Path(root, s".old_compact_$month").toString))
+      }
   }
 
   /** M5 hygiene — remove crash leftovers of the swap/compact protocol: a
     * job killed between the staging write and the rename leaves
     * `<table>__staging` / `<table>__compact` / `<table>__old` (and batch
-    * ingest's `.staging_<table>`) directories holding a full table copy
-    * each. They are write-scratch by construction — the LIVE table never
-    * has these names — so deleting them is always safe and reclaims the
-    * space before the next load doubles it again. Returns the paths
-    * removed. */
-  def vacuumScratch(spark: SparkSession, tableRoot: String): Seq[String] = {
+    * ingest's `.staging_<table>`, the per-partition compactor's
+    * `.old_compact_<month>`) directories holding a full table copy each.
+    * They are write-scratch by construction — the LIVE table never has
+    * these names — so deleting them reclaims the space before the next
+    * load doubles it again. `minAgeMs` guards IN-FLIGHT scratch: a
+    * concurrent ingestAll/compactFinal is actively writing dirs with
+    * these same names, and a vacuum racing it would delete live scratch
+    * mid-swap (the dir mtime refreshes as part files land, so a fresh
+    * mtime means a writer is, or very recently was, active). Crash
+    * leftovers are by definition old; 15 minutes is far above any single
+    * staging write. Pass 0 only when no loads can be running. Returns the
+    * paths removed. */
+  def vacuumScratch(spark: SparkSession, tableRoot: String,
+      minAgeMs: Long = 15 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, tableRoot)
     val root = new Path(tableRoot)
     if (!f.exists(root)) return Nil
+    val cutoff = System.currentTimeMillis() - minAgeMs
     f.listStatus(root).toSeq
       .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        n.endsWith("__staging") || n.endsWith("__compact") ||
-          n.endsWith("__old") || n.startsWith(".staging_")
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.endsWith("__staging") || n.endsWith("__compact") ||
+          n.endsWith("__old") || n.startsWith(".staging_") ||
+          n.startsWith(".old_compact_")) &&
+          st.getModificationTime <= cutoff
       }
-      .map { p => f.delete(p, true); p.toString }
+      .map { st => f.delete(st.getPath, true); st.getPath.toString }
   }
 
   /** M6 — schema-relax: every non-PK field nullable

@@ -105,6 +105,59 @@ class IngestSpec extends SparkSpec {
       Some("factualizacion")).count() === 15)
   }
 
+  test("compactFinal re-establishes PK sort and bloom filters") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.Replacing)
+    Ingest.ingestTable(spark, mkDf(schema,
+      Row(9L, "z", ts("2021-03-01 00:00:00")),
+      Row(5L, "y", ts("2021-03-01 00:00:00"))), meta, out, DedupMode.Replacing)
+    Maintenance.compactFinal(spark, s"$out/t", Seq("id"),
+      Some("factualizacion"), sortingKey = Seq("id"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"$out/t")
+    val files = dir.getFileSystem(conf).listStatus(dir)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { file =>
+      // the compacted layout must match the ingest write path: local PK
+      // sort (row-group skipping) + PK bloom filter (point-probe skipping)
+      val ids = spark.read.parquet(file.toString)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids === ids.sorted, s"$file must stay PK-sorted after compaction")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val block = reader.getRowGroups.asScala.head
+        val idCol = block.getColumns.asScala
+          .find(_.getPath.toDotString == "id").get
+        assert(reader.getBloomFilterDataReader(block).readBloomFilter(idCol) != null,
+          s"$file must keep the PK bloom filter after compaction")
+      } finally reader.close()
+    }
+  }
+
+  test("month-partitioned replacing targets auto-compact per partition, layout kept") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    def load(i: Int) = mkDf(schema,
+      Row(1L, s"jan$i", ts(s"2021-01-0${i + 1} 00:00:00")),
+      Row(2L, s"feb$i", ts(s"2021-02-0${i + 1} 00:00:00")))
+    (0 until 4).foreach(i =>
+      Ingest.ingestTable(spark, load(i), meta, out, DedupMode.Replacing,
+        monthPartitionCol = Some("factualizacion"), replacingCompactParts = 3))
+    val f = new org.apache.hadoop.fs.Path(s"$out/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$out/t"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+    assert(partDirs === Seq("__yyyymm=202101", "__yyyymm=202102"),
+      "partition layout must survive compaction (no scratch leftovers)")
+    assert(Maintenance.dataFileCount(spark, s"$out/t") <= 4,
+      "per-partition compaction must bound the part count")
+    val fin = Ingest.readFinal(spark, s"$out/t", Seq("id"), Some("factualizacion"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(fin === Map(1L -> "jan3", 2L -> "feb3"))
+  }
+
   test("ingest writes parquet bloom filters on the PK columns") {
     val out = Files.createTempDirectory("ingest_spec_").toString
     Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.NoDedup)
@@ -157,12 +210,16 @@ class IngestSpec extends SparkSpec {
     Seq("t__staging", "t__compact", "t__old", ".staging_t").foreach { n =>
       mkDf(st, Row(1L)).write.mode("overwrite").parquet(s"$out/$n")
     }
-    val removed = Maintenance.vacuumScratch(spark, out)
+    // default min-age protects fresh scratch: a concurrent load is
+    // indistinguishable from a crash leftover by name alone
+    assert(Maintenance.vacuumScratch(spark, out).isEmpty,
+      "fresh (possibly in-flight) scratch must survive the default min-age")
+    val removed = Maintenance.vacuumScratch(spark, out, minAgeMs = 0)
     assert(removed.size === 4)
     assert(Maintenance.exists(spark, s"$out/t"), "live table untouched")
     assert(!Maintenance.exists(spark, s"$out/t__staging"))
     assert(!Maintenance.exists(spark, s"$out/.staging_t"))
-    assert(Maintenance.vacuumScratch(spark, out).isEmpty) // idempotent
+    assert(Maintenance.vacuumScratch(spark, out, minAgeMs = 0).isEmpty) // idempotent
   }
 
   test("relaxSchema: non-PK fields become nullable, PK stays required") {
