@@ -100,6 +100,22 @@ object Bench {
     // Full names live in the stderr diag line.
     val shortOf = Bench.shortKeys(results.map(_._1))
     val qs = jmap(results.map { case (n, v) => shortOf(n) -> v })
+    // Per-query medians for noise diagnosis on the ARTIFACT itself (the
+    // r6 lesson: 4 unchanged queries regressed 3-6x in min-of-reps and
+    // only the stderr diag could tell environment from regression). The
+    // stdout tail can't fit a second full 100-query map, so stdout
+    // carries the OUTLIERS (median >1.5x min and >0.25s over it — i.e.
+    // reps disagree, the interference signature) capped at 8 entries,
+    // plus med_more counting any dropped beyond the cap (no silent
+    // truncation). The full median map stays on the stderr diag line.
+    // Cap = 8: the observed interference bands hit 4-7 queries, and the
+    // worst-case line estimate (BenchContractSpec) leaves room for ~8.
+    val minOf = results.map { case (n, v) => n -> math.abs(v) }.toMap
+    val medOutliers = medSecs.reverse
+      .filter { case (n, med) => med > minOf(n) * 1.5 && med - minOf(n) > 0.25 }
+      .sortBy { case (n, med) => minOf(n) - med } // most-divergent first
+    val medShown = jmap(medOutliers.take(8).map { case (n, v) => shortOf(n) -> v })
+    val medMore = math.max(0, medOutliers.size - 8)
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
@@ -113,7 +129,7 @@ object Bench {
     System.err.println(
       s"""[bench-diag] {"task_sec":$taskJson,"cold_sec":$coldJson,"med_sec":$medJson,"reps":$reps}""")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"median_total":${fmt(medianTotal)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"median_total":${fmt(medianTotal)},"med_outliers":$medShown,"med_more":$medMore,"sf":"$sfDir"}""")
     GraftTmp.purge()
     spark.stop()
   }

@@ -27,8 +27,9 @@ class BenchContractSpec extends AnyFunSuite {
     val shorts = names.map(shortOf)
     assert(shorts.distinct.size === shorts.size, "short-key collision")
     // worst-case stdout line: fixed fields + per-query `"qNNN":-123.456,`
+    // + the capped 8-entry median-outlier map (8 × ~14 chars)
     val perQuery = shorts.map(_.length + 12).sum
-    val fixed = 200 // metric/value/failed/errors/median_total/sf scaffolding
+    val fixed = 200 + 8 * 14 // scaffolding + med_outliers cap
     assert(perQuery + fixed < 1900,
       s"estimated line ${perQuery + fixed} chars — the driver tail is ~2000")
   }
