@@ -15,6 +15,11 @@ case class MediaFeatures(id: Long, byteLen: Int, featureDim: Int, checksum: Long
   * pixel checksum; (-1, -1, -1) marks an undecodable payload. */
 case class ImageFeatures(id: Long, width: Int, height: Int, checksum: Long)
 
+/** Output of the REAL audio-decode stage: decoded format + an exact
+  * sample checksum; (-1, -1, -1, -1) marks an undecodable payload. */
+case class AudioFeatures(
+    id: Long, sampleRate: Int, channels: Int, frames: Int, checksum: Long)
+
 /** Output of the (stubbed) resize stage: payload replaced by the resized
   * rendition, metadata records both geometries. */
 case class ResizedMedia(id: Long, srcBytes: Int, dstBytes: Int, payload: Array[Byte])
@@ -27,9 +32,11 @@ case class SampledFrame(id: Long, frameIdx: Int, frameBytes: Array[Byte])
   *
   * IMAGE decode is REAL: `decodeImageFeatures` round-trips PNG/BMP/GIF
   * through the JDK's ImageIO (zero extra dependencies) and emits exact
-  * decoded geometry + pixel checksums. The audio/video stages remain
-  * STUBS — this container has no ffmpeg-class codecs — with deterministic
-  * fakes derived from the payload bytes. Everything around both is real
+  * decoded geometry + pixel checksums. AUDIO decode is REAL for PCM
+  * containers: `decodeAudioFeatures` round-trips WAV through the JDK's
+  * javax.sound.sampled. The video stages remain STUBS — this container
+  * has no ffmpeg-class codecs — with deterministic fakes derived from
+  * the payload bytes. Everything around both is real
   * and scale-shaped: `BinaryType` storage, metadata carried as a struct
   * (prunable columns), and decoding via `mapPartitions` over fixed-size
   * batches — the Scala analogue of a `mapInPandas` batch UDF, amortizing
@@ -125,6 +132,81 @@ object Multimodal {
               i += 1
             }
             ImageFeatures(m.id, w, h, cs)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic PCM WAV: interleaved 16-bit sample i of
+    * audio `id` is s(i) = (i*31 + id*7) mod 65536 - 32768, written
+    * through the JDK's javax.sound.sampled WAV encoder (RIFF header +
+    * little-endian PCM — lossless, so the closed-form sample function
+    * doubles as the decode oracle, exactly the encodePng pattern). */
+  def encodeWav(id: Long, sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    val n = frames * channels
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((i * 31 + id * 7) % 65536) - 32768).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false) // signed, little-endian
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL partition-batched audio decode via the JDK's
+    * javax.sound.sampled (WAV/AIFF/AU PCM — no external codec libs):
+    * decoded sample rate / channel count / frame length plus an exact
+    * position-weighted sample checksum Σ (i+1) * s16(i) over the
+    * interleaved stream — order-fixed integer arithmetic, reproducible
+    * in a closed-form SQL oracle for synthetic audio (the
+    * decodeImageFeatures contract, one modality over). Undecodable
+    * payloads yield (-1, -1, -1, -1) instead of throwing (a corrupt
+    * object in a 100 TB scan must not kill the job). Compressed codecs
+    * (mp3/aac) stay sandbox-absent; PCM containers are the real path. */
+  def decodeAudioFeatures(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            try {
+              val fmt = ais.getFormat
+              val bytes = ais.readAllBytes()
+              // 16-bit little-endian signed PCM (what WAV stores); other
+              // sample layouts fall to the undecodable contract
+              if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+                  fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                AudioFeatures(m.id, -1, -1, -1, -1L)
+              else {
+                var cs = 0L
+                var i = 0
+                val n = bytes.length / 2
+                while (i < n) {
+                  val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+                  cs += (i + 1).toLong * s
+                  i += 1
+                }
+                AudioFeatures(m.id, fmt.getSampleRate.toInt, fmt.getChannels,
+                  ais.getFrameLength.toInt, cs)
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                _: java.io.IOException =>
+              AudioFeatures(m.id, -1, -1, -1, -1L)
           }
         }
       }

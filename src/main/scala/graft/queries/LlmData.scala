@@ -999,6 +999,44 @@ object LlmData {
       .select(col("id"), col("width"), col("height"), col("checksum"))
   }
 
+  /** q102 — REAL audio decode through the JDK javax.sound.sampled codec
+    * (the q93 playbook, one modality over): synthetic 16-bit PCM WAVs
+    * (sample values a closed form of (id, i)) are encoded executor-side,
+    * decoded back via `decodeAudioFeatures`, and the decoded format +
+    * position-weighted sample checksum must equal the oracle's direct
+    * evaluation of the same closed form — PCM WAV is lossless, so one
+    * bit of codec drift anywhere flips the hash. A corrupt payload row
+    * proves the (-1,-1,-1,-1) no-throw contract. */
+  val q102_audio_decode = Q(
+    "q102_audio_decode",
+    """WITH auds(id, sr, ch, fr) AS (VALUES
+      |  (1, 8000, 1, 240), (2, 16000, 2, 160), (3, 44100, 2, 300),
+      |  (4, 11025, 1, 77), (5, 22050, 1, 1)),
+      |i AS (SELECT id, sr, ch, fr, x.r AS i
+      |  FROM auds, range(0, 600) x(r) WHERE x.r < fr * ch),
+      |s AS (SELECT id, sr, ch, fr, (i*31 + id*7) % 65536 - 32768 AS smp, i FROM i),
+      |ok AS (SELECT CAST(id AS BIGINT) AS id,
+      |    CAST(any_value(sr) AS INTEGER) AS sample_rate,
+      |    CAST(any_value(ch) AS INTEGER) AS channels,
+      |    CAST(any_value(fr) AS INTEGER) AS frames,
+      |    CAST(sum(CAST(smp AS BIGINT) * (i + 1)) AS BIGINT) AS checksum
+      |  FROM s GROUP BY id)
+      |SELECT * FROM ok
+      |UNION ALL SELECT CAST(99 AS BIGINT), -1, -1, -1, CAST(-1 AS BIGINT)""".stripMargin) {
+    (s, _) =>
+    import s.implicits._
+    val specs = Seq((1L, 8000, 1, 240), (2L, 16000, 2, 160),
+      (3L, 44100, 2, 300), (4L, 11025, 1, 77), (5L, 22050, 1, 1))
+    val media = s.createDataset(specs).map { case (id, sr, ch, fr) =>
+      graft.multimodal.MediaRow(id, "audio/wav", Multimodal.encodeWav(id, sr, ch, fr))
+    }
+    val corrupt = s.createDataset(Seq(
+      graft.multimodal.MediaRow(99L, "audio/wav", Array[Byte](9, 9, 9))))
+    Multimodal.decodeAudioFeatures(media.unionByName(corrupt))
+      .select(col("id"), col("sampleRate").as("sample_rate"),
+        col("channels"), col("frames"), col("checksum"))
+  }
+
   /** q95 — the FULL distributed BPE merge LOOP (q85 is its single count
     * step): five iterations of count-pairs → merge-argmax → recount over
     * the documents corpus. Each iteration's winning pair depends on every
@@ -1130,5 +1168,5 @@ object LlmData {
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
-    q97_ivf_pq)
+    q97_ivf_pq, q102_audio_decode)
 }

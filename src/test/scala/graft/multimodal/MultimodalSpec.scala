@@ -72,6 +72,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(99L) === ImageFeatures(99L, -1, -1, -1L)) // no-throw contract
   }
 
+  test("decodeAudioFeatures: REAL WAV round-trip recovers exact samples") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRow(5L, "audio/wav", Multimodal.encodeWav(5L, 16000, 2, 40)),
+      MediaRow(99L, "audio/wav", Array[Byte](9, 9, 9)))) // undecodable
+    val out = Multimodal.decodeAudioFeatures(ds).collect()
+      .map(f => f.id -> f).toMap
+    assert(out(5L).sampleRate === 16000)
+    assert(out(5L).channels === 2)
+    assert(out(5L).frames === 40)
+    // independent closed-form evaluation of the synthetic sample function
+    var expect = 0L
+    for (i <- 0 until 80) // frames * channels interleaved samples
+      expect += (i + 1).toLong * ((i * 31 + 5 * 7) % 65536 - 32768)
+    assert(out(5L).checksum === expect)
+    assert(out(99L) === AudioFeatures(99L, -1, -1, -1, -1L)) // no-throw contract
+  }
+
   test("sampleFrames: 1:N explode, every-nth fixed slices, deterministic") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](128)(_.toByte)
