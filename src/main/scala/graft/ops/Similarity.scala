@@ -220,6 +220,27 @@ object Similarity {
     }
   }
 
+  /** Train PQ codebooks with the k-means trainer — one independent
+    * `Clustering.kmeans` per dsub-dim subspace over the SLICED corpus
+    * (the composition pqCodebooks' scaladoc names; the q84 trained-IVF
+    * lifecycle applied at the subspace level). Slicing is a narrow
+    * projection, each subspace trains on the full corpus, and the
+    * returned codebooks are the trained centroids keyed by cluster id —
+    * drop-in for pqTopK/ivfPqTopK. Deterministic end-to-end (lowest-id
+    * init, broadcast-argmin E-step, decimal M-step), so a gate oracle
+    * can replay the whole training in SQL. */
+  def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int, ks: Int, iters: Int): Seq[graft.functions.CentroidMatrix] = {
+    (0 until m).map { j =>
+      val sub = corpus.select(col(idCol).as("sid"),
+        slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub).as("sv"))
+      val rows = Clustering.kmeans(sub, "sid", "sv", ks, iters)
+        .select("cid", "cv").collect().sortBy(_.getLong(0))
+      graft.functions.CentroidMatrix(
+        rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+    }
+  }
+
   /** Product-quantized ANN (the IVF-PQ compression stage, asymmetric
     * distance computation): each corpus vector is encoded as m codebook
     * ids — ONE narrow projection of m broadcast `NearestCentroids` argmin

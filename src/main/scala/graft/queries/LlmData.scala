@@ -1037,6 +1037,63 @@ object LlmData {
         col("channels"), col("frames"), col("checksum"))
   }
 
+  /** q103 — the COMPLETE trained-PQ lifecycle: per-subspace k-means
+    * codebooks (Clustering.kmeans on the sliced corpus, the q84 pattern
+    * one level down) feeding PQ encode + asymmetric-distance ranking
+    * (q96's shape). q96 proves the index with fixed sample codebooks;
+    * this gate proves trainer and index COMPOSE — the oracle replays the
+    * per-subspace Lloyd iteration (lowest-id init, (d, cid) argmin,
+    * decimal M-step) AND the encode/ADC chain end-to-end in SQL, so a
+    * trained centroid drifting one ulp anywhere flips the hash. */
+  val q103_pq_trained = Q(
+    "q103_pq_trained",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (SELECT vec_id, j.j AS j,
+      |    list_transform(range(1, 33), i -> v[j.j*32 + i]) AS sv
+      |  FROM e, range(0, 2) j(j)),
+      |c0 AS (SELECT j, vec_id AS cid, sv AS cv FROM (SELECT j, vec_id, sv,
+      |    row_number() OVER (PARTITION BY j ORDER BY vec_id) AS rn FROM sub)
+      |  WHERE rn <= 4),
+      |d1 AS (SELECT s.vec_id, s.j, c.cid,
+      |    list_sum(list_transform(range(1, 33),
+      |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))) AS d
+      |  FROM sub s JOIN c0 c USING (j)),
+      |a1 AS (SELECT vec_id, j, cid FROM (SELECT vec_id, j, cid,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |m1 AS (SELECT a.j, a.cid, r.i AS dim,
+      |    (sum(CAST(s.sv[r.i] AS DECIMAL(25,10))))::DOUBLE / count(*) AS m
+      |  FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.j = a.j,
+      |    range(1, 33) r(i)
+      |  GROUP BY a.j, a.cid, r.i),
+      |cb AS (SELECT j, cid, list(m ORDER BY dim) AS cv FROM m1 GROUP BY j, cid),
+      |d2 AS (SELECT s.vec_id, s.j, c.cid,
+      |    list_sum(list_transform(range(1, 33),
+      |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))) AS d
+      |  FROM sub s JOIN cb c USING (j)),
+      |codes AS (SELECT vec_id, j, cid FROM (SELECT vec_id, j, cid,
+      |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+      |  FROM d2) WHERE rn = 1),
+      |part AS (SELECT q.vec_id AS qid, c.vec_id AS nid, c.j,
+      |    list_sum(list_transform(range(1, 33),
+      |      i -> q.v[c.j*32 + i] * cb.cv[i])) AS s
+      |  FROM codes c JOIN cb ON cb.j = c.j AND cb.cid = c.cid
+      |  JOIN e q ON q.vec_id < 5
+      |  WHERE c.vec_id != q.vec_id),
+      |piv AS (SELECT qid, nid,
+      |    sum(CASE WHEN j=0 THEN s END) AS s0,
+      |    sum(CASE WHEN j=1 THEN s END) AS s1
+      |  FROM part GROUP BY qid, nid)
+      |SELECT qid, rank, nid FROM (SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY s0 + s1 DESC, nid) AS rank
+      |  FROM piv) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val cbs = Similarity.pqTrainCodebooks(
+      emb, "vec_id", "embedding", m = 2, dsub = 32, ks = 4, iters = 1)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), cbs,
+      "vec_id", "embedding", k = 5)
+  }
+
   /** q95 — the FULL distributed BPE merge LOOP (q85 is its single count
     * step): five iterations of count-pairs → merge-argmax → recount over
     * the documents corpus. Each iteration's winning pair depends on every
@@ -1168,5 +1225,5 @@ object LlmData {
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
-    q97_ivf_pq, q102_audio_decode)
+    q97_ivf_pq, q102_audio_decode, q103_pq_trained)
 }
