@@ -470,6 +470,38 @@ object Relational {
     semi.crossJoin(anti)
   }
 
+  /** q104 — TPC-H Q17 shape (small-quantity revenue): the CORRELATED
+    * scalar subquery a BI SQL surface must accept verbatim — per-part
+    * quantity threshold 0.2·avg computed against the outer row's part.
+    * Submitted as raw SQL (the arbitrary-user-SQL surface, reference
+    * superset_bootstrap/test_sql_lab.py:40-69): Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates it into a per-key
+    * AGGREGATE + join — one pass over lineitem for all thresholds, never
+    * a per-row re-scan (the plan shape SqlSurfaceSpec asserts; a naive
+    * engine would execute the subquery N times). Determinism: quantities
+    * are integer-valued doubles (exact sums in any order, so the
+    * avg boundary is bit-stable across engines) and the revenue sum
+    * rides decimals to one final double division (q01/q91 pattern). */
+  val q104_correlated_scalar = Q(
+    "q104_correlated_scalar",
+    """SELECT cast(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double)
+      |    / 7.0 AS double) AS avg_yearly
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#23'
+      |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin) {
+    (s, dir) =>
+    t(s, dir, "lineitem").createOrReplaceTempView("g17_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("g17_part")
+    s.sql(
+      """SELECT cast(cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double)
+        |    / 7.0 AS double) AS avg_yearly
+        |FROM g17_lineitem l JOIN g17_part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23'
+        |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |    FROM g17_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_orders_by_date, q03_user_event_counts,
     q04_profile_lineitem, q05_event_type_distribution, q06_distinct_customers,
@@ -477,5 +509,6 @@ object Relational {
     q10_audit_counts, q11_latest_event_per_user, q12_json_extract,
     q13_json_keys, q14_deterministic_sample, q15_union_summary,
     q16_date_helpers, q17_predicates, q18_rollup, q19_json_promotion,
-    q87_window_suite, q91_shipping_priority, q92_semi_anti)
+    q87_window_suite, q91_shipping_priority, q92_semi_anti,
+    q104_correlated_scalar)
 }

@@ -79,6 +79,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(byDay.count() === 5)
   }
 
+  test("correlated scalar subquery decorrelates to an aggregate join (q104)") {
+    val df = graft.queries.Relational.q104_correlated_scalar.run(spark, dir)
+    df.collect() // materialize so the adaptive plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    // RewriteCorrelatedScalarSubquery must have turned the per-row
+    // subquery into a per-partkey aggregate joined back — the optimized
+    // plan carries NO subquery node and DOES carry the threshold agg
+    assert(!plan.contains("Subquery"),
+      "correlated subquery survived to execution — not decorrelated")
+    assert(plan.contains("avg("), "decorrelated per-key aggregate missing")
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("scalar-subquery"),
+      "optimizer left a scalar subquery in the plan")
+  }
+
   test("A7 at scale: approx_count_distinct within 5% of exact") {
     val events = Tables.load(spark, dir, "events")
     val row = events.agg(
