@@ -102,6 +102,8 @@ object VectorOpsUtil {
     * or fewer than `dim` components (the strict-length dot contract the
     * typedLit form had). */
   def project(v: ArrayData, k: Int, dim: Int): java.lang.Double = {
+    require(dim <= PlaneMaxDim,
+      s"projection dim $dim exceeds plane table $PlaneMaxDim")
     if (v.numElements() < dim) return null
     val p = plane(k)
     var acc = 0.0d

@@ -942,7 +942,10 @@ object LlmData {
     * sf0.01 fixture — exact integer byte sums, deterministic for a given
     * zlib) while n_docs stays live from the documents table: the gate
     * now hash-checks all columns instead of accepting any 5 rows, and a
-    * Deflater/plan regression flips it red. */
+    * Deflater/plan regression flips it red. TextAnalysisSpec's "zlib
+    * canary" pins the deflate output these goldens assume: a JDK zlib
+    * change fails the canary with a re-derive message, separating
+    * environment drift from a code regression. */
   val q89_compression_profile = Q(
     "q89_compression_profile",
     """WITH g(lang, corpus_ratio, n_repetitive) AS (VALUES

@@ -93,4 +93,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)           // seeded -> reproducible
     assert(a.length > 700 && a.length < 1300) // ~10%
   }
+
+  test("zlib canary: the deflate output q89's golden ratios were derived on") {
+    // q89's oracle pins corpus_ratio goldens produced by the JDK
+    // Deflater at level 6. Deflate output is deterministic for a given
+    // zlib build but NOT across builds, so a JDK upgrade can flip the
+    // q89 gate with zero code change. This canary pins one known
+    // deflate result: if IT fails while the operator logic is untouched,
+    // the cause is zlib drift — re-derive the q89 golden VALUES — not a
+    // regression in compressionRatio.
+    val canary = "the quick brown fox jumps over the lazy dog " * 8
+    val schema = StructType(Seq(
+      StructField("id", LongType, false), StructField("text", StringType, true)))
+    val out = TextAnalysis.compressionRatio(
+      mkDf(schema, Row(1L, canary)), "id", "text").collect().head
+    assert(out.getInt(1) === 352)
+    assert(out.getInt(2) === 56,
+      "zlib drift: the JDK's deflate byte count changed — re-derive the " +
+        "q89 golden corpus_ratio VALUES (this is environment, not a code bug)")
+  }
 }
