@@ -95,6 +95,36 @@ object SchemaReflector {
     })
   }
 
+  /** S3 — LIVE column/PK/nullability reflection over a JDBC catalog
+    * (DatabaseMetaData getColumns/getPrimaryKeys — the driver-portable
+    * form of the information_schema.columns / KEY_COLUMN_USAGE queries
+    * the reference issues, tools/ingest_runner.py:1130-1224,1420-1471).
+    * Type names flow through the same unified `toSparkType` table as
+    * parquet reflection, so cleaning and ingest stay source-agnostic.
+    * Exercised against a live embedded Derby in JdbcLiveSpec. */
+  def fromJdbc(url: String, schema: String, table: String): TableMeta = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      val pkRs = md.getPrimaryKeys(null, schema, table)
+      var pks = Set.empty[String]
+      while (pkRs.next()) pks += pkRs.getString("COLUMN_NAME")
+      val rs = md.getColumns(null, schema, table, "%")
+      val cols = scala.collection.mutable.ArrayBuffer.empty[ColumnMeta]
+      while (rs.next()) {
+        val name = rs.getString("COLUMN_NAME")
+        cols += ColumnMeta(
+          name,
+          rs.getString("TYPE_NAME").toLowerCase,
+          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+          pks.contains(name),
+          Option(rs.getString("COLUMN_DEF")).map(_.trim),
+          "YES".equalsIgnoreCase(rs.getString("IS_AUTOINCREMENT")))
+      }
+      TableMeta(table, cols.toSeq)
+    } finally conn.close()
+  }
+
   private def sparkTypeName(dt: DataType): String = dt match {
     case BooleanType => "bool"
     case ByteType => "tinyint"

@@ -9,9 +9,11 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * pandas chunks (tools/ingest_runner.py:1474-1523); the Spark equivalent
   * is a partitioned JDBC read — `numPartitions` parallel range scans on
   * `partitionColumn` with `fetchsize` bounding per-round-trip memory.
-  * No JDBC driver ships in this sandbox, so the reader construction is a
-  * pure function (unit-tested) and `parquetTable` is the fixture-backed
-  * stand-in with the same downstream contract.
+  * Exercised LIVE against embedded Apache Derby (the JDBC engine that
+  * ships inside /opt/spark/jars) in JdbcLiveSpec — discovery,
+  * reflection, the partitioned scan, and the full ingest pipeline all
+  * run against a real endpoint; `parquetTable` remains the
+  * fixture-backed stand-in for the oracle gates.
   */
 final case class JdbcSource(
     url: String,
@@ -70,6 +72,25 @@ object Sources {
       .sorted
     SchemaReflector.filterTables(names.map(n => s"main.$n"), include, exclude)
       .map(_.stripPrefix("main."))
+  }
+
+  /** S2 — LIVE table discovery over a JDBC catalog (DatabaseMetaData
+    * getTables, the driver-portable information_schema.tables —
+    * tools/gen_pipeline.py:29-56), with the reference's include/exclude
+    * + system-schema semantics applied to the "schema.table" names.
+    * type filter = TABLE, so engine system tables (Derby's SYSTEM TABLE
+    * type, MySQL's information_schema) never surface. Exercised against
+    * a live embedded Derby in JdbcLiveSpec. */
+  def discoverJdbcTables(url: String, include: Set[String] = Set.empty,
+      exclude: Set[String] = Set.empty): Seq[String] = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next())
+        names += s"${rs.getString("TABLE_SCHEM")}.${rs.getString("TABLE_NAME")}"
+      SchemaReflector.filterTables(names.toSeq.sorted, include, exclude)
+    } finally conn.close()
   }
 
   /** S5 — Kafka topic-pattern stream (tools/kafka_to_clickhouse.py:118-187
