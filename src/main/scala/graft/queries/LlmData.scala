@@ -1040,6 +1040,46 @@ object LlmData {
         col("channels"), col("frames"), col("checksum"))
   }
 
+  /** q105 — REAL multi-frame (video-container) decode + frame sampling
+    * through the JDK ImageIO GIF sequence codec (the q93/q102 playbook
+    * for the third modality): synthetic multi-frame GIFs (gray pixel
+    * values a closed form of (id, frame, x, y) over a lossless identity
+    * palette) are encoded executor-side, every 2nd frame is decoded back
+    * via `decodeGifFrames`, and geometry + per-frame position-weighted
+    * pixel checksums must equal the oracle's direct evaluation of the
+    * closed form. A corrupt payload row proves the no-throw contract. */
+  val q105_video_frames = Q(
+    "q105_video_frames",
+    """WITH vids(id, w, h, nf) AS (VALUES
+      |  (1, 8, 6, 5), (2, 16, 8, 4), (3, 4, 4, 1), (4, 3, 9, 7)),
+      |fr AS (SELECT id, w, h, f.r AS f
+      |  FROM vids, range(0, 7) f(r) WHERE f.r < nf AND f.r % 2 = 0),
+      |px AS (SELECT id, w, h, f, x.r AS x, y.r AS y
+      |  FROM fr, range(0, 16) x(r), range(0, 9) y(r)
+      |  WHERE x.r < w AND y.r < h),
+      |v AS (SELECT id, f,  w, h,
+      |    (x*7 + y*11 + f*29 + id) % 256 AS g, y * w + x AS idx
+      |  FROM px),
+      |ok AS (SELECT CAST(id AS BIGINT) AS id, CAST(f AS INTEGER) AS frame_idx,
+      |    any_value(w) AS width, any_value(h) AS height,
+      |    CAST(sum(CAST(g * 65536 + g * 256 + g AS BIGINT) * (idx + 1))
+      |      AS BIGINT) AS checksum
+      |  FROM v GROUP BY id, f)
+      |SELECT * FROM ok
+      |UNION ALL SELECT CAST(99 AS BIGINT), -1, -1, -1, CAST(-1 AS BIGINT)""".stripMargin) {
+    (s, _) =>
+    import s.implicits._
+    val specs = Seq((1L, 8, 6, 5), (2L, 16, 8, 4), (3L, 4, 4, 1), (4L, 3, 9, 7))
+    val media = s.createDataset(specs).map { case (id, w, h, nf) =>
+      graft.multimodal.MediaRow(id, "image/gif", Multimodal.encodeGif(id, w, h, nf))
+    }
+    val corrupt = s.createDataset(Seq(
+      graft.multimodal.MediaRow(99L, "image/gif", Array[Byte](7, 7, 7))))
+    Multimodal.decodeGifFrames(media.unionByName(corrupt), everyNth = 2)
+      .select(col("id"), col("frameIdx").as("frame_idx"),
+        col("width"), col("height"), col("checksum"))
+  }
+
   /** q103 — the COMPLETE trained-PQ lifecycle: per-subspace k-means
     * codebooks (Clustering.kmeans on the sliced corpus, the q84 pattern
     * one level down) feeding PQ encode + asymmetric-distance ranking
@@ -1228,5 +1268,5 @@ object LlmData {
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
-    q97_ivf_pq, q102_audio_decode, q103_pq_trained)
+    q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames)
 }

@@ -90,6 +90,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(99L) === AudioFeatures(99L, -1, -1, -1, -1L)) // no-throw contract
   }
 
+  test("decodeGifFrames: REAL multi-frame round-trip, every-nth sampling") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRow(4L, "image/gif", Multimodal.encodeGif(4L, 5, 3, 4)),
+      MediaRow(99L, "image/gif", Array[Byte](7, 7, 7)))) // undecodable
+    val out = Multimodal.decodeGifFrames(ds, everyNth = 2).collect()
+      .groupBy(_.id)
+    // frames 0 and 2 of 4 survive the every-2nd sampling
+    assert(out(4L).map(_.frameIdx).sorted.toSeq === Seq(0, 2))
+    out(4L).foreach { fr =>
+      assert(fr.width === 5 && fr.height === 3)
+      // independent closed-form evaluation of the synthetic gray function
+      var expect = 0L
+      for (y <- 0 until 3; x <- 0 until 5) {
+        val g = (x * 7 + y * 11 + fr.frameIdx * 29 + 4) % 256
+        expect += (y * 5 + x + 1).toLong * ((g << 16) | (g << 8) | g)
+      }
+      assert(fr.checksum === expect, s"frame ${fr.frameIdx}")
+    }
+    assert(out(99L).toSeq === Seq(VideoFrame(99L, -1, -1, -1, -1L)))
+  }
+
   test("sampleFrames: 1:N explode, every-nth fixed slices, deterministic") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](128)(_.toByte)
