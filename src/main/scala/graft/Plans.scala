@@ -42,7 +42,13 @@ object Plans {
       "q83_kmeans" ->
         "k-means M-step (the E-step argmin is a codegen'd NearestCentroids projection over BROADCAST centroids with NO join — no exchange between the embeddings scan and the assignment, plan size O(1) in k×dim): the only data shuffle is the (cid, dim) partial-agg exchange; decimal sums make the means partition-order independent.",
       "q97_ivf_pq" ->
-        "Composed IVF-PQ index: ONE corpus projection computes the coarse cid + all m PQ codes (broadcast NearestCentroids kernels, no literals), vectors are dropped before the probe join, and ADC scoring reads codes only — the narrow rows crossing the join are (cid, nid, __c0..__c7).",
+        "Composed IVF-PQ index: ONE corpus projection computes the coarse cid + all m PQ codes (broadcast NearestCentroids kernels, no literals), vectors are dropped before the probe join, and ADC scoring reads codes only — the narrow rows crossing the join are (cid, nid, __c0..__c7). The ADC lookup tables ride a Broadcast through the native adc_score kernel (round 7) — plan size O(1) in m×ks×dsub, the last plan-literal site retired.",
+      "q96_pq_ann" ->
+        "PQ residency scoring: encode is one narrow projection of m broadcast argmin kernels, and adc_score(qv, array(codes), Broadcast) scores against broadcast codebook tables inside whole-stage codegen — at production ks=256 the plan holds ONE broadcast handle where the typedLit form re-entered ~260k doubles.",
+      "q38_lang_id" ->
+        "Staged text profiling: split(text) appears ONCE in the plan — the staged profileCounts projection defeats CollapseProject's per-reference re-inline (the measured 78-copies trap that made q38 the slowest text gate); the group-by exchange carries one narrow string column.",
+      "q104_correlated_scalar" ->
+        "Correlated scalar subquery submitted as raw SQL: Catalyst decorrelates it into a per-partkey aggregate JOINED back — no subquery node survives to execution, lineitem is scanned once for all thresholds instead of once per outer row.",
       "q87_window_suite" ->
         "Three window functions, ONE sort per frame: lead and first_value share the (user_id | ts, event_id) Window node after a single hash exchange; percent_rank gets its own (event_type | value) frame. No global sort anywhere.")
     val sb = new StringBuilder
