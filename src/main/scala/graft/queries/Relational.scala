@@ -502,6 +502,81 @@ object Relational {
         |    FROM g17_lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin)
   }
 
+  /** q106 — exact discrete percentiles per group (the latency/size
+    * profile a BI dashboard computes): `percentile_disc` picks an ACTUAL
+    * data value by cumulative distribution — no interpolation arithmetic,
+    * so parity with the oracle is exact even over arbitrary doubles
+    * (percentile_CONT's (1-f)*lo+f*hi is float-order-sensitive between
+    * engines and would not hash). One partial-agg shuffle per group key;
+    * ANSI WITHIN GROUP syntax straight through the SQL surface. */
+  val q106_percentile_profile = Q(
+    "q106_percentile_profile",
+    """SELECT l_returnflag,
+      |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_qty,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50_qty,
+      |  percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p25_qty"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("p50_qty"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+          .as("p95_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q107 — CUBE with GROUPING ids (q18's ROLLUP widened to the full
+    * lattice): all four aggregation levels in ONE pass — Spark expands
+    * the grouping sets before the single exchange, so the cube costs one
+    * shuffle, not four queries. GROUPING() disambiguates real NULLs from
+    * subtotal rows — the BI-tool contract for drill-down tables. Revenue
+    * rides decimals to one final double cast (q01 pattern). */
+  val q107_cube_profile = Q(
+    "q107_cube_profile",
+    """SELECT l_returnflag AS rf, l_linestatus AS ls,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+      |  count(*) AS n,
+      |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS revenue
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) {
+    (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping("l_returnflag").cast("int").as("g_rf"),
+        grouping("l_linestatus").cast("int").as("g_ls"),
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("revenue"))
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        col("g_rf"), col("g_ls"), col("n"), col("revenue"))
+  }
+
+  /** q108 — pivot (long→wide reshape, the cross-tab every BI tool
+    * renders): explicit pivot VALUES keep the output schema static —
+    * an inferred pivot would scan once just to discover columns and
+    * make the schema data-dependent (schema drift at 100 TB). Counts
+    * are exact; absent cells coalesce to 0 like the conditional-agg
+    * form the oracle uses. */
+  val q108_pivot_status = Q(
+    "q108_pivot_status",
+    """SELECT l_returnflag AS rf,
+      |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_cnt,
+      |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_cnt
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("rf"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select(col("rf"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"))
+  }
+
   val all: Seq[Q] = Seq(
     q01_pricing_summary, q02_orders_by_date, q03_user_event_counts,
     q04_profile_lineitem, q05_event_type_distribution, q06_distinct_customers,
@@ -510,5 +585,6 @@ object Relational {
     q13_json_keys, q14_deterministic_sample, q15_union_summary,
     q16_date_helpers, q17_predicates, q18_rollup, q19_json_promotion,
     q87_window_suite, q91_shipping_priority, q92_semi_anti,
-    q104_correlated_scalar)
+    q104_correlated_scalar, q106_percentile_profile, q107_cube_profile,
+    q108_pivot_status)
 }
