@@ -75,13 +75,25 @@ object ScaleCheck {
     val emb1 = mat("emb1", Tables.load(spark, sf, "embeddings"))
     val embN = mat("embN", replicate(
       Tables.load(spark, sf, "embeddings"), n, Seq("vec_id"), 10_000_000L))
+    // media payloads: one deterministic WAV per document id, encoded ONCE
+    // here so the decode kernel times the operator, not the fixture
+    def toMedia(docsPath: String): DataFrame = {
+      import spark.implicits._
+      spark.read.parquet(docsPath).select(col("doc_id")).as[Long].map(id =>
+        graft.multimodal.MediaRow(id, "audio/wav",
+          graft.multimodal.Multimodal.encodeWav(id, 8000, 1, 64 + (id % 64).toInt)))
+        .toDF()
+    }
+    val media1 = mat("media1", toMedia(docs1))
+    val mediaN = mat("mediaN", toMedia(docsN))
 
     // comma-separated kernel-name filter for focused re-measurement
     // (JIT/interference triage): SPARK_GRAFT_KERNELS=bloom_decontam,...
     val kernelFilter = sys.env.get("SPARK_GRAFT_KERNELS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-    def kernels(tag: String, docs: String, line: String, emb: String): Map[String, Double] = {
+    def kernels(tag: String, docs: String, line: String, emb: String,
+        media: String): Map[String, Double] = {
       val d = spark.read.parquet(docs)
       val l = spark.read.parquet(line)
       val e = spark.read.parquet(emb)
@@ -96,6 +108,23 @@ object ScaleCheck {
       }
       r("exact_dedup") = time(s"$tag exact dedup documents") {
         Dedup.exact(d, "doc_id", "text").count()
+      }
+      r("media_decode") = time(s"$tag media decode (WAV codec, mapPartitions)") {
+        // the multimodal scan shape at 100 TB: decode runs entirely
+        // executor-side in partition batches over pre-materialized
+        // payloads — the fixture ENCODE is excluded (test scaffolding,
+        // not the shipped operator). Fixed 16-way repartition at BOTH
+        // scales: the 1x fixture is a single parquet file (1 task on a
+        // dedicated core) while 8x runs 8 concurrent tasks, and
+        // SMT/core-sharing inflates per-task CPU ~2x — equal concurrency
+        // is what makes the task-CPU ratio measure DATA scaling (the
+        // same reason the shuffle kernels compare at 32 partitions on
+        // both sides).
+        import spark.implicits._
+        val ds = spark.read.parquet(media)
+          .repartition(16).as[graft.multimodal.MediaRow]
+        graft.multimodal.Multimodal.decodeAudioFeatures(ds)
+          .filter(_.frames > 0).count()
       }
       r("minhash_lsh") = time(s"$tag minhash LSH candidates") {
         Dedup.minhashCandidates(d, "doc_id", "text").count()
@@ -251,9 +280,9 @@ object ScaleCheck {
     }
 
     println(s"[scale] --- 1x (sf0.1) ---")
-    val one = kernels("1x", docs1, line1, emb1)
+    val one = kernels("1x", docs1, line1, emb1, media1)
     println(s"[scale] --- ${n}x ---")
-    val big = kernels(s"${n}x", docsN, lineN, embN)
+    val big = kernels(s"${n}x", docsN, lineN, embN, mediaN)
     println(f"[scale] ratios at ${n}x data (linear == ≤ $n%d on fixed cores):")
     one.keys.toSeq.sorted.foreach { k =>
       println(f"[scale]   $k%-20s ${big(k) / one(k)}%6.2f x")
