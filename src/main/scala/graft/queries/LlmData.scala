@@ -1258,6 +1258,41 @@ object LlmData {
       "vec_id", "embedding", k = 5, nprobe = 2)
   }
 
+  /** q109 — the tokenizer ENCODE side (q95 trains, this applies): the
+    * q95-pinned merge table replayed over the documents corpus in
+    * training order — m stacked narrow `MergeAdjacentPair` projections,
+    * ZERO shuffles until the final per-lang rollup. Golden per-lang
+    * (docs, tok_before, tok_after) pinned from the sf0.01 fixture (q89
+    * pattern; faithful because every stage — tokenize, greedy
+    * non-overlapping merge, count — is deterministic); merge-pass
+    * semantics are additionally live-checked by BpeSpec. tok_before >
+    * tok_after on every lang proves the merges actually fired. */
+  val q109_bpe_apply = Q(
+    "q109_bpe_apply",
+    """WITH g(lang, docs, tok_before, tok_after) AS (VALUES
+      |  ('de', 70, 3549, 3512),
+      |  ('en', 218, 11757, 11656),
+      |  ('es', 73, 3958, 3926),
+      |  ('fr', 64, 3758, 3730),
+      |  ('zh', 75, 4143, 4112))
+      |SELECT lang, CAST(docs AS BIGINT) AS docs,
+      |  CAST(tok_before AS BIGINT) AS tok_before,
+      |  CAST(tok_after AS BIGINT) AS tok_after
+      |FROM g ORDER BY lang""".stripMargin) { (s, dir) =>
+    val merges = Seq(
+      ("table", "hash"), ("part", "filter"), ("customer", "join"),
+      ("merge", "group"), ("slow", "key"))
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("lang"), TextHash.tokens(col("text")).as("tok"))
+      .withColumn("before", size(col("tok")))
+    Bpe.applyMerges(toks, merges)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("before")).as("tok_before"),
+        sum(size(col("tok"))).as("tok_after"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -1268,5 +1303,6 @@ object LlmData {
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
-    q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames)
+    q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames,
+    q109_bpe_apply)
 }
