@@ -685,6 +685,54 @@ object Pipeline {
           col("o_custkey"), col("o_orderkey")).as("z"))
   }
 
+  /** q110 — Deequ-style declarative constraint suite over `lineitem`,
+    * ALL checks evaluated in ONE aggregate pass (single scan + single
+    * partial/final combine — the reference's per-table post-ingest
+    * validation, `tools/dynamic_pipeline_validator.py:244-323`,
+    * generalized to column-level constraints). The synthetic fixture
+    * genuinely violates (l_orderkey, l_linenumber) uniqueness, so the
+    * report demonstrably CATCHES a failing constraint (passed=0) rather
+    * than rubber-stamping. Metrics are count/min/max/distinct only —
+    * no float SUM — so the report is bit-deterministic under any row
+    * order. */
+  val q110_quality_constraints = Q(
+    "q110_quality_constraints",
+    """WITH a AS (
+      |  SELECT count(*) AS n,
+      |    count(l_shipdate) AS n_ship,
+      |    count(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+      |    min(l_quantity) AS min_qty,
+      |    max(l_discount) AS max_disc,
+      |    count(DISTINCT l_returnflag) AS n_rf
+      |  FROM lineitem)
+      |SELECT check_name, metric, CAST(passed AS BIGINT) AS passed FROM (
+      |  SELECT 'completeness_l_shipdate' AS check_name,
+      |      CAST(n_ship AS DOUBLE) / n AS metric,
+      |      CASE WHEN CAST(n_ship AS DOUBLE) / n >= 0.99 THEN 1 ELSE 0 END AS passed
+      |    FROM a
+      |  UNION ALL SELECT 'distinct_l_returnflag', CAST(n_rf AS DOUBLE),
+      |      CASE WHEN n_rf <= 3 THEN 1 ELSE 0 END FROM a
+      |  UNION ALL SELECT 'max_l_discount', CAST(max_disc AS DOUBLE),
+      |      CASE WHEN max_disc <= 0.1 THEN 1 ELSE 0 END FROM a
+      |  UNION ALL SELECT 'min_l_quantity', CAST(min_qty AS DOUBLE),
+      |      CASE WHEN min_qty >= 1.0 THEN 1 ELSE 0 END FROM a
+      |  UNION ALL SELECT 'row_count', CAST(n AS DOUBLE),
+      |      CASE WHEN n >= 1000 THEN 1 ELSE 0 END FROM a
+      |  UNION ALL SELECT 'uniqueness_l_orderkey_l_linenumber',
+      |      CAST(n_pk AS DOUBLE) / n,
+      |      CASE WHEN n_pk = n THEN 1 ELSE 0 END FROM a)
+      |ORDER BY check_name""".stripMargin) { (s, dir) =>
+    import graft.ops.Validate
+    import graft.ops.Validate._
+    Validate.report(Tables.load(s, dir, "lineitem"), Seq(
+      Completeness("l_shipdate", 0.99),
+      Uniqueness(Seq("l_orderkey", "l_linenumber")),
+      MinBound("l_quantity", 1.0),
+      MaxBound("l_discount", 0.1),
+      DistinctCountAtMost("l_returnflag", 3),
+      RowCountAtLeast(1000)))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -692,5 +740,5 @@ object Pipeline {
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
     q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
-    q99_stream_static_enrich, q100_zorder_key)
+    q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints)
 }
