@@ -1258,6 +1258,68 @@ object LlmData {
       "vec_id", "embedding", k = 5, nprobe = 2)
   }
 
+  /** q111 — ANN index QUALITY evaluation: recall@10 of the IVF index
+    * (8 lists, nprobe=2 — the q49 configuration) against the exact
+    * brute-force ranking, per query. The operator every index tuner
+    * needs before trusting an approximate index in production: recall
+    * is the one number that says whether nprobe/list-count are sized
+    * right. Composes the two independently-gated operators and measures
+    * one against the other; both rankings are deterministic (sim DESC,
+    * nid tie-break), and the metric is integer-exact (hit counts, one
+    * IEEE division) — no float-sum order sensitivity.
+    *
+    * Scale: both inputs are per-query top-k tables (k rows per query —
+    * KBs regardless of corpus size); the hit join and rollup are
+    * negligible next to the searches themselves. */
+  val q111_ann_recall = Q(
+    "q111_ann_recall",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS sim
+      |  FROM q CROSS JOIN (SELECT vec_id AS nid, v AS nv FROM e)
+      |  WHERE nid != qid),
+      |exact AS (SELECT qid, nid FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, nid) AS rank FROM s) WHERE rank <= 10),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      |  WHERE vec_id BETWEEN 100 AND 107),
+      |dists AS (SELECT e.vec_id, cent.cid,
+      |    list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d
+      |  FROM e CROSS JOIN cent),
+      |lists AS (SELECT vec_id AS nid, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r FROM dists)
+      |  WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r FROM dists)
+      |  WHERE r <= 2 AND vec_id < 5),
+      |cand AS (SELECT p.qid, l.nid, list_cosine_similarity(eq.v, en.v) AS sim
+      |  FROM probes p JOIN lists l USING (cid)
+      |  JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = l.nid
+      |  WHERE l.nid != p.qid),
+      |approx AS (SELECT qid, nid FROM (SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM cand) WHERE rank <= 10)
+      |SELECT x.qid AS qid, count(a.nid) AS hits,
+      |  CAST(count(a.nid) AS DOUBLE) / 10 AS recall_at_10
+      |FROM exact x LEFT JOIN approx a ON a.qid = x.qid AND a.nid = x.nid
+      |GROUP BY x.qid ORDER BY qid""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select(col("qid"), col("nid"))
+    val approx = Similarity.ivfTopK(emb, queries,
+      emb.filter(col("vec_id").between(100, 107)),
+      "vec_id", "embedding", k = 10, nprobe = 2)
+      .select(col("qid").as("aqid"), col("nid").as("anid"))
+    exact.join(approx,
+        col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+      .groupBy("qid")
+      .agg(count(col("anid")).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits").cast("double") / 10).as("recall_at_10"))
+      .orderBy("qid")
+  }
+
   /** q109 — the tokenizer ENCODE side (q95 trains, this applies): the
     * q95-pinned merge table replayed over the documents corpus in
     * training order — m stacked narrow `MergeAdjacentPair` projections,
@@ -1304,5 +1366,5 @@ object LlmData {
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
     q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames,
-    q109_bpe_apply)
+    q109_bpe_apply, q111_ann_recall)
 }
