@@ -685,6 +685,73 @@ object Pipeline {
           col("o_custkey"), col("o_orderkey")).as("z"))
   }
 
+  /** q112 — stream-stream LEFT OUTER interval join: q81's purchase×click
+    * join, but unmatched purchases ALSO emit (with a null click side)
+    * once the watermark proves no future click can match — the
+    * abandoned-cart shape, and the semantically hardest streaming join
+    * Spark offers. The oracle pins the full emission contract, null
+    * rows included: a null-match for purchase `a` is emitted iff `a` has
+    * no click in its 10-minute window AND a_ts < wm, where the final
+    * watermark wm = min(max purchase ts, max click ts) - 1h (global wm
+    * = min over both sides' watermarks; eviction fires when wm passes
+    * a_ts, the upper bound of `a`'s matchable click range). Verified
+    * per-row against the engine before pinning: the predicted and
+    * actual null-emission sets are identical on this fixture (no
+    * boundary-tie rows — both strict and inclusive eviction agree).
+    * Unmatched purchases inside the final watermark delay are retained
+    * in state, not emitted — exactly what a restarted production query
+    * would still owe downstream.
+    *
+    * Scale: same bounds as q81 — state partitioned by user_id, the
+    * interval condition + watermark give every row an eviction horizon,
+    * so state per key is the 10-minute window + 1h lateness, never the
+    * stream's history; the outer side adds no extra state, only
+    * emit-on-evict. */
+  val q112_stream_outer_join = Q(
+    "q112_stream_outer_join",
+    """WITH p AS (SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM p),
+      |                    (SELECT max(epoch_ms(ts)) FROM c)) - 3600000 AS w),
+      |em AS (
+      |  SELECT a.user_id, 1 AS matched FROM p a JOIN c b
+      |    ON b.user_id = a.user_id
+      |    AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+      |  UNION ALL
+      |  SELECT a.user_id, 0 FROM p a, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM c b WHERE b.user_id = a.user_id
+      |      AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts)
+      |    AND epoch_ms(a.ts) < wm.w)
+      |SELECT user_id, CAST(sum(matched) AS BIGINT) AS n_pairs,
+      |  CAST(sum(1 - matched) AS BIGINT) AS n_null
+      |FROM em GROUP BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = eventsStreamFactory(streamingSession(s), dir)
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("a_user = user_id AND b_ts >= a_ts - INTERVAL 10 MINUTES AND b_ts < a_ts"),
+      "leftOuter")
+    val out = tmpDir("graft_q112_out_")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/pairs")
+      .option("checkpointLocation", tmpDir("graft_q112_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/pairs")
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(col("b_ts")).as("n_pairs"),
+        count(when(col("b_ts").isNull, 1)).as("n_null"))
+  }
+
   /** q110 — Deequ-style declarative constraint suite over `lineitem`,
     * ALL checks evaluated in ONE aggregate pass (single scan + single
     * partial/final combine — the reference's per-table post-ingest
@@ -740,5 +807,6 @@ object Pipeline {
     q50_dirty_ingest_e2e, q51_full_ingest_audit, q52_salted_agg,
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
     q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
-    q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints)
+    q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints,
+    q112_stream_outer_join)
 }
