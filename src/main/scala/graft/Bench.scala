@@ -93,29 +93,35 @@ object Bench {
     // under e.g. a German JVM locale and corrupt the machine-parsed line
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jmap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // Per-query stdout values are 2-decimal (10 ms resolution — queries
+    // run 0.05-5 s, so 2 decimals lose nothing the driver grades on) so
+    // the 112-query map fits the parent's ~2000-char tail; full 3-decimal
+    // values stay on the stderr diag line.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def jmap(xs: Seq[(String, Double)], f: Double => String = fmt): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     // stdout keys are the short qNN prefix (the contract's `"q1":sec` shape):
     // the parent's line buffer is ~2000 chars and 80 full names overflow it.
     // Full names live in the stderr diag line.
     val shortOf = Bench.shortKeys(results.map(_._1))
-    val qs = jmap(results.map { case (n, v) => shortOf(n) -> v })
+    val qs = jmap(results.map { case (n, v) => shortOf(n) -> v }, fmt2)
     // Per-query medians for noise diagnosis on the ARTIFACT itself (the
     // r6 lesson: 4 unchanged queries regressed 3-6x in min-of-reps and
     // only the stderr diag could tell environment from regression). The
     // stdout tail can't fit a second full 100-query map, so stdout
     // carries the OUTLIERS (median >1.5x min and >0.25s over it — i.e.
-    // reps disagree, the interference signature) capped at 8 entries,
+    // reps disagree, the interference signature) capped at 4 entries,
     // plus med_more counting any dropped beyond the cap (no silent
     // truncation). The full median map stays on the stderr diag line.
-    // Cap = 8: the observed interference bands hit 4-7 queries, and the
-    // worst-case line estimate (BenchContractSpec) leaves room for ~8.
+    // Cap = 4 (was 8): the 112-query map needs the room back; med_more
+    // still counts what the cap drops.
     val minOf = results.map { case (n, v) => n -> math.abs(v) }.toMap
     val medOutliers = medSecs.reverse
       .filter { case (n, med) => med > minOf(n) * 1.5 && med - minOf(n) > 0.25 }
       .sortBy { case (n, med) => minOf(n) - med } // most-divergent first
-    val medShown = jmap(medOutliers.take(8).map { case (n, v) => shortOf(n) -> v })
-    val medMore = math.max(0, medOutliers.size - 8)
+    val medShown = jmap(medOutliers.take(4).map { case (n, v) => shortOf(n) -> v }, fmt2)
+    val medMore = math.max(0, medOutliers.size - 4)
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
@@ -128,8 +134,11 @@ object Bench {
     // whose line buffer is finite — keep it to the contract fields only.
     System.err.println(
       s"""[bench-diag] {"task_sec":$taskJson,"cold_sec":$coldJson,"med_sec":$medJson,"reps":$reps}""")
+    // sf is the directory BASENAME (e.g. "sf0.1") — the full path spends
+    // ~20 chars of the tail budget on redundancy
+    val sfName = new java.io.File(sfDir).getName
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"median_total":${fmt(medianTotal)},"med_outliers":$medShown,"med_more":$medMore,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"median_total":${fmt(medianTotal)},"med_outliers":$medShown,"med_more":$medMore,"sf":"$sfName"}""")
     GraftTmp.purge()
     spark.stop()
   }

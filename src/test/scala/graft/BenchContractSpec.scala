@@ -26,10 +26,10 @@ class BenchContractSpec extends AnyFunSuite {
     val shortOf = Bench.shortKeys(names)
     val shorts = names.map(shortOf)
     assert(shorts.distinct.size === shorts.size, "short-key collision")
-    // worst-case stdout line: fixed fields + per-query `"qNNN":-123.456,`
-    // + the capped 8-entry median-outlier map (8 × ~14 chars)
-    val perQuery = shorts.map(_.length + 12).sum
-    val fixed = 200 + 8 * 14 // scaffolding + med_outliers cap
+    // worst-case stdout line: fixed fields + per-query `"qNNN":-123.46,`
+    // (2-decimal stdout values) + the capped 4-entry median-outlier map
+    val perQuery = shorts.map(_.length + 11).sum
+    val fixed = 200 + 4 * 14 // scaffolding + med_outliers cap
     assert(perQuery + fixed < 1900,
       s"estimated line ${perQuery + fixed} chars — the driver tail is ~2000")
   }
