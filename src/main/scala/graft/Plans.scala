@@ -50,7 +50,9 @@ object Plans {
       "q104_correlated_scalar" ->
         "Correlated scalar subquery submitted as raw SQL: Catalyst decorrelates it into a per-partkey aggregate JOINED back — no subquery node survives to execution, lineitem is scanned once for all thresholds instead of once per outer row.",
       "q87_window_suite" ->
-        "Three window functions, ONE sort per frame: lead and first_value share the (user_id | ts, event_id) Window node after a single hash exchange; percent_rank gets its own (event_type | value) frame. No global sort anywhere.")
+        "Three window functions, ONE sort per frame: lead and first_value share the (user_id | ts, event_id) Window node after a single hash exchange; percent_rank gets its own (event_type | value) frame. No global sort anywhere.",
+      "q110_quality_constraints" ->
+        "Six data-quality constraints, ONE scan: every check compiles into the same aggregate pass (two distinct aggregates ride one Expand, not extra scans), then a one-row inline unpivot to the long report — adding a constraint never adds a table pass.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append(s"Generated by `graft.Plans` on `$dir` (regenerate after planner-relevant\n")
