@@ -132,8 +132,25 @@ object ScaleCheck {
       r("simhash") = time(s"$tag simhash fingerprints") {
         Dedup.simhashFingerprints(d, "doc_id", "text").count()
       }
-      r("window_dedup") = time(s"$tag W1 window dedup lineitem") {
+      r("window_dedup") = time(s"$tag W1 latest-version dedup lineitem") {
         Ingest.dedupLatest(l, Seq("l_orderkey"), Some("l_shipdate"), Seq("l_linenumber")).count()
+      }
+      // ~50% of ALL rows share ONE key (the PK-default-0-after-N1-cleaning
+      // shape): the row_number window form funnels every duplicate of the
+      // hot key through one task; the max_by aggregate form keeps one row
+      // per key per map task (partial agg), so the hot key ships #tasks
+      // rows. The pair quantifies the structural gap SCALE.md cites.
+      r("hotkey_dedup_agg") = time(s"$tag hot-key latest dedup (max_by aggregate)") {
+        val hot = l.withColumn("k",
+          when(col("l_orderkey") % 2 === 0, lit(0L)).otherwise(col("l_orderkey")))
+        Ingest.dedupLatest(hot, Seq("k"), Some("l_shipdate"),
+          Seq("l_orderkey", "l_linenumber")).count()
+      }
+      r("hotkey_dedup_window") = time(s"$tag hot-key latest dedup (row_number window)") {
+        val hot = l.withColumn("k",
+          when(col("l_orderkey") % 2 === 0, lit(0L)).otherwise(col("l_orderkey")))
+        Ingest.dedupLatestWindow(hot, Seq("k"), Some("l_shipdate"),
+          Seq("l_orderkey", "l_linenumber")).count()
       }
       r("ann_lsh") = time(s"$tag ANN LSH (corpus bucket join)") {
         // fixed 5-query set (base replica only): the kernel must scale

@@ -42,9 +42,45 @@ final case class IngestResult(
 object Ingest {
 
   /** W1 dedup-by-latest-version (tools/ingest_runner.py:1576-1592):
-    * row_number over key ordered by version DESC NULLS LAST (+ stable
-    * tie-breaks), keep first. */
+    * keep the row with the greatest (version, tieBreak) per key, version
+    * NULLS LAST.
+    *
+    * Skew posture: the row_number window form funnels EVERY duplicate of a
+    * key into one task — a pathological hot key (e.g. PK default 0 after
+    * N1 null→0 cleaning) serializes on one core with no map-side relief.
+    * The reduction is associative, so the default path is the aggregate
+    * form `max_by(struct(*cols), struct(version, tieBreak))`: partial
+    * aggregation keeps ONE row per key per map task before the shuffle,
+    * so a hot key ships #tasks rows, not #duplicates. Same result — struct
+    * ordering compares version first then tie-breaks, and a null struct
+    * field sorts below any value, which is exactly DESC NULLS LAST picked
+    * by max. Determinism still requires (version ++ tieBreak) to totally
+    * order each key's duplicates, same as the window form.
+    *
+    * With no ordering columns at all there is no "latest"; fall back to
+    * the stable window form (arbitrary-but-deterministic survivor). */
   def dedupLatest(df: DataFrame, keys: Seq[String], version: Option[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val ordCols = version.toSeq ++ tieBreak
+    if (ordCols.isEmpty) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(keys.map(col(_).asc): _*) // degenerate: stable order
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    } else {
+      val latest = max_by(
+        struct(df.columns.map(col): _*),
+        struct(ordCols.map(col): _*))
+      df.groupBy(keys.map(col): _*)
+        .agg(latest.as("__latest"))
+        .select(df.columns.map(c => col("__latest").getField(c).as(c)): _*)
+    }
+  }
+
+  /** The row_number window form of [[dedupLatest]], kept for comparison
+    * (SCALE.md hot-key kernel) and for callers that want rank semantics. */
+  def dedupLatestWindow(df: DataFrame, keys: Seq[String], version: Option[String],
       tieBreak: Seq[String] = Nil): DataFrame = {
     val ordering =
       version.map(v => col(v).desc_nulls_last).toSeq ++
@@ -146,16 +182,21 @@ object Ingest {
         // amortized write amplification O(target/threshold) per load,
         // and read amplification (parts touched per FINAL read) stays
         // bounded however many loads arrive. The compactor re-establishes
-        // the ingest layout (sorting-key local sort + PK bloom filters);
-        // month-partitioned targets compact per `__yyyymm=` directory,
-        // preserving the partition layout.
-        if (Maintenance.dataFileCount(spark, finalPath) > replacingCompactParts) {
-          if (monthPartitionCol.isEmpty)
-            Maintenance.compactFinal(spark, finalPath, keys, version,
-              sortingKey = meta.sortingKey)
-          else
+        // the ingest layout (sorting-key local sort + PK bloom filters).
+        // Month-partitioned targets use a PER-PARTITION trigger: only a
+        // `__yyyymm=` dir that itself accumulated > replacingCompactParts
+        // files is rewritten. A table-wide trigger would, on a years-deep
+        // table whose steady-state file count (#months × files/month)
+        // exceeds the threshold, re-rewrite every cold month on every
+        // load — O(table) amplification on the per-batch path.
+        monthPartitionCol match {
+          case None =>
+            if (Maintenance.dataFileCount(spark, finalPath) > replacingCompactParts)
+              Maintenance.compactFinal(spark, finalPath, keys, version,
+                sortingKey = meta.sortingKey)
+          case Some(_) =>
             Maintenance.compactFinalPartitioned(spark, finalPath, keys, version,
-              sortingKey = meta.sortingKey)
+              sortingKey = meta.sortingKey, minPartFiles = replacingCompactParts)
         }
         deduped
     }

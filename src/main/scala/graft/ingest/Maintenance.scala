@@ -132,10 +132,19 @@ object Maintenance {
     * read via readFinal — the same contract as ClickHouse, where merges
     * never cross partition boundaries. Scratch dirs are dot-prefixed and
     * '='-free so partition discovery can never see them (a `<dir>__old`
-    * sibling would parse as partition value "<month>__old"). */
+    * sibling would parse as partition value "<month>__old").
+    *
+    * Cold partitions are SKIPPED: a partition is rewritten only when its
+    * data-file count exceeds max(`minPartFiles`, its ideal compacted file
+    * count bytes/targetMB). On a years-deep log table only the hot months
+    * (the ones accumulating delta parts) pay the rewrite — O(hot months)
+    * per compaction, not O(whole table). ClickHouse merges have the same
+    * shape: background merges pick fragmented parts, never re-merge a
+    * partition already at its target part count. */
   def compactFinalPartitioned(spark: SparkSession, path: String,
       keys: Seq[String], version: Option[String], tieBreak: Seq[String] = Nil,
-      targetMB: Int = 128, sortingKey: Seq[String] = Nil): Unit = {
+      targetMB: Int = 128, sortingKey: Seq[String] = Nil,
+      minPartFiles: Int = 0): Unit = {
     val f = fs(spark, path)
     val root = new Path(path)
     if (!f.exists(root)) return
@@ -146,12 +155,14 @@ object Maintenance {
         val month = pdir.getName.substring(pdir.getName.indexOf('=') + 1)
         val bytes = f.getContentSummary(pdir).getLength
         val parts = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
-        val collapsed = Ingest.readFinal(spark, pdir.toString, keys, version, tieBreak)
-        val staging = new Path(root, s".staging_compact_$month").toString
-        writeCompacted(collapsed,
-          parts, if (sortingKey.nonEmpty) sortingKey else keys, keys, staging)
-        stagingSwap(spark, staging, pdir.toString,
-          oldPath = Some(new Path(root, s".old_compact_$month").toString))
+        if (dataFileCount(spark, pdir.toString) > math.max(minPartFiles, parts)) {
+          val collapsed = Ingest.readFinal(spark, pdir.toString, keys, version, tieBreak)
+          val staging = new Path(root, s".staging_compact_$month").toString
+          writeCompacted(collapsed,
+            parts, if (sortingKey.nonEmpty) sortingKey else keys, keys, staging)
+          stagingSwap(spark, staging, pdir.toString,
+            oldPath = Some(new Path(root, s".old_compact_$month").toString))
+        }
       }
   }
 

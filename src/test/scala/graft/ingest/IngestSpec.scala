@@ -158,6 +158,42 @@ class IngestSpec extends SparkSpec {
     assert(fin === Map(1L -> "jan3", 2L -> "feb3"))
   }
 
+  test("hot-month compaction leaves cold partitions physically untouched") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    // load 0 fills January AND February; loads 1-3 hit February only, so
+    // only __yyyymm=202102 accumulates delta parts past the threshold
+    Ingest.ingestTable(spark, mkDf(schema,
+      Row(1L, "jan", ts("2021-01-05 00:00:00")),
+      Row(2L, "feb0", ts("2021-02-01 00:00:00"))), meta, out,
+      DedupMode.Replacing, monthPartitionCol = Some("factualizacion"),
+      replacingCompactParts = 3)
+    val f = new org.apache.hadoop.fs.Path(s"$out/t")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileStamps(part: String): Map[String, (Long, Long)] =
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$out/t/$part"))
+        .filter(s => !s.getPath.getName.startsWith("_"))
+        .map(s => s.getPath.getName -> ((s.getLen, s.getModificationTime)))
+        .toMap
+    val janBefore = fileStamps("__yyyymm=202101")
+    (1 to 3).foreach { i =>
+      Ingest.ingestTable(spark, mkDf(schema,
+        Row(2L, s"feb$i", ts(s"2021-02-0${i + 1} 00:00:00"))), meta, out,
+        DedupMode.Replacing, monthPartitionCol = Some("factualizacion"),
+        replacingCompactParts = 3)
+    }
+    // February crossed the 3-file threshold on load 3 and was compacted...
+    assert(Maintenance.dataFileCount(spark, s"$out/t/__yyyymm=202102") <= 3,
+      "hot partition must have been compacted")
+    // ...while January — cold, already at 1 file — kept the exact same
+    // physical files (names, sizes, mtimes): the compactor never read or
+    // rewrote it. This is the O(hot months) vs O(whole table) property.
+    assert(fileStamps("__yyyymm=202101") === janBefore,
+      "cold partition files must be byte-identical after a hot-month compaction")
+    val fin = Ingest.readFinal(spark, s"$out/t", Seq("id"), Some("factualizacion"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(fin === Map(1L -> "jan", 2L -> "feb3"))
+  }
+
   test("ingest writes parquet bloom filters on the PK columns") {
     val out = Files.createTempDirectory("ingest_spec_").toString
     Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.NoDedup)
