@@ -105,7 +105,11 @@ object Bench {
     // the parent's line buffer is ~2000 chars and 80 full names overflow it.
     // Full names live in the stderr diag line.
     val shortOf = Bench.shortKeys(results.map(_._1))
-    val qs = jmap(results.map { case (n, v) => shortOf(n) -> v }, fmt2)
+    // failure marker survives fmt2: a sub-5ms failure (analysis-time
+    // error) would round to "-0.00" which JSON-parses as -0.0 == 0.0 —
+    // clamp negatives away from zero so value<0 stays detectable
+    val qs = jmap(results.map { case (n, v) =>
+      shortOf(n) -> (if (v < 0) math.min(v, -0.01) else v) }, fmt2)
     // Per-query medians for noise diagnosis on the ARTIFACT itself (the
     // r6 lesson: 4 unchanged queries regressed 3-6x in min-of-reps and
     // only the stderr diag could tell environment from regression). The

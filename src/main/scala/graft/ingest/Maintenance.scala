@@ -176,17 +176,31 @@ object Maintenance {
     * load doubles it again. `minAgeMs` guards IN-FLIGHT scratch: a
     * concurrent ingestAll/compactFinal is actively writing dirs with
     * these same names, and a vacuum racing it would delete live scratch
-    * mid-swap (the dir mtime refreshes as part files land, so a fresh
-    * mtime means a writer is, or very recently was, active). Crash
-    * leftovers are by definition old; 15 minutes is far above any single
-    * staging write. Pass 0 only when no loads can be running. Returns the
-    * paths removed. */
+    * mid-swap. Freshness is judged by the NEWEST mtime anywhere under the
+    * scratch dir (recursive max), not the dir entry itself: directory
+    * mtime only updates when a direct child is created/renamed, so a
+    * slow single-file write or a long commit pause would let the dir
+    * entry age past the cutoff while the writer is still alive. Crash
+    * leftovers are by definition old everywhere; 15 minutes is far above
+    * any single staging write. Pass 0 only when no loads can be running.
+    * Object-store caveat: S3-style stores don't maintain directory
+    * mtimes at all and object timestamps are commit-time — the recursive
+    * form still works there (file timestamps exist), but a writer that
+    * has not yet committed its FIRST object is invisible; on such stores
+    * run vacuum only from the ingest scheduler's quiescent window.
+    * Returns the paths removed. */
   def vacuumScratch(spark: SparkSession, tableRoot: String,
       minAgeMs: Long = 15 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, tableRoot)
     val root = new Path(tableRoot)
     if (!f.exists(root)) return Nil
     val cutoff = System.currentTimeMillis() - minAgeMs
+    def newestMtime(p: Path): Long = {
+      var newest = f.getFileStatus(p).getModificationTime
+      val it = f.listFiles(p, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
     f.listStatus(root).toSeq
       .filter(_.isDirectory)
       .filter { st =>
@@ -194,7 +208,7 @@ object Maintenance {
         (n.endsWith("__staging") || n.endsWith("__compact") ||
           n.endsWith("__old") || n.startsWith(".staging_") ||
           n.startsWith(".old_compact_")) &&
-          st.getModificationTime <= cutoff
+          newestMtime(st.getPath) <= cutoff
       }
       .map { st => f.delete(st.getPath, true); st.getPath.toString }
   }

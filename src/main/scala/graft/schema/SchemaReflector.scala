@@ -106,22 +106,34 @@ object SchemaReflector {
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val md = conn.getMetaData
-      val pkRs = md.getPrimaryKeys(null, schema, table)
-      var pks = Set.empty[String]
-      while (pkRs.next()) pks += pkRs.getString("COLUMN_NAME")
-      val rs = md.getColumns(null, schema, table, "%")
-      val cols = scala.collection.mutable.ArrayBuffer.empty[ColumnMeta]
-      while (rs.next()) {
-        val name = rs.getString("COLUMN_NAME")
-        cols += ColumnMeta(
-          name,
-          rs.getString("TYPE_NAME").toLowerCase,
-          rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
-          pks.contains(name),
-          Option(rs.getString("COLUMN_DEF")).map(_.trim),
-          "YES".equalsIgnoreCase(rs.getString("IS_AUTOINCREMENT")))
+      // Two container models exist in the wild: schema-based (Derby,
+      // Postgres — filter via the schemaPattern argument) and
+      // catalog-per-database (MySQL Connector/J — the database arrives
+      // in TABLE_CAT, schemaPattern matches nothing). Try schema-based
+      // first; an empty column set means the container is a catalog, so
+      // retry with `schema` as the catalog argument. Same TableMeta
+      // either way — callers stay driver-agnostic.
+      def reflect(catalog: String, schemaPattern: String): Seq[ColumnMeta] = {
+        val pkRs = md.getPrimaryKeys(catalog, schemaPattern, table)
+        var pks = Set.empty[String]
+        while (pkRs.next()) pks += pkRs.getString("COLUMN_NAME")
+        val rs = md.getColumns(catalog, schemaPattern, table, "%")
+        val cols = scala.collection.mutable.ArrayBuffer.empty[ColumnMeta]
+        while (rs.next()) {
+          val name = rs.getString("COLUMN_NAME")
+          cols += ColumnMeta(
+            name,
+            rs.getString("TYPE_NAME").toLowerCase,
+            rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+            pks.contains(name),
+            Option(rs.getString("COLUMN_DEF")).map(_.trim),
+            "YES".equalsIgnoreCase(rs.getString("IS_AUTOINCREMENT")))
+        }
+        cols.toSeq
       }
-      TableMeta(table, cols.toSeq)
+      val viaSchema = reflect(null, schema)
+      val cols = if (viaSchema.nonEmpty) viaSchema else reflect(schema, null)
+      TableMeta(table, cols)
     } finally conn.close()
   }
 

@@ -87,8 +87,14 @@ object Sources {
     try {
       val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
       val names = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (rs.next())
-        names += s"${rs.getString("TABLE_SCHEM")}.${rs.getString("TABLE_NAME")}"
+      while (rs.next()) {
+        // MySQL Connector/J reports the database in TABLE_CAT with
+        // TABLE_SCHEM null (catalog-per-database model); Derby/Postgres
+        // use TABLE_SCHEM. Fall back so names never become "null.t".
+        val container = Option(rs.getString("TABLE_SCHEM"))
+          .getOrElse(rs.getString("TABLE_CAT"))
+        names += s"$container.${rs.getString("TABLE_NAME")}"
+      }
       SchemaReflector.filterTables(names.toSeq.sorted, include, exclude)
     } finally conn.close()
   }

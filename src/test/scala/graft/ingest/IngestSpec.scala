@@ -258,6 +258,28 @@ class IngestSpec extends SparkSpec {
     assert(Maintenance.vacuumScratch(spark, out, minAgeMs = 0).isEmpty) // idempotent
   }
 
+  test("vacuumScratch freshness is the NEWEST file under the dir, not the dir entry") {
+    val out = Files.createTempDirectory("ingest_spec_").toString
+    val st = StructType(Seq(StructField("x", LongType, true)))
+    mkDf(st, Row(1L)).write.mode("overwrite").parquet(s"$out/t__compact")
+    val f = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(s"$out/t__compact")
+    val old = System.currentTimeMillis() - 3600 * 1000L
+    // age the DIR entry (the slow-single-file-write race: dir mtime only
+    // moves on child create/rename) but leave the files fresh — an
+    // active writer must survive the vacuum
+    f.setTimes(dir, old, -1)
+    assert(Maintenance.vacuumScratch(spark, out, minAgeMs = 15 * 60 * 1000L).isEmpty,
+      "fresh files under an old dir entry mean a live writer — must survive")
+    // now age every file too: a genuine crash leftover — reclaimed
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) f.setTimes(it.next().getPath, old, -1)
+    f.setTimes(dir, old, -1)
+    val removed = Maintenance.vacuumScratch(spark, out, minAgeMs = 15 * 60 * 1000L)
+    assert(removed.map(_.stripPrefix("file:")) === Seq(s"$out/t__compact"))
+  }
+
   test("relaxSchema: non-PK fields become nullable, PK stays required") {
     val st = graft.schema.SchemaReflector.toStructType(meta)
     val relaxed = Maintenance.relaxSchema(
