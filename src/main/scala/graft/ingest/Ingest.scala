@@ -159,14 +159,20 @@ object Ingest {
 
     val written = mode match {
       case DedupMode.NoDedup =>
-        write(cleaned, finalPath)
+        // full-refresh load, committed through the manifest: the data
+        // lands in an invisible uniquely-named dir; one atomic manifest
+        // replace makes it the live generation (object-store-safe — the
+        // rename-based swap is not, Maintenance.stagingSwap scaladoc)
+        val dataDir = ManifestCommit.newDataDir(finalPath)
+        write(cleaned, dataDir)
+        ManifestCommit.commitReplace(spark, finalPath, Seq(dataDir))
         cleaned
       case DedupMode.Staging =>
         require(keys.nonEmpty, s"staging dedup needs a PK for ${meta.table}")
         val deduped = dedupLatest(cleaned, keys, version)
-        val staging = s"$targetDir/.staging_${meta.table}"
-        write(deduped, staging)
-        Maintenance.stagingSwap(spark, staging, finalPath)
+        val dataDir = ManifestCommit.newDataDir(finalPath)
+        write(deduped, dataDir)
+        ManifestCommit.commitReplace(spark, finalPath, Seq(dataDir))
         deduped
       case DedupMode.Replacing =>
         require(keys.nonEmpty, s"replacing dedup needs a PK for ${meta.table}")
@@ -174,9 +180,19 @@ object Ingest {
         // full existing target and rewrote it — O(target) write
         // amplification per load. Intra-batch collapse keeps the part
         // minimal; cross-part duplicates are the read/compaction layer's
-        // job, exactly as in ReplacingMergeTree.
+        // job, exactly as in ReplacingMergeTree. Flat targets append the
+        // part as a manifest-committed delta dir; month-partitioned
+        // targets keep the `__yyyymm=` directory layout (per-partition
+        // compaction needs partition-addressable dirs — on an object
+        // store that shape graduates to a per-partition manifest or a
+        // transactional table format).
         val deduped = dedupLatest(cleaned, keys, version)
-        write(deduped, finalPath, SaveMode.Append)
+        if (monthPartitionCol.isEmpty) {
+          val dataDir = ManifestCommit.newDataDir(finalPath)
+          write(deduped, dataDir)
+          ManifestCommit.commitAppend(spark, finalPath, dataDir)
+        } else
+          write(deduped, finalPath, SaveMode.Append)
         // background-merge analogue: once the part count crosses the
         // threshold, one O(target) compaction collapses everything —
         // amortized write amplification O(target/threshold) per load,
@@ -191,7 +207,9 @@ object Ingest {
         // load — O(table) amplification on the per-batch path.
         monthPartitionCol match {
           case None =>
-            if (Maintenance.dataFileCount(spark, finalPath) > replacingCompactParts)
+            val liveFiles = ManifestCommit.resolvePaths(spark, finalPath)
+              .map(Maintenance.dataFileCount(spark, _)).sum
+            if (liveFiles > replacingCompactParts)
               Maintenance.compactFinal(spark, finalPath, keys, version,
                 sortingKey = meta.sortingKey)
           case Some(_) =>
@@ -206,7 +224,7 @@ object Ingest {
     // parts are not rows of the logical table).
     val writtenRows = mode match {
       case DedupMode.Replacing => readFinal(spark, finalPath, keys, version).count()
-      case _ => spark.read.parquet(finalPath).count()
+      case _ => ManifestCommit.read(spark, finalPath).count()
     }
     val tObs = System.nanoTime()
     val sourceRows = obs.get("rows").asInstanceOf[Long]
@@ -221,12 +239,11 @@ object Ingest {
     * collapse appended delta parts to latest-per-key. `mergeSchema`
     * tolerates parts written before a column existed — the read-time
     * analogue of unionByName(allowMissingColumns). One PK-hash shuffle,
-    * the same cost the write path used to pay on EVERY load. */
+    * the same cost the write path used to pay on EVERY load. Resolves
+    * through the manifest when the target is manifest-committed. */
   def readFinal(spark: SparkSession, path: String, keys: Seq[String],
       version: Option[String], tieBreak: Seq[String] = Nil): DataFrame =
-    dedupLatest(
-      spark.read.option("mergeSchema", "true").parquet(path),
-      keys, version, tieBreak)
+    dedupLatest(ManifestCommit.read(spark, path), keys, version, tieBreak)
 
   /** Concurrent multi-table ingest — the Spark analogue of the
     * reference's per-database subprocess parallelism

@@ -114,13 +114,24 @@ object Maintenance {
       version: Option[String], tieBreak: Seq[String] = Nil,
       targetMB: Int = 128, sortingKey: Seq[String] = Nil): Unit = {
     val f = fs(spark, path)
-    val bytes = f.getContentSummary(new Path(path)).getLength
+    val bytes = ManifestCommit.resolvePaths(spark, path)
+      .map(p => f.getContentSummary(new Path(p)).getLength).sum
     val parts = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
     val collapsed = Ingest.readFinal(spark, path, keys, version, tieBreak)
-    val staging = path + "__compact"
-    writeCompacted(collapsed,
-      parts, if (sortingKey.nonEmpty) sortingKey else keys, keys, staging)
-    stagingSwap(spark, staging, path)
+    if (ManifestCommit.isManifestTable(spark, path)) {
+      // manifest-committed target: write the merged generation to a fresh
+      // dir, then one atomic manifest replace retires every delta dir —
+      // no directory rename anywhere (object-store-safe)
+      val dataDir = ManifestCommit.newDataDir(path)
+      writeCompacted(collapsed,
+        parts, if (sortingKey.nonEmpty) sortingKey else keys, keys, dataDir)
+      ManifestCommit.commitReplace(spark, path, Seq(dataDir))
+    } else {
+      val staging = path + "__compact"
+      writeCompacted(collapsed,
+        parts, if (sortingKey.nonEmpty) sortingKey else keys, keys, staging)
+      stagingSwap(spark, staging, path)
+    }
   }
 
   /** M5 companion for month-partitioned Replacing targets: compact each

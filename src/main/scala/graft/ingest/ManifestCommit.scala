@@ -1,0 +1,162 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Object-store-safe table commit protocol.
+  *
+  * The rename-based `Maintenance.stagingSwap` is atomic on HDFS/local
+  * filesystems but NOT on S3-style object stores (directory "rename" is a
+  * non-atomic copy+delete). The reference gets its swap atomicity from the
+  * database itself (ClickHouse `RENAME TABLE`,
+  * tools/ingest_runner.py:1529-1592); a lakehouse deployment needs the
+  * table-format trick instead: data files are immutable once written, and
+  * the ONLY mutable object is a single small `_manifest` file naming the
+  * live data directories. Commit = replacing that one file — a one-object
+  * atomic operation everywhere (file rename locally/HDFS, conditional PUT
+  * on object stores). Readers resolve through the manifest, so they see
+  * the previous complete generation until the instant the new one lands;
+  * a crash between data write and manifest write leaves an orphan data
+  * dir and the OLD generation still served — never a partial table.
+  *
+  * Layout of a manifest-committed table root:
+  * {{{
+  *   root/_manifest            # "<gen>\n<dirName>\n<dirName>..."
+  *   root/data_<uuid>/         # immutable part directories
+  * }}}
+  *
+  * Generations: `commitReplace` installs an exact set of live dirs (the
+  * staging-swap analogue, one dir per generation); `commitAppend` adds a
+  * delta dir to the live set (the ReplacingMergeTree INSERT analogue).
+  * Displaced/orphaned dirs are pruned by `pruneOrphans` with the same
+  * newest-mtime in-flight guard as `Maintenance.vacuumScratch`.
+  */
+object ManifestCommit {
+
+  val ManifestFile = "_manifest"
+
+  final case class Manifest(gen: Long, dirs: Seq[String])
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String) = new Path(root, ManifestFile)
+
+  /** A fresh, uniquely-named data directory under `root`. The writer owns
+    * it exclusively (UUID), so the write needs no locking; the dir is
+    * invisible to readers until a commit names it. */
+  def newDataDir(root: String): String =
+    s"$root/data_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+
+  def readManifest(spark: SparkSession, root: String): Option[Manifest] = {
+    val f = fs(spark, root)
+    val p = manifestPath(root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
+      Some(Manifest(lines.head.toLong, lines.tail.toSeq))
+    }
+  }
+
+  /** True when `path` is a manifest-committed table root. */
+  def isManifestTable(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(manifestPath(path))
+
+  /** Absolute paths of the live data dirs; a plain (non-manifest) table
+    * resolves to itself, so readers can use this unconditionally. */
+  def resolvePaths(spark: SparkSession, path: String): Seq[String] =
+    readManifest(spark, path) match {
+      case Some(m) => m.dirs.map(d => s"$path/$d")
+      case None => Seq(path)
+    }
+
+  /** Read the live generation (manifest-resolved; falls through to a
+    * plain parquet read for non-manifest dirs). `mergeSchema` tolerates
+    * delta dirs written before a column existed, as `Ingest.readFinal`
+    * does for raw part layouts. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(resolvePaths(spark, path): _*)
+
+  /** Atomically (re)write the manifest. The content is staged to a
+    * dot-file and moved over `_manifest` with FileContext OVERWRITE
+    * rename — a single-file atomic replace on local/HDFS. On an object
+    * store this step maps to one conditional PUT of `_manifest` (the
+    * object-store deployment swaps this implementation in; everything
+    * else — immutable dirs, resolve-through-manifest — is already
+    * store-safe because no data object is ever renamed or overwritten). */
+  private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val f = fs(spark, root)
+    val rootP = new Path(root)
+    if (!f.exists(rootP)) f.mkdirs(rootP)
+    val tmp = new Path(root,
+      s"._manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write((m.gen + "\n" + m.dirs.mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(rootP.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, manifestPath(root), Options.Rename.OVERWRITE)
+  }
+
+  /** Staging-swap analogue: install `dirs` (relative names under `root`)
+    * as the EXACT live set. Displaced dirs of the previous generation are
+    * deleted after the commit (safe: they are no longer reachable through
+    * the manifest; a reader holding the old generation's file list mid-
+    * scan has the same exposure as with the rename swap, and zero
+    * exposure on object stores where deletes don't invalidate open
+    * reads). Returns the new manifest. */
+  def commitReplace(spark: SparkSession, root: String, dirs: Seq[String],
+      pruneDisplaced: Boolean = true): Manifest = {
+    val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
+    val prev = readManifest(spark, root)
+    val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names)
+    writeManifest(spark, root, m)
+    if (pruneDisplaced) {
+      val f = fs(spark, root)
+      prev.foreach(_.dirs.filterNot(names.contains).foreach { d =>
+        f.delete(new Path(root, d), true)
+      })
+    }
+    m
+  }
+
+  /** ReplacingMergeTree INSERT analogue: add one delta dir to the live
+    * set. */
+  def commitAppend(spark: SparkSession, root: String, dir: String): Manifest = {
+    val prev = readManifest(spark, root)
+    val m = Manifest(
+      prev.map(_.gen + 1).getOrElse(1L),
+      prev.map(_.dirs).getOrElse(Nil) :+ new Path(dir).getName)
+    writeManifest(spark, root, m)
+    m
+  }
+
+  /** Delete `data_*` dirs that no generation references — crash leftovers
+    * (written but never committed) and displaced dirs a crashed
+    * `commitReplace` didn't get to prune. Guarded by the same recursive
+    * newest-mtime freshness check as `Maintenance.vacuumScratch`: an
+    * uncommitted dir an ACTIVE writer is still filling must survive. */
+  def pruneOrphans(spark: SparkSession, root: String,
+      minAgeMs: Long = 15 * 60 * 1000L): Seq[String] = {
+    val f = fs(spark, root)
+    val rootP = new Path(root)
+    if (!f.exists(rootP)) return Nil
+    val live = readManifest(spark, root).map(_.dirs.toSet).getOrElse(Set.empty)
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def newestMtime(p: Path): Long = {
+      var newest = f.getFileStatus(p).getModificationTime
+      val it = f.listFiles(p, true)
+      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      newest
+    }
+    f.listStatus(rootP).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data_") &&
+        !live.contains(st.getPath.getName) && newestMtime(st.getPath) <= cutoff)
+      .map { st => f.delete(st.getPath, true); st.getPath.toString }
+  }
+}

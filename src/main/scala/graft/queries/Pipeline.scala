@@ -41,9 +41,14 @@ object Pipeline {
     val source = Tables.load(s, dir, "events")
     val cleaned = graft.clean.TableCleaner.clean(source, meta)
     val deduped = Ingest.dedupLatest(cleaned, Seq("user_id"), Some("ts"), Seq("event_id"))
-    deduped.write.mode("overwrite").parquet(s"$out/.staging_events")
-    graft.ingest.Maintenance.stagingSwap(s, s"$out/.staging_events", s"$out/events")
-    s.read.parquet(s"$out/events").select("user_id", "event_id", "event_type")
+    // object-store-safe commit: invisible uniquely-named dir + one atomic
+    // manifest replace (ManifestCommit scaladoc); readers resolve through
+    // the manifest — this gate exercises that read path end-to-end
+    val dataDir = graft.ingest.ManifestCommit.newDataDir(s"$out/events")
+    deduped.write.mode("overwrite").parquet(dataDir)
+    graft.ingest.ManifestCommit.commitReplace(s, s"$out/events", Seq(dataDir))
+    graft.ingest.ManifestCommit.read(s, s"$out/events")
+      .select("user_id", "event_id", "event_type")
   }
 
   /** §3.1 step 4: multi-table ingest + row-count reconciliation audit
@@ -64,7 +69,7 @@ object Pipeline {
       val src = Tables.load(s, dir, name)
       val meta = SchemaReflector.fromParquet(s, s"$dir/$name.parquet", name)
       Ingest.ingestTable(s, src, meta, out, DedupMode.NoDedup)
-      (name, src, s.read.parquet(s"$out/$name"))
+      (name, src, graft.ingest.ManifestCommit.read(s, s"$out/$name"))
     }
     Ingest.audit(s, pairs)
   }
@@ -234,7 +239,7 @@ object Pipeline {
     Ingest.ingestTable(s,
       Tables.load(s, dir, "orders").filter(year(col("o_orderdate")) === 1995),
       meta, out, DedupMode.NoDedup, monthPartitionCol = Some("o_orderdate"))
-    s.read.parquet(s"$out/orders")
+    graft.ingest.ManifestCommit.read(s, s"$out/orders")
       .filter(col("__yyyymm") === "199501")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"))
@@ -319,7 +324,7 @@ object Pipeline {
       ColumnMeta("activo", "tinyint(1)"),
       ColumnMeta("factualizacion", "datetime")))
     Ingest.ingestTable(s, s.read.parquet(s"$out/src"), meta, out, DedupMode.Staging)
-    s.read.parquet(s"$out/dirty")
+    graft.ingest.ManifestCommit.read(s, s"$out/dirty")
       .select("id", "fk_ref", "descripcion", "obligatorio", "creado_en",
         "hora", "activo", "factualizacion")
       .orderBy("id")
@@ -344,7 +349,7 @@ object Pipeline {
       }
       Ingest.ingestAll(s, tables, out, DedupMode.NoDedup, parallelism = 8)
       Ingest.audit(s, names.map { name =>
-        (name, Tables.load(s, dir, name), s.read.parquet(s"$out/$name"))
+        (name, Tables.load(s, dir, name), graft.ingest.ManifestCommit.read(s, s"$out/$name"))
       })
     }
   }

@@ -33,11 +33,13 @@ class IngestSpec extends SparkSpec {
     val out = Files.createTempDirectory("ingest_spec_").toString
     val res = Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.Staging)
     assert(res.sourceRows === 4 && res.writtenRows === 3 && res.dedupDropped === 1)
-    val rows = spark.read.parquet(s"$out/t").collect()
+    val rows = ManifestCommit.read(spark, s"$out/t").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
     assert(!Maintenance.exists(spark, s"$out/.staging_t"))
     assert(!Maintenance.exists(spark, s"$out/t__old"))
+    assert(ManifestCommit.isManifestTable(spark, s"$out/t"),
+      "staging mode must commit through the manifest")
   }
 
   test("replacing mode merges with existing target (latest version wins across loads)") {
@@ -58,7 +60,9 @@ class IngestSpec extends SparkSpec {
       Some("factualizacion"))) === want)
     // ...and OPTIMIZE FINAL makes the physical layout match it
     Maintenance.compactFinal(spark, s"$out/t", Seq("id"), Some("factualizacion"))
-    assert(asMap(spark.read.parquet(s"$out/t")) === want)
+    assert(asMap(ManifestCommit.read(spark, s"$out/t")) === want)
+    assert(ManifestCommit.readManifest(spark, s"$out/t").get.dirs.size === 1,
+      "compaction must retire every delta dir in one manifest replace")
   }
 
   test("replacing loads append batch-sized delta parts (no target rewrite)") {
@@ -100,7 +104,7 @@ class IngestSpec extends SparkSpec {
     // without compaction 5 loads × >=1 part each would exceed the
     // threshold; the background-merge analogue keeps the count bounded
     assert(Maintenance.dataFileCount(spark, s"$out/t") <= 5)
-    assert(spark.read.parquet(s"$out/t").count() === 15)
+    assert(ManifestCommit.read(spark, s"$out/t").count() === 15)
     assert(Ingest.readFinal(spark, s"$out/t", Seq("id"),
       Some("factualizacion")).count() === 15)
   }
@@ -114,9 +118,12 @@ class IngestSpec extends SparkSpec {
     Maintenance.compactFinal(spark, s"$out/t", Seq("id"),
       Some("factualizacion"), sortingKey = Seq("id"))
     val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(s"$out/t")
-    val files = dir.getFileSystem(conf).listStatus(dir)
-      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val live = ManifestCommit.resolvePaths(spark, s"$out/t")
+    val files = live.flatMap { p =>
+      val d = new org.apache.hadoop.fs.Path(p)
+      d.getFileSystem(conf).listStatus(d).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+    }
     assert(files.nonEmpty)
     files.foreach { file =>
       // the compacted layout must match the ingest write path: local PK
@@ -198,7 +205,8 @@ class IngestSpec extends SparkSpec {
     val out = Files.createTempDirectory("ingest_spec_").toString
     Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.NoDedup)
     val conf = spark.sparkContext.hadoopConfiguration
-    val dir = new org.apache.hadoop.fs.Path(s"$out/t")
+    val dir = new org.apache.hadoop.fs.Path(
+      ManifestCommit.resolvePaths(spark, s"$out/t").head)
     val file = dir.getFileSystem(conf).listStatus(dir)
       .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -217,7 +225,7 @@ class IngestSpec extends SparkSpec {
   test("audit reports per-table parity with diff and ok flags") {
     val out = Files.createTempDirectory("ingest_spec_").toString
     Ingest.ingestTable(spark, dirtyDf, meta, out, DedupMode.NoDedup)
-    val tgt = spark.read.parquet(s"$out/t")
+    val tgt = ManifestCommit.read(spark, s"$out/t")
     val audit = Ingest.audit(spark,
       Seq(("t", dirtyDf, tgt), ("t_bad", dirtyDf, tgt.limit(2)))).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap

@@ -93,7 +93,7 @@ class JdbcLiveSpec extends SparkSpec {
     val src = JdbcSource(url, """APP."clientes"""").load(spark)
     val res = Ingest.ingestTable(spark, src, meta, out, DedupMode.Staging)
     assert(res.sourceRows === 100 && res.writtenRows === 100)
-    val tgt = spark.read.parquet(s"$out/clientes")
+    val tgt = graft.ingest.ManifestCommit.read(spark, s"$out/clientes")
     // cleaning ran: whitespace trimmed, nulls preserved
     val v3 = tgt.filter(col("id") === 3L).collect().head.getAs[String]("v")
     assert(v3 === "v3")
