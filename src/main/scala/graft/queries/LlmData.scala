@@ -1320,6 +1320,72 @@ object LlmData {
       .orderBy("qid")
   }
 
+  /** q114 — the ANN TUNING CURVE: q111's recall@10 measured at
+    * nprobe ∈ {1, 2, 4, 8} against the same 8-list IVF index. This is
+    * the table an index tuner actually reads: recall must be monotone
+    * non-decreasing in nprobe (more lists probed ⊇ fewer), and at
+    * nprobe = nlists the probe set is the whole corpus, so the IVF
+    * ranking equals the exact ranking and recall pins to 1.0 — both
+    * properties are enforced by the hash-checked golden values, and the
+    * monotone/exhaustive laws are additionally asserted structurally in
+    * DedupSimilaritySpec. Each curve point is an independent ivfTopK run
+    * (broadcast centroids, O(1) plan) over per-query top-k tables — KBs
+    * regardless of corpus size, so sweeping nprobe is cheap. */
+  val q114_ann_recall_curve = Q(
+    "q114_ann_recall_curve",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS sim
+      |  FROM q CROSS JOIN (SELECT vec_id AS nid, v AS nv FROM e)
+      |  WHERE nid != qid),
+      |exact AS (SELECT qid, nid FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, nid) AS rank FROM s) WHERE rank <= 10),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e
+      |  WHERE vec_id BETWEEN 100 AND 107),
+      |dists AS (SELECT e.vec_id, cent.cid,
+      |    list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d
+      |  FROM e CROSS JOIN cent),
+      |lists AS (SELECT vec_id AS nid, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r FROM dists)
+      |  WHERE r = 1),
+      |nps(np) AS (VALUES (1), (2), (4), (8)),
+      |probes AS (SELECT nps.np, d.vec_id AS qid, d.cid
+      |  FROM nps CROSS JOIN (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      |    FROM dists WHERE vec_id < 5) d
+      |  WHERE d.r <= nps.np),
+      |cand AS (SELECT p.np, p.qid, l.nid,
+      |    list_cosine_similarity(eq.v, en.v) AS sim
+      |  FROM probes p JOIN lists l USING (cid)
+      |  JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = l.nid
+      |  WHERE l.nid != p.qid),
+      |approx AS (SELECT np, qid, nid FROM (SELECT np, qid, nid,
+      |    row_number() OVER (PARTITION BY np, qid ORDER BY sim DESC, nid) AS rank
+      |  FROM cand) WHERE rank <= 10)
+      |SELECT n.np AS nprobe, x.qid AS qid, count(a.nid) AS hits,
+      |  CAST(count(a.nid) AS DOUBLE) / 10 AS recall_at_10
+      |FROM nps n CROSS JOIN exact x
+      |LEFT JOIN approx a ON a.np = n.np AND a.qid = x.qid AND a.nid = x.nid
+      |GROUP BY n.np, x.qid ORDER BY nprobe, qid""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val cents = emb.filter(col("vec_id").between(100, 107))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select(col("qid"), col("nid"))
+    Seq(1, 2, 4, 8).map { np =>
+      val approx = Similarity.ivfTopK(emb, queries, cents,
+        "vec_id", "embedding", k = 10, nprobe = np)
+        .select(col("qid").as("aqid"), col("nid").as("anid"))
+      exact.join(approx,
+          col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+        .groupBy("qid")
+        .agg(count(col("anid")).as("hits"))
+        .select(lit(np).as("nprobe"), col("qid"), col("hits"),
+          (col("hits").cast("double") / 10).as("recall_at_10"))
+    }.reduce(_ unionByName _).orderBy("nprobe", "qid")
+  }
+
   /** q109 — the tokenizer ENCODE side (q95 trains, this applies): the
     * q95-pinned merge table replayed over the documents corpus in
     * training order — m stacked narrow `MergeAdjacentPair` projections,
@@ -1366,5 +1432,5 @@ object LlmData {
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
     q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames,
-    q109_bpe_apply, q111_ann_recall)
+    q109_bpe_apply, q111_ann_recall, q114_ann_recall_curve)
 }

@@ -805,6 +805,74 @@ object Pipeline {
       RowCountAtLeast(1000)))
   }
 
+  /** §2.9/S5 — multi-topic demux through ONE stream: the reference's
+    * consumer subscribes to every `dbserver_default.archivos.*` topic and
+    * infers the target table from the topic name (last dot segment for
+    * `server.db.table` names, dots→underscores otherwise —
+    * tools/kafka_to_clickhouse.py:155-187). Three topics ride one
+    * (topic, value) stream — the Kafka source's exact column contract,
+    * file stand-in per COVERAGE.md S5 — across two micro-batches, land
+    * in three typed tables, each then collapsed FINAL. An unroutable
+    * fourth topic is skipped. The oracle is the golden union: the update
+    * chain collapses in clientes, the parity-mode delete is dropped in
+    * pedidos, and the 2-segment topic lands under its folded name. */
+  val q113_topic_routing = Q(
+    "q113_topic_routing",
+    """WITH g(tbl, id, nombre, ts_ms) AS (VALUES
+      |  ('clientes', 1, 'c1_v2', 200),
+      |  ('clientes', 2, 'c2', 101),
+      |  ('metrics_heartbeat', 100, 'hb', 103),
+      |  ('pedidos', 10, 'p10', 102),
+      |  ('pedidos', 11, 'p11', 202))
+      |SELECT tbl, CAST(id AS BIGINT) AS id, nombre,
+      |  CAST(ts_ms AS BIGINT) AS ts_ms
+      |FROM g ORDER BY tbl, id""".stripMargin) { (s, _) =>
+    import java.nio.file.{Files, Paths}
+    val base = tmpDir("graft_route_q113_")
+    val src = s"$base/src"; Files.createDirectories(Paths.get(src))
+    val envSchema = StructType(Seq(
+      StructField("topic", StringType, true),
+      StructField("value", StringType, true)))
+    def env(topic: String, after: String, op: String, ts: Long) =
+      Row(topic, s"""{"before":null,"after":$after,"op":"$op","ts_ms":$ts}""")
+    def writeBatch(name: String, rows: Row*): Unit =
+      s.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), envSchema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/stage_$name")
+        // staged then moved whole so the file stream sees each batch atomically
+    writeBatch("b1",
+      env("dbserver_default.archivos.clientes", """{"id":1,"nombre":"c1"}""", "c", 100),
+      env("dbserver_default.archivos.clientes", """{"id":2,"nombre":"c2"}""", "c", 101),
+      env("dbserver_default.archivos.pedidos", """{"id":10,"nombre":"p10"}""", "c", 102),
+      env("metrics.heartbeat", """{"id":100,"nombre":"hb"}""", "c", 103))
+    writeBatch("b2",
+      env("dbserver_default.archivos.clientes", """{"id":1,"nombre":"c1_v2"}""", "u", 200),
+      Row("dbserver_default.archivos.pedidos",
+        """{"before":{"id":10},"after":null,"op":"d","ts_ms":201}"""),
+      env("dbserver_default.archivos.pedidos", """{"id":11,"nombre":"p11"}""", "c", 202),
+      env("dbserver_default.archivos.desconocida", """{"id":999,"nombre":"x"}""", "c", 203))
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq("b1", "b2").foreach { b =>
+      f.listStatus(new org.apache.hadoop.fs.Path(s"$base/stage_$b"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach(st => f.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(src, s"$b.parquet")))
+    }
+    val afterSchema = StructType(Seq(
+      StructField("id", LongType, true), StructField("nombre", StringType, true)))
+    val tables = Seq("clientes", "pedidos", "metrics_heartbeat")
+      .map(t => t -> ((afterSchema, Seq("id")))).toMap
+    val stream = s.readStream.schema(envSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    graft.streaming.CdcStream.routedUpsertQuery(
+      stream, tables, s"$base/typed", s"$base/ckpt").awaitTermination()
+    tables.keys.toSeq.sorted.map { t =>
+      graft.streaming.CdcStream.finalView(s, s"$base/typed/$t", Seq("id"))
+        .select(lit(t).as("tbl"), col("id"), col("nombre"), col("ts_ms"))
+    }.reduce(_ unionByName _).orderBy("tbl", "id")
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -813,5 +881,5 @@ object Pipeline {
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
     q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
     q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints,
-    q112_stream_outer_join)
+    q112_stream_outer_join, q113_topic_routing)
 }

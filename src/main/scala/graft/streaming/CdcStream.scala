@@ -109,6 +109,45 @@ object CdcStream {
       }
       .start()
 
+  /** Topic→table routing rule (tools/kafka_to_clickhouse.py:163-169):
+    * Debezium topics follow `<server>.<db>.<table>`, so the table is the
+    * LAST dot segment when the name has ≥3 segments; anything shorter
+    * falls back to the whole topic with dots folded to underscores. */
+  def tableForTopic(topic: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val parts = split(topic, "\\.")
+    when(size(parts) >= 3, element_at(parts, -1))
+      .otherwise(regexp_replace(topic, "\\.", "_"))
+  }
+
+  /** Multi-topic demux: ONE consumer/stream serving N typed tables
+    * (tools/kafka_to_clickhouse.py:155-187 subscribes to every matching
+    * topic and routes each message by its topic name). The stream
+    * carries (topic, value) — exactly the Kafka source's columns, so the
+    * file stand-in and a real `format("kafka")` source are
+    * interchangeable here. Each micro-batch is cached ONCE and split by
+    * inferred table; each slice appends as that table's delta part
+    * through the same `upsertBatch` path as a single-table stream.
+    * Topics that resolve to a table not in `tables` are skipped (the
+    * reference logs-and-continues on unroutable messages). At scale the
+    * demux is a single narrow pass per table over one cached batch —
+    * no per-message driver loop, no second consumer. */
+  def routedUpsertQuery(stream: DataFrame,
+      tables: Map[String, (StructType, Seq[String])], targetRoot: String,
+      checkpointDir: String, applyDeletes: Boolean = false,
+      cleanMeta: Map[String, graft.schema.TableMeta] = Map.empty): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val routed = batch.withColumn("__table", tableForTopic(col("topic"))).persist()
+        try tables.foreach { case (table, (afterSchema, pk)) =>
+          val slice = routed.filter(col("__table") === table).select("value")
+          upsertBatch(batch.sparkSession, slice, afterSchema, pk,
+            s"$targetRoot/$table", applyDeletes, cleanMeta.get(table))
+        } finally { routed.unpersist(); () }
+      }
+      .start()
+
   /** The raw-layer streaming query: append-only parquet sink. */
   def rawLayerQuery(stream: DataFrame, targetDir: String,
       checkpointDir: String): StreamingQuery =

@@ -217,6 +217,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("IVF recall curve: monotone non-decreasing in nprobe, 1.0 at nprobe=nlists") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 80L).map(i => Row(i, vec(Seq.fill(8)(rnd.nextGaussian()): _*)))
+    val df = mkDf(vecSchema, rows: _*)
+    val q = df.filter(col("vec_id") < 4L)
+    val cent = df.filter(col("vec_id") >= 72L) // 8 centroids
+    val exact = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val hits = Similarity.ivfTopK(df, q, cent, "vec_id", "embedding",
+        k = 10, nprobe = np)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+        .intersect(exact).size
+      np -> hits.toDouble / exact.size
+    }
+    // probing a superset of lists can only add candidates → recall is
+    // monotone; probing ALL lists is exhaustive search → recall pins to 1
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (nprobe=$np1) to $r2 (nprobe=$np2)")
+    }
+    assert(recalls.last._2 === 1.0, "exhaustive probe must recover the exact ranking")
+  }
+
   test("int8 quantization: codes bounded, scale-invariant, zero-safe, recall high") {
     val rnd = new scala.util.Random(23)
     val rows = (0L until 40L).map(i => Row(i, vec(Seq.fill(8)(rnd.nextGaussian()): _*))) :+
