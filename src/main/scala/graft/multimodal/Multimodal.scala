@@ -33,6 +33,15 @@ case class SampledFrame(id: Long, frameIdx: Int, frameBytes: Array[Byte])
 case class VideoFrame(
     id: Long, frameIdx: Int, width: Int, height: Int, checksum: Long)
 
+/** Container-level video metadata from the ISO-BMFF (MP4/MOV) box
+  * structure — the fields a curation pipeline filters on WITHOUT
+  * decoding any sample data: presentation duration, track count, sample
+  * codec fourccs, visual geometry. (-1, -1, "", -1, -1) marks a payload
+  * with no parseable `moov`. */
+case class VideoMeta(
+    id: Long, durationMs: Long, tracks: Int, codecs: String,
+    width: Int, height: Int)
+
 /** Multimodal-column plumbing: binary payload columns with a typed
   * metadata struct, and a partition-batched decode/feature-extract stage.
   *
@@ -358,6 +367,149 @@ object Multimodal {
               }
             } catch { case scala.util.control.NonFatal(_) => bad }
           out.iterator
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- MP4
+
+  /** Minimal-but-well-formed ISO-BMFF (MP4) synthesizer for fixtures:
+    * `ftyp` + `moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd)))))
+    * × {video avc1 w×h, audio mp4a}` + a tiny `mdat`. Box sizes, version-0
+    * full-box layouts, 16.16 fixed-point geometry and the identity matrix
+    * follow ISO/IEC 14496-12 §8 exactly, so ANY conforming reader walks
+    * it — the same closed-form-fixture playbook as encodeWav/encodeGif. */
+  def encodeMp4(id: Long, w: Int, h: Int, durationMs: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+      val payload = parts.flatten.toArray
+      be32(8L + payload.length) ++ fourcc(typ) ++ payload
+    }
+    val zeros = (n: Int) => new Array[Byte](n)
+    val identityMatrix =
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val timescale = 1000L // 1 tick = 1 ms, so duration ticks == durationMs
+    val mvhd = box("mvhd",
+      zeros(4),                       // version 0 + flags
+      be32(0), be32(0),               // creation/modification
+      be32(timescale), be32(durationMs),
+      be32(0x00010000L), be16(0x0100), // rate 1.0, volume 1.0
+      zeros(2 + 8), identityMatrix, zeros(24), be32(3)) // next_track_ID
+    def tkhd(trackId: Int, tw: Int, th: Int) = box("tkhd",
+      Array[Byte](0, 0, 0, 7),        // version 0, flags: enabled|in-movie
+      be32(0), be32(0), be32(trackId), zeros(4), be32(durationMs),
+      zeros(8), be16(0), be16(0), be16(if (tw == 0) 0x0100 else 0), zeros(2),
+      identityMatrix,
+      be32(tw.toLong << 16), be32(th.toLong << 16)) // 16.16 fixed
+    def mdhd = box("mdhd",
+      zeros(4), be32(0), be32(0), be32(timescale), be32(durationMs),
+      be16(0x55c4), zeros(2))         // language 'und'
+    def hdlr(handler: String) = box("hdlr",
+      zeros(4), zeros(4), fourcc(handler), zeros(12), Array[Byte](0))
+    def sampleEntry(codec: String) = box(codec, zeros(6), be16(1))
+    def trak(trackId: Int, handler: String, codec: String, tw: Int, th: Int) =
+      box("trak", tkhd(trackId, tw, th),
+        box("mdia", mdhd, hdlr(handler),
+          box("minf", box("stbl",
+            box("stsd", zeros(4), be32(1), sampleEntry(codec))))))
+    val payloadBytes = (0 until 16).map(i => ((id * 31 + i * 7) & 0xff).toByte).toArray
+    box("ftyp", fourcc("isom"), be32(512), fourcc("isom"), fourcc("iso2")) ++
+      box("moov", mvhd,
+        trak(1, "vide", "avc1", w, h),
+        trak(2, "soun", "mp4a", 0, 0)) ++
+      box("mdat", payloadBytes)
+  }
+
+  /** Pure-Scala ISO-BMFF box walker (ISO/IEC 14496-12 — public spec,
+    * zero deps): extracts the metadata a 100 TB curation pass filters
+    * video by — duration (mvhd timescale+duration, v0 and v1), track
+    * count, per-track sample codec fourccs (stsd first entry, file
+    * order), and visual geometry (first trak with nonzero tkhd width).
+    * ONLY the box structure is touched — no sample data is decoded, so
+    * cost is O(moov bytes) per object regardless of media size; actual
+    * frame decode stays behind the documented stub until an ffmpeg-class
+    * codec exists in the image. Returns None when no moov parses. */
+  def parseMp4Meta(bytes: Array[Byte]): Option[(Long, Int, String, Int, Int)] = {
+    def u32(at: Int): Long =
+      ((bytes(at) & 0xffL) << 24) | ((bytes(at + 1) & 0xffL) << 16) |
+        ((bytes(at + 2) & 0xffL) << 8) | (bytes(at + 3) & 0xffL)
+    def u64(at: Int): Long = (u32(at) << 32) | u32(at + 4)
+    def typ(at: Int): String = new String(bytes, at + 4, 4, "US-ASCII")
+    /** (type, payloadFrom, payloadUntil) for each box in [from, until). */
+    def boxes(from: Int, until: Int): List[(String, Int, Int)] = {
+      var at = from
+      val out = List.newBuilder[(String, Int, Int)]
+      while (at + 8 <= until) {
+        val size0 = u32(at)
+        val (payloadFrom, size) =
+          if (size0 == 1L && at + 16 <= until) (at + 16, u64(at + 8))
+          else if (size0 == 0L) (at + 8, (until - at).toLong) // box runs to EOF
+          else (at + 8, size0)
+        if (size < 8L || at + size > until) return out.result() // malformed tail
+        out += ((typ(at), payloadFrom, at + size.toInt))
+        at += size.toInt
+      }
+      out.result()
+    }
+    def find(bs: List[(String, Int, Int)], t: String) = bs.find(_._1 == t)
+    try {
+      val top = boxes(0, bytes.length)
+      find(top, "moov").flatMap { case (_, mFrom, mUntil) =>
+        val inMoov = boxes(mFrom, mUntil)
+        find(inMoov, "mvhd").map { case (_, from, _) =>
+          val version = bytes(from) & 0xff
+          val (timescale, duration) =
+            if (version == 1) (u32(from + 20), u64(from + 24))
+            else (u32(from + 12), u32(from + 16))
+          val durationMs =
+            if (timescale == 0L) -1L else duration * 1000L / timescale
+          val traks = inMoov.filter(_._1 == "trak").map { case (_, tFrom, tUntil) =>
+            val inTrak = boxes(tFrom, tUntil)
+            val geom = find(inTrak, "tkhd").map { case (_, kFrom, _) =>
+              val v = bytes(kFrom) & 0xff
+              val geomAt = kFrom + (if (v == 1) 96 else 84) - 8 // width offset
+              ((u32(geomAt) >> 16).toInt, (u32(geomAt + 4) >> 16).toInt)
+            }.getOrElse((0, 0))
+            val codec = for {
+              (_, dFrom, dUntil) <- find(inTrak, "mdia")
+              (_, nFrom, nUntil) <- find(boxes(dFrom, dUntil), "minf")
+              (_, bFrom, bUntil) <- find(boxes(nFrom, nUntil), "stbl")
+              (_, sFrom, sUntil) <- find(boxes(bFrom, bUntil), "stsd")
+              entry <- boxes(sFrom + 8, sUntil).headOption // skip vf + count
+            } yield entry._1
+            (codec, geom)
+          }
+          val codecs = traks.flatMap(_._1).mkString(",")
+          val (w, h) = traks.map(_._2).find(_._1 > 0).getOrElse((-1, -1))
+          (durationMs, traks.size, codecs, w, h)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Partition-batched container-metadata extraction over MP4 payloads —
+    * the no-decode filter stage (resolution/duration/codec gates) that
+    * runs BEFORE any expensive frame decode in a curation pipeline.
+    * Same batched mapPartitions shape and no-throw contract as the
+    * real codecs. */
+  def decodeVideoMeta(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          parseMp4Meta(m.payload) match {
+            case Some((dur, tracks, codecs, w, h)) =>
+              VideoMeta(m.id, dur, tracks, codecs, w, h)
+            case None => VideoMeta(m.id, -1L, -1, "", -1, -1)
+          }
         }
       }
     }

@@ -1320,6 +1320,40 @@ object LlmData {
       .orderBy("qid")
   }
 
+  /** q115 — ISO-BMFF (MP4) container-metadata extraction: the no-decode
+    * curation filter stage. Synthetic-but-conforming MP4s (ftyp + full
+    * moov box tree per ISO/IEC 14496-12, video avc1 + audio mp4a tracks)
+    * are built executor-side with closed-form parameters, then
+    * `decodeVideoMeta` walks ONLY the box structure — duration, track
+    * count, codec fourccs, visual geometry — exactly what a 100 TB video
+    * sweep filters on before paying for any frame decode. The oracle is
+    * the parameter table itself (the synthesizer is parameter-identity,
+    * pinned by MultimodalSpec's independent v0/v1/reordered-box tests);
+    * a corrupt payload proves the no-throw (-1, …) contract. */
+  val q115_mp4_metadata = Q(
+    "q115_mp4_metadata",
+    """WITH vids(id, dur, w, h) AS (VALUES
+      |  (1, 5000, 320, 240), (2, 12345, 1920, 1080),
+      |  (3, 900, 640, 360), (4, 3600000, 128, 96))
+      |SELECT CAST(id AS BIGINT) AS id, CAST(dur AS BIGINT) AS duration_ms,
+      |  2 AS tracks, 'avc1,mp4a' AS codecs, w AS width, h AS height
+      |FROM vids
+      |UNION ALL SELECT 99, -1, -1, '', -1, -1
+      |ORDER BY id""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val specs = Seq((1L, 5000L, 320, 240), (2L, 12345L, 1920, 1080),
+      (3L, 900L, 640, 360), (4L, 3600000L, 128, 96))
+    val media = s.createDataset(specs).map { case (id, dur, w, h) =>
+      graft.multimodal.MediaRow(id, "video/mp4", Multimodal.encodeMp4(id, w, h, dur))
+    }
+    val corrupt = s.createDataset(Seq(
+      graft.multimodal.MediaRow(99L, "video/mp4", Array[Byte](0, 0, 0, 0))))
+    Multimodal.decodeVideoMeta(media.unionByName(corrupt))
+      .select(col("id"), col("durationMs").as("duration_ms"),
+        col("tracks"), col("codecs"), col("width"), col("height"))
+      .orderBy("id")
+  }
+
   /** q114 — the ANN TUNING CURVE: q111's recall@10 measured at
     * nprobe ∈ {1, 2, 4, 8} against the same 8-list IVF index. This is
     * the table an index tuner actually reads: recall must be monotone
@@ -1432,5 +1466,5 @@ object LlmData {
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
     q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames,
-    q109_bpe_apply, q111_ann_recall, q114_ann_recall_curve)
+    q109_bpe_apply, q111_ann_recall, q114_ann_recall_curve, q115_mp4_metadata)
 }

@@ -757,6 +757,63 @@ object Pipeline {
         count(when(col("b_ts").isNull, 1)).as("n_null"))
   }
 
+  /** q116 — stream-stream RIGHT OUTER interval join: q112's mirror —
+    * unmatched CLICKS emit with a null purchase side once the watermark
+    * proves no future purchase can convert them (the orphan-click /
+    * non-converting-traffic shape), completing the outer-join family.
+    * A click b is matchable by purchases with a_ts ∈ (b_ts, b_ts+10min],
+    * so its eviction horizon is b_ts + 10min: the null row for b is
+    * emitted iff b has no matching purchase AND b_ts + 10min < wm, with
+    * the final wm = min(max purchase ts, max click ts) - 1h as in q112.
+    * Verified per-row against the engine before pinning: predicted and
+    * actual null-emission sets are identical on this fixture (no
+    * boundary-tie rows). Same state bounds as q81/q112 — the outer side
+    * adds emit-on-evict, never extra state. */
+  val q116_stream_right_outer_join = Q(
+    "q116_stream_right_outer_join",
+    """WITH p AS (SELECT user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM p),
+      |                    (SELECT max(epoch_ms(ts)) FROM c)) - 3600000 AS w),
+      |em AS (
+      |  SELECT b.user_id, 1 AS matched FROM c b JOIN p a
+      |    ON a.user_id = b.user_id
+      |    AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+      |  UNION ALL
+      |  SELECT b.user_id, 0 FROM c b, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM p a WHERE a.user_id = b.user_id
+      |      AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts)
+      |    AND epoch_ms(b.ts) + 600000 < wm.w)
+      |SELECT user_id, CAST(sum(matched) AS BIGINT) AS n_pairs,
+      |  CAST(sum(1 - matched) AS BIGINT) AS n_null
+      |FROM em GROUP BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = eventsStreamFactory(streamingSession(s), dir)
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("a_user = user_id AND b_ts >= a_ts - INTERVAL 10 MINUTES AND b_ts < a_ts"),
+      "rightOuter")
+    val out = tmpDir("graft_q116_out_")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/pairs")
+      .option("checkpointLocation", tmpDir("graft_q116_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/pairs")
+      .groupBy(col("user_id"))
+      .agg(count(col("a_ts")).as("n_pairs"),
+        count(when(col("a_ts").isNull, 1)).as("n_null"))
+  }
+
   /** q110 — Deequ-style declarative constraint suite over `lineitem`,
     * ALL checks evaluated in ONE aggregate pass (single scan + single
     * partial/final combine — the reference's per-table post-ingest
@@ -881,5 +938,5 @@ object Pipeline {
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
     q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
     q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints,
-    q112_stream_outer_join, q113_topic_routing)
+    q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join)
 }

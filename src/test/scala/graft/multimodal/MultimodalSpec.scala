@@ -112,6 +112,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out(99L).toSeq === Seq(VideoFrame(99L, -1, -1, -1, -1L)))
   }
 
+  test("parseMp4Meta: ISO-BMFF round-trip recovers duration/tracks/codecs/geometry") {
+    val b = Multimodal.encodeMp4(7L, 640, 360, 12345L)
+    assert(Multimodal.parseMp4Meta(b) === Some((12345L, 2, "avc1,mp4a", 640, 360)))
+    // corrupt and truncated payloads hit the no-throw None contract
+    assert(Multimodal.parseMp4Meta(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.parseMp4Meta(b.take(b.length / 3)) === None)
+    // box order must not matter: moov not first (mdat-before-moov layout)
+    val ftypLen = {
+      val sz = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+        ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+      sz
+    }
+    assert(new String(b, 4, 4, "US-ASCII") === "ftyp")
+    val rest = b.drop(ftypLen)
+    // find the mdat box (last) and splice it before moov
+    val moovLen = ((rest(0) & 0xff) << 24) | ((rest(1) & 0xff) << 16) |
+      ((rest(2) & 0xff) << 8) | (rest(3) & 0xff)
+    val moov = rest.take(moovLen); val mdat = rest.drop(moovLen)
+    val reordered = b.take(ftypLen) ++ mdat ++ moov
+    assert(Multimodal.parseMp4Meta(reordered) === Some((12345L, 2, "avc1,mp4a", 640, 360)))
+  }
+
+  test("parseMp4Meta: version-1 mvhd/tkhd (64-bit times) parse identically") {
+    // hand-build a v1 moov: the synthesizer writes v0, so the v1 branch
+    // needs its own construction (what a modern muxer emits for long media)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, parts: Array[Byte]*) = {
+      val p = parts.flatten.toArray
+      be32(8L + p.length) ++ t.getBytes("US-ASCII") ++ p
+    }
+    val zeros = (n: Int) => new Array[Byte](n)
+    val mvhdV1 = box("mvhd", Array[Byte](1, 0, 0, 0),
+      be64(0), be64(0), be32(90000L), be64(90000L * 42), // 42 s at 90 kHz
+      be32(0x00010000L), zeros(2 + 2 + 8 + 36 + 24), be32(2))
+    val tkhdV1 = box("tkhd", Array[Byte](1, 0, 0, 7),
+      be64(0), be64(0), be32(1), zeros(4), be64(0),
+      zeros(8 + 2 + 2 + 2 + 2 + 36),
+      be32(1280L << 16), be32(720L << 16))
+    val trak = box("trak", tkhdV1,
+      box("mdia", box("minf", box("stbl",
+        box("stsd", zeros(4), be32(1), box("hvc1", zeros(6), zeros(2)))))))
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+      box("moov", mvhdV1, trak)
+    assert(Multimodal.parseMp4Meta(mp4) === Some((42000L, 1, "hvc1", 1280, 720)))
+  }
+
+  test("decodeVideoMeta: batched no-decode metadata stage with no-throw contract") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, "video/mp4", Multimodal.encodeMp4(1L, 320, 240, 5000L)),
+      MediaRow(2L, "video/mp4", Multimodal.encodeMp4(2L, 1920, 1080, 3600000L)),
+      MediaRow(9L, "video/mp4", Array[Byte](0, 0, 0, 0))))
+    val out = Multimodal.decodeVideoMeta(media).collect()
+      .map(v => v.id -> ((v.durationMs, v.tracks, v.codecs, v.width, v.height))).toMap
+    assert(out(1L) === ((5000L, 2, "avc1,mp4a", 320, 240)))
+    assert(out(2L) === ((3600000L, 2, "avc1,mp4a", 1920, 1080)))
+    assert(out(9L) === ((-1L, -1, "", -1, -1)))
+  }
+
   test("sampleFrames: 1:N explode, every-nth fixed slices, deterministic") {
     import spark.implicits._
     val payload = Array.tabulate[Byte](128)(_.toByte)
