@@ -52,13 +52,24 @@ object Plans {
       "q87_window_suite" ->
         "Three window functions, ONE sort per frame: lead and first_value share the (user_id | ts, event_id) Window node after a single hash exchange; percent_rank gets its own (event_type | value) frame. No global sort anywhere.",
       "q110_quality_constraints" ->
-        "Six data-quality constraints, ONE scan: every check compiles into the same aggregate pass (two distinct aggregates ride one Expand, not extra scans), then a one-row inline unpivot to the long report — adding a constraint never adds a table pass.")
+        "Six data-quality constraints, ONE scan: every check compiles into the same aggregate pass (two distinct aggregates ride one Expand, not extra scans), then a one-row inline unpivot to the long report — adding a constraint never adds a table pass.",
+      "W1_dedup_latest_lineage" ->
+        "Latest-version dedup (the q11/q40/ingest W1 kernel, dumped as its lineage): the max_by AGGREGATE form (round 8) — a partial aggregate BEFORE the key exchange keeps one row per key per map task, so a hot key ships #tasks rows to its reducer instead of every duplicate; the old row_number form had a Window after the exchange funneling the whole key through one task (measured 6.7x on a 50%-one-key shape, SCALE.md). No Window node anywhere; ReadSchema carries only the used columns.")
+    // W1 is special-cased: the gates run the dedup imperatively inside an
+    // ingest and return the read-back, so the interesting plan is the
+    // dedup LINEAGE itself, built here directly.
+    def buildDf(name: String): org.apache.spark.sql.DataFrame =
+      if (name == "W1_dedup_latest_lineage")
+        graft.ingest.Ingest.dedupLatest(
+          Tables.load(spark, dir, "events"),
+          Seq("user_id"), Some("ts"), Seq("event_id"))
+      else SparkEntry.queries(name)(spark, dir)
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append(s"Generated by `graft.Plans` on `$dir` (regenerate after planner-relevant\n")
     sb.append("changes). Annotations state what the plan must show to hold at 100 TB.\n")
     picks.foreach { case (name, note) =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      val df = buildDf(name)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n$note\n\n```\n")

@@ -180,7 +180,8 @@ object Pipeline {
     // them physically (the reference's post-ingest step), then the plain
     // read proves the collapsed table IS the golden final image
     graft.streaming.CdcStream.optimizeFinal(s, target, Seq("id"))
-    s.read.parquet(target).select("id", "nombre", "op", "ts_ms").orderBy("id")
+    graft.ingest.ManifestCommit.read(s, target)
+      .select("id", "nombre", "op", "ts_ms").orderBy("id")
   }
 
   /** §2.9/§7 schema drift — a column APPEARS mid-stream (Debezium emits

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.ingest.{Ingest, Maintenance}
+import graft.ingest.Ingest
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -34,12 +34,19 @@ object CdcStream {
     stream.select(current_timestamp().as("ingested_at"), col("value"))
 
   /** Snapshot bootstrap (snapshot.mode=initial): load the batch image as
-    * version 0 so any streamed change (ts_ms > 0) supersedes it. */
-  def bootstrap(spark: SparkSession, snapshot: DataFrame, targetDir: String): Unit =
+    * version 0 so any streamed change (ts_ms > 0) supersedes it. The
+    * image lands as generation 1 of a manifest-committed target, so the
+    * whole typed layer — bootstrap, per-batch delta parts, OPTIMIZE — is
+    * object-store-safe end to end (ManifestCommit scaladoc). */
+  def bootstrap(spark: SparkSession, snapshot: DataFrame, targetDir: String): Unit = {
+    val dataDir = graft.ingest.ManifestCommit.newDataDir(targetDir)
     snapshot
       .withColumn("op", lit("r"))
       .withColumn("ts_ms", lit(0L))
-      .write.mode(SaveMode.Overwrite).parquet(targetDir)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+    graft.ingest.ManifestCommit.commitReplace(spark, targetDir, Seq(dataDir))
+    ()
+  }
 
   /** INSERT one (micro-)batch of raw envelope values as a delta part of
     * the typed target: decode → clean → append. Deletes are dropped in
@@ -67,14 +74,21 @@ object CdcStream {
         val tombs = clean(CdcEnvelope.deletes(decoded).withColumn("op", lit("d")))
         ups.unionByName(tombs, allowMissingColumns = true)
       } else ups
-    delta.write.mode(SaveMode.Append).parquet(targetDir)
+    // INSERT = one manifest-committed delta dir per micro-batch: written
+    // invisibly, made live by one atomic manifest append — a crash mid-
+    // batch leaves the previous generation served and an orphan dir for
+    // pruneOrphans, never a torn table.
+    val dataDir = graft.ingest.ManifestCommit.newDataDir(targetDir)
+    delta.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    graft.ingest.ManifestCommit.commitAppend(spark, targetDir, dataDir)
+    ()
   }
 
   /** SELECT ... FINAL over the typed target: latest-per-key across all
     * parts (delete tombstones win ts_ms ties, as the newest-delete rule
     * requires), then tombstoned keys drop out. One PK-hash shuffle. */
   def finalView(spark: SparkSession, targetDir: String, pk: Seq[String]): DataFrame = {
-    val all = spark.read.option("mergeSchema", "true").parquet(targetDir)
+    val all = graft.ingest.ManifestCommit.read(spark, targetDir)
     val tagged = all.withColumn("__del",
       when(col("op") === "d", lit(1)).otherwise(lit(0)))
     Ingest.dedupLatest(tagged, pk, Some("ts_ms"), tieBreak = Seq("__del"))
@@ -83,13 +97,15 @@ object CdcStream {
   }
 
   /** OPTIMIZE FINAL: physically collapse the parts (and purge
-    * tombstones) via atomic staging swap. Scheduled maintenance — the
+    * tombstones) into one generation via an atomic manifest replace.
+    * Scheduled maintenance — the
     * reference runs it post-ingest (tools/ingest_runner.py:1782-1787). */
   def optimizeFinal(spark: SparkSession, targetDir: String, pk: Seq[String]): Unit = {
-    val staging = targetDir + "__staging"
+    val dataDir = graft.ingest.ManifestCommit.newDataDir(targetDir)
     finalView(spark, targetDir, pk)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    Maintenance.stagingSwap(spark, staging, targetDir)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+    graft.ingest.ManifestCommit.commitReplace(spark, targetDir, Seq(dataDir))
+    ()
   }
 
   /** The typed-layer streaming query: checkpointed foreachBatch upsert.

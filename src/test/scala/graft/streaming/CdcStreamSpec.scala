@@ -97,7 +97,7 @@ class CdcStreamSpec extends SparkSpec {
     // OPTIMIZE FINAL purges the collapsed duplicates AND the tombstones
     // physically — the plain read then shows exactly one survivor
     CdcStream.optimizeFinal(spark, target, Seq("id"))
-    val rows = spark.read.parquet(target).collect()
+    val rows = graft.ingest.ManifestCommit.read(spark, target).collect()
     assert(rows.length === 1, s"expected exactly one survivor, got ${rows.toSeq}")
   }
 
@@ -169,7 +169,7 @@ class CdcStreamSpec extends SparkSpec {
       spark.readStream.text(src), schemaWithDate, Seq("id"), target, ckpt,
       applyDeletes = false, cleanMeta = Some(meta))
     q.awaitTermination()
-    val rows = spark.read.parquet(target).collect()
+    val rows = graft.ingest.ManifestCommit.read(spark, target).collect()
       .map(r => r.getAs[Long]("id") -> Option(r.getAs[java.sql.Timestamp]("fecha"))).toMap
     assert(rows(1L).isEmpty) // zero-date -> NULL, typed as timestamp
     assert(rows(2L).exists(_.toString.startsWith("2021-03-15")))
