@@ -21,7 +21,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout of a manifest-committed table root:
   * {{{
-  *   root/_manifest            # "<gen>\n<dirName>\n<dirName>..."
+  *   root/_manifest            # pointer: "<gen>\n<dirName>\n<dirName>..."
+  *   root/_manifest.g<N>       # immutable per-generation snapshot (time travel)
   *   root/data_<uuid>/         # immutable part directories
   * }}}
   *
@@ -30,6 +31,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * delta dir to the live set (the ReplacingMergeTree INSERT analogue).
   * Displaced/orphaned dirs are pruned by `pruneOrphans` with the same
   * newest-mtime in-flight guard as `Maintenance.vacuumScratch`.
+  *
+  * Time travel: every commit also records an immutable `_manifest.g<N>`
+  * snapshot; with `pruneDisplaced = false` the displaced data dirs stay
+  * on disk, so `readAt(root, gen)` reconstructs any retained generation
+  * exactly (the Iceberg/Delta snapshot-read shape, from the public
+  * table-format designs). `expireSnapshots(keepLast)` is the retention
+  * half: drop old snapshot files and the data dirs only they reference.
   */
 object ManifestCommit {
 
@@ -42,15 +50,11 @@ object ManifestCommit {
 
   private def manifestPath(root: String) = new Path(root, ManifestFile)
 
-  /** A fresh, uniquely-named data directory under `root`. The writer owns
-    * it exclusively (UUID), so the write needs no locking; the dir is
-    * invisible to readers until a commit names it. */
-  def newDataDir(root: String): String =
-    s"$root/data_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+  private def snapshotPath(root: String, gen: Long) =
+    new Path(root, s"$ManifestFile.g$gen")
 
-  def readManifest(spark: SparkSession, root: String): Option[Manifest] = {
+  private def parseManifest(spark: SparkSession, root: String, p: Path): Option[Manifest] = {
     val f = fs(spark, root)
-    val p = manifestPath(root)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
@@ -60,6 +64,34 @@ object ManifestCommit {
       val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
       Some(Manifest(lines.head.toLong, lines.tail.toSeq))
     }
+  }
+
+  /** A fresh, uniquely-named data directory under `root`. The writer owns
+    * it exclusively (UUID), so the write needs no locking; the dir is
+    * invisible to readers until a commit names it. */
+  def newDataDir(root: String): String =
+    s"$root/data_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+
+  def readManifest(spark: SparkSession, root: String): Option[Manifest] =
+    parseManifest(spark, root, manifestPath(root))
+
+  /** The historical manifest of generation `gen`, if its snapshot is
+    * still retained (see `expireSnapshots`). */
+  def readManifestAt(spark: SparkSession, root: String, gen: Long): Option[Manifest] =
+    parseManifest(spark, root, snapshotPath(root, gen))
+
+  /** Retained snapshot generations, ascending. Snapshots newer than the
+    * pointer (a stale file from a crashed commit) are excluded — only
+    * generations that actually committed are visible history. */
+  def snapshotGens(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val rootP = new Path(root)
+    if (!f.exists(rootP)) return Nil
+    val current = readManifest(spark, root).map(_.gen).getOrElse(return Nil)
+    f.listStatus(rootP).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(ManifestFile + ".g"))
+      .flatMap(n => scala.util.Try(n.stripPrefix(ManifestFile + ".g").toLong).toOption)
+      .filter(_ <= current).sorted
   }
 
   /** True when `path` is a manifest-committed table root. */
@@ -81,6 +113,19 @@ object ManifestCommit {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(resolvePaths(spark, path): _*)
 
+  /** Time travel: read the table exactly as generation `gen` committed
+    * it. Only valid while the snapshot is retained (the table must be
+    * committed with `pruneDisplaced = false` / appends, and `gen` not yet
+    * expired) — data dirs are immutable, so a retained generation is
+    * byte-identical to what its readers saw at commit time. */
+  def readAt(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val m = readManifestAt(spark, path, gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"generation $gen of $path is not retained (expired or never committed)"))
+    spark.read.option("mergeSchema", "true")
+      .parquet(m.dirs.map(d => s"$path/$d"): _*)
+  }
+
   /** Atomically (re)write the manifest. The content is staged to a
     * dot-file and moved over `_manifest` with FileContext OVERWRITE
     * rename — a single-file atomic replace on local/HDFS. On an object
@@ -88,19 +133,31 @@ object ManifestCommit {
     * object-store deployment swaps this implementation in; everything
     * else — immutable dirs, resolve-through-manifest — is already
     * store-safe because no data object is ever renamed or overwritten). */
-  private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+  private def writeFileAtomic(spark: SparkSession, root: String, dest: Path,
+      content: String): Unit = {
     val f = fs(spark, root)
     val rootP = new Path(root)
     if (!f.exists(rootP)) f.mkdirs(rootP)
     val tmp = new Path(root,
       s"._manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    try out.write((m.gen + "\n" + m.dirs.mkString("\n"))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = FileContext.getFileContext(rootP.toUri,
       spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, manifestPath(root), Options.Rename.OVERWRITE)
+    fc.rename(tmp, dest, Options.Rename.OVERWRITE)
+  }
+
+  /** Every commit also writes an immutable per-generation snapshot file
+    * `_manifest.g<gen>` BEFORE swapping the `_manifest` pointer — this is
+    * what `readAt`/time travel resolves. The snapshot lands first so a
+    * crash between the two writes leaves a stale gen-N snapshot that the
+    * next successful commit of gen N simply overwrites; the pointer (the
+    * single commit point) never references a missing snapshot. */
+  private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val content = m.gen + "\n" + m.dirs.mkString("\n")
+    writeFileAtomic(spark, root, snapshotPath(root, m.gen), content)
+    writeFileAtomic(spark, root, manifestPath(root), content)
   }
 
   /** Staging-swap analogue: install `dirs` (relative names under `root`)
@@ -117,12 +174,43 @@ object ManifestCommit {
     val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names)
     writeManifest(spark, root, m)
     if (pruneDisplaced) {
+      // eager-prune mode: displaced dirs go away, so the older snapshots
+      // that reference them would dangle — expire them in the same breath
+      // (pruneDisplaced = false is the time-travel mode that keeps both)
       val f = fs(spark, root)
       prev.foreach(_.dirs.filterNot(names.contains).foreach { d =>
         f.delete(new Path(root, d), true)
       })
+      snapshotGens(spark, root).filter(_ < m.gen).foreach { g =>
+        f.delete(snapshotPath(root, g), false)
+      }
     }
     m
+  }
+
+  /** Snapshot retention: keep the newest `keepLast` generations (always
+    * including the current pointer), delete older snapshot files, then
+    * delete data dirs referenced ONLY by the expired generations. Dirs in
+    * any retained generation survive; dirs in NO generation (an in-flight
+    * writer's uncommitted dir) are not this method's business — that is
+    * `pruneOrphans`' freshness-guarded job. Returns deleted paths. */
+  def expireSnapshots(spark: SparkSession, root: String,
+      keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the current generation")
+    val gens = snapshotGens(spark, root)
+    if (gens.isEmpty) return Nil
+    val (expired, kept) = gens.splitAt(math.max(0, gens.size - keepLast))
+    if (expired.isEmpty) return Nil
+    val keptDirs = kept.flatMap(g => readManifestAt(spark, root, g))
+      .flatMap(_.dirs).toSet ++
+      readManifest(spark, root).map(_.dirs.toSet).getOrElse(Set.empty)
+    val f = fs(spark, root)
+    val deadDirs = expired.flatMap(g => readManifestAt(spark, root, g))
+      .flatMap(_.dirs).distinct.filterNot(keptDirs.contains)
+    val deleted =
+      expired.map(g => snapshotPath(root, g)) ++ deadDirs.map(new Path(root, _))
+    deleted.foreach(p => f.delete(p, true))
+    deleted.map(_.toString)
   }
 
   /** ReplacingMergeTree INSERT analogue: add one delta dir to the live
@@ -146,7 +234,11 @@ object ManifestCommit {
     val f = fs(spark, root)
     val rootP = new Path(root)
     if (!f.exists(rootP)) return Nil
-    val live = readManifest(spark, root).map(_.dirs.toSet).getOrElse(Set.empty)
+    // live = current generation plus every retained historical snapshot —
+    // a time-travel table's old generations are reachable, not orphans
+    val live = readManifest(spark, root).map(_.dirs.toSet).getOrElse(Set.empty) ++
+      snapshotGens(spark, root)
+        .flatMap(g => readManifestAt(spark, root, g)).flatMap(_.dirs)
     val cutoff = System.currentTimeMillis() - minAgeMs
     def newestMtime(p: Path): Long = {
       var newest = f.getFileStatus(p).getModificationTime

@@ -815,6 +815,57 @@ object Pipeline {
         count(when(col("a_ts").isNull, 1)).as("n_null"))
   }
 
+  /** q117 — snapshot time travel + retention over the manifest-committed
+    * table format (`ManifestCommit` scaladoc; the reference's deployment
+    * gets swap atomicity from ClickHouse `RENAME TABLE`,
+    * tools/ingest_runner.py:1529-1592 — snapshots are the lakehouse
+    * extension of that design, public Iceberg/Delta shape). Three
+    * generations of `orders` are committed (replace F-status, append
+    * O-status, replace with P-status); each generation is then read back
+    * via `readAt` and summarized with integer-exact stats (count +
+    * sum(o_orderkey) — no float aggregation, bit-deterministic), after
+    * which `expireSnapshots(keepLast=1)` reclaims history and the gate
+    * pins exactly which generations survive. The per-generation stats are
+    * collected eagerly (three one-row aggregates — bounded driver reads)
+    * BEFORE retention deletes the dirs a lazy plan would still reference. */
+  val q117_time_travel = Q(
+    "q117_time_travel",
+    """WITH f AS (SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ksum
+      |  FROM orders WHERE o_orderstatus = 'F'),
+      |o AS (SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ksum
+      |  FROM orders WHERE o_orderstatus = 'O'),
+      |p AS (SELECT count(*) AS n, CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS ksum
+      |  FROM orders WHERE o_orderstatus = 'P')
+      |SELECT 1 AS gen, f.n AS n_rows, f.ksum AS key_sum,
+      |  FALSE AS retained_after_expire FROM f
+      |UNION ALL SELECT 2, f.n + o.n, f.ksum + o.ksum, FALSE FROM f, o
+      |UNION ALL SELECT 3, p.n, p.ksum, TRUE FROM p""".stripMargin) { (s, dir) =>
+    import graft.ingest.ManifestCommit
+    val out = tmpDir("graft_q117_")
+    val root = s"$out/orders"
+    val orders = Tables.load(s, dir, "orders")
+    def commitStatus(status: String, replace: Boolean): Unit = {
+      val d = ManifestCommit.newDataDir(root)
+      orders.filter(col("o_orderstatus") === status).write.parquet(d)
+      if (replace) ManifestCommit.commitReplace(s, root, Seq(d), pruneDisplaced = false)
+      else ManifestCommit.commitAppend(s, root, d)
+    }
+    commitStatus("F", replace = true)  // gen 1
+    commitStatus("O", replace = false) // gen 2 = gen 1 + delta
+    commitStatus("P", replace = true)  // gen 3 displaces both
+    val stats = Seq(1, 2, 3).map { g =>
+      val r = ManifestCommit.readAt(s, root, g.toLong)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("k"))
+        .collect()(0)
+      (g, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    ManifestCommit.expireSnapshots(s, root, keepLast = 1)
+    val retained = ManifestCommit.snapshotGens(s, root).toSet
+    import s.implicits._
+    stats.map { case (g, n, k) => (g, n, k, retained.contains(g.toLong)) }
+      .toDF("gen", "n_rows", "key_sum", "retained_after_expire")
+  }
+
   /** q110 — Deequ-style declarative constraint suite over `lineitem`,
     * ALL checks evaluated in ONE aggregate pass (single scan + single
     * partial/final combine — the reference's per-table post-ingest
@@ -939,5 +990,6 @@ object Pipeline {
     q53_batch_sessions, q54_catalog_profile, q55_asof_join, q56_range_join,
     q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
     q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints,
-    q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join)
+    q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join,
+    q117_time_travel)
 }

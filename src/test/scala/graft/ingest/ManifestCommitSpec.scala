@@ -77,6 +77,75 @@ class ManifestCommitSpec extends SparkSpec {
     assert(idsOf(root) === Set(1L), "live generation untouched by prune")
   }
 
+  test("time travel: readAt reconstructs a retained generation exactly") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val g1 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"), Row(2L, "b"))(g1)
+    ManifestCommit.commitReplace(spark, root, Seq(g1), pruneDisplaced = false)
+    val d2 = ManifestCommit.newDataDir(root)
+    write(Row(3L, "c"))(d2)
+    ManifestCommit.commitAppend(spark, root, d2)
+    val g3 = ManifestCommit.newDataDir(root)
+    write(Row(9L, "z"))(g3)
+    ManifestCommit.commitReplace(spark, root, Seq(g3), pruneDisplaced = false)
+    assert(ManifestCommit.snapshotGens(spark, root) === Seq(1L, 2L, 3L))
+    def idsAt(g: Long): Set[Long] =
+      ManifestCommit.readAt(spark, root, g).collect().map(_.getLong(0)).toSet
+    assert(idsAt(1L) === Set(1L, 2L), "gen 1 as committed")
+    assert(idsAt(2L) === Set(1L, 2L, 3L), "gen 2 = gen 1 + append")
+    assert(idsAt(3L) === Set(9L), "gen 3 is the replacement")
+    assert(idsOf(root) === Set(9L), "pointer reads the current generation")
+  }
+
+  test("expireSnapshots keeps the newest N, reclaims exclusively-referenced dirs") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val g1 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"))(g1)
+    ManifestCommit.commitReplace(spark, root, Seq(g1), pruneDisplaced = false)
+    val d2 = ManifestCommit.newDataDir(root)
+    write(Row(2L, "b"))(d2)
+    ManifestCommit.commitAppend(spark, root, d2) // gen 2 = {g1, d2}
+    val g3 = ManifestCommit.newDataDir(root)
+    write(Row(9L, "z"))(g3)
+    ManifestCommit.commitReplace(spark, root, Seq(g3), pruneDisplaced = false)
+    // an in-flight uncommitted writer dir must NOT be expire's business
+    val inflight = ManifestCommit.newDataDir(root)
+    write(Row(7L, "w"))(inflight)
+    val deleted = ManifestCommit.expireSnapshots(spark, root, keepLast = 1)
+    // gens 1,2 expired; g1+d2 referenced only by them → reclaimed
+    assert(ManifestCommit.snapshotGens(spark, root) === Seq(3L))
+    assert(ManifestCommit.readManifestAt(spark, root, 1L).isEmpty)
+    assert(!Maintenance.exists(spark, g1) && !Maintenance.exists(spark, d2))
+    assert(Maintenance.exists(spark, g3), "current generation data retained")
+    assert(Maintenance.exists(spark, inflight), "uncommitted writer dir untouched")
+    assert(deleted.size === 4) // 2 snapshot files + 2 data dirs
+    assert(idsOf(root) === Set(9L))
+    assert(intercept[IllegalArgumentException](
+      ManifestCommit.readAt(spark, root, 1L)).getMessage.contains("not retained"))
+  }
+
+  test("pruneOrphans spares dirs reachable only through retained history") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val g1 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"))(g1)
+    ManifestCommit.commitReplace(spark, root, Seq(g1), pruneDisplaced = false)
+    val g2 = ManifestCommit.newDataDir(root)
+    write(Row(2L, "b"))(g2)
+    ManifestCommit.commitReplace(spark, root, Seq(g2), pruneDisplaced = false)
+    // age everything past the guard: g1 is still NOT an orphan — gen 1's
+    // retained snapshot references it
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 3600 * 1000L
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(root), true)
+    while (it.hasNext) f.setTimes(it.next().getPath, old, -1)
+    for (st <- f.listStatus(new org.apache.hadoop.fs.Path(root)))
+      f.setTimes(st.getPath, old, -1)
+    assert(ManifestCommit.pruneOrphans(spark, root).isEmpty)
+    assert(ManifestCommit.readAt(spark, root, 1L).collect().map(_.getLong(0)).toSet
+      === Set(1L))
+  }
+
   test("resolve falls through for plain parquet dirs (non-manifest readers unaffected)") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/plain"
     write(Row(5L, "p"))(root)
