@@ -815,6 +815,71 @@ object Pipeline {
         count(when(col("a_ts").isNull, 1)).as("n_null"))
   }
 
+  /** q118 — stream-stream FULL OUTER interval join, completing the outer
+    * family (left q112, right q116): matched purchase×click pairs, plus
+    * a null-click row per unmatched purchase once the watermark passes
+    * its horizon (a_ts, per q112), plus a null-purchase row per
+    * unmatched click past ITS horizon (b_ts + 10min, per q116). The
+    * oracle is the union of both pinned emission contracts — each side's
+    * null set was already verified per-row against the engine in its
+    * one-sided gate, and the full-outer form must reproduce both at
+    * once under the same final watermark wm = min(max a_ts, max b_ts)
+    * - 1h. Same state bounds as q81/q112/q116: the interval condition
+    * gives every row of BOTH sides an eviction horizon; full-outer adds
+    * emit-on-evict to each side, never extra state. */
+  val q118_stream_full_outer_join = Q(
+    "q118_stream_full_outer_join",
+    """WITH p AS (SELECT user_id, ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |wm AS (SELECT least((SELECT max(epoch_ms(ts)) FROM p),
+      |                    (SELECT max(epoch_ms(ts)) FROM c)) - 3600000 AS w),
+      |em AS (
+      |  SELECT a.user_id, 1 AS matched, 0 AS null_click, 0 AS null_purchase
+      |  FROM p a JOIN c b
+      |    ON b.user_id = a.user_id
+      |    AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts
+      |  UNION ALL
+      |  SELECT a.user_id, 0, 1, 0 FROM p a, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM c b WHERE b.user_id = a.user_id
+      |      AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts)
+      |    AND epoch_ms(a.ts) < wm.w
+      |  UNION ALL
+      |  SELECT b.user_id, 0, 0, 1 FROM c b, wm
+      |  WHERE NOT EXISTS (SELECT 1 FROM p a WHERE a.user_id = b.user_id
+      |      AND b.ts >= a.ts - INTERVAL 10 MINUTE AND b.ts < a.ts)
+      |    AND epoch_ms(b.ts) + 600000 < wm.w)
+      |SELECT user_id, CAST(sum(matched) AS BIGINT) AS n_pairs,
+      |  CAST(sum(null_click) AS BIGINT) AS n_null_click,
+      |  CAST(sum(null_purchase) AS BIGINT) AS n_null_purchase
+      |FROM em GROUP BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = eventsStreamFactory(streamingSession(s), dir)
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", "1 hour")
+    val clicks = stream().filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("a_user = user_id AND b_ts >= a_ts - INTERVAL 10 MINUTES AND b_ts < a_ts"),
+      "fullOuter")
+    val out = tmpDir("graft_q118_out_")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$out/pairs")
+      .option("checkpointLocation", tmpDir("graft_q118_ckpt_"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/pairs")
+      .groupBy(coalesce(col("a_user"), col("user_id")).as("user_id"))
+      .agg(count(when(col("a_ts").isNotNull && col("b_ts").isNotNull, 1)).as("n_pairs"),
+        count(when(col("a_ts").isNotNull && col("b_ts").isNull, 1)).as("n_null_click"),
+        count(when(col("a_ts").isNull, 1)).as("n_null_purchase"))
+  }
+
   /** q117 — snapshot time travel + retention over the manifest-committed
     * table format (`ManifestCommit` scaladoc; the reference's deployment
     * gets swap atomicity from ClickHouse `RENAME TABLE`,
@@ -991,5 +1056,5 @@ object Pipeline {
     q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
     q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints,
     q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join,
-    q117_time_travel)
+    q117_time_travel, q118_stream_full_outer_join)
 }
