@@ -38,6 +38,20 @@ final case class PqCodebookTables(
   def m: Int = subs.length
 }
 
+/** A center-then-rotate linear map (the PCA projection) as ONE broadcast
+  * payload: y_r = Σ_j rows(r)(j) · (x_j − means(j)). Same plan-size
+  * discipline as [[CentroidMatrix]]: the matrix ships via torrent
+  * broadcast once per executor, the expression holds only the handle —
+  * O(1) plan size in k·dim (a 1024→256 projection is 256k doubles, far
+  * past any sane `typedLit` plan). */
+final case class RotationMatrix(means: Array[Double], rows: Array[Array[Double]])
+    extends Serializable {
+  require(rows.forall(_.length == means.length),
+    "every rotation row must have the input dimension")
+  def k: Int = rows.length
+  def dim: Int = means.length
+}
+
 object PqCodebookTables {
   def fromCodebooks(codebooks: Seq[CentroidMatrix]): PqCodebookTables = {
     require(codebooks.nonEmpty, "PqCodebookTables: no codebooks")
@@ -95,6 +109,35 @@ object CentroidOpsUtil {
   private def before(d1: Double, c1: Long, d2: Double, c2: Long): Boolean = {
     val cmp = java.lang.Double.compare(d1, d2)
     cmp < 0 || (cmp == 0 && c1 < c2)
+  }
+
+  /** y = R(x − μ): sequential per-row dot products, exact IEEE doubles in
+    * fixed j = 0..dim-1 order (deterministic bit-for-bit). Null ⇔ a null
+    * element or an input/matrix dimension mismatch. */
+  def project(v: ArrayData, rm: RotationMatrix): Array[Double] = {
+    val n = v.numElements()
+    if (n != rm.dim) return null
+    val centered = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      if (v.isNullAt(j)) return null
+      centered(j) = v.getDouble(j) - rm.means(j)
+      j += 1
+    }
+    val out = new Array[Double](rm.k)
+    var r = 0
+    while (r < rm.k) {
+      val row = rm.rows(r)
+      var acc = 0.0d
+      j = 0
+      while (j < n) {
+        acc += row(j) * centered(j)
+        j += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    out
   }
 
   /** cids of the `keep` nearest centroids by (l2sq, cid) ascending — the
@@ -182,6 +225,39 @@ case class NearestCentroids(child: Expression, bcast: Broadcast[CentroidMatrix],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** array<double> projection of an array<double> vector through a broadcast
+  * [[RotationMatrix]] — the PCA / OPQ-rotation application kernel. Same
+  * broadcast-handle plan discipline as [[NearestCentroids]]; the
+  * center-and-rotate fold is a codegen'd primitive loop. */
+case class ProjectVector(child: Expression, bcast: Broadcast[RotationMatrix])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "project_vector"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = CentroidOpsUtil.project(input.asInstanceOf[ArrayData], bcast.value)
+    if (r == null) null else new GenericArrayData(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rotationBcast", bcast,
+      classOf[Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("proj")
+      s"""
+         |double[] $arr = graft.functions.CentroidOpsUtil.project($c,
+         |  (graft.functions.RotationMatrix) $ref.value());
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProjectVector =
     copy(child = newChild)
 }
 

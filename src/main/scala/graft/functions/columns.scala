@@ -31,6 +31,12 @@ object columns {
       bcast: org.apache.spark.broadcast.Broadcast[CentroidMatrix],
       keep: Int): Column =
     ColumnBridge.column(NearestCentroids(vec(v), bcast, keep))
+  /** Center-then-rotate projection through a broadcast RotationMatrix
+    * (PCA application kernel). */
+  def projectVector(v: Column,
+      bcast: org.apache.spark.broadcast.Broadcast[RotationMatrix]): Column =
+    ColumnBridge.column(ProjectVector(vec(v), bcast))
+
   /** PQ asymmetric-distance score: query vector × array of m codes
     * against broadcast codebook tables. */
   def adcScore(qv: Column, codes: Column,

@@ -1455,6 +1455,99 @@ object LlmData {
       .orderBy("lang")
   }
 
+  /** q119 — PCA trainer invariants over the embeddings corpus: one
+    * decimal-exact moment pass (order-free, partitioning-independent —
+    * `Pca` scaladoc) + driver Jacobi, then the gate asserts, per top-4
+    * component, the properties that define a correct PCA: unit-norm
+    * axes, mutual orthogonality, DISTRIBUTED projected variance equal to
+    * the eigenvalue (the corpus-side check that ties the driver's
+    * eigensolver back to the data), eigenvalues descending, and trace
+    * preservation (Σλ = total variance). The oracle pins the invariants
+    * plus the live corpus count — sf-independent by construction. */
+  val q119_pca_train = Q(
+    "q119_pca_train",
+    """SELECT c.component, (SELECT count(*) FROM embeddings) AS n_vectors,
+      |  TRUE AS ok_unit, TRUE AS ok_ortho, TRUE AS ok_var_match,
+      |  TRUE AS ok_monotone, TRUE AS ok_trace
+      |FROM (VALUES (1), (2), (3), (4)) AS c(component)""".stripMargin) { (s, dir) =>
+    import graft.ops.Pca
+    val emb = Tables.load(s, dir, "embeddings")
+    val model = Pca.train(emb, "embedding", 64)
+    val kc = 4
+    // distributed second-moment check: variance of each projected
+    // coordinate, decimal-exact (same arithmetic family as the trainer)
+    val proj = Pca.project(emb, "embedding", model, kc, "y")
+    val varRows = proj
+      .select(posexplode(col("y")).as(Seq("k", "yk")))
+      .groupBy("k")
+      .agg((sum(expr("CAST(yk * yk AS DECIMAL(30,15))")).cast("double")
+          / count(lit(1))
+        - org.apache.spark.sql.functions.pow(
+          sum(expr("CAST(yk AS DECIMAL(30,15))")).cast("double")
+            / count(lit(1)), 2)).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    def relEq(a: Double, b: Double, tol: Double): Boolean =
+      math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    // Σλ vs the pre-diagonalization covariance trace: a NON-circular
+    // check that the Jacobi sweep preserved total variance
+    val okTrace = relEq(model.eigenvalues.sum, model.covTrace, 1e-9)
+    val rows = (0 until kc).map { k =>
+      val row = model.components(k)
+      val unit = relEq(row.map(x => x * x).sum, 1.0, 1e-9)
+      val ortho = (0 until k).forall { j =>
+        math.abs(row.zip(model.components(j)).map { case (a, b) => a * b }.sum) < 1e-9
+      }
+      val varMatch = relEq(varRows(k), model.eigenvalues(k), 1e-6)
+      val monotone = k + 1 >= model.eigenvalues.length ||
+        model.eigenvalues(k) >= model.eigenvalues(k + 1)
+      (k + 1, model.n, unit, ortho, varMatch, monotone, okTrace)
+    }
+    import s.implicits._
+    rows.toDF("component", "n_vectors", "ok_unit", "ok_ortho",
+      "ok_var_match", "ok_monotone", "ok_trace")
+  }
+
+  /** q120 — rotation-preserves-geometry, the gate that pins the PCA
+    * rotation against a LIVE oracle with no access to the eigenvectors:
+    * a full-d (64-component) PCA projection is an orthonormal map plus a
+    * translation, so exact L2 top-k in the PROJECTED space must equal
+    * DuckDB's exact L2 top-k computed in the ORIGINAL space. Distances
+    * are rounded to 6 dp before ranking on both sides so the ~1e-13
+    * float discrepancy between the two spaces can't flip a near-tie
+    * (rank ties then break by nid on both engines). This is the
+    * OPQ-style composition surface: `Pca.project` feeding the same
+    * (qid, rank, nid) contract every ANN gate uses — downstream PQ
+    * consumes the rotated vectors unchanged. */
+  val q120_pca_rotation_ann = Q(
+    "q120_pca_rotation_ann",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |s AS (SELECT qid, vec_id AS nid,
+      |    round(list_sum(list_transform(range(0, 64), i ->
+      |      (qv[i+1] - v[i+1]) * (qv[i+1] - v[i+1]))), 6) AS d2
+      |  FROM q CROSS JOIN e WHERE vec_id != qid)
+      |SELECT qid, rank, nid FROM (
+      |  SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS rank
+      |  FROM s) WHERE rank <= 10""".stripMargin) { (s, dir) =>
+    import graft.ops.Pca
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.load(s, dir, "embeddings")
+    val model = Pca.train(emb, "embedding", 64)
+    val proj = Pca.project(emb, "embedding", model, 64, "pv")
+      .select(col("vec_id"), col("pv"))
+    val q = broadcast(proj.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("pv").as("qv")))
+    val scored = proj.select(col("vec_id").as("nid"), col("pv").as("nv"))
+      .join(q, col("nid") =!= col("qid"))
+      .withColumn("d2",
+        round(graft.functions.columns.l2Squared(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
   val all: Seq[Q] = Seq(
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
@@ -1466,5 +1559,6 @@ object LlmData {
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
     q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames,
-    q109_bpe_apply, q111_ann_recall, q114_ann_recall_curve, q115_mp4_metadata)
+    q109_bpe_apply, q111_ann_recall, q114_ann_recall_curve, q115_mp4_metadata,
+    q119_pca_train, q120_pca_rotation_ann)
 }
