@@ -17,6 +17,27 @@ object Bench {
     n => { val p = pref.getOrElse(n, n); if (dup(p)) n else p }
   }
 
+  /** Compose the stdout contract line WITHIN the parent's ~2000-char tail
+    * budget, degrading gracefully instead of letting the parent truncate
+    * mid-JSON (a truncated line = no bench evidence at all, the r1-r4
+    * failure mode). Preference order: full form → drop the med_outliers
+    * map (the full median map is on the stderr diag line regardless;
+    * med_more keeps the count) → 1-decimal per-query values. Errors are
+    * capped at 3 entries on stdout (full list on stderr) so a mass-
+    * failure run can't blow the budget either. */
+  def composeLine(totalS: String, medianS: String, qs2: String, qs1: String,
+      failed: Int, errJson: String, medShown: String, medMore: Int,
+      medCount: Int, sfName: String, budget: Int = 1900): String = {
+    def line(q: String, med: String, more: Int) =
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$q,"failed":$failed,"errors":$errJson,"median_total":$medianS,"med_outliers":$med,"med_more":$more,"sf":"$sfName"}"""
+    val full = line(qs2, medShown, medMore)
+    if (full.length <= budget) full
+    else {
+      val noMed = line(qs2, "{}", medCount)
+      if (noMed.length <= budget) noMed else line(qs1, "{}", medCount)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv("graft-bench")
@@ -126,7 +147,11 @@ object Bench {
       .sortBy { case (n, med) => minOf(n) - med } // most-divergent first
     val medShown = jmap(medOutliers.take(4).map { case (n, v) => shortOf(n) -> v }, fmt2)
     val medMore = math.max(0, medOutliers.size - 4)
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    // stdout errors: at most 3, 80 chars each (budget); full list → stderr
+    val errJson = errors.take(3)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.take(80) + "\"" }
+      .mkString("{", ",", "}")
+    val errFullJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map { case (_, v) => math.abs(v) }.sum
     val medianTotal = medSecs.map(_._2).sum
@@ -137,12 +162,15 @@ object Bench {
     // go to STDERR: the stdout JSON line is parsed by a parent process
     // whose line buffer is finite — keep it to the contract fields only.
     System.err.println(
-      s"""[bench-diag] {"task_sec":$taskJson,"cold_sec":$coldJson,"med_sec":$medJson,"reps":$reps}""")
+      s"""[bench-diag] {"task_sec":$taskJson,"cold_sec":$coldJson,"med_sec":$medJson,"errors":$errFullJson,"reps":$reps}""")
     // sf is the directory BASENAME (e.g. "sf0.1") — the full path spends
     // ~20 chars of the tail budget on redundancy
     val sfName = new java.io.File(sfDir).getName
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":${errors.size},"errors":$errJson,"median_total":${fmt(medianTotal)},"med_outliers":$medShown,"med_more":$medMore,"sf":"$sfName"}""")
+    val qs1 = jmap(results.map { case (n, v) =>
+      shortOf(n) -> (if (v < 0) math.min(v, -0.1) else v) },
+      v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
+    println(composeLine(fmt(total), fmt(medianTotal), qs, qs1,
+      errors.size, errJson, medShown, medMore, medOutliers.size, sfName))
     GraftTmp.purge()
     spark.stop()
   }

@@ -43,7 +43,47 @@ object ManifestCommit {
 
   val ManifestFile = "_manifest"
 
-  final case class Manifest(gen: Long, dirs: Seq[String])
+  /** Commit-time column statistics for one data dir: `kind` is "num"
+    * (compare as BigDecimal) or "str" (compare lexicographically — ISO
+    * dates/timestamps order correctly as strings). The data-skipping
+    * read path prunes a dir when its [min, max] cannot overlap the
+    * queried range — the Iceberg/Delta file-skipping idea at dir
+    * granularity, which is what saves the object-store LIST + scan. */
+  final case class ColStats(col: String, kind: String, min: String, max: String) {
+    def overlaps(lo: Option[String], hi: Option[String]): Boolean = {
+      def le(a: String, b: String): Boolean =
+        if (kind == "num") new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) <= 0
+        else a <= b
+      lo.forall(l => le(l, max)) && hi.forall(h => le(min, h))
+    }
+  }
+
+  final case class Manifest(gen: Long, dirs: Seq[String],
+      stats: Map[String, Seq[ColStats]] = Map.empty)
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** One dir per line: `<name>` or `<name>\t<col:kind:min:max,...>` with
+    * percent-encoded fields — old manifests (no tab) parse with empty
+    * stats, so the format is back-compatible. */
+  private def renderDirLine(m: Manifest)(d: String): String =
+    m.stats.get(d).filter(_.nonEmpty) match {
+      case Some(cs) => d + "\t" + cs.map(c =>
+        Seq(c.col, c.kind, c.min, c.max).map(enc).mkString(":")).mkString(",")
+      case None => d
+    }
+
+  private def parseDirLine(line: String): (String, Seq[ColStats]) =
+    line.split('\t') match {
+      case Array(d) => (d, Nil)
+      case Array(d, cs) => (d, cs.split(',').toSeq.map { s =>
+        val Array(c, k, mn, mx) = s.split(':')
+        ColStats(dec(c), dec(k), dec(mn), dec(mx))
+      })
+    }
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -61,8 +101,10 @@ object ManifestCommit {
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val lines = text.split("\n").map(_.trim).filter(_.nonEmpty)
-      Some(Manifest(lines.head.toLong, lines.tail.toSeq))
+      val lines = text.split("\n").map(_.stripLineEnd).filter(_.trim.nonEmpty)
+      val parsed = lines.tail.toSeq.map(parseDirLine)
+      Some(Manifest(lines.head.trim.toLong, parsed.map(_._1),
+        parsed.filter(_._2.nonEmpty).toMap))
     }
   }
 
@@ -155,7 +197,7 @@ object ManifestCommit {
     * next successful commit of gen N simply overwrites; the pointer (the
     * single commit point) never references a missing snapshot. */
   private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
-    val content = m.gen + "\n" + m.dirs.mkString("\n")
+    val content = m.gen + "\n" + m.dirs.map(renderDirLine(m)).mkString("\n")
     writeFileAtomic(spark, root, snapshotPath(root, m.gen), content)
     writeFileAtomic(spark, root, manifestPath(root), content)
   }
@@ -168,10 +210,14 @@ object ManifestCommit {
     * exposure on object stores where deletes don't invalidate open
     * reads). Returns the new manifest. */
   def commitReplace(spark: SparkSession, root: String, dirs: Seq[String],
-      pruneDisplaced: Boolean = true): Manifest = {
+      pruneDisplaced: Boolean = true,
+      stats: Map[String, Seq[ColStats]] = Map.empty,
+      expectedGen: Option[Long] = None): Manifest = {
     val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
     val prev = readManifest(spark, root)
-    val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names)
+    checkCas(root, prev, expectedGen)
+    val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names,
+      stats.map { case (d, cs) => new Path(d).getName -> cs })
     writeManifest(spark, root, m)
     if (pruneDisplaced) {
       // eager-prune mode: displaced dirs go away, so the older snapshots
@@ -214,15 +260,115 @@ object ManifestCommit {
   }
 
   /** ReplacingMergeTree INSERT analogue: add one delta dir to the live
-    * set. */
-  def commitAppend(spark: SparkSession, root: String, dir: String): Manifest = {
+    * set (existing dirs keep their stats). */
+  def commitAppend(spark: SparkSession, root: String, dir: String,
+      stats: Seq[ColStats] = Nil,
+      expectedGen: Option[Long] = None): Manifest = {
     val prev = readManifest(spark, root)
+    checkCas(root, prev, expectedGen)
+    val name = new Path(dir).getName
     val m = Manifest(
       prev.map(_.gen + 1).getOrElse(1L),
-      prev.map(_.dirs).getOrElse(Nil) :+ new Path(dir).getName)
+      prev.map(_.dirs).getOrElse(Nil) :+ name,
+      prev.map(_.stats).getOrElse(Map.empty) ++
+        (if (stats.nonEmpty) Map(name -> stats) else Map.empty))
     writeManifest(spark, root, m)
     m
   }
+
+  /** A concurrent writer committed since this writer read the table —
+    * the optimistic-concurrency conflict (re-read, re-validate, retry). */
+  final class ConcurrentCommitException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Optimistic concurrency: the caller's `expectedGen` (the generation
+    * it READ before staging its write; None/0 = expects a fresh table)
+    * must still be current at commit time. Locally this is check-then-
+    * rename — a narrowed, not closed, race window; on an object store
+    * the manifest PUT carries If-Match on the read ETag, which closes it
+    * (the single-mutable-file design exists exactly so the store's
+    * conditional write can arbitrate writers). */
+  private def checkCas(root: String, prev: Option[Manifest],
+      expectedGen: Option[Long]): Unit =
+    expectedGen.foreach { eg =>
+      val cur = prev.map(_.gen).getOrElse(0L)
+      if (cur != eg)
+        throw new ConcurrentCommitException(
+          s"$root: expected generation $eg but found $cur — " +
+            "a concurrent writer committed; re-read and retry")
+    }
+
+  /** Fixed-width canonical rendering for temporal stats values so the
+    * lexicographic "str" comparison is exact: `LocalDateTime.toString`
+    * DROPS zero seconds ("…T00:00"), which makes bound formatting a
+    * correctness hazard (a mis-formatted bound could prune a dir that
+    * holds matching rows). Timestamps always render
+    * `uuuu-MM-dd'T'HH:mm:ss.SSS`; dates `uuuu-MM-dd`. Bounds passed to
+    * `resolvePruned` for temporal columns should go through
+    * [[temporalBound]] to get the identical rendering. */
+  private val TsFormat =
+    java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS")
+
+  private def renderStatValue(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toLocalDateTime.format(TsFormat)
+    case t: java.time.LocalDateTime => t.format(TsFormat)
+    case t: java.time.Instant =>
+      java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC).format(TsFormat)
+    case d: java.sql.Date => d.toLocalDate.toString
+    case d: java.time.LocalDate => d.toString
+    case other => other.toString
+  }
+
+  /** Normalize a user-supplied temporal bound ("1996-01-01",
+    * "1996-01-01T12:30", …) to the stats rendering. */
+  def temporalBound(s: String): String = {
+    val t = s.trim
+    if (t.length == 10) s"${t}T00:00:00.000"
+    else java.time.LocalDateTime.parse(t).format(TsFormat)
+  }
+
+  /** Commit-time stats for `dir`: one min/max aggregate per column over
+    * the just-written parquet (numeric columns compare as numbers,
+    * everything else — dates/timestamps in the fixed canonical rendering
+    * above — as strings). Columns that come back all-null (including the
+    * empty-dir case) are omitted: no stats = never pruned, the safe
+    * default. */
+  def dirStats(spark: SparkSession, dir: String,
+      cols: Seq[String]): Seq[ColStats] = {
+    import org.apache.spark.sql.functions.{max, min}
+    if (cols.isEmpty) return Nil
+    val df = spark.read.parquet(dir)
+    val aggs = cols.flatMap(c => Seq(min(df(c)), max(df(c))))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+      else {
+        val kind = df.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => "num"
+          case _ => "str"
+        }
+        Some(ColStats(c, kind,
+          renderStatValue(row.get(2 * i)), renderStatValue(row.get(2 * i + 1))))
+      }
+    }
+  }
+
+  /** Data-skipping resolve: live dirs whose `col` stats can overlap
+    * [lo, hi] (either bound optional). Dirs without stats for `col` are
+    * kept — skipping is an optimization, never a filter; callers still
+    * apply the real predicate. Returns (kept absolute paths, total live
+    * dirs) so callers can surface the pruning ratio. */
+  def resolvePruned(spark: SparkSession, root: String, col: String,
+      lo: Option[String], hi: Option[String]): (Seq[String], Int) =
+    readManifest(spark, root) match {
+      case Some(m) =>
+        val kept = m.dirs.filter { d =>
+          m.stats.getOrElse(d, Nil).find(_.col == col)
+            .forall(_.overlaps(lo, hi))
+        }
+        (kept.map(d => s"$root/$d"), m.dirs.size)
+      case None => (Seq(root), 1)
+    }
 
   /** Delete `data_*` dirs that no generation references — crash leftovers
     * (written but never committed) and displaced dirs a crashed

@@ -880,6 +880,49 @@ object Pipeline {
         count(when(col("a_ts").isNull, 1)).as("n_null_purchase"))
   }
 
+  /** q121 — manifest-level data skipping: commit-time min/max column
+    * stats per data dir (`ManifestCommit.dirStats`) let the read path
+    * prune whole dirs whose range cannot match the predicate BEFORE any
+    * file listing or scan — the Iceberg/Delta file-skipping idea at dir
+    * granularity, and the piece that makes a years-deep object-store
+    * table cheap to query by date (LIST + open are the dominant costs a
+    * scan can't push down). Three dirs of `orders` split by o_orderdate
+    * range; a [1996, 1997] query must resolve to exactly ONE dir — the
+    * `dirs_scanned` column pins the pruning decision in the hash, and
+    * the aggregate proves the pruned read loses no rows (skipping is an
+    * optimization, never a filter: the real predicate still applies). */
+  val q121_manifest_skipping = Q(
+    "q121_manifest_skipping",
+    """SELECT count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  1 AS dirs_scanned, 3 AS dirs_total
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |  AND TIMESTAMP '1997-12-31 00:00:00'""".stripMargin) { (s, dir) =>
+    import graft.ingest.ManifestCommit
+    val out = tmpDir("graft_q121_")
+    val root = s"$out/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val slices = Seq(
+      orders.filter(col("o_orderdate") < "1996-01-01"),
+      orders.filter(col("o_orderdate").between("1996-01-01", "1997-12-31")),
+      orders.filter(col("o_orderdate") > "1997-12-31"))
+    val dirsWithStats = slices.map { slice =>
+      val d = ManifestCommit.newDataDir(root)
+      slice.write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderdate", "o_orderkey"))
+    }
+    ManifestCommit.commitReplace(s, root, dirsWithStats.map(_._1),
+      stats = dirsWithStats.toMap)
+    val (paths, total) = ManifestCommit.resolvePruned(s, root, "o_orderdate",
+      Some(ManifestCommit.temporalBound("1996-01-01")),
+      Some(ManifestCommit.temporalBound("1997-12-31")))
+    s.read.parquet(paths: _*)
+      .filter(col("o_orderdate").between("1996-01-01", "1997-12-31"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("key_sum"))
+      .select(col("n_rows"), col("key_sum"),
+        lit(paths.size).as("dirs_scanned"), lit(total).as("dirs_total"))
+  }
+
   /** q117 — snapshot time travel + retention over the manifest-committed
     * table format (`ManifestCommit` scaladoc; the reference's deployment
     * gets swap atomicity from ClickHouse `RENAME TABLE`,
@@ -1056,5 +1099,5 @@ object Pipeline {
     q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
     q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints,
     q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join,
-    q117_time_travel, q118_stream_full_outer_join)
+    q117_time_travel, q118_stream_full_outer_join, q121_manifest_skipping)
 }

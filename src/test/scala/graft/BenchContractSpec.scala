@@ -22,16 +22,39 @@ class BenchContractSpec extends AnyFunSuite {
     assert(unchecked.isEmpty, s"rows-only gates: $unchecked")
   }
 
-  test("bench short keys stay unique and inside the stdout line budget") {
+  test("bench short keys stay unique; realistic full line fits the budget") {
     val shortOf = Bench.shortKeys(names)
     val shorts = names.map(shortOf)
     assert(shorts.distinct.size === shorts.size, "short-key collision")
-    // worst-case stdout line: fixed fields + per-query `"qNNN":-123.46,`
-    // (2-decimal stdout values) + the capped 4-entry median-outlier map
-    val perQuery = shorts.map(_.length + 11).sum
-    val fixed = 200 + 4 * 14 // scaffolding + med_outliers cap
+    // realistic-worst full form: every value "99.99" (5 chars — single
+    // queries run 0.05-5 s; composeLine degrades if reality ever exceeds
+    // this, so the estimate only needs to cover the COMMON case staying
+    // in the richest form) + scaffolding + the 4-entry med_outliers cap
+    val perQuery = shorts.map(_.length + 9).sum
+    val fixed = 200 + 4 * 14
     assert(perQuery + fixed < 1900,
-      s"estimated line ${perQuery + fixed} chars — the driver tail is ~2000")
+      s"estimated full-form line ${perQuery + fixed} chars — the driver tail is ~2000")
+  }
+
+  test("composeLine degrades to fit the budget and stays valid JSON") {
+    val shortOf = Bench.shortKeys(names)
+    // absurd worst case: every query slow AND failed at 2-decimal width
+    val qs2 = names.map(n => "\"" + shortOf(n) + "\":-123.46")
+      .mkString("{", ",", "}")
+    val qs1 = names.map(n => "\"" + shortOf(n) + "\":-123.5")
+      .mkString("{", ",", "}")
+    val med = (1 to 4).map(i => s""""q$i":9.99""").mkString("{", ",", "}")
+    val err = """{"q01_pricing_summary":"boom"}"""
+    val line = Bench.composeLine("9999.999", "9999.999", qs2, qs1,
+      names.size, err, med, 7, 11, "sf0.1")
+    assert(line.length <= 1900, s"degraded line still ${line.length} chars")
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(parsed.get("queries").size() === names.size)
+    assert(parsed.get("med_more").asInt() === 11, "dropped outliers stay counted")
+    // and the full form is preferred when it fits
+    val small = Bench.composeLine("1.0", "1.0", """{"q1":0.10}""",
+      """{"q1":0.1}""", 0, "{}", med, 0, 4, "sf0.1")
+    assert(small.contains(""""med_outliers":{"q1":9.99"""))
   }
 
   test("oracle SQL carries no control characters that survive JSON escaping badly") {

@@ -146,6 +146,85 @@ class ManifestCommitSpec extends SparkSpec {
       === Set(1L))
   }
 
+  test("dir stats round-trip the manifest and drive data-skipping resolve") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"), Row(5L, "b"))(d1)
+    val d2 = ManifestCommit.newDataDir(root)
+    write(Row(10L, "c"), Row(20L, "d"))(d2)
+    val s1 = ManifestCommit.dirStats(spark, d1, Seq("id", "v"))
+    val s2 = ManifestCommit.dirStats(spark, d2, Seq("id", "v"))
+    assert(s1 === Seq(
+      ManifestCommit.ColStats("id", "num", "1", "5"),
+      ManifestCommit.ColStats("v", "str", "a", "b")))
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false,
+      stats = Map(d1 -> s1))
+    ManifestCommit.commitAppend(spark, root, d2, stats = s2)
+    // append preserved d1's stats alongside d2's
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.stats.size === 2)
+    // range [2, 7] overlaps only d1; [6, 9] overlaps neither; no-bounds keeps all
+    val (kept, total) = ManifestCommit.resolvePruned(spark, root, "id",
+      Some("2"), Some("7"))
+    assert(total === 2 && kept.map(_.split('/').last) === Seq(d1.split('/').last))
+    assert(ManifestCommit.resolvePruned(spark, root, "id",
+      Some("6"), Some("9"))._1.isEmpty)
+    assert(ManifestCommit.resolvePruned(spark, root, "id", None, None)._1.size === 2)
+    // a column with NO stats never prunes (skipping is an optimization)
+    assert(ManifestCommit.resolvePruned(spark, root, "nope",
+      Some("x"), Some("y"))._1.size === 2)
+    // string-kind bounds compare lexicographically
+    assert(ManifestCommit.resolvePruned(spark, root, "v",
+      Some("c"), None)._1.map(_.split('/').last) === Seq(d2.split('/').last))
+  }
+
+  test("temporal stats render fixed-width; empty dirs carry no stats") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val tsSchema = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("ts", TimestampType, true)))
+    val d1 = ManifestCommit.newDataDir(root)
+    mkDf(tsSchema,
+      Row(1L, java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+      Row(2L, java.sql.Timestamp.valueOf("1997-06-15 12:30:45.5")))
+      .write.mode("overwrite").parquet(d1)
+    val st = ManifestCommit.dirStats(spark, d1, Seq("ts"))
+    assert(st === Seq(ManifestCommit.ColStats("ts", "str",
+      "1996-01-01T00:00:00.000", "1997-06-15T12:30:45.500")),
+      "LocalDateTime.toString's dropped-zero-seconds form must NOT leak into stats")
+    assert(ManifestCommit.temporalBound("1996-01-01") === "1996-01-01T00:00:00.000")
+    assert(ManifestCommit.temporalBound("1997-06-15T12:30") === "1997-06-15T12:30:00.000")
+    // an empty dir yields all-null min/max → no stats → never pruned
+    val d2 = ManifestCommit.newDataDir(root)
+    mkDf(tsSchema).write.mode("overwrite").parquet(d2)
+    assert(ManifestCommit.dirStats(spark, d2, Seq("ts")).isEmpty)
+  }
+
+  test("expectedGen turns a lost race into ConcurrentCommitException, retry succeeds") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val base = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"))(base)
+    ManifestCommit.commitReplace(spark, root, Seq(base)) // gen 1
+    // writers A and B both read gen 1 and stage
+    val stagedA = ManifestCommit.newDataDir(root)
+    write(Row(2L, "A"))(stagedA)
+    val stagedB = ManifestCommit.newDataDir(root)
+    write(Row(3L, "B"))(stagedB)
+    // B commits first → gen 2; A's CAS on gen 1 must fail, table intact
+    ManifestCommit.commitAppend(spark, root, stagedB, expectedGen = Some(1L))
+    val ex = intercept[ManifestCommit.ConcurrentCommitException] {
+      ManifestCommit.commitReplace(spark, root, Seq(stagedA),
+        expectedGen = Some(1L))
+    }
+    assert(ex.getMessage.contains("expected generation 1 but found 2"))
+    assert(idsOf(root) === Set(1L, 3L), "loser changed nothing")
+    // A re-reads the new generation and retries — now it wins
+    val cur = ManifestCommit.readManifest(spark, root).get.gen
+    ManifestCommit.commitReplace(spark, root, Seq(stagedA),
+      expectedGen = Some(cur))
+    assert(idsOf(root) === Set(2L))
+  }
+
   test("resolve falls through for plain parquet dirs (non-manifest readers unaffected)") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/plain"
     write(Row(5L, "p"))(root)
