@@ -1,0 +1,110 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate table — the AggregatingMergeTree /
+  * aggregate-materialized-view idea from the reference's MergeTree table
+  * family (tools/gen_pipeline.py:222,298 wires Kafka→raw through pass-through
+  * materialized views; ClickHouse deployments of that shape keep rollups in
+  * Summing/AggregatingMergeTree targets), re-expressed Spark-first on the
+  * [[ManifestCommit]] protocol:
+  *
+  *   - each incoming batch is collapsed to PARTIAL AGGREGATE STATE
+  *     (one row per group, mergeable columns only) and committed as an
+  *     immutable delta part — the batch's raw rows are never kept and
+  *     NEVER rescanned;
+  *   - reads merge the live state parts (`finalizeState` — a groupBy over
+  *     rows ∝ #groups × #parts, independent of raw-row history);
+  *   - `compactStates` folds all parts back to one via an atomic
+  *     `commitReplace`, bounding part count without touching raw data.
+  *
+  * This is the 100 TB pattern for standing rollups: per-load work is
+  * O(batch) + O(state), never O(history). All state columns are chosen
+  * mergeable-exact: counts/integer sums as long, monetary sums as
+  * decimal(30,2) (exact under any merge order — floating-point partial
+  * sums would make the result depend on part boundaries), min/max in the
+  * source type. `avg` is derived at finalize from sum+count.
+  */
+object IncrementalAgg {
+
+  /** One maintained measure: `out` is the state/output column, `src` the
+    * source column ("*" for count), `kind` ∈ count | sum_long | sum_dec |
+    * min | max. */
+  final case class Measure(out: String, src: String, kind: String)
+
+  private val DecState = "decimal(30,2)"
+
+  private def partialAgg(m: Measure): Column = m.kind match {
+    case "count"    => count(if (m.src == "*") lit(1) else col(m.src)).as(m.out)
+    case "sum_long" => sum(col(m.src)).cast("long").as(m.out)
+    case "sum_dec"  => sum(col(m.src).cast(DecState)).cast(DecState).as(m.out)
+    case "min"      => min(col(m.src)).as(m.out)
+    case "max"      => max(col(m.src)).as(m.out)
+    case other      => throw new IllegalArgumentException(s"measure kind $other")
+  }
+
+  /** State-merge algebra: count partials re-merge by SUM — the reason the
+    * state is mergeable at all; sums by sum, min/max by min/max. The
+    * output column keeps the state's canonical type so a compacted part
+    * unions cleanly with fresh batch parts (decimal sums widen to (38,2)
+    * under aggregation and must be narrowed back). */
+  private def mergeAgg(m: Measure): Column = m.kind match {
+    case "count" | "sum_long" => sum(col(m.out)).cast("long").as(m.out)
+    case "sum_dec"            => sum(col(m.out)).cast(DecState).as(m.out)
+    case "min"                => min(col(m.out)).as(m.out)
+    case "max"                => max(col(m.out)).as(m.out)
+    case other                => throw new IllegalArgumentException(s"measure kind $other")
+  }
+
+  /** Collapse one raw batch to partial state: one hash shuffle on the
+    * group keys over BATCH rows only (map-side partial aggregation
+    * applies — a hot group ships one row per map task). */
+  def partialState(batch: DataFrame, keys: Seq[String],
+      measures: Seq[Measure]): DataFrame = {
+    val aggs = measures.map(partialAgg)
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge any number of state frames (parts) back to one-row-per-group
+    * state. Associative + commutative, so ANY merge tree — per-read
+    * finalize, compaction, or hierarchical combine — yields identical
+    * results. */
+  def mergeStates(states: DataFrame, keys: Seq[String],
+      measures: Seq[Measure]): DataFrame = {
+    val aggs = measures.map(mergeAgg)
+    states.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Ingest one batch: collapse to partial state, commit as a delta part.
+    * Raw rows are gone after this call — per-batch cost is O(batch). */
+  def appendBatch(spark: SparkSession, root: String, batch: DataFrame,
+      keys: Seq[String], measures: Seq[Measure]): ManifestCommit.Manifest = {
+    val d = ManifestCommit.newDataDir(root)
+    partialState(batch, keys, measures).write.parquet(d)
+    ManifestCommit.commitAppend(spark, root, d)
+  }
+
+  /** Queryable rollup: merge live parts and cast exact state to the
+    * query-facing types (decimal → double only HERE, after all exact
+    * merging is done). */
+  def finalizeState(spark: SparkSession, root: String, keys: Seq[String],
+      measures: Seq[Measure]): DataFrame = {
+    val merged = mergeStates(ManifestCommit.read(spark, root), keys, measures)
+    val outCols = keys.map(col) ++ measures.map { m =>
+      if (m.kind == "sum_dec") col(m.out).cast("double").as(m.out) else col(m.out)
+    }
+    merged.select(outCols: _*)
+  }
+
+  /** OPTIMIZE analogue: fold all live parts to one. Readers before/after
+    * see identical results (merge associativity); the commit is atomic
+    * through the manifest. */
+  def compactStates(spark: SparkSession, root: String, keys: Seq[String],
+      measures: Seq[Measure]): ManifestCommit.Manifest = {
+    val merged = mergeStates(ManifestCommit.read(spark, root), keys, measures)
+    val d = ManifestCommit.newDataDir(root)
+    merged.write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d))
+  }
+}

@@ -923,6 +923,57 @@ object Pipeline {
         lit(paths.size).as("dirs_scanned"), lit(total).as("dirs_total"))
   }
 
+  /** q122 — incrementally-maintained aggregate table (the
+    * AggregatingMergeTree / aggregate-materialized-view idea from the
+    * reference's MergeTree family, tools/gen_pipeline.py:222,298):
+    * `orders` arrives as three date-sliced batches, each collapsed to
+    * partial aggregate state and committed as a manifest delta part —
+    * raw rows are NEVER rescanned, so per-load cost is O(batch)+O(state)
+    * on a 100 TB history. The gate pins (a) batch boundaries are
+    * invisible — the finalized rollup hash-matches a full-scan oracle;
+    * (b) `pre_post_diff` = 0 — compaction (OPTIMIZE analogue) changes
+    * nothing observable; (c) the part counts before/after compaction.
+    * Monetary sums ride decimal(30,2) state (exact under any merge
+    * order) and surface as double only at finalize. */
+  val q122_incremental_agg = Q(
+    "q122_incremental_agg",
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  3 AS parts_before, 1 AS parts_after, 0 AS pre_post_diff
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.ingest.{IncrementalAgg, ManifestCommit}
+    import graft.ingest.IncrementalAgg.Measure
+    val root = tmpDir("graft_q122_") + "/rollup"
+    val keys = Seq("o_orderstatus")
+    val ms = Seq(
+      Measure("cnt", "*", "count"),
+      Measure("key_sum", "o_orderkey", "sum_long"),
+      Measure("price_sum", "o_totalprice", "sum_dec"),
+      Measure("min_key", "o_orderkey", "min"),
+      Measure("max_key", "o_orderkey", "max"))
+    val orders = Tables.load(s, dir, "orders")
+    Seq(
+      orders.filter(col("o_orderdate") < "1997-01-01"),
+      orders.filter(col("o_orderdate").between("1997-01-01", "1998-12-31")),
+      orders.filter(col("o_orderdate") > "1998-12-31"))
+      .foreach(b => IncrementalAgg.appendBatch(s, root, b, keys, ms))
+    val partsBefore = ManifestCommit.readManifest(s, root).get.dirs.size
+    val pre = IncrementalAgg.finalizeState(s, root, keys, ms)
+    val preRows = pre.collect().toSeq // bounded: one row per status (3)
+    IncrementalAgg.compactStates(s, root, keys, ms)
+    val partsAfter = ManifestCommit.readManifest(s, root).get.dirs.size
+    val post = IncrementalAgg.finalizeState(s, root, keys, ms)
+    val prePostDiff = post.exceptAll(
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(preRows: _*)), pre.schema)).count()
+    post.select(col("o_orderstatus"), col("cnt"), col("key_sum"),
+      col("price_sum"), col("min_key"), col("max_key"),
+      lit(partsBefore).as("parts_before"), lit(partsAfter).as("parts_after"),
+      lit(prePostDiff.toInt).as("pre_post_diff"))
+  }
+
   /** q117 — snapshot time travel + retention over the manifest-committed
     * table format (`ManifestCommit` scaladoc; the reference's deployment
     * gets swap atomicity from ClickHouse `RENAME TABLE`,
@@ -1099,5 +1150,6 @@ object Pipeline {
     q78_stream_window, q81_stream_stream_join, q98_stream_sessions,
     q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints,
     q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join,
-    q117_time_travel, q118_stream_full_outer_join, q121_manifest_skipping)
+    q117_time_travel, q118_stream_full_outer_join, q121_manifest_skipping,
+    q122_incremental_agg)
 }

@@ -1,0 +1,95 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.ingest.IncrementalAgg.Measure
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Incremental aggregate maintenance: the merge algebra must make
+  * batch boundaries invisible — N appendBatch calls followed by
+  * finalizeState must equal one aggregate over the concatenated raw
+  * batches, for ANY split, and compaction must be a pure part-count
+  * optimization (results identical before/after, one live part after).
+  */
+class IncrementalAggSpec extends SparkSpec {
+
+  private val st = StructType(Seq(
+    StructField("k", StringType, true),
+    StructField("n", LongType, true),
+    StructField("price", DoubleType, true)))
+
+  private val measures = Seq(
+    Measure("cnt", "*", "count"),
+    Measure("n_sum", "n", "sum_long"),
+    Measure("price_sum", "price", "sum_dec"),
+    Measure("n_min", "n", "min"),
+    Measure("n_max", "n", "max"))
+
+  private def resultMap(root: String): Map[String, (Long, Long, Double, Long, Long)] =
+    IncrementalAgg.finalizeState(spark, root, Seq("k"), measures)
+      .collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5)))
+      }.toMap
+
+  test("batch boundaries are invisible: 3 appends == one full aggregate") {
+    val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
+    val batches = Seq(
+      Seq(Row("a", 1L, 1.10), Row("a", 5L, 2.20), Row("b", 3L, 0.30)),
+      Seq(Row("a", 2L, 4.40), Row("c", 7L, 7.70)),
+      Seq(Row("b", 9L, 0.01), Row("a", 4L, 0.02)))
+    batches.foreach { rows =>
+      IncrementalAgg.appendBatch(spark, root, mkDf(st, rows: _*), Seq("k"), measures)
+    }
+    assert(ManifestCommit.readManifest(spark, root).get.dirs.size === 3)
+    val got = resultMap(root)
+    // hand-computed over the concatenation
+    assert(got("a") === ((4L, 12L, 7.72, 1L, 5L)))
+    assert(got("b") === ((2L, 12L, 0.31, 3L, 9L)))
+    assert(got("c") === ((1L, 7L, 7.70, 7L, 7L)))
+  }
+
+  test("compaction folds parts to one and changes nothing observable") {
+    val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
+    (1 to 4).foreach { i =>
+      IncrementalAgg.appendBatch(spark, root,
+        mkDf(st, Row("x", i.toLong, i / 100.0), Row("y", -i.toLong, 0.05)),
+        Seq("k"), measures)
+    }
+    val before = resultMap(root)
+    IncrementalAgg.compactStates(spark, root, Seq("k"), measures)
+    assert(ManifestCommit.readManifest(spark, root).get.dirs.size === 1)
+    assert(resultMap(root) === before)
+    // and a post-compaction batch merges with the compacted part cleanly
+    // (state schema is canonical — the decimal narrowing contract)
+    IncrementalAgg.appendBatch(spark, root,
+      mkDf(st, Row("x", 100L, 1.00)), Seq("k"), measures)
+    val after = resultMap(root)
+    assert(after("x") === ((5L, 110L, before("x")._3 + 1.00, 1L, 100L)))
+    assert(after("y") === before("y"))
+  }
+
+  test("decimal state sums are exact under any merge order") {
+    val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
+    // 0.1-style values whose double partial sums would drift by order
+    (1 to 10).foreach { _ =>
+      IncrementalAgg.appendBatch(spark, root,
+        mkDf(st, Seq.fill(7)(Row("k", 1L, 0.10)): _*), Seq("k"), measures)
+    }
+    IncrementalAgg.compactStates(spark, root, Seq("k"), measures)
+    assert(resultMap(root)("k")._3 === 7.00)
+  }
+
+  test("all-null measure column stays null through merge, not zero") {
+    val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
+    IncrementalAgg.appendBatch(spark, root,
+      mkDf(st, Row("z", null, null)), Seq("k"), measures)
+    IncrementalAgg.appendBatch(spark, root,
+      mkDf(st, Row("z", null, null)), Seq("k"), measures)
+    val r = IncrementalAgg.finalizeState(spark, root, Seq("k"), measures).collect()(0)
+    assert(r.getLong(1) === 2L, "count counts rows")
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
+      "sum/min/max of all-null input must be null")
+  }
+}
