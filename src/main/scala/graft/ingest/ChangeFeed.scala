@@ -1,0 +1,92 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Change data feed between two retained generations of a
+  * manifest-committed table — the lakehouse answer to the reference's
+  * CDC envelope (`op: c/u/d` rows from Debezium,
+  * tools/kafka_to_clickhouse.py:118-187): instead of consuming changes
+  * from a broker, DERIVE them from table history, so any downstream
+  * (incremental aggregate refresh, cache invalidation, audit) can ask
+  * "what changed between gen N and gen M" after the fact.
+  *
+  * The manifest makes this cheap: data dirs are IMMUTABLE, so a dir
+  * present in both generations cannot contribute a change — the diff
+  * only reads the SYMMETRIC DIFFERENCE of the two live sets (dirs
+  * dropped since `fromGen` vs dirs added since). A merge that rewrote
+  * one hot dir out of a thousand diffs two dirs, not two table scans;
+  * a pure compaction (same rows, new layout) correctly yields changes
+  * for only the rows that actually differ — i.e. none.
+  *
+  * Output schema: every table column plus `_change_type` ∈
+  * {insert, delete, update_preimage, update_postimage} (the public
+  * Delta CDF vocabulary). An updated key emits BOTH its pre- and
+  * post-image rows, so consumers can build either retraction or upsert
+  * streams. One null-safe full-outer join on `keys` over the changed
+  * dirs; rows identical on every column emit nothing.
+  *
+  * Contract: within each diffed generation the table is unique on
+  * `keys` across the CHANGED dirs (the `MergeInto`/`commitReplace`
+  * discipline). A ReplacingMergeTree-style table holding multiple
+  * uncollapsed versions should be collapsed (`Ingest.dedupLatest`)
+  * before snapshotting, or diffed on (key, version).
+  */
+object ChangeFeed {
+
+  val ChangeType = "_change_type"
+
+  def diff(
+      spark: SparkSession,
+      root: String,
+      fromGen: Long,
+      toGen: Long,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff requires at least one key column")
+    def manifestAt(g: Long) =
+      ManifestCommit.readManifestAt(spark, root, g).getOrElse(
+        throw new IllegalArgumentException(
+          s"generation $g of $root is not retained (expired or never committed)"))
+    val from = manifestAt(fromGen)
+    val to = manifestAt(toGen)
+
+    val droppedDirs = from.dirs.filterNot(to.dirs.contains)
+    val addedDirs = to.dirs.filterNot(from.dirs.contains)
+
+    val cols = ManifestCommit.readAt(spark, root, toGen).columns.toSeq
+    def readDirs(dirs: Seq[String]): DataFrame = {
+      val base =
+        if (dirs.isEmpty) ManifestCommit.readAt(spark, root, toGen).limit(0)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(d => s"$root/$d"): _*)
+      base.select(cols.map(col): _*)
+    }
+    val old = readDirs(droppedDirs).withColumn("__o", lit(true))
+    val neu = readDirs(addedDirs).withColumn("__n", lit(true))
+
+    val cond = keys.map(k => old(k) <=> neu(k)).reduce(_ && _)
+    val joined = old.join(neu, cond, "full_outer")
+
+    val dataCols = cols.filterNot(keys.contains)
+    val rowChanged = dataCols match {
+      case Nil => lit(false) // key-only table: same key == same row
+      case cs => cs.map(c => !(old(c) <=> neu(c))).reduce(_ || _)
+    }
+
+    def img(side: String => org.apache.spark.sql.Column, tpe: String) =
+      struct((cols.map(c => side(c).as(c)) :+ lit(tpe).as(ChangeType)): _*)
+
+    val changes = when(neu("__n").isNull, array(img(old(_), "delete")))
+      .when(old("__o").isNull, array(img(neu(_), "insert")))
+      .otherwise(
+        array(img(old(_), "update_preimage"), img(neu(_), "update_postimage")))
+
+    joined
+      // unchanged rows (e.g. a compaction that re-wrote identical rows
+      // into a new dir) emit nothing — filtered before the explode so no
+      // empty-array typing is needed
+      .filter(neu("__n").isNull || old("__o").isNull || rowChanged)
+      .select(explode(changes).as("__c"))
+      .select("__c.*")
+  }
+}

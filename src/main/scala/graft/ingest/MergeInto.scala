@@ -1,0 +1,178 @@
+package graft.ingest
+
+import graft.ingest.ManifestCommit.ColStats
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType}
+
+/** MERGE INTO over a manifest-committed table — the copy-on-write upsert
+  * the reference expresses as ReplacingMergeTree INSERT + `FINAL` collapse
+  * (tools/ingest_runner.py:1598-1789 rewrites whole tables through the
+  * staging swap; a lakehouse deployment needs row-level merge without the
+  * full rewrite). Public Delta/Iceberg MERGE semantics:
+  *
+  *   - matched (target key = source key): DELETE when `deleteWhen` holds
+  *     on the source row, otherwise UPDATE (the source row replaces the
+  *     target row);
+  *   - not matched: INSERT the source row (unless `insertUnmatched` is
+  *     off, or it is a delete of an absent key — a no-op).
+  *
+  * Copy-on-write is DIR-level, arbitrated by the manifest's commit-time
+  * column stats: a live data dir whose `keys.head` [min, max] range
+  * provably contains NO source key is never read, never rewritten, and
+  * survives the commit byte-identical — on a 100 TB table a merge that
+  * touches one hot range costs O(touched dirs + source), not O(table).
+  * The affected-dir test is EXACT (one aggregate over the source counting
+  * keys inside each dir's range — a single job, one long per dir on the
+  * driver), not a min/max-overlap approximation, so a source whose key
+  * span straddles a cold dir without actually containing any of its keys
+  * still skips it. Dirs without stats on `keys.head` are always rewritten
+  * (stats are an optimization, never a correctness gate — same contract
+  * as `ManifestCommit.resolvePruned`).
+  *
+  * The rewrite itself is ONE null-safe full-outer join between the
+  * touched dirs and the source on `keys` — survivors, updates, deletes
+  * and inserts all fall out of the join sides, so the merge costs one
+  * shuffle of (touched ∪ source), with per-action counts metered by
+  * `observe` on the same pass (no second job). Unmatched-ness only needs
+  * the touched dirs: a source key outside every live dir's range cannot
+  * match anywhere by construction.
+  *
+  * Commit is optimistic-concurrency: the new live set (kept dirs + one
+  * new dir) replaces the generation this merge READ via
+  * `expectedGen` CAS — a concurrent writer landing in between raises
+  * `ConcurrentCommitException` and the caller re-reads and retries.
+  * History is preserved (`pruneDisplaced = false`), so time travel and
+  * `ChangeFeed.diff` see the merge as one generation step.
+  *
+  * Contract: `source` carries every target column and is UNIQUE on
+  * `keys` (enforced with one cheap aggregate — a duplicate-key source
+  * makes "the source row" ill-defined, the same reason the reference's
+  * collapse requires a version order).
+  */
+object MergeInto {
+
+  final case class MergeResult(
+      gen: Long,
+      dirsTotal: Int,
+      dirsRewritten: Int,
+      updated: Long,
+      deleted: Long,
+      inserted: Long,
+      survivors: Long)
+
+  def merge(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keys: Seq[String],
+      deleteWhen: Option[Column] = None,
+      insertUnmatched: Boolean = true): MergeResult = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+
+    val live = ManifestCommit.read(spark, root)
+    val tCols = live.columns.toSeq
+    require(tCols.forall(source.columns.contains),
+      s"source must carry every target column; missing " +
+        tCols.filterNot(source.columns.contains).mkString(","))
+
+    // source uniqueness on keys: one aggregate, two longs to the driver
+    val uniq = source.agg(count(lit(1)).as("n"),
+      countDistinct(keys.head, keys.tail: _*).as("d")).collect()(0)
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"source is not unique on (${keys.mkString(",")}): " +
+        s"${uniq.getLong(0)} rows, ${uniq.getLong(1)} distinct keys")
+
+    // ---- exact affected-dir test: count source keys inside each dir range
+    val pruneCol = keys.head
+    val dirRange: Seq[(String, Option[ColStats])] =
+      m.dirs.map(d => d -> m.stats.getOrElse(d, Nil).find(_.col == pruneCol))
+    val statless = dirRange.collect { case (d, None) => d }
+    val ranged = dirRange.collect { case (d, Some(cs)) => (d, cs) }
+    val touched: Set[String] = statless.toSet ++ (if (ranged.isEmpty) Nil else {
+      val aggs = ranged.map { case (_, cs) =>
+        val c = source.col(pruneCol)
+        val in =
+          if (cs.kind == "num")
+            c.cast(DecimalType(38, 6)).between(
+              lit(new java.math.BigDecimal(cs.min)), lit(new java.math.BigDecimal(cs.max)))
+          else c.cast(StringType).between(lit(cs.min), lit(cs.max))
+        sum(when(in, 1L).otherwise(0L))
+      }
+      val row = source.agg(aggs.head, aggs.tail: _*).collect()(0) // one long per dir
+      ranged.zipWithIndex.collect {
+        case ((d, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 => d
+      }
+    })
+    val keptDirs = m.dirs.filterNot(touched)
+
+    // ---- one full-outer join: survivors + updates + deletes + inserts
+    val tgt = (if (touched.isEmpty) live.limit(0)
+               else spark.read.option("mergeSchema", "true")
+                 .parquet(m.dirs.filter(touched).map(d => s"$root/$d"): _*))
+      .select(tCols.map(col): _*)
+      .withColumn("__t", lit(true))
+    val src = source
+      .withColumn("__del", deleteWhen.getOrElse(lit(false)))
+      .select((tCols.map(col) :+ col("__del")): _*)
+      .withColumn("__s", lit(true))
+    val cond = keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
+    val joined = tgt.join(src, cond, "full_outer")
+
+    val action = when(src("__s").isNull, lit("keep"))
+      .when(tgt("__t").isNull,
+        when(!src("__del") && lit(insertUnmatched), lit("insert"))
+          .otherwise(lit("skip")))
+      .when(src("__del"), lit("delete"))
+      .otherwise(lit("update"))
+
+    // observe BEFORE the filter so deleted/skipped rows are still metered
+    // on the same single pass that writes the output
+    val obs = Observation()
+    val out = joined
+      .select((tCols.map(c => when(action === "keep", tgt(c)).otherwise(src(c)).as(c)) :+
+        action.as("__action")): _*)
+      .observe(obs,
+        sum(when(col("__action") === "update", 1L).otherwise(0L)).as("updated"),
+        sum(when(col("__action") === "delete", 1L).otherwise(0L)).as("deleted"),
+        sum(when(col("__action") === "insert", 1L).otherwise(0L)).as("inserted"),
+        sum(when(col("__action") === "keep", 1L).otherwise(0L)).as("survivors"))
+      .filter(col("__action") =!= "delete" && col("__action") =!= "skip")
+      .drop("__action")
+
+    val newDir = ManifestCommit.newDataDir(root)
+    out.write.parquet(newDir)
+
+    val metrics = obs.get
+    def metric(name: String): Long = metrics.get(name) match {
+      case Some(v: java.lang.Long) => v.longValue()
+      case Some(v) if v != null => v.toString.toLong
+      case _ => 0L
+    }
+    val (upd, del, ins, keep) =
+      (metric("updated"), metric("deleted"), metric("inserted"), metric("survivors"))
+
+    // preserve kept dirs' stats; recompute the same cols for the new dir
+    // (skip the stats read when the merge produced zero rows)
+    val statCols = m.stats.values.flatten.map(_.col).toSeq.distinct match {
+      case Nil => keys
+      case cs => cs
+    }
+    val newStats =
+      if (upd + ins + keep == 0L) Nil
+      else ManifestCommit.dirStats(spark, newDir, statCols)
+    val keptStats = m.stats.view.filterKeys(keptDirs.contains).toMap
+    val newName = new org.apache.hadoop.fs.Path(newDir).getName
+    val committed = ManifestCommit.commitReplace(
+      spark, root, keptDirs :+ newName,
+      pruneDisplaced = false,
+      stats = keptStats ++
+        (if (newStats.nonEmpty) Map(newName -> newStats) else Map.empty),
+      expectedGen = Some(m.gen))
+
+    MergeResult(committed.gen, m.dirs.size, m.dirs.size - keptDirs.size,
+      upd, del, ins, keep)
+  }
+}

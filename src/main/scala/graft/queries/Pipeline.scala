@@ -1141,6 +1141,142 @@ object Pipeline {
     }.reduce(_ unionByName _).orderBy("tbl", "id")
   }
 
+  /** q123 — MERGE INTO with dir-level copy-on-write (`MergeInto`
+    * scaladoc; the reference's row-level change path is ReplacingMergeTree
+    * INSERT + FINAL, tools/ingest_runner.py:1598-1789 — here the merge is
+    * a single full-outer join over ONLY the dirs the manifest's key stats
+    * prove affected). `orders` is committed as three o_orderkey-sliced
+    * dirs; the source updates prices in a band strictly inside the middle
+    * slice, deletes its 'F' rows, and inserts shifted-key 'N' rows above
+    * every slice — so exactly ONE of three dirs rewrites (pinned by the
+    * `dirs_rewritten` column) and the merged table hash-matches a pure-SQL
+    * reconstruction. Monetary sums ride decimal(30,2) to one final double
+    * cast (q122 pattern); the slice bounds derive from max(o_orderkey) by
+    * integer division, so the gate is scale-factor-proof. */
+  val q123_merge_into = Q(
+    "q123_merge_into",
+    """WITH b AS (SELECT max(o_orderkey) AS maxk, max(o_orderkey) // 3 AS b1,
+      |    (2 * max(o_orderkey)) // 3 AS b2 FROM orders),
+      |bounds AS (SELECT maxk, b1 + (b2 - b1) // 4 AS lo,
+      |    b2 - (b2 - b1) // 4 AS hi FROM b),
+      |merged AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders, bounds WHERE o_orderkey NOT BETWEEN lo AND hi
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000
+      |  FROM orders, bounds
+      |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT o_orderkey + maxk + 1000, 'N', o_totalprice
+      |  FROM orders, bounds WHERE o_orderkey <= 100)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  3 AS dirs_total, 1 AS dirs_rewritten
+      |FROM merged GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, MergeInto}
+    val root = tmpDir("graft_q123_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
+    val b1 = maxk / 3; val b2 = 2 * maxk / 3
+    val lo = b1 + (b2 - b1) / 4; val hi = b2 - (b2 - b1) / 4
+    val slices = Seq(
+      orders.filter(col("o_orderkey") <= b1),
+      orders.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+      orders.filter(col("o_orderkey") > b2))
+    val dirs = slices.map { slice =>
+      val d = ManifestCommit.newDataDir(root)
+      slice.write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
+    }
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    val updates = orders.filter(col("o_orderkey").between(lo, hi))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+    val inserts = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_orderkey", col("o_orderkey") + maxk + 1000)
+      .withColumn("o_orderstatus", lit("N"))
+    val res = MergeInto.merge(s, root, updates.unionByName(inserts),
+      Seq("o_orderkey"), deleteWhen = Some(col("o_orderstatus") === "F"))
+    ManifestCommit.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2)))
+          .cast("double").as("price_sum"))
+      .select(col("o_orderstatus"), col("n_rows"), col("key_sum"),
+        col("price_sum"), lit(res.dirsTotal).as("dirs_total"),
+        lit(res.dirsRewritten).as("dirs_rewritten"))
+  }
+
+  /** q124 — change data feed derived from table history (`ChangeFeed`
+    * scaladoc; the reference consumes its change stream from Debezium
+    * topics, tools/kafka_to_clickhouse.py:118-187 — a manifest table can
+    * reconstruct the same insert/delete/update_pre/postimage rows from
+    * two retained generations, reading ONLY the dir symmetric difference).
+    * `orders` is committed as two key-sliced dirs, one merge step runs
+    * (price updates in a band inside the upper slice, 'F' deletes,
+    * shifted-key inserts), and the diff of the two generations is
+    * aggregated per change type. The oracle reconstructs each change
+    * class straight from `orders`, so every emitted row — including the
+    * exact pre/post image pairing — is hash-pinned. */
+  val q124_change_feed = Q(
+    "q124_change_feed",
+    """WITH b AS (SELECT max(o_orderkey) AS maxk,
+      |    max(o_orderkey) // 2 AS b1 FROM orders),
+      |bounds AS (SELECT maxk, b1 + (maxk - b1) // 4 AS lo,
+      |    maxk - (maxk - b1) // 4 AS hi FROM b),
+      |changes AS (
+      |  SELECT 'delete' AS change_type, o_orderkey AS k, o_totalprice AS p
+      |  FROM orders, bounds
+      |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT 'update_preimage', o_orderkey, o_totalprice
+      |  FROM orders, bounds
+      |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT 'update_postimage', o_orderkey, o_totalprice + 1000
+      |  FROM orders, bounds
+      |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT 'insert', o_orderkey + maxk + 1000, o_totalprice
+      |  FROM orders, bounds WHERE o_orderkey <= 100)
+      |SELECT change_type, count(*) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS price_sum
+      |FROM changes GROUP BY change_type""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ChangeFeed, ManifestCommit, MergeInto}
+    val root = tmpDir("graft_q124_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
+    val b1 = maxk / 2
+    val lo = b1 + (maxk - b1) / 4; val hi = maxk - (maxk - b1) / 4
+    val dirs = Seq(
+      orders.filter(col("o_orderkey") <= b1),
+      orders.filter(col("o_orderkey") > b1)).map { slice =>
+      val d = ManifestCommit.newDataDir(root)
+      slice.write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
+    }
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    val g1 = ManifestCommit.readManifest(s, root).get.gen
+    val updates = orders.filter(col("o_orderkey").between(lo, hi))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+    val inserts = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_orderkey", col("o_orderkey") + maxk + 1000)
+      .withColumn("o_orderstatus", lit("N"))
+    MergeInto.merge(s, root, updates.unionByName(inserts),
+      Seq("o_orderkey"), deleteWhen = Some(col("o_orderstatus") === "F"))
+    val g2 = ManifestCommit.readManifest(s, root).get.gen
+    ChangeFeed.diff(s, root, g1, g2, Seq("o_orderkey"))
+      .groupBy(col(ChangeFeed.ChangeType).as("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2)))
+          .cast("double").as("price_sum"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1151,5 +1287,5 @@ object Pipeline {
     q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints,
     q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join,
     q117_time_travel, q118_stream_full_outer_join, q121_manifest_skipping,
-    q122_incremental_agg)
+    q122_incremental_agg, q123_merge_into, q124_change_feed)
 }

@@ -1,0 +1,178 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** MERGE INTO (dir-level copy-on-write) + ChangeFeed (snapshot diff over
+  * the dir symmetric difference).
+  */
+class MergeIntoSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, false),
+    StructField("v", StringType, true),
+    StructField("amt", DoubleType, true)))
+
+  private def df(rows: (Long, String, Double)*): DataFrame =
+    mkDf(schema, rows.map(r => Row(r._1, r._2, r._3)): _*)
+
+  /** Commit `slices` as one generation, one dir per slice, with id stats. */
+  private def commitSliced(root: String, slices: Seq[DataFrame]): Unit = {
+    val dirs = slices.map { s =>
+      val d = ManifestCommit.newDataDir(root)
+      s.write.parquet(d)
+      d -> ManifestCommit.dirStats(spark, d, Seq("id"))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+  }
+
+  private def fileState(root: String, dir: String): Map[String, (Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(st =>
+      st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
+  }
+
+  private def rowsOf(d: DataFrame): Set[(Long, String, Double)] =
+    d.collect().toSet.map((r: Row) => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+  test("merge updates, deletes, inserts; cold dirs stay byte-identical") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    // dirs: ids 1-3 | 10-12 | 20-22
+    commitSliced(root, Seq(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)),
+      df((10L, "j", 10.0), (11L, "k", 11.0), (12L, "l", 12.0)),
+      df((20L, "x", 20.0), (21L, "y", 21.0), (22L, "z", 22.0))))
+    val m0 = ManifestCommit.readManifest(spark, root).get
+    val coldBefore = m0.dirs.map(d => d -> fileState(root, d)).toMap
+
+    // source touches only the middle dir: update 10, delete 11, insert 15
+    val src = df((10L, "J2", 100.0), (11L, "k", 11.0), (15L, "m", 15.0))
+    val res = MergeInto.merge(spark, root, src, Seq("id"),
+      deleteWhen = Some(col("id") === 11L))
+
+    assert(res.dirsTotal === 3 && res.dirsRewritten === 1)
+    assert(res.updated === 1 && res.deleted === 1 && res.inserted === 1 &&
+      res.survivors === 1)
+
+    val got = rowsOf(ManifestCommit.read(spark, root))
+    assert(got === Set(
+      (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (10L, "J2", 100.0), (12L, "l", 12.0), (15L, "m", 15.0),
+      (20L, "x", 20.0), (21L, "y", 21.0), (22L, "z", 22.0)))
+
+    // the two cold dirs survive with identical file names/sizes/mtimes
+    val m1 = ManifestCommit.readManifest(spark, root).get
+    val kept = m0.dirs.filter(m1.dirs.contains)
+    assert(kept.size === 2)
+    kept.foreach(d => assert(fileState(root, d) === coldBefore(d)))
+    // and their stats survived the commit
+    kept.foreach(d => assert(m1.stats(d) === m0.stats(d)))
+  }
+
+  test("exact affect test: a source span straddling a cold dir skips it") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(
+      df((1L, "a", 1.0), (5L, "b", 5.0)),      // [1, 5]
+      df((10L, "j", 10.0), (15L, "k", 15.0)),  // [10, 15] — cold
+      df((20L, "x", 20.0), (25L, "y", 25.0)))) // [20, 25]
+    // keys 5 and 20 straddle the middle dir's range without entering it —
+    // a min/max-overlap test would rewrite it; the exact test must not
+    val src = df((5L, "B2", 50.0), (20L, "X2", 200.0))
+    val res = MergeInto.merge(spark, root, src, Seq("id"))
+    assert(res.dirsRewritten === 2 && res.dirsTotal === 3)
+    assert(rowsOf(ManifestCommit.read(spark, root)) === Set(
+      (1L, "a", 1.0), (5L, "B2", 50.0),
+      (10L, "j", 10.0), (15L, "k", 15.0),
+      (20L, "X2", 200.0), (25L, "y", 25.0)))
+  }
+
+  test("delete of an absent key is a no-op; insertUnmatched=false drops strangers") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))
+    val src = df((2L, "B", 2.5), (99L, "ghost", 0.0), (50L, "new", 5.0))
+    val res = MergeInto.merge(spark, root, src, Seq("id"),
+      deleteWhen = Some(col("id") === 99L), insertUnmatched = false)
+    assert(res.updated === 1 && res.deleted === 0 && res.inserted === 0)
+    assert(rowsOf(ManifestCommit.read(spark, root)) ===
+      Set((1L, "a", 1.0), (2L, "B", 2.5)))
+  }
+
+  test("duplicate-key source is rejected") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0))))
+    val dup = df((1L, "x", 1.0), (1L, "y", 2.0))
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.merge(spark, root, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("not unique"))
+  }
+
+  test("concurrent commit between read and merge-commit raises CAS conflict") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0))))
+    // sneak a competing commit in by bumping the generation under merge:
+    // merge reads gen, then a second writer appends before merge commits.
+    // Simulate by wrapping the source in a DataFrame whose evaluation
+    // triggers the competing append — simplest deterministic form: do the
+    // competing append first against a COPY of the gen merge will expect.
+    val d = ManifestCommit.newDataDir(root)
+    df((2L, "b", 2.0)).write.parquet(d)
+    val before = ManifestCommit.readManifest(spark, root).get.gen
+    ManifestCommit.commitAppend(spark, root, d) // gen moves on
+    intercept[ManifestCommit.ConcurrentCommitException] {
+      // force the CAS check to see the stale generation
+      ManifestCommit.commitReplace(spark, root, Seq(d),
+        expectedGen = Some(before))
+    }
+  }
+
+  test("change feed: merge step diffs to insert/delete/update pre+post") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(
+      df((1L, "a", 1.0), (2L, "b", 2.0)),
+      df((10L, "j", 10.0), (11L, "k", 11.0))))
+    val g1 = ManifestCommit.readManifest(spark, root).get.gen
+    MergeInto.merge(spark, root,
+      df((10L, "J2", 100.0), (11L, "k", 11.0), (15L, "m", 15.0)),
+      Seq("id"), deleteWhen = Some(col("id") === 11L))
+    val g2 = ManifestCommit.readManifest(spark, root).get.gen
+
+    val feed = ChangeFeed.diff(spark, root, g1, g2, Seq("id"))
+    val got = feed.collect().toSet.map((r: Row) =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(got === Set(
+      (10L, "j", 10.0, "update_preimage"),
+      (10L, "J2", 100.0, "update_postimage"),
+      (11L, "k", 11.0, "delete"),
+      (15L, "m", 15.0, "insert")))
+    // the untouched dir's rows (1, 2) never appear — and never get read:
+    // the diff plan only references the dropped/added dirs
+    val scanned = feed.queryExecution.sparkPlan.collectLeaves().flatMap {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.getName)
+      case _ => Nil
+    }.toSet
+    val m1 = ManifestCommit.readManifestAt(spark, root, g1).get
+    val m2 = ManifestCommit.readManifestAt(spark, root, g2).get
+    val shared = m1.dirs.toSet.intersect(m2.dirs.toSet)
+    assert(shared.nonEmpty && scanned.intersect(shared).isEmpty)
+  }
+
+  test("change feed: layout-only rewrite (compaction) emits no changes") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(
+      df((1L, "a", 1.0)), df((2L, "b", 2.0))))
+    val g1 = ManifestCommit.readManifest(spark, root).get.gen
+    // compact: same rows, one new dir
+    val d = ManifestCommit.newDataDir(root)
+    ManifestCommit.read(spark, root).repartition(1).write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false)
+    val g2 = ManifestCommit.readManifest(spark, root).get.gen
+    assert(ChangeFeed.diff(spark, root, g1, g2, Seq("id")).count() === 0L)
+  }
+}
