@@ -42,6 +42,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.fromEnv("graft-bench")
 
+    // Fixture drift produces ONE diagnostic up front (round 8 lost 25
+    // queries to a silent events.ts type change); non-fatal so the JSON
+    // line still carries per-query evidence for unaffected tables.
+    try FixtureContract.check(spark, sfDir)
+    catch { case e: IllegalStateException =>
+      System.err.println(s"[bench] FIXTURE CONTRACT: ${e.getMessage}")
+    }
+
     // Warm the session (JVM/codegen/parquet footer caches) on the smallest
     // table so the first timed query doesn't absorb startup cost. Non-fatal:
     // a broken sfDir must still produce the JSON line (with per-query errors).

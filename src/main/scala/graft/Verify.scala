@@ -7,6 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.fromEnv("graft-verify")
+    // Fixture drift produces ONE diagnostic here instead of N cryptic
+    // per-query analysis errors; unaffected queries still run (so a
+    // single drifted table costs its own gates, not the whole round).
+    try FixtureContract.check(spark, sfDir)
+    catch { case e: IllegalStateException =>
+      System.err.println(s"[verify] FIXTURE CONTRACT: ${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
     // Concurrent query dumps (same pattern as Ingest.ingestAll): the
     // lineages are independent — distinct output dirs, UUID/unique temp

@@ -495,14 +495,17 @@ object Pipeline {
   private def eventsStreamFactory(s: SparkSession, dir: String): () => DataFrame = {
     Tables.load(s, dir, "events") // side-effect: nanosAsLong conf
     val path = s"$dir/events.parquet"
-    val rawSchema = s.read.parquet(path).schema // ts arrives as nanos Long
+    // Raw PHYSICAL schema for the stream source (ts may be nanos-Long or
+    // timestamp[us] depending on fixture generation); the shared
+    // Tables.normalizeTs decides per-schema how to get to TimestampType,
+    // exactly as the batch loader does.
+    val rawSchema = s.read.parquet(path).schema
     val src = tmpDir("graft_stream_src_")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(path),
       java.nio.file.Paths.get(src, "events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    () => s.readStream.schema(rawSchema).parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    () => Tables.normalizeTs(s.readStream.schema(rawSchema).parquet(src))
   }
 
   val q78_stream_window = Q(
