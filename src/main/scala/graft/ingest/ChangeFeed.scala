@@ -53,11 +53,19 @@ object ChangeFeed {
     val droppedDirs = from.dirs.filterNot(to.dirs.contains)
     val addedDirs = to.dirs.filterNot(from.dirs.contains)
 
-    val cols = ManifestCommit.readAt(spark, root, toGen).columns.toSeq
+    // The feed is emitted in toGen's schema (the public Delta CDF
+    // contract): both sides read with that schema EXPLICITLY, so dirs
+    // that predate an evolved column null-fill (a pre-evolution row
+    // "updated" into the new schema emits preimage null / postimage
+    // value for the evolved column) and planning needs no footer sweep.
+    val toDf = ManifestCommit.readAt(spark, root, toGen)
+    val cols = toDf.columns.toSeq
+    val readSchema = org.apache.spark.sql.types.StructType(
+      toDf.schema.fields.map(_.copy(nullable = true)))
     def readDirs(dirs: Seq[String]): DataFrame = {
       val base =
-        if (dirs.isEmpty) ManifestCommit.readAt(spark, root, toGen).limit(0)
-        else spark.read.option("mergeSchema", "true")
+        if (dirs.isEmpty) toDf.limit(0)
+        else spark.read.schema(readSchema)
           .parquet(dirs.map(d => s"$root/$d"): _*)
       base.select(cols.map(col): _*)
     }

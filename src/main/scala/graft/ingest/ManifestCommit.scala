@@ -58,8 +58,16 @@ object ManifestCommit {
     }
   }
 
+  /** `tableSchema`, when present, is the authoritative union schema of
+    * the live generation (recorded by schema-evolving commits). Readers
+    * plan with it EXPLICITLY instead of `mergeSchema` — on a 100 TB
+    * table, mergeSchema is a planning-time footer sweep of every data
+    * file, while an explicit schema is zero I/O and parquet null-fills
+    * columns a cold dir predates. Absent on pre-evolution manifests →
+    * readers fall back to mergeSchema (always correct, just slower). */
   final case class Manifest(gen: Long, dirs: Seq[String],
-      stats: Map[String, Seq[ColStats]] = Map.empty)
+      stats: Map[String, Seq[ColStats]] = Map.empty,
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -102,9 +110,17 @@ object ManifestCommit {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val lines = text.split("\n").map(_.stripLineEnd).filter(_.trim.nonEmpty)
-      val parsed = lines.tail.toSeq.map(parseDirLine)
+      // '#'-prefixed metadata lines extend the format back-compatibly:
+      // old manifests have none, old parsers of new manifests never
+      // existed (this is the only parser)
+      val (meta, dirLines) = lines.tail.toSeq.partition(_.startsWith("#"))
+      val schema = meta.find(_.startsWith("#schema\t")).map { l =>
+        org.apache.spark.sql.types.DataType.fromJson(dec(l.split('\t')(1)))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }
+      val parsed = dirLines.map(parseDirLine)
       Some(Manifest(lines.head.trim.toLong, parsed.map(_._1),
-        parsed.filter(_._2.nonEmpty).toMap))
+        parsed.filter(_._2.nonEmpty).toMap, schema))
     }
   }
 
@@ -148,12 +164,27 @@ object ManifestCommit {
       case None => Seq(path)
     }
 
+  /** Read the manifest's dirs: with the recorded union schema when the
+    * manifest carries one (explicit schema = zero planning I/O; parquet
+    * null-fills columns a dir predates), else mergeSchema (footer sweep,
+    * but tolerates any dir-to-dir drift without recorded metadata). */
+  private def readDirs(spark: SparkSession, root: String, m: Manifest): DataFrame = {
+    val paths = m.dirs.map(d => s"$root/$d")
+    m.tableSchema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
+
   /** Read the live generation (manifest-resolved; falls through to a
     * plain parquet read for non-manifest dirs). `mergeSchema` tolerates
     * delta dirs written before a column existed, as `Ingest.readFinal`
     * does for raw part layouts. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(resolvePaths(spark, path): _*)
+    readManifest(spark, path) match {
+      case Some(m) => readDirs(spark, path, m)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
 
   /** Time travel: read the table exactly as generation `gen` committed
     * it. Only valid while the snapshot is retained (the table must be
@@ -164,8 +195,7 @@ object ManifestCommit {
     val m = readManifestAt(spark, path, gen).getOrElse(
       throw new IllegalArgumentException(
         s"generation $gen of $path is not retained (expired or never committed)"))
-    spark.read.option("mergeSchema", "true")
-      .parquet(m.dirs.map(d => s"$path/$d"): _*)
+    readDirs(spark, path, m)
   }
 
   /** Atomically (re)write the manifest. The content is staged to a
@@ -197,7 +227,9 @@ object ManifestCommit {
     * next successful commit of gen N simply overwrites; the pointer (the
     * single commit point) never references a missing snapshot. */
   private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
-    val content = m.gen + "\n" + m.dirs.map(renderDirLine(m)).mkString("\n")
+    val content = (Seq(m.gen.toString) ++
+      m.tableSchema.map(s => "#schema\t" + enc(s.json)).toSeq ++
+      m.dirs.map(renderDirLine(m))).mkString("\n")
     writeFileAtomic(spark, root, snapshotPath(root, m.gen), content)
     writeFileAtomic(spark, root, manifestPath(root), content)
   }
@@ -212,12 +244,17 @@ object ManifestCommit {
   def commitReplace(spark: SparkSession, root: String, dirs: Seq[String],
       pruneDisplaced: Boolean = true,
       stats: Map[String, Seq[ColStats]] = Map.empty,
-      expectedGen: Option[Long] = None): Manifest = {
+      expectedGen: Option[Long] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Manifest = {
     val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
     val prev = readManifest(spark, root)
     checkCas(root, prev, expectedGen)
+    // schema is caller-asserted, never silently inherited: a full replace
+    // may legitimately change the table's shape, and a stale schema line
+    // would MASK new columns at read (explicit-schema reads only see
+    // recorded columns). None → no schema line → mergeSchema fallback.
     val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names,
-      stats.map { case (d, cs) => new Path(d).getName -> cs })
+      stats.map { case (d, cs) => new Path(d).getName -> cs }, schema)
     writeManifest(spark, root, m)
     if (pruneDisplaced) {
       // eager-prune mode: displaced dirs go away, so the older snapshots
@@ -267,11 +304,14 @@ object ManifestCommit {
     val prev = readManifest(spark, root)
     checkCas(root, prev, expectedGen)
     val name = new Path(dir).getName
+    // appends inherit the recorded schema: an append adds rows, not
+    // columns (schema-changing writes go through commitReplace/merge)
     val m = Manifest(
       prev.map(_.gen + 1).getOrElse(1L),
       prev.map(_.dirs).getOrElse(Nil) :+ name,
       prev.map(_.stats).getOrElse(Map.empty) ++
-        (if (stats.nonEmpty) Map(name -> stats) else Map.empty))
+        (if (stats.nonEmpty) Map(name -> stats) else Map.empty),
+      prev.flatMap(_.tableSchema))
     writeManifest(spark, root, m)
     m
   }

@@ -67,7 +67,8 @@ object MergeInto {
       source: DataFrame,
       keys: Seq[String],
       deleteWhen: Option[Column] = None,
-      insertUnmatched: Boolean = true): MergeResult = {
+      insertUnmatched: Boolean = true,
+      evolveSchema: Boolean = false): MergeResult = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
@@ -77,6 +78,16 @@ object MergeInto {
     require(tCols.forall(source.columns.contains),
       s"source must carry every target column; missing " +
         tCols.filterNot(source.columns.contains).mkString(","))
+    // schema evolution (the reference's fixer relaxes schemas mid-stream,
+    // tools/fix_clickhouse_schemas.py:73-166): NEW source columns append
+    // to the table schema. Only the rewritten dir materializes them;
+    // cold dirs stay byte-identical and null-fill at read through the
+    // manifest's recorded union schema (explicit-schema parquet read —
+    // no planning-time footer sweep). Without the flag, extra source
+    // columns are dropped, the pre-evolution contract.
+    val extraCols: Seq[String] =
+      if (evolveSchema) source.columns.toSeq.filterNot(tCols.contains) else Nil
+    val outCols = tCols ++ extraCols
 
     // source uniqueness on keys: one aggregate, two longs to the driver
     val uniq = source.agg(count(lit(1)).as("n"),
@@ -109,14 +120,19 @@ object MergeInto {
     val keptDirs = m.dirs.filterNot(touched)
 
     // ---- one full-outer join: survivors + updates + deletes + inserts
-    val tgt = (if (touched.isEmpty) live.limit(0)
-               else spark.read.option("mergeSchema", "true")
-                 .parquet(m.dirs.filter(touched).map(d => s"$root/$d"): _*))
-      .select(tCols.map(col): _*)
+    val tgt = extraCols.foldLeft(
+      (if (touched.isEmpty) live.limit(0)
+       else spark.read.option("mergeSchema", "true")
+         .parquet(m.dirs.filter(touched).map(d => s"$root/$d"): _*))
+        .select(tCols.map(col): _*)) { (d, c) =>
+        // target rows predate the new column → null (Delta/Iceberg
+        // evolution semantics); the cast pins the source's exact type
+        d.withColumn(c, lit(null).cast(source.schema(c).dataType))
+      }
       .withColumn("__t", lit(true))
     val src = source
       .withColumn("__del", deleteWhen.getOrElse(lit(false)))
-      .select((tCols.map(col) :+ col("__del")): _*)
+      .select((outCols.map(col) :+ col("__del")): _*)
       .withColumn("__s", lit(true))
     val cond = keys.map(k => tgt(k) <=> src(k)).reduce(_ && _)
     val joined = tgt.join(src, cond, "full_outer")
@@ -132,7 +148,7 @@ object MergeInto {
     // on the same single pass that writes the output
     val obs = Observation()
     val out = joined
-      .select((tCols.map(c => when(action === "keep", tgt(c)).otherwise(src(c)).as(c)) :+
+      .select((outCols.map(c => when(action === "keep", tgt(c)).otherwise(src(c)).as(c)) :+
         action.as("__action")): _*)
       .observe(obs,
         sum(when(col("__action") === "update", 1L).otherwise(0L)).as("updated"),
@@ -165,12 +181,19 @@ object MergeInto {
       else ManifestCommit.dirStats(spark, newDir, statCols)
     val keptStats = m.stats.view.filterKeys(keptDirs.contains).toMap
     val newName = new org.apache.hadoop.fs.Path(newDir).getName
+    // every merge records the (possibly evolved) union schema: readers of
+    // this generation plan with it explicitly, so cold dirs that predate
+    // an evolved column null-fill without any footer sweep. Nullability
+    // is forced — a cold dir has no values for an evolved column.
+    val unionSchema = org.apache.spark.sql.types.StructType(
+      out.schema.fields.map(_.copy(nullable = true)))
     val committed = ManifestCommit.commitReplace(
       spark, root, keptDirs :+ newName,
       pruneDisplaced = false,
       stats = keptStats ++
         (if (newStats.nonEmpty) Map(newName -> newStats) else Map.empty),
-      expectedGen = Some(m.gen))
+      expectedGen = Some(m.gen),
+      schema = Some(unionSchema))
 
     MergeResult(committed.gen, m.dirs.size, m.dirs.size - keptDirs.size,
       upd, del, ins, keep)

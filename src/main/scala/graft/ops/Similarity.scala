@@ -231,14 +231,29 @@ object Similarity {
     * can replay the whole training in SQL. */
   def pqTrainCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, dsub: Int, ks: Int, iters: Int): Seq[graft.functions.CentroidMatrix] = {
-    (0 until m).map { j =>
-      val sub = corpus.select(col(idCol).as("sid"),
-        slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub).as("sv"))
-      val rows = Clustering.kmeans(sub, "sid", "sv", ks, iters)
-        .select("cid", "cv").collect().sortBy(_.getLong(0))
-      graft.functions.CentroidMatrix(
-        rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
-    }
+    // The m subspace trainings are INDEPENDENT Lloyd chains, but each is
+    // a sequence of iters small jobs synchronized at the driver (M-step
+    // collect feeds the next E-step broadcast) — latency-bound, not
+    // data-bound. Submitting them from concurrent threads overlaps the
+    // per-job scheduling gaps (Spark's scheduler is thread-safe; FAIR/
+    // FIFO both fine since every job is short); results are keyed by j
+    // so the output order — and therefore the trained codebooks — are
+    // bit-identical to the sequential form.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (0 until m).map { j => Future {
+        val sub = corpus.select(col(idCol).as("sid"),
+          slice(col(vecCol).cast("array<double>"), j * dsub + 1, dsub).as("sv"))
+        val rows = Clustering.kmeans(sub, "sid", "sv", ks, iters)
+          .select("cid", "cv").collect().sortBy(_.getLong(0))
+        graft.functions.CentroidMatrix(
+          rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+      } }
+      Await.result(Future.sequence(fs), Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** Product-quantized ANN (the IVF-PQ compression stage, asymmetric

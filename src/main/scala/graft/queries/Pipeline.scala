@@ -1280,6 +1280,72 @@ object Pipeline {
           .cast("double").as("price_sum"))
   }
 
+  /** q125 — MERGE with SCHEMA EVOLUTION (`MergeInto.evolveSchema`; the
+    * reference relaxes live table schemas the same way,
+    * tools/fix_clickhouse_schemas.py:73-166 ALTERs columns while data
+    * flows). `orders` is committed as three key-sliced dirs; the source
+    * updates a band strictly inside the middle slice AND carries a brand
+    * new `o_channel` column. Exactly ONE dir rewrites (pinned) — the two
+    * cold dirs stay byte-identical and never materialize the column; the
+    * manifest records the evolved union schema, so the final read plans
+    * with an explicit schema (zero footer I/O) and null-fills the cold
+    * dirs. The oracle reconstructs the merged table with channel NULL
+    * outside the band, so the null-fill semantics are hash-pinned. */
+  val q125_merge_schema_evolution = Q(
+    "q125_merge_schema_evolution",
+    """WITH b AS (SELECT max(o_orderkey) AS maxk, max(o_orderkey) // 3 AS b1,
+      |    (2 * max(o_orderkey)) // 3 AS b2 FROM orders),
+      |bounds AS (SELECT maxk, b1 + (b2 - b1) // 4 AS lo,
+      |    b2 - (b2 - b1) // 4 AS hi FROM b),
+      |merged AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CAST(NULL AS VARCHAR) AS o_channel
+      |  FROM orders, bounds WHERE o_orderkey NOT BETWEEN lo AND hi
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+      |  FROM orders, bounds WHERE o_orderkey BETWEEN lo AND hi)
+      |SELECT o_orderstatus, coalesce(o_channel, 'none') AS channel,
+      |  count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  3 AS dirs_total, 1 AS dirs_rewritten
+      |FROM merged GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, MergeInto}
+    val root = tmpDir("graft_q125_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
+    val b1 = maxk / 3; val b2 = 2 * maxk / 3
+    val lo = b1 + (b2 - b1) / 4; val hi = b2 - (b2 - b1) / 4
+    val dirs = Seq(
+      orders.filter(col("o_orderkey") <= b1),
+      orders.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+      orders.filter(col("o_orderkey") > b2)).map { slice =>
+      val d = ManifestCommit.newDataDir(root)
+      slice.write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
+    }
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    val source = orders.filter(col("o_orderkey").between(lo, hi))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("o_channel",
+        when(col("o_orderkey") % 2 === 0, "web").otherwise("store"))
+    val res = MergeInto.merge(s, root, source, Seq("o_orderkey"),
+      evolveSchema = true)
+    ManifestCommit.read(s, root)
+      .groupBy(col("o_orderstatus"),
+        coalesce(col("o_channel"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2)))
+          .cast("double").as("price_sum"))
+      .select(col("o_orderstatus"), col("channel"), col("n_rows"),
+        col("key_sum"), col("price_sum"), lit(res.dirsTotal).as("dirs_total"),
+        lit(res.dirsRewritten).as("dirs_rewritten"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1290,5 +1356,6 @@ object Pipeline {
     q99_stream_static_enrich, q100_zorder_key, q110_quality_constraints,
     q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join,
     q117_time_travel, q118_stream_full_outer_join, q121_manifest_skipping,
-    q122_incremental_agg, q123_merge_into, q124_change_feed)
+    q122_incremental_agg, q123_merge_into, q124_change_feed,
+    q125_merge_schema_evolution)
 }

@@ -175,4 +175,84 @@ class MergeIntoSpec extends SparkSpec {
     val g2 = ManifestCommit.readManifest(spark, root).get.gen
     assert(ChangeFeed.diff(spark, root, g1, g2, Seq("id")).count() === 0L)
   }
+
+  test("evolveSchema: new column appends, cold dirs byte-identical + null-fill") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(
+      df((1L, "a", 1.0), (2L, "b", 2.0)),
+      df((10L, "j", 10.0), (11L, "k", 11.0)),
+      df((20L, "x", 20.0))))
+    val m0 = ManifestCommit.readManifest(spark, root).get
+    val coldBefore = m0.dirs.map(d => d -> fileState(root, d)).toMap
+
+    // source touches only the middle dir and carries a NEW column
+    val src = mkDf(schema.add(StructField("tag", StringType, true)),
+      Row(10L, "J2", 100.0, "hot"), Row(15L, "m", 15.0, "new"))
+    val res = MergeInto.merge(spark, root, src, Seq("id"), evolveSchema = true)
+    assert(res.dirsRewritten === 1 && res.updated === 1 && res.inserted === 1)
+
+    // cold dirs never rewritten — byte-identical file state
+    val m1 = ManifestCommit.readManifest(spark, root).get
+    val cold = m0.dirs.filter(m1.dirs.contains)
+    assert(cold.size === 2)
+    cold.foreach(d => assert(fileState(root, d) === coldBefore(d), d))
+
+    // manifest records the evolved union schema, in order
+    assert(m1.tableSchema.map(_.fieldNames.toSeq) ===
+      Some(Seq("id", "v", "amt", "tag")))
+
+    // read null-fills the evolved column on cold-dir rows
+    val read = ManifestCommit.read(spark, root)
+    assert(read.columns.toSeq === Seq("id", "v", "amt", "tag"))
+    val tags = read.select("id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tags(10L) === Some("hot") && tags(15L) === Some("new"))
+    assert(tags(1L).isEmpty && tags(20L).isEmpty)
+
+    // time travel still sees the PRE-evolution schema
+    assert(ManifestCommit.readAt(spark, root, m0.gen).columns.toSeq ===
+      Seq("id", "v", "amt"))
+  }
+
+  test("evolveSchema: subsequent append inherits the recorded schema") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0))))
+    val src = mkDf(schema.add(StructField("tag", StringType, true)),
+      Row(1L, "a2", 1.5, "t"))
+    MergeInto.merge(spark, root, src, Seq("id"), evolveSchema = true)
+    val evolved = ManifestCommit.readManifest(spark, root).get.tableSchema
+    assert(evolved.isDefined)
+    // append a delta dir (no schema arg): the schema line survives
+    val d = ManifestCommit.newDataDir(root)
+    mkDf(schema.add(StructField("tag", StringType, true)),
+      Row(5L, "e", 5.0, "x")).write.parquet(d)
+    ManifestCommit.commitAppend(spark, root, d)
+    assert(ManifestCommit.readManifest(spark, root).get.tableSchema === evolved)
+  }
+
+  test("change feed across an evolution emits in toGen's schema") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))
+    val g1 = ManifestCommit.readManifest(spark, root).get.gen
+    val src = mkDf(schema.add(StructField("tag", StringType, true)),
+      Row(1L, "a2", 1.0, "hot"))
+    MergeInto.merge(spark, root, src, Seq("id"), evolveSchema = true)
+    val g2 = ManifestCommit.readManifest(spark, root).get.gen
+    val feed = ChangeFeed.diff(spark, root, g1, g2, Seq("id")).collect()
+      .map(r => (r.getAs[String](ChangeFeed.ChangeType), r.getAs[Long]("id"),
+        Option(r.getAs[String]("tag")))).toSet
+    // preimage predates the column (null); postimage carries it
+    assert(feed === Set(
+      ("update_preimage", 1L, None), ("update_postimage", 1L, Some("hot"))))
+  }
+
+  test("without evolveSchema, extra source columns are dropped") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0))))
+    val src = mkDf(schema.add(StructField("tag", StringType, true)),
+      Row(1L, "a2", 1.5, "t"))
+    MergeInto.merge(spark, root, src, Seq("id"))
+    assert(ManifestCommit.read(spark, root).columns.toSeq ===
+      Seq("id", "v", "amt"))
+  }
 }
