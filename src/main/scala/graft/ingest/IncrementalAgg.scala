@@ -87,14 +87,78 @@ object IncrementalAgg {
 
   /** Queryable rollup: merge live parts and cast exact state to the
     * query-facing types (decimal → double only HERE, after all exact
-    * merging is done). */
+    * merging is done). `dropEmptyGroups` filters groups whose first
+    * count-kind measure merged to zero — a group fully retracted by
+    * change-feed deltas ([[applyChanges]]) has no surviving source rows
+    * and must vanish from the rollup, exactly as a re-aggregation from
+    * scratch would drop it. */
   def finalizeState(spark: SparkSession, root: String, keys: Seq[String],
-      measures: Seq[Measure]): DataFrame = {
-    val merged = mergeStates(ManifestCommit.read(spark, root), keys, measures)
+      measures: Seq[Measure], dropEmptyGroups: Boolean = false): DataFrame = {
+    val merged0 = mergeStates(ManifestCommit.read(spark, root), keys, measures)
+    val merged = if (!dropEmptyGroups) merged0 else {
+      val liveness = measures.find(_.kind == "count").getOrElse(
+        throw new IllegalArgumentException(
+          "dropEmptyGroups requires a count measure to witness group liveness"))
+      merged0.filter(col(liveness.out) =!= 0L)
+    }
     val outCols = keys.map(col) ++ measures.map { m =>
       if (m.kind == "sum_dec") col(m.out).cast("double").as(m.out) else col(m.out)
     }
     merged.select(outCols: _*)
+  }
+
+  /** SIGNED partial state from a change feed ([[ChangeFeed.diff]] output):
+    * insert/update_postimage rows contribute +1, delete/update_preimage
+    * −1 — so an update that MOVES a row between groups decrements the old
+    * group and increments the new one, and the merge algebra (counts and
+    * sums re-merge by SUM) retracts exactly. This is what makes the
+    * rollup maintainable under MERGE/deletes with per-step cost
+    * O(changes), never O(base table): the feed itself only reads the dir
+    * symmetric difference, and the delta part holds one row per touched
+    * group.
+    *
+    * Only count/sum measures are retractable — min/max state cannot be
+    * un-merged (deleting the minimum needs the full history to find the
+    * runner-up), so they are rejected here rather than silently wrong. */
+  def changePartialState(feed: DataFrame, keys: Seq[String],
+      measures: Seq[Measure]): DataFrame = {
+    val bad = measures.filterNot(m => Set("count", "sum_long", "sum_dec")(m.kind))
+    require(bad.isEmpty,
+      s"measures not retractable under deletes: ${bad.map(_.out).mkString(",")} " +
+        "(min/max state cannot be un-merged; recompute those from the base table)")
+    val sign = when(
+      col(ChangeFeed.ChangeType).isin("insert", "update_postimage"), 1L)
+      .when(col(ChangeFeed.ChangeType).isin("delete", "update_preimage"), -1L)
+    val aggs = measures.map { m =>
+      m.kind match {
+        case "count" =>
+          // signed analogue of count(src): non-null rows contribute ±1
+          val counted = if (m.src == "*") sign
+            else when(col(m.src).isNotNull, sign).otherwise(0L)
+          sum(counted).cast("long").as(m.out)
+        case "sum_long" => sum(col(m.src) * sign).cast("long").as(m.out)
+        case "sum_dec" =>
+          // ±1 multiplication is exact in decimal; narrow back to the
+          // canonical state type after the widening the product causes
+          sum(col(m.src).cast(DecState) * sign).cast(DecState).as(m.out)
+        case other => throw new IllegalArgumentException(s"measure kind $other")
+      }
+    }
+    feed.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Maintain the rollup from a change feed: collapse the feed to a
+    * signed delta part and commit it. Composes [[ChangeFeed.diff]] on
+    * the BASE table with this rollup's state — the source-driven MV
+    * chain (the reference wires Kafka→MV targets the same way,
+    * tools/gen_pipeline.py:295-299), here derived from table history:
+    * MERGE the base, diff the two generations, apply the feed. The base
+    * table is never rescanned. */
+  def applyChanges(spark: SparkSession, root: String, feed: DataFrame,
+      keys: Seq[String], measures: Seq[Measure]): ManifestCommit.Manifest = {
+    val d = ManifestCommit.newDataDir(root)
+    changePartialState(feed, keys, measures).write.parquet(d)
+    ManifestCommit.commitAppend(spark, root, d)
   }
 
   /** OPTIMIZE analogue: fold all live parts to one. Readers before/after

@@ -241,11 +241,25 @@ object ManifestCommit {
     * scan has the same exposure as with the rename swap, and zero
     * exposure on object stores where deletes don't invalidate open
     * reads). Returns the new manifest. */
+  /** Per-root commit arbitration for SAME-PROCESS writers: manifest
+    * commits happen on the Spark driver, so concurrent committers of one
+    * table normally share this JVM — an interned lock around the
+    * read-check-write makes the local CAS exact for them (without it,
+    * two threads could both pass `checkCas` and one manifest write would
+    * silently vanish). Cross-process writers on a shared filesystem keep
+    * the narrowed-not-closed window; closing it is the object store's
+    * conditional-PUT / If-Match job, as `checkCas`'s scaladoc records. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(root: String): Object =
+    commitLocks.computeIfAbsent(root, _ => new Object)
+
   def commitReplace(spark: SparkSession, root: String, dirs: Seq[String],
       pruneDisplaced: Boolean = true,
       stats: Map[String, Seq[ColStats]] = Map.empty,
       expectedGen: Option[Long] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Manifest = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Manifest =
+      commitLock(root).synchronized {
     val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
     val prev = readManifest(spark, root)
     checkCas(root, prev, expectedGen)
@@ -300,7 +314,8 @@ object ManifestCommit {
     * set (existing dirs keep their stats). */
   def commitAppend(spark: SparkSession, root: String, dir: String,
       stats: Seq[ColStats] = Nil,
-      expectedGen: Option[Long] = None): Manifest = {
+      expectedGen: Option[Long] = None): Manifest =
+      commitLock(root).synchronized {
     val prev = readManifest(spark, root)
     checkCas(root, prev, expectedGen)
     val name = new Path(dir).getName

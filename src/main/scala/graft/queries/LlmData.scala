@@ -1420,6 +1420,74 @@ object LlmData {
     }.reduce(_ unionByName _).orderBy("nprobe", "qid")
   }
 
+  /** q127 — the FULL ANN tuning surface: q114's recall curve swept over
+    * BOTH index knobs, nlists ∈ {4, 8} × nprobe ∈ {1, 2, …, nlists}. A
+    * real tuner trades list count (finer partitioning → smaller probe
+    * cost, lower recall per probe) against probe count; this gate pins
+    * the whole 7-point surface per query. Laws enforced by the golden
+    * hash: recall monotone non-decreasing in nprobe at EACH nlists, and
+    * recall = 1.0 at nprobe = nlists (exhaustive probing ≡ brute force)
+    * for BOTH index shapes. Each point is an independent ivfTopK
+    * (broadcast centroids, O(1) plan size), so the sweep parallelizes
+    * trivially and costs KBs of driver traffic regardless of corpus
+    * size. */
+  val q127_ann_nlists_curve = Q(
+    "q127_ann_nlists_curve",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS sim
+      |  FROM q CROSS JOIN (SELECT vec_id AS nid, v AS nv FROM e)
+      |  WHERE nid != qid),
+      |exact AS (SELECT qid, nid FROM (
+      |  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |      ORDER BY sim DESC, nid) AS rank FROM s) WHERE rank <= 10),
+      |nps(nl, np) AS (VALUES (4,1), (4,2), (4,4), (8,1), (8,2), (8,4), (8,8)),
+      |nls AS (SELECT DISTINCT nl FROM nps),
+      |cent AS (SELECT nls.nl, vec_id AS cid, v AS cv FROM nls
+      |  JOIN e ON vec_id BETWEEN 100 AND 100 + nl - 1),
+      |dists AS (SELECT c.nl, e.vec_id, c.cid,
+      |    list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d
+      |  FROM e CROSS JOIN cent c),
+      |lists AS (SELECT nl, vec_id AS nid, cid FROM (SELECT nl, vec_id, cid,
+      |    row_number() OVER (PARTITION BY nl, vec_id ORDER BY d, cid) AS r
+      |  FROM dists) WHERE r = 1),
+      |probes AS (SELECT p.nl, p.np, d.vec_id AS qid, d.cid
+      |  FROM nps p JOIN (SELECT nl, vec_id, cid,
+      |    row_number() OVER (PARTITION BY nl, vec_id ORDER BY d, cid) AS r
+      |    FROM dists WHERE vec_id < 5) d ON d.nl = p.nl AND d.r <= p.np),
+      |cand AS (SELECT p.nl, p.np, p.qid, l.nid,
+      |    list_cosine_similarity(eq.v, en.v) AS sim
+      |  FROM probes p JOIN lists l ON l.nl = p.nl AND l.cid = p.cid
+      |  JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = l.nid
+      |  WHERE l.nid != p.qid),
+      |approx AS (SELECT nl, np, qid, nid FROM (SELECT nl, np, qid, nid,
+      |    row_number() OVER (PARTITION BY nl, np, qid ORDER BY sim DESC, nid) AS rank
+      |  FROM cand) WHERE rank <= 10)
+      |SELECT n.nl AS nlists, n.np AS nprobe, x.qid AS qid, count(a.nid) AS hits,
+      |  CAST(count(a.nid) AS DOUBLE) / 10 AS recall_at_10
+      |FROM nps n CROSS JOIN exact x
+      |LEFT JOIN approx a ON a.nl = n.nl AND a.np = n.np
+      |  AND a.qid = x.qid AND a.nid = x.nid
+      |GROUP BY n.nl, n.np, x.qid ORDER BY nlists, nprobe, qid""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select(col("qid"), col("nid"))
+    Seq((4, 1), (4, 2), (4, 4), (8, 1), (8, 2), (8, 4), (8, 8)).map {
+      case (nl, np) =>
+        val cents = emb.filter(col("vec_id").between(100, 100 + nl - 1))
+        val approx = Similarity.ivfTopK(emb, queries, cents,
+          "vec_id", "embedding", k = 10, nprobe = np)
+          .select(col("qid").as("aqid"), col("nid").as("anid"))
+        exact.join(approx,
+            col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+          .groupBy("qid")
+          .agg(count(col("anid")).as("hits"))
+          .select(lit(nl).as("nlists"), lit(np).as("nprobe"), col("qid"),
+            col("hits"), (col("hits").cast("double") / 10).as("recall_at_10"))
+    }.reduce(_ unionByName _).orderBy("nlists", "nprobe", "qid")
+  }
+
   /** q109 — the tokenizer ENCODE side (q95 trains, this applies): the
     * q95-pinned merge table replayed over the documents corpus in
     * training order — m stacked narrow `MergeAdjacentPair` projections,
@@ -1559,6 +1627,7 @@ object LlmData {
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
     q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames,
-    q109_bpe_apply, q111_ann_recall, q114_ann_recall_curve, q115_mp4_metadata,
+    q109_bpe_apply, q111_ann_recall, q114_ann_recall_curve,
+    q127_ann_nlists_curve, q115_mp4_metadata,
     q119_pca_train, q120_pca_rotation_ann)
 }

@@ -1346,6 +1346,85 @@ object Pipeline {
         lit(res.dirsRewritten).as("dirs_rewritten"))
   }
 
+  /** q126 — the SOURCE-DRIVEN materialized-view chain (the reference
+    * wires Kafka→MV targets, tools/gen_pipeline.py:295-299; here the
+    * change stream is DERIVED from base-table history): MERGE the base
+    * orders table (updates + deletes + inserts), `ChangeFeed.diff` the
+    * two generations (reads only the dir symmetric difference), and
+    * apply the feed to a standing rollup as SIGNED partial state
+    * (`IncrementalAgg.applyChanges` — postimages +1, preimages/deletes
+    * −1, so deletes RETRACT exactly). The base table is never rescanned:
+    * the rollup manifest is pinned at exactly 2 parts (initial load +
+    * one change delta) and the merge at 1 rewritten dir of 2. The
+    * finalized rollup hash-matches a from-scratch re-aggregation of the
+    * merged table in DuckDB. */
+  val q126_cdf_incremental_rollup = Q(
+    "q126_cdf_incremental_rollup",
+    """WITH b AS (SELECT max(o_orderkey) AS maxk,
+      |    max(o_orderkey) // 2 AS b1 FROM orders),
+      |bounds AS (SELECT maxk, b1 + (maxk - b1) // 4 AS lo,
+      |    maxk - (maxk - b1) // 4 AS hi FROM b),
+      |merged AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders, bounds WHERE o_orderkey NOT BETWEEN lo AND hi
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000
+      |  FROM orders, bounds
+      |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT o_orderkey + maxk + 1000, 'N', o_totalprice
+      |  FROM orders, bounds WHERE o_orderkey <= 100)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  2 AS rollup_parts, 1 AS base_dirs_rewritten
+      |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ChangeFeed, IncrementalAgg, ManifestCommit, MergeInto}
+    import graft.ingest.IncrementalAgg.Measure
+    val scratch = tmpDir("graft_q126_")
+    val base = scratch + "/orders"
+    val rollup = scratch + "/rollup"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
+    val b1 = maxk / 2
+    val lo = b1 + (maxk - b1) / 4; val hi = maxk - (maxk - b1) / 4
+    val dirs = Seq(
+      orders.filter(col("o_orderkey") <= b1),
+      orders.filter(col("o_orderkey") > b1)).map { slice =>
+      val d = ManifestCommit.newDataDir(base)
+      slice.write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
+    }
+    ManifestCommit.commitReplace(s, base, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    val g1 = ManifestCommit.readManifest(s, base).get.gen
+    val keys = Seq("o_orderstatus")
+    val measures = Seq(
+      Measure("n_rows", "*", "count"),
+      Measure("price_sum", "o_totalprice", "sum_dec"))
+    // initial rollup load: one batch over the base's current generation
+    IncrementalAgg.appendBatch(s, rollup, ManifestCommit.read(s, base),
+      keys, measures)
+    // merge the base: band updates, 'F' deletes in band, shifted inserts
+    val updates = orders.filter(col("o_orderkey").between(lo, hi))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+    val inserts = orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_orderkey", col("o_orderkey") + maxk + 1000)
+      .withColumn("o_orderstatus", lit("N"))
+    val res = MergeInto.merge(s, base, updates.unionByName(inserts),
+      Seq("o_orderkey"), deleteWhen = Some(col("o_orderstatus") === "F"))
+    val g2 = ManifestCommit.readManifest(s, base).get.gen
+    // derive the change stream, apply it to the rollup as a signed delta
+    val feed = ChangeFeed.diff(s, base, g1, g2, Seq("o_orderkey"))
+    IncrementalAgg.applyChanges(s, rollup, feed, keys, measures)
+    val parts = ManifestCommit.readManifest(s, rollup).get.dirs.size
+    IncrementalAgg.finalizeState(s, rollup, keys, measures,
+      dropEmptyGroups = true)
+      .select(col("o_orderstatus"), col("n_rows"), col("price_sum"),
+        lit(parts).as("rollup_parts"),
+        lit(res.dirsRewritten).as("base_dirs_rewritten"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1357,5 +1436,5 @@ object Pipeline {
     q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join,
     q117_time_travel, q118_stream_full_outer_join, q121_manifest_skipping,
     q122_incremental_agg, q123_merge_into, q124_change_feed,
-    q125_merge_schema_evolution)
+    q125_merge_schema_evolution, q126_cdf_incremental_rollup)
 }

@@ -92,4 +92,74 @@ class IncrementalAggSpec extends SparkSpec {
     assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5),
       "sum/min/max of all-null input must be null")
   }
+
+  // ---- change-feed maintenance (signed deltas) ----
+
+  private val retractable = Seq(
+    Measure("cnt", "*", "count"),
+    Measure("n_sum", "n", "sum_long"),
+    Measure("price_sum", "price", "sum_dec"))
+
+  private val feedSt = StructType(st.fields :+
+    StructField(ChangeFeed.ChangeType, StringType, true))
+
+  test("applyChanges retracts exactly: delete, update, group move") {
+    val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
+    IncrementalAgg.appendBatch(spark, root, mkDf(st,
+      Row("a", 1L, 1.00), Row("a", 2L, 2.00), Row("b", 3L, 3.00),
+      Row("b", 4L, 4.00)), Seq("k"), retractable)
+    // feed: delete (a,1); update (a,2)->(a,20) in place; move (b,3)->(a,3)
+    IncrementalAgg.applyChanges(spark, root, mkDf(feedSt,
+      Row("a", 1L, 1.00, "delete"),
+      Row("a", 2L, 2.00, "update_preimage"),
+      Row("a", 20L, 2.50, "update_postimage"),
+      Row("b", 3L, 3.00, "update_preimage"),
+      Row("a", 3L, 3.00, "update_postimage")), Seq("k"), retractable)
+    val got = IncrementalAgg.finalizeState(spark, root, Seq("k"), retractable,
+      dropEmptyGroups = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // a: rows {20, 3} plus... recompute: initial a = {1,2}; delete 1;
+    // update 2->20 (price 2.00->2.50); move in (a,3) => {20,3}
+    assert(got("a") === ((2L, 23L, 5.50)))
+    // b: initial {3,4}; 3 moved out => {4}
+    assert(got("b") === ((1L, 4L, 4.00)))
+  }
+
+  test("fully-retracted group vanishes with dropEmptyGroups") {
+    val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
+    IncrementalAgg.appendBatch(spark, root, mkDf(st,
+      Row("a", 1L, 1.00), Row("b", 2L, 2.00)), Seq("k"), retractable)
+    IncrementalAgg.applyChanges(spark, root, mkDf(feedSt,
+      Row("b", 2L, 2.00, "delete")), Seq("k"), retractable)
+    val kept = IncrementalAgg.finalizeState(spark, root, Seq("k"),
+      retractable, dropEmptyGroups = true).collect().map(_.getString(0)).toSet
+    assert(kept === Set("a"))
+    // without the flag, the zero-count tombstone row is visible (the raw
+    // state algebra — callers see exactly what the parts merged to)
+    val raw = IncrementalAgg.finalizeState(spark, root, Seq("k"),
+      retractable).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(raw("b") === 0L)
+  }
+
+  test("min/max measures are rejected for change-feed maintenance") {
+    val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.applyChanges(spark, root, mkDf(feedSt,
+        Row("a", 1L, 1.00, "insert")), Seq("k"), measures) // has min/max
+    }
+    assert(e.getMessage.contains("not retractable"), e.getMessage)
+  }
+
+  test("null measure values contribute nothing in either direction") {
+    val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
+    IncrementalAgg.appendBatch(spark, root, mkDf(st,
+      Row("a", 1L, 1.00), Row("a", null, null)), Seq("k"), retractable)
+    // delete the null-measure row: cnt 2->1, sums unchanged
+    IncrementalAgg.applyChanges(spark, root, mkDf(feedSt,
+      Row("a", null, null, "delete")), Seq("k"), retractable)
+    val r = IncrementalAgg.finalizeState(spark, root, Seq("k"), retractable)
+      .collect()(0)
+    assert(r.getLong(1) === 1L && r.getLong(2) === 1L && r.getDouble(3) === 1.00)
+  }
 }

@@ -232,4 +232,53 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ManifestCommit.resolvePaths(spark, root) === Seq(root))
     assert(idsOf(root) === Set(5L))
   }
+
+  test("N genuinely concurrent committers: every append lands exactly once") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val threads = 4
+    val appendsPerThread = 5
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    // barrier aligns the threads' first attempts so at most one can win
+    // the first CAS — the others MUST observe a conflict and retry
+    val barrier = new java.util.concurrent.CyclicBarrier(threads)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          (0 until appendsPerThread).foreach { i =>
+            val id = (t * appendsPerThread + i).toLong
+            val d = ManifestCommit.newDataDir(root)
+            write(Row(id, s"t$t-$i"))(d)
+            // optimistic-concurrency loop: read gen, CAS-commit, retry on
+            // conflict — the protocol every writer of a shared table runs
+            var committed = false
+            while (!committed) {
+              val gen = ManifestCommit.readManifest(spark, root)
+                .map(_.gen).getOrElse(0L)
+              try {
+                ManifestCommit.commitAppend(spark, root, d,
+                  expectedGen = Some(gen))
+                committed = true
+              } catch {
+                case _: ManifestCommit.ConcurrentCommitException =>
+                  retries.incrementAndGet()
+              }
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(failures.isEmpty, failures)
+    val m = ManifestCommit.readManifest(spark, root).get
+    // every commit bumped the generation exactly once — strict monotonicity
+    assert(m.gen === (threads * appendsPerThread).toLong)
+    assert(m.dirs.size === threads * appendsPerThread)
+    // every row present exactly once (no lost manifest update)
+    val ids = ManifestCommit.read(spark, root).collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted === (0 until threads * appendsPerThread).map(_.toLong))
+    // the barrier guarantees contention on at least the first round
+    assert(retries.get() >= 1, s"expected >=1 CAS retry, got ${retries.get()}")
+  }
 }
