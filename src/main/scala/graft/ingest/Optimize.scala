@@ -1,0 +1,100 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** OPTIMIZE ZORDER over a manifest-committed table — multi-dimensional
+  * re-clustering so the manifest's per-dir column stats prune on EVERY
+  * z-ordered dimension at once (the public Delta OPTIMIZE ZORDER /
+  * Iceberg sort-order rewrite idea; the reference gets the 1-D version
+  * from MergeTree ORDER BY keys, `/root/reference/tools/
+  * ingest_runner.py:1529-1592` staging rewrite with a sort).
+  *
+  * A single-column sort gives tight per-dir [min, max] on that column
+  * and useless full-range stats on every other; interleaving the bits
+  * of two dimensions (`functions.ZOrderKey`, codegen'd) makes each
+  * z-range dir a small RECTANGLE in (a, b) space, so a conjunctive
+  * predicate box overlaps only the dirs its rectangle touches —
+  * `resolvePrunedMulti` skips the rest from footer-only manifest stats.
+  *
+  * Scale shape: one pass computes the key, `repartitionByRange` on it
+  * (one shuffle — sampled range boundaries, the standard distributed
+  * sort), files written per bucket in ONE job via hive-style
+  * `partitionBy`, then promoted to immutable `data_*` dirs and installed
+  * with one atomic CAS commit. Cost is a full rewrite — a maintenance
+  * operation by nature (run it on the cold/append-quiet tail, like any
+  * OPTIMIZE); readers before/after see identical rows.
+  *
+  * 31-bit contract: z-order inputs must fit 31 bits (ZOrderKey masks
+  * beyond that) — callers pass surrogate keys/bucketed values, same
+  * contract as q100's sorting-key use.
+  */
+object Optimize {
+
+  /** Re-cluster the live generation of `root` by the z-order of
+    * (`colA`, `colB`) into `targetDirs` range-partitioned dirs, each
+    * committed with min/max stats on both columns (plus `extraStatCols`).
+    * Returns the new manifest. */
+  def zorderCompact(spark: SparkSession, root: String,
+      colA: String, colB: String, targetDirs: Int,
+      extraStatCols: Seq[String] = Nil): ManifestCommit.Manifest = {
+    require(targetDirs >= 1, "targetDirs must be >= 1")
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+    val live = ManifestCommit.read(spark, root)
+
+    val keyed = live.withColumn("__z",
+      graft.functions.columns.zorderKey(
+        col(colA).cast("long"), col(colB).cast("long")))
+    // one range shuffle = the distributed sort; ordering WITHIN a dir is
+    // irrelevant to dir-level stats, so no within-partition sort is paid
+    val staged = keyed.repartitionByRange(targetDirs, col("__z"))
+      .withColumn("__zbucket", spark_partition_id())
+      .drop("__z")
+
+    // ONE write job for all buckets (hive-style layout), then promote
+    // each bucket dir to an immutable data_* dir. The promotion is a
+    // local/HDFS rename; an object-store deployment writes the buckets
+    // as final dirs directly via its committer — the manifest protocol
+    // above it is unchanged.
+    val staging = s"$root/._zorder_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    staged.write.partitionBy("__zbucket").parquet(staging)
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = f.listStatus(new Path(staging)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zbucket="))
+      .sortBy(st => st.getPath.getName.stripPrefix("__zbucket=").toInt)
+    val statCols = (Seq(colA, colB) ++ extraStatCols).distinct
+    val promoted = bucketDirs.map { st =>
+      val d = ManifestCommit.newDataDir(root)
+      f.rename(st.getPath, new Path(d))
+      d -> ManifestCommit.dirStats(spark, d, statCols)
+    }
+    f.delete(new Path(staging), true)
+
+    ManifestCommit.commitReplace(spark, root, promoted.map(_._1),
+      pruneDisplaced = false,
+      stats = promoted.toMap,
+      expectedGen = Some(m.gen),
+      schema = Some(StructType(live.schema.fields.map(_.copy(nullable = true)))))
+  }
+
+  /** Conjunctive multi-column data-skipping resolve: keep dirs whose
+    * stats can overlap EVERY (col, lo, hi) bound. Dirs missing stats for
+    * a column are kept for it (skipping is an optimization, never a
+    * filter — `ManifestCommit.resolvePruned` contract, per column).
+    * Returns (kept absolute paths, total live dirs). */
+  def resolvePrunedMulti(spark: SparkSession, root: String,
+      bounds: Seq[(String, Option[String], Option[String])]): (Seq[String], Int) =
+    ManifestCommit.readManifest(spark, root) match {
+      case Some(m) =>
+        val kept = m.dirs.filter { d =>
+          bounds.forall { case (c, lo, hi) =>
+            m.stats.getOrElse(d, Nil).find(_.col == c).forall(_.overlaps(lo, hi))
+          }
+        }
+        (kept.map(d => s"$root/$d"), m.dirs.size)
+      case None => (Seq(root), 1)
+    }
+}

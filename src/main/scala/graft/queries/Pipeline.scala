@@ -1425,6 +1425,56 @@ object Pipeline {
         lit(res.dirsRewritten).as("base_dirs_rewritten"))
   }
 
+  /** q128 — OPTIMIZE ZORDER over the manifest (`Optimize.zorderCompact`;
+    * Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite, public designs —
+    * the reference's 1-D analogue is the MergeTree ORDER BY rewrite,
+    * tools/ingest_runner.py:1529-1592). Orders lands as four
+    * key-MODULO-sliced dirs — every dir spans the FULL range of both
+    * columns, so the manifest stats can prune nothing. One z-order
+    * rewrite later, each dir is a rectangle in (o_orderkey, o_custkey)
+    * space; a quarter-box conjunctive predicate then provably skips dirs
+    * (`pruned_effective` pinned 1), and the aggregate computed over ONLY
+    * the kept dirs hash-matches DuckDB's full-table filter — pruning
+    * changed the I/O, not the answer. */
+  val q128_zorder_optimize = Q(
+    "q128_zorder_optimize",
+    """WITH b AS (SELECT max(o_orderkey) // 4 AS k_hi,
+      |    max(o_custkey) // 4 AS c_hi FROM orders)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  1 AS pruned_effective
+      |FROM orders, b WHERE o_orderkey <= k_hi AND o_custkey <= c_hi""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, Optimize}
+    val root = tmpDir("graft_q128_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val Row(maxkAny, maxcAny) =
+      orders.agg(max("o_orderkey"), max("o_custkey")).collect()(0)
+    val maxk = maxkAny.asInstanceOf[Long]; val maxc = maxcAny.asInstanceOf[Long]
+    // modulo slicing: every dir spans the full range of BOTH columns
+    val dirs = (0 until 4).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      orders.filter(col("o_orderkey") % 4 === i).write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey", "o_custkey"))
+    }
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    Optimize.zorderCompact(s, root, "o_orderkey", "o_custkey", targetDirs = 8)
+    val kHi = maxk / 4; val cHi = maxc / 4
+    val (kept, total) = Optimize.resolvePrunedMulti(s, root, Seq(
+      ("o_orderkey", None, Some(kHi.toString)),
+      ("o_custkey", None, Some(cHi.toString))))
+    s.read.parquet(kept: _*)
+      .filter(col("o_orderkey") <= kHi && col("o_custkey") <= cHi)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2)))
+          .cast("double").as("price_sum"))
+      .select(col("n_rows"), col("key_sum"), col("price_sum"),
+        (lit(kept.size) < lit(total)).cast("int").as("pruned_effective"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1436,5 +1486,6 @@ object Pipeline {
     q112_stream_outer_join, q113_topic_routing, q116_stream_right_outer_join,
     q117_time_travel, q118_stream_full_outer_join, q121_manifest_skipping,
     q122_incremental_agg, q123_merge_into, q124_change_feed,
-    q125_merge_schema_evolution, q126_cdf_incremental_rollup)
+    q125_merge_schema_evolution, q126_cdf_incremental_rollup,
+    q128_zorder_optimize)
 }

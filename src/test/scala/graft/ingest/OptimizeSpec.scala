@@ -1,0 +1,109 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** OPTIMIZE ZORDER: a rewrite-only maintenance op — contents identical
+  * before/after, but per-dir stats become rectangles in the z-ordered
+  * (a, b) plane, so conjunctive boxes prune dirs the un-clustered
+  * layout could never skip. */
+class OptimizeSpec extends SparkSpec {
+
+  private val st = StructType(Seq(
+    StructField("x", LongType, false),
+    StructField("y", LongType, false),
+    StructField("payload", StringType, true)))
+
+  /** Full 32×32 grid — every (x, y) point once. */
+  private def grid(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, 32L * 32)
+      .select((col("id") % 32).as("x"), expr("id DIV 32").as("y"),
+        concat(lit("p"), col("id")).as("payload"))
+  }
+
+  private def commitMod4(root: String): Unit = {
+    // modulo split: every dir spans the FULL x and y ranges
+    val dirs = (0 until 4).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      grid().filter((col("x") + col("y")) % 4 === i).write.parquet(d)
+      d -> ManifestCommit.dirStats(spark, d, Seq("x", "y"))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+  }
+
+  private def contents(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+    df.collect().toSet.map((r: Row) =>
+      (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[String]("payload")))
+
+  test("zorder rewrite preserves contents exactly; old gen time-travels") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    commitMod4(root)
+    val before = contents(ManifestCommit.read(spark, root))
+    val g0 = ManifestCommit.readManifest(spark, root).get.gen
+    val m = Optimize.zorderCompact(spark, root, "x", "y", targetDirs = 16)
+    assert(m.gen === g0 + 1)
+    assert(contents(ManifestCommit.read(spark, root)) === before)
+    assert(contents(ManifestCommit.readAt(spark, root, g0)) === before)
+    // the rewrite records the union schema for explicit-schema reads
+    assert(m.tableSchema.map(_.fieldNames.toSeq) === Some(Seq("x", "y", "payload")))
+  }
+
+  test("conjunctive box prunes z-ordered dirs; modulo layout prunes nothing") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    commitMod4(root)
+    val box = Seq(
+      ("x", Option.empty[String], Some("7")),
+      ("y", Option.empty[String], Some("7")))
+    // un-clustered: every dir's stats span the full grid — nothing prunes
+    val (kept0, total0) = Optimize.resolvePrunedMulti(spark, root, box)
+    assert(total0 === 4 && kept0.size === 4)
+    Optimize.zorderCompact(spark, root, "x", "y", targetDirs = 16)
+    val (kept1, total1) = Optimize.resolvePrunedMulti(spark, root, box)
+    // the 8×8 box is 1/16 of the plane; z-range dirs are rectangles, so
+    // most dirs cannot overlap it
+    assert(kept1.size < total1 / 2, s"kept ${kept1.size} of $total1")
+    // pruned read + residual filter == full filter (skipping is safe)
+    val pruned = contents(spark.read.parquet(kept1: _*)
+      .filter(col("x") <= 7 && col("y") <= 7))
+    val full = contents(ManifestCommit.read(spark, root)
+      .filter(col("x") <= 7 && col("y") <= 7))
+    assert(pruned === full && full.size === 64)
+  }
+
+  test("single-column sort cannot serve both dimensions; z-order can") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    // sort by x only, sliced into 16 x-ranges: y stats are full-range
+    val dirs = (0 until 16).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      grid().filter(col("x") >= i * 2 && col("x") < (i + 1) * 2)
+        .write.parquet(d)
+      d -> ManifestCommit.dirStats(spark, d, Seq("x", "y"))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    val yOnly = Seq(("y", Option.empty[String], Some("7")))
+    val (keptY, totalY) = Optimize.resolvePrunedMulti(spark, root, yOnly)
+    assert(keptY.size === totalY, "x-sorted layout cannot prune on y")
+    Optimize.zorderCompact(spark, root, "x", "y", targetDirs = 16)
+    val (keptZ, totalZ) = Optimize.resolvePrunedMulti(spark, root, yOnly)
+    assert(keptZ.size < totalZ, "z-ordered layout prunes on y alone")
+  }
+
+  test("missing stats on one bound keep the dir (never a filter)") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    val d = ManifestCommit.newDataDir(root)
+    grid().write.parquet(d)
+    // stats recorded only for x
+    ManifestCommit.commitReplace(spark, root, Seq(d),
+      pruneDisplaced = false,
+      stats = Map(d -> ManifestCommit.dirStats(spark, d, Seq("x"))))
+    val (kept, total) = Optimize.resolvePrunedMulti(spark, root, Seq(
+      ("x", None, Some("7")), ("y", None, Some("7"))))
+    assert(kept.size === 1 && total === 1)
+  }
+}
