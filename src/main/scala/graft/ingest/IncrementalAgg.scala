@@ -158,7 +158,7 @@ object IncrementalAgg {
       keys: Seq[String], measures: Seq[Measure]): ManifestCommit.Manifest = {
     val d = ManifestCommit.newDataDir(root)
     changePartialState(feed, keys, measures).write.parquet(d)
-    ManifestCommit.commitAppend(spark, root, d)
+    ManifestCommit.commitAppend(spark, root, d, op = "apply_changes")
   }
 
   /** OPTIMIZE analogue: fold all live parts to one. Readers before/after
@@ -169,6 +169,6 @@ object IncrementalAgg {
     val merged = mergeStates(ManifestCommit.read(spark, root), keys, measures)
     val d = ManifestCommit.newDataDir(root)
     merged.write.parquet(d)
-    ManifestCommit.commitReplace(spark, root, Seq(d))
+    ManifestCommit.commitReplace(spark, root, Seq(d), op = "compact")
   }
 }

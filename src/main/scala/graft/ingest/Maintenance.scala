@@ -125,7 +125,7 @@ object Maintenance {
       val dataDir = ManifestCommit.newDataDir(path)
       writeCompacted(collapsed,
         parts, if (sortingKey.nonEmpty) sortingKey else keys, keys, dataDir)
-      ManifestCommit.commitReplace(spark, path, Seq(dataDir))
+      ManifestCommit.commitReplace(spark, path, Seq(dataDir), op = "compact")
     } else {
       val staging = path + "__compact"
       writeCompacted(collapsed,

@@ -64,10 +64,16 @@ object ManifestCommit {
     * table, mergeSchema is a planning-time footer sweep of every data
     * file, while an explicit schema is zero I/O and parquet null-fills
     * columns a cold dir predates. Absent on pre-evolution manifests →
-    * readers fall back to mergeSchema (always correct, just slower). */
+    * readers fall back to mergeSchema (always correct, just slower).
+    *
+    * `op` labels the operation that produced this generation (append,
+    * replace, merge, zorder, compact, …) — the commit-provenance half of
+    * the public DESCRIBE HISTORY idea; [[history]] walks the retained
+    * snapshots and derives the dir-level delta per step. */
   final case class Manifest(gen: Long, dirs: Seq[String],
       stats: Map[String, Seq[ColStats]] = Map.empty,
-      tableSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      op: Option[String] = None)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -118,9 +124,10 @@ object ManifestCommit {
         org.apache.spark.sql.types.DataType.fromJson(dec(l.split('\t')(1)))
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
+      val op = meta.find(_.startsWith("#op\t")).map(l => dec(l.split('\t')(1)))
       val parsed = dirLines.map(parseDirLine)
       Some(Manifest(lines.head.trim.toLong, parsed.map(_._1),
-        parsed.filter(_._2.nonEmpty).toMap, schema))
+        parsed.filter(_._2.nonEmpty).toMap, schema, op))
     }
   }
 
@@ -229,6 +236,7 @@ object ManifestCommit {
   private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
     val content = (Seq(m.gen.toString) ++
       m.tableSchema.map(s => "#schema\t" + enc(s.json)).toSeq ++
+      m.op.map(o => "#op\t" + enc(o)).toSeq ++
       m.dirs.map(renderDirLine(m))).mkString("\n")
     writeFileAtomic(spark, root, snapshotPath(root, m.gen), content)
     writeFileAtomic(spark, root, manifestPath(root), content)
@@ -258,7 +266,8 @@ object ManifestCommit {
       pruneDisplaced: Boolean = true,
       stats: Map[String, Seq[ColStats]] = Map.empty,
       expectedGen: Option[Long] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Manifest =
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      op: String = "replace"): Manifest =
       commitLock(root).synchronized {
     val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
     val prev = readManifest(spark, root)
@@ -268,7 +277,7 @@ object ManifestCommit {
     // would MASK new columns at read (explicit-schema reads only see
     // recorded columns). None → no schema line → mergeSchema fallback.
     val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names,
-      stats.map { case (d, cs) => new Path(d).getName -> cs }, schema)
+      stats.map { case (d, cs) => new Path(d).getName -> cs }, schema, Some(op))
     writeManifest(spark, root, m)
     if (pruneDisplaced) {
       // eager-prune mode: displaced dirs go away, so the older snapshots
@@ -314,7 +323,8 @@ object ManifestCommit {
     * set (existing dirs keep their stats). */
   def commitAppend(spark: SparkSession, root: String, dir: String,
       stats: Seq[ColStats] = Nil,
-      expectedGen: Option[Long] = None): Manifest =
+      expectedGen: Option[Long] = None,
+      op: String = "append"): Manifest =
       commitLock(root).synchronized {
     val prev = readManifest(spark, root)
     checkCas(root, prev, expectedGen)
@@ -326,9 +336,46 @@ object ManifestCommit {
       prev.map(_.dirs).getOrElse(Nil) :+ name,
       prev.map(_.stats).getOrElse(Map.empty) ++
         (if (stats.nonEmpty) Map(name -> stats) else Map.empty),
-      prev.flatMap(_.tableSchema))
+      prev.flatMap(_.tableSchema), Some(op))
     writeManifest(spark, root, m)
     m
+  }
+
+  /** Commit provenance over the RETAINED history (DESCRIBE HISTORY,
+    * from the public Delta/Iceberg idea): one row per retained
+    * generation — operation label, live-dir count, and the dir-level
+    * delta vs the previous retained generation. Footer-free: reads only
+    * the small snapshot manifests, never data. Expired generations are
+    * simply absent (their window of dirs-added/removed is folded into
+    * the oldest retained step's `dirs_added` being vs-nothing). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val gens = snapshotGens(spark, root)
+    val ms = gens.flatMap(g => readManifestAt(spark, root, g))
+    val rows = ms.zipWithIndex.map { case (m, i) =>
+      val prevDirs: Set[String] =
+        if (i == 0) Set.empty else ms(i - 1).dirs.toSet
+      org.apache.spark.sql.Row(
+        m.gen, m.op.getOrElse(""), m.dirs.size,
+        m.dirs.count(!prevDirs.contains(_)).toLong,
+        prevDirs.count(d => !m.dirs.contains(d)).toLong,
+        m.tableSchema.isDefined)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gen",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("operation",
+          org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("n_dirs",
+          org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("dirs_added",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("dirs_removed",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("schema_recorded",
+          org.apache.spark.sql.types.BooleanType, false))))
   }
 
   /** A concurrent writer committed since this writer read the table —
@@ -420,6 +467,50 @@ object ManifestCommit {
         val kept = m.dirs.filter { d =>
           m.stats.getOrElse(d, Nil).find(_.col == col)
             .forall(_.overlaps(lo, hi))
+        }
+        (kept.map(d => s"$root/$d"), m.dirs.size)
+      case None => (Seq(root), 1)
+    }
+
+  /** Build and store a per-dir bloom filter for `col`, as a HIDDEN side
+    * file `_bloom_<col>` INSIDE the dir it describes (underscore-prefixed
+    * files are invisible to parquet scans, and the bloom's lifetime is
+    * automatically the dir's — dir deletion reclaims it, immutability is
+    * inherited). This is the point-lookup half of data skipping (public
+    * Delta bloom-index / Iceberg puffin idea): min/max stats prune RANGE
+    * predicates but are useless for `key = x` on layouts where every dir
+    * spans the full key range; a bloom answers "definitely not here" per
+    * dir from a few KB, no data I/O. Size the filter to the dir's
+    * distinct count: bits ≈ -n·ln(fpp)/ln(2)², ~1.2 KB per 1k keys at
+    * 1% fpp. */
+  def writeDirBloom(spark: SparkSession, dir: String, col: String,
+      expectedItems: Long, fpp: Double = 0.01): Unit = {
+    val bf = spark.read.parquet(dir).stat.bloomFilter(col, expectedItems, fpp)
+    val f = fs(spark, dir)
+    val out = f.create(new Path(dir, s"_bloom_$col"), true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** Point-lookup resolve: live dirs whose `col` bloom might contain
+    * `value`. Dirs without a bloom side file are kept (skipping is an
+    * optimization, never a filter — the `resolvePruned` contract).
+    * False positives only cost an extra dir scan; a bloom's "definitely
+    * absent" is exact, so callers still apply the real predicate but
+    * never miss rows. Returns (kept absolute paths, total live dirs). */
+  def resolveBloom(spark: SparkSession, root: String, col: String,
+      value: Any): (Seq[String], Int) =
+    readManifest(spark, root) match {
+      case Some(m) =>
+        val f = fs(spark, root)
+        val kept = m.dirs.filter { d =>
+          val p = new Path(new Path(root, d), s"_bloom_$col")
+          if (!f.exists(p)) true
+          else {
+            val in = f.open(p)
+            val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                     finally in.close()
+            bf.mightContain(value)
+          }
         }
         (kept.map(d => s"$root/$d"), m.dirs.size)
       case None => (Seq(root), 1)

@@ -193,7 +193,8 @@ object MergeInto {
       stats = keptStats ++
         (if (newStats.nonEmpty) Map(newName -> newStats) else Map.empty),
       expectedGen = Some(m.gen),
-      schema = Some(unionSchema))
+      schema = Some(unionSchema),
+      op = "merge")
 
     MergeResult(committed.gen, m.dirs.size, m.dirs.size - keptDirs.size,
       upd, del, ins, keep)

@@ -77,7 +77,8 @@ object Optimize {
       pruneDisplaced = false,
       stats = promoted.toMap,
       expectedGen = Some(m.gen),
-      schema = Some(StructType(live.schema.fields.map(_.copy(nullable = true)))))
+      schema = Some(StructType(live.schema.fields.map(_.copy(nullable = true)))),
+      op = "zorder")
   }
 
   /** Conjunctive multi-column data-skipping resolve: keep dirs whose

@@ -1475,6 +1475,103 @@ object Pipeline {
         (lit(kept.size) < lit(total)).cast("int").as("pruned_effective"))
   }
 
+  /** q129 — DESCRIBE HISTORY over the manifest's retained snapshots
+    * (`ManifestCommit.history`; public Delta/Iceberg commit-provenance
+    * idea — the reference's closest analogue is the per-run audit trail,
+    * tools/ingest_runner.py run reports): a four-step lifecycle
+    * (replace → late-batch append → MERGE → OPTIMIZE ZORDER) and the
+    * full provenance table is pinned — operation labels, live-dir
+    * counts, per-step dir-level deltas, and the exact step where the
+    * union schema starts being recorded. Footer-free: history reads only
+    * the small snapshot manifests, never data. */
+  val q129_manifest_history = Q(
+    "q129_manifest_history",
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'replace', 2, CAST(2 AS BIGINT), CAST(0 AS BIGINT), FALSE),
+      |  (CAST(2 AS BIGINT), 'append',  3, CAST(1 AS BIGINT), CAST(0 AS BIGINT), FALSE),
+      |  (CAST(3 AS BIGINT), 'merge',   3, CAST(1 AS BIGINT), CAST(1 AS BIGINT), TRUE),
+      |  (CAST(4 AS BIGINT), 'zorder',  2, CAST(2 AS BIGINT), CAST(3 AS BIGINT), TRUE)
+      |) AS h(gen, operation, n_dirs, dirs_added, dirs_removed, schema_recorded)
+      |ORDER BY gen""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, MergeInto, Optimize}
+    val root = tmpDir("graft_q129_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
+    val b1 = maxk / 2
+    // gen 1: replace — two key-sliced dirs
+    val dirs = Seq(
+      orders.filter(col("o_orderkey") <= b1),
+      orders.filter(col("o_orderkey") > b1)).map { slice =>
+      val d = ManifestCommit.newDataDir(root)
+      slice.write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
+    }
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    // gen 2: append — a late-arriving shifted batch above every slice
+    val late = ManifestCommit.newDataDir(root)
+    orders.filter(col("o_orderkey") <= 100)
+      .withColumn("o_orderkey", col("o_orderkey") + maxk + 1000)
+      .write.parquet(late)
+    ManifestCommit.commitAppend(s, root, late,
+      stats = ManifestCommit.dirStats(s, late, Seq("o_orderkey")))
+    // gen 3: merge — band update strictly inside the FIRST slice
+    val lo = b1 / 4; val hi = b1 / 2
+    MergeInto.merge(s, root,
+      orders.filter(col("o_orderkey").between(lo, hi))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000),
+      Seq("o_orderkey"))
+    // gen 4: OPTIMIZE ZORDER into two range dirs
+    Optimize.zorderCompact(s, root, "o_orderkey", "o_custkey", targetDirs = 2)
+    ManifestCommit.history(s, root).orderBy("gen")
+  }
+
+  /** q130 — bloom-filter POINT-LOOKUP skipping
+    * (`ManifestCommit.writeDirBloom`/`resolveBloom`; public Delta
+    * bloom-index / Iceberg puffin idea): orders modulo-sliced into four
+    * dirs — every dir spans the full key range, so min/max stats cannot
+    * prune a `key = x` probe at all — then a ~KB bloom side file per dir
+    * answers "definitely not here" and the probe reads (almost always)
+    * ONE dir. The probed row itself is hash-matched against DuckDB's
+    * full-table point query; `pruned_effective` pins that skipping
+    * actually happened. Blooms live INSIDE their data dir (hidden `_`
+    * file): immutability and lifetime inherited, parquet scans blind to
+    * them. */
+  val q130_bloom_point_lookup = Q(
+    "q130_bloom_point_lookup",
+    """WITH b AS (SELECT max(o_orderkey) // 3 AS cut FROM orders),
+      |probe AS (SELECT max(o_orderkey) AS k FROM orders, b
+      |  WHERE o_orderkey <= cut)
+      |SELECT o.o_orderkey, o.o_custkey,
+      |  CAST(CAST(o.o_totalprice AS DECIMAL(30,2)) AS DOUBLE) AS price,
+      |  1 AS pruned_effective
+      |FROM orders o, probe WHERE o.o_orderkey = probe.k""".stripMargin) { (s, dir) =>
+    import graft.ingest.ManifestCommit
+    val root = tmpDir("graft_q130_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+    // probe key GUARANTEED to exist: the largest key at or below maxk/3
+    val probeKey = orders.filter(col("o_orderkey") <= maxk / 3)
+      .agg(max("o_orderkey")).collect()(0).getLong(0)
+    val perDir = orders.count() / 4 + 1
+    val dirs = (0 until 4).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      orders.filter(col("o_orderkey") % 4 === i).write.parquet(d)
+      ManifestCommit.writeDirBloom(s, d, "o_orderkey", perDir, fpp = 0.01)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
+    }
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    val (kept, total) = ManifestCommit.resolveBloom(s, root, "o_orderkey", probeKey)
+    s.read.parquet(kept: _*)
+      .filter(col("o_orderkey") === probeKey)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(30, 2)).cast("double").as("price"),
+        (lit(kept.size) < lit(total)).cast("int").as("pruned_effective"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1487,5 +1584,5 @@ object Pipeline {
     q117_time_travel, q118_stream_full_outer_join, q121_manifest_skipping,
     q122_incremental_agg, q123_merge_into, q124_change_feed,
     q125_merge_schema_evolution, q126_cdf_incremental_rollup,
-    q128_zorder_optimize)
+    q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup)
 }

@@ -233,6 +233,75 @@ class ManifestCommitSpec extends SparkSpec {
     assert(idsOf(root) === Set(5L))
   }
 
+  test("history walks retained snapshots: ops, dir deltas, schema flag") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "a"))(d1)
+    val d2 = ManifestCommit.newDataDir(root); write(Row(2L, "b"))(d2)
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false)
+    ManifestCommit.commitAppend(spark, root, d2)
+    val d3 = ManifestCommit.newDataDir(root); write(Row(3L, "c"))(d3)
+    ManifestCommit.commitReplace(spark, root, Seq(d3),
+      pruneDisplaced = false, op = "compact")
+    val h = ManifestCommit.history(spark, root).orderBy("gen").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    assert(h.toSeq === Seq(
+      (1L, "replace", 1, 1L, 0L),
+      (2L, "append", 2, 1L, 0L),
+      (3L, "compact", 1, 1L, 2L)))
+    // expiring old snapshots shrinks history to what is still retained
+    ManifestCommit.expireSnapshots(spark, root, keepLast = 1)
+    assert(ManifestCommit.history(spark, root).collect().map(_.getLong(0))
+      .toSeq === Seq(3L))
+  }
+
+  test("old manifests without #op parse with empty operation") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "a"))(d1)
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false)
+    // strip the #op line, simulating a pre-provenance manifest
+    val p = new org.apache.hadoop.fs.Path(root, "_manifest")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val out = f.create(p, true)
+    try out.write(txt.linesIterator.filterNot(_.startsWith("#op"))
+      .mkString("\n").getBytes("UTF-8")) finally out.close()
+    assert(ManifestCommit.readManifest(spark, root).get.op.isEmpty)
+    assert(idsOf(root) === Set(1L)) // reads unaffected
+  }
+
+  test("bloom side files: point resolve keeps the true dir, skips others") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    // 4 dirs of interleaved ids: min/max stats are useless for points
+    val dirs = (0 until 4).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      mkDf(st, (0 until 250).map(j =>
+        Row((j * 4 + i).toLong, s"v$i-$j")): _*).write.parquet(d)
+      ManifestCommit.writeDirBloom(spark, d, "id", 250, fpp = 0.01)
+      d
+    }
+    ManifestCommit.commitReplace(spark, root, dirs, pruneDisplaced = false)
+    // probe id 402 lives in dir index 2 (402 % 4 == 2)
+    val (kept, total) = ManifestCommit.resolveBloom(spark, root, "id", 402L)
+    assert(total === 4)
+    val trueDir = dirs(2).split('/').last
+    assert(kept.exists(_.endsWith(trueDir)), "bloom must never skip the true dir")
+    assert(kept.size < total, "bloom should skip at least one dir")
+    // pruned read + exact predicate still finds exactly the row
+    val got = spark.read.parquet(kept: _*)
+      .filter(org.apache.spark.sql.functions.col("id") === 402L).collect()
+    assert(got.map(_.getString(1)).toSeq === Seq("v2-100"))
+    // a dir without a bloom side file is always kept
+    val d5 = ManifestCommit.newDataDir(root)
+    write(Row(10000L, "nofilter"))(d5)
+    ManifestCommit.commitAppend(spark, root, d5)
+    val (kept2, total2) = ManifestCommit.resolveBloom(spark, root, "id", 402L)
+    assert(total2 === 5 && kept2.exists(_.endsWith(d5.split('/').last)))
+  }
+
   test("N genuinely concurrent committers: every append lands exactly once") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
     val threads = 4
