@@ -50,8 +50,16 @@ object ChangeFeed {
     val from = manifestAt(fromGen)
     val to = manifestAt(toGen)
 
-    val droppedDirs = from.dirs.filterNot(to.dirs.contains)
-    val addedDirs = to.dirs.filterNot(from.dirs.contains)
+    // Dir identity includes the deletion vector: a dir whose DV changed
+    // between generations contributes its OLD row set to the dropped
+    // side and its NEW row set to the added side — the row-level delta
+    // (exactly the newly-deleted keys) falls out of the same join, so
+    // merge-on-read deletes surface in the feed without any dir rewrite.
+    def ident(m: ManifestCommit.Manifest)(d: String) = (d, m.dvs.get(d))
+    val fromSet = from.dirs.map(ident(from)).toSet
+    val toSet = to.dirs.map(ident(to)).toSet
+    val droppedDirs = from.dirs.filterNot(d => toSet(ident(from)(d)))
+    val addedDirs = to.dirs.filterNot(d => fromSet(ident(to)(d)))
 
     // The feed is emitted in toGen's schema (the public Delta CDF
     // contract): both sides read with that schema EXPLICITLY, so dirs
@@ -62,15 +70,14 @@ object ChangeFeed {
     val cols = toDf.columns.toSeq
     val readSchema = org.apache.spark.sql.types.StructType(
       toDf.schema.fields.map(_.copy(nullable = true)))
-    def readDirs(dirs: Seq[String]): DataFrame = {
+    def readDirs(m: ManifestCommit.Manifest, dirs: Seq[String]): DataFrame = {
       val base =
         if (dirs.isEmpty) toDf.limit(0)
-        else spark.read.schema(readSchema)
-          .parquet(dirs.map(d => s"$root/$d"): _*)
+        else ManifestCommit.readDirsOf(spark, root, m, dirs, Some(readSchema))
       base.select(cols.map(col): _*)
     }
-    val old = readDirs(droppedDirs).withColumn("__o", lit(true))
-    val neu = readDirs(addedDirs).withColumn("__n", lit(true))
+    val old = readDirs(from, droppedDirs).withColumn("__o", lit(true))
+    val neu = readDirs(to, addedDirs).withColumn("__n", lit(true))
 
     val cond = keys.map(k => old(k) <=> neu(k)).reduce(_ && _)
     val joined = old.join(neu, cond, "full_outer")

@@ -70,33 +70,52 @@ object ManifestCommit {
     * replace, merge, zorder, compact, …) — the commit-provenance half of
     * the public DESCRIBE HISTORY idea; [[history]] walks the retained
     * snapshots and derives the dir-level delta per step. */
+  /** `dvs` maps a data dir to its DELETION VECTOR file (merge-on-read
+    * deletes, the public Delta DV / Iceberg delete-file idea): the dir's
+    * rows minus the keys in the DV file are its live rows. DV files are
+    * immutable `_dv_*` parquet at the table root holding exactly the key
+    * columns; a new delete writes a NEW dv file (the union for that dir)
+    * and repoints — dirs and dv files never mutate, so time travel stays
+    * exact (each generation references its own dv set). */
   final case class Manifest(gen: Long, dirs: Seq[String],
       stats: Map[String, Seq[ColStats]] = Map.empty,
       tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
-      op: Option[String] = None)
+      op: Option[String] = None,
+      dvs: Map[String, String] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  /** One dir per line: `<name>` or `<name>\t<col:kind:min:max,...>` with
-    * percent-encoded fields — old manifests (no tab) parse with empty
-    * stats, so the format is back-compatible. */
-  private def renderDirLine(m: Manifest)(d: String): String =
-    m.stats.get(d).filter(_.nonEmpty) match {
-      case Some(cs) => d + "\t" + cs.map(c =>
-        Seq(c.col, c.kind, c.min, c.max).map(enc).mkString(":")).mkString(",")
-      case None => d
+  /** One dir per line: `<name>`, `<name>\t<col:kind:min:max,...>`, or
+    * `<name>\t<stats-or-empty>\tdv:<file>` with percent-encoded fields —
+    * old manifests (fewer fields) parse with empty stats/dv, so the
+    * format is back-compatible. */
+  private def renderDirLine(m: Manifest)(d: String): String = {
+    val stats = m.stats.get(d).filter(_.nonEmpty).map(_.map(c =>
+      Seq(c.col, c.kind, c.min, c.max).map(enc).mkString(":")).mkString(","))
+    val dv = m.dvs.get(d).map(f => "dv:" + enc(f))
+    (stats, dv) match {
+      case (None, None) => d
+      case (s, None) => d + "\t" + s.getOrElse("")
+      case (s, Some(v)) => d + "\t" + s.getOrElse("") + "\t" + v
+    }
+  }
+
+  private def parseStats(cs: String): Seq[ColStats] =
+    if (cs.isEmpty) Nil
+    else cs.split(',').toSeq.map { s =>
+      val Array(c, k, mn, mx) = s.split(':')
+      ColStats(dec(c), dec(k), dec(mn), dec(mx))
     }
 
-  private def parseDirLine(line: String): (String, Seq[ColStats]) =
+  private def parseDirLine(line: String): (String, Seq[ColStats], Option[String]) =
     line.split('\t') match {
-      case Array(d) => (d, Nil)
-      case Array(d, cs) => (d, cs.split(',').toSeq.map { s =>
-        val Array(c, k, mn, mx) = s.split(':')
-        ColStats(dec(c), dec(k), dec(mn), dec(mx))
-      })
+      case Array(d) => (d, Nil, None)
+      case Array(d, cs) => (d, parseStats(cs), None)
+      case Array(d, cs, dv) =>
+        (d, parseStats(cs), Some(dec(dv.stripPrefix("dv:"))))
     }
 
   private def fs(spark: SparkSession, path: String) =
@@ -127,7 +146,9 @@ object ManifestCommit {
       val op = meta.find(_.startsWith("#op\t")).map(l => dec(l.split('\t')(1)))
       val parsed = dirLines.map(parseDirLine)
       Some(Manifest(lines.head.trim.toLong, parsed.map(_._1),
-        parsed.filter(_._2.nonEmpty).toMap, schema, op))
+        parsed.collect { case (d, cs, _) if cs.nonEmpty => d -> cs }.toMap,
+        schema, op,
+        parsed.collect { case (d, _, Some(dv)) => d -> dv }.toMap))
     }
   }
 
@@ -174,12 +195,47 @@ object ManifestCommit {
   /** Read the manifest's dirs: with the recorded union schema when the
     * manifest carries one (explicit schema = zero planning I/O; parquet
     * null-fills columns a dir predates), else mergeSchema (footer sweep,
-    * but tolerates any dir-to-dir drift without recorded metadata). */
-  private def readDirs(spark: SparkSession, root: String, m: Manifest): DataFrame = {
-    val paths = m.dirs.map(d => s"$root/$d")
-    m.tableSchema match {
+    * but tolerates any dir-to-dir drift without recorded metadata).
+    * Dirs carrying a deletion vector subtract it with a per-dir
+    * LEFT ANTI join on the DV's own key columns (DVs are small — the
+    * join broadcasts; per-dir application is exact without any
+    * key-uniqueness assumption, since a key deleted from one dir may
+    * legitimately live on in a later-inserted dir). */
+  private def readDirs(spark: SparkSession, root: String, m: Manifest): DataFrame =
+    readDirsOf(spark, root, m, m.dirs)
+
+  /** Read a SUBSET of a manifest's dirs under that manifest's metadata
+    * (schema + deletion vectors). `schemaOverride` forces a specific
+    * read schema (ChangeFeed reads BOTH generations in toGen's schema).
+    * Public for change-feed/maintenance composition. */
+  def readDirsOf(spark: SparkSession, root: String, m: Manifest,
+      dirs: Seq[String],
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val schema = schemaOverride.orElse(m.tableSchema)
+    def readPaths(paths: Seq[String]): DataFrame = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+    val (dvd, plain) = dirs.partition(m.dvs.contains)
+    val plainDf =
+      if (plain.nonEmpty) Some(readPaths(plain.map(d => s"$root/$d"))) else None
+    val dvdDfs = dvd.map { d =>
+      val dv = spark.read.parquet(s"$root/${m.dvs(d)}")
+      readPaths(Seq(s"$root/$d"))
+        .join(org.apache.spark.sql.functions.broadcast(dv),
+          dv.columns.toSeq, "left_anti")
+    }
+    (plainDf.toSeq ++ dvdDfs) match {
+      case Nil => // empty set: preserve the recorded schema if any
+        schema match {
+          case Some(s) => spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+          case None => throw new IllegalArgumentException(
+            s"$root: no dirs to read and no recorded schema")
+        }
+      case one :: Nil => one
+      case many => many.reduce(_ unionByName _)
     }
   }
 
@@ -267,7 +323,8 @@ object ManifestCommit {
       stats: Map[String, Seq[ColStats]] = Map.empty,
       expectedGen: Option[Long] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      op: String = "replace"): Manifest =
+      op: String = "replace",
+      dvs: Map[String, String] = Map.empty): Manifest =
       commitLock(root).synchronized {
     val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
     val prev = readManifest(spark, root)
@@ -277,7 +334,8 @@ object ManifestCommit {
     // would MASK new columns at read (explicit-schema reads only see
     // recorded columns). None → no schema line → mergeSchema fallback.
     val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names,
-      stats.map { case (d, cs) => new Path(d).getName -> cs }, schema, Some(op))
+      stats.map { case (d, cs) => new Path(d).getName -> cs }, schema, Some(op),
+      dvs.map { case (d, f) => new Path(d).getName -> f })
     writeManifest(spark, root, m)
     if (pruneDisplaced) {
       // eager-prune mode: displaced dirs go away, so the older snapshots
@@ -287,6 +345,11 @@ object ManifestCommit {
       prev.foreach(_.dirs.filterNot(names.contains).foreach { d =>
         f.delete(new Path(root, d), true)
       })
+      // displaced deletion-vector files go with their generation
+      prev.foreach(_.dvs.values.toSeq.distinct
+        .filterNot(m.dvs.values.toSet).foreach { v =>
+          f.delete(new Path(root, v), false)
+        })
       snapshotGens(spark, root).filter(_ < m.gen).foreach { g =>
         f.delete(snapshotPath(root, g), false)
       }
@@ -307,14 +370,17 @@ object ManifestCommit {
     if (gens.isEmpty) return Nil
     val (expired, kept) = gens.splitAt(math.max(0, gens.size - keepLast))
     if (expired.isEmpty) return Nil
-    val keptDirs = kept.flatMap(g => readManifestAt(spark, root, g))
-      .flatMap(_.dirs).toSet ++
-      readManifest(spark, root).map(_.dirs.toSet).getOrElse(Set.empty)
+    val keptMs = kept.flatMap(g => readManifestAt(spark, root, g)) ++
+      readManifest(spark, root).toSeq
+    val keptDirs = keptMs.flatMap(_.dirs).toSet
+    val keptDvs = keptMs.flatMap(_.dvs.values).toSet
     val f = fs(spark, root)
-    val deadDirs = expired.flatMap(g => readManifestAt(spark, root, g))
-      .flatMap(_.dirs).distinct.filterNot(keptDirs.contains)
+    val expiredMs = expired.flatMap(g => readManifestAt(spark, root, g))
+    val deadDirs = expiredMs.flatMap(_.dirs).distinct.filterNot(keptDirs.contains)
+    val deadDvs = expiredMs.flatMap(_.dvs.values).distinct.filterNot(keptDvs.contains)
     val deleted =
-      expired.map(g => snapshotPath(root, g)) ++ deadDirs.map(new Path(root, _))
+      expired.map(g => snapshotPath(root, g)) ++
+        (deadDirs ++ deadDvs).map(new Path(root, _))
     deleted.foreach(p => f.delete(p, true))
     deleted.map(_.toString)
   }
@@ -336,7 +402,8 @@ object ManifestCommit {
       prev.map(_.dirs).getOrElse(Nil) :+ name,
       prev.map(_.stats).getOrElse(Map.empty) ++
         (if (stats.nonEmpty) Map(name -> stats) else Map.empty),
-      prev.flatMap(_.tableSchema), Some(op))
+      prev.flatMap(_.tableSchema), Some(op),
+      prev.map(_.dvs).getOrElse(Map.empty))
     writeManifest(spark, root, m)
     m
   }

@@ -122,8 +122,9 @@ object MergeInto {
     // ---- one full-outer join: survivors + updates + deletes + inserts
     val tgt = extraCols.foldLeft(
       (if (touched.isEmpty) live.limit(0)
-       else spark.read.option("mergeSchema", "true")
-         .parquet(m.dirs.filter(touched).map(d => s"$root/$d"): _*))
+       // DV-aware subset read: a touched dir's deletion vector must be
+       // applied here, or the rewrite would resurrect deleted rows
+       else ManifestCommit.readDirsOf(spark, root, m, m.dirs.filter(touched)))
         .select(tCols.map(col): _*)) { (d, c) =>
         // target rows predate the new column → null (Delta/Iceberg
         // evolution semantics); the cast pins the source's exact type
@@ -194,9 +195,100 @@ object MergeInto {
         (if (newStats.nonEmpty) Map(newName -> newStats) else Map.empty),
       expectedGen = Some(m.gen),
       schema = Some(unionSchema),
-      op = "merge")
+      op = "merge",
+      // kept dirs keep their deletion vectors; touched dirs' DVs were
+      // materialized into the rewrite and must not carry over
+      dvs = m.dvs.view.filterKeys(keptDirs.contains).toMap)
 
     MergeResult(committed.gen, m.dirs.size, m.dirs.size - keptDirs.size,
       upd, del, ins, keep)
+  }
+
+  final case class DeleteResult(
+      gen: Long,
+      dirsTotal: Int,
+      dvsWritten: Int,
+      deleted: Long)
+
+  /** MERGE-ON-READ delete (public Delta deletion-vector / Iceberg
+    * delete-file idea): subtract `keys` (a DataFrame holding exactly the
+    * key columns) from the table WITHOUT rewriting any data dir. For
+    * each dir the manifest's stats prove affected, the keys actually
+    * present in that dir (one broadcast semi-join per touched dir — the
+    * key set is small by the nature of a delete) are unioned into a NEW
+    * immutable `_dv_*` file and the manifest repoints. Cost is
+    * O(touched dirs × delete keys), never O(table) — the copy-on-write
+    * worst case this exists for is a SPARSE delete scattered across
+    * every dir, where `merge` would rewrite the whole table.
+    *
+    * Reads apply DVs as per-dir anti-joins; `OPTIMIZE`/compaction and a
+    * later `merge` of a dv'd dir materialize the subtraction and drop
+    * the DV. Time travel is exact: each generation references its own
+    * immutable dv files. */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      keys: DataFrame): DeleteResult = {
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteWhere requires at least one key column")
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+    val distinctKeys = keys.distinct().cache()
+    try {
+      // exact affected-dir test on keyCols.head — same contract as merge
+      val pruneCol = keyCols.head
+      val dirRange: Seq[(String, Option[ColStats])] =
+        m.dirs.map(d => d -> m.stats.getOrElse(d, Nil).find(_.col == pruneCol))
+      val statless = dirRange.collect { case (d, None) => d }
+      val ranged = dirRange.collect { case (d, Some(cs)) => (d, cs) }
+      val touched: Seq[String] = statless ++ (if (ranged.isEmpty) Nil else {
+        val aggs = ranged.map { case (_, cs) =>
+          val c = distinctKeys.col(pruneCol)
+          val in =
+            if (cs.kind == "num")
+              c.cast(DecimalType(38, 6)).between(
+                lit(new java.math.BigDecimal(cs.min)), lit(new java.math.BigDecimal(cs.max)))
+            else c.cast(StringType).between(lit(cs.min), lit(cs.max))
+          sum(when(in, 1L).otherwise(0L))
+        }
+        val row = distinctKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
+        ranged.zipWithIndex.collect {
+          case ((d, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 => d
+        }
+      })
+
+      var totalDeleted = 0L
+      val newDvs = touched.flatMap { d =>
+        // keys actually present among the dir's LIVE rows (existing DV
+        // applied first, so re-deleting an already-deleted key is a no-op)
+        val liveDir = ManifestCommit.readDirsOf(spark, root, m, Seq(d))
+        val present = liveDir.join(broadcast(distinctKeys), keyCols, "left_semi")
+          .select(keyCols.map(col): _*).distinct()
+        val newlyDeleted = present.count()
+        if (newlyDeleted == 0L) None
+        else {
+          totalDeleted += newlyDeleted
+          val dvDf = m.dvs.get(d) match {
+            case Some(old) => spark.read.parquet(s"$root/$old")
+              .unionByName(present).distinct()
+            case None => present
+          }
+          val dvName = s"_dv_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+          dvDf.coalesce(1).write.parquet(s"$root/$dvName")
+          Some(d -> dvName)
+        }
+      }.toMap
+
+      val committed =
+        if (newDvs.isEmpty) m // nothing present anywhere: no commit needed
+        else ManifestCommit.commitReplace(spark, root, m.dirs,
+          pruneDisplaced = false,
+          stats = m.stats,
+          expectedGen = Some(m.gen),
+          schema = m.tableSchema,
+          op = "delete",
+          dvs = m.dvs ++ newDvs)
+      DeleteResult(committed.gen, m.dirs.size, newDvs.size, totalDeleted)
+    } finally distinctKeys.unpersist()
   }
 }

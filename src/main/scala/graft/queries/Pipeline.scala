@@ -1572,6 +1572,65 @@ object Pipeline {
         (lit(kept.size) < lit(total)).cast("int").as("pruned_effective"))
   }
 
+  /** q131 — DELETION VECTORS / merge-on-read delete
+    * (`MergeInto.deleteWhere`; public Delta DV / Iceberg delete-file
+    * idea — the reference's delete path is the CDC tombstone collapse,
+    * tools/kafka_to_clickhouse.py op='d' handling): a SPARSE delete
+    * (every 97th key) scattered across all four key-sliced dirs is
+    * copy-on-write's worst case — merge would rewrite the whole table.
+    * deleteWhere instead writes one ~KB `_dv_*` key file per affected
+    * dir and repoints the manifest: `dirs_added_by_delete` pinned 0 (no
+    * data dir rewritten), `dvs_written` pinned 4. Reads subtract DVs via
+    * per-dir broadcast anti-joins; a subsequent OPTIMIZE ZORDER
+    * materializes the subtraction (`dvs_after_optimize` pinned 0). The
+    * post-optimize aggregate hash-matches DuckDB's filtered full scan,
+    * proving delete + materialization changed I/O shape, not answers. */
+  val q131_deletion_vectors = Q(
+    "q131_deletion_vectors",
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  CAST(4 AS BIGINT) AS dvs_written,
+      |  CAST(0 AS BIGINT) AS dirs_added_by_delete,
+      |  0 AS dvs_after_optimize
+      |FROM orders WHERE o_orderkey % 97 <> 0
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, MergeInto, Optimize}
+    val root = tmpDir("graft_q131_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val cuts = Seq(maxk / 4, maxk / 2, 3 * maxk / 4)
+    val slices = Seq(
+      orders.filter(col("o_orderkey") <= cuts(0)),
+      orders.filter(col("o_orderkey") > cuts(0) && col("o_orderkey") <= cuts(1)),
+      orders.filter(col("o_orderkey") > cuts(1) && col("o_orderkey") <= cuts(2)),
+      orders.filter(col("o_orderkey") > cuts(2)))
+    val dirs = slices.map { slice =>
+      val d = ManifestCommit.newDataDir(root)
+      slice.write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
+    }
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    val res = MergeInto.deleteWhere(s, root,
+      orders.filter(col("o_orderkey") % 97 === 0).select("o_orderkey"))
+    val addedByDelete = ManifestCommit.history(s, root)
+      .filter(col("gen") === res.gen).collect()(0).getAs[Long]("dirs_added")
+    Optimize.zorderCompact(s, root, "o_orderkey", "o_custkey", targetDirs = 4)
+    val dvsAfter = ManifestCommit.readManifest(s, root).get.dvs.size
+    ManifestCommit.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2)))
+          .cast("double").as("price_sum"))
+      .select(col("o_orderstatus"), col("n_rows"), col("key_sum"),
+        col("price_sum"), lit(res.dvsWritten.toLong).as("dvs_written"),
+        lit(addedByDelete).as("dirs_added_by_delete"),
+        lit(dvsAfter).as("dvs_after_optimize"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1584,5 +1643,6 @@ object Pipeline {
     q117_time_travel, q118_stream_full_outer_join, q121_manifest_skipping,
     q122_incremental_agg, q123_merge_into, q124_change_feed,
     q125_merge_schema_evolution, q126_cdf_incremental_rollup,
-    q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup)
+    q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup,
+    q131_deletion_vectors)
 }

@@ -255,4 +255,83 @@ class MergeIntoSpec extends SparkSpec {
     assert(ManifestCommit.read(spark, root).columns.toSeq ===
       Seq("id", "v", "amt"))
   }
+
+  // ---- deletion vectors (merge-on-read delete) ----
+
+  private def keyDf(ids: Long*) = {
+    import org.apache.spark.sql.types._
+    mkDf(StructType(Seq(StructField("id", LongType, false))),
+      ids.map(Row(_)): _*)
+  }
+
+  test("deleteWhere: sparse delete writes DVs, rewrites nothing") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(
+      df((1L, "a", 1.0), (2L, "b", 2.0)),
+      df((10L, "j", 10.0), (11L, "k", 11.0)),
+      df((20L, "x", 20.0), (21L, "y", 21.0))))
+    val m0 = ManifestCommit.readManifest(spark, root).get
+    val before = m0.dirs.map(d => d -> fileState(root, d)).toMap
+
+    // one key per dir — copy-on-write would rewrite all three
+    val res = MergeInto.deleteWhere(spark, root, keyDf(2L, 11L, 20L))
+    assert(res.dvsWritten === 3 && res.deleted === 3L)
+    val m1 = ManifestCommit.readManifest(spark, root).get
+    assert(m1.dirs === m0.dirs, "no data dir added or removed")
+    m1.dirs.foreach(d => assert(fileState(root, d) === before(d), d))
+    assert(m1.op === Some("delete") && m1.dvs.size === 3)
+    assert(rowsOf(ManifestCommit.read(spark, root)) ===
+      Set((1L, "a", 1.0), (10L, "j", 10.0), (21L, "y", 21.0)))
+    // time travel to the pre-delete generation still sees every row
+    assert(ManifestCommit.readAt(spark, root, m0.gen).count() === 6L)
+  }
+
+  test("deleteWhere: absent keys and re-deletes are no-ops (no commit)") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))
+    val g1 = MergeInto.deleteWhere(spark, root, keyDf(2L)).gen
+    // absent key: nothing present anywhere → generation unchanged
+    assert(MergeInto.deleteWhere(spark, root, keyDf(999L)).gen === g1)
+    // re-delete of an already-deleted key: its row is no longer live
+    assert(MergeInto.deleteWhere(spark, root, keyDf(2L)).gen === g1)
+    assert(rowsOf(ManifestCommit.read(spark, root)) === Set((1L, "a", 1.0)))
+  }
+
+  test("change feed surfaces DV deletes without any dir change") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))
+    val g1 = ManifestCommit.readManifest(spark, root).get.gen
+    MergeInto.deleteWhere(spark, root, keyDf(2L))
+    val g2 = ManifestCommit.readManifest(spark, root).get.gen
+    val feed = ChangeFeed.diff(spark, root, g1, g2, Seq("id")).collect()
+      .map(r => (r.getAs[String](ChangeFeed.ChangeType), r.getAs[Long]("id")))
+    assert(feed.toSeq === Seq(("delete", 2L)))
+  }
+
+  test("merge of a dv'd dir does not resurrect deleted rows") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))))
+    MergeInto.deleteWhere(spark, root, keyDf(2L))
+    // update key 1 — rewrites the (only) dir, materializing its DV
+    MergeInto.merge(spark, root, df((1L, "A!", 100.0)), Seq("id"))
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.dvs.isEmpty, "rewritten dir must drop its DV")
+    assert(rowsOf(ManifestCommit.read(spark, root)) ===
+      Set((1L, "A!", 100.0), (3L, "c", 3.0)))
+  }
+
+  test("expireSnapshots reclaims dv files only expired generations reference") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))
+    MergeInto.deleteWhere(spark, root, keyDf(1L)) // dv A (gen 2)
+    MergeInto.deleteWhere(spark, root, keyDf(2L)) // dv B ⊇ A (gen 3)
+    val dvA = {
+      val m2 = ManifestCommit.readManifestAt(spark, root, 2L).get
+      m2.dvs.values.head
+    }
+    val deleted = ManifestCommit.expireSnapshots(spark, root, keepLast = 1)
+    assert(deleted.exists(_.endsWith(dvA)), s"dv A should be reclaimed: $deleted")
+    // live read unaffected: both keys deleted
+    assert(ManifestCommit.read(spark, root).count() === 0L)
+  }
 }
