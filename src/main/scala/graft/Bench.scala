@@ -30,11 +30,20 @@ object Bench {
       medCount: Int, sfName: String, budget: Int = 1900): String = {
     def line(q: String, med: String, more: Int) =
       s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$q,"failed":$failed,"errors":$errJson,"median_total":$medianS,"med_outliers":$med,"med_more":$more,"sf":"$sfName"}"""
+    // last-resort tier: med fields dropped entirely (the full median map
+    // is on the stderr diag line regardless) — buys ~35 chars when every
+    // query is slow AND failed at once
+    def lineNoMed(q: String) =
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$q,"failed":$failed,"errors":$errJson,"median_total":$medianS,"sf":"$sfName"}"""
     val full = line(qs2, medShown, medMore)
     if (full.length <= budget) full
     else {
       val noMed = line(qs2, "{}", medCount)
-      if (noMed.length <= budget) noMed else line(qs1, "{}", medCount)
+      if (noMed.length <= budget) noMed
+      else {
+        val short = line(qs1, "{}", medCount)
+        if (short.length <= budget) short else lineNoMed(qs1)
+      }
     }
   }
 

@@ -77,11 +77,18 @@ object ManifestCommit {
     * columns; a new delete writes a NEW dv file (the union for that dir)
     * and repoints — dirs and dv files never mutate, so time travel stays
     * exact (each generation references its own dv set). */
+  /** `txns` records, per idempotent WRITER id, the highest batch version
+    * it has committed (the public Delta txnAppId/txnVersion idea): a
+    * streaming sink whose checkpoint replays a batch after a crash
+    * between manifest commit and checkpoint write presents the same
+    * (writer, version) again and the commit is skipped — exactly-once
+    * table contents without any coordination beyond the manifest. */
   final case class Manifest(gen: Long, dirs: Seq[String],
       stats: Map[String, Seq[ColStats]] = Map.empty,
       tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
       op: Option[String] = None,
-      dvs: Map[String, String] = Map.empty)
+      dvs: Map[String, String] = Map.empty,
+      txns: Map[String, Long] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -144,11 +151,18 @@ object ManifestCommit {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
       }
       val op = meta.find(_.startsWith("#op\t")).map(l => dec(l.split('\t')(1)))
+      val txns = meta.find(_.startsWith("#txn\t")).map { l =>
+        l.split('\t')(1).split(',').toSeq.map { t =>
+          val i = t.lastIndexOf(':')
+          dec(t.substring(0, i)) -> t.substring(i + 1).toLong
+        }.toMap
+      }.getOrElse(Map.empty[String, Long])
       val parsed = dirLines.map(parseDirLine)
       Some(Manifest(lines.head.trim.toLong, parsed.map(_._1),
         parsed.collect { case (d, cs, _) if cs.nonEmpty => d -> cs }.toMap,
         schema, op,
-        parsed.collect { case (d, _, Some(dv)) => d -> dv }.toMap))
+        parsed.collect { case (d, _, Some(dv)) => d -> dv }.toMap,
+        txns))
     }
   }
 
@@ -293,6 +307,9 @@ object ManifestCommit {
     val content = (Seq(m.gen.toString) ++
       m.tableSchema.map(s => "#schema\t" + enc(s.json)).toSeq ++
       m.op.map(o => "#op\t" + enc(o)).toSeq ++
+      (if (m.txns.isEmpty) Nil
+       else Seq("#txn\t" + m.txns.toSeq.sortBy(_._1)
+         .map { case (w, v) => enc(w) + ":" + v }.mkString(","))) ++
       m.dirs.map(renderDirLine(m))).mkString("\n")
     writeFileAtomic(spark, root, snapshotPath(root, m.gen), content)
     writeFileAtomic(spark, root, manifestPath(root), content)
@@ -333,9 +350,13 @@ object ManifestCommit {
     // may legitimately change the table's shape, and a stale schema line
     // would MASK new columns at read (explicit-schema reads only see
     // recorded columns). None → no schema line → mergeSchema fallback.
+    // writer-txn state is PRESERVED through replaces: a compaction that
+    // lands between a streaming commit and its checkpoint write must not
+    // reopen the idempotence window for the replayed batch
     val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names,
       stats.map { case (d, cs) => new Path(d).getName -> cs }, schema, Some(op),
-      dvs.map { case (d, f) => new Path(d).getName -> f })
+      dvs.map { case (d, f) => new Path(d).getName -> f },
+      prev.map(_.txns).getOrElse(Map.empty))
     writeManifest(spark, root, m)
     if (pruneDisplaced) {
       // eager-prune mode: displaced dirs go away, so the older snapshots
@@ -387,12 +408,28 @@ object ManifestCommit {
 
   /** ReplacingMergeTree INSERT analogue: add one delta dir to the live
     * set (existing dirs keep their stats). */
+  /** `txn = Some((writerId, version))` makes the append IDEMPOTENT: if
+    * this writer already committed this (or a later) version, the call
+    * is a no-op — the staged `dir` is deleted and the CURRENT manifest
+    * returned unchanged. A checkpointed streaming sink passes its
+    * checkpoint path as writerId and the micro-batch id as version, so
+    * a crash-replay of a committed batch cannot double-append. */
   def commitAppend(spark: SparkSession, root: String, dir: String,
       stats: Seq[ColStats] = Nil,
       expectedGen: Option[Long] = None,
-      op: String = "append"): Manifest =
+      op: String = "append",
+      txn: Option[(String, Long)] = None): Manifest =
       commitLock(root).synchronized {
     val prev = readManifest(spark, root)
+    txn.foreach { case (writer, ver) =>
+      prev.foreach { p =>
+        if (p.txns.get(writer).exists(_ >= ver)) {
+          // replayed batch: drop the staged dir, serve the current gen
+          fs(spark, root).delete(new Path(dir), true)
+          return p
+        }
+      }
+    }
     checkCas(root, prev, expectedGen)
     val name = new Path(dir).getName
     // appends inherit the recorded schema: an append adds rows, not
@@ -403,7 +440,8 @@ object ManifestCommit {
       prev.map(_.stats).getOrElse(Map.empty) ++
         (if (stats.nonEmpty) Map(name -> stats) else Map.empty),
       prev.flatMap(_.tableSchema), Some(op),
-      prev.map(_.dvs).getOrElse(Map.empty))
+      prev.map(_.dvs).getOrElse(Map.empty),
+      prev.map(_.txns).getOrElse(Map.empty) ++ txn)
     writeManifest(spark, root, m)
     m
   }

@@ -58,7 +58,8 @@ object CdcStream {
     * for a 100 TB table taking small CDC batches. */
   def upsertBatch(spark: SparkSession, batch: DataFrame, afterSchema: StructType,
       pk: Seq[String], targetDir: String, applyDeletes: Boolean = false,
-      cleanMeta: Option[graft.schema.TableMeta] = None): Unit = {
+      cleanMeta: Option[graft.schema.TableMeta] = None,
+      txn: Option[(String, Long)] = None): Unit = {
     val decoded = CdcEnvelope.decode(batch, afterSchema)
     // same cleaning layer as batch ingest (streamed rows must not bypass
     // D/N/T normalization — the reference's stream path diverging from its
@@ -80,7 +81,11 @@ object CdcStream {
     // pruneOrphans, never a torn table.
     val dataDir = graft.ingest.ManifestCommit.newDataDir(targetDir)
     delta.write.mode(SaveMode.Overwrite).parquet(dataDir)
-    graft.ingest.ManifestCommit.commitAppend(spark, targetDir, dataDir)
+    // txn makes the append idempotent under checkpoint replay: a crash
+    // between this commit and the checkpoint write re-runs the batch,
+    // and the manifest's recorded (writer, batchId) rejects the dup —
+    // exactly-once table contents, not just at-least-once + collapse
+    graft.ingest.ManifestCommit.commitAppend(spark, targetDir, dataDir, txn = txn)
     ()
   }
 
@@ -119,9 +124,11 @@ object CdcStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // writer id = the checkpoint path: stable across restarts of THIS
+        // query, distinct between different queries sharing a target
         upsertBatch(batch.sparkSession, batch, afterSchema, pk, targetDir,
-          applyDeletes, cleanMeta)
+          applyDeletes, cleanMeta, txn = Some((checkpointDir, batchId)))
       }
       .start()
 
@@ -154,12 +161,16 @@ object CdcStream {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val routed = batch.withColumn("__table", tableForTopic(col("topic"))).persist()
         try tables.foreach { case (table, (afterSchema, pk)) =>
           val slice = routed.filter(col("__table") === table).select("value")
+          // per-table idempotence: each target table records the shared
+          // (checkpoint, batchId), so a replay that already landed in
+          // SOME tables before the crash skips exactly those
           upsertBatch(batch.sparkSession, slice, afterSchema, pk,
-            s"$targetRoot/$table", applyDeletes, cleanMeta.get(table))
+            s"$targetRoot/$table", applyDeletes, cleanMeta.get(table),
+            txn = Some((checkpointDir, batchId)))
         } finally { routed.unpersist(); () }
       }
       .start()

@@ -50,7 +50,10 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.length <= 1900, s"degraded line still ${line.length} chars")
     val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     assert(parsed.get("queries").size() === names.size)
-    assert(parsed.get("med_more").asInt() === 11, "dropped outliers stay counted")
+    // med_more survives every tier except the last-resort no-med form;
+    // when present it must carry the full dropped-outlier count
+    if (parsed.has("med_more"))
+      assert(parsed.get("med_more").asInt() === 11, "dropped outliers stay counted")
     // and the full form is preferred when it fits
     val small = Bench.composeLine("1.0", "1.0", """{"q1":0.10}""",
       """{"q1":0.1}""", 0, "{}", med, 0, 4, "sf0.1")

@@ -302,6 +302,36 @@ class ManifestCommitSpec extends SparkSpec {
     assert(total2 === 5 && kept2.exists(_.endsWith(d5.split('/').last)))
   }
 
+  test("idempotent txn appends: replayed batch is a no-op, survives compaction") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "b0"))(d1)
+    val m1 = ManifestCommit.commitAppend(spark, root, d1, txn = Some(("q", 0L)))
+    // crash-replay of batch 0: same (writer, version) → skipped, staged
+    // dir reclaimed, current generation returned unchanged
+    val replay = ManifestCommit.newDataDir(root); write(Row(1L, "b0-dup"))(replay)
+    val m2 = ManifestCommit.commitAppend(spark, root, replay, txn = Some(("q", 0L)))
+    assert(m2.gen === m1.gen && m2.dirs === m1.dirs)
+    val f = new org.apache.hadoop.fs.Path(replay)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(replay)), "staged dup dir reclaimed")
+    assert(idsOf(root) === Set(1L))
+    // the NEXT batch and a DIFFERENT writer both commit normally
+    val d2 = ManifestCommit.newDataDir(root); write(Row(2L, "b1"))(d2)
+    ManifestCommit.commitAppend(spark, root, d2, txn = Some(("q", 1L)))
+    val d3 = ManifestCommit.newDataDir(root); write(Row(3L, "other"))(d3)
+    ManifestCommit.commitAppend(spark, root, d3, txn = Some(("q2", 0L)))
+    assert(idsOf(root) === Set(1L, 2L, 3L))
+    // a compaction between commit and checkpoint write must NOT reopen
+    // the idempotence window
+    val c = ManifestCommit.newDataDir(root)
+    ManifestCommit.read(spark, root).repartition(1).write.parquet(c)
+    ManifestCommit.commitReplace(spark, root, Seq(c), pruneDisplaced = false)
+    val replay2 = ManifestCommit.newDataDir(root); write(Row(2L, "b1-dup"))(replay2)
+    val mAfter = ManifestCommit.commitAppend(spark, root, replay2,
+      txn = Some(("q", 1L)))
+    assert(mAfter.dirs.size === 1 && idsOf(root) === Set(1L, 2L, 3L))
+  }
+
   test("N genuinely concurrent committers: every append lands exactly once") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
     val threads = 4

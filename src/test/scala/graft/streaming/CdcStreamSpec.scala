@@ -175,6 +175,31 @@ class CdcStreamSpec extends SparkSpec {
     assert(rows(2L).exists(_.toString.startsWith("2021-03-15")))
   }
 
+  test("crash-replay of a committed micro-batch cannot double-append (txn dedup)") {
+    import org.apache.spark.sql.functions.lit
+    val base = Files.createTempDirectory("cdc_spec_").toString
+    val target = s"$base/typed"
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(env(1L, "v1", "c", 100L))),
+      StructType(Seq(StructField("value", StringType, true))))
+    // simulate foreachBatch delivering batch 0, then a crash BETWEEN the
+    // manifest commit and the checkpoint write → the engine re-delivers
+    // the SAME (checkpoint, batchId)
+    CdcStream.upsertBatch(spark, batch, afterSchema, Seq("id"), target,
+      txn = Some(("ckpt-A", 0L)))
+    CdcStream.upsertBatch(spark, batch, afterSchema, Seq("id"), target,
+      txn = Some(("ckpt-A", 0L)))
+    val m = graft.ingest.ManifestCommit.readManifest(spark, target).get
+    assert(m.dirs.size === 1, "replayed batch must not add a second delta part")
+    // raw part count proves exactly-once CONTENTS, not just collapse
+    assert(graft.ingest.ManifestCommit.read(spark, target).count() === 1L)
+    // the next batch id commits normally
+    CdcStream.upsertBatch(spark, batch.withColumn("value", lit(
+      env(2L, "v2", "c", 200L))), afterSchema, Seq("id"), target,
+      txn = Some(("ckpt-A", 1L)))
+    assert(graft.ingest.ManifestCommit.readManifest(spark, target).get.dirs.size === 2)
+  }
+
   test("checkpointed restart does not reprocess already-drained files") {
     val base = Files.createTempDirectory("cdc_spec_").toString
     val src = s"$base/src"; Files.createDirectories(Paths.get(src))
