@@ -564,7 +564,13 @@ object ManifestCommit {
     * [lo, hi] (either bound optional). Dirs without stats for `col` are
     * kept — skipping is an optimization, never a filter; callers still
     * apply the real predicate. Returns (kept absolute paths, total live
-    * dirs) so callers can surface the pruning ratio. */
+    * dirs) so callers can surface the pruning ratio.
+    *
+    * NOTE: returns RAW dir paths — a table carrying deletion vectors
+    * must not be read through these paths directly (deleted rows would
+    * resurface); map the kept paths back to dir names and read via
+    * [[readDirsOf]], which applies each dir's DV. Same caveat for
+    * [[resolveBloom]] and `Optimize.resolvePrunedMulti`. */
   def resolvePruned(spark: SparkSession, root: String, col: String,
       lo: Option[String], hi: Option[String]): (Seq[String], Int) =
     readManifest(spark, root) match {

@@ -257,27 +257,39 @@ object MergeInto {
         }
       })
 
-      var totalDeleted = 0L
-      val newDvs = touched.flatMap { d =>
-        // keys actually present among the dir's LIVE rows (existing DV
-        // applied first, so re-deleting an already-deleted key is a no-op)
-        val liveDir = ManifestCommit.readDirsOf(spark, root, m, Seq(d))
-        val present = liveDir.join(broadcast(distinctKeys), keyCols, "left_semi")
-          .select(keyCols.map(col): _*).distinct()
-        val newlyDeleted = present.count()
-        if (newlyDeleted == 0L) None
-        else {
-          totalDeleted += newlyDeleted
-          val dvDf = m.dvs.get(d) match {
-            case Some(old) => spark.read.parquet(s"$root/$old")
-              .unionByName(present).distinct()
-            case None => present
+      // per-dir DV builds are INDEPENDENT small jobs (semi-join + count +
+      // tiny write) — submit them from concurrent threads so their
+      // scheduling gaps overlap, the same latency shape (and fix) as
+      // Similarity.pqTrainCodebooks' subspace trainers
+      val results: Seq[(String, String, Long)] = if (touched.isEmpty) Nil else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(touched.size, 8))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(touched.map { d => Future {
+          // keys actually present among the dir's LIVE rows (existing DV
+          // applied first, so re-deleting an already-deleted key is a no-op)
+          val liveDir = ManifestCommit.readDirsOf(spark, root, m, Seq(d))
+          val present = liveDir.join(broadcast(distinctKeys), keyCols, "left_semi")
+            .select(keyCols.map(col): _*).distinct()
+          val newlyDeleted = present.count()
+          if (newlyDeleted == 0L) (d, "", 0L)
+          else {
+            val dvDf = m.dvs.get(d) match {
+              case Some(old) => spark.read.parquet(s"$root/$old")
+                .unionByName(present).distinct()
+              case None => present
+            }
+            val dvName = s"_dv_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+            dvDf.coalesce(1).write.parquet(s"$root/$dvName")
+            (d, dvName, newlyDeleted)
           }
-          val dvName = s"_dv_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
-          dvDf.coalesce(1).write.parquet(s"$root/$dvName")
-          Some(d -> dvName)
-        }
-      }.toMap
+        } }), Duration.Inf)
+        finally pool.shutdown()
+      }
+      val totalDeleted = results.map(_._3).sum
+      val newDvs = results.collect { case (d, dv, n) if n > 0L => d -> dv }.toMap
 
       val committed =
         if (newDvs.isEmpty) m // nothing present anywhere: no commit needed
