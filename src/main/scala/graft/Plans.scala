@@ -53,6 +53,12 @@ object Plans {
         "Three window functions, ONE sort per frame: lead and first_value share the (user_id | ts, event_id) Window node after a single hash exchange; percent_rank gets its own (event_type | value) frame. No global sort anywhere.",
       "q110_quality_constraints" ->
         "Six data-quality constraints, ONE scan: every check compiles into the same aggregate pass (two distinct aggregates ride one Expand, not extra scans), then a one-row inline unpivot to the long report — adding a constraint never adds a table pass.",
+      "q125_merge_schema_evolution" ->
+        "Evolved-table read: ONE parquet scan whose ReadSchema is the union schema from a single manifest line — no mergeSchema (which would footer-sweep every data file at planning time), no per-dir plan branches; the two cold dirs null-fill o_channel inside the scan.",
+      "q126_cdf_incremental_rollup" ->
+        "CDF-maintained rollup read: the plan aggregates PARTIAL STATE parts (rows ∝ groups × parts) — no orders scan anywhere in it, which is the whole point: the base table was maintained into the rollup via the change feed, never rescanned.",
+      "DV_read_lineage" ->
+        "Deletion-vector read (dumped as its lineage: a dv'd dir read through readDirsOf): the DV applies as a BroadcastHashJoin LeftAnti against the ~KB key file — no shuffle, no sort; the dir scan keeps its explicit ReadSchema. Cost per dv'd dir is one broadcast probe per row.",
       "W1_dedup_latest_lineage" ->
         "Latest-version dedup (the q11/q40/ingest W1 kernel, dumped as its lineage): the max_by AGGREGATE form (round 8) — a partial aggregate BEFORE the key exchange keeps one row per key per map task, so a hot key ships #tasks rows to its reducer instead of every duplicate; the old row_number form had a Window after the exchange funneling the whole key through one task (measured 6.7x on a 50%-one-key shape, SCALE.md). No Window node anywhere; ReadSchema carries only the used columns.")
     // W1 is special-cased: the gates run the dedup imperatively inside an
@@ -63,6 +69,22 @@ object Plans {
         graft.ingest.Ingest.dedupLatest(
           Tables.load(spark, dir, "events"),
           Seq("user_id"), Some("ts"), Seq("event_id"))
+      else if (name == "DV_read_lineage") {
+        // a small dv'd table built in scratch, read through the DV path
+        import org.apache.spark.sql.functions.col
+        val root = GraftTmp.dir("plans_dv_") + "/t"
+        val orders = Tables.load(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val d = graft.ingest.ManifestCommit.newDataDir(root)
+        orders.write.parquet(d)
+        graft.ingest.ManifestCommit.commitReplace(spark, root, Seq(d),
+          pruneDisplaced = false,
+          stats = Map(d -> graft.ingest.ManifestCommit.dirStats(
+            spark, d, Seq("o_orderkey"))))
+        graft.ingest.MergeInto.deleteWhere(spark, root,
+          orders.filter(col("o_orderkey") % 97 === 0).select("o_orderkey"))
+        graft.ingest.ManifestCommit.read(spark, root)
+      }
       else SparkEntry.queries(name)(spark, dir)
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
