@@ -282,6 +282,94 @@ object ScaleCheck {
           .awaitTermination()
         assert(cnt.get() > 0)
       }
+      // ---- manifest-family kernels: the claims are O(touched), not
+      // O(table), so the table is laid out as FIXED-SIZE dirs whose
+      // COUNT scales with the data (4 per replica) and each kernel
+      // touches a replica-0-sized slice. Linear-in-table would show
+      // ratios near n; the design target is ~1. Setup (dir writes,
+      // stats, initial states) happens OUTSIDE the timed closures.
+      val manifestKernels = Set("manifest_merge_hot", "dv_sparse_delete",
+        "incr_agg_load")
+      if (kernelFilter.forall(f => manifestKernels.exists(f.contains))) {
+        import graft.ingest.{IncrementalAgg, ManifestCommit, MergeInto}
+        val repOffset = 100_000_000L
+        val lk = l.select("l_orderkey", "l_quantity", "l_extendedprice")
+        val baseMax = lk.agg(max(col("l_orderkey") % repOffset))
+          .collect()(0).getLong(0)
+        val qWidth = baseMax / 4 + 1
+        def commitSliced(prefix: String): String = {
+          val root = GraftTmp.dir(prefix) + "/t"
+          val staging = s"$root/__staging"
+          lk.withColumn("__slice",
+            concat(col("l_orderkey") / repOffset cast "long", lit("_"),
+              (col("l_orderkey") % repOffset) / qWidth cast "long"))
+            .write.partitionBy("__slice").parquet(staging)
+          val fsys = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val dirs = fsys.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("__slice="))
+            .map { st =>
+              val d = ManifestCommit.newDataDir(root)
+              fsys.rename(st.getPath, new org.apache.hadoop.fs.Path(d))
+              d -> ManifestCommit.dirStats(spark, d, Seq("l_orderkey"))
+            }
+          fsys.delete(new org.apache.hadoop.fs.Path(staging), true)
+          ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+            pruneDisplaced = false, stats = dirs.toMap)
+          root
+        }
+        // time() runs TWO reps and a merge/delete MUTATES its table —
+        // rep 2 on the same root would measure the no-op path. Each rep
+        // consumes its own pre-built root (setup excluded from timing).
+        locally {
+          val roots = Seq(commitSliced("scale_merge_"),
+            commitSliced("scale_merge_")).iterator
+          // source: a band strictly inside replica 0's SECOND quartile —
+          // exactly one dir of 4 (1x) / 4n (Nx) rewrites
+          val src = lk.filter(col("l_orderkey").between(
+            qWidth + qWidth / 4, 2 * qWidth - qWidth / 4))
+            .withColumn("l_quantity", col("l_quantity") + 1)
+            .dropDuplicates("l_orderkey")
+          r("manifest_merge_hot") = time(s"$tag MERGE one hot dir (dir count ∝ data)") {
+            val res = MergeInto.merge(spark, roots.next(), src, Seq("l_orderkey"))
+            assert(res.dirsRewritten == 1, s"expected 1 dir, got ${res.dirsRewritten}")
+          }
+        }
+        locally {
+          val roots = Seq(commitSliced("scale_dv_"),
+            commitSliced("scale_dv_")).iterator
+          // delete set: every 97th key of replica 0 — touches replica 0's
+          // 4 dirs only, whatever the table's total dir count
+          val keys = lk.filter(col("l_orderkey") < repOffset &&
+            col("l_orderkey") % 97 === 0).select("l_orderkey").distinct()
+          r("dv_sparse_delete") = time(s"$tag DV sparse delete (fixed key set)") {
+            val res = MergeInto.deleteWhere(spark, roots.next(), keys)
+            assert(res.deleted > 0, s"dv kernel: $res")
+          }
+        }
+        locally {
+          val rollup = GraftTmp.dir("scale_incr_") + "/r"
+          val measures = Seq(
+            IncrementalAgg.Measure("n", "*", "count"),
+            IncrementalAgg.Measure("qty", "l_quantity", "sum_dec"))
+          // history: one state part per (replica, quartile) — 4 at 1x,
+          // 4n at Nx — the standing-rollup shape after many loads
+          val nRep = (lk.agg(max("l_orderkey")).collect()(0).getLong(0) /
+            repOffset + 1).toInt
+          for (rep <- 0 until nRep; i <- 0 until 4) {
+            IncrementalAgg.appendBatch(spark, rollup,
+              lk.filter(col("l_orderkey") / repOffset === rep &&
+                (col("l_orderkey") % repOffset) / qWidth === i)
+                .withColumn("g", col("l_orderkey") % 512),
+              Seq("g"), measures)
+          }
+          val batch = lk.filter(col("l_orderkey") < repOffset / 64)
+            .withColumn("g", col("l_orderkey") % 512)
+          r("incr_agg_load") = time(s"$tag incremental-agg load (fixed batch, history ∝ data)") {
+            IncrementalAgg.appendBatch(spark, rollup, batch, Seq("g"), measures)
+          }
+        }
+      }
       r("bloom_decontam") = time(s"$tag bloom decontamination") {
         // fixed bench set (base replica, every 50th doc) while the corpus
         // scales — the broadcast-filter side must stay constant
