@@ -81,6 +81,46 @@ object Optimize {
       op = "zorder")
   }
 
+  /** MINOR compaction: fold only the live dirs smaller than
+    * `smallBytes` (plus any dir carrying a deletion vector — folding it
+    * materializes the DV away) into ONE new dir; large clean dirs
+    * survive byte-identical. This is the LSM-ish maintenance op that
+    * bounds dir count under streaming appends WITHOUT the O(table)
+    * rewrite a full OPTIMIZE pays: each micro-batch append adds a small
+    * delta dir, and the steady-state cost of keeping the dir count flat
+    * is O(recent small dirs), run on whatever cadence the append rate
+    * demands. Stats for the new dir are recomputed on the union of the
+    * folded dirs' stat columns; kept dirs keep stats, DVs (none — dv'd
+    * dirs are always folded), and byte identity. No-op (and no commit)
+    * when fewer than two dirs qualify. */
+  def compactSmall(spark: SparkSession, root: String,
+      smallBytes: Long): ManifestCommit.Manifest = {
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (fold, keep) = m.dirs.partition { d =>
+      m.dvs.contains(d) ||
+        f.getContentSummary(new Path(root, d)).getLength < smallBytes
+    }
+    if (fold.size < 2 && fold.forall(!m.dvs.contains(_)))
+      return m // nothing worth folding
+    val folded = ManifestCommit.readDirsOf(spark, root, m, fold)
+    val newDir = ManifestCommit.newDataDir(root)
+    folded.write.parquet(newDir)
+    val statCols = fold.flatMap(d => m.stats.getOrElse(d, Nil).map(_.col)).distinct
+    val newName = new Path(newDir).getName
+    ManifestCommit.commitReplace(spark, root, keep :+ newName,
+      pruneDisplaced = false,
+      stats = m.stats.view.filterKeys(keep.contains).toMap ++
+        (if (statCols.nonEmpty)
+          Map(newName -> ManifestCommit.dirStats(spark, newDir, statCols))
+        else Map.empty),
+      expectedGen = Some(m.gen),
+      schema = m.tableSchema,
+      op = "compact_minor",
+      dvs = m.dvs.view.filterKeys(keep.contains).toMap)
+  }
+
   /** Conjunctive multi-column data-skipping resolve: keep dirs whose
     * stats can overlap EVERY (col, lo, hi) bound. Dirs missing stats for
     * a column are kept for it (skipping is an optimization, never a

@@ -1631,6 +1631,66 @@ object Pipeline {
         lit(dvsAfter).as("dvs_after_optimize"))
   }
 
+  /** q132 — MINOR compaction (`Optimize.compactSmall`; the LSM-ish
+    * small-file maintenance every streaming table needs — the
+    * reference's analogue is scheduled OPTIMIZE FINAL,
+    * tools/ingest_runner.py:1782-1787, which rewrites the WHOLE table):
+    * one big base dir plus five micro-batch-sized delta dirs; folding
+    * with a size threshold rewrites ONLY the five small dirs into one —
+    * the big dir survives byte-identical (pinned via history:
+    * dirs_removed = 5, not 6), dir count drops 6 → 2, and the table
+    * hash-matches the union oracle. Steady-state cost of keeping dir
+    * count flat is O(recent small dirs), never O(table). */
+  val q132_minor_compaction = Q(
+    "q132_minor_compaction",
+    """WITH b AS (SELECT max(o_orderkey) AS maxk FROM orders),
+      |appended AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey + maxk * (i + 1), o_totalprice + 10 * (i + 1)
+      |  FROM orders, b, range(0, 5) r(i) WHERE o_orderkey <= 20)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  2 AS dirs_after, CAST(5 AS BIGINT) AS dirs_folded
+      |FROM appended""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, Optimize}
+    val root = tmpDir("graft_q132_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val big = ManifestCommit.newDataDir(root)
+    orders.write.parquet(big)
+    ManifestCommit.commitReplace(s, root, Seq(big),
+      pruneDisplaced = false,
+      stats = Map(big -> ManifestCommit.dirStats(s, big, Seq("o_orderkey"))))
+    // five micro-batch-sized appends
+    (0 until 5).foreach { i =>
+      val d = ManifestCommit.newDataDir(root)
+      orders.filter(col("o_orderkey") <= 20)
+        .withColumn("o_orderkey", col("o_orderkey") + maxk * (i + 1))
+        .withColumn("o_totalprice", col("o_totalprice") + 10 * (i + 1))
+        .write.parquet(d)
+      ManifestCommit.commitAppend(s, root, d,
+        stats = ManifestCommit.dirStats(s, d, Seq("o_orderkey")))
+    }
+    val gBefore = ManifestCommit.readManifest(s, root).get.gen
+    // threshold well below the big dir, above the deltas
+    val bigBytes = new org.apache.hadoop.fs.Path(big)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(big)).getLength
+    val m = Optimize.compactSmall(s, root, smallBytes = bigBytes / 2)
+    val folded = ManifestCommit.history(s, root)
+      .filter(col("gen") === m.gen).collect()(0).getAs[Long]("dirs_removed")
+    ManifestCommit.read(s, root)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2)))
+          .cast("double").as("price_sum"))
+      .select(col("n_rows"), col("key_sum"), col("price_sum"),
+        lit(m.dirs.size).as("dirs_after"), lit(folded).as("dirs_folded"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1644,5 +1704,5 @@ object Pipeline {
     q122_incremental_agg, q123_merge_into, q124_change_feed,
     q125_merge_schema_evolution, q126_cdf_incremental_rollup,
     q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup,
-    q131_deletion_vectors)
+    q131_deletion_vectors, q132_minor_compaction)
 }

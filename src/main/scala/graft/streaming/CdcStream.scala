@@ -44,7 +44,8 @@ object CdcStream {
       .withColumn("op", lit("r"))
       .withColumn("ts_ms", lit(0L))
       .write.mode(SaveMode.Overwrite).parquet(dataDir)
-    graft.ingest.ManifestCommit.commitReplace(spark, targetDir, Seq(dataDir))
+    graft.ingest.ManifestCommit.commitReplace(spark, targetDir, Seq(dataDir),
+      op = "bootstrap")
     ()
   }
 
@@ -109,7 +110,7 @@ object CdcStream {
     val dataDir = graft.ingest.ManifestCommit.newDataDir(targetDir)
     finalView(spark, targetDir, pk)
       .write.mode(SaveMode.Overwrite).parquet(dataDir)
-    graft.ingest.ManifestCommit.commitReplace(spark, targetDir, Seq(dataDir))
+    graft.ingest.ManifestCommit.commitReplace(spark, targetDir, Seq(dataDir), op = "compact")
     ()
   }
 

@@ -94,6 +94,59 @@ class OptimizeSpec extends SparkSpec {
     assert(keptZ.size < totalZ, "z-ordered layout prunes on y alone")
   }
 
+  test("compactSmall folds small + dv'd dirs only; big dirs byte-identical") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    val big = ManifestCommit.newDataDir(root)
+    grid().write.parquet(big) // 1024 rows
+    ManifestCommit.commitReplace(spark, root, Seq(big), pruneDisplaced = false)
+    (0 until 3).foreach { i =>
+      val d = ManifestCommit.newDataDir(root)
+      grid().filter(col("x") === i && col("y") === 0)
+        .withColumn("payload", concat(col("payload"), lit(s"-delta$i")))
+        .write.parquet(d)
+      ManifestCommit.commitAppend(spark, root, d)
+    }
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stateOf(d: String) = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/$d"))
+      .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
+    val bigName = big.split('/').last
+    val bigBefore = stateOf(bigName)
+    val before = ManifestCommit.read(spark, root).count()
+    val bigBytes = fsys.getContentSummary(
+      new org.apache.hadoop.fs.Path(big)).getLength
+
+    val m = Optimize.compactSmall(spark, root, smallBytes = bigBytes / 2)
+    assert(m.dirs.size === 2 && m.dirs.contains(bigName))
+    assert(m.op === Some("compact_minor"))
+    assert(stateOf(bigName) === bigBefore, "big dir must be byte-identical")
+    assert(ManifestCommit.read(spark, root).count() === before)
+
+    // idempotent when nothing qualifies: one small dir alone is not
+    // worth folding (and must not commit a new generation)
+    val m2 = Optimize.compactSmall(spark, root, smallBytes = 1L)
+    assert(m2.gen === m.gen)
+  }
+
+  test("compactSmall materializes a deletion vector even on a big dir") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    val big = ManifestCommit.newDataDir(root)
+    grid().write.parquet(big)
+    ManifestCommit.commitReplace(spark, root, Seq(big), pruneDisplaced = false,
+      stats = Map(big -> ManifestCommit.dirStats(spark, big, Seq("x", "y"))))
+    import org.apache.spark.sql.Row
+    MergeInto.deleteWhere(spark, root, mkDf(
+      StructType(Seq(StructField("x", LongType, false),
+        StructField("y", LongType, false))),
+      Row(0L, 0L), Row(1L, 0L)))
+    assert(ManifestCommit.readManifest(spark, root).get.dvs.size === 1)
+    // dv'd dirs always fold, whatever their size
+    val m = Optimize.compactSmall(spark, root, smallBytes = 1L)
+    assert(m.dvs.isEmpty && m.dirs.size === 1)
+    assert(ManifestCommit.read(spark, root).count() === 1024 - 2)
+  }
+
   test("missing stats on one bound keep the dir (never a filter)") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
     val d = ManifestCommit.newDataDir(root)
