@@ -639,19 +639,31 @@ object ManifestCommit {
     if (!f.exists(rootP)) return Nil
     // live = current generation plus every retained historical snapshot —
     // a time-travel table's old generations are reachable, not orphans
-    val live = readManifest(spark, root).map(_.dirs.toSet).getOrElse(Set.empty) ++
-      snapshotGens(spark, root)
-        .flatMap(g => readManifestAt(spark, root, g)).flatMap(_.dirs)
+    val ms = readManifest(spark, root).toSeq ++
+      snapshotGens(spark, root).flatMap(g => readManifestAt(spark, root, g))
+    val live = ms.flatMap(_.dirs).toSet
+    val liveDvs = ms.flatMap(_.dvs.values).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     def newestMtime(p: Path): Long = {
       var newest = f.getFileStatus(p).getModificationTime
-      val it = f.listFiles(p, true)
-      while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      if (f.getFileStatus(p).isDirectory) {
+        val it = f.listFiles(p, true)
+        while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+      }
       newest
     }
     f.listStatus(rootP).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("data_") &&
-        !live.contains(st.getPath.getName) && newestMtime(st.getPath) <= cutoff)
+      .filter { st =>
+        val name = st.getPath.getName
+        // data dirs and DELETION-VECTOR dirs share the orphan contract:
+        // written before a commit names them, so a crashed writer leaves
+        // either kind unreferenced (a deleteWhere that wrote its _dv_*
+        // but never committed is the DV case of the mid-batch crash)
+        val orphanCandidate =
+          (name.startsWith("data_") && !live.contains(name)) ||
+            (name.startsWith("_dv_") && !liveDvs.contains(name))
+        orphanCandidate && newestMtime(st.getPath) <= cutoff
+      }
       .map { st => f.delete(st.getPath, true); st.getPath.toString }
   }
 }

@@ -320,6 +320,20 @@ class MergeIntoSpec extends SparkSpec {
       Set((1L, "A!", 100.0), (3L, "c", 3.0)))
   }
 
+  test("pruneOrphans reclaims a crashed deleteWhere's uncommitted dv file") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))
+    MergeInto.deleteWhere(spark, root, keyDf(1L)) // committed dv: must survive
+    val committedDv = ManifestCommit.readManifest(spark, root).get.dvs.values.head
+    // simulate the crash: a dv file written but never referenced
+    val orphan = s"$root/_dv_orphan0crash"
+    keyDf(2L).write.parquet(orphan)
+    val pruned = ManifestCommit.pruneOrphans(spark, root, minAgeMs = 0L)
+    assert(pruned.exists(_.endsWith("_dv_orphan0crash")), pruned)
+    assert(!pruned.exists(_.endsWith(committedDv)), "committed dv must survive")
+    assert(rowsOf(ManifestCommit.read(spark, root)) === Set((2L, "b", 2.0)))
+  }
+
   test("expireSnapshots reclaims dv files only expired generations reference") {
     val root = Files.createTempDirectory("merge_spec_").toString + "/t"
     commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))
