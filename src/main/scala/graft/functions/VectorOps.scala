@@ -220,6 +220,28 @@ object ZOrderUtil {
     }
     z
   }
+
+  /** N-way round-robin interleave: bit i of input j lands at position
+    * i·n + j, each input masked to ⌊63/n⌋ bits (n=2 reproduces
+    * `interleave` bit-for-bit). The generalization real OPTIMIZE ZORDER
+    * needs — clustering quality per dimension degrades as n grows
+    * (fewer bits each), which is the documented reason to z-order on
+    * the few most-filtered columns only. */
+  def interleaveN(vs: Array[Long]): Long = {
+    val n = vs.length
+    val bits = 63 / n
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      var j = 0
+      while (j < n) {
+        z |= ((vs(j) >> i) & 1L) << (i * n + j)
+        j += 1
+      }
+      i += 1
+    }
+    z
+  }
 }
 
 case class ZOrderKey(left: Expression, right: Expression) extends BinaryExpression {
@@ -236,6 +258,55 @@ case class ZOrderKey(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderKey =
     copy(left = l, right = r)
+}
+
+/** N-ary z-order key (see ZOrderUtil.interleaveN): any child null →
+  * null; children must already be int64 (callers cast/bucket into the
+  * ⌊63/n⌋-bit space, the same contract as the binary form). */
+case class ZOrderKeyN(children: Seq[Expression]) extends Expression {
+  require(children.size >= 2, "zorder_key_n needs at least 2 keys")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zorder_key_n"
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = new Array[Long](children.size)
+    var j = 0
+    while (j < children.size) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      arr(j) = v.asInstanceOf[Long]
+      j += 1
+    }
+    ZOrderUtil.interleaveN(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val evs = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    val n = children.size
+    // evaluate children in order with early-out on the first null (the
+    // running ev.isNull guards each subsequent load)
+    val loads = evs.zipWithIndex.map { case (c, j) =>
+      s"""if (!${ev.isNull}) {
+         |  ${c.code}
+         |  if (${c.isNull}) { ${ev.isNull} = true; } else { $arr[$j] = ${c.value}; }
+         |}""".stripMargin
+    }.mkString("\n")
+    ev.copy(code =
+      code"""
+        |boolean ${ev.isNull} = false;
+        |long[] $arr = new long[$n];
+        |$loads
+        |long ${ev.value} = ${ev.isNull} ? -1L :
+        |  graft.functions.ZOrderUtil.interleaveN($arr);
+        |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZOrderKeyN = copy(children = newChildren)
 }
 
 /** Deterministic plane projection <v[0..dim), p_k> (see

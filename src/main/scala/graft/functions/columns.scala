@@ -25,6 +25,11 @@ object columns {
     ColumnBridge.column(ZOrderKey(
       ColumnBridge.expression(a.cast("long")),
       ColumnBridge.expression(b.cast("long"))))
+  /** N-ary z-order key (⌊63/n⌋ bits per dimension — z-order the few
+    * most-filtered columns only; see ZOrderUtil.interleaveN). */
+  def zorderKeyN(cols: Column*): Column =
+    ColumnBridge.column(ZOrderKeyN(
+      cols.map(c => ColumnBridge.expression(c.cast("long")))))
   def planeProjection(v: Column, k: Int, dim: Int): Column =
     ColumnBridge.column(PlaneProjection(vec(v), k, dim))
   def nearestCentroids(v: Column,

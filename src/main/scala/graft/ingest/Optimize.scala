@@ -39,15 +39,25 @@ object Optimize {
     * Returns the new manifest. */
   def zorderCompact(spark: SparkSession, root: String,
       colA: String, colB: String, targetDirs: Int,
+      extraStatCols: Seq[String] = Nil): ManifestCommit.Manifest =
+    zorderCompactN(spark, root, Seq(colA, colB), targetDirs, extraStatCols)
+
+  /** N-column OPTIMIZE ZORDER: same protocol, clustering key =
+    * `ZOrderKeyN` over `cols` (⌊63/n⌋ bits per dimension — z-order the
+    * few most-filtered columns only; beyond ~4 the per-dimension
+    * resolution stops paying for itself, the same guidance the public
+    * OPTIMIZE ZORDER implementations document). */
+  def zorderCompactN(spark: SparkSession, root: String,
+      cols: Seq[String], targetDirs: Int,
       extraStatCols: Seq[String] = Nil): ManifestCommit.Manifest = {
     require(targetDirs >= 1, "targetDirs must be >= 1")
+    require(cols.size >= 2, "z-order needs at least 2 columns")
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
     val live = ManifestCommit.read(spark, root)
 
     val keyed = live.withColumn("__z",
-      graft.functions.columns.zorderKey(
-        col(colA).cast("long"), col(colB).cast("long")))
+      graft.functions.columns.zorderKeyN(cols.map(c => col(c)): _*))
     // one range shuffle = the distributed sort; ordering WITHIN a dir is
     // irrelevant to dir-level stats, so no within-partition sort is paid
     val staged = keyed.repartitionByRange(targetDirs, col("__z"))
@@ -65,7 +75,7 @@ object Optimize {
     val bucketDirs = f.listStatus(new Path(staging)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zbucket="))
       .sortBy(st => st.getPath.getName.stripPrefix("__zbucket=").toInt)
-    val statCols = (Seq(colA, colB) ++ extraStatCols).distinct
+    val statCols = (cols ++ extraStatCols).distinct
     val promoted = bucketDirs.map { st =>
       val d = ManifestCommit.newDataDir(root)
       f.rename(st.getPath, new Path(d))

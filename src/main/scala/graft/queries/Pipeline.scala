@@ -1691,6 +1691,69 @@ object Pipeline {
         lit(m.dirs.size).as("dirs_after"), lit(folded).as("dirs_folded"))
   }
 
+  /** q133 — THREE-dimensional OPTIMIZE ZORDER (`Optimize.zorderCompactN`
+    * over the N-ary `ZOrderKeyN` interleave): orders carries a derived
+    * integer day column and lands modulo-sliced (every dir full-range on
+    * all three dimensions — zero pruning possible); one 3-D z-rewrite
+    * later, a conjunctive box on (o_orderkey, o_custkey, o_days) prunes
+    * dirs (pinned) and the aggregate over only the kept dirs
+    * hash-matches DuckDB's full filter. The per-dimension bit budget is
+    * ⌊63/3⌋ = 21 bits — why the derived DAY count (≈2.5k values) is the
+    * temporal dimension rather than an epoch-seconds cast, whose
+    * low-21-bit wraparound would destroy locality. */
+  val q133_zorder_3d = Q(
+    "q133_zorder_3d",
+    """WITH d AS (SELECT o_orderkey, o_custkey, o_totalprice,
+      |    date_diff('day', DATE '1992-01-01', o_orderdate) AS o_days
+      |  FROM orders),
+      |b AS (SELECT max(o_orderkey) // 4 AS k_hi, max(o_custkey) // 4 AS c_hi,
+      |    min(o_days) + (max(o_days) - min(o_days)) // 4 AS d_hi FROM d)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  1 AS pruned_effective
+      |FROM d, b
+      |WHERE o_orderkey <= k_hi AND o_custkey <= c_hi AND o_days <= d_hi""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, Optimize}
+    val root = tmpDir("graft_q133_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("long").as("o_days"))
+    val Row(maxkAny, maxcAny, mindAny, maxdAny) = orders.agg(
+      max("o_orderkey"), max("o_custkey"), min("o_days"), max("o_days"))
+      .collect()(0)
+    val maxk = maxkAny.asInstanceOf[Long]
+    val maxc = maxcAny.asInstanceOf[Long]
+    // the day dimension's box bound is RANGE-relative (the fixture's
+    // dates start years after the epoch anchor, so max/4 would sit below
+    // every row and the box would be empty)
+    val dHi = mindAny.asInstanceOf[Long] +
+      (maxdAny.asInstanceOf[Long] - mindAny.asInstanceOf[Long]) / 4
+    val dirs = (0 until 4).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      orders.filter(col("o_orderkey") % 4 === i).write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey", "o_custkey", "o_days"))
+    }
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    Optimize.zorderCompactN(s, root,
+      Seq("o_orderkey", "o_custkey", "o_days"), targetDirs = 8)
+    val bounds = Seq(
+      ("o_orderkey", None, Some((maxk / 4).toString)),
+      ("o_custkey", None, Some((maxc / 4).toString)),
+      ("o_days", None, Some(dHi.toString)))
+    val (kept, total) = Optimize.resolvePrunedMulti(s, root, bounds)
+    s.read.parquet(kept: _*)
+      .filter(col("o_orderkey") <= maxk / 4 && col("o_custkey") <= maxc / 4 &&
+        col("o_days") <= dHi)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2)))
+          .cast("double").as("price_sum"))
+      .select(col("n_rows"), col("key_sum"), col("price_sum"),
+        (lit(kept.size) < lit(total)).cast("int").as("pruned_effective"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1704,5 +1767,5 @@ object Pipeline {
     q122_incremental_agg, q123_merge_into, q124_change_feed,
     q125_merge_schema_evolution, q126_cdf_incremental_rollup,
     q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup,
-    q131_deletion_vectors, q132_minor_compaction)
+    q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d)
 }

@@ -77,6 +77,29 @@ class VectorOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) === None)
   }
 
+  test("zorderKeyN: matches interleaveN, nulls propagate, codegen participates") {
+    val s = spark
+    import s.implicits._
+    val df = spark.range(0, 100)
+      .select(col("id").as("a"), (col("id") * 7 % 50).as("b"),
+        (col("id") * 13 % 30).as("c"))
+      .withColumn("z", graft.functions.columns.zorderKeyN(
+        col("a"), col("b"), col("c")))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) === ZOrderUtil.interleaveN(
+        Array(r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    // codegen: the projection must execute inside a WholeStageCodegen span
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"expected codegen stage, got:\n$plan")
+    // null in any dimension -> null key
+    val withNull = Seq((Some(1L), Some(2L), Option.empty[Long]))
+      .toDF("a", "b", "c")
+      .withColumn("z", graft.functions.columns.zorderKeyN(
+        col("a"), col("b"), col("c")))
+    assert(withNull.collect()(0).isNullAt(3))
+  }
+
   test("SQL registration + codegen participation") {
     val s = spark
     import s.implicits._

@@ -37,4 +37,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ZOrderUtil.interleave(1L << 31, 0L) == 0L)
     assert(ZOrderUtil.interleave((1L << 31) | 1L, 0L) == 1L)
   }
+
+  test("interleaveN at n=2 reproduces the binary form bit-for-bit") {
+    val rnd = new scala.util.Random(29)
+    (1 to 500).foreach { _ =>
+      val a = rnd.nextLong() & 0x7fffffffL
+      val b = rnd.nextLong() & 0x7fffffffL
+      assert(ZOrderUtil.interleaveN(Array(a, b)) == ZOrderUtil.interleave(a, b))
+    }
+  }
+
+  test("interleaveN is lossless within the per-dimension bit budget") {
+    val rnd = new scala.util.Random(31)
+    (2 to 5).foreach { n =>
+      val bits = 63 / n
+      val mask = (1L << bits) - 1
+      def deN(z: Long): Seq[Long] = (0 until n).map { j =>
+        var v = 0L; var i = 0
+        while (i < bits) { v |= ((z >> (i * n + j)) & 1L) << i; i += 1 }
+        v
+      }
+      (1 to 200).foreach { _ =>
+        val vs = Array.fill(n)(rnd.nextLong() & mask)
+        val z = ZOrderUtil.interleaveN(vs)
+        assert(z >= 0L)
+        assert(deN(z) == vs.toSeq, s"n=$n")
+      }
+    }
+  }
 }

@@ -94,6 +94,32 @@ class OptimizeSpec extends SparkSpec {
     assert(keptZ.size < totalZ, "z-ordered layout prunes on y alone")
   }
 
+  test("3-column z-order prunes on every dimension alone") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    // 16x16x16 grid in one dir; z-rewrite on all three dims
+    import org.apache.spark.sql.functions.expr
+    val cube = spark.range(0, 16L * 16 * 16)
+      .select((col("id") % 16).as("x"), expr("id DIV 16 % 16").as("y"),
+        expr("id DIV 256").as("w"))
+    val d = ManifestCommit.newDataDir(root)
+    cube.write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false,
+      stats = Map(d -> ManifestCommit.dirStats(spark, d, Seq("x", "y", "w"))))
+    Optimize.zorderCompactN(spark, root, Seq("x", "y", "w"), targetDirs = 16)
+    Seq("x", "y", "w").foreach { c =>
+      val (kept, total) = Optimize.resolvePrunedMulti(spark, root,
+        Seq((c, None, Some("3"))))
+      assert(kept.size < total, s"$c-alone bound should prune")
+    }
+    // and the 3-box prunes hardest
+    val (kept3, total3) = Optimize.resolvePrunedMulti(spark, root, Seq(
+      ("x", None, Some("3")), ("y", None, Some("3")), ("w", None, Some("3"))))
+    assert(kept3.size <= total3 / 4, s"3-box kept ${kept3.size} of $total3")
+    val got = spark.read.parquet(kept3: _*)
+      .filter(col("x") <= 3 && col("y") <= 3 && col("w") <= 3).count()
+    assert(got === 4L * 4 * 4)
+  }
+
   test("compactSmall folds small + dv'd dirs only; big dirs byte-identical") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
     val big = ManifestCommit.newDataDir(root)
