@@ -131,6 +131,80 @@ object Optimize {
       dvs = m.dvs.view.filterKeys(keep.contains).toMap)
   }
 
+  /** The ClickHouse PER-PARTITION background merge, manifest-native (the
+    * reference's monthly PARTITION BY layout compacts partition dirs via
+    * renames, `Maintenance.compactFinalPartitioned` — not object-store-
+    * safe; this is the same lifecycle through pure manifest commits):
+    *
+    * The steady state of a month-partitioned Replacing table is a set of
+    * MONTH-PURE dirs (stats on `monthCol` span a single month — the
+    * "partitions") plus recent DELTA dirs (appended batches, possibly
+    * spanning months). This op folds the deltas in: for each month the
+    * deltas actually touch, the month's pure dir(s) and the delta rows
+    * of that month collapse latest-per-key into one new month-pure dir.
+    * UNTOUCHED months survive byte-identical — per-load amortized cost
+    * is O(touched months + deltas), never O(table), the same
+    * per-partition-trigger discipline as the rename-based compactor.
+    * Month reads prune through `ManifestCommit.resolvePruned` on
+    * `monthCol` (month-pure stats make the prune exact).
+    *
+    * `version`: latest-per-key order (ReplacingMergeTree `ver`);
+    * `keys` the collapse key. No-op without delta dirs. */
+  def compactMonths(spark: SparkSession, root: String, monthCol: String,
+      keys: Seq[String], version: Option[String]): ManifestCommit.Manifest = {
+    require(keys.nonEmpty, "compactMonths needs the collapse key")
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+    // month identity from the recorded temporal stats rendering
+    // (uuuu-MM-… fixed width): pure = min and max in the same month
+    def monthOf(d: String): Option[(String, String)] =
+      m.stats.getOrElse(d, Nil).find(_.col == monthCol)
+        .map(cs => (cs.min.take(7), cs.max.take(7)))
+    // pure = single-month stats. A COLLAPSE is due for any month with
+    // delta coverage OR more than one part (a single-month appended
+    // batch is stats-pure but still an uncollapsed part of its month).
+    val (pure, deltas) = m.dirs.partition(d =>
+      monthOf(d).exists { case (lo, hi) => lo == hi })
+    val byMonth = pure.groupBy(d => monthOf(d).get._1)
+    val deltaDfOpt =
+      if (deltas.isEmpty) None
+      else Some(ManifestCommit.readDirsOf(spark, root, m, deltas).cache())
+    try {
+      val deltaMonths = deltaDfOpt.map(_.select(
+          date_format(col(monthCol), "yyyy-MM").as("__mo"))
+        .distinct().collect().map(_.getString(0)).toSeq).getOrElse(Nil)
+      val multiPart = byMonth.collect { case (mo, ds) if ds.size > 1 => mo }
+      val touched = (deltaMonths ++ multiPart).distinct.sorted
+      if (touched.isEmpty) return m
+
+      val statCols = (Seq(monthCol) ++ keys).distinct
+      val rewritten = touched.flatMap(mo => byMonth.getOrElse(mo, Nil))
+      val newDirs = touched.map { mo =>
+        val monthPure = byMonth.getOrElse(mo, Nil)
+        val parts =
+          (if (monthPure.isEmpty) Nil
+           else Seq(ManifestCommit.readDirsOf(spark, root, m, monthPure))) ++
+            deltaDfOpt.map(_.filter(
+              date_format(col(monthCol), "yyyy-MM") === mo)).toSeq
+        val collapsed = Ingest.dedupLatest(
+          parts.reduce(_ unionByName _), keys, version)
+        val d = ManifestCommit.newDataDir(root)
+        collapsed.write.parquet(d)
+        d -> ManifestCommit.dirStats(spark, d, statCols)
+      }
+      val kept = pure.filterNot(rewritten.contains)
+      ManifestCommit.commitReplace(spark, root,
+        kept ++ newDirs.map(_._1),
+        pruneDisplaced = false,
+        stats = m.stats.view.filterKeys(kept.contains).toMap ++
+          newDirs.map { case (d, cs) => new Path(d).getName -> cs },
+        expectedGen = Some(m.gen),
+        schema = m.tableSchema,
+        op = "compact_months",
+        dvs = m.dvs.view.filterKeys(kept.contains).toMap)
+    } finally { deltaDfOpt.foreach(_.unpersist()); () }
+  }
+
   /** Conjunctive multi-column data-skipping resolve: keep dirs whose
     * stats can overlap EVERY (col, lo, hi) bound. Dirs missing stats for
     * a column are kept for it (skipping is an optimization, never a

@@ -1754,6 +1754,90 @@ object Pipeline {
         (lit(kept.size) < lit(total)).cast("int").as("pruned_effective"))
   }
 
+  /** q134 — the month-partitioned REPLACING lifecycle, manifest-native
+    * (`Optimize.compactMonths`; the reference's PARTITION BY toYYYYMM +
+    * per-partition OPTIMIZE FINAL, tools/create_clickhouse_models.py:
+    * 46-68 + ingest_runner.py:1782-1787 — here with zero directory
+    * renames, so the whole lifecycle is object-store-safe): three
+    * month-pure dirs, then two appended version batches (one single-
+    * month, one spanning two months), then ONE per-partition collapse.
+    * Pins: the untouched month survives byte-identical (history:
+    * exactly 4 dirs removed — two month-2 parts, month 3, the
+    * multi-month delta — and 2 added), dir count returns to one per
+    * month, a month-bounded read prunes to ONE dir via the manifest
+    * stats, and the collapsed latest-per-key table hash-matches the
+    * DuckDB reconstruction of the version chain. */
+  val q134_month_lifecycle = Q(
+    "q134_month_lifecycle",
+    """WITH mo3 AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS mo
+      |    FROM orders ORDER BY mo LIMIT 3),
+      |mo2 AS (SELECT mo FROM mo3 ORDER BY mo LIMIT 1 OFFSET 1),
+      |mo23 AS (SELECT mo FROM mo3 ORDER BY mo LIMIT 2 OFFSET 1),
+      |base AS (SELECT o_orderkey AS k,
+      |    strftime(o_orderdate, '%Y-%m') AS mo, o_totalprice AS p
+      |  FROM orders WHERE strftime(o_orderdate, '%Y-%m') IN (SELECT mo FROM mo3)),
+      |fin AS (SELECT k, mo, CASE
+      |    WHEN mo IN (SELECT mo FROM mo23) AND k % 5 = 0 THEN p + 5000
+      |    WHEN mo IN (SELECT mo FROM mo2) AND k % 3 = 0 THEN p + 1000
+      |    ELSE p END AS pf FROM base)
+      |SELECT mo, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(pf AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  3 AS dirs_after, CAST(4 AS BIGINT) AS removed_at_compact,
+      |  1 AS month2_dirs_scanned
+      |FROM fin GROUP BY mo""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, Optimize}
+    val root = tmpDir("graft_q134_") + "/orders"
+    val moCol = date_format(col("o_orderdate"), "yyyy-MM")
+    val all0 = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    val months = all0.select(moCol.as("mo")).distinct()
+      .orderBy("mo").limit(3).collect().map(_.getString(0)).toSeq
+    val base = all0.filter(moCol.isin(months: _*)).withColumn("v", lit(0L))
+    val statCols = Seq("o_orderdate", "o_orderkey")
+    // one month-pure dir per month
+    val initial = months.map { mo =>
+      val d = ManifestCommit.newDataDir(root)
+      base.filter(moCol === mo).write.parquet(d)
+      d -> ManifestCommit.dirStats(s, d, statCols)
+    }
+    ManifestCommit.commitReplace(s, root, initial.map(_._1),
+      pruneDisplaced = false, stats = initial.toMap)
+    // version batch 1: month-2 keys % 3, a SINGLE-month appended part
+    val d1 = ManifestCommit.newDataDir(root)
+    base.filter(moCol === months(1) && col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("v", lit(1L)).write.parquet(d1)
+    ManifestCommit.commitAppend(s, root, d1,
+      stats = ManifestCommit.dirStats(s, d1, statCols))
+    // version batch 2: keys % 5 across months 2 AND 3 — a delta that
+    // spans partitions, as late-arriving data does
+    val d2 = ManifestCommit.newDataDir(root)
+    base.filter(moCol.isin(months(1), months(2)) && col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5000)
+      .withColumn("v", lit(2L)).write.parquet(d2)
+    ManifestCommit.commitAppend(s, root, d2,
+      stats = ManifestCommit.dirStats(s, d2, statCols))
+    // ONE per-partition collapse; month 1 must not be touched
+    val m = Optimize.compactMonths(s, root, "o_orderdate",
+      Seq("o_orderkey"), Some("v"))
+    val removed = ManifestCommit.history(s, root)
+      .filter(col("gen") === m.gen).collect()(0).getAs[Long]("dirs_removed")
+    // month-bounded read resolves to exactly one dir from manifest stats
+    val (kept2, _) = ManifestCommit.resolvePruned(s, root, "o_orderdate",
+      Some(ManifestCommit.temporalBound(s"${months(1)}-01")),
+      Some(s"${months(1)}-31T23:59:59.999"))
+    ManifestCommit.read(s, root)
+      .groupBy(moCol.as("mo"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast(DecimalType(30, 2)))
+          .cast("double").as("price_sum"))
+      .select(col("mo"), col("n_rows"), col("key_sum"), col("price_sum"),
+        lit(m.dirs.size).as("dirs_after"),
+        lit(removed).as("removed_at_compact"),
+        lit(kept2.size).as("month2_dirs_scanned"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1767,5 +1851,5 @@ object Pipeline {
     q122_incremental_agg, q123_merge_into, q124_change_feed,
     q125_merge_schema_evolution, q126_cdf_incremental_rollup,
     q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup,
-    q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d)
+    q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d, q134_month_lifecycle)
 }

@@ -36,6 +36,13 @@ class OptimizeSpec extends SparkSpec {
       pruneDisplaced = false, stats = dirs.toMap)
   }
 
+  private def fileState(root: String, dir: String): Map[String, (Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/$dir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(st =>
+      st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
+  }
+
   private def contents(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
     df.collect().toSet.map((r: Row) =>
       (r.getAs[Long]("x"), r.getAs[Long]("y"), r.getAs[String]("payload")))
@@ -171,6 +178,47 @@ class OptimizeSpec extends SparkSpec {
     val m = Optimize.compactSmall(spark, root, smallBytes = 1L)
     assert(m.dvs.isEmpty && m.dirs.size === 1)
     assert(ManifestCommit.read(spark, root).count() === 1024 - 2)
+  }
+
+  test("compactMonths: cold month byte-identical, new month materializes, no-op converges") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    val st2 = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("v", LongType, false),
+      StructField("amt", DoubleType, true)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def commitDir(rows: org.apache.spark.sql.Row*): String = {
+      val d = ManifestCommit.newDataDir(root)
+      mkDf(st2, rows: _*).write.parquet(d)
+      d
+    }
+    import org.apache.spark.sql.Row
+    val jan = commitDir(Row(1L, ts("2024-01-10 00:00:00"), 0L, 1.0),
+      Row(2L, ts("2024-01-20 00:00:00"), 0L, 2.0))
+    val feb = commitDir(Row(10L, ts("2024-02-05 00:00:00"), 0L, 10.0))
+    val stats = Seq(jan, feb).map(d =>
+      d -> ManifestCommit.dirStats(spark, d, Seq("ts", "id"))).toMap
+    ManifestCommit.commitReplace(spark, root, Seq(jan, feb),
+      pruneDisplaced = false, stats = stats)
+    // delta: feb update (v=1) + a row in a BRAND-NEW month (march)
+    val delta = commitDir(Row(10L, ts("2024-02-06 00:00:00"), 1L, 99.0),
+      Row(20L, ts("2024-03-01 00:00:00"), 0L, 20.0))
+    ManifestCommit.commitAppend(spark, root, delta,
+      stats = ManifestCommit.dirStats(spark, delta, Seq("ts", "id")))
+
+    val janName = jan.split('/').last
+    val janBefore = fileState(root, janName)
+    val m = Optimize.compactMonths(spark, root, "ts", Seq("id"), Some("v"))
+    assert(m.dirs.size === 3, "jan kept + feb collapsed + march materialized")
+    assert(m.dirs.contains(janName) && fileState(root, janName) === janBefore)
+    assert(m.op === Some("compact_months"))
+    val got = ManifestCommit.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 2.0, 10L -> 99.0, 20L -> 20.0))
+    // idempotent: a second collapse with nothing to do commits nothing
+    assert(Optimize.compactMonths(spark, root, "ts", Seq("id"), Some("v"))
+      .gen === m.gen)
   }
 
   test("missing stats on one bound keep the dir (never a filter)") {
