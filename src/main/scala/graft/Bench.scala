@@ -26,13 +26,16 @@ object Bench {
     * capped at 3 entries on stdout (full list on stderr) so a mass-
     * failure run can't blow the budget either. */
   def composeLine(totalS: String, medianS: String, qs2: String, qs1: String,
+      qs0: String,
       failed: Int, errJson: String, medShown: String, medMore: Int,
       medCount: Int, sfName: String, budget: Int = 1900): String = {
     def line(q: String, med: String, more: Int) =
       s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$q,"failed":$failed,"errors":$errJson,"median_total":$medianS,"med_outliers":$med,"med_more":$more,"sf":"$sfName"}"""
     // last-resort tier: med fields dropped entirely (the full median map
-    // is on the stderr diag line regardless) — buys ~35 chars when every
-    // query is slow AND failed at once
+    // is on the stderr diag line regardless) and values at INTEGER
+    // precision with failures clamped to -1 (a failed query's magnitude
+    // is meaningless — the errors map and stderr carry the detail).
+    // ~11 chars/query keeps even a 150-query all-failed line in budget.
     def lineNoMed(q: String) =
       s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$q,"failed":$failed,"errors":$errJson,"median_total":$medianS,"sf":"$sfName"}"""
     val full = line(qs2, medShown, medMore)
@@ -42,7 +45,7 @@ object Bench {
       if (noMed.length <= budget) noMed
       else {
         val short = line(qs1, "{}", medCount)
-        if (short.length <= budget) short else lineNoMed(qs1)
+        if (short.length <= budget) short else lineNoMed(qs0)
       }
     }
   }
@@ -186,7 +189,11 @@ object Bench {
     val qs1 = jmap(results.map { case (n, v) =>
       shortOf(n) -> (if (v < 0) math.min(v, -0.1) else v) },
       v => String.format(java.util.Locale.ROOT, "%.1f", Double.box(v)))
-    println(composeLine(fmt(total), fmt(medianTotal), qs, qs1,
+    // floor tier: integer seconds, failures as exactly -1
+    val qs0 = jmap(results.map { case (n, v) =>
+      shortOf(n) -> (if (v < 0) -1.0 else v) },
+      v => String.format(java.util.Locale.ROOT, "%.0f", Double.box(v)))
+    println(composeLine(fmt(total), fmt(medianTotal), qs, qs1, qs0,
       errors.size, errJson, medShown, medMore, medOutliers.size, sfName))
     GraftTmp.purge()
     spark.stop()

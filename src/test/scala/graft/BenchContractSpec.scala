@@ -43,9 +43,11 @@ class BenchContractSpec extends AnyFunSuite {
       .mkString("{", ",", "}")
     val qs1 = names.map(n => "\"" + shortOf(n) + "\":-123.5")
       .mkString("{", ",", "}")
+    val qs0 = names.map(n => "\"" + shortOf(n) + "\":-1")
+      .mkString("{", ",", "}")
     val med = (1 to 4).map(i => s""""q$i":9.99""").mkString("{", ",", "}")
     val err = """{"q01_pricing_summary":"boom"}"""
-    val line = Bench.composeLine("9999.999", "9999.999", qs2, qs1,
+    val line = Bench.composeLine("9999.999", "9999.999", qs2, qs1, qs0,
       names.size, err, med, 7, 11, "sf0.1")
     assert(line.length <= 1900, s"degraded line still ${line.length} chars")
     val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
@@ -56,7 +58,7 @@ class BenchContractSpec extends AnyFunSuite {
       assert(parsed.get("med_more").asInt() === 11, "dropped outliers stay counted")
     // and the full form is preferred when it fits
     val small = Bench.composeLine("1.0", "1.0", """{"q1":0.10}""",
-      """{"q1":0.1}""", 0, "{}", med, 0, 4, "sf0.1")
+      """{"q1":0.1}""", """{"q1":0}""", 0, "{}", med, 0, 4, "sf0.1")
     assert(small.contains(""""med_outliers":{"q1":9.99"""))
   }
 
