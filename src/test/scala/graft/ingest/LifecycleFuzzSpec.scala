@@ -145,4 +145,116 @@ class LifecycleFuzzSpec extends SparkSpec {
     // final hygiene: orphan prune finds nothing to reclaim mid-lifecycle
     assert(ManifestCommit.pruneOrphans(spark, root, minAgeMs = 0L).isEmpty)
   }
+
+  test("month lifecycle fuzz: collapse x z-order x DV interplay, pruned reads stay exact") {
+    val root = Files.createTempDirectory("fuzz_mo_").toString + "/t"
+    val rnd = new scala.util.Random(777)
+    val st = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("v", LongType, false),
+      StructField("amt", DoubleType, true)))
+    val monthsPool = Seq("2024-01", "2024-02", "2024-03", "2024-04")
+    def tsOf(mo: String, day: Int) =
+      java.sql.Timestamp.valueOf(s"$mo-${f"$day%02d"} 12:00:00")
+    // model: id -> (month, day, version, amt)
+    var model = Map.empty[Long, (String, Int, Long, Double)]
+    var nextId = 0L
+    var ver = 0L
+
+    def write(rows: Seq[(Long, (String, Int, Long, Double))]): String = {
+      val d = ManifestCommit.newDataDir(root)
+      mkDf(st, rows.map { case (id, (mo, day, v, amt)) =>
+        Row(id, tsOf(mo, day), v, amt)
+      }: _*).write.parquet(d)
+      d
+    }
+    // the LOGICAL table of a Replacing target is latest-per-key: between
+    // collapses the physical read legitimately holds several versions of
+    // an id, so the snapshot collapses by max v (ver strictly increases,
+    // so ties are impossible)
+    def liveSnapshot(): Map[Long, (String, Int, Long, Double)] =
+      ManifestCommit.read(spark, root).collect().map { r =>
+        val ldt = r.getTimestamp(1).toLocalDateTime
+        r.getLong(0) -> ((f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d",
+          ldt.getDayOfMonth, r.getLong(2), r.getDouble(3)))
+      }.groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).maxBy(_._3) }
+
+    // initial: one dir per month
+    val init = monthsPool.map { mo =>
+      val rows = (1 to 5).map { _ =>
+        nextId += 1
+        nextId -> ((mo, 1 + rnd.nextInt(27), 0L, rnd.nextInt(100).toDouble))
+      }
+      model ++= rows
+      val d = write(rows)
+      d -> ManifestCommit.dirStats(spark, d, Seq("ts", "id"))
+    }
+    ManifestCommit.commitReplace(spark, root, init.map(_._1),
+      pruneDisplaced = false, stats = init.toMap)
+
+    (1 to 25).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => // version batch across 1-2 random months (new + updated rows)
+          ver += 1
+          val mos = rnd.shuffle(monthsPool).take(1 + rnd.nextInt(2))
+          val upd = rnd.shuffle(model.keys.toSeq.sorted)
+            .filter(id => mos.contains(model(id)._1)).take(3)
+            .map { id =>
+              val (mo, day, _, amt) = model(id)
+              id -> ((mo, day, ver, amt + 1))
+            }
+          val ins = mos.map { mo =>
+            nextId += 1
+            nextId -> ((mo, 1 + rnd.nextInt(27), ver, rnd.nextInt(100).toDouble))
+          }
+          val rows = upd ++ ins
+          val d = write(rows)
+          ManifestCommit.commitAppend(spark, root, d,
+            stats = ManifestCommit.dirStats(spark, d, Seq("ts", "id")))
+          model ++= rows
+        case 1 => // per-partition collapse
+          Optimize.compactMonths(spark, root, "ts", Seq("id"), Some("v"))
+        case 2 => // z-order rewrite — destroys month purity on purpose;
+          // a later compactMonths must treat the z-dirs as deltas and
+          // re-partition them by month
+          Optimize.zorderCompactN(spark, root, Seq("id", "v"), targetDirs = 2,
+            extraStatCols = Seq("ts"))
+        case 3 => // DV sparse delete
+          val del = rnd.shuffle(model.keys.toSeq.sorted).take(2)
+          if (del.nonEmpty) {
+            MergeInto.deleteWhere(spark, root, mkDf(
+              StructType(Seq(StructField("id", LongType, false))),
+              del.map(Row(_)): _*))
+            model --= del
+          }
+        case 4 =>
+          ManifestCommit.expireSnapshots(spark, root, keepLast = 2)
+      }
+      // invariant 1: live == model (latest version per id, deletes applied)
+      assert(liveSnapshot() === model, s"live mismatch after step $step")
+      // invariant 2: a month-pruned read + residual filter == the model's
+      // month slice, whatever the current physical layout (z-ordered,
+      // delta-ridden, dv'd — skipping must never change an answer)
+      val mo = monthsPool(rnd.nextInt(monthsPool.size))
+      val (kept, _) = ManifestCommit.resolvePruned(spark, root, "ts",
+        Some(ManifestCommit.temporalBound(s"$mo-01")),
+        Some(s"$mo-31T23:59:59.999"))
+      val got =
+        if (kept.isEmpty) Set.empty[Long]
+        else {
+          // kept paths are raw dirs; reread DV-aware through the manifest
+          val m = ManifestCommit.readManifest(spark, root).get
+          val keptNames = kept.map(_.split('/').last)
+          ManifestCommit.readDirsOf(spark, root, m,
+              m.dirs.filter(keptNames.contains))
+            .filter(date_format(col("ts"), "yyyy-MM") === mo)
+            .collect().map(_.getLong(0)).toSet
+        }
+      // collapse latest-per-key driver-side (an uncompacted month may
+      // carry several versions of one id in the pruned read)
+      val expect = model.collect { case (id, (m2, _, _, _)) if m2 == mo => id }.toSet
+      assert(got === expect, s"month-pruned read mismatch for $mo after step $step")
+    }
+  }
 }
