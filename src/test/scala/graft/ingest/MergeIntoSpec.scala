@@ -320,6 +320,18 @@ class MergeIntoSpec extends SparkSpec {
       Set((1L, "A!", 100.0), (3L, "c", 3.0)))
   }
 
+  test("DV read plan: broadcast LEFT ANTI per dv'd dir, no shuffle") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))
+    MergeInto.deleteWhere(spark, root, keyDf(2L))
+    val plan = ManifestCommit.read(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"DV must apply as a broadcast anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffleExchange"),
+      s"DV application must not shuffle:\n$plan")
+  }
+
   test("pruneOrphans reclaims a crashed deleteWhere's uncommitted dv file") {
     val root = Files.createTempDirectory("merge_spec_").toString + "/t"
     commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))
