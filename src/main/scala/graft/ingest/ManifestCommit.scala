@@ -583,6 +583,37 @@ object ManifestCommit {
       case None => (Seq(root), 1)
     }
 
+  /** Pseudo-column carrying a dir's exact ROW COUNT through the ordinary
+    * stats channel (min == max == count; no format change, old parsers
+    * indifferent). Written at commit time, it makes `COUNT(*)` — the
+    * single most common audit/BI probe — answerable from the manifest
+    * alone: zero data I/O, zero footer reads, zero Spark jobs. */
+  val RowCountStat = "__rows"
+
+  /** Count `dir`'s rows (one footer-only job at write time — parquet
+    * aggregate pushdown — paid once per immutable dir) as a stats entry
+    * to pass alongside `dirStats`. */
+  def rowCountStat(spark: SparkSession, dir: String): ColStats = {
+    val n = spark.read.parquet(dir).count()
+    ColStats(RowCountStat, "num", n.toString, n.toString)
+  }
+
+  /** Footer-free table row count: Some(total) when EVERY live dir
+    * carries a [[RowCountStat]] and none has a deletion vector (a dv'd
+    * dir's live count is count − |dv ∩ dir|, which the manifest does not
+    * record) — else None, and the caller counts the ordinary way. Reads
+    * ONLY the manifest: no Spark job, no file I/O beyond the one small
+    * pointer (spec-asserted). */
+  def tableRowCount(spark: SparkSession, root: String): Option[Long] =
+    readManifest(spark, root).flatMap { m =>
+      if (m.dvs.nonEmpty) None
+      else {
+        val counts = m.dirs.map(d =>
+          m.stats.getOrElse(d, Nil).find(_.col == RowCountStat).map(_.min.toLong))
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+      }
+    }
+
   /** Build and store a per-dir bloom filter for `col`, as a HIDDEN side
     * file `_bloom_<col>` INSIDE the dir it describes (underscore-prefixed
     * files are invisible to parquet scans, and the bloom's lifetime is

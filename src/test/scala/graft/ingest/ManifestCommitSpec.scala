@@ -302,6 +302,47 @@ class ManifestCommitSpec extends SparkSpec {
     assert(total2 === 5 && kept2.exists(_.endsWith(d5.split('/').last)))
   }
 
+  test("tableRowCount answers COUNT(*) from the manifest with ZERO Spark jobs") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "a"), Row(2L, "b"))(d1)
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false,
+      stats = Map(d1 -> (ManifestCommit.dirStats(spark, d1, Seq("id")) :+
+        ManifestCommit.rowCountStat(spark, d1))))
+    val d2 = ManifestCommit.newDataDir(root); write(Row(3L, "c"))(d2)
+    ManifestCommit.commitAppend(spark, root, d2,
+      stats = ManifestCommit.dirStats(spark, d2, Seq("id")) :+
+        ManifestCommit.rowCountStat(spark, d2))
+    // count the jobs the lookup launches: must be zero
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = ManifestCommit.tableRowCount(spark, root)
+      Thread.sleep(500) // listener events are async; let any job event land
+      assert(n === Some(3L))
+      assert(jobs.get() === 0, "row count must not launch any Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // conservative Nones: a dir without the stat, then a deletion vector
+    val d3 = ManifestCommit.newDataDir(root); write(Row(4L, "d"))(d3)
+    ManifestCommit.commitAppend(spark, root, d3)
+    assert(ManifestCommit.tableRowCount(spark, root).isEmpty)
+    // (re-add the stat via a replace, then a DV must also disable it)
+    val all = ManifestCommit.resolvePaths(spark, root)
+    val d4 = ManifestCommit.newDataDir(root)
+    spark.read.parquet(all: _*).write.parquet(d4)
+    ManifestCommit.commitReplace(spark, root, Seq(d4), pruneDisplaced = false,
+      stats = Map(d4 -> Seq(ManifestCommit.rowCountStat(spark, d4))))
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(4L))
+    MergeInto.deleteWhere(spark, root, mkDf(
+      StructType(Seq(StructField("id", LongType, false))), Row(1L)))
+    assert(ManifestCommit.tableRowCount(spark, root).isEmpty,
+      "deletion vectors must disable the manifest-only count")
+  }
+
   test("idempotent txn appends: replayed batch is a no-op, survives compaction") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
     val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "b0"))(d1)
