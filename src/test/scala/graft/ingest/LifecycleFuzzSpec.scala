@@ -69,10 +69,11 @@ class LifecycleFuzzSpec extends SparkSpec {
 
     (1 to 30).foreach { step =>
       rnd.nextInt(7) match {
-        case 0 => // append a fresh batch
+        case 0 => // append a fresh batch, with a point-lookup bloom
           val rows = fresh(1 + rnd.nextInt(8))
           val d = ManifestCommit.newDataDir(root)
           df(evolved, rows: _*).write.parquet(d)
+          ManifestCommit.writeDirBloom(spark, d, "id", rows.size.toLong.max(8L))
           ManifestCommit.commitAppend(spark, root, d,
             stats = ManifestCommit.dirStats(spark, d, Seq("id")))
           model ++= rows
@@ -125,6 +126,31 @@ class LifecycleFuzzSpec extends SparkSpec {
       }
       // invariant 1: live read equals the model
       assert(snapshot(root) === model, s"live mismatch after step $step")
+      // invariant 1b: bloom-resolved point probes agree with the model —
+      // for a live key the probe finds exactly its row (DV-aware reread
+      // of the kept dirs), and a key deleted this run resolves to nothing
+      locally {
+        val mf = ManifestCommit.readManifest(spark, root).get
+        def probe(id: Long): Seq[Row] = {
+          val (kept, _) = ManifestCommit.resolveBloom(spark, root, "id", id)
+          if (kept.isEmpty) Nil
+          else {
+            val names = kept.map(_.split('/').last)
+            ManifestCommit.readDirsOf(spark, root, mf,
+                mf.dirs.filter(names.contains))
+              .filter(col("id") === id).collect().toSeq
+          }
+        }
+        sample(1).foreach { id =>
+          val got = probe(id)
+          assert(got.size === 1 && got.head.getAs[String]("v") === model(id).v,
+            s"live probe $id mismatch after step $step")
+        }
+        val dead = (1L to nextId).find(!model.contains(_))
+        dead.foreach { id =>
+          assert(probe(id).isEmpty, s"deleted probe $id found rows after step $step")
+        }
+      }
       val gen = ManifestCommit.readManifest(spark, root).get.gen
       history += gen -> model
       // invariant 2: every retained generation equals its model snapshot
