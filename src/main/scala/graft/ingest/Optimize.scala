@@ -47,9 +47,14 @@ object Optimize {
     * few most-filtered columns only; beyond ~4 the per-dimension
     * resolution stops paying for itself, the same guidance the public
     * OPTIMIZE ZORDER implementations document). */
+  /** `bloomCols`: point-lookup bloom side files rebuilt per new dir (a
+    * rewrite would otherwise silently lose the bloom index its inputs
+    * carried — the maintenance op is exactly when to refresh it). */
   def zorderCompactN(spark: SparkSession, root: String,
       cols: Seq[String], targetDirs: Int,
-      extraStatCols: Seq[String] = Nil): ManifestCommit.Manifest = {
+      extraStatCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): ManifestCommit.Manifest = {
     require(targetDirs >= 1, "targetDirs must be >= 1")
     require(cols.size >= 2, "z-order needs at least 2 columns")
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
@@ -79,6 +84,7 @@ object Optimize {
     val promoted = bucketDirs.map { st =>
       val d = ManifestCommit.newDataDir(root)
       f.rename(st.getPath, new Path(d))
+      rebuildBlooms(spark, d, bloomCols, bloomFpp)
       d -> ManifestCommit.dirStats(spark, d, statCols)
     }
     f.delete(new Path(staging), true)
@@ -103,8 +109,22 @@ object Optimize {
     * folded dirs' stat columns; kept dirs keep stats, DVs (none — dv'd
     * dirs are always folded), and byte identity. No-op (and no commit)
     * when fewer than two dirs qualify. */
+  /** Rebuild the per-dir bloom side files after a rewrite, sized to the
+    * dir's actual distinct count. No-op for empty `cols`. */
+  private def rebuildBlooms(spark: SparkSession, dir: String,
+      cols: Seq[String], fpp: Double): Unit =
+    if (cols.nonEmpty) {
+      val aggs = cols.map(c => countDistinct(col(c)).as(c))
+      val row = spark.read.parquet(dir).agg(aggs.head, aggs.tail: _*).collect()(0)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        ManifestCommit.writeDirBloom(spark, dir, c,
+          math.max(8L, row.getLong(i)), fpp)
+      }
+    }
+
   def compactSmall(spark: SparkSession, root: String,
-      smallBytes: Long): ManifestCommit.Manifest = {
+      smallBytes: Long, bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): ManifestCommit.Manifest = {
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -117,6 +137,7 @@ object Optimize {
     val folded = ManifestCommit.readDirsOf(spark, root, m, fold)
     val newDir = ManifestCommit.newDataDir(root)
     folded.write.parquet(newDir)
+    rebuildBlooms(spark, newDir, bloomCols, bloomFpp)
     val statCols = fold.flatMap(d => m.stats.getOrElse(d, Nil).map(_.col)).distinct
     val newName = new Path(newDir).getName
     ManifestCommit.commitReplace(spark, root, keep :+ newName,
@@ -151,7 +172,9 @@ object Optimize {
     * `version`: latest-per-key order (ReplacingMergeTree `ver`);
     * `keys` the collapse key. No-op without delta dirs. */
   def compactMonths(spark: SparkSession, root: String, monthCol: String,
-      keys: Seq[String], version: Option[String]): ManifestCommit.Manifest = {
+      keys: Seq[String], version: Option[String],
+      bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): ManifestCommit.Manifest = {
     require(keys.nonEmpty, "compactMonths needs the collapse key")
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
@@ -190,6 +213,7 @@ object Optimize {
           parts.reduce(_ unionByName _), keys, version)
         val d = ManifestCommit.newDataDir(root)
         collapsed.write.parquet(d)
+        rebuildBlooms(spark, d, bloomCols, bloomFpp)
         d -> ManifestCommit.dirStats(spark, d, statCols)
       }
       val kept = pure.filterNot(rewritten.contains)

@@ -221,6 +221,26 @@ class OptimizeSpec extends SparkSpec {
       .gen === m.gen)
   }
 
+  test("bloomCols: rewrites rebuild the point index") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    commitMod4(root)
+    // blooms on the pre-rewrite dirs
+    ManifestCommit.readManifest(spark, root).get.dirs.foreach(d =>
+      ManifestCommit.writeDirBloom(spark, s"$root/$d", "x", 1024))
+    Optimize.zorderCompactN(spark, root, Seq("x", "y"), targetDirs = 8,
+      bloomCols = Seq("x"))
+    val (kept, total) = ManifestCommit.resolveBloom(spark, root, "x", 5L)
+    assert(total === 8)
+    // every dir has a bloom; x=5 lives only in low-x rectangles, so at
+    // least one high-x dir must answer definitely-absent
+    assert(kept.size < total, "rebuilt blooms should skip some dir")
+    // and the probe still finds all 32 rows with x=5 (one per y)
+    val m = ManifestCommit.readManifest(spark, root).get
+    val names = kept.map(_.split('/').last)
+    assert(ManifestCommit.readDirsOf(spark, root, m, m.dirs.filter(names.contains))
+      .filter(col("x") === 5).count() === 32L)
+  }
+
   test("missing stats on one bound keep the dir (never a filter)") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
     val d = ManifestCommit.newDataDir(root)
