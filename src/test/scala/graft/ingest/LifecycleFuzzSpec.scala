@@ -39,9 +39,10 @@ class LifecycleFuzzSpec extends SparkSpec {
       r.getAs[Long]("id") -> ModelRow(r.getAs[String]("v"), r.getAs[Double]("amt"), tag)
     }.toMap
 
-  test("random op sequence: live read == model, time travel == model history") {
+  for (seed <- Seq(4242, 90210))
+  test(s"random op sequence (seed $seed): live == model, time travel == history") {
     val root = Files.createTempDirectory("fuzz_spec_").toString + "/t"
-    val rnd = new scala.util.Random(4242)
+    val rnd = new scala.util.Random(seed)
     var model = Map.empty[Long, ModelRow]
     var nextId = 0L
     var evolved = false
