@@ -226,6 +226,7 @@ object ManifestCommit {
       dirs: Seq[String],
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, lit, split}
     val schema = schemaOverride.orElse(m.tableSchema)
     def readPaths(paths: Seq[String]): DataFrame = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
@@ -234,22 +235,45 @@ object ManifestCommit {
     val (dvd, plain) = dirs.partition(m.dvs.contains)
     val plainDf =
       if (plain.nonEmpty) Some(readPaths(plain.map(d => s"$root/$d"))) else None
-    val dvdDfs = dvd.map { d =>
-      val dv = spark.read.parquet(s"$root/${m.dvs(d)}")
-      readPaths(Seq(s"$root/$d"))
-        .join(org.apache.spark.sql.functions.broadcast(dv),
-          dv.columns.toSeq, "left_anti")
-    }
+    // DV'd dirs grouped by their DV's key-column set: ONE scan and ONE
+    // broadcast anti-join per group on (dir, keys), not one join operator
+    // per dir — a sparse-delete-heavy table at scale can carry hundreds
+    // of dv'd dirs, and a plan with hundreds of join nodes pays analysis
+    // and codegen cost linear in dir count. The dir identity rides along
+    // as the parquet file path's parent segment, so per-dir exactness is
+    // preserved (a key deleted from one dir may live on in another).
+    val dvdDfs = dvd.groupBy(d => spark.read.parquet(s"$root/${m.dvs(d)}").columns.toSeq)
+      .toSeq.sortBy(_._2.head).map { case (keyCols, groupDirs) =>
+        val dvUnion = groupDirs.map { d =>
+          spark.read.parquet(s"$root/${m.dvs(d)}")
+            .select(keyCols.map(col): _*)
+            .withColumn("__dv_dir", lit(d))
+        }.reduce(_ unionByName _)
+        readPaths(groupDirs.map(d => s"$root/$d"))
+          .withColumn("__dv_dir", element_at(split(input_file_name(), "/"), -2))
+          .join(broadcast(dvUnion), keyCols :+ "__dv_dir", "left_anti")
+          .drop("__dv_dir")
+      }
     (plainDf.toSeq ++ dvdDfs) match {
-      case Nil => // empty set: preserve the recorded schema if any
+      case Nil => // empty set: preserve the recorded schema if any; a
+        // pre-evolution manifest (no schema line) with live dirs still
+        // yields a correctly-shaped empty frame from their merged
+        // footers (zero data rows read)
         schema match {
           case Some(s) => spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+          case None if m.dirs.nonEmpty =>
+            spark.read.option("mergeSchema", "true")
+              .parquet(m.dirs.map(d => s"$root/$d"): _*).limit(0)
           case None => throw new IllegalArgumentException(
             s"$root: no dirs to read and no recorded schema")
         }
       case one :: Nil => one
-      case many => many.reduce(_ unionByName _)
+      // allowMissingColumns: in the schemaless (mergeSchema) branch each
+      // group's read resolves its OWN merged schema, so dir-to-dir column
+      // drift on a pre-evolution table must null-fill across groups the
+      // same way one mergeSchema pass over all dirs would
+      case many => many.reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
@@ -366,10 +390,14 @@ object ManifestCommit {
       prev.foreach(_.dirs.filterNot(names.contains).foreach { d =>
         f.delete(new Path(root, d), true)
       })
-      // displaced deletion-vector files go with their generation
+      // displaced deletion-vector files go with their generation; DV
+      // "files" are single-part parquet DIRECTORIES (deleteWhere writes
+      // them via coalesce(1).write.parquet), so the delete must be
+      // recursive — the same contract expireSnapshots and pruneOrphans
+      // already apply to them
       prev.foreach(_.dvs.values.toSeq.distinct
         .filterNot(m.dvs.values.toSet).foreach { v =>
-          f.delete(new Path(root, v), false)
+          f.delete(new Path(root, v), true)
         })
       snapshotGens(spark, root).filter(_ < m.gen).foreach { g =>
         f.delete(snapshotPath(root, g), false)
@@ -542,23 +570,44 @@ object ManifestCommit {
     * default. */
   def dirStats(spark: SparkSession, dir: String,
       cols: Seq[String]): Seq[ColStats] = {
-    import org.apache.spark.sql.functions.{max, min}
+    import org.apache.spark.sql.functions.{count, lit, max, min}
     if (cols.isEmpty) return Nil
+    // [[RowCountStat]] is a PSEUDO-column (no data column backs it):
+    // served by a count(*) folded into the same aggregate pass, so a
+    // rewrite whose statCols inherit `__rows` from the prior manifest
+    // keeps the manifest-only COUNT(*) alive instead of crashing on a
+    // nonexistent column
+    val real = cols.filterNot(_ == RowCountStat)
+    val wantRows = cols.contains(RowCountStat)
     val df = spark.read.parquet(dir)
-    val aggs = cols.flatMap(c => Seq(min(df(c)), max(df(c))))
+    val aggs = real.flatMap(c => Seq(min(df(c)), max(df(c)))) ++
+      (if (wantRows) Seq(count(lit(1))) else Nil)
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    cols.zipWithIndex.flatMap { case (c, i) =>
-      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-      else {
-        val kind = df.schema(c).dataType match {
-          case _: org.apache.spark.sql.types.NumericType => "num"
-          case _ => "str"
-        }
-        Some(ColStats(c, kind,
-          renderStatValue(row.get(2 * i)), renderStatValue(row.get(2 * i + 1))))
-      }
-    }
+    real.zipWithIndex.flatMap { case (c, i) =>
+      colStatsOf(c, df.schema(c).dataType, row.get(2 * i), row.get(2 * i + 1))
+    } ++ (if (wantRows) {
+      val n = row.getLong(2 * real.size)
+      Seq(ColStats(RowCountStat, "num", n.toString, n.toString))
+    } else Nil)
   }
+
+  /** One ColStats from already-aggregated min/max values (the `observe`
+    * path: writers meter stats on the write pass itself instead of
+    * re-reading the new dir). None when either bound is null (all-null
+    * column / empty dir) — no stats = never pruned, the safe default.
+    * Value rendering is IDENTICAL to [[dirStats]]' (same renderer), so
+    * observe-computed and re-read stats are interchangeable. */
+  private[ingest] def colStatsOf(name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      mn: Any, mx: Any): Option[ColStats] =
+    if (mn == null || mx == null) None
+    else {
+      val kind = dt match {
+        case _: org.apache.spark.sql.types.NumericType => "num"
+        case _ => "str"
+      }
+      Some(ColStats(name, kind, renderStatValue(mn), renderStatValue(mx)))
+    }
 
   /** Data-skipping resolve: live dirs whose `col` stats can overlap
     * [lo, hi] (either bound optional). Dirs without stats for `col` are
@@ -566,21 +615,48 @@ object ManifestCommit {
     * apply the real predicate. Returns (kept absolute paths, total live
     * dirs) so callers can surface the pruning ratio.
     *
-    * NOTE: returns RAW dir paths — a table carrying deletion vectors
-    * must not be read through these paths directly (deleted rows would
-    * resurface); map the kept paths back to dir names and read via
-    * [[readDirsOf]], which applies each dir's DV. Same caveat for
-    * [[resolveBloom]] and `Optimize.resolvePrunedMulti`. */
+    * Raw-path contract, ENFORCED: a kept dir carrying a deletion vector
+    * cannot be served as a raw path (reading it directly would resurrect
+    * deleted rows), so this throws `IllegalStateException` on that case —
+    * use [[readPruned]] (DV-aware DataFrame) or [[readDirsOf]] instead.
+    * Same enforcement in [[resolveBloom]] and
+    * `Optimize.resolvePrunedMulti`. */
   def resolvePruned(spark: SparkSession, root: String, col: String,
       lo: Option[String], hi: Option[String]): (Seq[String], Int) =
     readManifest(spark, root) match {
       case Some(m) =>
-        val kept = m.dirs.filter { d =>
-          m.stats.getOrElse(d, Nil).find(_.col == col)
-            .forall(_.overlaps(lo, hi))
-        }
+        val kept = prunedNames(m, col, lo, hi)
+        requireNoDvs(m, kept, "resolvePruned")
         (kept.map(d => s"$root/$d"), m.dirs.size)
       case None => (Seq(root), 1)
+    }
+
+  private def prunedNames(m: Manifest, col: String,
+      lo: Option[String], hi: Option[String]): Seq[String] =
+    m.dirs.filter { d =>
+      m.stats.getOrElse(d, Nil).find(_.col == col).forall(_.overlaps(lo, hi))
+    }
+
+  private[ingest] def requireNoDvs(m: Manifest, kept: Seq[String],
+      who: String): Unit = {
+    val dvd = kept.filter(m.dvs.contains)
+    if (dvd.nonEmpty) throw new IllegalStateException(
+      s"$who: kept dirs ${dvd.mkString(",")} carry deletion vectors; " +
+        "reading their raw paths would resurrect deleted rows — use the " +
+        "DV-aware readPruned/readBloom/readDirsOf instead")
+  }
+
+  /** DV-safe data-skipping read: [[resolvePruned]]'s kept set, read
+    * through the manifest so deletion vectors and the recorded schema
+    * apply. Returns (frame, kept dirs, total live dirs). */
+  def readPruned(spark: SparkSession, root: String, col: String,
+      lo: Option[String], hi: Option[String]): (DataFrame, Int, Int) =
+    readManifest(spark, root) match {
+      case Some(m) =>
+        val kept = prunedNames(m, col, lo, hi)
+        (readDirsOf(spark, root, m, kept), kept.size, m.dirs.size)
+      case None =>
+        (spark.read.option("mergeSchema", "true").parquet(root), 1, 1)
     }
 
   /** Pseudo-column carrying a dir's exact ROW COUNT through the ordinary
@@ -638,24 +714,63 @@ object ManifestCommit {
     * optimization, never a filter — the `resolvePruned` contract).
     * False positives only cost an extra dir scan; a bloom's "definitely
     * absent" is exact, so callers still apply the real predicate but
-    * never miss rows. Returns (kept absolute paths, total live dirs). */
+    * never miss rows. Returns (kept absolute paths, total live dirs).
+    * Raw-path contract enforced as in [[resolvePruned]] — DV-carrying
+    * kept dirs throw; use [[readBloom]]. */
   def resolveBloom(spark: SparkSession, root: String, col: String,
       value: Any): (Seq[String], Int) =
     readManifest(spark, root) match {
       case Some(m) =>
-        val f = fs(spark, root)
-        val kept = m.dirs.filter { d =>
-          val p = new Path(new Path(root, d), s"_bloom_$col")
-          if (!f.exists(p)) true
-          else {
-            val in = f.open(p)
-            val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                     finally in.close()
-            bf.mightContain(value)
-          }
-        }
+        val kept = bloomNames(spark, root, m, col, value)
+        requireNoDvs(m, kept, "resolveBloom")
         (kept.map(d => s"$root/$d"), m.dirs.size)
       case None => (Seq(root), 1)
+    }
+
+  /** The probe loop runs on CONCURRENT threads: each dir's check is an
+    * independent open + deserialize of a few-KB side file, so at high
+    * dir counts a sequential loop pays one filesystem round-trip per dir
+    * end to end — the driver-side latency wall, not a data-size cost.
+    * Probe order doesn't matter; the kept set preserves manifest order. */
+  private def bloomNames(spark: SparkSession, root: String, m: Manifest,
+      col: String, value: Any): Seq[String] = {
+    val f = fs(spark, root)
+    def probe(d: String): Boolean = {
+      val p = new Path(new Path(root, d), s"_bloom_$col")
+      if (!f.exists(p)) true
+      else {
+        val in = f.open(p)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                 finally in.close()
+        bf.mightContain(value)
+      }
+    }
+    val flags: Seq[Boolean] =
+      if (m.dirs.size <= 4) m.dirs.map(probe)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(m.dirs.size, 32))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(m.dirs.map(d => Future(probe(d)))),
+          Duration.Inf)
+        finally pool.shutdown()
+      }
+    m.dirs.zip(flags).collect { case (d, true) => d }
+  }
+
+  /** DV-safe point-lookup read: [[resolveBloom]]'s kept set, read
+    * through the manifest so deletion vectors and the recorded schema
+    * apply. Returns (frame, kept dirs, total live dirs). */
+  def readBloom(spark: SparkSession, root: String, col: String,
+      value: Any): (DataFrame, Int, Int) =
+    readManifest(spark, root) match {
+      case Some(m) =>
+        val kept = bloomNames(spark, root, m, col, value)
+        (readDirsOf(spark, root, m, kept), kept.size, m.dirs.size)
+      case None =>
+        (spark.read.option("mergeSchema", "true").parquet(root), 1, 1)
     }
 
   /** Delete `data_*` dirs that no generation references — crash leftovers

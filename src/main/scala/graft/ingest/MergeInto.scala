@@ -89,34 +89,33 @@ object MergeInto {
       if (evolveSchema) source.columns.toSeq.filterNot(tCols.contains) else Nil
     val outCols = tCols ++ extraCols
 
-    // source uniqueness on keys: one aggregate, two longs to the driver
-    val uniq = source.agg(count(lit(1)).as("n"),
-      countDistinct(keys.head, keys.tail: _*).as("d")).collect()(0)
-    require(uniq.getLong(0) == uniq.getLong(1),
-      s"source is not unique on (${keys.mkString(",")}): " +
-        s"${uniq.getLong(0)} rows, ${uniq.getLong(1)} distinct keys")
-
-    // ---- exact affected-dir test: count source keys inside each dir range
+    // ---- ONE aggregate over the source: key uniqueness AND the exact
+    // affected-dir counts ride the same pass (they scan the same frame —
+    // two jobs here is pure sequential-latency waste on a merge gate)
     val pruneCol = keys.head
     val dirRange: Seq[(String, Option[ColStats])] =
       m.dirs.map(d => d -> m.stats.getOrElse(d, Nil).find(_.col == pruneCol))
     val statless = dirRange.collect { case (d, None) => d }
     val ranged = dirRange.collect { case (d, Some(cs)) => (d, cs) }
-    val touched: Set[String] = statless.toSet ++ (if (ranged.isEmpty) Nil else {
-      val aggs = ranged.map { case (_, cs) =>
-        val c = source.col(pruneCol)
-        val in =
-          if (cs.kind == "num")
-            c.cast(DecimalType(38, 6)).between(
-              lit(new java.math.BigDecimal(cs.min)), lit(new java.math.BigDecimal(cs.max)))
-          else c.cast(StringType).between(lit(cs.min), lit(cs.max))
-        sum(when(in, 1L).otherwise(0L))
-      }
-      val row = source.agg(aggs.head, aggs.tail: _*).collect()(0) // one long per dir
+    val rangeAggs = ranged.map { case (_, cs) =>
+      val c = source.col(pruneCol)
+      val in =
+        if (cs.kind == "num")
+          c.cast(DecimalType(38, 6)).between(
+            lit(new java.math.BigDecimal(cs.min)), lit(new java.math.BigDecimal(cs.max)))
+        else c.cast(StringType).between(lit(cs.min), lit(cs.max))
+      sum(when(in, 1L).otherwise(0L))
+    }
+    val aggRow = source.agg(count(lit(1)).as("n"),
+      (countDistinct(keys.head, keys.tail: _*).as("d") +: rangeAggs): _*)
+      .collect()(0)
+    require(aggRow.getLong(0) == aggRow.getLong(1),
+      s"source is not unique on (${keys.mkString(",")}): " +
+        s"${aggRow.getLong(0)} rows, ${aggRow.getLong(1)} distinct keys")
+    val touched: Set[String] = statless.toSet ++
       ranged.zipWithIndex.collect {
-        case ((d, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 => d
+        case ((d, _), i) if !aggRow.isNullAt(i + 2) && aggRow.getLong(i + 2) > 0 => d
       }
-    })
     val keptDirs = m.dirs.filterNot(touched)
 
     // ---- one full-outer join: survivors + updates + deletes + inserts
@@ -145,18 +144,37 @@ object MergeInto {
       .when(src("__del"), lit("delete"))
       .otherwise(lit("update"))
 
+    // preserve kept dirs' stats; the SAME cols for the new dir are
+    // metered by observe on the write pass itself — no post-write
+    // dirStats re-read of the dir we just produced
+    val statCols = m.stats.values.flatten.map(_.col).toSeq.distinct match {
+      case Nil => keys
+      case cs => cs
+    }
+    val realStatCols = statCols.filterNot(_ == ManifestCommit.RowCountStat)
+    val wantRows = statCols.contains(ManifestCommit.RowCountStat)
+
     // observe BEFORE the filter so deleted/skipped rows are still metered
-    // on the same single pass that writes the output
+    // on the same single pass that writes the output; stat min/max are
+    // conditional on the row being WRITTEN (a deleted row's values must
+    // not widen the new dir's pruning range)
+    val written =
+      col("__action") =!= "delete" && col("__action") =!= "skip"
     val obs = Observation()
+    val statAggs = realStatCols.flatMap(c => Seq(
+      min(when(written, col(c))).as(s"__mn_$c"),
+      max(when(written, col(c))).as(s"__mx_$c")))
     val out = joined
       .select((outCols.map(c => when(action === "keep", tgt(c)).otherwise(src(c)).as(c)) :+
         action.as("__action")): _*)
       .observe(obs,
         sum(when(col("__action") === "update", 1L).otherwise(0L)).as("updated"),
-        sum(when(col("__action") === "delete", 1L).otherwise(0L)).as("deleted"),
-        sum(when(col("__action") === "insert", 1L).otherwise(0L)).as("inserted"),
-        sum(when(col("__action") === "keep", 1L).otherwise(0L)).as("survivors"))
-      .filter(col("__action") =!= "delete" && col("__action") =!= "skip")
+        (Seq(
+          sum(when(col("__action") === "delete", 1L).otherwise(0L)).as("deleted"),
+          sum(when(col("__action") === "insert", 1L).otherwise(0L)).as("inserted"),
+          sum(when(col("__action") === "keep", 1L).otherwise(0L)).as("survivors")) ++
+          statAggs): _*)
+      .filter(written)
       .drop("__action")
 
     val newDir = ManifestCommit.newDataDir(root)
@@ -171,15 +189,15 @@ object MergeInto {
     val (upd, del, ins, keep) =
       (metric("updated"), metric("deleted"), metric("inserted"), metric("survivors"))
 
-    // preserve kept dirs' stats; recompute the same cols for the new dir
-    // (skip the stats read when the merge produced zero rows)
-    val statCols = m.stats.values.flatten.map(_.col).toSeq.distinct match {
-      case Nil => keys
-      case cs => cs
-    }
     val newStats =
       if (upd + ins + keep == 0L) Nil
-      else ManifestCommit.dirStats(spark, newDir, statCols)
+      else realStatCols.flatMap { c =>
+        ManifestCommit.colStatsOf(c, out.schema(c).dataType,
+          metrics.get(s"__mn_$c").orNull, metrics.get(s"__mx_$c").orNull)
+      } ++ (if (wantRows)
+        Seq(ColStats(ManifestCommit.RowCountStat, "num",
+          (upd + ins + keep).toString, (upd + ins + keep).toString))
+      else Nil)
     val keptStats = m.stats.view.filterKeys(keptDirs.contains).toMap
     val newName = new org.apache.hadoop.fs.Path(newDir).getName
     // every merge records the (possibly evolved) union schema: readers of

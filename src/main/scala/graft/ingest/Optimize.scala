@@ -80,7 +80,13 @@ object Optimize {
     val bucketDirs = f.listStatus(new Path(staging)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zbucket="))
       .sortBy(st => st.getPath.getName.stripPrefix("__zbucket=").toInt)
-    val statCols = (cols ++ extraStatCols).distinct
+    // a table answering COUNT(*) from the manifest keeps that ability
+    // through the rewrite: __rows is folded into each new dir's stats
+    val priorRows =
+      if (m.stats.values.exists(_.exists(_.col == ManifestCommit.RowCountStat)))
+        Seq(ManifestCommit.RowCountStat)
+      else Nil
+    val statCols = (cols ++ extraStatCols).distinct ++ priorRows
     val promoted = bucketDirs.map { st =>
       val d = ManifestCommit.newDataDir(root)
       f.rename(st.getPath, new Path(d))
@@ -193,14 +199,24 @@ object Optimize {
       if (deltas.isEmpty) None
       else Some(ManifestCommit.readDirsOf(spark, root, m, deltas).cache())
     try {
-      val deltaMonths = deltaDfOpt.map(_.select(
+      val moRows = deltaDfOpt.map(_.select(
           date_format(col(monthCol), "yyyy-MM").as("__mo"))
         .distinct().collect().map(_.getString(0)).toSeq).getOrElse(Nil)
+      // a NULL month can't belong to any partition: those delta rows are
+      // collapsed among themselves into a residual dir that stays in the
+      // committed set — dropping the delta dirs without re-homing them
+      // would be silent data loss
+      val deltaMonths = moRows.filter(_ != null)
+      val hasNullMonth = moRows.contains(null)
       val multiPart = byMonth.collect { case (mo, ds) if ds.size > 1 => mo }
       val touched = (deltaMonths ++ multiPart).distinct.sorted
-      if (touched.isEmpty) return m
+      if (touched.isEmpty && !hasNullMonth) return m
 
-      val statCols = (Seq(monthCol) ++ keys).distinct
+      val priorRows =
+        if (m.stats.values.exists(_.exists(_.col == ManifestCommit.RowCountStat)))
+          Seq(ManifestCommit.RowCountStat)
+        else Nil
+      val statCols = (Seq(monthCol) ++ keys).distinct ++ priorRows
       val rewritten = touched.flatMap(mo => byMonth.getOrElse(mo, Nil))
       val newDirs = touched.map { mo =>
         val monthPure = byMonth.getOrElse(mo, Nil)
@@ -215,7 +231,14 @@ object Optimize {
         collapsed.write.parquet(d)
         rebuildBlooms(spark, d, bloomCols, bloomFpp)
         d -> ManifestCommit.dirStats(spark, d, statCols)
-      }
+      } ++ (if (!hasNullMonth) Nil else {
+        val collapsed = Ingest.dedupLatest(
+          deltaDfOpt.get.filter(col(monthCol).isNull), keys, version)
+        val d = ManifestCommit.newDataDir(root)
+        collapsed.write.parquet(d)
+        rebuildBlooms(spark, d, bloomCols, bloomFpp)
+        Seq(d -> ManifestCommit.dirStats(spark, d, statCols))
+      })
       val kept = pure.filterNot(rewritten.contains)
       ManifestCommit.commitReplace(spark, root,
         kept ++ newDirs.map(_._1),
@@ -233,17 +256,37 @@ object Optimize {
     * stats can overlap EVERY (col, lo, hi) bound. Dirs missing stats for
     * a column are kept for it (skipping is an optimization, never a
     * filter — `ManifestCommit.resolvePruned` contract, per column).
-    * Returns (kept absolute paths, total live dirs). */
+    * Returns (kept absolute paths, total live dirs). Raw-path contract
+    * enforced as in `resolvePruned` — DV-carrying kept dirs throw; use
+    * [[readPrunedMulti]]. */
   def resolvePrunedMulti(spark: SparkSession, root: String,
       bounds: Seq[(String, Option[String], Option[String])]): (Seq[String], Int) =
     ManifestCommit.readManifest(spark, root) match {
       case Some(m) =>
-        val kept = m.dirs.filter { d =>
-          bounds.forall { case (c, lo, hi) =>
-            m.stats.getOrElse(d, Nil).find(_.col == c).forall(_.overlaps(lo, hi))
-          }
-        }
+        val kept = prunedMultiNames(m, bounds)
+        ManifestCommit.requireNoDvs(m, kept, "resolvePrunedMulti")
         (kept.map(d => s"$root/$d"), m.dirs.size)
       case None => (Seq(root), 1)
+    }
+
+  private def prunedMultiNames(m: ManifestCommit.Manifest,
+      bounds: Seq[(String, Option[String], Option[String])]): Seq[String] =
+    m.dirs.filter { d =>
+      bounds.forall { case (c, lo, hi) =>
+        m.stats.getOrElse(d, Nil).find(_.col == c).forall(_.overlaps(lo, hi))
+      }
+    }
+
+  /** DV-safe multi-column data-skipping read: the kept set read through
+    * the manifest (deletion vectors + recorded schema applied). Returns
+    * (frame, kept dirs, total live dirs). */
+  def readPrunedMulti(spark: SparkSession, root: String,
+      bounds: Seq[(String, Option[String], Option[String])]): (DataFrame, Int, Int) =
+    ManifestCommit.readManifest(spark, root) match {
+      case Some(m) =>
+        val kept = prunedMultiNames(m, bounds)
+        (ManifestCommit.readDirsOf(spark, root, m, kept), kept.size, m.dirs.size)
+      case None =>
+        (spark.read.option("mergeSchema", "true").parquet(root), 1, 1)
     }
 }

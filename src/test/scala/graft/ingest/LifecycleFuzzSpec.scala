@@ -131,16 +131,10 @@ class LifecycleFuzzSpec extends SparkSpec {
       // for a live key the probe finds exactly its row (DV-aware reread
       // of the kept dirs), and a key deleted this run resolves to nothing
       locally {
-        val mf = ManifestCommit.readManifest(spark, root).get
         def probe(id: Long): Seq[Row] = {
-          val (kept, _) = ManifestCommit.resolveBloom(spark, root, "id", id)
-          if (kept.isEmpty) Nil
-          else {
-            val names = kept.map(_.split('/').last)
-            ManifestCommit.readDirsOf(spark, root, mf,
-                mf.dirs.filter(names.contains))
-              .filter(col("id") === id).collect().toSeq
-          }
+          val (df, kept, _) = ManifestCommit.readBloom(spark, root, "id", id)
+          if (kept == 0) Nil
+          else df.filter(col("id") === id).collect().toSeq
         }
         sample(1).foreach { id =>
           val got = probe(id)
@@ -264,20 +258,15 @@ class LifecycleFuzzSpec extends SparkSpec {
       // month slice, whatever the current physical layout (z-ordered,
       // delta-ridden, dv'd — skipping must never change an answer)
       val mo = monthsPool(rnd.nextInt(monthsPool.size))
-      val (kept, _) = ManifestCommit.resolvePruned(spark, root, "ts",
+      // DV-safe skipping read: deletion vectors apply inside the helper
+      val (prunedDf, keptN, _) = ManifestCommit.readPruned(spark, root, "ts",
         Some(ManifestCommit.temporalBound(s"$mo-01")),
         Some(s"$mo-31T23:59:59.999"))
       val got =
-        if (kept.isEmpty) Set.empty[Long]
-        else {
-          // kept paths are raw dirs; reread DV-aware through the manifest
-          val m = ManifestCommit.readManifest(spark, root).get
-          val keptNames = kept.map(_.split('/').last)
-          ManifestCommit.readDirsOf(spark, root, m,
-              m.dirs.filter(keptNames.contains))
-            .filter(date_format(col("ts"), "yyyy-MM") === mo)
-            .collect().map(_.getLong(0)).toSet
-        }
+        if (keptN == 0) Set.empty[Long]
+        else prunedDf
+          .filter(date_format(col("ts"), "yyyy-MM") === mo)
+          .collect().map(_.getLong(0)).toSet
       // collapse latest-per-key driver-side (an uncompacted month may
       // carry several versions of one id in the pruned read)
       val expect = model.collect { case (id, (m2, _, _, _)) if m2 == mo => id }.toSet

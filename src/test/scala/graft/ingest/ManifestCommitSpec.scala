@@ -2,6 +2,7 @@ package graft.ingest
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import java.nio.file.Files
 
@@ -341,6 +342,103 @@ class ManifestCommitSpec extends SparkSpec {
       StructType(Seq(StructField("id", LongType, false))), Row(1L)))
     assert(ManifestCommit.tableRowCount(spark, root).isEmpty,
       "deletion vectors must disable the manifest-only count")
+  }
+
+  test("eager-prune commitReplace reclaims displaced DV directories (recursive delete)") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"), Row(2L, "b"))(d1)
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false)
+    // DV "files" are single-part parquet DIRECTORIES — the eager prune
+    // must delete them recursively, not fail the commit with IOException
+    MergeInto.deleteWhere(spark, root, mkDf(
+      StructType(Seq(StructField("id", LongType, false))), Row(2L)))
+    val dvName = ManifestCommit.readManifest(spark, root).get.dvs.values.head
+    val d2 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"))(d2) // the compacted replacement (dv materialized)
+    ManifestCommit.commitReplace(spark, root, Seq(d2), pruneDisplaced = true)
+    assert(!Maintenance.exists(spark, s"$root/$dvName"),
+      "displaced DV directory must be reclaimed by the eager prune")
+    assert(!Maintenance.exists(spark, d1))
+    assert(idsOf(root) === Set(1L))
+  }
+
+  test("resolve helpers refuse raw paths for dv-carrying kept dirs; readPruned/readBloom apply DVs") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"), Row(2L, "b"))(d1)
+    ManifestCommit.writeDirBloom(spark, d1, "id", 8L)
+    ManifestCommit.commitReplace(spark, root, Seq(d1),
+      pruneDisplaced = false,
+      stats = Map(d1 -> ManifestCommit.dirStats(spark, d1, Seq("id"))))
+    MergeInto.deleteWhere(spark, root, mkDf(
+      StructType(Seq(StructField("id", LongType, false))), Row(2L)))
+    // raw-path helpers throw: reading the kept path directly would
+    // resurrect the deleted row
+    intercept[IllegalStateException] {
+      ManifestCommit.resolvePruned(spark, root, "id", Some("1"), Some("2"))
+    }
+    intercept[IllegalStateException] {
+      ManifestCommit.resolveBloom(spark, root, "id", 2L)
+    }
+    intercept[IllegalStateException] {
+      Optimize.resolvePrunedMulti(spark, root, Seq(("id", Some("1"), Some("2"))))
+    }
+    // the DV-aware read variants serve the same resolve WITH the DV applied
+    val (pr, keptP, totalP) =
+      ManifestCommit.readPruned(spark, root, "id", Some("1"), Some("2"))
+    assert(keptP === 1 && totalP === 1)
+    assert(pr.collect().map(_.getLong(0)).toSet === Set(1L))
+    val (br, keptB, _) = ManifestCommit.readBloom(spark, root, "id", 2L)
+    assert(keptB === 1 && br.filter(col("id") === 2L).count() === 0L,
+      "bloom keeps the dir (fp-possible) but the DV removes the row")
+    val (mr, keptM, _) =
+      Optimize.readPrunedMulti(spark, root, Seq(("id", Some("1"), Some("2"))))
+    assert(keptM === 1 && mr.collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("schemaless dir-to-dir drift with a DV: read null-fills across groups") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    // dir 1: (id, v) — dir 2: (id, v, extra); NO recorded table schema
+    val d1 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"))(d1)
+    val d2 = ManifestCommit.newDataDir(root)
+    mkDf(StructType(st.fields :+ StructField("extra", LongType, true)),
+      Row(2L, "b", 20L), Row(3L, "c", 30L)).write.parquet(d2)
+    ManifestCommit.commitReplace(spark, root, Seq(d1, d2), pruneDisplaced = false)
+    // put a DV on the drifted dir so the read takes the grouped-join path
+    MergeInto.deleteWhere(spark, root, mkDf(
+      StructType(Seq(StructField("id", LongType, false))), Row(3L)))
+    val rows = ManifestCommit.read(spark, root)
+      .select("id", "v", "extra").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows === Set((1L, "a", -1L), (2L, "b", 20L)))
+  }
+
+  test("many dv'd dirs: DV application is ONE anti-join per key-set, not per dir") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val dirs = (0 until 6).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      write(Row(i * 10L, "a"), Row(i * 10L + 1, "b"))(d)
+      d -> ManifestCommit.dirStats(spark, d, Seq("id"))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    // one deleted key in EVERY dir → 6 dv'd dirs
+    MergeInto.deleteWhere(spark, root, mkDf(
+      StructType(Seq(StructField("id", LongType, false))),
+      (0 until 6).map(i => Row(i * 10L + 1)): _*))
+    assert(ManifestCommit.readManifest(spark, root).get.dvs.size === 6)
+    val df = ManifestCommit.read(spark, root)
+    assert(df.collect().map(_.getLong(0)).toSet ===
+      (0 until 6).map(_ * 10L).toSet)
+    // AQE's toString repeats the tree under "== Initial Plan =="; count
+    // join operators in the final plan only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val antiJoins = "LeftAnti".r.findAllIn(plan).size
+    assert(antiJoins === 1,
+      s"6 dv'd dirs sharing a key-set must fold into ONE anti-join, got $antiJoins:\n$plan")
   }
 
   test("idempotent txn appends: replayed batch is a no-op, survives compaction") {

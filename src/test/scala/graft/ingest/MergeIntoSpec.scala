@@ -332,6 +332,46 @@ class MergeIntoSpec extends SparkSpec {
       s"DV application must not shuffle:\n$plan")
   }
 
+  test("merge on a __rows table keeps manifest-only COUNT(*) alive") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    val dirs = Seq(df((1L, "a", 1.0), (2L, "b", 2.0)), df((10L, "j", 10.0))).map { s =>
+      val d = ManifestCommit.newDataDir(root)
+      s.write.parquet(d)
+      d -> (ManifestCommit.dirStats(spark, d, Seq("id")) :+
+        ManifestCommit.rowCountStat(spark, d))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(3L))
+    // the merge's statCols inherit __rows from the prior manifest — it
+    // must be served by the count, not read as a data column
+    val res = MergeInto.merge(spark, root,
+      df((2L, "B!", 20.0), (3L, "c", 3.0)), Seq("id"))
+    assert(res.updated === 1L && res.inserted === 1L)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(4L),
+      "post-merge manifest must still answer COUNT(*) footer-free")
+    assert(rowsOf(ManifestCommit.read(spark, root)) ===
+      Set((1L, "a", 1.0), (2L, "B!", 20.0), (3L, "c", 3.0), (10L, "j", 10.0)))
+  }
+
+  test("merge stats metered on the write pass match a dirStats re-read") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    commitSliced(root, Seq(df((5L, "e", 5.0), (6L, "f", 6.0))))
+    // source row id=1 is a DELETE of an absent key (skip) — its key must
+    // not widen the new dir's stats range (min stays 5, not 1)
+    MergeInto.merge(spark, root,
+      df((1L, "gone", 0.0), (5L, "E!", 50.0), (9L, "i", 9.0)), Seq("id"),
+      deleteWhen = Some(col("id") === 1L))
+    val m = ManifestCommit.readManifest(spark, root).get
+    val newDir = m.dirs.last
+    val observed = m.stats(newDir)
+    val reread = ManifestCommit.dirStats(spark, s"$root/$newDir", Seq("id"))
+    assert(observed === reread,
+      s"observe-computed stats must equal a re-read: $observed vs $reread")
+    // deleted row's key (1) must not widen the range: min is 5, not 1
+    assert(observed.find(_.col == "id").get.min === "5")
+  }
+
   test("pruneOrphans reclaims a crashed deleteWhere's uncommitted dv file") {
     val root = Files.createTempDirectory("merge_spec_").toString + "/t"
     commitSliced(root, Seq(df((1L, "a", 1.0), (2L, "b", 2.0))))

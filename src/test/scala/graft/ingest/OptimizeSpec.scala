@@ -221,6 +221,65 @@ class OptimizeSpec extends SparkSpec {
       .gen === m.gen)
   }
 
+  test("compactMonths: NULL-month delta rows land in a residual dir, never lost") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    val st2 = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("ts", TimestampType, true),
+      StructField("v", LongType, false)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeDir(rows: Row*): String = {
+      val d = ManifestCommit.newDataDir(root)
+      mkDf(st2, rows: _*).write.parquet(d)
+      d
+    }
+    val jan = writeDir(Row(1L, ts("2024-01-10 00:00:00"), 0L))
+    ManifestCommit.commitReplace(spark, root, Seq(jan),
+      pruneDisplaced = false,
+      stats = Map(jan -> ManifestCommit.dirStats(spark, jan, Seq("ts", "id"))))
+    // delta SPANS jan+feb (a true multi-month delta dir) and carries
+    // NULL-ts rows (two versions of id 50) — the loss path: delta dirs
+    // are dropped from the manifest, and null months match no per-month
+    // rewrite filter
+    val delta = writeDir(Row(1L, ts("2024-01-11 00:00:00"), 1L),
+      Row(10L, ts("2024-02-05 00:00:00"), 0L),
+      Row(50L, null, 0L), Row(50L, null, 1L), Row(51L, null, 0L))
+    ManifestCommit.commitAppend(spark, root, delta,
+      stats = ManifestCommit.dirStats(spark, delta, Seq("ts", "id")))
+    val m = Optimize.compactMonths(spark, root, "ts", Seq("id"), Some("v"))
+    // jan collapsed + feb materialized + residual for the null-month rows
+    val got = ManifestCommit.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 10L -> 0L, 50L -> 1L, 51L -> 0L),
+      "null-month rows survive (collapsed latest-per-key), months collapsed")
+    assert(m.dirs.size === 3, "jan + feb + one residual dir")
+    // a second run converges on the same rows (residual re-folds into itself)
+    Optimize.compactMonths(spark, root, "ts", Seq("id"), Some("v"))
+    assert(ManifestCommit.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap === got)
+  }
+
+  test("rewrites preserve __rows: COUNT(*) stays manifest-only through compact + zorder") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    val dirs = (0 until 3).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      grid().filter(col("x") % 3 === i).write.parquet(d)
+      d -> (ManifestCommit.dirStats(spark, d, Seq("x", "y")) :+
+        ManifestCommit.rowCountStat(spark, d))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(1024L))
+    // minor compaction folds the small dirs — counts must follow
+    Optimize.compactSmall(spark, root, smallBytes = 1L << 30)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(1024L),
+      "compactSmall must recount the folded dir")
+    // full z-order rewrite — every new dir recounted
+    Optimize.zorderCompactN(spark, root, Seq("x", "y"), targetDirs = 4)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(1024L),
+      "zorder must preserve the __rows pseudo-stat")
+  }
+
   test("bloomCols: rewrites rebuild the point index") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
     commitMod4(root)
