@@ -609,6 +609,55 @@ object ManifestCommit {
       Some(ColStats(name, kind, renderStatValue(mn), renderStatValue(mx)))
     }
 
+  /** Write `df` as one immutable data dir per distinct value of `slice`
+    * in a SINGLE write job (hive-style staging layout, then each
+    * partition dir promoted to a `data_*` dir), with per-dir stats on
+    * `statCols` computed in ONE grouped aggregate pass — the setup that
+    * writes N key-range dirs costs 2 jobs instead of 2N. `slice` must be
+    * deterministic and non-null. [[RowCountStat]] in `statCols` is
+    * served by a count in the same pass. Returns (absolute dir, stats)
+    * pairs ready for `commitReplace`. The promotion is a local/HDFS
+    * rename; an object-store deployment writes final dirs directly via
+    * its committer — the manifest protocol above is unchanged. */
+  def writeSliced(spark: SparkSession, root: String, df: DataFrame,
+      slice: org.apache.spark.sql.Column,
+      statCols: Seq[String]): Seq[(String, Seq[ColStats])] = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val staging =
+      s"$root/._sliced_staging_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.withColumn("__slice", slice).write.partitionBy("__slice").parquet(staging)
+    val f = fs(spark, root)
+    val real = statCols.filterNot(_ == RowCountStat)
+    val wantRows = statCols.contains(RowCountStat)
+    val statRows: Seq[(String, org.apache.spark.sql.Row)] =
+      if (statCols.isEmpty) Nil
+      else {
+        val aggs = real.flatMap(c => Seq(min(df(c)), max(df(c)))) ++
+          (if (wantRows) Seq(count(lit(1))) else Nil)
+        df.groupBy(slice.as("__slice")).agg(aggs.head, aggs.tail: _*)
+          .collect().toSeq.map(r => String.valueOf(r.get(0)) -> r)
+      }
+    val parts = f.listStatus(new Path(staging)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__slice="))
+      .sortBy(_.getPath.getName)
+    val promoted = parts.map { st =>
+      val key = st.getPath.getName.stripPrefix("__slice=")
+      val d = newDataDir(root)
+      f.rename(st.getPath, new Path(d))
+      val stats = statRows.find(_._1 == key).map { case (_, r) =>
+        real.zipWithIndex.flatMap { case (c, i) =>
+          colStatsOf(c, df.schema(c).dataType, r.get(1 + 2 * i), r.get(2 + 2 * i))
+        } ++ (if (wantRows) {
+          val n = r.getLong(1 + 2 * real.size)
+          Seq(ColStats(RowCountStat, "num", n.toString, n.toString))
+        } else Nil)
+      }.getOrElse(Nil)
+      d -> stats
+    }
+    f.delete(new Path(staging), true)
+    promoted
+  }
+
   /** Data-skipping resolve: live dirs whose `col` stats can overlap
     * [lo, hi] (either bound optional). Dirs without stats for `col` are
     * kept — skipping is an optimization, never a filter; callers still

@@ -905,15 +905,10 @@ object Pipeline {
     val out = tmpDir("graft_q121_")
     val root = s"$out/orders"
     val orders = Tables.load(s, dir, "orders")
-    val slices = Seq(
-      orders.filter(col("o_orderdate") < "1996-01-01"),
-      orders.filter(col("o_orderdate").between("1996-01-01", "1997-12-31")),
-      orders.filter(col("o_orderdate") > "1997-12-31"))
-    val dirsWithStats = slices.map { slice =>
-      val d = ManifestCommit.newDataDir(root)
-      slice.write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderdate", "o_orderkey"))
-    }
+    val sliceExpr = when(col("o_orderdate") < "1996-01-01", 0)
+      .when(col("o_orderdate") <= "1997-12-31", 1).otherwise(2)
+    val dirsWithStats = ManifestCommit.writeSliced(s, root, orders, sliceExpr,
+      Seq("o_orderdate", "o_orderkey"))
     ManifestCommit.commitReplace(s, root, dirsWithStats.map(_._1),
       stats = dirsWithStats.toMap)
     val (paths, total) = ManifestCommit.resolvePruned(s, root, "o_orderdate",
@@ -1183,15 +1178,13 @@ object Pipeline {
     val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
     val b1 = maxk / 3; val b2 = 2 * maxk / 3
     val lo = b1 + (b2 - b1) / 4; val hi = b2 - (b2 - b1) / 4
-    val slices = Seq(
-      orders.filter(col("o_orderkey") <= b1),
-      orders.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2),
-      orders.filter(col("o_orderkey") > b2))
-    val dirs = slices.map { slice =>
-      val d = ManifestCommit.newDataDir(root)
-      slice.write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
-    }
+    // one write job + one stats pass for all three key-range dirs
+    // (writeSliced), not 3 writes + 3 dirStats reads — gate latency is
+    // sequential small-job count, not data size
+    val sliceExpr = when(col("o_orderkey") <= b1, 0)
+      .when(col("o_orderkey") <= b2, 1).otherwise(2)
+    val dirs = ManifestCommit.writeSliced(s, root, orders, sliceExpr,
+      Seq("o_orderkey"))
     ManifestCommit.commitReplace(s, root, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap)
     val updates = orders.filter(col("o_orderkey").between(lo, hi))
@@ -1254,13 +1247,8 @@ object Pipeline {
     val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
     val b1 = maxk / 2
     val lo = b1 + (maxk - b1) / 4; val hi = maxk - (maxk - b1) / 4
-    val dirs = Seq(
-      orders.filter(col("o_orderkey") <= b1),
-      orders.filter(col("o_orderkey") > b1)).map { slice =>
-      val d = ManifestCommit.newDataDir(root)
-      slice.write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
-    }
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      when(col("o_orderkey") <= b1, 0).otherwise(1), Seq("o_orderkey"))
     ManifestCommit.commitReplace(s, root, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap)
     val g1 = ManifestCommit.readManifest(s, root).get.gen
@@ -1318,14 +1306,9 @@ object Pipeline {
     val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
     val b1 = maxk / 3; val b2 = 2 * maxk / 3
     val lo = b1 + (b2 - b1) / 4; val hi = b2 - (b2 - b1) / 4
-    val dirs = Seq(
-      orders.filter(col("o_orderkey") <= b1),
-      orders.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2),
-      orders.filter(col("o_orderkey") > b2)).map { slice =>
-      val d = ManifestCommit.newDataDir(root)
-      slice.write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
-    }
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      when(col("o_orderkey") <= b1, 0).when(col("o_orderkey") <= b2, 1)
+        .otherwise(2), Seq("o_orderkey"))
     ManifestCommit.commitReplace(s, root, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap)
     val source = orders.filter(col("o_orderkey").between(lo, hi))
@@ -1388,13 +1371,8 @@ object Pipeline {
     val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
     val b1 = maxk / 2
     val lo = b1 + (maxk - b1) / 4; val hi = maxk - (maxk - b1) / 4
-    val dirs = Seq(
-      orders.filter(col("o_orderkey") <= b1),
-      orders.filter(col("o_orderkey") > b1)).map { slice =>
-      val d = ManifestCommit.newDataDir(base)
-      slice.write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
-    }
+    val dirs = ManifestCommit.writeSliced(s, base, orders,
+      when(col("o_orderkey") <= b1, 0).otherwise(1), Seq("o_orderkey"))
     ManifestCommit.commitReplace(s, base, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap)
     val g1 = ManifestCommit.readManifest(s, base).get.gen
@@ -1453,11 +1431,8 @@ object Pipeline {
       orders.agg(max("o_orderkey"), max("o_custkey")).collect()(0)
     val maxk = maxkAny.asInstanceOf[Long]; val maxc = maxcAny.asInstanceOf[Long]
     // modulo slicing: every dir spans the full range of BOTH columns
-    val dirs = (0 until 4).map { i =>
-      val d = ManifestCommit.newDataDir(root)
-      orders.filter(col("o_orderkey") % 4 === i).write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey", "o_custkey"))
-    }
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      col("o_orderkey") % 4, Seq("o_orderkey", "o_custkey"))
     ManifestCommit.commitReplace(s, root, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap)
     Optimize.zorderCompact(s, root, "o_orderkey", "o_custkey", targetDirs = 8)
@@ -1500,13 +1475,8 @@ object Pipeline {
     val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0) // one scalar
     val b1 = maxk / 2
     // gen 1: replace — two key-sliced dirs
-    val dirs = Seq(
-      orders.filter(col("o_orderkey") <= b1),
-      orders.filter(col("o_orderkey") > b1)).map { slice =>
-      val d = ManifestCommit.newDataDir(root)
-      slice.write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
-    }
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      when(col("o_orderkey") <= b1, 0).otherwise(1), Seq("o_orderkey"))
     ManifestCommit.commitReplace(s, root, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap)
     // gen 2: append — a late-arriving shifted batch above every slice
@@ -1556,11 +1526,10 @@ object Pipeline {
     val probeKey = orders.filter(col("o_orderkey") <= maxk / 3)
       .agg(max("o_orderkey")).collect()(0).getLong(0)
     val perDir = orders.count() / 4 + 1
-    val dirs = (0 until 4).map { i =>
-      val d = ManifestCommit.newDataDir(root)
-      orders.filter(col("o_orderkey") % 4 === i).write.parquet(d)
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      col("o_orderkey") % 4, Seq("o_orderkey"))
+    dirs.foreach { case (d, _) =>
       ManifestCommit.writeDirBloom(s, d, "o_orderkey", perDir, fpp = 0.01)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
     }
     ManifestCommit.commitReplace(s, root, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap)
@@ -1601,16 +1570,11 @@ object Pipeline {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
     val cuts = Seq(maxk / 4, maxk / 2, 3 * maxk / 4)
-    val slices = Seq(
-      orders.filter(col("o_orderkey") <= cuts(0)),
-      orders.filter(col("o_orderkey") > cuts(0) && col("o_orderkey") <= cuts(1)),
-      orders.filter(col("o_orderkey") > cuts(1) && col("o_orderkey") <= cuts(2)),
-      orders.filter(col("o_orderkey") > cuts(2)))
-    val dirs = slices.map { slice =>
-      val d = ManifestCommit.newDataDir(root)
-      slice.write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))
-    }
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      when(col("o_orderkey") <= cuts(0), 0)
+        .when(col("o_orderkey") <= cuts(1), 1)
+        .when(col("o_orderkey") <= cuts(2), 2).otherwise(3),
+      Seq("o_orderkey"))
     ManifestCommit.commitReplace(s, root, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap)
     val res = MergeInto.deleteWhere(s, root,
@@ -1729,11 +1693,8 @@ object Pipeline {
     // every row and the box would be empty)
     val dHi = mindAny.asInstanceOf[Long] +
       (maxdAny.asInstanceOf[Long] - mindAny.asInstanceOf[Long]) / 4
-    val dirs = (0 until 4).map { i =>
-      val d = ManifestCommit.newDataDir(root)
-      orders.filter(col("o_orderkey") % 4 === i).write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey", "o_custkey", "o_days"))
-    }
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      col("o_orderkey") % 4, Seq("o_orderkey", "o_custkey", "o_days"))
     ManifestCommit.commitReplace(s, root, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap)
     Optimize.zorderCompactN(s, root,
@@ -1794,12 +1755,8 @@ object Pipeline {
       .orderBy("mo").limit(3).collect().map(_.getString(0)).toSeq
     val base = all0.filter(moCol.isin(months: _*)).withColumn("v", lit(0L))
     val statCols = Seq("o_orderdate", "o_orderkey")
-    // one month-pure dir per month
-    val initial = months.map { mo =>
-      val d = ManifestCommit.newDataDir(root)
-      base.filter(moCol === mo).write.parquet(d)
-      d -> ManifestCommit.dirStats(s, d, statCols)
-    }
+    // one month-pure dir per month (single write job; moCol is the slice)
+    val initial = ManifestCommit.writeSliced(s, root, base, moCol, statCols)
     ManifestCommit.commitReplace(s, root, initial.map(_._1),
       pruneDisplaced = false, stats = initial.toMap)
     // version batch 1: month-2 keys % 3, a SINGLE-month appended part

@@ -441,6 +441,33 @@ class ManifestCommitSpec extends SparkSpec {
       s"6 dv'd dirs sharing a key-set must fold into ONE anti-join, got $antiJoins:\n$plan")
   }
 
+  test("writeSliced: N range dirs from one write job, stats match dirStats") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    import spark.implicits._
+    val df = spark.range(0, 90).select(col("id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("v"), col("id")).as("v"))
+    val slice = org.apache.spark.sql.functions
+      .when(col("id") < 30, 0).when(col("id") < 60, 1).otherwise(2)
+    val dirs = ManifestCommit.writeSliced(spark, root, df, slice,
+      Seq("id", ManifestCommit.RowCountStat))
+    assert(dirs.size === 3)
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    // contents complete, stats identical to a per-dir dirStats re-read
+    assert(ManifestCommit.read(spark, root).count() === 90L)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(90L))
+    dirs.foreach { case (d, stats) =>
+      val reread = ManifestCommit.dirStats(spark, d,
+        Seq("id", ManifestCommit.RowCountStat))
+      assert(stats === reread, s"$d: $stats vs $reread")
+    }
+    // ranges are the expected thirds and drive skipping
+    val (kept, total) = ManifestCommit.resolvePruned(spark, root, "id",
+      Some("35"), Some("45"))
+    assert(kept.size === 1 && total === 3)
+  }
+
   test("idempotent txn appends: replayed batch is a no-op, survives compaction") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
     val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "b0"))(d1)
