@@ -1,0 +1,187 @@
+package graft
+
+import graft.ingest.{ManifestCommit, MergeInto}
+import graft.ingest.ManifestCommit.ColStats
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only MANIFEST-METADATA scaling experiment — the complement of
+  * [[ScaleCheck]] (which scales DATA at fixed layout): here the DIR COUNT
+  * scales at fixed per-dir size, because the table-format layer's costs
+  * are driver-side metadata walks (manifest parse/render, stats loops,
+  * bloom side-file probes, orphan listing) that no data-volume kernel
+  * exposes. A 100 TB table at a healthy 0.5–5 GB dir granularity carries
+  * 20k–200k dirs — the regime these kernels pin down.
+  *
+  * Kernels run at N and 8N dirs; wall-clock (min of 2 reps) because the
+  * measured work IS driver latency, not executor CPU. Linear-in-dirs
+  * (ratio ≈ 8) is the design target for whole-manifest walks
+  * (parse/commit/history/orphans); O(touched) ops (hot-band MERGE,
+  * sparse DV delete, bucket read) should stay FLAT (ratio ≈ 1) apart
+  * from their own O(dirs) manifest parse. Findings land in SCALE.md.
+  *
+  * Usage: SPARK_GRAFT_META_N=2000 sbt "runMain graft.MetaScaleCheck".
+  */
+object MetaScaleCheck {
+
+  def time(label: String)(f: => Any): Double = {
+    val reps = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+    val w = reps.min
+    println(f"[metascale] $label%-52s wall $w%8.3f s")
+    w
+  }
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Synthetic metadata-only table: nDirs manifest entries with id-range
+    * + __rows stats, a bloom side file per dir (keys [i*100, i*100+100)),
+    * nDirs/10 orphan dirs, and 5 retained generations. Data files are
+    * irrelevant to every kernel run here — the metadata IS the load. */
+  private def buildMeta(spark: SparkSession, root: String, nDirs: Int): Unit = {
+    val f = fsOf(spark, root)
+    val names = (0 until nDirs).map(i => f"data_$i%06d")
+    names.zipWithIndex.foreach { case (d, i) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      var k = i * 100L
+      while (k < i * 100L + 100) { bf.putLong(k); k += 1 }
+      val out = f.create(new Path(new Path(root, d), "_bloom_id"), true)
+      try bf.writeTo(out) finally out.close()
+    }
+    val stats = names.zipWithIndex.map { case (d, i) =>
+      d -> Seq(
+        ColStats("id", "num", (i * 100L).toString, (i * 100L + 99).toString),
+        ColStats(ManifestCommit.RowCountStat, "num", "100", "100"))
+    }.toMap
+    ManifestCommit.commitReplace(spark, root, names,
+      pruneDisplaced = false, stats = stats)
+    // retained history: 4 appended generations
+    (1 to 4).foreach { k =>
+      ManifestCommit.commitAppend(spark, root, s"$root/data_app_build$k",
+        stats = Seq(ColStats("id", "num",
+          (nDirs * 100L + k).toString, (nDirs * 100L + k).toString),
+          ColStats(ManifestCommit.RowCountStat, "num", "1", "1")))
+    }
+    (0 until nDirs / 10).foreach { i =>
+      val p = new Path(root, f"data_orph_$i%06d/part-0")
+      val out = f.create(p, true)
+      try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    }
+  }
+
+  /** Real-data table: nDirs key-range dirs of `rowsPerDir` rows each,
+    * schema recorded (readers plan footer-free). */
+  private def buildRanged(spark: SparkSession, prefix: String, nDirs: Int,
+      rowsPerDir: Int): String = {
+    val root = GraftTmp.dir(prefix) + "/t"
+    val df = spark.range(nDirs.toLong * rowsPerDir)
+      .select(col("id"), (col("id") % 997).as("v"))
+    val dirs = ManifestCommit.writeSliced(spark, root, df,
+      (col("id") / rowsPerDir).cast("long"),
+      Seq("id", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true)))))
+    root
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_META_N", "2000").toInt
+    val spark = GraftSession.fromEnv("graft-metascale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def kernels(tag: String, nDirs: Int): Map[String, Double] = {
+      val all = scala.collection.mutable.Map[String, Double]()
+      val root = GraftTmp.dir(s"metascale_${tag}_") + "/t"
+      buildMeta(spark, root, nDirs)
+      all("read_manifest") = time(s"$tag readManifest parse ($nDirs dirs)") {
+        assert(ManifestCommit.readManifest(spark, root).get.dirs.size >= nDirs)
+      }
+      all("resolve_pruned") = time(s"$tag resolvePruned 1% band") {
+        val (kept, total) = ManifestCommit.resolvePruned(spark, root, "id",
+          Some((nDirs / 2 * 100L).toString),
+          Some((nDirs / 2 * 100L + nDirs).toString))
+        assert(kept.size < total)
+      }
+      all("resolve_bloom") = time(s"$tag resolveBloom point probe") {
+        val (kept, total) = ManifestCommit.resolveBloom(spark, root, "id",
+          (nDirs / 3) * 100L + 42L)
+        assert(kept.nonEmpty && total >= nDirs)
+      }
+      all("table_count") = time(s"$tag tableRowCount (manifest-only)") {
+        assert(ManifestCommit.tableRowCount(spark, root).exists(_ > 0))
+      }
+      all("history") = time(s"$tag history over 5 retained generations") {
+        assert(ManifestCommit.history(spark, root).collect().length >= 5)
+      }
+      all("commit_append") = time(s"$tag commitAppend (parse+render+2 writes)") {
+        ManifestCommit.commitAppend(spark, root,
+          s"$root/data_app_${java.util.UUID.randomUUID().toString.take(8)}",
+          stats = Seq(ColStats("id", "num", "0", "0")))
+      }
+      all("prune_orphans") = time(s"$tag pruneOrphans walk (${nDirs / 10} orphans)") {
+        // freshness cutoff far in the past: full candidate walk, no deletes
+        // (rep 2 must see the same orphan set)
+        assert(ManifestCommit.pruneOrphans(spark, root,
+          minAgeMs = Long.MaxValue / 4).isEmpty)
+      }
+
+      // ---- O(touched) ops on REAL tables whose DIR COUNT scales: the
+      // claims are O(touched dirs + manifest parse), so these must stay
+      // ~flat apart from the O(dirs) parse itself.
+      locally { // hot-band MERGE: source inside ONE dir of nDirs
+        val roots = Seq(buildRanged(spark, s"meta_merge_${tag}_", nDirs, 100),
+          buildRanged(spark, s"meta_merge_${tag}_", nDirs, 100)).iterator
+        val src = spark.range(nDirs / 2 * 100L + 10, nDirs / 2 * 100L + 60)
+          .select(col("id"), lit(-1L).as("v"))
+        all("merge_hot") = time(s"$tag MERGE hot band (1 dir of $nDirs)") {
+          val res = MergeInto.merge(spark, roots.next(), src, Seq("id"))
+          assert(res.dirsRewritten == 1, s"expected 1 dir, got ${res.dirsRewritten}")
+        }
+      }
+      locally { // sparse DV delete: keys in 8 fixed dirs of nDirs
+        val roots = Seq(buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100),
+          buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100)).iterator
+        val keys = spark.range(8).select((col("id") * 100L + 7L).as("id"))
+        all("dv_sparse_delete") = time(s"$tag DV delete (8 dirs of $nDirs)") {
+          val res = MergeInto.deleteWhere(spark, roots.next(), keys)
+          assert(res.dvsWritten == 8, s"expected 8 DVs, got ${res.dvsWritten}")
+        }
+      }
+      all.toMap
+    }
+
+    // many-DV read shape: EVERY dir dv'd; the grouped anti-join read must
+    // stay one join per key-set group, not one per dir (plan size flat)
+    def dvRead(tag: String, nDirs: Int): Double = {
+      val root = buildRanged(spark, s"meta_dvread_${tag}_", nDirs, 200)
+      val keys = spark.range(nDirs.toLong)
+        .select((col("id") * 200L + 3L).as("id"))
+      val res = MergeInto.deleteWhere(spark, root, keys)
+      assert(res.dvsWritten == nDirs, s"expected $nDirs DVs, got ${res.dvsWritten}")
+      time(s"$tag read+count with $nDirs dv'd dirs") {
+        assert(ManifestCommit.read(spark, root).count() == nDirs.toLong * 199)
+      }
+    }
+
+    println(s"[metascale] --- 1x ($n dirs) ---")
+    val one = kernels("1x", n)
+    val dv1 = dvRead("1x", 12)
+    println(s"[metascale] --- 8x (${n * 8} dirs) ---")
+    val big = kernels("8x", n * 8)
+    val dv8 = dvRead("8x", 96)
+    println(s"[metascale] ratios at 8x dirs (full-walk target <= ~8; O(touched) target ~1):")
+    one.keys.toSeq.sorted.foreach { k =>
+      println(f"[metascale]   $k%-20s ${big(k) / one(k)}%6.2f x")
+    }
+    println(f"[metascale]   dv_read_96           ${dv8 / dv1}%6.2f x (12 -> 96 dv'd dirs)")
+    GraftTmp.purge()
+    spark.stop()
+  }
+}

@@ -161,14 +161,130 @@ object IncrementalAgg {
     ManifestCommit.commitAppend(spark, root, d, op = "apply_changes")
   }
 
+  final case class ApplyExactResult(
+      manifest: ManifestCommit.Manifest,
+      dirtyGroups: Long,
+      baseRowsRescanned: Long)
+
+  /** Maintain a rollup WITH min/max measures from a change feed — the
+    * AggregatingMergeTree capability [[applyChanges]] must reject:
+    * min/max state cannot be un-merged (deleting the minimum needs the
+    * runner-up), so the standard fallback applies — groups whose min/max
+    * MIGHT have regressed (any delete/update_preimage row in the feed:
+    * the "dirty" groups) are re-aggregated FROM THE BASE TABLE, and only
+    * those; every other group's min/max moves monotonically from the
+    * feed's insert/postimage rows alone (a new value can only improve a
+    * min — no base read needed).
+    *
+    * Cost shape at 100 TB: one pass over the feed (signed retractable
+    * delta + monotone min/max partials), one broadcast-semi-joined scan
+    * of the base RESTRICTED to dirty groups (the skipping-friendly
+    * slice; `baseRowsRescanned` meters it via observe on that same
+    * pass), and one state-sized stitch (state ∝ #groups, the small side
+    * by construction). The stitched state commits as ONE part replacing
+    * the live parts — a rebasing commit, so a concurrent [[appendBatch]]
+    * part grafts instead of dying.
+    *
+    * Retractable measures (count/sum) keep the signed-delta algebra;
+    * min/max columns hold FINALIZED values per group (exact by
+    * re-aggregation or monotone merge), which is consistent state for
+    * the min/max merge algebra (min of one exact value is itself). */
+  def applyChangesExact(spark: SparkSession, root: String, feed: DataFrame,
+      base: DataFrame, keys: Seq[String],
+      measures: Seq[Measure]): ApplyExactResult = {
+    import org.apache.spark.sql.Observation
+    val (mm, retr) = measures.partition(m => m.kind == "min" || m.kind == "max")
+    val badRetr = retr.filterNot(m => Set("count", "sum_long", "sum_dec")(m.kind))
+    require(badRetr.isEmpty,
+      s"measure kinds not maintainable: ${badRetr.map(_.out).mkString(",")}")
+    require(mm.nonEmpty,
+      "applyChangesExact is the min/max path; use applyChanges when none")
+    val m0 = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+
+    val cur = mergeStates(
+      ManifestCommit.readDirsOf(spark, root, m0, m0.dirs), keys, measures)
+    val delta =
+      if (retr.isEmpty) null else changePartialState(feed, keys, retr)
+    // monotone min/max candidates from the feed's surviving images
+    val feedMM = feed
+      .filter(col(ChangeFeed.ChangeType).isin("insert", "update_postimage"))
+      .groupBy(keys.map(col): _*)
+      .agg(mm.map(partialAgg).head, mm.map(partialAgg).tail: _*)
+    // dirty groups: a deleted/overwritten row may have BEEN the min/max
+    val dirtyKeys = feed
+      .filter(col(ChangeFeed.ChangeType).isin("delete", "update_preimage"))
+      .select(keys.map(col): _*).distinct().cache()
+    try {
+      val nDirty = dirtyKeys.count()
+      val obs = Observation()
+      val rescans = base.join(broadcast(dirtyKeys), keys, "left_semi")
+        .observe(obs, count(lit(1)).as("rescanned"))
+      val dirtyMM = rescans.groupBy(keys.map(col): _*)
+        .agg(mm.map(partialAgg).head, mm.map(partialAgg).tail: _*)
+
+      // one stitch join per side, all on the group key — state-sized
+      def pref(df: DataFrame, p: String): DataFrame =
+        df.columns.foldLeft(df)((d, c) =>
+          if (keys.contains(c)) d else d.withColumnRenamed(c, s"$p$c"))
+      val dirtyMark = dirtyKeys.withColumn("__dirty", lit(true))
+      val joined = (if (delta == null) pref(cur, "__c_")
+        else pref(cur, "__c_").join(pref(delta, "__d_"), keys, "full_outer"))
+        .join(pref(feedMM, "__f_"), keys, "full_outer")
+        .join(pref(dirtyMM, "__r_"), keys, "full_outer")
+        .join(dirtyMark, keys, "left_outer")
+      val outCols = keys.map(col) ++ measures.map { msr =>
+        msr.kind match {
+          case "count" | "sum_long" =>
+            (coalesce(col(s"__c_${msr.out}"), lit(0L)) +
+              coalesce(col(s"__d_${msr.out}"), lit(0L))).cast("long").as(msr.out)
+          case "sum_dec" =>
+            (coalesce(col(s"__c_${msr.out}"), lit(0).cast(DecState)) +
+              coalesce(col(s"__d_${msr.out}"), lit(0).cast(DecState)))
+              .cast(DecState).as(msr.out)
+          case "min" =>
+            when(col("__dirty"), col(s"__r_${msr.out}"))
+              .otherwise(least(col(s"__c_${msr.out}"), col(s"__f_${msr.out}")))
+              .as(msr.out)
+          case "max" =>
+            when(col("__dirty"), col(s"__r_${msr.out}"))
+              .otherwise(greatest(col(s"__c_${msr.out}"), col(s"__f_${msr.out}")))
+              .as(msr.out)
+        }
+      }
+      val d = ManifestCommit.newDataDir(root)
+      joined.select(outCols: _*).write.parquet(d)
+      val rescanned = obs.get.get("rescanned") match {
+        case Some(v: java.lang.Long) => v.longValue()
+        case Some(v) if v != null => v.toString.toLong
+        case _ => 0L
+      }
+      val committed = ManifestCommit.commitReconciled(spark, root, base = m0,
+        displaced = m0.dirs, added = Seq(d),
+        op = "apply_changes_exact", pinned = m0.dirs.toSet)
+      ApplyExactResult(committed, nDirty, rescanned)
+    } finally { dirtyKeys.unpersist(); () }
+  }
+
   /** OPTIMIZE analogue: fold all live parts to one. Readers before/after
     * see identical results (merge associativity); the commit is atomic
-    * through the manifest. */
+    * through the manifest, and REBASING: a batch part appended between
+    * this read and the commit grafts into the new live set instead of
+    * being silently dropped (state parts merge associatively, so a
+    * surviving uncompacted part is always a valid table state —
+    * `AlwaysDisjoint`). Without the rebase this was a lost-update
+    * window: commitReplace([folded]) would displace a concurrent
+    * append's part wholesale. */
   def compactStates(spark: SparkSession, root: String, keys: Seq[String],
       measures: Seq[Measure]): ManifestCommit.Manifest = {
-    val merged = mergeStates(ManifestCommit.read(spark, root), keys, measures)
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+    val merged = mergeStates(
+      ManifestCommit.readDirsOf(spark, root, m, m.dirs), keys, measures)
     val d = ManifestCommit.newDataDir(root)
     merged.write.parquet(d)
-    ManifestCommit.commitReplace(spark, root, Seq(d), op = "compact")
+    ManifestCommit.commitReconciled(spark, root, base = m,
+      displaced = m.dirs, added = Seq(d),
+      op = "compact", pinned = m.dirs.toSet)
   }
 }

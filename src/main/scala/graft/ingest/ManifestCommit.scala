@@ -242,13 +242,46 @@ object ManifestCommit {
     // and codegen cost linear in dir count. The dir identity rides along
     // as the parquet file path's parent segment, so per-dir exactness is
     // preserved (a key deleted from one dir may live on in another).
-    val dvdDfs = dvd.groupBy(d => spark.read.parquet(s"$root/${m.dvs(d)}").columns.toSeq)
+    // Grouping needs each DV's schema: fetched on CONCURRENT threads
+    // (one footer each — a sequential loop is a driver-latency wall at
+    // hundreds of DVs, the resolveBloom lesson).
+    val dvFilesAll = dvd.map(m.dvs).distinct
+    val dvSchema: Map[String, Seq[String]] = {
+      def fetch(f: String) = f -> spark.read.parquet(s"$root/$f").columns.toSeq
+      if (dvFilesAll.size <= 4) dvFilesAll.map(fetch).toMap
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(dvFilesAll.size, 16))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(dvFilesAll.map(f => Future(fetch(f)))), Duration.Inf).toMap
+        finally pool.shutdown()
+      }
+    }
+    val dvdDfs = dvd.groupBy(d => dvSchema(m.dvs(d)))
       .toSeq.sortBy(_._2.head).map { case (keyCols, groupDirs) =>
-        val dvUnion = groupDirs.map { d =>
-          spark.read.parquet(s"$root/${m.dvs(d)}")
-            .select(keyCols.map(col): _*)
-            .withColumn("__dv_dir", lit(d))
-        }.reduce(_ unionByName _)
+        // ONE scan over the group's dv files (not one scan node per dv —
+        // the plan must stay flat in dv count); each dv row's owning DIR
+        // comes back from its file path's `_dv_*` segment through a tiny
+        // broadcast lookup (a dv file referenced by several dirs fans out
+        // to one row per dir, which is exactly the per-dir delete set)
+        val lookupRows = groupDirs.map(d =>
+          org.apache.spark.sql.Row(m.dvs(d), d))
+        val lookup = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(lookupRows: _*)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__dv_name",
+              org.apache.spark.sql.types.StringType, false),
+            org.apache.spark.sql.types.StructField("__dv_dir",
+              org.apache.spark.sql.types.StringType, false))))
+        val dvUnion = spark.read
+          .parquet(groupDirs.map(d => s"$root/${m.dvs(d)}").distinct: _*)
+          .withColumn("__dv_name", element_at(split(input_file_name(), "/"), -2))
+          .join(broadcast(lookup), "__dv_name")
+          .select((keyCols.map(col) :+ col("__dv_dir")): _*)
         readPaths(groupDirs.map(d => s"$root/$d"))
           .withColumn("__dv_dir", element_at(split(input_file_name(), "/"), -2))
           .join(broadcast(dvUnion), keyCols :+ "__dv_dir", "left_anti")
@@ -385,9 +418,11 @@ object ManifestCommit {
     if (pruneDisplaced) {
       // eager-prune mode: displaced dirs go away, so the older snapshots
       // that reference them would dangle — expire them in the same breath
-      // (pruneDisplaced = false is the time-travel mode that keeps both)
+      // (pruneDisplaced = false is the time-travel mode that keeps both).
+      // Set membership: Seq.contains here is O(dirs^2) at high dir counts
       val f = fs(spark, root)
-      prev.foreach(_.dirs.filterNot(names.contains).foreach { d =>
+      val nameSet = names.toSet
+      prev.foreach(_.dirs.filterNot(nameSet).foreach { d =>
         f.delete(new Path(root, d), true)
       })
       // displaced deletion-vector files go with their generation; DV
@@ -403,6 +438,104 @@ object ManifestCommit {
         f.delete(snapshotPath(root, g), false)
       }
     }
+    m
+  }
+
+  /** REBASING replace-family commit (the public Delta-style logical
+    * conflict reconciliation): the commit is described as a DELTA against
+    * the generation the writer READ (`base`), not as an absolute dir set,
+    * so a concurrent commit landing in between no longer dooms it — the
+    * delta is re-applied ("rebased") onto the CURRENT generation when the
+    * two provably commute. The reference never surfaces this because
+    * ClickHouse merges parts server-side; an optimistic-concurrency
+    * lakehouse must reconcile or it serializes every writer through
+    * caller-side retries (`tools/ingest_runner.py`'s swap has the same
+    * blindness — any interleaved write wins or loses wholesale).
+    *
+    *   - `displaced`: dirs this commit consumes (leave the live set);
+    *   - `added` (+ `addedStats`): new immutable dirs it installs;
+    *   - `dvUpdates`: deletion-vector (re)points on surviving dirs;
+    *   - `pinned`: every dir whose CONTENT the writer read — the commit's
+    *     read set. Rebase requires each pinned dir to still be live with
+    *     an UNCHANGED deletion vector (a concurrent rewrite/delete of a
+    *     dir we read means our outputs were derived from stale rows);
+    *   - `disjoint(dir, stats)`: proof obligation for dirs ADDED
+    *     concurrently — true when the new dir provably holds no row this
+    *     commit's logical predicate touches (merge/delete pass a
+    *     stats-range check on the key column; row-preserving re-layouts
+    *     like OPTIMIZE/compaction pass `AlwaysDisjoint`, since appends
+    *     commute with them by construction).
+    *
+    * When every check passes, the final live set is the CURRENT
+    * generation's dirs minus `displaced` plus `added` — concurrent
+    * appends' dirs, stats, and DV repoints on non-pinned dirs all carry
+    * through. Irreconcilable interleaves (pinned dir rewritten, possibly-
+    * overlapping concurrent dir, concurrent schema change) throw
+    * [[ConcurrentCommitException]]: the caller re-reads and re-runs the
+    * whole operation — correctness never depends on the rebase firing.
+    *
+    * Serializability argument: rebasing commit C over concurrent commit
+    * K yields the state of serial K→C whenever C's read set is untouched
+    * by K (pinned checks) and K's additions are outside C's predicate
+    * (disjoint check) — under those conditions C's outputs are identical
+    * in both orders, so the grafted manifest IS the serial result.
+    * History (`pruneDisplaced = false` semantics — rebasing callers all
+    * retain snapshots) and writer-txn state follow the current
+    * generation. */
+  val AlwaysDisjoint: (String, Seq[ColStats]) => Boolean = (_, _) => true
+
+  def commitReconciled(spark: SparkSession, root: String,
+      base: Manifest,
+      displaced: Seq[String],
+      added: Seq[String],
+      addedStats: Map[String, Seq[ColStats]] = Map.empty,
+      dvUpdates: Map[String, String] = Map.empty,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      op: String = "replace",
+      pinned: Set[String] = Set.empty,
+      disjoint: (String, Seq[ColStats]) => Boolean = AlwaysDisjoint): Manifest =
+      commitLock(root).synchronized {
+    def name(d: String) = new Path(d).getName
+    val dispN = displaced.map(name).toSet
+    val addN = added.map(name)
+    val cur = readManifest(spark, root).getOrElse(throw new IllegalStateException(
+      s"$root: commitReconciled on a table with no manifest"))
+    if (cur.gen != base.gen) {
+      // ---- rebase path: verify the delta commutes with what interleaved
+      // (set-indexed lookups: a full-rewrite op pins EVERY dir, so
+      // Seq.contains would make this loop O(dirs^2) at high dir counts)
+      if (cur.tableSchema.map(_.json) != base.tableSchema.map(_.json))
+        throw new ConcurrentCommitException(
+          s"$root: schema changed concurrently (gen ${base.gen} -> ${cur.gen}); " +
+            "re-read and retry")
+      val curSet = cur.dirs.toSet
+      val baseSet = base.dirs.toSet
+      (pinned.map(name(_)) ++ dispN).foreach { d =>
+        if (!curSet.contains(d))
+          throw new ConcurrentCommitException(
+            s"$root: dir $d in this commit's read set was rewritten by a " +
+              s"concurrent commit (gen ${base.gen} -> ${cur.gen}); re-read and retry")
+        if (cur.dvs.get(d) != base.dvs.get(d))
+          throw new ConcurrentCommitException(
+            s"$root: dir $d in this commit's read set had its deletion " +
+              "vector repointed concurrently; re-read and retry")
+      }
+      cur.dirs.filterNot(baseSet).foreach { d =>
+        if (!disjoint(d, cur.stats.getOrElse(d, Nil)))
+          throw new ConcurrentCommitException(
+            s"$root: concurrently-added dir $d cannot be proven disjoint " +
+              "from this commit's predicate; re-read and retry")
+      }
+    }
+    val m = Manifest(
+      cur.gen + 1,
+      cur.dirs.filterNot(dispN) ++ addN,
+      (cur.stats -- dispN) ++ addedStats.map { case (d, cs) => name(d) -> cs },
+      schema,
+      Some(op),
+      (cur.dvs -- dispN) ++ dvUpdates.map { case (d, f) => name(d) -> f },
+      cur.txns)
+    writeManifest(spark, root, m)
     m
   }
 
@@ -487,10 +620,11 @@ object ManifestCommit {
     val rows = ms.zipWithIndex.map { case (m, i) =>
       val prevDirs: Set[String] =
         if (i == 0) Set.empty else ms(i - 1).dirs.toSet
+      val curDirs = m.dirs.toSet // Seq.contains would be O(dirs^2) per step
       org.apache.spark.sql.Row(
         m.gen, m.op.getOrElse(""), m.dirs.size,
         m.dirs.count(!prevDirs.contains(_)).toLong,
-        prevDirs.count(d => !m.dirs.contains(d)).toLong,
+        prevDirs.count(d => !curDirs.contains(d)).toLong,
         m.tableSchema.isDefined)
     }
     spark.createDataFrame(

@@ -52,6 +52,54 @@ import org.apache.spark.sql.types.{DecimalType, StringType}
   */
 object MergeInto {
 
+  /** Largest ranged-dir count for which the exact affected-dir test rides
+    * per-dir conditional-sum columns inside ONE aggregate. Beyond it the
+    * plan itself becomes O(dirs) expressions — at 10k+ dirs codegen and
+    * analysis choke on a 10k-column aggregate long before any data moves
+    * — so the test goes two-stage: a free driver-side [srcMin, srcMax]
+    * overlap prune over the manifest stats first, then the exact per-dir
+    * counts only over the overlap SURVIVORS. A hot-band source on a
+    * range-laid-out table survives to a handful of dirs (exact, one
+    * small aggregate); a scattered source that overlaps more than the
+    * cap falls back to overlap-based pruning — still CORRECT (rewriting
+    * an overlap-only dir preserves its rows through the merge join; the
+    * cost is I/O, not answers), and exactly the public Delta/Iceberg
+    * min-max merge-pruning contract. */
+  private val MaxExactRangeDirs = 512
+
+  private def inRangeSum(df: DataFrame, keyCol: String,
+      cs: ColStats): org.apache.spark.sql.Column = {
+    val c = df.col(keyCol)
+    val in =
+      if (cs.kind == "num")
+        c.cast(DecimalType(38, 6)).between(
+          lit(new java.math.BigDecimal(cs.min)), lit(new java.math.BigDecimal(cs.max)))
+      else c.cast(StringType).between(lit(cs.min), lit(cs.max))
+    sum(when(in, 1L).otherwise(0L))
+  }
+
+  /** Two-stage exact-or-overlap affected-dir test (see
+    * [[MaxExactRangeDirs]]): candidates by stats overlap with the
+    * source's own key range, then exact counts when few enough. */
+  private def exactOrOverlapTouched(src: DataFrame, keyCol: String,
+      ranged: Seq[(String, ColStats)],
+      srcRange: Option[ColStats]): Set[String] = {
+    val candidates = srcRange match {
+      case None => Nil // empty source: nothing touched
+      case Some(sr) =>
+        ranged.filter { case (_, cs) => cs.overlaps(Some(sr.min), Some(sr.max)) }
+    }
+    if (candidates.isEmpty) Set.empty
+    else if (candidates.size > MaxExactRangeDirs) candidates.map(_._1).toSet
+    else {
+      val aggs = candidates.map { case (_, cs) => inRangeSum(src, keyCol, cs) }
+      val row = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+      candidates.zipWithIndex.collect {
+        case ((d, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 => d
+      }.toSet
+    }
+  }
+
   final case class MergeResult(
       gen: Long,
       dirsTotal: Int,
@@ -73,8 +121,17 @@ object MergeInto {
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
 
-    val live = ManifestCommit.read(spark, root)
-    val tCols = live.columns.toSeq
+    // the target's schema comes from the MANIFEST when recorded — building
+    // a frame over every live dir just to learn the column set forces an
+    // InMemoryFileIndex listing of ALL of them (measured: the dominant
+    // cost of a hot-band merge at 16k dirs, a driver-side listing job
+    // before any real work). Unrecorded-schema tables keep the
+    // read-through-manifest fallback (mergeSchema footer sweep — correct,
+    // just slower; the same readDirsOf contract as everywhere else).
+    val tSchema: org.apache.spark.sql.types.StructType =
+      m.tableSchema.getOrElse(
+        ManifestCommit.readDirsOf(spark, root, m, m.dirs).schema)
+    val tCols = tSchema.fieldNames.toSeq
     require(tCols.forall(source.columns.contains),
       s"source must carry every target column; missing " +
         tCols.filterNot(source.columns.contains).mkString(","))
@@ -89,38 +146,63 @@ object MergeInto {
       if (evolveSchema) source.columns.toSeq.filterNot(tCols.contains) else Nil
     val outCols = tCols ++ extraCols
 
-    // ---- ONE aggregate over the source: key uniqueness AND the exact
-    // affected-dir counts ride the same pass (they scan the same frame —
-    // two jobs here is pure sequential-latency waste on a merge gate)
+    // ---- ONE aggregate over the source: key uniqueness, the source's
+    // own key range + null witness (the rebase DISJOINTNESS proof against
+    // dirs a concurrent commit adds — see commitReconciled below), AND —
+    // when the dir count keeps the plan small — the exact per-dir
+    // affected counts, all on the same pass (a second job here is pure
+    // sequential-latency waste on a merge gate)
     val pruneCol = keys.head
     val dirRange: Seq[(String, Option[ColStats])] =
       m.dirs.map(d => d -> m.stats.getOrElse(d, Nil).find(_.col == pruneCol))
     val statless = dirRange.collect { case (d, None) => d }
     val ranged = dirRange.collect { case (d, Some(cs)) => (d, cs) }
-    val rangeAggs = ranged.map { case (_, cs) =>
-      val c = source.col(pruneCol)
-      val in =
-        if (cs.kind == "num")
-          c.cast(DecimalType(38, 6)).between(
-            lit(new java.math.BigDecimal(cs.min)), lit(new java.math.BigDecimal(cs.max)))
-        else c.cast(StringType).between(lit(cs.min), lit(cs.max))
-      sum(when(in, 1L).otherwise(0L))
-    }
+    val few = ranged.size <= MaxExactRangeDirs
+    val rangeAggs =
+      if (few) ranged.map { case (_, cs) => inRangeSum(source, pruneCol, cs) }
+      else Nil
     val aggRow = source.agg(count(lit(1)).as("n"),
-      (countDistinct(keys.head, keys.tail: _*).as("d") +: rangeAggs): _*)
+      ((countDistinct(keys.head, keys.tail: _*).as("d") +: rangeAggs) ++ Seq(
+        min(source.col(pruneCol)), max(source.col(pruneCol)),
+        sum(when(source.col(pruneCol).isNull, 1L).otherwise(0L)))): _*)
       .collect()(0)
     require(aggRow.getLong(0) == aggRow.getLong(1),
       s"source is not unique on (${keys.mkString(",")}): " +
         s"${aggRow.getLong(0)} rows, ${aggRow.getLong(1)} distinct keys")
-    val touched: Set[String] = statless.toSet ++
-      ranged.zipWithIndex.collect {
-        case ((d, _), i) if !aggRow.isNullAt(i + 2) && aggRow.getLong(i + 2) > 0 => d
-      }
+    val nR = rangeAggs.size
+    val srcEmpty = aggRow.getLong(0) == 0L
+    val srcRange = ManifestCommit.colStatsOf(pruneCol,
+      source.schema(pruneCol).dataType,
+      aggRow.get(nR + 2), aggRow.get(nR + 3))
+    val srcHasNullKey =
+      !aggRow.isNullAt(nR + 4) && aggRow.getLong(nR + 4) > 0L
+    val touched: Set[String] = statless.toSet ++ (
+      if (srcEmpty) Set.empty[String]
+      // stats cannot witness null keys, and the merge join is null-SAFE
+      // (<=>): a null-keyed source row may match a null-keyed target row
+      // in ANY dir, so every ranged dir must be read — conservative,
+      // never wrong (the old conditional-sum test silently matched null
+      // keys nowhere and could duplicate a null-keyed row)
+      else if (srcHasNullKey) ranged.map(_._1).toSet
+      else if (few)
+        ranged.zipWithIndex.collect {
+          case ((d, _), i) if !aggRow.isNullAt(i + 2) && aggRow.getLong(i + 2) > 0 => d
+        }.toSet
+      else exactOrOverlapTouched(source, pruneCol, ranged, srcRange))
     val keptDirs = m.dirs.filterNot(touched)
+    // a concurrently-added dir is provably untouched by this merge when
+    // its recorded key range cannot overlap the source's (null keys defeat
+    // range proofs — the <=> join matches them; no stats = no proof)
+    val disjointFromSource: (String, Seq[ColStats]) => Boolean = (_, stats) =>
+      srcEmpty || (!srcHasNullKey && srcRange.exists(sr =>
+        stats.find(_.col == pruneCol).exists(cs =>
+          !cs.overlaps(Some(sr.min), Some(sr.max)))))
 
     // ---- one full-outer join: survivors + updates + deletes + inserts
     val tgt = extraCols.foldLeft(
-      (if (touched.isEmpty) live.limit(0)
+      (if (touched.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), tSchema)
        // DV-aware subset read: a touched dir's deletion vector must be
        // applied here, or the rewrite would resurrect deleted rows
        else ManifestCommit.readDirsOf(spark, root, m, m.dirs.filter(touched)))
@@ -198,7 +280,6 @@ object MergeInto {
         Seq(ColStats(ManifestCommit.RowCountStat, "num",
           (upd + ins + keep).toString, (upd + ins + keep).toString))
       else Nil)
-    val keptStats = m.stats.view.filterKeys(keptDirs.contains).toMap
     val newName = new org.apache.hadoop.fs.Path(newDir).getName
     // every merge records the (possibly evolved) union schema: readers of
     // this generation plan with it explicitly, so cold dirs that predate
@@ -206,17 +287,21 @@ object MergeInto {
     // is forced — a cold dir has no values for an evolved column.
     val unionSchema = org.apache.spark.sql.types.StructType(
       out.schema.fields.map(_.copy(nullable = true)))
-    val committed = ManifestCommit.commitReplace(
-      spark, root, keptDirs :+ newName,
-      pruneDisplaced = false,
-      stats = keptStats ++
-        (if (newStats.nonEmpty) Map(newName -> newStats) else Map.empty),
-      expectedGen = Some(m.gen),
+    // rebasing commit: touched dirs are both the read set (pinned — a
+    // concurrent rewrite of one means this output is stale) and the
+    // displaced set; kept dirs' stats and DVs (including concurrent
+    // repoints on dirs this merge never read) carry from the CURRENT
+    // generation; a disjoint concurrent append grafts in
+    val committed = ManifestCommit.commitReconciled(
+      spark, root, base = m,
+      displaced = m.dirs.filter(touched),
+      added = Seq(newName),
+      addedStats =
+        if (newStats.nonEmpty) Map(newName -> newStats) else Map.empty,
       schema = Some(unionSchema),
       op = "merge",
-      // kept dirs keep their deletion vectors; touched dirs' DVs were
-      // materialized into the rewrite and must not carry over
-      dvs = m.dvs.view.filterKeys(keptDirs.contains).toMap)
+      pinned = touched,
+      disjoint = disjointFromSource)
 
     MergeResult(committed.gen, m.dirs.size, m.dirs.size - keptDirs.size,
       upd, del, ins, keep)
@@ -253,27 +338,45 @@ object MergeInto {
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
     val distinctKeys = keys.distinct().cache()
     try {
-      // exact affected-dir test on keyCols.head — same contract as merge
+      // exact affected-dir test on keyCols.head — same contract (and same
+      // two-stage high-dir-count shape) as merge; the delete set's own
+      // range + null witness ride the same pass as the rebase
+      // disjointness proof (commitReconciled below). Null delete keys
+      // need no conservative widening here: the per-dir semi-join is
+      // null-UNSAFE equality, so a null key deletes nothing by contract.
       val pruneCol = keyCols.head
       val dirRange: Seq[(String, Option[ColStats])] =
         m.dirs.map(d => d -> m.stats.getOrElse(d, Nil).find(_.col == pruneCol))
       val statless = dirRange.collect { case (d, None) => d }
       val ranged = dirRange.collect { case (d, Some(cs)) => (d, cs) }
-      val touched: Seq[String] = statless ++ (if (ranged.isEmpty) Nil else {
-        val aggs = ranged.map { case (_, cs) =>
-          val c = distinctKeys.col(pruneCol)
-          val in =
-            if (cs.kind == "num")
-              c.cast(DecimalType(38, 6)).between(
-                lit(new java.math.BigDecimal(cs.min)), lit(new java.math.BigDecimal(cs.max)))
-            else c.cast(StringType).between(lit(cs.min), lit(cs.max))
-          sum(when(in, 1L).otherwise(0L))
-        }
-        val row = distinctKeys.agg(aggs.head, aggs.tail: _*).collect()(0)
-        ranged.zipWithIndex.collect {
-          case ((d, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 => d
-        }
-      })
+      val few = ranged.size <= MaxExactRangeDirs
+      val rangeAggs =
+        if (few) ranged.map { case (_, cs) => inRangeSum(distinctKeys, pruneCol, cs) }
+        else Nil
+      val aggRow = distinctKeys.agg(count(lit(1)).as("n"),
+        (rangeAggs ++ Seq(
+          min(distinctKeys.col(pruneCol)), max(distinctKeys.col(pruneCol)),
+          sum(when(distinctKeys.col(pruneCol).isNull, 1L).otherwise(0L)))): _*)
+        .collect()(0)
+      val nR = rangeAggs.size
+      val keysEmpty = aggRow.getLong(0) == 0L
+      val keyRange = ManifestCommit.colStatsOf(pruneCol,
+        distinctKeys.schema(pruneCol).dataType,
+        aggRow.get(nR + 1), aggRow.get(nR + 2))
+      val hasNullKey =
+        !aggRow.isNullAt(nR + 3) && aggRow.getLong(nR + 3) > 0L
+      val touched: Seq[String] = statless ++ (
+        if (keysEmpty) Nil
+        else if (few)
+          ranged.zipWithIndex.collect {
+            case ((d, _), i) if !aggRow.isNullAt(i + 1) && aggRow.getLong(i + 1) > 0 => d
+          }
+        else exactOrOverlapTouched(distinctKeys, pruneCol, ranged, keyRange)
+          .toSeq.sorted)
+      val disjointFromKeys: (String, Seq[ColStats]) => Boolean = (_, stats) =>
+        keysEmpty || (!hasNullKey && keyRange.exists(kr =>
+          stats.find(_.col == pruneCol).exists(cs =>
+            !cs.overlaps(Some(kr.min), Some(kr.max)))))
 
       // per-dir DV builds are INDEPENDENT small jobs (semi-join + count +
       // tiny write) — submit them from concurrent threads so their
@@ -311,13 +414,19 @@ object MergeInto {
 
       val committed =
         if (newDvs.isEmpty) m // nothing present anywhere: no commit needed
-        else ManifestCommit.commitReplace(spark, root, m.dirs,
-          pruneDisplaced = false,
-          stats = m.stats,
-          expectedGen = Some(m.gen),
+        // rebasing commit: nothing is displaced — the delete only REPOINTS
+        // deletion vectors on the dirs it read (pinned: a concurrent
+        // rewrite or DV repoint of one invalidates the union this delete
+        // computed); concurrent appends graft when their key range proves
+        // them free of the deleted keys
+        else ManifestCommit.commitReconciled(spark, root, base = m,
+          displaced = Nil,
+          added = Nil,
+          dvUpdates = newDvs,
           schema = m.tableSchema,
           op = "delete",
-          dvs = m.dvs ++ newDvs)
+          pinned = touched.toSet,
+          disjoint = disjointFromKeys)
       DeleteResult(committed.gen, m.dirs.size, newDvs.size, totalDeleted)
     } finally distinctKeys.unpersist()
   }

@@ -95,12 +95,17 @@ object Optimize {
     }
     f.delete(new Path(staging), true)
 
-    ManifestCommit.commitReplace(spark, root, promoted.map(_._1),
-      pruneDisplaced = false,
-      stats = promoted.toMap,
-      expectedGen = Some(m.gen),
+    // rebasing commit: the rewrite consumed every base dir (pinned), but
+    // a concurrent APPEND always grafts — a row-preserving re-layout
+    // commutes with appends by construction (the delta dir simply stays
+    // unclustered until the next OPTIMIZE), so AlwaysDisjoint
+    ManifestCommit.commitReconciled(spark, root, base = m,
+      displaced = m.dirs,
+      added = promoted.map(_._1),
+      addedStats = promoted.toMap,
       schema = Some(StructType(live.schema.fields.map(_.copy(nullable = true)))),
-      op = "zorder")
+      op = "zorder",
+      pinned = m.dirs.toSet)
   }
 
   /** MINOR compaction: fold only the live dirs smaller than
@@ -146,16 +151,19 @@ object Optimize {
     rebuildBlooms(spark, newDir, bloomCols, bloomFpp)
     val statCols = fold.flatMap(d => m.stats.getOrElse(d, Nil).map(_.col)).distinct
     val newName = new Path(newDir).getName
-    ManifestCommit.commitReplace(spark, root, keep :+ newName,
-      pruneDisplaced = false,
-      stats = m.stats.view.filterKeys(keep.contains).toMap ++
-        (if (statCols.nonEmpty)
+    // rebasing commit: only the folded dirs are consumed; concurrent
+    // appends graft unconditionally (a new small dir just waits for the
+    // next compaction cycle)
+    ManifestCommit.commitReconciled(spark, root, base = m,
+      displaced = fold,
+      added = Seq(newName),
+      addedStats =
+        if (statCols.nonEmpty)
           Map(newName -> ManifestCommit.dirStats(spark, newDir, statCols))
-        else Map.empty),
-      expectedGen = Some(m.gen),
+        else Map.empty,
       schema = m.tableSchema,
       op = "compact_minor",
-      dvs = m.dvs.view.filterKeys(keep.contains).toMap)
+      pinned = fold.toSet)
   }
 
   /** The ClickHouse PER-PARTITION background merge, manifest-native (the
@@ -239,16 +247,16 @@ object Optimize {
         rebuildBlooms(spark, d, bloomCols, bloomFpp)
         Seq(d -> ManifestCommit.dirStats(spark, d, statCols))
       })
-      val kept = pure.filterNot(rewritten.contains)
-      ManifestCommit.commitReplace(spark, root,
-        kept ++ newDirs.map(_._1),
-        pruneDisplaced = false,
-        stats = m.stats.view.filterKeys(kept.contains).toMap ++
-          newDirs.map { case (d, cs) => new Path(d).getName -> cs },
-        expectedGen = Some(m.gen),
+      // rebasing commit: consumed = the rewritten month dirs + every
+      // delta dir; a concurrently-appended batch grafts as a fresh delta
+      // for the next cycle (the per-partition-trigger discipline)
+      ManifestCommit.commitReconciled(spark, root, base = m,
+        displaced = rewritten ++ deltas,
+        added = newDirs.map(_._1),
+        addedStats = newDirs.map { case (d, cs) => new Path(d).getName -> cs }.toMap,
         schema = m.tableSchema,
         op = "compact_months",
-        dvs = m.dvs.view.filterKeys(kept.contains).toMap)
+        pinned = (rewritten ++ deltas).toSet)
     } finally { deltaDfOpt.foreach(_.unpersist()); () }
   }
 

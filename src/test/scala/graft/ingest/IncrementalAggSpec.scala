@@ -151,6 +151,61 @@ class IncrementalAggSpec extends SparkSpec {
     assert(e.getMessage.contains("not retractable"), e.getMessage)
   }
 
+  test("applyChangesExact maintains min/max under deletes, rescanning only dirty groups") {
+    val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
+    // base table state BEFORE changes
+    val before = Seq(
+      Row("a", 1L, 1.00), Row("a", 5L, 5.00), Row("a", 9L, 9.00),
+      Row("b", 3L, 3.00), Row("b", 7L, 7.00),
+      Row("c", 4L, 4.00))
+    IncrementalAgg.appendBatch(spark, root, mkDf(st, before: _*), Seq("k"), measures)
+    // changes: delete a's MINIMUM (1) — min must regress to 5;
+    // insert b=2 — b's min improves monotonically, NO rescan needed;
+    // c untouched
+    val feed = mkDf(feedSt,
+      Row("a", 1L, 1.00, "delete"),
+      Row("b", 2L, 2.00, "insert"))
+    val after = mkDf(st,
+      Row("a", 5L, 5.00), Row("a", 9L, 9.00),
+      Row("b", 3L, 3.00), Row("b", 7L, 7.00), Row("b", 2L, 2.00),
+      Row("c", 4L, 4.00))
+    val res = IncrementalAgg.applyChangesExact(spark, root, feed, after,
+      Seq("k"), measures)
+    // only group a is dirty; only its 2 surviving base rows were rescanned
+    assert(res.dirtyGroups === 1L)
+    assert(res.baseRowsRescanned === 2L)
+    val got = resultMap(root)
+    assert(got("a") === ((2L, 14L, 14.00, 5L, 9L)))
+    assert(got("b") === ((3L, 12L, 12.00, 2L, 7L)))
+    assert(got("c") === ((1L, 4L, 4.00, 4L, 4L)))
+    // equivalent to a from-scratch aggregate over the post-change table
+    val scratch = Files.createTempDirectory("incagg_spec_").toString + "/t2"
+    IncrementalAgg.appendBatch(spark, root = scratch, after, Seq("k"), measures)
+    assert(resultMap(scratch) === got)
+    // state is one part (the stitch replaces the live set)
+    assert(ManifestCommit.readManifest(spark, root).get.dirs.size === 1)
+
+    // an update that REPLACES the max: preimage dirties the group, the
+    // rescan finds the new exact max; fully-retracted group vanishes
+    val feed2 = mkDf(feedSt,
+      Row("a", 9L, 9.00, "update_preimage"),
+      Row("a", 6L, 6.00, "update_postimage"),
+      Row("c", 4L, 4.00, "delete"))
+    val after2 = mkDf(st,
+      Row("a", 5L, 5.00), Row("a", 6L, 6.00),
+      Row("b", 3L, 3.00), Row("b", 7L, 7.00), Row("b", 2L, 2.00))
+    val res2 = IncrementalAgg.applyChangesExact(spark, root, feed2, after2,
+      Seq("k"), measures)
+    assert(res2.dirtyGroups === 2L && res2.baseRowsRescanned === 2L)
+    val fin = IncrementalAgg.finalizeState(spark, root, Seq("k"), measures,
+      dropEmptyGroups = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(fin === Map(
+      "a" -> ((2L, 11L, 11.00, 5L, 6L)),
+      "b" -> ((3L, 12L, 12.00, 2L, 7L))))
+  }
+
   test("null measure values contribute nothing in either direction") {
     val root = Files.createTempDirectory("incagg_spec_").toString + "/t"
     IncrementalAgg.appendBatch(spark, root, mkDf(st,

@@ -167,6 +167,82 @@ class LifecycleFuzzSpec extends SparkSpec {
     assert(ManifestCommit.pruneOrphans(spark, root, minAgeMs = 0L).isEmpty)
   }
 
+  test("concurrent-writer fuzz (seed 1337): appends race every maintenance op, nothing lost") {
+    // Every step races a REAL concurrent append (its own thread) against
+    // a maintenance/mutation op on the same table. Fresh-id appends are
+    // provably disjoint from every merge/delete predicate (ids only grow),
+    // so the rebasing commits must graft them — both writers land, no
+    // caller retry, and the model stays exact whatever interleave the
+    // scheduler produced. This is the fuzz-level evidence for
+    // commitReconciled: 20 steps x {merge, dv-delete, compactSmall,
+    // zorder} each racing an append.
+    val root = Files.createTempDirectory("fuzz_conc_").toString + "/t"
+    val rnd = new scala.util.Random(1337)
+    var model = Map.empty[Long, ModelRow]
+    val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    def fresh(n: Int): Seq[(Long, ModelRow)] = (1 to n).map { _ =>
+      val id = nextId.incrementAndGet()
+      id -> ModelRow(s"v$id-0", (id % 1000).toDouble, None)
+    }
+    locally {
+      val rows = fresh(20)
+      val d = ManifestCommit.newDataDir(root)
+      df(false, rows: _*).write.parquet(d)
+      ManifestCommit.commitReplace(spark, root, Seq(d),
+        pruneDisplaced = false,
+        stats = Map(d -> ManifestCommit.dirStats(spark, d, Seq("id"))))
+      model = rows.toMap
+    }
+
+    (1 to 20).foreach { step =>
+      // sample/plan from the model BEFORE the race so the maintenance op
+      // is independent of the appender's timing
+      val live = model.keys.toSeq.sorted
+      val appendRows = fresh(1 + rnd.nextInt(4))
+      val appender = new Thread(() => {
+        val d = ManifestCommit.newDataDir(root)
+        df(false, appendRows: _*).write.parquet(d)
+        ManifestCommit.commitAppend(spark, root, d,
+          stats = ManifestCommit.dirStats(spark, d, Seq("id")))
+      })
+      appender.start()
+      rnd.nextInt(4) match {
+        case 0 => // merge: updates + deletes on pre-race keys
+          val upd = rnd.shuffle(live).take(3).map(id => id ->
+            model(id).copy(v = s"v$id-u$step", amt = model(id).amt + 1))
+          val del = rnd.shuffle(live).filterNot(upd.map(_._1).contains).take(2)
+          val srcRows = upd ++ del.map(id => id -> model(id))
+          if (srcRows.nonEmpty) {
+            val src = df(false, srcRows: _*)
+              .withColumn("__kill", col("id").isin(del: _*))
+            MergeInto.merge(spark, root, src, Seq("id"),
+              deleteWhen = Some(col("__kill") === true))
+            model = model -- del ++ upd
+          }
+        case 1 => // deletion-vector sparse delete
+          val del = rnd.shuffle(live).take(1 + rnd.nextInt(3))
+          if (del.nonEmpty) {
+            MergeInto.deleteWhere(spark, root, mkDf(
+              StructType(Seq(StructField("id", LongType, false))),
+              del.map(Row(_)): _*))
+            model --= del
+          }
+        case 2 =>
+          Optimize.compactSmall(spark, root, smallBytes = 1L << 20)
+        case 3 =>
+          if (model.nonEmpty)
+            Optimize.zorderCompactN(spark, root, Seq("id", "amt"),
+              targetDirs = 1 + rnd.nextInt(3))
+      }
+      appender.join(120000)
+      assert(!appender.isAlive, s"appender hung at step $step")
+      model ++= appendRows
+      assert(snapshot(root) === model,
+        s"live mismatch after concurrent step $step — a writer was lost")
+    }
+  }
+
   test("month lifecycle fuzz: collapse x z-order x DV interplay, pruned reads stay exact") {
     val root = Files.createTempDirectory("fuzz_mo_").toString + "/t"
     val rnd = new scala.util.Random(777)
