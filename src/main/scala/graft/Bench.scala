@@ -29,8 +29,15 @@ object Bench {
       qs0: String,
       failed: Int, errJson: String, medShown: String, medMore: Int,
       medCount: Int, sfName: String, budget: Int = 1900): String = {
-    def line(q: String, med: String, more: Int) =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$q,"failed":$failed,"errors":$errJson,"median_total":$medianS,"med_outliers":$med,"med_more":$more,"sf":"$sfName"}"""
+    def line(q: String, med: String, more: Int) = {
+      // empty med fields are dead weight in the COMMON (quiet) case —
+      // omitting them buys ~35 chars of budget back as the query count
+      // grows; consumers treat absent med_outliers as "none flagged"
+      val medPart =
+        if (med == "{}" && more == 0) ""
+        else s""","med_outliers":$med,"med_more":$more"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$q,"failed":$failed,"errors":$errJson,"median_total":$medianS$medPart,"sf":"$sfName"}"""
+    }
     // last-resort tier: med fields dropped entirely (the full median map
     // is on the stderr diag line regardless) and values at INTEGER
     // precision with failures clamped to -1 (a failed query's magnitude

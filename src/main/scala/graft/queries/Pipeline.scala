@@ -1336,11 +1336,17 @@ object Pipeline {
     * two generations (reads only the dir symmetric difference), and
     * apply the feed to a standing rollup as SIGNED partial state
     * (`IncrementalAgg.applyChanges` — postimages +1, preimages/deletes
-    * −1, so deletes RETRACT exactly). The base table is never rescanned:
-    * the rollup manifest is pinned at exactly 2 parts (initial load +
-    * one change delta) and the merge at 1 rewritten dir of 2. The
-    * finalized rollup hash-matches a from-scratch re-aggregation of the
-    * merged table in DuckDB. */
+    * −1, so deletes RETRACT exactly — and min/max measures, which CANNOT
+    * retract, through `applyChangesExact`: groups with a delete/preimage
+    * in the feed ("dirty" — their min/max may have regressed) are
+    * re-aggregated from the base restricted to exactly those groups,
+    * while insert-only groups move monotonically from the feed alone).
+    * The gate pins the partial-rescan contract: `rescanned` equals the
+    * merged table's rows in dirty statuses ONLY (the insert-only 'N'
+    * group is never rescanned), `dirty_groups` counts them, the stitched
+    * rollup is 1 part, the merge 1 rewritten dir of 2, and the finalized
+    * rollup — min/max included — hash-matches a from-scratch
+    * re-aggregation of the merged table in DuckDB. */
   val q126_cdf_incremental_rollup = Q(
     "q126_cdf_incremental_rollup",
     """WITH b AS (SELECT max(o_orderkey) AS maxk,
@@ -1356,10 +1362,16 @@ object Pipeline {
       |  WHERE o_orderkey BETWEEN lo AND hi AND o_orderstatus <> 'F'
       |  UNION ALL
       |  SELECT o_orderkey + maxk + 1000, 'N', o_totalprice
-      |  FROM orders, bounds WHERE o_orderkey <= 100)
+      |  FROM orders, bounds WHERE o_orderkey <= 100),
+      |dirty AS (SELECT DISTINCT o_orderstatus FROM orders, bounds
+      |  WHERE o_orderkey BETWEEN lo AND hi)
       |SELECT o_orderstatus, count(*) AS n_rows,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
-      |  2 AS rollup_parts, 1 AS base_dirs_rewritten
+      |  min(o_totalprice) AS price_min, max(o_totalprice) AS price_max,
+      |  1 AS rollup_parts, 1 AS base_dirs_rewritten,
+      |  (SELECT count(*) FROM merged
+      |     WHERE o_orderstatus IN (SELECT o_orderstatus FROM dirty)) AS rescanned,
+      |  (SELECT count(*) FROM dirty) AS dirty_groups
       |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
     import graft.ingest.{ChangeFeed, IncrementalAgg, ManifestCommit, MergeInto}
     import graft.ingest.IncrementalAgg.Measure
@@ -1379,7 +1391,9 @@ object Pipeline {
     val keys = Seq("o_orderstatus")
     val measures = Seq(
       Measure("n_rows", "*", "count"),
-      Measure("price_sum", "o_totalprice", "sum_dec"))
+      Measure("price_sum", "o_totalprice", "sum_dec"),
+      Measure("price_min", "o_totalprice", "min"),
+      Measure("price_max", "o_totalprice", "max"))
     // initial rollup load: one batch over the base's current generation
     IncrementalAgg.appendBatch(s, rollup, ManifestCommit.read(s, base),
       keys, measures)
@@ -1392,15 +1406,20 @@ object Pipeline {
     val res = MergeInto.merge(s, base, updates.unionByName(inserts),
       Seq("o_orderkey"), deleteWhen = Some(col("o_orderstatus") === "F"))
     val g2 = ManifestCommit.readManifest(s, base).get.gen
-    // derive the change stream, apply it to the rollup as a signed delta
+    // derive the change stream; maintain the rollup — min/max included —
+    // with dirty-group-only base rescans (applyChangesExact)
     val feed = ChangeFeed.diff(s, base, g1, g2, Seq("o_orderkey"))
-    IncrementalAgg.applyChanges(s, rollup, feed, keys, measures)
+    val applied = IncrementalAgg.applyChangesExact(s, rollup, feed,
+      ManifestCommit.read(s, base), keys, measures)
     val parts = ManifestCommit.readManifest(s, rollup).get.dirs.size
     IncrementalAgg.finalizeState(s, rollup, keys, measures,
       dropEmptyGroups = true)
       .select(col("o_orderstatus"), col("n_rows"), col("price_sum"),
+        col("price_min"), col("price_max"),
         lit(parts).as("rollup_parts"),
-        lit(res.dirsRewritten).as("base_dirs_rewritten"))
+        lit(res.dirsRewritten).as("base_dirs_rewritten"),
+        lit(applied.baseRowsRescanned).as("rescanned"),
+        lit(applied.dirtyGroups).as("dirty_groups"))
   }
 
   /** q128 — OPTIMIZE ZORDER over the manifest (`Optimize.zorderCompact`;
@@ -1795,6 +1814,258 @@ object Pipeline {
         lit(kept2.size).as("month2_dirs_scanned"))
   }
 
+  /** q135 — manifest-only COUNT(*) as a first-class gated query
+    * (`ManifestCommit.tableRowCount` over [[ManifestCommit.RowCountStat]]
+    * pseudo-stats — the single most common audit/BI probe, answered with
+    * ZERO data I/O, zero footer reads, zero Spark jobs; the reference
+    * gets the equivalent from ClickHouse's part-level count metadata).
+    * The inline listener pins the zero-jobs claim (`probe_jobs` = 0 in
+    * the hashed output — a probe that ran ANY job reds the gate), and
+    * the count itself hash-matches DuckDB's full count(*). */
+  val q135_manifest_count = Q(
+    "q135_manifest_count",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows, 0 AS probe_jobs,
+      |  1 AS from_manifest FROM orders""".stripMargin) { (s, dir) =>
+    import graft.ingest.ManifestCommit
+    val root = tmpDir("graft_q135_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      pmod(col("o_orderkey"), lit(4)),
+      Seq("o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    // the zero-jobs witness must be scoped to THIS probe's job group —
+    // the gate harness runs queries concurrently on one SparkContext, so
+    // a raw job counter would catch neighbors' jobs
+    val group = s"q135_probe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            group == e.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    val n = try {
+      s.sparkContext.setJobGroup(group, "manifest-only COUNT(*) probe", false)
+      val n0 = try ManifestCommit.tableRowCount(s, root)
+        finally s.sparkContext.clearJobGroup()
+      Thread.sleep(500) // listener events are async; let any job event land
+      n0
+    } finally s.sparkContext.removeSparkListener(listener)
+    s.range(1).select(
+      lit(n.getOrElse(-1L)).as("n_rows"),
+      lit(jobs.get()).as("probe_jobs"),
+      lit(if (n.isDefined) 1 else 0).as("from_manifest"))
+  }
+
+  /** q136 — the LATE-DATA DROP half of the watermark contract. The outer
+    * -join gates (q112/q116/q118) pin null-emission AT the watermark;
+    * this pins that rows arriving BEYOND it are dropped deterministically
+    * — the classic silent-wrong-answer in production streaming (a
+    * too-short watermark silently undercounts; the drop must be exact
+    * and reproducible, never load-dependent).
+    *
+    * Replay shape: two sequential AvailableNow runs over ONE checkpoint
+    * (the restart discipline q44 pins for CDC) — run 1 sees only the
+    * on-time file (the final 12 hours); after it the checkpoint holds
+    * wm = max(ts) − 30 min. The straggler file lands AFTER run 1, so
+    * run 2 replays it against the persisted watermark: every straggler's
+    * 10-minute window closed long before wm, so the late filter drops
+    * ALL of them (wm never regresses). The sink therefore
+    * holds exactly the on-time windows closed at the final watermark —
+    * windows the ~9.9k stragglers would have populated appear NOWHERE,
+    * and the oracle applies the same cutoff relationally
+    * (window end ≤ wm, verified tie-free on this fixture: max ts has
+    * microsecond precision, window ends are 10-minute-aligned).
+    * `late_input_rows` pins that the replay really carried the
+    * stragglers. Scale: state is one row per open (window, type) within
+    * the 30-min horizon — drop-at-ingress means late floods cost zero
+    * state and zero shuffle amplification. */
+  val q136_stream_late_drop = Q(
+    "q136_stream_late_drop",
+    """WITH tm AS (SELECT max(ts) AS tmax FROM events),
+      |a AS (SELECT ts, event_type FROM events, tm
+      |  WHERE ts >= tmax - INTERVAL 12 HOUR),
+      |late AS (SELECT count(*) AS n FROM events, tm
+      |  WHERE ts < tmax - INTERVAL 12 HOUR)
+      |SELECT event_type,
+      |  strftime(time_bucket(INTERVAL 10 MINUTE, ts), '%Y-%m-%d %H:%M') AS w_start,
+      |  count(*) AS n, (SELECT n FROM late) AS late_input_rows
+      |FROM a, tm
+      |WHERE time_bucket(INTERVAL 10 MINUTE, ts) + INTERVAL 10 MINUTE
+      |  <= tmax - INTERVAL 30 MINUTE
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val events = Tables.load(s, dir, "events").select("ts", "event_type")
+    val tmax = events.agg(max("ts")).collect()(0).getTimestamp(0) // one scalar
+    val cut = new java.sql.Timestamp(tmax.getTime - 12L * 3600 * 1000)
+    val landing = tmpDir("graft_q136_src_")
+    val scratch = tmpDir("graft_q136_stage_")
+    // single-file batches (already-normalized timestamps, so the stream
+    // needs no ts conversion)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val d = s"$scratch/$name"
+      df.coalesce(1).write.parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(landing, s"$name.parquet")); ()
+    }
+    stage(events.filter(col("ts") >= cut), "a_ontime")
+    val schema = s.read.parquet(landing).schema
+    val out = tmpDir("graft_q136_out_")
+    val ckpt = tmpDir("graft_q136_ckpt_")
+    val ss = streamingSession(s)
+    def drain(): Unit = {
+      val q = ss.readStream.schema(schema)
+        .parquet(landing)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/agg")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // run 1: on-time file only; checkpoint persists the watermark
+    stage(events.filter(col("ts") < cut), "b_late")
+    drain() // run 2: stragglers replay against the persisted watermark
+    val lateRows = events.filter(col("ts") < cut).count()
+    s.read.parquet(s"$out/agg").select(
+      col("event_type"),
+      date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+      col("n"),
+      lit(lateRows).as("late_input_rows"))
+  }
+
+  /** q137 — INCREMENTAL ANN index maintenance from the change feed: the
+    * persisted LSH bucket index (q35's signature layout — deterministic
+    * md5-derived hyperplanes, so re-bucketing a vector is reproducible
+    * across jobs by construction) follows a corpus MERGE without any
+    * rebuild. `ChangeFeed.diff` between the two corpus generations
+    * drives the postings delta: delete/update_preimage keys leave the
+    * index through a deletion-vector `deleteWhere` (merge-on-read — no
+    * index dir rewrite), insert/update_postimage rows re-sign and
+    * commitAppend as one delta dir. Cost is O(changes) against an index
+    * of any size. The probe (bucket join + cosine top-5 over the
+    * maintained index) hash-matches a FROM-SCRATCH index built over the
+    * merged corpus in DuckDB, and the gate pins the maintenance shape:
+    * postings removed/added counts and the index's generation count
+    * (init + delete + append = 3 — a rebuild would be a replace).
+    *
+    * Scale: at a billion vectors the index is the only thing touched —
+    * removals are DV writes against stats-pruned dirs, additions one
+    * delta dir per refresh cycle, compacted by the ordinary
+    * `compactSmall` cadence; the corpus itself is read only for the
+    * changed rows (the feed's dir symmetric difference). */
+  val q137_ann_incremental = {
+    import graft.ops.Similarity
+    val bitTerms = (0 until 6).map { b =>
+      s"(CASE WHEN list_sum(list_transform(range(0, 64), i -> v[i+1] * ${Similarity.planeSqlDuck(b, "i")})) > 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString("\n      |    + ")
+    Q(
+      "q137_ann_incremental",
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |upd AS (SELECT vec_id, list_transform(v, x -> -x) AS v FROM e0
+        |  WHERE vec_id BETWEEN 30 AND 60 AND vec_id % 7 != 0),
+        |merged AS (
+        |  SELECT vec_id, v FROM e0
+        |  WHERE vec_id % 7 != 0 AND vec_id NOT BETWEEN 30 AND 60
+        |  UNION ALL SELECT vec_id, v FROM upd
+        |  UNION ALL SELECT vec_id + 10000, v FROM e0
+        |  WHERE vec_id < 20 AND vec_id % 7 != 0),
+        |sig AS (SELECT vec_id, v, $bitTerms AS bucket FROM merged),
+        |q AS (SELECT vec_id AS qid, bucket AS qb, v AS qv FROM sig WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, bucket AS nb, v AS nv FROM sig),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, nv) AS sim
+        |  FROM q JOIN c ON nb = qb AND nid != qid),
+        |cons AS (SELECT
+        |  (SELECT count(*) FROM e0 WHERE vec_id % 7 = 0) +
+        |    (SELECT count(*) FROM upd) AS removed,
+        |  (SELECT count(*) FROM upd) +
+        |    (SELECT count(*) FROM e0 WHERE vec_id < 20 AND vec_id % 7 != 0) AS added)
+        |SELECT qid, rank, nid,
+        |  (SELECT removed FROM cons) AS idx_removed,
+        |  (SELECT added FROM cons) AS idx_added, 3 AS idx_gens
+        |FROM (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+        |  FROM s) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      import graft.ingest.{ChangeFeed, ManifestCommit, MergeInto}
+      val scratch = tmpDir("graft_q137_")
+      val corpusRoot = scratch + "/corpus"
+      val idxRoot = scratch + "/index"
+      val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+      // corpus as a 2-dir manifest table with key stats (feed-diffable)
+      val cDirs = ManifestCommit.writeSliced(s, corpusRoot, emb,
+        when(col("vec_id") < 250, 0).otherwise(1), Seq("vec_id"))
+      ManifestCommit.commitReplace(s, corpusRoot, cDirs.map(_._1),
+        pruneDisplaced = false, stats = cDirs.toMap)
+      val g1 = ManifestCommit.readManifest(s, corpusRoot).get.gen
+      // the persisted index: one signature row per vector
+      def sigOf(df: DataFrame): DataFrame =
+        df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .select(col("vec_id"),
+            Similarity.hyperplaneSig("v", bits = 6, dim = 64).as("bucket"))
+      val iDir = ManifestCommit.newDataDir(idxRoot)
+      sigOf(emb).write.parquet(iDir)
+      ManifestCommit.commitReplace(s, idxRoot, Seq(iDir),
+        pruneDisplaced = false,
+        stats = Map(iDir -> ManifestCommit.dirStats(s, iDir, Seq("vec_id"))))
+      // corpus MERGE: sign-flip updates, modular deletes, shifted inserts
+      val upd = emb.filter(col("vec_id").between(30, 60) && col("vec_id") % 7 =!= 0)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      val del = emb.filter(col("vec_id") % 7 === 0)
+      val ins = emb.filter(col("vec_id") < 20 && col("vec_id") % 7 =!= 0)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      val src = upd.withColumn("__kill", lit(false))
+        .unionByName(del.withColumn("__kill", lit(true)))
+        .unionByName(ins.withColumn("__kill", lit(false)))
+      MergeInto.merge(s, corpusRoot, src, Seq("vec_id"),
+        deleteWhen = Some(col("__kill") === true))
+      val g2 = ManifestCommit.readManifest(s, corpusRoot).get.gen
+      // postings delta from the feed: DV-remove stale keys, append new sigs
+      val feed = ChangeFeed.diff(s, corpusRoot, g1, g2, Seq("vec_id"))
+      val removeKeys = feed.filter(col(ChangeFeed.ChangeType)
+        .isin("delete", "update_preimage")).select("vec_id").distinct()
+      val delRes = MergeInto.deleteWhere(s, idxRoot, removeKeys)
+      val added = sigOf(feed.filter(col(ChangeFeed.ChangeType)
+        .isin("insert", "update_postimage")).select("vec_id", "embedding"))
+      val aDir = ManifestCommit.newDataDir(idxRoot)
+      added.write.parquet(aDir)
+      val nAdded = s.read.parquet(aDir).count()
+      ManifestCommit.commitAppend(s, idxRoot, aDir,
+        stats = ManifestCommit.dirStats(s, aDir, Seq("vec_id")))
+      val idxGen = ManifestCommit.readManifest(s, idxRoot).get.gen
+      // probe through the MAINTAINED index (DVs apply at read)
+      val idx = ManifestCommit.read(s, idxRoot)
+      val merged = ManifestCommit.read(s, corpusRoot)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qs = idx.join(merged.filter(col("vec_id") < 5), "vec_id")
+        .select(col("vec_id").as("qid"), col("bucket").as("qb"), col("v").as("qv"))
+      val cs = idx.join(merged, "vec_id")
+        .select(col("vec_id").as("nid"), col("bucket").as("nb"), col("v").as("nv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      cs.join(broadcast(qs), col("nb") === col("qb") && col("nid") =!= col("qid"))
+        .withColumn("sim", Similarity.cosine(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("nid"),
+          lit(delRes.deleted).as("idx_removed"),
+          lit(nAdded).as("idx_added"),
+          lit(idxGen).cast("int").as("idx_gens"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -1808,5 +2079,6 @@ object Pipeline {
     q122_incremental_agg, q123_merge_into, q124_change_feed,
     q125_merge_schema_evolution, q126_cdf_incremental_rollup,
     q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup,
-    q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d, q134_month_lifecycle)
+    q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d, q134_month_lifecycle,
+    q135_manifest_count, q136_stream_late_drop, q137_ann_incremental)
 }

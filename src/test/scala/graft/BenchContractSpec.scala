@@ -26,11 +26,12 @@ class BenchContractSpec extends AnyFunSuite {
     val shortOf = Bench.shortKeys(names)
     val shorts = names.map(shortOf)
     assert(shorts.distinct.size === shorts.size, "short-key collision")
-    // realistic-worst full form: every value "99.99" (5 chars — single
-    // queries run 0.05-5 s; composeLine degrades if reality ever exceeds
-    // this, so the estimate only needs to cover the COMMON case staying
-    // in the richest form) + scaffolding + the 4-entry med_outliers cap
-    val perQuery = shorts.map(_.length + 9).sum
+    // realistic-worst full form: queries run 0.05-5 s ("9.99", 4 chars)
+    // with an allowance of 8 slow queries at 5 chars ("12.34") —
+    // composeLine degrades if reality ever exceeds this, so the estimate
+    // only needs to cover the COMMON case staying in the richest form —
+    // plus scaffolding and the 4-entry med_outliers cap
+    val perQuery = shorts.map(_.length + 8).sum + 8
     val fixed = 200 + 4 * 14
     assert(perQuery + fixed < 1900,
       s"estimated full-form line ${perQuery + fixed} chars — the driver tail is ~2000")
