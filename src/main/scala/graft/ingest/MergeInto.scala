@@ -109,6 +109,13 @@ object MergeInto {
       inserted: Long,
       survivors: Long)
 
+  /** `retries`: bounded AUTO-retry on an irreconcilable concurrent commit
+    * — each attempt re-reads the manifest and re-runs the whole merge
+    * (the OCC loop every production writer needs; the rebase in
+    * `commitReconciled` already absorbs COMMUTING interleaves without
+    * re-running, so a retry only fires when the conflict is real). The
+    * aborted attempt's staged dir is reclaimed eagerly, not left for
+    * `pruneOrphans`. Default 0 preserves throw-on-conflict. */
   def merge(
       spark: SparkSession,
       root: String,
@@ -116,7 +123,28 @@ object MergeInto {
       keys: Seq[String],
       deleteWhen: Option[Column] = None,
       insertUnmatched: Boolean = true,
-      evolveSchema: Boolean = false): MergeResult = {
+      evolveSchema: Boolean = false,
+      retries: Int = 0): MergeResult = {
+    var attempt = 0
+    while (attempt < retries.max(0)) {
+      try return mergeOnce(spark, root, source, keys, deleteWhen,
+        insertUnmatched, evolveSchema)
+      catch {
+        case _: ManifestCommit.ConcurrentCommitException => attempt += 1
+      }
+    }
+    mergeOnce(spark, root, source, keys, deleteWhen, insertUnmatched,
+      evolveSchema) // final attempt propagates its conflict
+  }
+
+  private def mergeOnce(
+      spark: SparkSession,
+      root: String,
+      source: DataFrame,
+      keys: Seq[String],
+      deleteWhen: Option[Column],
+      insertUnmatched: Boolean,
+      evolveSchema: Boolean): MergeResult = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
@@ -292,16 +320,27 @@ object MergeInto {
     // displaced set; kept dirs' stats and DVs (including concurrent
     // repoints on dirs this merge never read) carry from the CURRENT
     // generation; a disjoint concurrent append grafts in
-    val committed = ManifestCommit.commitReconciled(
-      spark, root, base = m,
-      displaced = m.dirs.filter(touched),
-      added = Seq(newName),
-      addedStats =
-        if (newStats.nonEmpty) Map(newName -> newStats) else Map.empty,
-      schema = Some(unionSchema),
-      op = "merge",
-      pinned = touched,
-      disjoint = disjointFromSource)
+    val committed =
+      try ManifestCommit.commitReconciled(
+        spark, root, base = m,
+        displaced = m.dirs.filter(touched),
+        added = Seq(newName),
+        addedStats =
+          if (newStats.nonEmpty) Map(newName -> newStats) else Map.empty,
+        schema = Some(unionSchema),
+        op = "merge",
+        pinned = touched,
+        disjoint = disjointFromSource)
+      catch {
+        case e: ManifestCommit.ConcurrentCommitException =>
+          // the staged rewrite can never be referenced — reclaim it now
+          // (a retried merge re-stages from the new generation) instead
+          // of leaving it to pruneOrphans' freshness window
+          new org.apache.hadoop.fs.Path(newDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(newDir), true)
+          throw e
+      }
 
     MergeResult(committed.gen, m.dirs.size, m.dirs.size - keptDirs.size,
       upd, del, ins, keep)
@@ -328,7 +367,25 @@ object MergeInto {
     * later `merge` of a dv'd dir materialize the subtraction and drop
     * the DV. Time travel is exact: each generation references its own
     * immutable dv files. */
+  /** `retries`: bounded auto-retry on concurrent-commit conflict, the
+    * same OCC loop as [[merge]]; staged `_dv_*` files of an aborted
+    * attempt are reclaimed eagerly. */
   def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      keys: DataFrame,
+      retries: Int = 0): DeleteResult = {
+    var attempt = 0
+    while (attempt < retries.max(0)) {
+      try return deleteWhereOnce(spark, root, keys)
+      catch {
+        case _: ManifestCommit.ConcurrentCommitException => attempt += 1
+      }
+    }
+    deleteWhereOnce(spark, root, keys)
+  }
+
+  private def deleteWhereOnce(
       spark: SparkSession,
       root: String,
       keys: DataFrame): DeleteResult = {
@@ -419,7 +476,7 @@ object MergeInto {
         // rewrite or DV repoint of one invalidates the union this delete
         // computed); concurrent appends graft when their key range proves
         // them free of the deleted keys
-        else ManifestCommit.commitReconciled(spark, root, base = m,
+        else try ManifestCommit.commitReconciled(spark, root, base = m,
           displaced = Nil,
           added = Nil,
           dvUpdates = newDvs,
@@ -427,6 +484,16 @@ object MergeInto {
           op = "delete",
           pinned = touched.toSet,
           disjoint = disjointFromKeys)
+        catch {
+          case e: ManifestCommit.ConcurrentCommitException =>
+            // staged dv files of the aborted attempt are unreachable —
+            // reclaim eagerly (a retry rebuilds them from the new gen)
+            val f = new org.apache.hadoop.fs.Path(root)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            newDvs.values.foreach(v =>
+              f.delete(new org.apache.hadoop.fs.Path(root, v), true))
+            throw e
+        }
       DeleteResult(committed.gen, m.dirs.size, newDvs.size, totalDeleted)
     } finally distinctKeys.unpersist()
   }

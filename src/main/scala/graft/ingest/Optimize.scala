@@ -139,9 +139,28 @@ object Optimize {
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // size probe on CONCURRENT threads: getContentSummary is one
+    // filesystem round-trip per dir, and a sequential sweep is a driver
+    // latency wall at high dir counts (the resolveBloom lesson; dv'd
+    // dirs always fold, so they skip the probe entirely)
+    val small: Map[String, Boolean] = {
+      val probed = m.dirs.filterNot(m.dvs.contains)
+      def probe(d: String) =
+        d -> (f.getContentSummary(new Path(root, d)).getLength < smallBytes)
+      if (probed.size <= 4) probed.map(probe).toMap
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(probed.size, 32))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(probed.map(d => Future(probe(d)))), Duration.Inf).toMap
+        finally pool.shutdown()
+      }
+    }
     val (fold, keep) = m.dirs.partition { d =>
-      m.dvs.contains(d) ||
-        f.getContentSummary(new Path(root, d)).getLength < smallBytes
+      m.dvs.contains(d) || small.getOrElse(d, false)
     }
     if (fold.size < 2 && fold.forall(!m.dvs.contains(_)))
       return m // nothing worth folding

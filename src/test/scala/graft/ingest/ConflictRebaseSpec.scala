@@ -238,6 +238,36 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(ids(root) === ((1L to 200L).toSet -- (150L to 170L)) ++ (301L to 400L))
   }
 
+  test("merge retries=1: both overlapping merges land with no caller-visible failure, staged dir reclaimed") {
+    val root = rangedTable()
+    val entered = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    val srcA = gated(
+      mkDf(st, (10L to 20L).map(i => Row(i, "A")): _*), entered, proceed)
+    @volatile var resA: MergeInto.MergeResult = null
+    val t = new Thread(() => {
+      resA = MergeInto.merge(spark, root, srcA, Seq("id"), retries = 1)
+    })
+    t.start()
+    assert(entered.await(60, TimeUnit.SECONDS))
+    // merge B rewrites the SAME dir and commits first — A's first attempt
+    // must abort, its internal retry re-runs against B's generation
+    MergeInto.merge(spark, root,
+      mkDf(st, (30L to 40L).map(i => Row(i, "B")): _*), Seq("id"))
+    proceed.countDown()
+    t.join(120000)
+    assert(resA != null, "merge A should have landed via its internal retry")
+    assert(resA.updated === 11L)
+    val live = ManifestCommit.read(spark, root)
+    assert(live.filter(col("v") === "A").count() === 11L)
+    assert(live.filter(col("v") === "B").count() === 11L)
+    assert(ids(root) === (1L to 200L).toSet)
+    // the aborted attempt's staged dir was reclaimed eagerly, not left
+    // for pruneOrphans' freshness window
+    assert(ManifestCommit.pruneOrphans(spark, root, minAgeMs = 0L).isEmpty,
+      "conflict cleanup should leave no orphan staged dirs")
+  }
+
   test("compactStates never loses a concurrently-appended state part (lost-update fix)") {
     import IncrementalAgg.Measure
     val root = freshRoot()

@@ -243,6 +243,110 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
   }
 
+  test("standing-rollup fuzz (seed 2718): change-feed maintenance with min/max stays exact through every op mix") {
+    // A rollup (count/sum + MIN/MAX) maintained ONLY through
+    // ChangeFeed.diff + IncrementalAgg.applyChangesExact while the base
+    // table goes through the full lifecycle — merges that move rows
+    // between groups, DV deletes, minor compaction, z-order rewrites,
+    // retention sweeps. Invariant after every step: the finalized rollup
+    // equals a from-scratch aggregate of the in-memory model. This is
+    // the interaction net for the q126 machinery: row-identical rewrites
+    // must feed NOTHING, deletes must dirty exactly their groups, and
+    // group-movers must retract from the old group while the new group's
+    // min/max moves monotonically.
+    import IncrementalAgg.Measure
+    val root = Files.createTempDirectory("fuzz_roll_").toString + "/t"
+    val rollup = Files.createTempDirectory("fuzz_roll_").toString + "/r"
+    val rnd = new scala.util.Random(2718)
+    val st = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("g", StringType, false),
+      StructField("x", LongType, false)))
+    val groups = Seq("a", "b", "c", "d")
+    // model: id -> (group, x)
+    var model = Map.empty[Long, (String, Long)]
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, (String, Long))] = (1 to n).map { _ =>
+      nextId += 1
+      nextId -> ((groups(rnd.nextInt(groups.size)), rnd.nextInt(1000).toLong))
+    }
+    def df(rows: Seq[(Long, (String, Long))]) =
+      mkDf(st, rows.map { case (id, (g, x)) => Row(id, g, x) }: _*)
+
+    locally {
+      val rows = fresh(24)
+      val d = ManifestCommit.newDataDir(root)
+      df(rows).write.parquet(d)
+      ManifestCommit.commitReplace(spark, root, Seq(d),
+        pruneDisplaced = false,
+        stats = Map(d -> ManifestCommit.dirStats(spark, d, Seq("id"))),
+        schema = Some(StructType(st.fields.map(_.copy(nullable = true)))))
+      model = rows.toMap
+    }
+    val measures = Seq(
+      Measure("cnt", "*", "count"),
+      Measure("x_sum", "x", "sum_long"),
+      Measure("x_min", "x", "min"),
+      Measure("x_max", "x", "max"))
+    IncrementalAgg.appendBatch(spark, rollup,
+      ManifestCommit.read(spark, root), Seq("g"), measures)
+    var lastGen = ManifestCommit.readManifest(spark, root).get.gen
+
+    def expected(): Map[String, (Long, Long, Long, Long)] =
+      model.values.groupBy(_._1).map { case (g, vs) =>
+        val xs = vs.map(_._2)
+        g -> ((xs.size.toLong, xs.sum, xs.min, xs.max))
+      }
+    def actual(): Map[String, (Long, Long, Long, Long)] =
+      IncrementalAgg.finalizeState(spark, rollup, Seq("g"), measures,
+        dropEmptyGroups = true)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    (1 to 14).foreach { step =>
+      val live = model.keys.toSeq.sorted
+      rnd.nextInt(5) match {
+        case 0 => // merge: group-moving updates + deletes + inserts
+          val upd = rnd.shuffle(live).take(3).map { id =>
+            val (_, x) = model(id)
+            id -> ((groups(rnd.nextInt(groups.size)), x + 7))
+          }
+          val del = rnd.shuffle(live).filterNot(upd.map(_._1).contains).take(2)
+          val ins = fresh(2)
+          val srcRows = upd ++ del.map(id => id -> model(id)) ++ ins
+          val src = df(srcRows).withColumn("__kill", col("id").isin(del: _*))
+          MergeInto.merge(spark, root, src, Seq("id"),
+            deleteWhen = Some(col("__kill") === true))
+          model = model -- del ++ upd ++ ins
+        case 1 => // DV sparse delete — dirties exactly the victims' groups
+          val del = rnd.shuffle(live).take(1 + rnd.nextInt(3))
+          if (del.nonEmpty) {
+            MergeInto.deleteWhere(spark, root, mkDf(
+              StructType(Seq(StructField("id", LongType, false))),
+              del.map(Row(_)): _*))
+            model --= del
+          }
+        case 2 => Optimize.compactSmall(spark, root, smallBytes = 1L << 20)
+        case 3 => if (model.nonEmpty)
+          Optimize.zorderCompactN(spark, root, Seq("id", "x"),
+            targetDirs = 1 + rnd.nextInt(2))
+        case 4 => ManifestCommit.expireSnapshots(spark, root,
+          // the un-maintained window [lastGen, current] must stay
+          // retained for the next diff
+          keepLast = math.max(2,
+            (ManifestCommit.readManifest(spark, root).get.gen - lastGen + 1).toInt))
+      }
+      val cur = ManifestCommit.readManifest(spark, root).get.gen
+      if (cur != lastGen) {
+        val feed = ChangeFeed.diff(spark, root, lastGen, cur, Seq("id"))
+        IncrementalAgg.applyChangesExact(spark, rollup, feed,
+          ManifestCommit.read(spark, root), Seq("g"), measures)
+        lastGen = cur
+      }
+      assert(actual() === expected(), s"rollup mismatch after step $step")
+    }
+  }
+
   test("month lifecycle fuzz: collapse x z-order x DV interplay, pruned reads stay exact") {
     val root = Files.createTempDirectory("fuzz_mo_").toString + "/t"
     val rnd = new scala.util.Random(777)
