@@ -216,7 +216,6 @@ object IncrementalAgg {
       .filter(col(ChangeFeed.ChangeType).isin("delete", "update_preimage"))
       .select(keys.map(col): _*).distinct().cache()
     try {
-      val nDirty = dirtyKeys.count()
       val obs = Observation()
       val rescans = base.join(broadcast(dirtyKeys), keys, "left_semi")
         .observe(obs, count(lit(1)).as("rescanned"))
@@ -253,8 +252,15 @@ object IncrementalAgg {
         }
       }
       val d = ManifestCommit.newDataDir(root)
-      joined.select(outCols: _*).write.parquet(d)
-      val rescanned = obs.get.get("rescanned") match {
+      // dirty-group metering rides the stitch pass itself (one row per
+      // group there, so the flagged sum IS the dirty-group count) — a
+      // separate dirtyKeys.count() job would be pure sequential latency
+      val obsJ = Observation()
+      joined
+        .observe(obsJ,
+          sum(when(col("__dirty"), 1L).otherwise(0L)).as("dirty_groups"))
+        .select(outCols: _*).write.parquet(d)
+      def metric(o: Observation, name: String): Long = o.get.get(name) match {
         case Some(v: java.lang.Long) => v.longValue()
         case Some(v) if v != null => v.toString.toLong
         case _ => 0L
@@ -262,7 +268,8 @@ object IncrementalAgg {
       val committed = ManifestCommit.commitReconciled(spark, root, base = m0,
         displaced = m0.dirs, added = Seq(d),
         op = "apply_changes_exact", pinned = m0.dirs.toSet)
-      ApplyExactResult(committed, nDirty, rescanned)
+      ApplyExactResult(committed, metric(obsJ, "dirty_groups"),
+        metric(obs, "rescanned"))
     } finally { dirtyKeys.unpersist(); () }
   }
 
