@@ -2066,6 +2066,136 @@ object Pipeline {
     }
   }
 
+  /** q138 — the IVF half of incremental ANN maintenance (q137 covers the
+    * LSH band index; IVF inverted lists are the other persisted index
+    * family): the coarse quantizer is FROZEN at train time (the original
+    * vectors 100..107, q49's deterministic centroids — corpus mutations
+    * must not silently re-train it), the (nid, cid) list assignments are
+    * a manifest table, and a corpus MERGE maintains them from the change
+    * feed — stale keys DV-deleted, insert/postimage rows re-assigned
+    * through the broadcast `NearestCentroids` argmin and appended as one
+    * delta dir. The probe (nprobe=2 list join + exact cosine over
+    * vectors fetched from the merged corpus) hash-matches a from-scratch
+    * assignment of the merged corpus in DuckDB; removed/added counts and
+    * the index generation count (init + delete + append = 3) pin that no
+    * rebuild happened. Cost shape as q137: O(changes) against any index
+    * size, vectors never stored in the index rows. */
+  val q138_ivf_incremental = Q(
+    "q138_ivf_incremental",
+    """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |upd AS (SELECT vec_id, list_transform(v, x -> -x) AS v FROM e0
+      |  WHERE vec_id BETWEEN 30 AND 60 AND vec_id % 7 != 0),
+      |merged AS (
+      |  SELECT vec_id, v FROM e0
+      |  WHERE vec_id % 7 != 0 AND vec_id NOT BETWEEN 30 AND 60
+      |  UNION ALL SELECT vec_id, v FROM upd
+      |  UNION ALL SELECT vec_id + 10000, v FROM e0
+      |  WHERE vec_id < 20 AND vec_id % 7 != 0),
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM e0
+      |  WHERE vec_id BETWEEN 100 AND 107),
+      |dists AS (SELECT m.vec_id, m.v, cent.cid,
+      |    list_sum(list_transform(range(1, 65), i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d
+      |  FROM merged m CROSS JOIN cent),
+      |lists AS (SELECT vec_id AS nid, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r FROM dists)
+      |  WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r FROM dists)
+      |  WHERE r <= 2 AND vec_id < 5),
+      |cand AS (SELECT p.qid, l.nid,
+      |    list_cosine_similarity(eq.v, en.v) AS sim
+      |  FROM probes p JOIN lists l USING (cid)
+      |  JOIN merged eq ON eq.vec_id = p.qid
+      |  JOIN merged en ON en.vec_id = l.nid
+      |  WHERE l.nid != p.qid),
+      |cons AS (SELECT
+      |  (SELECT count(*) FROM e0 WHERE vec_id % 7 = 0) +
+      |    (SELECT count(*) FROM upd) AS removed,
+      |  (SELECT count(*) FROM upd) +
+      |    (SELECT count(*) FROM e0 WHERE vec_id < 20 AND vec_id % 7 != 0) AS added)
+      |SELECT qid, rank, nid,
+      |  (SELECT removed FROM cons) AS idx_removed,
+      |  (SELECT added FROM cons) AS idx_added, 3 AS idx_gens
+      |FROM (SELECT qid, nid,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+      |  FROM cand) WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ChangeFeed, ManifestCommit, MergeInto}
+    val scratch = tmpDir("graft_q138_")
+    val corpusRoot = scratch + "/corpus"
+    val idxRoot = scratch + "/lists"
+    val emb = Tables.load(s, dir, "embeddings").select("vec_id", "embedding")
+    val cDirs = ManifestCommit.writeSliced(s, corpusRoot, emb,
+      when(col("vec_id") < 250, 0).otherwise(1), Seq("vec_id"))
+    ManifestCommit.commitReplace(s, corpusRoot, cDirs.map(_._1),
+      pruneDisplaced = false, stats = cDirs.toMap)
+    val g1 = ManifestCommit.readManifest(s, corpusRoot).get.gen
+    // frozen coarse quantizer: the ORIGINAL 100..107 vectors, broadcast
+    val centRows = emb.filter(col("vec_id").between(100, 107))
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .collect()
+    val bc = s.sparkContext.broadcast(graft.functions.CentroidMatrix(
+      centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Double](1).toArray)))
+    def assign(df: DataFrame, keep: Int): DataFrame =
+      df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("__v"))
+        .select(col("vec_id"),
+          explode(graft.functions.columns.nearestCentroids(
+            col("__v"), bc, keep)).as("cid"))
+    // persisted lists: (vec_id, cid), id-range stats for DV pruning
+    val iDir = ManifestCommit.newDataDir(idxRoot)
+    assign(emb, 1).write.parquet(iDir)
+    ManifestCommit.commitReplace(s, idxRoot, Seq(iDir),
+      pruneDisplaced = false,
+      stats = Map(iDir -> ManifestCommit.dirStats(s, iDir, Seq("vec_id"))))
+    // corpus MERGE (q137's mutation set)
+    val upd = emb.filter(col("vec_id").between(30, 60) && col("vec_id") % 7 =!= 0)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    val del = emb.filter(col("vec_id") % 7 === 0)
+    val ins = emb.filter(col("vec_id") < 20 && col("vec_id") % 7 =!= 0)
+      .withColumn("vec_id", col("vec_id") + 10000)
+    MergeInto.merge(s, corpusRoot,
+      upd.withColumn("__kill", lit(false))
+        .unionByName(del.withColumn("__kill", lit(true)))
+        .unionByName(ins.withColumn("__kill", lit(false))),
+      Seq("vec_id"), deleteWhen = Some(col("__kill") === true))
+    val g2 = ManifestCommit.readManifest(s, corpusRoot).get.gen
+    // maintain the lists from the feed
+    val feed = ChangeFeed.diff(s, corpusRoot, g1, g2, Seq("vec_id"))
+    val removeKeys = feed.filter(col(ChangeFeed.ChangeType)
+      .isin("delete", "update_preimage")).select("vec_id").distinct()
+    val delRes = MergeInto.deleteWhere(s, idxRoot, removeKeys)
+    val aDir = ManifestCommit.newDataDir(idxRoot)
+    assign(feed.filter(col(ChangeFeed.ChangeType)
+      .isin("insert", "update_postimage")).select("vec_id", "embedding"), 1)
+      .write.parquet(aDir)
+    val nAdded = s.read.parquet(aDir).count()
+    ManifestCommit.commitAppend(s, idxRoot, aDir,
+      stats = ManifestCommit.dirStats(s, aDir, Seq("vec_id")))
+    val idxGen = ManifestCommit.readManifest(s, idxRoot).get.gen
+    // probe through the MAINTAINED lists; vectors fetched from the corpus
+    val merged = ManifestCommit.read(s, corpusRoot)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val lists = ManifestCommit.read(s, idxRoot)
+      .select(col("vec_id").as("nid"), col("cid"))
+      .join(merged.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+    val probes = assign(
+      ManifestCommit.read(s, corpusRoot).filter(col("vec_id") < 5), 2)
+      .select(col("vec_id").as("qid"), col("cid"))
+      .join(merged.select(col("vec_id").as("qid"), col("v").as("qv")), "qid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    lists.join(broadcast(probes), Seq("cid")).filter(col("nid") =!= col("qid"))
+      .withColumn("sim", graft.ops.Similarity.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"),
+        lit(delRes.deleted).as("idx_removed"),
+        lit(nAdded).as("idx_added"),
+        lit(idxGen).cast("int").as("idx_gens"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -2080,5 +2210,6 @@ object Pipeline {
     q125_merge_schema_evolution, q126_cdf_incremental_rollup,
     q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup,
     q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d, q134_month_lifecycle,
-    q135_manifest_count, q136_stream_late_drop, q137_ann_incremental)
+    q135_manifest_count, q136_stream_late_drop, q137_ann_incremental,
+    q138_ivf_incremental)
 }
