@@ -58,7 +58,11 @@ object Plans {
       "q126_cdf_incremental_rollup" ->
         "CDF-maintained rollup read: the plan aggregates PARTIAL STATE parts (rows ∝ groups × parts) — no orders scan anywhere in it, which is the whole point: the base table was maintained into the rollup via the change feed, never rescanned.",
       "DV_read_lineage" ->
-        "Deletion-vector read (dumped as its lineage: a dv'd dir read through readDirsOf): the DV applies as a BroadcastHashJoin LeftAnti against the ~KB key file — no shuffle, no sort; the dir scan keeps its explicit ReadSchema. Cost per dv'd dir is one broadcast probe per row.",
+        "Deletion-vector read (dumped as its lineage: a dv'd dir read through readDirsOf): the DV applies as a BroadcastHashJoin LeftAnti against the ~KB key file — no shuffle, no sort; the dir scan keeps its explicit ReadSchema. Since round 10 dv'd dirs are GROUPED by key-set: one scan + ONE anti-join per group on (dir, keys) — at 96 dv'd dirs the plan still holds a single join node (MetaScaleCheck: 11.5s -> 2.1s), with each dv row's owning dir recovered from its file path through a broadcast lookup.",
+      "q137_ann_incremental" ->
+        "Maintained-LSH-index probe: the band index reads through the manifest with its deletion vector applied as one broadcast anti-join; the 4-query side is explicitly broadcast into the bucket join, and cosine + the top-5 window shuffle only (qid, nid, sim) rows — the index maintenance itself (DV delete + signature append) never appears because it touched O(changes), not the corpus.",
+      "q138_ivf_incremental" ->
+        "Maintained-IVF-lists probe: assignment of the post-merge queries is the same broadcast NearestCentroids projection as q49 (no exchange, O(1) plan size in k x dim); the persisted (nid, cid) lists join vectors back from the corpus read, and the probe side broadcasts — vectors never lived in the index rows, so the lists stay narrow at any corpus width.",
       "W1_dedup_latest_lineage" ->
         "Latest-version dedup (the q11/q40/ingest W1 kernel, dumped as its lineage): the max_by AGGREGATE form (round 8) — a partial aggregate BEFORE the key exchange keeps one row per key per map task, so a hot key ships #tasks rows to its reducer instead of every duplicate; the old row_number form had a Window after the exchange funneling the whole key through one task (measured 6.7x on a 50%-one-key shape, SCALE.md). No Window node anywhere; ReadSchema carries only the used columns.")
     // W1 is special-cased: the gates run the dedup imperatively inside an
