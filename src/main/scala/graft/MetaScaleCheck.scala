@@ -100,7 +100,11 @@ object MetaScaleCheck {
       val all = scala.collection.mutable.Map[String, Double]()
       val root = GraftTmp.dir(s"metascale_${tag}_") + "/t"
       buildMeta(spark, root, nDirs)
-      all("read_manifest") = time(s"$tag readManifest parse ($nDirs dirs)") {
+      all("read_manifest") = time(s"$tag readManifest COLD (checkpoint+chain, $nDirs dirs)") {
+        ManifestCommit.clearResolveCache() // a fresh process's first read
+        assert(ManifestCommit.readManifest(spark, root).get.dirs.size >= nDirs)
+      }
+      all("read_manifest_warm") = time(s"$tag readManifest warm (pointer + cache)") {
         assert(ManifestCommit.readManifest(spark, root).get.dirs.size >= nDirs)
       }
       all("resolve_pruned") = time(s"$tag resolvePruned 1% band") {
@@ -120,7 +124,7 @@ object MetaScaleCheck {
       all("history") = time(s"$tag history over 5 retained generations") {
         assert(ManifestCommit.history(spark, root).collect().length >= 5)
       }
-      all("commit_append") = time(s"$tag commitAppend (parse+render+2 writes)") {
+      all("commit_append") = time(s"$tag commitAppend (delta record + O(1) pointer)") {
         ManifestCommit.commitAppend(spark, root,
           s"$root/data_app_${java.util.UUID.randomUUID().toString.take(8)}",
           stats = Seq(ColStats("id", "num", "0", "0")))

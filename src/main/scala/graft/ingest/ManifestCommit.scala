@@ -21,10 +21,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout of a manifest-committed table root:
   * {{{
-  *   root/_manifest            # pointer: "<gen>\n<dirName>\n<dirName>..."
-  *   root/_manifest.g<N>       # immutable per-generation snapshot (time travel)
+  *   root/_manifest            # tiny CAS pointer: gen + #ref + #base
+  *   root/_manifest.g<N>       # immutable per-generation record: a full
+  *                             #   checkpoint, or a delta over g<N-1>
+  *                             #   (full forced every CheckpointInterval)
   *   root/data_<uuid>/         # immutable part directories
   * }}}
+  * The pointer is the ONLY mutable object and stays O(1) bytes, so the
+  * object-store conditional PUT arbitrating writers is constant-cost at
+  * any dir count; per-commit metadata I/O is O(changes), amortized
+  * O(dirs / CheckpointInterval) — the public Delta log + checkpoint
+  * shape. Pre-delta-log tables (full content in the pointer, every
+  * g-file full) read unchanged and migrate on their next commit.
   *
   * Generations: `commitReplace` installs an exact set of live dirs (the
   * staging-swap analogue, one dir per generation); `commitAppend` adds a
@@ -133,7 +141,24 @@ object ManifestCommit {
   private def snapshotPath(root: String, gen: Long) =
     new Path(root, s"$ManifestFile.g$gen")
 
-  private def parseManifest(spark: SparkSession, root: String, p: Path): Option[Manifest] = {
+  /** One manifest FILE, uninterpreted: generation header, '#'-meta lines,
+    * dir lines. '#'-prefixed metadata lines extend the format
+    * back-compatibly: old manifests have none, old parsers of new
+    * manifests never existed (this is the only parser). */
+  private final case class RawManifest(gen: Long, meta: Seq[String],
+      dirLines: Seq[String]) {
+    def metaVal(key: String): Option[String] =
+      meta.find(_.startsWith(key + "\t")).map(_.split('\t')(1))
+    /** Pointer in the delta-log format: names gen, content lives in
+      * `_manifest.g<gen>` (resolved through the checkpoint chain). */
+    def isRef: Boolean = meta.exists(_.startsWith("#ref"))
+    /** Some(baseGen) when this per-generation file is a DELTA record
+      * over `baseGen` rather than a full (checkpoint) snapshot. */
+    def deltaBase: Option[Long] = metaVal("#delta").map(_.toLong)
+  }
+
+  private def readRaw(spark: SparkSession, root: String,
+      p: Path): Option[RawManifest] = {
     val f = fs(spark, root)
     if (!f.exists(p)) None
     else {
@@ -142,29 +167,103 @@ object ManifestCommit {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val lines = text.split("\n").map(_.stripLineEnd).filter(_.trim.nonEmpty)
-      // '#'-prefixed metadata lines extend the format back-compatibly:
-      // old manifests have none, old parsers of new manifests never
-      // existed (this is the only parser)
       val (meta, dirLines) = lines.tail.toSeq.partition(_.startsWith("#"))
-      val schema = meta.find(_.startsWith("#schema\t")).map { l =>
-        org.apache.spark.sql.types.DataType.fromJson(dec(l.split('\t')(1)))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-      }
-      val op = meta.find(_.startsWith("#op\t")).map(l => dec(l.split('\t')(1)))
-      val txns = meta.find(_.startsWith("#txn\t")).map { l =>
-        l.split('\t')(1).split(',').toSeq.map { t =>
-          val i = t.lastIndexOf(':')
-          dec(t.substring(0, i)) -> t.substring(i + 1).toLong
-        }.toMap
-      }.getOrElse(Map.empty[String, Long])
-      val parsed = dirLines.map(parseDirLine)
-      Some(Manifest(lines.head.trim.toLong, parsed.map(_._1),
-        parsed.collect { case (d, cs, _) if cs.nonEmpty => d -> cs }.toMap,
-        schema, op,
-        parsed.collect { case (d, _, Some(dv)) => d -> dv }.toMap,
-        txns))
+      Some(RawManifest(lines.head.trim.toLong, meta, dirLines))
     }
   }
+
+  /** op / schema / txn meta are ABSOLUTE in every file (full or delta):
+    * they are O(1)/O(cols)/O(writers) — tiny next to the O(dirs) dir
+    * list, so deltas re-state them instead of diffing. */
+  private def interpretMeta(raw: RawManifest): (
+      Option[org.apache.spark.sql.types.StructType], Option[String],
+      Map[String, Long]) = {
+    val schema = raw.metaVal("#schema").map { s =>
+      org.apache.spark.sql.types.DataType.fromJson(dec(s))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    val op = raw.metaVal("#op").map(dec)
+    val txns = raw.metaVal("#txn").map { t =>
+      t.split(',').toSeq.map { x =>
+        val i = x.lastIndexOf(':')
+        dec(x.substring(0, i)) -> x.substring(i + 1).toLong
+      }.toMap
+    }.getOrElse(Map.empty[String, Long])
+    (schema, op, txns)
+  }
+
+  private def interpretFull(raw: RawManifest): Manifest = {
+    val (schema, op, txns) = interpretMeta(raw)
+    val parsed = raw.dirLines.map(parseDirLine)
+    Manifest(raw.gen, parsed.map(_._1),
+      parsed.collect { case (d, cs, _) if cs.nonEmpty => d -> cs }.toMap,
+      schema, op,
+      parsed.collect { case (d, _, Some(dv)) => d -> dv }.toMap,
+      txns)
+  }
+
+  /** Apply one delta record to its resolved base: `-name` removes a dir,
+    * `~dirline` re-states a surviving dir's stats/dv in place, `+dirline`
+    * appends a new dir at the end — exactly the shapes `commitAppend`
+    * and `commitReconciled` produce, so base order is preserved. */
+  private def applyDelta(base: Manifest, raw: RawManifest): Manifest = {
+    val (schema, op, txns) = interpretMeta(raw)
+    val removed = raw.dirLines.filter(_.startsWith("-"))
+      .map(_.substring(1)).toSet
+    val updated = raw.dirLines.filter(_.startsWith("~"))
+      .map(l => parseDirLine(l.substring(1)))
+    val added = raw.dirLines.filter(_.startsWith("+"))
+      .map(l => parseDirLine(l.substring(1)))
+    val touched = (updated ++ added).map(_._1).toSet
+    Manifest(raw.gen,
+      base.dirs.filterNot(removed) ++ added.map(_._1),
+      (base.stats -- removed -- touched) ++
+        (updated ++ added).collect { case (d, cs, _) if cs.nonEmpty => d -> cs },
+      schema, op,
+      (base.dvs -- removed -- touched) ++
+        (updated ++ added).collect { case (d, _, Some(v)) => d -> v },
+      txns)
+  }
+
+  /** Resolved-manifest memo for the per-generation files: a COMMITTED
+    * `_manifest.g<N>`'s logical content never changes (expire's
+    * checkpoint materialization rewrites a byte-different but
+    * semantically identical full form), so chain resolution is paid once
+    * per generation per process. Writers invalidate their own gen before
+    * writing — that covers the one mutation window, a crashed commit's
+    * stale g<N> file being overwritten by the next committer of gen N. */
+  private val resolveCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Manifest](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Manifest]): Boolean = size > 256
+    })
+  private def cacheKey(root: String, gen: Long) = root + "\u0000g" + gen
+  private[graft] def clearResolveCache(): Unit = resolveCache.clear()
+
+  /** Resolve generation `gen`'s manifest through the checkpoint chain:
+    * walk delta records back to the nearest full snapshot (chain length
+    * is bounded by [[CheckpointInterval]] — commits force a full
+    * checkpoint before the chain can exceed it), apply forward. Old
+    * tables (every g-file full) resolve in one step. */
+  private def resolveAt(spark: SparkSession, root: String,
+      gen: Long): Option[Manifest] =
+    Option(resolveCache.get(cacheKey(root, gen))).orElse {
+      readRaw(spark, root, snapshotPath(root, gen)).map { raw =>
+        require(raw.gen == gen,
+          s"$root: ${snapshotPath(root, gen)} header says gen ${raw.gen}")
+        val m = raw.deltaBase match {
+          case Some(b) =>
+            val base = resolveAt(spark, root, b).getOrElse(
+              throw new IllegalStateException(
+                s"$root: generation $gen is a delta over missing generation " +
+                  s"$b — metadata chain broken (expired without checkpoint?)"))
+            applyDelta(base, raw)
+          case None => interpretFull(raw)
+        }
+        resolveCache.put(cacheKey(root, gen), m)
+        m
+      }
+    }
 
   /** A fresh, uniquely-named data directory under `root`. The writer owns
     * it exclusively (UUID), so the write needs no locking; the dir is
@@ -173,12 +272,15 @@ object ManifestCommit {
     s"$root/data_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
 
   def readManifest(spark: SparkSession, root: String): Option[Manifest] =
-    parseManifest(spark, root, manifestPath(root))
+    readRaw(spark, root, manifestPath(root)).flatMap { raw =>
+      if (raw.isRef) resolveAt(spark, root, raw.gen)
+      else Some(interpretFull(raw)) // pre-delta-log pointer: full content inline
+    }
 
-  /** The historical manifest of generation `gen`, if its snapshot is
+  /** The historical manifest of generation `gen`, if its record is
     * still retained (see `expireSnapshots`). */
   def readManifestAt(spark: SparkSession, root: String, gen: Long): Option[Manifest] =
-    parseManifest(spark, root, snapshotPath(root, gen))
+    resolveAt(spark, root, gen)
 
   /** Retained snapshot generations, ascending. Snapshots newer than the
     * pointer (a stale file from a crashed commit) are excluded — only
@@ -187,7 +289,8 @@ object ManifestCommit {
     val f = fs(spark, root)
     val rootP = new Path(root)
     if (!f.exists(rootP)) return Nil
-    val current = readManifest(spark, root).map(_.gen).getOrElse(return Nil)
+    val current = // pointer header only — no need to resolve the chain
+      readRaw(spark, root, manifestPath(root)).map(_.gen).getOrElse(return Nil)
     f.listStatus(rootP).toSeq.map(_.getPath.getName)
       .filter(_.startsWith(ManifestFile + ".g"))
       .flatMap(n => scala.util.Try(n.stripPrefix(ManifestFile + ".g").toLong).toOption)
@@ -197,6 +300,14 @@ object ManifestCommit {
   /** True when `path` is a manifest-committed table root. */
   def isManifestTable(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(manifestPath(path))
+
+  /** Physical kind of each retained per-generation metadata record —
+    * "full" (checkpoint) or "delta" — observability for tests/audits;
+    * readers never need it (resolution is transparent). */
+  def recordKinds(spark: SparkSession, root: String): Map[Long, String] =
+    snapshotGens(spark, root).map(g =>
+      g -> (if (readRaw(spark, root, snapshotPath(root, g))
+        .exists(_.deltaBase.isDefined)) "delta" else "full")).toMap
 
   /** Absolute paths of the live data dirs; a plain (non-manifest) table
     * resolves to itself, so readers can use this unconditionally. */
@@ -354,22 +465,89 @@ object ManifestCommit {
     fc.rename(tmp, dest, Options.Rename.OVERWRITE)
   }
 
-  /** Every commit also writes an immutable per-generation snapshot file
-    * `_manifest.g<gen>` BEFORE swapping the `_manifest` pointer — this is
-    * what `readAt`/time travel resolves. The snapshot lands first so a
-    * crash between the two writes leaves a stale gen-N snapshot that the
-    * next successful commit of gen N simply overwrites; the pointer (the
-    * single commit point) never references a missing snapshot. */
-  private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
-    val content = (Seq(m.gen.toString) ++
-      m.tableSchema.map(s => "#schema\t" + enc(s.json)).toSeq ++
+  private def metaLines(m: Manifest): Seq[String] =
+    m.tableSchema.map(s => "#schema\t" + enc(s.json)).toSeq ++
       m.op.map(o => "#op\t" + enc(o)).toSeq ++
       (if (m.txns.isEmpty) Nil
        else Seq("#txn\t" + m.txns.toSeq.sortBy(_._1)
-         .map { case (w, v) => enc(w) + ":" + v }.mkString(","))) ++
+         .map { case (w, v) => enc(w) + ":" + v }.mkString(",")))
+
+  private def renderFull(m: Manifest): String =
+    (Seq(m.gen.toString) ++ metaLines(m) ++
       m.dirs.map(renderDirLine(m))).mkString("\n")
-    writeFileAtomic(spark, root, snapshotPath(root, m.gen), content)
-    writeFileAtomic(spark, root, manifestPath(root), content)
+
+  /** Delta record of `m` over `prev` (`-removed`, `~restated`, `+added`
+    * — see [[applyDelta]]); None when the change doesn't fit the delta
+    * shape (non-successor generation, or surviving dirs reordered /
+    * interleaved with additions — only full replaces do that, and they
+    * write checkpoints anyway). */
+  private def renderDelta(prev: Manifest, m: Manifest): Option[String] = {
+    if (m.gen != prev.gen + 1) return None
+    val prevSet = prev.dirs.toSet
+    val mSet = m.dirs.toSet
+    val added = m.dirs.filterNot(prevSet)
+    if (m.dirs != prev.dirs.filter(mSet) ++ added) return None
+    val removed = prev.dirs.filterNot(mSet)
+    val restated = prev.dirs.filter(d => mSet(d) &&
+      (prev.stats.get(d) != m.stats.get(d) || prev.dvs.get(d) != m.dvs.get(d)))
+    // a delta touching as many lines as a full render saves nothing —
+    // checkpoint instead (also what keeps near-total rewrites self-
+    // contained); the guard is structural so the full O(dirs) string
+    // render is never built on the delta path
+    if (removed.size + restated.size + added.size >= m.dirs.size) return None
+    Some((Seq(m.gen.toString, s"#delta\t${prev.gen}") ++ metaLines(m) ++
+      removed.map("-" + _) ++
+      restated.map(d => "~" + renderDirLine(m)(d)) ++
+      added.map(d => "+" + renderDirLine(m)(d))).mkString("\n"))
+  }
+
+  /** Checkpoint cadence: a full snapshot at least every this-many
+    * generations bounds every read's delta-chain walk. The interval
+    * trades commit cost (one O(dirs) checkpoint write per K commits,
+    * O(changes) otherwise) against cold-read cost (≤ K small delta
+    * files after the checkpoint) — the public Delta log/checkpoint
+    * ratio ballpark. */
+  private[ingest] val CheckpointInterval = 16
+
+  private def pointerText(gen: Long, fullBase: Long): String =
+    Seq(gen.toString, "#ref\t1", s"#base\t$fullBase").mkString("\n")
+
+  /** Every commit writes an immutable per-generation record
+    * `_manifest.g<gen>` BEFORE swapping the `_manifest` pointer — this is
+    * what `readAt`/time travel resolves. The record lands first so a
+    * crash between the two writes leaves a stale gen-N record that the
+    * next successful commit of gen N simply overwrites; the pointer (the
+    * single commit point) never references a missing record.
+    *
+    * DELTA LOG (the public Delta/Iceberg metadata-scale answer, adopted
+    * once MetaScaleCheck showed two O(dirs) file writes per commit): when
+    * `prev` is supplied and the change fits the delta shape, the
+    * per-generation record holds ONLY the delta and the pointer is a
+    * tiny `#ref` naming the generation — commit I/O drops from O(dirs)
+    * to O(changes). A full checkpoint is forced every
+    * [[CheckpointInterval]] generations (tracked via the pointer's
+    * `#base` line) so chains stay short; full replaces (`prev = None`)
+    * always checkpoint, which is what keeps the eager-prune path
+    * self-contained. Old-format tables (full content in the pointer)
+    * keep reading fine; their first new commit moves them onto the log. */
+  private def writeManifest(spark: SparkSession, root: String, m: Manifest,
+      prev: Option[Manifest] = None): Unit = {
+    resolveCache.remove(cacheKey(root, m.gen))
+    val fullBase: Long = readRaw(spark, root, manifestPath(root))
+      .map(r => r.metaVal("#base").map(_.toLong).getOrElse(r.gen))
+      .getOrElse(m.gen)
+    val delta =
+      if (m.gen - fullBase >= CheckpointInterval) None
+      else prev.flatMap(p => renderDelta(p, m))
+    delta match {
+      case Some(d) =>
+        writeFileAtomic(spark, root, snapshotPath(root, m.gen), d)
+        writeFileAtomic(spark, root, manifestPath(root), pointerText(m.gen, fullBase))
+      case None => // checkpoint: the only path that renders O(dirs) text
+        writeFileAtomic(spark, root, snapshotPath(root, m.gen), renderFull(m))
+        writeFileAtomic(spark, root, manifestPath(root), pointerText(m.gen, m.gen))
+    }
+    resolveCache.put(cacheKey(root, m.gen), m)
   }
 
   /** Staging-swap analogue: install `dirs` (relative names under `root`)
@@ -436,6 +614,7 @@ object ManifestCommit {
         })
       snapshotGens(spark, root).filter(_ < m.gen).foreach { g =>
         f.delete(snapshotPath(root, g), false)
+        resolveCache.remove(cacheKey(root, g)) // expired gens must not resolve
       }
     }
     m
@@ -535,7 +714,7 @@ object ManifestCommit {
       Some(op),
       (cur.dvs -- dispN) ++ dvUpdates.map { case (d, f) => name(d) -> f },
       cur.txns)
-    writeManifest(spark, root, m)
+    writeManifest(spark, root, m, Some(cur))
     m
   }
 
@@ -560,10 +739,22 @@ object ManifestCommit {
     val expiredMs = expired.flatMap(g => readManifestAt(spark, root, g))
     val deadDirs = expiredMs.flatMap(_.dirs).distinct.filterNot(keptDirs.contains)
     val deadDvs = expiredMs.flatMap(_.dvs.values).distinct.filterNot(keptDvs.contains)
+    // the oldest RETAINED generation must stay self-contained: if its
+    // record is a delta, its chain reaches into the generations being
+    // expired — materialize it as a full checkpoint (byte-different,
+    // semantically identical; the resolve cache stays valid) BEFORE any
+    // record it transitively depends on is deleted
+    kept.headOption.foreach { g =>
+      if (readRaw(spark, root, snapshotPath(root, g)).exists(_.deltaBase.isDefined))
+        readManifestAt(spark, root, g).foreach { m =>
+          writeFileAtomic(spark, root, snapshotPath(root, g), renderFull(m))
+        }
+    }
     val deleted =
       expired.map(g => snapshotPath(root, g)) ++
         (deadDirs ++ deadDvs).map(new Path(root, _))
     deleted.foreach(p => f.delete(p, true))
+    expired.foreach(g => resolveCache.remove(cacheKey(root, g))) // must not resolve
     deleted.map(_.toString)
   }
 
@@ -603,7 +794,7 @@ object ManifestCommit {
       prev.flatMap(_.tableSchema), Some(op),
       prev.map(_.dvs).getOrElse(Map.empty),
       prev.map(_.txns).getOrElse(Map.empty) ++ txn)
-    writeManifest(spark, root, m)
+    writeManifest(spark, root, m, prev)
     m
   }
 
@@ -861,8 +1052,8 @@ object ManifestCommit {
     * carries a [[RowCountStat]] and none has a deletion vector (a dv'd
     * dir's live count is count − |dv ∩ dir|, which the manifest does not
     * record) — else None, and the caller counts the ordinary way. Reads
-    * ONLY the manifest: no Spark job, no file I/O beyond the one small
-    * pointer (spec-asserted). */
+    * ONLY the manifest (pointer + cached/chained metadata records): no
+    * Spark job, no data or footer I/O (spec-asserted). */
   def tableRowCount(spark: SparkSession, root: String): Option[Long] =
     readManifest(spark, root).flatMap { m =>
       if (m.dvs.nonEmpty) None
@@ -981,18 +1172,33 @@ object ManifestCommit {
       }
       newest
     }
-    f.listStatus(rootP).toSeq
-      .filter { st =>
-        val name = st.getPath.getName
-        // data dirs and DELETION-VECTOR dirs share the orphan contract:
-        // written before a commit names them, so a crashed writer leaves
-        // either kind unreferenced (a deleteWhere that wrote its _dv_*
-        // but never committed is the DV case of the mid-batch crash)
-        val orphanCandidate =
-          (name.startsWith("data_") && !live.contains(name)) ||
-            (name.startsWith("_dv_") && !liveDvs.contains(name))
-        orphanCandidate && newestMtime(st.getPath) <= cutoff
+    // data dirs and DELETION-VECTOR dirs share the orphan contract:
+    // written before a commit names them, so a crashed writer leaves
+    // either kind unreferenced (a deleteWhere that wrote its _dv_*
+    // but never committed is the DV case of the mid-batch crash)
+    val candidates = f.listStatus(rootP).toSeq.filter { st =>
+      val name = st.getPath.getName
+      (name.startsWith("data_") && !live.contains(name)) ||
+        (name.startsWith("_dv_") && !liveDvs.contains(name))
+    }
+    // each candidate's freshness check is an independent recursive
+    // listing — one filesystem round-trip chain per orphan, so a
+    // sequential loop is driver latency linear in garbage (the
+    // resolveBloom/compactSmall wall); probe on a pool, delete serially
+    val stale: Seq[Boolean] =
+      if (candidates.size <= 4) candidates.map(st => newestMtime(st.getPath) <= cutoff)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(candidates.size, 32))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(candidates.map(st =>
+          Future(newestMtime(st.getPath) <= cutoff))), Duration.Inf)
+        finally pool.shutdown()
       }
-      .map { st => f.delete(st.getPath, true); st.getPath.toString }
+    candidates.zip(stale).collect { case (st, true) =>
+      f.delete(st.getPath, true); st.getPath.toString
+    }
   }
 }

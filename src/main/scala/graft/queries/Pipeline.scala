@@ -2196,6 +2196,67 @@ object Pipeline {
         lit(idxGen).cast("int").as("idx_gens"))
   }
 
+  /** q139 — the metadata DELTA LOG under a long commit chain (the
+    * public Delta/Iceberg log + checkpoint shape,
+    * `ManifestCommit.writeManifest`). 20 successive commits build a
+    * chain that crosses the forced-checkpoint cadence
+    * (`CheckpointInterval` = 16), so the retained records must be
+    * exactly 2 full checkpoints (gen 1 and gen 17) and 18 delta
+    * records — pinned as integers in the hashed output, so a silent
+    * fallback to full snapshots (or a broken cadence) reds the gate.
+    * Retention then expires to the last 5 generations, which forces the
+    * oldest KEPT delta record (gen 16) to be materialized into a full
+    * checkpoint before its chain is deleted; the re-read after expiry
+    * must still see every row. Logical content (row count / key sum
+    * over all 20 dirs) hash-matches DuckDB on the raw table — the
+    * physical metadata layout must be invisible to readers.
+    *
+    * 100-TB shape: the commit path this pins is what keeps metadata I/O
+    * O(changes) per commit with an O(1)-byte CAS pointer at 10^5 dirs;
+    * the data side is one write job + one grouped stats pass
+    * (`writeSliced`) regardless of slice count. */
+  val q139_delta_log = Q(
+    "q139_delta_log",
+    """SELECT 18 AS n_delta_records, 2 AS n_full_records,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  1 AS oldest_kept_full,
+      |  CAST(count(*) AS BIGINT) AS rows_after_expire
+      |FROM orders""".stripMargin) { (s, dir) =>
+    import graft.ingest.ManifestCommit
+    val root = tmpDir("graft_q139_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    // 20 range dirs from ONE write job + ONE stats pass...
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      pmod(col("o_orderkey"), lit(20)),
+      Seq("o_orderkey", ManifestCommit.RowCountStat))
+    // ...installed as 20 SUCCESSIVE commits: one replace + 19 appends,
+    // gen 1..20 — the long-chain shape of a streaming/maintenance writer
+    ManifestCommit.commitReplace(s, root, Seq(dirs.head._1),
+      pruneDisplaced = false, stats = Map(dirs.head))
+    dirs.tail.foreach { case (d, st) =>
+      ManifestCommit.commitAppend(s, root, d, stats = st)
+    }
+    val kinds = ManifestCommit.recordKinds(s, root)
+    val nDelta = kinds.valuesIterator.count(_ == "delta")
+    val nFull = kinds.valuesIterator.count(_ == "full")
+    val agg = ManifestCommit.read(s, root)
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("k")).collect()(0)
+    ManifestCommit.expireSnapshots(s, root, keepLast = 5)
+    val oldestKept = ManifestCommit.snapshotGens(s, root).min
+    val oldestFull =
+      ManifestCommit.recordKinds(s, root).get(oldestKept).contains("full")
+    val after = ManifestCommit.read(s, root).count()
+    s.range(1).select(
+      lit(nDelta).as("n_delta_records"),
+      lit(nFull).as("n_full_records"),
+      lit(agg.getLong(0)).as("n_rows"),
+      lit(agg.getLong(1)).as("key_sum"),
+      lit(if (oldestFull) 1 else 0).as("oldest_kept_full"),
+      lit(after).as("rows_after_expire"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -2211,5 +2272,5 @@ object Pipeline {
     q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup,
     q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d, q134_month_lifecycle,
     q135_manifest_count, q136_stream_late_drop, q137_ann_incremental,
-    q138_ivf_incremental)
+    q138_ivf_incremental, q139_delta_log)
 }

@@ -256,21 +256,21 @@ class ManifestCommitSpec extends SparkSpec {
       .toSeq === Seq(3L))
   }
 
-  test("old manifests without #op parse with empty operation") {
+  test("old-format manifests (full pointer, no #op, no #ref) still parse") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
     val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "a"))(d1)
-    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false)
-    // strip the #op line, simulating a pre-provenance manifest
+    val m = ManifestCommit.commitReplace(spark, root, Seq(d1),
+      pruneDisplaced = false)
+    // rewrite the pointer in the PRE-DELTA-LOG shape: full dir content
+    // inline, no #ref/#base, no #op — the on-disk form every pre-round-10
+    // table carries
     val p = new org.apache.hadoop.fs.Path(root, "_manifest")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val txt = {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
     val out = f.create(p, true)
-    try out.write(txt.linesIterator.filterNot(_.startsWith("#op"))
-      .mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write((m.gen.toString + "\n" + m.dirs.mkString("\n"))
+      .getBytes("UTF-8")) finally out.close()
     assert(ManifestCommit.readManifest(spark, root).get.op.isEmpty)
+    assert(ManifestCommit.readManifest(spark, root).get.dirs === m.dirs)
     assert(idsOf(root) === Set(1L)) // reads unaffected
   }
 
@@ -545,5 +545,112 @@ class ManifestCommitSpec extends SparkSpec {
     assert(ids.sorted === (0 until threads * appendsPerThread).map(_.toLong))
     // the barrier guarantees contention on at least the first round
     assert(retries.get() >= 1, s"expected >=1 CAS retry, got ${retries.get()}")
+  }
+
+  // ---- delta log + checkpoints (round 10): commit metadata I/O is
+  // O(changes), the CAS pointer is O(1) bytes, and full snapshots land
+  // only at the checkpoint cadence — while every read/time-travel/history
+  // result stays byte-identical to the full-snapshot protocol.
+
+  private def rawText(root: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root, name)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("appends write delta records behind a tiny #ref pointer; reads and time travel resolve exactly") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "a"))(d1)
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false,
+      stats = Map(d1 -> Seq(ManifestCommit.ColStats("id", "num", "1", "1"))))
+    (2 to 4).foreach { i =>
+      val d = ManifestCommit.newDataDir(root); write(Row(i.toLong, "x"))(d)
+      ManifestCommit.commitAppend(spark, root, d,
+        stats = Seq(ManifestCommit.ColStats("id", "num", i.toString, i.toString)))
+    }
+    // physical shape: gen 1 is a full checkpoint, gens 2-4 are deltas,
+    // and the pointer carries no dir list at all
+    assert(!rawText(root, "_manifest.g1").contains("#delta"))
+    (2 to 4).foreach(g =>
+      assert(rawText(root, s"_manifest.g$g").contains(s"#delta\t${g - 1}")))
+    val ptr = rawText(root, "_manifest")
+    assert(ptr.contains("#ref") && !ptr.contains("data_"))
+    assert(ptr.length < 40, s"pointer must be O(1) bytes, got ${ptr.length}")
+    // logical content: identical to the full-snapshot protocol
+    assert(idsOf(root) === Set(1L, 2L, 3L, 4L))
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.gen === 4L && m.dirs.size === 4)
+    // stats survive the delta round-trip (resolvePruned still prunes)
+    val (kept, total) = ManifestCommit.resolvePruned(spark, root, "id",
+      Some("3"), Some("3"))
+    assert(total === 4 && kept.size === 1)
+    // time travel across the chain
+    assert(ManifestCommit.readAt(spark, root, 2).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // a cold process (empty resolve cache) resolves the same chain
+    ManifestCommit.clearResolveCache()
+    assert(idsOf(root) === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("a full checkpoint is forced every CheckpointInterval generations") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root); write(Row(0L, "a"))(d1)
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false)
+    val k = ManifestCommit.CheckpointInterval
+    (1 to k).foreach { i =>
+      val d = ManifestCommit.newDataDir(root); write(Row(i.toLong, "x"))(d)
+      ManifestCommit.commitAppend(spark, root, d)
+    }
+    // gens 2..k are deltas over the gen-1 checkpoint; gen k+1 crosses the
+    // cadence and must be full again
+    assert(rawText(root, s"_manifest.g$k").contains("#delta"))
+    assert(!rawText(root, s"_manifest.g${k + 1}").contains("#delta"))
+    // the pointer's #base moved to the new checkpoint
+    assert(rawText(root, "_manifest").contains(s"#base\t${k + 1}"))
+    assert(idsOf(root) === (0 to k).map(_.toLong).toSet)
+  }
+
+  test("expire materializes the oldest kept delta into a full checkpoint") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "a"))(d1)
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false)
+    (2 to 5).foreach { i =>
+      val d = ManifestCommit.newDataDir(root); write(Row(i.toLong, "x"))(d)
+      ManifestCommit.commitAppend(spark, root, d)
+    }
+    // kept {4,5}: g4 was a delta whose chain reached the expiring g1
+    ManifestCommit.expireSnapshots(spark, root, keepLast = 2)
+    assert(ManifestCommit.snapshotGens(spark, root) === Seq(4L, 5L))
+    assert(!rawText(root, "_manifest.g4").contains("#delta"),
+      "oldest kept generation must have been checkpointed")
+    assert(rawText(root, "_manifest.g5").contains("#delta\t4"))
+    // both retained generations resolve exactly — in a cold process too
+    ManifestCommit.clearResolveCache()
+    assert(ManifestCommit.readAt(spark, root, 4).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+    assert(idsOf(root) === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("DV repoints and writer txns ride delta records") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d1 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"))(d1)
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false)
+    // txn-carrying append → delta record restates #txn absolutely
+    val d2 = ManifestCommit.newDataDir(root); write(Row(4L, "d"))(d2)
+    ManifestCommit.commitAppend(spark, root, d2, txn = Some(("w1", 7L)))
+    assert(rawText(root, "_manifest.g2").contains("#delta"))
+    assert(ManifestCommit.readManifest(spark, root).get.txns === Map("w1" -> 7L))
+    // DV delete commits through the reconciled path → `~` restatement
+    val res = MergeInto.deleteWhere(spark, root,
+      mkDf(StructType(Seq(StructField("id", LongType, false))), Row(2L)))
+    assert(res.dvsWritten === 1)
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.dvs.size === 1 && m.txns === Map("w1" -> 7L))
+    assert(idsOf(root) === Set(1L, 3L, 4L))
+    // cold re-resolution agrees
+    ManifestCommit.clearResolveCache()
+    assert(idsOf(root) === Set(1L, 3L, 4L))
   }
 }
