@@ -162,7 +162,14 @@ object ManifestCommit {
     val f = fs(spark, root)
     if (!f.exists(p)) None
     else {
-      val in = f.open(p)
+      // exists-then-open is a TOCTOU window: a concurrent retention
+      // sweep can delete an expired record in between — absent is
+      // absent, however it was observed (readers retry via the
+      // readManifest path, readManifestAt callers see the same None an
+      // earlier-arriving sweep would have produced)
+      val in =
+        try f.open(p)
+        catch { case _: java.io.FileNotFoundException => return None }
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -271,11 +278,43 @@ object ManifestCommit {
   def newDataDir(root: String): String =
     s"$root/data_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
 
-  def readManifest(spark: SparkSession, root: String): Option[Manifest] =
-    readRaw(spark, root, manifestPath(root)).flatMap { raw =>
-      if (raw.isRef) resolveAt(spark, root, raw.gen)
-      else Some(interpretFull(raw)) // pre-delta-log pointer: full content inline
+  /** Bounded retry around the chain walk: a concurrent retention sweep
+    * (or eager-prune replace) can delete part of the chain BETWEEN this
+    * reader's pointer read and its record walk. Both writers repair
+    * before they delete — expire materializes the oldest kept generation
+    * into a full checkpoint first, eager-prune lands a full record and
+    * repoints — so a fresh walk (and fresh pointer read, for the
+    * repointed case) always sees a self-contained chain. A chain still
+    * broken after the retries is real corruption and surfaces. */
+  @annotation.tailrec
+  private def readManifestRetrying(spark: SparkSession, root: String,
+      attempt: Int): Option[Manifest] =
+    readRaw(spark, root, manifestPath(root)) match {
+      case None => None
+      case Some(raw) if !raw.isRef =>
+        Some(interpretFull(raw)) // pre-delta-log pointer: full content inline
+      case Some(raw) =>
+        // resolveAt -> None here means the pointer we read went STALE
+        // past the retention window before our walk (its record already
+        // expired) — same remedy as a broken chain: re-read the pointer.
+        // A ref pointer whose record is still missing after the retries
+        // is corruption (commits land the record BEFORE the pointer),
+        // never "no table", so it surfaces rather than reading as empty.
+        val resolved: Option[Manifest] =
+          try resolveAt(spark, root, raw.gen)
+          catch { case e: IllegalStateException =>
+            if (attempt < 3) None else throw e }
+        resolved match {
+          case some @ Some(_) => some
+          case None if attempt < 3 => readManifestRetrying(spark, root, attempt + 1)
+          case None => throw new IllegalStateException(
+            s"$root: pointer names generation ${raw.gen} but its metadata " +
+              "record is missing after retries")
+        }
     }
+
+  def readManifest(spark: SparkSession, root: String): Option[Manifest] =
+    readManifestRetrying(spark, root, 0)
 
   /** The historical manifest of generation `gen`, if its record is
     * still retained (see `expireSnapshots`). */
@@ -457,12 +496,33 @@ object ManifestCommit {
     if (!f.exists(rootP)) f.mkdirs(rootP)
     val tmp = new Path(root,
       s"._manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(rootP.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, dest, Options.Rename.OVERWRITE)
+    val scheme = f.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // LOCAL: pure-NIO tmp write + POSIX rename(2). Two reasons over
+      // the Hadoop path: (1) Hadoop's local rename(OVERWRITE) is
+      // delete-then-rename — a concurrent reader can observe the
+      // destination MISSING in between; rename(2) replaces atomically.
+      // (2) LocalFileSystem.create would drop a `.crc` sidecar for the
+      // tmp name that no rename ever moves — one litter file per commit
+      // at the table root, forever. HDFS FileContext rename is atomic
+      // as-is; the object-store deployment replaces this whole method
+      // with a conditional PUT.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dest.toUri.getPath),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = FileContext.getFileContext(rootP.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dest, Options.Rename.OVERWRITE)
+    }
   }
 
   private def metaLines(m: Manifest): Seq[String] =
@@ -725,7 +785,10 @@ object ManifestCommit {
     * writer's uncommitted dir) are not this method's business — that is
     * `pruneOrphans`' freshness-guarded job. Returns deleted paths. */
   def expireSnapshots(spark: SparkSession, root: String,
-      keepLast: Int = 2): Seq[String] = {
+      keepLast: Int = 2): Seq[String] = commitLock(root).synchronized {
+    // the commit lock serializes the sweep against same-process commits
+    // (an eager-prune replace deleting records this sweep is reading) —
+    // cross-process readers are covered by readManifest's bounded retry
     require(keepLast >= 1, "must retain at least the current generation")
     val gens = snapshotGens(spark, root)
     if (gens.isEmpty) return Nil
@@ -1179,7 +1242,12 @@ object ManifestCommit {
     val candidates = f.listStatus(rootP).toSeq.filter { st =>
       val name = st.getPath.getName
       (name.startsWith("data_") && !live.contains(name)) ||
-        (name.startsWith("_dv_") && !liveDvs.contains(name))
+        (name.startsWith("_dv_") && !liveDvs.contains(name)) ||
+        // crashed-commit tmp files (and pre-round-10 checksum sidecars
+        // for them) — never referenced by anything once the commit's
+        // rename didn't happen, same age guard as the data dirs
+        name.startsWith("._manifest_tmp_") ||
+        name.startsWith(".._manifest_tmp_")
     }
     // each candidate's freshness check is an independent recursive
     // listing — one filesystem round-trip chain per orphan, so a

@@ -125,6 +125,11 @@ class LifecycleFuzzSpec extends SparkSpec {
         case 6 => // retention sweep
           ManifestCommit.expireSnapshots(spark, root, keepLast = 2)
       }
+      // invariant 0 (delta log): every check below must resolve from DISK
+      // alone — a step that left a delta record chained to a deleted or
+      // never-written base would pass on the warm cache and break the
+      // next cold process, so the cache is dropped before every assert
+      ManifestCommit.clearResolveCache()
       // invariant 1: live read equals the model
       assert(snapshot(root) === model, s"live mismatch after step $step")
       // invariant 1b: bloom-resolved point probes agree with the model —
@@ -343,6 +348,7 @@ class LifecycleFuzzSpec extends SparkSpec {
           ManifestCommit.read(spark, root), Seq("g"), measures)
         lastGen = cur
       }
+      ManifestCommit.clearResolveCache() // cold delta-log resolve each step
       assert(actual() === expected(), s"rollup mismatch after step $step")
     }
   }
@@ -432,6 +438,8 @@ class LifecycleFuzzSpec extends SparkSpec {
         case 4 =>
           ManifestCommit.expireSnapshots(spark, root, keepLast = 2)
       }
+      // cold-resolve: the delta-log chain must reconstruct from disk alone
+      ManifestCommit.clearResolveCache()
       // invariant 1: live == model (latest version per id, deletes applied)
       assert(liveSnapshot() === model, s"live mismatch after step $step")
       // invariant 2: a month-pruned read + residual filter == the model's

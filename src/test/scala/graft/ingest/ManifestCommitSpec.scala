@@ -632,6 +632,40 @@ class ManifestCommitSpec extends SparkSpec {
     assert(idsOf(root) === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("cold readers survive concurrent commits + retention sweeps (chain repair + retry)") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d0 = ManifestCommit.newDataDir(root); write(Row(0L, "a"))(d0)
+    ManifestCommit.commitReplace(spark, root, Seq(d0), pruneDisplaced = false)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerError =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    // a COLD reader loop: the cleared cache forces a full disk chain walk
+    // on every read, maximizing the window where a sweep can delete a
+    // record between the pointer read and the walk
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          ManifestCommit.clearResolveCache()
+          val m = ManifestCommit.readManifest(spark, root)
+          assert(m.exists(_.dirs.nonEmpty)); reads.incrementAndGet(); ()
+        } catch {
+          case t: Throwable => readerError.set(t); stop.set(true)
+        }
+      }
+    })
+    reader.start()
+    try (1 to 40).foreach { i =>
+      val d = ManifestCommit.newDataDir(root); write(Row(i.toLong, "x"))(d)
+      ManifestCommit.commitAppend(spark, root, d)
+      if (i % 3 == 0) ManifestCommit.expireSnapshots(spark, root, keepLast = 2)
+    } finally { stop.set(true); reader.join() }
+    assert(readerError.get() == null,
+      s"cold reader failed mid-sweep: ${readerError.get()}")
+    assert(reads.get() > 0, "reader loop never completed a read")
+    assert(idsOf(root) === (0 to 40).map(_.toLong).toSet)
+  }
+
   test("DV repoints and writer txns ride delta records") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
     val d1 = ManifestCommit.newDataDir(root)
