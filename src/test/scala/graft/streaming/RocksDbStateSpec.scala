@@ -126,6 +126,28 @@ class RocksDbStateSpec extends SparkSpec {
     assert(a === b)
   }
 
+  private def sessions(src: String, base: String): Set[(String, String, String, Int)] = {
+    import spark.implicits._
+    drain(
+      Sessionize.byGap(
+        readEvents(src).select(col("user"), col("ts")).as[SessionEvent],
+        gapMs = 10 * 60 * 1000L).toDF(),
+      base)
+      .select(col("user"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("events"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSet
+  }
+
+  test("flatMapGroupsWithState sessionizer: RocksDB matches the default backend") {
+    // the CUSTOM-state path (GroupState + EventTimeTimeout) — arbitrary
+    // user state serialized into the store, not a built-in operator
+    val (a, b) = parity(sessions)
+    assert(a.nonEmpty, "pipeline emitted nothing — parity would be vacuous")
+    assert(a === b)
+  }
+
   test("watermarked dedup: RocksDB matches the default backend, dup dropped") {
     val (a, b) = parity(dedup)
     assert(a.nonEmpty)
