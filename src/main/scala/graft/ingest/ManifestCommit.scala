@@ -723,6 +723,10 @@ object ManifestCommit {
     * generation. */
   val AlwaysDisjoint: (String, Seq[ColStats]) => Boolean = (_, _) => true
 
+  /** `statUpdates` re-states the stats of SURVIVING dirs (the DV-dead
+    * counter rides a dv repoint this way); such dirs must be in
+    * `pinned` — the rebase check that their content and dv are
+    * unchanged is what keeps a re-stated stat truthful. */
   def commitReconciled(spark: SparkSession, root: String,
       base: Manifest,
       displaced: Seq[String],
@@ -732,7 +736,8 @@ object ManifestCommit {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: String = "replace",
       pinned: Set[String] = Set.empty,
-      disjoint: (String, Seq[ColStats]) => Boolean = AlwaysDisjoint): Manifest =
+      disjoint: (String, Seq[ColStats]) => Boolean = AlwaysDisjoint,
+      statUpdates: Map[String, Seq[ColStats]] = Map.empty): Manifest =
       commitLock(root).synchronized {
     def name(d: String) = new Path(d).getName
     val dispN = displaced.map(name).toSet
@@ -769,7 +774,8 @@ object ManifestCommit {
     val m = Manifest(
       cur.gen + 1,
       cur.dirs.filterNot(dispN) ++ addN,
-      (cur.stats -- dispN) ++ addedStats.map { case (d, cs) => name(d) -> cs },
+      (cur.stats -- dispN) ++ addedStats.map { case (d, cs) => name(d) -> cs } ++
+        statUpdates.map { case (d, cs) => name(d) -> cs },
       schema,
       Some(op),
       (cur.dvs -- dispN) ++ dvUpdates.map { case (d, f) => name(d) -> f },
@@ -965,7 +971,7 @@ object ManifestCommit {
     // rewrite whose statCols inherit `__rows` from the prior manifest
     // keeps the manifest-only COUNT(*) alive instead of crashing on a
     // nonexistent column
-    val real = cols.filterNot(_ == RowCountStat)
+    val real = cols.filterNot(PseudoStats)
     val wantRows = cols.contains(RowCountStat)
     val df = spark.read.parquet(dir)
     val aggs = real.flatMap(c => Seq(min(df(c)), max(df(c)))) ++
@@ -1015,7 +1021,7 @@ object ManifestCommit {
       s"$root/._sliced_staging_${java.util.UUID.randomUUID().toString.take(8)}"
     df.withColumn("__slice", slice).write.partitionBy("__slice").parquet(staging)
     val f = fs(spark, root)
-    val real = statCols.filterNot(_ == RowCountStat)
+    val real = statCols.filterNot(PseudoStats)
     val wantRows = statCols.contains(RowCountStat)
     val statRows: Seq[(String, org.apache.spark.sql.Row)] =
       if (statCols.isEmpty) Nil
@@ -1103,6 +1109,19 @@ object ManifestCommit {
     * alone: zero data I/O, zero footer reads, zero Spark jobs. */
   val RowCountStat = "__rows"
 
+  /** Pseudo-column carrying a dv'd dir's exact DEAD-ROW count (the dv's
+    * cardinality in rows of this dir): live = [[RowCountStat]] − this.
+    * Recorded by the delete path at each dv (re)point, so COUNT(*)
+    * stays manifest-only THROUGH merge-on-read deletes — the public
+    * Delta/Iceberg numRecords + DV-cardinality idea. */
+  val DvDeadStat = "__dv_dead"
+
+  /** Stat pseudo-columns no data column backs — every consumer that
+    * derives stat columns from a manifest must filter these before
+    * touching the data (inheriting one into an aggregate was a real
+    * crash class, caught in round-9 review). */
+  val PseudoStats: Set[String] = Set(RowCountStat, DvDeadStat)
+
   /** Count `dir`'s rows (one footer-only job at write time — parquet
     * aggregate pushdown — paid once per immutable dir) as a stats entry
     * to pass alongside `dirStats`. */
@@ -1112,19 +1131,24 @@ object ManifestCommit {
   }
 
   /** Footer-free table row count: Some(total) when EVERY live dir
-    * carries a [[RowCountStat]] and none has a deletion vector (a dv'd
-    * dir's live count is count − |dv ∩ dir|, which the manifest does not
-    * record) — else None, and the caller counts the ordinary way. Reads
-    * ONLY the manifest (pointer + cached/chained metadata records): no
-    * Spark job, no data or footer I/O (spec-asserted). */
+    * carries a [[RowCountStat]] and every dv'd dir carries a
+    * [[DvDeadStat]] (live = rows − dead; the delete path records the
+    * dv's exact cardinality at each repoint) — else None, and the
+    * caller counts the ordinary way. A dv written before the dead-count
+    * feature (dv present, no DvDeadStat) degrades to None, never to a
+    * wrong number. Reads ONLY the manifest (pointer + cached/chained
+    * metadata records): no Spark job, no data or footer I/O
+    * (spec-asserted). */
   def tableRowCount(spark: SparkSession, root: String): Option[Long] =
     readManifest(spark, root).flatMap { m =>
-      if (m.dvs.nonEmpty) None
-      else {
-        val counts = m.dirs.map(d =>
-          m.stats.getOrElse(d, Nil).find(_.col == RowCountStat).map(_.min.toLong))
-        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
-      }
+      def stat(d: String, c: String): Option[Long] =
+        m.stats.getOrElse(d, Nil).find(_.col == c).map(_.min.toLong)
+      val rows = m.dirs.map(stat(_, RowCountStat))
+      val dead = m.dirs.map(d =>
+        if (m.dvs.contains(d)) stat(d, DvDeadStat) else Some(0L))
+      if (rows.forall(_.isDefined) && dead.forall(_.isDefined))
+        Some(rows.flatten.sum - dead.flatten.sum)
+      else None
     }
 
   /** Build and store a per-dir bloom filter for `col`, as a HIDDEN side

@@ -261,7 +261,7 @@ object MergeInto {
       case Nil => keys
       case cs => cs
     }
-    val realStatCols = statCols.filterNot(_ == ManifestCommit.RowCountStat)
+    val realStatCols = statCols.filterNot(ManifestCommit.PseudoStats)
     val wantRows = statCols.contains(ManifestCommit.RowCountStat)
 
     // observe BEFORE the filter so deleted/skipped rows are still metered
@@ -439,7 +439,7 @@ object MergeInto {
       // tiny write) — submit them from concurrent threads so their
       // scheduling gaps overlap, the same latency shape (and fix) as
       // Similarity.pqTrainCodebooks' subspace trainers
-      val results: Seq[(String, String, Long)] = if (touched.isEmpty) Nil else {
+      val results: Seq[(String, String, Long, Long)] = if (touched.isEmpty) Nil else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -449,10 +449,14 @@ object MergeInto {
           // keys actually present among the dir's LIVE rows (existing DV
           // applied first, so re-deleting an already-deleted key is a no-op)
           val liveDir = ManifestCommit.readDirsOf(spark, root, m, Seq(d))
-          val present = liveDir.join(broadcast(distinctKeys), keyCols, "left_semi")
-            .select(keyCols.map(col): _*).distinct()
+          val matched = liveDir.join(broadcast(distinctKeys), keyCols, "left_semi")
+          // matched ROWS (not distinct keys) feed the dv-dead counter:
+          // under key duplication within a dir one dv key kills several
+          // rows, and the counter must track rows for live = rows − dead
+          val matchedRows = matched.count()
+          val present = matched.select(keyCols.map(col): _*).distinct()
           val newlyDeleted = present.count()
-          if (newlyDeleted == 0L) (d, "", 0L)
+          if (newlyDeleted == 0L) (d, "", 0L, 0L)
           else {
             val dvDf = m.dvs.get(d) match {
               case Some(old) => spark.read.parquet(s"$root/$old")
@@ -461,13 +465,28 @@ object MergeInto {
             }
             val dvName = s"_dv_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
             dvDf.coalesce(1).write.parquet(s"$root/$dvName")
-            (d, dvName, newlyDeleted)
+            (d, dvName, newlyDeleted, matchedRows)
           }
         } }), Duration.Inf)
         finally pool.shutdown()
       }
       val totalDeleted = results.map(_._3).sum
-      val newDvs = results.collect { case (d, dv, n) if n > 0L => d -> dv }.toMap
+      val newDvs = results.collect { case (d, dv, n, _) if n > 0L => d -> dv }.toMap
+      // exact dead-row counters ride the same commit so COUNT(*) stays
+      // manifest-only through merge-on-read deletes: new dead = prior
+      // dead + rows newly killed. A dir whose prior dv PREDATES the
+      // counter (dv present, no counter) is left unstamped — a partial
+      // counter would make tableRowCount WRONG instead of unavailable
+      val statUpdates: Map[String, Seq[ColStats]] =
+        results.collect { case (d, _, n, rows) if n > 0L &&
+            (m.dvs.get(d).isEmpty ||
+              m.stats.getOrElse(d, Nil).exists(_.col == ManifestCommit.DvDeadStat)) =>
+          val prior = m.stats.getOrElse(d, Nil)
+          val dead = prior.find(_.col == ManifestCommit.DvDeadStat)
+            .map(_.min.toLong).getOrElse(0L) + rows
+          d -> (prior.filterNot(_.col == ManifestCommit.DvDeadStat) :+
+            ColStats(ManifestCommit.DvDeadStat, "num", dead.toString, dead.toString))
+        }.toMap
 
       val committed =
         if (newDvs.isEmpty) m // nothing present anywhere: no commit needed
@@ -483,7 +502,8 @@ object MergeInto {
           schema = m.tableSchema,
           op = "delete",
           pinned = touched.toSet,
-          disjoint = disjointFromKeys)
+          disjoint = disjointFromKeys,
+          statUpdates = statUpdates)
         catch {
           case e: ManifestCommit.ConcurrentCommitException =>
             // staged dv files of the aborted attempt are unreachable —

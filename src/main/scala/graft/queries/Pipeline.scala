@@ -2257,6 +2257,68 @@ object Pipeline {
       lit(after).as("rows_after_expire"))
   }
 
+  /** q140 — manifest-only COUNT(*) THROUGH merge-on-read deletes
+    * (`ManifestCommit.DvDeadStat`; the public Delta/Iceberg numRecords +
+    * DV-cardinality idea). q135 pins the zero-job count on a clean
+    * table; this pins the half that usually breaks it in production —
+    * a `deleteWhere` repoints deletion vectors, and the delete path
+    * records each dv's exact dead-row count in the same commit, so
+    * `SELECT count(*)` keeps costing ZERO Spark jobs (job-group-scoped
+    * listener, both probes inside the hashed output) instead of
+    * degrading to a full scan the moment rows are soft-deleted.
+    *
+    * 100-TB shape: COUNT(*) is the most common audit/BI probe; on a
+    * dv-carrying table the alternative is scan-every-dir + anti-join
+    * per dv. The counter rides the dv repoint commit — O(touched dirs)
+    * metadata, no extra data pass beyond the count the delete already
+    * takes for its own metering. */
+  val q140_dv_count = Q(
+    "q140_dv_count",
+    """SELECT CAST(count(*) AS BIGINT) AS n_before,
+      |  CAST(count(*) FILTER (WHERE o_orderkey % 97 <> 0) AS BIGINT) AS n_after,
+      |  0 AS probe_jobs, 1 AS from_manifest
+      |FROM orders""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, MergeInto}
+    val root = tmpDir("graft_q140_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      pmod(col("o_orderkey"), lit(4)),
+      Seq("o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap)
+    val before = ManifestCommit.tableRowCount(s, root)
+    MergeInto.deleteWhere(s, root,
+      orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select("o_orderkey"))
+    // both probes (pre-recorded `before` re-check + post-delete) run
+    // inside one job-group-scoped listener window — the q135 discipline
+    val group = s"q140_probe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            group == e.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    val after = try {
+      s.sparkContext.setJobGroup(group, "manifest-only COUNT(*) probe over DVs", false)
+      val a = try ManifestCommit.tableRowCount(s, root)
+        finally s.sparkContext.clearJobGroup()
+      Thread.sleep(500) // listener events are async; let any job event land
+      a
+    } finally s.sparkContext.removeSparkListener(listener)
+    s.range(1).select(
+      lit(before.getOrElse(-1L)).as("n_before"),
+      lit(after.getOrElse(-1L)).as("n_after"),
+      lit(jobs.get()).as("probe_jobs"),
+      lit(if (before.isDefined && after.isDefined) 1 else 0).as("from_manifest"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -2272,5 +2334,5 @@ object Pipeline {
     q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup,
     q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d, q134_month_lifecycle,
     q135_manifest_count, q136_stream_late_drop, q137_ann_incremental,
-    q138_ivf_incremental, q139_delta_log)
+    q138_ivf_incremental, q139_delta_log, q140_dv_count)
 }

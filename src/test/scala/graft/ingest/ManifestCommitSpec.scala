@@ -338,10 +338,13 @@ class ManifestCommitSpec extends SparkSpec {
     ManifestCommit.commitReplace(spark, root, Seq(d4), pruneDisplaced = false,
       stats = Map(d4 -> Seq(ManifestCommit.rowCountStat(spark, d4))))
     assert(ManifestCommit.tableRowCount(spark, root) === Some(4L))
+    // a DV delete records its exact dead-row count in the same commit,
+    // so the manifest-only answer stays live (and exact) through
+    // merge-on-read deletes — the dedicated spec covers the full
+    // accumulate/idempotence/compaction matrix
     MergeInto.deleteWhere(spark, root, mkDf(
       StructType(Seq(StructField("id", LongType, false))), Row(1L)))
-    assert(ManifestCommit.tableRowCount(spark, root).isEmpty,
-      "deletion vectors must disable the manifest-only count")
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(3L))
   }
 
   test("eager-prune commitReplace reclaims displaced DV directories (recursive delete)") {
@@ -664,6 +667,50 @@ class ManifestCommitSpec extends SparkSpec {
       s"cold reader failed mid-sweep: ${readerError.get()}")
     assert(reads.get() > 0, "reader loop never completed a read")
     assert(idsOf(root) === (0 to 40).map(_.toLong).toSet)
+  }
+
+  test("tableRowCount stays manifest-only through merge-on-read deletes") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    // two dirs of 4 rows each, row counts recorded
+    val dirs = (0 until 2).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      write((0 until 4).map(j => Row((i * 4 + j).toLong, s"v$i$j")): _*)(d)
+      d
+    }
+    ManifestCommit.commitReplace(spark, root, dirs, pruneDisplaced = false,
+      stats = dirs.map(d => d ->
+        Seq(ManifestCommit.rowCountStat(spark, d))).toMap)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(8L))
+    def del(ids: Long*): Unit =
+      MergeInto.deleteWhere(spark, root, mkDf(
+        StructType(Seq(StructField("id", LongType, false))),
+        ids.map(Row(_)): _*))
+    // delete 3 keys across both dirs: dead counters make live exact
+    del(1L, 2L, 5L)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(5L))
+    // re-deleting the same keys is a no-op: already-dead rows are not
+    // re-counted (the per-dir probe sees only LIVE rows)
+    del(1L, 5L)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(5L))
+    // a second wave against an existing dv accumulates exactly
+    del(0L, 6L)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(3L))
+    assert(ManifestCommit.read(spark, root).count() === 3L)
+    // physical rewrite folds the dvs: counts survive via fresh __rows
+    Optimize.compactSmall(spark, root, smallBytes = 1L << 30)
+    assert(ManifestCommit.readManifest(spark, root).get.dvs.isEmpty)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(3L))
+    // a dv that PREDATES the dead counter degrades to None, never wrong:
+    // strip the counter from the manifest and delete again
+    del(3L)
+    val m = ManifestCommit.readManifest(spark, root).get
+    val stripped = m.copy(stats = m.stats.view.mapValues(
+      _.filterNot(_.col == ManifestCommit.DvDeadStat)).toMap)
+    ManifestCommit.commitReplace(spark, root,
+      m.dirs.map(d => s"$root/$d"), pruneDisplaced = false,
+      stats = stripped.stats.map { case (d, cs) => s"$root/$d" -> cs },
+      dvs = m.dvs.map { case (d, v) => s"$root/$d" -> v })
+    assert(ManifestCommit.tableRowCount(spark, root) === None)
   }
 
   test("DV repoints and writer txns ride delta records") {
