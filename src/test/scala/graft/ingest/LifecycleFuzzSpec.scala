@@ -62,9 +62,14 @@ class LifecycleFuzzSpec extends SparkSpec {
       val rows = fresh(20)
       val d = ManifestCommit.newDataDir(root)
       df(evolved, rows: _*).write.parquet(d)
+      // __rows from generation 1 arms the manifest-only COUNT(*) — every
+      // downstream path (merge observe metering, deleteWhere dead
+      // counters, compaction/z-order priorRows) must then MAINTAIN it,
+      // which invariant 1c checks after every step
       ManifestCommit.commitReplace(spark, root, Seq(d),
         pruneDisplaced = false,
-        stats = Map(d -> ManifestCommit.dirStats(spark, d, Seq("id"))))
+        stats = Map(d -> (ManifestCommit.dirStats(spark, d, Seq("id")) :+
+          ManifestCommit.rowCountStat(spark, d))))
       model = rows.toMap
     }
 
@@ -76,7 +81,8 @@ class LifecycleFuzzSpec extends SparkSpec {
           df(evolved, rows: _*).write.parquet(d)
           ManifestCommit.writeDirBloom(spark, d, "id", rows.size.toLong.max(8L))
           ManifestCommit.commitAppend(spark, root, d,
-            stats = ManifestCommit.dirStats(spark, d, Seq("id")))
+            stats = ManifestCommit.dirStats(spark, d, Seq("id")) :+
+              ManifestCommit.rowCountStat(spark, d))
           model ++= rows
         case 1 => // merge: updates + deletes + inserts
           val upd = sample(3).map(id => id ->
@@ -132,6 +138,17 @@ class LifecycleFuzzSpec extends SparkSpec {
       ManifestCommit.clearResolveCache()
       // invariant 1: live read equals the model
       assert(snapshot(root) === model, s"live mismatch after step $step")
+      // invariant 1c: the manifest-only COUNT(*) — when the stats chain
+      // answers, it must equal the model EXACTLY, whatever mix of merge
+      // metering, dv dead counters, compaction and z-order priorRows
+      // maintained it; silently losing __rows (count degrades to None
+      // forever) is also a failure
+      locally {
+        val n = ManifestCommit.tableRowCount(spark, root)
+        assert(n.isDefined, s"manifest-only count lost after step $step")
+        assert(n.get === model.size.toLong,
+          s"manifest-only count ${n.get} != model ${model.size} after step $step")
+      }
       // invariant 1b: bloom-resolved point probes agree with the model —
       // for a live key the probe finds exactly its row (DV-aware reread
       // of the kept dirs), and a key deleted this run resolves to nothing
