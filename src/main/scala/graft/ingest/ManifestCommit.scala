@@ -791,14 +791,42 @@ object ManifestCommit {
     * writer's uncommitted dir) are not this method's business — that is
     * `pruneOrphans`' freshness-guarded job. Returns deleted paths. */
   def expireSnapshots(spark: SparkSession, root: String,
-      keepLast: Int = 2): Seq[String] = commitLock(root).synchronized {
+      keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the current generation")
+    expireWhere(spark, root, keepLast,
+      (_, _) => true) // count-based: everything beyond keepLast expires
+  }
+
+  /** TIME-based retention (the public `RETAIN N HOURS` / TTL shape):
+    * expire generations whose record is older than `maxAgeMs` by file
+    * mtime, always keeping at least the newest `keepLast` however old.
+    * Count-based [[expireSnapshots]] is this with an always-true age
+    * test; both share the checkpoint-materialization discipline. */
+  def expireSnapshotsOlderThan(spark: SparkSession, root: String,
+      maxAgeMs: Long, keepLast: Int = 1): Seq[String] = {
+    require(keepLast >= 1, "must retain at least the current generation")
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    expireWhere(spark, root, keepLast, (f, p) =>
+      f.getFileStatus(p).getModificationTime < cutoff)
+  }
+
+  private def expireWhere(spark: SparkSession, root: String, keepLast: Int,
+      expiresToo: (org.apache.hadoop.fs.FileSystem, Path) => Boolean): Seq[String] =
+      commitLock(root).synchronized {
     // the commit lock serializes the sweep against same-process commits
     // (an eager-prune replace deleting records this sweep is reading) —
     // cross-process readers are covered by readManifest's bounded retry
-    require(keepLast >= 1, "must retain at least the current generation")
     val gens = snapshotGens(spark, root)
     if (gens.isEmpty) return Nil
-    val (expired, kept) = gens.splitAt(math.max(0, gens.size - keepLast))
+    val fsys = fs(spark, root)
+    val (candidates, keptTail) = gens.splitAt(math.max(0, gens.size - keepLast))
+    // age test applies to a PREFIX only: expiring gen G but keeping an
+    // OLDER gen would leave history with holes the delta-chain and
+    // readAt contracts don't model, so the first too-young gen ends the
+    // expired prefix
+    val expired = candidates.takeWhile(g =>
+      expiresToo(fsys, snapshotPath(root, g)))
+    val kept = candidates.drop(expired.size) ++ keptTail
     if (expired.isEmpty) return Nil
     val keptMs = kept.flatMap(g => readManifestAt(spark, root, g)) ++
       readManifest(spark, root).toSeq

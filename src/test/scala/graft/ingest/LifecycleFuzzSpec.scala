@@ -39,7 +39,7 @@ class LifecycleFuzzSpec extends SparkSpec {
       r.getAs[Long]("id") -> ModelRow(r.getAs[String]("v"), r.getAs[Double]("amt"), tag)
     }.toMap
 
-  for (seed <- Seq(4242, 90210))
+  for (seed <- Seq(4242, 90210, 31337))
   test(s"random op sequence (seed $seed): live == model, time travel == history") {
     val root = Files.createTempDirectory("fuzz_spec_").toString + "/t"
     val rnd = new scala.util.Random(seed)

@@ -513,17 +513,22 @@ class ManifestCommitSpec extends SparkSpec {
     val ts = (0 until threads).map { t =>
       new Thread(() => {
         try {
-          barrier.await()
           (0 until appendsPerThread).foreach { i =>
             val id = (t * appendsPerThread + i).toLong
             val d = ManifestCommit.newDataDir(root)
             write(Row(id, s"t$t-$i"))(d)
             // optimistic-concurrency loop: read gen, CAS-commit, retry on
-            // conflict — the protocol every writer of a shared table runs
+            // conflict — the protocol every writer of a shared table runs.
+            // The FIRST attempt reads its gen BEFORE the barrier, so all
+            // threads' first CAS carries the same expectedGen and exactly
+            // one can win — contention is structural, not a timing hope
+            // (commits got fast enough with the delta log that staggered
+            // writers stopped colliding reliably)
+            var gen = ManifestCommit.readManifest(spark, root)
+              .map(_.gen).getOrElse(0L)
+            if (i == 0) barrier.await()
             var committed = false
             while (!committed) {
-              val gen = ManifestCommit.readManifest(spark, root)
-                .map(_.gen).getOrElse(0L)
               try {
                 ManifestCommit.commitAppend(spark, root, d,
                   expectedGen = Some(gen))
@@ -531,6 +536,8 @@ class ManifestCommitSpec extends SparkSpec {
               } catch {
                 case _: ManifestCommit.ConcurrentCommitException =>
                   retries.incrementAndGet()
+                  gen = ManifestCommit.readManifest(spark, root)
+                    .map(_.gen).getOrElse(0L)
               }
             }
           }
@@ -546,8 +553,10 @@ class ManifestCommitSpec extends SparkSpec {
     // every row present exactly once (no lost manifest update)
     val ids = ManifestCommit.read(spark, root).collect().map(_.getLong(0)).toSeq
     assert(ids.sorted === (0 until threads * appendsPerThread).map(_.toLong))
-    // the barrier guarantees contention on at least the first round
-    assert(retries.get() >= 1, s"expected >=1 CAS retry, got ${retries.get()}")
+    // all first attempts carried the same expectedGen: of the 4, exactly
+    // one won, so at least 3 observed the conflict
+    assert(retries.get() >= threads - 1,
+      s"expected >=${threads - 1} CAS retries, got ${retries.get()}")
   }
 
   // ---- delta log + checkpoints (round 10): commit metadata I/O is
@@ -667,6 +676,45 @@ class ManifestCommitSpec extends SparkSpec {
       s"cold reader failed mid-sweep: ${readerError.get()}")
     assert(reads.get() > 0, "reader loop never completed a read")
     assert(idsOf(root) === (0 to 40).map(_.toLong).toSet)
+  }
+
+  test("time-based retention: expireSnapshotsOlderThan by record age, prefix-only") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    (1 to 4).foreach { i =>
+      val d = ManifestCommit.newDataDir(root); write(Row(i.toLong, "x"))(d)
+      ManifestCommit.commitAppend(spark, root, d)
+    }
+    // age gens 1-2 into the past by record mtime; 3-4 stay fresh
+    (1 to 2).foreach { g =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/_manifest.g$g"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 10 * 60 * 1000L))
+    }
+    // nothing expires under a 1-hour TTL
+    assert(ManifestCommit.expireSnapshotsOlderThan(spark, root,
+      maxAgeMs = 60 * 60 * 1000L).isEmpty)
+    // a 5-minute TTL expires exactly the aged prefix; gen 3 (delta over
+    // the expiring chain) is checkpointed before its base is deleted
+    val deleted = ManifestCommit.expireSnapshotsOlderThan(spark, root,
+      maxAgeMs = 5 * 60 * 1000L)
+    assert(deleted.nonEmpty)
+    assert(ManifestCommit.snapshotGens(spark, root) === Seq(3L, 4L))
+    assert(!rawText(root, "_manifest.g3").contains("#delta"))
+    ManifestCommit.clearResolveCache()
+    assert(idsOf(root) === Set(1L, 2L, 3L, 4L))
+    assert(ManifestCommit.readAt(spark, root, 3).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // keepLast floor holds even when everything is ancient
+    ManifestCommit.snapshotGens(spark, root).foreach { g =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$root/_manifest.g$g"),
+        java.nio.file.attribute.FileTime.fromMillis(1000L))
+    }
+    ManifestCommit.expireSnapshotsOlderThan(spark, root, maxAgeMs = 1000L,
+      keepLast = 1)
+    assert(ManifestCommit.snapshotGens(spark, root) === Seq(4L))
+    assert(idsOf(root) === Set(1L, 2L, 3L, 4L))
   }
 
   test("tableRowCount stays manifest-only through merge-on-read deletes") {
