@@ -27,6 +27,12 @@ case class ResizedMedia(id: Long, srcBytes: Int, dstBytes: Int, payload: Array[B
 /** One sampled frame of a (stubbed) video payload. */
 case class SampledFrame(id: Long, frameIdx: Int, frameBytes: Array[Byte])
 
+/** One REALLY-decoded MJPEG frame from an AVI container: geometry and
+  * mean luma come from the decoded pixels, duration/codec from the AVI
+  * header. Sentinel (frameIdx = -1) for undecodable payloads. */
+case class AviFrame(id: Long, frameIdx: Int, width: Int, height: Int,
+    meanLuma: Double, durMs: Long, codec: String)
+
 /** One REAL decoded frame of a multi-frame container: geometry + exact
   * pixel checksum; a single (-1, -1, -1, -1) row marks an undecodable
   * payload. */
@@ -510,6 +516,185 @@ object Multimodal {
               VideoMeta(m.id, dur, tracks, codecs, w, h)
             case None => VideoMeta(m.id, -1L, -1, "", -1, -1)
           }
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------- AVI / MJPEG
+
+  /** Minimal-but-well-formed RIFF AVI synthesizer with a REAL MJPEG
+    * video stream (AVI RIFF + BITMAPINFOHEADER layouts from the public
+    * Microsoft spec; frames are genuine JPEGs via javax.imageio): LIST
+    * hdrl (avih + strl(strh 'vids'/'MJPG' + strf)) + LIST movi of one
+    * '00dc' JPEG chunk per frame. Every frame is a solid gray
+    * v = (id*37 + f*17) % 216 + 20 — solid frames quantize ~losslessly
+    * through JPEG's DC path, which is what lets a decode gate bound the
+    * error tightly. Little-endian throughout (RIFF), unlike ISO-BMFF. */
+  def encodeAvi(id: Long, w: Int, h: Int, frames: Int,
+      fps: Int = 10): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0 && fps > 0)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fourcc(typ) ++ le32(body.length.toLong) ++ body ++ pad
+    }
+    def list(kind: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = fourcc(kind) ++ parts.flatten
+      fourcc("LIST") ++ le32(body.length.toLong) ++ body
+    }
+    def jpegFrame(f: Int): Array[Byte] = {
+      val v = ((id * 37 + f * 17) % 216 + 20).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avih = chunk("avih",
+      le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte))
+    val strh = chunk("strh",
+      fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(fps.toLong) ++ le32(0) ++
+        le32(frames.toLong) ++ le32(0) ++ le32(0xffffffffL) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strf = chunk("strf",
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+        fourcc("MJPG") ++ le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val movi = list("movi",
+      (0 until frames).map(f => chunk("00dc", jpegFrame(f))): _*)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** Pure-Scala RIFF AVI metadata walker (the no-decode filter stage):
+    * (totalFrames, usPerFrame, video handler fourcc, width, height)
+    * from avih/strh — O(header bytes), no sample data touched. None
+    * when the RIFF/AVI structure does not parse. */
+  def parseAviMeta(bytes: Array[Byte]): Option[(Int, Long, String, Int, Int)] = {
+    def u32(at: Int): Long =
+      (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+        ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+    def typ(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+    /** (chunkType, listKind-or-"", payloadFrom, payloadUntil) */
+    def chunks(from: Int, until: Int): List[(String, String, Int, Int)] = {
+      var at = from
+      val out = List.newBuilder[(String, String, Int, Int)]
+      while (at + 8 <= until) {
+        val t = typ(at); val size = u32(at + 4)
+        if (at + 8 + size > until) return out.result() // malformed tail
+        if (t == "LIST" && size >= 4)
+          out += ((t, typ(at + 8), at + 12, at + 8 + size.toInt))
+        else out += ((t, "", at + 8, at + 8 + size.toInt))
+        at += 8 + size.toInt + (size.toInt % 2) // chunks are even-aligned
+      }
+      out.result()
+    }
+    try {
+      if (bytes.length < 12 || typ(0) != "RIFF" || typ(8) != "AVI ") return None
+      val top = chunks(12, math.min(bytes.length, 8 + u32(4).toInt))
+      top.find(_._2 == "hdrl").flatMap { case (_, _, hFrom, hUntil) =>
+        val inHdrl = chunks(hFrom, hUntil)
+        inHdrl.find(_._1 == "avih").map { case (_, _, aFrom, _) =>
+          val usPerFrame = u32(aFrom)
+          val totalFrames = u32(aFrom + 16).toInt
+          val w = u32(aFrom + 32).toInt
+          val h = u32(aFrom + 36).toInt
+          val handler = inHdrl.find(_._2 == "strl").flatMap {
+            case (_, _, sFrom, sUntil) =>
+              chunks(sFrom, sUntil).find(_._1 == "strh")
+                .map { case (_, _, hF, _) => typ(hF + 4) }
+          }.getOrElse("")
+          (totalFrames, usPerFrame, handler, w, h)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL video frame decode for the MJPEG-in-AVI container: each
+    * '00dc' movi chunk is a complete JPEG, decoded with the JDK's
+    * ImageIO — no external codec, so the "video decode is a stub"
+    * boundary retreats to inter-frame-compressed containers (MP4/WebM),
+    * which genuinely need an ffmpeg-class dependency. Emits every
+    * `everyNth` frame's decoded geometry + mean luma; one sentinel row
+    * per undecodable payload (no-throw contract: a corrupt object in a
+    * 100 TB scan must not kill the job). Same batched mapPartitions
+    * shape as the image/audio codecs — one input row explodes to a
+    * bounded number of frame rows, no shuffle. */
+  def decodeAviFrames(ds: Dataset[MediaRow], everyNth: Int = 1,
+      batchSize: Int = 64): Dataset[AviFrame] = {
+    require(everyNth > 0)
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val decoded: Seq[AviFrame] =
+            try {
+              val bytes = m.payload
+              def u32(at: Int): Long =
+                (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+                  ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+              def typ(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+              val meta = parseAviMeta(bytes).getOrElse(
+                throw new IllegalArgumentException("not an AVI"))
+              val durMs =
+                if (meta._2 <= 0) -1L else meta._1 * meta._2 / 1000L
+              // locate LIST movi at top level, walk its '00dc' chunks
+              var at = 12; var moviFrom = -1; var moviUntil = -1
+              while (at + 8 <= bytes.length && moviFrom < 0) {
+                val size = u32(at + 4).toInt
+                if (typ(at) == "LIST" && at + 12 <= bytes.length &&
+                    typ(at + 8) == "movi") {
+                  moviFrom = at + 12; moviUntil = math.min(at + 8 + size, bytes.length)
+                }
+                at += 8 + size + (size % 2)
+              }
+              if (moviFrom < 0) throw new IllegalArgumentException("no movi")
+              val out = Seq.newBuilder[AviFrame]
+              var c = moviFrom; var idx = 0
+              while (c + 8 <= moviUntil) {
+                val size = u32(c + 4).toInt
+                if (typ(c) == "00dc" && idx % everyNth == 0) {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(bytes, c + 8, size))
+                  if (img != null) {
+                    var sum = 0.0
+                    var y = 0
+                    while (y < img.getHeight) {
+                      var x = 0
+                      while (x < img.getWidth) {
+                        val rgb = img.getRGB(x, y)
+                        sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                          (rgb & 0xff)) / 3.0
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    out += AviFrame(m.id, idx, img.getWidth, img.getHeight,
+                      sum / (img.getWidth.toLong * img.getHeight), durMs,
+                      meta._3)
+                  }
+                }
+                if (typ(c) == "00dc") idx += 1
+                c += 8 + size + (size % 2)
+              }
+              out.result()
+            } catch { case scala.util.control.NonFatal(_) =>
+              Seq(AviFrame(m.id, -1, -1, -1, -1.0, -1L, ""))
+            }
+          decoded
         }
       }
     }

@@ -1080,6 +1080,48 @@ object LlmData {
         col("width"), col("height"), col("checksum"))
   }
 
+  /** q141 — REAL frame decode for a REAL video container: MJPEG-in-AVI,
+    * where every movi '00dc' chunk is a complete JPEG the JDK decodes
+    * with zero external codecs (`Multimodal.encodeAvi`/`decodeAviFrames`
+    * — AVI RIFF layout from the public Microsoft spec). This retreats
+    * the "video decode is a stub" boundary to inter-frame-compressed
+    * containers (MP4/WebM, which genuinely need ffmpeg): geometry,
+    * every-2nd-frame sampling, header duration and codec fourcc are
+    * pinned exactly; JPEG being lossy, pixel content is pinned as a
+    * TOLERANCE witness — each solid synthetic frame's decoded mean luma
+    * must land within ±3 of the closed-form gray the encoder painted
+    * (solid frames ride JPEG's DC path ~losslessly), folded to a
+    * hashable 0/1 per frame. A corrupt payload proves no-throw. */
+  val q141_avi_frames = Q(
+    "q141_avi_frames",
+    """WITH vids(id, w, h, nf) AS (VALUES
+      |  (1, 16, 8, 5), (2, 8, 8, 4), (3, 12, 6, 3), (4, 6, 10, 7)),
+      |fr AS (SELECT id, w, h, nf, f.r AS f
+      |  FROM vids, range(0, 7) f(r) WHERE f.r < nf AND f.r % 2 = 0)
+      |SELECT CAST(id AS BIGINT) AS id, CAST(f AS INTEGER) AS frame_idx,
+      |  w AS width, h AS height, 1 AS luma_ok,
+      |  CAST(nf * 100 AS BIGINT) AS dur_ms, 'MJPG' AS codec
+      |FROM fr
+      |UNION ALL SELECT CAST(99 AS BIGINT), -1, -1, -1, -1,
+      |  CAST(-1 AS BIGINT), ''""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val specs = Seq((1L, 16, 8, 5), (2L, 8, 8, 4), (3L, 12, 6, 3), (4L, 6, 10, 7))
+    val media = s.createDataset(specs).map { case (id, w, h, nf) =>
+      graft.multimodal.MediaRow(id, "video/x-msvideo",
+        Multimodal.encodeAvi(id, w, h, nf))
+    }
+    val corrupt = s.createDataset(Seq(
+      graft.multimodal.MediaRow(99L, "video/x-msvideo", Array[Byte](9, 9, 9))))
+    Multimodal.decodeAviFrames(media.unionByName(corrupt), everyNth = 2)
+      .select(col("id"), col("frameIdx").as("frame_idx"),
+        col("width"), col("height"),
+        when(col("frameIdx") === -1, -1).otherwise(
+          when(abs(col("meanLuma") -
+            ((col("id") * 37 + col("frameIdx") * 17) % 216 + 20)) <= 3.0, 1)
+            .otherwise(0)).as("luma_ok"),
+        col("durMs").as("dur_ms"), col("codec"))
+  }
+
   /** q103 — the COMPLETE trained-PQ lifecycle: per-subspace k-means
     * codebooks (Clustering.kmeans on the sliced corpus, the q84 pattern
     * one level down) feeding PQ encode + asymmetric-distance ranking
@@ -1626,7 +1668,7 @@ object LlmData {
     q70_two_stage_ann, q82_curriculum_bins, q83_kmeans, q84_ann_ivf_trained,
     q85_bpe_pair_counts, q86_frame_sample_stats, q89_compression_profile,
     q90_span_removal, q93_image_decode, q95_bpe_train, q96_pq_ann,
-    q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames,
+    q97_ivf_pq, q102_audio_decode, q103_pq_trained, q105_video_frames, q141_avi_frames,
     q109_bpe_apply, q111_ann_recall, q114_ann_recall_curve,
     q127_ann_nlists_curve, q115_mp4_metadata,
     q119_pca_train, q120_pca_rotation_ann)

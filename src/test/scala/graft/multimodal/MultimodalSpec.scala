@@ -183,4 +183,32 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).frameBytes.toSeq === (0 until 32).map(_.toByte))
     assert(frames(1).frameBytes.toSeq === (64 until 96).map(_.toByte))
   }
+
+  test("AVI/MJPEG: REAL frame decode — geometry exact, solid-frame luma within JPEG tolerance") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRow(3L, "video/x-msvideo", Multimodal.encodeAvi(3L, 16, 8, 5)),
+      MediaRow(4L, "video/x-msvideo", Multimodal.encodeAvi(4L, 6, 10, 2)),
+      MediaRow(99L, "video/x-msvideo", Array[Byte](9, 9, 9)))) // corrupt
+    val frames = Multimodal.decodeAviFrames(ds, everyNth = 2)
+      .collect().sortBy(f => (f.id, f.frameIdx))
+    // every-nth sampling over 5 frames -> 0,2,4; over 2 -> 0
+    assert(frames.filter(_.id == 3L).map(_.frameIdx).toSeq === Seq(0, 2, 4))
+    assert(frames.filter(_.id == 4L).map(_.frameIdx).toSeq === Seq(0))
+    // geometry and header metadata come back exact
+    frames.filter(_.id == 3L).foreach { f =>
+      assert(f.width === 16 && f.height === 8 && f.codec === "MJPG")
+      assert(f.durMs === 500L) // 5 frames at 10 fps
+      // a solid frame survives JPEG's DC path ~losslessly
+      val expected = ((3L * 37 + f.frameIdx * 17) % 216 + 20).toDouble
+      assert(math.abs(f.meanLuma - expected) <= 3.0,
+        s"frame ${f.frameIdx}: luma ${f.meanLuma} vs $expected")
+    }
+    // corrupt payload -> one sentinel row, job survives
+    assert(frames.filter(_.id == 99L).map(_.frameIdx).toSeq === Seq(-1))
+    // header-only walker agrees with the synthesizer
+    assert(Multimodal.parseAviMeta(Multimodal.encodeAvi(3L, 16, 8, 5))
+      === Some((5, 100000L, "MJPG", 16, 8)))
+    assert(Multimodal.parseAviMeta(Array[Byte](1, 2, 3)) === None)
+  }
 }
