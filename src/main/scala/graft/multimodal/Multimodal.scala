@@ -33,6 +33,11 @@ case class SampledFrame(id: Long, frameIdx: Int, frameBytes: Array[Byte])
 case class AviFrame(id: Long, frameIdx: Int, width: Int, height: Int,
     meanLuma: Double, durMs: Long, codec: String)
 
+/** Demuxed PCM audio of an AVI payload: exact sample count, an
+  * order-weighted checksum over the reassembled 16-bit samples, and
+  * the header sample rate. Sentinel (nSamples = -1) when undecodable. */
+case class AviAudio(id: Long, nSamples: Long, checksum: Long, hz: Long)
+
 /** One REAL decoded frame of a multi-frame container: geometry + exact
   * pixel checksum; a single (-1, -1, -1, -1) row marks an undecodable
   * payload. */
@@ -531,8 +536,14 @@ object Multimodal {
     * v = (id*37 + f*17) % 216 + 20 — solid frames quantize ~losslessly
     * through JPEG's DC path, which is what lets a decode gate bound the
     * error tightly. Little-endian throughout (RIFF), unlike ISO-BMFF. */
+  /** With `audioHz > 0` the container also carries an interleaved PCM
+    * audio stream (second strl: 'auds' + WAVEFORMATEX, 16-bit mono;
+    * one '01wb' chunk per video frame of audioHz/fps samples
+    * s(t) = (id*13 + t*7) % 251 − 125) — the classic A/V interleave a
+    * demuxer must separate. PCM is lossless, so audio round-trips
+    * EXACTLY, unlike the JPEG video frames. */
   def encodeAvi(id: Long, w: Int, h: Int, frames: Int,
-      fps: Int = 10): Array[Byte] = {
+      fps: Int = 10, audioHz: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && frames > 0 && fps > 0)
     def le32(v: Long): Array[Byte] = Array(
       (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -559,9 +570,10 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
+    val nStreams = if (audioHz > 0) 2 else 1
     val avih = chunk("avih",
       le32(1000000L / fps) ++ le32(0) ++ le32(0) ++ le32(0) ++
-        le32(frames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(frames.toLong) ++ le32(0) ++ le32(nStreams.toLong) ++ le32(0) ++
         le32(w.toLong) ++ le32(h.toLong) ++ Array.fill(16)(0.toByte))
     val strh = chunk("strh",
       fourcc("vids") ++ fourcc("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
@@ -572,11 +584,125 @@ object Multimodal {
       le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
         fourcc("MJPG") ++ le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++
         le32(0) ++ le32(0))
-    val hdrl = list("hdrl", avih, list("strl", strh, strf))
+    val samplesPerFrame = if (audioHz > 0) math.max(1, audioHz / fps) else 0
+    def pcmChunk(f: Int): Array[Byte] = {
+      val body = new Array[Byte](samplesPerFrame * 2)
+      var i = 0
+      while (i < samplesPerFrame) {
+        val t = f * samplesPerFrame + i
+        val s = ((id * 13 + t * 7) % 251 - 125).toInt
+        body(2 * i) = (s & 0xff).toByte
+        body(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      chunk("01wb", body)
+    }
+    val audioStrl = if (audioHz <= 0) Nil else Seq(list("strl",
+      chunk("strh",
+        fourcc("auds") ++ le32(1) /* PCM has no handler fourcc */ ++
+          le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++
+          le32(audioHz.toLong) ++ le32(0) ++
+          le32(frames.toLong * samplesPerFrame) ++ le32(0) ++
+          le32(0xffffffffL) ++ le32(2) ++ le16(0) ++ le16(0) ++
+          le16(0) ++ le16(0)),
+      chunk("strf", // WAVEFORMATEX: PCM, mono, 16-bit
+        le16(1) ++ le16(1) ++ le32(audioHz.toLong) ++
+          le32(audioHz.toLong * 2) ++ le16(2) ++ le16(16) ++ le16(0))))
+    val hdrl = list("hdrl",
+      (Seq(avih, list("strl", strh, strf)) ++ audioStrl): _*)
     val movi = list("movi",
-      (0 until frames).map(f => chunk("00dc", jpegFrame(f))): _*)
+      (0 until frames).flatMap(f =>
+        Seq(chunk("00dc", jpegFrame(f))) ++
+          (if (audioHz > 0) Seq(pcmChunk(f)) else Nil)): _*)
     val body = fourcc("AVI ") ++ hdrl ++ movi
     fourcc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** Demux the interleaved PCM audio stream of an AVI ('01wb' chunks,
+    * 16-bit little-endian mono per the stream's WAVEFORMATEX): per
+    * payload, the reassembled sample count, an exact order-weighted
+    * checksum, and the header sample rate. PCM is lossless so this
+    * round-trips exactly — the audio counterpart of
+    * [[decodeAviFrames]], same no-throw sentinel contract. */
+  def decodeAviAudio(ds: Dataset[MediaRow],
+      batchSize: Int = 64): Dataset[AviAudio] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          try {
+            val bytes = m.payload
+            def u32(at: Int): Long =
+              (bytes(at) & 0xffL) | ((bytes(at + 1) & 0xffL) << 8) |
+                ((bytes(at + 2) & 0xffL) << 16) | ((bytes(at + 3) & 0xffL) << 24)
+            def typ(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+            if (typ(0) != "RIFF" || typ(8) != "AVI ")
+              throw new IllegalArgumentException("not an AVI")
+            // sample rate from the auds strl's WAVEFORMATEX (nSamplesPerSec)
+            var hz = -1L
+            var at = 12
+            while (at + 8 <= bytes.length) {
+              val size = u32(at + 4).toInt
+              if (typ(at) == "LIST" && at + 12 <= bytes.length) {
+                val kind = typ(at + 8)
+                if (kind == "hdrl" || kind == "strl") {
+                  // descend (hdrl holds strls; flat two-level walk)
+                  var in = at + 12
+                  val until = math.min(at + 8 + size, bytes.length)
+                  while (in + 8 <= until) {
+                    val s2 = u32(in + 4).toInt
+                    if (typ(in) == "LIST" && typ(in + 8) == "strl") {
+                      var st = in + 12
+                      var isAuds = false
+                      while (st + 8 <= in + 8 + s2) {
+                        val s3 = u32(st + 4).toInt
+                        if (typ(st) == "strh") isAuds = typ(st + 8) == "auds"
+                        if (typ(st) == "strf" && isAuds) hz = u32(st + 12)
+                        st += 8 + s3 + (s3 % 2)
+                      }
+                    }
+                    in += 8 + s2 + (s2 % 2)
+                  }
+                }
+              }
+              at += 8 + size + (size % 2)
+            }
+            // reassemble the '01wb' PCM stream in interleave order
+            var moviFrom = -1; var moviUntil = -1
+            at = 12
+            while (at + 8 <= bytes.length && moviFrom < 0) {
+              val size = u32(at + 4).toInt
+              if (typ(at) == "LIST" && at + 12 <= bytes.length &&
+                  typ(at + 8) == "movi") {
+                moviFrom = at + 12
+                moviUntil = math.min(at + 8 + size, bytes.length)
+              }
+              at += 8 + size + (size % 2)
+            }
+            if (moviFrom < 0) throw new IllegalArgumentException("no movi")
+            var n = 0L; var checksum = 0L
+            var c = moviFrom
+            while (c + 8 <= moviUntil) {
+              val size = u32(c + 4).toInt
+              if (typ(c) == "01wb") {
+                var i = 0
+                while (i + 1 < size) {
+                  val s = ((bytes(c + 8 + i) & 0xff) |
+                    (bytes(c + 9 + i) << 8)).toShort.toLong
+                  n += 1
+                  checksum += s * n // order-weighted: reordering flips it
+                  i += 2
+                }
+              }
+              c += 8 + size + (size % 2)
+            }
+            AviAudio(m.id, n, checksum, hz)
+          } catch { case scala.util.control.NonFatal(_) =>
+            AviAudio(m.id, -1L, -1L, -1L)
+          }
+        }
+      }
+    }
   }
 
   /** Pure-Scala RIFF AVI metadata walker (the no-decode filter stage):

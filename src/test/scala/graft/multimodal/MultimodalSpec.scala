@@ -211,4 +211,34 @@ class MultimodalSpec extends SparkSpec {
       === Some((5, 100000L, "MJPG", 16, 8)))
     assert(Multimodal.parseAviMeta(Array[Byte](1, 2, 3)) === None)
   }
+
+  test("AVI A/V demux: interleaved PCM audio round-trips EXACTLY") {
+    import spark.implicits._
+    // 3 frames at 10 fps, 80 Hz mono -> 8 samples per '01wb' chunk, 24 total
+    val avi = Multimodal.encodeAvi(5L, 8, 8, 3, fps = 10, audioHz = 80)
+    val ds = spark.createDataset(Seq(
+      MediaRow(5L, "video/x-msvideo", avi),
+      MediaRow(6L, "video/x-msvideo", // no audio stream: zero samples
+        Multimodal.encodeAvi(6L, 8, 8, 2)),
+      MediaRow(99L, "video/x-msvideo", Array[Byte](1, 1, 1)))) // corrupt
+    val out = Multimodal.decodeAviAudio(ds).collect().sortBy(_.id).toSeq
+    val expected = {
+      var checksum = 0L
+      (0 until 24).foreach { t =>
+        checksum += ((5L * 13 + t * 7) % 251 - 125) * (t + 1L)
+      }
+      checksum
+    }
+    assert(out.map(a => (a.id, a.nSamples, a.checksum, a.hz)) === Seq(
+      (5L, 24L, expected, 80L),
+      (6L, 0L, 0L, -1L),
+      (99L, -1L, -1L, -1L)))
+    // the video stream of the SAME payload still decodes (true demux:
+    // audio chunks don't confuse the frame walker, and vice versa)
+    val frames = Multimodal.decodeAviFrames(
+      spark.createDataset(Seq(MediaRow(5L, "video/x-msvideo", avi))))
+      .collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq === Seq(0, 1, 2))
+    assert(frames.forall(f => f.width == 8 && f.height == 8))
+  }
 }
