@@ -149,6 +149,28 @@ object MetaScaleCheck {
           assert(res.dirsRewritten == 1, s"expected 1 dir, got ${res.dirsRewritten}")
         }
       }
+      locally { // SQL surface planning: resolution (manifest-only) +
+        // stats skipping (driver walk over in-memory stats) + expansion
+        // (file listing of KEPT dirs only) — the whole spark.sql planning
+        // path must scale with the manifest walk, never with a listing
+        // of all dirs
+        val r = buildRanged(spark, s"meta_sql_${tag}_", nDirs, 100)
+        graft.sql.GraftSql.register(s"metasql_$tag", r)
+        all("sql_plan_pruned") = time(s"$tag SQL plan 1% band ($nDirs dirs)") {
+          val df = spark.sql(
+            s"SELECT v FROM graft.metasql_$tag WHERE id >= ${nDirs / 2 * 100L} " +
+              s"AND id <= ${nDirs / 2 * 100L + nDirs}")
+          val nScan = df.queryExecution.optimizedPlan.collect {
+            case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              l.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.size
+                case _ => 0
+              }
+          }.sum
+          assert(nScan > 0 && nScan < nDirs / 10, s"scan set not pruned: $nScan")
+        }
+      }
       locally { // sparse DV delete: keys in 8 fixed dirs of nDirs
         val roots = Seq(buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100),
           buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100)).iterator

@@ -57,6 +57,8 @@ object Plans {
         "Evolved-table read: ONE parquet scan whose ReadSchema is the union schema from a single manifest line — no mergeSchema (which would footer-sweep every data file at planning time), no per-dir plan branches; the two cold dirs null-fill o_channel inside the scan.",
       "q126_cdf_incremental_rollup" ->
         "CDF-maintained rollup read: the plan aggregates PARTIAL STATE parts (rows ∝ groups × parts) — no orders scan anywhere in it, which is the whole point: the base table was maintained into the rollup via the change feed, never rescanned.",
+      "q144_sql_skipping" ->
+        "SQL text over a graft table (round-11 surface): the WHERE clause pruned the plan to 3 month dirs of ~80 via manifest stats BEFORE any file listing — the parquet relation holds only the kept dirs — and the date predicate is re-pushed into the expansion, so it still reaches the scan as PushedFilters with the ReadSchema pruned to the used columns.",
       "DV_read_lineage" ->
         "Deletion-vector read (dumped as its lineage: a dv'd dir read through readDirsOf): the DV applies as a BroadcastHashJoin LeftAnti against the ~KB key file — no shuffle, no sort; the dir scan keeps its explicit ReadSchema. Since round 10 dv'd dirs are GROUPED by key-set: one scan + ONE anti-join per group on (dir, keys) — at 96 dv'd dirs the plan still holds a single join node (MetaScaleCheck: 11.5s -> 2.1s), with each dv row's owning dir recovered from its file path through a broadcast lookup.",
       "q137_ann_incremental" ->

@@ -15,7 +15,7 @@ object SparkEntry {
   /** All query groups; grows as modules land. */
   private def allQ: Seq[Q] =
     Relational.all ++ Cleaning.all ++ LlmData.all ++ Pipeline.all ++
-      Profiling.all ++ Curation.all
+      Profiling.all ++ Curation.all ++ SqlGates.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship BI shape: GROUP BY date ORDER BY date DESC

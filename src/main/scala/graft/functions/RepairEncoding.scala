@@ -97,6 +97,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RepairEncoding].getName, "repair_encoding"),
       (args: Seq[Expression]) => RepairEncoding(args.head)))
     ext.injectOptimizerRule(_ => CollapseRepairEncoding)
+    // SQL surface for manifest-committed tables: `graft`.`<name>`
+    // resolves to a generation-pinned relation, expanded pre-CBO with
+    // manifest-stats/bloom data skipping and metadata-only COUNT(*).
+    ext.injectResolutionRule(s => graft.sql.GraftResolveRelations(s))
+    ext.injectPreCBORule(s => graft.sql.GraftDataSkipping(s))
+    ext.injectPlannerStrategy(s => graft.sql.GraftWriteStrategy(s))
     // Native vector math for SQL callers (typed callers use
     // graft.functions.columns). Inputs are coerced to array<double> here
     // — the expressions read raw 8-byte doubles from ArrayData, so an

@@ -1168,16 +1168,45 @@ object ManifestCommit {
     * metadata records): no Spark job, no data or footer I/O
     * (spec-asserted). */
   def tableRowCount(spark: SparkSession, root: String): Option[Long] =
-    readManifest(spark, root).flatMap { m =>
-      def stat(d: String, c: String): Option[Long] =
-        m.stats.getOrElse(d, Nil).find(_.col == c).map(_.min.toLong)
-      val rows = m.dirs.map(stat(_, RowCountStat))
-      val dead = m.dirs.map(d =>
-        if (m.dvs.contains(d)) stat(d, DvDeadStat) else Some(0L))
-      if (rows.forall(_.isDefined) && dead.forall(_.isDefined))
-        Some(rows.flatten.sum - dead.flatten.sum)
-      else None
-    }
+    readManifest(spark, root).flatMap(tableRowCountOf)
+
+  /** [[tableRowCount]] against an already-resolved (possibly pinned)
+    * manifest — the SQL layer answers COUNT(*) for the exact generation
+    * a query resolved, so a concurrent commit between resolution and
+    * execution cannot skew the answer. */
+  def tableRowCountOf(m: Manifest): Option[Long] = {
+    def stat(d: String, c: String): Option[Long] =
+      m.stats.getOrElse(d, Nil).find(_.col == c).map(_.min.toLong)
+    val rows = m.dirs.map(stat(_, RowCountStat))
+    val dead = m.dirs.map(d =>
+      if (m.dvs.contains(d)) stat(d, DvDeadStat) else Some(0L))
+    if (rows.forall(_.isDefined) && dead.forall(_.isDefined))
+      Some(rows.flatten.sum - dead.flatten.sum)
+    else None
+  }
+
+  /** Pinned-manifest data skipping over a CONJUNCTION of per-column
+    * bounds: live dirs whose stats can satisfy EVERY `(col, lo, hi)`
+    * constraint simultaneously. Same keep-on-missing-stats contract as
+    * [[resolvePruned]] (skipping is an optimization, never a filter);
+    * callers read the kept set DV-aware via [[readDirsOf]]. */
+  def prunedDirsOf(m: Manifest,
+      bounds: Seq[(String, Option[String], Option[String])]): Seq[String] =
+    m.dirs.filter(d => bounds.forall { case (c, lo, hi) =>
+      m.stats.getOrElse(d, Nil).find(_.col == c).forall(_.overlaps(lo, hi))
+    })
+
+  /** Pinned-manifest bloom point-lookup: [[resolveBloom]]'s kept NAMES
+    * for an already-resolved manifest, without the raw-path contract
+    * (callers read DV-aware via [[readDirsOf]]). */
+  def bloomDirsOf(spark: SparkSession, root: String, m: Manifest,
+      col: String, value: Any): Seq[String] =
+    bloomNames(spark, root, m, col, value)
+
+  /** Render a value in the manifest's stats format (the exact
+    * [[dirStats]] rendering, so caller-supplied literals compare
+    * consistently against recorded min/max). */
+  def renderBound(v: Any): String = renderStatValue(v)
 
   /** Build and store a per-dir bloom filter for `col`, as a HIDDEN side
     * file `_bloom_<col>` INSIDE the dir it describes (underscore-prefixed

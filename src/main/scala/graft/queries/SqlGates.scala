@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.Tables
+import graft.ingest.{ManifestCommit, MergeInto}
+import graft.sql.GraftSql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gates for the SQL surface over manifest tables (`graft.sql.GraftSql`):
+  * `spark.sql` text against registered graft tables, with the manifest
+  * stats/bloom data skipping and metadata-only COUNT(*) the programmatic
+  * readers already have — the reference exposes every table through a
+  * SQL endpoint (superset_bootstrap/datasets.yaml; tools/sql_objects DDL),
+  * and a user switching engines keeps writing SQL, so the gate must pin
+  * that the SQL path hits the SAME skipping machinery, not a slower
+  * read-everything fallback. */
+object SqlGates {
+
+  private def tmpDir(prefix: String): String = graft.GraftTmp.dir(prefix)
+
+  private def uniq(p: String): String =
+    s"${p}_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+
+  /** data_* dirs the OPTIMIZED plan actually scans under `root` — the
+    * dir-level pruning witness, read from the plan itself so a silent
+    * fall-back to scan-everything reds the gate. */
+  private def scannedDataDirs(df: DataFrame, root: String): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths
+              .count(p => p.getName.startsWith("data_") &&
+                p.toString.contains(root))
+          case _ => 0
+        }
+    }.sum
+
+  /** Month-sliced orders graft table with o_orderdate min/max + row-count
+    * stats and a recorded schema; returns (root, registered name, months). */
+  private def ordersTable(s: SparkSession, dir: String,
+      prefix: String): (String, String, Int) = {
+    val root = tmpDir(prefix) + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      date_format(col("o_orderdate"), "yyyyMM"),
+      Seq("o_orderdate", "o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(orders.schema))
+    val name = uniq(prefix)
+    GraftSql.register(name, root)
+    (root, name, dirs.size)
+  }
+
+  /** q144 — SQL text end-to-end over a graft table WITH manifest-stats
+    * data skipping: a 3-month window over a month-sliced table must plan
+    * exactly 3 of the ~80 dirs (`dirs_scanned` pinned from the optimized
+    * plan), and the aggregate hash-matches DuckDB over the raw fixture.
+    * 100-TB shape: the WHERE clause reaches the manifest BEFORE any file
+    * listing — the scan set is O(matching dirs), and inside each kept dir
+    * the predicate is still pushed to parquet (GraftSqlSpec pins
+    * PushedFilters/ReadSchema). */
+  val q144_sql_skipping = Q(
+    "q144_sql_skipping",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s,
+      |  CAST(3 AS BIGINT) AS dirs_scanned,
+      |  (SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y%m')) AS BIGINT)
+      |     FROM orders) AS dirs_total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND o_orderdate <= TIMESTAMP '1996-05-31 23:59:59'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val (root, name, months) = ordersTable(s, dir, "graft_q144_")
+    val agg = s.sql(
+      s"""SELECT o_orderpriority, CAST(count(*) AS LONG) AS n,
+         |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s
+         |FROM graft.$name
+         |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND o_orderdate <= TIMESTAMP '1996-05-31 23:59:59'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+    val scanned = scannedDataDirs(agg, root)
+    agg.select(col("o_orderpriority"), col("n"), col("s"),
+      lit(scanned.toLong).as("dirs_scanned"),
+      lit(months.toLong).as("dirs_total"))
+  }
+
+  /** q145 — metadata-only COUNT(*) at the SQL surface, surviving a
+    * merge-on-read delete: `SELECT count(*) FROM graft.t` optimizes to a
+    * LocalRelation (NO scan operator in the plan — pinned) answered from
+    * RowCountStat/DvDeadStat pseudo-stats, before AND after a
+    * `deleteWhere` repoints deletion vectors; the job-group listener
+    * pins zero Spark jobs for both probes, and both counts hash-match
+    * DuckDB. The q135/q140 contract, now reachable from SQL text. */
+  val q145_sql_count = Q(
+    "q145_sql_count",
+    """SELECT CAST(count(*) AS BIGINT) AS n_before,
+      |  CAST(count(*) FILTER (WHERE o_orderkey % 97 <> 0) AS BIGINT) AS n_after,
+      |  1 AS local_before, 1 AS local_after, 0 AS probe_jobs
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q145_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      pmod(col("o_orderkey"), lit(4)),
+      Seq("o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(
+        orders.schema))
+    val name = uniq("graft_q145")
+    GraftSql.register(name, root)
+
+    val group = s"q145_probe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            group == e.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    // one probe = plan + execute inside the job-group window, so a
+    // metadata count that silently regressed to a scan is counted
+    def probe(): (Long, Boolean) = {
+      s.sparkContext.setJobGroup(group, "SQL metadata COUNT(*) probe", false)
+      try {
+        val df = s.sql(s"SELECT count(*) AS n FROM graft.$name")
+        val isLocal = df.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+        (df.collect()(0).getLong(0), isLocal)
+      } finally s.sparkContext.clearJobGroup()
+    }
+    s.sparkContext.addSparkListener(listener)
+    val ((nBefore, localBefore), (nAfter, localAfter)) = try {
+      val before = probe()
+      MergeInto.deleteWhere(s, root,
+        orders.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+          .select("o_orderkey"))
+      val after = probe()
+      Thread.sleep(500) // listener events are async; let any job event land
+      (before, after)
+    } finally s.sparkContext.removeSparkListener(listener)
+    s.range(1).select(
+      lit(nBefore).as("n_before"), lit(nAfter).as("n_after"),
+      lit(if (localBefore) 1 else 0).as("local_before"),
+      lit(if (localAfter) 1 else 0).as("local_after"),
+      lit(jobs.get()).as("probe_jobs"))
+  }
+
+  /** q146 — SQL join across TWO graft tables: the full relational
+    * planner (join strategy, AQE) over manifest-resolved relations, with
+    * the orders side still dir-pruned by the date predicate (pinned: 3
+    * month dirs of ~80). Each side resolves its own pinned generation;
+    * the customer side's 4 hash dirs all qualify (no predicate) and the
+    * runtime picks the join strategy from real sizes — no hardcoded
+    * broadcast that would OOM at 100×. */
+  val q146_sql_join = Q(
+    "q146_sql_join",
+    """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+      |  cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) AS revenue,
+      |  CAST(3 AS BIGINT) AS orders_dirs_scanned
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate <= TIMESTAMP '1997-03-31 23:59:59'
+      |GROUP BY c.c_mktsegment
+      |ORDER BY c.c_mktsegment""".stripMargin) { (s, dir) =>
+    val (ordersRoot, ordersName, _) = ordersTable(s, dir, "graft_q146_")
+    val custRoot = tmpDir("graft_q146c_") + "/customer"
+    val customer = Tables.load(s, dir, "customer")
+    val cdirs = ManifestCommit.writeSliced(s, custRoot, customer,
+      pmod(col("c_custkey"), lit(4)),
+      Seq("c_custkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, custRoot, cdirs.map(_._1),
+      pruneDisplaced = false, stats = cdirs.toMap,
+      schema = Some(customer.schema))
+    val custName = uniq("graft_q146c")
+    GraftSql.register(custName, custRoot)
+    val joined = s.sql(
+      s"""SELECT c.c_mktsegment, CAST(count(*) AS LONG) AS n_orders,
+         |  cast(sum(cast(o.o_totalprice as decimal(18,2))) as double) AS revenue
+         |FROM graft.$ordersName o JOIN graft.$custName c
+         |  ON o.o_custkey = c.c_custkey
+         |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o.o_orderdate <= TIMESTAMP '1997-03-31 23:59:59'
+         |GROUP BY c.c_mktsegment
+         |ORDER BY c.c_mktsegment""".stripMargin)
+    val scanned = scannedDataDirs(joined, ordersRoot)
+    joined.select(col("c_mktsegment"), col("n_orders"), col("revenue"),
+      lit(scanned.toLong).as("orders_dirs_scanned"))
+  }
+
+  val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join)
+}

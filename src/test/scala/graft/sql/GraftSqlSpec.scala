@@ -1,0 +1,241 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.ingest.{ManifestCommit, MergeInto}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SQL surface over manifest tables: resolution, generation pinning,
+  * manifest-stats + bloom data skipping in the OPTIMIZED plan (dir-level
+  * scan-set assertions, not just result equality), metadata-only
+  * COUNT(*), DV-aware reads, self-join attribute dedup, time travel. */
+class GraftSqlSpec extends SparkSpec {
+
+  /** 4 range dirs of 100 rows each: id in [0,100), [100,200), ... with
+    * id min/max + row-count stats and a recorded schema. */
+  private def mkTable(name: String): String = {
+    val root = Files.createTempDirectory("graft_sqlspec_").toString + "/t"
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("k", col("id") % 7)
+      .withColumn("v", concat(lit("v"), col("id")))
+    val dirs = ManifestCommit.writeSliced(spark, root, df,
+      floor(col("id") / lit(100)), Seq("id", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema))
+    GraftSql.register(name, root)
+    root
+  }
+
+  /** Data dir basenames the optimized plan actually scans. */
+  private def scannedDirs(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.getName).toSeq
+        case _ => Nil
+      }
+    }.flatten.filter(_.startsWith("data_")).toSet
+
+  test("SELECT through spark.sql matches the programmatic read") {
+    val root = mkTable("sqlspec_basic")
+    val got = spark.sql(
+      """SELECT k, count(*) AS n, sum(id) AS s FROM graft.sqlspec_basic
+        |WHERE id >= 50 GROUP BY k ORDER BY k""".stripMargin).collect()
+    val want = ManifestCommit.read(spark, root).where(col("id") >= 50)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .orderBy("k").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("range predicate prunes the scanned dir set via manifest stats") {
+    mkTable("sqlspec_prune")
+    val one = spark.sql(
+      "SELECT v FROM graft.sqlspec_prune WHERE id BETWEEN 120 AND 130")
+    assert(scannedDirs(one).size === 1, "a single-range predicate must plan one dir")
+    assert(one.count() === 11)
+    val half = spark.sql("SELECT v FROM graft.sqlspec_prune WHERE id >= 200")
+    assert(scannedDirs(half).size === 2)
+    assert(half.count() === 200)
+    // the real filter still runs: stats keep a dir the predicate then empties
+    val none = spark.sql(
+      "SELECT v FROM graft.sqlspec_prune WHERE id > 1000")
+    assert(none.count() === 0)
+  }
+
+  test("pushed filters and pruned read schema reach the parquet scan") {
+    mkTable("sqlspec_push")
+    val q = spark.sql(
+      "SELECT v FROM graft.sqlspec_push WHERE id >= 201 AND id <= 205")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,201)"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:string>"),
+      "column pruning must drop k from the scan:\n" + plan.take(2000))
+  }
+
+  test("bare COUNT(*) is answered from the manifest with a LocalRelation plan") {
+    val root = mkTable("sqlspec_count")
+    val q = spark.sql("SELECT count(*) AS n FROM graft.sqlspec_count")
+    assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().head.getLong(0) === 400L)
+    // ... and stays metadata-only THROUGH a merge-on-read delete
+    MergeInto.deleteWhere(spark, root,
+      spark.range(0, 10).toDF("id"))
+    val q2 = spark.sql("SELECT count(*) FROM graft.sqlspec_count")
+    assert(q2.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q2.collect().head.getLong(0) === 390L)
+    // a filtered count is NOT metadata-answerable — must expand and agree
+    val q3 = spark.sql(
+      "SELECT count(*) FROM graft.sqlspec_count WHERE id >= 100")
+    assert(!q3.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q3.collect().head.getLong(0) === 300L)
+  }
+
+  test("deletion vectors apply to SQL reads, including pruned ones") {
+    val root = mkTable("sqlspec_dv")
+    MergeInto.deleteWhere(spark, root,
+      spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(125L), org.apache.spark.sql.Row(350L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, false)))))
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.dvs.nonEmpty, "delete must be merge-on-read here")
+    val rows = spark.sql(
+      "SELECT id FROM graft.sqlspec_dv WHERE id BETWEEN 120 AND 130 ORDER BY id")
+    assert(rows.collect().map(_.getLong(0)).toSeq ===
+      (120L to 130L).filterNot(_ == 125L))
+    assert(spark.sql("SELECT id FROM graft.sqlspec_dv WHERE id = 350").count() === 0)
+  }
+
+  test("self-join resolves both instances independently") {
+    mkTable("sqlspec_self")
+    val n = spark.sql(
+      """SELECT count(*) AS n FROM graft.sqlspec_self a
+        |JOIN graft.sqlspec_self b ON a.id = b.id + 100
+        |WHERE a.id < 150""".stripMargin).collect().head.getLong(0)
+    // pairs (100..149) <- (0..49)
+    assert(n === 50L)
+  }
+
+  test("time travel: graft.`name@vN` reads the pinned generation") {
+    val root = mkTable("sqlspec_tt")
+    val extra = ManifestCommit.newDataDir(root)
+    spark.range(1000, 1010).toDF("id")
+      .withColumn("k", col("id") % 7)
+      .withColumn("v", concat(lit("v"), col("id")))
+      .write.parquet(extra)
+    ManifestCommit.commitAppend(spark, root, extra)
+    assert(spark.sql("SELECT count(*) FROM graft.sqlspec_tt")
+      .collect().head.getLong(0) === 410L)
+    assert(spark.sql("SELECT max(id) AS m FROM graft.`sqlspec_tt@v1`")
+      .collect().head.getLong(0) === 399L)
+  }
+
+  test("bloom side files prune point lookups in SQL") {
+    // modulo layout: every dir spans the full id range, min/max prunes
+    // nothing; blooms on the modulo class do
+    val root = Files.createTempDirectory("graft_sqlspec_").toString + "/t"
+    val df = spark.range(0, 400).toDF("id").withColumn("v", col("id") * 2)
+    val dirs = ManifestCommit.writeSliced(spark, root, df,
+      pmod(col("id"), lit(4)), Seq("id", ManifestCommit.RowCountStat))
+    dirs.foreach { case (d, _) =>
+      ManifestCommit.writeDirBloom(spark, d, "id", 100) }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema))
+    GraftSql.register("sqlspec_bloom", root)
+    val q = spark.sql("SELECT v FROM graft.sqlspec_bloom WHERE id = 123")
+    assert(scannedDirs(q).size <= 2,
+      s"bloom must prune the 4-dir modulo layout: ${scannedDirs(q)}")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(246L))
+  }
+
+  test("INSERT INTO appends through the manifest and keeps stats alive") {
+    val root = mkTable("sqlspec_ins")
+    // VALUES with an int id: store-assignment cast to the bigint column
+    spark.sql(
+      "INSERT INTO graft.sqlspec_ins VALUES (1000, 3, 'v1000'), (1001, 4, 'v1001')")
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.op === Some("insert"))
+    assert(m.dirs.size === 5)
+    // metadata COUNT(*) still answers from the manifest: the new dir
+    // inherited the RowCountStat pseudo-column
+    val q = spark.sql("SELECT count(*) FROM graft.sqlspec_ins")
+    assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q.collect().head.getLong(0) === 402L)
+    // ... and id min/max stats: a range probe over old data still prunes
+    // the new dir away
+    val pruned = spark.sql(
+      "SELECT id FROM graft.sqlspec_ins WHERE id BETWEEN 120 AND 130")
+    assert(scannedDirs(pruned).size === 1)
+    assert(spark.sql("SELECT v FROM graft.sqlspec_ins WHERE id = 1001")
+      .collect().head.getString(0) === "v1001")
+  }
+
+  test("INSERT INTO ... SELECT from another graft table") {
+    mkTable("sqlspec_ins_src")
+    val dstRoot = mkTable("sqlspec_ins_dst")
+    spark.sql(
+      """INSERT INTO graft.sqlspec_ins_dst
+        |SELECT id + 10000, k, v FROM graft.sqlspec_ins_src WHERE id < 50""".stripMargin)
+    assert(ManifestCommit.read(spark, dstRoot).count() === 450L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.sqlspec_ins_dst WHERE id >= 10000")
+      .collect().head.getLong(0) === 50L)
+  }
+
+  test("INSERT OVERWRITE replaces contents; old generation stays time-travelable") {
+    val root = mkTable("sqlspec_ovw")
+    spark.sql(
+      "INSERT OVERWRITE graft.sqlspec_ovw SELECT id, id % 3 AS k, 'x' AS v FROM range(7)")
+    assert(ManifestCommit.read(spark, root).count() === 7L)
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.op === Some("insert_overwrite"))
+    assert(spark.sql("SELECT count(*) FROM graft.`sqlspec_ovw@v1`")
+      .collect().head.getLong(0) === 400L)
+  }
+
+  test("INSERT rejects arity mismatch and time-travel targets") {
+    mkTable("sqlspec_ins_bad")
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.sqlspec_ins_bad VALUES (1, 2)")
+    }
+    assert(e1.getMessage.contains("columns"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.`sqlspec_ins_bad@v1` VALUES (1, 2, 'x')")
+    }
+    assert(e2.getMessage.contains("time-travel"), e2.getMessage)
+  }
+
+  test("metadata tables: graft.`name#history` and graft.`name#files`") {
+    mkTable("sqlspec_meta")
+    spark.sql("INSERT INTO graft.sqlspec_meta VALUES (9999, 0, 'z')")
+    val hist = spark.sql(
+      """SELECT gen, operation, dirs_added FROM graft.`sqlspec_meta#history`
+        |ORDER BY gen""".stripMargin).collect()
+    assert(hist.map(_.getString(1)).toSeq === Seq("replace", "insert"))
+    assert(hist.last.getLong(2) === 1L)
+    val files = spark.sql(
+      """SELECT dir, rows, stats['id'] AS id_range FROM graft.`sqlspec_meta#files`
+        |ORDER BY dir""".stripMargin).collect()
+    assert(files.length === 5)
+    assert(files.map(_.getLong(1)).sum === 401L)
+    assert(files.forall(r => r.getString(2).startsWith("[")))
+    // metadata tables are manifest-only: no parquet relation in the plan
+    val plan = spark.sql("SELECT * FROM graft.`sqlspec_meta#files`")
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case l: LogicalRelation => l }.isEmpty, plan.toString)
+  }
+
+  test("unregistered names fall through to Spark's own error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.sqlspec_nope_missing").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("not"), e.getMessage)
+  }
+}
