@@ -232,6 +232,30 @@ class GraftSqlSpec extends SparkSpec {
       case l: LogicalRelation => l }.isEmpty, plan.toString)
   }
 
+  test("SQL conjunctions prune multi-dimensionally on a z-ordered table") {
+    // x/y uniform grid, initially sliced by x-range only: a y-only
+    // predicate can't prune. After OPTIMIZE ZORDER(x, y) each dir is a
+    // z-rectangle with tight stats on BOTH columns — the SQL x AND y
+    // conjunction must intersect both pruning dimensions.
+    val root = Files.createTempDirectory("graft_sqlspec_").toString + "/t"
+    val df = spark.range(0, 64 * 64).toDF("i")
+      .select((col("i") % 64).as("x"), (col("i") / 64).cast("long").as("y"))
+    val dirs = ManifestCommit.writeSliced(spark, root, df,
+      floor(col("x") / lit(4)), Seq("x", "y", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema))
+    graft.ingest.Optimize.zorderCompactN(spark, root, Seq("x", "y"), 16,
+      extraStatCols = Seq(ManifestCommit.RowCountStat))
+    GraftSql.register("sqlspec_zorder", root)
+    val q = spark.sql(
+      """SELECT count(*) AS n FROM graft.sqlspec_zorder
+        |WHERE x BETWEEN 10 AND 13 AND y BETWEEN 20 AND 23""".stripMargin)
+    val scanned = scannedDirs(q)
+    assert(scanned.size <= 4,
+      s"x AND y must prune to a z-box neighborhood, got ${scanned.size} of 16")
+    assert(q.collect().head.getLong(0) === 16L)
+  }
+
   test("unregistered names fall through to Spark's own error") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft.sqlspec_nope_missing").collect()
