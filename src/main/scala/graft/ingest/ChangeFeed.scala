@@ -104,4 +104,65 @@ object ChangeFeed {
       .select(explode(changes).as("__c"))
       .select("__c.*")
   }
+
+  // ---- incremental consumption: the public "table as an incremental
+  // stream" shape (Delta readChangeFeed + startingVersion, Iceberg
+  // incremental reads). A CONSUMER owns a durable cursor holding the
+  // last generation it fully applied; each sync reads only the delta
+  // between the cursor and the live generation — O(changed dirs), never
+  // O(table) — and advances the cursor AFTER its downstream apply is
+  // durable (at-least-once delivery; pair with content-idempotent
+  // applies like MERGE/deleteWhere, gate q147). One writer per cursor
+  // file (consumer state, not table state — lives outside the root).
+
+  /** What one sync must apply: `changes` in CDF vocabulary.
+    * `fromGen`=None marks the INITIAL sync — the full current snapshot
+    * as `insert` rows (the Delta starting-snapshot contract). */
+  final case class Consumed(changes: DataFrame, fromGen: Option[Long], toGen: Long)
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def cursorGen(spark: SparkSession, cursorPath: String): Option[Long] = {
+    val f = fs(spark, cursorPath)
+    val p = new org.apache.hadoop.fs.Path(cursorPath)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Durably record that everything up to `gen` is applied. Call AFTER
+    * the downstream apply — a crash in between replays the batch, which
+    * idempotent applies absorb. */
+  def advanceCursor(spark: SparkSession, cursorPath: String, gen: Long): Unit = {
+    val f = fs(spark, cursorPath)
+    val out = f.create(new org.apache.hadoop.fs.Path(cursorPath), true)
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** One incremental sync: None = nothing new (cursor is at the live
+    * generation). The returned `toGen` is what [[advanceCursor]] must
+    * record once applied. The cursor generation must still be RETAINED
+    * (same contract as [[diff]]); size snapshot retention to the
+    * slowest consumer's lag. */
+  def consume(spark: SparkSession, root: String, cursorPath: String,
+      keys: Seq[String]): Option[Consumed] = {
+    val cur = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a manifest-committed table")).gen
+    cursorGen(spark, cursorPath) match {
+      case Some(g) if g == cur => None
+      case Some(g) =>
+        require(g < cur, s"cursor at gen $g is ahead of the table's $cur")
+        Some(Consumed(diff(spark, root, g, cur, keys), Some(g), cur))
+      case None =>
+        val snap = ManifestCommit.read(spark, root)
+        Some(Consumed(snap.withColumn(ChangeType, lit("insert")), None, cur))
+    }
+  }
 }

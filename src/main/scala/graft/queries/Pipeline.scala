@@ -2319,6 +2319,113 @@ object Pipeline {
       lit(if (before.isDefined && after.isDefined) 1 else 0).as("from_manifest"))
   }
 
+  /** q147 — incremental table REPLICATION via change-feed consumption
+    * (the public Delta readChangeFeed + startingVersion shape:
+    * `ChangeFeed.consume` reads only the delta between a durable
+    * consumer CURSOR and the live generation — O(changed dirs), never
+    * O(table)). Sync 1 is the initial-snapshot-as-inserts contract;
+    * sync 2 spans a MERGE (updates + inserts) AND a merge-on-read
+    * delete in ONE consume, applied to the replica as MERGE + delete;
+    * then the batch is RE-APPLIED without advancing the cursor (the
+    * crash-between-apply-and-advance window) and the replica's content
+    * must not move — at-least-once delivery × content-idempotent apply
+    * = exactly-once contents. Final replica state hash-matches DuckDB
+    * computing the same mutations relationally; per-change-type counts
+    * and the drained-cursor probe are pinned inside the output.
+    *
+    * 100-TB shape: each sync's cost follows the CHANGED dir set (the
+    * merge rewrote 4 dirs, the delete repointed a DV) — a replica of a
+    * 100 TB table syncs minutes of changes in minutes, never rescans
+    * the table; retention is sized to the slowest consumer's lag. */
+  val q147_cdf_replication = Q(
+    "q147_cdf_replication",
+    """WITH fin AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000
+      |         ELSE o_totalprice END AS p
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_totalprice * 2
+      |  FROM orders WHERE o_orderkey % 89 = 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(p as decimal(18,2))) as double) AS sum_price,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |     WHERE o_orderkey % 89 = 0) AS n_ins,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |     WHERE o_orderkey % 97 = 0) AS n_del,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |     WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0) AS n_upd,
+      |  1 AS replay_same, 1 AS drained
+      |FROM fin""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ChangeFeed, ManifestCommit, MergeInto}
+    val base = tmpDir("graft_q147_")
+    val srcRoot = base + "/src"
+    val repRoot = base + "/replica"
+    val cursor = base + "/cursor"
+    val orders = Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val dirs = ManifestCommit.writeSliced(s, srcRoot, orders,
+      pmod(col("o_orderkey"), lit(4)),
+      Seq("o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, srcRoot, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(orders.schema))
+
+    // sync 1: initial snapshot → replica, cursor advanced after apply
+    val c1 = ChangeFeed.consume(s, srcRoot, cursor, Seq("o_orderkey")).get
+    assert(c1.fromGen.isEmpty)
+    val d0 = ManifestCommit.newDataDir(repRoot)
+    c1.changes.drop(ChangeFeed.ChangeType).write.parquet(d0)
+    ManifestCommit.commitReplace(s, repRoot, Seq(d0), pruneDisplaced = false,
+      stats = Map(d0 -> ManifestCommit.dirStats(s, d0, Seq("o_orderkey"))),
+      schema = Some(orders.schema))
+    ChangeFeed.advanceCursor(s, cursor, c1.toGen)
+
+    // source mutations: MERGE (update %101 → +1000, insert %89 clones
+    // at +1e8) then merge-on-read delete of %97
+    val updates = orders.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    val inserts = orders.filter(pmod(col("o_orderkey"), lit(89)) === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        (col("o_totalprice") * 2.0).as("o_totalprice"))
+    MergeInto.merge(s, srcRoot, updates.unionByName(inserts), Seq("o_orderkey"))
+    MergeInto.deleteWhere(s, srcRoot,
+      orders.filter(pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
+
+    // sync 2: ONE consume spanning both mutations
+    val c2 = ChangeFeed.consume(s, srcRoot, cursor, Seq("o_orderkey")).get
+    val ch = c2.changes.cache()
+    val byType = ch.groupBy(ChangeFeed.ChangeType).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def applyBatch(): Unit = {
+      val upserts = ch.filter(col(ChangeFeed.ChangeType)
+        .isin("insert", "update_postimage")).drop(ChangeFeed.ChangeType)
+      val delKeys = ch.filter(col(ChangeFeed.ChangeType) === "delete")
+        .select("o_orderkey")
+      MergeInto.merge(s, repRoot, upserts, Seq("o_orderkey"))
+      MergeInto.deleteWhere(s, repRoot, delKeys)
+    }
+    def state(): (Long, Double) = {
+      val r = ManifestCommit.read(s, repRoot).agg(
+        count(lit(1)),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")).collect()(0)
+      (r.getLong(0), r.getDouble(1))
+    }
+    applyBatch()
+    val (n1, p1) = state()
+    // crash replay: the cursor was NOT advanced yet; the batch re-applies
+    applyBatch()
+    val (n2, p2) = state()
+    ch.unpersist()
+    ChangeFeed.advanceCursor(s, cursor, c2.toGen)
+    val drained = ChangeFeed.consume(s, srcRoot, cursor, Seq("o_orderkey")).isEmpty
+    s.range(1).select(
+      lit(n1).as("n_rows"), lit(p1).as("sum_price"),
+      lit(byType.getOrElse("insert", 0L)).as("n_ins"),
+      lit(byType.getOrElse("delete", 0L)).as("n_del"),
+      lit(byType.getOrElse("update_postimage", 0L)).as("n_upd"),
+      lit(if (n1 == n2 && p1 == p2) 1 else 0).as("replay_same"),
+      lit(if (drained) 1 else 0).as("drained"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -2334,5 +2441,6 @@ object Pipeline {
     q128_zorder_optimize, q129_manifest_history, q130_bloom_point_lookup,
     q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d, q134_month_lifecycle,
     q135_manifest_count, q136_stream_late_drop, q137_ann_incremental,
-    q138_ivf_incremental, q139_delta_log, q140_dv_count)
+    q138_ivf_incremental, q139_delta_log, q140_dv_count,
+    q147_cdf_replication)
 }
