@@ -517,4 +517,129 @@ object MergeInto {
       DeleteResult(committed.gen, m.dirs.size, newDvs.size, totalDeleted)
     } finally distinctKeys.unpersist()
   }
+
+  // ---- predicate DML: DELETE/UPDATE WHERE <arbitrary condition> ----
+  // The SQL DML surface (DELETE FROM / UPDATE graft.<name>) and any
+  // programmatic caller that has a PREDICATE rather than a key set.
+  // Copy-on-write at dir granularity, three-stage like everything else
+  // in this family:
+  //   1. candidates by manifest stats (StatsPredicate bounds + bloom
+  //      points — O(stats-matching dirs), cold dirs never read);
+  //   2. exact matched-dir test: ONE job over the plain candidates with
+  //      the dir identity recovered from the file path (a candidate the
+  //      predicate doesn't actually touch survives byte-identical);
+  //      dv'd candidates are conservatively affected (their read goes
+  //      through the DV anti-join, where per-file attribution is lost);
+  //   3. affected dirs rewritten into one new dir (deletes drop matching
+  //      rows; updates rewrite them in place), metered by observe on the
+  //      write pass, committed via the REBASING commit with the
+  //      stats-disjointness proof for concurrently-added dirs.
+
+  final case class RowOpResult(
+      gen: Long,
+      dirsTotal: Int,
+      dirsRewritten: Int,
+      rowsAffected: Long)
+
+  /** Delete every row satisfying `cond`. `cond` must reference table
+    * columns by NAME (unresolved), e.g. `col("x") % 97 === 0`. */
+  def deleteRows(spark: SparkSession, root: String, cond: Column,
+      retries: Int = 0): RowOpResult =
+    rowOpRetrying(retries) {
+      rowOp(spark, root, cond, "delete",
+        (df, c) => df.filter(!coalesce(c, lit(false))))
+    }
+
+  /** Update `assignments` (name → expression over the row's own columns)
+    * on every row satisfying `cond`; other rows and columns unchanged. */
+  def updateRows(spark: SparkSession, root: String,
+      assignments: Seq[(String, Column)], cond: Column,
+      retries: Int = 0): RowOpResult =
+    rowOpRetrying(retries) {
+      rowOp(spark, root, cond, "update", { (df, c) =>
+        val hit = coalesce(c, lit(false))
+        // all assignment RHS evaluate against the PRE-update row (SQL
+        // UPDATE semantics: SET a = b, b = a swaps)
+        val cols = df.columns.toSeq.map { name =>
+          assignments.find(_._1 == name) match {
+            case Some((_, rhs)) =>
+              when(hit, rhs.cast(df.schema(name).dataType))
+                .otherwise(df.col(name)).as(name)
+            case None => df.col(name)
+          }
+        }
+        df.select(cols: _*)
+      })
+    }
+
+  private def rowOpRetrying(retries: Int)(f: => RowOpResult): RowOpResult = {
+    var attempt = 0
+    while (attempt < retries.max(0)) {
+      try return f
+      catch { case _: ManifestCommit.ConcurrentCommitException => attempt += 1 }
+    }
+    f
+  }
+
+  private def rowOp(spark: SparkSession, root: String, cond: Column,
+      op: String, transform: (DataFrame, Column) => DataFrame): RowOpResult = {
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+    val tSchema = org.apache.spark.sql.types.StructType(
+      m.tableSchema.getOrElse(
+        ManifestCommit.readDirsOf(spark, root, m, m.dirs).schema)
+        .fields.map(_.copy(nullable = true)))
+    val ex = StatsPredicate.extract(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
+    val names = tSchema.fieldNames.toSet
+    var cand = ManifestCommit.prunedDirsOf(m, ex.bounds.filter(b => names(b._1)))
+    ex.points.filter(p => names(p._1)).foreach { case (c, v) =>
+      if (cand.nonEmpty && cand.size <= 1024)
+        cand = cand.filter(
+          ManifestCommit.bloomDirsOf(spark, root, m, c, v).toSet)
+    }
+    if (cand.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
+
+    // exact matched-dir witness on the plain candidates, one job
+    val (dvCand, plainCand) = cand.partition(m.dvs.contains)
+    val matchedPlain: Seq[String] =
+      if (plainCand.isEmpty) Nil
+      else spark.read.schema(tSchema)
+        .parquet(plainCand.map(d => s"$root/$d"): _*)
+        .withColumn("__dir", element_at(split(input_file_name(), "/"), -2))
+        .filter(cond)
+        .select("__dir").distinct().collect().map(_.getString(0)).toSeq
+    val affected = (matchedPlain ++ dvCand).sorted
+    if (affected.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
+
+    val statCols = m.stats.values.flatten.map(_.col).toSeq.distinct
+      .filter(c => c == ManifestCommit.RowCountStat ||
+        (!ManifestCommit.PseudoStats(c) && names(c)))
+    val src = ManifestCommit.readDirsOf(spark, root, m, affected, Some(tSchema))
+    val obs = Observation()
+    val out = transform(src.observe(obs,
+      sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as("matched"),
+      count(lit(1)).as("total")), cond)
+    val newDir = ManifestCommit.newDataDir(root)
+    out.write.parquet(newDir)
+    val row = obs.get
+    val matched = Option(row("matched")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val total = row("total").asInstanceOf[Long]
+    val written = if (op == "delete") total - matched else total
+    val added =
+      if (written == 0L) { // everything in the affected set deleted
+        new org.apache.hadoop.fs.Path(newDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(newDir), true)
+        Nil
+      } else Seq(newDir)
+    val stats = added.map(d =>
+      d -> (if (statCols.isEmpty) Nil
+            else ManifestCommit.dirStats(spark, d, statCols))).toMap
+    val committed = ManifestCommit.commitReconciled(spark, root, m,
+      displaced = affected, added = added, addedStats = stats,
+      schema = m.tableSchema, op = op, pinned = affected.toSet,
+      disjoint = (_, st) => ex.disjoint(st))
+    RowOpResult(committed.gen, m.dirs.size, affected.size, matched)
+  }
 }

@@ -193,5 +193,59 @@ object SqlGates {
       lit(scanned.toLong).as("orders_dirs_scanned"))
   }
 
-  val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join)
+  /** q148 — SQL row-level DML (UPDATE / DELETE ... WHERE) with dir-level
+    * copy-on-write arbitrated by manifest stats: the one-month UPDATE
+    * rewrites exactly 1 of ~80 month dirs (history pins added=1,
+    * removed=1), and the three-month DELETE — whose affected dirs match
+    * in FULL — drops 3 dirs with no replacement write at all (added=0,
+    * removed=3). Cold dirs survive untouched (dir count pinned), and the
+    * final table state hash-matches DuckDB computing both mutations
+    * relationally. 100-TB shape: predicate DML costs
+    * O(stats-matching dirs) read + rewrite of only the dirs that
+    * actually contain matches — the Delta/Iceberg copy-on-write DELETE/
+    * UPDATE contract, reached from SQL text. */
+  val q148_sql_dml = Q(
+    "q148_sql_dml",
+    """WITH fin AS (
+      |  SELECT CASE WHEN o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |                AND o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'
+      |              THEN o_totalprice + 1000 ELSE o_totalprice END AS p
+      |  FROM orders
+      |  WHERE NOT (o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      |         AND o_orderdate <= TIMESTAMP '1997-08-31 23:59:59'))
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(p as decimal(18,2))) as double) AS sum_price,
+      |  CAST(1 AS BIGINT) AS upd_added, CAST(1 AS BIGINT) AS upd_removed,
+      |  CAST(0 AS BIGINT) AS del_added, CAST(3 AS BIGINT) AS del_removed,
+      |  (SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y%m')) AS BIGINT) - 3
+      |     FROM orders) AS dirs_after
+      |FROM fin""".stripMargin) { (s, dir) =>
+    import graft.ingest.ManifestCommit
+    val (root, name, _) = ordersTable(s, dir, "graft_q148_")
+    s.sql(
+      s"""UPDATE graft.$name SET o_totalprice = o_totalprice + 1000
+         |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'""".stripMargin)
+    s.sql(
+      s"""DELETE FROM graft.$name
+         |WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+         |  AND o_orderdate <= TIMESTAMP '1997-08-31 23:59:59'""".stripMargin)
+    val hist = ManifestCommit.history(s, root).orderBy("gen").collect()
+    val (upd, del) = (hist(hist.length - 2), hist(hist.length - 1))
+    assert(upd.getString(1) == "update" && del.getString(1) == "delete",
+      s"unexpected history ops: ${hist.map(_.getString(1)).mkString(",")}")
+    val agg = s.sql(
+      s"""SELECT CAST(count(*) AS LONG) AS n_rows,
+         |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+         |FROM graft.$name""".stripMargin).collect()(0)
+    val dirsAfter = ManifestCommit.readManifest(s, root).get.dirs.size
+    s.range(1).select(
+      lit(agg.getLong(0)).as("n_rows"), lit(agg.getDouble(1)).as("sum_price"),
+      lit(upd.getLong(3)).as("upd_added"), lit(upd.getLong(4)).as("upd_removed"),
+      lit(del.getLong(3)).as("del_added"), lit(del.getLong(4)).as("del_removed"),
+      lit(dirsAfter.toLong).as("dirs_after"))
+  }
+
+  val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
+    q148_sql_dml)
 }

@@ -1,14 +1,14 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{MultiInstanceRelation, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.optimizer.{CollapseProject, ColumnPruning, PushDownPredicates, RemoveNoopOperators}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{NumericType, StructType}
+import org.apache.spark.sql.types.StructType
 
 import graft.ingest.ManifestCommit
 import graft.ingest.ManifestCommit.Manifest
@@ -225,7 +225,161 @@ case class GraftResolveRelations(spark: SparkSession)
             i.query.output.zip(fields.toIndexedSeq).map { case (a, f) => castTo(a, f) }
           }
         GraftInsert(g.root, g.readSchema, Project(aligned, i.query), i.overwrite)
+
+      // DELETE FROM graft.<name> WHERE <cond> — the target IS the child
+      // here (unlike InsertIntoStatement), so the relation case above has
+      // already resolved it and the analyzer has resolved <cond> against
+      // it; fold into a leaf command carrying the predicate by NAME
+      // (the executor re-resolves it against its own read).
+      case d: DeleteFromTable if d.resolved && graftTarget(d.table).isDefined =>
+        val g = graftTarget(d.table).get
+        require(!g.timeTraveled, "graft DELETE: cannot write to a @v time-travel reference")
+        GraftDelete(g.root, byNameColumn(d.condition))
+
+      // UPDATE graft.<name> SET ... [WHERE <cond>]
+      case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
+        val g = graftTarget(u.table).get
+        require(!g.timeTraveled, "graft UPDATE: cannot write to a @v time-travel reference")
+        val assigns = u.assignments.map { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new IllegalArgumentException(
+              s"graft UPDATE: only top-level columns can be assigned, got $other")
+          }
+          name -> byNameColumn(a.value)
+        }
+        GraftUpdate(g.root, assigns,
+          u.condition.map(byNameColumn).getOrElse(
+            org.apache.spark.sql.functions.lit(true)))
+
+      // MERGE INTO graft.<name> USING <source> ON <equi-cond> — mapped
+      // onto MergeInto.merge by REWRITING THE SOURCE: assignment RHS
+      // (which may only reference source columns) are computed into the
+      // source frame, so "update matched" is merge's ordinary full-row
+      // replace. A DELETE-only merge (no UPDATE clause) routes to the
+      // merge-on-read deleteWhere path instead — matched-but-kept rows
+      // must keep the TARGET version, which a rewrite can't express.
+      case mi: MergeIntoTable if mi.resolved &&
+          graftTarget(mi.targetTable).isDefined =>
+        convertMerge(mi)
     }
+
+  private def convertMerge(mi: MergeIntoTable): LogicalPlan = {
+    import org.apache.spark.sql.functions.lit
+    val g = graftTarget(mi.targetTable).get
+    require(!g.timeTraveled, "graft MERGE: cannot write to a @v time-travel reference")
+    require(mi.notMatchedBySourceActions.isEmpty,
+      "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+    val tgtOut = mi.targetTable.outputSet
+    val srcOut = mi.sourceTable.outputSet
+    def srcOnly(e: Expression): Boolean = e.references.subsetOf(srcOut)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case o => Seq(o)
+    }
+    val keys = conjuncts(mi.mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        val (t, s) =
+          if (tgtOut.contains(a) && srcOut.contains(b)) (a, b)
+          else if (tgtOut.contains(b) && srcOut.contains(a)) (b, a)
+          else throw new IllegalArgumentException(
+            "graft MERGE: ON must compare a target column with a source column")
+        require(t.name.equalsIgnoreCase(s.name),
+          s"graft MERGE: ON columns must share a name (${t.name} vs ${s.name})")
+        t.name
+      case other => throw new IllegalArgumentException(
+        s"graft MERGE: only equi-join ON conditions are supported, got $other")
+    }
+
+    var deleteWhen: Option[org.apache.spark.sql.Column] = None
+    var updateAssigns: Option[Seq[Assignment]] = None
+    mi.matchedActions.foreach {
+      case DeleteAction(cond) =>
+        require(updateAssigns.isEmpty,
+          "graft MERGE: DELETE must precede UPDATE (clauses apply in order; " +
+            "a DELETE after an unconditional UPDATE is unreachable)")
+        require(deleteWhen.isEmpty, "graft MERGE: at most one DELETE clause")
+        cond.foreach(c => require(srcOnly(c),
+          "graft MERGE: the DELETE condition may reference only source columns"))
+        deleteWhen = Some(cond.map(byNameColumn).getOrElse(lit(true)))
+      case ua: UpdateAction =>
+        require(ua.condition.isEmpty, "graft MERGE: conditional UPDATE is not supported")
+        require(updateAssigns.isEmpty, "graft MERGE: at most one UPDATE clause")
+        ua.assignments.foreach(a => require(srcOnly(a.value),
+          "graft MERGE: UPDATE values may reference only source columns"))
+        updateAssigns = Some(ua.assignments)
+      case other => throw new IllegalArgumentException(
+        s"graft MERGE: unsupported WHEN MATCHED action $other")
+    }
+    def assignPairs(as: Seq[Assignment]): Seq[(String, Expression)] = as.map { a =>
+      a.key match {
+        case ar: AttributeReference => ar.name -> a.value
+        case other => throw new IllegalArgumentException(
+          s"graft MERGE: only top-level columns can be assigned, got $other")
+      }
+    }
+    val insertUnmatched = mi.notMatchedActions match {
+      case Seq() => false
+      case Seq(ia: InsertAction) =>
+        require(ia.condition.isEmpty, "graft MERGE: conditional INSERT is not supported")
+        ia.assignments.foreach(a => require(srcOnly(a.value),
+          "graft MERGE: INSERT values may reference only source columns"))
+        // merge() inserts the SAME rewritten source row it updates with,
+        // so the insert mapping must agree with the update mapping
+        // (star-expanded clauses always do)
+        updateAssigns.foreach { ua =>
+          val u = assignPairs(ua).map { case (k, v) => (k, v.canonicalized) }.toMap
+          val i = assignPairs(ia.assignments)
+            .map { case (k, v) => (k, v.canonicalized) }.toMap
+          require(u == i,
+            "graft MERGE: INSERT and UPDATE column mappings must agree")
+        }
+        true
+      case _ => throw new IllegalArgumentException(
+        "graft MERGE: at most one unconditional WHEN NOT MATCHED INSERT is supported")
+    }
+    (updateAssigns, deleteWhen) match {
+      case (None, Some(dw)) =>
+        require(!insertUnmatched,
+          "graft MERGE: INSERT requires an UPDATE clause (delete-only merges cannot insert)")
+        GraftMergeDelete(g.root, mi.sourceTable, keys, dw)
+      case (Some(ua), _) =>
+        val assigns = assignPairs(ua).map { case (k, v) => k -> byNameColumn(v) }
+        GraftMerge(g.root, g.readSchema, mi.sourceTable, keys, assigns,
+          deleteWhen, insertUnmatched)
+      case (None, None) if insertUnmatched => throw new IllegalArgumentException(
+        "graft MERGE: WHEN NOT MATCHED INSERT requires an UPDATE clause " +
+          "(insert-only merges would have to leave matched rows untouched)")
+      case (None, None) => throw new IllegalArgumentException(
+        "graft MERGE: needs at least one WHEN MATCHED clause")
+    }
+  }
+
+  private def graftTarget(t: LogicalPlan): Option[GraftRelation] = t match {
+    case g: GraftRelation => Some(g)
+    case SubqueryAlias(_, g: GraftRelation) => Some(g)
+    case _ => None
+  }
+
+  /** Re-express a RESOLVED predicate/expression by column NAME, so the
+    * DML executor can apply it to its own manifest read (fresh exprIds).
+    * `With` common-subexpression forms (BETWEEN resolves to one) are
+    * inlined first — a With cannot be rebuilt around unresolved
+    * children, and the executor's re-analysis re-derives the sharing. */
+  private def byNameColumn(e: Expression): org.apache.spark.sql.Column = {
+    def inlineWith(x: Expression): Expression = x.transformUp {
+      case w: With =>
+        val defs = w.defs.map(d => d.id -> d.child).toMap
+        w.child.transformUp {
+          case r: CommonExpressionRef => defs(r.id)
+        }
+    }
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      inlineWith(e).transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+      })
+  }
 }
 
 /** Logical leaf command for `INSERT [OVERWRITE] graft.<name> <query>`:
@@ -239,6 +393,47 @@ case class GraftInsert(root: String, tableSchema: StructType,
     s"GraftInsert $root overwrite=$overwrite"
 }
 
+/** Leaf command for `DELETE FROM graft.<name> WHERE cond`. The predicate
+  * rides as a name-based Column (NOT an Expression field — the command is
+  * past analysis; the executor resolves it against its own read). */
+case class GraftDelete(root: String, cond: org.apache.spark.sql.Column)
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String = s"GraftDelete $root"
+}
+
+/** Leaf command for `UPDATE graft.<name> SET ... WHERE cond`. */
+case class GraftUpdate(root: String,
+    assignments: Seq[(String, org.apache.spark.sql.Column)],
+    cond: org.apache.spark.sql.Column)
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String = s"GraftUpdate $root"
+}
+
+/** Leaf command for `MERGE INTO graft.<name>` with an UPDATE clause:
+  * executed as `MergeInto.merge` over the REWRITTEN source (assignment
+  * RHS computed into the source frame, cast to the target schema). */
+case class GraftMerge(root: String, tableSchema: StructType,
+    source: LogicalPlan, keys: Seq[String],
+    assignments: Seq[(String, org.apache.spark.sql.Column)],
+    deleteWhen: Option[org.apache.spark.sql.Column],
+    insertUnmatched: Boolean)
+  extends LeafCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def simpleString(maxFields: Int): String =
+    s"GraftMerge $root keys=${keys.mkString(",")}"
+}
+
+/** Leaf command for a DELETE-only `MERGE INTO graft.<name>`: matched
+  * rows satisfying the condition are deleted via the merge-on-read
+  * `deleteWhere` path; everything else is untouched. */
+case class GraftMergeDelete(root: String, source: LogicalPlan,
+    keys: Seq[String], cond: org.apache.spark.sql.Column)
+  extends LeafCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def simpleString(maxFields: Int): String =
+    s"GraftMergeDelete $root keys=${keys.mkString(",")}"
+}
+
 /** Pre-CBO optimizer rule: expand every [[GraftRelation]] into its
   * DV-aware manifest read — consulting per-dir min/max stats and bloom
   * side files against the filter that Catalyst pushed down onto the
@@ -247,7 +442,7 @@ case class GraftInsert(root: String, tableSchema: StructType,
   * so predicate pushdown and column pruning have already collapsed the
   * plan to `[Project] > [Filter] > leaf` shapes. */
 case class GraftDataSkipping(spark: SparkSession)
-    extends Rule[LogicalPlan] with PredicateHelper {
+    extends Rule[LogicalPlan] {
 
   /** Probing bloom side files is one filesystem round-trip per kept dir;
     * past this many dirs the probe costs more driver latency than the
@@ -316,70 +511,16 @@ case class GraftDataSkipping(spark: SparkSession)
     * unparseable conjuncts contribute nothing, stat-less dirs are kept,
     * and the full filter still runs on what's read. */
   private def keptDirs(cond: Expression, g: GraftRelation): Seq[String] = {
-    val m = g.manifest
-    val byId = g.output.map(a => a.exprId -> a.name).toMap
-    def colOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference => byId.get(a.exprId)
-      case _ => None
-    }
-    def toScala(l: Literal): Any =
-      CatalystTypeConverters.convertToScala(l.value, l.dataType)
-    def render(l: Literal): Option[String] =
-      if (l.value == null) None
-      else Some(ManifestCommit.renderBound(toScala(l)))
-
-    val bounds = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Option[String], Option[String])]
-    val points = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
-
-    def lo(c: Option[String], l: Literal): Unit =
-      c.foreach(cc => render(l).foreach(v => bounds += ((cc, Some(v), None))))
-    def hi(c: Option[String], l: Literal): Unit =
-      c.foreach(cc => render(l).foreach(v => bounds += ((cc, None, Some(v)))))
-    def eq(c: Option[String], l: Literal): Unit = c.foreach { cc =>
-      render(l).foreach(v => bounds += ((cc, Some(v), Some(v))))
-      toScala(l) match {
-        case v @ (_: Long | _: Int | _: Short | _: Byte | _: String) =>
-          points += ((cc, v))
-        case _ => ()
-      }
-    }
-
-    splitConjunctivePredicates(cond).foreach {
-      case EqualTo(a, l: Literal) => eq(colOf(a), l)
-      case EqualTo(l: Literal, a) => eq(colOf(a), l)
-      case EqualNullSafe(a, l: Literal) if l.value != null => eq(colOf(a), l)
-      case EqualNullSafe(l: Literal, a) if l.value != null => eq(colOf(a), l)
-      case GreaterThanOrEqual(a, l: Literal) => lo(colOf(a), l)
-      case GreaterThan(a, l: Literal) => lo(colOf(a), l)
-      case LessThanOrEqual(a, l: Literal) => hi(colOf(a), l)
-      case LessThan(a, l: Literal) => hi(colOf(a), l)
-      case GreaterThanOrEqual(l: Literal, a) => hi(colOf(a), l)
-      case GreaterThan(l: Literal, a) => hi(colOf(a), l)
-      case LessThanOrEqual(l: Literal, a) => lo(colOf(a), l)
-      case LessThan(l: Literal, a) => lo(colOf(a), l)
-      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        colOf(a).foreach { cc =>
-          val lits = vs.map(_.asInstanceOf[Literal])
-          val rendered = lits.map(render)
-          if (rendered.forall(_.isDefined)) {
-            // bound the IN-list by its min/max in the STATS ordering
-            // (numeric compare for numeric columns, else string)
-            val rs = rendered.flatten
-            val numeric = a.dataType.isInstanceOf[NumericType]
-            val ordered =
-              if (numeric) rs.sortBy(new java.math.BigDecimal(_))
-              else rs.sorted
-            bounds += ((cc, Some(ordered.head), Some(ordered.last)))
-          }
-        }
-      case _ => ()
-    }
-
-    var kept = ManifestCommit.prunedDirsOf(m, bounds.toSeq)
-    points.foreach { case (c, v) =>
+    // extraction shared with the predicate DML operators
+    // (ingest.StatsPredicate) so SQL reads and DML rewrites prune
+    // identically; restricted to the leaf's own column names
+    val names = g.output.map(_.name).toSet
+    val ex = graft.ingest.StatsPredicate.extract(cond)
+    var kept = ManifestCommit.prunedDirsOf(g.manifest,
+      ex.bounds.filter(b => names(b._1)))
+    ex.points.filter(p => names(p._1)).foreach { case (c, v) =>
       if (kept.nonEmpty && kept.size <= BloomProbeMaxDirs) {
-        val hit = ManifestCommit.bloomDirsOf(spark, g.root, m, c, v).toSet
+        val hit = ManifestCommit.bloomDirsOf(spark, g.root, g.manifest, c, v).toSet
         kept = kept.filter(hit)
       }
     }

@@ -8,15 +8,30 @@ import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.V2CommandExec
 import org.apache.spark.sql.types.StructType
 
-import graft.ingest.ManifestCommit
+import graft.ingest.{ManifestCommit, MergeInto}
 
 /** Plans [[GraftInsert]] commands. */
 case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftInsert(root, schema, query, overwrite) =>
       GraftInsertExec(spark, root, schema, query, overwrite) :: Nil
+    case GraftDelete(root, cond) =>
+      GraftRowOpExec(s"GraftDeleteExec $root",
+        () => { MergeInto.deleteRows(spark, root, cond); () }) :: Nil
+    case GraftUpdate(root, assigns, cond) =>
+      GraftRowOpExec(s"GraftUpdateExec $root",
+        () => { MergeInto.updateRows(spark, root, assigns, cond); () }) :: Nil
     case _ => Nil
   }
+}
+
+/** Driver-side row-level DML (the dir-level copy-on-write work happens
+  * in the thunk's own Spark jobs via `MergeInto.deleteRows/updateRows`). */
+case class GraftRowOpExec(label: String, op: () => Unit)
+  extends V2CommandExec with LeafExecNode {
+  override def output: Seq[Attribute] = Nil
+  override def run(): Seq[InternalRow] = { op(); Nil }
+  override def simpleString(maxFields: Int): String = label
 }
 
 /** Executes `INSERT [OVERWRITE] graft.<name>`: writes the aligned query

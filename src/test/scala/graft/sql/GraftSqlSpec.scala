@@ -256,6 +256,63 @@ class GraftSqlSpec extends SparkSpec {
     assert(q.collect().head.getLong(0) === 16L)
   }
 
+  test("DELETE FROM prunes the rewrite set via stats and preserves cold dirs") {
+    val root = mkTable("sqlspec_del")
+    val coldBefore = ManifestCommit.readManifest(spark, root).get.dirs.toSet
+    // range predicate: only the [100, 200) dir can match
+    spark.sql("DELETE FROM graft.sqlspec_del WHERE id BETWEEN 120 AND 130")
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.op === Some("delete"))
+    // exactly one dir displaced, three cold dirs byte-identical (same names)
+    assert((coldBefore -- m.dirs.toSet).size === 1)
+    assert((coldBefore & m.dirs.toSet).size === 3)
+    val ids = spark.sql(
+      "SELECT id FROM graft.sqlspec_del WHERE id BETWEEN 115 AND 135 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids === ((115L to 119L) ++ (131L to 135L)))
+    assert(spark.sql("SELECT count(*) FROM graft.sqlspec_del")
+      .collect().head.getLong(0) === 389L)
+    // arbitrary (non-range) predicate still works, conservatively
+    spark.sql("DELETE FROM graft.sqlspec_del WHERE id % 2 = 0 AND k = 3")
+    val want = (0L until 400L)
+      .filterNot(i => i >= 120 && i <= 130)
+      .filterNot(i => i % 2 == 0 && i % 7 == 3)
+    assert(spark.sql("SELECT count(*) FROM graft.sqlspec_del")
+      .collect().head.getLong(0) === want.size.toLong)
+  }
+
+  test("UPDATE SET evaluates against the pre-update row; cold dirs survive") {
+    val root = mkTable("sqlspec_upd")
+    spark.sql(
+      """UPDATE graft.sqlspec_upd SET k = id, v = concat(v, '!')
+        |WHERE id BETWEEN 200 AND 205""".stripMargin)
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.op === Some("update"))
+    assert(m.dirs.size === 4)
+    val rows = spark.sql(
+      """SELECT id, k, v FROM graft.sqlspec_upd
+        |WHERE id BETWEEN 199 AND 206 ORDER BY id""".stripMargin).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id >= 200 && id <= 205) {
+        assert(r.getLong(1) === id)
+        assert(r.getString(2) === s"v$id!")
+      } else {
+        assert(r.getLong(1) === id % 7)
+        assert(r.getString(2) === s"v$id")
+      }
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.sqlspec_upd")
+      .collect().head.getLong(0) === 400L)
+  }
+
+  test("DELETE with no matching rows is a no-op commit-wise") {
+    val root = mkTable("sqlspec_del_noop")
+    val genBefore = ManifestCommit.readManifest(spark, root).get.gen
+    spark.sql("DELETE FROM graft.sqlspec_del_noop WHERE id > 100000")
+    assert(ManifestCommit.readManifest(spark, root).get.gen === genBefore)
+  }
+
   test("unregistered names fall through to Spark's own error") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft.sqlspec_nope_missing").collect()
