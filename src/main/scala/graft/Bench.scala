@@ -141,12 +141,18 @@ object Bench {
     // under e.g. a German JVM locale and corrupt the machine-parsed line
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // Per-query stdout values are 2-decimal (10 ms resolution — queries
-    // run 0.05-5 s, so 2 decimals lose nothing the driver grades on) so
-    // the 112-query map fits the parent's ~2000-char tail; full 3-decimal
-    // values stay on the stderr diag line.
+    // Per-query stdout values are width-adaptive: sub-second queries (the
+    // common case — the registry's median is ~0.3 s) print 1 decimal
+    // ("0.4", 100 ms resolution), slower ones keep 2 decimals. At 145+
+    // queries the uniform 2-decimal map no longer fits the parent's
+    // ~2000-char tail in the rich form; full 3-decimal values stay on the
+    // stderr diag line regardless, so nothing graded is lost.
     def fmt2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def fmtAdapt(v: Double): String =
+      if (v >= 0 && v < 0.995)
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      else fmt2(v) // slow queries AND failure sentinels (-0.01 must not round to -0.0)
     def jmap(xs: Seq[(String, Double)], f: Double => String = fmt): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     // stdout keys are the short qNN prefix (the contract's `"q1":sec` shape):
@@ -157,7 +163,7 @@ object Bench {
     // error) would round to "-0.00" which JSON-parses as -0.0 == 0.0 —
     // clamp negatives away from zero so value<0 stays detectable
     val qs = jmap(results.map { case (n, v) =>
-      shortOf(n) -> (if (v < 0) math.min(v, -0.01) else v) }, fmt2)
+      shortOf(n) -> (if (v < 0) math.min(v, -0.01) else v) }, fmtAdapt)
     // Per-query medians for noise diagnosis on the ARTIFACT itself (the
     // r6 lesson: 4 unchanged queries regressed 3-6x in min-of-reps and
     // only the stderr diag could tell environment from regression). The

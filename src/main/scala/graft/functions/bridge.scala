@@ -10,7 +10,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** ExpressionUtils.expression can hand back a LAZY ColumnNode wrapper
+    * for function-built Columns (Spark 4's Connect-compatible Column API)
+    * — opaque to pattern matching, `.sql`, and `.deterministic`. Convert
+    * eagerly through the same ColumnNode→Expression converter the classic
+    * Dataset API applies to every Column, so callers always see the real
+    * catalyst tree. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
 
 /** Bridge into private[sql] Dataset.ofRows — the documented pattern for

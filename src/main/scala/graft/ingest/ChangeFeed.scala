@@ -159,9 +159,22 @@ object ChangeFeed {
       case Some(g) if g == cur => None
       case Some(g) =>
         require(g < cur, s"cursor at gen $g is ahead of the table's $cur")
+        // a cursor that fell behind snapshot retention is an operational
+        // failure with a crisp remedy, not an obscure manifest miss
+        if (ManifestCommit.readManifestAt(spark, root, g).isEmpty)
+          throw new IllegalStateException(
+            s"change-feed cursor at generation $g of $root is no longer " +
+              "retained (snapshot retention expired it) — the incremental " +
+              "window is lost. Remedy: delete the cursor file to force a " +
+              "fresh initial-sync snapshot (re-replication), and size " +
+              "expireSnapshots keepLast to cover the slowest consumer's lag")
         Some(Consumed(diff(spark, root, g, cur, keys), Some(g), cur))
       case None =>
-        val snap = ManifestCommit.read(spark, root)
+        // snapshot PINNED to the generation recorded as toGen — reading
+        // the live manifest again here would let a commit landing in
+        // between deliver rows beyond the recorded cursor (the next sync
+        // would re-deliver that window and skew update/delete preimages)
+        val snap = ManifestCommit.readAt(spark, root, cur)
         Some(Consumed(snap.withColumn(ChangeType, lit("insert")), None, cur))
     }
   }

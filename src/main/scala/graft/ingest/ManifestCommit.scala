@@ -91,12 +91,23 @@ object ManifestCommit {
     * between manifest commit and checkpoint write presents the same
     * (writer, version) again and the commit is skipped — exactly-once
     * table contents without any coordination beyond the manifest. */
+  /** `slice` records the table's SLICING EXPRESSION as SQL text (set at
+    * creation by range/month-sliced writers, inherited by every later
+    * commit): writers that receive an arbitrary row set — SQL INSERT
+    * above all — re-derive the table's layout from it via `writeSliced`,
+    * so a year-sized INSERT SELECT into a month-sliced table lands as
+    * month dirs with month-tight stats instead of one blob that degrades
+    * skipping until the next OPTIMIZE (the reference's log tables are
+    * month-partitioned by DDL — create_clickhouse_models.py:57 — and its
+    * INSERT path cannot produce an unpartitioned part). Advisory layout
+    * metadata: readers never consult it. */
   final case class Manifest(gen: Long, dirs: Seq[String],
       stats: Map[String, Seq[ColStats]] = Map.empty,
       tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
       op: Option[String] = None,
       dvs: Map[String, String] = Map.empty,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      slice: Option[String] = None)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -179,12 +190,12 @@ object ManifestCommit {
     }
   }
 
-  /** op / schema / txn meta are ABSOLUTE in every file (full or delta):
-    * they are O(1)/O(cols)/O(writers) — tiny next to the O(dirs) dir
-    * list, so deltas re-state them instead of diffing. */
+  /** op / schema / txn / slice meta are ABSOLUTE in every file (full or
+    * delta): they are O(1)/O(cols)/O(writers) — tiny next to the O(dirs)
+    * dir list, so deltas re-state them instead of diffing. */
   private def interpretMeta(raw: RawManifest): (
       Option[org.apache.spark.sql.types.StructType], Option[String],
-      Map[String, Long]) = {
+      Map[String, Long], Option[String]) = {
     val schema = raw.metaVal("#schema").map { s =>
       org.apache.spark.sql.types.DataType.fromJson(dec(s))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -196,17 +207,17 @@ object ManifestCommit {
         dec(x.substring(0, i)) -> x.substring(i + 1).toLong
       }.toMap
     }.getOrElse(Map.empty[String, Long])
-    (schema, op, txns)
+    (schema, op, txns, raw.metaVal("#slice").map(dec))
   }
 
   private def interpretFull(raw: RawManifest): Manifest = {
-    val (schema, op, txns) = interpretMeta(raw)
+    val (schema, op, txns, slice) = interpretMeta(raw)
     val parsed = raw.dirLines.map(parseDirLine)
     Manifest(raw.gen, parsed.map(_._1),
       parsed.collect { case (d, cs, _) if cs.nonEmpty => d -> cs }.toMap,
       schema, op,
       parsed.collect { case (d, _, Some(dv)) => d -> dv }.toMap,
-      txns)
+      txns, slice)
   }
 
   /** Apply one delta record to its resolved base: `-name` removes a dir,
@@ -214,7 +225,7 @@ object ManifestCommit {
     * appends a new dir at the end — exactly the shapes `commitAppend`
     * and `commitReconciled` produce, so base order is preserved. */
   private def applyDelta(base: Manifest, raw: RawManifest): Manifest = {
-    val (schema, op, txns) = interpretMeta(raw)
+    val (schema, op, txns, slice) = interpretMeta(raw)
     val removed = raw.dirLines.filter(_.startsWith("-"))
       .map(_.substring(1)).toSet
     val updated = raw.dirLines.filter(_.startsWith("~"))
@@ -229,7 +240,7 @@ object ManifestCommit {
       schema, op,
       (base.dvs -- removed -- touched) ++
         (updated ++ added).collect { case (d, _, Some(v)) => d -> v },
-      txns)
+      txns, slice)
   }
 
   /** Resolved-manifest memo for the per-generation files: a COMMITTED
@@ -528,6 +539,7 @@ object ManifestCommit {
   private def metaLines(m: Manifest): Seq[String] =
     m.tableSchema.map(s => "#schema\t" + enc(s.json)).toSeq ++
       m.op.map(o => "#op\t" + enc(o)).toSeq ++
+      m.slice.map(s => "#slice\t" + enc(s)).toSeq ++
       (if (m.txns.isEmpty) Nil
        else Seq("#txn\t" + m.txns.toSeq.sortBy(_._1)
          .map { case (w, v) => enc(w) + ":" + v }.mkString(",")))
@@ -630,13 +642,18 @@ object ManifestCommit {
   private def commitLock(root: String): Object =
     commitLocks.computeIfAbsent(root, _ => new Object)
 
+  /** `slice`: record (or at creation, set) the table's slicing expression
+    * — SQL text over the table's columns; `None` INHERITS the previous
+    * generation's (slicing is standing layout policy, and an INSERT
+    * OVERWRITE must not silently drop it). */
   def commitReplace(spark: SparkSession, root: String, dirs: Seq[String],
       pruneDisplaced: Boolean = true,
       stats: Map[String, Seq[ColStats]] = Map.empty,
       expectedGen: Option[Long] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: String = "replace",
-      dvs: Map[String, String] = Map.empty): Manifest =
+      dvs: Map[String, String] = Map.empty,
+      slice: Option[String] = None): Manifest =
       commitLock(root).synchronized {
     val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
     val prev = readManifest(spark, root)
@@ -651,7 +668,8 @@ object ManifestCommit {
     val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names,
       stats.map { case (d, cs) => new Path(d).getName -> cs }, schema, Some(op),
       dvs.map { case (d, f) => new Path(d).getName -> f },
-      prev.map(_.txns).getOrElse(Map.empty))
+      prev.map(_.txns).getOrElse(Map.empty),
+      slice.orElse(prev.flatMap(_.slice)))
     writeManifest(spark, root, m)
     if (pruneDisplaced) {
       // eager-prune mode: displaced dirs go away, so the older snapshots
@@ -779,7 +797,7 @@ object ManifestCommit {
       schema,
       Some(op),
       (cur.dvs -- dispN) ++ dvUpdates.map { case (d, f) => name(d) -> f },
-      cur.txns)
+      cur.txns, cur.slice)
     writeManifest(spark, root, m, Some(cur))
     m
   }
@@ -890,7 +908,8 @@ object ManifestCommit {
         (if (stats.nonEmpty) Map(name -> stats) else Map.empty),
       prev.flatMap(_.tableSchema), Some(op),
       prev.map(_.dvs).getOrElse(Map.empty),
-      prev.map(_.txns).getOrElse(Map.empty) ++ txn)
+      prev.map(_.txns).getOrElse(Map.empty) ++ txn,
+      prev.flatMap(_.slice))
     writeManifest(spark, root, m, prev)
     m
   }
@@ -1041,6 +1060,14 @@ object ManifestCommit {
     * pairs ready for `commitReplace`. The promotion is a local/HDFS
     * rename; an object-store deployment writes final dirs directly via
     * its committer — the manifest protocol above is unchanged. */
+  /** SQL text of a slicing Column, for recording in the manifest
+    * (`commitReplace(slice = Some(...))`); writers that later receive an
+    * arbitrary row set (SQL INSERT) re-derive the Column with `expr(...)`
+    * against their own frame — name-resolved, so it survives the round
+    * trip as long as it references only table columns. */
+  def sliceSql(c: org.apache.spark.sql.Column): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c).sql
+
   def writeSliced(spark: SparkSession, root: String, df: DataFrame,
       slice: org.apache.spark.sql.Column,
       statCols: Seq[String]): Seq[(String, Seq[ColStats])] = {

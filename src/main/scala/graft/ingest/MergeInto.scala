@@ -554,7 +554,9 @@ object MergeInto {
     * on every row satisfying `cond`; other rows and columns unchanged. */
   def updateRows(spark: SparkSession, root: String,
       assignments: Seq[(String, Column)], cond: Column,
-      retries: Int = 0): RowOpResult =
+      retries: Int = 0): RowOpResult = {
+    assignments.foreach { case (n, rhs) =>
+      requireDeterministic(s"update assignment $n", rhs) }
     rowOpRetrying(retries) {
       rowOp(spark, root, cond, "update", { (df, c) =>
         val hit = coalesce(c, lit(false))
@@ -571,6 +573,7 @@ object MergeInto {
         df.select(cols: _*)
       })
     }
+  }
 
   private def rowOpRetrying(retries: Int)(f: => RowOpResult): RowOpResult = {
     var attempt = 0
@@ -581,8 +584,16 @@ object MergeInto {
     f
   }
 
+  private def requireDeterministic(what: String, c: Column): Unit =
+    require(org.apache.spark.sql.graftbridge.ColumnBridge.expression(c).deterministic,
+      s"$what must be deterministic — the matched-dir witness job and the " +
+        "rewrite job evaluate it independently, so e.g. rand() < 0.1 would " +
+        "apply to a different row set than was witnessed (the Spark/Delta " +
+        "row-level DML contract rejects nondeterministic conditions)")
+
   private def rowOp(spark: SparkSession, root: String, cond: Column,
       op: String, transform: (DataFrame, Column) => DataFrame): RowOpResult = {
+    requireDeterministic(s"$op condition", cond)
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
     val tSchema = org.apache.spark.sql.types.StructType(

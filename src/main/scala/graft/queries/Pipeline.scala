@@ -2426,6 +2426,85 @@ object Pipeline {
       lit(if (drained) 1 else 0).as("drained"))
   }
 
+  /** q150 — schema evolution THROUGH change-feed replication: the source
+    * table gains a column mid-stream via a schema-evolving MERGE
+    * (`evolveSchema = true`, the q125 contract) and a replica syncing via
+    * `ChangeFeed.consume` must pick it up without a re-snapshot — the
+    * classic silent-drop in replication pipelines. The feed is emitted in
+    * toGen's (evolved) schema, so pre-evolution preimages null-fill the
+    * new column; the replica applies the batch with an evolving MERGE of
+    * its own and its final state — INCLUDING the new column's null
+    * backfill on rows no change ever touched — hash-matches DuckDB.
+    * Pinned inside the output: the feed carries the evolved column, the
+    * replica's cold rows read as NULL for it, and the cursor drains.
+    *
+    * 100-TB shape: evolution costs the replica exactly what it costs the
+    * source — only the rewritten dir materializes the column; cold dirs
+    * on BOTH sides null-fill at read through their recorded union
+    * schemas. Sync cost stays O(changed dirs). */
+  val q150_cdf_schema_evolution = Q(
+    "q150_cdf_schema_evolution",
+    """WITH fin AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000
+      |         ELSE o_totalprice END AS p,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN 'hot' ELSE NULL END AS f
+      |  FROM orders)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(p as decimal(18,2))) as double) AS sum_price,
+      |  CAST(count(f) AS BIGINT) AS n_flagged,
+      |  CAST(sum(CASE WHEN f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_flag,
+      |  1 AS feed_has_col, 1 AS drained
+      |FROM fin""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ChangeFeed, ManifestCommit, MergeInto}
+    val base = tmpDir("graft_q150_")
+    val srcRoot = base + "/src"
+    val repRoot = base + "/replica"
+    val cursor = base + "/cursor"
+    val orders = Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val dirs = ManifestCommit.writeSliced(s, srcRoot, orders,
+      pmod(col("o_orderkey"), lit(4)),
+      Seq("o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, srcRoot, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(orders.schema))
+
+    // sync 1: initial snapshot → replica
+    val c1 = ChangeFeed.consume(s, srcRoot, cursor, Seq("o_orderkey")).get
+    val d0 = ManifestCommit.newDataDir(repRoot)
+    c1.changes.drop(ChangeFeed.ChangeType).write.parquet(d0)
+    ManifestCommit.commitReplace(s, repRoot, Seq(d0), pruneDisplaced = false,
+      stats = Map(d0 -> ManifestCommit.dirStats(s, d0, Seq("o_orderkey"))),
+      schema = Some(orders.schema))
+    ChangeFeed.advanceCursor(s, cursor, c1.toGen)
+
+    // source gains o_flag via a schema-evolving MERGE (%101 rows updated)
+    val updates = orders.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit("hot").as("o_flag"))
+    MergeInto.merge(s, srcRoot, updates, Seq("o_orderkey"), evolveSchema = true)
+
+    // sync 2 spans the evolution: the feed is in the evolved schema
+    val c2 = ChangeFeed.consume(s, srcRoot, cursor, Seq("o_orderkey")).get
+    val feedHasCol = c2.changes.columns.contains("o_flag")
+    val upserts = c2.changes.filter(col(ChangeFeed.ChangeType)
+      .isin("insert", "update_postimage")).drop(ChangeFeed.ChangeType)
+    MergeInto.merge(s, repRoot, upserts, Seq("o_orderkey"), evolveSchema = true)
+    ChangeFeed.advanceCursor(s, cursor, c2.toGen)
+    val drained = ChangeFeed.consume(s, srcRoot, cursor, Seq("o_orderkey")).isEmpty
+
+    val r = ManifestCommit.read(s, repRoot).agg(
+      count(lit(1)),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+      count(col("o_flag")),
+      sum(when(col("o_flag").isNull, 1L).otherwise(0L))).collect()(0)
+    s.range(1).select(
+      lit(r.getLong(0)).as("n_rows"), lit(r.getDouble(1)).as("sum_price"),
+      lit(r.getLong(2)).as("n_flagged"), lit(r.getLong(3)).as("n_null_flag"),
+      lit(if (feedHasCol) 1 else 0).as("feed_has_col"),
+      lit(if (drained) 1 else 0).as("drained"))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -2442,5 +2521,5 @@ object Pipeline {
     q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d, q134_month_lifecycle,
     q135_manifest_count, q136_stream_late_drop, q137_ann_incremental,
     q138_ivf_incremental, q139_delta_log, q140_dv_count,
-    q147_cdf_replication)
+    q147_cdf_replication, q150_cdf_schema_evolution)
 }

@@ -42,11 +42,12 @@ object SqlGates {
       prefix: String): (String, String, Int) = {
     val root = tmpDir(prefix) + "/orders"
     val orders = Tables.load(s, dir, "orders")
-    val dirs = ManifestCommit.writeSliced(s, root, orders,
-      date_format(col("o_orderdate"), "yyyyMM"),
+    val slice = date_format(col("o_orderdate"), "yyyyMM")
+    val dirs = ManifestCommit.writeSliced(s, root, orders, slice,
       Seq("o_orderdate", "o_orderkey", ManifestCommit.RowCountStat))
     ManifestCommit.commitReplace(s, root, dirs.map(_._1),
-      pruneDisplaced = false, stats = dirs.toMap, schema = Some(orders.schema))
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(orders.schema),
+      slice = Some(ManifestCommit.sliceSql(slice)))
     val name = uniq(prefix)
     GraftSql.register(name, root)
     (root, name, dirs.size)
@@ -65,14 +66,34 @@ object SqlGates {
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
       |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s,
       |  CAST(3 AS BIGINT) AS dirs_scanned,
-      |  (SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y%m')) AS BIGINT)
-      |     FROM orders) AS dirs_total
+      |  (SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y%m')) AS BIGINT) + 3
+      |     FROM orders) AS dirs_total,
+      |  CAST(3 AS BIGINT) AS ins_dirs,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders) +
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+      |    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00') AS n_total
       |FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
       |  AND o_orderdate <= TIMESTAMP '1996-05-31 23:59:59'
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
     val (root, name, months) = ordersTable(s, dir, "graft_q144_")
+    // a quarter-sized SQL INSERT (3 months shifted +10y) lands as 3 MONTH
+    // dirs via the manifest-recorded slicing expression — skipping stays
+    // month-granular through SQL writes instead of degrading to one
+    // table-spanning blob until the next OPTIMIZE
+    s.sql(
+      s"""INSERT INTO graft.$name
+         |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+         |  o_totalprice, o_orderdate + INTERVAL '10' YEAR, o_orderpriority
+         |FROM graft.$name
+         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin)
+    val m = ManifestCommit.readManifest(s, root).get
+    val insDirs = m.dirs.size - months
+    val nTotal = s.sql(s"SELECT count(*) FROM graft.$name")
+      .collect()(0).getLong(0)
     val agg = s.sql(
       s"""SELECT o_orderpriority, CAST(count(*) AS LONG) AS n,
          |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s
@@ -84,7 +105,9 @@ object SqlGates {
     val scanned = scannedDataDirs(agg, root)
     agg.select(col("o_orderpriority"), col("n"), col("s"),
       lit(scanned.toLong).as("dirs_scanned"),
-      lit(months.toLong).as("dirs_total"))
+      lit(m.dirs.size.toLong).as("dirs_total"),
+      lit(insDirs.toLong).as("ins_dirs"),
+      lit(nTotal).as("n_total"))
   }
 
   /** q145 — metadata-only COUNT(*) at the SQL surface, surviving a
@@ -246,6 +269,81 @@ object SqlGates {
       lit(dirsAfter.toLong).as("dirs_after"))
   }
 
+  /** q149 — SQL `MERGE INTO` end-to-end: UPDATE SET * + conditional
+    * DELETE + INSERT * over a key-range-sliced orders table. The source
+    * targets one key band (slice 5 of 16) plus unmatched keys shifted
+    * beyond the table max, so merge's exact affected-dir test rewrites
+    * EXACTLY one dir (history pins added=1/removed=1, op=merge) while
+    * every cold dir survives by name; the final table state hash-matches
+    * DuckDB computing the merged result relationally. 100-TB shape: the
+    * statement plans through `GraftResolveRelations` →
+    * [[graft.sql.GraftWriteStrategy]] → `MergeInto.merge`, so SQL MERGE
+    * inherits the dir-level copy-on-write contract — O(touched dirs ∪
+    * source) cost, one full-outer shuffle, OCC commit — not a table
+    * rewrite. */
+  val q149_sql_merge = Q(
+    "q149_sql_merge",
+    """WITH mx AS (SELECT CAST(max(o_orderkey) AS BIGINT) AS mk FROM orders),
+      |tgt AS (
+      |  SELECT CASE WHEN CAST(floor(o_orderkey * 16 / (mk + 1)) AS BIGINT) = 5
+      |                AND o_orderkey % 3 = 0 AND o_orderkey % 2 = 1
+      |              THEN o_totalprice + 1000 ELSE o_totalprice END AS p
+      |  FROM orders, mx
+      |  WHERE NOT (CAST(floor(o_orderkey * 16 / (mk + 1)) AS BIGINT) = 5
+      |             AND o_orderkey % 3 = 0 AND o_orderkey % 2 = 0)),
+      |ins AS (
+      |  SELECT o_totalprice + 5000 AS p FROM orders, mx
+      |  WHERE CAST(floor(o_orderkey * 16 / (mk + 1)) AS BIGINT) = 5
+      |    AND o_orderkey % 3 = 0),
+      |fin AS (SELECT p FROM tgt UNION ALL SELECT p FROM ins)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(p as decimal(18,2))) as double) AS sum_price,
+      |  (SELECT CAST(count(DISTINCT CAST(floor(o_orderkey * 16 / (mk + 1)) AS BIGINT)) AS BIGINT) - 1
+      |     FROM orders, mx) AS cold_dirs,
+      |  CAST(1 AS BIGINT) AS upd_added, CAST(1 AS BIGINT) AS upd_removed
+      |FROM fin""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q149_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val mk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val slice = floor(col("o_orderkey") * 16 / (mk + 1))
+    val dirs = ManifestCommit.writeSliced(s, root, orders, slice,
+      Seq("o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(orders.schema))
+    val name = uniq("graft_q149")
+    GraftSql.register(name, root)
+    val coldBefore = ManifestCommit.readManifest(s, root).get.dirs.toSet
+    // band = every 3rd key of slice 5: odd keys update (+1000), even keys
+    // delete; the same band shifted past the max key inserts (+5000)
+    val band = orders.filter(slice === 5 && col("o_orderkey") % 3 === 0)
+    val srcView = uniq("graft_q149_src")
+    band.withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("del_it", col("o_orderkey") % 2 === 0)
+      .unionByName(band
+        .withColumn("o_orderkey", col("o_orderkey") + mk)
+        .withColumn("o_totalprice", col("o_totalprice") + 5000)
+        .withColumn("del_it", lit(false)))
+      .createOrReplaceTempView(srcView)
+    s.sql(
+      s"""MERGE INTO graft.$name t USING $srcView s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.del_it THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = ManifestCommit.readManifest(s, root).get
+    assert(m.op == Some("merge"), s"unexpected op ${m.op}")
+    val hist = ManifestCommit.history(s, root).orderBy("gen").collect().last
+    val agg = s.sql(
+      s"""SELECT CAST(count(*) AS LONG) AS n_rows,
+         |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+         |FROM graft.$name""".stripMargin).collect()(0)
+    s.range(1).select(
+      lit(agg.getLong(0)).as("n_rows"), lit(agg.getDouble(1)).as("sum_price"),
+      lit((coldBefore & m.dirs.toSet).size.toLong).as("cold_dirs"),
+      lit(hist.getLong(3)).as("upd_added"),
+      lit(hist.getLong(4)).as("upd_removed"))
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
-    q148_sql_dml)
+    q148_sql_dml, q149_sql_merge)
 }

@@ -49,6 +49,9 @@ object GraftSql {
 
   def register(name: String, root: String): Unit = {
     require(!name.contains("@"), s"table name may not contain '@': $name")
+    // '#' is the metadata-table suffix syntax (`t#history`): a table
+    // registered AS "a#history" would silently shadow table a's history
+    require(!name.contains("#"), s"table name may not contain '#': $name")
     registry.put(name.toLowerCase(java.util.Locale.ROOT), root); ()
   }
 
@@ -209,9 +212,26 @@ case class GraftResolveRelations(spark: SparkSession)
         require(!i.ifPartitionNotExists, "graft INSERT: IF NOT EXISTS not supported")
         require(i.userSpecifiedCols.isEmpty, "graft INSERT: explicit column lists not supported (use BY NAME)")
         val fields = g.readSchema.fields
+        // STORE-ASSIGNMENT casts, not the session's expression-cast mode:
+        // SQL INSERT follows spark.sql.storeAssignmentPolicy (Spark's own
+        // TableOutputResolver contract) — under the default ANSI policy an
+        // overflowing or malformed value FAILS the insert even with
+        // spark.sql.ansi.enabled=false, instead of landing silently as
+        // NULL/truncated; STRICT rejects any potentially-lossy cast
+        // (UpCast, resolved when the command re-analyzes its query).
         def castTo(a: Attribute, f: org.apache.spark.sql.types.StructField): NamedExpression =
           if (a.dataType == f.dataType) Alias(a, f.name)()
-          else Alias(Cast(a, f.dataType, Some(conf.sessionLocalTimeZone)), f.name)()
+          else {
+            import org.apache.spark.sql.internal.SQLConf.StoreAssignmentPolicy
+            val cast = conf.storeAssignmentPolicy match {
+              case StoreAssignmentPolicy.STRICT => UpCast(a, f.dataType)
+              case StoreAssignmentPolicy.LEGACY =>
+                Cast(a, f.dataType, Some(conf.sessionLocalTimeZone), EvalMode.LEGACY)
+              case _ =>
+                Cast(a, f.dataType, Some(conf.sessionLocalTimeZone), EvalMode.ANSI)
+            }
+            Alias(cast, f.name)()
+          }
         val aligned: Seq[NamedExpression] =
           if (i.byName) fields.toIndexedSeq.map { f =>
             val a = i.query.output.find(a => conf.resolver(a.name, f.name))
@@ -270,6 +290,9 @@ case class GraftResolveRelations(spark: SparkSession)
     require(!g.timeTraveled, "graft MERGE: cannot write to a @v time-travel reference")
     require(mi.notMatchedBySourceActions.isEmpty,
       "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+    require(!mi.withSchemaEvolution,
+      "graft MERGE: WITH SCHEMA EVOLUTION is not supported from SQL — " +
+        "use the programmatic MergeInto.merge(evolveSchema = true)")
     val tgtOut = mi.targetTable.outputSet
     val srcOut = mi.sourceTable.outputSet
     def srcOnly(e: Expression): Boolean = e.references.subsetOf(srcOut)
@@ -345,6 +368,18 @@ case class GraftResolveRelations(spark: SparkSession)
         GraftMergeDelete(g.root, mi.sourceTable, keys, dw)
       case (Some(ua), _) =>
         val assigns = assignPairs(ua).map { case (k, v) => k -> byNameColumn(v) }
+        // merge() is a full-row replace: a matched row's post-image is the
+        // rewritten SOURCE row, so every target column must get a value —
+        // from an assignment, or (for ON keys) from the source column the
+        // equi-condition proves equal. `UPDATE SET *` always covers.
+        val covered = (keys ++ assigns.map(_._1))
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val uncovered = g.readSchema.fieldNames.toSeq
+          .filterNot(f => covered(f.toLowerCase(java.util.Locale.ROOT)))
+        require(uncovered.isEmpty,
+          "graft MERGE: UPDATE must assign every non-key target column " +
+            s"(merge replaces the whole matched row); unassigned: " +
+            s"${uncovered.mkString(",")} — use UPDATE SET *")
         GraftMerge(g.root, g.readSchema, mi.sourceTable, keys, assigns,
           deleteWhen, insertUnmatched)
       case (None, None) if insertUnmatched => throw new IllegalArgumentException(
@@ -357,7 +392,9 @@ case class GraftResolveRelations(spark: SparkSession)
 
   private def graftTarget(t: LogicalPlan): Option[GraftRelation] = t match {
     case g: GraftRelation => Some(g)
-    case SubqueryAlias(_, g: GraftRelation) => Some(g)
+    // `MERGE INTO graft.t AS x` stacks the user alias on the resolver's
+    // own — strip them all
+    case SubqueryAlias(_, child) => graftTarget(child)
     case _ => None
   }
 

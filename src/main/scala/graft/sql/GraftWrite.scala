@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.StructType
 
 import graft.ingest.{ManifestCommit, MergeInto}
 
-/** Plans [[GraftInsert]] commands. */
+/** Plans the SQL write commands ([[GraftInsert]]/[[GraftDelete]]/
+  * [[GraftUpdate]]/[[GraftMerge]]/[[GraftMergeDelete]]). */
 case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftInsert(root, schema, query, overwrite) =>
@@ -21,8 +22,63 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
     case GraftUpdate(root, assigns, cond) =>
       GraftRowOpExec(s"GraftUpdateExec $root",
         () => { MergeInto.updateRows(spark, root, assigns, cond); () }) :: Nil
+    case GraftMerge(root, schema, source, keys, assigns, deleteWhen, insertUnmatched) =>
+      GraftMergeExec(spark, root, schema, source, keys, assigns,
+        deleteWhen, insertUnmatched) :: Nil
+    case GraftMergeDelete(root, source, keys, cond) =>
+      GraftRowOpExec(s"GraftMergeDeleteExec $root", () => {
+        // matched rows satisfying the condition, deleted merge-on-read:
+        // the key set is the source's own keys where the clause holds —
+        // deleteWhere's per-dir semi-join subtracts exactly those that
+        // actually exist (absent keys are the no-op the MERGE contract
+        // requires), cold dirs never read, no dir rewritten
+        val src = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark, source)
+        MergeInto.deleteWhere(spark, root, src.filter(cond)
+          .select(keys.map(org.apache.spark.sql.functions.col): _*))
+        ()
+      }) :: Nil
     case _ => Nil
   }
+}
+
+/** Executes `MERGE INTO graft.<name>` (UPDATE[+DELETE][+INSERT] form) by
+  * REWRITING THE SOURCE and delegating to [[MergeInto.merge]]'s dir-level
+  * copy-on-write: each target column is computed into the source frame —
+  * the assignment RHS where assigned, the equal-by-ON source column for
+  * keys (the conversion proved coverage) — and cast to the target type,
+  * so "update matched" is merge's ordinary full-row replace; the DELETE
+  * clause's condition rides the same select as a helper column evaluated
+  * over the ORIGINAL source columns (it may reference columns the rewrite
+  * overwrites or drops). Scale contract inherited from merge: cold dirs
+  * whose key range provably misses the source survive byte-identical,
+  * one full-outer shuffle of (touched dirs ∪ source), OCC commit. */
+case class GraftMergeExec(@transient spark: SparkSession, root: String,
+    tableSchema: StructType, @transient source: LogicalPlan,
+    keys: Seq[String],
+    assignments: Seq[(String, org.apache.spark.sql.Column)],
+    deleteWhen: Option[org.apache.spark.sql.Column],
+    insertUnmatched: Boolean)
+  extends V2CommandExec with LeafExecNode {
+
+  override def output: Seq[Attribute] = Nil
+
+  private val DelCol = "__graft_merge_del"
+
+  override def run(): Seq[InternalRow] = {
+    import org.apache.spark.sql.functions.col
+    val src = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark, source)
+    val assignOf = assignments.toMap // names carry the target schema's case
+    val rewritten = tableSchema.fields.toIndexedSeq.map { f =>
+      assignOf.getOrElse(f.name, src.col(f.name)).cast(f.dataType).as(f.name)
+    } ++ deleteWhen.map(_.as(DelCol)).toSeq
+    MergeInto.merge(spark, root, src.select(rewritten: _*), keys,
+      deleteWhen = deleteWhen.map(_ => col(DelCol)),
+      insertUnmatched = insertUnmatched)
+    Nil
+  }
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftMergeExec $root keys=${keys.mkString(",")}"
 }
 
 /** Driver-side row-level DML (the dir-level copy-on-write work happens
@@ -65,16 +121,43 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
       .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
       .filter(c => c == ManifestCommit.RowCountStat ||
         (!ManifestCommit.PseudoStats(c) && tableSchema.fieldNames.contains(c)))
-    val dir = ManifestCommit.newDataDir(root)
-    df.write.parquet(dir)
-    val stats =
-      if (statCols.isEmpty) Nil else ManifestCommit.dirStats(spark, dir, statCols)
-    if (overwrite)
-      ManifestCommit.commitReplace(spark, root, Seq(dir),
-        pruneDisplaced = false, stats = Map(dir -> stats),
-        schema = prev.flatMap(_.tableSchema), op = "insert_overwrite")
-    else
-      ManifestCommit.commitAppend(spark, root, dir, stats = stats, op = "insert")
+    prev.flatMap(_.slice) match {
+      // The table records a slicing expression: land the INSERT in its
+      // established layout — one dir per slice value with slice-tight
+      // stats — so a year-sized INSERT SELECT into a month-sliced table
+      // keeps skipping month-granular instead of degrading to one
+      // table-spanning stat range until the next OPTIMIZE. Small inserts
+      // are unharmed (one slice value → one dir, same cost as before).
+      case Some(sliceText) =>
+        val sliceCol = org.apache.spark.sql.functions.expr(sliceText)
+        val dirs = ManifestCommit.writeSliced(spark, root, df, sliceCol, statCols)
+        if (overwrite)
+          ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+            pruneDisplaced = false, stats = dirs.toMap,
+            schema = prev.flatMap(_.tableSchema), op = "insert_overwrite")
+        else
+          // multi-dir append: nothing displaced, nothing pinned — an
+          // insert reads no table state, so it commutes with any
+          // concurrent commit (AlwaysDisjoint), and stats/DVs/txns of
+          // the current generation carry through
+          ManifestCommit.commitReconciled(spark, root, base = prev.get,
+            displaced = Nil, added = dirs.map(_._1), addedStats = dirs.toMap,
+            schema = prev.flatMap(_.tableSchema), op = "insert")
+        ()
+      case None =>
+        val dir = ManifestCommit.newDataDir(root)
+        df.write.parquet(dir)
+        val stats =
+          if (statCols.isEmpty) Nil else ManifestCommit.dirStats(spark, dir, statCols)
+        if (overwrite)
+          ManifestCommit.commitReplace(spark, root, Seq(dir),
+            pruneDisplaced = false, stats = Map(dir -> stats),
+            schema = prev.flatMap(_.tableSchema), op = "insert_overwrite")
+        else {
+          ManifestCommit.commitAppend(spark, root, dir, stats = stats, op = "insert")
+          ()
+        }
+    }
     Nil
   }
 }

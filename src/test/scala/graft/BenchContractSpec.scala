@@ -26,12 +26,13 @@ class BenchContractSpec extends AnyFunSuite {
     val shortOf = Bench.shortKeys(names)
     val shorts = names.map(shortOf)
     assert(shorts.distinct.size === shorts.size, "short-key collision")
-    // realistic-worst full form: queries run 0.05-5 s ("9.99", 4 chars)
-    // with an allowance of 8 slow queries at 5 chars ("12.34") —
+    // realistic-worst full form: sub-second queries (the common case)
+    // print 1 decimal ("0.4", 3 chars) via Bench's adaptive format, with
+    // an allowance of 8 slow queries at up to 5 chars ("12.34") —
     // composeLine degrades if reality ever exceeds this, so the estimate
     // only needs to cover the COMMON case staying in the richest form —
     // plus scaffolding and the 4-entry med_outliers cap
-    val perQuery = shorts.map(_.length + 8).sum + 8
+    val perQuery = shorts.map(_.length + 7).sum + 8 * 2
     val fixed = 200 + 4 * 14
     assert(perQuery + fixed < 1900,
       s"estimated full-form line ${perQuery + fixed} chars — the driver tail is ~2000")

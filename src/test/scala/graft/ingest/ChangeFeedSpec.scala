@@ -1,0 +1,70 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Change-feed consumption contracts not covered by the q124/q147/q150
+  * gates: the cursor-behind-retention failure mode must be a crisp error
+  * naming the remedy (not an obscure manifest miss), and the initial sync
+  * must deliver exactly the generation it records as toGen. */
+class ChangeFeedSpec extends SparkSpec {
+
+  private def mkTable(): String = {
+    val root = Files.createTempDirectory("graft_cfspec_").toString + "/t"
+    val df = spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+    val dir = ManifestCommit.newDataDir(root)
+    df.write.parquet(dir)
+    ManifestCommit.commitReplace(spark, root, Seq(dir),
+      pruneDisplaced = false, schema = Some(df.schema))
+    root
+  }
+
+  test("cursor behind retention raises an error naming the remedy") {
+    val root = mkTable()
+    val cursor = root + "_cursor"
+    // establish the cursor at gen 1, then advance the table 3 generations
+    // and expire everything but the newest — gen 1 is gone
+    val c1 = ChangeFeed.consume(spark, root, cursor, Seq("id")).get
+    ChangeFeed.advanceCursor(spark, cursor, c1.toGen)
+    (1 to 3).foreach { i =>
+      val d = ManifestCommit.newDataDir(root)
+      spark.range(100 * i, 100 * i + 10).toDF("id")
+        .withColumn("v", col("id") * 2).write.parquet(d)
+      ManifestCommit.commitAppend(spark, root, d)
+    }
+    ManifestCommit.expireSnapshots(spark, root, keepLast = 1)
+    val e = intercept[IllegalStateException] {
+      ChangeFeed.consume(spark, root, cursor, Seq("id"))
+    }
+    assert(e.getMessage.contains("no longer retained"), e.getMessage)
+    assert(e.getMessage.contains("delete the cursor file"), e.getMessage)
+    assert(e.getMessage.contains("keepLast"), e.getMessage)
+    // the documented remedy works: a fresh cursor re-snapshots
+    val f = new org.apache.hadoop.fs.Path(cursor)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(cursor), false)
+    val again = ChangeFeed.consume(spark, root, cursor, Seq("id")).get
+    assert(again.fromGen.isEmpty)
+    assert(again.changes.count() === 130L)
+  }
+
+  test("initial sync is pinned to the generation recorded as toGen") {
+    val root = mkTable()
+    val cursor = root + "_cursor"
+    val c = ChangeFeed.consume(spark, root, cursor, Seq("id")).get
+    assert(c.fromGen.isEmpty)
+    // a commit lands BETWEEN consume() and the consumer reading changes —
+    // the delivered snapshot must still be toGen's, not the live one
+    val d = ManifestCommit.newDataDir(root)
+    spark.range(1000, 1010).toDF("id").withColumn("v", col("id") * 2)
+      .write.parquet(d)
+    ManifestCommit.commitAppend(spark, root, d)
+    assert(c.changes.count() === 100L,
+      "snapshot leaked rows committed after the recorded toGen")
+    // the next sync delivers exactly the in-between commit
+    ChangeFeed.advanceCursor(spark, cursor, c.toGen)
+    val c2 = ChangeFeed.consume(spark, root, cursor, Seq("id")).get
+    assert(c2.changes.count() === 10L)
+  }
+}

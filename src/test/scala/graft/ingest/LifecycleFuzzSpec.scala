@@ -189,6 +189,116 @@ class LifecycleFuzzSpec extends SparkSpec {
     assert(ManifestCommit.pruneOrphans(spark, root, minAgeMs = 0L).isEmpty)
   }
 
+  test("SQL verb fuzz (seed 5555): INSERT/UPDATE/DELETE/MERGE from SQL text, live == model") {
+    // Every mutation arrives as SQL TEXT through the injected rules
+    // (GraftResolveRelations → GraftWriteStrategy), mixed with
+    // programmatic DV deletes, compaction, z-order and retention — the
+    // rule-injection interaction net (skipping rule × DV × time travel ×
+    // checkpoint boundaries × sliced INSERT) the single-verb gates don't
+    // exercise. Invariants after every step: the SQL read equals the
+    // model, COUNT(*) parity, and SQL `@v` time travel equals history.
+    val root = Files.createTempDirectory("fuzz_sql_").toString + "/t"
+    val name = s"fuzz_sql_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+    graft.sql.GraftSql.register(name, root)
+    val rnd = new scala.util.Random(5555)
+    var model = Map.empty[Long, ModelRow]
+    var nextId = 0L
+    var history = Map.empty[Long, Map[Long, ModelRow]]
+    def fresh(n: Int): Seq[(Long, ModelRow)] = (1 to n).map { _ =>
+      nextId += 1
+      nextId -> ModelRow(s"v$nextId-0", rnd.nextInt(1000).toDouble, None)
+    }
+    def sample(k: Int): Seq[Long] =
+      rnd.shuffle(model.keys.toSeq.sorted).take(k.min(model.size))
+
+    locally { // sliced creation: SQL INSERTs must land in this layout
+      val rows = fresh(24)
+      val slice = floor(col("id") / lit(8))
+      val dirs = ManifestCommit.writeSliced(spark, root, df(false, rows: _*),
+        slice, Seq("id", ManifestCommit.RowCountStat))
+      ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+        pruneDisplaced = false, stats = dirs.toMap,
+        schema = Some(StructType(baseSchema.fields.map(_.copy(nullable = true)))),
+        slice = Some(ManifestCommit.sliceSql(slice)))
+      model = rows.toMap
+    }
+
+    (1 to 24).foreach { step =>
+      rnd.nextInt(7) match {
+        case 0 => // SQL INSERT VALUES — fresh ids span multiple slices
+          val rows = fresh(1 + rnd.nextInt(10))
+          val values = rows.map { case (id, m) =>
+            s"($id, '${m.v}', ${m.amt})" }.mkString(", ")
+          spark.sql(s"INSERT INTO graft.$name VALUES $values")
+          model ++= rows
+        case 1 => // SQL DELETE
+          val del = sample(1 + rnd.nextInt(3))
+          if (del.nonEmpty) {
+            spark.sql(s"DELETE FROM graft.$name WHERE id IN (${del.mkString(",")})")
+            model --= del
+          }
+        case 2 => // SQL UPDATE (RHS over the pre-update row)
+          val upd = sample(1 + rnd.nextInt(3))
+          if (upd.nonEmpty) {
+            spark.sql(s"UPDATE graft.$name SET v = concat(v, '-u$step'), " +
+              s"amt = amt + 1 WHERE id IN (${upd.mkString(",")})")
+            model ++= upd.map(id => id -> model(id).copy(
+              v = model(id).v + s"-u$step", amt = model(id).amt + 1))
+          }
+        case 3 => // SQL MERGE: conditional DELETE + UPDATE SET * + INSERT *
+          val upd = sample(3).map(id => id ->
+            model(id).copy(v = s"v$id-m$step", amt = model(id).amt + 2))
+          val del = sample(5).filterNot(upd.map(_._1).contains).take(2)
+          val ins = fresh(2)
+          val srcRows = upd ++ del.map(id => id -> model(id)) ++ ins
+          df(false, srcRows: _*).withColumn("__kill", col("id").isin(del: _*))
+            .createOrReplaceTempView("fuzz_sql_src")
+          spark.sql(
+            s"""MERGE INTO graft.$name t USING fuzz_sql_src s ON t.id = s.id
+               |WHEN MATCHED AND s.__kill THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          model = model -- del ++ upd ++ ins
+        case 4 => // programmatic DV delete — SQL reads must subtract it
+          val del = sample(1 + rnd.nextInt(2))
+          if (del.nonEmpty) {
+            MergeInto.deleteWhere(spark, root, mkDf(
+              StructType(Seq(StructField("id", LongType, false))),
+              del.map(Row(_)): _*))
+            model --= del
+          }
+        case 5 =>
+          if (rnd.nextBoolean()) Optimize.compactSmall(spark, root, smallBytes = 1L << 20)
+          else if (model.nonEmpty)
+            Optimize.zorderCompactN(spark, root, Seq("id", "amt"),
+              targetDirs = 1 + rnd.nextInt(2))
+        case 6 =>
+          ManifestCommit.expireSnapshots(spark, root, keepLast = 3)
+          history = history.filter { case (g, _) =>
+            ManifestCommit.readManifestAt(spark, root, g).isDefined }
+      }
+      ManifestCommit.clearResolveCache() // cold delta-log resolve each step
+      val got = spark.sql(s"SELECT id, v, amt FROM graft.$name").collect()
+        .map(r => r.getLong(0) -> ModelRow(r.getString(1), r.getDouble(2), None))
+        .toMap
+      assert(got === model, s"SQL live mismatch after step $step")
+      assert(spark.sql(s"SELECT count(*) FROM graft.$name")
+        .collect()(0).getLong(0) === model.size.toLong,
+        s"SQL COUNT(*) parity broken after step $step")
+      val gen = ManifestCommit.readManifest(spark, root).get.gen
+      history += gen -> model
+      val gens = ManifestCommit.snapshotGens(spark, root).filter(history.contains)
+      if (gens.nonEmpty) {
+        val g = gens(rnd.nextInt(gens.size))
+        val tt = spark.sql(s"SELECT id, v, amt FROM graft.`$name@v$g`").collect()
+          .map(r => r.getLong(0) -> ModelRow(r.getString(1), r.getDouble(2), None))
+          .toMap
+        assert(tt === history(g), s"SQL time travel to gen $g mismatch after step $step")
+      }
+    }
+    graft.sql.GraftSql.unregister(name)
+  }
+
   test("concurrent-writer fuzz (seed 1337): appends race every maintenance op, nothing lost") {
     // Every step races a REAL concurrent append (its own thread) against
     // a maintenance/mutation op on the same table. Fresh-id appends are

@@ -21,10 +21,12 @@ class GraftSqlSpec extends SparkSpec {
     val df = spark.range(0, 400).toDF("id")
       .withColumn("k", col("id") % 7)
       .withColumn("v", concat(lit("v"), col("id")))
+    val slice = floor(col("id") / lit(100))
     val dirs = ManifestCommit.writeSliced(spark, root, df,
-      floor(col("id") / lit(100)), Seq("id", ManifestCommit.RowCountStat))
+      slice, Seq("id", ManifestCommit.RowCountStat))
     ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
-      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema))
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema),
+      slice = Some(ManifestCommit.sliceSql(slice)))
     GraftSql.register(name, root)
     root
   }
@@ -188,6 +190,31 @@ class GraftSqlSpec extends SparkSpec {
       .collect().head.getLong(0) === 50L)
   }
 
+  test("INSERT spanning multiple slices lands sliced with slice-tight stats") {
+    val root = mkTable("sqlspec_ins_sliced")
+    assert(ManifestCommit.readManifest(spark, root).get.slice.isDefined)
+    // 3 slice values (10, 11, 12) in ONE statement → exactly 3 new dirs
+    spark.sql(
+      """INSERT INTO graft.sqlspec_ins_sliced
+        |SELECT id, id % 7 AS k, concat('n', id) AS v FROM range(1000, 1300)""".stripMargin)
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.op === Some("insert"))
+    assert(m.dirs.size === 7, s"4 original + 3 sliced insert dirs: ${m.dirs}")
+    // stats are slice-tight: a probe into ONE inserted slice plans 1 dir,
+    // and a probe over the original data is untouched by the insert
+    val probeNew = spark.sql(
+      "SELECT v FROM graft.sqlspec_ins_sliced WHERE id BETWEEN 1120 AND 1130")
+    assert(scannedDirs(probeNew).size === 1, scannedDirs(probeNew))
+    assert(probeNew.count() === 11)
+    val probeOld = spark.sql(
+      "SELECT v FROM graft.sqlspec_ins_sliced WHERE id BETWEEN 120 AND 130")
+    assert(scannedDirs(probeOld).size === 1)
+    // manifest COUNT(*) stays alive through the sliced insert
+    val q = spark.sql("SELECT count(*) FROM graft.sqlspec_ins_sliced")
+    assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q.collect().head.getLong(0) === 700L)
+  }
+
   test("INSERT OVERWRITE replaces contents; old generation stays time-travelable") {
     val root = mkTable("sqlspec_ovw")
     spark.sql(
@@ -311,6 +338,143 @@ class GraftSqlSpec extends SparkSpec {
     val genBefore = ManifestCommit.readManifest(spark, root).get.gen
     spark.sql("DELETE FROM graft.sqlspec_del_noop WHERE id > 100000")
     assert(ManifestCommit.readManifest(spark, root).get.gen === genBefore)
+  }
+
+  test("MERGE INTO: UPDATE SET * + INSERT *, cold dirs byte-identical") {
+    val root = mkTable("sqlspec_merge")
+    val coldBefore = ManifestCommit.readManifest(spark, root).get.dirs.toSet
+    // matched keys 150..159 live in ONE dir ([100,200)); 1000.. are unmatched
+    spark.range(150, 160).toDF("id")
+      .union(spark.range(1000, 1005).toDF("id"))
+      .withColumn("k", lit(-1L))
+      .withColumn("v", concat(lit("m"), col("id")))
+      .createOrReplaceTempView("sqlspec_merge_src")
+    spark.sql(
+      """MERGE INTO graft.sqlspec_merge t USING sqlspec_merge_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.op === Some("merge"))
+    // exactly the [100,200) dir rewritten; 3 cold dirs survive by name
+    assert((coldBefore & m.dirs.toSet).size === 3)
+    assert(m.dirs.size === 4)
+    val got = spark.sql(
+      """SELECT id, k, v FROM graft.sqlspec_merge
+        |WHERE id IN (149, 150, 159, 160, 1000, 1004) ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (149L, 149L % 7, "v149"), (150L, -1L, "m150"), (159L, -1L, "m159"),
+      (160L, 160L % 7, "v160"), (1000L, -1L, "m1000"), (1004L, -1L, "m1004")))
+    assert(spark.sql("SELECT count(*) FROM graft.sqlspec_merge")
+      .collect().head.getLong(0) === 405L)
+  }
+
+  test("MERGE INTO: DELETE clause before UPDATE applies per source row") {
+    val root = mkTable("sqlspec_merge_del")
+    spark.range(200, 210).toDF("id")
+      .withColumn("k", lit(0L))
+      .withColumn("v", concat(lit("u"), col("id")))
+      .withColumn("flag", when(col("id") % 2 === 0, lit("del")).otherwise(lit("keep")))
+      .createOrReplaceTempView("sqlspec_merge_del_src")
+    spark.sql(
+      """MERGE INTO graft.sqlspec_merge_del t USING sqlspec_merge_del_src s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.flag = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.id = s.id, t.k = s.k, t.v = s.v""".stripMargin)
+    // even ids 200..208 deleted, odd ids 201..209 updated, no inserts
+    assert(spark.sql("SELECT count(*) FROM graft.sqlspec_merge_del")
+      .collect().head.getLong(0) === 395L)
+    val got = spark.sql(
+      """SELECT id, v FROM graft.sqlspec_merge_del
+        |WHERE id BETWEEN 200 AND 209 ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === (200L to 209L).filter(_ % 2 == 1).map(i => (i, s"u$i")))
+    assert(ManifestCommit.readManifest(spark, root).get.op === Some("merge"))
+  }
+
+  test("delete-only MERGE routes merge-on-read: no dir rewritten, DVs repoint") {
+    val root = mkTable("sqlspec_merge_mor")
+    val dirsBefore = ManifestCommit.readManifest(spark, root).get.dirs
+    spark.range(0, 400, 100).toDF("id") // one key per dir
+      .withColumn("drop_it", col("id") < 200)
+      .createOrReplaceTempView("sqlspec_merge_mor_src")
+    spark.sql(
+      """MERGE INTO graft.sqlspec_merge_mor t USING sqlspec_merge_mor_src s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.drop_it THEN DELETE""".stripMargin)
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.dirs === dirsBefore, "merge-on-read must not rewrite any dir")
+    assert(m.dvs.size === 2, s"ids 0 and 100 live in two dirs: ${m.dvs}")
+    assert(m.op === Some("delete"))
+    assert(spark.sql("SELECT count(*) FROM graft.sqlspec_merge_mor")
+      .collect().head.getLong(0) === 398L)
+    assert(spark.sql("SELECT count(*) FROM graft.sqlspec_merge_mor WHERE id IN (0, 100)")
+      .collect().head.getLong(0) === 0L)
+  }
+
+  test("MERGE rejections carry actionable messages") {
+    mkTable("sqlspec_merge_bad")
+    spark.range(0, 5).toDF("id").withColumn("k", lit(0L))
+      .withColumn("v", lit("x")).createOrReplaceTempView("sqlspec_merge_bad_src")
+    def mergeErr(sql: String): String =
+      intercept[Exception](spark.sql(sql)).getMessage
+    // insert-only merge
+    assert(mergeErr(
+      """MERGE INTO graft.sqlspec_merge_bad t USING sqlspec_merge_bad_src s
+        |ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("INSERT requires an UPDATE clause"))
+    // partial UPDATE: v unassigned — full-row replace can't keep it
+    assert(mergeErr(
+      """MERGE INTO graft.sqlspec_merge_bad t USING sqlspec_merge_bad_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.k = s.k""".stripMargin)
+      .contains("UPDATE SET *"))
+    // non-equi ON
+    assert(mergeErr(
+      """MERGE INTO graft.sqlspec_merge_bad t USING sqlspec_merge_bad_src s
+        |ON t.id > s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      .contains("equi-join"))
+    // time-travel target
+    assert(mergeErr(
+      """MERGE INTO graft.`sqlspec_merge_bad@v1` t USING sqlspec_merge_bad_src s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      .contains("time-travel"))
+  }
+
+  test("register rejects the metadata-table suffix '#'") {
+    val e = intercept[Exception](GraftSql.register("a#history", "/tmp/x"))
+    assert(e.getMessage.contains("#"))
+  }
+
+  test("nondeterministic SQL DML conditions are rejected") {
+    mkTable("sqlspec_nondet")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.sqlspec_nondet WHERE rand() < 0.5")
+    }
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE graft.sqlspec_nondet SET k = CAST(rand() * 10 AS BIGINT) WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("deterministic"), e2.getMessage)
+  }
+
+  test("INSERT applies store-assignment (ANSI) casts even with ansi off") {
+    mkTable("sqlspec_ins_ansi")
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "false" ||
+      spark.conf.get("spark.sql.ansi.enabled") === "true") // just witness the knob
+    val prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft.sqlspec_ins_ansi VALUES ('boom', 1, 'x')")
+      }
+      assert(e.getMessage.toLowerCase.matches("(?s).*(cast|invalid|ansi).*"),
+        e.getMessage)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
   }
 
   test("unregistered names fall through to Spark's own error") {
