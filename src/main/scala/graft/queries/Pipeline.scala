@@ -1394,9 +1394,11 @@ object Pipeline {
       Measure("price_sum", "o_totalprice", "sum_dec"),
       Measure("price_min", "o_totalprice", "min"),
       Measure("price_max", "o_totalprice", "max"))
-    // initial rollup load: one batch over the base's current generation
-    IncrementalAgg.appendBatch(s, rollup, ManifestCommit.read(s, base),
-      keys, measures)
+    // initial rollup load: one batch over the base's current generation —
+    // content-identical to the frame just committed, so feed it from the
+    // in-memory plan instead of re-listing and re-reading the parquet we
+    // wrote a moment ago (one fewer read per gate run; same rows)
+    IncrementalAgg.appendBatch(s, rollup, orders, keys, measures)
     // merge the base: band updates, 'F' deletes in band, shifted inserts
     val updates = orders.filter(col("o_orderkey").between(lo, hi))
       .withColumn("o_totalprice", col("o_totalprice") + 1000)
@@ -1408,9 +1410,13 @@ object Pipeline {
     val g2 = ManifestCommit.readManifest(s, base).get.gen
     // derive the change stream; maintain the rollup — min/max included —
     // with dirty-group-only base rescans (applyChangesExact)
-    val feed = ChangeFeed.diff(s, base, g1, g2, Seq("o_orderkey"))
-    val applied = IncrementalAgg.applyChangesExact(s, rollup, feed,
+    // the feed appears as THREE subtrees inside applyChangesExact's one
+    // stitch job (retractable delta, monotone candidates, dirty keys) —
+    // cache it so the symmetric-difference join computes once, not thrice
+    val feed = ChangeFeed.diff(s, base, g1, g2, Seq("o_orderkey")).cache()
+    val applied = try IncrementalAgg.applyChangesExact(s, rollup, feed,
       ManifestCommit.read(s, base), keys, measures)
+    finally { feed.unpersist(); () }
     val parts = ManifestCommit.readManifest(s, rollup).get.dirs.size
     IncrementalAgg.finalizeState(s, rollup, keys, measures,
       dropEmptyGroups = true)
@@ -2016,10 +2022,14 @@ object Pipeline {
           .select(col("vec_id"),
             Similarity.hyperplaneSig("v", bits = 6, dim = 64).as("bucket"))
       val iDir = ManifestCommit.newDataDir(idxRoot)
-      sigOf(emb).write.parquet(iDir)
+      val obsI = org.apache.spark.sql.Observation()
+      sigOf(emb).observe(obsI,
+        min("vec_id").as("mn"), max("vec_id").as("mx")).write.parquet(iDir)
+      val mI = obsI.get // stats ride the write pass — no dirStats re-read
       ManifestCommit.commitReplace(s, idxRoot, Seq(iDir),
         pruneDisplaced = false,
-        stats = Map(iDir -> ManifestCommit.dirStats(s, iDir, Seq("vec_id"))))
+        stats = Map(iDir -> Seq(ManifestCommit.ColStats(
+          "vec_id", "num", mI("mn").toString, mI("mx").toString))))
       // corpus MERGE: sign-flip updates, modular deletes, shifted inserts
       val upd = emb.filter(col("vec_id").between(30, 60) && col("vec_id") % 7 =!= 0)
         .withColumn("embedding", transform(col("embedding"), x => -x))
@@ -2032,18 +2042,29 @@ object Pipeline {
       MergeInto.merge(s, corpusRoot, src, Seq("vec_id"),
         deleteWhen = Some(col("__kill") === true))
       val g2 = ManifestCommit.readManifest(s, corpusRoot).get.gen
-      // postings delta from the feed: DV-remove stale keys, append new sigs
-      val feed = ChangeFeed.diff(s, corpusRoot, g1, g2, Seq("vec_id"))
+      // postings delta from the feed: DV-remove stale keys, append new
+      // sigs. The feed backs BOTH the remove-key set and the appended
+      // signatures — cache it so the symmetric-difference join computes
+      // once; the append's count and vec_id stats ride the write pass
+      // itself via observe (a post-write count + dirStats re-read were
+      // two pure-latency jobs on this gate)
+      val feed = ChangeFeed.diff(s, corpusRoot, g1, g2, Seq("vec_id")).cache()
       val removeKeys = feed.filter(col(ChangeFeed.ChangeType)
         .isin("delete", "update_preimage")).select("vec_id").distinct()
       val delRes = MergeInto.deleteWhere(s, idxRoot, removeKeys)
       val added = sigOf(feed.filter(col(ChangeFeed.ChangeType)
         .isin("insert", "update_postimage")).select("vec_id", "embedding"))
       val aDir = ManifestCommit.newDataDir(idxRoot)
-      added.write.parquet(aDir)
-      val nAdded = s.read.parquet(aDir).count()
+      val obsA = org.apache.spark.sql.Observation()
+      added.observe(obsA, count(lit(1)).as("n"),
+        min("vec_id").as("mn"), max("vec_id").as("mx"))
+        .write.parquet(aDir)
+      feed.unpersist()
+      val mA = obsA.get
+      val nAdded = mA("n").asInstanceOf[Long]
       ManifestCommit.commitAppend(s, idxRoot, aDir,
-        stats = ManifestCommit.dirStats(s, aDir, Seq("vec_id")))
+        stats = if (nAdded == 0L) Nil else Seq(ManifestCommit.ColStats(
+          "vec_id", "num", mA("mn").toString, mA("mx").toString)))
       val idxGen = ManifestCommit.readManifest(s, idxRoot).get.gen
       // probe through the MAINTAINED index (DVs apply at read)
       val idx = ManifestCommit.read(s, idxRoot)
