@@ -1,0 +1,82 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.ingest.ManifestCommit
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The network half of the BI topology (SURVEY §3.3): the reference
+  * exposes every table to Superset over a SQL endpoint
+  * (reference: superset_bootstrap/datasets.yaml; docs/ASYNC_STACK.md);
+  * here the same surface is Spark's own Thrift JDBC/ODBC server started
+  * on the engine session. Any JDBC BI tool (Superset's Hive connector,
+  * DBeaver, beeline) connects with the stock hive-jdbc driver and reads
+  * graft tables BY NAME — each connection's session inherits the
+  * injected rules (SparkSession.newSession preserves extensions, and the
+  * GraftSql registry is process-global), so wire queries get the same
+  * generation pinning, manifest-stats skipping, DV subtraction and
+  * metadata-only COUNT(*) the in-process SQL path gets. */
+class ThriftEndpointSpec extends SparkSpec {
+
+  test("JDBC clients query graft tables through a live Thrift endpoint") {
+    val root = Files.createTempDirectory("graft_thrift_").toString + "/t"
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("k", col("id") % 7)
+      .withColumn("v", concat(lit("v"), col("id")))
+    val slice = floor(col("id") / lit(100))
+    val dirs = ManifestCommit.writeSliced(spark, root, df, slice,
+      Seq("id", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema))
+    GraftSql.register("thriftspec_t", root)
+
+    val port = {
+      val ss = new java.net.ServerSocket(0)
+      try ss.getLocalPort finally ss.close()
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("hive.server2.thrift.port", port.toString)
+    hconf.set("hive.server2.thrift.bind.host", "localhost")
+    val server = org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithContext(spark.sqlContext)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      var conn: java.sql.Connection = null
+      var attempts = 0
+      while (conn == null && attempts < 60) {
+        try conn = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/default", "anonymous", "")
+        catch { case _: Exception => attempts += 1; Thread.sleep(500) }
+      }
+      assert(conn != null, s"thrift endpoint on port $port never accepted")
+      try {
+        val st = conn.createStatement()
+        // aggregate over the wire == the programmatic read
+        val rs = st.executeQuery(
+          """SELECT k, count(*) AS n, sum(id) AS s FROM graft.thriftspec_t
+            |WHERE id >= 50 GROUP BY k ORDER BY k""".stripMargin)
+        var got = List.empty[(Long, Long, Long)]
+        while (rs.next()) got ::= ((rs.getLong(1), rs.getLong(2), rs.getLong(3)))
+        val want = ManifestCommit.read(spark, root).where(col("id") >= 50)
+          .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s"))
+          .orderBy("k").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+        assert(got.reverse === want)
+
+        // the endpoint rides the same machinery: metadata-only COUNT(*)
+        val rc = st.executeQuery("SELECT count(*) FROM graft.thriftspec_t")
+        assert(rc.next() && rc.getLong(1) === 400L)
+
+        // ... and time travel by @v suffix, quoted the same way
+        val d2 = ManifestCommit.newDataDir(root)
+        spark.range(1000, 1010).toDF("id").withColumn("k", col("id") % 7)
+          .withColumn("v", concat(lit("v"), col("id"))).write.parquet(d2)
+        ManifestCommit.commitAppend(spark, root, d2)
+        val rtt = st.executeQuery("SELECT max(id) FROM graft.`thriftspec_t@v1`")
+        assert(rtt.next() && rtt.getLong(1) === 399L)
+        val rlive = st.executeQuery("SELECT max(id) FROM graft.thriftspec_t")
+        assert(rlive.next() && rlive.getLong(1) === 1009L)
+      } finally conn.close()
+    } finally server.stop()
+  }
+}
