@@ -169,9 +169,13 @@ object MergeInto {
     // cold dirs stay byte-identical and null-fill at read through the
     // manifest's recorded union schema (explicit-schema parquet read —
     // no planning-time footer sweep). Without the flag, extra source
-    // columns are dropped, the pre-evolution contract.
+    // columns are dropped, the pre-evolution contract. `__graft_`-prefixed
+    // columns are RESERVED engine helpers (the SQL MERGE delete-clause
+    // carrier) and never evolve onto the table.
     val extraCols: Seq[String] =
-      if (evolveSchema) source.columns.toSeq.filterNot(tCols.contains) else Nil
+      if (evolveSchema) source.columns.toSeq.filterNot(tCols.contains)
+        .filterNot(_.startsWith("__graft_"))
+      else Nil
     val outCols = tCols ++ extraCols
 
     // ---- ONE aggregate over the source: key uniqueness, the source's

@@ -290,9 +290,6 @@ case class GraftResolveRelations(spark: SparkSession)
     require(!g.timeTraveled, "graft MERGE: cannot write to a @v time-travel reference")
     require(mi.notMatchedBySourceActions.isEmpty,
       "graft MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
-    require(!mi.withSchemaEvolution,
-      "graft MERGE: WITH SCHEMA EVOLUTION is not supported from SQL — " +
-        "use the programmatic MergeInto.merge(evolveSchema = true)")
     val tgtOut = mi.targetTable.outputSet
     val srcOut = mi.sourceTable.outputSet
     def srcOnly(e: Expression): Boolean = e.references.subsetOf(srcOut)
@@ -380,8 +377,19 @@ case class GraftResolveRelations(spark: SparkSession)
           "graft MERGE: UPDATE must assign every non-key target column " +
             s"(merge replaces the whole matched row); unassigned: " +
             s"${uncovered.mkString(",")} — use UPDATE SET *")
+        // MERGE WITH SCHEMA EVOLUTION: NEW source columns (by name, star
+        // expansion never references them) append to the table schema via
+        // merge(evolveSchema) — the q125 contract from SQL text. Without
+        // the clause, extra source columns are dropped (pre-evolution
+        // semantics, same as the programmatic default).
+        val targetNames = g.readSchema.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        val extraCols =
+          if (!mi.withSchemaEvolution) Nil
+          else mi.sourceTable.output.map(_.name)
+            .filterNot(n => targetNames(n.toLowerCase(java.util.Locale.ROOT)))
         GraftMerge(g.root, g.readSchema, mi.sourceTable, keys, assigns,
-          deleteWhen, insertUnmatched)
+          deleteWhen, insertUnmatched, extraCols)
       case (None, None) if insertUnmatched => throw new IllegalArgumentException(
         "graft MERGE: WHEN NOT MATCHED INSERT requires an UPDATE clause " +
           "(insert-only merges would have to leave matched rows untouched)")
@@ -448,12 +456,15 @@ case class GraftUpdate(root: String,
 
 /** Leaf command for `MERGE INTO graft.<name>` with an UPDATE clause:
   * executed as `MergeInto.merge` over the REWRITTEN source (assignment
-  * RHS computed into the source frame, cast to the target schema). */
+  * RHS computed into the source frame, cast to the target schema).
+  * `extraCols` (non-empty only under `WITH SCHEMA EVOLUTION`) names the
+  * source columns that evolve onto the table schema. */
 case class GraftMerge(root: String, tableSchema: StructType,
     source: LogicalPlan, keys: Seq[String],
     assignments: Seq[(String, org.apache.spark.sql.Column)],
     deleteWhen: Option[org.apache.spark.sql.Column],
-    insertUnmatched: Boolean)
+    insertUnmatched: Boolean,
+    extraCols: Seq[String] = Nil)
   extends LeafCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def simpleString(maxFields: Int): String =

@@ -22,9 +22,10 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
     case GraftUpdate(root, assigns, cond) =>
       GraftRowOpExec(s"GraftUpdateExec $root",
         () => { MergeInto.updateRows(spark, root, assigns, cond); () }) :: Nil
-    case GraftMerge(root, schema, source, keys, assigns, deleteWhen, insertUnmatched) =>
+    case GraftMerge(root, schema, source, keys, assigns, deleteWhen,
+        insertUnmatched, extraCols) =>
       GraftMergeExec(spark, root, schema, source, keys, assigns,
-        deleteWhen, insertUnmatched) :: Nil
+        deleteWhen, insertUnmatched, extraCols) :: Nil
     case GraftMergeDelete(root, source, keys, cond) =>
       GraftRowOpExec(s"GraftMergeDeleteExec $root", () => {
         // matched rows satisfying the condition, deleted merge-on-read:
@@ -57,7 +58,8 @@ case class GraftMergeExec(@transient spark: SparkSession, root: String,
     keys: Seq[String],
     assignments: Seq[(String, org.apache.spark.sql.Column)],
     deleteWhen: Option[org.apache.spark.sql.Column],
-    insertUnmatched: Boolean)
+    insertUnmatched: Boolean,
+    extraCols: Seq[String] = Nil)
   extends V2CommandExec with LeafExecNode {
 
   override def output: Seq[Attribute] = Nil
@@ -70,10 +72,12 @@ case class GraftMergeExec(@transient spark: SparkSession, root: String,
     val assignOf = assignments.toMap // names carry the target schema's case
     val rewritten = tableSchema.fields.toIndexedSeq.map { f =>
       assignOf.getOrElse(f.name, src.col(f.name)).cast(f.dataType).as(f.name)
-    } ++ deleteWhen.map(_.as(DelCol)).toSeq
+    } ++ extraCols.map(src.col) ++ // WITH SCHEMA EVOLUTION: new columns ride as-is
+      deleteWhen.map(_.as(DelCol)).toSeq
     MergeInto.merge(spark, root, src.select(rewritten: _*), keys,
       deleteWhen = deleteWhen.map(_ => col(DelCol)),
-      insertUnmatched = insertUnmatched)
+      insertUnmatched = insertUnmatched,
+      evolveSchema = extraCols.nonEmpty)
     Nil
   }
 

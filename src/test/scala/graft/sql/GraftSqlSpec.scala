@@ -413,6 +413,40 @@ class GraftSqlSpec extends SparkSpec {
       .collect().head.getLong(0) === 0L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns; cold dirs null-fill") {
+    val root = mkTable("sqlspec_merge_evo")
+    spark.range(150, 160).toDF("id")
+      .withColumn("k", lit(-1L))
+      .withColumn("v", concat(lit("e"), col("id")))
+      .withColumn("tag", lit("hot"))
+      .createOrReplaceTempView("sqlspec_merge_evo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.sqlspec_merge_evo t
+        |USING sqlspec_merge_evo_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.tableSchema.get.fieldNames.contains("tag"),
+      "evolved column must be recorded in the union schema")
+    val got = spark.sql(
+      """SELECT id, v, tag FROM graft.sqlspec_merge_evo
+        |WHERE id IN (1, 150, 159) ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(got === Seq(
+      (1L, "v1", None), // cold-dir row: evolved column null-fills
+      (150L, "e150", Some("hot")), (159L, "e159", Some("hot"))))
+    assert(spark.sql("SELECT count(*) FROM graft.sqlspec_merge_evo")
+      .collect().head.getLong(0) === 400L)
+    // WITHOUT the clause, extra source columns are dropped, not evolved
+    val root2 = mkTable("sqlspec_merge_noevo")
+    spark.sql(
+      """MERGE INTO graft.sqlspec_merge_noevo t
+        |USING sqlspec_merge_evo_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(!ManifestCommit.readManifest(spark, root2).get
+      .tableSchema.get.fieldNames.contains("tag"))
+  }
+
   test("MERGE rejections carry actionable messages") {
     mkTable("sqlspec_merge_bad")
     spark.range(0, 5).toDF("id").withColumn("k", lit(0L))
