@@ -81,13 +81,14 @@ object MetaScaleCheck {
     val root = GraftTmp.dir(prefix) + "/t"
     val df = spark.range(nDirs.toLong * rowsPerDir)
       .select(col("id"), (col("id") % 997).as("v"))
-    val dirs = ManifestCommit.writeSliced(spark, root, df,
-      (col("id") / rowsPerDir).cast("long"),
+    val slice = (col("id") / rowsPerDir).cast("long")
+    val dirs = ManifestCommit.writeSliced(spark, root, df, slice,
       Seq("id", ManifestCommit.RowCountStat))
     ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
       pruneDisplaced = false, stats = dirs.toMap,
       schema = Some(org.apache.spark.sql.types.StructType(
-        df.schema.fields.map(_.copy(nullable = true)))))
+        df.schema.fields.map(_.copy(nullable = true)))),
+      slice = Some(ManifestCommit.sliceSql(slice)))
     root
   }
 
@@ -169,6 +170,20 @@ object MetaScaleCheck {
               }
           }.sum
           assert(nScan > 0 && nScan < nDirs / 10, s"scan set not pruned: $nScan")
+        }
+        // SQL sliced INSERT: cost must follow the INSERT (2 new slices,
+        // 200 rows) + the manifest parse — never a listing or rewrite of
+        // the nDirs existing dirs (the append commits as an O(changes)
+        // delta record behind the O(1) pointer). `time` reps the block, so
+        // the dir-delta check is relative per rep (duplicate row CONTENT
+        // across reps is irrelevant — the metadata cost is the kernel).
+        all("sql_sliced_insert") = time(s"$tag SQL sliced INSERT (2 slices onto $nDirs dirs)") {
+          val before = ManifestCommit.readManifest(spark, r).get.dirs.size
+          spark.sql(s"INSERT INTO graft.metasql_$tag " +
+            s"SELECT id, id % 997 AS v FROM range(${nDirs * 100L}, ${nDirs * 100L + 200})")
+          val m2 = ManifestCommit.readManifest(spark, r).get
+          assert(m2.dirs.size == before + 2,
+            s"dirs $before -> ${m2.dirs.size} (op=${m2.op}, slice=${m2.slice})")
         }
       }
       locally { // sparse DV delete: keys in 8 fixed dirs of nDirs

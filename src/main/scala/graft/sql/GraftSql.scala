@@ -210,7 +210,6 @@ case class GraftResolveRelations(spark: SparkSession)
         require(!g.timeTraveled, "graft INSERT: cannot write to a @v time-travel reference")
         require(i.partitionSpec.isEmpty, "graft INSERT: PARTITION spec not supported")
         require(!i.ifPartitionNotExists, "graft INSERT: IF NOT EXISTS not supported")
-        require(i.userSpecifiedCols.isEmpty, "graft INSERT: explicit column lists not supported (use BY NAME)")
         val fields = g.readSchema.fields
         // STORE-ASSIGNMENT casts, not the session's expression-cast mode:
         // SQL INSERT follows spark.sql.storeAssignmentPolicy (Spark's own
@@ -238,6 +237,29 @@ case class GraftResolveRelations(spark: SparkSession)
               .getOrElse(throw new IllegalArgumentException(
                 s"graft INSERT BY NAME: source query has no column ${f.name}"))
             castTo(a, f)
+          } else if (i.userSpecifiedCols.nonEmpty) {
+            // explicit column list: `INSERT INTO t (a, c) SELECT ...` —
+            // listed columns bind positionally to the query, unlisted
+            // target columns null-fill (the ANSI insert contract)
+            require(i.userSpecifiedCols.size == i.query.output.size,
+              s"graft INSERT: column list names ${i.userSpecifiedCols.size} " +
+                s"columns, query provides ${i.query.output.size}")
+            require(i.userSpecifiedCols.map(_.toLowerCase(java.util.Locale.ROOT))
+              .distinct.size == i.userSpecifiedCols.size,
+              s"graft INSERT: duplicate column in list ${i.userSpecifiedCols.mkString(",")}")
+            val byField: Map[String, Attribute] =
+              i.userSpecifiedCols.zip(i.query.output).map { case (n, a) =>
+                val f = fields.find(f => conf.resolver(f.name, n)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"graft INSERT: table has no column $n"))
+                f.name -> a
+              }.toMap
+            fields.toIndexedSeq.map { f =>
+              byField.get(f.name) match {
+                case Some(a) => castTo(a, f)
+                case None => Alias(Literal(null, f.dataType), f.name)()
+              }
+            }
           } else {
             require(i.query.output.size == fields.length,
               s"graft INSERT: query provides ${i.query.output.size} columns, " +

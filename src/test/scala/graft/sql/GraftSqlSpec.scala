@@ -215,6 +215,25 @@ class GraftSqlSpec extends SparkSpec {
     assert(q.collect().head.getLong(0) === 700L)
   }
 
+  test("sliced INSERT tolerates null slice values (dir lands stat-less, stays readable)") {
+    val root = mkTable("sqlspec_ins_nullslice")
+    // id is the slice input; a null id lands in the Hive default
+    // partition — promoted as a dir WITHOUT stats (pruning keeps
+    // stat-less dirs, so the row is always readable)
+    spark.sql(
+      "INSERT INTO graft.sqlspec_ins_nullslice VALUES (CAST(NULL AS BIGINT), 1, 'nullrow')")
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.dirs.size === 5)
+    assert(spark.sql(
+      "SELECT v FROM graft.sqlspec_ins_nullslice WHERE id IS NULL")
+      .collect().map(_.getString(0)).toSeq === Seq("nullrow"))
+    // a range probe still prunes to its one dir — the stat-less null dir
+    // is kept conservatively (skipping is an optimization, never a filter)
+    val probe = spark.sql(
+      "SELECT v FROM graft.sqlspec_ins_nullslice WHERE id BETWEEN 120 AND 130")
+    assert(probe.count() === 11)
+  }
+
   test("INSERT OVERWRITE replaces contents; old generation stays time-travelable") {
     val root = mkTable("sqlspec_ovw")
     spark.sql(
@@ -224,6 +243,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(m.op === Some("insert_overwrite"))
     assert(spark.sql("SELECT count(*) FROM graft.`sqlspec_ovw@v1`")
       .collect().head.getLong(0) === 400L)
+  }
+
+  test("INSERT with an explicit column list null-fills unlisted columns") {
+    val root = mkTable("sqlspec_ins_cols")
+    spark.sql(
+      "INSERT INTO graft.sqlspec_ins_cols (v, id) VALUES ('named', 2000)")
+    val r = spark.sql(
+      "SELECT id, k, v FROM graft.sqlspec_ins_cols WHERE id = 2000").collect()
+    assert(r.length === 1)
+    assert(r(0).getLong(0) === 2000L)
+    assert(r(0).isNullAt(1), "unlisted column k must null-fill")
+    assert(r(0).getString(2) === "named")
+    assert(ManifestCommit.read(spark, root).count() === 401L)
+    val dup = intercept[Exception] {
+      spark.sql("INSERT INTO graft.sqlspec_ins_cols (id, id) VALUES (1, 2)")
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    val unknown = intercept[Exception] {
+      spark.sql("INSERT INTO graft.sqlspec_ins_cols (nope) VALUES (1)")
+    }
+    assert(unknown.getMessage.contains("no column"), unknown.getMessage)
   }
 
   test("INSERT rejects arity mismatch and time-travel targets") {
