@@ -103,6 +103,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(s => graft.sql.GraftResolveRelations(s))
     ext.injectPreCBORule(s => graft.sql.GraftDataSkipping(s))
     ext.injectPlannerStrategy(s => graft.sql.GraftWriteStrategy(s))
+    // graft DDL (CREATE/CTAS/DROP/TRUNCATE) is claimed at parse time —
+    // the session catalog's resolution would otherwise reject it first
+    ext.injectParser((s, delegate) => graft.sql.GraftSqlParser(s, delegate))
     // Native vector math for SQL callers (typed callers use
     // graft.functions.columns). Inputs are coerced to array<double> here
     // — the expressions read raw 8-byte doubles from ArrayData, so an

@@ -20,6 +20,28 @@ object ColumnBridge {
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
 
+/** Bridge into the private[sql] DSv2 transform case classes: map a
+  * `PARTITIONED BY` transform to the manifest slicing expression's SQL
+  * text. Lives here because IdentityTransform and friends are
+  * `private[sql]`. */
+object TransformBridge {
+  import org.apache.spark.sql.connector.expressions._
+  def sliceSqlOf(t: Transform): String = {
+    def colOf(r: NamedReference): String = r.fieldNames.mkString(".")
+    t match {
+      case IdentityTransform(r) => colOf(r)
+      case YearsTransform(r) => s"date_format(${colOf(r)}, 'yyyy')"
+      case MonthsTransform(r) => s"date_format(${colOf(r)}, 'yyyyMM')"
+      case DaysTransform(r) => s"date_format(${colOf(r)}, 'yyyyMMdd')"
+      case HoursTransform(r) => s"date_format(${colOf(r)}, 'yyyyMMddHH')"
+      case BucketTransform(n, Seq(r), Seq()) =>
+        s"pmod(abs(hash(${colOf(r)})), $n)"
+      case other => throw new IllegalArgumentException(
+        s"graft CREATE: unsupported partition transform $other")
+    }
+  }
+}
+
 /** Bridge into private[sql] Dataset.ofRows — the documented pattern for
   * third-party commands (Delta's InsertInto/Merge commands re-plan their
   * captured logical query exactly this way). */

@@ -344,6 +344,65 @@ object SqlGates {
       lit(hist.getLong(4)).as("upd_removed"))
   }
 
+  /** q151 — SQL DDL end-to-end: `CREATE TABLE ... PARTITIONED BY
+    * (months(o_orderdate)) AS SELECT` lands the fixture as month dirs
+    * with o_orderdate stats (the transform's referenced column seeds the
+    * stat set), a 3-month window prunes to 3 dirs from the optimized
+    * plan, `TRUNCATE` empties the live set while `@v1` time travel still
+    * reads the full CTAS generation, and `DROP TABLE` unregisters. The
+    * reference's DDL-first pipeline (create_clickhouse_models.py builds
+    * month-partitioned tables, gen_pipeline inserts into them) expressed
+    * as graft SQL statements. 100-TB shape: CTAS cost is the SELECT plus
+    * one slice pass; TRUNCATE/DROP are O(1) manifest commits. */
+  val q151_sql_ddl = Q(
+    "q151_sql_ddl",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s,
+      |  CAST(3 AS BIGINT) AS dirs_scanned,
+      |  (SELECT CAST(count(DISTINCT strftime(o_orderdate, '%Y%m')) AS BIGINT)
+      |     FROM orders) AS dirs_total,
+      |  CAST(0 AS BIGINT) AS n_trunc,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_tt
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND o_orderdate <= TIMESTAMP '1996-05-31 23:59:59'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val loc = tmpDir("graft_q151_") + "/orders"
+    val name = uniq("graft_q151")
+    val src = uniq("graft_q151_src")
+    Tables.load(s, dir, "orders").createOrReplaceTempView(src)
+    s.sql(
+      s"""CREATE TABLE graft.$name PARTITIONED BY (months(o_orderdate))
+         |LOCATION '$loc' AS SELECT * FROM $src""".stripMargin)
+    val m = ManifestCommit.readManifest(s, loc).get
+    assert(m.op == Some("create") && m.slice.isDefined, s"${m.op} ${m.slice}")
+    val agg = s.sql(
+      s"""SELECT o_orderpriority, CAST(count(*) AS LONG) AS n,
+         |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS s
+         |FROM graft.$name
+         |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+         |  AND o_orderdate <= TIMESTAMP '1996-05-31 23:59:59'
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin)
+    val scanned = scannedDataDirs(agg, loc)
+    val rows = agg.collect() // materialize BEFORE the truncate below
+    s.sql(s"TRUNCATE TABLE graft.$name")
+    val nTrunc = s.sql(s"SELECT count(*) FROM graft.$name")
+      .collect()(0).getLong(0)
+    val nTt = s.sql(s"SELECT count(*) FROM graft.`$name@v1`")
+      .collect()(0).getLong(0)
+    s.sql(s"DROP TABLE graft.$name")
+    import s.implicits._
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toDF("o_orderpriority", "n", "s")
+      .select(col("o_orderpriority"), col("n"), col("s"),
+        lit(scanned.toLong).as("dirs_scanned"),
+        lit(m.dirs.size.toLong).as("dirs_total"),
+        lit(nTrunc).as("n_trunc"), lit(nTt).as("n_tt"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
-    q148_sql_dml, q149_sql_merge)
+    q148_sql_dml, q149_sql_merge, q151_sql_ddl)
 }

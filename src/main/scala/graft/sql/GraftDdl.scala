@@ -1,0 +1,122 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Parse-time conversion of graft DDL. DDL must be claimed AT PARSE time
+  * rather than by an injected analyzer rule: `ResolveSessionCatalog` runs
+  * before custom resolution rules within each analyzer iteration and
+  * converts `CreateTable`/`DropTable` into session-catalog v1 commands
+  * (rejecting transforms like `months()` that v1 tables don't support)
+  * before any injected rule can see them. Wrapping the parser —
+  * `injectParser`, the public extension point Delta uses for its own DDL
+  * — hands us the statement first; everything that is not graft DDL
+  * delegates untouched. */
+case class GraftSqlParser(spark: org.apache.spark.sql.SparkSession,
+    delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = delegate.parsePlan(sqlText)
+    GraftDdl.convert(spark, plan).getOrElse(plan)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftDdl {
+
+  private def graftName(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedIdentifier
+        if u.nameParts.length == 2 && u.nameParts.head.equalsIgnoreCase("graft") =>
+      Some(u.nameParts(1))
+    case _ => None
+  }
+
+  /** Table root: explicit LOCATION, else a managed path under the
+    * session warehouse dir (`<warehouse>/graft.db/<name>`). */
+  private def rootFor(spark: org.apache.spark.sql.SparkSession,
+      name: String, spec: Any): String = {
+    val loc = spec match {
+      case u: UnresolvedTableSpec => u.location
+      case t: TableSpec => t.location
+      case _ => None
+    }
+    loc.getOrElse {
+      val wh = spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.StaticSQLConf.WAREHOUSE_PATH)
+      s"${wh.stripSuffix("/")}/graft.db/${name.toLowerCase(java.util.Locale.ROOT)}"
+    }
+  }
+
+  /** `PARTITIONED BY (<transform>)` → the manifest slicing expression
+    * (SQL text): identity → the column itself; years/months/days/hours →
+    * the matching date_format bucket (the reference's toYYYYMM partition
+    * key, create_clickhouse_models.py:57); bucket(n, c) → a stable hash
+    * modulus. One transform max — compose an expression for more. */
+  private def sliceOfTransforms(
+      ts: Seq[org.apache.spark.sql.connector.expressions.Transform]): Option[String] =
+    ts match {
+      case Seq() => None
+      case Seq(t) =>
+        Some(org.apache.spark.sql.graftbridge.TransformBridge.sliceSqlOf(t))
+      case _ => throw new IllegalArgumentException(
+        "graft CREATE: at most one PARTITIONED BY transform " +
+          "(compose a single expression for multi-column slicing)")
+    }
+
+  /** Some(converted) when `plan` is graft DDL; None lets the statement
+    * flow to Spark's own resolution untouched. */
+  def convert(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case ct: CreateTable if graftName(ct.name).isDefined =>
+      val name = graftName(ct.name).get
+      val schema = StructType(ct.columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+      require(schema.nonEmpty, "graft CREATE: at least one column required")
+      Some(GraftCreateTable(rootFor(spark, name, ct.tableSpec), name, schema,
+        sliceOfTransforms(ct.partitioning), ct.ignoreIfExists))
+
+    case cta: CreateTableAsSelect if graftName(cta.name).isDefined =>
+      val name = graftName(cta.name).get
+      // the SELECT is still unresolved at parse time — GraftCtas carries
+      // it as innerChildren and the executor re-analyzes it (ofRows), so
+      // it may itself reference graft tables
+      Some(GraftCtas(rootFor(spark, name, cta.tableSpec), name,
+        sliceOfTransforms(cta.partitioning), cta.query, cta.ignoreIfExists))
+
+    case DropTable(u: UnresolvedIdentifier, ifExists, purge)
+        if graftName(u).isDefined =>
+      require(!purge, "graft DROP TABLE: PURGE is not supported " +
+        "(graft tables are external — data stays; use retention/pruneOrphans)")
+      Some(GraftDropTable(graftName(u).get, ifExists))
+
+    case TruncateTable(u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable)
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          GraftSql.lookup(u.multipartIdentifier(1)).isDefined =>
+      val (root, gen) = GraftSql.lookup(u.multipartIdentifier(1)).get
+      require(gen.isEmpty, "graft TRUNCATE: cannot write to a @v time-travel reference")
+      Some(GraftTruncate(root))
+
+    case _ => None
+  }
+}

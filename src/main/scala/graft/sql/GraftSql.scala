@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{MultiInstanceRelation, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{MultiInstanceRelation, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
 import org.apache.spark.sql.catalyst.optimizer.{CollapseProject, ColumnPruning, PushDownPredicates, RemoveNoopOperators}
@@ -294,6 +294,10 @@ case class GraftResolveRelations(spark: SparkSession)
           u.condition.map(byNameColumn).getOrElse(
             org.apache.spark.sql.functions.lit(true)))
 
+      // (graft DDL — CREATE/CTAS/DROP/TRUNCATE — is claimed at PARSE
+      // time by GraftSqlParser: ResolveSessionCatalog would otherwise
+      // convert those statements before any injected rule runs.)
+
       // MERGE INTO graft.<name> USING <source> ON <equi-cond> — mapped
       // onto MergeInto.merge by REWRITING THE SOURCE: assignment RHS
       // (which may only reference source columns) are computed into the
@@ -491,6 +495,46 @@ case class GraftMerge(root: String, tableSchema: StructType,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def simpleString(maxFields: Int): String =
     s"GraftMerge $root keys=${keys.mkString(",")}"
+}
+
+/** Leaf command for `CREATE TABLE graft.<name> (cols) [PARTITIONED BY
+  * (transform)] [LOCATION path]`: commits an EMPTY generation carrying
+  * the declared schema (and slicing expression, when partitioned) and
+  * registers the name — the DDL face of the programmatic
+  * create-from-schema (M1), reference create_clickhouse_models.py. */
+case class GraftCreateTable(root: String, name: String,
+    tableSchema: StructType, slice: Option[String], ignoreIfExists: Boolean)
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftCreateTable $name at $root"
+}
+
+/** Leaf command for `CREATE TABLE graft.<name> [PARTITIONED BY ...] AS
+  * SELECT ...`: the query lands sliced per the declared transform (one
+  * dir per slice value with slice stats) or as one dir, then commits as
+  * generation 1 with the query's schema recorded. */
+case class GraftCtas(root: String, name: String, slice: Option[String],
+    query: LogicalPlan, ignoreIfExists: Boolean)
+  extends LeafCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def simpleString(maxFields: Int): String =
+    s"GraftCtas $name at $root"
+}
+
+/** Leaf command for `DROP TABLE graft.<name>`: unregisters the name.
+  * Graft tables are EXTERNAL — the manifest and data stay on disk
+  * (re-register or address by path to get them back; retention/
+  * pruneOrphans reclaim space), which is why PURGE is rejected. */
+case class GraftDropTable(name: String, ifExists: Boolean)
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String = s"GraftDropTable $name"
+}
+
+/** Leaf command for `TRUNCATE TABLE graft.<name>`: commits an empty
+  * live set, inheriting schema and slicing — prior generations stay
+  * time-travelable until retention expires them (M3's contract). */
+case class GraftTruncate(root: String) extends LeafCommand {
+  override def simpleString(maxFields: Int): String = s"GraftTruncate $root"
 }
 
 /** Leaf command for a DELETE-only `MERGE INTO graft.<name>`: matched

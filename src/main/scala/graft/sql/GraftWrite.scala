@@ -10,6 +10,18 @@ import org.apache.spark.sql.types.StructType
 
 import graft.ingest.{ManifestCommit, MergeInto}
 
+private object GraftWriteUtil {
+  /** Table columns the slicing expression references — the natural stat
+    * columns of a freshly created sliced table (`months(ts)` → ts range
+    * stats per month dir, so date pruning works from the first insert). */
+  def sliceRefCols(sliceText: String, fieldNames: Seq[String]): Seq[String] =
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(org.apache.spark.sql.functions.expr(sliceText)).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.filter(fieldNames.contains).distinct
+}
+
 /** Plans the SQL write commands ([[GraftInsert]]/[[GraftDelete]]/
   * [[GraftUpdate]]/[[GraftMerge]]/[[GraftMergeDelete]]). */
 case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
@@ -36,6 +48,88 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         val src = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark, source)
         MergeInto.deleteWhere(spark, root, src.filter(cond)
           .select(keys.map(org.apache.spark.sql.functions.col): _*))
+        ()
+      }) :: Nil
+    case GraftCreateTable(root, name, tableSchema, slice, ignoreIfExists) =>
+      GraftRowOpExec(s"GraftCreateTableExec $name", () => {
+        if (ManifestCommit.isManifestTable(spark, root)) {
+          if (!ignoreIfExists) throw new IllegalArgumentException(
+            s"graft CREATE: table $name already exists at $root " +
+              "(use IF NOT EXISTS)")
+          GraftSql.register(name, root) // idempotent re-create: re-register
+        } else {
+          ManifestCommit.commitReplace(spark, root, Nil,
+            pruneDisplaced = false,
+            schema = Some(StructType(tableSchema.fields.map(_.copy(nullable = true)))),
+            op = "create", slice = slice)
+          GraftSql.register(name, root)
+        }
+        ()
+      }) :: Nil
+    case GraftCtas(root, name, slice, query, ignoreIfExists) =>
+      GraftRowOpExec(s"GraftCtasExec $name", () => {
+        if (ManifestCommit.isManifestTable(spark, root)) {
+          if (!ignoreIfExists) throw new IllegalArgumentException(
+            s"graft CREATE AS SELECT: table $name already exists at $root")
+          GraftSql.register(name, root)
+        } else {
+          val df = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark, query)
+          val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
+          // stat columns: whatever the slicing expression references
+          // (identity → the column itself; months(ts) → ts range stats
+          // per month dir, so date pruning works from day one), plus the
+          // exact row counter for manifest-only COUNT(*)
+          val statCols = slice.toSeq.flatMap(s =>
+            GraftWriteUtil.sliceRefCols(s, df.columns.toSeq)) :+
+            ManifestCommit.RowCountStat
+          slice match {
+            case Some(s) =>
+              val dirs = ManifestCommit.writeSliced(spark, root, df,
+                org.apache.spark.sql.functions.expr(s), statCols)
+              ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+                pruneDisplaced = false, stats = dirs.toMap,
+                schema = Some(schema), op = "create", slice = slice)
+            case None =>
+              val d = ManifestCommit.newDataDir(root)
+              df.write.parquet(d)
+              ManifestCommit.commitReplace(spark, root, Seq(d),
+                pruneDisplaced = false,
+                stats = Map(d -> ManifestCommit.dirStats(spark, d, statCols)),
+                schema = Some(schema), op = "create")
+          }
+          GraftSql.register(name, root)
+        }
+        ()
+      }) :: Nil
+    case GraftDropTable(name, ifExists) =>
+      GraftRowOpExec(s"GraftDropTableExec $name", () => {
+        val reg = GraftSql.lookup(name)
+        if (reg.isEmpty && !ifExists)
+          throw new IllegalArgumentException(
+            s"graft DROP TABLE: $name is not registered (use IF EXISTS)")
+        // Spark's managed/external split: a table whose root lives under
+        // the warehouse `graft.db` dir was created WITHOUT a LOCATION —
+        // dropping it deletes its data (else a re-CREATE of the same
+        // name would collide with the stale manifest forever). Explicit-
+        // LOCATION (external) tables keep their data.
+        reg.map(_._1).foreach { root =>
+          val wh = spark.sessionState.conf.getConf(
+            org.apache.spark.sql.internal.StaticSQLConf.WAREHOUSE_PATH)
+          val managedPrefix = s"${wh.stripSuffix("/")}/graft.db/"
+          if (root.startsWith(managedPrefix)) {
+            val p = new org.apache.hadoop.fs.Path(root)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true); ()
+          }
+        }
+        GraftSql.unregister(name)
+      }) :: Nil
+    case GraftTruncate(root) =>
+      GraftRowOpExec(s"GraftTruncateExec $root", () => {
+        val prev = ManifestCommit.readManifest(spark, root)
+        ManifestCommit.commitReplace(spark, root, Nil,
+          pruneDisplaced = false,
+          schema = prev.flatMap(_.tableSchema), op = "truncate")
         ()
       }) :: Nil
     case _ => Nil
@@ -121,10 +215,18 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
   override def run(): Seq[InternalRow] = {
     val df = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark, query)
     val prev = ManifestCommit.readManifest(spark, root)
-    val statCols = prev
+    val recorded = prev
       .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
       .filter(c => c == ManifestCommit.RowCountStat ||
         (!ManifestCommit.PseudoStats(c) && tableSchema.fieldNames.contains(c)))
+    // a freshly DDL-created table has no dirs yet, hence no stats to
+    // inherit — seed them from the slicing expression's referenced
+    // columns so the FIRST insert already arms pruning and COUNT(*)
+    val statCols =
+      if (recorded.nonEmpty) recorded
+      else prev.flatMap(_.slice).map(s =>
+        GraftWriteUtil.sliceRefCols(s, tableSchema.fieldNames.toSeq) :+
+          ManifestCommit.RowCountStat).getOrElse(Nil)
     prev.flatMap(_.slice) match {
       // The table records a slicing expression: land the INSERT in its
       // established layout — one dir per slice value with slice-tight

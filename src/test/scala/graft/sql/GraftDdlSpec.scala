@@ -1,0 +1,138 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.ingest.ManifestCommit
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SQL DDL over graft tables: CREATE TABLE (with PARTITIONED BY mapping
+  * to the manifest slicing expression), CTAS, DROP, TRUNCATE — the DDL
+  * face of the programmatic create/truncate surface (M1/M3), reference
+  * create_clickhouse_models.py / gen_pipeline DDL flows. */
+class GraftDdlSpec extends SparkSpec {
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft_ddlspec_").toString
+
+  test("CREATE TABLE commits an empty schema-carrying generation; INSERT lands sliced") {
+    val loc = scratch() + "/t1"
+    spark.sql(
+      s"""CREATE TABLE graft.ddlspec_t1 (id BIGINT, ts TIMESTAMP, v STRING)
+         |PARTITIONED BY (months(ts)) LOCATION '$loc'""".stripMargin)
+    val m = ManifestCommit.readManifest(spark, loc).get
+    assert(m.dirs.isEmpty && m.op === Some("create"))
+    assert(m.tableSchema.get.fieldNames.toSeq === Seq("id", "ts", "v"))
+    assert(m.slice === Some("date_format(ts, 'yyyyMM')"))
+    // empty table reads as an empty, correctly-shaped frame
+    assert(spark.sql("SELECT * FROM graft.ddlspec_t1").count() === 0L)
+    // an INSERT spanning 2 months lands as 2 month dirs via the slice
+    spark.sql(
+      """INSERT INTO graft.ddlspec_t1 VALUES
+        |(1, TIMESTAMP '2024-01-05 00:00:00', 'a'),
+        |(2, TIMESTAMP '2024-02-05 00:00:00', 'b'),
+        |(3, TIMESTAMP '2024-02-20 00:00:00', 'c')""".stripMargin)
+    val m2 = ManifestCommit.readManifest(spark, loc).get
+    assert(m2.dirs.size === 2, m2.dirs)
+    // the first insert SEEDED stats from the slicing refs: ts range per
+    // month dir (date pruning live) and the exact row counter (COUNT(*)
+    // answers manifest-only, LocalRelation plan)
+    val cnt = spark.sql("SELECT count(*) FROM graft.ddlspec_t1")
+    assert(cnt.queryExecution.optimizedPlan
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      cnt.queryExecution.optimizedPlan.toString)
+    assert(cnt.collect().head.getLong(0) === 3L)
+    val probe = spark.sql(
+      """SELECT v FROM graft.ddlspec_t1
+        |WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |  AND ts < TIMESTAMP '2024-03-01 00:00:00'""".stripMargin)
+    val scannedP = probe.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.count(_.getName.startsWith("data_"))
+          case _ => 0
+        }
+    }.sum
+    assert(scannedP === 1, s"one-month probe must plan 1 of 2 dirs, planned $scannedP")
+    assert(probe.count() === 2L)
+    // IF NOT EXISTS is a no-op on an existing table; bare CREATE errors
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS graft.ddlspec_t1 (x INT) LOCATION '$loc'")
+    assert(ManifestCommit.readManifest(spark, loc).get.gen === m2.gen)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.ddlspec_t1 (x INT) LOCATION '$loc'")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
+  test("CTAS with identity partitioning: sliced dirs, stats, pruning live from day one") {
+    val loc = scratch() + "/t2"
+    spark.sql(
+      s"""CREATE TABLE graft.ddlspec_t2 PARTITIONED BY (k) LOCATION '$loc'
+         |AS SELECT id, id % 4 AS k, id * 2 AS v FROM range(400)""".stripMargin)
+    val m = ManifestCommit.readManifest(spark, loc).get
+    assert(m.dirs.size === 4)
+    assert(m.op === Some("create"))
+    assert(m.slice === Some("k"))
+    assert(spark.sql("SELECT count(*) FROM graft.ddlspec_t2")
+      .collect().head.getLong(0) === 400L)
+    // k stats recorded per dir: an equality probe plans one dir
+    val q = spark.sql("SELECT v FROM graft.ddlspec_t2 WHERE k = 2")
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.count(_.getName.startsWith("data_"))
+          case _ => 0
+        }
+    }.sum
+    assert(scanned === 1, s"k=2 must plan one of 4 dirs, planned $scanned")
+    assert(q.count() === 100L)
+  }
+
+  test("TRUNCATE empties the live set; history stays time-travelable; DROP unregisters") {
+    val loc = scratch() + "/t3"
+    spark.sql(
+      s"CREATE TABLE graft.ddlspec_t3 LOCATION '$loc' AS SELECT id FROM range(10)")
+    spark.sql("TRUNCATE TABLE graft.ddlspec_t3")
+    val m = ManifestCommit.readManifest(spark, loc).get
+    assert(m.dirs.isEmpty && m.op === Some("truncate"))
+    assert(spark.sql("SELECT count(*) FROM graft.ddlspec_t3")
+      .collect().head.getLong(0) === 0L)
+    // schema survives the truncate; the pre-truncate generation reads back
+    assert(m.tableSchema.get.fieldNames.toSeq === Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM graft.`ddlspec_t3@v1`")
+      .collect().head.getLong(0) === 10L)
+    spark.sql("DROP TABLE graft.ddlspec_t3")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ddlspec_t3").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("not"), e.getMessage)
+    // external semantics: the data is still there; re-addressable by path
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$loc`")
+      .collect().head.getLong(0) === 0L)
+    spark.sql("DROP TABLE IF EXISTS graft.ddlspec_t3") // no-op, no error
+    val e2 = intercept[Exception](spark.sql("DROP TABLE graft.ddlspec_t3"))
+    assert(e2.getMessage.contains("not registered"), e2.getMessage)
+  }
+
+  test("managed CREATE (no LOCATION): warehouse graft.db dir, DROP deletes data") {
+    // a leftover from a crashed prior run must not wedge the name: drop
+    // any stale registration, then clear the managed dir via re-register
+    GraftSql.register("ddlspec_wh",
+      spark.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.StaticSQLConf.WAREHOUSE_PATH)
+        .stripSuffix("/") + "/graft.db/ddlspec_wh")
+    spark.sql("DROP TABLE IF EXISTS graft.ddlspec_wh")
+    spark.sql("CREATE TABLE graft.ddlspec_wh (id BIGINT)")
+    spark.sql("INSERT INTO graft.ddlspec_wh VALUES (7)")
+    assert(spark.sql("SELECT id FROM graft.ddlspec_wh")
+      .collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // managed DROP deletes the data, so an immediate re-CREATE works
+    spark.sql("DROP TABLE graft.ddlspec_wh")
+    spark.sql("CREATE TABLE graft.ddlspec_wh (id BIGINT)")
+    assert(spark.sql("SELECT count(*) FROM graft.ddlspec_wh")
+      .collect().head.getLong(0) === 0L)
+    spark.sql("DROP TABLE graft.ddlspec_wh")
+  }
+}
