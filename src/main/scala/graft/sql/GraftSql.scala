@@ -59,6 +59,12 @@ object GraftSql {
     registry.remove(name.toLowerCase(java.util.Locale.ROOT)); ()
   }
 
+  /** Registered logical names (SHOW TABLES IN graft). */
+  def registered: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet().asScala.toSeq
+  }
+
   private val AtGen = "^(.*)@v([0-9]+)$".r
 
   /** Resolve `<name>` / `<name>@v<gen>` / `/abs/path[@v<gen>]` to
@@ -296,7 +302,93 @@ case class GraftResolveRelations(spark: SparkSession)
 
       // (graft DDL — CREATE/CTAS/DROP/TRUNCATE — is claimed at PARSE
       // time by GraftSqlParser: ResolveSessionCatalog would otherwise
-      // convert those statements before any injected rule runs.)
+      // convert those statements before any injected rule runs. The
+      // statements BELOW can be claimed here instead: their children are
+      // UnresolvedTable/UnresolvedTableOrView/UnresolvedNamespace
+      // referencing a name no catalog can resolve, so the builtin rules
+      // leave them unresolved and this rule gets them before
+      // CheckAnalysis errors.)
+
+      // ALTER TABLE graft.<name> ADD COLUMNS (..): commit the widened
+      // schema — O(1) metadata, no data write; cold dirs null-fill at
+      // read (the q125/evolveSchema contract as DDL)
+      case ac: AddColumns if graftTableRef(ac.table).isDefined =>
+        val (root, gen) = graftTableRef(ac.table).get
+        require(gen.isEmpty, "graft ALTER: cannot alter a @v time-travel reference")
+        val added = ac.columnsToAdd.map { c =>
+          require(c.path.isEmpty,
+            s"graft ALTER ADD COLUMNS: only top-level columns (got ${c.name.mkString(".")})")
+          require(c.position.isEmpty,
+            "graft ALTER ADD COLUMNS: FIRST/AFTER positions are not supported")
+          require(c.default.isEmpty,
+            "graft ALTER ADD COLUMNS: DEFAULT values are not supported")
+          (c.colName, c.dataType)
+        }
+        GraftAddColumns(root, added)
+
+      // ALTER TABLE graft.<name> DROP COLUMN(s): commit the narrowed
+      // schema — data files keep the bytes, reads project them away
+      case dc: DropColumns if graftTableRef(dc.table).isDefined =>
+        val (root, gen) = graftTableRef(dc.table).get
+        require(gen.isEmpty, "graft ALTER: cannot alter a @v time-travel reference")
+        val names = dc.columnsToDrop.map {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName(Seq(n)) => n
+          case other => throw new IllegalArgumentException(
+            s"graft ALTER DROP COLUMNS: only top-level columns (got $other)")
+        }
+        GraftDropColumns(root, names, dc.ifExists)
+
+      // DESCRIBE [EXTENDED] graft.<name>[@vN] — schema (and, extended,
+      // table detail) from the manifest alone; the JDBC/BI metadata call
+      case d: DescribeRelation if (d.relation match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+              u.multipartIdentifier.length == 2 &&
+                u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+                GraftSql.lookup(u.multipartIdentifier(1)).isDefined
+            case _ => false
+          }) =>
+        val u = d.relation
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView]
+        require(d.partitionSpec.isEmpty,
+          "graft DESCRIBE: partition specs are not supported")
+        val (root, gen) = GraftSql.lookup(u.multipartIdentifier(1)).get
+        val m = (gen match {
+          case Some(g) => ManifestCommit.readManifestAt(spark, root, g)
+          case None => ManifestCommit.readManifest(spark, root)
+        }).getOrElse(throw new IllegalArgumentException(
+          s"graft.${u.multipartIdentifier(1)}: no manifest at $root"))
+        val schema = m.tableSchema.getOrElse(
+          ManifestCommit.readDirsOf(spark, root, m, m.dirs).schema)
+        def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        def row(a: String, b: String, c: String) =
+          InternalRow(utf8(a), utf8(b), utf8(c))
+        val base = schema.fields.toIndexedSeq.map(f =>
+          row(f.name, f.dataType.simpleString, ""))
+        val detail = if (!d.isExtended) Nil else Seq(
+          row("", "", ""),
+          row("# Detailed Table Information", "", ""),
+          row("Provider", "graft", ""),
+          row("Location", root, ""),
+          row("Generation", m.gen.toString, ""),
+          row("Live dirs", m.dirs.size.toString, ""),
+          row("Deletion vectors", m.dvs.size.toString, "")) ++
+          m.slice.map(s => row("Slicing", s, "")).toSeq
+        LocalRelation(d.output, base ++ detail)
+
+      // SHOW TABLES IN graft [LIKE pattern] — the registry listing
+      case st: ShowTables if (st.namespace match {
+            case n: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+              n.multipartIdentifier == Seq("graft")
+            case r: org.apache.spark.sql.catalyst.analysis.ResolvedNamespace =>
+              r.namespace.toSeq == Seq("graft")
+            case _ => false
+          }) =>
+        val names = GraftSql.registered.sorted.filter(n =>
+          st.pattern.forall(p =>
+            n.matches(p.replace("*", ".*").replace("|", "|"))))
+        def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        LocalRelation(st.output,
+          names.map(n => InternalRow(utf8("graft"), utf8(n), false)))
 
       // MERGE INTO graft.<name> USING <source> ON <equi-cond> — mapped
       // onto MergeInto.merge by REWRITING THE SOURCE: assignment RHS
@@ -424,6 +516,16 @@ case class GraftResolveRelations(spark: SparkSession)
     }
   }
 
+  /** `ALTER/TRUNCATE`-style child: `UnresolvedTable` naming graft.<n>. */
+  private def graftTableRef(t: LogicalPlan): Option[(String, Option[Long])] =
+    t match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+        GraftSql.lookup(u.multipartIdentifier(1))
+      case _ => None
+    }
+
   private def graftTarget(t: LogicalPlan): Option[GraftRelation] = t match {
     case g: GraftRelation => Some(g)
     // `MERGE INTO graft.t AS x` stacks the user alias on the resolver's
@@ -535,6 +637,26 @@ case class GraftDropTable(name: String, ifExists: Boolean)
   * time-travelable until retention expires them (M3's contract). */
 case class GraftTruncate(root: String) extends LeafCommand {
   override def simpleString(maxFields: Int): String = s"GraftTruncate $root"
+}
+
+/** Leaf command for `ALTER TABLE graft.<name> ADD COLUMNS`: one O(1)
+  * metadata commit of the widened union schema — no data write; cold
+  * dirs null-fill the new columns at read. */
+case class GraftAddColumns(root: String,
+    added: Seq[(String, org.apache.spark.sql.types.DataType)])
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftAddColumns $root ${added.map(_._1).mkString(",")}"
+}
+
+/** Leaf command for `ALTER TABLE graft.<name> DROP COLUMN(s)`: one O(1)
+  * metadata commit of the narrowed schema — data files keep the bytes,
+  * reads project them away (and per-dir stats for the dropped columns
+  * are removed so the manifest stays self-consistent). */
+case class GraftDropColumns(root: String, names: Seq[String],
+    ifExists: Boolean) extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftDropColumns $root ${names.mkString(",")}"
 }
 
 /** Leaf command for a DELETE-only `MERGE INTO graft.<name>`: matched

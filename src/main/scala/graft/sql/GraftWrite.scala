@@ -132,6 +132,62 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           schema = prev.flatMap(_.tableSchema), op = "truncate")
         ()
       }) :: Nil
+    case GraftAddColumns(root, added) =>
+      GraftRowOpExec(s"GraftAddColumnsExec $root", () => {
+        val m = ManifestCommit.readManifest(spark, root).getOrElse(
+          throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+        val cur = m.tableSchema.getOrElse(throw new IllegalArgumentException(
+          "graft ALTER ADD COLUMNS: the table has no recorded schema " +
+            "(pre-evolution table — rewrite it through a schema-recording commit first)"))
+        val resolver = spark.sessionState.conf.resolver
+        added.foreach { case (n, _) =>
+          require(!cur.fieldNames.exists(resolver(_, n)),
+            s"graft ALTER ADD COLUMNS: column $n already exists") }
+        require(added.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size
+          == added.size, "graft ALTER ADD COLUMNS: duplicate column in list")
+        val widened = StructType(cur.fields ++ added.map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+        ManifestCommit.commitReplace(spark, root, m.dirs,
+          pruneDisplaced = false, stats = m.stats, dvs = m.dvs,
+          schema = Some(widened), op = "add_columns")
+        ()
+      }) :: Nil
+    case GraftDropColumns(root, names, ifExists) =>
+      GraftRowOpExec(s"GraftDropColumnsExec $root", () => {
+        val m = ManifestCommit.readManifest(spark, root).getOrElse(
+          throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
+        val cur = m.tableSchema.getOrElse(throw new IllegalArgumentException(
+          "graft ALTER DROP COLUMNS: the table has no recorded schema"))
+        val resolver = spark.sessionState.conf.resolver
+        val dropped = names.flatMap { n =>
+          cur.fieldNames.find(resolver(_, n)) match {
+            case Some(f) => Seq(f)
+            case None if ifExists => Nil
+            case None => throw new IllegalArgumentException(
+              s"graft ALTER DROP COLUMNS: no column $n (use IF EXISTS)")
+          }
+        }.toSet
+        // a deletion vector's key columns must stay readable for the
+        // anti-join that applies it — materialize DVs away first
+        require(m.dvs.isEmpty,
+          "graft ALTER DROP COLUMNS: table carries deletion vectors — " +
+            "compact them away first (Optimize.compactSmall/zorder or merge)")
+        m.slice.foreach { s =>
+          val refs = GraftWriteUtil.sliceRefCols(s, cur.fieldNames.toSeq)
+          require(!refs.exists(dropped),
+            s"graft ALTER DROP COLUMNS: the slicing expression $s references " +
+              "a dropped column")
+        }
+        val narrowed = StructType(cur.fields.filterNot(f => dropped(f.name)))
+        require(narrowed.nonEmpty, "graft ALTER DROP COLUMNS: cannot drop every column")
+        // per-dir stats of dropped columns go with them
+        val stats = m.stats.map { case (d, cs) =>
+          d -> cs.filterNot(c => dropped(c.col)) }
+        ManifestCommit.commitReplace(spark, root, m.dirs,
+          pruneDisplaced = false, stats = stats,
+          schema = Some(narrowed), op = "drop_columns")
+        ()
+      }) :: Nil
     case _ => Nil
   }
 }

@@ -116,6 +116,61 @@ class GraftDdlSpec extends SparkSpec {
     assert(e2.getMessage.contains("not registered"), e2.getMessage)
   }
 
+  test("ALTER TABLE ADD/DROP COLUMNS: O(1) schema commits, cold dirs project") {
+    val loc = scratch() + "/t4"
+    spark.sql(
+      s"CREATE TABLE graft.ddlspec_t4 LOCATION '$loc' AS SELECT id, id * 2 AS v FROM range(10)")
+    spark.sql("ALTER TABLE graft.ddlspec_t4 ADD COLUMNS (tag STRING, n BIGINT)")
+    val m = ManifestCommit.readManifest(spark, loc).get
+    assert(m.op === Some("add_columns"))
+    assert(m.tableSchema.get.fieldNames.toSeq === Seq("id", "v", "tag", "n"))
+    // cold rows null-fill the new columns; inserts can now carry them
+    val r = spark.sql(
+      "SELECT id, tag FROM graft.ddlspec_t4 WHERE id = 3").collect()(0)
+    assert(r.isNullAt(1))
+    spark.sql("INSERT INTO graft.ddlspec_t4 VALUES (100, 200, 'x', 7)")
+    assert(spark.sql("SELECT tag FROM graft.ddlspec_t4 WHERE id = 100")
+      .collect()(0).getString(0) === "x")
+    // duplicate add rejected
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddlspec_t4 ADD COLUMNS (v DOUBLE)")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // DROP COLUMN narrows the schema; the bytes stay but reads project
+    spark.sql("ALTER TABLE graft.ddlspec_t4 DROP COLUMN n")
+    val m2 = ManifestCommit.readManifest(spark, loc).get
+    assert(m2.op === Some("drop_columns"))
+    assert(m2.tableSchema.get.fieldNames.toSeq === Seq("id", "v", "tag"))
+    assert(spark.sql("SELECT * FROM graft.ddlspec_t4").columns.toSeq ===
+      Seq("id", "v", "tag"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddlspec_t4 DROP COLUMN nope")
+    }
+    assert(e2.getMessage.contains("IF EXISTS"), e2.getMessage)
+    spark.sql("ALTER TABLE graft.ddlspec_t4 DROP COLUMN IF EXISTS nope") // no-op
+  }
+
+  test("DESCRIBE and SHOW TABLES answer from the manifest/registry") {
+    val loc = scratch() + "/t5"
+    spark.sql(
+      s"""CREATE TABLE graft.ddlspec_t5 (id BIGINT, ts TIMESTAMP)
+         |PARTITIONED BY (months(ts)) LOCATION '$loc'""".stripMargin)
+    val desc = spark.sql("DESCRIBE TABLE graft.ddlspec_t5").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc === Seq(("id", "bigint"), ("ts", "timestamp")))
+    val ext = spark.sql("DESCRIBE EXTENDED graft.ddlspec_t5").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext("Provider") === "graft")
+    assert(ext("Location") === loc)
+    assert(ext("Slicing") === "date_format(ts, 'yyyyMM')")
+    val shown = spark.sql("SHOW TABLES IN graft").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(shown.exists(_._2 == "ddlspec_t5"))
+    assert(shown.forall(t => t._1 == "graft" && !t._3))
+    val like = spark.sql("SHOW TABLES IN graft LIKE 'ddlspec_t5'").collect()
+    assert(like.length === 1)
+  }
+
   test("managed CREATE (no LOCATION): warehouse graft.db dir, DROP deletes data") {
     // a leftover from a crashed prior run must not wedge the name: drop
     // any stale registration, then clear the managed dir via re-register

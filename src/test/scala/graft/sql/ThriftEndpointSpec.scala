@@ -76,6 +76,13 @@ class ThriftEndpointSpec extends SparkSpec {
         assert(rtt.next() && rtt.getLong(1) === 399L)
         val rlive = st.executeQuery("SELECT max(id) FROM graft.thriftspec_t")
         assert(rlive.next() && rlive.getLong(1) === 1009L)
+
+        // the BI metadata call: DESCRIBE over the wire (manifest-only)
+        val rd = st.executeQuery("DESCRIBE TABLE graft.thriftspec_t")
+        var cols = List.empty[(String, String)]
+        while (rd.next()) cols ::= ((rd.getString(1), rd.getString(2)))
+        assert(cols.reverse === List(
+          ("id", "bigint"), ("k", "bigint"), ("v", "string")))
       } finally conn.close()
     } finally server.stop()
   }
