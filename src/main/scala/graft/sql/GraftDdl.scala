@@ -19,10 +19,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
 case class GraftSqlParser(spark: org.apache.spark.sql.SparkSession,
     delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = delegate.parsePlan(sqlText)
-    GraftDdl.convert(spark, plan).getOrElse(plan)
-  }
+  override def parsePlan(sqlText: String): LogicalPlan =
+    // OPTIMIZE / VACUUM are not in Spark's grammar at all (the delegate
+    // would raise a ParseException) — recognized on the statement text,
+    // the same route Delta's parser takes for its OPTIMIZE/VACUUM
+    GraftDdl.parseMaintenance(sqlText).getOrElse {
+      val plan = delegate.parsePlan(sqlText)
+      GraftDdl.convert(spark, plan).getOrElse(plan)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
@@ -43,6 +47,44 @@ case class GraftSqlParser(spark: org.apache.spark.sql.SparkSession,
 }
 
 object GraftDdl {
+
+  // OPTIMIZE graft.<name-or-`quoted`> [ZORDER BY (c1, c2[, c3])]
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+graft\.(`[^`]+`|[\w.]+)\s*(?:ZORDER\s+BY\s*\(\s*([\w`,\s.]+?)\s*\))?\s*;?\s*""".r
+  // VACUUM graft.<name> [RETAIN <n> GENERATIONS | RETAIN <n> HOURS]
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+graft\.(`[^`]+`|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+(GENERATIONS|HOURS))?\s*;?\s*""".r
+
+  private def unquote(n: String): String =
+    if (n.startsWith("`") && n.endsWith("`")) n.substring(1, n.length - 1) else n
+
+  /** The maintenance verbs Spark's grammar lacks, recognized on the raw
+    * statement text: `OPTIMIZE graft.t` (fold small dirs), `OPTIMIZE
+    * graft.t ZORDER BY (a, b)` (multi-dimensional re-layout), `VACUUM
+    * graft.t RETAIN n GENERATIONS|HOURS` (snapshot retention + orphan
+    * reclaim). Only statements addressed at `graft.` are claimed. */
+  def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case OptimizeRe(name, zorder) =>
+      val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft OPTIMIZE: ${unquote(name)} is not a registered graft table"))
+      require(gen.isEmpty, "graft OPTIMIZE: cannot optimize a @v time-travel reference")
+      val zcols = Option(zorder).map(_.split(",").toSeq
+        .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
+      Some(GraftOptimize(root, zcols))
+    case VacuumRe(name, n, unit) =>
+      val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft VACUUM: ${unquote(name)} is not a registered graft table"))
+      require(gen.isEmpty, "graft VACUUM: cannot vacuum a @v time-travel reference")
+      val (keepLast, maxAgeMs) = (Option(n), Option(unit).map(_.toUpperCase)) match {
+        case (Some(k), Some("GENERATIONS")) => (k.toInt, None)
+        case (Some(h), Some("HOURS")) => (1, Some(h.toLong * 3600L * 1000L))
+        case _ => (2, None) // bare VACUUM: keep the newest 2 generations
+      }
+      Some(GraftVacuum(root, keepLast, maxAgeMs))
+    case _ => None
+  }
 
   private def graftName(p: LogicalPlan): Option[String] = p match {
     case u: UnresolvedIdentifier

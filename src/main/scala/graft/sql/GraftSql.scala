@@ -659,6 +659,28 @@ case class GraftDropColumns(root: String, names: Seq[String],
     s"GraftDropColumns $root ${names.mkString(",")}"
 }
 
+/** Leaf command for `OPTIMIZE graft.<name> [ZORDER BY (cols)]`: plain
+  * form folds small dirs (`Optimize.compactSmall`, the LSM-ish
+  * maintenance); the ZORDER form re-lays the table along the
+  * multi-column interleave (`Optimize.zorderCompactN`), preserving the
+  * current dir-count granularity and the table's established stat
+  * columns. */
+case class GraftOptimize(root: String, zorderCols: Seq[String])
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftOptimize $root" +
+      (if (zorderCols.nonEmpty) s" zorder=${zorderCols.mkString(",")}" else "")
+}
+
+/** Leaf command for `VACUUM graft.<name> [RETAIN n GENERATIONS|HOURS]`:
+  * snapshot retention (count- or age-based) plus an orphan sweep with
+  * the standard 1-hour freshness guard (an in-flight writer's staged
+  * dir must never be reclaimed). */
+case class GraftVacuum(root: String, keepLast: Int, maxAgeMs: Option[Long])
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String = s"GraftVacuum $root"
+}
+
 /** Leaf command for a DELETE-only `MERGE INTO graft.<name>`: matched
   * rows satisfying the condition are deleted via the merge-on-read
   * `deleteWhere` path; everything else is untouched. */

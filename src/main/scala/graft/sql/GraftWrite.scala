@@ -188,6 +188,42 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           schema = Some(narrowed), op = "drop_columns")
         ()
       }) :: Nil
+    case GraftOptimize(root, zcols) =>
+      GraftRowOpExec(s"GraftOptimizeExec $root", () => {
+        import graft.ingest.Optimize
+        if (zcols.isEmpty) {
+          // Delta's OPTIMIZE file-size ballpark: fold dirs below 128 MB
+          Optimize.compactSmall(spark, root, smallBytes = 128L << 20)
+          ()
+        } else {
+          require(zcols.size >= 2,
+            "graft OPTIMIZE ZORDER: needs at least 2 columns")
+          val m = ManifestCommit.readManifest(spark, root).getOrElse(
+            throw new IllegalArgumentException(
+              s"$root is not a manifest-committed table"))
+          // keep the current dir-count granularity; carry the table's
+          // established stat columns (incl. the row counter) that the
+          // z-rewrite wouldn't meter on its own
+          val extra = m.stats.values.flatten.map(_.col).toSeq.distinct
+            .filterNot(zcols.contains)
+            .filter(c => c == ManifestCommit.RowCountStat ||
+              !ManifestCommit.PseudoStats(c))
+          Optimize.zorderCompactN(spark, root, zcols,
+            targetDirs = math.max(1, m.dirs.size), extraStatCols = extra)
+          ()
+        }
+      }) :: Nil
+    case GraftVacuum(root, keepLast, maxAgeMs) =>
+      GraftRowOpExec(s"GraftVacuumExec $root", () => {
+        maxAgeMs match {
+          case Some(age) =>
+            ManifestCommit.expireSnapshotsOlderThan(spark, root, age, keepLast)
+          case None =>
+            ManifestCommit.expireSnapshots(spark, root, keepLast)
+        }
+        ManifestCommit.pruneOrphans(spark, root, minAgeMs = 3600L * 1000L)
+        ()
+      }) :: Nil
     case _ => Nil
   }
 }

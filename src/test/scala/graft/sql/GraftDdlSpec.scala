@@ -171,6 +171,37 @@ class GraftDdlSpec extends SparkSpec {
     assert(like.length === 1)
   }
 
+  test("OPTIMIZE and VACUUM as SQL text: fold, zorder re-layout, retention") {
+    val loc = scratch() + "/t6"
+    // 4 identity-sliced dirs plus a later append → 5 dirs
+    spark.sql(
+      s"""CREATE TABLE graft.ddlspec_t6 PARTITIONED BY (k) LOCATION '$loc'
+         |AS SELECT id, id % 4 AS k, id * 3 AS v FROM range(400)""".stripMargin)
+    spark.sql("INSERT INTO graft.ddlspec_t6 VALUES (1000, 0, 3000)")
+    assert(ManifestCommit.readManifest(spark, loc).get.dirs.size === 5)
+    // plain OPTIMIZE folds the small dirs into one
+    spark.sql("OPTIMIZE graft.ddlspec_t6")
+    val m1 = ManifestCommit.readManifest(spark, loc).get
+    assert(m1.dirs.size === 1, m1.dirs)
+    assert(spark.sql("SELECT count(*) FROM graft.ddlspec_t6")
+      .collect().head.getLong(0) === 401L)
+    // ZORDER BY re-lays along (id, v) keeping dir-count granularity
+    spark.sql("OPTIMIZE graft.ddlspec_t6 ZORDER BY (id, v)")
+    val m2 = ManifestCommit.readManifest(spark, loc).get
+    assert(m2.op === Some("zorder"))
+    assert(spark.sql("SELECT count(*) FROM graft.ddlspec_t6")
+      .collect().head.getLong(0) === 401L)
+    // VACUUM RETAIN 1 GENERATIONS expires everything but the newest
+    spark.sql("VACUUM graft.ddlspec_t6 RETAIN 1 GENERATIONS")
+    assert(ManifestCommit.snapshotGens(spark, loc).size === 1)
+    assert(spark.sql("SELECT count(*) FROM graft.ddlspec_t6")
+      .collect().head.getLong(0) === 401L)
+    // unregistered target → crisp error
+    val e = intercept[Exception](spark.sql("OPTIMIZE graft.ddlspec_nope"))
+    assert(e.getMessage.contains("not a registered"), e.getMessage)
+    spark.sql("DROP TABLE graft.ddlspec_t6")
+  }
+
   test("managed CREATE (no LOCATION): warehouse graft.db dir, DROP deletes data") {
     // a leftover from a crashed prior run must not wedge the name: drop
     // any stale registration, then clear the managed dir via re-register
