@@ -34,8 +34,10 @@ object TransformBridge {
       case MonthsTransform(r) => s"date_format(${colOf(r)}, 'yyyyMM')"
       case DaysTransform(r) => s"date_format(${colOf(r)}, 'yyyyMMdd')"
       case HoursTransform(r) => s"date_format(${colOf(r)}, 'yyyyMMddHH')"
+      // pmod already yields a non-negative modulus for negative hashes;
+      // abs(hash(..)) would overflow on Int.MinValue under ANSI mode
       case BucketTransform(n, Seq(r), Seq()) =>
-        s"pmod(abs(hash(${colOf(r)})), $n)"
+        s"pmod(hash(${colOf(r)}), $n)"
       case other => throw new IllegalArgumentException(
         s"graft CREATE: unsupported partition transform $other")
     }

@@ -115,7 +115,14 @@ object MergeInto {
     * `commitReconciled` already absorbs COMMUTING interleaves without
     * re-running, so a retry only fires when the conflict is real). The
     * aborted attempt's staged dir is reclaimed eagerly, not left for
-    * `pruneOrphans`. Default 0 preserves throw-on-conflict. */
+    * `pruneOrphans`. Default 0 preserves throw-on-conflict.
+    *
+    * `unmatchedDeleteInserts`: what an UNMATCHED source row with a true
+    * `deleteWhen` means. The programmatic default (false) treats it as a
+    * delete of an absent key — a no-op (the delete-feed shape q147's
+    * replication applies). SQL MERGE passes true: matched-clause
+    * conditions never apply to unmatched rows there, so such a row falls
+    * through to WHEN NOT MATCHED INSERT. */
   def merge(
       spark: SparkSession,
       root: String,
@@ -124,17 +131,18 @@ object MergeInto {
       deleteWhen: Option[Column] = None,
       insertUnmatched: Boolean = true,
       evolveSchema: Boolean = false,
-      retries: Int = 0): MergeResult = {
+      retries: Int = 0,
+      unmatchedDeleteInserts: Boolean = false): MergeResult = {
     var attempt = 0
     while (attempt < retries.max(0)) {
       try return mergeOnce(spark, root, source, keys, deleteWhen,
-        insertUnmatched, evolveSchema)
+        insertUnmatched, evolveSchema, unmatchedDeleteInserts)
       catch {
         case _: ManifestCommit.ConcurrentCommitException => attempt += 1
       }
     }
     mergeOnce(spark, root, source, keys, deleteWhen, insertUnmatched,
-      evolveSchema) // final attempt propagates its conflict
+      evolveSchema, unmatchedDeleteInserts) // final attempt propagates its conflict
   }
 
   private def mergeOnce(
@@ -144,7 +152,8 @@ object MergeInto {
       keys: Seq[String],
       deleteWhen: Option[Column],
       insertUnmatched: Boolean,
-      evolveSchema: Boolean): MergeResult = {
+      evolveSchema: Boolean,
+      unmatchedDeleteInserts: Boolean = false): MergeResult = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
@@ -253,8 +262,8 @@ object MergeInto {
 
     val action = when(src("__s").isNull, lit("keep"))
       .when(tgt("__t").isNull,
-        when(!src("__del") && lit(insertUnmatched), lit("insert"))
-          .otherwise(lit("skip")))
+        when((lit(unmatchedDeleteInserts) || !src("__del")) && lit(insertUnmatched),
+          lit("insert")).otherwise(lit("skip")))
       .when(src("__del"), lit("delete"))
       .otherwise(lit("update"))
 

@@ -383,9 +383,18 @@ case class GraftResolveRelations(spark: SparkSession)
               r.namespace.toSeq == Seq("graft")
             case _ => false
           }) =>
+        // Spark's SHOW TABLES LIKE contract (StringUtils.filterPattern):
+        // case-insensitive, '*' = any chars, '|' separates alternatives,
+        // everything else literal (regex metachars quoted)
+        def matches(n: String, pattern: String): Boolean =
+          pattern.split("\\|").exists { alt =>
+            val rx = alt.trim.split("\\*", -1)
+              .map(java.util.regex.Pattern.quote)
+              .mkString(".*")
+            n.matches("(?i)" + rx)
+          }
         val names = GraftSql.registered.sorted.filter(n =>
-          st.pattern.forall(p =>
-            n.matches(p.replace("*", ".*").replace("|", "|"))))
+          st.pattern.forall(p => matches(n, p)))
         def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
         LocalRelation(st.output,
           names.map(n => InternalRow(utf8("graft"), utf8(n), false)))

@@ -11,6 +11,22 @@ import org.apache.spark.sql.types.StructType
 import graft.ingest.{ManifestCommit, MergeInto}
 
 private object GraftWriteUtil {
+  /** CREATE existence is checked on the NAME, not just the target
+    * location: creating an already-registered name at a NEW location
+    * must error (any SQL catalog raises TableAlreadyExists) rather than
+    * silently repointing the registry away from the real data. Returns
+    * false — CREATE is a no-op — when the name is taken elsewhere but
+    * IF NOT EXISTS was given. */
+  def nameFree(name: String, root: String, ignoreIfExists: Boolean): Boolean =
+    GraftSql.lookup(name) match {
+      case Some((existing, _)) if existing != root =>
+        if (!ignoreIfExists) throw new IllegalArgumentException(
+          s"graft CREATE: table $name already exists (registered at " +
+            s"$existing); DROP it first or use IF NOT EXISTS")
+        false
+      case _ => true
+    }
+
   /** Table columns the slicing expression references — the natural stat
     * columns of a freshly created sliced table (`months(ts)` → ts range
     * stats per month dir, so date pruning works from the first insert). */
@@ -52,7 +68,8 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
       }) :: Nil
     case GraftCreateTable(root, name, tableSchema, slice, ignoreIfExists) =>
       GraftRowOpExec(s"GraftCreateTableExec $name", () => {
-        if (ManifestCommit.isManifestTable(spark, root)) {
+        if (!GraftWriteUtil.nameFree(name, root, ignoreIfExists)) ()
+        else if (ManifestCommit.isManifestTable(spark, root)) {
           if (!ignoreIfExists) throw new IllegalArgumentException(
             s"graft CREATE: table $name already exists at $root " +
               "(use IF NOT EXISTS)")
@@ -68,7 +85,8 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
       }) :: Nil
     case GraftCtas(root, name, slice, query, ignoreIfExists) =>
       GraftRowOpExec(s"GraftCtasExec $name", () => {
-        if (ManifestCommit.isManifestTable(spark, root)) {
+        if (!GraftWriteUtil.nameFree(name, root, ignoreIfExists)) ()
+        else if (ManifestCommit.isManifestTable(spark, root)) {
           if (!ignoreIfExists) throw new IllegalArgumentException(
             s"graft CREATE AS SELECT: table $name already exists at $root")
           GraftSql.register(name, root)
@@ -127,9 +145,15 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
     case GraftTruncate(root) =>
       GraftRowOpExec(s"GraftTruncateExec $root", () => {
         val prev = ManifestCommit.readManifest(spark, root)
+        // a pre-evolution table has no recorded schema — capture it from
+        // the live dirs NOW, or the emptied table would be unreadable
+        // (zero dirs and no schema to resolve against)
+        val schema = prev.flatMap(_.tableSchema).orElse(
+          prev.filter(_.dirs.nonEmpty).map(m =>
+            ManifestCommit.readDirsOf(spark, root, m, m.dirs).schema))
         ManifestCommit.commitReplace(spark, root, Nil,
           pruneDisplaced = false,
-          schema = prev.flatMap(_.tableSchema), op = "truncate")
+          schema = schema, op = "truncate")
         ()
       }) :: Nil
     case GraftAddColumns(root, added) =>
@@ -147,9 +171,13 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           == added.size, "graft ALTER ADD COLUMNS: duplicate column in list")
         val widened = StructType(cur.fields ++ added.map { case (n, t) =>
           org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+        // expectedGen: this commit re-states the dir list it read — a
+        // concurrent INSERT/MERGE landing in between would be silently
+        // erased from the live set without the CAS guard
         ManifestCommit.commitReplace(spark, root, m.dirs,
           pruneDisplaced = false, stats = m.stats, dvs = m.dvs,
-          schema = Some(widened), op = "add_columns")
+          schema = Some(widened), op = "add_columns",
+          expectedGen = Some(m.gen))
         ()
       }) :: Nil
     case GraftDropColumns(root, names, ifExists) =>
@@ -185,7 +213,8 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           d -> cs.filterNot(c => dropped(c.col)) }
         ManifestCommit.commitReplace(spark, root, m.dirs,
           pruneDisplaced = false, stats = stats,
-          schema = Some(narrowed), op = "drop_columns")
+          schema = Some(narrowed), op = "drop_columns",
+          expectedGen = Some(m.gen))
         ()
       }) :: Nil
     case GraftOptimize(root, zcols) =>
@@ -263,7 +292,11 @@ case class GraftMergeExec(@transient spark: SparkSession, root: String,
     MergeInto.merge(spark, root, src.select(rewritten: _*), keys,
       deleteWhen = deleteWhen.map(_ => col(DelCol)),
       insertUnmatched = insertUnmatched,
-      evolveSchema = extraCols.nonEmpty)
+      evolveSchema = extraCols.nonEmpty,
+      // SQL contract: matched-clause conditions never apply to unmatched
+      // rows — an unmatched source row satisfying the DELETE condition
+      // still falls through to WHEN NOT MATCHED INSERT
+      unmatchedDeleteInserts = true)
     Nil
   }
 

@@ -169,6 +169,14 @@ class GraftDdlSpec extends SparkSpec {
     assert(shown.forall(t => t._1 == "graft" && !t._3))
     val like = spark.sql("SHOW TABLES IN graft LIKE 'ddlspec_t5'").collect()
     assert(like.length === 1)
+    // Spark's LIKE contract: case-insensitive, '*' wildcard, '|' alternation,
+    // regex metachars literal
+    assert(spark.sql("SHOW TABLES IN graft LIKE 'DDLSPEC_T5'").collect().length === 1)
+    assert(spark.sql("SHOW TABLES IN graft LIKE 'ddlspec_t5|nope_zz'")
+      .collect().length === 1)
+    assert(spark.sql("SHOW TABLES IN graft LIKE 'ddlspec.t5'").collect().isEmpty,
+      "'.' must match literally, not as a regex metachar")
+    assert(spark.sql("SHOW TABLES IN graft LIKE 'ddlspec*'").collect().length >= 1)
   }
 
   test("OPTIMIZE and VACUUM as SQL text: fold, zorder re-layout, retention") {
@@ -200,6 +208,45 @@ class GraftDdlSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql("OPTIMIZE graft.ddlspec_nope"))
     assert(e.getMessage.contains("not a registered"), e.getMessage)
     spark.sql("DROP TABLE graft.ddlspec_t6")
+  }
+
+  test("CREATE on a taken NAME at a new location errors; IF NOT EXISTS never repoints") {
+    val loc1 = scratch() + "/a"
+    spark.sql(
+      s"CREATE TABLE graft.ddlspec_t7 LOCATION '$loc1' AS SELECT id FROM range(5)")
+    val loc2 = scratch() + "/b"
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.ddlspec_t7 (id BIGINT) LOCATION '$loc2'")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // IF NOT EXISTS: no-op — the registry must still point at loc1
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS graft.ddlspec_t7 (id BIGINT) LOCATION '$loc2'")
+    assert(spark.sql("SELECT count(*) FROM graft.ddlspec_t7")
+      .collect().head.getLong(0) === 5L, "registry must not repoint")
+    assert(!ManifestCommit.isManifestTable(spark, loc2),
+      "the IF NOT EXISTS no-op must not create the new location either")
+    spark.sql("DROP TABLE graft.ddlspec_t7")
+  }
+
+  test("TRUNCATE on a schema-less table captures the schema before emptying") {
+    val root = scratch() + "/noschema"
+    val d = ManifestCommit.newDataDir(root)
+    spark.range(0, 7).toDF("id").withColumn("v", col("id") * 5)
+      .write.parquet(d)
+    // pre-evolution shape: committed WITHOUT a recorded schema
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false)
+    GraftSql.register("ddlspec_noschema", root)
+    spark.sql("TRUNCATE TABLE graft.ddlspec_noschema")
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.dirs.isEmpty)
+    assert(m.tableSchema.isDefined, "truncate must capture the footer schema")
+    // the emptied table stays readable and insertable by name
+    assert(spark.sql("SELECT * FROM graft.ddlspec_noschema").count() === 0L)
+    spark.sql("INSERT INTO graft.ddlspec_noschema VALUES (9, 45)")
+    assert(spark.sql("SELECT v FROM graft.ddlspec_noschema WHERE id = 9")
+      .collect()(0).getLong(0) === 45L)
+    GraftSql.unregister("ddlspec_noschema")
   }
 
   test("managed CREATE (no LOCATION): warehouse graft.db dir, DROP deletes data") {

@@ -433,6 +433,29 @@ class GraftSqlSpec extends SparkSpec {
     assert(ManifestCommit.readManifest(spark, root).get.op === Some("merge"))
   }
 
+  test("MERGE: an unmatched row satisfying the DELETE condition still INSERTs") {
+    // matched-clause conditions never apply to unmatched rows (the SQL
+    // contract) — the row must fall through to WHEN NOT MATCHED INSERT,
+    // not be silently dropped as a no-op delete
+    val root = mkTable("sqlspec_merge_unmdel")
+    spark.range(2000, 2005).toDF("id") // all unmatched
+      .withColumn("k", lit(0L))
+      .withColumn("v", concat(lit("n"), col("id")))
+      .withColumn("flag", lit(true)) // would-be DELETE condition holds
+      .createOrReplaceTempView("sqlspec_merge_unmdel_src")
+    spark.sql(
+      """MERGE INTO graft.sqlspec_merge_unmdel t USING sqlspec_merge_unmdel_src s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.flag THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.sqlspec_merge_unmdel WHERE id >= 2000")
+      .collect().head.getLong(0) === 5L,
+      "unmatched rows with a true DELETE condition must insert")
+    assert(ManifestCommit.read(spark, root).count() === 405L)
+  }
+
   test("delete-only MERGE routes merge-on-read: no dir rewritten, DVs repoint") {
     val root = mkTable("sqlspec_merge_mor")
     val dirsBefore = ManifestCommit.readManifest(spark, root).get.dirs
