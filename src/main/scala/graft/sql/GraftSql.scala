@@ -338,6 +338,27 @@ case class GraftResolveRelations(spark: SparkSession)
         }
         GraftDropColumns(root, names, dc.ifExists)
 
+      // ALTER TABLE graft.<a> RENAME TO graft.<b>: a registry repoint
+      case rt: RenameTable if (rt.child match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+              u.multipartIdentifier.length == 2 &&
+                u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+                GraftSql.lookup(u.multipartIdentifier(1)).isDefined
+            case _ => false
+          }) =>
+        val u = rt.child
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView]
+        val from = u.multipartIdentifier(1)
+        require(!from.contains("@"),
+          "graft RENAME: cannot rename a @v time-travel reference")
+        val to = rt.newName match {
+          case Seq(n) => n // RENAME TO y keeps the namespace
+          case Seq(g, n) if g.equalsIgnoreCase("graft") => n
+          case other => throw new IllegalArgumentException(
+            s"graft RENAME: target must stay in graft (got ${other.mkString(".")})")
+        }
+        GraftRenameTable(from, to)
+
       // DESCRIBE [EXTENDED] graft.<name>[@vN] — schema (and, extended,
       // table detail) from the manifest alone; the JDBC/BI metadata call
       case d: DescribeRelation if (d.relation match {
@@ -666,6 +687,14 @@ case class GraftDropColumns(root: String, names: Seq[String],
     ifExists: Boolean) extends LeafCommand {
   override def simpleString(maxFields: Int): String =
     s"GraftDropColumns $root ${names.mkString(",")}"
+}
+
+/** Leaf command for `ALTER TABLE graft.<a> RENAME TO graft.<b>`: a pure
+  * registry repoint — the table root, manifest, and data are untouched
+  * (names are a session-level concept; the root IS the identity). */
+case class GraftRenameTable(from: String, to: String) extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftRenameTable $from -> $to"
 }
 
 /** Leaf command for `OPTIMIZE graft.<name> [ZORDER BY (cols)]`: plain

@@ -217,6 +217,16 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           expectedGen = Some(m.gen))
         ()
       }) :: Nil
+    case GraftRenameTable(from, to) =>
+      GraftRowOpExec(s"GraftRenameTableExec $from->$to", () => {
+        val root = GraftSql.lookup(from).map(_._1).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft RENAME: $from is not registered"))
+        require(GraftSql.lookup(to).isEmpty,
+          s"graft RENAME: target name $to already exists")
+        GraftSql.register(to, root)
+        GraftSql.unregister(from)
+      }) :: Nil
     case GraftOptimize(root, zcols) =>
       GraftRowOpExec(s"GraftOptimizeExec $root", () => {
         import graft.ingest.Optimize

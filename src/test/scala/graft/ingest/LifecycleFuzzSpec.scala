@@ -267,13 +267,12 @@ class LifecycleFuzzSpec extends SparkSpec {
               del.map(Row(_)): _*))
             model --= del
           }
-        case 5 =>
-          if (rnd.nextBoolean()) Optimize.compactSmall(spark, root, smallBytes = 1L << 20)
+        case 5 => // maintenance as SQL TEXT too (OPTIMIZE [ZORDER BY])
+          if (rnd.nextBoolean()) spark.sql(s"OPTIMIZE graft.$name")
           else if (model.nonEmpty)
-            Optimize.zorderCompactN(spark, root, Seq("id", "amt"),
-              targetDirs = 1 + rnd.nextInt(2))
-        case 6 =>
-          ManifestCommit.expireSnapshots(spark, root, keepLast = 3)
+            spark.sql(s"OPTIMIZE graft.$name ZORDER BY (id, amt)")
+        case 6 => // retention as SQL TEXT (VACUUM RETAIN n GENERATIONS)
+          spark.sql(s"VACUUM graft.$name RETAIN 3 GENERATIONS")
           history = history.filter { case (g, _) =>
             ManifestCommit.readManifestAt(spark, root, g).isDefined }
       }

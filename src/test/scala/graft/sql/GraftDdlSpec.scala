@@ -179,6 +179,27 @@ class GraftDdlSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN graft LIKE 'ddlspec*'").collect().length >= 1)
   }
 
+  test("ALTER TABLE RENAME repoints the registry; data untouched") {
+    val loc = scratch() + "/t8"
+    spark.sql(
+      s"CREATE TABLE graft.ddlspec_t8 LOCATION '$loc' AS SELECT id FROM range(9)")
+    spark.sql("ALTER TABLE graft.ddlspec_t8 RENAME TO graft.ddlspec_t8_new")
+    assert(spark.sql("SELECT count(*) FROM graft.ddlspec_t8_new")
+      .collect().head.getLong(0) === 9L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ddlspec_t8").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("not"), e.getMessage)
+    // target collision rejected
+    spark.sql(s"CREATE TABLE graft.ddlspec_t8 (id BIGINT) LOCATION '${scratch()}/t8b'")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ddlspec_t8 RENAME TO graft.ddlspec_t8_new")
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    spark.sql("DROP TABLE graft.ddlspec_t8")
+    spark.sql("DROP TABLE graft.ddlspec_t8_new")
+  }
+
   test("OPTIMIZE and VACUUM as SQL text: fold, zorder re-layout, retention") {
     val loc = scratch() + "/t6"
     // 4 identity-sliced dirs plus a later append → 5 dirs
