@@ -185,6 +185,26 @@ object MetaScaleCheck {
           assert(m2.dirs.size == before + 2,
             s"dirs $before -> ${m2.dirs.size} (op=${m2.op}, slice=${m2.slice})")
         }
+        // streaming tail: a running readStream drains ONE append commit.
+        // Claim: per-trigger cost is O(new dirs) + the manifest parse —
+        // classifying the commit walks two cached manifest resolves and
+        // reads only the appended dir, never the nDirs-dir table.
+        locally {
+          val qn = s"metastream_$tag"
+          val q = spark.readStream.format("graft-table")
+            .option("startingVersion", "latest").load(r)
+            .writeStream.format("memory").queryName(qn)
+            .outputMode("append").start()
+          try all("stream_tail") = time(s"$tag stream tail drain (1 append onto $nDirs dirs)") {
+            val before = spark.table(qn).count()
+            val d = ManifestCommit.newDataDir(r)
+            spark.range(0, 100).select(col("id"), lit(0L).as("v"))
+              .write.parquet(d)
+            ManifestCommit.commitAppend(spark, r, d)
+            q.processAllAvailable()
+            assert(spark.table(qn).count() == before + 100)
+          } finally q.stop()
+        }
       }
       locally { // sparse DV delete: keys in 8 fixed dirs of nDirs
         val roots = Seq(buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100),

@@ -53,4 +53,28 @@ object DatasetBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-brand a batch DataFrame as a STREAMING one — what a v1 streaming
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming` on the plan it splices in). The batch plan keeps all
+    * its optimizations (skipping, pushdown, DV anti-joins) inside the
+    * produced RDD lineage; only the LogicalRDD wrapper is marked
+    * streaming. The same pattern FileStreamSource uses internally. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ss = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ss.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
+  /** Re-plan a micro-batch DataFrame (handed to a v1 `Sink.addBatch`,
+    * backed by IncrementalExecution) as an ordinary BATCH frame that
+    * `.write` accepts — the standard v1-sink move: take the incremental
+    * plan's RDD and wrap it batch-side. */
+  def asBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ss = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ss.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

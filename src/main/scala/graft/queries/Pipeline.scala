@@ -2526,6 +2526,148 @@ object Pipeline {
       lit(if (drained) 1 else 0).as("drained"))
   }
 
+  /** q152 — STRUCTURED STREAMING table-to-table replication through the
+    * registered `graft` format: `readStream.format("graft-table")` tails the
+    * source's commit log (offsets ARE manifest generations; each batch
+    * reads only the appended dirs, never the table) and
+    * `writeStream.format("graft-table")` lands each batch as one
+    * txn-ledgered `commitAppend` — no broker, no foreachBatch, the
+    * stock streaming API end to end. Phases: initial-snapshot batch;
+    * stop; two appends + a compaction (data-neutral — must NOT
+    * re-deliver) drained by a RESTARTED query from the same checkpoint;
+    * stop; one more append + restart. Exactly-once CONTENTS across both
+    * restarts and the compaction are pinned by count==distinct and the
+    * final replica hash-matching DuckDB over the full orders table.
+    *
+    * 100-TB shape: a tailing replica stream costs O(new commits) per
+    * trigger at any table size; the snapshot batch is the only
+    * table-sized read, and the sink's writer ledger makes crash-replay
+    * free (dir staged, commit refused, no duplicate). */
+  val q152_stream_table_replication = Q(
+    "q152_stream_table_replication",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+      |  1 AS ledgered
+      |FROM orders""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, Optimize}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("graft_q152_")
+    val srcRoot = base + "/src"
+    val repRoot = base + "/replica"
+    val ckpt = base + "/ckpt"
+    val orders = Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    def slice(i: Int) = orders.filter(pmod(col("o_orderkey"), lit(4)) === i)
+    def appendSlice(i: Int): Unit = {
+      val d = ManifestCommit.newDataDir(srcRoot)
+      slice(i).write.parquet(d)
+      ManifestCommit.commitAppend(s, srcRoot, d,
+        stats = ManifestCommit.dirStats(s, d,
+          Seq("o_orderkey", ManifestCommit.RowCountStat)))
+      ()
+    }
+    val d0 = ManifestCommit.newDataDir(srcRoot)
+    slice(0).write.parquet(d0)
+    ManifestCommit.commitReplace(s, srcRoot, Seq(d0), pruneDisplaced = false,
+      stats = Map(d0 -> ManifestCommit.dirStats(s, d0,
+        Seq("o_orderkey", ManifestCommit.RowCountStat))),
+      schema = Some(orders.schema))
+    def drain(): Unit = {
+      val q = s.readStream.format("graft-table").load(srcRoot)
+        .writeStream.format("graft-table")
+        .option("txnAppId", "q152-replicator")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(repRoot)
+      q.awaitTermination()
+    }
+    drain() // batch 0: the snapshot of slice 0
+    appendSlice(1); appendSlice(2)
+    Optimize.compactSmall(s, srcRoot, smallBytes = 128L << 20)
+    drain() // restart from checkpoint; compaction must not re-deliver
+    appendSlice(3)
+    drain() // second restart
+    val m = ManifestCommit.readManifest(s, repRoot).get
+    val ledgered = m.txns.get("q152-replicator").exists(_ >= 0L)
+    ManifestCommit.read(s, repRoot).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+      countDistinct(col("o_orderkey")).as("n_distinct"))
+      .withColumn("ledgered", lit(if (ledgered) 1 else 0))
+  }
+
+  /** q153 — streaming CHANGE DATA FEED: `readStream.format("graft-table")`
+    * with `readChangeFeed=true` turns the table's history into a live
+    * retraction stream — per-commit row-level changes in the Delta CDF
+    * vocabulary (`_change_type` + `_commit_version`), derived from each
+    * generation's dir symmetric difference, so a MERGE streams as
+    * update pre/post pairs and a merge-on-read DV delete streams as
+    * deletes WITHOUT failing the stream. `startingVersion=2` skips the
+    * snapshot: exactly the two mutation commits are delivered, each
+    * attributed to its generation. Counts per change type, the updated
+    * rows' repriced sum, and per-commit attribution all hash-match
+    * DuckDB deriving the same mutations relationally.
+    *
+    * 100-TB shape: the feed reads the changed dirs of each commit (the
+    * merge's rewritten dirs, the DV's key file), never the table; a
+    * downstream materializer consumes retractions at O(changes). */
+  val q153_stream_change_feed = Q(
+    "q153_stream_change_feed",
+    """SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 89 = 0) AS n_ins,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 97 = 0) AS n_del,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 101 = 0) AS n_upd_pre,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_orderkey % 101 = 0) AS n_upd_post,
+      |  (SELECT cast(sum(cast(o_totalprice + 1000 as decimal(18,2))) as double)
+      |     FROM orders WHERE o_orderkey % 101 = 0) AS sum_post,
+      |  1 AS vers_ok""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ChangeFeed, ManifestCommit, MergeInto}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("graft_q153_")
+    val srcRoot = base + "/src"
+    val orders = Tables.load(s, dir, "orders").select("o_orderkey", "o_totalprice")
+    val dirs = ManifestCommit.writeSliced(s, srcRoot, orders,
+      pmod(col("o_orderkey"), lit(4)),
+      Seq("o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, srcRoot, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(orders.schema))
+    // gen 2: MERGE — reprice %101, insert %89 clones at +1e8
+    val updates = orders.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"))
+    val inserts = orders.filter(pmod(col("o_orderkey"), lit(89)) === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        (col("o_totalprice") * 2.0).as("o_totalprice"))
+    MergeInto.merge(s, srcRoot, updates.unionByName(inserts), Seq("o_orderkey"))
+    // gen 3: merge-on-read delete of %97 (a DV repoint, no dir rewrite)
+    MergeInto.deleteWhere(s, srcRoot,
+      orders.filter(pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
+    val out = base + "/feed"
+    val q = s.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "o_orderkey")
+      .option("startingVersion", "2").load(srcRoot)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", base + "/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val feed = s.read.parquet(out)
+    val ct = ChangeFeed.ChangeType
+    val verdicts = feed.agg(
+      max(when(col(ct) === "delete", col("_commit_version"))).as("dv"),
+      min(when(col(ct) === "delete", col("_commit_version"))).as("dv2"),
+      max(when(col(ct) =!= "delete", col("_commit_version"))).as("mv"),
+      min(when(col(ct) =!= "delete", col("_commit_version"))).as("mv2")).collect()(0)
+    val versOk = verdicts.getLong(0) == 3L && verdicts.getLong(1) == 3L &&
+      verdicts.getLong(2) == 2L && verdicts.getLong(3) == 2L
+    feed.agg(
+      sum(when(col(ct) === "insert", 1L).otherwise(0L)).as("n_ins"),
+      sum(when(col(ct) === "delete", 1L).otherwise(0L)).as("n_del"),
+      sum(when(col(ct) === "update_preimage", 1L).otherwise(0L)).as("n_upd_pre"),
+      sum(when(col(ct) === "update_postimage", 1L).otherwise(0L)).as("n_upd_post"),
+      sum(when(col(ct) === "update_postimage",
+        col("o_totalprice").cast("decimal(18,2)"))).cast("double").as("sum_post"))
+      .withColumn("vers_ok", lit(if (versOk) 1 else 0))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -2542,5 +2684,6 @@ object Pipeline {
     q131_deletion_vectors, q132_minor_compaction, q133_zorder_3d, q134_month_lifecycle,
     q135_manifest_count, q136_stream_late_drop, q137_ann_incremental,
     q138_ivf_incremental, q139_delta_log, q140_dv_count,
-    q147_cdf_replication, q150_cdf_schema_evolution)
+    q147_cdf_replication, q150_cdf_schema_evolution,
+    q152_stream_table_replication, q153_stream_change_feed)
 }

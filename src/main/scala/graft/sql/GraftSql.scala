@@ -67,6 +67,12 @@ object GraftSql {
 
   private val AtGen = "^(.*)@v([0-9]+)$".r
 
+  /** The registered root of a bare table name — the public face of the
+    * registry for non-SQL callers (the streaming source's
+    * `.option("table", name)`). */
+  def rootOf(name: String): Option[String] =
+    Option(registry.get(name.toLowerCase(java.util.Locale.ROOT)))
+
   /** Resolve `<name>` / `<name>@v<gen>` / `/abs/path[@v<gen>]` to
     * (root, pinned generation). */
   private[sql] def lookup(name: String): Option[(String, Option[Long])] = {

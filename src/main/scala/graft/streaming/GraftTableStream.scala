@@ -1,0 +1,325 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.ingest.{ChangeFeed, ManifestCommit}
+
+/** Structured Streaming over manifest-committed ("graft") tables — the
+  * public lakehouse table-as-a-stream shape (Delta's streaming source /
+  * sink, Iceberg incremental reads), and the streaming face of the
+  * reference's CDC topology (tools/kafka_to_clickhouse.py consumes a
+  * broker; a graft table needs no broker — its commit log IS the
+  * stream):
+  *
+  * {{{
+  * spark.readStream.format("graft-table").load(root)        // appends
+  *   .writeStream.format("graft-table")
+  *   .option("txnAppId", "rep1").start(replicaRoot)   // exactly-once
+  * }}}
+  *
+  * SOURCE offsets are manifest GENERATIONS (one long — the same cursor
+  * vocabulary as [[graft.ingest.ChangeFeed]]); each micro-batch reads
+  * only the dirs the covered commits appended, never the table, so a
+  * tailing stream is O(new data) per trigger at any table size. Options:
+  *
+  *  - (none): first batch = the full current snapshot (pinned to the
+  *    generation the offset records), then the append tail — Delta's
+  *    default initial-snapshot contract.
+  *  - `startingVersion=<gen>`: no snapshot; deliver changes committed
+  *    AFTER generation gen. `startingVersion=latest`: only commits after
+  *    stream start.
+  *  - `maxGensPerTrigger=<n>`: rate limit — at most n commits per batch.
+  *  - `skipChangeCommits=true`: skip non-append commits (merge/delete/
+  *    update rewrites) instead of failing the stream. Compaction commits
+  *    (`compact*`/`zorder` — same rows, new layout) are always skipped:
+  *    they are the dataChange=false of this format.
+  *  - `readChangeFeed=true` with `keys=<k1,k2>`: CDF mode — emit
+  *    row-level changes per commit in the Delta CDF vocabulary
+  *    (`_change_type` ∈ insert/delete/update_preimage/update_postimage
+  *    plus `_commit_version`), derived per generation from the dir
+  *    symmetric difference ([[ChangeFeed.diff]]), so merges and DV
+  *    deletes stream as retraction pairs instead of failing.
+  *
+  * The read schema is PINNED at stream start (restart to pick up an
+  * evolved schema — the Delta contract); later-evolved columns are
+  * invisible to a running stream, and pre-evolution dirs null-fill.
+  *
+  * SINK: each `addBatch` lands as one immutable dir + an O(changes)
+  * `commitAppend` carrying `txn=(txnAppId, batchId)` — a replayed batch
+  * (post-crash re-delivery) is recognized from the manifest's writer
+  * ledger and dropped, so replica CONTENTS are exactly-once while
+  * delivery stays at-least-once. Stat columns are inherited from the
+  * target's recorded stats (or seeded from its slicing expression), so
+  * skipping and manifest-only COUNT(*) stay armed under streaming
+  * writes. */
+class GraftTableProvider extends StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(), GraftTableSource.sourceSchema(
+      ctx.sparkSession, parameters))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableSource(ctx.sparkSession, parameters)
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink supports Append output mode only (got $outputMode) — " +
+        "aggregate with watermarks or use foreachBatch+merge for upserts")
+    new GraftTableSink(ctx.sparkSession, parameters)
+  }
+}
+
+private[streaming] object GraftTableSource {
+  /** Generation offset: `json` is the bare number, so checkpointed
+    * offsets restore through SerializedOffset with a plain parse. */
+  final case class GenOffset(gen: Long) extends Offset {
+    override def json: String = gen.toString
+  }
+  def genOf(o: Offset): Long = o match {
+    case GenOffset(g) => g
+    case other => other.json.trim.toLong
+  }
+
+  /** Rewrites identical rows into a new layout — never delivered. */
+  private[streaming] val CompactOps =
+    Set("compact", "compact_minor", "compact_months", "zorder")
+
+  def rootOf(spark: SparkSession, params: Map[String, String]): String =
+    params.get("path").orElse(params.get("table").map { n =>
+      graft.sql.GraftSql.rootOf(n).getOrElse(throw
+        new IllegalArgumentException(s"graft stream: no table registered as $n"))
+    }).getOrElse(throw new IllegalArgumentException(
+      "graft stream: set .load(<table root>) or .option(\"table\", <registered name>)"))
+
+  def tableSchema(spark: SparkSession, root: String): StructType = {
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft stream: $root is not a manifest-committed table"))
+    val base = m.tableSchema.getOrElse(ManifestCommit.read(spark, root).schema)
+    StructType(base.fields.map(_.copy(nullable = true)))
+  }
+
+  def sourceSchema(spark: SparkSession, params: Map[String, String]): StructType = {
+    val base = tableSchema(spark, rootOf(spark, params))
+    if (params.get("readChangeFeed").exists(_.toBoolean))
+      StructType(base.fields :+
+        StructField(ChangeFeed.ChangeType, StringType, nullable = false) :+
+        StructField("_commit_version", LongType, nullable = false))
+    else base
+  }
+}
+
+class GraftTableSource(spark: SparkSession, params: Map[String, String])
+    extends Source {
+  import GraftTableSource._
+
+  private val root = rootOf(spark, params)
+  private val cdf = params.get("readChangeFeed").exists(_.toBoolean)
+  private val keys: Seq[String] = params.get("keys")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  require(!cdf || keys.nonEmpty,
+    "graft stream: readChangeFeed=true requires keys=<k1,k2,...> " +
+      "(the row identity the feed diffs on)")
+  private val skipChange = params.get("skipChangeCommits").exists(_.toBoolean)
+  private val maxGens = params.get("maxGensPerTrigger").map(_.toLong)
+  maxGens.foreach(m => require(m > 0, s"maxGensPerTrigger must be > 0 (got $m)"))
+
+  private val liveAtStart: Long =
+    ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft stream: $root is not a manifest-committed table")).gen
+
+  /** Deliver changes committed strictly AFTER this generation; None =
+    * initial-snapshot mode (the first batch is the full snapshot). */
+  private val startAfter: Option[Long] = params.get("startingVersion").map {
+    case "latest" => liveAtStart
+    case v => val g = v.trim.toLong - 1
+      require(g >= 0, s"startingVersion must be >= 1 (got $v)"); g
+  }
+
+  private val readSchema: StructType = tableSchema(spark, root)
+  override val schema: StructType =
+    if (cdf) StructType(readSchema.fields :+
+      StructField(ChangeFeed.ChangeType, StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+    else readSchema
+
+  // rate-limit bookkeeping only (correct restarts ride the offset log;
+  // this just remembers the highest gen already promised to a batch)
+  private var highWater: Option[Long] = None
+
+  override def getOffset: Option[Offset] = synchronized {
+    val live = ManifestCommit.readManifest(spark, root) match {
+      case Some(m) => m.gen
+      case None => return None
+    }
+    val floor = highWater.orElse(startAfter)
+    val capped = (floor, maxGens) match {
+      case (Some(f), Some(mx)) => math.min(live, f + mx)
+      case _ => live
+    }
+    // nothing new past the starting point: no batch (avoids an empty
+    // batch-0 on a startingVersion=latest stream)
+    if (startAfter.exists(_ >= capped) && highWater.isEmpty) None
+    else if (highWater.exists(_ >= capped) && capped >= live) Some(GenOffset(capped))
+    else { highWater = Some(math.max(capped, highWater.getOrElse(0L)))
+      Some(GenOffset(capped)) }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endGen = genOf(end)
+    synchronized {
+      highWater = Some(math.max(endGen, highWater.getOrElse(0L)))
+    }
+    val out = start.map(genOf).orElse(startAfter) match {
+      case None => // initial snapshot, PINNED to the offset's generation
+        val snap = align(ManifestCommit.readAt(spark, root, endGen))
+        if (cdf) snap
+          .withColumn(ChangeFeed.ChangeType, lit("insert"))
+          .withColumn("_commit_version", lit(endGen))
+        else snap
+      case Some(s) if s >= endGen => emptyBatch
+      case Some(s) if cdf =>
+        // per-commit CDF (not one endpoint diff): a key inserted then
+        // deleted inside the window must emit both events. Each gen's
+        // feed is cut to the stream's PINNED columns before the union —
+        // a schema-evolving merge inside the window widens the feed, and
+        // a running stream must not see the new column (restart to).
+        val pinned = readSchema.fieldNames.toIndexedSeq :+ ChangeFeed.ChangeType
+        (s + 1).to(endGen).map { g =>
+          ChangeFeed.diff(spark, root, g - 1, g, keys)
+            .select(pinned.map(col): _*)
+            .withColumn("_commit_version", lit(g))
+        }.reduce(_.unionByName(_))
+      case Some(s) => appendsBetween(s, endGen)
+    }
+    org.apache.spark.sql.graftbridge.DatasetBridge.asStreaming(
+      out.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
+  /** The appended dirs of each commit in (from, to], read under the
+    * stream's pinned schema. Dir identity includes the deletion vector
+    * (as [[ChangeFeed.diff]]): a DV-only delete is a data change, not an
+    * append. */
+  private def appendsBetween(from: Long, to: Long): DataFrame = {
+    def maniAt(g: Long) = ManifestCommit.readManifestAt(spark, root, g)
+      .getOrElse(throw new IllegalStateException(
+        s"graft stream over $root: generation $g is no longer retained " +
+          "(snapshot retention expired the stream's window). Remedy: " +
+          "restart the stream from a fresh checkpoint (re-snapshot), and " +
+          "size expireSnapshots keepLast to cover the slowest stream's lag"))
+    val frames = (from + 1).to(to).flatMap { g =>
+      val prev = maniAt(g - 1); val cur = maniAt(g)
+      def ident(m: ManifestCommit.Manifest)(d: String) = (d, m.dvs.get(d))
+      val prevSet = prev.dirs.map(ident(prev)).toSet
+      val added = cur.dirs.filterNot(d => prevSet(ident(cur)(d)))
+      val curSet = cur.dirs.map(ident(cur)).toSet
+      val removed = prev.dirs.filterNot(d => curSet(ident(prev)(d)))
+      if (removed.isEmpty)
+        if (added.isEmpty) None
+        else Some(align(
+          ManifestCommit.readDirsOf(spark, root, cur, added, Some(readSchema))))
+      else if (CompactOps(cur.op.getOrElse("")) || skipChange) None
+      else throw new IllegalStateException(
+        s"graft stream over $root: generation $g is a data-changing " +
+          s"commit (op=${cur.op.getOrElse("?")}, ${removed.size} dirs " +
+          "dropped or DV'd). A plain streaming read requires appends " +
+          "only; set skipChangeCommits=true to skip such commits, or " +
+          "readChangeFeed=true with keys=... to consume row-level changes")
+    }
+    if (frames.isEmpty) emptyBatch else frames.reduce(_.unionByName(_))
+  }
+
+  private def align(df: DataFrame): DataFrame =
+    df.select(readSchema.fieldNames.map(col).toIndexedSeq: _*)
+
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftTableSource[$root]"
+}
+
+/** `writeStream.format("graft-table")`: append-mode streaming writes landing
+  * through the CAS commit protocol with writer-ledger idempotence. */
+class GraftTableSink(spark: SparkSession, params: Map[String, String])
+    extends Sink {
+  private val root = GraftTableSource.rootOf(spark, params)
+  private val appId = params.get("txnAppId")
+    .orElse(params.get("checkpointLocation")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft sink: set option txnAppId (a stable writer identity — " +
+          "exactly-once replay detection is keyed on it)"))
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val df = org.apache.spark.sql.graftbridge.DatasetBridge.asBatch(data)
+    val prev = ManifestCommit.readManifest(spark, root)
+    // fast replay check before any write work (commitAppend re-checks
+    // under the commit lock — this just skips staging a doomed dir)
+    if (prev.exists(_.txns.get(appId).exists(_ >= batchId))) return
+    val aligned = prev.flatMap(_.tableSchema) match {
+      case Some(s) =>
+        val conf = spark.sessionState.conf
+        val out = s.fields.map { f =>
+          val src = df.schema.fields.find(x => conf.resolver(x.name, f.name))
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft sink: stream is missing target column ${f.name}"))
+          if (src.dataType == f.dataType) col(src.name).as(f.name)
+          else {
+            // store-assignment casts, the GraftInsert contract: under the
+            // default ANSI policy an overflowing value FAILS the write
+            // even with spark.sql.ansi.enabled=false
+            import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, UpCast}
+            import org.apache.spark.sql.graftbridge.ColumnBridge
+            import org.apache.spark.sql.internal.SQLConf.StoreAssignmentPolicy
+            val in = ColumnBridge.expression(col(src.name))
+            val cast = conf.storeAssignmentPolicy match {
+              case StoreAssignmentPolicy.STRICT => UpCast(in, f.dataType)
+              case StoreAssignmentPolicy.LEGACY =>
+                Cast(in, f.dataType, Some(conf.sessionLocalTimeZone), EvalMode.LEGACY)
+              case _ =>
+                Cast(in, f.dataType, Some(conf.sessionLocalTimeZone), EvalMode.ANSI)
+            }
+            ColumnBridge.column(cast).as(f.name)
+          }
+        }
+        df.select(out.toIndexedSeq: _*)
+      case None => df
+    }
+    if (prev.isEmpty)
+      ManifestCommit.commitReplace(spark, root, Nil, pruneDisplaced = false,
+        schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),
+        op = "create")
+    // stat inheritance, the GraftInsertExec contract: meter what the
+    // table already meters (or seed from its slicing expression)
+    val recorded = prev
+      .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
+      .filter(c => c == ManifestCommit.RowCountStat ||
+        (!ManifestCommit.PseudoStats(c) && aligned.columns.contains(c)))
+    val dir = ManifestCommit.newDataDir(root)
+    aligned.write.parquet(dir)
+    val stats =
+      if (recorded.isEmpty) Nil
+      else ManifestCommit.dirStats(spark, dir, recorded)
+    ManifestCommit.commitAppend(spark, root, dir, stats = stats,
+      op = "stream_append", txn = Some(appId -> batchId))
+    ()
+  }
+
+  override def toString: String = s"GraftTableSink[$root]"
+}

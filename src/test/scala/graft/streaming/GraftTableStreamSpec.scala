@@ -1,0 +1,300 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ingest.{ChangeFeed, ManifestCommit, MergeInto, Optimize}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** `readStream`/`writeStream.format("graft-table")` contracts: generation
+  * offsets deliver each append exactly once (across restarts, through
+  * compactions), non-append commits fail crisply unless skipped or
+  * consumed as CDF, and the sink's writer ledger absorbs replays. */
+class GraftTableStreamSpec extends SparkSpec {
+
+  private var n = 0
+  private def uniq(pfx: String): String = { n += 1; s"${pfx}_strm_$n" }
+
+  private def mkTable(rows: Long = 100): String = {
+    val root = Files.createTempDirectory("graft_stream_").toString + "/t"
+    val df = spark.range(0, rows).toDF("id").withColumn("v", col("id") * 2)
+    val dir = ManifestCommit.newDataDir(root)
+    df.write.parquet(dir)
+    ManifestCommit.commitReplace(spark, root, Seq(dir),
+      pruneDisplaced = false, schema = Some(df.schema))
+    root
+  }
+
+  private def append(root: String, from: Long, count: Long): Unit = {
+    val d = ManifestCommit.newDataDir(root)
+    spark.range(from, from + count).toDF("id")
+      .withColumn("v", col("id") * 2).write.parquet(d)
+    ManifestCommit.commitAppend(spark, root, d)
+    ()
+  }
+
+  test("initial snapshot then append tail, each row exactly once") {
+    val root = mkTable()
+    val name = uniq("snap")
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 100L)
+      append(root, 100, 10)
+      append(root, 110, 10)
+      q.processAllAvailable()
+      val got = spark.table(name)
+      assert(got.count() === 120L) // no re-delivery of the snapshot
+      assert(got.select("id").distinct().count() === 120L)
+      assert(got.agg(sum("v")).head.getLong(0) === (0L until 120L).map(_ * 2).sum)
+    } finally q.stop()
+  }
+
+  test("graft-to-graft streaming replication survives a restart exactly-once") {
+    val root = mkTable()
+    val target = Files.createTempDirectory("graft_stream_tgt_").toString + "/r"
+    val ckpt = Files.createTempDirectory("graft_stream_ck_").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table").load(root)
+        .writeStream.format("graft-table")
+        .option("txnAppId", "replicator-1")
+        .option("checkpointLocation", ckpt)
+        .start(target)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(ManifestCommit.read(spark, target).count() === 100L)
+    append(root, 100, 25)
+    run() // restart from the checkpoint: only the new commit delivered
+    val rep = ManifestCommit.read(spark, target)
+    assert(rep.count() === 125L)
+    assert(rep.select("id").distinct().count() === 125L)
+    // target inherited a recorded schema on bootstrap (readable when empty)
+    assert(ManifestCommit.readManifest(spark, target).get.tableSchema.isDefined)
+  }
+
+  test("data-changing commit fails the plain stream with the remedy; skipChangeCommits skips it") {
+    val root = mkTable()
+    val name = uniq("chg")
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // merge-on-read DV delete: no dir added, one dir's DV changes
+      MergeInto.deleteWhere(spark, root,
+        spark.range(0, 5).toDF("id"))
+      append(root, 100, 10)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = e.getCause.getMessage
+      assert(msg.contains("data-changing commit"), msg)
+      assert(msg.contains("skipChangeCommits"), msg)
+      assert(msg.contains("readChangeFeed"), msg)
+    } finally q.stop()
+    val name2 = uniq("skip")
+    val q2 = spark.readStream.format("graft-table")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      // snapshot reflects the delete (95), the skipped DV commit is not
+      // re-delivered, and the later append arrives
+      assert(spark.table(name2).count() === 105L)
+      // a change commit LANDING MID-STREAM is skipped (invisible to the
+      // stream — the documented skipChangeCommits trade), appends flow on
+      MergeInto.deleteWhere(spark, root, spark.range(5, 10).toDF("id"))
+      append(root, 110, 10)
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() === 115L)
+    } finally q2.stop()
+  }
+
+  test("compaction commits are data-neutral: never delivered, never fatal") {
+    val root = mkTable()
+    append(root, 100, 10)
+    val name = uniq("opt")
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 110L)
+      Optimize.compactSmall(spark, root, smallBytes = 128L << 20)
+      append(root, 110, 10)
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 120L)
+      assert(spark.table(name).select("id").distinct().count() === 120L)
+    } finally q.stop()
+  }
+
+  test("startingVersion=latest delivers only post-start commits; a number starts at that generation") {
+    val root = mkTable()
+    append(root, 100, 10) // gen 2
+    val name = uniq("latest")
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "latest").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0L)
+      append(root, 110, 7) // gen 3
+      q.processAllAvailable()
+      assert(col0[Long](spark.table(name)
+        .agg(count(lit(1)))).head === 7L)
+    } finally q.stop()
+    val name2 = uniq("fromv")
+    val q2 = spark.readStream.format("graft-table")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      // gens 2 and 3: the two appends, not the snapshot
+      assert(spark.table(name2).count() === 17L)
+      assert(spark.table(name2).agg(min("id")).head.getLong(0) === 100L)
+    } finally q2.stop()
+  }
+
+  test("maxGensPerTrigger paces the tail one commit per batch") {
+    val root = mkTable()
+    append(root, 100, 5)
+    append(root, 105, 5)
+    append(root, 110, 5) // gens 2,3,4
+    val name = uniq("paced")
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "2")
+      .option("maxGensPerTrigger", "1").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 15L)
+      val delivering = q.recentProgress.filter(_.numInputRows > 0)
+      assert(delivering.length === 3,
+        s"expected 3 paced batches, got ${delivering.length}")
+      assert(delivering.forall(_.numInputRows === 5L))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed streams merges and DV deletes as per-commit CDF rows") {
+    val root = mkTable(20)
+    // gen 2: merge updates v for ids 0-4 and inserts 20-24
+    MergeInto.merge(spark, root,
+      spark.range(0, 5).toDF("id").withColumn("v", lit(-1L))
+        .unionByName(spark.range(20, 25).toDF("id").withColumn("v", col("id") * 2)),
+      Seq("id"))
+    // gen 3: DV delete of ids 10-11
+    MergeInto.deleteWhere(spark, root, spark.range(10, 12).toDF("id"))
+    val name = uniq("cdf")
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "id")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name)
+      val byType = got.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType === Map("insert" -> 5L, "delete" -> 2L,
+        "update_preimage" -> 5L, "update_postimage" -> 5L), byType.toString)
+      // per-commit attribution: the merge is gen 2, the delete gen 3
+      assert(got.filter(col("_change_type") === "delete")
+        .select("_commit_version").distinct().head.getLong(0) === 3L)
+      assert(got.filter(col("_change_type") === "insert")
+        .select("_commit_version").distinct().head.getLong(0) === 2L)
+      // matches the batch change feed over the same window
+      val oracle = ChangeFeed.diff(spark, root, 1, 3, Seq("id"))
+      assert(got.drop("_commit_version").exceptAll(oracle).count() === 0L)
+      assert(oracle.exceptAll(got.drop("_commit_version")).count() === 0L)
+    } finally q.stop()
+  }
+
+  test("a stream whose window fell out of retention fails with the remedy") {
+    val root = mkTable()
+    val name = uniq("ret")
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      (1 to 3).foreach(i => append(root, 100L + i * 10, 10))
+      ManifestCommit.expireSnapshots(spark, root, keepLast = 1)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msg = e.getCause.getMessage
+      assert(msg.contains("no longer retained"), msg)
+      assert(msg.contains("fresh checkpoint"), msg)
+      assert(msg.contains("keepLast"), msg)
+    } finally q.stop()
+  }
+
+  test("sink replays are absorbed by the writer ledger (exactly-once contents)") {
+    val target = Files.createTempDirectory("graft_sink_").toString + "/r"
+    val sink = new GraftTableSink(spark, Map("path" -> target, "txnAppId" -> "w1"))
+    val b0: DataFrame = spark.range(0, 10).toDF("id")
+    sink.addBatch(0, b0)
+    sink.addBatch(0, b0) // crash-replay of the same batch
+    sink.addBatch(1, spark.range(10, 15).toDF("id"))
+    sink.addBatch(0, b0) // late replay after progress
+    val got = ManifestCommit.read(spark, target)
+    assert(got.count() === 15L)
+    assert(got.select("id").distinct().count() === 15L)
+    // a second writer's ledger is independent
+    new GraftTableSink(spark, Map("path" -> target, "txnAppId" -> "w2"))
+      .addBatch(0, spark.range(15, 18).toDF("id"))
+    assert(ManifestCommit.read(spark, target).count() === 18L)
+  }
+
+  test("sink alignment uses store-assignment casts: overflow fails, never lands as null") {
+    val target = Files.createTempDirectory("graft_sinkcast_").toString + "/r"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    ManifestCommit.commitReplace(spark, target, Nil,
+      pruneDisplaced = false, schema = Some(schema))
+    val sink = new GraftTableSink(spark, Map("path" -> target, "txnAppId" -> "w"))
+    sink.addBatch(0, spark.range(0, 5).toDF("id")) // in-range long → int
+    assert(ManifestCommit.read(spark, target).count() === 5L)
+    assert(ManifestCommit.read(spark, target).schema("id").dataType
+      === org.apache.spark.sql.types.IntegerType)
+    val e = intercept[Exception] {
+      sink.addBatch(1, spark.range(3000000000L, 3000000001L).toDF("id"))
+    }
+    def hasOverflow(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[ArithmeticException] ||
+        Option(t.getMessage).exists(m =>
+          m.toLowerCase.contains("overflow") || m.contains("CAST_")) ||
+        hasOverflow(t.getCause))
+    assert(hasOverflow(e), e.toString)
+    assert(ManifestCommit.read(spark, target).count() === 5L) // nothing landed
+  }
+
+  test("registered-name routing and the missing-table error") {
+    val root = mkTable()
+    graft.sql.GraftSql.register("stream_reg_t", root)
+    val name = uniq("reg")
+    val q = spark.readStream.format("graft-table")
+      .option("table", "stream_reg_t").load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 100L)
+    } finally { q.stop(); graft.sql.GraftSql.unregister("stream_reg_t") }
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-table")
+        .load(Files.createTempDirectory("graft_stream_no_").toString)
+        .writeStream.format("memory").queryName(uniq("no"))
+        .outputMode("append").start()
+    }
+    assert(e.getMessage.contains("not a manifest-committed table"))
+  }
+}
