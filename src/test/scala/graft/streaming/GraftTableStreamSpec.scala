@@ -216,6 +216,69 @@ class GraftTableStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDF stream over a full lifecycle reconstructs the live table exactly") {
+    // id-stats on every commit so the merge stays dir-targeted (without
+    // stats every dir is a merge candidate and the whole table collapses
+    // to one dir, making the later compaction a no-op generation gap)
+    val root = Files.createTempDirectory("graft_stream_").toString + "/t"
+    locally {
+      val df = spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+      val d = ManifestCommit.newDataDir(root)
+      df.write.parquet(d)
+      ManifestCommit.commitReplace(spark, root, Seq(d),
+        pruneDisplaced = false, schema = Some(df.schema),
+        stats = Map(d -> ManifestCommit.dirStats(spark, d, Seq("id"))))
+    }
+    def appendStats(from: Long, count: Long): Unit = {
+      val d = ManifestCommit.newDataDir(root)
+      spark.range(from, from + count).toDF("id")
+        .withColumn("v", col("id") * 2).write.parquet(d)
+      ManifestCommit.commitAppend(spark, root, d,
+        stats = ManifestCommit.dirStats(spark, d, Seq("id")))
+      ()
+    }
+    val name = uniq("rebuild")
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "id").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // snapshot-as-inserts at gen 1
+      appendStats(100, 50) // gen 2
+      // gen 3: merge — update ids 0-9, insert 150-159
+      MergeInto.merge(spark, root,
+        spark.range(0, 10).toDF("id").withColumn("v", lit(-1L))
+          .unionByName(spark.range(150, 160).toDF("id")
+            .withColumn("v", col("id") * 2)),
+        Seq("id"))
+      Optimize.compactSmall(spark, root, smallBytes = 128L << 20) // gen 4
+      MergeInto.deleteWhere(spark, root, spark.range(20, 30).toDF("id")) // gen 5
+      appendStats(160, 10) // gen 6
+      q.processAllAvailable()
+      val feed = spark.table(name)
+      // pin the generation numbering the assertions ride on
+      assert(ManifestCommit.readManifestAt(spark, root, 4L)
+        .flatMap(_.op) === Some("compact_minor"))
+      // the compaction generation emits NOTHING (data-neutral)
+      assert(feed.filter(col("_commit_version") === 4L).count() === 0L)
+      // fold the feed: latest change per key wins; deletes drop the key
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("_commit_version").desc,
+          // within a generation an update emits pre+post: post wins
+          when(col(ChangeFeed.ChangeType) === "update_postimage", 0)
+            .when(col(ChangeFeed.ChangeType) === "update_preimage", 2)
+            .otherwise(1).asc)
+      val rebuilt = feed
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .filter(col(ChangeFeed.ChangeType) =!= "delete")
+        .select("id", "v")
+      val live = ManifestCommit.read(spark, root).select("id", "v")
+      assert(rebuilt.exceptAll(live).count() === 0L)
+      assert(live.exceptAll(rebuilt).count() === 0L)
+      assert(live.count() === 100L + 50 + 10 - 10 + 10)
+    } finally q.stop()
+  }
+
   test("a stream whose window fell out of retention fails with the remedy") {
     val root = mkTable()
     val name = uniq("ret")
