@@ -39,6 +39,39 @@ class LifecycleFuzzSpec extends SparkSpec {
       r.getAs[Long]("id") -> ModelRow(r.getAs[String]("v"), r.getAs[Double]("amt"), tag)
     }.toMap
 
+  /** Change-feed COMPLETENESS over the fuzzed history: folding the
+    * per-generation diffs (the exact stream the `graft-table` CDF
+    * source emits) from the oldest retained snapshot must land exactly
+    * on the live table — whatever mix of merges, DV deletes,
+    * compactions, z-orders, evolution and retention produced it. */
+  private def assertFeedRebuilds(root: String): Unit = {
+    def stateOf(df: DataFrame): Map[Long, ModelRow] = df.collect().map { r =>
+      val tag = if (r.schema.fieldNames.contains("tag"))
+        Option(r.getAs[String]("tag")) else None
+      r.getAs[Long]("id") -> ModelRow(r.getAs[String]("v"), r.getAs[Double]("amt"), tag)
+    }.toMap
+    val gens = ManifestCommit.snapshotGens(spark, root).sorted
+    var state = stateOf(ManifestCommit.readAt(spark, root, gens.head))
+    gens.sliding(2).foreach {
+      case Seq(a, b) =>
+        ChangeFeed.diff(spark, root, a, b, Seq("id")).collect().foreach { r =>
+          val id = r.getAs[Long]("id")
+          r.getAs[String](ChangeFeed.ChangeType) match {
+            case "delete" => state -= id
+            case "insert" | "update_postimage" =>
+              val tag = if (r.schema.fieldNames.contains("tag"))
+                Option(r.getAs[String]("tag")) else None
+              state += id -> ModelRow(
+                r.getAs[String]("v"), r.getAs[Double]("amt"), tag)
+            case _ => () // update_preimage: superseded by its postimage
+          }
+        }
+      case _ => () // single retained generation: nothing to fold
+    }
+    assert(state === stateOf(ManifestCommit.read(spark, root)),
+      s"change-feed fold over retained gens $gens != live table")
+  }
+
   for (seed <- Seq(4242, 90210, 31337))
   test(s"random op sequence (seed $seed): live == model, time travel == history") {
     val root = Files.createTempDirectory("fuzz_spec_").toString + "/t"
@@ -187,6 +220,8 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
     // final hygiene: orphan prune finds nothing to reclaim mid-lifecycle
     assert(ManifestCommit.pruneOrphans(spark, root, minAgeMs = 0L).isEmpty)
+    // invariant 3: the change feed over the retained window rebuilds live
+    assertFeedRebuilds(root)
   }
 
   test("SQL verb fuzz (seed 5555): INSERT/UPDATE/DELETE/MERGE from SQL text, live == model") {
@@ -295,6 +330,8 @@ class LifecycleFuzzSpec extends SparkSpec {
         assert(tt === history(g), s"SQL time travel to gen $g mismatch after step $step")
       }
     }
+    // change-feed completeness across the SQL-verb history too
+    assertFeedRebuilds(root)
     graft.sql.GraftSql.unregister(name)
   }
 
