@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.StructType
 
 import graft.ingest.{ManifestCommit, MergeInto}
 
-private object GraftWriteUtil {
+private[graft] object GraftWriteUtil {
   /** CREATE existence is checked on the NAME, not just the target
     * location: creating an already-registered name at a NEW location
     * must error (any SQL catalog raises TableAlreadyExists) rather than

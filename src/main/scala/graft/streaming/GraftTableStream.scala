@@ -71,13 +71,18 @@ class GraftTableProvider extends StreamSourceProvider
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftTableSource(ctx.sparkSession, parameters)
+    new GraftTableSource(ctx.sparkSession, parameters, Some(metadataPath))
 
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
     require(outputMode == OutputMode.Append(),
       s"graft sink supports Append output mode only (got $outputMode) — " +
         "aggregate with watermarks or use foreachBatch+merge for upserts")
+    // silently dropping a layout request would be worse than refusing it
+    require(partitionColumns.isEmpty,
+      "graft sink: .partitionBy() is not supported — layout is governed " +
+        "by the target table's manifest-recorded slicing expression " +
+        "(CREATE TABLE ... PARTITIONED BY)")
     new GraftTableSink(ctx.sparkSession, parameters)
   }
 }
@@ -122,7 +127,8 @@ private[streaming] object GraftTableSource {
   }
 }
 
-class GraftTableSource(spark: SparkSession, params: Map[String, String])
+class GraftTableSource(spark: SparkSession, params: Map[String, String],
+    metadataPath: Option[String] = None)
     extends Source {
   import GraftTableSource._
 
@@ -143,9 +149,29 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String])
         s"graft stream: $root is not a manifest-committed table")).gen
 
   /** Deliver changes committed strictly AFTER this generation; None =
-    * initial-snapshot mode (the first batch is the full snapshot). */
+    * initial-snapshot mode (the first batch is the full snapshot).
+    * `latest` is resolved ONCE, on the stream's FIRST start, and pinned
+    * into the source's metadata dir — a restarted query must deliver the
+    * commits that landed while it was down, not re-resolve "latest" to
+    * restart time and silently skip them (numeric versions and snapshot
+    * mode are deterministic and need no pin). */
   private val startAfter: Option[Long] = params.get("startingVersion").map {
-    case "latest" => liveAtStart
+    case "latest" =>
+      metadataPath.map(m => new org.apache.hadoop.fs.Path(m, "graft-origin"))
+        .map { p =>
+          if (fs.exists(p)) {
+            val in = fs.open(p)
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            finally in.close()
+          } else {
+            val out = fs.create(p, false)
+            try out.write(liveAtStart.toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            liveAtStart
+          }
+        }.getOrElse(liveAtStart)
     case v => val g = v.trim.toLong - 1
       require(g >= 0, s"startingVersion must be >= 1 (got $v)"); g
   }
@@ -157,9 +183,28 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String])
       StructField("_commit_version", LongType, nullable = false))
     else readSchema
 
-  // rate-limit bookkeeping only (correct restarts ride the offset log;
-  // this just remembers the highest gen already promised to a batch)
-  private var highWater: Option[Long] = None
+  // Rate-limit floor. Correct RESTARTS ride the engine's offset log, but
+  // the v1 getOffset contract gives a source no view of it — so the last
+  // COMMITTED generation is persisted in the source's own metadataPath
+  // (the FileStreamSource pattern) and seeds the floor here. Without the
+  // seed, a restarted maxGensPerTrigger stream would floor on
+  // startingVersion and OFFER an offset below the checkpointed progress
+  // (re-delivery), and a restarted startingVersion=latest stream would
+  // re-resolve "latest" to restart time and silently skip every commit
+  // that landed while it was down.
+  private val progressPath: Option[org.apache.hadoop.fs.Path] =
+    metadataPath.map(m => new org.apache.hadoop.fs.Path(m, "graft-progress"))
+  private def fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private var highWater: Option[Long] = progressPath.flatMap { p =>
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
 
   override def getOffset: Option[Offset] = synchronized {
     val live = ManifestCommit.readManifest(spark, root) match {
@@ -171,12 +216,11 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String])
       case (Some(f), Some(mx)) => math.min(live, f + mx)
       case _ => live
     }
-    // nothing new past the starting point: no batch (avoids an empty
-    // batch-0 on a startingVersion=latest stream)
-    if (startAfter.exists(_ >= capped) && highWater.isEmpty) None
-    else if (highWater.exists(_ >= capped) && capped >= live) Some(GenOffset(capped))
-    else { highWater = Some(math.max(capped, highWater.getOrElse(0L)))
-      Some(GenOffset(capped)) }
+    if (floor.exists(_ >= capped))
+      // nothing new past the floor: no batch on a fresh latest/
+      // startingVersion stream, the unchanged offset on a running one
+      if (highWater.isEmpty) None else Some(GenOffset(highWater.get))
+    else { highWater = Some(capped); Some(GenOffset(capped)) }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -192,35 +236,61 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String])
           .withColumn("_commit_version", lit(endGen))
         else snap
       case Some(s) if s >= endGen => emptyBatch
-      case Some(s) if cdf =>
-        // per-commit CDF (not one endpoint diff): a key inserted then
-        // deleted inside the window must emit both events. Each gen's
-        // feed is cut to the stream's PINNED columns before the union —
-        // a schema-evolving merge inside the window widens the feed, and
-        // a running stream must not see the new column (restart to).
-        val pinned = readSchema.fieldNames.toIndexedSeq :+ ChangeFeed.ChangeType
-        (s + 1).to(endGen).map { g =>
-          ChangeFeed.diff(spark, root, g - 1, g, keys)
-            .select(pinned.map(col): _*)
-            .withColumn("_commit_version", lit(g))
-        }.reduce(_.unionByName(_))
+      case Some(s) if cdf => cdfBetween(s, endGen)
       case Some(s) => appendsBetween(s, endGen)
     }
     org.apache.spark.sql.graftbridge.DatasetBridge.asStreaming(
       out.select(schema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
-  /** The appended dirs of each commit in (from, to], read under the
-    * stream's pinned schema. Dir identity includes the deletion vector
-    * (as [[ChangeFeed.diff]]): a DV-only delete is a data change, not an
-    * append. */
-  private def appendsBetween(from: Long, to: Long): DataFrame = {
-    def maniAt(g: Long) = ManifestCommit.readManifestAt(spark, root, g)
+  /** Per-commit CDF for (from, to] — one [[ChangeFeed.diff]] per
+    * generation (a key inserted then deleted inside the window must emit
+    * both events), each cut to the stream's PINNED columns: a gen that
+    * predates an evolved column null-fills it, a gen that added one
+    * hides it (restart the stream to widen — the Delta contract).
+    * Compaction generations (same rows, new layout) emit nothing and
+    * are skipped BEFORE planning — a routine OPTIMIZE inside the window
+    * must not cost two table-wide scans that diff to zero rows.
+    * Generation 1 has no predecessor: its "diff" is the first commit's
+    * content as inserts. */
+  private def cdfBetween(from: Long, to: Long): DataFrame = {
+    def cut(d: DataFrame): DataFrame = {
+      val have = d.columns.toSet
+      d.select((readSchema.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ col(ChangeFeed.ChangeType)): _*)
+    }
+    val frames = (from + 1).to(to).flatMap { g =>
+      if (CompactOps(maniAt(g).op.getOrElse(""))) None
+      else {
+        val changes =
+          if (g == 1) ManifestCommit.readAt(spark, root, 1L)
+            .withColumn(ChangeFeed.ChangeType, lit("insert"))
+          else ChangeFeed.diff(spark, root, g - 1, g, keys)
+        Some(cut(changes).withColumn("_commit_version", lit(g)))
+      }
+    }
+    if (frames.isEmpty) emptyBatch else frames.reduce(_.unionByName(_))
+  }
+
+  /** Generation g's manifest; g = 0 (the `startingVersion=1` floor) is
+    * the empty pre-history — gen 1's predecessor — so "everything from
+    * the first commit" works without a phantom generation on disk. */
+  private def maniAt(g: Long): ManifestCommit.Manifest =
+    if (g == 0) ManifestCommit.Manifest(0L, Nil)
+    else ManifestCommit.readManifestAt(spark, root, g)
       .getOrElse(throw new IllegalStateException(
         s"graft stream over $root: generation $g is no longer retained " +
           "(snapshot retention expired the stream's window). Remedy: " +
           "restart the stream from a fresh checkpoint (re-snapshot), and " +
           "size expireSnapshots keepLast to cover the slowest stream's lag"))
+
+  /** The appended dirs of each commit in (from, to], read under the
+    * stream's pinned schema. Dir identity includes the deletion vector
+    * (as [[ChangeFeed.diff]]): a DV-only delete is a data change, not an
+    * append. */
+  private def appendsBetween(from: Long, to: Long): DataFrame = {
     val frames = (from + 1).to(to).flatMap { g =>
       val prev = maniAt(g - 1); val cur = maniAt(g)
       def ident(m: ManifestCommit.Manifest)(d: String) = (d, m.dvs.get(d))
@@ -250,7 +320,17 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String])
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       schema)
 
-  override def commit(end: Offset): Unit = ()
+  /** Durably record the committed generation so a restarted source
+    * floors its rate limit (and a `latest` start) at real progress. */
+  override def commit(end: Offset): Unit = {
+    val g = genOf(end)
+    synchronized { highWater = Some(math.max(g, highWater.getOrElse(0L))) }
+    progressPath.foreach { p =>
+      val out = fs.create(p, true)
+      try out.write(g.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
   override def stop(): Unit = ()
   override def toString: String = s"GraftTableSource[$root]"
 }
@@ -306,16 +386,24 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
         schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),
         op = "create")
     // stat inheritance, the GraftInsertExec contract: meter what the
-    // table already meters (or seed from its slicing expression)
+    // table already meters — or, on a freshly DDL-created sliced table
+    // with no dirs yet, seed from the slicing expression's referenced
+    // columns so the FIRST streamed batch already arms pruning and
+    // manifest-only COUNT(*)
     val recorded = prev
       .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
       .filter(c => c == ManifestCommit.RowCountStat ||
         (!ManifestCommit.PseudoStats(c) && aligned.columns.contains(c)))
+    val statCols =
+      if (recorded.nonEmpty) recorded
+      else prev.flatMap(_.slice).map(s =>
+        graft.sql.GraftWriteUtil.sliceRefCols(s, aligned.columns.toSeq) :+
+          ManifestCommit.RowCountStat).getOrElse(Nil)
     val dir = ManifestCommit.newDataDir(root)
     aligned.write.parquet(dir)
     val stats =
-      if (recorded.isEmpty) Nil
-      else ManifestCommit.dirStats(spark, dir, recorded)
+      if (statCols.isEmpty) Nil
+      else ManifestCommit.dirStats(spark, dir, statCols)
     ManifestCommit.commitAppend(spark, root, dir, stats = stats,
       op = "stream_append", txn = Some(appId -> batchId))
     ()

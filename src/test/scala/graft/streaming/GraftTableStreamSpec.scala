@@ -316,6 +316,161 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(ManifestCommit.read(spark, target).count() === 18L)
   }
 
+  test("restarted paced stream resumes at checkpointed progress, never re-delivers") {
+    val root = mkTable()
+    append(root, 100, 5); append(root, 105, 5) // gens 2, 3
+    val target = Files.createTempDirectory("graft_paced_tgt_").toString + "/r"
+    val ckpt = Files.createTempDirectory("graft_paced_ck_").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("startingVersion", "2")
+        .option("maxGensPerTrigger", "1").load(root)
+        .writeStream.format("graft-table")
+        .option("txnAppId", "paced").option("checkpointLocation", ckpt)
+        .start(target)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(ManifestCommit.read(spark, target).count() === 10L)
+    append(root, 110, 5); append(root, 115, 5) // gens 4, 5
+    run() // the restarted source must floor at gen 3, NOT startingVersion
+    val rep = ManifestCommit.read(spark, target)
+    assert(rep.count() === 20L)
+    assert(rep.select("id").distinct().count() === 20L)
+  }
+
+  test("restarted startingVersion=latest stream delivers commits landed while it was down") {
+    val root = mkTable()
+    val target = Files.createTempDirectory("graft_latest_tgt_").toString + "/r"
+    val ckpt = Files.createTempDirectory("graft_latest_ck_").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("startingVersion", "latest").load(root)
+        .writeStream.format("graft-table")
+        .option("txnAppId", "latest-rep").option("checkpointLocation", ckpt)
+        .start(target)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // nothing yet: latest == stream start
+    append(root, 100, 10)
+    run() // processed through gen 2
+    assert(ManifestCommit.read(spark, target).count() === 10L)
+    append(root, 110, 10) // lands while no query is running
+    run() // "latest" must NOT re-resolve to restart time and skip gen 3
+    assert(ManifestCommit.read(spark, target).count() === 20L)
+  }
+
+  test("startingVersion=1 delivers everything from the first commit") {
+    val root = mkTable() // gen 1: 100 rows
+    append(root, 100, 10) // gen 2
+    val name = uniq("fromfirst")
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 110L)
+    } finally q.stop()
+    // CDF from the first commit: gen 1 streams as inserts
+    val name2 = uniq("cdffirst")
+    val q2 = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "id")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table(name2)
+      assert(got.count() === 110L)
+      assert(got.filter(col("_commit_version") === 1L).count() === 100L)
+      assert(got.filter(col(ChangeFeed.ChangeType) =!= "insert").count() === 0L)
+    } finally q2.stop()
+  }
+
+  test("CDF window spanning a pre-evolution generation null-fills the evolved column") {
+    val root = mkTable(20) // gen 1, schema (id, v)
+    append(root, 20, 5) // gen 2, still (id, v)
+    // gen 3: schema-evolving merge adds `tag`
+    MergeInto.merge(spark, root,
+      spark.range(0, 3).toDF("id").withColumn("v", lit(-1L))
+        .withColumn("tag", lit("hot")),
+      Seq("id"), evolveSchema = true)
+    // stream pinned to the EVOLVED schema, window spans gens 2 and 3
+    val name = uniq("cdfevo")
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "id")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table(name)
+      // gen 2's inserts predate `tag`: present in the stream, null-filled
+      val g2 = got.filter(col("_commit_version") === 2L)
+      assert(g2.count() === 5L)
+      assert(g2.filter(col("tag").isNotNull).count() === 0L)
+      // gen 3's postimages carry it
+      assert(got.filter(col("_commit_version") === 3L &&
+        col(ChangeFeed.ChangeType) === "update_postimage" &&
+        col("tag") === "hot").count() === 3L)
+    } finally q.stop()
+  }
+
+  test("CDF skips compaction generations without planning their diff") {
+    val root = mkTable()
+    append(root, 100, 10) // gen 2
+    val name = uniq("cdfopt")
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "id")
+      .option("startingVersion", "2").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Optimize.compactSmall(spark, root, smallBytes = 128L << 20) // gen 3
+      append(root, 110, 10) // gen 4
+      q.processAllAvailable()
+      val got = spark.table(name)
+      assert(got.filter(col("_commit_version") === 3L).count() === 0L)
+      assert(got.count() === 20L)
+    } finally q.stop()
+  }
+
+  test("sink into a DDL-created sliced table seeds stats from the slicing expression") {
+    val target = Files.createTempDirectory("graft_sinkslice_").toString + "/r"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    ManifestCommit.commitReplace(spark, target, Nil, pruneDisplaced = false,
+      schema = Some(schema), op = "create", slice = Some("floor(id / 8)"))
+    val sink = new GraftTableSink(spark, Map("path" -> target, "txnAppId" -> "w"))
+    sink.addBatch(0, spark.range(0, 16).toDF("id").withColumn("v", col("id")))
+    val m = ManifestCommit.readManifest(spark, target).get
+    val cols = m.stats.values.flatten.map(_.col).toSet
+    assert(cols.contains("id"), s"stats not seeded from slice: $cols")
+    assert(cols.contains(ManifestCommit.RowCountStat), cols.toString)
+    assert(ManifestCommit.tableRowCount(spark, target) === Some(16L))
+  }
+
+  test("sink rejects .partitionBy()") {
+    val target = Files.createTempDirectory("graft_sinkpart_").toString + "/r"
+    val e = intercept[Exception] {
+      spark.readStream.format("rate").load()
+        .select(col("value").as("id"))
+        .writeStream.format("graft-table")
+        .option("txnAppId", "w").partitionBy("id")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sinkpart_ck_").toString)
+        .start(target)
+    }
+    def m(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + m(t.getCause)
+    assert(m(e).contains("partitionBy"), m(e))
+  }
+
   test("sink alignment uses store-assignment casts: overflow fails, never lands as null") {
     val target = Files.createTempDirectory("graft_sinkcast_").toString + "/r"
     val schema = org.apache.spark.sql.types.StructType(Seq(
