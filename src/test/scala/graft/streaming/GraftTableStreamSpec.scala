@@ -495,6 +495,82 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(ManifestCommit.read(spark, target).count() === 5L) // nothing landed
   }
 
+  test("stream drains exactly-once while a concurrent writer races 20 appends") {
+    val root = mkTable() // gen 1: ids 0-99
+    val name = uniq("race")
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val writer = new Thread(() =>
+        (0 until 20).foreach { i => append(root, 1000L + i * 10L, 10) })
+      writer.start()
+      // drain WHILE the writer commits: offset polls and batch reads race
+      // live delta-log appends (pointer swaps, chain growth)
+      while (writer.isAlive) q.processAllAvailable()
+      writer.join()
+      q.processAllAvailable()
+      val got = spark.table(name)
+      assert(got.count() === 300L)
+      assert(got.select("id").distinct().count() === 300L)
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation composes over the source (event time flows through)") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("graft_stream_wm_").toString + "/t"
+    def batch(startMin: Int, n: Int) = {
+      val rows = (0 until n).map(i => org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf(f"2026-01-01 10:${startMin + i % 5}%02d:00"),
+        (i % 3).toLong))
+      mkDf(StructType(Seq(
+        StructField("ts", TimestampType, true),
+        StructField("user", LongType, true))), rows: _*)
+    }
+    locally {
+      val d = ManifestCommit.newDataDir(root)
+      batch(0, 30).write.parquet(d)
+      ManifestCommit.commitReplace(spark, root, Seq(d),
+        pruneDisplaced = false, schema = Some(batch(0, 1).schema))
+    }
+    val out = Files.createTempDirectory("graft_stream_wm_out_").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-table").load(root)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"), col("user"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$out/agg")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    def appendBatch(startMin: Int): Unit = {
+      val d = ManifestCommit.newDataDir(root)
+      batch(startMin, 30).write.parquet(d)
+      ManifestCommit.commitAppend(spark, root, d)
+      ()
+    }
+    appendBatch(40) // advances the checkpointed watermark past 10:00-10:05
+    drain()
+    appendBatch(50) // a batch processed UNDER that watermark closes them
+    drain()
+    def agg(df: DataFrame): DataFrame = df
+      .groupBy(window(col("ts"), "5 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("user"), col("n"))
+    val got = spark.read.parquet(s"$out/agg")
+      .select(col("window.start").as("ws"), col("user"), col("n"))
+    // every window of the FIRST commit is closed and emitted with the
+    // exact batch answer; nothing outside the full batch answer appears
+    val all = agg(batch(0, 30).unionByName(batch(40, 30)).unionByName(batch(50, 30)))
+    val first = agg(batch(0, 30))
+    assert(first.exceptAll(got).count() === 0L, "first-commit windows not emitted")
+    assert(got.exceptAll(all).count() === 0L, "window outside the batch answer")
+  }
+
   test("registered-name routing and the missing-table error") {
     val root = mkTable()
     graft.sql.GraftSql.register("stream_reg_t", root)
