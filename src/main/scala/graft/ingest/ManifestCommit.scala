@@ -351,6 +351,44 @@ object ManifestCommit {
   def isManifestTable(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(manifestPath(path))
 
+  /** Commit timestamp (epoch millis) of every retained generation —
+    * classic-Delta semantics: the per-generation record FILE's
+    * modification time (one object-store HEAD each, no content reads),
+    * adjusted monotonic (`max(prev + 1, mtime)`) so a clock hiccup or
+    * copied file can never make a LATER generation claim an EARLIER
+    * instant and flip `genAsOf` ordering. */
+  def commitTimestamps(spark: SparkSession, root: String): Seq[(Long, Long)] = {
+    val f = fs(spark, root)
+    var last = Long.MinValue
+    snapshotGens(spark, root).map { g =>
+      val m = f.getFileStatus(snapshotPath(root, g)).getModificationTime
+      last = math.max(last + 1, m)
+      g -> last
+    }
+  }
+
+  /** The generation LIVE at `tsMillis` — the newest one committed at or
+    * before it. Errors crisply when the instant predates the retained
+    * history (the snapshot that was live then has been expired) or the
+    * table has no commits. */
+  def genAsOf(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val ts = commitTimestamps(spark, root)
+    require(ts.nonEmpty, s"$root is not a manifest-committed table")
+    val at = ts.takeWhile(_._2 <= tsMillis)
+    if (at.isEmpty) throw new IllegalArgumentException(
+      s"timestamp $tsMillis predates the earliest RETAINED commit of " +
+        s"$root (generation ${ts.head._1} at ${ts.head._2}) — older " +
+        "history has been expired by snapshot retention; size " +
+        "expireSnapshots keepLast to the time-travel window you need")
+    at.last._1
+  }
+
+  /** Timestamp-based time travel: the table as of the wall-clock
+    * instant (Delta's `TIMESTAMP AS OF`). Same retention contract as
+    * [[readAt]]. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    readAt(spark, root, genAsOf(spark, root, tsMillis))
+
   /** Physical kind of each retained per-generation metadata record —
     * "full" (checkpoint) or "delta" — observability for tests/audits;
     * readers never need it (resolution is transparent). */

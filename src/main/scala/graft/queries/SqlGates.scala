@@ -403,6 +403,80 @@ object SqlGates {
       .orderBy("o_orderpriority")
   }
 
+  /** q154 — TIMESTAMP-based time travel (the Delta/Iceberg `TIMESTAMP
+    * AS OF` surface): per-generation commit instants derive from the
+    * metadata records' modification times, monotonic-adjusted, and both
+    * the SQL syntax (`VERSION AS OF` / `TIMESTAMP AS OF`) and the
+    * programmatic `readAsOf` resolve an instant captured BETWEEN commits
+    * to the generation that was live then. Wall-clock values are
+    * nondeterministic, so the gate emits the resolved generations'
+    * deterministic content (count + key sum, the q117 shape) plus pinned
+    * booleans: instant-between-commits hits the earlier gen from BOTH
+    * the SQL and programmatic paths, a pre-history instant errors
+    * naming retention, and @v cannot be combined with AS OF.
+    *
+    * 100-TB shape: resolving an instant is one mtime HEAD per retained
+    * record — O(retained generations) metadata calls, no data I/O; the
+    * resolved read then skips/prunes from the PINNED manifest exactly
+    * like any other snapshot read. */
+  val q154_timestamp_travel = Q(
+    "q154_timestamp_travel",
+    """WITH f AS (SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ksum
+      |  FROM orders WHERE o_orderstatus = 'F'),
+      |fo AS (SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS ksum
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O'))
+      |SELECT 1 AS gen, f.n AS n_rows, f.ksum AS key_sum,
+      |  TRUE AS sql_matches, TRUE AS api_matches,
+      |  TRUE AS prehistory_errors, TRUE AS at_v_rejected FROM f
+      |UNION ALL SELECT 2, fo.n, fo.ksum, TRUE, TRUE, TRUE, TRUE FROM fo""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_q154_")
+    val root = s"$out/orders"
+    val name = uniq("q154_tt")
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    def commitStatus(statuses: Seq[String], replace: Boolean): Unit = {
+      val d = ManifestCommit.newDataDir(root)
+      orders.filter(col("o_orderstatus").isin(statuses: _*)).write.parquet(d)
+      if (replace) ManifestCommit.commitReplace(s, root, Seq(d),
+        pruneDisplaced = false, schema = Some(orders.schema))
+      else { ManifestCommit.commitAppend(s, root, d); () }
+    }
+    commitStatus(Seq("F"), replace = true) // gen 1
+    Thread.sleep(15)
+    val t1 = System.currentTimeMillis() // strictly between gens 1 and 2
+    Thread.sleep(15)
+    commitStatus(Seq("O"), replace = false) // gen 2
+    val t2 = System.currentTimeMillis() + 15 // after the newest commit
+    GraftSql.register(name, root)
+    try {
+      def probe(g: Long, ts: Long): (Long, Long, Boolean, Boolean) = {
+        val tsLit = new java.sql.Timestamp(ts).toString
+        val viaSql = s.sql(s"SELECT count(*), CAST(sum(o_orderkey) AS BIGINT) " +
+          s"FROM graft.$name TIMESTAMP AS OF '$tsLit'").collect()(0)
+        val viaVer = s.sql(s"SELECT count(*), CAST(sum(o_orderkey) AS BIGINT) " +
+          s"FROM graft.$name VERSION AS OF $g").collect()(0)
+        val viaApi = ManifestCommit.readAsOf(s, root, ts)
+          .agg(count(lit(1)), sum(col("o_orderkey")).cast("long")).collect()(0)
+        (viaVer.getLong(0), viaVer.getLong(1),
+          viaSql.getLong(0) == viaVer.getLong(0) && viaSql.getLong(1) == viaVer.getLong(1),
+          viaApi.getLong(0) == viaVer.getLong(0) && viaApi.getLong(1) == viaVer.getLong(1))
+      }
+      val (n1, k1, sql1, api1) = probe(1L, t1)
+      val (n2, k2, sql2, api2) = probe(2L, t2)
+      val preErr = scala.util.Try(s.sql(
+        s"SELECT * FROM graft.$name TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()).failed.toOption.exists(_.getMessage.contains("predates"))
+      val atVErr = scala.util.Try(s.sql(
+        s"SELECT * FROM graft.`$name@v1` VERSION AS OF 2").collect())
+        .failed.toOption.exists(_.getMessage.contains("cannot combine"))
+      import s.implicits._
+      Seq((1, n1, k1, sql1, api1, preErr, atVErr),
+        (2, n2, k2, sql2, api2, preErr, atVErr))
+        .toDF("gen", "n_rows", "key_sum", "sql_matches", "api_matches",
+          "prehistory_errors", "at_v_rejected")
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
-    q148_sql_dml, q149_sql_merge, q151_sql_ddl)
+    q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel)
 }

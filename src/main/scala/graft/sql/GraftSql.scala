@@ -123,8 +123,12 @@ case class GraftResolveRelations(spark: SparkSession)
       u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
       GraftSql.lookup(u.multipartIdentifier(1)).isDefined
 
-  private def resolveGraft(name: String): GraftRelation = {
-    val (root, gen) = GraftSql.lookup(name).get
+  private def resolveGraft(name: String, asOfGen: Option[Long] = None)
+      : GraftRelation = {
+    val (root, atGen) = GraftSql.lookup(name).get
+    require(atGen.isEmpty || asOfGen.isEmpty,
+      s"graft.$name: cannot combine an @v reference with VERSION/TIMESTAMP AS OF")
+    val gen = asOfGen.orElse(atGen)
     val m = (gen match {
       case Some(g) => ManifestCommit.readManifestAt(spark, root, g)
       case None => ManifestCommit.readManifest(spark, root)
@@ -203,6 +207,38 @@ case class GraftResolveRelations(spark: SparkSession)
       case u: UnresolvedRelation if isGraftRef(u) =>
         val name = u.multipartIdentifier(1)
         SubqueryAlias(name.takeWhile(_ != '@'), resolveGraft(name))
+
+      // standard time-travel syntax (the Delta/Iceberg surface):
+      //   SELECT ... FROM graft.t VERSION AS OF 3
+      //   SELECT ... FROM graft.t TIMESTAMP AS OF '2026-08-01 12:00:00'
+      // VERSION maps to the generation directly; TIMESTAMP evaluates the
+      // (foldable) expression to an instant and resolves it against the
+      // per-generation commit timestamps — both pin the snapshot exactly
+      // like the `@v` suffix, and skipping/stats ride the pinned manifest.
+      case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: UnresolvedRelation, tsOpt, verOpt) if isGraftRef(u) =>
+        val name = u.multipartIdentifier(1)
+        val root = GraftSql.lookup(name).get._1
+        val gen = (verOpt, tsOpt) match {
+          case (Some(v), None) =>
+            scala.util.Try(v.trim.toLong).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft.$name VERSION AS OF: expected a generation number, got '$v'"))
+          case (None, Some(e)) =>
+            require(e.foldable,
+              s"graft.$name TIMESTAMP AS OF: the expression must be a constant")
+            val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+              e, org.apache.spark.sql.types.TimestampType,
+              Some(conf.sessionLocalTimeZone)).eval(null)
+            require(micros != null,
+              s"graft.$name TIMESTAMP AS OF: cannot interpret ${e.sql} as a timestamp")
+            ManifestCommit.genAsOf(spark, root,
+              micros.asInstanceOf[Long] / 1000L)
+          case _ => throw new IllegalArgumentException(
+            s"graft.$name: exactly one of VERSION AS OF / TIMESTAMP AS OF is required")
+        }
+        SubqueryAlias(name.takeWhile(_ != '@'),
+          resolveGraft(name, asOfGen = Some(gen)))
 
       // INSERT INTO / INSERT OVERWRITE graft.<name>. The target is NOT a
       // child of InsertIntoStatement (only `query` is), so it must be

@@ -174,7 +174,28 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
         }.getOrElse(liveAtStart)
     case v => val g = v.trim.toLong - 1
       require(g >= 0, s"startingVersion must be >= 1 (got $v)"); g
-  }
+  }.orElse(params.get("startingTimestamp").map { raw =>
+    // deliver every commit at or after the instant (epoch millis or a
+    // 'yyyy-MM-dd HH:mm:ss[.fff]' literal) — deterministic across
+    // restarts, so no pin is needed: commits landed while the query was
+    // down still satisfy the predicate and are delivered on resume
+    val ms = scala.util.Try(raw.trim.toLong).getOrElse(
+      java.sql.Timestamp.valueOf(raw.trim).getTime)
+    val ts = ManifestCommit.commitTimestamps(spark, root)
+    ts.find(_._2 >= ms) match {
+      case Some((g, _)) =>
+        if (g > 1 && ms < ts.head._2) throw new IllegalArgumentException(
+          s"graft stream: startingTimestamp $raw predates the earliest " +
+            s"RETAINED commit of $root (generation ${ts.head._1}) — older " +
+            "history has been expired; start from a snapshot instead " +
+            "(omit startingTimestamp) or widen retention")
+        g - 1
+      case None => liveAtStart // every retained commit predates the instant
+    }
+  })
+  require(!(params.contains("startingVersion") &&
+    params.contains("startingTimestamp")),
+    "graft stream: startingVersion and startingTimestamp are mutually exclusive")
 
   private val readSchema: StructType = tableSchema(spark, root)
   override val schema: StructType =

@@ -580,4 +580,64 @@ class GraftSqlSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("not"), e.getMessage)
   }
+
+  test("VERSION AS OF and TIMESTAMP AS OF pin the snapshot like @v") {
+    val root = mkTable("sqlspec_asof") // gen 1: 400 rows
+    Thread.sleep(15) // commit timestamps are mtime-ms; keep them apart
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(15)
+    spark.sql( // gen 2: +100 rows
+      "INSERT INTO graft.sqlspec_asof SELECT id, id % 7 AS k, " +
+        "concat('v', id) AS v FROM range(400, 500)")
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.sqlspec_asof VERSION AS OF 1")
+      .head.getLong(0) === 400L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.sqlspec_asof VERSION AS OF 2")
+      .head.getLong(0) === 500L)
+    // an instant between the commits resolves to gen 1
+    val lit = new java.sql.Timestamp(betweenMs).toString
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqlspec_asof " +
+      s"TIMESTAMP AS OF '$lit'").head.getLong(0) === 400L)
+    // an instant after both resolves to the live generation
+    val after = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqlspec_asof " +
+      s"TIMESTAMP AS OF '$after'").head.getLong(0) === 500L)
+    // time travel still prunes from the PINNED manifest's stats
+    val pruned = spark.sql(
+      "SELECT v FROM graft.sqlspec_asof VERSION AS OF 1 WHERE id BETWEEN 120 AND 130")
+    assert(scannedDirs(pruned).size === 1)
+    // pre-history instants and @v mixing fail crisply
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.sqlspec_asof " +
+        "TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+    }
+    assert(e1.getMessage.contains("predates"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`sqlspec_asof@v1` VERSION AS OF 2").collect()
+    }
+    assert(e2.getMessage.contains("cannot combine"), e2.getMessage)
+    assert(ManifestCommit.readAsOf(spark, root, betweenMs).count() === 400L)
+  }
+
+  test("commit timestamps are monotonic even under a clock step") {
+    val root = mkTable("sqlspec_monotonic")
+    spark.sql("INSERT INTO graft.sqlspec_monotonic " +
+      "SELECT id, id % 7 AS k, concat('v', id) AS v FROM range(400, 410)")
+    spark.sql("INSERT INTO graft.sqlspec_monotonic " +
+      "SELECT id, id % 7 AS k, concat('v', id) AS v FROM range(410, 420)")
+    // force gen 2's record mtime BEHIND gen 1's (clock step / file copy)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val g1 = f.getFileStatus(
+      new org.apache.hadoop.fs.Path(root, "_manifest.g1")).getModificationTime
+    f.setTimes(new org.apache.hadoop.fs.Path(root, "_manifest.g2"),
+      g1 - 60000L, -1L)
+    val ts = ManifestCommit.commitTimestamps(spark, root)
+    assert(ts.map(_._1) === Seq(1L, 2L, 3L))
+    assert(ts.sliding(2).forall { case Seq(a, b) => b._2 > a._2; case _ => true },
+      s"not monotonic: $ts")
+    // ordering stays correct: asOf gen2's adjusted instant sees gen 2
+    assert(ManifestCommit.genAsOf(spark, root, ts(1)._2) === 2L)
+  }
 }

@@ -360,6 +360,37 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(ManifestCommit.read(spark, target).count() === 20L)
   }
 
+  test("startingTimestamp delivers commits at or after the instant; exclusive with startingVersion") {
+    val root = mkTable() // gen 1
+    Thread.sleep(15)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(15)
+    append(root, 100, 10) // gen 2 — at/after the instant
+    append(root, 110, 10) // gen 3
+    val name = uniq("fromts")
+    val q = spark.readStream.format("graft-table")
+      .option("startingTimestamp", betweenMs.toString).load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // only the two post-instant appends, not the gen-1 snapshot
+      assert(spark.table(name).count() === 20L)
+      assert(spark.table(name).agg(min("id")).head.getLong(0) === 100L)
+    } finally q.stop()
+    val e = intercept[Exception] {
+      val bad = spark.readStream.format("graft-table")
+        .option("startingTimestamp", betweenMs.toString)
+        .option("startingVersion", "1").load(root)
+        .writeStream.format("memory").queryName(uniq("both"))
+        .outputMode("append").start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    def m(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + m(t.getCause)
+    assert(m(e).contains("mutually exclusive"), m(e))
+  }
+
   test("startingVersion=1 delivers everything from the first commit") {
     val root = mkTable() // gen 1: 100 rows
     append(root, 100, 10) // gen 2
