@@ -389,6 +389,32 @@ object ManifestCommit {
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     readAt(spark, root, genAsOf(spark, root, tsMillis))
 
+  /** Roll the LIVE table back to a retained generation as a NEW commit
+    * (Delta's RESTORE): history is preserved — the rollback itself is
+    * time-travelable, shows in `#history` as op `restore`, and surfaces
+    * in the change feed as the inverse of the rolled-back window. Data
+    * dirs are immutable and the target generation retained, so this is
+    * an O(target dirs) metadata commit re-stating its dir list, stats,
+    * DVs, schema and slicing — no data is read or copied. CAS-guarded
+    * against the generation the caller observed. Restoring to the live
+    * generation is a no-op. */
+  def restore(spark: SparkSession, root: String, gen: Long): Manifest = {
+    val cur = readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    if (cur.gen == gen) return cur
+    require(gen < cur.gen,
+      s"cannot restore $root to generation $gen: the table is at ${cur.gen}")
+    val m = readManifestAt(spark, root, gen).getOrElse(
+      throw new IllegalArgumentException(
+        s"generation $gen of $root is not retained (expired or never " +
+          "committed) — cannot restore; size expireSnapshots keepLast to " +
+          "the rollback window you need"))
+    commitReplace(spark, root, m.dirs, pruneDisplaced = false,
+      stats = m.stats, schema = m.tableSchema, op = "restore",
+      dvs = m.dvs, slice = m.slice, expectedGen = Some(cur.gen))
+  }
+
   /** Physical kind of each retained per-generation metadata record —
     * "full" (checkpoint) or "delta" — observability for tests/audits;
     * readers never need it (resolution is transparent). */

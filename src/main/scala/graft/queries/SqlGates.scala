@@ -477,6 +477,67 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q155 — `RESTORE TABLE ... TO VERSION AS OF` (the Delta RESTORE
+    * verb): rolls the live table back to a retained generation as a NEW
+    * history-preserving commit — an O(target dirs) metadata re-statement,
+    * no data read or copied (dirs are immutable and retained). Pinned:
+    * the restored content hash-matches DuckDB recomputing the target
+    * state, the rolled-back generation stays time-travelable AFTER the
+    * restore, the commit lands as op `restore`, and the change feed
+    * across the restore emits exactly the inverse of the rolled-back
+    * window (the deleted rows come back as inserts).
+    *
+    * 100-TB shape: restoring a petabyte table is one manifest commit —
+    * cost follows the target's dir COUNT (metadata lines), never data
+    * size; the inverse change feed then lets replicas follow the
+    * rollback incrementally instead of re-snapshotting. */
+  val q155_sql_restore = Q(
+    "q155_sql_restore",
+    """WITH fo AS (SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F','O'))
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM fo WHERE o_orderkey % 97 <> 0)
+      |    AS n_prerestore,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM fo WHERE o_orderkey % 97 = 0)
+      |    AS n_reinserted,
+      |  1 AS restore_op FROM fo""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ChangeFeed, ManifestCommit}
+    val out = tmpDir("graft_q155_")
+    val root = s"$out/orders"
+    val name = uniq("q155_restore")
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+    val d1 = ManifestCommit.newDataDir(root)
+    orders.filter(col("o_orderstatus") === "F").write.parquet(d1)
+    ManifestCommit.commitReplace(s, root, Seq(d1),
+      pruneDisplaced = false, schema = Some(orders.schema)) // gen 1
+    GraftSql.register(name, root)
+    try {
+      val d2 = ManifestCommit.newDataDir(root)
+      orders.filter(col("o_orderstatus") === "O").write.parquet(d2)
+      ManifestCommit.commitAppend(s, root, d2) // gen 2: F + O
+      s.sql(s"DELETE FROM graft.$name WHERE o_orderkey % 97 = 0") // gen 3
+      s.sql(s"RESTORE TABLE graft.$name TO VERSION AS OF 2") // gen 4
+      val m = ManifestCommit.readManifest(s, root).get
+      val fin = s.sql(s"SELECT count(*), CAST(sum(o_orderkey) AS BIGINT) " +
+        s"FROM graft.$name").collect()(0)
+      val pre = s.sql(s"SELECT count(*) FROM graft.$name VERSION AS OF 3")
+        .collect()(0).getLong(0)
+      // the feed across the restore is the INVERSE of the delete
+      val inv = ChangeFeed.diff(s, root, 3L, 4L, Seq("o_orderkey"))
+        .groupBy(ChangeFeed.ChangeType).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      s.range(1).select(
+        lit(fin.getLong(0)).as("n_rows"),
+        lit(fin.getLong(1)).as("key_sum"),
+        lit(pre).as("n_prerestore"),
+        lit(inv.getOrElse("insert", 0L)).as("n_reinserted"),
+        lit(if (m.gen == 4L && m.op == Some("restore") &&
+          inv.size == 1) 1 else 0).as("restore_op"))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
-    q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel)
+    q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
+    q155_sql_restore)
 }

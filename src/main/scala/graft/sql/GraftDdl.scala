@@ -54,6 +54,9 @@ object GraftDdl {
   // VACUUM graft.<name> [RETAIN <n> GENERATIONS | RETAIN <n> HOURS]
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\.(`[^`]+`|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+(GENERATIONS|HOURS))?\s*;?\s*""".r
+  // RESTORE [TABLE] graft.<name> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\.(`[^`]+`|[\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|(\S+))\s*;?\s*""".r
 
   private def unquote(n: String): String =
     if (n.startsWith("`") && n.endsWith("`")) n.substring(1, n.length - 1) else n
@@ -83,6 +86,25 @@ object GraftDdl {
         case _ => (2, None) // bare VACUUM: keep the newest 2 generations
       }
       Some(GraftVacuum(root, keepLast, maxAgeMs))
+    case RestoreRe(name, kind, quoted, bare) =>
+      val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft RESTORE: ${unquote(name)} is not a registered graft table"))
+      require(gen.isEmpty, "graft RESTORE: cannot restore a @v time-travel reference")
+      val value = Option(quoted).getOrElse(bare)
+      kind.toUpperCase(java.util.Locale.ROOT) match {
+        case "VERSION" =>
+          val v = scala.util.Try(value.trim.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft RESTORE: expected a generation number, got '$value'"))
+          Some(GraftRestore(root, Some(v), None))
+        case _ =>
+          val ms = scala.util.Try(value.trim.toLong).getOrElse(
+            scala.util.Try(java.sql.Timestamp.valueOf(value.trim).getTime)
+              .getOrElse(throw new IllegalArgumentException(
+                s"graft RESTORE: cannot interpret '$value' as a timestamp")))
+          Some(GraftRestore(root, None, Some(ms)))
+      }
     case _ => None
   }
 

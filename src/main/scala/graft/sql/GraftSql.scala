@@ -761,6 +761,18 @@ case class GraftVacuum(root: String, keepLast: Int, maxAgeMs: Option[Long])
   override def simpleString(maxFields: Int): String = s"GraftVacuum $root"
 }
 
+/** Leaf command for `RESTORE TABLE graft.<name> TO VERSION|TIMESTAMP AS
+  * OF <x>`: rolls the live table back to the resolved generation as a
+  * new history-preserving commit ([[graft.ingest.ManifestCommit.restore]]).
+  * `tsMillis` is set for the TIMESTAMP form (resolved at execution so
+  * the restore and its generation lookup see one consistent history). */
+case class GraftRestore(root: String, version: Option[Long],
+    tsMillis: Option[Long])
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftRestore $root to=${version.map("v" + _).orElse(tsMillis).getOrElse("?")}"
+}
+
 /** Leaf command for a DELETE-only `MERGE INTO graft.<name>`: matched
   * rows satisfying the condition are deleted via the merge-on-read
   * `deleteWhere` path; everything else is untouched. */

@@ -252,6 +252,13 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           ()
         }
       }) :: Nil
+    case GraftRestore(root, version, tsMillis) =>
+      GraftRowOpExec(s"GraftRestoreExec $root", () => {
+        val gen = version.getOrElse(
+          ManifestCommit.genAsOf(spark, root, tsMillis.get))
+        ManifestCommit.restore(spark, root, gen)
+        ()
+      }) :: Nil
     case GraftVacuum(root, keepLast, maxAgeMs) =>
       GraftRowOpExec(s"GraftVacuumExec $root", () => {
         maxAgeMs match {

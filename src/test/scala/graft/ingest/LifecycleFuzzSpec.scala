@@ -107,7 +107,7 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
 
     (1 to 30).foreach { step =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // append a fresh batch, with a point-lookup bloom
           val rows = fresh(1 + rnd.nextInt(8))
           val d = ManifestCommit.newDataDir(root)
@@ -163,6 +163,17 @@ class LifecycleFuzzSpec extends SparkSpec {
               targetDirs = 1 + rnd.nextInt(3))
         case 6 => // retention sweep
           ManifestCommit.expireSnapshots(spark, root, keepLast = 2)
+        case 7 => // RESTORE: rollback to a random retained generation
+          val targets = ManifestCommit.snapshotGens(spark, root)
+            .filter(history.contains)
+          if (targets.nonEmpty) {
+            val g = targets(rnd.nextInt(targets.size))
+            ManifestCommit.restore(spark, root, g)
+            model = history(g)
+            // the restored schema may predate the evolution flip
+            evolved = ManifestCommit.readManifest(spark, root).get
+              .tableSchema.exists(_.fieldNames.contains("tag"))
+          }
       }
       // invariant 0 (delta log): every check below must resolve from DISK
       // alone — a step that left a delta record chained to a deleted or
@@ -259,7 +270,7 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
 
     (1 to 24).foreach { step =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // SQL INSERT VALUES — fresh ids span multiple slices
           val rows = fresh(1 + rnd.nextInt(10))
           val values = rows.map { case (id, m) =>
@@ -310,6 +321,14 @@ class LifecycleFuzzSpec extends SparkSpec {
           spark.sql(s"VACUUM graft.$name RETAIN 3 GENERATIONS")
           history = history.filter { case (g, _) =>
             ManifestCommit.readManifestAt(spark, root, g).isDefined }
+        case 7 => // rollback as SQL TEXT
+          val targets = ManifestCommit.snapshotGens(spark, root)
+            .filter(history.contains)
+          if (targets.nonEmpty) {
+            val g = targets(rnd.nextInt(targets.size))
+            spark.sql(s"RESTORE TABLE graft.$name TO VERSION AS OF $g")
+            model = history(g)
+          }
       }
       ManifestCommit.clearResolveCache() // cold delta-log resolve each step
       val got = spark.sql(s"SELECT id, v, amt FROM graft.$name").collect()

@@ -289,4 +289,49 @@ class GraftDdlSpec extends SparkSpec {
       .collect().head.getLong(0) === 0L)
     spark.sql("DROP TABLE graft.ddlspec_wh")
   }
+
+  test("RESTORE rolls back as a history-preserving commit; TIMESTAMP form resolves") {
+    val loc = scratch() + "/tr"
+    val df = spark.range(0, 100).toDF("id")
+    val d = ManifestCommit.newDataDir(loc)
+    df.write.parquet(d)
+    ManifestCommit.commitReplace(spark, loc, Seq(d),
+      pruneDisplaced = false, schema = Some(df.schema)) // gen 1
+    GraftSql.register("ddlspec_restore", loc)
+    try {
+      Thread.sleep(15)
+      val betweenMs = System.currentTimeMillis()
+      Thread.sleep(15)
+      spark.sql("INSERT INTO graft.ddlspec_restore SELECT id FROM range(100, 150)") // gen 2
+      spark.sql("DELETE FROM graft.ddlspec_restore WHERE id < 10") // gen 3
+      assert(spark.sql("SELECT count(*) FROM graft.ddlspec_restore")
+        .head.getLong(0) === 140L)
+      spark.sql("RESTORE TABLE graft.ddlspec_restore TO VERSION AS OF 1")
+      // live content is gen 1's; the rollback is a NEW generation
+      assert(spark.sql("SELECT count(*) FROM graft.ddlspec_restore")
+        .head.getLong(0) === 100L)
+      val m = ManifestCommit.readManifest(spark, loc).get
+      assert(m.gen === 4L && m.op === Some("restore"))
+      // pre-restore history remains time-travelable
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.ddlspec_restore VERSION AS OF 3")
+        .head.getLong(0) === 140L)
+      // TIMESTAMP form: the instant between gens 1 and 2 restores gen 1
+      spark.sql("INSERT INTO graft.ddlspec_restore SELECT id FROM range(150, 160)") // gen 5
+      spark.sql("RESTORE TABLE graft.ddlspec_restore TO TIMESTAMP AS OF " +
+        s"'${new java.sql.Timestamp(betweenMs)}'") // gen 6 = gen 1 again
+      assert(spark.sql("SELECT count(*) FROM graft.ddlspec_restore")
+        .head.getLong(0) === 100L)
+      // rejections: future generation, unretained target after expiry
+      val e1 = intercept[Exception] {
+        spark.sql("RESTORE TABLE graft.ddlspec_restore TO VERSION AS OF 99")
+      }
+      assert(e1.getMessage.contains("cannot restore"), e1.getMessage)
+      ManifestCommit.expireSnapshots(spark, loc, keepLast = 2)
+      val e2 = intercept[Exception] {
+        spark.sql("RESTORE TABLE graft.ddlspec_restore TO VERSION AS OF 2")
+      }
+      assert(e2.getMessage.contains("not retained"), e2.getMessage)
+    } finally GraftSql.unregister("ddlspec_restore")
+  }
 }
