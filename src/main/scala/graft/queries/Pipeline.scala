@@ -2668,6 +2668,87 @@ object Pipeline {
       .withColumn("vers_ok", lit(if (versOk) 1 else 0))
   }
 
+  /** q156 — STREAMING MATERIALIZED VIEW: the reference's Kafka → MV →
+    * AggregatingMergeTree chain (tools/gen_pipeline.py:290-299) as a
+    * live composition of this library's own primitives — a
+    * `readChangeFeed` stream over the source table feeds
+    * `IncrementalAgg.applyChanges` per micro-batch, so the rollup
+    * follows inserts, updates (signed retraction pairs) and merge-on-read
+    * deletes with NO full recompute and no broker. The initial CDF
+    * snapshot batch seeds the rollup; the tail batches maintain it at
+    * O(changes). Final finalized state hash-matches DuckDB recomputing
+    * the mutations relationally; the rollup's commit ops pin that every
+    * batch landed through the partial-state append path.
+    *
+    * 100-TB shape: per trigger the stream reads the changed dirs only
+    * and the rollup append is one partial-state part (state ∝ #groups);
+    * the full-scan recompute this replaces is the thing that cannot run
+    * at 100 TB per refresh. */
+  val q156_stream_materialized_view = Q(
+    "q156_stream_materialized_view",
+    """WITH fin AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000
+      |         ELSE o_totalprice END AS p
+      |  FROM orders WHERE o_orderstatus IN ('F','O') AND o_orderkey % 97 <> 0)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(p AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
+      |  1 AS ops_ok
+      |FROM fin GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ChangeFeed, IncrementalAgg, ManifestCommit, MergeInto}
+    import graft.ingest.IncrementalAgg.Measure
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("graft_q156_")
+    val srcRoot = base + "/src"
+    val mvRoot = base + "/rollup"
+    val keys = Seq("o_orderstatus")
+    val ms = Seq(
+      Measure("cnt", "*", "count"),
+      Measure("key_sum", "o_orderkey", "sum_long"),
+      Measure("price_sum", "o_totalprice", "sum_dec"))
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val d1 = ManifestCommit.newDataDir(srcRoot)
+    orders.filter(col("o_orderstatus") === "F").write.parquet(d1)
+    ManifestCommit.commitReplace(s, srcRoot, Seq(d1),
+      pruneDisplaced = false, schema = Some(orders.schema)) // gen 1
+    def refresh(): Unit = {
+      val q = s.readStream.format("graft-table")
+        .option("readChangeFeed", "true").option("keys", "o_orderkey")
+        .load(srcRoot)
+        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            IncrementalAgg.applyChanges(s, mvRoot,
+              batch.drop("_commit_version"), keys, ms)
+            ()
+          }
+        }
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    refresh() // snapshot batch seeds the rollup
+    val d2 = ManifestCommit.newDataDir(srcRoot)
+    orders.filter(col("o_orderstatus") === "O").write.parquet(d2)
+    ManifestCommit.commitAppend(s, srcRoot, d2) // gen 2
+    MergeInto.merge(s, srcRoot, // gen 3: reprice %101
+      ManifestCommit.read(s, srcRoot)
+        .filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+      Seq("o_orderkey"))
+    MergeInto.deleteWhere(s, srcRoot, // gen 4: DV delete %97
+      orders.filter(col("o_orderstatus").isin("F", "O") &&
+        pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
+    refresh() // the tail maintains the rollup at O(changes)
+    val ops = ManifestCommit.history(s, mvRoot).collect()
+      .map(_.getAs[String]("operation")).toSeq
+    val opsOk = ops.nonEmpty &&
+      ops.forall(op => op == "apply_changes" || op == "replace")
+    IncrementalAgg.finalizeState(s, mvRoot, keys, ms)
+      .withColumn("ops_ok", lit(if (opsOk) 1 else 0))
+  }
+
   val all: Seq[Q] = Seq(
     q40_ingest_staging_dedup, q41_ingest_audit, q42_cdc_envelope_decode,
     q43_analytics_view, q44_cdc_stream_e2e, q45_month_partition_pruning,
@@ -2685,5 +2766,6 @@ object Pipeline {
     q135_manifest_count, q136_stream_late_drop, q137_ann_incremental,
     q138_ivf_incremental, q139_delta_log, q140_dv_count,
     q147_cdf_replication, q150_cdf_schema_evolution,
-    q152_stream_table_replication, q153_stream_change_feed)
+    q152_stream_table_replication, q153_stream_change_feed,
+    q156_stream_materialized_view)
 }
