@@ -926,7 +926,16 @@ object ManifestCommit {
     kept.headOption.foreach { g =>
       if (readRaw(spark, root, snapshotPath(root, g)).exists(_.deltaBase.isDefined))
         readManifestAt(spark, root, g).foreach { m =>
-          writeFileAtomic(spark, root, snapshotPath(root, g), renderFull(m))
+          // the record's mtime IS the generation's commit timestamp
+          // (commitTimestamps / TIMESTAMP AS OF) — materializing the
+          // checkpoint must not re-date the commit to sweep time, which
+          // would collapse every retained generation's instant (the
+          // monotonic adjustment propagates) and break timestamp travel
+          // for the whole retained window
+          val p = snapshotPath(root, g)
+          val mtime = f.getFileStatus(p).getModificationTime
+          writeFileAtomic(spark, root, p, renderFull(m))
+          f.setTimes(p, mtime, -1L)
         }
     }
     val deleted =

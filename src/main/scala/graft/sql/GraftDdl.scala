@@ -56,7 +56,7 @@ object GraftDdl {
     """(?is)\s*VACUUM\s+graft\.(`[^`]+`|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+(GENERATIONS|HOURS))?\s*;?\s*""".r
   // RESTORE [TABLE] graft.<name> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
   private val RestoreRe =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\.(`[^`]+`|[\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|(\S+))\s*;?\s*""".r
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\.(`[^`]+`|[\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|([^\s;]+))\s*;?\s*""".r
 
   private def unquote(n: String): String =
     if (n.startsWith("`") && n.endsWith("`")) n.substring(1, n.length - 1) else n
@@ -99,11 +99,10 @@ object GraftDdl {
               s"graft RESTORE: expected a generation number, got '$value'"))
           Some(GraftRestore(root, Some(v), None))
         case _ =>
-          val ms = scala.util.Try(value.trim.toLong).getOrElse(
-            scala.util.Try(java.sql.Timestamp.valueOf(value.trim).getTime)
-              .getOrElse(throw new IllegalArgumentException(
-                s"graft RESTORE: cannot interpret '$value' as a timestamp")))
-          Some(GraftRestore(root, None, Some(ms)))
+          // raw literal carried to execution: resolved there under the
+          // SESSION timezone (GraftSql.parseTsMillis), matching what a
+          // SELECT ... TIMESTAMP AS OF of the same literal showed
+          Some(GraftRestore(root, None, Some(value)))
       }
     case _ => None
   }

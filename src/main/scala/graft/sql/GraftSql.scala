@@ -73,6 +73,24 @@ object GraftSql {
   def rootOf(name: String): Option[String] =
     Option(registry.get(name.toLowerCase(java.util.Locale.ROOT)))
 
+  /** Parse a user-supplied timestamp value — epoch millis or a
+    * timestamp literal — to epoch millis, interpreting literals in the
+    * SESSION timezone exactly like `TIMESTAMP AS OF` in a SELECT (a
+    * JVM-default-zone parse would make the same literal name a
+    * different instant in RESTORE/startingTimestamp than in the query
+    * that previewed it). */
+  def parseTsMillis(spark: org.apache.spark.sql.SparkSession, raw: String): Long =
+    scala.util.Try(raw.trim.toLong).getOrElse {
+      val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(raw.trim),
+        org.apache.spark.sql.types.TimestampType,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      require(micros != null,
+        s"cannot interpret '$raw' as a timestamp (epoch millis or " +
+          "'yyyy-MM-dd HH:mm:ss[.SSS]' in the session timezone)")
+      micros.asInstanceOf[Long] / 1000L
+    }
+
   /** Resolve `<name>` / `<name>@v<gen>` / `/abs/path[@v<gen>]` to
     * (root, pinned generation). */
   private[sql] def lookup(name: String): Option[(String, Option[Long])] = {
@@ -767,10 +785,10 @@ case class GraftVacuum(root: String, keepLast: Int, maxAgeMs: Option[Long])
   * `tsMillis` is set for the TIMESTAMP form (resolved at execution so
   * the restore and its generation lookup see one consistent history). */
 case class GraftRestore(root: String, version: Option[Long],
-    tsMillis: Option[Long])
+    tsRaw: Option[String])
   extends LeafCommand {
   override def simpleString(maxFields: Int): String =
-    s"GraftRestore $root to=${version.map("v" + _).orElse(tsMillis).getOrElse("?")}"
+    s"GraftRestore $root to=${version.map("v" + _).orElse(tsRaw).getOrElse("?")}"
 }
 
 /** Leaf command for a DELETE-only `MERGE INTO graft.<name>`: matched

@@ -252,10 +252,10 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           ()
         }
       }) :: Nil
-    case GraftRestore(root, version, tsMillis) =>
+    case GraftRestore(root, version, tsRaw) =>
       GraftRowOpExec(s"GraftRestoreExec $root", () => {
-        val gen = version.getOrElse(
-          ManifestCommit.genAsOf(spark, root, tsMillis.get))
+        val gen = version.getOrElse(ManifestCommit.genAsOf(spark, root,
+          GraftSql.parseTsMillis(spark, tsRaw.get)))
         ManifestCommit.restore(spark, root, gen)
         ()
       }) :: Nil

@@ -148,6 +148,39 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
       throw new IllegalArgumentException(
         s"graft stream: $root is not a manifest-committed table")).gen
 
+  require(!(params.contains("startingVersion") &&
+    params.contains("startingTimestamp")),
+    "graft stream: startingVersion and startingTimestamp are mutually exclusive")
+
+  // metadata files live in the CHECKPOINT's filesystem, which need not
+  // be the table's (s3a table, hdfs checkpoint) — resolve each path's FS
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def readMetaLong(p: org.apache.hadoop.fs.Path): Option[Long] = {
+    val f = fsOf(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      // a crash between create and write leaves an empty/garbled file —
+      // treated as absent, never as a stream-killing parse error
+      try scala.util.Try(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+      finally in.close()
+    }
+  }
+  private def writeMetaLong(p: org.apache.hadoop.fs.Path, v: Long): Unit = {
+    // stage-then-rename: the destination is never left mid-write
+    val f = fsOf(p)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    f.rename(tmp, p)
+    ()
+  }
+
   /** Deliver changes committed strictly AFTER this generation; None =
     * initial-snapshot mode (the first batch is the full snapshot).
     * `latest` is resolved ONCE, on the stream's FIRST start, and pinned
@@ -159,43 +192,43 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     case "latest" =>
       metadataPath.map(m => new org.apache.hadoop.fs.Path(m, "graft-origin"))
         .map { p =>
-          if (fs.exists(p)) {
-            val in = fs.open(p)
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-            finally in.close()
-          } else {
-            val out = fs.create(p, false)
-            try out.write(liveAtStart.toString
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            liveAtStart
-          }
+          readMetaLong(p).getOrElse { writeMetaLong(p, liveAtStart); liveAtStart }
         }.getOrElse(liveAtStart)
     case v => val g = v.trim.toLong - 1
       require(g >= 0, s"startingVersion must be >= 1 (got $v)"); g
-  }.orElse(params.get("startingTimestamp").map { raw =>
-    // deliver every commit at or after the instant (epoch millis or a
-    // 'yyyy-MM-dd HH:mm:ss[.fff]' literal) — deterministic across
-    // restarts, so no pin is needed: commits landed while the query was
-    // down still satisfy the predicate and are delivered on resume
-    val ms = scala.util.Try(raw.trim.toLong).getOrElse(
-      java.sql.Timestamp.valueOf(raw.trim).getTime)
-    val ts = ManifestCommit.commitTimestamps(spark, root)
-    ts.find(_._2 >= ms) match {
-      case Some((g, _)) =>
-        if (g > 1 && ms < ts.head._2) throw new IllegalArgumentException(
-          s"graft stream: startingTimestamp $raw predates the earliest " +
-            s"RETAINED commit of $root (generation ${ts.head._1}) — older " +
-            "history has been expired; start from a snapshot instead " +
-            "(omit startingTimestamp) or widen retention")
-        g - 1
-      case None => liveAtStart // every retained commit predates the instant
+  }
+
+  /** `startingTimestamp`: deliver every commit at or after the instant
+    * (epoch millis, or a literal interpreted in the SESSION timezone —
+    * the same instant a `TIMESTAMP AS OF` SELECT of it showed). Resolved
+    * LAZILY against the live history and only cached once a commit
+    * reaches the instant: a future instant delivers nothing — not
+    * everything-from-now — and commits landed while the query was down
+    * still satisfy the predicate on restart, so the option is
+    * deterministic without a pin. */
+  private val startingTsMs: Option[Long] =
+    params.get("startingTimestamp").map(graft.sql.GraftSql.parseTsMillis(spark, _))
+  private val tsResolved = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+  private def tsStartAfter(): Option[Long] = startingTsMs.flatMap { ms =>
+    if (tsResolved.get != Long.MinValue) Some(tsResolved.get)
+    else {
+      val ts = ManifestCommit.commitTimestamps(spark, root)
+      ts.find(_._2 >= ms).map { case (g, _) =>
+        // delivering commit g needs g-1's manifest for the dir diff — if
+        // retention already expired it, the window cannot be rebuilt
+        if (g == ts.headOption.map(_._1).getOrElse(1L) && g > 1)
+          throw new IllegalArgumentException(
+            s"graft stream: startingTimestamp $ms reaches back to the " +
+              s"earliest RETAINED commit of $root (generation $g) whose " +
+              "predecessor has been expired — the incremental window is " +
+              "lost; start from a snapshot instead (omit " +
+              "startingTimestamp) or widen retention")
+        tsResolved.set(g - 1); g - 1
+      }
     }
-  })
-  require(!(params.contains("startingVersion") &&
-    params.contains("startingTimestamp")),
-    "graft stream: startingVersion and startingTimestamp are mutually exclusive")
+  }
+  private def effectiveStartAfter(): Option[Long] =
+    if (startingTsMs.isDefined) tsStartAfter() else startAfter
 
   private val readSchema: StructType = tableSchema(spark, root)
   override val schema: StructType =
@@ -215,24 +248,18 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
   // that landed while it was down.
   private val progressPath: Option[org.apache.hadoop.fs.Path] =
     metadataPath.map(m => new org.apache.hadoop.fs.Path(m, "graft-progress"))
-  private def fs = new org.apache.hadoop.fs.Path(root)
-    .getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private var highWater: Option[Long] = progressPath.flatMap { p =>
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    }
-  }
+  private var highWater: Option[Long] = progressPath.flatMap(readMetaLong)
 
   override def getOffset: Option[Offset] = synchronized {
     val live = ManifestCommit.readManifest(spark, root) match {
       case Some(m) => m.gen
       case None => return None
     }
-    val floor = highWater.orElse(startAfter)
+    val sa = effectiveStartAfter()
+    // timestamp mode before any commit reached the instant: nothing to
+    // deliver (and the snapshot path must not be entered by accident)
+    if (startingTsMs.isDefined && sa.isEmpty && highWater.isEmpty) return None
+    val floor = highWater.orElse(sa)
     val capped = (floor, maxGens) match {
       case (Some(f), Some(mx)) => math.min(live, f + mx)
       case _ => live
@@ -248,8 +275,16 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     val endGen = genOf(end)
     synchronized {
       highWater = Some(math.max(endGen, highWater.getOrElse(0L)))
+      // persist HERE, not in commit(): the engine offset-logs `end`
+      // BEFORE calling getBatch but defers commit() by one batch, so a
+      // stop after a single batch would leave no floor at all and a
+      // restarted rate-limited stream could offer (and the engine then
+      // commit) an offset BELOW its own committed progress. endGen is
+      // always ≥ the engine's committed offset and ≤ its offset log, so
+      // seeding from it can neither skip nor re-deliver.
+      progressPath.foreach(writeMetaLong(_, highWater.get))
     }
-    val out = start.map(genOf).orElse(startAfter) match {
+    val out = start.map(genOf).orElse(effectiveStartAfter()) match {
       case None => // initial snapshot, PINNED to the offset's generation
         val snap = align(ManifestCommit.readAt(spark, root, endGen))
         if (cdf) snap
@@ -341,16 +376,9 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       schema)
 
-  /** Durably record the committed generation so a restarted source
-    * floors its rate limit (and a `latest` start) at real progress. */
   override def commit(end: Offset): Unit = {
     val g = genOf(end)
     synchronized { highWater = Some(math.max(g, highWater.getOrElse(0L))) }
-    progressPath.foreach { p =>
-      val out = fs.create(p, true)
-      try out.write(g.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
   }
   override def stop(): Unit = ()
   override def toString: String = s"GraftTableSource[$root]"

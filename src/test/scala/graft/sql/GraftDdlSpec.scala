@@ -306,7 +306,8 @@ class GraftDdlSpec extends SparkSpec {
       spark.sql("DELETE FROM graft.ddlspec_restore WHERE id < 10") // gen 3
       assert(spark.sql("SELECT count(*) FROM graft.ddlspec_restore")
         .head.getLong(0) === 140L)
-      spark.sql("RESTORE TABLE graft.ddlspec_restore TO VERSION AS OF 1")
+      // trailing semicolon must parse like every other maintenance verb
+      spark.sql("RESTORE TABLE graft.ddlspec_restore TO VERSION AS OF 1;")
       // live content is gen 1's; the rollback is a NEW generation
       assert(spark.sql("SELECT count(*) FROM graft.ddlspec_restore")
         .head.getLong(0) === 100L)

@@ -620,6 +620,44 @@ class GraftSqlSpec extends SparkSpec {
     assert(ManifestCommit.readAsOf(spark, root, betweenMs).count() === 400L)
   }
 
+  test("retention sweep preserves commit timestamps (checkpoint materialization keeps mtime)") {
+    val root = mkTable("sqlspec_ts_retain")
+    (0 until 4).foreach { i =>
+      Thread.sleep(12) // keep record mtimes apart at ms granularity
+      spark.sql("INSERT INTO graft.sqlspec_ts_retain " +
+        s"SELECT id, id % 7 AS k, concat('v', id) AS v FROM range(${400 + i * 10}, ${410 + i * 10})")
+    }
+    val before = ManifestCommit.commitTimestamps(spark, root).toMap
+    Thread.sleep(12)
+    val betweenMs = before(3L) + 1 // instant inside the retained window
+    // keepLast=3 expires gens 1-2 and MATERIALIZES gen 3's delta record
+    // as a checkpoint — which must not re-date the commit to sweep time
+    ManifestCommit.expireSnapshots(spark, root, keepLast = 3)
+    val after = ManifestCommit.commitTimestamps(spark, root).toMap
+    assert(after.keySet === Set(3L, 4L, 5L))
+    after.foreach { case (g, t) =>
+      assert(t === before(g), s"gen $g re-dated by the sweep: ${before(g)} -> $t") }
+    // timestamp travel across the whole retained window still resolves
+    assert(ManifestCommit.genAsOf(spark, root, betweenMs) === 3L)
+  }
+
+  test("parseTsMillis interprets literals in the SESSION timezone, not the JVM default") {
+    val tz = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      // session TZ is UTC: the literal must mean 12:00 UTC even when the
+      // JVM default says otherwise (java.sql.Timestamp.valueOf would
+      // yield 16:00 UTC here)
+      val ms = GraftSql.parseTsMillis(spark, "2026-08-01 12:00:00")
+      assert(ms === java.time.Instant.parse("2026-08-01T12:00:00Z").toEpochMilli)
+      assert(GraftSql.parseTsMillis(spark, "1754049600000") === 1754049600000L)
+      // garbage errors (exception type follows the session's ANSI mode:
+      // a cast failure under ANSI, our crisp require otherwise)
+      intercept[Exception] { GraftSql.parseTsMillis(spark, "not-a-time") }
+    } finally java.util.TimeZone.setDefault(tz)
+  }
+
   test("commit timestamps are monotonic even under a clock step") {
     val root = mkTable("sqlspec_monotonic")
     spark.sql("INSERT INTO graft.sqlspec_monotonic " +

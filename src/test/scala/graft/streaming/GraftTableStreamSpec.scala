@@ -391,6 +391,73 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(m(e).contains("mutually exclusive"), m(e))
   }
 
+  test("a future startingTimestamp delivers nothing until a commit reaches the instant") {
+    val root = mkTable()
+    val name = uniq("future")
+    val q = spark.readStream.format("graft-table")
+      .option("startingTimestamp", (System.currentTimeMillis() + 3600_000L).toString)
+      .load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0L)
+      // commits whose instants still PRECEDE the requested one must not
+      // be delivered either (the old behavior fell back to "latest" and
+      // streamed them)
+      append(root, 100, 10)
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0L)
+    } finally q.stop()
+  }
+
+  test("startingTimestamp at the earliest retained commit errors when its predecessor expired") {
+    val root = mkTable()
+    (0 until 3).foreach { i => Thread.sleep(12); append(root, 100L + i * 10, 10) }
+    ManifestCommit.expireSnapshots(spark, root, keepLast = 2)
+    val ts = ManifestCommit.commitTimestamps(spark, root)
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-table")
+        .option("startingTimestamp", ts.head._2.toString).load(root)
+        .writeStream.format("memory").queryName(uniq("expired"))
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def m(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + m(t.getCause)
+    assert(m(e).contains("predecessor has been expired"), m(e))
+  }
+
+  test("an empty graft-progress file (crash mid-write) reads as absent, not a parse error") {
+    val root = mkTable()
+    val target = Files.createTempDirectory("graft_prog_tgt_").toString + "/r"
+    val ckpt = Files.createTempDirectory("graft_prog_ck_").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table").load(root)
+        .writeStream.format("graft-table")
+        .option("txnAppId", "prog").option("checkpointLocation", ckpt)
+        .start(target)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // simulate a crash that truncated the progress file (located by
+    // walk — the engine owns the exact sources/<i> layout)
+    val prog = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      try s.filter(_.getFileName.toString == "graft-progress")
+        .findFirst().orElseThrow(() =>
+          new AssertionError("progress file not written under the checkpoint"))
+        .toFile
+      finally s.close()
+    }
+    new java.io.FileOutputStream(prog).close() // now empty
+    append(root, 100, 10)
+    run() // restart must not NumberFormatException; offsets ride the log
+    val rep = ManifestCommit.read(spark, target)
+    assert(rep.count() === 110L)
+    assert(rep.select("id").distinct().count() === 110L)
+  }
+
   test("startingVersion=1 delivers everything from the first commit") {
     val root = mkTable() // gen 1: 100 rows
     append(root, 100, 10) // gen 2
