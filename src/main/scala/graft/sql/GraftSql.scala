@@ -456,6 +456,49 @@ case class GraftResolveRelations(spark: SparkSession)
           m.slice.map(s => row("Slicing", s, "")).toSeq
         LocalRelation(d.output, base ++ detail)
 
+      // SHOW CREATE TABLE graft.<name> — round-trippable DDL from the
+      // manifest alone (schema, partitioning reverse-mapped to its
+      // transform, location); what a BI tool or migration script asks
+      // for before re-creating the table elsewhere
+      case sct: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable
+          if (sct.child match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+              u.multipartIdentifier.length == 2 &&
+                u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+                GraftSql.lookup(u.multipartIdentifier(1)).isDefined
+            case _ => false
+          }) =>
+        val u = sct.child
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView]
+        val name = u.multipartIdentifier(1)
+        val (root, gen) = GraftSql.lookup(name).get
+        require(gen.isEmpty,
+          "graft SHOW CREATE TABLE: not applicable to a @v time-travel reference")
+        val m = ManifestCommit.readManifest(spark, root).getOrElse(
+          throw new IllegalArgumentException(s"graft.$name: no manifest at $root"))
+        val schema = m.tableSchema.getOrElse(
+          ManifestCommit.readDirsOf(spark, root, m, m.dirs).schema)
+        val cols = schema.fields.map(f => s"  ${f.name} ${f.dataType.sql}")
+          .mkString(",\n")
+        // reverse-map the stored slicing SQL to the transform CREATE
+        // accepts, so the emitted statement round-trips through our own
+        // parser; an unrecognized expression rides as a comment
+        val DateFmt = """date_format\((\w+), '(\w+)'\)""".r
+        val Bucket = """pmod\(hash\((\w+)\), (\d+)\)""".r
+        val partitioned = m.slice.map {
+          case DateFmt(c, "yyyy") => s"PARTITIONED BY (years($c))\n"
+          case DateFmt(c, "yyyyMM") => s"PARTITIONED BY (months($c))\n"
+          case DateFmt(c, "yyyyMMdd") => s"PARTITIONED BY (days($c))\n"
+          case DateFmt(c, "yyyyMMddHH") => s"PARTITIONED BY (hours($c))\n"
+          case Bucket(c, n) => s"PARTITIONED BY (bucket($n, $c))\n"
+          case s if schema.fieldNames.contains(s) => s"PARTITIONED BY ($s)\n"
+          case s => s"/* slicing: $s */\n"
+        }.getOrElse("")
+        val stmt = s"CREATE TABLE graft.$name (\n$cols)\n" +
+          s"${partitioned}LOCATION '$root'"
+        LocalRelation(sct.output, Seq(InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(stmt))))
+
       // SHOW TABLES IN graft [LIKE pattern] — the registry listing
       case st: ShowTables if (st.namespace match {
             case n: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
