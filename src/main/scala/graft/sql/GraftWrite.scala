@@ -252,6 +252,14 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           ()
         }
       }) :: Nil
+    case GraftAddCheck(root, name, condition) =>
+      GraftRowOpExec(s"GraftAddCheckExec $root $name", () => {
+        ManifestCommit.setCheck(spark, root, name, condition); ()
+      }) :: Nil
+    case GraftDropCheck(root, name, ifExists) =>
+      GraftRowOpExec(s"GraftDropCheckExec $root $name", () => {
+        ManifestCommit.dropCheck(spark, root, name, ifExists); ()
+      }) :: Nil
     case GraftRestore(root, version, tsRaw) =>
       GraftRowOpExec(s"GraftRestoreExec $root", () => {
         val gen = version.getOrElse(ManifestCommit.genAsOf(spark, root,
@@ -356,6 +364,7 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
 
   override def run(): Seq[InternalRow] = {
     val df = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark, query)
+    ManifestCommit.enforceChecks(spark, root, df, "INSERT")
     val prev = ManifestCommit.readManifest(spark, root)
     val recorded = prev
       .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)

@@ -430,6 +430,7 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
         df.select(out.toIndexedSeq: _*)
       case None => df
     }
+    ManifestCommit.enforceChecks(spark, root, aligned, "streaming append")
     if (prev.isEmpty)
       ManifestCommit.commitReplace(spark, root, Nil, pruneDisplaced = false,
         schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),

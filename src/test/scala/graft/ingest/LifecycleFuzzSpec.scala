@@ -268,6 +268,12 @@ class LifecycleFuzzSpec extends SparkSpec {
         slice = Some(ManifestCommit.sliceSql(slice)))
       model = rows.toMap
     }
+    // a standing CHECK constraint every verb must carry and honor: the
+    // fuzz only ever writes non-negative amounts, so enforcement must
+    // never fire — but the constraint must SURVIVE every op (merge
+    // rewrites, compaction, z-order, vacuum, restore) and still refuse
+    // a violating insert at the end
+    spark.sql(s"ALTER TABLE graft.$name ADD CONSTRAINT amt_nonneg CHECK (amt >= 0)")
 
     (1 to 24).foreach { step =>
       rnd.nextInt(8) match {
@@ -351,6 +357,13 @@ class LifecycleFuzzSpec extends SparkSpec {
     }
     // change-feed completeness across the SQL-verb history too
     assertFeedRebuilds(root)
+    // the constraint survived the whole op mix and still enforces
+    assert(ManifestCommit.readManifest(spark, root).get.checks
+      .contains("amt_nonneg"), "constraint lost somewhere in the op mix")
+    val eCk = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.$name VALUES (999999, 'bad', -1.0)")
+    }
+    assert(eCk.getMessage.contains("amt_nonneg"), eCk.getMessage)
     graft.sql.GraftSql.unregister(name)
   }
 

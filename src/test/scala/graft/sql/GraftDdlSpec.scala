@@ -290,6 +290,85 @@ class GraftDdlSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.ddlspec_wh")
   }
 
+  test("CHECK constraints: validated at ADD, enforced on every write surface, survive restore") {
+    import graft.ingest.{ManifestCommit, MergeInto}
+    val loc = scratch() + "/ck"
+    spark.sql(
+      s"CREATE TABLE graft.ddlspec_ck (id BIGINT, amt DOUBLE) LOCATION '$loc'")
+    try {
+      spark.sql("INSERT INTO graft.ddlspec_ck VALUES (1, 10.0), (2, 20.0)")
+      // ADD validates EXISTING rows: a violated constraint is refused
+      val e0 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.ddlspec_ck ADD CONSTRAINT amt_big CHECK (amt > 15)")
+      }
+      assert(e0.getMessage.contains("existing row"), e0.getMessage)
+      assert(ManifestCommit.readManifest(spark, loc).get.checks.isEmpty)
+      spark.sql("ALTER TABLE graft.ddlspec_ck ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+      assert(ManifestCommit.readManifest(spark, loc).get.checks
+        === Map("amt_pos" -> "amt > 0"))
+      // INSERT: violating batch refused atomically, valid one lands
+      val e1 = intercept[Exception] {
+        spark.sql("INSERT INTO graft.ddlspec_ck VALUES (3, 5.0), (4, -1.0)")
+      }
+      assert(e1.getMessage.contains("amt_pos"), e1.getMessage)
+      assert(spark.sql("SELECT count(*) FROM graft.ddlspec_ck")
+        .head.getLong(0) === 2L)
+      spark.sql("INSERT INTO graft.ddlspec_ck VALUES (3, 5.0)")
+      // NULL passes (SQL CHECK semantics)
+      spark.sql("INSERT INTO graft.ddlspec_ck VALUES (4, NULL)")
+      // UPDATE that would move a row out of the constraint is refused
+      val e2 = intercept[Exception] {
+        spark.sql("UPDATE graft.ddlspec_ck SET amt = amt - 100 WHERE id = 1")
+      }
+      assert(e2.getMessage.contains("amt_pos"), e2.getMessage)
+      // MERGE with a violating source row is refused; deleteWhen rows
+      // don't count (they are being removed, not landed)
+      val e3 = intercept[Exception] {
+        MergeInto.merge(spark, loc,
+          spark.range(9, 10).toDF("id").withColumn("amt", lit(-5.0)),
+          Seq("id"))
+      }
+      assert(e3.getMessage.contains("amt_pos"), e3.getMessage)
+      MergeInto.merge(spark, loc,
+        spark.range(9, 11).toDF("id").withColumn("amt", lit(-5.0))
+          .withColumn("__kill", lit(true)),
+        Seq("id"), deleteWhen = Some(col("__kill")))
+      // streaming sink enforces too
+      val sink = new graft.streaming.GraftTableSink(spark,
+        Map("path" -> loc, "txnAppId" -> "ckw"))
+      val e4 = intercept[Exception] {
+        sink.addBatch(0, spark.range(20, 21).toDF("id")
+          .withColumn("amt", lit(-3.0)))
+      }
+      assert(e4.getMessage.contains("amt_pos"), e4.getMessage)
+      sink.addBatch(1, spark.range(20, 21).toDF("id").withColumn("amt", lit(3.0)))
+      // DESCRIBE EXTENDED surfaces it
+      val desc = spark.sql("DESCRIBE EXTENDED graft.ddlspec_ck").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(desc.get("Constraint amt_pos") === Some("CHECK (amt > 0)"))
+      // constraints ride RESTORE with the target generation's set
+      val genWith = ManifestCommit.readManifest(spark, loc).get.gen
+      spark.sql("ALTER TABLE graft.ddlspec_ck DROP CONSTRAINT amt_pos")
+      spark.sql("INSERT INTO graft.ddlspec_ck VALUES (30, -9.0)") // allowed now
+      spark.sql(s"RESTORE TABLE graft.ddlspec_ck TO VERSION AS OF $genWith")
+      val e5 = intercept[Exception] {
+        spark.sql("INSERT INTO graft.ddlspec_ck VALUES (31, -9.0)")
+      }
+      assert(e5.getMessage.contains("amt_pos"), e5.getMessage)
+      // rejections: unknown column, nondeterministic, unnamed, non-CHECK
+      assert(intercept[Exception] { spark.sql(
+        "ALTER TABLE graft.ddlspec_ck ADD CONSTRAINT bad CHECK (nope > 0)")
+      }.getMessage.nonEmpty)
+      assert(intercept[Exception] { spark.sql(
+        "ALTER TABLE graft.ddlspec_ck ADD CONSTRAINT rnd CHECK (rand() > 0)")
+      }.getMessage.contains("deterministic"))
+      val e6 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.ddlspec_ck DROP CONSTRAINT ghost")
+      }
+      assert(e6.getMessage.contains("IF EXISTS"), e6.getMessage)
+    } finally spark.sql("DROP TABLE graft.ddlspec_ck")
+  }
+
   test("SHOW CREATE TABLE emits round-trippable DDL") {
     val loc = scratch() + "/sc"
     spark.sql(
