@@ -518,8 +518,13 @@ case class GraftResolveRelations(spark: SparkSession)
           case s if schema.fieldNames.contains(s) => s"PARTITIONED BY ($s)\n"
           case s => s"/* slicing: $s */\n"
         }.getOrElse("")
+        // constraints are not part of the CREATE grammar — emit the
+        // ALTER statements that re-establish them after the CREATE
+        val constraints = m.checks.toSeq.sortBy(_._1).map { case (n, c) =>
+          s"\n-- ALTER TABLE graft.$name ADD CONSTRAINT $n CHECK ($c)"
+        }.mkString
         val stmt = s"CREATE TABLE graft.$name (\n$cols)\n" +
-          s"${partitioned}LOCATION '$root'"
+          s"${partitioned}LOCATION '$root'$constraints"
         LocalRelation(sct.output, Seq(InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(stmt))))
 
