@@ -412,6 +412,11 @@ object ManifestCommit {
     val m = readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"$root is not a manifest-committed table"))
+    // silently replacing an existing constraint could WEAKEN it while
+    // both owners believe theirs is in force — duplicate names error
+    require(!m.checks.contains(name),
+      s"$root already has a CHECK constraint $name " +
+        s"(${m.checks(name)}); DROP CONSTRAINT $name first to replace it")
     val cond = org.apache.spark.sql.functions.expr(conditionSql)
     require(org.apache.spark.sql.graftbridge.ColumnBridge
       .expression(cond).deterministic,
@@ -463,20 +468,27 @@ object ManifestCommit {
       .filter(_._2 > 0)
   }
 
-  /** Enforce the table's CHECK constraints on rows about to land —
-    * called by the enforced writers (SQL INSERT, streaming sink, MERGE,
-    * row-level UPDATE) BEFORE any data is written. One extra aggregate
-    * over the incoming batch only, never the table. */
-  def enforceChecks(spark: SparkSession, root: String, incoming: DataFrame,
-      writer: String): Unit = {
-    val checks = readManifest(spark, root).map(_.checks).getOrElse(Map.empty)
-    if (checks.isEmpty) return
-    val bad = violations(incoming, checks)
+  /** Enforce CHECK constraints over freshly WRITTEN, UNCOMMITTED dirs —
+    * the enforcement point of every constrained writer (SQL INSERT,
+    * streaming sink, MERGE, row-level UPDATE): the staged bytes are
+    * validated exactly as readers would see them, so DELETE-clause
+    * rows (never written), nondeterministic sources and expression
+    * re-evaluation cannot smuggle a violation past the constraint. On
+    * violation the staged dirs are DELETED and the whole write refused
+    * atomically — nothing was committed. Cost: one read of the NEW
+    * data only, zero when the table has no constraints. */
+  def validateWrittenChecks(spark: SparkSession, root: String,
+      checks: Map[String, String], dirs: Seq[String], writer: String): Unit = {
+    if (checks.isEmpty || dirs.isEmpty) return
+    def abs(d: String) = if (d.startsWith("/")) d else s"$root/$d"
+    val bad = violations(spark.read.parquet(dirs.map(abs): _*), checks)
     if (bad.nonEmpty) {
+      val f = fs(spark, root)
+      dirs.foreach(d => f.delete(new Path(abs(d)), true))
       val (n, cnt) = bad.head
       throw new IllegalArgumentException(
         s"$writer to $root violates CHECK constraint $n " +
-          s"(${checks(n)}): $cnt row(s) fail it — nothing was written")
+          s"(${checks(n)}): $cnt row(s) fail it — nothing was committed")
     }
   }
 
@@ -916,13 +928,15 @@ object ManifestCommit {
       op: String = "replace",
       pinned: Set[String] = Set.empty,
       disjoint: (String, Seq[ColStats]) => Boolean = AlwaysDisjoint,
-      statUpdates: Map[String, Seq[ColStats]] = Map.empty): Manifest =
+      statUpdates: Map[String, Seq[ColStats]] = Map.empty,
+      expectedChecks: Option[Map[String, String]] = None): Manifest =
       commitLock(root).synchronized {
     def name(d: String) = new Path(d).getName
     val dispN = displaced.map(name).toSet
     val addN = added.map(name)
     val cur = readManifest(spark, root).getOrElse(throw new IllegalStateException(
       s"$root: commitReconciled on a table with no manifest"))
+    checkConstraintCas(root, cur.checks, expectedChecks)
     if (cur.gen != base.gen) {
       // ---- rebase path: verify the delta commutes with what interleaved
       // (set-indexed lookups: a full-rewrite op pins EVERY dir, so
@@ -1055,9 +1069,12 @@ object ManifestCommit {
       stats: Seq[ColStats] = Nil,
       expectedGen: Option[Long] = None,
       op: String = "append",
-      txn: Option[(String, Long)] = None): Manifest =
+      txn: Option[(String, Long)] = None,
+      expectedChecks: Option[Map[String, String]] = None): Manifest =
       commitLock(root).synchronized {
     val prev = readManifest(spark, root)
+    checkConstraintCas(root, prev.map(_.checks).getOrElse(Map.empty),
+      expectedChecks)
     txn.foreach { case (writer, ver) =>
       prev.foreach { p =>
         if (p.txns.get(writer).exists(_ >= ver)) {
@@ -1135,6 +1152,21 @@ object ManifestCommit {
     * the manifest PUT carries If-Match on the read ETag, which closes it
     * (the single-mutable-file design exists exactly so the store's
     * conditional write can arbitrate writers). */
+  /** A writer that VALIDATED its rows against one constraint set must
+    * not commit under another — a concurrent ADD CONSTRAINT between the
+    * writer's read and its commit would otherwise land rows no one
+    * proved (the same class of conflict as a concurrent schema change).
+    * Callers pass the checks they enforced; None skips the guard
+    * (non-enforcing internal writers). */
+  private def checkConstraintCas(root: String, current: Map[String, String],
+      expected: Option[Map[String, String]]): Unit =
+    expected.foreach { e =>
+      if (e != current) throw new ConcurrentCommitException(
+        s"$root: CHECK constraints changed concurrently (validated " +
+          s"against ${e.keys.toSeq.sorted.mkString(",")}; table now has " +
+          s"${current.keys.toSeq.sorted.mkString(",")}) — re-read and retry")
+    }
+
   private def checkCas(root: String, prev: Option[Manifest],
       expectedGen: Option[Long]): Unit =
     expectedGen.foreach { eg =>

@@ -133,19 +133,6 @@ object MergeInto {
       evolveSchema: Boolean = false,
       retries: Int = 0,
       unmatchedDeleteInserts: Boolean = false): MergeResult = {
-    // CHECK constraints: prove the incoming rows (minus those the
-    // DELETE clause removes) before any rewrite — one aggregate over
-    // the SOURCE, never the table; zero cost when no constraint is set
-    locally {
-      val checks = ManifestCommit.readManifest(spark, root)
-        .map(_.checks).getOrElse(Map.empty)
-      if (checks.nonEmpty) {
-        val incoming = deleteWhen
-          .map(d => source.filter(!coalesce(d, lit(false))))
-          .getOrElse(source)
-        ManifestCommit.enforceChecks(spark, root, incoming, "MERGE")
-      }
-    }
     var attempt = 0
     while (attempt < retries.max(0)) {
       try return mergeOnce(spark, root, source, keys, deleteWhen,
@@ -346,6 +333,13 @@ object MergeInto {
     // displaced set; kept dirs' stats and DVs (including concurrent
     // repoints on dirs this merge never read) carry from the CURRENT
     // generation; a disjoint concurrent append grafts in
+    // CHECK constraints are proven on the STAGED output — exactly the
+    // rows that will serve reads, so delete-clause rows (never written)
+    // and nondeterministic sources are handled soundly; a violation
+    // deletes the staged dir and refuses the merge before any commit
+    if (upd + ins + keep > 0)
+      ManifestCommit.validateWrittenChecks(spark, root, m.checks,
+        Seq(newName), "MERGE")
     val committed =
       try ManifestCommit.commitReconciled(
         spark, root, base = m,
@@ -356,7 +350,8 @@ object MergeInto {
         schema = Some(unionSchema),
         op = "merge",
         pinned = touched,
-        disjoint = disjointFromSource)
+        disjoint = disjointFromSource,
+        expectedChecks = if (m.checks.nonEmpty) Some(m.checks) else None)
       catch {
         case e: ManifestCommit.ConcurrentCommitException =>
           // the staged rewrite can never be referenced — reclaim it now
@@ -654,13 +649,6 @@ object MergeInto {
         (!ManifestCommit.PseudoStats(c) && names(c)))
     val src = ManifestCommit.readDirsOf(spark, root, m, affected, Some(tSchema))
     val obs = Observation()
-    // UPDATE can move a row OUT of a CHECK constraint; prove the
-    // rewritten frame (affected dirs only — unchanged rows satisfy by
-    // invariant) before anything lands. DELETE only removes rows.
-    if (op == "update")
-      ManifestCommit.enforceChecks(spark, root,
-        transform(ManifestCommit.readDirsOf(spark, root, m, affected,
-          Some(tSchema)), cond), "UPDATE")
     val out = transform(src.observe(obs,
       sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as("matched"),
       count(lit(1)).as("total")), cond)
@@ -677,13 +665,19 @@ object MergeInto {
           .delete(new org.apache.hadoop.fs.Path(newDir), true)
         Nil
       } else Seq(newDir)
+    // UPDATE can move a row OUT of a CHECK constraint: the staged
+    // rewrite is validated byte-for-byte before commit (DELETE only
+    // removes rows and needs no proof)
+    if (op == "update")
+      ManifestCommit.validateWrittenChecks(spark, root, m.checks, added, "UPDATE")
     val stats = added.map(d =>
       d -> (if (statCols.isEmpty) Nil
             else ManifestCommit.dirStats(spark, d, statCols))).toMap
     val committed = ManifestCommit.commitReconciled(spark, root, m,
       displaced = affected, added = added, addedStats = stats,
       schema = m.tableSchema, op = op, pinned = affected.toSet,
-      disjoint = (_, st) => ex.disjoint(st))
+      disjoint = (_, st) => ex.disjoint(st),
+      expectedChecks = if (op == "update") Some(m.checks) else None)
     RowOpResult(committed.gen, m.dirs.size, affected.size, matched)
   }
 }

@@ -396,6 +396,11 @@ case class GraftResolveRelations(spark: SparkSession)
           if constraintRoot(acc.child).isDefined =>
         val root = constraintRoot(acc.child).get
         val c = acc.checkConstraint
+        require(c.userProvidedCharacteristic ==
+          org.apache.spark.sql.catalyst.expressions.ConstraintCharacteristic(None, None),
+          "graft ADD CONSTRAINT: ENFORCED is the only supported " +
+            "characteristic — NOT ENFORCED / RELY clauses would silently " +
+            "change meaning and are rejected")
         val name = Option(c.userProvidedName).filter(_.nonEmpty)
           .getOrElse(throw new IllegalArgumentException(
             "graft ADD CONSTRAINT: a constraint name is required " +
@@ -502,7 +507,8 @@ case class GraftResolveRelations(spark: SparkSession)
           throw new IllegalArgumentException(s"graft.$name: no manifest at $root"))
         val schema = m.tableSchema.getOrElse(
           ManifestCommit.readDirsOf(spark, root, m, m.dirs).schema)
-        val cols = schema.fields.map(f => s"  ${f.name} ${f.dataType.sql}")
+        def bq(n: String) = "`" + n.replace("`", "``") + "`"
+        val cols = schema.fields.map(f => s"  ${bq(f.name)} ${f.dataType.sql}")
           .mkString(",\n")
         // reverse-map the stored slicing SQL to the transform CREATE
         // accepts, so the emitted statement round-trips through our own
@@ -510,12 +516,12 @@ case class GraftResolveRelations(spark: SparkSession)
         val DateFmt = """date_format\((\w+), '(\w+)'\)""".r
         val Bucket = """pmod\(hash\((\w+)\), (\d+)\)""".r
         val partitioned = m.slice.map {
-          case DateFmt(c, "yyyy") => s"PARTITIONED BY (years($c))\n"
-          case DateFmt(c, "yyyyMM") => s"PARTITIONED BY (months($c))\n"
-          case DateFmt(c, "yyyyMMdd") => s"PARTITIONED BY (days($c))\n"
-          case DateFmt(c, "yyyyMMddHH") => s"PARTITIONED BY (hours($c))\n"
-          case Bucket(c, n) => s"PARTITIONED BY (bucket($n, $c))\n"
-          case s if schema.fieldNames.contains(s) => s"PARTITIONED BY ($s)\n"
+          case DateFmt(c, "yyyy") => s"PARTITIONED BY (years(${bq(c)}))\n"
+          case DateFmt(c, "yyyyMM") => s"PARTITIONED BY (months(${bq(c)}))\n"
+          case DateFmt(c, "yyyyMMdd") => s"PARTITIONED BY (days(${bq(c)}))\n"
+          case DateFmt(c, "yyyyMMddHH") => s"PARTITIONED BY (hours(${bq(c)}))\n"
+          case Bucket(c, n) => s"PARTITIONED BY (bucket($n, ${bq(c)}))\n"
+          case s if schema.fieldNames.contains(s) => s"PARTITIONED BY (${bq(s)})\n"
           case s => s"/* slicing: $s */\n"
         }.getOrElse("")
         // constraints are not part of the CREATE grammar — emit the
@@ -524,7 +530,7 @@ case class GraftResolveRelations(spark: SparkSession)
           s"\n-- ALTER TABLE graft.$name ADD CONSTRAINT $n CHECK ($c)"
         }.mkString
         val stmt = s"CREATE TABLE graft.$name (\n$cols)\n" +
-          s"${partitioned}LOCATION '$root'$constraints"
+          s"${partitioned}LOCATION '${root.replace("'", "\\'")}'$constraints"
         LocalRelation(sct.output, Seq(InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(stmt))))
 

@@ -200,6 +200,14 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         require(m.dvs.isEmpty,
           "graft ALTER DROP COLUMNS: table carries deletion vectors — " +
             "compact them away first (Optimize.compactSmall/zorder or merge)")
+        // a CHECK constraint over a dropped column would brick every
+        // later enforced write with an unresolved-column error
+        m.checks.foreach { case (cn, cond) =>
+          val refs = GraftWriteUtil.sliceRefCols(cond, cur.fieldNames.toSeq)
+          require(!refs.exists(dropped),
+            s"graft ALTER DROP COLUMNS: CHECK constraint $cn ($cond) " +
+              "references a dropped column — DROP CONSTRAINT first")
+        }
         m.slice.foreach { s =>
           val refs = GraftWriteUtil.sliceRefCols(s, cur.fieldNames.toSeq)
           require(!refs.exists(dropped),
@@ -364,8 +372,13 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
 
   override def run(): Seq[InternalRow] = {
     val df = org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(spark, query)
-    ManifestCommit.enforceChecks(spark, root, df, "INSERT")
     val prev = ManifestCommit.readManifest(spark, root)
+    // CHECK constraints are proven on the STAGED dirs after the write
+    // (sound for nondeterministic queries — the validated bytes are the
+    // served bytes); the commit then CAS-guards against a concurrent
+    // constraint change
+    val checks = prev.map(_.checks).getOrElse(Map.empty)
+    val checksCas = if (checks.nonEmpty) Some(checks) else None
     val recorded = prev
       .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
       .filter(c => c == ManifestCommit.RowCountStat ||
@@ -388,6 +401,8 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
       case Some(sliceText) =>
         val sliceCol = org.apache.spark.sql.functions.expr(sliceText)
         val dirs = ManifestCommit.writeSliced(spark, root, df, sliceCol, statCols)
+        ManifestCommit.validateWrittenChecks(spark, root, checks,
+          dirs.map(_._1), "INSERT")
         if (overwrite)
           ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
             pruneDisplaced = false, stats = dirs.toMap,
@@ -399,11 +414,14 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
           // the current generation carry through
           ManifestCommit.commitReconciled(spark, root, base = prev.get,
             displaced = Nil, added = dirs.map(_._1), addedStats = dirs.toMap,
-            schema = prev.flatMap(_.tableSchema), op = "insert")
+            schema = prev.flatMap(_.tableSchema), op = "insert",
+            expectedChecks = checksCas)
         ()
       case None =>
         val dir = ManifestCommit.newDataDir(root)
         df.write.parquet(dir)
+        ManifestCommit.validateWrittenChecks(spark, root, checks,
+          Seq(dir), "INSERT")
         val stats =
           if (statCols.isEmpty) Nil else ManifestCommit.dirStats(spark, dir, statCols)
         if (overwrite)
@@ -411,7 +429,8 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
             pruneDisplaced = false, stats = Map(dir -> stats),
             schema = prev.flatMap(_.tableSchema), op = "insert_overwrite")
         else {
-          ManifestCommit.commitAppend(spark, root, dir, stats = stats, op = "insert")
+          ManifestCommit.commitAppend(spark, root, dir, stats = stats,
+            op = "insert", expectedChecks = checksCas)
           ()
         }
     }

@@ -430,7 +430,7 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
         df.select(out.toIndexedSeq: _*)
       case None => df
     }
-    ManifestCommit.enforceChecks(spark, root, aligned, "streaming append")
+    val checks = prev.map(_.checks).getOrElse(Map.empty)
     if (prev.isEmpty)
       ManifestCommit.commitReplace(spark, root, Nil, pruneDisplaced = false,
         schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),
@@ -451,11 +451,17 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
           ManifestCommit.RowCountStat).getOrElse(Nil)
     val dir = ManifestCommit.newDataDir(root)
     aligned.write.parquet(dir)
+    // CHECK constraints proven on the staged dir before commit (the
+    // validated bytes are the served bytes); violation deletes it and
+    // fails the batch — the stream stops instead of landing bad rows
+    ManifestCommit.validateWrittenChecks(spark, root, checks,
+      Seq(dir), "streaming append")
     val stats =
       if (statCols.isEmpty) Nil
       else ManifestCommit.dirStats(spark, dir, statCols)
     ManifestCommit.commitAppend(spark, root, dir, stats = stats,
-      op = "stream_append", txn = Some(appId -> batchId))
+      op = "stream_append", txn = Some(appId -> batchId),
+      expectedChecks = if (checks.nonEmpty) Some(checks) else None)
     ()
   }
 

@@ -369,6 +369,57 @@ class GraftDdlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft.ddlspec_ck")
   }
 
+  test("constraint hardening: delete-clause inserts, duplicates, NOT ENFORCED, DROP COLUMN, concurrent add") {
+    import graft.ingest.ManifestCommit
+    val loc = scratch() + "/ck2"
+    spark.sql(
+      s"CREATE TABLE graft.ddlspec_ck2 (id BIGINT, amt DOUBLE) LOCATION '$loc'")
+    try {
+      spark.sql("INSERT INTO graft.ddlspec_ck2 VALUES (1, 10.0)")
+      spark.sql("ALTER TABLE graft.ddlspec_ck2 ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+      // an UNMATCHED source row under the DELETE clause falls through to
+      // NOT MATCHED INSERT — it LANDS, so it must be constraint-checked
+      spark.range(999, 1000).toDF("id").withColumn("amt", lit(-5.0))
+        .withColumn("kill", lit(true)).createOrReplaceTempView("ck2_src")
+      val e1 = intercept[Exception] { spark.sql(
+        """MERGE INTO graft.ddlspec_ck2 t USING ck2_src s ON t.id = s.id
+          |WHEN MATCHED AND s.kill THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)""".stripMargin)
+      }
+      assert(e1.getMessage.contains("amt_pos"), e1.getMessage)
+      assert(spark.sql("SELECT count(*) FROM graft.ddlspec_ck2")
+        .head.getLong(0) === 1L)
+      // duplicate names refuse instead of silently replacing (weakening)
+      val e2 = intercept[Exception] { spark.sql(
+        "ALTER TABLE graft.ddlspec_ck2 ADD CONSTRAINT amt_pos CHECK (amt > -99)")
+      }
+      assert(e2.getMessage.contains("already has"), e2.getMessage)
+      assert(ManifestCommit.readManifest(spark, loc).get
+        .checks("amt_pos") === "amt > 0")
+      // NOT ENFORCED would silently mean the opposite of what we do
+      val e3 = intercept[Exception] { spark.sql(
+        "ALTER TABLE graft.ddlspec_ck2 ADD CONSTRAINT ne CHECK (amt > 0) NOT ENFORCED")
+      }
+      assert(e3.getMessage.contains("ENFORCED"), e3.getMessage)
+      // dropping a constrained column would brick every later write
+      val e4 = intercept[Exception] { spark.sql(
+        "ALTER TABLE graft.ddlspec_ck2 DROP COLUMN amt")
+      }
+      assert(e4.getMessage.contains("amt_pos"), e4.getMessage)
+      // a writer that validated under one constraint set must not commit
+      // under another (concurrent ADD CONSTRAINT between read and commit)
+      val d = ManifestCommit.newDataDir(loc)
+      spark.range(50, 51).toDF("id").withColumn("amt", lit(1.0))
+        .write.parquet(d)
+      val e5 = intercept[ManifestCommit.ConcurrentCommitException] {
+        ManifestCommit.commitAppend(spark, loc, d,
+          expectedChecks = Some(Map.empty)) // validated against NO checks
+      }
+      assert(e5.getMessage.contains("constraints changed"), e5.getMessage)
+    } finally spark.sql("DROP TABLE graft.ddlspec_ck2")
+  }
+
   test("SHOW CREATE TABLE emits round-trippable DDL") {
     val loc = scratch() + "/sc"
     spark.sql(
@@ -378,8 +429,8 @@ class GraftDdlSpec extends SparkSpec {
       val stmt = spark.sql("SHOW CREATE TABLE graft.ddlspec_sc")
         .collect()(0).getString(0)
       assert(stmt.contains("CREATE TABLE graft.ddlspec_sc"), stmt)
-      assert(stmt.contains("id BIGINT"), stmt)
-      assert(stmt.contains("PARTITIONED BY (months(ts))"), stmt)
+      assert(stmt.contains("`id` BIGINT"), stmt)
+      assert(stmt.contains("PARTITIONED BY (months(`ts`))"), stmt)
       assert(stmt.contains(s"LOCATION '$loc'"), stmt)
       // the emitted DDL ROUND-TRIPS through our own parser: executing it
       // under a new name + location creates an equivalent table
