@@ -417,14 +417,23 @@ object ManifestCommit {
     require(!m.checks.contains(name),
       s"$root already has a CHECK constraint $name " +
         s"(${m.checks(name)}); DROP CONSTRAINT $name first to replace it")
-    val cond = org.apache.spark.sql.functions.expr(conditionSql)
-    require(org.apache.spark.sql.graftbridge.ColumnBridge
-      .expression(cond).deterministic,
+    // the determinism guard must run on the RESOLVED condition: on the
+    // unresolved expr(...), UnresolvedFunction defaults deterministic =
+    // true, so `CHECK (rand() < 0.5)` would slip past and later writes
+    // would pass/fail nondeterministically. Analyzing a filter over the
+    // live table resolves functions and columns (an unknown column fails
+    // HERE, not at first write).
+    val live = read(spark, root)
+    val resolvedCond = live
+      .filter(org.apache.spark.sql.functions.expr(conditionSql))
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(throw new IllegalStateException(
+        s"constraint $name: could not analyze condition $conditionSql"))
+    require(resolvedCond.deterministic,
       s"constraint $name: the condition must be deterministic")
-    // the existing data must satisfy the constraint (analysis of the
-    // expression against the live schema happens here too — an unknown
-    // column fails now, not at first write)
-    val bad = violations(read(spark, root), Map(name -> conditionSql))
+    // the existing data must satisfy the constraint
+    val bad = violations(live, Map(name -> conditionSql))
     if (bad.nonEmpty) throw new IllegalArgumentException(
       s"cannot add CHECK constraint $name ($conditionSql) to $root: " +
         s"${bad.head._2} existing row(s) violate it")
@@ -515,8 +524,8 @@ object ManifestCommit {
           "the rollback window you need"))
     commitReplace(spark, root, m.dirs, pruneDisplaced = false,
       stats = m.stats, schema = m.tableSchema, op = "restore",
-      dvs = m.dvs, slice = m.slice, expectedGen = Some(cur.gen),
-      checks = Some(m.checks))
+      dvs = m.dvs, slice = m.slice, clearSlice = true,
+      expectedGen = Some(cur.gen), checks = Some(m.checks))
   }
 
   /** Physical kind of each retained per-generation metadata record —
@@ -816,7 +825,17 @@ object ManifestCommit {
   /** `slice`: record (or at creation, set) the table's slicing expression
     * — SQL text over the table's columns; `None` INHERITS the previous
     * generation's (slicing is standing layout policy, and an INSERT
-    * OVERWRITE must not silently drop it). */
+    * OVERWRITE must not silently drop it). `clearSlice = true` makes
+    * `slice` authoritative instead — `None` then records NO slicing
+    * expression (RESTORE to a pre-slicing generation must restore its
+    * absence, not inherit the current one).
+    *
+    * `expectedChecks`: the CHECK-constraint set the caller VALIDATED its
+    * rows against (pass `Some(Map.empty)` when the table had none —
+    * skipping the guard on an empty read is exactly the hole that lets a
+    * concurrent ADD CONSTRAINT join unproven rows); `None` only for
+    * writers that re-state rows already proven (metadata-only commits
+    * CAS-guarded by `expectedGen`, TRUNCATE, row-removal). */
   def commitReplace(spark: SparkSession, root: String, dirs: Seq[String],
       pruneDisplaced: Boolean = true,
       stats: Map[String, Seq[ColStats]] = Map.empty,
@@ -825,10 +844,14 @@ object ManifestCommit {
       op: String = "replace",
       dvs: Map[String, String] = Map.empty,
       slice: Option[String] = None,
-      checks: Option[Map[String, String]] = None): Manifest =
+      checks: Option[Map[String, String]] = None,
+      expectedChecks: Option[Map[String, String]] = None,
+      clearSlice: Boolean = false): Manifest =
       commitLock(root).synchronized {
     val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
     val prev = readManifest(spark, root)
+    checkConstraintCas(root, prev.map(_.checks).getOrElse(Map.empty),
+      expectedChecks)
     checkCas(root, prev, expectedGen)
     // schema is caller-asserted, never silently inherited: a full replace
     // may legitimately change the table's shape, and a stale schema line
@@ -841,7 +864,7 @@ object ManifestCommit {
       stats.map { case (d, cs) => new Path(d).getName -> cs }, schema, Some(op),
       dvs.map { case (d, f) => new Path(d).getName -> f },
       prev.map(_.txns).getOrElse(Map.empty),
-      slice.orElse(prev.flatMap(_.slice)),
+      if (clearSlice) slice else slice.orElse(prev.flatMap(_.slice)),
       checks.getOrElse(prev.map(_.checks).getOrElse(Map.empty)))
     writeManifest(spark, root, m)
     if (pruneDisplaced) {

@@ -351,7 +351,9 @@ object MergeInto {
         op = "merge",
         pinned = touched,
         disjoint = disjointFromSource,
-        expectedChecks = if (m.checks.nonEmpty) Some(m.checks) else None)
+        // Some even when the read set was empty — a concurrent ADD
+        // CONSTRAINT must fail this commit's CAS, not adopt its rows
+        expectedChecks = Some(m.checks))
       catch {
         case e: ManifestCommit.ConcurrentCommitException =>
           // the staged rewrite can never be referenced — reclaim it now

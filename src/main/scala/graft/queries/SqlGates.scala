@@ -450,7 +450,14 @@ object SqlGates {
     GraftSql.register(name, root)
     try {
       def probe(g: Long, ts: Long): (Long, Long, Boolean, Boolean) = {
-        val tsLit = new java.sql.Timestamp(ts).toString
+        // render the probe literal in the SESSION timezone (where
+        // TIMESTAMP AS OF interprets it) — java.sql.Timestamp.toString
+        // renders in the JVM default zone and flakes whenever the two
+        // differ (Spark's parser rejects bare epoch-millis here)
+        val tsLit = java.time.Instant.ofEpochMilli(ts)
+          .atZone(java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone))
+          .toLocalDateTime.format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
         val viaSql = s.sql(s"SELECT count(*), CAST(sum(o_orderkey) AS BIGINT) " +
           s"FROM graft.$name TIMESTAMP AS OF '$tsLit'").collect()(0)
         val viaVer = s.sql(s"SELECT count(*), CAST(sum(o_orderkey) AS BIGINT) " +

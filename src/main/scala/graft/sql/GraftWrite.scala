@@ -29,13 +29,18 @@ private[graft] object GraftWriteUtil {
 
   /** Table columns the slicing expression references — the natural stat
     * columns of a freshly created sliced table (`months(ts)` → ts range
-    * stats per month dir, so date pruning works from the first insert). */
+    * stats per month dir, so date pruning works from the first insert).
+    * Matching is CASE-INSENSITIVE (the default analyzer resolution —
+    * `CHECK (PRICE > 0)` resolves against column `price`) and returns
+    * the schema's CANONICAL names, so consumers comparing against field
+    * names (stat metering, the DROP COLUMNS reference guards) agree
+    * with how validation actually resolved. */
   def sliceRefCols(sliceText: String, fieldNames: Seq[String]): Seq[String] =
     org.apache.spark.sql.graftbridge.ColumnBridge
       .expression(org.apache.spark.sql.functions.expr(sliceText)).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.name
-      }.filter(fieldNames.contains).distinct
+      }.flatMap(n => fieldNames.find(_.equalsIgnoreCase(n))).distinct
 }
 
 /** Plans the SQL write commands ([[GraftInsert]]/[[GraftDelete]]/
@@ -104,16 +109,22 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
             case Some(s) =>
               val dirs = ManifestCommit.writeSliced(spark, root, df,
                 org.apache.spark.sql.functions.expr(s), statCols)
+              // expectedChecks = empty: CTAS rows were never validated
+              // against any constraint — a constraint that appeared
+              // concurrently (CREATE+ADD racing this CTAS) must fail
+              // the commit, not silently govern unproven rows
               ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
                 pruneDisplaced = false, stats = dirs.toMap,
-                schema = Some(schema), op = "create", slice = slice)
+                schema = Some(schema), op = "create", slice = slice,
+                expectedChecks = Some(Map.empty))
             case None =>
               val d = ManifestCommit.newDataDir(root)
               df.write.parquet(d)
               ManifestCommit.commitReplace(spark, root, Seq(d),
                 pruneDisplaced = false,
                 stats = Map(d -> ManifestCommit.dirStats(spark, d, statCols)),
-                schema = Some(schema), op = "create")
+                schema = Some(schema), op = "create",
+                expectedChecks = Some(Map.empty))
           }
           GraftSql.register(name, root)
         }
@@ -375,10 +386,12 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
     val prev = ManifestCommit.readManifest(spark, root)
     // CHECK constraints are proven on the STAGED dirs after the write
     // (sound for nondeterministic queries — the validated bytes are the
-    // served bytes); the commit then CAS-guards against a concurrent
-    // constraint change
+    // served bytes); the commit then CAS-guards against ANY concurrent
+    // constraint change — Some even when the read set was EMPTY, so a
+    // concurrent ADD CONSTRAINT (which validated only the rows visible
+    // to it) cannot be silently joined by this write's unproven rows
     val checks = prev.map(_.checks).getOrElse(Map.empty)
-    val checksCas = if (checks.nonEmpty) Some(checks) else None
+    val checksCas = Some(checks)
     val recorded = prev
       .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
       .filter(c => c == ManifestCommit.RowCountStat ||
@@ -406,7 +419,8 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
         if (overwrite)
           ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
             pruneDisplaced = false, stats = dirs.toMap,
-            schema = prev.flatMap(_.tableSchema), op = "insert_overwrite")
+            schema = prev.flatMap(_.tableSchema), op = "insert_overwrite",
+            expectedChecks = checksCas)
         else
           // multi-dir append: nothing displaced, nothing pinned — an
           // insert reads no table state, so it commutes with any
@@ -427,7 +441,8 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
         if (overwrite)
           ManifestCommit.commitReplace(spark, root, Seq(dir),
             pruneDisplaced = false, stats = Map(dir -> stats),
-            schema = prev.flatMap(_.tableSchema), op = "insert_overwrite")
+            schema = prev.flatMap(_.tableSchema), op = "insert_overwrite",
+            expectedChecks = checksCas)
         else {
           ManifestCommit.commitAppend(spark, root, dir, stats = stats,
             op = "insert", expectedChecks = checksCas)

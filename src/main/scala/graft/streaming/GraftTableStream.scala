@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, lit, split}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -34,6 +34,10 @@ import graft.ingest.{ChangeFeed, ManifestCommit}
   *    AFTER generation gen. `startingVersion=latest`: only commits after
   *    stream start.
   *  - `maxGensPerTrigger=<n>`: rate limit — at most n commits per batch.
+  *    DEFAULTS to 256 (the Delta maxFilesPerTrigger idea): a replica
+  *    recovering from a long outage must drain its backlog in bounded
+  *    batches, not plan one batch with O(backlog) children. Set
+  *    `maxGensPerTrigger=none` to disable.
   *  - `skipChangeCommits=true`: skip non-append commits (merge/delete/
   *    update rewrites) instead of failing the stream. Compaction commits
   *    (`compact*`/`zorder` — same rows, new layout) are always skipped:
@@ -102,6 +106,10 @@ private[streaming] object GraftTableSource {
   private[streaming] val CompactOps =
     Set("compact", "compact_minor", "compact_months", "zorder")
 
+  /** Default commits-per-batch rate limit (Delta defaults
+    * maxFilesPerTrigger=1000; a graft commit is typically one dir). */
+  private[streaming] val DefaultMaxGensPerTrigger = 256L
+
   def rootOf(spark: SparkSession, params: Map[String, String]): String =
     params.get("path").orElse(params.get("table").map { n =>
       graft.sql.GraftSql.rootOf(n).getOrElse(throw
@@ -140,8 +148,15 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     "graft stream: readChangeFeed=true requires keys=<k1,k2,...> " +
       "(the row identity the feed diffs on)")
   private val skipChange = params.get("skipChangeCommits").exists(_.toBoolean)
-  private val maxGens = params.get("maxGensPerTrigger").map(_.toLong)
-  maxGens.foreach(m => require(m > 0, s"maxGensPerTrigger must be > 0 (got $m)"))
+  private val maxGens: Option[Long] =
+    params.get("maxGensPerTrigger") match {
+      case Some("none") => None // explicit opt-out: unbounded batches
+      case Some(v) =>
+        val m = v.toLong
+        require(m > 0, s"maxGensPerTrigger must be > 0 (got $v)")
+        Some(m)
+      case None => Some(GraftTableSource.DefaultMaxGensPerTrigger)
+    }
 
   private val liveAtStart: Long =
     ManifestCommit.readManifest(spark, root).getOrElse(
@@ -317,18 +332,66 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
         else lit(null).cast(f.dataType).as(f.name)
       } :+ col(ChangeFeed.ChangeType)): _*)
     }
-    val frames = (from + 1).to(to).flatMap { g =>
-      if (CompactOps(maniAt(g).op.getOrElse(""))) None
-      else {
-        val changes =
-          if (g == 1) ManifestCommit.readAt(spark, root, 1L)
-            .withColumn(ChangeFeed.ChangeType, lit("insert"))
-          else ChangeFeed.diff(spark, root, g - 1, g, keys)
-        Some(cut(changes).withColumn("_commit_version", lit(g)))
+    // Append-only commits need NO diff join — their changes ARE the
+    // appended dirs as inserts. Consecutive runs of them COALESCE into
+    // one scan over all their dirs (recovery from an N-append backlog is
+    // one batched read, not N sequential plans); each row's
+    // _commit_version comes back from its file path's dir segment via a
+    // tiny broadcast lookup. Only data-changing commits (merge/delete —
+    // rare next to appends) pay a per-generation ChangeFeed.diff.
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val pending = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def flush(): Unit = if (pending.nonEmpty) {
+      val lookupRows = pending.toSeq.map { case (d, g) =>
+        org.apache.spark.sql.Row(d, g) }
+      val lookup = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(lookupRows: _*)),
+        StructType(Seq(StructField("__g_dir", StringType, false),
+          StructField("__g_gen", LongType, false))))
+      frames += spark.read.schema(readSchema)
+        .parquet(pending.toSeq.map { case (d, _) => s"$root/$d" }: _*)
+        .withColumn("__g_dir", element_at(split(input_file_name(), "/"), -2))
+        .join(broadcast(lookup), "__g_dir")
+        .withColumn(ChangeFeed.ChangeType, lit("insert"))
+        .withColumnRenamed("__g_gen", "_commit_version")
+        .drop("__g_dir")
+      pending.clear()
+    }
+    (from + 1).to(to).foreach { g =>
+      val cur = maniAt(g)
+      if (!CompactOps(cur.op.getOrElse(""))) {
+        val prev = maniAt(g - 1)
+        def ident(m: ManifestCommit.Manifest)(d: String) = (d, m.dvs.get(d))
+        val prevSet = prev.dirs.map(ident(prev)).toSet
+        val added = cur.dirs.filterNot(d => prevSet(ident(cur)(d)))
+        val curSet = cur.dirs.map(ident(cur)).toSet
+        val removed = prev.dirs.filterNot(d => curSet(ident(prev)(d)))
+        val (dvd, plain) = added.partition(cur.dvs.contains)
+        if (removed.isEmpty && dvd.isEmpty) pending ++= plain.map(_ -> g)
+        else {
+          flush()
+          val changes =
+            if (g == 1) ManifestCommit.readAt(spark, root, 1L)
+              .withColumn(ChangeFeed.ChangeType, lit("insert"))
+            else ChangeFeed.diff(spark, root, g - 1, g, keys)
+          frames += cut(changes).withColumn("_commit_version", lit(g))
+        }
       }
     }
-    if (frames.isEmpty) emptyBatch else frames.reduce(_.unionByName(_))
+    flush()
+    unionBounded(frames.toSeq)
   }
+
+  /** Union in bounded groups rather than one flat left-deep reduce: a
+    * backlog batch with many per-generation frames must not build a
+    * plan whose analysis recurses linearly in backlog length. */
+  private val UnionGroup = 32
+  private def unionBounded(frames: Seq[DataFrame]): DataFrame =
+    if (frames.isEmpty) emptyBatch
+    else if (frames.size == 1) frames.head
+    else frames.grouped(UnionGroup).map(_.reduce(_.unionByName(_)))
+      .reduce(_.unionByName(_))
 
   /** Generation g's manifest; g = 0 (the `startingVersion=1` floor) is
     * the empty pre-history — gen 1's predecessor — so "everything from
@@ -347,18 +410,33 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     * (as [[ChangeFeed.diff]]): a DV-only delete is a data change, not an
     * append. */
   private def appendsBetween(from: Long, to: Long): DataFrame = {
-    val frames = (from + 1).to(to).flatMap { g =>
+    // DV-free appended dirs COALESCE across generations into one scan
+    // (recovery from an N-append backlog plans one batched read, not N
+    // sequential per-generation reads); the rare appended dir that
+    // already carries a deletion vector reads DV-aware on its own.
+    val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val pending = scala.collection.mutable.ArrayBuffer[String]()
+    def flush(): Unit = if (pending.nonEmpty) {
+      frames += spark.read.schema(readSchema)
+        .parquet(pending.toSeq.map(d => s"$root/$d"): _*)
+      pending.clear()
+    }
+    (from + 1).to(to).foreach { g =>
       val prev = maniAt(g - 1); val cur = maniAt(g)
       def ident(m: ManifestCommit.Manifest)(d: String) = (d, m.dvs.get(d))
       val prevSet = prev.dirs.map(ident(prev)).toSet
       val added = cur.dirs.filterNot(d => prevSet(ident(cur)(d)))
       val curSet = cur.dirs.map(ident(cur)).toSet
       val removed = prev.dirs.filterNot(d => curSet(ident(prev)(d)))
-      if (removed.isEmpty)
-        if (added.isEmpty) None
-        else Some(align(
-          ManifestCommit.readDirsOf(spark, root, cur, added, Some(readSchema))))
-      else if (CompactOps(cur.op.getOrElse("")) || skipChange) None
+      if (removed.isEmpty) {
+        val (dvd, plain) = added.partition(cur.dvs.contains)
+        pending ++= plain
+        if (dvd.nonEmpty) {
+          flush()
+          frames += align(
+            ManifestCommit.readDirsOf(spark, root, cur, dvd, Some(readSchema)))
+        }
+      } else if (CompactOps(cur.op.getOrElse("")) || skipChange) ()
       else throw new IllegalStateException(
         s"graft stream over $root: generation $g is a data-changing " +
           s"commit (op=${cur.op.getOrElse("?")}, ${removed.size} dirs " +
@@ -366,7 +444,8 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
           "only; set skipChangeCommits=true to skip such commits, or " +
           "readChangeFeed=true with keys=... to consume row-level changes")
     }
-    if (frames.isEmpty) emptyBatch else frames.reduce(_.unionByName(_))
+    flush()
+    unionBounded(frames.toSeq.map(align))
   }
 
   private def align(df: DataFrame): DataFrame =
@@ -459,9 +538,12 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
     val stats =
       if (statCols.isEmpty) Nil
       else ManifestCommit.dirStats(spark, dir, statCols)
+    // Some even when empty: a concurrent ADD CONSTRAINT landing between
+    // this batch's validation and its commit must fail the CAS (and the
+    // engine retries the batch), never silently govern unproven rows
     ManifestCommit.commitAppend(spark, root, dir, stats = stats,
       op = "stream_append", txn = Some(appId -> batchId),
-      expectedChecks = if (checks.nonEmpty) Some(checks) else None)
+      expectedChecks = Some(checks))
     ()
   }
 

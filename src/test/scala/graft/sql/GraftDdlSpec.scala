@@ -490,4 +490,99 @@ class GraftDdlSpec extends SparkSpec {
       assert(e2.getMessage.contains("not retained"), e2.getMessage)
     } finally GraftSql.unregister("ddlspec_restore")
   }
+
+  test("constraint CAS: a concurrently ADDed constraint fails empty-at-read " +
+      "writers and overwrites, in BOTH interleavings") {
+    val loc = scratch() + "/ck3"
+    spark.sql(
+      s"CREATE TABLE graft.ddlspec_ck3 (id BIGINT, amt DOUBLE) LOCATION '$loc'")
+    try {
+      spark.sql("INSERT INTO graft.ddlspec_ck3 VALUES (1, 10.0)")
+      // WRITER reads the table (sees ZERO constraints) and stages a dir
+      // whose rows violate a constraint about to appear...
+      val d = ManifestCommit.newDataDir(loc)
+      spark.range(2, 3).toDF("id").withColumn("amt", lit(-1.0))
+        .write.parquet(d)
+      // ...then ADD CONSTRAINT lands FIRST (validating only the rows
+      // visible to it)
+      spark.sql(
+        "ALTER TABLE graft.ddlspec_ck3 ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+      // the writer's append under its stale EMPTY read set must refuse —
+      // passing the validated (empty) set, as every enforced writer does
+      val e1 = intercept[ManifestCommit.ConcurrentCommitException] {
+        ManifestCommit.commitAppend(spark, loc, d,
+          expectedChecks = Some(Map.empty))
+      }
+      assert(e1.getMessage.contains("constraints changed"), e1.getMessage)
+      // the overwrite/CTAS path (commitReplace) carries the same guard
+      val e2 = intercept[ManifestCommit.ConcurrentCommitException] {
+        ManifestCommit.commitReplace(spark, loc, Seq(d),
+          pruneDisplaced = false, expectedChecks = Some(Map.empty))
+      }
+      assert(e2.getMessage.contains("constraints changed"), e2.getMessage)
+      // no unproven row landed
+      assert(spark.sql("SELECT count(*) FROM graft.ddlspec_ck3")
+        .head.getLong(0) === 1L)
+      // REVERSE interleaving: the writer lands FIRST under its (empty)
+      // read set — legal; the later ADD CONSTRAINT then validates ALL
+      // live rows, including the fresh violating one, and refuses
+      spark.sql("ALTER TABLE graft.ddlspec_ck3 DROP CONSTRAINT amt_pos")
+      ManifestCommit.commitAppend(spark, loc, d,
+        expectedChecks = Some(Map.empty))
+      val e3 = intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE graft.ddlspec_ck3 ADD CONSTRAINT amt_pos CHECK (amt > 0)")
+      }
+      assert(e3.getMessage.contains("existing row"), e3.getMessage)
+    } finally spark.sql("DROP TABLE graft.ddlspec_ck3")
+  }
+
+  test("constraint guards resolve case-insensitively; determinism is " +
+      "checked on the RESOLVED condition") {
+    val loc = scratch() + "/ck4"
+    spark.sql(
+      s"CREATE TABLE graft.ddlspec_ck4 (id BIGINT, amt DOUBLE) LOCATION '$loc'")
+    try {
+      // a constraint written over the UPPER-CASED column name resolves
+      // (default case-insensitive analysis) — the DROP COLUMN guard must
+      // match it the same way, or the drop bricks every later write
+      spark.sql(
+        "ALTER TABLE graft.ddlspec_ck4 ADD CONSTRAINT amt_pos CHECK (AMT > 0)")
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.ddlspec_ck4 DROP COLUMN amt")
+      }
+      assert(e1.getMessage.contains("amt_pos"), e1.getMessage)
+      // rand() on the UNRESOLVED tree defaults deterministic=true — the
+      // guard must test the analyzer-resolved expression and refuse with
+      // a crisp error (not a confusing downstream aggregate failure)
+      val e2 = intercept[Exception] {
+        ManifestCommit.setCheck(spark, loc, "rnd", "rand() < 0.5")
+      }
+      assert(e2.getMessage.contains("deterministic"), e2.getMessage)
+      assert(ManifestCommit.readManifest(spark, loc).get.checks.keySet
+        === Set("amt_pos"))
+    } finally spark.sql("DROP TABLE graft.ddlspec_ck4")
+  }
+
+  test("RESTORE to a pre-slicing generation restores the ABSENCE of the " +
+      "slicing expression") {
+    val loc = scratch() + "/rs"
+    val df = spark.range(0, 10).toDF("id")
+    val d1 = ManifestCommit.newDataDir(loc)
+    df.write.parquet(d1)
+    ManifestCommit.commitReplace(spark, loc, Seq(d1),
+      pruneDisplaced = false, schema = Some(df.schema)) // gen 1: no slice
+    val d2 = ManifestCommit.newDataDir(loc)
+    df.write.parquet(d2)
+    ManifestCommit.commitReplace(spark, loc, Seq(d2),
+      pruneDisplaced = false, schema = Some(df.schema),
+      slice = Some("id % 2")) // gen 2: slicing recorded
+    assert(ManifestCommit.readManifest(spark, loc).get.slice === Some("id % 2"))
+    ManifestCommit.restore(spark, loc, 1L)
+    // slice=None in gen 1 must be RESTORED as absent, not inherited
+    assert(ManifestCommit.readManifest(spark, loc).get.slice === None)
+    // and restoring forward to gen 2 brings the expression back
+    ManifestCommit.restore(spark, loc, 2L)
+    assert(ManifestCommit.readManifest(spark, loc).get.slice === Some("id % 2"))
+  }
 }

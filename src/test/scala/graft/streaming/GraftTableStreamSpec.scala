@@ -689,4 +689,42 @@ class GraftTableStreamSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a manifest-committed table"))
   }
+
+  test("a stream recovering 500+ commits behind drains in bounded batches " +
+      "(default rate limit), every row exactly once") {
+    val root = Files.createTempDirectory("graft_stream_").toString + "/t"
+    val df = spark.range(0, 5).toDF("id").withColumn("v", col("id") * 2)
+    val seed = ManifestCommit.newDataDir(root)
+    df.write.parquet(seed)
+    ManifestCommit.commitReplace(spark, root, Seq(seed),
+      pruneDisplaced = false, schema = Some(df.schema)) // gen 1
+    // 520 more commits as filesystem copies of the seed dir — the
+    // backlog of a replica that was down through a long outage; commit
+    // cost is O(1) delta records, so this loop is metadata-speed
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seedPath = new org.apache.hadoop.fs.Path(seed)
+    val fs = seedPath.getFileSystem(conf)
+    (1 to 520).foreach { _ =>
+      val d = new org.apache.hadoop.fs.Path(ManifestCommit.newDataDir(root))
+      org.apache.hadoop.fs.FileUtil.copy(fs, seedPath, fs, d, false, conf)
+      ManifestCommit.commitAppend(spark, root, d.toString)
+    }
+    assert(ManifestCommit.readManifest(spark, root).get.gen === 521L)
+    val name = uniq("backlog")
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "1").load(root) // no snapshot: pure tail
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 521L * 5)
+      // the DEFAULT maxGensPerTrigger (256) must have split the backlog:
+      // ceil(521 / 256) = 3 bounded batches, none above the cap
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"expected >= 3 bounded batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 256L * 5),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+  }
 }
