@@ -475,10 +475,16 @@ object MergeInto {
           val matched = liveDir.join(broadcast(distinctKeys), keyCols, "left_semi")
           // matched ROWS (not distinct keys) feed the dv-dead counter:
           // under key duplication within a dir one dv key kills several
-          // rows, and the counter must track rows for live = rows − dead
-          val matchedRows = matched.count()
+          // rows, and the counter must track rows for live = rows − dead.
+          // Both counts ride ONE aggregate (semi-joined rows always carry
+          // fully non-null keys — null-unsafe equality — so countDistinct
+          // equals present.count); a second count job per dir was pure
+          // sequential latency on every delete gate.
+          val cnt = matched.agg(count(lit(1)),
+            countDistinct(keyCols.head, keyCols.tail: _*)).collect()(0)
+          val matchedRows = cnt.getLong(0)
+          val newlyDeleted = cnt.getLong(1)
           val present = matched.select(keyCols.map(col): _*).distinct()
-          val newlyDeleted = present.count()
           if (newlyDeleted == 0L) (d, "", 0L, 0L)
           else {
             val dvDf = m.dvs.get(d) match {

@@ -2641,15 +2641,17 @@ object Pipeline {
     // gen 3: merge-on-read delete of %97 (a DV repoint, no dir rewrite)
     MergeInto.deleteWhere(s, srcRoot,
       orders.filter(pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
-    val out = base + "/feed"
+    // memory sink: the feed is O(changes) small — collecting it skips a
+    // parquet write + re-read round-trip that was pure gate latency
+    val memName = s"q153_feed_${java.util.UUID.randomUUID().toString.take(8)}"
     val q = s.readStream.format("graft-table")
       .option("readChangeFeed", "true").option("keys", "o_orderkey")
       .option("startingVersion", "2").load(srcRoot)
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", out).option("checkpointLocation", base + "/ckpt")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(memName).option("checkpointLocation", base + "/ckpt")
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val feed = s.read.parquet(out)
+    val feed = s.table(memName)
     val ct = ChangeFeed.ChangeType
     val verdicts = feed.agg(
       max(when(col(ct) === "delete", col("_commit_version"))).as("dv"),
@@ -2698,7 +2700,6 @@ object Pipeline {
       |FROM fin GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
     import graft.ingest.{ChangeFeed, IncrementalAgg, ManifestCommit, MergeInto}
     import graft.ingest.IncrementalAgg.Measure
-    import org.apache.spark.sql.streaming.Trigger
     val base = tmpDir("graft_q156_")
     val srcRoot = base + "/src"
     val mvRoot = base + "/rollup"
@@ -2713,34 +2714,38 @@ object Pipeline {
     orders.filter(col("o_orderstatus") === "F").write.parquet(d1)
     ManifestCommit.commitReplace(s, srcRoot, Seq(d1),
       pruneDisplaced = false, schema = Some(orders.schema)) // gen 1
-    def refresh(): Unit = {
-      val q = s.readStream.format("graft-table")
-        .option("readChangeFeed", "true").option("keys", "o_orderkey")
-        .load(srcRoot)
-        .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            IncrementalAgg.applyChanges(s, mvRoot,
-              batch.drop("_commit_version"), keys, ms)
-            ()
-          }
+    // ONE long-lived micro-batch query with two drain points (a second
+    // AvailableNow query would pay a full JVM stream startup + checkpoint
+    // resumption just to re-enter the same source) — the semantics are
+    // identical: the first drain delivers the snapshot batch that seeds
+    // the rollup, the second the change tail that maintains it.
+    val q = s.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "o_orderkey")
+      .load(srcRoot)
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          IncrementalAgg.applyChanges(s, mvRoot,
+            batch.drop("_commit_version"), keys, ms)
+          ()
         }
-        .option("checkpointLocation", base + "/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    refresh() // snapshot batch seeds the rollup
-    val d2 = ManifestCommit.newDataDir(srcRoot)
-    orders.filter(col("o_orderstatus") === "O").write.parquet(d2)
-    ManifestCommit.commitAppend(s, srcRoot, d2) // gen 2
-    MergeInto.merge(s, srcRoot, // gen 3: reprice %101
-      ManifestCommit.read(s, srcRoot)
-        .filter(pmod(col("o_orderkey"), lit(101)) === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
-      Seq("o_orderkey"))
-    MergeInto.deleteWhere(s, srcRoot, // gen 4: DV delete %97
-      orders.filter(col("o_orderstatus").isin("F", "O") &&
-        pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
-    refresh() // the tail maintains the rollup at O(changes)
+      }
+      .option("checkpointLocation", base + "/ckpt")
+      .start()
+    try {
+      q.processAllAvailable() // snapshot batch seeds the rollup
+      val d2 = ManifestCommit.newDataDir(srcRoot)
+      orders.filter(col("o_orderstatus") === "O").write.parquet(d2)
+      ManifestCommit.commitAppend(s, srcRoot, d2) // gen 2
+      MergeInto.merge(s, srcRoot, // gen 3: reprice %101
+        ManifestCommit.read(s, srcRoot)
+          .filter(pmod(col("o_orderkey"), lit(101)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        Seq("o_orderkey"))
+      MergeInto.deleteWhere(s, srcRoot, // gen 4: DV delete %97
+        orders.filter(col("o_orderstatus").isin("F", "O") &&
+          pmod(col("o_orderkey"), lit(97)) === 0).select("o_orderkey"))
+      q.processAllAvailable() // the tail maintains the rollup at O(changes)
+    } finally q.stop()
     val ops = ManifestCommit.history(s, mvRoot).collect()
       .map(_.getAs[String]("operation")).toSeq
     val opsOk = ops.nonEmpty &&
