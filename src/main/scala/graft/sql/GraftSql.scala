@@ -65,6 +65,39 @@ object GraftSql {
     registry.keySet().asScala.toSeq
   }
 
+  /** Mirror the graft registry into the Spark session catalog as a
+    * database of VIEWs, so STOCK JDBC metadata discovery —
+    * `DatabaseMetaData.getTables`/`getColumns`, the calls Superset and
+    * Metabase schema sync actually make against the Thrift endpoint
+    * (reference: tools/metabase_schema_discovery.py:150-210,
+    * superset_bootstrap/datasets.yaml) — surfaces graft tables without
+    * any custom driver. Each view's text is `SELECT * FROM
+    * graft.<name>`, so a query against the DISCOVERED name expands
+    * through the ordinary graft resolution rule and keeps generation
+    * pinning, manifest-stats skipping, DV subtraction and metadata-only
+    * COUNT(*) over the wire. The mirror database must NOT be named
+    * `graft` (the rule's own qualifier — a same-named catalog view
+    * would expand to a reference to itself). Re-running refreshes view
+    * schemas (schema evolution) and drops views whose tables were
+    * unregistered — the BI deployment calls this on its schema-sync
+    * cadence, one O(#tables) metadata pass, no data I/O. */
+  def syncBiCatalog(spark: org.apache.spark.sql.SparkSession,
+      db: String = "graft_bi"): Unit = {
+    require(db.toLowerCase(java.util.Locale.ROOT) != "graft",
+      "the BI mirror database may not be named 'graft' (it would shadow " +
+        "the graft resolution qualifier and make every view self-referential)")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+    val want = registered.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    spark.sessionState.catalog.listTables(db)
+      .map(_.table.toLowerCase(java.util.Locale.ROOT))
+      .filterNot(want).foreach { stale =>
+        spark.sql(s"DROP VIEW IF EXISTS `$db`.`$stale`")
+      }
+    want.toSeq.sorted.foreach { n =>
+      spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$n` AS SELECT * FROM graft.`$n`")
+    }
+  }
+
   private val AtGen = "^(.*)@v([0-9]+)$".r
 
   /** The registered root of a bare table name — the public face of the

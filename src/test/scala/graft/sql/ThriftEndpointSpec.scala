@@ -83,6 +83,47 @@ class ThriftEndpointSpec extends SparkSpec {
         while (rd.next()) cols ::= ((rd.getString(1), rd.getString(2)))
         assert(cols.reverse === List(
           ("id", "bigint"), ("k", "bigint"), ("v", "string")))
+
+        // SHOW TABLES over the wire — the discovery verb BI tools issue
+        // alongside the metadata calls
+        val rst = st.executeQuery("SHOW TABLES IN graft")
+        var shown = List.empty[String]
+        while (rst.next()) shown ::= rst.getString(2)
+        assert(shown.contains("thriftspec_t"), shown)
+
+        // ---- STOCK JDBC SCHEMA DISCOVERY: DatabaseMetaData.getTables /
+        // getColumns — the exact calls Superset's and Metabase's schema
+        // sync make (reference metabase_schema_discovery.py:150-210).
+        // syncBiCatalog mirrors the registry into a catalog database of
+        // views so the stock hive-jdbc metadata operations see them.
+        GraftSql.syncBiCatalog(spark)
+        val md = conn.getMetaData
+        val rsT = md.getTables(null, "graft_bi", "%", null)
+        var discovered = List.empty[String]
+        while (rsT.next()) discovered ::= rsT.getString("TABLE_NAME")
+        assert(discovered.contains("thriftspec_t"), discovered)
+        val rsC = md.getColumns(null, "graft_bi", "thriftspec_t", "%")
+        var mdCols = List.empty[(String, String)]
+        while (rsC.next())
+          mdCols ::= ((rsC.getString("COLUMN_NAME"),
+            rsC.getString("TYPE_NAME").toLowerCase))
+        assert(mdCols.reverse === List(
+          ("id", "bigint"), ("k", "bigint"), ("v", "string")), mdCols)
+
+        // querying the DISCOVERED name routes through the graft read
+        // path (the view expands to graft.<name>): sees the live
+        // generation including the post-snapshot append
+        val rq = st.executeQuery(
+          "SELECT count(*), max(id) FROM graft_bi.thriftspec_t")
+        assert(rq.next() && rq.getLong(1) === 410L && rq.getLong(2) === 1009L)
+
+        // re-sync after unregister drops the stale view from discovery
+        GraftSql.register("thriftspec_gone", root)
+        GraftSql.syncBiCatalog(spark)
+        GraftSql.unregister("thriftspec_gone")
+        GraftSql.syncBiCatalog(spark)
+        val rsT2 = md.getTables(null, "graft_bi", "thriftspec_gone", null)
+        assert(!rsT2.next(), "unregistered table still discoverable")
       } finally conn.close()
     } finally server.stop()
   }
