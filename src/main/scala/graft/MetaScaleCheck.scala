@@ -206,6 +206,25 @@ object MetaScaleCheck {
           } finally q.stop()
         }
       }
+      locally { // shallow clone: forking an nDirs-dir table must be ONE
+        // O(dirs) metadata commit (manifest read + render), zero data
+        // I/O; and reads THROUGH the clone must prune from the carried
+        // stats exactly like the source — O(kept dirs), not O(dirs)
+        val srcR = buildRanged(spark, s"meta_clone_${tag}_", nDirs, 100)
+        all("shallow_clone") = time(s"$tag shallowClone ($nDirs dirs, zero copy)") {
+          val dst = GraftTmp.dir(s"meta_clone_dst_${tag}_") + "/c"
+          val m = ManifestCommit.shallowClone(spark, srcR, dst)
+          assert(m.dirs.size == nDirs)
+        }
+        val dst2 = GraftTmp.dir(s"meta_clone_dst2_${tag}_") + "/c"
+        ManifestCommit.shallowClone(spark, srcR, dst2)
+        all("clone_pruned_read") = time(s"$tag clone pruned read (1 dir of $nDirs)") {
+          val (df, kept, total) = ManifestCommit.readPruned(spark, dst2, "id",
+            Some((nDirs / 2 * 100L).toString),
+            Some((nDirs / 2 * 100L + 50).toString))
+          assert(kept < total && df.count() > 0)
+        }
+      }
       locally { // sparse DV delete: keys in 8 fixed dirs of nDirs
         val roots = Seq(buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100),
           buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100)).iterator

@@ -296,6 +296,29 @@ object ManifestCommit {
   def newDataDir(root: String): String =
     s"$root/data_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
 
+  /** EXTERNAL dir/DV reference: an absolute path OUTSIDE this table's
+    * root — how a SHALLOW CLONE's manifest names the source's immutable
+    * dirs. Local entries are stored as bare names; external entries stay
+    * absolute. A clone never OWNS its external references: every delete
+    * path (eager prune, retention, orphan sweep) skips them — reclaiming
+    * them is the SOURCE table's retention's job, exactly the public
+    * Delta shallow-clone contract (vacuuming the source invalidates
+    * clones that still reference the removed files; vacuuming the clone
+    * touches only its own local dirs). */
+  private[graft] def isExternal(root: String, d: String): Boolean =
+    d.startsWith("/") && !d.startsWith(root.stripSuffix("/") + "/")
+
+  /** Canonical manifest entry for a commit input: bare name for a local
+    * dir (absolute-under-root or already bare), untouched for an
+    * external reference. */
+  private def entryName(root: String)(d: String): String =
+    if (isExternal(root, d)) d else new Path(d).getName
+
+  /** Absolute read path of a manifest entry (local name re-rooted,
+    * external reference as-is). */
+  def dirAbs(root: String, d: String): String =
+    if (d.startsWith("/")) d else s"$root/$d"
+
   /** Bounded retry around the chain walk: a concurrent retention sweep
     * (or eager-prune replace) can delete part of the chain BETWEEN this
     * reader's pointer read and its record walk. Both writers repair
@@ -489,11 +512,10 @@ object ManifestCommit {
   def validateWrittenChecks(spark: SparkSession, root: String,
       checks: Map[String, String], dirs: Seq[String], writer: String): Unit = {
     if (checks.isEmpty || dirs.isEmpty) return
-    def abs(d: String) = if (d.startsWith("/")) d else s"$root/$d"
-    val bad = violations(spark.read.parquet(dirs.map(abs): _*), checks)
+    val bad = violations(spark.read.parquet(dirs.map(dirAbs(root, _)): _*), checks)
     if (bad.nonEmpty) {
       val f = fs(spark, root)
-      dirs.foreach(d => f.delete(new Path(abs(d)), true))
+      dirs.foreach(d => f.delete(new Path(dirAbs(root, d)), true))
       val (n, cnt) = bad.head
       throw new IllegalArgumentException(
         s"$writer to $root violates CHECK constraint $n " +
@@ -528,6 +550,111 @@ object ManifestCommit {
       expectedGen = Some(cur.gen), checks = Some(m.checks))
   }
 
+  /** ZERO-COPY SHALLOW CLONE (the public Delta `CREATE TABLE ... SHALLOW
+    * CLONE` idea): create a NEW manifest-committed table at `dstRoot`
+    * whose first generation REFERENCES the source's immutable data dirs
+    * (and deletion vectors) as absolute external entries — no data is
+    * read or copied, cost is one O(source dirs) metadata commit at any
+    * table size. Stats, recorded schema, slicing expression and CHECK
+    * constraints all carry, so the clone prunes, COUNTs manifest-only
+    * and enforces exactly like the source did at the cloned generation.
+    *
+    * The tables then diverge independently: writes to the clone land
+    * LOCAL dirs (a merge displacing an external ref just drops it from
+    * the clone's live set); the source never learns of the clone.
+    * Ownership contract (Delta's): the clone never deletes external
+    * references — its VACUUM/retention/eager-prune skip them — and the
+    * SOURCE's retention is what eventually reclaims them, so a clone
+    * outliving the source generation it pinned must be re-cloned or
+    * deep-copied first (size the source's `expireSnapshots keepLast`
+    * to the clone lifetime you need, same rule as time travel).
+    *
+    * Cloning a CLONE re-resolves to the ORIGINAL absolute dirs (external
+    * entries are already absolute), so reference chains never nest.
+    * `gen` clones a retained historical generation (time-travel clone —
+    * a writable fork of yesterday's table). */
+  def shallowClone(spark: SparkSession, srcRoot: String, dstRoot: String,
+      gen: Option[Long] = None): Manifest = {
+    require(!isManifestTable(spark, dstRoot),
+      s"shallow clone: $dstRoot is already a manifest-committed table")
+    val src = new Path(srcRoot).toString // normalized (no trailing slash)
+    require(new Path(dstRoot).toString != src,
+      "shallow clone: destination equals the source root")
+    // a source nested UNDER the destination would make its dirs look
+    // local to the clone (entry canonicalization strips them) — refuse
+    require(!src.startsWith(new Path(dstRoot).toString + "/"),
+      s"shallow clone: source $src lies inside the destination $dstRoot")
+    val m = gen match {
+      case Some(g) => readManifestAt(spark, src, g).getOrElse(
+        throw new IllegalArgumentException(
+          s"shallow clone: generation $g of $src is not retained " +
+            "(expired or never committed)"))
+      case None => readManifest(spark, src).getOrElse(
+        throw new IllegalArgumentException(
+          s"shallow clone: $src is not a manifest-committed table"))
+    }
+    val extDirs = m.dirs.map(dirAbs(src, _))
+    commitReplace(spark, dstRoot, extDirs, pruneDisplaced = false,
+      stats = m.dirs.zip(extDirs)
+        .flatMap { case (d, e) => m.stats.get(d).map(e -> _) }.toMap,
+      schema = m.tableSchema, op = "clone",
+      dvs = m.dirs.zip(extDirs)
+        .flatMap { case (d, e) => m.dvs.get(d).map(f => e -> dirAbs(src, f)) }
+        .toMap,
+      slice = m.slice, clearSlice = true,
+      checks = Some(m.checks), expectedChecks = None)
+  }
+
+  /** Convert EXTERNAL references into locally-OWNED copies — the deep
+    * half of cloning (Delta's `DEEP CLONE`, and the escape hatch for a
+    * shallow clone that must outlive its source's retention window):
+    * every external dir and deletion vector is byte-copied under this
+    * root (pure file copy on concurrent threads — no decode, no
+    * shuffle, no Spark job) and one same-content generation re-points
+    * at the copies. CAS-guarded on the generation read; a no-op when
+    * nothing is external. After this the table depends on no other
+    * root. */
+  def materializeExternal(spark: SparkSession, root: String): Manifest = {
+    val m = readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    val extDirs = m.dirs.filter(isExternal(root, _))
+    val extDvs = m.dvs.values.toSeq.distinct.filter(isExternal(root, _))
+    if (extDirs.isEmpty && extDvs.isEmpty) return m
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dstFs = fs(spark, root)
+    def copyTo(src: String, dst: String): Unit = {
+      val sp = new Path(src)
+      org.apache.hadoop.fs.FileUtil.copy(
+        sp.getFileSystem(conf), sp, dstFs, new Path(dst), false, conf)
+      ()
+    }
+    val targets: Seq[(String, String)] =
+      extDirs.map(d => d -> newDataDir(root)) ++
+        extDvs.map(v => v -> s"$root/_dv_${java.util.UUID.randomUUID()
+          .toString.replace("-", "").take(16)}")
+    locally { // copies are independent: overlap their round-trips
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(targets.size, 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(targets.map { case (s, d) =>
+        Future(copyTo(s, d)) }), Duration.Inf)
+      finally pool.shutdown()
+    }
+    val local: Map[String, String] =
+      targets.map { case (s, d) => s -> new Path(d).getName }.toMap
+    commitReplace(spark, root,
+      m.dirs.map(d => local.getOrElse(d, d)),
+      pruneDisplaced = false,
+      stats = m.stats.map { case (d, cs) => local.getOrElse(d, d) -> cs },
+      dvs = m.dvs.map { case (d, f) =>
+        local.getOrElse(d, d) -> local.getOrElse(f, f) },
+      schema = m.tableSchema, op = "materialize",
+      expectedGen = Some(m.gen), checks = Some(m.checks))
+  }
+
   /** Physical kind of each retained per-generation metadata record —
     * "full" (checkpoint) or "delta" — observability for tests/audits;
     * readers never need it (resolution is transparent). */
@@ -540,7 +667,7 @@ object ManifestCommit {
     * resolves to itself, so readers can use this unconditionally. */
   def resolvePaths(spark: SparkSession, path: String): Seq[String] =
     readManifest(spark, path) match {
-      case Some(m) => m.dirs.map(d => s"$path/$d")
+      case Some(m) => m.dirs.map(dirAbs(path, _))
       case None => Seq(path)
     }
 
@@ -572,7 +699,7 @@ object ManifestCommit {
     }
     val (dvd, plain) = dirs.partition(m.dvs.contains)
     val plainDf =
-      if (plain.nonEmpty) Some(readPaths(plain.map(d => s"$root/$d"))) else None
+      if (plain.nonEmpty) Some(readPaths(plain.map(dirAbs(root, _)))) else None
     // DV'd dirs grouped by their DV's key-column set: ONE scan and ONE
     // broadcast anti-join per group on (dir, keys), not one join operator
     // per dir — a sparse-delete-heavy table at scale can carry hundreds
@@ -585,7 +712,7 @@ object ManifestCommit {
     // hundreds of DVs, the resolveBloom lesson).
     val dvFilesAll = dvd.map(m.dvs).distinct
     val dvSchema: Map[String, Seq[String]] = {
-      def fetch(f: String) = f -> spark.read.parquet(s"$root/$f").columns.toSeq
+      def fetch(f: String) = f -> spark.read.parquet(dirAbs(root, f)).columns.toSeq
       if (dvFilesAll.size <= 4) dvFilesAll.map(fetch).toMap
       else {
         import scala.concurrent.{Await, ExecutionContext, Future}
@@ -604,9 +731,15 @@ object ManifestCommit {
         // the plan must stay flat in dv count); each dv row's owning DIR
         // comes back from its file path's `_dv_*` segment through a tiny
         // broadcast lookup (a dv file referenced by several dirs fans out
-        // to one row per dir, which is exactly the per-dir delete set)
+        // to one row per dir, which is exactly the per-dir delete set).
+        // The lookup is keyed on path BASENAMES — input_file_name's
+        // parent segment is a basename, and a clone's external entries
+        // are absolute strings; UUID dir/dv names make basenames unique
+        // across roots, so the join stays exact for cloned references.
         val lookupRows = groupDirs.map(d =>
-          org.apache.spark.sql.Row(m.dvs(d), d))
+          org.apache.spark.sql.Row(
+            new Path(dirAbs(root, m.dvs(d))).getName,
+            new Path(dirAbs(root, d)).getName))
         val lookup = spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](
             java.util.Arrays.asList(lookupRows: _*)),
@@ -616,11 +749,11 @@ object ManifestCommit {
             org.apache.spark.sql.types.StructField("__dv_dir",
               org.apache.spark.sql.types.StringType, false))))
         val dvUnion = spark.read
-          .parquet(groupDirs.map(d => s"$root/${m.dvs(d)}").distinct: _*)
+          .parquet(groupDirs.map(d => dirAbs(root, m.dvs(d))).distinct: _*)
           .withColumn("__dv_name", element_at(split(input_file_name(), "/"), -2))
           .join(broadcast(lookup), "__dv_name")
           .select((keyCols.map(col) :+ col("__dv_dir")): _*)
-        readPaths(groupDirs.map(d => s"$root/$d"))
+        readPaths(groupDirs.map(dirAbs(root, _)))
           .withColumn("__dv_dir", element_at(split(input_file_name(), "/"), -2))
           .join(broadcast(dvUnion), keyCols :+ "__dv_dir", "left_anti")
           .drop("__dv_dir")
@@ -635,7 +768,7 @@ object ManifestCommit {
             new java.util.ArrayList[org.apache.spark.sql.Row](), s)
           case None if m.dirs.nonEmpty =>
             spark.read.option("mergeSchema", "true")
-              .parquet(m.dirs.map(d => s"$root/$d"): _*).limit(0)
+              .parquet(m.dirs.map(dirAbs(root, _)): _*).limit(0)
           case None => throw new IllegalArgumentException(
             s"$root: no dirs to read and no recorded schema")
         }
@@ -848,7 +981,8 @@ object ManifestCommit {
       expectedChecks: Option[Map[String, String]] = None,
       clearSlice: Boolean = false): Manifest =
       commitLock(root).synchronized {
-    val names = dirs.map(d => new Path(d).getName) // absolute or bare both fine
+    // local dirs canonicalize to bare names; external (clone) refs stay
+    val names = dirs.map(entryName(root))
     val prev = readManifest(spark, root)
     checkConstraintCas(root, prev.map(_.checks).getOrElse(Map.empty),
       expectedChecks)
@@ -861,8 +995,8 @@ object ManifestCommit {
     // lands between a streaming commit and its checkpoint write must not
     // reopen the idempotence window for the replayed batch
     val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names,
-      stats.map { case (d, cs) => new Path(d).getName -> cs }, schema, Some(op),
-      dvs.map { case (d, f) => new Path(d).getName -> f },
+      stats.map { case (d, cs) => entryName(root)(d) -> cs }, schema, Some(op),
+      dvs.map { case (d, f) => entryName(root)(d) -> f },
       prev.map(_.txns).getOrElse(Map.empty),
       if (clearSlice) slice else slice.orElse(prev.flatMap(_.slice)),
       checks.getOrElse(prev.map(_.checks).getOrElse(Map.empty)))
@@ -874,16 +1008,20 @@ object ManifestCommit {
       // Set membership: Seq.contains here is O(dirs^2) at high dir counts
       val f = fs(spark, root)
       val nameSet = names.toSet
-      prev.foreach(_.dirs.filterNot(nameSet).foreach { d =>
-        f.delete(new Path(root, d), true)
-      })
+      // EXTERNAL (shallow-clone) references are never deleted — the
+      // clone doesn't own them; the source table's retention does
+      prev.foreach(_.dirs.filterNot(nameSet)
+        .filterNot(isExternal(root, _)).foreach { d =>
+          f.delete(new Path(root, d), true)
+        })
       // displaced deletion-vector files go with their generation; DV
       // "files" are single-part parquet DIRECTORIES (deleteWhere writes
       // them via coalesce(1).write.parquet), so the delete must be
       // recursive — the same contract expireSnapshots and pruneOrphans
       // already apply to them
       prev.foreach(_.dvs.values.toSeq.distinct
-        .filterNot(m.dvs.values.toSet).foreach { v =>
+        .filterNot(m.dvs.values.toSet)
+        .filterNot(isExternal(root, _)).foreach { v =>
           f.delete(new Path(root, v), true)
         })
       snapshotGens(spark, root).filter(_ < m.gen).foreach { g =>
@@ -954,7 +1092,7 @@ object ManifestCommit {
       statUpdates: Map[String, Seq[ColStats]] = Map.empty,
       expectedChecks: Option[Map[String, String]] = None): Manifest =
       commitLock(root).synchronized {
-    def name(d: String) = new Path(d).getName
+    def name(d: String) = entryName(root)(d)
     val dispN = displaced.map(name).toSet
     val addN = added.map(name)
     val cur = readManifest(spark, root).getOrElse(throw new IllegalStateException(
@@ -1050,8 +1188,11 @@ object ManifestCommit {
     val keptDvs = keptMs.flatMap(_.dvs.values).toSet
     val f = fs(spark, root)
     val expiredMs = expired.flatMap(g => readManifestAt(spark, root, g))
-    val deadDirs = expiredMs.flatMap(_.dirs).distinct.filterNot(keptDirs.contains)
-    val deadDvs = expiredMs.flatMap(_.dvs.values).distinct.filterNot(keptDvs.contains)
+    // external (shallow-clone) references are not this table's to delete
+    val deadDirs = expiredMs.flatMap(_.dirs).distinct
+      .filterNot(keptDirs.contains).filterNot(isExternal(root, _))
+    val deadDvs = expiredMs.flatMap(_.dvs.values).distinct
+      .filterNot(keptDvs.contains).filterNot(isExternal(root, _))
     // the oldest RETAINED generation must stay self-contained: if its
     // record is a delta, its chain reaches into the generations being
     // expired — materialize it as a full checkpoint (byte-different,
@@ -1108,7 +1249,7 @@ object ManifestCommit {
       }
     }
     checkCas(root, prev, expectedGen)
-    val name = new Path(dir).getName
+    val name = entryName(root)(dir)
     // appends inherit the recorded schema: an append adds rows, not
     // columns (schema-changing writes go through commitReplace/merge)
     val m = Manifest(
@@ -1351,7 +1492,7 @@ object ManifestCommit {
       case Some(m) =>
         val kept = prunedNames(m, col, lo, hi)
         requireNoDvs(m, kept, "resolvePruned")
-        (kept.map(d => s"$root/$d"), m.dirs.size)
+        (kept.map(dirAbs(root, _)), m.dirs.size)
       case None => (Seq(root), 1)
     }
 
@@ -1494,7 +1635,7 @@ object ManifestCommit {
       case Some(m) =>
         val kept = bloomNames(spark, root, m, col, value)
         requireNoDvs(m, kept, "resolveBloom")
-        (kept.map(d => s"$root/$d"), m.dirs.size)
+        (kept.map(dirAbs(root, _)), m.dirs.size)
       case None => (Seq(root), 1)
     }
 
@@ -1507,7 +1648,7 @@ object ManifestCommit {
       col: String, value: Any): Seq[String] = {
     val f = fs(spark, root)
     def probe(d: String): Boolean = {
-      val p = new Path(new Path(root, d), s"_bloom_$col")
+      val p = new Path(dirAbs(root, d), s"_bloom_$col")
       if (!f.exists(p)) true
       else {
         val in = f.open(p)

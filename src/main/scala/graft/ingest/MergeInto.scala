@@ -488,7 +488,7 @@ object MergeInto {
           if (newlyDeleted == 0L) (d, "", 0L, 0L)
           else {
             val dvDf = m.dvs.get(d) match {
-              case Some(old) => spark.read.parquet(s"$root/$old")
+              case Some(old) => spark.read.parquet(ManifestCommit.dirAbs(root, old))
                 .unionByName(present).distinct()
               case None => present
             }
@@ -645,7 +645,7 @@ object MergeInto {
     val matchedPlain: Seq[String] =
       if (plainCand.isEmpty) Nil
       else spark.read.schema(tSchema)
-        .parquet(plainCand.map(d => s"$root/$d"): _*)
+        .parquet(plainCand.map(ManifestCommit.dirAbs(root, _)): _*)
         .withColumn("__dir", element_at(split(input_file_name(), "/"), -2))
         .filter(cond)
         .select("__dir").distinct().collect().map(_.getString(0)).toSeq

@@ -146,7 +146,8 @@ object Optimize {
     val small: Map[String, Boolean] = {
       val probed = m.dirs.filterNot(m.dvs.contains)
       def probe(d: String) =
-        d -> (f.getContentSummary(new Path(root, d)).getLength < smallBytes)
+        d -> (f.getContentSummary(new Path(
+          ManifestCommit.dirAbs(root, d))).getLength < smallBytes)
       if (probed.size <= 4) probed.map(probe).toMap
       else {
         import scala.concurrent.{Await, ExecutionContext, Future}
@@ -292,7 +293,7 @@ object Optimize {
       case Some(m) =>
         val kept = prunedMultiNames(m, bounds)
         ManifestCommit.requireNoDvs(m, kept, "resolvePrunedMulti")
-        (kept.map(d => s"$root/$d"), m.dirs.size)
+        (kept.map(ManifestCommit.dirAbs(root, _)), m.dirs.size)
       case None => (Seq(root), 1)
     }
 

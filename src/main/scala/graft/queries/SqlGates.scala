@@ -623,7 +623,110 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q158 — ZERO-COPY SHALLOW CLONE (the public Delta `CREATE TABLE ...
+    * SHALLOW CLONE` idea): forking a table is ONE metadata commit whose
+    * manifest references the source's immutable dirs and deletion
+    * vectors as external entries — no data read or copied at any table
+    * size. Pinned: the clone root holds ZERO local data dirs at clone
+    * time while content (through the source's DVs) hash-matches DuckDB;
+    * the fork then diverges — INSERT and row-level DELETE on the clone
+    * land local dirs and displace external references — with the source
+    * provably untouched (generation AND content unchanged); the clone's
+    * VACUUM reclaims only clone-owned dirs (external references are the
+    * source's to retire — the Delta shallow-clone ownership contract);
+    * inherited per-dir stats keep data skipping live on the clone.
+    *
+    * 100-TB shape: cloning a petabyte table for a dev/test fork or an
+    * experiment branch costs one O(dirs) manifest write; the 2× storage
+    * and hours-long copy a physical fork would need simply never
+    * happen, and divergent writes pay only their own deltas. */
+  val q158_shallow_clone = Q(
+    "q158_shallow_clone",
+    """WITH b AS (SELECT max(o_orderkey) AS maxk FROM orders),
+      |base AS (SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey % 97 <> 0),
+      |ins AS (SELECT o_orderkey + maxk + 1000 AS o_orderkey,
+      |    o_totalprice + 5 AS o_totalprice
+      |  FROM orders, b WHERE o_orderkey <= 100),
+      |fin AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+      |  WHERE o_orderkey % 89 <> 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+      |  1 AS zero_copy, 1 AS src_unchanged, 1 AS src_survives_vacuum,
+      |  1 AS prune_works
+      |FROM fin""".stripMargin) { (s, dir) =>
+    import graft.ingest.{ManifestCommit, MergeInto}
+    val out = tmpDir("graft_q158_")
+    val srcRoot = s"$out/src"; val cloneRoot = s"$out/clone"
+    val srcName = uniq("q158_src"); val cloneName = uniq("q158_clone")
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val maxk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val cuts = Seq(maxk / 4, maxk / 2, 3 * maxk / 4)
+    val dirs = ManifestCommit.writeSliced(s, srcRoot, orders,
+      when(col("o_orderkey") <= cuts(0), 0)
+        .when(col("o_orderkey") <= cuts(1), 1)
+        .when(col("o_orderkey") <= cuts(2), 2).otherwise(3),
+      Seq("o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, srcRoot, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        orders.schema.fields.map(_.copy(nullable = true)))))
+    // merge-on-read delete BEFORE cloning: the clone must reference the
+    // source's deletion vectors, not resurrect the %97 rows
+    MergeInto.deleteWhere(s, srcRoot,
+      orders.filter(col("o_orderkey") % 97 === 0).select("o_orderkey"))
+    GraftSql.register(srcName, srcRoot)
+    try {
+      val srcGen0 = ManifestCommit.readManifest(s, srcRoot).get.gen
+      val srcAgg0 = ManifestCommit.read(s, srcRoot)
+        .agg(count(lit(1)), sum("o_orderkey")).collect()(0)
+      s.sql(s"CREATE TABLE graft.$cloneName SHALLOW CLONE graft.$srcName " +
+        s"LOCATION '$cloneRoot'")
+      try {
+        val f = new org.apache.hadoop.fs.Path(cloneRoot)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def localDataDirs() = f.listStatus(
+          new org.apache.hadoop.fs.Path(cloneRoot))
+          .count(_.getPath.getName.startsWith("data_"))
+        val zeroCopy = localDataDirs() == 0
+        // inherited stats keep skipping live on the clone
+        val (_, kept, total) = ManifestCommit.readPruned(s, cloneRoot,
+          "o_orderkey", None, Some(cuts(0).toString))
+        val pruneWorks = kept < total
+        // diverge the fork: INSERT shifted rows, row-level DELETE
+        orders.filter(col("o_orderkey") <= 100)
+          .select((col("o_orderkey") + maxk + 1000).as("o_orderkey"),
+            (col("o_totalprice") + 5).as("o_totalprice"))
+          .createOrReplaceTempView("q158_ins")
+        s.sql(s"INSERT INTO graft.$cloneName SELECT * FROM q158_ins")
+        s.sql(s"DELETE FROM graft.$cloneName WHERE o_orderkey % 89 = 0")
+        // the source saw none of it
+        val srcAgg1 = ManifestCommit.read(s, srcRoot)
+          .agg(count(lit(1)), sum("o_orderkey")).collect()(0)
+        val srcUnchanged =
+          ManifestCommit.readManifest(s, srcRoot).get.gen == srcGen0 &&
+            srcAgg1 == srcAgg0
+        // the clone's VACUUM reclaims only clone-owned dirs
+        s.sql(s"VACUUM graft.$cloneName")
+        val srcAgg2 = ManifestCommit.read(s, srcRoot)
+          .agg(count(lit(1)), sum("o_orderkey")).collect()(0)
+        val srcSurvives = srcAgg2 == srcAgg0
+        ManifestCommit.read(s, cloneRoot).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("price_sum"))
+          .withColumn("zero_copy", lit(if (zeroCopy) 1 else 0))
+          .withColumn("src_unchanged", lit(if (srcUnchanged) 1 else 0))
+          .withColumn("src_survives_vacuum", lit(if (srcSurvives) 1 else 0))
+          .withColumn("prune_works", lit(if (pruneWorks) 1 else 0))
+      } finally GraftSql.unregister(cloneName)
+    } finally GraftSql.unregister(srcName)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
-    q155_sql_restore, q157_check_constraints)
+    q155_sql_restore, q157_check_constraints, q158_shallow_clone)
 }

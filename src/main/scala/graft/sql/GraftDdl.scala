@@ -23,7 +23,7 @@ case class GraftSqlParser(spark: org.apache.spark.sql.SparkSession,
     // OPTIMIZE / VACUUM are not in Spark's grammar at all (the delegate
     // would raise a ParseException) — recognized on the statement text,
     // the same route Delta's parser takes for its OPTIMIZE/VACUUM
-    GraftDdl.parseMaintenance(sqlText).getOrElse {
+    GraftDdl.parseMaintenance(spark, sqlText).getOrElse {
       val plan = delegate.parsePlan(sqlText)
       GraftDdl.convert(spark, plan).getOrElse(plan)
     }
@@ -57,6 +57,16 @@ object GraftDdl {
   // RESTORE [TABLE] graft.<name> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\.(`[^`]+`|[\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|([^\s;]+))\s*;?\s*""".r
+  // CREATE TABLE [IF NOT EXISTS] graft.<new> SHALLOW|DEEP CLONE
+  //   graft.<src> [VERSION|TIMESTAMP AS OF ...] [LOCATION '<path>'] —
+  //   not in Spark's grammar; recognized on the statement text, the
+  //   Delta-parser route. DEEP = shallow clone + materializeExternal
+  //   (byte-copies of the referenced dirs, no source dependency left).
+  private val CloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?graft\.(`[^`]+`|[\w.]+)""" +
+      """\s+(SHALLOW|DEEP)\s+CLONE\s+graft\.(`[^`]+`|[\w.]+)""" +
+      """\s*(?:(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|([^\s;]+)))?""" +
+      """\s*(?:LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
   private def unquote(n: String): String =
     if (n.startsWith("`") && n.endsWith("`")) n.substring(1, n.length - 1) else n
@@ -66,7 +76,33 @@ object GraftDdl {
     * graft.t ZORDER BY (a, b)` (multi-dimensional re-layout), `VACUUM
     * graft.t RETAIN n GENERATIONS|HOURS` (snapshot retention + orphan
     * reclaim). Only statements addressed at `graft.` are claimed. */
-  def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+  def parseMaintenance(spark: org.apache.spark.sql.SparkSession,
+      sqlText: String): Option[LogicalPlan] = sqlText match {
+    case CloneRe(ifNot, dst, depth, src, kind, quoted, bare, loc) =>
+      val dstName = unquote(dst)
+      val (srcRoot, srcGen) = GraftSql.lookup(unquote(src)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft SHALLOW CLONE: ${unquote(src)} is not a registered graft table"))
+      require(srcGen.isEmpty,
+        "graft SHALLOW CLONE: pin the source generation with VERSION AS OF, not @v")
+      val (version, tsRaw) = Option(kind).map(_.toUpperCase(
+          java.util.Locale.ROOT)) match {
+        case Some("VERSION") =>
+          val v = Option(quoted).getOrElse(bare)
+          (Some(scala.util.Try(v.trim.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft SHALLOW CLONE: expected a generation number, got '$v'"))),
+            None)
+        case Some(_) => (None, Some(Option(quoted).getOrElse(bare)))
+        case None => (None, None)
+      }
+      val dstRoot = Option(loc).getOrElse {
+        val wh = spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.StaticSQLConf.WAREHOUSE_PATH)
+        s"${wh.stripSuffix("/")}/graft.db/${dstName.toLowerCase(java.util.Locale.ROOT)}"
+      }
+      Some(GraftShallowClone(dstRoot, dstName, srcRoot, version, tsRaw,
+        ifNot != null, deep = depth.equalsIgnoreCase("DEEP")))
     case OptimizeRe(name, zorder) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(

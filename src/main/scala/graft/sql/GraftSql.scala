@@ -845,6 +845,18 @@ case class GraftCtas(root: String, name: String, slice: Option[String],
     s"GraftCtas $name at $root"
 }
 
+/** Leaf command for `CREATE TABLE graft.<new> SHALLOW CLONE graft.<src>
+  * [VERSION|TIMESTAMP AS OF ...] [LOCATION ...]`: a zero-copy fork —
+  * one metadata commit referencing the source's immutable dirs (see
+  * `ManifestCommit.shallowClone` for the ownership contract). */
+case class GraftShallowClone(root: String, name: String, srcRoot: String,
+    version: Option[Long], tsRaw: Option[String], ignoreIfExists: Boolean,
+    deep: Boolean = false)
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftShallowClone $name at $root from $srcRoot"
+}
+
 /** Leaf command for `DROP TABLE graft.<name>`: unregisters the name.
   * Graft tables are EXTERNAL — the manifest and data stay on disk
   * (re-register or address by path to get them back; retention/

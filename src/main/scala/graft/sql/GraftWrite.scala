@@ -130,6 +130,26 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         }
         ()
       }) :: Nil
+    case GraftShallowClone(root, name, srcRoot, version, tsRaw,
+        ignoreIfExists, deep) =>
+      GraftRowOpExec(s"GraftShallowCloneExec $name", () => {
+        if (!GraftWriteUtil.nameFree(name, root, ignoreIfExists)) ()
+        else if (ManifestCommit.isManifestTable(spark, root)) {
+          if (!ignoreIfExists) throw new IllegalArgumentException(
+            s"graft CLONE: table $name already exists at $root " +
+              "(use IF NOT EXISTS)")
+          GraftSql.register(name, root)
+        } else {
+          val gen = version.orElse(tsRaw.map(t => ManifestCommit.genAsOf(
+            spark, srcRoot, GraftSql.parseTsMillis(spark, t))))
+          ManifestCommit.shallowClone(spark, srcRoot, root, gen)
+          // DEEP: byte-copy the referenced dirs so the new table has no
+          // dependency on the source's retention
+          if (deep) ManifestCommit.materializeExternal(spark, root)
+          GraftSql.register(name, root)
+        }
+        ()
+      }) :: Nil
     case GraftDropTable(name, ifExists) =>
       GraftRowOpExec(s"GraftDropTableExec $name", () => {
         val reg = GraftSql.lookup(name)

@@ -350,7 +350,8 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
         StructType(Seq(StructField("__g_dir", StringType, false),
           StructField("__g_gen", LongType, false))))
       frames += spark.read.schema(readSchema)
-        .parquet(pending.toSeq.map { case (d, _) => s"$root/$d" }: _*)
+        .parquet(pending.toSeq.map { case (d, _) =>
+          ManifestCommit.dirAbs(root, d) }: _*)
         .withColumn("__g_dir", element_at(split(input_file_name(), "/"), -2))
         .join(broadcast(lookup), "__g_dir")
         .withColumn(ChangeFeed.ChangeType, lit("insert"))
@@ -418,7 +419,7 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     val pending = scala.collection.mutable.ArrayBuffer[String]()
     def flush(): Unit = if (pending.nonEmpty) {
       frames += spark.read.schema(readSchema)
-        .parquet(pending.toSeq.map(d => s"$root/$d"): _*)
+        .parquet(pending.toSeq.map(ManifestCommit.dirAbs(root, _)): _*)
       pending.clear()
     }
     (from + 1).to(to).foreach { g =>

@@ -782,4 +782,95 @@ class ManifestCommitSpec extends SparkSpec {
     ManifestCommit.clearResolveCache()
     assert(idsOf(root) === Set(1L, 3L, 4L))
   }
+
+  test("shallow clone: zero-copy fork, divergence, and ownership of external refs") {
+    val base = Files.createTempDirectory("manifest_spec_").toString
+    val src = base + "/src"; val dst = base + "/clone"
+    val d1 = ManifestCommit.newDataDir(src)
+    write(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"))(d1)
+    ManifestCommit.commitReplace(spark, src, Seq(d1), pruneDisplaced = false,
+      stats = Map(d1 -> Seq(ManifestCommit.ColStats("id", "num", "1", "3"))),
+      schema = Some(st))
+    // a DV delete on the source BEFORE cloning: the clone must reference
+    // the source's deletion vector too, not resurrect id=2
+    MergeInto.deleteWhere(spark, src,
+      mkDf(StructType(Seq(StructField("id", LongType, false))), Row(2L)))
+    ManifestCommit.shallowClone(spark, src, dst)
+    // zero copy: no data dirs under the clone root, content identical
+    val f = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(dst))
+      .exists(_.getPath.getName.startsWith("data_")), "clone copied data")
+    assert(idsOf(dst) === Set(1L, 3L))
+    // stats carried: pruning works on the clone via inherited stats
+    val (kept, total) = ManifestCommit.readPruned(spark, dst, "id",
+      Some("5"), None) match { case (_, k, t) => (k, t) }
+    assert(kept === 0 && total === 1)
+    // divergence: writes to the clone never touch the source
+    val d2 = ManifestCommit.newDataDir(dst)
+    write(Row(10L, "x"))(d2)
+    ManifestCommit.commitAppend(spark, dst, d2)
+    MergeInto.deleteWhere(spark, dst,
+      mkDf(StructType(Seq(StructField("id", LongType, false))), Row(1L)))
+    assert(idsOf(dst) === Set(3L, 10L))
+    assert(idsOf(src) === Set(1L, 3L), "clone write leaked into the source")
+    // the clone's retention/eager-prune never deletes source-owned dirs
+    ManifestCommit.expireSnapshots(spark, dst, keepLast = 1)
+    val d3 = ManifestCommit.newDataDir(dst)
+    write(Row(20L, "y"))(d3)
+    ManifestCommit.commitReplace(spark, dst, Seq(d3)) // eager prune displaces all
+    assert(idsOf(dst) === Set(20L))
+    assert(idsOf(src) === Set(1L, 3L),
+      "clone eager-prune deleted a source dir")
+    assert(Maintenance.exists(spark, d1), "source data dir deleted by clone")
+    // a merge on a fresh clone displaces the external ref exactly once
+    val dst2 = base + "/clone2"
+    ManifestCommit.shallowClone(spark, src, dst2)
+    MergeInto.merge(spark, dst2,
+      mkDf(st, Row(1L, "A"), Row(7L, "n")), Seq("id"))
+    assert(ManifestCommit.read(spark, dst2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(1L -> "A", 3L -> "c", 7L -> "n"))
+    assert(idsOf(src) === Set(1L, 3L), "merge on clone mutated the source")
+    // clone-of-clone references the ORIGINAL dirs (no chains): the
+    // middle clone can disappear without breaking the grandchild
+    val dst3 = base + "/clone3"
+    ManifestCommit.shallowClone(spark, dst, dst3) // dst's live set is local d3
+    val mm = ManifestCommit.readManifest(spark, dst3).get
+    assert(mm.dirs.forall(_.startsWith("/")), mm.dirs)
+    // historical clone: fork the source's generation 1 (pre-delete)
+    val dst4 = base + "/clone4"
+    ManifestCommit.shallowClone(spark, src, dst4, gen = Some(1L))
+    assert(idsOf(dst4) === Set(1L, 2L, 3L))
+  }
+
+  test("materializeExternal (deep clone): the fork sheds its source dependency") {
+    val base = Files.createTempDirectory("manifest_spec_").toString
+    val src = base + "/src"; val dst = base + "/deep"
+    val d1 = ManifestCommit.newDataDir(src)
+    write(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"))(d1)
+    ManifestCommit.commitReplace(spark, src, Seq(d1), pruneDisplaced = false,
+      stats = Map(d1 -> Seq(ManifestCommit.ColStats("id", "num", "1", "3"))),
+      schema = Some(st))
+    MergeInto.deleteWhere(spark, src, // source DV must be copied too
+      mkDf(StructType(Seq(StructField("id", LongType, false))), Row(2L)))
+    ManifestCommit.shallowClone(spark, src, dst)
+    ManifestCommit.materializeExternal(spark, dst)
+    val m = ManifestCommit.readManifest(spark, dst).get
+    assert(m.op === Some("materialize"))
+    assert(m.dirs.forall(!_.startsWith("/")), m.dirs)
+    assert(m.dvs.values.forall(!_.startsWith("/")), m.dvs)
+    assert(idsOf(dst) === Set(1L, 3L))
+    // the stats survived the re-point: pruning still works
+    assert(ManifestCommit.readPruned(spark, dst, "id", Some("5"), None)
+      match { case (_, k, _) => k == 0 })
+    // idempotent: nothing external left, second call is a no-op commit
+    assert(ManifestCommit.materializeExternal(spark, dst).gen === m.gen)
+    // DESTROY the source outright — the materialized fork must survive
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(src), true)
+    ManifestCommit.clearResolveCache()
+    assert(idsOf(dst) === Set(1L, 3L), "deep clone still depended on the source")
+  }
 }

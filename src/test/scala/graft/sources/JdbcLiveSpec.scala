@@ -16,7 +16,17 @@ import org.apache.spark.sql.functions._
   */
 class JdbcLiveSpec extends SparkSpec {
 
-  private val url = "jdbc:derby:memory:graftdb;create=true"
+  // DISK-backed scratch db, not `memory:`: booting Derby's in-memory
+  // storage factory first poisons the Thrift server's own temporary
+  // metastore (Spark builds it on `jdbc:derby:memory:;databaseName=…`,
+  // which then fails with XBM0J once another memory db exists) — the
+  // ThriftEndpointSpec getTables call dies JVM-wide. /dev/shm keeps the
+  // speed of the memory db without registering the memory subprotocol.
+  private val url = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft_derby_")
+    s"jdbc:derby:$dir/graftdb;create=true"
+  }
 
   private def withConn[T](f: java.sql.Connection => T): T = {
     val c = java.sql.DriverManager.getConnection(url)

@@ -564,6 +564,71 @@ class GraftDdlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft.ddlspec_ck4")
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE: zero-copy SQL fork with version pinning") {
+    val base = scratch()
+    val srcLoc = base + "/src"; val cloneLoc = base + "/c1"
+    spark.sql(
+      s"""CREATE TABLE graft.ddlspec_cs (id BIGINT, amt DOUBLE)
+         |LOCATION '$srcLoc'""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft.ddlspec_cs VALUES (1, 10.0), (2, 20.0)")
+      spark.sql("INSERT INTO graft.ddlspec_cs VALUES (3, 30.0)")
+      spark.sql(
+        s"""CREATE TABLE graft.ddlspec_cs_c SHALLOW CLONE graft.ddlspec_cs
+           |LOCATION '$cloneLoc'""".stripMargin)
+      try {
+        // zero copy, content identical, op recorded
+        val f = new org.apache.hadoop.fs.Path(cloneLoc)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(!f.listStatus(new org.apache.hadoop.fs.Path(cloneLoc))
+          .exists(_.getPath.getName.startsWith("data_")))
+        assert(spark.sql("SELECT sum(id) FROM graft.ddlspec_cs_c")
+          .head.getLong(0) === 6L)
+        assert(ManifestCommit.readManifest(spark, cloneLoc).get.op
+          === Some("clone"))
+        // divergence both ways
+        spark.sql("INSERT INTO graft.ddlspec_cs_c VALUES (9, 90.0)")
+        spark.sql("DELETE FROM graft.ddlspec_cs WHERE id = 1")
+        assert(spark.sql("SELECT sum(id) FROM graft.ddlspec_cs_c")
+          .head.getLong(0) === 15L)
+        assert(spark.sql("SELECT sum(id) FROM graft.ddlspec_cs")
+          .head.getLong(0) === 5L)
+        // version-pinned clone: fork generation 2 (first INSERT only)
+        val pinLoc = base + "/c2"
+        spark.sql(
+          s"""CREATE TABLE graft.ddlspec_cs_p SHALLOW CLONE graft.ddlspec_cs
+             |VERSION AS OF 2 LOCATION '$pinLoc'""".stripMargin)
+        try assert(spark.sql("SELECT sum(id) FROM graft.ddlspec_cs_p")
+          .head.getLong(0) === 3L)
+        finally spark.sql("DROP TABLE graft.ddlspec_cs_p")
+        // duplicate target refused; IF NOT EXISTS is a no-op
+        val e = intercept[Exception] { spark.sql(
+          s"CREATE TABLE graft.ddlspec_cs_c SHALLOW CLONE graft.ddlspec_cs " +
+            s"LOCATION '$base/other'") }
+        assert(e.getMessage.contains("already exists"), e.getMessage)
+        spark.sql(
+          s"CREATE TABLE IF NOT EXISTS graft.ddlspec_cs_c SHALLOW CLONE " +
+            s"graft.ddlspec_cs LOCATION '$base/other'")
+        // DEEP CLONE: byte-copies, zero external references — survives
+        // the source being destroyed outright
+        val deepLoc = base + "/deep"
+        spark.sql(
+          s"""CREATE TABLE graft.ddlspec_cs_d DEEP CLONE graft.ddlspec_cs
+             |LOCATION '$deepLoc'""".stripMargin)
+        try {
+          val md = ManifestCommit.readManifest(spark, deepLoc).get
+          assert(md.dirs.forall(!_.startsWith("/")), md.dirs)
+          val fsd = new org.apache.hadoop.fs.Path(srcLoc)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fsd.delete(new org.apache.hadoop.fs.Path(srcLoc), true)
+          ManifestCommit.clearResolveCache()
+          assert(spark.sql("SELECT sum(id) FROM graft.ddlspec_cs_d")
+            .head.getLong(0) === 5L) // source state at deep-clone time
+        } finally spark.sql("DROP TABLE graft.ddlspec_cs_d")
+      } finally spark.sql("DROP TABLE graft.ddlspec_cs_c")
+    } finally spark.sql("DROP TABLE graft.ddlspec_cs")
+  }
+
   test("RESTORE to a pre-slicing generation restores the ABSENCE of the " +
       "slicing expression") {
     val loc = scratch() + "/rs"
