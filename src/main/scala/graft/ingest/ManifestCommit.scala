@@ -605,6 +605,55 @@ object ManifestCommit {
       checks = Some(m.checks), expectedChecks = None)
   }
 
+  /** IN-PLACE conversion of a plain parquet directory into a
+    * manifest-committed table (the public Delta `CONVERT TO DELTA`
+    * idea — the migration path for the fleets of existing parquet
+    * tables a new engine must absorb): the directory's part files are
+    * MOVED into a fresh immutable data dir — one rename each, no data
+    * copied or decoded on rename-capable filesystems (an object-store
+    * deployment pays one server-side copy per file) — commit-time
+    * stats over `statCols` plus the exact row counter are metered
+    * once, and generation 1 lands with the recorded schema: skipping,
+    * manifest-only COUNT(*), appends, time travel and every other
+    * table-format capability are live immediately. Concurrent plain
+    * readers of the directory must be quiesced for the move (the same
+    * caveat Delta documents for its convert); refuses a directory that
+    * is already a manifest table or carries a nested/hive-partitioned
+    * layout (rewrite those through `writeSliced` — partition values
+    * live in dir names, not in the files, so a move cannot preserve
+    * them). */
+  def convertToGraft(spark: SparkSession, root: String,
+      statCols: Seq[String] = Nil): Manifest = {
+    require(!isManifestTable(spark, root),
+      s"convert: $root is already a manifest-committed table")
+    val f = fs(spark, root)
+    val rootP = new Path(root)
+    require(f.exists(rootP), s"convert: $root does not exist")
+    val entries = f.listStatus(rootP).toSeq
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+    val (subdirs, files) = entries.partition(_.isDirectory)
+    require(subdirs.isEmpty,
+      s"convert: $root has subdirectories (${subdirs.take(3).map(_.getPath.getName)
+        .mkString(", ")}…) — hive-partitioned/nested layouts carry values in " +
+        "dir names that a file move cannot preserve; rewrite through " +
+        "ManifestCommit.writeSliced instead")
+    require(files.nonEmpty, s"convert: $root contains no data files")
+    val dir = newDataDir(root)
+    f.mkdirs(new Path(dir))
+    files.foreach { st =>
+      require(f.rename(st.getPath, new Path(dir, st.getPath.getName)),
+        s"convert: could not move ${st.getPath} into $dir")
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(dir).schema.fields.map(_.copy(nullable = true)))
+    val cols = (statCols.filterNot(PseudoStats) :+ RowCountStat).distinct
+    commitReplace(spark, root, Seq(dir), pruneDisplaced = false,
+      stats = Map(dir -> dirStats(spark, dir, cols)),
+      schema = Some(schema), op = "convert",
+      expectedChecks = Some(Map.empty))
+  }
+
   /** Convert EXTERNAL references into locally-OWNED copies — the deep
     * half of cloning (Delta's `DEEP CLONE`, and the escape hatch for a
     * shallow clone that must outlive its source's retention window):

@@ -726,7 +726,67 @@ object SqlGates {
     } finally GraftSql.unregister(srcName)
   }
 
+  /** q159 — `CONVERT TO GRAFT` (the public Delta `CONVERT TO DELTA`
+    * migration shape): a plain parquet directory — the format every
+    * existing pipeline already has — becomes a manifest-committed table
+    * by MOVING its part files into one immutable data dir (one rename
+    * each; byte-identical, pinned by part-file-name set equality) and
+    * metering stats once. Pinned: in-place (no rewrite), manifest-only
+    * COUNT(*) armed immediately, appends land and time travel back to
+    * the conversion generation reproduces the original content exactly
+    * (hash vs DuckDB over the raw orders table).
+    *
+    * 100-TB shape: converting a petabyte of existing parquet costs
+    * O(files) renames + one stats pass — not a rewrite; the alternative
+    * (re-ingesting into a new table) reads and writes the petabyte. */
+  val q159_convert_to_graft = Q(
+    "q159_convert_to_graft",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+      |  1 AS in_place, 1 AS manifest_count, 1 AS append_visible
+      |FROM orders""".stripMargin) { (s, dir) =>
+    import graft.ingest.ManifestCommit
+    val out = tmpDir("graft_q159_")
+    val root = s"$out/orders"
+    val name = uniq("q159_cv")
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    val nOrig = orders.count()
+    orders.repartition(8).write.parquet(root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def parts(p: String) = f.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    val before = parts(root)
+    s.sql(s"CONVERT TO GRAFT parquet.`$root` AS graft.$name STATS (o_orderkey)")
+    try {
+      val m = ManifestCommit.readManifest(s, root).get
+      val inPlace = m.dirs.size == 1 &&
+        parts(s"$root/${m.dirs.head}") == before
+      val manifestCount = ManifestCommit.tableRowCount(s, root)
+        .contains(nOrig)
+      val d2 = ManifestCommit.newDataDir(root)
+      s.range(0, 100)
+        .select((col("id") + 900000000L).as("o_orderkey"),
+          lit(1.0).as("o_totalprice")).write.parquet(d2)
+      ManifestCommit.commitAppend(s, root, d2)
+      val appendVisible = s.sql(s"SELECT count(*) FROM graft.$name")
+        .head.getLong(0) == nOrig + 100
+      // time travel to the CONVERSION generation = the original bytes
+      ManifestCommit.readAt(s, root, 1L).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("price_sum"))
+        .withColumn("in_place", lit(if (inPlace) 1 else 0))
+        .withColumn("manifest_count", lit(if (manifestCount) 1 else 0))
+        .withColumn("append_visible", lit(if (appendVisible) 1 else 0))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
-    q155_sql_restore, q157_check_constraints, q158_shallow_clone)
+    q155_sql_restore, q157_check_constraints, q158_shallow_clone,
+    q159_convert_to_graft)
 }

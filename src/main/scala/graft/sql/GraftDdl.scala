@@ -68,6 +68,14 @@ object GraftDdl {
       """\s*(?:(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|([^\s;]+)))?""" +
       """\s*(?:LOCATION\s+'([^']+)')?\s*;?\s*""").r
 
+  // CONVERT TO GRAFT parquet.`/path` [AS graft.<name>] [STATS (c1, c2)]
+  //   — the Delta CONVERT TO DELTA shape on the text route; STATS names
+  //   the columns to meter per-dir min/max for (row counter always on)
+  private val ConvertRe =
+    ("""(?is)\s*CONVERT\s+TO\s+GRAFT\s+parquet\.`([^`]+)`""" +
+      """\s*(?:AS\s+graft\.(`[^`]+`|[\w.]+))?""" +
+      """\s*(?:STATS\s*\(\s*([\w`,\s.]+?)\s*\))?\s*;?\s*""").r
+
   private def unquote(n: String): String =
     if (n.startsWith("`") && n.endsWith("`")) n.substring(1, n.length - 1) else n
 
@@ -103,6 +111,10 @@ object GraftDdl {
       }
       Some(GraftShallowClone(dstRoot, dstName, srcRoot, version, tsRaw,
         ifNot != null, deep = depth.equalsIgnoreCase("DEEP")))
+    case ConvertRe(path, name, stats) =>
+      val statCols = Option(stats).map(_.split(",").toSeq
+        .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
+      Some(GraftConvert(path, Option(name).map(unquote), statCols))
     case OptimizeRe(name, zorder) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(

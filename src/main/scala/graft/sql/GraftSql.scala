@@ -857,6 +857,17 @@ case class GraftShallowClone(root: String, name: String, srcRoot: String,
     s"GraftShallowClone $name at $root from $srcRoot"
 }
 
+/** Leaf command for `CONVERT TO GRAFT parquet.\`path\``: in-place
+  * migration of a plain parquet directory onto the manifest protocol
+  * (file moves + one commit — see `ManifestCommit.convertToGraft`);
+  * `AS graft.<name>` also registers it for SQL. */
+case class GraftConvert(root: String, name: Option[String],
+    statCols: Seq[String])
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftConvert $root${name.map(n => s" as $n").getOrElse("")}"
+}
+
 /** Leaf command for `DROP TABLE graft.<name>`: unregisters the name.
   * Graft tables are EXTERNAL — the manifest and data stay on disk
   * (re-register or address by path to get them back; retention/

@@ -150,6 +150,13 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         }
         ()
       }) :: Nil
+    case GraftConvert(root, name, statCols) =>
+      GraftRowOpExec(s"GraftConvertExec $root", () => {
+        name.foreach(n => GraftWriteUtil.nameFree(n, root,
+          ignoreIfExists = false))
+        ManifestCommit.convertToGraft(spark, root, statCols)
+        name.foreach(GraftSql.register(_, root))
+      }) :: Nil
     case GraftDropTable(name, ifExists) =>
       GraftRowOpExec(s"GraftDropTableExec $name", () => {
         val reg = GraftSql.lookup(name)

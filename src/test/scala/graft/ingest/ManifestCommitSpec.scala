@@ -844,6 +844,42 @@ class ManifestCommitSpec extends SparkSpec {
     assert(idsOf(dst4) === Set(1L, 2L, 3L))
   }
 
+  test("convertToGraft: in-place migration of a plain parquet directory") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/plain"
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", (col("id") % 7).cast("string"))
+    df.repartition(4).write.parquet(root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(p: String) = f.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    val before = parts(root)
+    val m = ManifestCommit.convertToGraft(spark, root, Seq("id"))
+    assert(m.op === Some("convert") && m.dirs.size === 1)
+    // the part files were MOVED, byte-identical — not rewritten
+    assert(parts(s"$root/${m.dirs.head}") === before)
+    assert(parts(root).isEmpty)
+    // full table-format surface live immediately
+    assert(ManifestCommit.read(spark, root).count() === 1000L)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(1000L),
+      "manifest-only COUNT not armed by convert")
+    val d2 = ManifestCommit.newDataDir(root)
+    spark.range(5000, 5010).toDF("id")
+      .withColumn("v", (col("id") % 7).cast("string")).write.parquet(d2)
+    ManifestCommit.commitAppend(spark, root, d2)
+    assert(ManifestCommit.read(spark, root).count() === 1010L)
+    assert(ManifestCommit.readAt(spark, root, 1L).count() === 1000L)
+    // refusals: double convert; hive-partitioned layout
+    assert(intercept[IllegalArgumentException] {
+      ManifestCommit.convertToGraft(spark, root)
+    }.getMessage.contains("already"))
+    val part = Files.createTempDirectory("manifest_spec_").toString + "/hive"
+    df.write.partitionBy("v").parquet(part)
+    assert(intercept[IllegalArgumentException] {
+      ManifestCommit.convertToGraft(spark, part)
+    }.getMessage.contains("subdirectories"))
+  }
+
   test("materializeExternal (deep clone): the fork sheds its source dependency") {
     val base = Files.createTempDirectory("manifest_spec_").toString
     val src = base + "/src"; val dst = base + "/deep"
