@@ -642,6 +642,11 @@ object MergeInto {
 
     // exact matched-dir witness on the plain candidates, one job
     val (dvCand, plainCand) = cand.partition(m.dvs.contains)
+    // the witness identifies dirs by the file path's parent BASENAME —
+    // map back to the manifest's entry string (a clone's external
+    // entries are absolute; UUID basenames are unique across roots)
+    val byBase = plainCand.map(d =>
+      new org.apache.hadoop.fs.Path(ManifestCommit.dirAbs(root, d)).getName -> d).toMap
     val matchedPlain: Seq[String] =
       if (plainCand.isEmpty) Nil
       else spark.read.schema(tSchema)
@@ -649,6 +654,7 @@ object MergeInto {
         .withColumn("__dir", element_at(split(input_file_name(), "/"), -2))
         .filter(cond)
         .select("__dir").distinct().collect().map(_.getString(0)).toSeq
+        .flatMap(byBase.get)
     val affected = (matchedPlain ++ dvCand).sorted
     if (affected.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 

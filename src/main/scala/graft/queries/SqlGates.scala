@@ -649,7 +649,7 @@ object SqlGates {
       |    o_totalprice + 5 AS o_totalprice
       |  FROM orders, b WHERE o_orderkey <= 100),
       |fin AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
-      |  WHERE o_orderkey % 89 <> 0)
+      |  f, b WHERE NOT (f.o_orderkey % 89 = 0 AND f.o_orderkey <= b.maxk // 4))
       |SELECT CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
@@ -701,7 +701,10 @@ object SqlGates {
             (col("o_totalprice") + 5).as("o_totalprice"))
           .createOrReplaceTempView("q158_ins")
         s.sql(s"INSERT INTO graft.$cloneName SELECT * FROM q158_ins")
-        s.sql(s"DELETE FROM graft.$cloneName WHERE o_orderkey % 89 = 0")
+        // band-scoped DELETE: the stats bound picks ONE external dir to
+        // displace locally; the other external refs survive the rewrite
+        s.sql(s"DELETE FROM graft.$cloneName WHERE o_orderkey % 89 = 0 " +
+          s"AND o_orderkey <= ${cuts(0)}")
         // the source saw none of it
         val srcAgg1 = ManifestCommit.read(s, srcRoot)
           .agg(count(lit(1)), sum("o_orderkey")).collect()(0)

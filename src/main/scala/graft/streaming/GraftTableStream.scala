@@ -342,8 +342,12 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val pending = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     def flush(): Unit = if (pending.nonEmpty) {
+      // keyed on path BASENAMES (input_file_name's parent segment): a
+      // clone's external entries are absolute strings that would never
+      // match; UUID dir names are unique across roots
       val lookupRows = pending.toSeq.map { case (d, g) =>
-        org.apache.spark.sql.Row(d, g) }
+        org.apache.spark.sql.Row(new org.apache.hadoop.fs.Path(
+          ManifestCommit.dirAbs(root, d)).getName, g) }
       val lookup = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           java.util.Arrays.asList(lookupRows: _*)),

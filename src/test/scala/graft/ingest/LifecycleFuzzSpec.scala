@@ -74,7 +74,10 @@ class LifecycleFuzzSpec extends SparkSpec {
 
   for (seed <- Seq(4242, 90210, 31337))
   test(s"random op sequence (seed $seed): live == model, time travel == history") {
-    val root = Files.createTempDirectory("fuzz_spec_").toString + "/t"
+    var root = Files.createTempDirectory("fuzz_spec_").toString + "/t"
+    // sources abandoned at a clone-fork, with the model frozen at fork
+    // time — the fork must never touch them (external-ref ownership)
+    var frozen = List.empty[(String, Map[Long, ModelRow])]
     val rnd = new scala.util.Random(seed)
     var model = Map.empty[Long, ModelRow]
     var nextId = 0L
@@ -228,11 +231,28 @@ class LifecycleFuzzSpec extends SparkSpec {
           assert(got === snap, s"time travel to gen $g mismatch after step $step")
         }
       }
+      // FORK: at two fixed steps the fuzz CONTINUES ON A SHALLOW CLONE
+      // of the table — every later op (merge, DV delete, compaction,
+      // z-order, retention, restore, bloom probes, manifest COUNT) then
+      // runs over external references; the abandoned source must come
+      // out untouched (the clone-ownership contract, under the full mix)
+      if (step == 10 || step == 20) {
+        val fork = Files.createTempDirectory("fuzz_clone_").toString + "/t"
+        ManifestCommit.shallowClone(spark, root, fork)
+        frozen ::= ((root, model))
+        root = fork
+        history = Map(ManifestCommit.readManifest(spark, fork).get.gen -> model)
+      }
     }
     // final hygiene: orphan prune finds nothing to reclaim mid-lifecycle
     assert(ManifestCommit.pruneOrphans(spark, root, minAgeMs = 0L).isEmpty)
     // invariant 3: the change feed over the retained window rebuilds live
     assertFeedRebuilds(root)
+    // invariant 4: the fork never mutated the sources it referenced
+    frozen.foreach { case (r, m) =>
+      ManifestCommit.clearResolveCache()
+      assert(snapshot(r) === m, s"fork mutated its abandoned source $r")
+    }
   }
 
   test("SQL verb fuzz (seed 5555): INSERT/UPDATE/DELETE/MERGE from SQL text, live == model") {
@@ -243,7 +263,8 @@ class LifecycleFuzzSpec extends SparkSpec {
     // checkpoint boundaries × sliced INSERT) the single-verb gates don't
     // exercise. Invariants after every step: the SQL read equals the
     // model, COUNT(*) parity, and SQL `@v` time travel equals history.
-    val root = Files.createTempDirectory("fuzz_sql_").toString + "/t"
+    var root = Files.createTempDirectory("fuzz_sql_").toString + "/t"
+    var frozen = List.empty[(String, Map[Long, ModelRow])]
     val name = s"fuzz_sql_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
     graft.sql.GraftSql.register(name, root)
     val rnd = new scala.util.Random(5555)
@@ -354,9 +375,27 @@ class LifecycleFuzzSpec extends SparkSpec {
           .toMap
         assert(tt === history(g), s"SQL time travel to gen $g mismatch after step $step")
       }
+      // FORK onto a shallow clone mid-run: the registry repoints, every
+      // later SQL verb (sliced INSERT, UPDATE, MERGE, OPTIMIZE, VACUUM,
+      // RESTORE — plus the standing CHECK constraint, which rides the
+      // clone) runs over external references, and the abandoned source
+      // must come out untouched
+      if (step == 8 || step == 16) {
+        val fork = Files.createTempDirectory("fuzz_sql_clone_").toString + "/t"
+        ManifestCommit.shallowClone(spark, root, fork)
+        frozen ::= ((root, model))
+        root = fork
+        graft.sql.GraftSql.register(name, fork)
+        history = Map(ManifestCommit.readManifest(spark, fork).get.gen -> model)
+      }
     }
     // change-feed completeness across the SQL-verb history too
     assertFeedRebuilds(root)
+    // the fork never mutated the sources it referenced
+    frozen.foreach { case (r, m) =>
+      ManifestCommit.clearResolveCache()
+      assert(snapshot(r) === m, s"fork mutated its abandoned source $r")
+    }
     // the constraint survived the whole op mix and still enforces
     assert(ManifestCommit.readManifest(spark, root).get.checks
       .contains("amt_nonneg"), "constraint lost somewhere in the op mix")

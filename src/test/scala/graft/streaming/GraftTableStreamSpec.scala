@@ -690,6 +690,44 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("not a manifest-committed table"))
   }
 
+  test("streaming from a SHALLOW CLONE delivers external-dir batches exactly once") {
+    val src = mkTable(50)
+    append(src, 50, 10) // src: 2 generations, 60 rows
+    val clone = Files.createTempDirectory("graft_stream_").toString + "/c"
+    ManifestCommit.shallowClone(spark, src, clone)
+    // plain tail from the first commit: the clone's generation 1 is all
+    // EXTERNAL dirs — the batched append read resolves their absolute
+    // paths; a later local append joins the same stream
+    append(clone, 100, 5)
+    val name = uniq("clone_tail")
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "1").load(clone)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 65L)
+      assert(spark.table(name).select("id").distinct().count() === 65L)
+    } finally q.stop()
+    // CDF mode over the clone: external-dir inserts must carry their
+    // commit version through the basename-keyed batched flush (an
+    // entry-string keyed join would silently DROP every external row)
+    val name2 = uniq("clone_cdf")
+    val q2 = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "id")
+      .option("startingVersion", "1").load(clone)
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      val feed = spark.table(name2)
+      assert(feed.count() === 65L, "external-dir CDF rows lost")
+      assert(feed.filter(col("_change_type") =!= "insert").count() === 0L)
+      assert(feed.filter(col("_commit_version") === 1L).count() === 60L)
+      assert(feed.filter(col("_commit_version") === 2L).count() === 5L)
+    } finally q2.stop()
+  }
+
   test("a stream recovering 500+ commits behind drains in bounded batches " +
       "(default rate limit), every row exactly once") {
     val root = Files.createTempDirectory("graft_stream_").toString + "/t"
