@@ -38,6 +38,14 @@ import graft.ingest.{ChangeFeed, ManifestCommit}
   *    recovering from a long outage must drain its backlog in bounded
   *    batches, not plan one batch with O(backlog) children. Set
   *    `maxGensPerTrigger=none` to disable.
+  *  - `maxRowsPerTrigger=<n>`: volume-based rate limit (the Delta
+  *    maxBytesPerTrigger idea, in this format's row vocabulary): the
+  *    tail batch stops before the commit that would push the batch past
+  *    n rows, judged from the manifest's per-dir `__rows` stats — zero
+  *    data I/O, always at least one commit per batch; a commit whose
+  *    dirs predate the row counter is treated as unbounded and lands
+  *    alone. Composes with `maxGensPerTrigger` (both caps apply); the
+  *    initial snapshot batch is not limited (the Delta v1 contract).
   *  - `skipChangeCommits=true`: skip non-append commits (merge/delete/
   *    update rewrites) instead of failing the stream. Compaction commits
   *    (`compact*`/`zorder` — same rows, new layout) are always skipped:
@@ -157,6 +165,11 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
         Some(m)
       case None => Some(GraftTableSource.DefaultMaxGensPerTrigger)
     }
+  private val maxRows: Option[Long] = params.get("maxRowsPerTrigger").map { v =>
+    val m = v.toLong
+    require(m > 0, s"maxRowsPerTrigger must be > 0 (got $v)")
+    m
+  }
 
   private val liveAtStart: Long =
     ManifestCommit.readManifest(spark, root).getOrElse(
@@ -279,11 +292,39 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
       case (Some(f), Some(mx)) => math.min(live, f + mx)
       case _ => live
     }
-    if (floor.exists(_ >= capped))
+    // volume cap: walk the candidate window's commits, summing each
+    // one's appended rows from the manifest's __rows stats (cached
+    // metadata resolves — zero data I/O), and stop BEFORE the commit
+    // that would push the batch past the cap. Always at least one
+    // commit; snapshot mode (no floor) is never volume-limited.
+    val rowCapped = (floor, maxRows) match {
+      case (Some(f), Some(mr)) if capped > f + 1 =>
+        def rowsAt(g: Long): Long = {
+          val prev = maniAt(g - 1); val cur = maniAt(g)
+          if (CompactOps(cur.op.getOrElse(""))) 0L
+          else {
+            def ident(m: ManifestCommit.Manifest)(d: String) = (d, m.dvs.get(d))
+            val prevSet = prev.dirs.map(ident(prev)).toSet
+            cur.dirs.filterNot(d => prevSet(ident(cur)(d))).map { d =>
+              cur.stats.getOrElse(d, Nil)
+                .find(_.col == ManifestCommit.RowCountStat)
+                .map(_.min.toLong).getOrElse(Long.MaxValue / 4) // unknown
+            }.foldLeft(0L)((a, b) => math.min(Long.MaxValue / 2, a + b))
+          }
+        }
+        var end = f + 1
+        var cum = rowsAt(end)
+        while (end < capped && cum + rowsAt(end + 1) <= mr) {
+          end += 1; cum += rowsAt(end)
+        }
+        end
+      case _ => capped
+    }
+    if (floor.exists(_ >= rowCapped))
       // nothing new past the floor: no batch on a fresh latest/
       // startingVersion stream, the unchanged offset on a running one
       if (highWater.isEmpty) None else Some(GenOffset(highWater.get))
-    else { highWater = Some(capped); Some(GenOffset(capped)) }
+    else { highWater = Some(rowCapped); Some(GenOffset(rowCapped)) }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -98,6 +98,11 @@ class ThriftEndpointSpec extends SparkSpec {
         // views so the stock hive-jdbc metadata operations see them.
         GraftSql.syncBiCatalog(spark)
         val md = conn.getMetaData
+        // schema enumeration — the first call of every BI sync loop
+        val rsS = md.getSchemas()
+        var schemas = List.empty[String]
+        while (rsS.next()) schemas ::= rsS.getString("TABLE_SCHEM")
+        assert(schemas.contains("graft_bi"), schemas)
         val rsT = md.getTables(null, "graft_bi", "%", null)
         var discovered = List.empty[String]
         while (rsT.next()) discovered ::= rsT.getString("TABLE_NAME")

@@ -690,6 +690,51 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(e.getMessage.contains("not a manifest-committed table"))
   }
 
+  test("maxRowsPerTrigger paces the tail by manifest row stats, zero data I/O") {
+    val root = mkTable(10) // gen 1 (snapshot side, not volume-limited)
+    def appendCounted(from: Long, count: Long): Unit = {
+      val d = ManifestCommit.newDataDir(root)
+      spark.range(from, from + count).toDF("id")
+        .withColumn("v", col("id") * 2).write.parquet(d)
+      ManifestCommit.commitAppend(spark, root, d,
+        stats = Seq(ManifestCommit.rowCountStat(spark, d)))
+      ()
+    }
+    (0 until 10).foreach(i => appendCounted(1000 + i * 100, 100)) // gens 2-11
+    val name = uniq("rowcap")
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "2") // pure tail: gens 2..11
+      .option("maxRowsPerTrigger", "250").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 1000L)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      // 100-row commits under a 250-row cap → two commits per batch
+      assert(batches.length === 5, batches.map(_.numInputRows).mkString(","))
+      assert(batches.forall(_.numInputRows === 200L),
+        batches.map(_.numInputRows).mkString(","))
+    } finally q.stop()
+    // a commit whose dirs predate the row counter lands ALONE (unknown
+    // volume must not be absorbed into a bounded batch)
+    append(root, 5000, 7) // gen 12: no __rows stat
+    appendCounted(6000, 50) // gen 13
+    val name2 = uniq("rowcap2")
+    val q2 = spark.readStream.format("graft-table")
+      .option("startingVersion", "12")
+      .option("maxRowsPerTrigger", "1000").load(root)
+      .writeStream.format("memory").queryName(name2)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name2).count() === 57L)
+      val b2 = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(b2.length === 2 && b2.head.numInputRows === 7L,
+        b2.map(_.numInputRows).mkString(","))
+    } finally q2.stop()
+  }
+
   test("streaming from a SHALLOW CLONE delivers external-dir batches exactly once") {
     val src = mkTable(50)
     append(src, 50, 10) // src: 2 generations, 60 rows
