@@ -1286,8 +1286,11 @@ object ManifestCommit {
       expectedChecks: Option[Map[String, String]] = None): Manifest =
       commitLock(root).synchronized {
     val prev = readManifest(spark, root)
-    checkConstraintCas(root, prev.map(_.checks).getOrElse(Map.empty),
-      expectedChecks)
+    // the txn replay check runs FIRST: a replayed batch's rows are
+    // ALREADY committed (and were re-validated by any constraint ADDed
+    // since — setCheck scans existing rows), so absorbing it as a no-op
+    // is correct under any constraint set; failing its CAS would turn a
+    // routine crash-replay into a spurious conflict
     txn.foreach { case (writer, ver) =>
       prev.foreach { p =>
         if (p.txns.get(writer).exists(_ >= ver)) {
@@ -1297,6 +1300,8 @@ object ManifestCommit {
         }
       }
     }
+    checkConstraintCas(root, prev.map(_.checks).getOrElse(Map.empty),
+      expectedChecks)
     checkCas(root, prev, expectedGen)
     val name = entryName(root)(dir)
     // appends inherit the recorded schema: an append adds rows, not
