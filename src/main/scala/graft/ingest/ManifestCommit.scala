@@ -594,7 +594,10 @@ object ManifestCommit {
           s"shallow clone: $src is not a manifest-committed table"))
     }
     val extDirs = m.dirs.map(dirAbs(src, _))
+    // expectedGen 0: two clones racing to the same destination must not
+    // both claim generation 1 — the loser's CAS fails crisply
     commitReplace(spark, dstRoot, extDirs, pruneDisplaced = false,
+      expectedGen = Some(0L),
       stats = m.dirs.zip(extDirs)
         .flatMap { case (d, e) => m.stats.get(d).map(e -> _) }.toMap,
       schema = m.tableSchema, op = "clone",
@@ -651,7 +654,7 @@ object ManifestCommit {
     commitReplace(spark, root, Seq(dir), pruneDisplaced = false,
       stats = Map(dir -> dirStats(spark, dir, cols)),
       schema = Some(schema), op = "convert",
-      expectedChecks = Some(Map.empty))
+      expectedGen = Some(0L), expectedChecks = Some(Map.empty))
   }
 
   /** Convert EXTERNAL references into locally-OWNED copies — the deep

@@ -93,9 +93,21 @@ object GraftSql {
       .filterNot(want).foreach { stale =>
         spark.sql(s"DROP VIEW IF EXISTS `$db`.`$stale`")
       }
-    want.toSeq.sorted.foreach { n =>
-      spark.sql(s"CREATE OR REPLACE VIEW `$db`.`$n` AS SELECT * FROM graft.`$n`")
+    // one broken table must not abort the whole sync (BI schema sync is
+    // a standing loop — a registration whose root was deleted out from
+    // under it should drop out of discovery, not wedge every other
+    // table); failures are returned for the caller's log
+    val failed = want.toSeq.sorted.flatMap { n =>
+      scala.util.Try(spark.sql(
+        s"CREATE OR REPLACE VIEW `$db`.`$n` AS SELECT * FROM graft.`$n`"))
+        .failed.toOption.map { e =>
+          spark.sql(s"DROP VIEW IF EXISTS `$db`.`$n`")
+          n -> e.getMessage
+        }
     }
+    if (failed.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"syncBiCatalog: skipped unreadable tables ${failed.map(_._1).mkString(", ")}")
   }
 
   private val AtGen = "^(.*)@v([0-9]+)$".r

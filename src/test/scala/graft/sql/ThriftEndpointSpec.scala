@@ -129,6 +129,14 @@ class ThriftEndpointSpec extends SparkSpec {
         GraftSql.syncBiCatalog(spark)
         val rsT2 = md.getTables(null, "graft_bi", "thriftspec_gone", null)
         assert(!rsT2.next(), "unregistered table still discoverable")
+
+        // a STALE registration (root deleted out from under it) must be
+        // skipped, not abort the whole sync loop
+        GraftSql.register("thriftspec_stale", "/nonexistent/graft/root")
+        try GraftSql.syncBiCatalog(spark)
+        finally GraftSql.unregister("thriftspec_stale")
+        val rsT3 = md.getTables(null, "graft_bi", "thriftspec_t", null)
+        assert(rsT3.next(), "healthy table lost because a stale one aborted sync")
       } finally conn.close()
     } finally server.stop()
   }
