@@ -305,8 +305,14 @@ object ManifestCommit {
     * Delta shallow-clone contract (vacuuming the source invalidates
     * clones that still reference the removed files; vacuuming the clone
     * touches only its own local dirs). */
+  /** A fully-qualified manifest entry: a filesystem-absolute path or a
+    * scheme-qualified URI (`s3a://…`, `hdfs://…`, `file:/…`) — anything
+    * that must NOT be re-rooted under the table root at read time. */
+  private def isQualified(d: String): Boolean =
+    d.startsWith("/") || d.contains("://") || d.startsWith("file:")
+
   private[graft] def isExternal(root: String, d: String): Boolean =
-    d.startsWith("/") && !d.startsWith(root.stripSuffix("/") + "/")
+    isQualified(d) && !d.startsWith(root.stripSuffix("/") + "/")
 
   /** Canonical manifest entry for a commit input: bare name for a local
     * dir (absolute-under-root or already bare), untouched for an
@@ -317,7 +323,7 @@ object ManifestCommit {
   /** Absolute read path of a manifest entry (local name re-rooted,
     * external reference as-is). */
   def dirAbs(root: String, d: String): String =
-    if (d.startsWith("/")) d else s"$root/$d"
+    if (isQualified(d)) d else s"$root/$d"
 
   /** Bounded retry around the chain walk: a concurrent retention sweep
     * (or eager-prune replace) can delete part of the chain BETWEEN this
@@ -642,15 +648,26 @@ object ManifestCommit {
         "dir names that a file move cannot preserve; rewrite through " +
         "ManifestCommit.writeSliced instead")
     require(files.nonEmpty, s"convert: $root contains no data files")
+    // validate EVERYTHING that can fail BEFORE the first rename: the
+    // schema read proves the files parse, and unknown stat columns are
+    // refused while the directory is still intact — a post-move failure
+    // would leave the plain table's files displaced with no manifest
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(root).schema.fields.map(_.copy(nullable = true)))
+    statCols.filterNot(PseudoStats).foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"convert: stat column $c is not in the table's schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
     val dir = newDataDir(root)
     f.mkdirs(new Path(dir))
     files.foreach { st =>
       require(f.rename(st.getPath, new Path(dir, st.getPath.getName)),
         s"convert: could not move ${st.getPath} into $dir")
     }
-    val schema = org.apache.spark.sql.types.StructType(
-      spark.read.parquet(dir).schema.fields.map(_.copy(nullable = true)))
-    val cols = (statCols.filterNot(PseudoStats) :+ RowCountStat).distinct
+    val cols = (statCols.filterNot(PseudoStats)
+      .flatMap(c => schema.fieldNames.find(_.equalsIgnoreCase(c))) :+
+      RowCountStat).distinct
     commitReplace(spark, root, Seq(dir), pruneDisplaced = false,
       stats = Map(dir -> dirStats(spark, dir, cols)),
       schema = Some(schema), op = "convert",

@@ -37,7 +37,10 @@ import graft.ingest.{ChangeFeed, ManifestCommit}
   *    DEFAULTS to 256 (the Delta maxFilesPerTrigger idea): a replica
   *    recovering from a long outage must drain its backlog in bounded
   *    batches, not plan one batch with O(backlog) children. Set
-  *    `maxGensPerTrigger=none` to disable.
+  *    `maxGensPerTrigger=none` to disable. As with every rate-limited
+  *    v1 source (FileStreamSource's maxFilesPerTrigger included), use
+  *    `Trigger.AvailableNow` for run-and-stop jobs — the deprecated
+  *    `Trigger.Once` processes a single capped batch and stops short.
   *  - `maxRowsPerTrigger=<n>`: volume-based rate limit (the Delta
   *    maxBytesPerTrigger idea, in this format's row vocabulary): the
   *    tail batch stops before the commit that would push the batch past
@@ -157,10 +160,13 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
       "(the row identity the feed diffs on)")
   private val skipChange = params.get("skipChangeCommits").exists(_.toBoolean)
   private val maxGens: Option[Long] =
-    params.get("maxGensPerTrigger") match {
-      case Some("none") => None // explicit opt-out: unbounded batches
+    params.get("maxGensPerTrigger").map(_.trim) match {
+      case Some(v) if v.equalsIgnoreCase("none") =>
+        None // explicit opt-out: unbounded batches
       case Some(v) =>
-        val m = v.toLong
+        val m = scala.util.Try(v.toLong).getOrElse(throw
+          new IllegalArgumentException(
+            s"maxGensPerTrigger must be a positive number or 'none' (got $v)"))
         require(m > 0, s"maxGensPerTrigger must be > 0 (got $v)")
         Some(m)
       case None => Some(GraftTableSource.DefaultMaxGensPerTrigger)
@@ -314,8 +320,10 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
         }
         var end = f + 1
         var cum = rowsAt(end)
-        while (end < capped && cum + rowsAt(end + 1) <= mr) {
-          end += 1; cum += rowsAt(end)
+        var grow = true
+        while (grow && end < capped) {
+          val next = rowsAt(end + 1) // probed once, reused (driver latency)
+          if (cum + next <= mr) { end += 1; cum += next } else grow = false
         }
         end
       case _ => capped

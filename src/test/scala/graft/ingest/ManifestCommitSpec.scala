@@ -880,6 +880,49 @@ class ManifestCommitSpec extends SparkSpec {
     }.getMessage.contains("subdirectories"))
   }
 
+  test("shallow clone from a SCHEME-QUALIFIED source keeps qualified external refs") {
+    val base = Files.createTempDirectory("manifest_spec_").toString
+    val src = base + "/src"; val dst = base + "/clone"
+    val d1 = ManifestCommit.newDataDir(src)
+    write(Row(1L, "a"), Row(2L, "b"))(d1)
+    ManifestCommit.commitReplace(spark, src, Seq(d1),
+      pruneDisplaced = false, schema = Some(st))
+    // an object-store deployment's roots are scheme-qualified (s3a://…);
+    // locally the same shape is file: — the clone's entries must stay
+    // QUALIFIED, not be stripped to bare names that re-root under dst
+    ManifestCommit.shallowClone(spark, s"file:$src", dst)
+    val m = ManifestCommit.readManifest(spark, dst).get
+    assert(m.dirs.forall(_.startsWith("file:/")), m.dirs)
+    assert(idsOf(dst) === Set(1L, 2L))
+    // ownership holds for qualified refs too: eager-prune spares them
+    val d2 = ManifestCommit.newDataDir(dst)
+    write(Row(9L, "z"))(d2)
+    ManifestCommit.commitReplace(spark, dst, Seq(d2)) // eager prune
+    assert(idsOf(dst) === Set(9L))
+    assert(idsOf(src) === Set(1L, 2L), "qualified source dir deleted by clone")
+  }
+
+  test("convertToGraft validates BEFORE moving: a bad stat column leaves the " +
+      "plain directory intact") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/plain"
+    spark.range(0, 100).toDF("id").write.parquet(root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts() = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    val before = parts()
+    val e = intercept[IllegalArgumentException] {
+      ManifestCommit.convertToGraft(spark, root, Seq("oops_typo"))
+    }
+    assert(e.getMessage.contains("oops_typo"), e.getMessage)
+    assert(parts() === before, "failed convert displaced the plain files")
+    assert(!ManifestCommit.isManifestTable(spark, root))
+    // and the directory still converts cleanly afterwards
+    ManifestCommit.convertToGraft(spark, root, Seq("ID")) // case-insensitive
+    assert(ManifestCommit.read(spark, root).count() === 100L)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(100L))
+  }
+
   test("materializeExternal (deep clone): the fork sheds its source dependency") {
     val base = Files.createTempDirectory("manifest_spec_").toString
     val src = base + "/src"; val dst = base + "/deep"

@@ -23,8 +23,11 @@ class JdbcLiveSpec extends SparkSpec {
   // ThriftEndpointSpec getTables call dies JVM-wide. /dev/shm keeps the
   // speed of the memory db without registering the memory subprotocol.
   private val url = {
-    val dir = java.nio.file.Files.createTempDirectory(
-      java.nio.file.Paths.get("/dev/shm"), "graft_derby_")
+    val base = java.nio.file.Paths.get("/dev/shm")
+    val dir =
+      if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.createTempDirectory(base, "graft_derby_")
+      else java.nio.file.Files.createTempDirectory("graft_derby_")
     s"jdbc:derby:$dir/graftdb;create=true"
   }
 
