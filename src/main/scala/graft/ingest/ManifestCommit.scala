@@ -306,10 +306,15 @@ object ManifestCommit {
     * clones that still reference the removed files; vacuuming the clone
     * touches only its own local dirs). */
   /** A fully-qualified manifest entry: a filesystem-absolute path or a
-    * scheme-qualified URI (`s3a://…`, `hdfs://…`, `file:/…`) — anything
-    * that must NOT be re-rooted under the table root at read time. */
+    * scheme-qualified URI (`s3a://…`, `hdfs://…`, `file:/…`, and
+    * authority-less forms like `hdfs:/nn/x`) — anything that must NOT
+    * be re-rooted under the table root at read time. Local entries are
+    * bare `data_*`/`_dv_*` names, which can never start with a URI
+    * scheme. */
+  private val QualifiedScheme =
+    java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9+.\\-]*:")
   private def isQualified(d: String): Boolean =
-    d.startsWith("/") || d.contains("://") || d.startsWith("file:")
+    d.startsWith("/") || QualifiedScheme.matcher(d).lookingAt()
 
   private[graft] def isExternal(root: String, d: String): Boolean =
     isQualified(d) && !d.startsWith(root.stripSuffix("/") + "/")
@@ -668,10 +673,19 @@ object ManifestCommit {
     val cols = (statCols.filterNot(PseudoStats)
       .flatMap(c => schema.fieldNames.find(_.equalsIgnoreCase(c))) :+
       RowCountStat).distinct
-    commitReplace(spark, root, Seq(dir), pruneDisplaced = false,
+    try commitReplace(spark, root, Seq(dir), pruneDisplaced = false,
       stats = Map(dir -> dirStats(spark, dir, cols)),
       schema = Some(schema), op = "convert",
       expectedGen = Some(0L), expectedChecks = Some(Map.empty))
+    catch { case scala.util.control.NonFatal(e) =>
+      // a post-move failure (stats pass, or a concurrent creation at
+      // this root losing the CAS) must not leave the plain table's
+      // files displaced with no manifest — move them back
+      files.foreach(st =>
+        f.rename(new Path(dir, st.getPath.getName), st.getPath))
+      f.delete(new Path(dir), true)
+      throw e
+    }
   }
 
   /** Convert EXTERNAL references into locally-OWNED copies — the deep

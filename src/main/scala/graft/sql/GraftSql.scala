@@ -82,7 +82,7 @@ object GraftSql {
     * unregistered — the BI deployment calls this on its schema-sync
     * cadence, one O(#tables) metadata pass, no data I/O. */
   def syncBiCatalog(spark: org.apache.spark.sql.SparkSession,
-      db: String = "graft_bi"): Unit = {
+      db: String = "graft_bi"): Seq[(String, String)] = {
     require(db.toLowerCase(java.util.Locale.ROOT) != "graft",
       "the BI mirror database may not be named 'graft' (it would shadow " +
         "the graft resolution qualifier and make every view self-referential)")
@@ -94,20 +94,28 @@ object GraftSql {
         spark.sql(s"DROP VIEW IF EXISTS `$db`.`$stale`")
       }
     // one broken table must not abort the whole sync (BI schema sync is
-    // a standing loop — a registration whose root was deleted out from
-    // under it should drop out of discovery, not wedge every other
-    // table); failures are returned for the caller's log
+    // a standing loop); failures are RETURNED as (table, error) for the
+    // caller's monitoring and logged. A table is dropped from discovery
+    // only when its root is provably GONE (stale registration) — a
+    // TRANSIENT read error keeps the previous healthy view serving.
     val failed = want.toSeq.sorted.flatMap { n =>
       scala.util.Try(spark.sql(
         s"CREATE OR REPLACE VIEW `$db`.`$n` AS SELECT * FROM graft.`$n`"))
         .failed.toOption.map { e =>
-          spark.sql(s"DROP VIEW IF EXISTS `$db`.`$n`")
+          val gone = rootOf(n).forall(r => scala.util.Try(
+            !graft.ingest.ManifestCommit.isManifestTable(spark, r))
+            .getOrElse(false))
+          if (gone) {
+            scala.util.Try(spark.sql(s"DROP VIEW IF EXISTS `$db`.`$n`"))
+            ()
+          }
           n -> e.getMessage
         }
     }
     if (failed.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"syncBiCatalog: skipped unreadable tables ${failed.map(_._1).mkString(", ")}")
+    failed
   }
 
   private val AtGen = "^(.*)@v([0-9]+)$".r

@@ -171,11 +171,17 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
         Some(m)
       case None => Some(GraftTableSource.DefaultMaxGensPerTrigger)
     }
-  private val maxRows: Option[Long] = params.get("maxRowsPerTrigger").map { v =>
-    val m = v.toLong
-    require(m > 0, s"maxRowsPerTrigger must be > 0 (got $v)")
-    m
-  }
+  private val maxRows: Option[Long] =
+    params.get("maxRowsPerTrigger").map(_.trim) match {
+      case Some(v) if v.equalsIgnoreCase("none") => None
+      case Some(v) =>
+        val m = scala.util.Try(v.toLong).getOrElse(throw
+          new IllegalArgumentException(
+            s"maxRowsPerTrigger must be a positive number or 'none' (got $v)"))
+        require(m > 0, s"maxRowsPerTrigger must be > 0 (got $v)")
+        Some(m)
+      case None => None
+    }
 
   private val liveAtStart: Long =
     ManifestCommit.readManifest(spark, root).getOrElse(
