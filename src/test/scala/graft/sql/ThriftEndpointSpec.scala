@@ -130,6 +130,19 @@ class ThriftEndpointSpec extends SparkSpec {
         val rsT2 = md.getTables(null, "graft_bi", "thriftspec_gone", null)
         assert(!rsT2.next(), "unregistered table still discoverable")
 
+        // DDL over the wire: a BI user forks the table from SQL Lab —
+        // the per-connection session inherits the injected parser, so
+        // SHALLOW CLONE (a text-route statement) works from a stock
+        // JDBC client too
+        val forkLoc = Files.createTempDirectory("graft_thrift_").toString + "/fork"
+        st.execute("CREATE TABLE graft.thriftspec_fork SHALLOW CLONE " +
+          s"graft.thriftspec_t LOCATION '$forkLoc'")
+        try {
+          val rfk = st.executeQuery(
+            "SELECT count(*), max(id) FROM graft.thriftspec_fork")
+          assert(rfk.next() && rfk.getLong(1) === 410L && rfk.getLong(2) === 1009L)
+        } finally st.execute("DROP TABLE graft.thriftspec_fork")
+
         // a STALE registration (root deleted out from under it) must be
         // skipped, not abort the whole sync loop
         GraftSql.register("thriftspec_stale", "/nonexistent/graft/root")
