@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// A deleted spec's leftover report XML must not pollute the green signal
+// (a stale red file reads as a failure forever): wipe the report dir
+// before every test invocation so only specs that exist in src report.
+Test / testOptions += Tests.Setup { () =>
+  val dir = new java.io.File("target/test-reports")
+  if (dir.isDirectory) dir.listFiles().foreach(_.delete())
+}
 // Pass the forked process's stdout through RAW (no "[info] " prefix):
 // Bench/Verify print machine-readable JSON lines that a parent process
 // parses, and sbt's logged output strategy would corrupt them.

@@ -666,37 +666,101 @@ object ManifestCommit {
     }
     val dir = newDataDir(root)
     f.mkdirs(new Path(dir))
-    files.foreach { st =>
-      require(f.rename(st.getPath, new Path(dir, st.getPath.getName)),
-        s"convert: could not move ${st.getPath} into $dir")
+    // EVERYTHING from the first rename on runs under the rollback: a
+    // rename failing mid-loop (object-store copy error, permissions,
+    // concurrent delete) must restore the plain directory exactly like
+    // a failed stats pass or a lost CAS would. Rollback moves back
+    // whatever LIVES IN the staging dir (the dir is UUID-owned, so its
+    // content is precisely the already-moved prefix) — correct for both
+    // the driver loop and the distributed rename job below.
+    def rollbackMoves(): Unit = {
+      val dp = new Path(dir)
+      if (f.exists(dp)) {
+        f.listStatus(dp).foreach(st =>
+          f.rename(st.getPath, new Path(rootP, st.getPath.getName)))
+        f.delete(dp, true)
+      }
     }
-    val cols = (statCols.filterNot(PseudoStats)
-      .flatMap(c => schema.fieldNames.find(_.equalsIgnoreCase(c))) :+
-      RowCountStat).distinct
-    try commitReplace(spark, root, Seq(dir), pruneDisplaced = false,
-      stats = Map(dir -> dirStats(spark, dir, cols)),
-      schema = Some(schema), op = "convert",
-      expectedGen = Some(0L), expectedChecks = Some(Map.empty))
-    catch { case scala.util.control.NonFatal(e) =>
-      // a post-move failure (stats pass, or a concurrent creation at
-      // this root losing the CAS) must not leave the plain table's
-      // files displaced with no manifest — move them back
-      files.foreach(st =>
-        f.rename(new Path(dir, st.getPath.getName), st.getPath))
-      f.delete(new Path(dir), true)
+    try {
+      // a large directory's renames are independent O(1) metadata ops:
+      // past a small count they run as a Spark job (one task per slice,
+      // per-task FileSystem) instead of one at a time on the driver — a
+      // million-part convert must not serialize a million round-trips
+      // through one JVM
+      val names = files.map(_.getPath.getName)
+      if (names.size <= SmallFanout) names.foreach { n =>
+        require(f.rename(new Path(rootP, n), new Path(dir, n)),
+          s"convert: could not move $root/$n into $dir")
+      } else distributeRenames(spark, root, dir, names)
+      val cols = (statCols.filterNot(PseudoStats)
+        .flatMap(c => schema.fieldNames.find(_.equalsIgnoreCase(c))) :+
+        RowCountStat).distinct
+      commitReplace(spark, root, Seq(dir), pruneDisplaced = false,
+        stats = Map(dir -> dirStats(spark, dir, cols)),
+        schema = Some(schema), op = "convert",
+        expectedGen = Some(0L), expectedChecks = Some(Map.empty))
+    } catch { case scala.util.control.NonFatal(e) =>
+      rollbackMoves()
       throw e
     }
+  }
+
+  /** Below this many independent filesystem operations, a driver-side
+    * loop or small thread pool beats a Spark job's scheduling overhead;
+    * above it the work runs as a job (per-task FileSystem handles), so
+    * a 100-TB table never funnels its copies/renames through one JVM. */
+  private[ingest] val SmallFanout = 16
+
+  /** Minimal serializable Hadoop-conf carrier: copy/rename tasks need
+    * the session's Hadoop conf (object-store credentials, FS impls) on
+    * executors, and `Configuration` itself is not Java-serializable. */
+  private class SerConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Rename `root/<name>` → `dir/<name>` for every name as a Spark job
+    * (convert's large-directory path). Any task failure fails the job;
+    * the caller's rollback restores whatever prefix had moved. */
+  private def distributeRenames(spark: SparkSession, root: String,
+      dir: String, names: Seq[String]): Unit = {
+    val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val slices = math.min(names.size,
+      math.max(2, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.setJobDescription(
+      s"graft convert: move ${names.size} files into $dir")
+    try spark.sparkContext.parallelize(names, slices).foreachPartition { it =>
+      val fsys = new Path(root).getFileSystem(conf.conf)
+      it.foreach { n =>
+        if (!fsys.rename(new Path(root, n), new Path(dir, n)))
+          throw new java.io.IOException(
+            s"convert: could not move $root/$n into $dir")
+      }
+    } finally spark.sparkContext.setJobDescription(null)
   }
 
   /** Convert EXTERNAL references into locally-OWNED copies — the deep
     * half of cloning (Delta's `DEEP CLONE`, and the escape hatch for a
     * shallow clone that must outlive its source's retention window):
     * every external dir and deletion vector is byte-copied under this
-    * root (pure file copy on concurrent threads — no decode, no
-    * shuffle, no Spark job) and one same-content generation re-points
-    * at the copies. CAS-guarded on the generation read; a no-op when
-    * nothing is external. After this the table depends on no other
-    * root. */
+    * root and one same-content generation re-points at the copies. The
+    * copy DISTRIBUTES: external dirs expand to per-FILE (src, dst)
+    * pairs that run as a Spark job with per-task FileSystem handles —
+    * the same shape as Delta's distributed DEEP CLONE — so wall clock
+    * scales with the cluster, not with one driver's bandwidth; only a
+    * small fan-out (≤ [[SmallFanout]] files) stays on a driver thread
+    * pool where job-scheduling overhead would dominate. CAS-guarded on
+    * the generation read; a no-op when nothing is external; a failed
+    * copy best-effort deletes the partial target dirs (any survivor is
+    * an unreferenced orphan that `pruneOrphans` reclaims). After this
+    * the table depends on no other root. */
   def materializeExternal(spark: SparkSession, root: String): Manifest = {
     val m = readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(
@@ -706,36 +770,75 @@ object ManifestCommit {
     if (extDirs.isEmpty && extDvs.isEmpty) return m
     val conf = spark.sparkContext.hadoopConfiguration
     val dstFs = fs(spark, root)
-    def copyTo(src: String, dst: String): Unit = {
-      val sp = new Path(src)
-      org.apache.hadoop.fs.FileUtil.copy(
-        sp.getFileSystem(conf), sp, dstFs, new Path(dst), false, conf)
-      ()
-    }
     val targets: Seq[(String, String)] =
       extDirs.map(d => d -> newDataDir(root)) ++
         extDvs.map(v => v -> s"$root/_dv_${java.util.UUID.randomUUID()
           .toString.replace("-", "").take(16)}")
-    locally { // copies are independent: overlap their round-trips
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(targets.size, 8))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(Future.sequence(targets.map { case (s, d) =>
-        Future(copyTo(s, d)) }), Duration.Inf)
-      finally pool.shutdown()
+    // FILE-level fan-out: a clone of a few huge dirs must still spread
+    // across tasks, so each external dir expands to its files (one
+    // listing apiece — driver metadata, no data I/O)
+    val filePairs: Seq[(String, String)] = targets.flatMap { case (s, d) =>
+      val sp = new Path(s)
+      val sfs = sp.getFileSystem(conf)
+      if (sfs.getFileStatus(sp).isDirectory) {
+        dstFs.mkdirs(new Path(d))
+        sfs.listStatus(sp).toSeq.map(st =>
+          st.getPath.toString -> new Path(d, st.getPath.getName).toString)
+      } else Seq(s -> d)
     }
-    val local: Map[String, String] =
-      targets.map { case (s, d) => s -> new Path(d).getName }.toMap
-    commitReplace(spark, root,
-      m.dirs.map(d => local.getOrElse(d, d)),
-      pruneDisplaced = false,
-      stats = m.stats.map { case (d, cs) => local.getOrElse(d, d) -> cs },
-      dvs = m.dvs.map { case (d, f) =>
-        local.getOrElse(d, d) -> local.getOrElse(f, f) },
-      schema = m.tableSchema, op = "materialize",
-      expectedGen = Some(m.gen), checks = Some(m.checks))
+    def copyOne(c: org.apache.hadoop.conf.Configuration)(
+        src: String, dst: String): Unit = {
+      val sp = new Path(src); val dp = new Path(dst)
+      org.apache.hadoop.fs.FileUtil.copy(
+        sp.getFileSystem(c), sp, dp.getFileSystem(c), dp, false, c)
+      ()
+    }
+    try {
+      if (filePairs.size <= SmallFanout) {
+        // small fan-out: overlap round-trips on a driver pool
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(filePairs.size, 8))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(filePairs.map { case (s, d) =>
+          Future(copyOne(conf)(s, d)) }), Duration.Inf)
+        finally pool.shutdown()
+      } else {
+        val ser = new SerConf(conf)
+        val slices = math.min(filePairs.size,
+          math.max(2, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.setJobDescription(
+          s"graft materialize: copy ${filePairs.size} files into $root")
+        try spark.sparkContext.parallelize(filePairs, slices)
+          .foreachPartition { it =>
+            val c = ser.conf
+            it.foreach { case (s, d) =>
+              val sp = new Path(s); val dp = new Path(d)
+              org.apache.hadoop.fs.FileUtil.copy(
+                sp.getFileSystem(c), sp, dp.getFileSystem(c), dp, false, c)
+              ()
+            }
+          }
+        finally spark.sparkContext.setJobDescription(null)
+      }
+      val local: Map[String, String] =
+        targets.map { case (s, d) => s -> new Path(d).getName }.toMap
+      commitReplace(spark, root,
+        m.dirs.map(d => local.getOrElse(d, d)),
+        pruneDisplaced = false,
+        stats = m.stats.map { case (d, cs) => local.getOrElse(d, d) -> cs },
+        dvs = m.dvs.map { case (d, f) =>
+          local.getOrElse(d, d) -> local.getOrElse(f, f) },
+        schema = m.tableSchema, op = "materialize",
+        expectedGen = Some(m.gen), checks = Some(m.checks))
+    } catch { case scala.util.control.NonFatal(e) =>
+      // copied-but-uncommitted dirs are orphans — reclaim them now
+      // rather than waiting for pruneOrphans (best-effort)
+      targets.foreach { case (_, d) =>
+        scala.util.Try(dstFs.delete(new Path(d), true)) }
+      throw e
+    }
   }
 
   /** Physical kind of each retained per-generation metadata record —
@@ -773,6 +876,43 @@ object ManifestCommit {
   def readDirsOf(spark: SparkSession, root: String, m: Manifest,
       dirs: Seq[String],
       schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    try readDirsOfImpl(spark, root, m, dirs, schemaOverride)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      // a missing path here is USUALLY a reclaimed external reference —
+      // name the clone ownership contract and the remedy instead of
+      // surfacing a raw path error (house style: the streaming source's
+      // retention-lapse error does the same)
+      throw cloneRetentionError(spark, root, m).getOrElse(e)
+    }
+
+  /** The clone-outlived-its-source failure, when that is what a read
+    * error was: Some(crisp error) iff any of the manifest's EXTERNAL
+    * references no longer exists on its own filesystem. */
+  private def cloneRetentionError(spark: SparkSession, root: String,
+      m: Manifest): Option[IllegalStateException] = {
+    val ext = (m.dirs ++ m.dvs.values.toSeq).distinct
+      .filter(isExternal(root, _))
+    val gone = ext.filter { d =>
+      scala.util.Try(!fs(spark, d).exists(new Path(d))).getOrElse(false)
+    }
+    if (gone.isEmpty) None
+    else Some(new IllegalStateException(
+      s"shallow clone at $root references external data that the " +
+        s"SOURCE table's retention has reclaimed (missing: " +
+        s"${gone.take(3).mkString(", ")}${if (gone.size > 3) ", …" else ""}). " +
+        "Ownership contract: a clone never owns its external references " +
+        "— the source's retention reclaims them — so a clone must live " +
+        "within the source's retention window. Remedy: re-clone from a " +
+        "retained generation, or make the table self-contained with " +
+        "DEEP CLONE / ManifestCommit.materializeExternal before the " +
+        "source expires (size the source's expireSnapshots keepLast to " +
+        "the clone lifetime you need)"))
+  }
+
+  private def readDirsOfImpl(spark: SparkSession, root: String, m: Manifest,
+      dirs: Seq[String],
+      schemaOverride: Option[org.apache.spark.sql.types.StructType])
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, lit, split}
     val schema = schemaOverride.orElse(m.tableSchema)

@@ -138,6 +138,13 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           if (!ignoreIfExists) throw new IllegalArgumentException(
             s"graft CLONE: table $name already exists at $root " +
               "(use IF NOT EXISTS)")
+          // a DEEP CLONE that crashed between its two steps left a
+          // SHALLOW clone here; the IF NOT EXISTS re-run must finish
+          // the deep half before registering, or it would hand back a
+          // "deep" clone still inside the source's retention window
+          // (materializeExternal is idempotent — a no-op when nothing
+          // is external)
+          if (deep) ManifestCommit.materializeExternal(spark, root)
           GraftSql.register(name, root)
         } else {
           val gen = version.orElse(tsRaw.map(t => ManifestCommit.genAsOf(

@@ -289,6 +289,7 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
   private val progressPath: Option[org.apache.hadoop.fs.Path] =
     metadataPath.map(m => new org.apache.hadoop.fs.Path(m, "graft-progress"))
   private var highWater: Option[Long] = progressPath.flatMap(readMetaLong)
+  private val warnedTruncation = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   override def getOffset: Option[Offset] = synchronized {
     val live = ManifestCommit.readManifest(spark, root) match {
@@ -334,6 +335,19 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
         end
       case _ => capped
     }
+    // the DEFAULT commit cap truncating a batch deserves one loud line:
+    // a Trigger.Once run-and-stop job that predates the default would
+    // previously have drained everything and can misread one truncated
+    // batch as "caught up" — name the backlog and the outs
+    if (rowCapped < live && !params.contains("maxGensPerTrigger") &&
+        !warnedTruncation.getAndSet(true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft stream over $root: the DEFAULT rate limit " +
+          s"(maxGensPerTrigger=$DefaultMaxGensPerTrigger) truncated this " +
+          s"batch at generation $rowCapped of $live — a Trigger.Once run " +
+          "stops short of catching up. Use Trigger.AvailableNow to drain " +
+          "in rate-limited batches, or set maxGensPerTrigger=none for " +
+          "one unbounded batch")
     if (floor.exists(_ >= rowCapped))
       // nothing new past the floor: no batch on a fresh latest/
       // startingVersion stream, the unchanged offset on a running one

@@ -952,4 +952,70 @@ class ManifestCommitSpec extends SparkSpec {
     ManifestCommit.clearResolveCache()
     assert(idsOf(dst) === Set(1L, 3L), "deep clone still depended on the source")
   }
+
+  test("materializeExternal DISTRIBUTES the byte copy as a Spark job past " +
+      "the small fan-out (per-task copies, not a driver pool)") {
+    val base = Files.createTempDirectory("manifest_spec_").toString
+    val src = base + "/src"; val dst = base + "/deep"
+    // two dirs × 12 part files each → > SmallFanout file pairs
+    val d1 = ManifestCommit.newDataDir(src)
+    val d2 = ManifestCommit.newDataDir(src)
+    spark.range(0, 240).repartition(12).write.parquet(d1)
+    spark.range(240, 480).repartition(12).write.parquet(d2)
+    ManifestCommit.commitReplace(spark, src, Seq(d1, d2))
+    ManifestCommit.shallowClone(spark, src, dst)
+    // pin the copy job through its description; numTasks proves fan-out
+    @volatile var copyTasks = -1
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        if (desc.exists(_.startsWith("graft materialize")))
+          copyTasks = js.stageInfos.map(_.numTasks).sum
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      ManifestCommit.materializeExternal(spark, dst)
+      val deadline = System.currentTimeMillis() + 10000
+      while (copyTasks < 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(copyTasks > 1,
+      s"expected a distributed copy job with >1 task, saw $copyTasks")
+    // and the copy is correct + self-contained
+    val m = ManifestCommit.readManifest(spark, dst).get
+    assert(m.dirs.forall(!_.startsWith("/")), m.dirs)
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(src), true)
+    ManifestCommit.clearResolveCache()
+    assert(ManifestCommit.read(spark, dst).count() === 480L)
+  }
+
+  test("a clone read past the source's retention names the ownership " +
+      "contract and the DEEP CLONE remedy, not a raw path error") {
+    val base = Files.createTempDirectory("manifest_spec_").toString
+    val src = base + "/src"; val dst = base + "/fork"
+    val d1 = ManifestCommit.newDataDir(src)
+    write(Row(1L, "a"))(d1)
+    ManifestCommit.commitReplace(spark, src, Seq(d1), pruneDisplaced = false,
+      schema = Some(st))
+    ManifestCommit.shallowClone(spark, src, dst) // pins src gen 1 (dir d1)
+    // the source moves on and its retention reclaims the cloned dir
+    val d2 = ManifestCommit.newDataDir(src)
+    write(Row(2L, "b"))(d2)
+    ManifestCommit.commitReplace(spark, src, Seq(d2), pruneDisplaced = false,
+      schema = Some(st))
+    ManifestCommit.expireSnapshots(spark, src, keepLast = 1)
+    ManifestCommit.clearResolveCache()
+    assert(!Maintenance.exists(spark, d1), "retention should reclaim d1")
+    val e = intercept[IllegalStateException] {
+      ManifestCommit.read(spark, dst).collect()
+    }
+    assert(e.getMessage.contains("retention has reclaimed"), e.getMessage)
+    assert(e.getMessage.contains("DEEP CLONE"), e.getMessage)
+    assert(e.getMessage.contains("materializeExternal"), e.getMessage)
+  }
 }

@@ -629,6 +629,38 @@ class GraftDdlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft.ddlspec_cs")
   }
 
+  test("re-running a crashed DEEP CLONE with IF NOT EXISTS finishes the " +
+      "deep half instead of registering a shallow leftover") {
+    val base = scratch()
+    val srcLoc = base + "/src"; val deepLoc = base + "/deep"
+    spark.sql(
+      s"""CREATE TABLE graft.ddlspec_dr (id BIGINT, amt DOUBLE)
+         |LOCATION '$srcLoc'""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft.ddlspec_dr VALUES (1, 10.0), (2, 20.0)")
+      // simulate the crash between DEEP CLONE's two steps: the shallow
+      // half landed, the materialize never ran, the name never registered
+      ManifestCommit.shallowClone(spark, srcLoc, deepLoc)
+      assert(ManifestCommit.readManifest(spark, deepLoc).get.dirs
+        .exists(_.startsWith("/")), "precondition: external refs present")
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS graft.ddlspec_dr_d DEEP CLONE
+           |graft.ddlspec_dr LOCATION '$deepLoc'""".stripMargin)
+      try {
+        val m = ManifestCommit.readManifest(spark, deepLoc).get
+        assert(m.dirs.forall(!_.startsWith("/")),
+          s"IF NOT EXISTS rerun left external refs: ${m.dirs}")
+        // destroy the source — the finished deep clone must survive
+        val f = new org.apache.hadoop.fs.Path(srcLoc)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.delete(new org.apache.hadoop.fs.Path(srcLoc), true)
+        ManifestCommit.clearResolveCache()
+        assert(spark.sql("SELECT sum(id) FROM graft.ddlspec_dr_d")
+          .head.getLong(0) === 3L)
+      } finally spark.sql("DROP TABLE graft.ddlspec_dr_d")
+    } finally spark.sql("DROP TABLE IF EXISTS graft.ddlspec_dr")
+  }
+
   test("RESTORE to a pre-slicing generation restores the ABSENCE of the " +
       "slicing expression") {
     val loc = scratch() + "/rs"
