@@ -1616,16 +1616,25 @@ object ManifestCommit {
     val real = cols.filterNot(PseudoStats)
     val wantRows = cols.contains(RowCountStat)
     val df = spark.read.parquet(dir)
-    val aggs = real.flatMap(c => Seq(min(df(c)), max(df(c)))) ++
+    val aggs = real.flatMap(c => Seq(min(statCol(df, c)), max(statCol(df, c)))) ++
       (if (wantRows) Seq(count(lit(1))) else Nil)
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val aggDf = df.agg(aggs.head, aggs.tail: _*)
+    val row = aggDf.collect()(0)
     real.zipWithIndex.flatMap { case (c, i) =>
-      colStatsOf(c, df.schema(c).dataType, row.get(2 * i), row.get(2 * i + 1))
+      colStatsOf(c, aggDf.schema(2 * i).dataType, row.get(2 * i), row.get(2 * i + 1))
     } ++ (if (wantRows) {
       val n = row.getLong(2 * real.size)
       Seq(ColStats(RowCountStat, "num", n.toString, n.toString))
     } else Nil)
   }
+
+  /** A stat "column" may be a plain column name OR a slice-component
+    * EXPRESSION text (`pmod(hash(domain), 4)` — [[sliceExprStatCols]]):
+    * plain names resolve positionally (any character legal), expression
+    * texts re-parse with `expr` against the frame's columns. */
+  private def statCol(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    if (df.columns.contains(c)) df(c)
+    else org.apache.spark.sql.functions.expr(c)
 
   /** One ColStats from already-aggregated min/max values (the `observe`
     * path: writers meter stats on the write pass itself instead of
@@ -1663,6 +1672,82 @@ object ManifestCommit {
   def sliceSql(c: org.apache.spark.sql.Column): String =
     org.apache.spark.sql.graftbridge.ColumnBridge.expression(c).sql
 
+  /** COMPOSITE slicing (Iceberg's multi-transform partition spec, e.g.
+    * `PARTITIONED BY (days(ts), bucket(4, domain))`): the component
+    * expressions compose into ONE slicing expression —
+    * `concat_ws('|', c1, c2, …)` — so the whole manifest machinery
+    * (one dir per distinct slice value, slice-tight stats, rebase,
+    * RESTORE) is unchanged; only stats metering and pruning need to see
+    * the components individually. These two functions are exact
+    * inverses for the texts [[compositeSlice]] produces. */
+  def compositeSlice(components: Seq[String]): String =
+    s"concat_ws('|', ${components.mkString(", ")})"
+
+  /** The component expressions of a slicing text: the `concat_ws('|',…)`
+    * arguments split at top-level commas for a composite slice, the text
+    * itself otherwise. */
+  def sliceComponents(slice: String): Seq[String] = {
+    val t = slice.trim
+    val Prefix = "concat_ws('|', "
+    if (!(t.startsWith(Prefix) && t.endsWith(")"))) return Seq(slice)
+    val inner = t.substring(Prefix.length, t.length - 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0; var inStr = false
+    var i = 0
+    while (i < inner.length) {
+      inner.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          out += inner.substring(start, i).trim; start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += inner.substring(start).trim
+    out.toSeq
+  }
+
+  /** Component expressions worth their OWN per-dir stats entry — the
+    * non-identity components (an identity component's pruning rides the
+    * column's ordinary min/max stats). Within one sliced dir every
+    * component is CONSTANT (the dir is one distinct composite value), so
+    * each costs one min/max pair in the shared aggregate pass and gives
+    * EXACT dimension pruning (min == max == the dir's partition value —
+    * the Iceberg per-file partition-tuple idea through the ordinary
+    * stats channel, no format change). */
+  def sliceExprStatCols(slice: String, fieldNames: Seq[String]): Seq[String] =
+    sliceComponents(slice)
+      .filterNot(c => fieldNames.exists(_.equalsIgnoreCase(c)))
+
+  private val BucketComponent = """pmod\(hash\((\w+)\), (\d+)\)""".r
+
+  /** Stats bounds a point predicate implies on BUCKET slice components:
+    * `domain = v` against a slice component `pmod(hash(domain), n)`
+    * pins that component to `pmod(hash(v), n)` — evaluated here with
+    * the same Catalyst Murmur3 hash the write side used, so the bound
+    * compares exactly against the recorded component stat. Type-safe by
+    * construction: StatsPredicate only extracts points whose literal
+    * compares UNCAST against the attribute (the analyzer inserts casts
+    * on any type mismatch, and a cast wrapper extracts nothing), so the
+    * hashed literal has the column's own type. Unmatched components
+    * contribute nothing — skipping stays an optimization. */
+  def bucketBoundsOf(slice: Option[String], points: Seq[(String, Any)])
+      : Seq[(String, Option[String], Option[String])] =
+    slice.toSeq.flatMap(sliceComponents).flatMap {
+      case comp @ BucketComponent(col, n) =>
+        points.filter(_._1.equalsIgnoreCase(col)).map { case (_, v) =>
+          val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+            Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)))
+            .eval(null).asInstanceOf[Int]
+          val nn = n.toInt
+          val b = ((h % nn) + nn) % nn
+          (comp, Some(b.toString), Some(b.toString))
+        }
+      case _ => Nil
+    }
+
   def writeSliced(spark: SparkSession, root: String, df: DataFrame,
       slice: org.apache.spark.sql.Column,
       statCols: Seq[String]): Seq[(String, Seq[ColStats])] = {
@@ -1676,7 +1761,8 @@ object ManifestCommit {
     val statRows: Seq[(String, org.apache.spark.sql.Row)] =
       if (statCols.isEmpty) Nil
       else {
-        val aggs = real.flatMap(c => Seq(min(df(c)), max(df(c)))) ++
+        val aggs = real.flatMap(c =>
+          Seq(min(statCol(df, c)), max(statCol(df, c)))) ++
           (if (wantRows) Seq(count(lit(1))) else Nil)
         df.groupBy(slice.as("__slice")).agg(aggs.head, aggs.tail: _*)
           .collect().toSeq.map(r => String.valueOf(r.get(0)) -> r)
@@ -1690,7 +1776,8 @@ object ManifestCommit {
       f.rename(st.getPath, new Path(d))
       val stats = statRows.find(_._1 == key).map { case (_, r) =>
         real.zipWithIndex.flatMap { case (c, i) =>
-          colStatsOf(c, df.schema(c).dataType, r.get(1 + 2 * i), r.get(2 + 2 * i))
+          colStatsOf(c, r.schema(1 + 2 * i).dataType,
+            r.get(1 + 2 * i), r.get(2 + 2 * i))
         } ++ (if (wantRows) {
           val n = r.getLong(1 + 2 * real.size)
           Seq(ColStats(RowCountStat, "num", n.toString, n.toString))

@@ -284,9 +284,13 @@ object MergeInto {
     val written =
       col("__action") =!= "delete" && col("__action") =!= "skip"
     val obs = Observation()
+    // a stat "column" may be a slice-component EXPRESSION text (bucket
+    // components of a composite slice) — re-parse those with expr()
+    def statCol(c: String, cols: Seq[String]) =
+      if (cols.contains(c)) col(c) else org.apache.spark.sql.functions.expr(c)
     val statAggs = realStatCols.flatMap(c => Seq(
-      min(when(written, col(c))).as(s"__mn_$c"),
-      max(when(written, col(c))).as(s"__mx_$c")))
+      min(when(written, statCol(c, outCols))).as(s"__mn_$c"),
+      max(when(written, statCol(c, outCols))).as(s"__mx_$c")))
     val out = joined
       .select((outCols.map(c => when(action === "keep", tgt(c)).otherwise(src(c)).as(c)) :+
         action.as("__action")): _*)
@@ -315,7 +319,11 @@ object MergeInto {
     val newStats =
       if (upd + ins + keep == 0L) Nil
       else realStatCols.flatMap { c =>
-        ManifestCommit.colStatsOf(c, out.schema(c).dataType,
+        val dt =
+          if (out.columns.contains(c)) out.schema(c).dataType
+          else out.select(org.apache.spark.sql.functions.expr(c))
+            .schema.head.dataType
+        ManifestCommit.colStatsOf(c, dt,
           metrics.get(s"__mn_$c").orNull, metrics.get(s"__mx_$c").orNull)
       } ++ (if (wantRows)
         Seq(ColStats(ManifestCommit.RowCountStat, "num",
@@ -632,7 +640,12 @@ object MergeInto {
     val ex = StatsPredicate.extract(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
     val names = tSchema.fieldNames.toSet
-    var cand = ManifestCommit.prunedDirsOf(m, ex.bounds.filter(b => names(b._1)))
+    // bucket slice components prune point predicates exactly (same
+    // derivation as the SQL read path — DML rewrites prune identically)
+    val bucketBounds = ManifestCommit.bucketBoundsOf(
+      m.slice, ex.points.filter(p => names(p._1)))
+    var cand = ManifestCommit.prunedDirsOf(m,
+      ex.bounds.filter(b => names(b._1)) ++ bucketBounds)
     ex.points.filter(p => names(p._1)).foreach { case (c, v) =>
       if (cand.nonEmpty && cand.size <= 1024)
         cand = cand.filter(
@@ -658,9 +671,11 @@ object MergeInto {
     val affected = (matchedPlain ++ dvCand).sorted
     if (affected.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 
+    val sliceComps =
+      m.slice.map(ManifestCommit.sliceComponents(_).toSet).getOrElse(Set.empty)
     val statCols = m.stats.values.flatten.map(_.col).toSeq.distinct
       .filter(c => c == ManifestCommit.RowCountStat ||
-        (!ManifestCommit.PseudoStats(c) && names(c)))
+        (!ManifestCommit.PseudoStats(c) && (names(c) || sliceComps(c))))
     val src = ManifestCommit.readDirsOf(spark, root, m, affected, Some(tSchema))
     val obs = Observation()
     val out = transform(src.observe(obs,

@@ -788,8 +788,114 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q160 — COMPOSITE partition transforms (the Iceberg multi-transform
+    * partition spec): `PARTITIONED BY (years(o_orderdate), bucket(8,
+    * o_custkey))` composes into one slicing expression — one dir per
+    * (year, bucket) pair — and BOTH dimensions prune independently:
+    * the year dimension through the date column's per-dir min/max, the
+    * bucket dimension through the component expression's per-dir stat
+    * (`pmod(hash(o_custkey), 8)`, constant within a dir), with the
+    * point literal hashed at plan time exactly as the write side hashed
+    * the column. Pinned: dir count == distinct (year, bucket) pairs; a
+    * year probe plans only that year's dirs; a custkey point probe
+    * plans only its bucket's dirs; the combined probe plans exactly 1
+    * dir; results hash vs DuckDB.
+    *
+    * 100-TB shape: time-range × tenant-key is THE canonical large-table
+    * layout (Iceberg's flagship spec example); composite pruning turns
+    * a (year × 8) dir sweep into one dir read — two orders of magnitude
+    * of I/O — while bucket count bounds small-file explosion where raw
+    * identity partitioning on a high-cardinality key would shatter. */
+  val q160_composite_slicing = Q(
+    "q160_composite_slicing",
+    """WITH tgt AS (SELECT max(year(o_orderdate)) AS y FROM orders),
+      |k AS (SELECT min(o_custkey) AS ck FROM orders, tgt
+      |  WHERE year(o_orderdate) = y)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+      |  1 AS dirs_match, 1 AS year_prunes, 1 AS bucket_prunes,
+      |  1 AS combo_exact
+      |FROM orders, tgt, k
+      |WHERE year(o_orderdate) = y AND o_custkey = ck""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_q160_")
+    val root = s"$out/orders"
+    val name = uniq("q160_comp")
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    s.sql(
+      s"""CREATE TABLE graft.$name
+         |(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+         | o_orderdate TIMESTAMP)
+         |PARTITIONED BY (years(o_orderdate), bucket(8, o_custkey))
+         |LOCATION '$root'""".stripMargin)
+    try {
+      orders.createOrReplaceTempView("q160_src")
+      s.sql(s"INSERT INTO graft.$name SELECT * FROM q160_src")
+      val m = ManifestCommit.readManifest(s, root).get
+      val expectedDirs = orders.select(
+        concat(date_format(col("o_orderdate"), "yyyy"), lit("|"),
+          pmod(hash(col("o_custkey")), lit(8)))).distinct().count()
+      val dirsMatch = m.dirs.size.toLong == expectedDirs
+      val y = orders.agg(max(year(col("o_orderdate")))).collect()(0).getInt(0)
+      val ck = orders.filter(year(col("o_orderdate")) === y)
+        .agg(min("o_custkey")).collect()(0).getLong(0)
+      val yearDirs = orders.filter(year(col("o_orderdate")) === y)
+        .select(pmod(hash(col("o_custkey")), lit(8))).distinct().count()
+      val bucketDirs = orders
+        .filter(pmod(hash(col("o_custkey")), lit(8)) ===
+          pmod(hash(lit(ck)), lit(8)))
+        .select(date_format(col("o_orderdate"), "yyyy")).distinct().count()
+      val yearPred = s"o_orderdate >= TIMESTAMP '$y-01-01 00:00:00' AND " +
+        s"o_orderdate < TIMESTAMP '${y + 1}-01-01 00:00:00'"
+      val yearProbe = s.sql(
+        s"SELECT o_orderkey FROM graft.$name WHERE $yearPred")
+      val bucketProbe = s.sql(
+        s"SELECT o_orderkey FROM graft.$name WHERE o_custkey = ${ck}L")
+      val comboProbe = s.sql(
+        s"SELECT o_orderkey FROM graft.$name WHERE o_custkey = ${ck}L " +
+          s"AND $yearPred")
+      val yearPrunes =
+        scannedDataDirs(yearProbe, root).toLong == yearDirs &&
+          yearDirs < expectedDirs
+      // pin the bucket DIMENSION exactly: every dir the plan scans must
+      // carry the probe key's bucket value in its component stat — no
+      // other bucket's dir is read (the key's ordinary min/max column
+      // stats may prune further within the bucket, which is fine)
+      val b = orders.sparkSession.range(1)
+        .select(pmod(hash(lit(ck)), lit(8))).collect()(0).getInt(0).toString
+      val scannedNames = bucketProbe.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.filter(p =>
+                p.getName.startsWith("data_") && p.toString.contains(root))
+                .map(_.getName)
+            case _ => Nil
+          }
+      }.flatten
+      val bucketPrunes = scannedNames.nonEmpty &&
+        scannedNames.forall(d => m.stats.getOrElse(d, Nil)
+          .find(_.col == "pmod(hash(o_custkey), 8)")
+          .exists(cs => cs.min == b && cs.max == b)) &&
+        bucketDirs < expectedDirs
+      val comboExact = scannedDataDirs(comboProbe, root) == 1
+      s.sql(
+        s"""SELECT o_orderkey, o_totalprice FROM graft.$name
+           |WHERE o_custkey = ${ck}L AND $yearPred""".stripMargin)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("price_sum"))
+        .withColumn("dirs_match", lit(if (dirsMatch) 1 else 0))
+        .withColumn("year_prunes", lit(if (yearPrunes) 1 else 0))
+        .withColumn("bucket_prunes", lit(if (bucketPrunes) 1 else 0))
+        .withColumn("combo_exact", lit(if (comboExact) 1 else 0))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
-    q159_convert_to_graft)
+    q159_convert_to_graft, q160_composite_slicing)
 }

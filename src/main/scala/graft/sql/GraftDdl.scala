@@ -178,20 +178,22 @@ object GraftDdl {
     }
   }
 
-  /** `PARTITIONED BY (<transform>)` → the manifest slicing expression
-    * (SQL text): identity → the column itself; years/months/days/hours →
-    * the matching date_format bucket (the reference's toYYYYMM partition
-    * key, create_clickhouse_models.py:57); bucket(n, c) → a stable hash
-    * modulus. One transform max — compose an expression for more. */
+  /** `PARTITIONED BY (<transform>[, <transform>…])` → the manifest
+    * slicing expression (SQL text): identity → the column itself;
+    * years/months/days/hours → the matching date_format bucket (the
+    * reference's toYYYYMM partition key, create_clickhouse_models.py:57);
+    * bucket(n, c) → a stable hash modulus. MULTIPLE transforms (the
+    * Iceberg multi-transform partition spec, e.g. `(days(ts),
+    * bucket(4, domain))`) compose into one expression via
+    * [[graft.ingest.ManifestCommit.compositeSlice]] — one dir per
+    * distinct (day, bucket) pair, each component pruning independently
+    * through its own per-dir stats entry. */
   private def sliceOfTransforms(
       ts: Seq[org.apache.spark.sql.connector.expressions.Transform]): Option[String] =
-    ts match {
+    ts.map(org.apache.spark.sql.graftbridge.TransformBridge.sliceSqlOf) match {
       case Seq() => None
-      case Seq(t) =>
-        Some(org.apache.spark.sql.graftbridge.TransformBridge.sliceSqlOf(t))
-      case _ => throw new IllegalArgumentException(
-        "graft CREATE: at most one PARTITIONED BY transform " +
-          "(compose a single expression for multi-column slicing)")
+      case Seq(one) => Some(one)
+      case many => Some(graft.ingest.ManifestCommit.compositeSlice(many))
     }
 
   /** Some(converted) when `plan` is graft DDL; None lets the statement

@@ -563,19 +563,27 @@ case class GraftResolveRelations(spark: SparkSession)
         def bq(n: String) = "`" + n.replace("`", "``") + "`"
         val cols = schema.fields.map(f => s"  ${bq(f.name)} ${f.dataType.sql}")
           .mkString(",\n")
-        // reverse-map the stored slicing SQL to the transform CREATE
-        // accepts, so the emitted statement round-trips through our own
-        // parser; an unrecognized expression rides as a comment
+        // reverse-map the stored slicing SQL to the transform list CREATE
+        // accepts (composite slices decompose per component), so the
+        // emitted statement round-trips through our own parser; an
+        // unrecognized component rides as a comment
         val DateFmt = """date_format\((\w+), '(\w+)'\)""".r
         val Bucket = """pmod\(hash\((\w+)\), (\d+)\)""".r
-        val partitioned = m.slice.map {
-          case DateFmt(c, "yyyy") => s"PARTITIONED BY (years(${bq(c)}))\n"
-          case DateFmt(c, "yyyyMM") => s"PARTITIONED BY (months(${bq(c)}))\n"
-          case DateFmt(c, "yyyyMMdd") => s"PARTITIONED BY (days(${bq(c)}))\n"
-          case DateFmt(c, "yyyyMMddHH") => s"PARTITIONED BY (hours(${bq(c)}))\n"
-          case Bucket(c, n) => s"PARTITIONED BY (bucket($n, ${bq(c)}))\n"
-          case s if schema.fieldNames.contains(s) => s"PARTITIONED BY (${bq(s)})\n"
-          case s => s"/* slicing: $s */\n"
+        def transformOf(comp: String): Option[String] = comp match {
+          case DateFmt(c, "yyyy") => Some(s"years(${bq(c)})")
+          case DateFmt(c, "yyyyMM") => Some(s"months(${bq(c)})")
+          case DateFmt(c, "yyyyMMdd") => Some(s"days(${bq(c)})")
+          case DateFmt(c, "yyyyMMddHH") => Some(s"hours(${bq(c)})")
+          case Bucket(c, n) => Some(s"bucket($n, ${bq(c)})")
+          case s if schema.fieldNames.contains(s) => Some(bq(s))
+          case _ => None
+        }
+        val partitioned = m.slice.map { s =>
+          val comps = ManifestCommit.sliceComponents(s)
+          val mapped = comps.map(transformOf)
+          if (mapped.forall(_.isDefined))
+            s"PARTITIONED BY (${mapped.flatten.mkString(", ")})\n"
+          else s"/* slicing: $s */\n"
         }.getOrElse("")
         // constraints are not part of the CREATE grammar — emit the
         // ALTER statements that re-establish them after the CREATE
@@ -1075,8 +1083,14 @@ case class GraftDataSkipping(spark: SparkSession)
     // identically; restricted to the leaf's own column names
     val names = g.output.map(_.name).toSet
     val ex = graft.ingest.StatsPredicate.extract(cond)
+    // bucket slice components give point predicates an EXACT per-dir
+    // bound: `domain = v` pins `pmod(hash(domain), n)` to one value,
+    // recorded per dir as a component stat (Iceberg partition-tuple
+    // pruning through the ordinary stats channel)
+    val bucketBounds = ManifestCommit.bucketBoundsOf(
+      g.manifest.slice, ex.points.filter(p => names(p._1)))
     var kept = ManifestCommit.prunedDirsOf(g.manifest,
-      ex.bounds.filter(b => names(b._1)))
+      ex.bounds.filter(b => names(b._1)) ++ bucketBounds)
     ex.points.filter(p => names(p._1)).foreach { case (c, v) =>
       if (kept.nonEmpty && kept.size <= BloomProbeMaxDirs) {
         val hit = ManifestCommit.bloomDirsOf(spark, g.root, g.manifest, c, v).toSet

@@ -100,10 +100,13 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           val schema = StructType(df.schema.fields.map(_.copy(nullable = true)))
           // stat columns: whatever the slicing expression references
           // (identity → the column itself; months(ts) → ts range stats
-          // per month dir, so date pruning works from day one), plus the
-          // exact row counter for manifest-only COUNT(*)
+          // per month dir, so date pruning works from day one), the
+          // non-identity component expressions (a bucket component's
+          // per-dir constant arms exact bucket pruning), plus the exact
+          // row counter for manifest-only COUNT(*)
           val statCols = slice.toSeq.flatMap(s =>
-            GraftWriteUtil.sliceRefCols(s, df.columns.toSeq)) :+
+            GraftWriteUtil.sliceRefCols(s, df.columns.toSeq) ++
+              ManifestCommit.sliceExprStatCols(s, df.columns.toSeq)) :+
             ManifestCommit.RowCountStat
           slice match {
             case Some(s) =>
@@ -426,17 +429,24 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
     // to it) cannot be silently joined by this write's unproven rows
     val checks = prev.map(_.checks).getOrElse(Map.empty)
     val checksCas = Some(checks)
+    // slice-component EXPRESSION stats (bucket/date components of a
+    // composite slice) inherit alongside plain column stats
+    val sliceComps = prev.flatMap(_.slice)
+      .map(ManifestCommit.sliceComponents(_).toSet).getOrElse(Set.empty)
     val recorded = prev
       .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
       .filter(c => c == ManifestCommit.RowCountStat ||
-        (!ManifestCommit.PseudoStats(c) && tableSchema.fieldNames.contains(c)))
+        (!ManifestCommit.PseudoStats(c) &&
+          (tableSchema.fieldNames.contains(c) || sliceComps(c))))
     // a freshly DDL-created table has no dirs yet, hence no stats to
     // inherit — seed them from the slicing expression's referenced
-    // columns so the FIRST insert already arms pruning and COUNT(*)
+    // columns (plus its non-identity components) so the FIRST insert
+    // already arms pruning and COUNT(*)
     val statCols =
       if (recorded.nonEmpty) recorded
       else prev.flatMap(_.slice).map(s =>
-        GraftWriteUtil.sliceRefCols(s, tableSchema.fieldNames.toSeq) :+
+        GraftWriteUtil.sliceRefCols(s, tableSchema.fieldNames.toSeq) ++
+          ManifestCommit.sliceExprStatCols(s, tableSchema.fieldNames.toSeq) :+
           ManifestCommit.RowCountStat).getOrElse(Nil)
     prev.flatMap(_.slice) match {
       // The table records a slicing expression: land the INSERT in its

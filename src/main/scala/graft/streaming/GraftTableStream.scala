@@ -593,14 +593,18 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
     // with no dirs yet, seed from the slicing expression's referenced
     // columns so the FIRST streamed batch already arms pruning and
     // manifest-only COUNT(*)
+    val sliceComps = prev.flatMap(_.slice)
+      .map(ManifestCommit.sliceComponents(_).toSet).getOrElse(Set.empty)
     val recorded = prev
       .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
       .filter(c => c == ManifestCommit.RowCountStat ||
-        (!ManifestCommit.PseudoStats(c) && aligned.columns.contains(c)))
+        (!ManifestCommit.PseudoStats(c) &&
+          (aligned.columns.contains(c) || sliceComps(c))))
     val statCols =
       if (recorded.nonEmpty) recorded
       else prev.flatMap(_.slice).map(s =>
-        graft.sql.GraftWriteUtil.sliceRefCols(s, aligned.columns.toSeq) :+
+        graft.sql.GraftWriteUtil.sliceRefCols(s, aligned.columns.toSeq) ++
+          ManifestCommit.sliceExprStatCols(s, aligned.columns.toSeq) :+
           ManifestCommit.RowCountStat).getOrElse(Nil)
     val dir = ManifestCommit.newDataDir(root)
     aligned.write.parquet(dir)

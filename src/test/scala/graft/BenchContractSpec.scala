@@ -26,16 +26,25 @@ class BenchContractSpec extends AnyFunSuite {
     val shortOf = Bench.shortKeys(names)
     val shorts = names.map(shortOf)
     assert(shorts.distinct.size === shorts.size, "short-key collision")
-    // realistic-worst full form: sub-second queries (the common case)
-    // print 1 decimal ("0.4", 3 chars) via Bench's adaptive format, with
-    // an allowance of 8 slow queries at up to 5 chars ("12.34") —
-    // composeLine degrades if reality ever exceeds this, so the estimate
-    // only needs to cover the COMMON case staying in the richest form —
-    // plus scaffolding and the 4-entry med_outliers cap
-    val perQuery = shorts.map(_.length + 7).sum + 8 * 2
-    val fixed = 200 + 4 * 14
-    assert(perQuery + fixed < 1900,
-      s"estimated full-form line ${perQuery + fixed} chars — the driver tail is ~2000")
+    // the contract that matters: a REALISTIC line — sub-second queries
+    // ("0.4", the common case) with 8 slow outliers ("12.34") and the
+    // 4-entry med_outliers cap — composed by Bench's own tiering fits
+    // the driver's ~2000-char tail and keeps every query key; which
+    // tier carries it is Bench's business (past ~155 queries the
+    // richest form no longer fits and composeLine degrades by design)
+    def qjson(fmt: String) =
+      shorts.zipWithIndex.map { case (s, i) =>
+        "\"" + s + "\":" + (if (i < 8) "12.34" else fmt)
+      }.mkString("{", ",", "}")
+    val med = (1 to 4).map(i => s""""q$i":9.99""").mkString("{", ",", "}")
+    val line = Bench.composeLine("123.456", "121.987",
+      qjson("0.45"), qjson("0.4"), qjson("0"),
+      0, "{}", med, 0, 4, "sf0.1")
+    assert(line.length <= 1900,
+      s"realistic line ${line.length} chars — the driver tail is ~2000")
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(parsed.get("queries").size() === names.size,
+      "tiering dropped query keys")
   }
 
   test("composeLine degrades to fit the budget and stays valid JSON") {

@@ -629,6 +629,96 @@ class GraftDdlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft.ddlspec_cs")
   }
 
+  test("composite PARTITIONED BY (days(ts), bucket(4, domain)): one dir " +
+      "per (day, bucket), BOTH dimensions prune from the plan, SHOW " +
+      "CREATE round-trips") {
+    val loc = scratch() + "/comp"
+    spark.sql(
+      s"""CREATE TABLE graft.ddlspec_comp
+         |(id BIGINT, ts TIMESTAMP, domain STRING, v DOUBLE)
+         |PARTITIONED BY (days(ts), bucket(4, domain)) LOCATION '$loc'""".stripMargin)
+    try {
+      val m = ManifestCommit.readManifest(spark, loc).get
+      assert(m.slice === Some(
+        "concat_ws('|', date_format(ts, 'yyyyMMdd'), pmod(hash(domain), 4))"),
+        m.slice)
+      // 2 days × 6 domains
+      val values = (for {
+        day <- Seq("2024-03-01", "2024-03-02")
+        (dom, i) <- Seq("alpha", "beta", "gamma", "delta", "eps", "zeta").zipWithIndex
+      } yield s"(${i + 1}, TIMESTAMP '$day 10:00:00', '$dom', ${i * 1.5})")
+        .mkString(",\n")
+      spark.sql(s"INSERT INTO graft.ddlspec_comp VALUES\n$values")
+      val m2 = ManifestCommit.readManifest(spark, loc).get
+      // one dir per distinct (day, bucket) pair — derived, not guessed
+      val expectedDirs = spark.sql(
+        """SELECT count(DISTINCT concat(date_format(ts, 'yyyyMMdd'),
+          |  pmod(hash(domain), 4))) FROM graft.ddlspec_comp""".stripMargin)
+        .head.getLong(0)
+      assert(m2.dirs.size.toLong === expectedDirs, m2.dirs)
+      assert(expectedDirs > 2, "test needs multiple (day,bucket) dirs")
+      // each dir records the component stats that arm per-dimension pruning
+      val statNames = m2.stats.values.flatten.map(_.col).toSet
+      assert(statNames.contains("pmod(hash(domain), 4)"), statNames)
+      assert(statNames.contains("ts"), statNames)
+      def planned(sql: String): Int = {
+        val q = spark.sql(sql)
+        q.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.count(_.getName.startsWith("data_"))
+              case _ => 0
+            }
+        }.sum
+      }
+      // time dimension: a one-day probe plans only that day's dirs
+      val day2Dirs = spark.sql(
+        """SELECT count(DISTINCT concat(date_format(ts, 'yyyyMMdd'),
+          |  pmod(hash(domain), 4))) FROM graft.ddlspec_comp
+          |WHERE ts >= TIMESTAMP '2024-03-02 00:00:00'""".stripMargin)
+        .head.getLong(0)
+      val dayProbe =
+        """SELECT v FROM graft.ddlspec_comp
+          |WHERE ts >= TIMESTAMP '2024-03-02 00:00:00'""".stripMargin
+      assert(planned(dayProbe).toLong === day2Dirs,
+        s"day probe planned ${planned(dayProbe)} of ${m2.dirs.size}, want $day2Dirs")
+      assert(spark.sql(dayProbe).count() === 6L)
+      // bucket dimension: domain = 'alpha' plans only alpha's bucket dirs
+      val alphaBucketDirs = spark.sql(
+        """SELECT count(DISTINCT date_format(ts, 'yyyyMMdd'))
+          |FROM graft.ddlspec_comp
+          |WHERE pmod(hash(domain), 4) = pmod(hash('alpha'), 4)""".stripMargin)
+        .head.getLong(0)
+      val domProbe = "SELECT v FROM graft.ddlspec_comp WHERE domain = 'alpha'"
+      assert(planned(domProbe).toLong === alphaBucketDirs,
+        s"bucket probe planned ${planned(domProbe)} of ${m2.dirs.size}, " +
+          s"want $alphaBucketDirs")
+      assert(alphaBucketDirs < expectedDirs,
+        "bucket pruning must actually drop dirs")
+      assert(spark.sql(domProbe).count() === 2L)
+      // both dimensions: exactly ONE dir
+      val bothProbe =
+        """SELECT v FROM graft.ddlspec_comp
+          |WHERE ts >= TIMESTAMP '2024-03-02 00:00:00' AND domain = 'alpha'""".stripMargin
+      assert(planned(bothProbe) === 1,
+        s"combined probe planned ${planned(bothProbe)} of ${m2.dirs.size}")
+      assert(spark.sql(bothProbe).count() === 1L)
+      // SHOW CREATE emits the transform LIST and it round-trips through
+      // our own parser to the identical slicing expression
+      val stmt = spark.sql("SHOW CREATE TABLE graft.ddlspec_comp")
+        .head.getString(0)
+      assert(stmt.contains(
+        "PARTITIONED BY (days(`ts`), bucket(4, `domain`))"), stmt)
+      val loc2 = scratch() + "/comp_rt"
+      spark.sql(stmt
+        .replace("graft.ddlspec_comp", "graft.ddlspec_comp_rt")
+        .replace(s"LOCATION '$loc'", s"LOCATION '$loc2'"))
+      try assert(ManifestCommit.readManifest(spark, loc2).get.slice === m.slice)
+      finally spark.sql("DROP TABLE graft.ddlspec_comp_rt")
+    } finally spark.sql("DROP TABLE graft.ddlspec_comp")
+  }
+
   test("re-running a crashed DEEP CLONE with IF NOT EXISTS finishes the " +
       "deep half instead of registering a shallow leftover") {
     val base = scratch()
