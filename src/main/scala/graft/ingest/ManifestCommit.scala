@@ -647,16 +647,46 @@ object ManifestCommit {
       .filterNot(st => st.getPath.getName.startsWith("_") ||
         st.getPath.getName.startsWith("."))
     val (subdirs, files) = entries.partition(_.isDirectory)
-    require(subdirs.isEmpty,
-      s"convert: $root has subdirectories (${subdirs.take(3).map(_.getPath.getName)
-        .mkString(", ")}…) — hive-partitioned/nested layouts carry values in " +
-        "dir names that a file move cannot preserve; rewrite through " +
-        "ManifestCommit.writeSliced instead")
-    require(files.nonEmpty, s"convert: $root contains no data files")
+    // SINGLE-LEVEL hive layout (`month=202401/`, the reference's own
+    // partitioned layout, create_clickhouse_models.py:57,207-211) is a
+    // first-class convert: each leaf dir moves WHOLE into its own data
+    // dir — one rename per leaf, never a rewrite — keeping the `k=v`
+    // segment so Spark's partition discovery keeps serving the column;
+    // the manifest records the partition value as the dir's column stat
+    // (pruning live immediately) plus the [[PartStat]] nesting marker,
+    // and the layout continues as the table's identity slicing.
+    val hiveLeaves: Seq[String] =
+      if (subdirs.isEmpty) Nil
+      else {
+        val names = subdirs.map(_.getPath.getName).sorted
+        require(files.isEmpty,
+          s"convert: $root mixes data files and subdirectories " +
+            s"(${files.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
+            "not a hive-partitioned layout; clean the stray files first")
+        require(names.forall(n => n.indexOf('=') > 0),
+          s"convert: $root has non-hive subdirectories (${names.take(3)
+            .mkString(", ")}…) — nested layouts carry structure a file " +
+            "move cannot preserve; rewrite through " +
+            "ManifestCommit.writeSliced instead")
+        val cols = names.map(_.takeWhile(_ != '=')).distinct
+        require(cols.size == 1,
+          s"convert: $root mixes partition columns at one level " +
+            s"(${cols.mkString(", ")}) — not a valid hive layout")
+        names.foreach { n =>
+          require(!f.listStatus(new Path(rootP, n)).exists(_.isDirectory),
+            s"convert: $root/$n contains subdirectories — multi-level " +
+              "hive layouts are not supported; rewrite through " +
+              "ManifestCommit.writeSliced instead")
+        }
+        names
+      }
+    require(files.nonEmpty || hiveLeaves.nonEmpty,
+      s"convert: $root contains no data files")
     // validate EVERYTHING that can fail BEFORE the first rename: the
-    // schema read proves the files parse, and unknown stat columns are
-    // refused while the directory is still intact — a post-move failure
-    // would leave the plain table's files displaced with no manifest
+    // schema read proves the files parse (partition discovery supplies
+    // the hive column), and unknown stat columns are refused while the
+    // directory is still intact — a post-move failure would leave the
+    // plain table's files displaced with no manifest
     val schema = org.apache.spark.sql.types.StructType(
       spark.read.parquet(root).schema.fields.map(_.copy(nullable = true)))
     statCols.filterNot(PseudoStats).foreach { c =>
@@ -664,44 +694,110 @@ object ManifestCommit {
         s"convert: stat column $c is not in the table's schema " +
           s"(${schema.fieldNames.mkString(", ")})")
     }
-    val dir = newDataDir(root)
-    f.mkdirs(new Path(dir))
-    // EVERYTHING from the first rename on runs under the rollback: a
-    // rename failing mid-loop (object-store copy error, permissions,
-    // concurrent delete) must restore the plain directory exactly like
-    // a failed stats pass or a lost CAS would. Rollback moves back
-    // whatever LIVES IN the staging dir (the dir is UUID-owned, so its
-    // content is precisely the already-moved prefix) — correct for both
-    // the driver loop and the distributed rename job below.
-    def rollbackMoves(): Unit = {
-      val dp = new Path(dir)
-      if (f.exists(dp)) {
-        f.listStatus(dp).foreach(st =>
-          f.rename(st.getPath, new Path(rootP, st.getPath.getName)))
-        f.delete(dp, true)
+    val statColNames = statCols.filterNot(PseudoStats)
+      .flatMap(c => schema.fieldNames.find(_.equalsIgnoreCase(c)))
+    if (hiveLeaves.nonEmpty) {
+      val partCol = schema.fieldNames
+        .find(_.equalsIgnoreCase(hiveLeaves.head.takeWhile(_ != '='))).get
+      // one data dir per leaf partition, the leaf moved whole (rename
+      // only); rollback restores any moved prefix exactly — each data
+      // dir holds at most its one leaf subtree, whose name is unique
+      val dirOf: Map[String, String] = hiveLeaves.map(_ -> newDataDir(root)).toMap
+      def rollbackLeaves(): Unit = dirOf.values.foreach { d =>
+        val dp = new Path(d)
+        if (f.exists(dp)) {
+          f.listStatus(dp).foreach(st =>
+            f.rename(st.getPath, new Path(rootP, st.getPath.getName)))
+          f.delete(dp, true)
+        }
       }
-    }
-    try {
-      // a large directory's renames are independent O(1) metadata ops:
-      // past a small count they run as a Spark job (one task per slice,
-      // per-task FileSystem) instead of one at a time on the driver — a
-      // million-part convert must not serialize a million round-trips
-      // through one JVM
-      val names = files.map(_.getPath.getName)
-      if (names.size <= SmallFanout) names.foreach { n =>
-        require(f.rename(new Path(rootP, n), new Path(dir, n)),
-          s"convert: could not move $root/$n into $dir")
-      } else distributeRenames(spark, root, dir, names)
-      val cols = (statCols.filterNot(PseudoStats)
-        .flatMap(c => schema.fieldNames.find(_.equalsIgnoreCase(c))) :+
-        RowCountStat).distinct
-      commitReplace(spark, root, Seq(dir), pruneDisplaced = false,
-        stats = Map(dir -> dirStats(spark, dir, cols)),
-        schema = Some(schema), op = "convert",
-        expectedGen = Some(0L), expectedChecks = Some(Map.empty))
-    } catch { case scala.util.control.NonFatal(e) =>
-      rollbackMoves()
-      throw e
+      // ALL leaves' stats in ONE grouped aggregate over the intact hive
+      // layout (partition discovery supplies the group key) — a
+      // 1000-partition convert must not pay 1000 sequential stat jobs.
+      // Group rows key on the leaf's UNESCAPED partition value; a leaf
+      // whose rendering defies the match falls back to its own per-dir
+      // pass (correctness over speed, never silence).
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      val pre = spark.read.parquet(root)
+      val aggs = statColNames.flatMap(c => Seq(min(pre(c)), max(pre(c)))) :+
+        count(lit(1))
+      val grouped = pre.groupBy(pre(partCol)).agg(aggs.head, aggs.tail: _*)
+      val groupedRows = grouped.collect().toSeq
+        .map(r => String.valueOf(r.get(0)) -> r)
+      val partType = schema(schema.fieldIndex(partCol)).dataType
+      def leafValue(n: String): String = {
+        val raw = n.drop(n.indexOf('=') + 1)
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw)
+      }
+      try {
+        dirOf.values.foreach(d => f.mkdirs(new Path(d)))
+        val pairs = hiveLeaves.map(n =>
+          s"$root/$n" -> s"${dirOf(n)}/$n")
+        if (pairs.size <= SmallFanout) pairs.foreach { case (s0, d0) =>
+          require(f.rename(new Path(s0), new Path(d0)),
+            s"convert: could not move $s0 into $d0")
+        } else distributeRenames(spark, root, pairs)
+        val stats = hiveLeaves.map { n =>
+          val cs = groupedRows.find(_._1 == leafValue(n)).map { case (_, r) =>
+            statColNames.zipWithIndex.flatMap { case (c, i) =>
+              colStatsOf(c, r.schema(1 + 2 * i).dataType,
+                r.get(1 + 2 * i), r.get(2 + 2 * i))
+            } ++ colStatsOf(partCol, partType, r.get(0), r.get(0)) ++
+              Seq(ColStats(RowCountStat, "num",
+                r.getLong(1 + 2 * statColNames.size).toString,
+                r.getLong(1 + 2 * statColNames.size).toString))
+          }.getOrElse(dirStats(spark, dirOf(n),
+            (statColNames :+ partCol :+ RowCountStat).distinct))
+          dirOf(n) -> (cs :+ ColStats(PartStat, "str", n, n))
+        }.toMap
+        commitReplace(spark, root, hiveLeaves.map(dirOf),
+          pruneDisplaced = false, stats = stats,
+          schema = Some(schema), op = "convert", slice = Some(partCol),
+          expectedGen = Some(0L), expectedChecks = Some(Map.empty))
+      } catch { case scala.util.control.NonFatal(e) =>
+        rollbackLeaves()
+        throw e
+      }
+    } else {
+      val dir = newDataDir(root)
+      f.mkdirs(new Path(dir))
+      // EVERYTHING from the first rename on runs under the rollback: a
+      // rename failing mid-loop (object-store copy error, permissions,
+      // concurrent delete) must restore the plain directory exactly like
+      // a failed stats pass or a lost CAS would. Rollback moves back
+      // whatever LIVES IN the staging dir (the dir is UUID-owned, so its
+      // content is precisely the already-moved prefix) — correct for both
+      // the driver loop and the distributed rename job below.
+      def rollbackMoves(): Unit = {
+        val dp = new Path(dir)
+        if (f.exists(dp)) {
+          f.listStatus(dp).foreach(st =>
+            f.rename(st.getPath, new Path(rootP, st.getPath.getName)))
+          f.delete(dp, true)
+        }
+      }
+      try {
+        // a large directory's renames are independent O(1) metadata ops:
+        // past a small count they run as a Spark job (one task per slice,
+        // per-task FileSystem) instead of one at a time on the driver — a
+        // million-part convert must not serialize a million round-trips
+        // through one JVM
+        val names = files.map(_.getPath.getName)
+        if (names.size <= SmallFanout) names.foreach { n =>
+          require(f.rename(new Path(rootP, n), new Path(dir, n)),
+            s"convert: could not move $root/$n into $dir")
+        } else distributeRenames(spark, root,
+          names.map(n => s"$root/$n" -> s"$dir/$n"))
+        val cols = (statColNames :+ RowCountStat).distinct
+        commitReplace(spark, root, Seq(dir), pruneDisplaced = false,
+          stats = Map(dir -> dirStats(spark, dir, cols)),
+          schema = Some(schema), op = "convert",
+          expectedGen = Some(0L), expectedChecks = Some(Map.empty))
+      } catch { case scala.util.control.NonFatal(e) =>
+        rollbackMoves()
+        throw e
+      }
     }
   }
 
@@ -726,22 +822,21 @@ object ManifestCommit {
     }
   }
 
-  /** Rename `root/<name>` → `dir/<name>` for every name as a Spark job
-    * (convert's large-directory path). Any task failure fails the job;
-    * the caller's rollback restores whatever prefix had moved. */
+  /** Run every (src, dst) rename as a Spark job (convert's
+    * large-directory path). Any task failure fails the job; the
+    * caller's rollback restores whatever prefix had moved. */
   private def distributeRenames(spark: SparkSession, root: String,
-      dir: String, names: Seq[String]): Unit = {
+      pairs: Seq[(String, String)]): Unit = {
     val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
-    val slices = math.min(names.size,
+    val slices = math.min(pairs.size,
       math.max(2, spark.sparkContext.defaultParallelism))
     spark.sparkContext.setJobDescription(
-      s"graft convert: move ${names.size} files into $dir")
-    try spark.sparkContext.parallelize(names, slices).foreachPartition { it =>
+      s"graft convert: move ${pairs.size} paths under $root")
+    try spark.sparkContext.parallelize(pairs, slices).foreachPartition { it =>
       val fsys = new Path(root).getFileSystem(conf.conf)
-      it.foreach { n =>
-        if (!fsys.rename(new Path(root, n), new Path(dir, n)))
-          throw new java.io.IOException(
-            s"convert: could not move $root/$n into $dir")
+      it.foreach { case (s, d) =>
+        if (!fsys.rename(new Path(s), new Path(d)))
+          throw new java.io.IOException(s"convert: could not move $s to $d")
       }
     } finally spark.sparkContext.setJobDescription(null)
   }
@@ -921,8 +1016,25 @@ object ManifestCommit {
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
     val (dvd, plain) = dirs.partition(m.dvs.contains)
-    val plainDf =
-      if (plain.nonEmpty) Some(readPaths(plain.map(dirAbs(root, _)))) else None
+    // HIVE-NESTED dirs (converted leaf partitions, [[PartStat]]) scan in
+    // their OWN group via [[readNestedPaths]] — one leaf-path scan plus
+    // a broadcast value injection, flat in dir count — because mixing
+    // nested and flat roots in one parquet read raises "conflicting
+    // directory structures". Grouped by partition COLUMN so a
+    // multi-spec history still plans one scan per spec.
+    def partColsOf(d: String): Option[String] =
+      partSuffixOf(m, d).map(_.takeWhile(_ != '='))
+    def readGroup(g: Seq[String], withId: Boolean): DataFrame =
+      partColsOf(g.head) match {
+        case None =>
+          val df = readPaths(g.map(dirAbs(root, _)))
+          if (withId) df.withColumn("__dir", dirIdCol) else df
+        case Some(_) => readNestedPaths(spark,
+          g.map(d => dirAbs(root, d) -> partSuffixOf(m, d).get),
+          schema, keepDirId = withId)
+      }
+    val plainDfs = plain.groupBy(partColsOf).toSeq.sortBy(_._2.head)
+      .map { case (_, g) => readGroup(g, withId = false) }
     // DV'd dirs grouped by their DV's key-column set: ONE scan and ONE
     // broadcast anti-join per group on (dir, keys), not one join operator
     // per dir — a sparse-delete-heavy table at scale can carry hundreds
@@ -948,15 +1060,15 @@ object ManifestCommit {
         finally pool.shutdown()
       }
     }
-    val dvdDfs = dvd.groupBy(d => dvSchema(m.dvs(d)))
-      .toSeq.sortBy(_._2.head).map { case (keyCols, groupDirs) =>
+    val dvdDfs = dvd.groupBy(d => (dvSchema(m.dvs(d)), partColsOf(d)))
+      .toSeq.sortBy(_._2.head).map { case ((keyCols, _), groupDirs) =>
         // ONE scan over the group's dv files (not one scan node per dv —
         // the plan must stay flat in dv count); each dv row's owning DIR
         // comes back from its file path's `_dv_*` segment through a tiny
         // broadcast lookup (a dv file referenced by several dirs fans out
         // to one row per dir, which is exactly the per-dir delete set).
-        // The lookup is keyed on path BASENAMES — input_file_name's
-        // parent segment is a basename, and a clone's external entries
+        // The lookup is keyed on path BASENAMES — [[dirIdCol]]'s data/dv
+        // segment is a basename, and a clone's external entries
         // are absolute strings; UUID dir/dv names make basenames unique
         // across roots, so the join stays exact for cloned references.
         val lookupRows = groupDirs.map(d =>
@@ -973,15 +1085,15 @@ object ManifestCommit {
               org.apache.spark.sql.types.StringType, false))))
         val dvUnion = spark.read
           .parquet(groupDirs.map(d => dirAbs(root, m.dvs(d))).distinct: _*)
-          .withColumn("__dv_name", element_at(split(input_file_name(), "/"), -2))
+          .withColumn("__dv_name", dirIdCol)
           .join(broadcast(lookup), "__dv_name")
           .select((keyCols.map(col) :+ col("__dv_dir")): _*)
-        readPaths(groupDirs.map(dirAbs(root, _)))
-          .withColumn("__dv_dir", element_at(split(input_file_name(), "/"), -2))
+        readGroup(groupDirs, withId = true)
+          .withColumnRenamed("__dir", "__dv_dir")
           .join(broadcast(dvUnion), keyCols :+ "__dv_dir", "left_anti")
           .drop("__dv_dir")
       }
-    (plainDf.toSeq ++ dvdDfs) match {
+    (plainDfs ++ dvdDfs) match {
       case Nil => // empty set: preserve the recorded schema if any; a
         // pre-evolution manifest (no schema line) with live dirs still
         // yields a correctly-shaped empty frame from their merged
@@ -1853,11 +1965,100 @@ object ManifestCommit {
     * Delta/Iceberg numRecords + DV-cardinality idea. */
   val DvDeadStat = "__dv_dead"
 
+  /** Pseudo-stat marking a HIVE-NESTED data dir (a `convertToGraft` of a
+    * hive-partitioned layout moves each leaf dir WHOLE, so the dir holds
+    * one `col=value/` subtree and the partition column lives in the path,
+    * not the files): min == max == the dir's partition suffix
+    * (`month=202401`). Readers group these dirs into their own scan —
+    * Spark's native partition discovery serves the column — because one
+    * scan mixing hive-nested and flat roots raises "conflicting
+    * directory structures". Never inherited into rewrites: a rewrite
+    * materializes the column into the files and the marker must die
+    * with the nesting ([[PseudoStats]] membership does that). */
+  val PartStat = "__part"
+
   /** Stat pseudo-columns no data column backs — every consumer that
     * derives stat columns from a manifest must filter these before
     * touching the data (inheriting one into an aggregate was a real
     * crash class, caught in round-9 review). */
-  val PseudoStats: Set[String] = Set(RowCountStat, DvDeadStat)
+  val PseudoStats: Set[String] = Set(RowCountStat, DvDeadStat, PartStat)
+
+  /** The dir's hive partition suffix when it is a hive-nested convert
+    * ([[PartStat]]), None for ordinary flat dirs. */
+  def partSuffixOf(m: Manifest, dir: String): Option[String] =
+    m.stats.getOrElse(dir, Nil).find(_.col == PartStat).map(_.min)
+
+  /** Column expression identifying the owning DATA DIR (or DV dir) of
+    * each scanned file: the LAST path segment named like one — robust
+    * to hive-nested converts, where the file's immediate parent is the
+    * `col=value` segment, not the data dir. Basename-keyed like every
+    * dir-identity join (UUID names are unique across roots, so clones'
+    * absolute external entries resolve exactly). */
+  def dirIdCol: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      "element_at(filter(split(input_file_name(), '/'), " +
+        "x -> startswith(x, 'data_') OR startswith(x, '_dv_')), -1)")
+
+  /** ONE scan over HIVE-NESTED converted dirs, given (absolute data dir,
+    * partition suffix) pairs: the LEAF paths (`…/data_x/month=202401`)
+    * are scanned directly — they hold plain files, so no partition
+    * discovery runs and no "conflicting directory structures" can arise
+    * across many roots — and the partition column is INJECTED per dir
+    * from the manifest-recorded suffix through a tiny broadcast lookup
+    * (the Delta partitionValues idea), cast to the recorded schema's
+    * type. Data-column filters still push down to the scan below the
+    * broadcast join; the partition column is constant per dir, so its
+    * pruning already happened at the manifest level. `keepDirId` adds a
+    * `__dir` column (the data dir's basename) for callers that need
+    * per-dir identity (DML witness, DV subtraction, stream versioning). */
+  private[graft] def readNestedPaths(spark: SparkSession,
+      pairs: Seq[(String, String)],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      keepDirId: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(pairs.nonEmpty, "readNestedPaths: empty dir set")
+    val partCol = pairs.head._2.takeWhile(_ != '=')
+    val canonical = schema.flatMap(_.fields
+      .find(_.name.equalsIgnoreCase(partCol)).map(_.name)).getOrElse(partCol)
+    val partType = schema.flatMap(_.fields
+      .find(_.name.equalsIgnoreCase(partCol)).map(_.dataType))
+      .getOrElse(org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)
+    val dataSchema = schema.map(s => org.apache.spark.sql.types.StructType(
+      s.fields.filterNot(_.name.equalsIgnoreCase(partCol))))
+    val leafPaths = pairs.map { case (d, sfx) => s"$d/$sfx" }
+    val base = dataSchema match {
+      case Some(s) => spark.read.schema(s).parquet(leafPaths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(leafPaths: _*)
+    }
+    def valueOf(sfx: String): String = {
+      val raw = sfx.drop(partCol.length + 1)
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(raw)
+    }
+    val lookupRows = pairs.map { case (d, sfx) =>
+      org.apache.spark.sql.Row(new Path(d).getName, valueOf(sfx))
+    }
+    val lookup = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(lookupRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__p_dir",
+          org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("__p_raw",
+          org.apache.spark.sql.types.StringType, true))))
+    val joined = base.withColumn("__p_dir", dirIdCol)
+      .join(broadcast(lookup), "__p_dir")
+      .withColumn(canonical, col("__p_raw").cast(partType))
+    val outCols: Seq[String] = schema match {
+      case Some(s) => s.fieldNames.toSeq
+      case None => base.columns.toSeq :+ canonical
+    }
+    val out = joined.select((outCols ++
+      (if (keepDirId) Seq("__p_dir") else Nil)).map(col): _*)
+    if (keepDirId) out.withColumnRenamed("__p_dir", "__dir") else out
+  }
 
   /** Count `dir`'s rows (one footer-only job at write time — parquet
     * aggregate pushdown — paid once per immutable dir) as a stats entry

@@ -653,21 +653,35 @@ object MergeInto {
     }
     if (cand.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 
-    // exact matched-dir witness on the plain candidates, one job
+    // exact matched-dir witness on the plain candidates, one job per
+    // layout group (hive-nested converted dirs scan apart from flat
+    // ones — mixing the two in one read raises "conflicting directory
+    // structures")
     val (dvCand, plainCand) = cand.partition(m.dvs.contains)
-    // the witness identifies dirs by the file path's parent BASENAME —
-    // map back to the manifest's entry string (a clone's external
-    // entries are absolute; UUID basenames are unique across roots)
+    // the witness identifies dirs by the data-dir BASENAME from the file
+    // path ([[ManifestCommit.dirIdCol]], nesting-proof) — map back to
+    // the manifest's entry string (a clone's external entries are
+    // absolute; UUID basenames are unique across roots)
     val byBase = plainCand.map(d =>
       new org.apache.hadoop.fs.Path(ManifestCommit.dirAbs(root, d)).getName -> d).toMap
-    val matchedPlain: Seq[String] =
-      if (plainCand.isEmpty) Nil
-      else spark.read.schema(tSchema)
-        .parquet(plainCand.map(ManifestCommit.dirAbs(root, _)): _*)
-        .withColumn("__dir", element_at(split(input_file_name(), "/"), -2))
-        .filter(cond)
-        .select("__dir").distinct().collect().map(_.getString(0)).toSeq
-        .flatMap(byBase.get)
+    val matchedPlain: Seq[String] = plainCand
+      .groupBy(d => ManifestCommit.partSuffixOf(m, d)
+        .map(_.takeWhile(_ != '=')))
+      .toSeq.flatMap {
+        case (None, g) =>
+          spark.read.schema(tSchema)
+            .parquet(g.map(ManifestCommit.dirAbs(root, _)): _*)
+            .withColumn("__dir", ManifestCommit.dirIdCol)
+            .filter(cond)
+            .select("__dir").distinct().collect().map(_.getString(0)).toSeq
+        case (Some(_), g) =>
+          ManifestCommit.readNestedPaths(spark,
+            g.map(d => ManifestCommit.dirAbs(root, d) ->
+              ManifestCommit.partSuffixOf(m, d).get),
+            Some(tSchema), keepDirId = true)
+            .filter(cond)
+            .select("__dir").distinct().collect().map(_.getString(0)).toSeq
+      }.flatMap(byBase.get)
     val affected = (matchedPlain ++ dvCand).sorted
     if (affected.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 

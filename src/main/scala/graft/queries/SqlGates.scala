@@ -23,18 +23,21 @@ object SqlGates {
 
   /** data_* dirs the OPTIMIZED plan actually scans under `root` — the
     * dir-level pruning witness, read from the plan itself so a silent
-    * fall-back to scan-everything reds the gate. */
+    * fall-back to scan-everything reds the gate. Extracts the `data_*`
+    * PATH SEGMENT (distinct) rather than the basename, so hive-nested
+    * converted dirs — whose scan roots are the `…/data_x/month=…` leaf
+    * paths — count identically to flat dirs. */
   private def scannedDataDirs(df: DataFrame, root: String): Int =
     df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             fs.location.rootPaths
-              .count(p => p.getName.startsWith("data_") &&
-                p.toString.contains(root))
-          case _ => 0
+              .filter(_.toString.contains(root))
+              .flatMap(_.toString.split("/").find(_.startsWith("data_")))
+          case _ => Nil
         }
-    }.sum
+    }.flatten.distinct.size
 
   /** Month-sliced orders graft table with o_orderdate min/max + row-count
     * stats and a recorded schema; returns (root, registered name, months). */
@@ -894,8 +897,78 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q161 — CONVERT TO GRAFT of a HIVE-PARTITIONED directory (the
+    * reference's own month-partitioned layout,
+    * create_clickhouse_models.py:57,207-211; Delta's partitioned
+    * CONVERT TO DELTA): each `month=yyyyMM/` leaf moves WHOLE into its
+    * own data dir — one rename per leaf, no rewrite — the partition
+    * value lands as the dir's column stat (pruning live immediately)
+    * and the column itself is served by per-dir injection from the
+    * manifest (the Delta partitionValues idea). Pinned: one manifest
+    * dir per leaf; a month probe plans exactly 1 dir; the layout
+    * continues as the table's identity slicing; an append lands and
+    * time travel to the conversion generation reproduces the original
+    * content (hash vs DuckDB over raw orders).
+    *
+    * 100-TB shape: existing fleets are overwhelmingly hive-partitioned
+    * parquet; converting one costs O(leaves) renames + one stats pass
+    * per leaf, not a rewrite, and the partition column's pruning never
+    * goes dark during the migration. */
+  val q161_convert_partitioned = Q(
+    "q161_convert_partitioned",
+    """WITH m AS (SELECT max(year(o_orderdate) * 100 + month(o_orderdate))
+      |    AS mm FROM orders)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+      |  CAST((SELECT count(*) FROM orders, m
+      |    WHERE year(o_orderdate) * 100 + month(o_orderdate) = mm) AS BIGINT)
+      |    AS n_probe,
+      |  1 AS dirs_match, 1 AS probe_1dir, 1 AS slice_recorded,
+      |  1 AS append_visible
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_q161_")
+    val root = s"$out/orders_hive"
+    val name = uniq("q161_cv")
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int").as("month"))
+    val months = orders.select("month").distinct().count()
+    val mm = orders.agg(max("month")).collect()(0).getInt(0)
+    val nOrig = orders.count()
+    orders.write.partitionBy("month").parquet(root)
+    s.sql(s"CONVERT TO GRAFT parquet.`$root` AS graft.$name STATS (o_orderkey)")
+    try {
+      val m = ManifestCommit.readManifest(s, root).get
+      val dirsMatch = m.dirs.size.toLong == months
+      val sliceRecorded = m.slice.contains("month")
+      val probe = s.sql(s"SELECT o_orderkey FROM graft.$name WHERE month = $mm")
+      val probe1 = scannedDataDirs(probe, root) == 1
+      // the fork continues: an append (flat dir, month as a real
+      // column) reads alongside the nested conversion dirs
+      s.sql(s"INSERT INTO graft.$name VALUES (900000001, 1.0, 999912)")
+      val appendVisible =
+        s.sql(s"SELECT count(*) FROM graft.$name").head.getLong(0) ==
+          nOrig + 1 &&
+          s.sql(s"SELECT count(*) FROM graft.$name WHERE month = 999912")
+            .head.getLong(0) == 1L
+      // time travel to the conversion generation = the original content
+      ManifestCommit.readAt(s, root, 1L).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("price_sum"))
+        .withColumn("n_probe", lit(probe.count()))
+        .withColumn("dirs_match", lit(if (dirsMatch) 1 else 0))
+        .withColumn("probe_1dir", lit(if (probe1) 1 else 0))
+        .withColumn("slice_recorded", lit(if (sliceRecorded) 1 else 0))
+        .withColumn("append_visible", lit(if (appendVisible) 1 else 0))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
-    q159_convert_to_graft, q160_composite_slicing)
+    q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned)
 }

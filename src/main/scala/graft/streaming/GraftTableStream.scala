@@ -409,12 +409,14 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     // tiny broadcast lookup. Only data-changing commits (merge/delete —
     // rare next to appends) pay a per-generation ChangeFeed.diff.
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val pending = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val pending =
+      scala.collection.mutable.ArrayBuffer[(String, Long, Option[String])]()
+    var pendingNested = false
     def flush(): Unit = if (pending.nonEmpty) {
-      // keyed on path BASENAMES (input_file_name's parent segment): a
-      // clone's external entries are absolute strings that would never
-      // match; UUID dir names are unique across roots
-      val lookupRows = pending.toSeq.map { case (d, g) =>
+      // keyed on data-dir BASENAMES ([[ManifestCommit.dirIdCol]],
+      // nesting-proof): a clone's external entries are absolute strings
+      // that would never match; UUID dir names are unique across roots
+      val lookupRows = pending.toSeq.map { case (d, g, _) =>
         org.apache.spark.sql.Row(new org.apache.hadoop.fs.Path(
           ManifestCommit.dirAbs(root, d)).getName, g) }
       val lookup = spark.createDataFrame(
@@ -422,15 +424,32 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
           java.util.Arrays.asList(lookupRows: _*)),
         StructType(Seq(StructField("__g_dir", StringType, false),
           StructField("__g_gen", LongType, false))))
-      frames += spark.read.schema(readSchema)
-        .parquet(pending.toSeq.map { case (d, _) =>
-          ManifestCommit.dirAbs(root, d) }: _*)
-        .withColumn("__g_dir", element_at(split(input_file_name(), "/"), -2))
+      val scan =
+        if (pendingNested)
+          ManifestCommit.readNestedPaths(spark,
+            pending.toSeq.map { case (d, _, sfx) =>
+              ManifestCommit.dirAbs(root, d) -> sfx.get },
+            Some(readSchema), keepDirId = true)
+            .withColumnRenamed("__dir", "__g_dir")
+        else spark.read.schema(readSchema)
+          .parquet(pending.toSeq.map { case (d, _, _) =>
+            ManifestCommit.dirAbs(root, d) }: _*)
+          .withColumn("__g_dir", ManifestCommit.dirIdCol)
+      frames += scan
         .join(broadcast(lookup), "__g_dir")
         .withColumn(ChangeFeed.ChangeType, lit("insert"))
         .withColumnRenamed("__g_gen", "_commit_version")
         .drop("__g_dir")
       pending.clear()
+    }
+    // hive-nested converted dirs coalesce apart from flat dirs: the two
+    // layouts read through different scan shapes (leaf-path injection
+    // vs plain multi-root)
+    def enqueue(cur: ManifestCommit.Manifest, d: String, g: Long): Unit = {
+      val sfx = ManifestCommit.partSuffixOf(cur, d)
+      if (pending.nonEmpty && sfx.isDefined != pendingNested) flush()
+      pendingNested = sfx.isDefined
+      pending += ((d, g, sfx))
     }
     (from + 1).to(to).foreach { g =>
       val cur = maniAt(g)
@@ -442,7 +461,7 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
         val curSet = cur.dirs.map(ident(cur)).toSet
         val removed = prev.dirs.filterNot(d => curSet(ident(prev)(d)))
         val (dvd, plain) = added.partition(cur.dvs.contains)
-        if (removed.isEmpty && dvd.isEmpty) pending ++= plain.map(_ -> g)
+        if (removed.isEmpty && dvd.isEmpty) plain.foreach(enqueue(cur, _, g))
         else {
           flush()
           val changes =
@@ -489,11 +508,28 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     // sequential per-generation reads); the rare appended dir that
     // already carries a deletion vector reads DV-aware on its own.
     val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val pending = scala.collection.mutable.ArrayBuffer[String]()
+    val pending =
+      scala.collection.mutable.ArrayBuffer[(String, Option[String])]()
+    var pendingNested = false
     def flush(): Unit = if (pending.nonEmpty) {
-      frames += spark.read.schema(readSchema)
-        .parquet(pending.toSeq.map(ManifestCommit.dirAbs(root, _)): _*)
+      frames +=
+        (if (pendingNested)
+          ManifestCommit.readNestedPaths(spark,
+            pending.toSeq.map { case (d, sfx) =>
+              ManifestCommit.dirAbs(root, d) -> sfx.get },
+            Some(readSchema))
+        else spark.read.schema(readSchema)
+          .parquet(pending.toSeq.map(p =>
+            ManifestCommit.dirAbs(root, p._1)): _*))
       pending.clear()
+    }
+    // hive-nested converted dirs scan apart from flat dirs (see the
+    // change-feed path's enqueue)
+    def enqueue(cur: ManifestCommit.Manifest, d: String): Unit = {
+      val sfx = ManifestCommit.partSuffixOf(cur, d)
+      if (pending.nonEmpty && sfx.isDefined != pendingNested) flush()
+      pendingNested = sfx.isDefined
+      pending += ((d, sfx))
     }
     (from + 1).to(to).foreach { g =>
       val prev = maniAt(g - 1); val cur = maniAt(g)
@@ -504,7 +540,7 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
       val removed = prev.dirs.filterNot(d => curSet(ident(prev)(d)))
       if (removed.isEmpty) {
         val (dvd, plain) = added.partition(cur.dvs.contains)
-        pending ++= plain
+        plain.foreach(enqueue(cur, _))
         if (dvd.nonEmpty) {
           flush()
           frames += align(

@@ -2,7 +2,7 @@ package graft.ingest
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, sum}
 import org.apache.spark.sql.types._
 import java.nio.file.Files
 
@@ -869,15 +869,67 @@ class ManifestCommitSpec extends SparkSpec {
     ManifestCommit.commitAppend(spark, root, d2)
     assert(ManifestCommit.read(spark, root).count() === 1010L)
     assert(ManifestCommit.readAt(spark, root, 1L).count() === 1000L)
-    // refusals: double convert; hive-partitioned layout
+    // refusals: double convert; NON-hive nested layout (hive layouts
+    // convert first-class — the dedicated spec below); multi-level hive
     assert(intercept[IllegalArgumentException] {
       ManifestCommit.convertToGraft(spark, root)
     }.getMessage.contains("already"))
-    val part = Files.createTempDirectory("manifest_spec_").toString + "/hive"
-    df.write.partitionBy("v").parquet(part)
+    val nest = Files.createTempDirectory("manifest_spec_").toString + "/nest"
+    spark.range(10).write.parquet(s"$nest/child")
     assert(intercept[IllegalArgumentException] {
-      ManifestCommit.convertToGraft(spark, part)
-    }.getMessage.contains("subdirectories"))
+      ManifestCommit.convertToGraft(spark, nest)
+    }.getMessage.contains("non-hive"))
+    val deep = Files.createTempDirectory("manifest_spec_").toString + "/deep"
+    df.withColumn("w", col("id") % 2)
+      .write.partitionBy("v", "w").parquet(deep)
+    assert(intercept[IllegalArgumentException] {
+      ManifestCommit.convertToGraft(spark, deep)
+    }.getMessage.contains("multi-level"))
+  }
+
+  test("convertToGraft of a HIVE-PARTITIONED layout: one dir per leaf, " +
+      "partition column served and pruning live, DML + appends + time travel") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/hive"
+    val df = spark.range(0, 300).toDF("id")
+      .withColumn("month", lit(202401) + (col("id") % 3).cast("int"))
+      .withColumn("v", (col("id") * 2).cast("double"))
+    df.write.partitionBy("month").parquet(root)
+    val m = ManifestCommit.convertToGraft(spark, root, Seq("id"))
+    assert(m.dirs.size === 3, m.dirs)
+    assert(m.slice === Some("month"), "layout continues as identity slicing")
+    // the partition column reads back (native discovery inside each dir)
+    val back = ManifestCommit.read(spark, root)
+    assert(back.columns.contains("month"))
+    assert(back.count() === 300L)
+    assert(back.filter(col("month") === 202402).count() === 100L)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(300L))
+    // per-dir month stats arm pruning immediately; __part marks nesting
+    val (pruned, kept, total) = ManifestCommit.readPruned(spark, root,
+      "month", Some("202402"), Some("202402"))
+    assert(total === 3 && kept === 1, s"kept $kept of $total")
+    assert(pruned.count() === 100L)
+    assert(m.dirs.forall(d => ManifestCommit.partSuffixOf(m, d).isDefined))
+    // row-level DML on the converted dirs (witness + DV identity must
+    // survive the nested layout): delete a band from one month
+    MergeInto.deleteRows(spark, root,
+      col("month") === 202402 && col("id") < 50)
+    assert(ManifestCommit.read(spark, root).count() === 300L - 17L,
+      "ids <50 with id%3==1: 1,4,…,49 = 17 rows")
+    // an append lands flat (month as a real column) and reads alongside
+    // the remaining nested dirs in one frame
+    val d2 = ManifestCommit.newDataDir(root)
+    spark.range(1000, 1010).toDF("id")
+      .withColumn("month", lit(202404))
+      .withColumn("v", (col("id") * 2).cast("double"))
+      .write.parquet(d2)
+    ManifestCommit.commitAppend(spark, root, d2)
+    val now = ManifestCommit.read(spark, root)
+    assert(now.count() === 283L + 10L)
+    assert(now.filter(col("month") === 202404).count() === 10L)
+    // time travel to the conversion generation = the original content
+    val g1 = ManifestCommit.readAt(spark, root, 1L)
+    assert(g1.count() === 300L)
+    assert(g1.agg(sum("id")).collect()(0).getLong(0) === (0L until 300L).sum)
   }
 
   test("shallow clone from a SCHEME-QUALIFIED source keeps qualified external refs") {
