@@ -79,6 +79,40 @@ object ChangeFeed {
     val old = readDirs(from, droppedDirs).withColumn("__o", lit(true))
     val neu = readDirs(to, addedDirs).withColumn("__n", lit(true))
 
+    // The uniqueness CONTRACT above is enforced, not trusted: a
+    // duplicated key on either side would make the full-outer join emit
+    // ARBITRARY update pairings silently — wrong data, no error. One
+    // key-column-pruned pass over the CHANGED dirs only (never O(table))
+    // names the first offending key. A multi-version table diffs on
+    // (key, version) or collapses first (Ingest.dedupLatest).
+    val sides =
+      (if (droppedDirs.nonEmpty)
+        Seq(old.select(lit("dropped (gen " + fromGen + ")").as("__side") +:
+          keys.map(col): _*))
+      else Nil) ++
+      (if (addedDirs.nonEmpty)
+        Seq(neu.select(lit("added (gen " + toGen + ")").as("__side") +:
+          keys.map(col): _*))
+      else Nil)
+    val dup =
+      if (sides.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else sides.reduce(_.unionByName(_))
+        .groupBy(col("__side") +: keys.map(col): _*)
+        .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > 1)
+        .limit(1).collect()
+    if (dup.nonEmpty) {
+      val r = dup.head
+      throw new IllegalStateException(
+        s"changeFeed.diff($fromGen -> $toGen) on $root: key (${keys
+          .mkString(", ")}) = (${keys.indices.map(i => String.valueOf(
+          r.get(i + 1))).mkString(", ")}) appears ${r.getLong(keys.size + 1)} " +
+          s"times on the ${r.getString(0)} side — the feed requires the " +
+          "table to be unique on the key columns across changed dirs " +
+          "(arbitrary update pairings would be emitted otherwise). " +
+          "Collapse versions first (Ingest.dedupLatest) or diff on " +
+          "(key, version)")
+    }
+
     val cond = keys.map(k => old(k) <=> neu(k)).reduce(_ && _)
     val joined = old.join(neu, cond, "full_outer")
 

@@ -52,12 +52,44 @@ object GraftSql {
     // '#' is the metadata-table suffix syntax (`t#history`): a table
     // registered AS "a#history" would silently shadow table a's history
     require(!name.contains("#"), s"table name may not contain '#': $name")
-    registry.put(name.toLowerCase(java.util.Locale.ROOT), root); ()
+    registry.put(name.toLowerCase(java.util.Locale.ROOT), root)
+    biRefresh(name, dropped = false)
   }
 
   def unregister(name: String): Unit = {
-    registry.remove(name.toLowerCase(java.util.Locale.ROOT)); ()
+    registry.remove(name.toLowerCase(java.util.Locale.ROOT))
+    biRefresh(name, dropped = true)
   }
+
+  /** Once [[syncBiCatalog]] has run, the mirror is STANDING: every later
+    * registry mutation applies its one-view delta here, so a BI tool
+    * connected to the Thrift endpoint sees CREATE/DROP/RENAME without
+    * anyone re-running the sync. Best-effort by design — a mirror
+    * hiccup must never fail the DDL that triggered it (the periodic
+    * full sync reconciles) — and self-disarming when the mirror's
+    * session is gone. */
+  @volatile private var biMirror: Option[(org.apache.spark.sql.SparkSession,
+    String)] = None
+
+  /** Stop the standing mirror (tests; a deployment tearing down its BI
+    * endpoint while the engine keeps serving other work). */
+  def disarmBiMirror(): Unit = biMirror = None
+
+  private def biRefresh(name: String, dropped: Boolean): Unit =
+    biMirror.foreach { case (s, db) =>
+      if (s.sparkContext.isStopped) biMirror = None
+      else {
+        val n = name.toLowerCase(java.util.Locale.ROOT)
+        scala.util.Try {
+          if (dropped) s.sql(s"DROP VIEW IF EXISTS `$db`.`$n`")
+          else s.sql(
+            s"CREATE OR REPLACE VIEW `$db`.`$n` AS SELECT * FROM graft.`$n`")
+        }.failed.foreach(e =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"BI mirror auto-refresh of $db.$n failed (the next full " +
+              s"syncBiCatalog reconciles): ${e.getMessage}"))
+      }
+    }
 
   /** Registered logical names (SHOW TABLES IN graft). */
   def registered: Seq[String] = {
@@ -115,6 +147,8 @@ object GraftSql {
     if (failed.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"syncBiCatalog: skipped unreadable tables ${failed.map(_._1).mkString(", ")}")
+    // from here on the mirror auto-refreshes on every registry mutation
+    biMirror = Some((spark, db))
     failed
   }
 

@@ -67,4 +67,46 @@ class ChangeFeedSpec extends SparkSpec {
     val c2 = ChangeFeed.consume(spark, root, cursor, Seq("id")).get
     assert(c2.changes.count() === 10L)
   }
+
+  test("a duplicated key in the diffed dirs errors crisply, naming the key " +
+      "— never silent arbitrary update pairings") {
+    val root = mkTable() // gen 1: ids 0..99, unique
+    // a REPLACE lands a dir where id=7 appears twice (an uncollapsed
+    // multi-version table diffed on the bare key)
+    val d = ManifestCommit.newDataDir(root)
+    spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+      .unionAll(spark.range(7, 8).toDF("id").withColumn("v", lit(777L)))
+      .write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false)
+    val e = intercept[IllegalStateException] {
+      ChangeFeed.diff(spark, root, 1, 2, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("(id) = (7)"), e.getMessage)
+    assert(e.getMessage.contains("added (gen 2)"), e.getMessage)
+    assert(e.getMessage.contains("dedupLatest"), e.getMessage)
+    // the duplicate-side attribution is exact: diffing the other way
+    // round blames the dropped side
+    val e2 = intercept[IllegalStateException] {
+      ChangeFeed.diff(spark, root, 2, 1, Seq("id")).collect()
+    }
+    assert(e2.getMessage.contains("dropped (gen 2)"), e2.getMessage)
+    // and the streaming change feed (which diffs data-changing commits)
+    // surfaces the same crisp error instead of bad pairings
+    val ckpt = Files.createTempDirectory("graft_cfspec_ck_").toString
+    val outTbl = Files.createTempDirectory("graft_cfspec_o_").toString + "/o"
+    val q = spark.readStream.format("graft-table")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("keys", "id").option("startingVersion", "1")
+      .load().writeStream.format("graft-table")
+      .option("path", outTbl).option("txnAppId", "cf_dup_spec")
+      .option("checkpointLocation", ckpt).start()
+    val se = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else rootCause(t.getCause)
+    assert(rootCause(se).getMessage.contains("(id) = (7)"),
+      rootCause(se).getMessage)
+  }
 }

@@ -109,6 +109,66 @@ class LifecycleFuzzSpec extends SparkSpec {
       model = rows.toMap
     }
 
+    // LIVE TAILING REPLICA (seed 4242 only — bounds suite runtime): a
+    // checkpointed `graft-table` CDF stream rides the WHOLE op mix —
+    // its offsets cross merge/DV-delete/compaction/z-order/retention/
+    // RESTORE/clone-fork boundaries, and every quiesce point drains it
+    // through a FRESH AvailableNow run from the same checkpoint (a
+    // restart per step: offsets must survive checkpoint boundaries,
+    // and each run re-pins the live schema so evolution flows through).
+    // Changes apply to a replica graft table in commit order; invariant
+    // 5 then demands replica == model at every quiesce point.
+    val tailing = seed == 4242
+    val replicaRoot =
+      Files.createTempDirectory("fuzz_replica_").toString + "/r"
+    var ckpt = Files.createTempDirectory("fuzz_replica_ck_").toString
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      val b = batch.persist()
+      try {
+        b.select("_commit_version").distinct().collect().map(_.getLong(0))
+          .sorted.foreach { v =>
+            val of = b.filter(col("_commit_version") === v)
+            val ups = of.filter(col(ChangeFeed.ChangeType)
+              .isin("insert", "update_postimage"))
+              .drop(ChangeFeed.ChangeType, "_commit_version")
+            val dels = of.filter(col(ChangeFeed.ChangeType) === "delete")
+              .select("id")
+            if (!ManifestCommit.isManifestTable(spark, replicaRoot)) {
+              val d = ManifestCommit.newDataDir(replicaRoot)
+              ups.write.parquet(d)
+              ManifestCommit.commitReplace(spark, replicaRoot, Seq(d),
+                pruneDisplaced = false, schema = Some(ups.schema))
+            } else if (ups.limit(1).count() > 0)
+              MergeInto.merge(spark, replicaRoot, ups, Seq("id"),
+                evolveSchema = true)
+            if (dels.limit(1).count() > 0)
+              MergeInto.deleteWhere(spark, replicaRoot, dels)
+          }
+      } finally { b.unpersist(); () }
+    }
+    def drainReplica(): Unit = if (tailing) {
+      val q = spark.readStream.format("graft-table")
+        .option("path", root)
+        .option("readChangeFeed", "true").option("keys", "id")
+        .option("startingVersion", "latest")
+        .load()
+        .writeStream
+        .foreachBatch(applyBatch _)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // first run pins `latest` to generation 1 — the replica then sees
+    // every later commit; seed its snapshot to match
+    if (tailing) {
+      val d = ManifestCommit.newDataDir(replicaRoot)
+      ManifestCommit.read(spark, root).write.parquet(d)
+      ManifestCommit.commitReplace(spark, replicaRoot, Seq(d),
+        pruneDisplaced = false)
+      drainReplica()
+    }
+
     (1 to 30).foreach { step =>
       rnd.nextInt(8) match {
         case 0 => // append a fresh batch, with a point-lookup bloom
@@ -231,6 +291,13 @@ class LifecycleFuzzSpec extends SparkSpec {
           assert(got === snap, s"time travel to gen $g mismatch after step $step")
         }
       }
+      // invariant 5 (seed 4242): the tailing replica, drained through a
+      // fresh AvailableNow run from its checkpoint, equals the model
+      if (tailing) {
+        drainReplica()
+        assert(snapshot(replicaRoot) === model,
+          s"tailing replica diverged from model after step $step")
+      }
       // FORK: at two fixed steps the fuzz CONTINUES ON A SHALLOW CLONE
       // of the table — every later op (merge, DV delete, compaction,
       // z-order, retention, restore, bloom probes, manifest COUNT) then
@@ -242,6 +309,16 @@ class LifecycleFuzzSpec extends SparkSpec {
         frozen ::= ((root, model))
         root = fork
         history = Map(ManifestCommit.readManifest(spark, fork).get.gen -> model)
+        // the replica follows the fork: a fresh checkpoint against the
+        // clone, pinned NOW (`latest` = the fork generation) so the next
+        // drain delivers exactly the post-fork commits — the replica is
+        // already at the fork state, nothing is missed or re-applied
+        if (tailing) {
+          ckpt = Files.createTempDirectory("fuzz_replica_ck_").toString
+          drainReplica()
+          assert(snapshot(replicaRoot) === model,
+            s"tailing replica diverged at the step-$step fork")
+        }
       }
     }
     // final hygiene: orphan prune finds nothing to reclaim mid-lifecycle

@@ -130,6 +130,19 @@ class ThriftEndpointSpec extends SparkSpec {
         val rsT2 = md.getTables(null, "graft_bi", "thriftspec_gone", null)
         assert(!rsT2.next(), "unregistered table still discoverable")
 
+        // AUTO-REFRESH: once synced, the mirror is standing — a table
+        // CREATEd after the sync is discoverable and a DROPped one
+        // disappears with NO further syncBiCatalog call (a BI tool
+        // connected while tables churn never sees stale discovery)
+        val autoLoc = Files.createTempDirectory("graft_thrift_").toString + "/auto"
+        st.execute("CREATE TABLE graft.thriftspec_auto (id BIGINT) " +
+          s"LOCATION '$autoLoc'")
+        val rsA = md.getTables(null, "graft_bi", "thriftspec_auto", null)
+        assert(rsA.next(), "freshly created table not auto-discoverable")
+        st.execute("DROP TABLE graft.thriftspec_auto")
+        val rsA2 = md.getTables(null, "graft_bi", "thriftspec_auto", null)
+        assert(!rsA2.next(), "dropped table still auto-discoverable")
+
         // DDL over the wire: a BI user forks the table from SQL Lab —
         // the per-connection session inherits the injected parser, so
         // SHALLOW CLONE (a text-route statement) works from a stock
@@ -151,6 +164,11 @@ class ThriftEndpointSpec extends SparkSpec {
         val rsT3 = md.getTables(null, "graft_bi", "thriftspec_t", null)
         assert(rsT3.next(), "healthy table lost because a stale one aborted sync")
       } finally conn.close()
-    } finally server.stop()
+    } finally {
+      // the standing mirror must not ride along into unrelated suites
+      // sharing this JVM's session
+      GraftSql.disarmBiMirror()
+      server.stop()
+    }
   }
 }
