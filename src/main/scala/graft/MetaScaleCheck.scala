@@ -225,6 +225,32 @@ object MetaScaleCheck {
           assert(kept < total && df.count() > 0)
         }
       }
+      locally { // hive convert: an nDirs-leaf `part=` layout onto the
+        // manifest — O(leaves) renames (distributed past the small
+        // fan-out) + ONE grouped stats pass, never a rewrite; a point
+        // probe through the converted table then prunes to 1 dir with
+        // the injected partition column served
+        def mkHive(): String = {
+          val hr = GraftTmp.dir(s"meta_hive_${tag}_") + "/t"
+          spark.range(nDirs.toLong * 50)
+            .select(col("id"), (col("id") / 50).cast("int").as("part"))
+            .write.partitionBy("part").parquet(hr)
+          hr
+        }
+        val hives = Seq(mkHive(), mkHive()).iterator // time() reps twice
+        var hr = ""
+        all("hive_convert") = time(s"$tag convertToGraft ($nDirs hive leaves)") {
+          hr = hives.next()
+          assert(ManifestCommit.convertToGraft(spark, hr, Seq("id"))
+            .dirs.size == nDirs)
+        }
+        all("hive_pruned_read") = time(
+          s"$tag converted-table pruned read (1 leaf of $nDirs)") {
+          val (df, kept, total) = ManifestCommit.readPruned(spark, hr, "part",
+            Some((nDirs / 2).toString), Some((nDirs / 2).toString))
+          assert(kept == 1 && total == nDirs && df.count() == 50)
+        }
+      }
       locally { // sparse DV delete: keys in 8 fixed dirs of nDirs
         val roots = Seq(buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100),
           buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100)).iterator

@@ -76,42 +76,33 @@ object ChangeFeed {
         else ManifestCommit.readDirsOf(spark, root, m, dirs, Some(readSchema))
       base.select(cols.map(col): _*)
     }
-    val old = readDirs(from, droppedDirs).withColumn("__o", lit(true))
-    val neu = readDirs(to, addedDirs).withColumn("__n", lit(true))
-
     // The uniqueness CONTRACT above is enforced, not trusted: a
     // duplicated key on either side would make the full-outer join emit
-    // ARBITRARY update pairings silently — wrong data, no error. One
-    // key-column-pruned pass over the CHANGED dirs only (never O(table))
-    // names the first offending key. A multi-version table diffs on
-    // (key, version) or collapses first (Ingest.dedupLatest).
-    val sides =
-      (if (droppedDirs.nonEmpty)
-        Seq(old.select(lit("dropped (gen " + fromGen + ")").as("__side") +:
-          keys.map(col): _*))
-      else Nil) ++
-      (if (addedDirs.nonEmpty)
-        Seq(neu.select(lit("added (gen " + toGen + ")").as("__side") +:
-          keys.map(col): _*))
-      else Nil)
-    val dup =
-      if (sides.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else sides.reduce(_.unionByName(_))
-        .groupBy(col("__side") +: keys.map(col): _*)
-        .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > 1)
-        .limit(1).collect()
-    if (dup.nonEmpty) {
-      val r = dup.head
-      throw new IllegalStateException(
-        s"changeFeed.diff($fromGen -> $toGen) on $root: key (${keys
-          .mkString(", ")}) = (${keys.indices.map(i => String.valueOf(
-          r.get(i + 1))).mkString(", ")}) appears ${r.getLong(keys.size + 1)} " +
-          s"times on the ${r.getString(0)} side — the feed requires the " +
+    // ARBITRARY update pairings silently — wrong data, no error. The
+    // guard rides each side's presence marker: a per-key window count
+    // raises (naming the key, side and generation) the moment a key
+    // repeats. FREE by construction — the full-outer join shuffles and
+    // sorts both sides on exactly these keys, so the window reuses that
+    // exchange: no extra job, no extra scan, no extra shuffle. A
+    // multi-version table diffs on (key, version) or collapses first
+    // (Ingest.dedupLatest).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    def guard(side: String): org.apache.spark.sql.Column =
+      when(count(lit(1)).over(w) > 1, raise_error(concat(
+        lit(s"changeFeed.diff($fromGen -> $toGen) on $root: key (" +
+          keys.mkString(", ") + ") = ("),
+        concat_ws(", ", keys.map(k => col(k).cast("string")): _*),
+        lit(s") is duplicated on the $side side — the feed requires the " +
           "table to be unique on the key columns across changed dirs " +
           "(arbitrary update pairings would be emitted otherwise). " +
           "Collapse versions first (Ingest.dedupLatest) or diff on " +
-          "(key, version)")
-    }
+          "(key, version)"))).cast("boolean"))
+        .otherwise(lit(true))
+    val old = readDirs(from, droppedDirs)
+      .withColumn("__o", guard(s"dropped (gen $fromGen)"))
+    val neu = readDirs(to, addedDirs)
+      .withColumn("__n", guard(s"added (gen $toGen)"))
 
     val cond = keys.map(k => old(k) <=> neu(k)).reduce(_ && _)
     val joined = old.join(neu, cond, "full_outer")

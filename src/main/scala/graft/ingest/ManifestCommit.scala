@@ -672,11 +672,24 @@ object ManifestCommit {
         require(cols.size == 1,
           s"convert: $root mixes partition columns at one level " +
             s"(${cols.mkString(", ")}) — not a valid hive layout")
-        names.foreach { n =>
+        // one listStatus per leaf, on CONCURRENT threads: a sequential
+        // sweep is a driver-latency wall at thousands of leaves (the
+        // resolveBloom lesson)
+        def checkLeaf(n: String): Unit =
           require(!f.listStatus(new Path(rootP, n)).exists(_.isDirectory),
             s"convert: $root/$n contains subdirectories — multi-level " +
               "hive layouts are not supported; rewrite through " +
               "ManifestCommit.writeSliced instead")
+        if (names.size <= 4) names.foreach(checkLeaf)
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(names.size, 32))
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try Await.result(
+            Future.sequence(names.map(n => Future(checkLeaf(n)))), Duration.Inf)
+          finally pool.shutdown()
         }
         names
       }
@@ -723,7 +736,7 @@ object ManifestCommit {
         count(lit(1))
       val grouped = pre.groupBy(pre(partCol)).agg(aggs.head, aggs.tail: _*)
       val groupedRows = grouped.collect().toSeq
-        .map(r => String.valueOf(r.get(0)) -> r)
+        .map(r => String.valueOf(r.get(0)) -> r).toMap
       val partType = schema(schema.fieldIndex(partCol)).dataType
       def leafValue(n: String): String = {
         val raw = n.drop(n.indexOf('=') + 1)
@@ -739,7 +752,7 @@ object ManifestCommit {
             s"convert: could not move $s0 into $d0")
         } else distributeRenames(spark, root, pairs)
         val stats = hiveLeaves.map { n =>
-          val cs = groupedRows.find(_._1 == leafValue(n)).map { case (_, r) =>
+          val cs = groupedRows.get(leafValue(n)).map { r =>
             statColNames.zipWithIndex.flatMap { case (c, i) =>
               colStatsOf(c, r.schema(1 + 2 * i).dataType,
                 r.get(1 + 2 * i), r.get(2 + 2 * i))

@@ -930,6 +930,24 @@ class ManifestCommitSpec extends SparkSpec {
     val g1 = ManifestCommit.readAt(spark, root, 1L)
     assert(g1.count() === 300L)
     assert(g1.agg(sum("id")).collect()(0).getLong(0) === (0L until 300L).sum)
+    // the maintenance surface runs over the nested layout: a z-order
+    // rewrite MATERIALIZES the partition column into flat dirs (the
+    // nesting marker dies with the nesting), month pruning stays live
+    // through the rewrite, and retention reclaims the displaced nested
+    // dirs whole
+    Optimize.zorderCompactN(spark, root, Seq("month", "id"), targetDirs = 2)
+    val mz = ManifestCommit.readManifest(spark, root).get
+    assert(mz.dirs.forall(d => ManifestCommit.partSuffixOf(mz, d).isEmpty),
+      "z-order rewrite must not carry the nesting marker")
+    assert(ManifestCommit.read(spark, root).count() === 293L)
+    assert(ManifestCommit.read(spark, root)
+      .filter(col("month") === 202404).count() === 10L)
+    ManifestCommit.expireSnapshots(spark, root, keepLast = 1)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(m.dirs.forall(d => !f.exists(new org.apache.hadoop.fs.Path(
+      ManifestCommit.dirAbs(root, d)))),
+      "retention left displaced nested conversion dirs behind")
   }
 
   test("shallow clone from a SCHEME-QUALIFIED source keeps qualified external refs") {
