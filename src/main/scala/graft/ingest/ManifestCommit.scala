@@ -2006,10 +2006,14 @@ object ManifestCommit {
     * to hive-nested converts, where the file's immediate parent is the
     * `col=value` segment, not the data dir. Basename-keyed like every
     * dir-identity join (UUID names are unique across roots, so clones'
-    * absolute external entries resolve exactly). */
+    * absolute external entries resolve exactly). Derived from the
+    * DETERMINISTIC `_metadata.file_path` scan attribute, NOT
+    * `input_file_name()` — a nondeterministic projection blocks
+    * predicate pushdown through it, which would strip PushedFilters
+    * from every DV-subtracted or nested read. */
   def dirIdCol: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(
-      "element_at(filter(split(input_file_name(), '/'), " +
+      "element_at(filter(split(_metadata.file_path, '/'), " +
         "x -> startswith(x, 'data_') OR startswith(x, '_dv_')), -1)")
 
   /** ONE scan over HIVE-NESTED converted dirs, given (absolute data dir,

@@ -909,6 +909,17 @@ class ManifestCommitSpec extends SparkSpec {
     assert(total === 3 && kept === 1, s"kept $kept of $total")
     assert(pruned.count() === 100L)
     assert(m.dirs.forall(d => ManifestCommit.partSuffixOf(m, d).isDefined))
+    // data-column filters PUSH DOWN below the injection join: the
+    // partition column rides a broadcast lookup, but the parquet scan
+    // itself must still receive the data predicate
+    locally {
+      val probe = ManifestCommit.read(spark, root)
+        .filter(col("id") > 250).select("id", "month")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThan(id,250)"),
+        s"data filter not pushed to the nested scan:\n$plan")
+      assert(probe.count() === 49L)
+    }
     // row-level DML on the converted dirs (witness + DV identity must
     // survive the nested layout): delete a band from one month
     MergeInto.deleteRows(spark, root,
