@@ -2,7 +2,7 @@ package graft.ingest
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, lit, sum}
+import org.apache.spark.sql.functions.{col, concat, lit, sum}
 import org.apache.spark.sql.types._
 import java.nio.file.Files
 
@@ -959,6 +959,43 @@ class ManifestCommitSpec extends SparkSpec {
     assert(m.dirs.forall(d => !f.exists(new org.apache.hadoop.fs.Path(
       ManifestCommit.dirAbs(root, d)))),
       "retention left displaced nested conversion dirs behind")
+  }
+
+  test("hive convert round-trips ESCAPED string partition values; a plain " +
+      "stream tails a converted table across both layouts") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/hs"
+    // values that hive-escape in dir names (':' and ' ' percent-encode)
+    val df = spark.range(0, 90).toDF("id")
+      .withColumn("cat", concat(lit("k:"),
+        (col("id") % 3).cast("string"), lit(" x")))
+    df.write.partitionBy("cat").parquet(root)
+    ManifestCommit.convertToGraft(spark, root)
+    val back = ManifestCommit.read(spark, root)
+    assert(back.select("cat").distinct().collect().map(_.getString(0)).sorted
+      === Array("k:0 x", "k:1 x", "k:2 x"),
+      "escaped partition values must unescape through the injection")
+    assert(back.filter(col("cat") === "k:1 x").count() === 30L)
+    // a plain (non-CDF) stream over the converted table: the initial
+    // snapshot covers the nested conversion dirs; a later flat append
+    // rides the same stream in its own scan group
+    val ckpt = Files.createTempDirectory("manifest_spec_ck_").toString
+    val qn = s"hiveconv_tail_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-table")
+      .option("path", root).option("startingVersion", "1")
+      .load().writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(qn).count() === 90L)
+      assert(spark.table(qn).filter(col("cat") === "k:2 x").count() === 30L)
+      val d2 = ManifestCommit.newDataDir(root)
+      spark.range(1000, 1010).toDF("id").withColumn("cat", lit("flat"))
+        .write.parquet(d2)
+      ManifestCommit.commitAppend(spark, root, d2)
+      q.processAllAvailable()
+      assert(spark.table(qn).count() === 100L)
+      assert(spark.table(qn).filter(col("cat") === "flat").count() === 10L)
+    } finally q.stop()
   }
 
   test("shallow clone from a SCHEME-QUALIFIED source keeps qualified external refs") {
