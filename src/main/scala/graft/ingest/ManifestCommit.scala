@@ -674,24 +674,34 @@ object ManifestCommit {
             s"(${cols.mkString(", ")}) — not a valid hive layout")
         // one listStatus per leaf, on CONCURRENT threads: a sequential
         // sweep is a driver-latency wall at thousands of leaves (the
-        // resolveBloom lesson)
-        def checkLeaf(n: String): Unit =
-          require(!f.listStatus(new Path(rootP, n)).exists(_.isDirectory),
+        // resolveBloom lesson). Returns whether the leaf holds any DATA
+        // file — a file-less leaf (only _SUCCESS, or empty) contributes
+        // no rows and is SKIPPED, not converted: a data dir with zero
+        // parquet files would crash the stats fallback after the moves
+        def checkLeaf(n: String): Boolean = {
+          val st = f.listStatus(new Path(rootP, n))
+          require(!st.exists(_.isDirectory),
             s"convert: $root/$n contains subdirectories — multi-level " +
               "hive layouts are not supported; rewrite through " +
               "ManifestCommit.writeSliced instead")
-        if (names.size <= 4) names.foreach(checkLeaf)
-        else {
-          import scala.concurrent.{Await, ExecutionContext, Future}
-          import scala.concurrent.duration.Duration
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(
-            math.min(names.size, 32))
-          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-          try Await.result(
-            Future.sequence(names.map(n => Future(checkLeaf(n)))), Duration.Inf)
-          finally pool.shutdown()
+          st.exists(s0 => !s0.getPath.getName.startsWith("_") &&
+            !s0.getPath.getName.startsWith("."))
         }
-        names
+        val hasData: Seq[Boolean] =
+          if (names.size <= 4) names.map(checkLeaf)
+          else {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(names.size, 32))
+            implicit val ec: ExecutionContext =
+              ExecutionContext.fromExecutor(pool)
+            try Await.result(
+              Future.sequence(names.map(n => Future(checkLeaf(n)))),
+              Duration.Inf)
+            finally pool.shutdown()
+          }
+        names.zip(hasData).filter(_._2).map(_._1)
       }
     require(files.nonEmpty || hiveLeaves.nonEmpty,
       s"convert: $root contains no data files")
@@ -727,16 +737,24 @@ object ManifestCommit {
       // ALL leaves' stats in ONE grouped aggregate over the intact hive
       // layout (partition discovery supplies the group key) — a
       // 1000-partition convert must not pay 1000 sequential stat jobs.
-      // Group rows key on the leaf's UNESCAPED partition value; a leaf
-      // whose rendering defies the match falls back to its own per-dir
-      // pass (correctness over speed, never silence).
+      // The group KEY is Spark's own cast-to-string of the partition
+      // value — the same rendering partitionBy used for the dir name —
+      // so it matches the leaf's unescaped value for every type
+      // (java-side String.valueOf would render e.g. Timestamp with a
+      // trailing ".0" and silently degrade every leaf to the sequential
+      // fallback); the TYPED value rides as min(partCol), constant per
+      // group. A leaf whose rendering still defies the match falls back
+      // to its own per-dir pass with a warning (correctness over speed,
+      // never silence).
       import org.apache.spark.sql.functions.{count, lit, max, min}
       val pre = spark.read.parquet(root)
-      val aggs = statColNames.flatMap(c => Seq(min(pre(c)), max(pre(c)))) :+
+      val aggs = min(pre(partCol)) +:
+        statColNames.flatMap(c => Seq(min(pre(c)), max(pre(c)))) :+
         count(lit(1))
-      val grouped = pre.groupBy(pre(partCol)).agg(aggs.head, aggs.tail: _*)
+      val grouped = pre.groupBy(pre(partCol).cast("string"))
+        .agg(aggs.head, aggs.tail: _*)
       val groupedRows = grouped.collect().toSeq
-        .map(r => String.valueOf(r.get(0)) -> r).toMap
+        .map(r => r.getString(0) -> r).toMap
       val partType = schema(schema.fieldIndex(partCol)).dataType
       def leafValue(n: String): String = {
         val raw = n.drop(n.indexOf('=') + 1)
@@ -752,16 +770,22 @@ object ManifestCommit {
             s"convert: could not move $s0 into $d0")
         } else distributeRenames(spark, root, pairs)
         val stats = hiveLeaves.map { n =>
+          // row layout: [key-as-string, min(partCol), (mn,mx)*, count]
           val cs = groupedRows.get(leafValue(n)).map { r =>
             statColNames.zipWithIndex.flatMap { case (c, i) =>
-              colStatsOf(c, r.schema(1 + 2 * i).dataType,
-                r.get(1 + 2 * i), r.get(2 + 2 * i))
-            } ++ colStatsOf(partCol, partType, r.get(0), r.get(0)) ++
+              colStatsOf(c, r.schema(2 + 2 * i).dataType,
+                r.get(2 + 2 * i), r.get(3 + 2 * i))
+            } ++ colStatsOf(partCol, partType, r.get(1), r.get(1)) ++
               Seq(ColStats(RowCountStat, "num",
-                r.getLong(1 + 2 * statColNames.size).toString,
-                r.getLong(1 + 2 * statColNames.size).toString))
-          }.getOrElse(dirStats(spark, dirOf(n),
-            (statColNames :+ partCol :+ RowCountStat).distinct))
+                r.getLong(2 + 2 * statColNames.size).toString,
+                r.getLong(2 + 2 * statColNames.size).toString))
+          }.getOrElse {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"convert: leaf $n missed the grouped stats key (value " +
+                s"rendering) — metering it with its own per-dir pass")
+            dirStats(spark, dirOf(n),
+              (statColNames :+ partCol :+ RowCountStat).distinct)
+          }
           dirOf(n) -> (cs :+ ColStats(PartStat, "str", n, n))
         }.toMap
         commitReplace(spark, root, hiveLeaves.map(dirOf),
@@ -848,8 +872,17 @@ object ManifestCommit {
     try spark.sparkContext.parallelize(pairs, slices).foreachPartition { it =>
       val fsys = new Path(root).getFileSystem(conf.conf)
       it.foreach { case (s, d) =>
-        if (!fsys.rename(new Path(s), new Path(d)))
-          throw new java.io.IOException(s"convert: could not move $s to $d")
+        if (!fsys.rename(new Path(s), new Path(d))) {
+          // IDEMPOTENT under task retries: a retried partition re-visits
+          // pairs its first attempt already moved — src gone + dst
+          // present IS the desired post-state, not a failure (without
+          // this, one transient task error deterministically aborts a
+          // million-part convert: every retry refails on the moved
+          // prefix until maxFailures)
+          val done = !fsys.exists(new Path(s)) && fsys.exists(new Path(d))
+          if (!done)
+            throw new java.io.IOException(s"convert: could not move $s to $d")
+        }
       }
     } finally spark.sparkContext.setJobDescription(null)
   }
@@ -882,26 +915,32 @@ object ManifestCommit {
       extDirs.map(d => d -> newDataDir(root)) ++
         extDvs.map(v => v -> s"$root/_dv_${java.util.UUID.randomUUID()
           .toString.replace("-", "").take(16)}")
-    // FILE-level fan-out: a clone of a few huge dirs must still spread
-    // across tasks, so each external dir expands to its files (one
-    // listing apiece — driver metadata, no data I/O)
-    val filePairs: Seq[(String, String)] = targets.flatMap { case (s, d) =>
-      val sp = new Path(s)
-      val sfs = sp.getFileSystem(conf)
-      if (sfs.getFileStatus(sp).isDirectory) {
-        dstFs.mkdirs(new Path(d))
-        sfs.listStatus(sp).toSeq.map(st =>
-          st.getPath.toString -> new Path(d, st.getPath.getName).toString)
-      } else Seq(s -> d)
-    }
+    // overwrite=true makes the copy IDEMPOTENT: targets are fresh UUID
+    // paths, so the only thing ever overwritten is a retried task's own
+    // partial file — without it a transient task failure deterministically
+    // refails every retry on the already-copied prefix
     def copyOne(c: org.apache.hadoop.conf.Configuration)(
         src: String, dst: String): Unit = {
       val sp = new Path(src); val dp = new Path(dst)
       org.apache.hadoop.fs.FileUtil.copy(
-        sp.getFileSystem(c), sp, dp.getFileSystem(c), dp, false, c)
+        sp.getFileSystem(c), sp, dp.getFileSystem(c), dp, false, true, c)
       ()
     }
     try {
+      // FILE-level fan-out: a clone of a few huge dirs must still spread
+      // across tasks, so each external dir expands to its files (one
+      // listing apiece — driver metadata, no data I/O). INSIDE the try:
+      // a listing failure (source reclaimed mid-build) must hit the same
+      // catch that reclaims the partially-created target dirs.
+      val filePairs: Seq[(String, String)] = targets.flatMap { case (s, d) =>
+        val sp = new Path(s)
+        val sfs = sp.getFileSystem(conf)
+        if (sfs.getFileStatus(sp).isDirectory) {
+          dstFs.mkdirs(new Path(d))
+          sfs.listStatus(sp).toSeq.map(st =>
+            st.getPath.toString -> new Path(d, st.getPath.getName).toString)
+        } else Seq(s -> d)
+      }
       if (filePairs.size <= SmallFanout) {
         // small fan-out: overlap round-trips on a driver pool
         import scala.concurrent.{Await, ExecutionContext, Future}
@@ -924,7 +963,8 @@ object ManifestCommit {
             it.foreach { case (s, d) =>
               val sp = new Path(s); val dp = new Path(d)
               org.apache.hadoop.fs.FileUtil.copy(
-                sp.getFileSystem(c), sp, dp.getFileSystem(c), dp, false, c)
+                sp.getFileSystem(c), sp, dp.getFileSystem(c), dp,
+                false, true, c)
               ()
             }
           }
@@ -990,8 +1030,12 @@ object ManifestCommit {
       // a missing path here is USUALLY a reclaimed external reference —
       // name the clone ownership contract and the remedy instead of
       // surfacing a raw path error (house style: the streaming source's
-      // retention-lapse error does the same)
-      throw cloneRetentionError(spark, root, m).getOrElse(e)
+      // retention-lapse error does the same). The ORIGINAL exception
+      // rides as the cause: an unrelated analysis error on a table that
+      // merely also has a reclaimed ref must stay diagnosable.
+      throw cloneRetentionError(spark, root, m).map { ise =>
+        ise.initCause(e); ise
+      }.getOrElse(e)
     }
 
   /** The clone-outlived-its-source failure, when that is what a read
@@ -1022,7 +1066,7 @@ object ManifestCommit {
       dirs: Seq[String],
       schemaOverride: Option[org.apache.spark.sql.types.StructType])
       : DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, element_at, input_file_name, lit, split}
+    import org.apache.spark.sql.functions.{broadcast, col}
     val schema = schemaOverride.orElse(m.tableSchema)
     def readPaths(paths: Seq[String]): DataFrame = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
@@ -1852,26 +1896,50 @@ object ManifestCommit {
     * `domain = v` against a slice component `pmod(hash(domain), n)`
     * pins that component to `pmod(hash(v), n)` — evaluated here with
     * the same Catalyst Murmur3 hash the write side used, so the bound
-    * compares exactly against the recorded component stat. Type-safe by
-    * construction: StatsPredicate only extracts points whose literal
-    * compares UNCAST against the attribute (the analyzer inserts casts
-    * on any type mismatch, and a cast wrapper extracts nothing), so the
-    * hashed literal has the column's own type. Unmatched components
-    * contribute nothing — skipping stays an optimization. */
-  def bucketBoundsOf(slice: Option[String], points: Seq[(String, Any)])
-      : Seq[(String, Option[String], Option[String])] =
+    * compares exactly against the recorded component stat.
+    *
+    * TYPE-EXACT by coercion, not assumption: Murmur3 is width-sensitive
+    * (hash(5: int) != hash(5L)), and while the ANALYZED SQL path always
+    * hands over literals of the column's own type (the analyzer casts
+    * mismatches, and a cast wrapper extracts no point), the programmatic
+    * DML path (`deleteRows(col("k") === 5)`) extracts from UNRESOLVED
+    * expressions where the literal keeps whatever width the caller
+    * typed. `colType` (the table schema's type for a column) drives a
+    * lossless coercion of the literal to the column's type before
+    * hashing; a value that cannot be represented exactly — or an
+    * unknown column — contributes NO bound (skipping stays an
+    * optimization, never a wrong filter). */
+  def bucketBoundsOf(slice: Option[String], points: Seq[(String, Any)],
+      colType: String => Option[org.apache.spark.sql.types.DataType])
+      : Seq[(String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.types._
+    def coerce(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+      case (s: String, StringType) => Some(s)
+      case (n: Number, LongType)
+          if BigDecimal(n.toString).isValidLong => Some(n.longValue)
+      case (n: Number, IntegerType)
+          if BigDecimal(n.toString).isValidInt => Some(n.intValue)
+      case (n: Number, ShortType)
+          if BigDecimal(n.toString).isValidShort => Some(n.shortValue)
+      case (n: Number, ByteType)
+          if BigDecimal(n.toString).isValidByte => Some(n.byteValue)
+      case _ => None
+    }
     slice.toSeq.flatMap(sliceComponents).flatMap {
       case comp @ BucketComponent(col, n) =>
-        points.filter(_._1.equalsIgnoreCase(col)).map { case (_, v) =>
-          val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-            Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)))
-            .eval(null).asInstanceOf[Int]
-          val nn = n.toInt
-          val b = ((h % nn) + nn) % nn
-          (comp, Some(b.toString), Some(b.toString))
+        points.filter(_._1.equalsIgnoreCase(col)).flatMap { case (_, v) =>
+          colType(col).flatMap(dt => coerce(v, dt)).map { cv =>
+            val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+              Seq(org.apache.spark.sql.catalyst.expressions.Literal(cv)))
+              .eval(null).asInstanceOf[Int]
+            val nn = n.toInt
+            val b = ((h % nn) + nn) % nn
+            (comp, Some(b.toString), Some(b.toString))
+          }
         }
       case _ => Nil
     }
+  }
 
   def writeSliced(spark: SparkSession, root: String, df: DataFrame,
       slice: org.apache.spark.sql.Column,

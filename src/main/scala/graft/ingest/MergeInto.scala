@@ -643,7 +643,8 @@ object MergeInto {
     // bucket slice components prune point predicates exactly (same
     // derivation as the SQL read path — DML rewrites prune identically)
     val bucketBounds = ManifestCommit.bucketBoundsOf(
-      m.slice, ex.points.filter(p => names(p._1)))
+      m.slice, ex.points.filter(p => names(p._1)),
+      c => tSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
     var cand = ManifestCommit.prunedDirsOf(m,
       ex.bounds.filter(b => names(b._1)) ++ bucketBounds)
     ex.points.filter(p => names(p._1)).foreach { case (c, v) =>

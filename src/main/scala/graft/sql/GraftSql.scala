@@ -1122,7 +1122,8 @@ case class GraftDataSkipping(spark: SparkSession)
     // recorded per dir as a component stat (Iceberg partition-tuple
     // pruning through the ordinary stats channel)
     val bucketBounds = ManifestCommit.bucketBoundsOf(
-      g.manifest.slice, ex.points.filter(p => names(p._1)))
+      g.manifest.slice, ex.points.filter(p => names(p._1)),
+      c => g.output.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
     var kept = ManifestCommit.prunedDirsOf(g.manifest,
       ex.bounds.filter(b => names(b._1)) ++ bucketBounds)
     ex.points.filter(p => names(p._1)).foreach { case (c, v) =>

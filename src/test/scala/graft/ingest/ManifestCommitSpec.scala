@@ -961,6 +961,98 @@ class ManifestCommitSpec extends SparkSpec {
       "retention left displaced nested conversion dirs behind")
   }
 
+  test("a DV-subtracted read still PUSHES data filters to the parquet scan " +
+      "(dir identity must not block pushdown)") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/dvp"
+    val d1 = ManifestCommit.newDataDir(root)
+    spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 2)
+      .write.parquet(d1)
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false)
+    MergeInto.deleteWhere(spark, root,
+      spark.range(0, 5).toDF("id")) // DV on d1
+    val probe = ManifestCommit.read(spark, root).filter(col("id") > 900)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(id,900)"),
+      s"data filter lost at the DV-subtracted scan:\n$plan")
+    assert(probe.count() === 99L)
+  }
+
+  test("composite slicing carries THROUGH a shallow clone: both pruning " +
+      "dimensions live on the fork, divergent writes stay sliced") {
+    val base = Files.createTempDirectory("manifest_spec_").toString
+    val src = base + "/src"; val dst = base + "/fork"
+    val slice = ManifestCommit.compositeSlice(Seq(
+      "date_format(ts, 'yyyyMMdd')", "pmod(hash(k), 4)"))
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp'2024-05-01 00:00:00' + make_interval(0,0,0, cast(id % 2 as int))"))
+      .withColumn("k", (col("id") % 10).cast("string"))
+    val statCols = Seq("ts", "k", "pmod(hash(k), 4)",
+      ManifestCommit.RowCountStat)
+    val dirs = ManifestCommit.writeSliced(spark, src, df,
+      org.apache.spark.sql.functions.expr(slice), statCols)
+    ManifestCommit.commitReplace(spark, src, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true)))),
+      slice = Some(slice))
+    ManifestCommit.shallowClone(spark, src, dst)
+    val mc = ManifestCommit.readManifest(spark, dst).get
+    assert(mc.slice === Some(slice), "slice must carry through the clone")
+    // bucket-dimension bound through carried component stats
+    val bb = ManifestCommit.bucketBoundsOf(mc.slice, Seq("k" -> "3"),
+      _ => Some(org.apache.spark.sql.types.StringType))
+    assert(bb.nonEmpty)
+    val keptB = ManifestCommit.prunedDirsOf(mc, bb)
+    assert(keptB.nonEmpty && keptB.size < mc.dirs.size,
+      s"bucket pruning dead on the clone: ${keptB.size}/${mc.dirs.size}")
+    // date-dimension bound through carried ts stats
+    val keptD = ManifestCommit.prunedDirsOf(mc, Seq(("ts",
+      Some(ManifestCommit.temporalBound("2024-05-02")), None)))
+    assert(keptD.nonEmpty && keptD.size < mc.dirs.size,
+      s"date pruning dead on the clone: ${keptD.size}/${mc.dirs.size}")
+    // a divergent write on the fork lands through the inherited slicing
+    graft.sql.GraftSql.register("mcs_comp_fork", dst)
+    try spark.sql("INSERT INTO graft.mcs_comp_fork VALUES " +
+      "(9001, TIMESTAMP '2024-06-01 00:00:00', 'zz')")
+    finally graft.sql.GraftSql.unregister("mcs_comp_fork")
+    val m2 = ManifestCommit.readManifest(spark, dst).get
+    val newDirs = m2.dirs.filterNot(mc.dirs.contains)
+    assert(newDirs.size === 1)
+    assert(m2.stats(newDirs.head).exists(_.col == "pmod(hash(k), 4)"),
+      "component stat not metered on the fork's divergent insert")
+  }
+
+  test("programmatic DML with a NARROWER-typed literal on a bucket-sliced " +
+      "BIGINT column still finds its rows (bucket bound coerces, never " +
+      "mis-hashes)") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/bk"
+    val slice = "pmod(hash(k), 4)"
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("k", col("id") % 20) // BIGINT bucket column
+    val statCols = Seq("k", slice, ManifestCommit.RowCountStat)
+    val dirs = ManifestCommit.writeSliced(spark, root, df,
+      org.apache.spark.sql.functions.expr(slice), statCols)
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true)))),
+      slice = Some(slice))
+    // col("k") === 5 builds an INT literal against the BIGINT column —
+    // Murmur3 is width-sensitive, so hashing the literal at its own
+    // width would pin the WRONG bucket and the delete would silently
+    // miss every row (the round-14 review finding)
+    MergeInto.deleteRows(spark, root, col("k") === 5)
+    val left = ManifestCommit.read(spark, root)
+    assert(left.filter(col("k") === 5).count() === 0L,
+      "bucket bound mis-hashed the coercible literal: rows not deleted")
+    assert(left.count() === 380L)
+    // a value that CANNOT be the column's type contributes no bound —
+    // the predicate still runs, nothing wrongly pruned
+    MergeInto.deleteRows(spark, root, col("k") === 9.5) // no k is 9.5
+    assert(ManifestCommit.read(spark, root).count() === 380L)
+  }
+
   test("hive convert round-trips ESCAPED string partition values; a plain " +
       "stream tails a converted table across both layouts") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/hs"
