@@ -655,8 +655,8 @@ object ManifestCommit {
     // the manifest records the partition value as the dir's column stat
     // (pruning live immediately) plus the [[PartStat]] nesting marker,
     // and the layout continues as the table's identity slicing.
-    val hiveLeaves: Seq[String] =
-      if (subdirs.isEmpty) Nil
+    val (hiveLeaves: Seq[String], emptyLeaves: Seq[String]) =
+      if (subdirs.isEmpty) (Nil, Nil)
       else {
         val names = subdirs.map(_.getPath.getName).sorted
         require(files.isEmpty,
@@ -701,7 +701,8 @@ object ManifestCommit {
               Duration.Inf)
             finally pool.shutdown()
           }
-        names.zip(hasData).filter(_._2).map(_._1)
+        (names.zip(hasData).filter(_._2).map(_._1),
+          names.zip(hasData).filterNot(_._2).map(_._1))
       }
     require(files.nonEmpty || hiveLeaves.nonEmpty,
       s"convert: $root contains no data files")
@@ -788,10 +789,20 @@ object ManifestCommit {
           }
           dirOf(n) -> (cs :+ ColStats(PartStat, "str", n, n))
         }.toMap
-        commitReplace(spark, root, hiveLeaves.map(dirOf),
+        val committed = commitReplace(spark, root, hiveLeaves.map(dirOf),
           pruneDisplaced = false, stats = stats,
           schema = Some(schema), op = "convert", slice = Some(partCol),
           expectedGen = Some(0L), expectedChecks = Some(Map.empty))
+        // data-less leaves (only _SUCCESS / hidden files) were SKIPPED
+        // above; after a SUCCESSFUL commit delete them so the root holds
+        // exactly manifest + data dirs — a stray `k=v` dir next to the
+        // manifest reads as live table state to later tooling (orphan
+        // pruning, a re-convert attempt, manual inspection). Best-effort:
+        // the commit already succeeded, a lingering empty dir is cosmetic.
+        emptyLeaves.foreach(n =>
+          try { f.delete(new Path(rootP, n), true); () }
+          catch { case scala.util.control.NonFatal(_) => () })
+        committed
       } catch { case scala.util.control.NonFatal(e) =>
         rollbackLeaves()
         throw e
@@ -1951,23 +1962,37 @@ object ManifestCommit {
     val f = fs(spark, root)
     val real = statCols.filterNot(PseudoStats)
     val wantRows = statCols.contains(RowCountStat)
-    val statRows: Seq[(String, org.apache.spark.sql.Row)] =
-      if (statCols.isEmpty) Nil
+    // the per-slice stat MATCH is keyed on Spark's own cast-to-string of
+    // the slice value — the exact rendering partitionBy used for the dir
+    // name — with the dir's `__slice=` suffix hive-UNESCAPED and a null
+    // slice mapped from `__HIVE_DEFAULT_PARTITION__`. Java-side
+    // `String.valueOf` diverges on type rendering (a Timestamp gets a
+    // trailing ".0") and never unescapes (`:`→`%3A`, `/`→`%2F` in URL /
+    // domain slices), which used to SILENTLY drop that dir's stats —
+    // pruning dead, manifest COUNT(*) degraded to a scan, no warning.
+    val statRows: Map[String, org.apache.spark.sql.Row] =
+      if (statCols.isEmpty) Map.empty
       else {
         val aggs = real.flatMap(c =>
           Seq(min(statCol(df, c)), max(statCol(df, c)))) ++
           (if (wantRows) Seq(count(lit(1))) else Nil)
-        df.groupBy(slice.as("__slice")).agg(aggs.head, aggs.tail: _*)
-          .collect().toSeq.map(r => String.valueOf(r.get(0)) -> r)
+        df.groupBy(slice.cast("string").as("__slice"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().toSeq.map(r =>
+            (if (r.isNullAt(0)) NullSliceDir else r.getString(0)) -> r).toMap
       }
     val parts = f.listStatus(new Path(staging)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__slice="))
       .sortBy(_.getPath.getName)
     val promoted = parts.map { st =>
-      val key = st.getPath.getName.stripPrefix("__slice=")
+      val raw = st.getPath.getName.stripPrefix("__slice=")
+      val key =
+        if (raw == NullSliceDir) NullSliceDir
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw)
       val d = newDataDir(root)
       f.rename(st.getPath, new Path(d))
-      val stats = statRows.find(_._1 == key).map { case (_, r) =>
+      val stats = statRows.get(key).map { r =>
         real.zipWithIndex.flatMap { case (c, i) =>
           colStatsOf(c, r.schema(1 + 2 * i).dataType,
             r.get(1 + 2 * i), r.get(2 + 2 * i))
@@ -1975,12 +2000,29 @@ object ManifestCommit {
           val n = r.getLong(1 + 2 * real.size)
           Seq(ColStats(RowCountStat, "num", n.toString, n.toString))
         } else Nil)
-      }.getOrElse(Nil)
+      }.getOrElse {
+        if (statCols.isEmpty) Nil
+        else {
+          // never silence a rendering miss: re-meter THIS dir with its
+          // own pass (correctness of the stats contract over speed) and
+          // say so — a dir committed with no stats loses pruning and
+          // zero-job COUNT(*) invisibly
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"writeSliced: slice dir __slice=$raw missed the grouped " +
+              "stats key (value rendering) — metering it with its own " +
+              "per-dir pass")
+          dirStats(spark, d,
+            (real ++ (if (wantRows) Seq(RowCountStat) else Nil)).distinct)
+        }
+      }
       d -> stats
     }
     f.delete(new Path(staging), true)
     promoted
   }
+
+  /** Hive's directory name for a null partition value. */
+  private[ingest] val NullSliceDir = "__HIVE_DEFAULT_PARTITION__"
 
   /** Data-skipping resolve: live dirs whose `col` stats can overlap
     * [lo, hi] (either bound optional). Dirs without stats for `col` are
@@ -2078,10 +2120,16 @@ object ManifestCommit {
     * DETERMINISTIC `_metadata.file_path` scan attribute, NOT
     * `input_file_name()` — a nondeterministic projection blocks
     * predicate pushdown through it, which would strip PushedFilters
-    * from every DV-subtracted or nested read. */
+    * from every DV-subtracted or nested read. The file BASENAME (the
+    * last segment) is excluded before matching: convertToGraft
+    * preserves arbitrary source file names, so a converted file named
+    * `data_2024.parquet` must not become its own dir id — only
+    * DIRECTORY segments are candidates. */
   def dirIdCol: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(
-      "element_at(filter(split(_metadata.file_path, '/'), " +
+      "element_at(filter(" +
+        "slice(split(_metadata.file_path, '/'), 1, " +
+        "size(split(_metadata.file_path, '/')) - 1), " +
         "x -> startswith(x, 'data_') OR startswith(x, '_dv_')), -1)")
 
   /** ONE scan over HIVE-NESTED converted dirs, given (absolute data dir,

@@ -26,15 +26,23 @@ object SqlGates {
     * fall-back to scan-everything reds the gate. Extracts the `data_*`
     * PATH SEGMENT (distinct) rather than the basename, so hive-nested
     * converted dirs — whose scan roots are the `…/data_x/month=…` leaf
-    * paths — count identically to flat dirs. */
+    * paths — count identically to flat dirs. Matches the segment AFTER
+    * stripping the root prefix and takes the LAST candidate (as
+    * [[ManifestCommit.dirIdCol]] does): if the temp root itself lives
+    * under a directory like `/data_ssd/`, a first-segment match would
+    * collapse every path to that one segment and the pruning witness
+    * would silently pass (or red) spuriously. */
   private def scannedDataDirs(df: DataFrame, root: String): Int =
     df.queryExecution.optimizedPlan.collect {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             fs.location.rootPaths
-              .filter(_.toString.contains(root))
-              .flatMap(_.toString.split("/").find(_.startsWith("data_")))
+              .map(_.toString).filter(_.contains(root))
+              .flatMap { p =>
+                val rel = p.substring(p.indexOf(root) + root.length)
+                rel.split("/").filter(_.startsWith("data_")).lastOption
+              }
           case _ => Nil
         }
     }.flatten.distinct.size

@@ -144,10 +144,30 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           // a DEEP CLONE that crashed between its two steps left a
           // SHALLOW clone here; the IF NOT EXISTS re-run must finish
           // the deep half before registering, or it would hand back a
-          // "deep" clone still inside the source's retention window
-          // (materializeExternal is idempotent — a no-op when nothing
-          // is external)
-          if (deep) ManifestCommit.materializeExternal(spark, root)
+          // "deep" clone still inside the source's retention window.
+          // But ONLY when the existing manifest's external refs point
+          // into THIS statement's source — that is the crashed-deep-
+          // clone signature. An unrelated pre-existing table (e.g. an
+          // intentional shallow clone of some OTHER source) must keep
+          // IF NOT EXISTS a true no-op: materializing it would be a
+          // data-copying commit mutating a table this statement did
+          // not create.
+          if (deep) {
+            val srcPrefix = srcRoot.stripSuffix("/") + "/"
+            val m = ManifestCommit.readManifest(spark, root)
+            val extOfSrc = m.exists { mf =>
+              val ext = mf.dirs.filter(ManifestCommit.isExternal(root, _)) ++
+                mf.dvs.values.toSeq.filter(ManifestCommit.isExternal(root, _))
+              ext.nonEmpty && ext.forall(_.startsWith(srcPrefix))
+            }
+            if (extOfSrc) ManifestCommit.materializeExternal(spark, root)
+            else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"graft CLONE IF NOT EXISTS: table at $root already exists " +
+                s"and its external references do not all point into " +
+                s"$srcRoot — leaving it untouched (no-op). If this is a " +
+                "crashed deep clone of a different source, finish it " +
+                "explicitly with a DEEP CLONE of that source.")
+          }
           GraftSql.register(name, root)
         } else {
           val gen = version.orElse(tsRaw.map(t => ManifestCommit.genAsOf(

@@ -471,6 +471,152 @@ class ManifestCommitSpec extends SparkSpec {
     assert(kept.size === 1 && total === 3)
   }
 
+  test("writeSliced keeps per-dir stats for TIMESTAMP-typed and hive-ESCAPED " +
+      "slice values (the grouped key matches the dir name, no silent loss)") {
+    import org.apache.spark.sql.functions.{expr, to_timestamp}
+    // (a) identity(ts): java String.valueOf(Timestamp) renders '…00:00:00.0'
+    // while the dir name renders '…00%3A00%3A00' — the old key never matched,
+    // the dir committed with NO stats, and pruning + zero-job COUNT silently
+    // died for every timestamp-sliced insert
+    val base = Files.createTempDirectory("manifest_spec_").toString
+    locally {
+      val root = base + "/ts_slice"
+      val df = spark.range(0, 60).toDF("id")
+        .withColumn("ts", to_timestamp(expr(
+          "concat('2024-0', cast(1 + id % 3 as string), '-01 00:00:00')")))
+      // count jobs during writeSliced: the grouped path is ONE write job +
+      // ONE stats job; a silent per-dir re-meter fallback would add a job
+      // per slice dir (3 here) — pin it so the fix can't regress into the
+      // fallback still producing stats but at N× the cost
+      @volatile var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val dirs =
+        try {
+          val d = ManifestCommit.writeSliced(spark, root, df,
+            df("ts"), Seq("ts", "id", ManifestCommit.RowCountStat))
+          // listener events are async — settle before reading the count
+          val deadline = System.currentTimeMillis() + 5000
+          var last = -1
+          while (last != jobs && System.currentTimeMillis() < deadline) {
+            last = jobs; Thread.sleep(200)
+          }
+          d
+        } finally spark.sparkContext.removeSparkListener(listener)
+      // base cost observed: write (1-2 jobs) + ONE grouped stats job; the
+      // fallback adds a job PER slice dir (3 here → 6+ total), so <=4
+      // still discriminates grouped-vs-degraded
+      assert(jobs <= 4, s"grouped stats pass degraded to per-dir jobs: $jobs")
+      assert(dirs.size === 3)
+      dirs.foreach { case (d, stats) =>
+        assert(stats.exists(_.col == "ts") &&
+          stats.exists(_.col == ManifestCommit.RowCountStat),
+          s"timestamp slice dir $d lost stats: $stats")
+      }
+      ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+        pruneDisplaced = false, stats = dirs.toMap)
+      assert(ManifestCommit.tableRowCount(spark, root) === Some(60L),
+        "manifest-only COUNT must stay zero-job under a timestamp slice")
+      val feb = ManifestCommit.temporalBound("2024-02-01T00:00:00")
+      val (kept, total) = ManifestCommit.resolvePruned(spark, root, "ts",
+        Some(feb), Some(feb))
+      assert(total === 3 && kept.size === 1, s"ts pruning dead: $kept")
+    }
+    // (b) a domain slice carrying ':' and '/' (URLs — the LLM-pipeline
+    // domain-cap case): the dir name hive-escapes both, the old raw-suffix
+    // key never matched
+    locally {
+      val root = base + "/dom_slice"
+      val df = spark.range(0, 40).toDF("id")
+        .withColumn("domain", expr(
+          "case when id % 2 = 0 then 'https://a.example/x' " +
+            "else 'b.example:8080/path' end"))
+      val dirs = ManifestCommit.writeSliced(spark, root, df,
+        df("domain"), Seq("domain", "id", ManifestCommit.RowCountStat))
+      assert(dirs.size === 2)
+      dirs.foreach { case (d, stats) =>
+        assert(stats.exists(_.col == "domain") &&
+          stats.exists(_.col == ManifestCommit.RowCountStat),
+          s"escaped slice dir $d lost stats: $stats")
+      }
+      ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+        pruneDisplaced = false, stats = dirs.toMap)
+      assert(ManifestCommit.tableRowCount(spark, root) === Some(40L))
+      val (kept, total) = ManifestCommit.resolvePruned(spark, root, "domain",
+        Some("https://a.example/x"), Some("https://a.example/x"))
+      assert(total === 2 && kept.size === 1, s"domain pruning dead: $kept")
+    }
+    // (c) a NULL slice lands in __HIVE_DEFAULT_PARTITION__ and still
+    // carries its row count
+    locally {
+      val root = base + "/null_slice"
+      val df = spark.range(0, 20).toDF("id")
+        .withColumn("k", expr("if(id < 5, null, 'live')"))
+      val dirs = ManifestCommit.writeSliced(spark, root, df,
+        df("k"), Seq("id", ManifestCommit.RowCountStat))
+      assert(dirs.size === 2)
+      dirs.foreach { case (d, stats) =>
+        assert(stats.exists(_.col == ManifestCommit.RowCountStat),
+          s"null-slice dir $d lost its row count: $stats")
+      }
+      ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+        pruneDisplaced = false, stats = dirs.toMap)
+      assert(ManifestCommit.tableRowCount(spark, root) === Some(20L))
+    }
+  }
+
+  test("dirIdCol ignores the file BASENAME: a converted file named " +
+      "data_*.parquet must not become its own dir id") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/bn"
+    val d1 = ManifestCommit.newDataDir(root)
+    spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+      .coalesce(1).write.parquet(d1)
+    // convertToGraft preserves arbitrary source file names — simulate one
+    // whose basename matches the data-dir prefix
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = f.listStatus(new org.apache.hadoop.fs.Path(d1))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(f.rename(part,
+      new org.apache.hadoop.fs.Path(d1, "data_2024.parquet")))
+    ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false)
+    // identity resolves to the DIRECTORY, not the trap basename
+    val ids = ManifestCommit.read(spark, root)
+      .withColumn("__dir", ManifestCommit.dirIdCol)
+      .select("__dir").distinct().collect().map(_.getString(0)).toSet
+    assert(ids === Set(d1.split('/').last),
+      s"dir identity captured the basename: $ids")
+    // the DML witness keyed on dir identity must SEE this dir: a DV
+    // delete that silently skipped it would delete nothing
+    MergeInto.deleteRows(spark, root, col("id") < 10)
+    assert(ManifestCommit.read(spark, root).count() === 90L,
+      "witness silently skipped the dir with a data_* file basename")
+  }
+
+  test("hive convert deletes data-less k=v leaf dirs after the commit " +
+      "(no stray partition dirs next to the manifest)") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/hv"
+    val df = spark.range(0, 60).toDF("id")
+      .withColumn("month", lit(202401) + (col("id") % 2).cast("int"))
+    df.write.partitionBy("month").parquet(root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an empty leaf (only _SUCCESS) — e.g. a partition whose rows were
+    // all filtered by a prior job
+    val empty = new org.apache.hadoop.fs.Path(root, "month=209912")
+    f.mkdirs(empty)
+    f.create(new org.apache.hadoop.fs.Path(empty, "_SUCCESS")).close()
+    val m = ManifestCommit.convertToGraft(spark, root, Seq("id"))
+    assert(m.dirs.size === 2, m.dirs)
+    assert(!f.exists(empty),
+      "data-less leaf dir left behind next to the manifest")
+    assert(ManifestCommit.read(spark, root).count() === 60L)
+  }
+
   test("idempotent txn appends: replayed batch is a no-op, survives compaction") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
     val d1 = ManifestCommit.newDataDir(root); write(Row(1L, "b0"))(d1)

@@ -751,6 +751,40 @@ class GraftDdlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.ddlspec_dr")
   }
 
+  test("DEEP CLONE IF NOT EXISTS over an UNRELATED existing table is a true " +
+      "no-op: only the crashed-deep-clone signature auto-finishes") {
+    val base = scratch()
+    val aLoc = base + "/srcA"; val bLoc = base + "/srcB"
+    val tgtLoc = base + "/tgt"
+    spark.sql(s"CREATE TABLE graft.ddlspec_nr_a (id BIGINT) LOCATION '$aLoc'")
+    spark.sql(s"CREATE TABLE graft.ddlspec_nr_b (id BIGINT) LOCATION '$bLoc'")
+    try {
+      spark.sql("INSERT INTO graft.ddlspec_nr_a VALUES (1)")
+      spark.sql("INSERT INTO graft.ddlspec_nr_b VALUES (2)")
+      // an INTENTIONAL shallow clone of B already lives at the target —
+      // NOT a crashed deep clone of A
+      ManifestCommit.shallowClone(spark, bLoc, tgtLoc)
+      val before = ManifestCommit.readManifest(spark, tgtLoc).get
+      assert(before.dirs.exists(_.startsWith("/")),
+        "precondition: the pre-existing table is a live shallow clone")
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS graft.ddlspec_nr_d DEEP CLONE
+           |graft.ddlspec_nr_a LOCATION '$tgtLoc'""".stripMargin)
+      try {
+        val after = ManifestCommit.readManifest(spark, tgtLoc).get
+        assert(after.gen === before.gen && after.dirs === before.dirs,
+          "IF NOT EXISTS must not materialize a table whose external refs " +
+            s"point elsewhere: ${before.dirs} -> ${after.dirs}")
+        // it still reads B's data — nothing was copied or re-pointed
+        assert(spark.sql("SELECT sum(id) FROM graft.ddlspec_nr_d")
+          .head.getLong(0) === 2L)
+      } finally spark.sql("DROP TABLE graft.ddlspec_nr_d")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft.ddlspec_nr_a")
+      spark.sql("DROP TABLE IF EXISTS graft.ddlspec_nr_b")
+    }
+  }
+
   test("RESTORE to a pre-slicing generation restores the ABSENCE of the " +
       "slicing expression") {
     val loc = scratch() + "/rs"
