@@ -647,62 +647,107 @@ object ManifestCommit {
       .filterNot(st => st.getPath.getName.startsWith("_") ||
         st.getPath.getName.startsWith("."))
     val (subdirs, files) = entries.partition(_.isDirectory)
-    // SINGLE-LEVEL hive layout (`month=202401/`, the reference's own
-    // partitioned layout, create_clickhouse_models.py:57,207-211) is a
-    // first-class convert: each leaf dir moves WHOLE into its own data
-    // dir — one rename per leaf, never a rewrite — keeping the `k=v`
-    // segment so Spark's partition discovery keeps serving the column;
-    // the manifest records the partition value as the dir's column stat
-    // (pruning live immediately) plus the [[PartStat]] nesting marker,
-    // and the layout continues as the table's identity slicing.
-    val (hiveLeaves: Seq[String], emptyLeaves: Seq[String]) =
+    // HIVE layout (`month=202401/` or nested `year=2024/month=01/` — the
+    // single-level case is the reference's own partitioned layout,
+    // create_clickhouse_models.py:57,207-211; real migration inputs are
+    // often `partitionBy(a, b)` output) is a first-class convert: each
+    // LEAF dir (the deepest `k=v` level) moves WHOLE into its own data
+    // dir — one rename per leaf, never a rewrite — keeping its full
+    // `k=v/.../k=v` relative path so Spark's partition discovery keeps
+    // serving every level's column; the manifest records each level's
+    // value as a dir column stat (per-dimension pruning live
+    // immediately) plus the [[PartStat]] nesting marker, and the layout
+    // continues as the table's slicing (identity for one level, the
+    // composite transform list for N).
+    //
+    // Discovery is a LEVEL-BY-LEVEL BFS with CONCURRENT listStatus per
+    // frontier (a sequential sweep is a driver-latency wall at
+    // thousands of dirs — the resolveBloom lesson). Each level must be
+    // uniformly `k=v` on ONE column; a dir mixing files and subdirs, a
+    // non-`k=v` dir, or a RAGGED tree (data files at one depth,
+    // deeper partitions elsewhere) is refused with the writeSliced
+    // remedy — those carry structure a rename cannot preserve. A
+    // file-less leaf (only _SUCCESS, or empty) contributes no rows and
+    // is SKIPPED (the post-commit sweep deletes file-free shells).
+    def concurrently[A, B](xs: Seq[A])(g: A => B): Seq[B] =
+      if (xs.size <= 4) xs.map(g)
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(xs.size, 32))
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(xs.map(x => Future(g(x)))),
+          Duration.Inf)
+        finally pool.shutdown()
+      }
+    val (hiveLeaves: Seq[String], hiveLevelCols: Seq[String]) =
       if (subdirs.isEmpty) (Nil, Nil)
       else {
-        val names = subdirs.map(_.getPath.getName).sorted
         require(files.isEmpty,
           s"convert: $root mixes data files and subdirectories " +
             s"(${files.take(3).map(_.getPath.getName).mkString(", ")}…) — " +
             "not a hive-partitioned layout; clean the stray files first")
-        require(names.forall(n => n.indexOf('=') > 0),
-          s"convert: $root has non-hive subdirectories (${names.take(3)
-            .mkString(", ")}…) — nested layouts carry structure a file " +
-            "move cannot preserve; rewrite through " +
-            "ManifestCommit.writeSliced instead")
-        val cols = names.map(_.takeWhile(_ != '=')).distinct
-        require(cols.size == 1,
-          s"convert: $root mixes partition columns at one level " +
-            s"(${cols.mkString(", ")}) — not a valid hive layout")
-        // one listStatus per leaf, on CONCURRENT threads: a sequential
-        // sweep is a driver-latency wall at thousands of leaves (the
-        // resolveBloom lesson). Returns whether the leaf holds any DATA
-        // file — a file-less leaf (only _SUCCESS, or empty) contributes
-        // no rows and is SKIPPED, not converted: a data dir with zero
-        // parquet files would crash the stats fallback after the moves
-        def checkLeaf(n: String): Boolean = {
-          val st = f.listStatus(new Path(rootP, n))
-          require(!st.exists(_.isDirectory),
-            s"convert: $root/$n contains subdirectories — multi-level " +
-              "hive layouts are not supported; rewrite through " +
+        val leaves = scala.collection.mutable.ArrayBuffer[String]()
+        val levelCols = scala.collection.mutable.ArrayBuffer[String]()
+        def validateLevel(names: Seq[String], under: String): String = {
+          require(names.forall(n => n.indexOf('=') > 0),
+            s"convert: $root has non-hive subdirectories under $under " +
+              s"(${names.filter(_.indexOf('=') <= 0).take(3)
+                .mkString(", ")}…) — nested layouts carry structure a " +
+              "file move cannot preserve; rewrite through " +
               "ManifestCommit.writeSliced instead")
-          st.exists(s0 => !s0.getPath.getName.startsWith("_") &&
-            !s0.getPath.getName.startsWith("."))
+          val cols = names.map(_.takeWhile(_ != '=')).distinct
+          require(cols.size == 1,
+            s"convert: $root mixes partition columns at one level under " +
+              s"$under (${cols.mkString(", ")}) — not a valid hive layout")
+          cols.head
         }
-        val hasData: Seq[Boolean] =
-          if (names.size <= 4) names.map(checkLeaf)
-          else {
-            import scala.concurrent.{Await, ExecutionContext, Future}
-            import scala.concurrent.duration.Duration
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.min(names.size, 32))
-            implicit val ec: ExecutionContext =
-              ExecutionContext.fromExecutor(pool)
-            try Await.result(
-              Future.sequence(names.map(n => Future(checkLeaf(n)))),
-              Duration.Inf)
-            finally pool.shutdown()
+        var frontier: Seq[String] = {
+          val names = subdirs.map(_.getPath.getName).sorted
+          levelCols += validateLevel(names, "the root")
+          names
+        }
+        while (frontier.nonEmpty) {
+          require(levelCols.size <= 16,
+            s"convert: $root nests deeper than 16 partition levels — " +
+              "not a plausible hive layout")
+          val listed: Seq[(String, Seq[String], Boolean)] =
+            concurrently(frontier) { rel =>
+              val st = f.listStatus(new Path(rootP, rel)).toSeq
+              val visible = st.filterNot(s0 =>
+                s0.getPath.getName.startsWith("_") ||
+                  s0.getPath.getName.startsWith("."))
+              val (ds, fls) = visible.partition(_.isDirectory)
+              if (ds.nonEmpty) require(fls.isEmpty,
+                s"convert: $root/$rel mixes data files and " +
+                  s"subdirectories (${fls.take(3).map(_.getPath.getName)
+                    .mkString(", ")}…) — not a hive-partitioned layout; " +
+                  "rewrite through ManifestCommit.writeSliced instead")
+              (rel, ds.map(_.getPath.getName).sorted, fls.nonEmpty)
+            }
+          val branches = listed.filter(_._2.nonEmpty)
+          val dataLeaves = listed.filter(l => l._2.isEmpty && l._3)
+          if (branches.nonEmpty && dataLeaves.nonEmpty)
+            throw new IllegalArgumentException(
+              s"convert: $root is a RAGGED hive layout — data files at " +
+                s"depth ${levelCols.size} (${dataLeaves.head._1}) " +
+                s"alongside deeper partitions (${branches.head._1}); a " +
+                "move cannot preserve both shapes — rewrite through " +
+                "ManifestCommit.writeSliced instead")
+          if (branches.isEmpty) {
+            leaves ++= dataLeaves.map(_._1)
+            frontier = Nil
+          } else {
+            levelCols += validateLevel(
+              branches.flatMap(_._2).distinct, branches.head._1)
+            frontier = branches.flatMap { case (rel, ds, _) =>
+              ds.map(d => s"$rel/$d")
+            }
           }
-        (names.zip(hasData).filter(_._2).map(_._1),
-          names.zip(hasData).filterNot(_._2).map(_._1))
+        }
+        (leaves.toSeq.sorted, levelCols.toSeq)
       }
     require(files.nonEmpty || hiveLeaves.nonEmpty,
       s"convert: $root contains no data files")
@@ -721,87 +766,113 @@ object ManifestCommit {
     val statColNames = statCols.filterNot(PseudoStats)
       .flatMap(c => schema.fieldNames.find(_.equalsIgnoreCase(c)))
     if (hiveLeaves.nonEmpty) {
-      val partCol = schema.fieldNames
-        .find(_.equalsIgnoreCase(hiveLeaves.head.takeWhile(_ != '='))).get
+      val partColPath: Seq[String] = hiveLevelCols.map(c =>
+        schema.fieldNames.find(_.equalsIgnoreCase(c)).get)
+      val nK = partColPath.size
       // one data dir per leaf partition, the leaf moved whole (rename
-      // only); rollback restores any moved prefix exactly — each data
-      // dir holds at most its one leaf subtree, whose name is unique
+      // only) keeping its full relative `k=v/.../k=v` path; rollback
+      // restores any moved prefix exactly — each data dir holds at most
+      // its one leaf subtree, whose relative path is unique
       val dirOf: Map[String, String] = hiveLeaves.map(_ -> newDataDir(root)).toMap
-      def rollbackLeaves(): Unit = dirOf.values.foreach { d =>
-        val dp = new Path(d)
-        if (f.exists(dp)) {
-          f.listStatus(dp).foreach(st =>
-            f.rename(st.getPath, new Path(rootP, st.getPath.getName)))
-          f.delete(dp, true)
+      def rollbackLeaves(): Unit = dirOf.foreach { case (n, d) =>
+        val moved = new Path(s"$d/$n")
+        if (f.exists(moved)) {
+          val back = new Path(rootP, n)
+          f.mkdirs(back.getParent)
+          f.rename(moved, back)
         }
+        val dp = new Path(d)
+        if (f.exists(dp)) f.delete(dp, true)
       }
       // ALL leaves' stats in ONE grouped aggregate over the intact hive
-      // layout (partition discovery supplies the group key) — a
-      // 1000-partition convert must not pay 1000 sequential stat jobs.
-      // The group KEY is Spark's own cast-to-string of the partition
-      // value — the same rendering partitionBy used for the dir name —
-      // so it matches the leaf's unescaped value for every type
+      // layout (partition discovery supplies every level's group key) —
+      // a 1000-partition convert must not pay 1000 sequential stat jobs.
+      // The group KEY is Spark's own cast-to-string of each partition
+      // value — the same rendering partitionBy used for the dir names —
+      // so it matches the leaf's unescaped values for every type
       // (java-side String.valueOf would render e.g. Timestamp with a
       // trailing ".0" and silently degrade every leaf to the sequential
-      // fallback); the TYPED value rides as min(partCol), constant per
+      // fallback); the TYPED values ride as min(col), constant per
       // group. A leaf whose rendering still defies the match falls back
       // to its own per-dir pass with a warning (correctness over speed,
       // never silence).
       import org.apache.spark.sql.functions.{count, lit, max, min}
       val pre = spark.read.parquet(root)
-      val aggs = min(pre(partCol)) +:
+      val aggs = partColPath.map(c => min(pre(c))) ++
         statColNames.flatMap(c => Seq(min(pre(c)), max(pre(c)))) :+
         count(lit(1))
-      val grouped = pre.groupBy(pre(partCol).cast("string"))
-        .agg(aggs.head, aggs.tail: _*)
-      val groupedRows = grouped.collect().toSeq
-        .map(r => r.getString(0) -> r).toMap
-      val partType = schema(schema.fieldIndex(partCol)).dataType
-      def leafValue(n: String): String = {
-        val raw = n.drop(n.indexOf('=') + 1)
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(raw)
-      }
+      val keyCols = partColPath.map(c => pre(c).cast("string"))
+      val grouped = pre.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      // row layout: [keys*nK, min(part)*nK, (mn,mx)*, count]
+      val groupedRows: Map[Seq[String], org.apache.spark.sql.Row] =
+        grouped.collect().toSeq.map { r =>
+          val key: Seq[String] = (0 until nK).map(i =>
+            if (r.isNullAt(i)) null else r.getString(i))
+          key -> r
+        }.toMap
+      val partTypes = partColPath.map(c =>
+        schema(schema.fieldIndex(c)).dataType)
+      def leafValues(n: String): Seq[String] =
+        n.split('/').toSeq.map { seg =>
+          val raw = seg.drop(seg.indexOf('=') + 1)
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(raw)
+        }
       try {
-        dirOf.values.foreach(d => f.mkdirs(new Path(d)))
         val pairs = hiveLeaves.map(n =>
           s"$root/$n" -> s"${dirOf(n)}/$n")
+        // intermediate `k=v` parents under each data dir exist BEFORE
+        // the rename job (O(#leaves) driver metadata ops)
+        pairs.foreach { case (_, d0) => f.mkdirs(new Path(d0).getParent) }
         if (pairs.size <= SmallFanout) pairs.foreach { case (s0, d0) =>
           require(f.rename(new Path(s0), new Path(d0)),
             s"convert: could not move $s0 into $d0")
         } else distributeRenames(spark, root, pairs)
         val stats = hiveLeaves.map { n =>
-          // row layout: [key-as-string, min(partCol), (mn,mx)*, count]
-          val cs = groupedRows.get(leafValue(n)).map { r =>
+          val cs = groupedRows.get(leafValues(n)).map { r =>
             statColNames.zipWithIndex.flatMap { case (c, i) =>
-              colStatsOf(c, r.schema(2 + 2 * i).dataType,
-                r.get(2 + 2 * i), r.get(3 + 2 * i))
-            } ++ colStatsOf(partCol, partType, r.get(1), r.get(1)) ++
+              colStatsOf(c, r.schema(2 * nK + 2 * i).dataType,
+                r.get(2 * nK + 2 * i), r.get(2 * nK + 1 + 2 * i))
+            } ++ partColPath.zipWithIndex.flatMap { case (pc, i) =>
+              colStatsOf(pc, partTypes(i), r.get(nK + i), r.get(nK + i))
+            } ++
               Seq(ColStats(RowCountStat, "num",
-                r.getLong(2 + 2 * statColNames.size).toString,
-                r.getLong(2 + 2 * statColNames.size).toString))
+                r.getLong(2 * nK + 2 * statColNames.size).toString,
+                r.getLong(2 * nK + 2 * statColNames.size).toString))
           }.getOrElse {
             org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"convert: leaf $n missed the grouped stats key (value " +
                 s"rendering) — metering it with its own per-dir pass")
             dirStats(spark, dirOf(n),
-              (statColNames :+ partCol :+ RowCountStat).distinct)
+              (statColNames ++ partColPath :+ RowCountStat).distinct)
           }
           dirOf(n) -> (cs :+ ColStats(PartStat, "str", n, n))
         }.toMap
+        val slice =
+          if (nK == 1) partColPath.head else compositeSlice(partColPath)
         val committed = commitReplace(spark, root, hiveLeaves.map(dirOf),
           pruneDisplaced = false, stats = stats,
-          schema = Some(schema), op = "convert", slice = Some(partCol),
+          schema = Some(schema), op = "convert", slice = Some(slice),
           expectedGen = Some(0L), expectedChecks = Some(Map.empty))
-        // data-less leaves (only _SUCCESS / hidden files) were SKIPPED
-        // above; after a SUCCESSFUL commit delete them so the root holds
-        // exactly manifest + data dirs — a stray `k=v` dir next to the
+        // after a SUCCESSFUL commit, sweep away what the moves left
+        // behind: emptied intermediate `k=v` shells and data-less leaves
+        // (only _SUCCESS / hidden files). The root then holds exactly
+        // manifest + data dirs — a stray partition dir next to the
         // manifest reads as live table state to later tooling (orphan
-        // pruning, a re-convert attempt, manual inspection). Best-effort:
-        // the commit already succeeded, a lingering empty dir is cosmetic.
-        emptyLeaves.foreach(n =>
-          try { f.delete(new Path(rootP, n), true); () }
-          catch { case scala.util.control.NonFatal(_) => () })
+        // pruning, a re-convert attempt, manual inspection). Best-effort
+        // AND provably file-free: the commit already succeeded, and a
+        // dir holding any real file is never touched.
+        def fileFree(p: Path): Boolean =
+          f.listStatus(p).forall { s0 =>
+            if (s0.isDirectory) fileFree(s0.getPath)
+            else s0.getPath.getName.startsWith("_") ||
+              s0.getPath.getName.startsWith(".")
+          }
+        subdirs.foreach { sd =>
+          try { if (fileFree(sd.getPath)) f.delete(sd.getPath, true); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
         committed
       } catch { case scala.util.control.NonFatal(e) =>
         rollbackLeaves()
@@ -1091,7 +1162,8 @@ object ManifestCommit {
     // directory structures". Grouped by partition COLUMN so a
     // multi-spec history still plans one scan per spec.
     def partColsOf(d: String): Option[String] =
-      partSuffixOf(m, d).map(_.takeWhile(_ != '='))
+      partSuffixOf(m, d).map(
+        _.split('/').map(_.takeWhile(_ != '=')).mkString(","))
     def readGroup(g: Seq[String], withId: Boolean): DataFrame =
       partColsOf(g.head) match {
         case None =>
@@ -2133,60 +2205,70 @@ object ManifestCommit {
         "x -> startswith(x, 'data_') OR startswith(x, '_dv_')), -1)")
 
   /** ONE scan over HIVE-NESTED converted dirs, given (absolute data dir,
-    * partition suffix) pairs: the LEAF paths (`…/data_x/month=202401`)
+    * partition suffix) pairs — the suffix is the leaf's full relative
+    * `k=v` path, one segment per partition LEVEL (`month=202401`, or
+    * `year=2024/month=01` for a multi-level convert): the LEAF paths
     * are scanned directly — they hold plain files, so no partition
     * discovery runs and no "conflicting directory structures" can arise
-    * across many roots — and the partition column is INJECTED per dir
-    * from the manifest-recorded suffix through a tiny broadcast lookup
-    * (the Delta partitionValues idea), cast to the recorded schema's
-    * type. Data-column filters still push down to the scan below the
-    * broadcast join; the partition column is constant per dir, so its
-    * pruning already happened at the manifest level. `keepDirId` adds a
-    * `__dir` column (the data dir's basename) for callers that need
-    * per-dir identity (DML witness, DV subtraction, stream versioning). */
+    * across many roots — and every level's partition column is INJECTED
+    * per dir from the manifest-recorded suffix through one tiny
+    * broadcast lookup (the Delta partitionValues idea), cast to the
+    * recorded schema's type. Data-column filters still push down to the
+    * scan below the broadcast join; the partition columns are constant
+    * per dir, so their pruning already happened at the manifest level.
+    * `keepDirId` adds a `__dir` column (the data dir's basename) for
+    * callers that need per-dir identity (DML witness, DV subtraction,
+    * stream versioning). All pairs in one call must share one column
+    * path (callers group by [[partColsOf]]-style keys). */
   private[graft] def readNestedPaths(spark: SparkSession,
       pairs: Seq[(String, String)],
       schema: Option[org.apache.spark.sql.types.StructType],
       keepDirId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     require(pairs.nonEmpty, "readNestedPaths: empty dir set")
-    val partCol = pairs.head._2.takeWhile(_ != '=')
-    val canonical = schema.flatMap(_.fields
-      .find(_.name.equalsIgnoreCase(partCol)).map(_.name)).getOrElse(partCol)
-    val partType = schema.flatMap(_.fields
-      .find(_.name.equalsIgnoreCase(partCol)).map(_.dataType))
-      .getOrElse(org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType)
+    val partCols: Seq[String] =
+      pairs.head._2.split('/').toSeq.map(_.takeWhile(_ != '='))
+    val canonicals = partCols.map(c => schema.flatMap(_.fields
+      .find(_.name.equalsIgnoreCase(c)).map(_.name)).getOrElse(c))
+    val partTypes = partCols.map(c => schema.flatMap(_.fields
+      .find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+      .getOrElse(org.apache.spark.sql.types.StringType: org.apache.spark.sql.types.DataType))
     val dataSchema = schema.map(s => org.apache.spark.sql.types.StructType(
-      s.fields.filterNot(_.name.equalsIgnoreCase(partCol))))
+      s.fields.filterNot(x => partCols.exists(_.equalsIgnoreCase(x.name)))))
     val leafPaths = pairs.map { case (d, sfx) => s"$d/$sfx" }
     val base = dataSchema match {
       case Some(s) => spark.read.schema(s).parquet(leafPaths: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(leafPaths: _*)
     }
-    def valueOf(sfx: String): String = {
-      val raw = sfx.drop(partCol.length + 1)
-      if (raw == "__HIVE_DEFAULT_PARTITION__") null
-      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .unescapePathName(raw)
-    }
+    def valuesOf(sfx: String): Seq[String] =
+      sfx.split('/').toSeq.map { seg =>
+        val raw = seg.drop(seg.indexOf('=') + 1)
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(raw)
+      }
     val lookupRows = pairs.map { case (d, sfx) =>
-      org.apache.spark.sql.Row(new Path(d).getName, valueOf(sfx))
+      org.apache.spark.sql.Row.fromSeq(
+        new Path(d).getName +: valuesOf(sfx))
     }
+    val rawNames = partCols.indices.map(i => s"__p_raw$i")
     val lookup = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         java.util.Arrays.asList(lookupRows: _*)),
-      org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("__p_dir",
-          org.apache.spark.sql.types.StringType, false),
-        org.apache.spark.sql.types.StructField("__p_raw",
-          org.apache.spark.sql.types.StringType, true))))
-    val joined = base.withColumn("__p_dir", dirIdCol)
+          org.apache.spark.sql.types.StringType, false) +:
+          rawNames.map(n => org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.StringType, true))))
+    val joined0 = base.withColumn("__p_dir", dirIdCol)
       .join(broadcast(lookup), "__p_dir")
-      .withColumn(canonical, col("__p_raw").cast(partType))
+    val joined = canonicals.zipWithIndex.foldLeft(joined0) {
+      case (d, (cn, i)) => d.withColumn(cn, col(rawNames(i)).cast(partTypes(i)))
+    }
     val outCols: Seq[String] = schema match {
       case Some(s) => s.fieldNames.toSeq
-      case None => base.columns.toSeq :+ canonical
+      case None => base.columns.toSeq ++ canonicals
     }
     val out = joined.select((outCols ++
       (if (keepDirId) Seq("__p_dir") else Nil)).map(col): _*)

@@ -667,7 +667,7 @@ object MergeInto {
       new org.apache.hadoop.fs.Path(ManifestCommit.dirAbs(root, d)).getName -> d).toMap
     val matchedPlain: Seq[String] = plainCand
       .groupBy(d => ManifestCommit.partSuffixOf(m, d)
-        .map(_.takeWhile(_ != '=')))
+        .map(_.split('/').map(_.takeWhile(_ != '=')).mkString(",")))
       .toSeq.flatMap {
         case (None, g) =>
           spark.read.schema(tSchema)

@@ -246,27 +246,31 @@ object Optimize {
         else Nil
       val statCols = (Seq(monthCol) ++ keys).distinct ++ priorRows
       val rewritten = touched.flatMap(mo => byMonth.getOrElse(mo, Nil))
-      val newDirs = touched.map { mo =>
-        val monthPure = byMonth.getOrElse(mo, Nil)
-        val parts =
-          (if (monthPure.isEmpty) Nil
-           else Seq(ManifestCommit.readDirsOf(spark, root, m, monthPure))) ++
-            deltaDfOpt.map(_.filter(
-              date_format(col(monthCol), "yyyy-MM") === mo)).toSeq
-        val collapsed = Ingest.dedupLatest(
-          parts.reduce(_ unionByName _), keys, version)
-        val d = ManifestCommit.newDataDir(root)
-        collapsed.write.parquet(d)
+      // ALL touched months collapse in ONE pass (round 15; was a
+      // sequential per-month loop of write+stats jobs — 2M jobs for M
+      // touched months, a scheduler-latency wall that showed up as
+      // q134's r14 regression and would dominate a backfill touching
+      // hundreds of months): one union of the rewritten pure dirs plus
+      // every delta row, one latest-per-key collapse GROUPED BY MONTH
+      // (the ReplacingMergeTree contract is per-partition — a key
+      // appearing in two months keeps both months' rows), and one
+      // writeSliced laying out one dir per month with stats from its
+      // single grouped pass. NULL-month delta rows ride the same pass:
+      // their slice is null, writeSliced lands them in the
+      // __HIVE_DEFAULT_PARTITION__-keyed residual dir.
+      val moExpr = date_format(col(monthCol), "yyyy-MM")
+      val pureDf =
+        if (rewritten.isEmpty) None
+        else Some(ManifestCommit.readDirsOf(spark, root, m, rewritten))
+      val allParts = (pureDf.toSeq ++ deltaDfOpt.toSeq).reduce(_ unionByName _)
+      val collapsed = Ingest.dedupLatest(
+        allParts.withColumn("__mo", moExpr), keys :+ "__mo", version)
+        .drop("__mo")
+      val newDirs = ManifestCommit.writeSliced(spark, root, collapsed,
+        moExpr, statCols)
+      newDirs.foreach { case (d, _) =>
         rebuildBlooms(spark, d, bloomCols, bloomFpp)
-        d -> ManifestCommit.dirStats(spark, d, statCols)
-      } ++ (if (!hasNullMonth) Nil else {
-        val collapsed = Ingest.dedupLatest(
-          deltaDfOpt.get.filter(col(monthCol).isNull), keys, version)
-        val d = ManifestCommit.newDataDir(root)
-        collapsed.write.parquet(d)
-        rebuildBlooms(spark, d, bloomCols, bloomFpp)
-        Seq(d -> ManifestCommit.dirStats(spark, d, statCols))
-      })
+      }
       // rebasing commit: consumed = the rewritten month dirs + every
       // delta dir; a concurrently-appended batch grafts as a fresh delta
       // for the next cycle (the per-partition-trigger discipline)

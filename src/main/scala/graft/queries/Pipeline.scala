@@ -1586,7 +1586,8 @@ object Pipeline {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS price_sum,
       |  CAST(4 AS BIGINT) AS dvs_written,
       |  CAST(0 AS BIGINT) AS dirs_added_by_delete,
-      |  0 AS dvs_after_optimize
+      |  0 AS dvs_after_optimize,
+      |  1 AS dv_pushdown_ok
       |FROM orders WHERE o_orderkey % 97 <> 0
       |GROUP BY 1""".stripMargin) { (s, dir) =>
     import graft.ingest.{ManifestCommit, MergeInto, Optimize}
@@ -1606,6 +1607,18 @@ object Pipeline {
       orders.filter(col("o_orderkey") % 97 === 0).select("o_orderkey"))
     val addedByDelete = ManifestCommit.history(s, root)
       .filter(col("gen") === res.gen).collect()(0).getAs[Long]("dirs_added")
+    // DATA FILTERS MUST STILL PUSH DOWN while the DVs are ACTIVE: dir
+    // identity rides the deterministic `_metadata.file_path` (b5033cd) —
+    // a regression to a nondeterministic projection (input_file_name)
+    // strips PushedFilters from every DV-subtracted scan, silently
+    // turning filtered reads into full scans. Pinned HERE, in a driver
+    // correctness gate, not just a unit spec.
+    val dvProbe = ManifestCommit.read(s, root)
+      .filter(col("o_orderkey") > maxk / 2)
+    val dvPlan = dvProbe.queryExecution.executedPlan.toString
+    val dvPushOk =
+      "PushedFilters: \\[[^\\]]*GreaterThan\\(o_orderkey".r
+        .findFirstIn(dvPlan).isDefined
     Optimize.zorderCompact(s, root, "o_orderkey", "o_custkey", targetDirs = 4)
     val dvsAfter = ManifestCommit.readManifest(s, root).get.dvs.size
     ManifestCommit.read(s, root)
@@ -1617,7 +1630,8 @@ object Pipeline {
       .select(col("o_orderstatus"), col("n_rows"), col("key_sum"),
         col("price_sum"), lit(res.dvsWritten.toLong).as("dvs_written"),
         lit(addedByDelete).as("dirs_added_by_delete"),
-        lit(dvsAfter).as("dvs_after_optimize"))
+        lit(dvsAfter).as("dvs_after_optimize"),
+        lit(if (dvPushOk) 1 else 0).as("dv_pushdown_ok"))
   }
 
   /** q132 — MINOR compaction (`Optimize.compactSmall`; the LSM-ish

@@ -975,8 +975,97 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q162 — CONVERT TO GRAFT of a MULTI-LEVEL hive layout (`y=/mo=`,
+    * the `partitionBy(a, b)` output real migration inputs actually
+    * carry; Delta's partitioned CONVERT TO DELTA with a 2-column spec):
+    * each deepest leaf moves WHOLE into its own data dir keeping its
+    * full `y=…/mo=…` relative path; BOTH levels' values land as per-dir
+    * column stats, so each dimension prunes independently from the
+    * manifest, and both columns are served by per-dir injection.
+    * Pinned: one manifest dir per (y, mo) pair; a year probe plans only
+    * that year's dirs; a month probe plans only that month's dirs
+    * across years; the combined probe plans exactly 1 dir; the layout
+    * continues as the composite transform slicing; an append lands and
+    * time travel to the conversion generation reproduces the original
+    * content (hash vs DuckDB over raw orders).
+    *
+    * 100-TB shape: time × sub-key trees are the dominant warehouse
+    * layout; converting one is O(leaves) renames + ONE grouped stats
+    * pass (never a rewrite), and neither dimension's pruning goes dark
+    * during the migration. */
+  val q162_convert_multilevel = Q(
+    "q162_convert_multilevel",
+    """WITH b AS (SELECT max(year(o_orderdate)) AS ymax FROM orders)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum,
+      |  CAST((SELECT count(*) FROM orders, b
+      |    WHERE year(o_orderdate) = ymax) AS BIGINT) AS n_year,
+      |  CAST((SELECT count(*) FROM orders, b
+      |    WHERE year(o_orderdate) = ymax AND month(o_orderdate) = 6)
+      |    AS BIGINT) AS n_combo,
+      |  1 AS dirs_match, 1 AS year_prunes, 1 AS month_prunes,
+      |  1 AS combo_exact, 1 AS slice_recorded, 1 AS append_visible
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q162_") + "/orders_hive2"
+    val name = uniq("q162_cv")
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("mo"))
+    val pairs = orders.select("y", "mo").distinct().count()
+    val ymax = orders.agg(max("y")).collect()(0).getInt(0)
+    val nOrig = orders.count()
+    orders.write.partitionBy("y", "mo").parquet(root)
+    s.sql(s"CONVERT TO GRAFT parquet.`$root` AS graft.$name STATS (o_orderkey)")
+    try {
+      val m = ManifestCommit.readManifest(s, root).get
+      val dirsMatch = m.dirs.size.toLong == pairs
+      val sliceRecorded =
+        m.slice.contains(ManifestCommit.compositeSlice(Seq("y", "mo")))
+      val yDirs = orders.filter(col("y") === ymax)
+        .select("mo").distinct().count()
+      val moDirs = orders.filter(col("mo") === 6)
+        .select("y").distinct().count()
+      val yearProbe =
+        s.sql(s"SELECT o_orderkey FROM graft.$name WHERE y = $ymax")
+      val moProbe = s.sql(s"SELECT o_orderkey FROM graft.$name WHERE mo = 6")
+      val comboProbe = s.sql(
+        s"SELECT o_orderkey FROM graft.$name WHERE y = $ymax AND mo = 6")
+      val yearPrunes =
+        scannedDataDirs(yearProbe, root).toLong == yDirs && yDirs < pairs
+      val monthPrunes =
+        scannedDataDirs(moProbe, root).toLong == moDirs && moDirs < pairs
+      val comboExact = scannedDataDirs(comboProbe, root) == 1
+      val nYear = yearProbe.count()
+      val nCombo = comboProbe.count()
+      // the fork continues: an append (flat dir, both as real columns)
+      s.sql(s"INSERT INTO graft.$name VALUES (900000001, 1.0, 2099, 1)")
+      val appendVisible =
+        s.sql(s"SELECT count(*) FROM graft.$name").head.getLong(0) ==
+          nOrig + 1 &&
+          s.sql(s"SELECT count(*) FROM graft.$name WHERE y = 2099")
+            .head.getLong(0) == 1L
+      // time travel to the conversion generation = the original content
+      ManifestCommit.readAt(s, root, 1L).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("price_sum"))
+        .withColumn("n_year", lit(nYear))
+        .withColumn("n_combo", lit(nCombo))
+        .withColumn("dirs_match", lit(if (dirsMatch) 1 else 0))
+        .withColumn("year_prunes", lit(if (yearPrunes) 1 else 0))
+        .withColumn("month_prunes", lit(if (monthPrunes) 1 else 0))
+        .withColumn("combo_exact", lit(if (comboExact) 1 else 0))
+        .withColumn("slice_recorded", lit(if (sliceRecorded) 1 else 0))
+        .withColumn("append_visible", lit(if (appendVisible) 1 else 0))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
-    q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned)
+    q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned,
+    q162_convert_multilevel)
 }

@@ -37,10 +37,13 @@ import graft.ingest.{ChangeFeed, ManifestCommit}
   *    DEFAULTS to 256 (the Delta maxFilesPerTrigger idea): a replica
   *    recovering from a long outage must drain its backlog in bounded
   *    batches, not plan one batch with O(backlog) children. Set
-  *    `maxGensPerTrigger=none` to disable. As with every rate-limited
-  *    v1 source (FileStreamSource's maxFilesPerTrigger included), use
-  *    `Trigger.AvailableNow` for run-and-stop jobs — the deprecated
-  *    `Trigger.Once` processes a single capped batch and stops short.
+  *    `maxGensPerTrigger=none` to disable. For run-and-stop jobs use
+  *    `Trigger.AvailableNow`: the source implements
+  *    `SupportsTriggerAvailableNow`, so the drain-to generation is
+  *    PINNED at query start and the engine runs as many rate-capped
+  *    batches as it takes to reach it — full catch-up, never a single
+  *    truncated batch (the deprecated `Trigger.Once` still processes
+  *    exactly one capped batch and stops short).
   *  - `maxRowsPerTrigger=<n>`: volume-based rate limit (the Delta
   *    maxBytesPerTrigger idea, in this format's row vocabulary): the
   *    tail batch stops before the commit that would push the batch past
@@ -148,7 +151,8 @@ private[streaming] object GraftTableSource {
 
 class GraftTableSource(spark: SparkSession, params: Map[String, String],
     metadataPath: Option[String] = None)
-    extends Source {
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import GraftTableSource._
 
   private val root = rootOf(spark, params)
@@ -159,6 +163,9 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     "graft stream: readChangeFeed=true requires keys=<k1,k2,...> " +
       "(the row identity the feed diffs on)")
   private val skipChange = params.get("skipChangeCommits").exists(_.toBoolean)
+  /** Skip the CDF key-uniqueness guard for feeds unique by construction
+    * (see [[ChangeFeed.diff]]'s assumeUnique) — defaults to GUARDED. */
+  private val assumeUnique = params.get("assumeUnique").exists(_.toBoolean)
   private val maxGens: Option[Long] =
     params.get("maxGensPerTrigger").map(_.trim) match {
       case Some(v) if v.equalsIgnoreCase("none") =>
@@ -291,16 +298,70 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
   private var highWater: Option[Long] = progressPath.flatMap(readMetaLong)
   private val warnedTruncation = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  override def getOffset: Option[Offset] = synchronized {
-    val live = ManifestCommit.readManifest(spark, root) match {
+  /** Drain-to generation pinned by [[prepareForTriggerAvailableNow]]:
+    * under `Trigger.AvailableNow` the engine keeps planning rate-capped
+    * batches until the offsets stop advancing, so capping every offer at
+    * the generation that was live at query START makes the run terminate
+    * exactly at full catch-up — a >maxGens backlog drains in ⌈backlog/
+    * maxGens⌉ batches instead of one truncated batch, and commits landing
+    * DURING the drain wait for the next run (the AvailableNow contract). */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowEnd = Some(
+      ManifestCommit.readManifest(spark, root).map(_.gen).getOrElse(0L))
+  }
+
+  /** Rate limiting stays INTERNAL (maxGensPerTrigger/maxRowsPerTrigger
+    * options applied in [[nextOffset]]) — the engine-side ReadLimit
+    * vocabulary (files/rows) doesn't speak generations. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Admission-control face of [[getOffset]]: once a source implements
+    * `SupportsAdmissionControl` (which `SupportsTriggerAvailableNow`
+    * extends), MicroBatchExecution plans EVERY trigger through this
+    * method, passing its own checkpointed start — merged with the
+    * source-side floor, so neither a restart nor a rate-limit seed can
+    * offer an offset below committed progress. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    nextOffset(Option(start).map(genOfV2)).orNull
+
+  /** The true (uncapped) latest generation, for progress reporting. */
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    ManifestCommit.readManifest(spark, root).map(m => GenOffset(m.gen)).orNull
+
+  private def genOfV2(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case GenOffset(g) => g
+      case other => other.json.trim.toLong
+    }
+
+  override def getOffset: Option[Offset] = nextOffset(None)
+
+  private def nextOffset(engineStart: Option[Long]): Option[GenOffset] =
+    synchronized {
+    val liveNow = ManifestCommit.readManifest(spark, root) match {
       case Some(m) => m.gen
       case None => return None
     }
+    // the AvailableNow pin: never offer past the generation live at
+    // query start (0 = table didn't exist then → nothing to offer)
+    val live = availableNowEnd.map(math.min(liveNow, _)).getOrElse(liveNow)
+    if (availableNowEnd.isDefined && live <= 0) return None
     val sa = effectiveStartAfter()
     // timestamp mode before any commit reached the instant: nothing to
     // deliver (and the snapshot path must not be entered by accident)
-    if (startingTsMs.isDefined && sa.isEmpty && highWater.isEmpty) return None
-    val floor = highWater.orElse(sa)
+    if (startingTsMs.isDefined && sa.isEmpty && highWater.isEmpty &&
+      engineStart.isEmpty) return None
+    val floor: Option[Long] =
+      (engineStart.toSeq ++ highWater.toSeq).maxOption.orElse(sa)
     val capped = (floor, maxGens) match {
       case (Some(f), Some(mx)) => math.min(live, f + mx)
       case _ => live
@@ -351,7 +412,9 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     if (floor.exists(_ >= rowCapped))
       // nothing new past the floor: no batch on a fresh latest/
       // startingVersion stream, the unchanged offset on a running one
-      if (highWater.isEmpty) None else Some(GenOffset(highWater.get))
+      // (the engine reads an echo of its own start as "no new data")
+      if (highWater.isEmpty && engineStart.isEmpty) None
+      else floor.map(GenOffset(_))
     else { highWater = Some(rowCapped); Some(GenOffset(rowCapped)) }
   }
 
@@ -467,7 +530,7 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
           val changes =
             if (g == 1) ManifestCommit.readAt(spark, root, 1L)
               .withColumn(ChangeFeed.ChangeType, lit("insert"))
-            else ChangeFeed.diff(spark, root, g - 1, g, keys)
+            else ChangeFeed.diff(spark, root, g - 1, g, keys, assumeUnique)
           frames += cut(changes).withColumn("_commit_version", lit(g))
         }
       }

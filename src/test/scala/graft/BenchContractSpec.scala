@@ -47,6 +47,37 @@ class BenchContractSpec extends AnyFunSuite {
       "tiering dropped query keys")
   }
 
+  test("rerun (interference self-adjudication) rides the line with " +
+      "med_outliers and degrades away with it") {
+    val med = (1 to 4).map(i => s""""q$i":9.99""").mkString("{", ",", "}")
+    val rr = (1 to 4).map(i => s""""q$i":1.23""").mkString("{", ",", "}")
+    // preferred form: med_outliers + rerun side by side
+    val small = Bench.composeLine("1.0", "1.0", """{"q1":0.10}""",
+      """{"q1":0.1}""", """{"q1":0}""", 0, "{}", med, 0, 4, "sf0.1", rr)
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(small)
+    assert(parsed.get("rerun").get("q1").asDouble() === 1.23)
+    assert(parsed.get("med_outliers").get("q1").asDouble() === 9.99)
+    // no outliers flagged → no med fields, no rerun field
+    val quiet = Bench.composeLine("1.0", "1.0", """{"q1":0.10}""",
+      """{"q1":0.1}""", """{"q1":0}""", 0, "{}", "{}", 0, 0, "sf0.1", "{}")
+    assert(!quiet.contains("rerun") && !quiet.contains("med_outliers"))
+    // budget pressure: rerun degrades away WITH med_outliers, the line
+    // stays valid JSON with every query key
+    val shortOf = Bench.shortKeys(names)
+    val qs2 = names.map(n => "\"" + shortOf(n) + "\":-123.46")
+      .mkString("{", ",", "}")
+    val qs1 = names.map(n => "\"" + shortOf(n) + "\":-123.5")
+      .mkString("{", ",", "}")
+    val qs0 = names.map(n => "\"" + shortOf(n) + "\":-1")
+      .mkString("{", ",", "}")
+    val big = Bench.composeLine("9999.999", "9999.999", qs2, qs1, qs0,
+      names.size, """{"q01_pricing_summary":"boom"}""", med, 7, 11,
+      "sf0.1", rr)
+    assert(big.length <= 1900, s"degraded line still ${big.length} chars")
+    val p2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(big)
+    assert(p2.get("queries").size() === names.size)
+  }
+
   test("composeLine degrades to fit the budget and stays valid JSON") {
     val shortOf = Bench.shortKeys(names)
     // absurd worst case: every query slow AND failed at 2-decimal width

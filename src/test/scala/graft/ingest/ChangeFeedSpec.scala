@@ -114,4 +114,69 @@ class ChangeFeedSpec extends SparkSpec {
     assert(rootCause(se).getMessage.contains("(id) = (7)"),
       rootCause(se).getMessage)
   }
+
+  test("the uniqueness guard reuses the join's Exchange+Sort: guarded and " +
+      "assumeUnique plans shuffle the same number of times") {
+    val root = mkTable() // gen 1
+    // one merge-shaped change: a replace with updates/deletes/inserts
+    val d = ManifestCommit.newDataDir(root)
+    spark.range(50, 160).toDF("id").withColumn("v", col("id") * 3)
+      .write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false)
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+      val plan = df.queryExecution.executedPlan.toString
+      (("Exchange".r.findAllIn(plan).size),
+        ("Sort \\[".r.findAllIn(plan).size),
+        ("Window".r.findAllIn(plan).size))
+    }
+    val (gx, gs, gw) = shape(ChangeFeed.diff(spark, root, 1, 2, Seq("id")))
+    val (ux, us, uw) = shape(ChangeFeed.diff(spark, root, 1, 2, Seq("id"),
+      assumeUnique = true))
+    assert(gw === 2 && uw === 0, s"guard windows: $gw/$uw")
+    assert(gx === ux,
+      s"the guard added a shuffle: $gx exchanges guarded vs $ux unguarded")
+    assert(gs === us,
+      s"the guard added a sort: $gs sorts guarded vs $us unguarded")
+    // both plans produce identical change sets on unique keys
+    val g = ChangeFeed.diff(spark, root, 1, 2, Seq("id"))
+      .orderBy("id", ChangeFeed.ChangeType).collect().toSeq
+    val u = ChangeFeed.diff(spark, root, 1, 2, Seq("id"), assumeUnique = true)
+      .orderBy("id", ChangeFeed.ChangeType).collect().toSeq
+    assert(g === u)
+  }
+
+  test("assumeUnique skips the guard: a duplicate-key diff runs (caller's " +
+      "responsibility), and NULL keys still pair null-safely either way") {
+    val root = mkTable()
+    val d = ManifestCommit.newDataDir(root)
+    spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+      .unionAll(spark.range(7, 8).toDF("id").withColumn("v", lit(777L)))
+      .write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false)
+    // guarded: errors (previous spec); assumeUnique: emits without raising
+    val rows = ChangeFeed.diff(spark, root, 1, 2, Seq("id"),
+      assumeUnique = true).collect()
+    assert(rows.nonEmpty)
+    // null keys: one row with id=null on both sides, same v — no change;
+    // different v — an update pair (null-safe pairing, not insert+delete)
+    val r2 = Files.createTempDirectory("graft_cfspec_").toString + "/n"
+    val base = spark.range(0, 10).toDF("id").withColumn("v", col("id") * 2)
+      .unionAll(spark.sql("SELECT CAST(null AS BIGINT) id, 999L v"))
+    val d1 = ManifestCommit.newDataDir(r2)
+    base.write.parquet(d1)
+    ManifestCommit.commitReplace(spark, r2, Seq(d1), pruneDisplaced = false,
+      schema = Some(base.schema))
+    val d2 = ManifestCommit.newDataDir(r2)
+    spark.range(0, 10).toDF("id").withColumn("v", col("id") * 2)
+      .unionAll(spark.sql("SELECT CAST(null AS BIGINT) id, 1000L v"))
+      .write.parquet(d2)
+    ManifestCommit.commitReplace(spark, r2, Seq(d2), pruneDisplaced = false)
+    Seq(false, true).foreach { au =>
+      val types = ChangeFeed.diff(spark, r2, 1, 2, Seq("id"), au)
+        .groupBy(ChangeFeed.ChangeType).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(types === Map("update_preimage" -> 1L, "update_postimage" -> 1L),
+        s"assumeUnique=$au: null key must pair null-safely, got $types")
+    }
+  }
 }

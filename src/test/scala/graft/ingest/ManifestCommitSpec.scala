@@ -1015,8 +1015,9 @@ class ManifestCommitSpec extends SparkSpec {
     ManifestCommit.commitAppend(spark, root, d2)
     assert(ManifestCommit.read(spark, root).count() === 1010L)
     assert(ManifestCommit.readAt(spark, root, 1L).count() === 1000L)
-    // refusals: double convert; NON-hive nested layout (hive layouts
-    // convert first-class — the dedicated spec below); multi-level hive
+    // refusals: double convert; NON-hive nested layout (hive layouts —
+    // single- AND multi-level — convert first-class, dedicated specs
+    // below); RAGGED trees (data at one depth, partitions deeper)
     assert(intercept[IllegalArgumentException] {
       ManifestCommit.convertToGraft(spark, root)
     }.getMessage.contains("already"))
@@ -1025,12 +1026,23 @@ class ManifestCommitSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       ManifestCommit.convertToGraft(spark, nest)
     }.getMessage.contains("non-hive"))
-    val deep = Files.createTempDirectory("manifest_spec_").toString + "/deep"
+    val ragged = Files.createTempDirectory("manifest_spec_").toString + "/rg"
     df.withColumn("w", col("id") % 2)
-      .write.partitionBy("v", "w").parquet(deep)
+      .write.partitionBy("v", "w").parquet(ragged)
+    // break uniformity: one v= dir holds files directly, its siblings
+    // still nest w= underneath
+    val rf = new org.apache.hadoop.fs.Path(ragged)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vDir = rf.listStatus(new org.apache.hadoop.fs.Path(ragged))
+      .filter(_.isDirectory).map(_.getPath).head
+    rf.listStatus(vDir).filter(_.isDirectory).foreach { w =>
+      rf.listStatus(w.getPath).foreach(p0 =>
+        rf.rename(p0.getPath, new org.apache.hadoop.fs.Path(vDir, p0.getPath.getName)))
+      rf.delete(w.getPath, true)
+    }
     assert(intercept[IllegalArgumentException] {
-      ManifestCommit.convertToGraft(spark, deep)
-    }.getMessage.contains("multi-level"))
+      ManifestCommit.convertToGraft(spark, ragged)
+    }.getMessage.contains("RAGGED"))
   }
 
   test("convertToGraft of a HIVE-PARTITIONED layout: one dir per leaf, " +
@@ -1105,6 +1117,75 @@ class ManifestCommitSpec extends SparkSpec {
     assert(m.dirs.forall(d => !f.exists(new org.apache.hadoop.fs.Path(
       ManifestCommit.dirAbs(root, d)))),
       "retention left displaced nested conversion dirs behind")
+  }
+
+  test("convertToGraft of a TWO-LEVEL hive layout: one dir per leaf, both " +
+      "partition columns served, per-dimension pruning, DML + append + " +
+      "time travel") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/hive2"
+    val df = spark.range(0, 600).toDF("id")
+      .withColumn("year", lit(2023) + (col("id") % 2).cast("int"))
+      .withColumn("month", lit(1) + (col("id") % 3).cast("int"))
+      .withColumn("v", (col("id") * 2).cast("double"))
+    df.write.partitionBy("year", "month").parquet(root)
+    val m = ManifestCommit.convertToGraft(spark, root, Seq("id"))
+    assert(m.dirs.size === 6, m.dirs) // 2 years x 3 months
+    assert(m.slice === Some(ManifestCommit.compositeSlice(Seq("year", "month"))),
+      s"layout must continue as the composite transform list: ${m.slice}")
+    // leaves carry their FULL relative path as the nesting marker
+    assert(m.dirs.forall(d => ManifestCommit.partSuffixOf(m, d)
+      .exists(s0 => s0.startsWith("year=") && s0.contains("/month="))))
+    val back = ManifestCommit.read(spark, root)
+    assert(back.columns.contains("year") && back.columns.contains("month"))
+    assert(back.count() === 600L)
+    assert(back.filter(col("year") === 2024 && col("month") === 2)
+      .count() === 100L)
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(600L))
+    // BOTH dimensions prune independently from the manifest stats
+    val (py, ky, ty) = ManifestCommit.readPruned(spark, root,
+      "year", Some("2024"), Some("2024"))
+    assert(ty === 6 && ky === 3, s"year pruning kept $ky of $ty")
+    assert(py.count() === 300L)
+    val (pm, km, tm) = ManifestCommit.readPruned(spark, root,
+      "month", Some("3"), Some("3"))
+    assert(tm === 6 && km === 2, s"month pruning kept $km of $tm")
+    assert(pm.count() === 200L)
+    // data-column filters PUSH DOWN below the two-column injection join
+    locally {
+      val probe = ManifestCommit.read(spark, root)
+        .filter(col("id") > 500).select("id", "year", "month")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThan(id,500)"),
+        s"data filter not pushed to the nested scan:\n$plan")
+      assert(probe.count() === 99L)
+    }
+    // row-level DML over the nested dirs (witness + DV identity)
+    MergeInto.deleteRows(spark, root,
+      col("year") === 2024 && col("month") === 2 && col("id") < 50)
+    // year=2024,month=2: id%2==1 && id%3==1 → id%6==1: 1,7,…,49 = 9 rows
+    assert(ManifestCommit.read(spark, root).count() === 600L - 9L)
+    // an append lands flat (both as real columns) and reads alongside
+    val d2 = ManifestCommit.newDataDir(root)
+    spark.range(10000, 10010).toDF("id")
+      .withColumn("year", lit(2025)).withColumn("month", lit(1))
+      .withColumn("v", (col("id") * 2).cast("double")).write.parquet(d2)
+    ManifestCommit.commitAppend(spark, root, d2)
+    val now = ManifestCommit.read(spark, root)
+    assert(now.count() === 591L + 10L)
+    assert(now.filter(col("year") === 2025).count() === 10L)
+    // time travel to the conversion generation = the original content
+    val g1 = ManifestCommit.readAt(spark, root, 1L)
+    assert(g1.count() === 600L)
+    assert(g1.agg(sum("id")).collect()(0).getLong(0) === (0L until 600L).sum)
+    // the original partition shells are GONE — root holds only manifest
+    // artifacts and data dirs
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("data_") && !n.startsWith("_") &&
+        !n.startsWith("."))
+    assert(stray.isEmpty, s"partition shells left at root: ${stray.toSeq}")
   }
 
   test("a DV-subtracted read still PUSHES data filters to the parquet scan " +

@@ -163,6 +163,40 @@ class ThriftEndpointSpec extends SparkSpec {
         finally GraftSql.unregister("thriftspec_stale")
         val rsT3 = md.getTables(null, "graft_bi", "thriftspec_t", null)
         assert(rsT3.next(), "healthy table lost because a stale one aborted sync")
+
+        // CONCURRENT DDL + mirror cycling: registrations race each other
+        // AND the mirror session stopping/re-arming mid-churn (deltas are
+        // best-effort and may be missed while disarmed). The pinned
+        // recovery contract: ONE syncBiCatalog reconciles — discovery
+        // afterwards shows exactly the registered set, no stale views,
+        // no missing ones, and no DDL was ever failed by a mirror hiccup.
+        locally {
+          val churn = (0 until 4).map { i =>
+            new Thread(() => (0 until 5).foreach { j =>
+              val n = s"thriftspec_race_${i}_${j % 2}"
+              GraftSql.register(n, root)
+              if (j % 2 == 1) GraftSql.unregister(n)
+            })
+          }
+          val cycler = new Thread(() => (0 until 6).foreach { _ =>
+            GraftSql.disarmBiMirror()
+            Thread.sleep(5)
+            GraftSql.syncBiCatalog(spark)
+            ()
+          })
+          (churn :+ cycler).foreach(_.start())
+          (churn :+ cycler).foreach(_.join(60000))
+          // quiesced: the registry holds each thread's *_0 name (kept)
+          // and no *_1 names (dropped); one reconcile pins discovery
+          GraftSql.syncBiCatalog(spark)
+          val rsR = md.getTables(null, "graft_bi", "thriftspec_race%", null)
+          var raced = List.empty[String]
+          while (rsR.next()) raced ::= rsR.getString("TABLE_NAME")
+          val want2 = (0 until 4).map(i => s"thriftspec_race_${i}_0").toSet
+          assert(raced.toSet === want2,
+            s"post-reconcile discovery diverged: ${raced.sorted} vs $want2")
+          want2.foreach(GraftSql.unregister)
+        }
       } finally conn.close()
     } finally {
       // the standing mirror must not ride along into unrelated suites

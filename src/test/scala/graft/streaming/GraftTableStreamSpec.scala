@@ -810,4 +810,57 @@ class GraftTableStreamSpec extends SparkSpec {
         batches.map(_.numInputRows).mkString(","))
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains a 500+-commit backlog to FULL catch-up " +
+      "in multiple rate-capped batches (SupportsTriggerAvailableNow)") {
+    val root = Files.createTempDirectory("graft_stream_").toString + "/t"
+    val df = spark.range(0, 5).toDF("id").withColumn("v", col("id") * 2)
+    val seed = ManifestCommit.newDataDir(root)
+    df.write.parquet(seed)
+    ManifestCommit.commitReplace(spark, root, Seq(seed),
+      pruneDisplaced = false, schema = Some(df.schema)) // gen 1
+    val conf = spark.sparkContext.hadoopConfiguration
+    val seedPath = new org.apache.hadoop.fs.Path(seed)
+    val fs = seedPath.getFileSystem(conf)
+    (1 to 520).foreach { _ =>
+      val d = new org.apache.hadoop.fs.Path(ManifestCommit.newDataDir(root))
+      org.apache.hadoop.fs.FileUtil.copy(fs, seedPath, fs, d, false, conf)
+      ManifestCommit.commitAppend(spark, root, d.toString)
+    }
+    assert(ManifestCommit.readManifest(spark, root).get.gen === 521L)
+    val target = Files.createTempDirectory("graft_stream_tgt_").toString + "/r"
+    val ckpt = Files.createTempDirectory("graft_stream_ck_").toString
+    def drain(): Int = {
+      val q = spark.readStream.format("graft-table")
+        .option("startingVersion", "1").load(root)
+        .writeStream.format("graft-table")
+        .option("txnAppId", "availnow-rep")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(target)
+      // a run-and-stop job: the query must TERMINATE ITSELF at full
+      // catch-up (before SupportsTriggerAvailableNow, the engine fell
+      // back to single-batch execution: ONE capped batch of 256, then a
+      // false "caught up" stop at less than half the backlog)
+      assert(q.awaitTermination(180000), "AvailableNow run did not stop")
+      val n = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      n
+    }
+    val batches = drain()
+    assert(ManifestCommit.read(spark, target).count() === 521L * 5,
+      "AvailableNow stopped short of full catch-up")
+    assert(ManifestCommit.read(spark, target)
+      .select("id").distinct().count() === 5L)
+    assert(batches >= 3,
+      s"expected >= 3 rate-capped batches (ceil(521/256)), got $batches")
+    // commits landing AFTER the drain belong to the NEXT run: a restart
+    // picks them up from the checkpoint, again self-terminating
+    val d = new org.apache.hadoop.fs.Path(ManifestCommit.newDataDir(root))
+    org.apache.hadoop.fs.FileUtil.copy(fs, seedPath, fs, d, false, conf)
+    ManifestCommit.commitAppend(spark, root, d.toString)
+    drain()
+    assert(ManifestCommit.read(spark, target).count() === 522L * 5,
+      "restarted AvailableNow run must deliver the post-drain commit")
+  }
 }
