@@ -251,6 +251,41 @@ object MetaScaleCheck {
           assert(kept == 1 && total == nDirs && df.count() == 50)
         }
       }
+      locally { // MULTI-LEVEL hive convert (round 15): the same nDirs
+        // leaves arranged as a sqrt x sqrt `a=/b=` tree — discovery
+        // walks one extra level (BFS, concurrent listings), the move
+        // count is unchanged (one rename per LEAF, intermediate shells
+        // swept post-commit), and the grouped stats pass keys on BOTH
+        // columns; each dimension then prunes independently
+        val side = math.max(2, math.sqrt(nDirs.toDouble).round.toInt)
+        val leaves = side * side
+        def mkHive2(): String = {
+          val hr = GraftTmp.dir(s"meta_hive2_${tag}_") + "/t"
+          spark.range(leaves.toLong * 20)
+            .select(col("id"),
+              (col("id") / (20L * side)).cast("int").as("a"),
+              ((col("id") / 20) % side).cast("int").as("b"))
+            .write.partitionBy("a", "b").parquet(hr)
+          hr
+        }
+        val hives2 = Seq(mkHive2(), mkHive2()).iterator // time() reps twice
+        var h2 = ""
+        all("hive2_convert") = time(
+          s"$tag convertToGraft ($leaves two-level leaves, $side x $side)") {
+          h2 = hives2.next()
+          assert(ManifestCommit.convertToGraft(spark, h2, Seq("id"))
+            .dirs.size == leaves)
+        }
+        all("hive2_dim_read") = time(
+          s"$tag two-level pruned read (1 of $side on each dimension)") {
+          val (da, ka, ta) = ManifestCommit.readPruned(spark, h2, "a",
+            Some((side / 2).toString), Some((side / 2).toString))
+          assert(ka == side && ta == leaves && da.count() == 20L * side)
+          val (db, kb, _) = ManifestCommit.readPruned(spark, h2, "b",
+            Some((side / 2).toString), Some((side / 2).toString))
+          assert(kb == side && db.count() == 20L * side)
+        }
+      }
       locally { // sparse DV delete: keys in 8 fixed dirs of nDirs
         val roots = Seq(buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100),
           buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100)).iterator

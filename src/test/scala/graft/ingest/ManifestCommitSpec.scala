@@ -1317,6 +1317,68 @@ class ManifestCommitSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a MULTI-LEVEL converted table streams (snapshot + CDF) and " +
+      "unescapes values at every level") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/ms"
+    // escaping at the SECOND level too (':' percent-encodes)
+    val df = spark.range(0, 120).toDF("id")
+      .withColumn("y", lit(2024) + (col("id") % 2).cast("int"))
+      .withColumn("cat", concat(lit("c:"), (col("id") % 3).cast("string")))
+      .withColumn("v", col("id") * 2)
+    df.write.partitionBy("y", "cat").parquet(root)
+    ManifestCommit.convertToGraft(spark, root)
+    val back = ManifestCommit.read(spark, root)
+    assert(back.select("cat").distinct().collect().map(_.getString(0)).sorted
+      === Array("c:0", "c:1", "c:2"),
+      "second-level escaped values must unescape through the injection")
+    assert(back.filter(col("y") === 2025 && col("cat") === "c:1")
+      .count() === 20L)
+    // plain stream: initial snapshot covers the nested dirs, both
+    // partition columns served; a later flat append rides along
+    val ckpt = Files.createTempDirectory("manifest_spec_ck_").toString
+    val qn = s"mlconv_tail_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = spark.readStream.format("graft-table")
+      .option("path", root).option("startingVersion", "1")
+      .load().writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(qn).count() === 120L)
+      assert(spark.table(qn)
+        .filter(col("y") === 2024 && col("cat") === "c:2").count() === 20L)
+      val d2 = ManifestCommit.newDataDir(root)
+      spark.range(1000, 1010).toDF("id").withColumn("y", lit(2026))
+        .withColumn("cat", lit("flat")).withColumn("v", col("id") * 2)
+        .write.parquet(d2)
+      ManifestCommit.commitAppend(spark, root, d2)
+      q.processAllAvailable()
+      assert(spark.table(qn).count() === 130L)
+      assert(spark.table(qn).filter(col("y") === 2026).count() === 10L)
+    } finally q.stop()
+    // CDF stream: a merge-shaped change over the nested dirs diffs
+    // per-generation with both injected columns intact
+    val ckpt2 = Files.createTempDirectory("manifest_spec_ck_").toString
+    val qn2 = s"mlconv_cdf_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q2 = spark.readStream.format("graft-table")
+      .option("path", root).option("readChangeFeed", "true")
+      .option("keys", "id").option("startingVersion", "latest")
+      .load().writeStream.format("memory").queryName(qn2)
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      MergeInto.deleteRows(spark, root,
+        col("y") === 2025 && col("cat") === "c:1" && col("id") < 30)
+      q2.processAllAvailable()
+      // y=2025: id%2==1; cat=c:1: id%3==1 → id%6==1 and <30: 1,7,13,19,25
+      val got = spark.table(qn2)
+      assert(got.filter(col(graft.ingest.ChangeFeed.ChangeType) === "delete")
+        .count() === 5L, got.collect().mkString(","))
+      assert(got.filter(col(graft.ingest.ChangeFeed.ChangeType) === "delete")
+        .select("cat").distinct().collect().map(_.getString(0)).toSeq
+        === Seq("c:1"), "injected column lost through the CDF diff")
+    } finally q2.stop()
+  }
+
   test("shallow clone from a SCHEME-QUALIFIED source keeps qualified external refs") {
     val base = Files.createTempDirectory("manifest_spec_").toString
     val src = base + "/src"; val dst = base + "/clone"
