@@ -218,6 +218,38 @@ object ChangeFeed {
     finally out.close()
   }
 
+  /** Apply one consumed CDF batch to a replica table as ONE MERGE —
+    * the canonical replication apply, content-idempotent so at-least-
+    * once delivery (crash between apply and [[advanceCursor]], replay)
+    * yields exactly-once replica contents. Folds what a naive consumer
+    * runs as TWO sequential DML ops (MERGE the upserts, then delete the
+    * deleted keys) into one source: `update_preimage` rows are dropped,
+    * `insert`/`update_postimage` rows upsert, and `delete` rows ride
+    * the SAME merge through `deleteWhen` on the change-type marker —
+    * an unmatched delete (replayed, or racing a concurrent replica op)
+    * is a no-op, never a phantom insert
+    * (`unmatchedDeleteInserts=false`). One full-outer join, one commit:
+    * half the scheduler latency per sync and one generation per sync
+    * on the replica's own history. */
+  def applyTo(spark: SparkSession, targetRoot: String, changes: DataFrame,
+      keys: Seq[String], retries: Int = 0,
+      evolveSchema: Boolean = false): MergeInto.MergeResult = {
+    // the CDF bookkeeping columns must never land on the replica — the
+    // delete marker rides a RESERVED `__graft_` helper (merge's schema
+    // evolution is defined to skip those), and `_commit_version` (the
+    // streaming feed's attribution column) is dropped when present
+    val src0 = changes.filter(col(ChangeType) =!= "update_preimage")
+      .withColumn("__graft_ct", col(ChangeType)).drop(ChangeType)
+    val src =
+      if (src0.columns.contains("_commit_version"))
+        src0.drop("_commit_version")
+      else src0
+    MergeInto.merge(spark, targetRoot, src, keys,
+      deleteWhen = Some(col("__graft_ct") === "delete"),
+      retries = retries,
+      evolveSchema = evolveSchema)
+  }
+
   /** One incremental sync: None = nothing new (cursor is at the live
     * generation). The returned `toGen` is what [[advanceCursor]] must
     * record once applied. The cursor generation must still be RETAINED

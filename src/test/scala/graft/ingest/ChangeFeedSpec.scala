@@ -115,6 +115,39 @@ class ChangeFeedSpec extends SparkSpec {
       rootCause(se).getMessage)
   }
 
+  test("applyTo folds a CDF batch into ONE merge: upserts + deletes in one " +
+      "commit, replay and unmatched deletes are no-ops") {
+    val src = mkTable() // ids 0..99
+    val rep = Files.createTempDirectory("graft_cfspec_").toString + "/rep"
+    val cursor = src + "_cursor"
+    val c1 = ChangeFeed.consume(spark, src, cursor, Seq("id")).get
+    val d0 = ManifestCommit.newDataDir(rep)
+    c1.changes.drop(ChangeFeed.ChangeType).write.parquet(d0)
+    ManifestCommit.commitReplace(spark, rep, Seq(d0), pruneDisplaced = false)
+    ChangeFeed.advanceCursor(spark, cursor, c1.toGen)
+    // source: update 10..19 (+1), delete 0..4, insert 200..204
+    MergeInto.merge(spark, src,
+      spark.range(10, 20).toDF("id").withColumn("v", col("id") * 2 + 1)
+        .unionByName(spark.range(200, 205).toDF("id")
+          .withColumn("v", col("id") * 2)),
+      Seq("id"))
+    MergeInto.deleteWhere(spark, src, spark.range(0, 5).toDF("id"))
+    val c2 = ChangeFeed.consume(spark, src, cursor, Seq("id")).get
+    val genBefore = ManifestCommit.readManifest(spark, rep).get.gen
+    val res = ChangeFeed.applyTo(spark, rep, c2.changes, Seq("id"))
+    assert(res.updated === 10L && res.deleted === 5L && res.inserted === 5L)
+    // ONE commit for the whole batch — not a merge generation plus a
+    // delete generation
+    assert(ManifestCommit.readManifest(spark, rep).get.gen === genBefore + 1)
+    def stateOf(root: String) = ManifestCommit.read(spark, root)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stateOf(rep) === stateOf(src), "replica diverged from source")
+    // crash replay (cursor not advanced): content must not move — the
+    // replayed deletes are now UNMATCHED and must not insert phantoms
+    ChangeFeed.applyTo(spark, rep, c2.changes, Seq("id"))
+    assert(stateOf(rep) === stateOf(src), "replayed apply moved the replica")
+  }
+
   test("the uniqueness guard reuses the join's Exchange+Sort: guarded and " +
       "assumeUnique plans shuffle the same number of times") {
     val root = mkTable() // gen 1

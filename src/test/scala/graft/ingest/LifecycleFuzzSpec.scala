@@ -128,21 +128,19 @@ class LifecycleFuzzSpec extends SparkSpec {
         b.select("_commit_version").distinct().collect().map(_.getLong(0))
           .sorted.foreach { v =>
             val of = b.filter(col("_commit_version") === v)
-            val ups = of.filter(col(ChangeFeed.ChangeType)
-              .isin("insert", "update_postimage"))
-              .drop(ChangeFeed.ChangeType, "_commit_version")
-            val dels = of.filter(col(ChangeFeed.ChangeType) === "delete")
-              .select("id")
             if (!ManifestCommit.isManifestTable(spark, replicaRoot)) {
+              val ups = of.filter(col(ChangeFeed.ChangeType)
+                .isin("insert", "update_postimage"))
+                .drop(ChangeFeed.ChangeType, "_commit_version")
               val d = ManifestCommit.newDataDir(replicaRoot)
               ups.write.parquet(d)
               ManifestCommit.commitReplace(spark, replicaRoot, Seq(d),
                 pruneDisplaced = false, schema = Some(ups.schema))
-            } else if (ups.limit(1).count() > 0)
-              MergeInto.merge(spark, replicaRoot, ups, Seq("id"),
+            } else
+              // the canonical ONE-merge apply (upserts + deletes fold,
+              // preimages dropped, bookkeeping columns never land)
+              ChangeFeed.applyTo(spark, replicaRoot, of, Seq("id"),
                 evolveSchema = true)
-            if (dels.limit(1).count() > 0)
-              MergeInto.deleteWhere(spark, replicaRoot, dels)
           }
       } finally { b.unpersist(); () }
     }
@@ -770,6 +768,114 @@ class LifecycleFuzzSpec extends SparkSpec {
       // carry several versions of one id in the pruned read)
       val expect = model.collect { case (id, (m2, _, _, _)) if m2 == mo => id }.toSet
       assert(got === expect, s"month-pruned read mismatch for $mo after step $step")
+    }
+  }
+
+  test("converted-table fuzz (seed 424242): a MULTI-LEVEL hive convert " +
+      "rides the full op mix — DML, z-order, retention, pruning stay exact") {
+    val root = Files.createTempDirectory("fuzz_conv_").toString + "/t"
+    val rnd = new scala.util.Random(424242)
+    val years = Seq(2023, 2024)
+    val cats = Seq("a", "b:x", "c") // one hive-escaping value
+    // model: id -> (y, cat, amt)
+    var model = Map.empty[Long, (Int, String, Double)]
+    var nextId = 0L
+    def rowsDf(rows: Seq[(Long, (Int, String, Double))]) = {
+      import spark.implicits._
+      rows.map { case (id, (y, c, amt)) => (id, amt, y, c) }
+        .toDF("id", "amt", "y", "cat")
+    }
+    // seed the hive tree and CONVERT it in place
+    locally {
+      val rows = for { y <- years; c <- cats; _ <- 1 to 4 } yield {
+        nextId += 1
+        nextId -> ((y, c, rnd.nextInt(100).toDouble))
+      }
+      model ++= rows
+      rowsDf(rows.toSeq).write.partitionBy("y", "cat").parquet(root)
+      val m = ManifestCommit.convertToGraft(spark, root, Seq("id"))
+      assert(m.dirs.size === years.size * cats.size)
+    }
+    val initialModel = model
+    def liveSnapshot(): Map[Long, (Int, String, Double)] =
+      ManifestCommit.read(spark, root).select("id", "y", "cat", "amt")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getString(2), r.getDouble(3)))).toMap
+    (1 to 20).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => // flat append (both partition columns as real columns)
+          val rows = (1 to 1 + rnd.nextInt(4)).map { _ =>
+            nextId += 1
+            nextId -> ((years(rnd.nextInt(2)), cats(rnd.nextInt(3)),
+              rnd.nextInt(100).toDouble))
+          }
+          val d = ManifestCommit.newDataDir(root)
+          rowsDf(rows).write.parquet(d)
+          ManifestCommit.commitAppend(spark, root, d,
+            stats = ManifestCommit.dirStats(spark, d, Seq("id")))
+          model ++= rows
+        case 1 => // merge: updates + inserts + deleteWhen kills, over a
+          // mix of nested conversion dirs and flat appends
+          val keys = rnd.shuffle(model.keys.toSeq.sorted)
+          val upd = keys.take(3).map { id =>
+            val (y, c, amt) = model(id); id -> ((y, c, amt + 1))
+          }
+          val del = keys.slice(3, 5)
+          val ins = (1 to 2).map { _ =>
+            nextId += 1
+            nextId -> ((years(rnd.nextInt(2)), cats(rnd.nextInt(3)),
+              rnd.nextInt(100).toDouble))
+          }
+          val srcRows = upd ++ del.map(id => id -> model(id)) ++ ins
+          if (srcRows.nonEmpty) {
+            val src = rowsDf(srcRows)
+              .withColumn("__kill", col("id").isin(del: _*))
+            MergeInto.merge(spark, root, src, Seq("id"),
+              deleteWhen = Some(col("__kill") === true))
+            model = model -- del ++ upd ++ ins
+          }
+        case 2 => // DV sparse delete through the nested witness
+          val del = rnd.shuffle(model.keys.toSeq.sorted).take(2)
+          if (del.nonEmpty) {
+            MergeInto.deleteWhere(spark, root, rowsDf(
+              del.map(id => id -> model(id))).select("id"))
+            model --= del
+          }
+        case 3 => // z-order rewrite: materializes y/cat, retires nesting
+          Optimize.zorderCompactN(spark, root, Seq("id", "amt"),
+            targetDirs = 2, extraStatCols = Seq("y"))
+        case 4 =>
+          ManifestCommit.expireSnapshots(spark, root, keepLast = 2)
+      }
+      ManifestCommit.clearResolveCache()
+      // invariant 1: live == model through every layout transition
+      assert(liveSnapshot() === model, s"live mismatch after step $step")
+      // invariant 2: a year-pruned read + residual filter == the model's
+      // year slice whatever the layout (nested, mixed, z-ordered, dv'd)
+      val y = years(rnd.nextInt(2))
+      val (pdf, keptN, _) = ManifestCommit.readPruned(spark, root, "y",
+        Some(y.toString), Some(y.toString))
+      val got =
+        if (keptN == 0) Set.empty[Long]
+        else pdf.filter(col("y") === y).select("id")
+          .collect().map(_.getLong(0)).toSet
+      assert(got === model.collect { case (id, (y2, _, _)) if y2 == y => id }.toSet,
+        s"year-pruned read mismatch for $y after step $step")
+      // invariant 3: an escaped-category filter stays exact (the injected
+      // value must unescape identically at every layout stage)
+      val bx = ManifestCommit.read(spark, root).filter(col("cat") === "b:x")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(bx === model.collect {
+        case (id, (_, c, _)) if c == "b:x" => id }.toSet,
+        s"escaped-category read mismatch after step $step")
+      // invariant 4: time travel to the conversion generation serves the
+      // original content while retention retains it
+      if (ManifestCommit.readManifestAt(spark, root, 1L).isDefined) {
+        val g1 = ManifestCommit.readAt(spark, root, 1L)
+          .select("id").collect().map(_.getLong(0)).toSet
+        assert(g1 === initialModel.keySet,
+          s"time travel to conversion diverged after step $step")
+      }
     }
   }
 }
