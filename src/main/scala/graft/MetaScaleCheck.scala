@@ -286,6 +286,22 @@ object MetaScaleCheck {
           assert(kb == side && db.count() == 20L * side)
         }
       }
+      locally { // change-feed diff after a 1-dir merge: the feed's plan
+        // AND driver work must follow the CHANGED dirs (one rewritten,
+        // one added), never O(table) — the r15 fix reads the schema from
+        // the manifest instead of listing every live dir at plan time
+        val root = buildRanged(spark, s"meta_diff_${tag}_", nDirs, 100)
+        val g1 = ManifestCommit.readManifest(spark, root).get.gen
+        val band = spark.range(nDirs / 2 * 100L, nDirs / 2 * 100L + 30)
+          .select(col("id"), lit(-1L).as("v"))
+        MergeInto.merge(spark, root, band, Seq("id"))
+        val g2 = ManifestCommit.readManifest(spark, root).get.gen
+        all("cdf_diff_1dir") = time(
+          s"$tag ChangeFeed.diff, 1 dir changed of $nDirs") {
+          assert(graft.ingest.ChangeFeed
+            .diff(spark, root, g1, g2, Seq("id")).count() == 60L)
+        }
+      }
       locally { // sparse DV delete: keys in 8 fixed dirs of nDirs
         val roots = Seq(buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100),
           buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100)).iterator

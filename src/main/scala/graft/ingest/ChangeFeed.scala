@@ -67,13 +67,21 @@ object ChangeFeed {
     // that predate an evolved column null-fill (a pre-evolution row
     // "updated" into the new schema emits preimage null / postimage
     // value for the evolved column) and planning needs no footer sweep.
-    val toDf = ManifestCommit.readAt(spark, root, toGen)
-    val cols = toDf.columns.toSeq
+    // The schema comes from the MANIFEST when recorded — building a
+    // frame over every live dir just to learn the column set forces an
+    // InMemoryFileIndex listing of ALL of them at plan time, O(table
+    // dirs) driver work per diff (the same listing wall the merge path
+    // already avoids); a diff's real I/O must follow the CHANGED dirs
+    // only. Unrecorded-schema tables keep the read-through fallback.
     val readSchema = org.apache.spark.sql.types.StructType(
-      toDf.schema.fields.map(_.copy(nullable = true)))
+      to.tableSchema
+        .getOrElse(ManifestCommit.readAt(spark, root, toGen).schema)
+        .fields.map(_.copy(nullable = true)))
+    val cols = readSchema.fieldNames.toSeq
     def readDirs(m: ManifestCommit.Manifest, dirs: Seq[String]): DataFrame = {
       val base =
-        if (dirs.isEmpty) toDf.limit(0)
+        if (dirs.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), readSchema)
         else ManifestCommit.readDirsOf(spark, root, m, dirs, Some(readSchema))
       base.select(cols.map(col): _*)
     }
