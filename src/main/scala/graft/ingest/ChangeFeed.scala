@@ -107,8 +107,12 @@ object ChangeFeed {
     // distribution and ordering, so ONE Exchange+Sort per side serves
     // both (ChangeFeedSpec pins the count equal to the unguarded plan).
     // The residual guard cost is WindowExec itself — per-group buffering
-    // and a broken codegen span — the measured price of refusing to
-    // emit wrong data silently.
+    // and a broken codegen span. Measured (round 15, min of 3): noise-
+    // level on the small per-commit diffs the streaming gates plan, but
+    // ~1.5x on a ROW-HEAVY diff (2M-row full-table rewrite) — the
+    // buffer cost scales with changed rows. That is the price of
+    // refusing to emit wrong data silently; feeds that are unique by
+    // construction pay zero via assumeUnique.
     val keyTypes = keys.map { k =>
       readSchema(readSchema.fieldIndex(
         cols.find(_.equalsIgnoreCase(k)).getOrElse(k))).dataType
