@@ -30,7 +30,7 @@ object Bench {
       failed: Int, errJson: String, medShown: String, medMore: Int,
       medCount: Int, sfName: String, rerunJson: String = "{}",
       budget: Int = 1900): String = {
-    def line(q: String, med: String, more: Int) = {
+    def line(q: String, med: String, more: Int, rrJson: String) = {
       // empty med fields are dead weight in the COMMON (quiet) case —
       // omitting them buys ~35 chars of budget back as the query count
       // grows; consumers treat absent med_outliers as "none flagged".
@@ -38,10 +38,13 @@ object Bench {
       // each flagged outlier (interference self-adjudication) — a judge
       // reads med_outliers and rerun side by side to tell environment
       // noise (rerun ≈ min) from a real regression (rerun ≈ median).
+      // Degraded tiers pass rrJson="{}" so dropping the outlier map
+      // really reclaims its budget (a rerun without its med_outliers
+      // would be incoherent anyway; both live on the stderr diag).
       val medPart =
         if (med == "{}" && more == 0) ""
         else {
-          val rr = if (rerunJson == "{}") "" else s""","rerun":$rerunJson"""
+          val rr = if (rrJson == "{}") "" else s""","rerun":$rrJson"""
           s""","med_outliers":$med,"med_more":$more$rr"""
         }
       s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$q,"failed":$failed,"errors":$errJson,"median_total":$medianS$medPart,"sf":"$sfName"}"""
@@ -53,13 +56,13 @@ object Bench {
     // ~11 chars/query keeps even a 150-query all-failed line in budget.
     def lineNoMed(q: String) =
       s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$q,"failed":$failed,"errors":$errJson,"median_total":$medianS,"sf":"$sfName"}"""
-    val full = line(qs2, medShown, medMore)
+    val full = line(qs2, medShown, medMore, rerunJson)
     if (full.length <= budget) full
     else {
-      val noMed = line(qs2, "{}", medCount)
+      val noMed = line(qs2, "{}", medCount, "{}")
       if (noMed.length <= budget) noMed
       else {
-        val short = line(qs1, "{}", medCount)
+        val short = line(qs1, "{}", medCount, "{}")
         if (short.length <= budget) short else lineNoMed(qs0)
       }
     }
@@ -199,8 +202,12 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () } // already reported in errors
+      // elapsed BEFORE clearCache — the rep loop it is adjudicated
+      // against times the same window; including the cache drop would
+      // systematically push rerun toward the median it is refuting
+      val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      n -> (System.nanoTime() - t0) / 1e9
+      n -> sec
     }
     val rerunJson = jmap(rerunAll.take(4).map { case (n, v) => shortOf(n) -> v }, fmt2)
     // stdout errors: at most 3, 80 chars each (budget); full list → stderr

@@ -123,15 +123,18 @@ object ChangeFeed {
       scala.util.Try(
         org.apache.spark.sql.catalyst.expressions.Literal.default(dt)))
     val shapeOk = defaults.forall(_.isSuccess)
+    // helper names live in the RESERVED `__graft_` namespace (as
+    // applyTo's marker does) — withColumn REPLACES a same-named column,
+    // so an unreserved name could silently overwrite real table data
     val helperNames: Seq[String] =
-      keys.indices.flatMap(i => Seq(s"__gk$i", s"__gn$i"))
+      keys.indices.flatMap(i => Seq(s"__graft_gk$i", s"__graft_gn$i"))
     def withShape(df: DataFrame): DataFrame = {
       import org.apache.spark.sql.catalyst.expressions.{Coalesce, IsNull}
       import org.apache.spark.sql.graftbridge.ColumnBridge
       keys.zipWithIndex.foldLeft(df) { case (d, (k, i)) =>
-        d.withColumn(s"__gk$i", ColumnBridge.column(Coalesce(Seq(
+        d.withColumn(s"__graft_gk$i", ColumnBridge.column(Coalesce(Seq(
             ColumnBridge.expression(d(k)), defaults(i).get))))
-          .withColumn(s"__gn$i",
+          .withColumn(s"__graft_gn$i",
             ColumnBridge.column(IsNull(ColumnBridge.expression(d(k)))))
       }
     }

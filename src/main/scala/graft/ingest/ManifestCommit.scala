@@ -812,13 +812,7 @@ object ManifestCommit {
         }.toMap
       val partTypes = partColPath.map(c =>
         schema(schema.fieldIndex(c)).dataType)
-      def leafValues(n: String): Seq[String] =
-        n.split('/').toSeq.map { seg =>
-          val raw = seg.drop(seg.indexOf('=') + 1)
-          if (raw == "__HIVE_DEFAULT_PARTITION__") null
-          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(raw)
-        }
+      def leafValues(n: String): Seq[String] = unescapeSuffixValues(n)
       try {
         val pairs = hiveLeaves.map(n =>
           s"$root/$n" -> s"${dirOf(n)}/$n")
@@ -2058,10 +2052,7 @@ object ManifestCommit {
       .sortBy(_.getPath.getName)
     val promoted = parts.map { st =>
       val raw = st.getPath.getName.stripPrefix("__slice=")
-      val key =
-        if (raw == NullSliceDir) NullSliceDir
-        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(raw)
+      val key = Option(unescapeSegValue(raw)).getOrElse(NullSliceDir)
       val d = newDataDir(root)
       f.rename(st.getPath, new Path(d))
       val stats = statRows.get(key).map { r =>
@@ -2095,6 +2086,22 @@ object ManifestCommit {
 
   /** Hive's directory name for a null partition value. */
   private[ingest] val NullSliceDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Decode one hive dir-name VALUE: percent-unescape, the null marker
+    * → null. The single definition every consumer of hive-rendered
+    * values shares — stats keys (writeSliced), grouped-convert keys and
+    * per-dir injection values must agree byte-for-byte, so the decoding
+    * rules live in exactly one place. */
+  private[graft] def unescapeSegValue(raw: String): String =
+    if (raw == NullSliceDir) null
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(raw)
+
+  /** The decoded value of each `k=v` segment of a hive suffix (one per
+    * partition level, in path order). */
+  private[graft] def unescapeSuffixValues(sfx: String): Seq[String] =
+    sfx.split('/').toSeq.map(seg =>
+      unescapeSegValue(seg.drop(seg.indexOf('=') + 1)))
 
   /** Data-skipping resolve: live dirs whose `col` stats can overlap
     * [lo, hi] (either bound optional). Dirs without stats for `col` are
@@ -2192,17 +2199,21 @@ object ManifestCommit {
     * DETERMINISTIC `_metadata.file_path` scan attribute, NOT
     * `input_file_name()` — a nondeterministic projection blocks
     * predicate pushdown through it, which would strip PushedFilters
-    * from every DV-subtracted or nested read. The file BASENAME (the
-    * last segment) is excluded before matching: convertToGraft
-    * preserves arbitrary source file names, so a converted file named
-    * `data_2024.parquet` must not become its own dir id — only
-    * DIRECTORY segments are candidates. */
+    * from every DV-subtracted or nested read. Two trap families are
+    * excluded from matching: the file BASENAME (the last segment —
+    * convertToGraft preserves arbitrary source file names, so a
+    * converted file named `data_2024.parquet` must not become its own
+    * dir id) and hive `k=v` segments (a converted layout whose
+    * partition COLUMN is named e.g. `data_source` keeps
+    * `data_source=web/` segments under the data dir — dir names are
+    * UUID-suffixed and never contain '='). */
   def dirIdCol: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(
       "element_at(filter(" +
         "slice(split(_metadata.file_path, '/'), 1, " +
         "size(split(_metadata.file_path, '/')) - 1), " +
-        "x -> startswith(x, 'data_') OR startswith(x, '_dv_')), -1)")
+        "x -> (startswith(x, 'data_') OR startswith(x, '_dv_')) " +
+        "AND NOT contains(x, '=')), -1)")
 
   /** ONE scan over HIVE-NESTED converted dirs, given (absolute data dir,
     * partition suffix) pairs — the suffix is the leaf's full relative
@@ -2241,16 +2252,9 @@ object ManifestCommit {
       case None =>
         spark.read.option("mergeSchema", "true").parquet(leafPaths: _*)
     }
-    def valuesOf(sfx: String): Seq[String] =
-      sfx.split('/').toSeq.map { seg =>
-        val raw = seg.drop(seg.indexOf('=') + 1)
-        if (raw == "__HIVE_DEFAULT_PARTITION__") null
-        else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(raw)
-      }
     val lookupRows = pairs.map { case (d, sfx) =>
       org.apache.spark.sql.Row.fromSeq(
-        new Path(d).getName +: valuesOf(sfx))
+        new Path(d).getName +: unescapeSuffixValues(sfx))
     }
     val rawNames = partCols.indices.map(i => s"__p_raw$i")
     val lookup = spark.createDataFrame(

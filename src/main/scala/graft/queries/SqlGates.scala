@@ -41,7 +41,10 @@ object SqlGates {
               .map(_.toString).filter(_.contains(root))
               .flatMap { p =>
                 val rel = p.substring(p.indexOf(root) + root.length)
-                rel.split("/").filter(_.startsWith("data_")).lastOption
+                // '=' excluded for the same reason as dirIdCol: a hive
+                // partition COLUMN named data_* would otherwise match
+                rel.split("/").filter(s =>
+                  s.startsWith("data_") && !s.contains("=")).lastOption
               }
           case _ => Nil
         }

@@ -155,13 +155,18 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           if (deep) {
             val srcPrefix = srcRoot.stripSuffix("/") + "/"
             val m = ManifestCommit.readManifest(spark, root)
-            val extOfSrc = m.exists { mf =>
-              val ext = mf.dirs.filter(ManifestCommit.isExternal(root, _)) ++
-                mf.dvs.values.toSeq.filter(ManifestCommit.isExternal(root, _))
-              ext.nonEmpty && ext.forall(_.startsWith(srcPrefix))
-            }
-            if (extOfSrc) ManifestCommit.materializeExternal(spark, root)
-            else org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            val ext = m.toSeq.flatMap(mf =>
+              mf.dirs.filter(ManifestCommit.isExternal(root, _)) ++
+                mf.dvs.values.toSeq.filter(ManifestCommit.isExternal(root, _)))
+            // ext empty = the deep clone already COMPLETED — the
+            // idempotent-retry case, a true no-op (materializeExternal
+            // would be one too, but skipping it avoids a pointless
+            // manifest read/CAS); ext into srcRoot = the crashed-deep-
+            // clone signature — finish it; anything else is a FOREIGN
+            // table this statement must not touch.
+            if (ext.forall(_.startsWith(srcPrefix))) {
+              if (ext.nonEmpty) ManifestCommit.materializeExternal(spark, root)
+            } else org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"graft CLONE IF NOT EXISTS: table at $root already exists " +
                 s"and its external references do not all point into " +
                 s"$srcRoot — leaving it untouched (no-op). If this is a " +

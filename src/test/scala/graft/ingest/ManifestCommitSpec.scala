@@ -597,6 +597,34 @@ class ManifestCommitSpec extends SparkSpec {
       "witness silently skipped the dir with a data_* file basename")
   }
 
+  test("dirIdCol ignores hive k=v segments: a converted layout whose " +
+      "partition COLUMN is named data_* must not hijack dir identity") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/ds"
+    val df = spark.range(0, 90).toDF("id")
+      .withColumn("data_source", concat(lit("s"),
+        (col("id") % 3).cast("string")))
+    df.write.partitionBy("data_source").parquet(root)
+    ManifestCommit.convertToGraft(spark, root, Seq("id"))
+    // dir identity over a RAW leaf scan (how the engine applies it)
+    // resolves to the data_* DIR, never the `data_source=sN` partition
+    // segment nested under it
+    val m = ManifestCommit.readManifest(spark, root).get
+    val leafPaths = m.dirs.map(d =>
+      s"${ManifestCommit.dirAbs(root, d)}/${ManifestCommit.partSuffixOf(m, d).get}")
+    val ids = spark.read.parquet(leafPaths: _*)
+      .withColumn("__dir", ManifestCommit.dirIdCol)
+      .select("__dir").distinct().collect().map(_.getString(0)).toSet
+    assert(ids.forall(d => d.startsWith("data_") && !d.contains("=")),
+      s"dir identity captured a partition segment: $ids")
+    assert(ids.size === 3)
+    // the DML witness must SEE the nested dirs (a hijacked identity
+    // makes the inner join drop every row: deletes delete nothing)
+    MergeInto.deleteRows(spark, root,
+      col("data_source") === "s1" && col("id") < 30)
+    assert(ManifestCommit.read(spark, root).count() === 90L - 10L,
+      "witness silently skipped dirs under a data_*-named partition column")
+  }
+
   test("hive convert deletes data-less k=v leaf dirs after the commit " +
       "(no stray partition dirs next to the manifest)") {
     val root = Files.createTempDirectory("manifest_spec_").toString + "/hv"
