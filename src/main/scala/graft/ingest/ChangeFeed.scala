@@ -78,6 +78,15 @@ object ChangeFeed {
         .getOrElse(ManifestCommit.readAt(spark, root, toGen).schema)
         .fields.map(_.copy(nullable = true)))
     val cols = readSchema.fieldNames.toSeq
+    // schema-recording commits already refuse the reserved prefix
+    // (writeManifest); this covers pre-evolution tables whose schema
+    // comes from the read-through fallback — a __graft_ table column
+    // would be silently REPLACED by the guard's helper withColumns below
+    require(!cols.exists(_.startsWith("__graft_")),
+      s"changeFeed.diff on $root: table carries column(s) in the " +
+        s"reserved __graft_ helper namespace " +
+        s"(${cols.filter(_.startsWith("__graft_")).mkString(", ")}) — " +
+        "rename them before diffing")
     def readDirs(m: ManifestCommit.Manifest, dirs: Seq[String]): DataFrame = {
       val base =
         if (dirs.isEmpty) spark.createDataFrame(
@@ -253,6 +262,10 @@ object ChangeFeed {
     // delete marker rides a RESERVED `__graft_` helper (merge's schema
     // evolution is defined to skip those), and `_commit_version` (the
     // streaming feed's attribution column) is dropped when present
+    require(!changes.columns.exists(_.startsWith("__graft_")),
+      "applyTo: the changes frame carries column(s) in the reserved " +
+        "__graft_ helper namespace — rename them (withColumn would " +
+        "silently replace their data with the delete marker)")
     val src0 = changes.filter(col(ChangeType) =!= "update_preimage")
       .withColumn("__graft_ct", col(ChangeType)).drop(ChangeType)
     val src =

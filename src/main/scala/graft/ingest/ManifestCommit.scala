@@ -1386,6 +1386,18 @@ object ManifestCommit {
     * keep reading fine; their first new commit moves them onto the log. */
   private def writeManifest(spark: SparkSession, root: String, m: Manifest,
       prev: Option[Manifest] = None): Unit = {
+    // the `__graft_` namespace is RESERVED for engine helper columns
+    // (ChangeFeed's gk/gn shape columns, applyTo's change-type marker):
+    // a table column in it would be silently REPLACED by withColumn in
+    // those paths — refuse it at the one chokepoint every schema-
+    // recording commit passes through, so the reservation is enforced,
+    // not conventional
+    m.tableSchema.foreach { s =>
+      val bad = s.fieldNames.filter(_.startsWith("__graft_"))
+      require(bad.isEmpty,
+        s"$root: column name(s) ${bad.mkString(", ")} use the reserved " +
+          "__graft_ prefix (engine helper namespace) — rename them")
+    }
     resolveCache.remove(cacheKey(root, m.gen))
     val fullBase: Long = readRaw(spark, root, manifestPath(root))
       .map(r => r.metaVal("#base").map(_.toLong).getOrElse(r.gen))
@@ -1704,6 +1716,21 @@ object ManifestCommit {
       op: String = "append",
       txn: Option[(String, Long)] = None,
       expectedChecks: Option[Map[String, String]] = None): Manifest =
+    commitAppendMulti(spark, root, Seq(dir -> stats), expectedGen, op,
+      txn, expectedChecks)
+
+  /** Multi-dir append in ONE generation — the sliced-write shape of
+    * [[commitAppend]]: a batch that `writeSliced` laid out as N slice
+    * dirs commits atomically (a reader never sees a partial batch), the
+    * writer-txn ledger covers the WHOLE batch (a crash-replay after this
+    * commit drops every staged dir, not just one), and history stays one
+    * generation per logical write instead of N. */
+  def commitAppendMulti(spark: SparkSession, root: String,
+      dirs: Seq[(String, Seq[ColStats])],
+      expectedGen: Option[Long] = None,
+      op: String = "append",
+      txn: Option[(String, Long)] = None,
+      expectedChecks: Option[Map[String, String]] = None): Manifest =
       commitLock(root).synchronized {
     val prev = readManifest(spark, root)
     // the txn replay check runs FIRST: a replayed batch's rows are
@@ -1714,8 +1741,8 @@ object ManifestCommit {
     txn.foreach { case (writer, ver) =>
       prev.foreach { p =>
         if (p.txns.get(writer).exists(_ >= ver)) {
-          // replayed batch: drop the staged dir, serve the current gen
-          fs(spark, root).delete(new Path(dir), true)
+          // replayed batch: drop every staged dir, serve the current gen
+          dirs.foreach { case (d, _) => fs(spark, root).delete(new Path(d), true) }
           return p
         }
       }
@@ -1723,14 +1750,14 @@ object ManifestCommit {
     checkConstraintCas(root, prev.map(_.checks).getOrElse(Map.empty),
       expectedChecks)
     checkCas(root, prev, expectedGen)
-    val name = entryName(root)(dir)
+    val named = dirs.map { case (d, cs) => entryName(root)(d) -> cs }
     // appends inherit the recorded schema: an append adds rows, not
     // columns (schema-changing writes go through commitReplace/merge)
     val m = Manifest(
       prev.map(_.gen + 1).getOrElse(1L),
-      prev.map(_.dirs).getOrElse(Nil) :+ name,
+      prev.map(_.dirs).getOrElse(Nil) ++ named.map(_._1),
       prev.map(_.stats).getOrElse(Map.empty) ++
-        (if (stats.nonEmpty) Map(name -> stats) else Map.empty),
+        named.collect { case (n, cs) if cs.nonEmpty => n -> cs },
       prev.flatMap(_.tableSchema), Some(op),
       prev.map(_.dvs).getOrElse(Map.empty),
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,

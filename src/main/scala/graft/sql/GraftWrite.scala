@@ -153,18 +153,47 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           // data-copying commit mutating a table this statement did
           // not create.
           if (deep) {
-            val srcPrefix = srcRoot.stripSuffix("/") + "/"
+            // PATH-NORMALIZED compare on both sides: shallowClone records
+            // refs via dirAbs over a Path-normalized source, so a raw
+            // user-typed srcRoot ("/a//b/", "file:/a/b") would never
+            // prefix-match its own clone's refs and a genuine crashed
+            // deep clone would misread as foreign
+            def norm(p: String) =
+              new org.apache.hadoop.fs.Path(p).toString.stripSuffix("/")
+            val srcPrefix = norm(srcRoot) + "/"
             val m = ManifestCommit.readManifest(spark, root)
             val ext = m.toSeq.flatMap(mf =>
               mf.dirs.filter(ManifestCommit.isExternal(root, _)) ++
                 mf.dvs.values.toSeq.filter(ManifestCommit.isExternal(root, _)))
+            // a clone OF a shallow clone records the SOURCE's own external
+            // refs verbatim (they point at the grandparent table, not
+            // srcRoot) — those are part of the crashed-deep-clone
+            // signature too, resolved against the generation this
+            // statement pins (the refs the crashed run would have copied)
+            val srcExt: Set[String] = {
+              val gen = version.orElse(tsRaw.map(t => ManifestCommit.genAsOf(
+                spark, srcRoot, GraftSql.parseTsMillis(spark, t))))
+              (gen match {
+                case Some(g) => ManifestCommit.readManifestAt(spark, srcRoot, g)
+                case None => ManifestCommit.readManifest(spark, srcRoot)
+              }).toSeq.flatMap(sm =>
+                sm.dirs.filter(ManifestCommit.isExternal(srcRoot, _)) ++
+                  sm.dvs.values.toSeq.filter(ManifestCommit.isExternal(srcRoot, _)))
+                .map(norm).toSet
+            }
             // ext empty = the deep clone already COMPLETED — the
             // idempotent-retry case, a true no-op (materializeExternal
             // would be one too, but skipping it avoids a pointless
-            // manifest read/CAS); ext into srcRoot = the crashed-deep-
-            // clone signature — finish it; anything else is a FOREIGN
-            // table this statement must not touch.
-            if (ext.forall(_.startsWith(srcPrefix))) {
+            // manifest read/CAS); every ref into srcRoot or among the
+            // source's own external refs = the crashed-deep-clone
+            // signature — finish it; anything else is a FOREIGN table
+            // this statement must not touch (the IF NOT EXISTS no-op
+            // contract; with the normalization above, a genuine crashed
+            // clone can no longer land in this branch by accident).
+            if (ext.forall { e =>
+              val en = norm(e)
+              en.startsWith(srcPrefix) || srcExt.contains(en)
+            }) {
               if (ext.nonEmpty) ManifestCommit.materializeExternal(spark, root)
             } else org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"graft CLONE IF NOT EXISTS: table at $root already exists " +

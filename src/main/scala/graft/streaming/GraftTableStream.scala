@@ -67,14 +67,18 @@ import graft.ingest.{ChangeFeed, ManifestCommit}
   * evolved schema — the Delta contract); later-evolved columns are
   * invisible to a running stream, and pre-evolution dirs null-fill.
   *
-  * SINK: each `addBatch` lands as one immutable dir + an O(changes)
-  * `commitAppend` carrying `txn=(txnAppId, batchId)` — a replayed batch
-  * (post-crash re-delivery) is recognized from the manifest's writer
-  * ledger and dropped, so replica CONTENTS are exactly-once while
-  * delivery stays at-least-once. Stat columns are inherited from the
-  * target's recorded stats (or seeded from its slicing expression), so
-  * skipping and manifest-only COUNT(*) stay armed under streaming
-  * writes. */
+  * SINK: each `addBatch` lands in the target's ESTABLISHED layout — a
+  * table with a recorded slicing expression gets one dir per slice
+  * value with slice-tight stats (the `writeSliced` path SQL INSERT
+  * takes, so a mixed-slice batch keeps month-granular pruning instead
+  * of one dir whose stats span months), an unsliced table gets one dir
+  * — committed as ONE generation via an O(changes) append carrying
+  * `txn=(txnAppId, batchId)`: a replayed batch (post-crash re-delivery)
+  * is recognized from the manifest's writer ledger and dropped whole,
+  * so replica CONTENTS are exactly-once while delivery stays
+  * at-least-once. Stat columns are inherited from the target's recorded
+  * stats (or seeded from its slicing expression), so skipping and
+  * manifest-only COUNT(*) stay armed under streaming writes. */
 class GraftTableProvider extends StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
 
@@ -705,22 +709,44 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
         graft.sql.GraftWriteUtil.sliceRefCols(s, aligned.columns.toSeq) ++
           ManifestCommit.sliceExprStatCols(s, aligned.columns.toSeq) :+
           ManifestCommit.RowCountStat).getOrElse(Nil)
-    val dir = ManifestCommit.newDataDir(root)
-    aligned.write.parquet(dir)
-    // CHECK constraints proven on the staged dir before commit (the
-    // validated bytes are the served bytes); violation deletes it and
-    // fails the batch — the stream stops instead of landing bad rows
-    ManifestCommit.validateWrittenChecks(spark, root, checks,
-      Seq(dir), "streaming append")
-    val stats =
-      if (statCols.isEmpty) Nil
-      else ManifestCommit.dirStats(spark, dir, statCols)
-    // Some even when empty: a concurrent ADD CONSTRAINT landing between
-    // this batch's validation and its commit must fail the CAS (and the
-    // engine retries the batch), never silently govern unproven rows
-    ManifestCommit.commitAppend(spark, root, dir, stats = stats,
-      op = "stream_append", txn = Some(appId -> batchId),
-      expectedChecks = Some(checks))
+    prev.flatMap(_.slice) match {
+      // The table records a slicing expression: land the batch in its
+      // established layout — one dir PER SLICE VALUE with slice-tight
+      // stats, exactly what the same rows through INSERT get — instead
+      // of one batch-granular dir whose slice-column min/max can span
+      // months (a backfill replayed through the replication path, an
+      // out-of-order CDC feed) and silently degrade the pruning the
+      // table was DDL'd for. All of the batch's slice dirs commit in
+      // ONE generation carrying the batch txn, so exactly-once replay
+      // detection covers the whole batch; the common single-slice batch
+      // still lands one dir (writeSliced of one distinct value).
+      case Some(sliceText) =>
+        val dirs = ManifestCommit.writeSliced(spark, root, aligned,
+          org.apache.spark.sql.functions.expr(sliceText), statCols)
+        // CHECK constraints proven on the staged dirs before commit (the
+        // validated bytes are the served bytes); violation deletes them
+        // and fails the batch — the stream stops, never lands bad rows
+        ManifestCommit.validateWrittenChecks(spark, root, checks,
+          dirs.map(_._1), "streaming append")
+        // Some even when empty: a concurrent ADD CONSTRAINT landing
+        // between this batch's validation and its commit must fail the
+        // CAS (and the engine retries the batch), never silently govern
+        // unproven rows
+        ManifestCommit.commitAppendMulti(spark, root, dirs,
+          op = "stream_append", txn = Some(appId -> batchId),
+          expectedChecks = Some(checks))
+      case None =>
+        val dir = ManifestCommit.newDataDir(root)
+        aligned.write.parquet(dir)
+        ManifestCommit.validateWrittenChecks(spark, root, checks,
+          Seq(dir), "streaming append")
+        val stats =
+          if (statCols.isEmpty) Nil
+          else ManifestCommit.dirStats(spark, dir, statCols)
+        ManifestCommit.commitAppend(spark, root, dir, stats = stats,
+          op = "stream_append", txn = Some(appId -> batchId),
+          expectedChecks = Some(checks))
+    }
     ()
   }
 

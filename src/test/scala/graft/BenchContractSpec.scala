@@ -104,6 +104,27 @@ class BenchContractSpec extends AnyFunSuite {
     assert(small.contains(""""med_outliers":{"q1":9.99"""))
   }
 
+  test("drift sentinel rides every composeLine tier") {
+    // full form
+    val med = (1 to 4).map(i => s""""q$i":9.99""").mkString("{", ",", "}")
+    val full = Bench.composeLine("1.0", "1.0", """{"q1":0.10}""",
+      """{"q1":0.1}""", """{"q1":0}""", 0, "{}", med, 0, 4, "sf0.1", "{}",
+      drift = "1.04")
+    val p = new com.fasterxml.jackson.databind.ObjectMapper().readTree(full)
+    assert(p.get("drift").asDouble() === 1.04)
+    // last-resort no-med tier keeps it too (force degradation with a
+    // tiny budget; the q-map shrinks but drift is a contract field)
+    val floor = Bench.composeLine("1.0", "1.0", """{"q1":0.10}""",
+      """{"q1":0.1}""", """{"q1":0}""", 0, "{}", med, 0, 4, "sf0.1", "{}",
+      budget = 160, drift = "1.04")
+    val p2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(floor)
+    assert(p2.get("drift").asDouble() === 1.04)
+    // absent when no canary ran
+    val none = Bench.composeLine("1.0", "1.0", """{"q1":0.10}""",
+      """{"q1":0.1}""", """{"q1":0}""", 0, "{}", "{}", 0, 0, "sf0.1")
+    assert(!none.contains("drift"))
+  }
+
   test("oracle SQL carries no control characters that survive JSON escaping badly") {
     // Verify.q escapes them, but a literal NUL would still corrupt duckdb
     SparkEntry.oracleSql.foreach { case (k, sql) =>

@@ -553,6 +553,73 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(ManifestCommit.tableRowCount(spark, target) === Some(16L))
   }
 
+  test("sink routes a mixed-slice batch through writeSliced: slice-tight " +
+      "dirs in ONE generation, month probe pinned to 1 dir, replay absorbed") {
+    val target = Files.createTempDirectory("graft_sinksliced_").toString + "/r"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    ManifestCommit.commitReplace(spark, target, Nil, pruneDisplaced = false,
+      schema = Some(schema), op = "create",
+      slice = Some("date_format(ts, 'yyyyMM')"))
+    val genCreated = ManifestCommit.readManifest(spark, target).get.gen
+    // one batch spanning THREE months (a backfill replayed through the
+    // replication path / an out-of-order CDC feed)
+    val batch = spark.range(0, 75).toDF("v") // Jan 15 .. Mar 29: 3 months
+      .withColumn("ts", expr(
+        "timestamp'2024-01-15 00:00:00' + make_interval(0, 0, 0, cast(v as int), 0, 0, 0)"))
+      .select(col("ts"), col("v"))
+    val sink = new GraftTableSink(spark, Map("path" -> target, "txnAppId" -> "w"))
+    sink.addBatch(0, batch)
+    val m = ManifestCommit.readManifest(spark, target).get
+    assert(m.gen === genCreated + 1, "all slice dirs must land in ONE generation")
+    assert(m.dirs.size === 3, s"3 months -> 3 dirs, got ${m.dirs.size}")
+    // each dir's ts stats stay INSIDE its own month (slice-tight, the
+    // INSERT contract — not one batch dir spanning January..April)
+    m.dirs.foreach { d =>
+      val ts = m.stats(d).find(_.col === "ts").get
+      assert(ts.min.take(7) === ts.max.take(7),
+        s"dir $d ts stats span months: [${ts.min}, ${ts.max}]")
+    }
+    // month probe pinned FROM THE PLAN: the SQL read scans exactly 1 dir
+    val name = uniq("sliced_sink")
+    graft.sql.GraftSql.register(name, target)
+    // bounds strictly inside February: stat pruning treats `<` as `<=`
+    // (conservative inclusive overlap), so a bound equal to March's min
+    // would keep the March dir
+    val probe = spark.sql(
+      s"SELECT sum(v) FROM graft.`$name` WHERE ts >= timestamp'2024-02-01 00:00:00' " +
+        "AND ts <= timestamp'2024-02-29 23:59:59'")
+    val scanned = probe.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).filter(_.contains(target))
+              .flatMap(_.split("/").filter(s =>
+                s.startsWith("data_") && !s.contains("=")).lastOption)
+          case _ => Nil
+        }
+    }.flatten.distinct.size
+    assert(scanned === 1, s"month probe scanned $scanned dirs, want 1")
+    assert(probe.head.getLong(0) ===
+      batch.filter("ts >= timestamp'2024-02-01' and ts <= timestamp'2024-02-29 23:59:59'")
+        .agg(sum("v")).head.getLong(0))
+    // replay of the SAME batch id: absorbed whole — no new generation,
+    // no new dirs (the txn ledger covers the multi-dir commit)
+    sink.addBatch(0, batch)
+    val m2 = ManifestCommit.readManifest(spark, target).get
+    assert(m2.gen === m.gen && m2.dirs.size === 3, "replay must be a no-op")
+    // small single-slice batch: stays ONE dir (no fan-out regression)
+    sink.addBatch(1, spark.range(100, 110).toDF("v")
+      .withColumn("ts", lit("2024-05-01 00:00:00").cast("timestamp"))
+      .select(col("ts"), col("v")))
+    val m3 = ManifestCommit.readManifest(spark, target).get
+    assert(m3.dirs.size === 4, s"single-slice batch must add exactly 1 dir")
+    assert(ManifestCommit.tableRowCount(spark, target) === Some(85L))
+  }
+
   test("sink rejects .partitionBy()") {
     val target = Files.createTempDirectory("graft_sinkpart_").toString + "/r"
     val e = intercept[Exception] {
