@@ -101,6 +101,17 @@ object ManifestCommit {
     * month-partitioned by DDL — create_clickhouse_models.py:57 — and its
     * INSERT path cannot produce an unpartitioned part). Advisory layout
     * metadata: readers never consult it. */
+  /** `colmap` is the COLUMN MAPPING (the public Delta column-mapping
+    * idea, name-based): logical field name → the PHYSICAL name the data
+    * files carry, with only differing entries recorded. Created by
+    * `renameColumn` (an O(metadata) commit — cold dirs keep their
+    * bytes); every data writer translates logical→physical before
+    * writing ([[toPhysicalNames]]) and every read projects physical→
+    * logical ([[readDirsOf]]), so filter pushdown rides a plain alias,
+    * not an expression. `deadCols` tombstones the PHYSICAL names of
+    * DROPPED columns: data files still carry their bytes, so re-adding
+    * (or renaming onto) such a name would silently resurrect stale
+    * values — refused until the data is rewritten into a new table. */
   final case class Manifest(gen: Long, dirs: Seq[String],
       stats: Map[String, Seq[ColStats]] = Map.empty,
       tableSchema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -108,7 +119,12 @@ object ManifestCommit {
       dvs: Map[String, String] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       slice: Option[String] = None,
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty,
+      deadCols: Seq[String] = Nil) {
+    /** Physical (on-disk) name of a logical column. */
+    def physNameOf(logical: String): String = colmap.getOrElse(logical, logical)
+  }
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -194,9 +210,13 @@ object ManifestCommit {
   /** op / schema / txn / slice meta are ABSOLUTE in every file (full or
     * delta): they are O(1)/O(cols)/O(writers) — tiny next to the O(dirs)
     * dir list, so deltas re-state them instead of diffing. */
-  private def interpretMeta(raw: RawManifest): (
-      Option[org.apache.spark.sql.types.StructType], Option[String],
-      Map[String, Long], Option[String], Map[String, String]) = {
+  private final case class MetaFields(
+      schema: Option[org.apache.spark.sql.types.StructType],
+      op: Option[String], txns: Map[String, Long], slice: Option[String],
+      checks: Map[String, String], colmap: Map[String, String],
+      deadCols: Seq[String])
+
+  private def interpretMeta(raw: RawManifest): MetaFields = {
     val schema = raw.metaVal("#schema").map { s =>
       org.apache.spark.sql.types.DataType.fromJson(dec(s))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -214,17 +234,26 @@ object ManifestCommit {
         dec(x.substring(0, i)) -> dec(x.substring(i + 1))
       }.toMap
     }.getOrElse(Map.empty[String, String])
-    (schema, op, txns, raw.metaVal("#slice").map(dec), checks)
+    val colmap = raw.metaVal("#colmap").map { t =>
+      t.split(',').toSeq.map { x =>
+        val i = x.indexOf(':')
+        dec(x.substring(0, i)) -> dec(x.substring(i + 1))
+      }.toMap
+    }.getOrElse(Map.empty[String, String])
+    val deadCols = raw.metaVal("#deadcols")
+      .map(_.split(',').toSeq.map(dec)).getOrElse(Nil)
+    MetaFields(schema, op, txns, raw.metaVal("#slice").map(dec), checks,
+      colmap, deadCols)
   }
 
   private def interpretFull(raw: RawManifest): Manifest = {
-    val (schema, op, txns, slice, checks) = interpretMeta(raw)
+    val mf = interpretMeta(raw)
     val parsed = raw.dirLines.map(parseDirLine)
     Manifest(raw.gen, parsed.map(_._1),
       parsed.collect { case (d, cs, _) if cs.nonEmpty => d -> cs }.toMap,
-      schema, op,
+      mf.schema, mf.op,
       parsed.collect { case (d, _, Some(dv)) => d -> dv }.toMap,
-      txns, slice, checks)
+      mf.txns, mf.slice, mf.checks, mf.colmap, mf.deadCols)
   }
 
   /** Apply one delta record to its resolved base: `-name` removes a dir,
@@ -232,7 +261,7 @@ object ManifestCommit {
     * appends a new dir at the end — exactly the shapes `commitAppend`
     * and `commitReconciled` produce, so base order is preserved. */
   private def applyDelta(base: Manifest, raw: RawManifest): Manifest = {
-    val (schema, op, txns, slice, checks) = interpretMeta(raw)
+    val mf = interpretMeta(raw)
     val removed = raw.dirLines.filter(_.startsWith("-"))
       .map(_.substring(1)).toSet
     val updated = raw.dirLines.filter(_.startsWith("~"))
@@ -244,10 +273,10 @@ object ManifestCommit {
       base.dirs.filterNot(removed) ++ added.map(_._1),
       (base.stats -- removed -- touched) ++
         (updated ++ added).collect { case (d, cs, _) if cs.nonEmpty => d -> cs },
-      schema, op,
+      mf.schema, mf.op,
       (base.dvs -- removed -- touched) ++
         (updated ++ added).collect { case (d, _, Some(v)) => d -> v },
-      txns, slice, checks)
+      mf.txns, mf.slice, mf.checks, mf.colmap, mf.deadCols)
   }
 
   /** Resolved-manifest memo for the per-generation files: a COMMITTED
@@ -558,7 +587,144 @@ object ManifestCommit {
     commitReplace(spark, root, m.dirs, pruneDisplaced = false,
       stats = m.stats, schema = m.tableSchema, op = "restore",
       dvs = m.dvs, slice = m.slice, clearSlice = true,
-      expectedGen = Some(cur.gen), checks = Some(m.checks))
+      expectedGen = Some(cur.gen), checks = Some(m.checks),
+      // the restored generation's COLUMN MAPPING and tombstones are part
+      // of its read identity: restoring to a pre-rename generation
+      // restores the old name AND the absence of the mapping; restoring
+      // to a pre-drop generation legitimately revives the column — its
+      // bytes are exactly what that generation's readers saw (a
+      // conflicting post-drop re-add was refused by the tombstone, so
+      // no newer dir can have repurposed the name). The restored dir
+      // set is exactly the target generation's, so its metadata is
+      // self-consistent by construction.
+      colmap = Some(m.colmap),
+      deadCols = Some(m.deadCols))
+  }
+
+  /** LOGICAL→PHYSICAL projection for data-file writes into `root`: under
+    * a column mapping ([[Manifest.colmap]]) every data writer must land
+    * files under the PHYSICAL names (the discipline that keeps one
+    * uniform on-disk naming across pre- and post-rename dirs, so reads
+    * stay a plain alias with full filter pushdown). No-op — the common
+    * case — when the table has no mapping. Helper columns a writer adds
+    * (`__slice`, `__zbucket`) pass through untouched. Writers that
+    * forget this call are caught loudly by the commit-time footer guard
+    * ([[commitAppend]]/[[commitReconciled]]/[[commitReplace]] under a
+    * non-empty mapping). */
+  def toPhysicalNames(spark: SparkSession, root: String,
+      df: DataFrame): DataFrame = {
+    val cmap = readManifest(spark, root).map(_.colmap).getOrElse(Map.empty)
+    if (cmap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val resolver = spark.sessionState.conf.resolver
+      df.select(df.columns.toIndexedSeq.map { c =>
+        val phys = cmap.collectFirst {
+          case (l, p) if resolver(l, c) => p
+        }.getOrElse(c)
+        col(c).as(phys)
+      }: _*)
+    }
+  }
+
+  /** The column names an SQL expression text references, resolved to the
+    * given field names (case-insensitive, like the analyzer). */
+  private[graft] def exprRefCols(text: String,
+      fieldNames: Seq[String]): Seq[String] =
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .expression(org.apache.spark.sql.functions.expr(text)).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.flatMap(n => fieldNames.find(_.equalsIgnoreCase(n))).distinct
+
+  /** `ALTER TABLE t RENAME COLUMN from TO to` as an O(metadata) commit —
+    * the public Delta COLUMN MAPPING idea, name-based: cold dirs keep
+    * their bytes under the old (physical) name, the manifest records
+    * `to → physical`, reads project physical→logical ([[readDirsOf]]),
+    * writers translate logical→physical ([[toPhysicalNames]]), per-dir
+    * stats and bloom side-file keys remap, and time travel to a
+    * pre-rename generation serves the old name (each generation's
+    * record carries its own mapping).
+    *
+    * Guards — refused (each would corrupt a standing contract):
+    *  - a column the SLICING expression references (the layout's dir
+    *    names and component stats are keyed on the old text);
+    *  - a column any CHECK constraint references (every enforced writer
+    *    re-proves the recorded text);
+    *  - a column any live DELETION VECTOR keys on (the anti-join reads
+    *    the DV file's recorded key names) — compact DVs away first;
+    *  - a target name colliding with any column's PHYSICAL name or a
+    *    DROPPED column's tombstone (old files still carry those bytes —
+    *    an explicit-schema read would serve stale values). */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+      to: String): Manifest = commitLock(root).synchronized {
+    val m = readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    val cur = m.tableSchema.getOrElse(throw new IllegalArgumentException(
+      "graft RENAME COLUMN: the table has no recorded schema " +
+        "(pre-evolution table — rewrite it through a schema-recording " +
+        "commit first)"))
+    val resolver = spark.sessionState.conf.resolver
+    val fromCanon = cur.fieldNames.find(resolver(_, from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft RENAME COLUMN: no column $from"))
+    require(to.nonEmpty && to != fromCanon,
+      s"graft RENAME COLUMN: target name must differ from $fromCanon")
+    // a case-only rename (a → A) is legal; any OTHER column matching the
+    // target is a collision
+    require(!cur.fieldNames.exists(n => n != fromCanon && resolver(n, to)),
+      s"graft RENAME COLUMN: column $to already exists")
+    m.slice.foreach { s =>
+      require(!exprRefCols(s, cur.fieldNames.toSeq)
+        .exists(resolver(_, fromCanon)),
+        s"graft RENAME COLUMN: the slicing expression $s references " +
+          s"$fromCanon — the table layout is keyed on it; rewrite the " +
+          "table under a new slicing expression instead")
+    }
+    m.checks.foreach { case (cn, cond) =>
+      require(!exprRefCols(cond, cur.fieldNames.toSeq)
+        .exists(resolver(_, fromCanon)),
+        s"graft RENAME COLUMN: CHECK constraint $cn ($cond) references " +
+          s"$fromCanon — DROP CONSTRAINT first and re-add it under the " +
+          "new name")
+    }
+    // DV key columns are read BY NAME from each DV file's own schema at
+    // apply time — renaming one would break every anti-join over it.
+    // One footer read per DISTINCT dv file; tables without DVs skip.
+    m.dvs.values.toSeq.distinct.foreach { f =>
+      val keys = spark.read.parquet(dirAbs(root, f)).schema.fieldNames
+      require(!keys.exists(resolver(_, fromCanon)),
+        s"graft RENAME COLUMN: live deletion vectors key on $fromCanon " +
+          "— compact them away first (OPTIMIZE / Optimize.compactSmall)")
+    }
+    val lower = (x: String) => x.toLowerCase(java.util.Locale.ROOT)
+    // the renamed column's OWN physical name is excluded: renaming a
+    // mapped column BACK to its on-disk name is legal (it clears the
+    // mapping entry — physFrom == to below)
+    val physNames =
+      cur.fieldNames.filterNot(_ == fromCanon).map(n => m.physNameOf(n))
+    require(!(physNames ++ m.deadCols).exists(p => lower(p) == lower(to)),
+      s"graft RENAME COLUMN: target name $to collides with a physical " +
+        "(on-disk) column name still present in data files — a renamed " +
+        "column's original name, or a previously dropped column; pick " +
+        "another name or rewrite the data into a new table")
+    val physFrom = m.physNameOf(fromCanon)
+    val newColmap = (m.colmap - fromCanon) ++
+      (if (physFrom == to) Map.empty[String, String] else Map(to -> physFrom))
+    val newSchema = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == fromCanon) f.copy(name = to) else f))
+    // per-dir stats re-key to the new logical name in the same commit
+    // (skipping resolves by logical name); pseudo/expression stats and
+    // other columns carry unchanged
+    val newStats = m.stats.map { case (d, cs) =>
+      d -> cs.map(c => if (c.col == fromCanon) c.copy(col = to) else c)
+    }
+    val m2 = Manifest(m.gen + 1, m.dirs, newStats, Some(newSchema),
+      Some("rename_column"), m.dvs, m.txns, m.slice, m.checks,
+      newColmap, m.deadCols)
+    writeManifest(spark, root, m2, Some(m))
+    m2
   }
 
   /** ZERO-COPY SHALLOW CLONE (the public Delta `CREATE TABLE ... SHALLOW
@@ -616,7 +782,10 @@ object ManifestCommit {
         .flatMap { case (d, e) => m.dvs.get(d).map(f => e -> dirAbs(src, f)) }
         .toMap,
       slice = m.slice, clearSlice = true,
-      checks = Some(m.checks), expectedChecks = None)
+      checks = Some(m.checks), expectedChecks = None,
+      // the clone reads the SOURCE's physical files — its column mapping
+      // and tombstones are part of the cloned read identity
+      colmap = Some(m.colmap), deadCols = Some(m.deadCols))
   }
 
   /** IN-PLACE conversion of a plain parquet directory into a
@@ -1144,7 +1313,26 @@ object ManifestCommit {
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val schema = schemaOverride.orElse(m.tableSchema)
-    def readPaths(paths: Seq[String]): DataFrame = schema match {
+    // COLUMN MAPPING: data files carry PHYSICAL names; the scan reads
+    // them and a plain alias projection serves the logical names, so
+    // filter pushdown on a renamed column rides the alias into the
+    // parquet scan (PushedFilters intact) — never a coalesce/expression
+    // the scan couldn't push. Restricted to the read schema's fields
+    // (a schemaOverride may name columns the mapping doesn't know).
+    val eff: Map[String, String] = schema.map(s =>
+      s.fieldNames.flatMap(n =>
+        m.colmap.get(n).filter(_ != n).map(n -> _)).toMap)
+      .getOrElse(Map.empty)
+    val physSchema = schema.map(s =>
+      if (eff.isEmpty) s
+      else org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(name = eff.getOrElse(f.name, f.name)))))
+    def toLogical(df: DataFrame, extra: Seq[String]): DataFrame =
+      if (eff.isEmpty) df
+      else df.select((schema.get.fields.toIndexedSeq.map(f =>
+        col(eff.getOrElse(f.name, f.name)).as(f.name)) ++
+        extra.map(col)): _*)
+    def readPaths(paths: Seq[String]): DataFrame = physSchema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
@@ -1162,10 +1350,12 @@ object ManifestCommit {
       partColsOf(g.head) match {
         case None =>
           val df = readPaths(g.map(dirAbs(root, _)))
-          if (withId) df.withColumn("__dir", dirIdCol) else df
-        case Some(_) => readNestedPaths(spark,
+          toLogical(if (withId) df.withColumn("__dir", dirIdCol) else df,
+            if (withId) Seq("__dir") else Nil)
+        case Some(_) => toLogical(readNestedPaths(spark,
           g.map(d => dirAbs(root, d) -> partSuffixOf(m, d).get),
-          schema, keepDirId = withId)
+          physSchema, keepDirId = withId),
+          if (withId) Seq("__dir") else Nil)
       }
     val plainDfs = plain.groupBy(partColsOf).toSeq.sortBy(_._2.head)
       .map { case (_, g) => readGroup(g, withId = false) }
@@ -1324,7 +1514,12 @@ object ManifestCommit {
          .map { case (n, c) => enc(n) + ":" + enc(c) }.mkString(","))) ++
       (if (m.txns.isEmpty) Nil
        else Seq("#txn\t" + m.txns.toSeq.sortBy(_._1)
-         .map { case (w, v) => enc(w) + ":" + v }.mkString(",")))
+         .map { case (w, v) => enc(w) + ":" + v }.mkString(","))) ++
+      (if (m.colmap.isEmpty) Nil
+       else Seq("#colmap\t" + m.colmap.toSeq.sortBy(_._1)
+         .map { case (l, p) => enc(l) + ":" + enc(p) }.mkString(","))) ++
+      (if (m.deadCols.isEmpty) Nil
+       else Seq("#deadcols\t" + m.deadCols.map(enc).mkString(",")))
 
   private def renderFull(m: Manifest): String =
     (Seq(m.gen.toString) ++ metaLines(m) ++
@@ -1397,7 +1592,31 @@ object ManifestCommit {
       require(bad.isEmpty,
         s"$root: column name(s) ${bad.mkString(", ")} use the reserved " +
           "__graft_ prefix (engine helper namespace) — rename them")
+      // COLUMN-MAPPING consistency, enforced at the one chokepoint every
+      // commit passes: physical names must be distinct (a new column
+      // whose name equals a renamed column's ORIGINAL name would make
+      // two logical columns share one on-disk name) and must not collide
+      // with a dropped column's tombstoned bytes (old files still carry
+      // them — reads would resurrect stale values)
+      val lower = (x: String) => x.toLowerCase(java.util.Locale.ROOT)
+      val phys = s.fieldNames.map(n => lower(m.physNameOf(n)))
+      require(phys.distinct.size == phys.length,
+        s"$root: two columns map to one physical (on-disk) name " +
+          s"(${phys.diff(phys.distinct).distinct.mkString(", ")}) — a new " +
+          "column may not reuse a renamed column's original name; pick " +
+          "another name or rewrite the data into a new table")
+      val deadHit = s.fieldNames.filter(n =>
+        m.deadCols.exists(d => lower(d) == lower(m.physNameOf(n))))
+      require(deadHit.isEmpty,
+        s"$root: column(s) ${deadHit.mkString(", ")} collide with a " +
+          "DROPPED column's physical name — existing data files still " +
+          "carry the old bytes and an explicit-schema read would serve " +
+          "them as this column's values; pick another name or rewrite " +
+          "the data into a new table")
     }
+    require(m.colmap.isEmpty || m.tableSchema.isDefined,
+      s"$root: a column mapping requires a recorded table schema " +
+        "(reads cannot translate physical names without one)")
     resolveCache.remove(cacheKey(root, m.gen))
     val fullBase: Long = readRaw(spark, root, manifestPath(root))
       .map(r => r.metaVal("#base").map(_.toLong).getOrElse(r.gen))
@@ -1460,7 +1679,9 @@ object ManifestCommit {
       slice: Option[String] = None,
       checks: Option[Map[String, String]] = None,
       expectedChecks: Option[Map[String, String]] = None,
-      clearSlice: Boolean = false): Manifest =
+      clearSlice: Boolean = false,
+      colmap: Option[Map[String, String]] = None,
+      deadCols: Option[Seq[String]] = None): Manifest =
       commitLock(root).synchronized {
     // local dirs canonicalize to bare names; external (clone) refs stay
     val names = dirs.map(entryName(root))
@@ -1474,13 +1695,19 @@ object ManifestCommit {
     // recorded columns). None → no schema line → mergeSchema fallback.
     // writer-txn state is PRESERVED through replaces: a compaction that
     // lands between a streaming commit and its checkpoint write must not
-    // reopen the idempotence window for the replayed batch
+    // reopen the idempotence window for the replayed batch.
+    // colmap/deadCols INHERIT by default (column mapping is standing
+    // layout metadata, like the slicing expression); RESTORE / CLONE /
+    // RENAME pass the target state explicitly.
     val m = Manifest(prev.map(_.gen + 1).getOrElse(1L), names,
       stats.map { case (d, cs) => entryName(root)(d) -> cs }, schema, Some(op),
       dvs.map { case (d, f) => entryName(root)(d) -> f },
       prev.map(_.txns).getOrElse(Map.empty),
       if (clearSlice) slice else slice.orElse(prev.flatMap(_.slice)),
-      checks.getOrElse(prev.map(_.checks).getOrElse(Map.empty)))
+      checks.getOrElse(prev.map(_.checks).getOrElse(Map.empty)),
+      colmap.getOrElse(prev.map(_.colmap).getOrElse(Map.empty)),
+      deadCols.getOrElse(prev.map(_.deadCols).getOrElse(Nil)))
+    guardPhysicalNames(spark, root, m, prev.map(_.dirs.toSet).getOrElse(Set.empty))
     writeManifest(spark, root, m)
     if (pruneDisplaced) {
       // eager-prune mode: displaced dirs go away, so the older snapshots
@@ -1614,7 +1841,8 @@ object ManifestCommit {
       schema,
       Some(op),
       (cur.dvs -- dispN) ++ dvUpdates.map { case (d, f) => name(d) -> f },
-      cur.txns, cur.slice, cur.checks)
+      cur.txns, cur.slice, cur.checks, cur.colmap, cur.deadCols)
+    guardPhysicalNames(spark, root, m, cur.dirs.toSet)
     writeManifest(spark, root, m, Some(cur))
     m
   }
@@ -1762,7 +1990,10 @@ object ManifestCommit {
       prev.map(_.dvs).getOrElse(Map.empty),
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
       prev.flatMap(_.slice),
-      prev.map(_.checks).getOrElse(Map.empty))
+      prev.map(_.checks).getOrElse(Map.empty),
+      prev.map(_.colmap).getOrElse(Map.empty),
+      prev.map(_.deadCols).getOrElse(Nil))
+    guardPhysicalNames(spark, root, m, prev.map(_.dirs.toSet).getOrElse(Set.empty))
     writeManifest(spark, root, m, prev)
     m
   }
@@ -1832,6 +2063,29 @@ object ManifestCommit {
           s"${current.keys.toSeq.sorted.mkString(",")}) — re-read and retry")
     }
 
+  /** Under an active column mapping, every NEW local dir must carry
+    * PHYSICAL names — a writer that missed [[toPhysicalNames]] would
+    * otherwise land files whose mapped columns read as null (silent
+    * data loss). One footer read per new dir, only when a mapping
+    * exists; external (clone) refs are the source's responsibility. */
+  private def guardPhysicalNames(spark: SparkSession, root: String,
+      m: Manifest, prevDirs: Set[String]): Unit =
+    if (m.colmap.exists { case (l, p) => l != p }) {
+      val mappedLogical =
+        m.colmap.collect { case (l, p) if l != p => l }.toSet
+      m.dirs.filterNot(prevDirs).filterNot(isExternal(root, _)).foreach { d =>
+        val cols = scala.util.Try(
+          spark.read.parquet(dirAbs(root, d)).schema.fieldNames.toSeq)
+          .getOrElse(Nil)
+        val bad = cols.filter(mappedLogical)
+        require(bad.isEmpty,
+          s"$root: staged dir $d carries LOGICAL column name(s) " +
+            s"${bad.mkString(", ")} under an active column mapping — " +
+            "the writer must land physical names (route the write " +
+            "through ManifestCommit.toPhysicalNames)")
+      }
+    }
+
   private def checkCas(root: String, prev: Option[Manifest],
       expectedGen: Option[Long]): Unit =
     expectedGen.foreach { eg =>
@@ -1878,7 +2132,8 @@ object ManifestCommit {
     * empty-dir case) are omitted: no stats = never pruned, the safe
     * default. */
   def dirStats(spark: SparkSession, dir: String,
-      cols: Seq[String]): Seq[ColStats] = {
+      cols: Seq[String],
+      colmap: Map[String, String] = Map.empty): Seq[ColStats] = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
     if (cols.isEmpty) return Nil
     // [[RowCountStat]] is a PSEUDO-column (no data column backs it):
@@ -1888,7 +2143,13 @@ object ManifestCommit {
     // nonexistent column
     val real = cols.filterNot(PseudoStats)
     val wantRows = cols.contains(RowCountStat)
-    val df = spark.read.parquet(dir)
+    // under a column mapping, the just-written dir carries PHYSICAL
+    // names while `cols` are logical — project back before aggregating
+    // so stat keys stay logical (the name skipping resolves by)
+    val df0 = spark.read.parquet(dir)
+    val df = colmap.foldLeft(df0) { case (d, (log, phys)) =>
+      if (log != phys) d.withColumnRenamed(phys, log) else d
+    }
     val aggs = real.flatMap(c => Seq(min(statCol(df, c)), max(statCol(df, c)))) ++
       (if (wantRows) Seq(count(lit(1))) else Nil)
     val aggDf = df.agg(aggs.head, aggs.tail: _*)
@@ -2051,7 +2312,12 @@ object ManifestCommit {
     import org.apache.spark.sql.functions.{count, lit, max, min}
     val staging =
       s"$root/._sliced_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.withColumn("__slice", slice).write.partitionBy("__slice").parquet(staging)
+    // the slice value is computed over LOGICAL names, the files land
+    // under PHYSICAL names (no-op without a column mapping); stats below
+    // aggregate the logical frame, so stat keys stay logical
+    toPhysicalNames(spark, root, df.withColumn("__slice", slice))
+      .write.partitionBy("__slice").parquet(staging)
+    val dirColmap = readManifest(spark, root).map(_.colmap).getOrElse(Map.empty)
     val f = fs(spark, root)
     val real = statCols.filterNot(PseudoStats)
     val wantRows = statCols.contains(RowCountStat)
@@ -2102,7 +2368,8 @@ object ManifestCommit {
               "stats key (value rendering) — metering it with its own " +
               "per-dir pass")
           dirStats(spark, d,
-            (real ++ (if (wantRows) Seq(RowCountStat) else Nil)).distinct)
+            (real ++ (if (wantRows) Seq(RowCountStat) else Nil)).distinct,
+            colmap = dirColmap)
         }
       }
       d -> stats
@@ -2409,14 +2676,23 @@ object ManifestCommit {
   private def bloomNames(spark: SparkSession, root: String, m: Manifest,
       col: String, value: Any): Seq[String] = {
     val f = fs(spark, root)
+    // under a column mapping, dirs written before the rename carry their
+    // bloom under the PHYSICAL name — probe it when the logical file is
+    // absent, so point-lookup skipping survives a rename
+    val physCol = m.physNameOf(col)
     def probe(d: String): Boolean = {
       val p = new Path(dirAbs(root, d), s"_bloom_$col")
-      if (!f.exists(p)) true
-      else {
-        val in = f.open(p)
-        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-                 finally in.close()
-        bf.mightContain(value)
+      val pp = new Path(dirAbs(root, d), s"_bloom_$physCol")
+      val hit = if (f.exists(p)) Some(p)
+        else if (physCol != col && f.exists(pp)) Some(pp)
+        else None
+      hit match {
+        case None => true
+        case Some(path) =>
+          val in = f.open(path)
+          val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                   finally in.close()
+          bf.mightContain(value)
       }
     }
     val flags: Seq[Boolean] =

@@ -305,7 +305,9 @@ object MergeInto {
       .drop("__action")
 
     val newDir = ManifestCommit.newDataDir(root)
-    out.write.parquet(newDir)
+    // logical->physical rename under a column mapping (no-op otherwise);
+    // stats were observed on the logical frame above, so keys stay logical
+    ManifestCommit.toPhysicalNames(spark, root, out).write.parquet(newDir)
 
     val metrics = obs.get
     def metric(name: String): Long = metrics.get(name) match {
@@ -665,21 +667,35 @@ object MergeInto {
     // absolute; UUID basenames are unique across roots)
     val byBase = plainCand.map(d =>
       new org.apache.hadoop.fs.Path(ManifestCommit.dirAbs(root, d)).getName -> d).toMap
+    // under a column mapping the files carry PHYSICAL names: the witness
+    // reads them and aliases back to logical, so `cond` (logical names)
+    // resolves — a logical-schema read would null-fill a renamed column
+    // and the DML would silently match nothing
+    val eff: Map[String, String] = tSchema.fieldNames.toSeq
+      .flatMap(n => m.colmap.get(n).filter(_ != n).map(n -> _)).toMap
+    val physT =
+      if (eff.isEmpty) tSchema
+      else org.apache.spark.sql.types.StructType(tSchema.fields.map(f =>
+        f.copy(name = eff.getOrElse(f.name, f.name))))
+    def logicalize(df: DataFrame): DataFrame =
+      if (eff.isEmpty) df
+      else df.select((tSchema.fields.toIndexedSeq.map(f =>
+        col(eff.getOrElse(f.name, f.name)).as(f.name)) :+ col("__dir")): _*)
     val matchedPlain: Seq[String] = plainCand
       .groupBy(d => ManifestCommit.partSuffixOf(m, d)
         .map(_.split('/').map(_.takeWhile(_ != '=')).mkString(",")))
       .toSeq.flatMap {
         case (None, g) =>
-          spark.read.schema(tSchema)
+          logicalize(spark.read.schema(physT)
             .parquet(g.map(ManifestCommit.dirAbs(root, _)): _*)
-            .withColumn("__dir", ManifestCommit.dirIdCol)
+            .withColumn("__dir", ManifestCommit.dirIdCol))
             .filter(cond)
             .select("__dir").distinct().collect().map(_.getString(0)).toSeq
         case (Some(_), g) =>
-          ManifestCommit.readNestedPaths(spark,
+          logicalize(ManifestCommit.readNestedPaths(spark,
             g.map(d => ManifestCommit.dirAbs(root, d) ->
               ManifestCommit.partSuffixOf(m, d).get),
-            Some(tSchema), keepDirId = true)
+            Some(physT), keepDirId = true))
             .filter(cond)
             .select("__dir").distinct().collect().map(_.getString(0)).toSeq
       }.flatMap(byBase.get)
@@ -697,7 +713,8 @@ object MergeInto {
       sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as("matched"),
       count(lit(1)).as("total")), cond)
     val newDir = ManifestCommit.newDataDir(root)
-    out.write.parquet(newDir)
+    // logical->physical rename under a column mapping (no-op otherwise)
+    ManifestCommit.toPhysicalNames(spark, root, out).write.parquet(newDir)
     val row = obs.get
     val matched = Option(row("matched")).map(_.asInstanceOf[Long]).getOrElse(0L)
     val total = row("total").asInstanceOf[Long]
@@ -716,7 +733,8 @@ object MergeInto {
       ManifestCommit.validateWrittenChecks(spark, root, m.checks, added, "UPDATE")
     val stats = added.map(d =>
       d -> (if (statCols.isEmpty) Nil
-            else ManifestCommit.dirStats(spark, d, statCols))).toMap
+            else ManifestCommit.dirStats(spark, d, statCols,
+              colmap = m.colmap))).toMap
     val committed = ManifestCommit.commitReconciled(spark, root, m,
       displaced = affected, added = added, addedStats = stats,
       schema = m.tableSchema, op = op, pinned = affected.toSet,

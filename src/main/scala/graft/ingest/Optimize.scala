@@ -75,7 +75,9 @@ object Optimize {
     // as final dirs directly via its committer — the manifest protocol
     // above it is unchanged.
     val staging = s"$root/._zorder_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-    staged.write.partitionBy("__zbucket").parquet(staging)
+    // logical->physical rename under a column mapping (no-op otherwise)
+    ManifestCommit.toPhysicalNames(spark, root, staged)
+      .write.partitionBy("__zbucket").parquet(staging)
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketDirs = f.listStatus(new Path(staging)).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zbucket="))
@@ -90,8 +92,10 @@ object Optimize {
     val promoted = bucketDirs.map { st =>
       val d = ManifestCommit.newDataDir(root)
       f.rename(st.getPath, new Path(d))
-      rebuildBlooms(spark, d, bloomCols, bloomFpp)
-      d -> ManifestCommit.dirStats(spark, d, statCols)
+      // bloom side files key on the PHYSICAL on-disk name (the read path
+      // probes both); the new dir's files are physical-named already
+      rebuildBlooms(spark, d, bloomCols.map(m.physNameOf), bloomFpp)
+      d -> ManifestCommit.dirStats(spark, d, statCols, colmap = m.colmap)
     }
     f.delete(new Path(staging), true)
 
@@ -167,8 +171,9 @@ object Optimize {
       return m // nothing worth folding
     val folded = ManifestCommit.readDirsOf(spark, root, m, fold)
     val newDir = ManifestCommit.newDataDir(root)
-    folded.write.parquet(newDir)
-    rebuildBlooms(spark, newDir, bloomCols, bloomFpp)
+    // logical->physical rename under a column mapping (no-op otherwise)
+    ManifestCommit.toPhysicalNames(spark, root, folded).write.parquet(newDir)
+    rebuildBlooms(spark, newDir, bloomCols.map(m.physNameOf), bloomFpp)
     val statCols = fold.flatMap(d => m.stats.getOrElse(d, Nil).map(_.col)).distinct
     val newName = new Path(newDir).getName
     // rebasing commit: only the folded dirs are consumed; concurrent
@@ -179,7 +184,8 @@ object Optimize {
       added = Seq(newName),
       addedStats =
         if (statCols.nonEmpty)
-          Map(newName -> ManifestCommit.dirStats(spark, newDir, statCols))
+          Map(newName -> ManifestCommit.dirStats(spark, newDir, statCols,
+            colmap = m.colmap))
         else Map.empty,
       schema = m.tableSchema,
       op = "compact_minor",

@@ -1066,9 +1066,176 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q163 — `ALTER TABLE ... RENAME COLUMN` end-to-end (the Delta
+    * column-mapping idea): a month-sliced orders table renames
+    * o_totalprice → price as ONE O(metadata) commit (no dir touched),
+    * a post-rename INSERT lands PHYSICAL names (files keep one uniform
+    * on-disk naming, reads stay a plain alias with full pushdown), a
+    * March probe under the NEW name prunes to exactly 2 dirs (the
+    * original month dir + the insert's slice dir) with the pushed
+    * filter carrying the PHYSICAL name, and time travel to the
+    * pre-rename generation still serves the OLD name. 100-TB shape:
+    * rename cost is one manifest checkpoint; zero data I/O ever. */
+  val q163_rename_column = Q(
+    "q163_rename_column",
+    """WITH mar AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |    AND o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'),
+      |fin AS (
+      |  SELECT o_totalprice AS price, o_orderdate FROM orders
+      |  UNION ALL
+      |  SELECT o_totalprice + 1000 AS price, o_orderdate FROM mar)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(price as decimal(18,2))) as double) AS sum_price,
+      |  CAST(2 AS BIGINT) AS dirs_scanned,
+      |  CAST(1 AS BIGINT) AS pushed_physical,
+      |  CAST(1 AS BIGINT) AS rename_zero_io,
+      |  (SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+      |     FROM orders) AS tt_sum_old_name
+      |FROM fin
+      |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q163_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      expr("date_format(o_orderdate, 'yyyyMM')"),
+      Seq("o_orderdate", "o_totalprice", "o_orderkey",
+        ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        orders.schema.fields.map(_.copy(nullable = true)))),
+      op = "create", slice = Some("date_format(o_orderdate, 'yyyyMM')"))
+    val name = uniq("graft_q163")
+    GraftSql.register(name, root)
+    try {
+      val preGen = ManifestCommit.readManifest(s, root).get.gen
+      val dirsBefore = ManifestCommit.readManifest(s, root).get.dirs.toSet
+      s.sql(s"ALTER TABLE graft.$name RENAME COLUMN o_totalprice TO price")
+      val m1 = ManifestCommit.readManifest(s, root).get
+      // zero data I/O: the SAME dirs, one new metadata generation
+      val zeroIo = m1.dirs.toSet == dirsBefore && m1.gen == preGen + 1
+      // post-rename INSERT under the NEW name (lands physical files)
+      val mk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val src = uniq("graft_q163_src")
+      orders.filter(col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-03-31 23:59:59").cast("timestamp"))
+        .withColumn("o_orderkey", col("o_orderkey") + mk)
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumn("price", col("price") + 1000)
+        .createOrReplaceTempView(src)
+      s.sql(s"INSERT INTO graft.$name SELECT * FROM $src")
+      val probe = s.sql(
+        s"""SELECT CAST(count(*) AS LONG) AS n_rows,
+           |  cast(sum(cast(price as decimal(18,2))) as double) AS sum_price
+           |FROM graft.$name
+           |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+           |  AND o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'
+           |  AND price >= 0""".stripMargin)
+      val scanned = scannedDataDirs(probe, root)
+      // the pushed filter carries the PHYSICAL name (o_totalprice) —
+      // pushdown on a renamed column must reach the parquet scan. Read
+      // from the scan node's metadata (the plan's toString TRUNCATES
+      // long filter lists)
+      def scanFilters(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        p match {
+          // collect() does not descend into the AQE wrapper's inner plan
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanFilters(a.executedPlan)
+          case fs: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(fs.metadata.getOrElse("PushedFilters", ""))
+          case other => other.children.flatMap(scanFilters)
+        }
+      val pushed = scanFilters(probe.queryExecution.executedPlan)
+        .mkString(" ").contains("GreaterThanOrEqual(o_totalprice,0")
+      val agg = probe.collect()(0)
+      val ttOld = s.sql(
+        s"""SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+           |FROM graft.`$name@v$preGen`""".stripMargin).collect()(0).getDouble(0)
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_rows"),
+        lit(agg.getDouble(1)).as("sum_price"),
+        lit(scanned.toLong).as("dirs_scanned"),
+        lit(if (pushed) 1L else 0L).as("pushed_physical"),
+        lit(if (zeroIo) 1L else 0L).as("rename_zero_io"),
+        lit(ttOld).as("tt_sum_old_name"))
+    } finally GraftSql.unregister(name)
+  }
+
+  /** q164 — the streaming SINK honors the table's recorded `#slice`: one
+    * micro-batch spanning THREE months (the out-of-order backfill shape —
+    * the reference's Kafka feed replays history through one consumer,
+    * tools/gen_pipeline.py:288-301) lands as one dir PER MONTH with
+    * month-tight stats, all in ONE txn-ledgered generation (exactly-once
+    * replay covers the whole batch), and a month probe prunes to exactly
+    * 1 dir from the optimized plan — the same skipping the identical
+    * rows get through INSERT. Before round 16 every streamed batch
+    * landed ONE dir whose slice-column min/max spanned the whole batch,
+    * silently degrading pruning. */
+  val q164_stream_sliced_sink = Q(
+    "q164_stream_sliced_sink",
+    """WITH w AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |    AND o_orderdate <= TIMESTAMP '1996-05-31 23:59:59')
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price,
+      |  CAST(3 AS BIGINT) AS dirs_landed,
+      |  CAST(1 AS BIGINT) AS one_generation,
+      |  CAST(1 AS BIGINT) AS month_probe_one_dir,
+      |  CAST(1 AS BIGINT) AS replay_noop,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM w
+      |     WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+      |       AND o_orderdate <= TIMESTAMP '1996-04-30 23:59:59') AS april_rows
+      |FROM w""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q164_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val schema = org.apache.spark.sql.types.StructType(
+      orders.schema.fields.map(_.copy(nullable = true)))
+    ManifestCommit.commitReplace(s, root, Nil, pruneDisplaced = false,
+      schema = Some(schema), op = "create",
+      slice = Some("date_format(o_orderdate, 'yyyyMM')"))
+    val genCreated = ManifestCommit.readManifest(s, root).get.gen
+    val batch = orders.filter(
+      col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("o_orderdate") <= lit("1996-05-31 23:59:59").cast("timestamp"))
+    val sink = new graft.streaming.GraftTableSink(s,
+      Map("path" -> root, "txnAppId" -> "q164"))
+    sink.addBatch(0, batch)
+    val m = ManifestCommit.readManifest(s, root).get
+    val oneGen = m.gen == genCreated + 1
+    // replay of the SAME batch id: the whole multi-dir batch absorbed
+    sink.addBatch(0, batch)
+    val m2 = ManifestCommit.readManifest(s, root).get
+    val replayNoop = m2.gen == m.gen && m2.dirs == m.dirs
+    val name = uniq("graft_q164")
+    GraftSql.register(name, root)
+    try {
+      val april = s.sql(
+        s"""SELECT CAST(count(*) AS LONG) AS april_rows FROM graft.$name
+           |WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+           |  AND o_orderdate <= TIMESTAMP '1996-04-30 23:59:59'""".stripMargin)
+      val aprilScanned = scannedDataDirs(april, root)
+      val aprilRows = april.collect()(0).getLong(0)
+      val agg = s.sql(
+        s"""SELECT CAST(count(*) AS LONG) AS n_rows,
+           |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+           |FROM graft.$name""".stripMargin).collect()(0)
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_rows"),
+        lit(agg.getDouble(1)).as("sum_price"),
+        lit(m.dirs.size.toLong).as("dirs_landed"),
+        lit(if (oneGen) 1L else 0L).as("one_generation"),
+        lit(if (aprilScanned == 1) 1L else 0L).as("month_probe_one_dir"),
+        lit(if (replayNoop) 1L else 0L).as("replay_noop"),
+        lit(aprilRows).as("april_rows"))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
     q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned,
-    q162_convert_multilevel)
+    q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink)
 }

@@ -512,6 +512,22 @@ case class GraftResolveRelations(spark: SparkSession)
         }
         GraftDropColumns(root, names, dc.ifExists)
 
+      // ALTER TABLE graft.<name> RENAME COLUMN a TO b: an O(metadata)
+      // commit recording a COLUMN MAPPING (logical -> physical name) —
+      // cold dirs keep their bytes under the old name, reads project
+      // under the new one, stats/bloom keys remap; guards refuse
+      // renaming DV-key / slicing-referenced / constrained columns
+      // (ManifestCommit.renameColumn)
+      case rc: RenameColumn if graftTableRef(rc.table).isDefined =>
+        val (root, gen) = graftTableRef(rc.table).get
+        require(gen.isEmpty, "graft ALTER: cannot alter a @v time-travel reference")
+        val from = rc.column match {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName(Seq(n)) => n
+          case other => throw new IllegalArgumentException(
+            s"graft ALTER RENAME COLUMN: only top-level columns (got $other)")
+        }
+        GraftRenameColumn(root, from, rc.newName)
+
       // ALTER TABLE graft.<a> RENAME TO graft.<b>: a registry repoint
       case rt: RenameTable if (rt.child match {
             case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
@@ -972,6 +988,16 @@ case class GraftDropColumns(root: String, names: Seq[String],
 case class GraftRenameTable(from: String, to: String) extends LeafCommand {
   override def simpleString(maxFields: Int): String =
     s"GraftRenameTable $from -> $to"
+}
+
+/** Leaf command for `ALTER TABLE graft.<t> RENAME COLUMN a TO b`: one
+  * O(metadata) commit recording the column mapping (the public Delta
+  * column-mapping idea) — no data rewrite; see
+  * [[graft.ingest.ManifestCommit.renameColumn]] for the contract. */
+case class GraftRenameColumn(root: String, from: String, to: String)
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftRenameColumn $root $from -> $to"
 }
 
 /** Leaf command for `OPTIMIZE graft.<name> [ZORDER BY (cols)]`: plain

@@ -321,11 +321,22 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         // per-dir stats of dropped columns go with them
         val stats = m.stats.map { case (d, cs) =>
           d -> cs.filterNot(c => dropped(c.col)) }
+        // the dropped columns' PHYSICAL names tombstone: data files
+        // still carry their bytes, so a later ADD COLUMNS (or RENAME
+        // COLUMN onto) that name would silently serve the stale values
+        // — the tombstone makes the chokepoint refuse it
         ManifestCommit.commitReplace(spark, root, m.dirs,
           pruneDisplaced = false, stats = stats,
           schema = Some(narrowed), op = "drop_columns",
-          expectedGen = Some(m.gen))
+          expectedGen = Some(m.gen),
+          colmap = Some(m.colmap -- dropped),
+          deadCols = Some(
+            (m.deadCols ++ dropped.toSeq.map(m.physNameOf)).distinct))
         ()
+      }) :: Nil
+    case GraftRenameColumn(root, from, to) =>
+      GraftRowOpExec(s"GraftRenameColumnExec $root $from->$to", () => {
+        ManifestCommit.renameColumn(spark, root, from, to); ()
       }) :: Nil
     case GraftRenameTable(from, to) =>
       GraftRowOpExec(s"GraftRenameTableExec $from->$to", () => {
@@ -531,11 +542,13 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
         ()
       case None =>
         val dir = ManifestCommit.newDataDir(root)
-        df.write.parquet(dir)
+        ManifestCommit.toPhysicalNames(spark, root, df).write.parquet(dir)
         ManifestCommit.validateWrittenChecks(spark, root, checks,
           Seq(dir), "INSERT")
         val stats =
-          if (statCols.isEmpty) Nil else ManifestCommit.dirStats(spark, dir, statCols)
+          if (statCols.isEmpty) Nil
+          else ManifestCommit.dirStats(spark, dir, statCols,
+            colmap = prev.map(_.colmap).getOrElse(Map.empty))
         if (overwrite)
           ManifestCommit.commitReplace(spark, root, Seq(dir),
             pruneDisplaced = false, stats = Map(dir -> stats),

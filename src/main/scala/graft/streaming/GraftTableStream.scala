@@ -282,6 +282,28 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     if (startingTsMs.isDefined) tsStartAfter() else startAfter
 
   private val readSchema: StructType = tableSchema(spark, root)
+  /** COLUMN MAPPING pinned at stream start, like the schema: data files
+    * carry PHYSICAL names, so the source's own batched scans read the
+    * physical schema and alias to the pinned logical names. A RENAME
+    * COLUMN landing mid-stream is schema evolution under the pinned-
+    * schema contract: the appends path keeps delivering (physical names
+    * are stable across a rename), the CDF path null-fills the old name
+    * from post-rename generations (a rename reads as drop+add under a
+    * pinned schema) — restart the stream to adopt the new name. */
+  private val pinnedColmap: Map[String, String] =
+    ManifestCommit.readManifest(spark, root).map(_.colmap).getOrElse(Map.empty)
+  private val effMap: Map[String, String] = readSchema.fieldNames.toSeq
+    .flatMap(n => pinnedColmap.get(n).filter(_ != n).map(n -> _)).toMap
+  private val physReadSchema: StructType =
+    if (effMap.isEmpty) readSchema
+    else StructType(readSchema.fields.map(f =>
+      f.copy(name = effMap.getOrElse(f.name, f.name))))
+  private def physToLogical(df: DataFrame,
+      extra: Seq[String] = Nil): DataFrame =
+    if (effMap.isEmpty) df
+    else df.select((readSchema.fields.toIndexedSeq.map(f =>
+      col(effMap.getOrElse(f.name, f.name)).as(f.name)) ++
+      extra.map(col)): _*)
   override val schema: StructType =
     if (cdf) StructType(readSchema.fields :+
       StructField(ChangeFeed.ChangeType, StringType, nullable = false) :+
@@ -491,17 +513,18 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
           java.util.Arrays.asList(lookupRows: _*)),
         StructType(Seq(StructField("__g_dir", StringType, false),
           StructField("__g_gen", LongType, false))))
-      val scan =
+      val scan = physToLogical(
         if (pendingNested)
           ManifestCommit.readNestedPaths(spark,
             pending.toSeq.map { case (d, _, sfx) =>
               ManifestCommit.dirAbs(root, d) -> sfx.get },
-            Some(readSchema), keepDirId = true)
+            Some(physReadSchema), keepDirId = true)
             .withColumnRenamed("__dir", "__g_dir")
-        else spark.read.schema(readSchema)
+        else spark.read.schema(physReadSchema)
           .parquet(pending.toSeq.map { case (d, _, _) =>
             ManifestCommit.dirAbs(root, d) }: _*)
-          .withColumn("__g_dir", ManifestCommit.dirIdCol)
+          .withColumn("__g_dir", ManifestCommit.dirIdCol),
+        extra = Seq("__g_dir"))
       frames += scan
         .join(broadcast(lookup), "__g_dir")
         .withColumn(ChangeFeed.ChangeType, lit("insert"))
@@ -579,13 +602,13 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
       scala.collection.mutable.ArrayBuffer[(String, Option[String])]()
     var pendingNested = false
     def flush(): Unit = if (pending.nonEmpty) {
-      frames +=
-        (if (pendingNested)
+      frames += physToLogical(
+        if (pendingNested)
           ManifestCommit.readNestedPaths(spark,
             pending.toSeq.map { case (d, sfx) =>
               ManifestCommit.dirAbs(root, d) -> sfx.get },
-            Some(readSchema))
-        else spark.read.schema(readSchema)
+            Some(physReadSchema))
+        else spark.read.schema(physReadSchema)
           .parquet(pending.toSeq.map(p =>
             ManifestCommit.dirAbs(root, p._1)): _*))
       pending.clear()
@@ -737,12 +760,13 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
           expectedChecks = Some(checks))
       case None =>
         val dir = ManifestCommit.newDataDir(root)
-        aligned.write.parquet(dir)
+        ManifestCommit.toPhysicalNames(spark, root, aligned).write.parquet(dir)
         ManifestCommit.validateWrittenChecks(spark, root, checks,
           Seq(dir), "streaming append")
         val stats =
           if (statCols.isEmpty) Nil
-          else ManifestCommit.dirStats(spark, dir, statCols)
+          else ManifestCommit.dirStats(spark, dir, statCols,
+            colmap = prev.map(_.colmap).getOrElse(Map.empty))
         ManifestCommit.commitAppend(spark, root, dir, stats = stats,
           op = "stream_append", txn = Some(appId -> batchId),
           expectedChecks = Some(checks))
