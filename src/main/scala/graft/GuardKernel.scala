@@ -36,15 +36,21 @@ object GuardKernel {
     // the full-table-rewrite diff shape
     def payload(c: org.apache.spark.sql.Column) =
       md5(c.cast("string"))
-    spark.range(n).toDF("id").withColumn("v", col("id") * 2)
-      .withColumn("s", payload(col("id")))
+    val wide = args.lift(1).exists(_.toBoolean)
+    val extraCols = if (wide) (1 to 6).map(i => s"s$i") else Nil
+    def withPayload(df: DataFrame, salt: Int): DataFrame =
+      extraCols.zipWithIndex.foldLeft(
+        df.withColumn("s", payload(col("id") + salt))) { case (d, (c, i)) =>
+        d.withColumn(c, payload(col("id") + salt + i + 1))
+      }
+    withPayload(spark.range(n).toDF("id").withColumn("v", col("id") * 2), 0)
       .write.mode("overwrite").parquet(oldDir)
-    spark.range(n / 2, n + n / 2).toDF("id").withColumn("v", col("id") * 3)
-      .withColumn("s", payload(col("id") + 1))
+    withPayload(spark.range(n / 2, n + n / 2).toDF("id")
+      .withColumn("v", col("id") * 3), 1)
       .write.mode("overwrite").parquet(newDir)
 
     val keys = Seq("id")
-    val cols = Seq("id", "v", "s")
+    val cols = Seq("id", "v", "s") ++ extraCols
 
     def mark(df0: DataFrame, name: String, mode: String): DataFrame = mode match {
       case "none" => df0.withColumn(name, lit(true))

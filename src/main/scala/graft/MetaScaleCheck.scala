@@ -302,6 +302,29 @@ object MetaScaleCheck {
             .diff(spark, root, g1, g2, Seq("id")).count() == 60L)
         }
       }
+      locally { // RENAME COLUMN (round 16): one O(dirs) metadata commit
+        // (the stats rekey touches every dir line, so the record is a
+        // checkpoint) and ZERO data I/O at any dir count; a pruned read
+        // under the NEW name then stays O(kept dirs) — the physical
+        // alias must not break manifest skipping
+        val root = buildRanged(spark, s"meta_rename_${tag}_", nDirs, 100)
+        var flip = 0
+        all("rename_column") = time(s"$tag RENAME COLUMN ($nDirs dirs rekeyed)") {
+          // time() reps the block: alternate the direction so each rep
+          // performs one full rename commit
+          if (flip % 2 == 0) ManifestCommit.renameColumn(spark, root, "v", "w")
+          else ManifestCommit.renameColumn(spark, root, "w", "v")
+          flip += 1
+        }
+        val renamedCol = if (flip % 2 == 0) "v" else "w"
+        all("renamed_pruned_read") = time(
+          s"$tag pruned read under the renamed name (1 dir of $nDirs)") {
+          val (df, kept, total) = ManifestCommit.readPruned(spark, root, "id",
+            Some((nDirs / 2 * 100L).toString),
+            Some((nDirs / 2 * 100L + 50).toString))
+          assert(kept < total && df.select(renamedCol).count() > 0)
+        }
+      }
       locally { // sparse DV delete: keys in 8 fixed dirs of nDirs
         val roots = Seq(buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100),
           buildRanged(spark, s"meta_dv_${tag}_", nDirs, 100)).iterator

@@ -2154,12 +2154,17 @@ object ManifestCommit {
       (if (wantRows) Seq(count(lit(1))) else Nil)
     val aggDf = df.agg(aggs.head, aggs.tail: _*)
     val row = aggDf.collect()(0)
-    real.zipWithIndex.flatMap { case (c, i) =>
+    val base = real.zipWithIndex.flatMap { case (c, i) =>
       colStatsOf(c, aggDf.schema(2 * i).dataType, row.get(2 * i), row.get(2 * i + 1))
     } ++ (if (wantRows) {
       val n = row.getLong(2 * real.size)
       Seq(ColStats(RowCountStat, "num", n.toString, n.toString))
     } else Nil)
+    // exact on-disk bytes ride every metered dir (one driver-side
+    // content walk, no data I/O) — see [[BytesStat]]. Only ALONGSIDE
+    // other stats: an empty/all-null dir keeps the "no stats = never
+    // pruned" shape intact.
+    if (base.isEmpty) base else base :+ dirBytesStat(spark, dir)
   }
 
   /** A stat "column" may be a plain column name OR a slice-component
@@ -2372,7 +2377,10 @@ object ManifestCommit {
             colmap = dirColmap)
         }
       }
-      d -> stats
+      // exact on-disk bytes ride every metered dir (the fallback path
+      // above already metered them via dirStats)
+      d -> (if (stats.isEmpty || stats.exists(_.col == BytesStat)) stats
+            else stats :+ dirBytesStat(spark, d))
     }
     f.delete(new Path(staging), true)
     promoted
@@ -2473,11 +2481,41 @@ object ManifestCommit {
     * with the nesting ([[PseudoStats]] membership does that). */
   val PartStat = "__part"
 
+  /** Pseudo-stat carrying a dir's exact ON-DISK BYTE TOTAL (min == max ==
+    * bytes of its data files). Metered at commit time by the writers
+    * (one driver-side content walk per new immutable dir, paid once):
+    * `GraftRelation.computeStats` serves `sum(__bytes)` as an EXACT
+    * `sizeInBytes` — rows × schema defaultSize underestimates wide
+    * string/binary corpora (the LLM-pipeline case) by 10×+ — and
+    * OPTIMIZE's small-dir selection reads it instead of probing the
+    * filesystem per dir. Old manifests without it fall back to the
+    * estimate / the FS probe. Never inherited as a data stat column. */
+  val BytesStat = "__bytes"
+
+  /** One [[BytesStat]] entry for a freshly written dir (driver-side
+    * content summary — no Spark job, no data read). */
+  def dirBytesStat(spark: SparkSession, dir: String): ColStats = {
+    val p = new Path(dir)
+    val len = fs(spark, dir).getContentSummary(p).getLength
+    ColStats(BytesStat, "num", len.toString, len.toString)
+  }
+
+  /** Exact live-table byte total: Some(sum) when EVERY live dir carries
+    * a [[BytesStat]] — else None (old manifests, partial coverage) and
+    * the caller estimates. DV'd dirs count their FULL bytes (the files
+    * are what a scan reads; conservative for planning). */
+  def tableBytesOf(m: Manifest): Option[Long] = {
+    val per = m.dirs.map(d =>
+      m.stats.getOrElse(d, Nil).find(_.col == BytesStat).map(_.min.toLong))
+    if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
+
   /** Stat pseudo-columns no data column backs — every consumer that
     * derives stat columns from a manifest must filter these before
     * touching the data (inheriting one into an aggregate was a real
     * crash class, caught in round-9 review). */
-  val PseudoStats: Set[String] = Set(RowCountStat, DvDeadStat, PartStat)
+  val PseudoStats: Set[String] = Set(RowCountStat, DvDeadStat, PartStat,
+    BytesStat)
 
   /** The dir's hive partition suffix when it is a hive-nested convert
     * ([[PartStat]]), None for ordinary flat dirs. */

@@ -330,7 +330,9 @@ object MergeInto {
       } ++ (if (wantRows)
         Seq(ColStats(ManifestCommit.RowCountStat, "num",
           (upd + ins + keep).toString, (upd + ins + keep).toString))
-      else Nil)
+      else Nil) ++
+        // exact on-disk bytes for the rewritten dir ([[BytesStat]])
+        Seq(ManifestCommit.dirBytesStat(spark, newDir))
     val newName = new org.apache.hadoop.fs.Path(newDir).getName
     // every merge records the (possibly evolved) union schema: readers of
     // this generation plan with it explicitly, so cold dirs that predate

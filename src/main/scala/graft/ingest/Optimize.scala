@@ -148,11 +148,18 @@ object Optimize {
     // latency wall at high dir counts (the resolveBloom lesson; dv'd
     // dirs always fold, so they skip the probe entirely)
     val small: Map[String, Boolean] = {
-      val probed = m.dirs.filterNot(m.dvs.contains)
+      // dirs whose manifest carries the exact __bytes stat answer from
+      // METADATA (zero filesystem round-trips); only stat-less dirs
+      // (old manifests) pay the content-summary probe
+      val candidates = m.dirs.filterNot(m.dvs.contains)
+      val viaStat: Map[String, Boolean] = candidates.flatMap(d =>
+        m.stats.getOrElse(d, Nil).find(_.col == ManifestCommit.BytesStat)
+          .map(cs => d -> (cs.min.toLong < smallBytes))).toMap
+      val probed = candidates.filterNot(viaStat.contains)
       def probe(d: String) =
         d -> (f.getContentSummary(new Path(
           ManifestCommit.dirAbs(root, d))).getLength < smallBytes)
-      if (probed.size <= 4) probed.map(probe).toMap
+      viaStat ++ (if (probed.size <= 4) probed.map(probe).toMap
       else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
@@ -162,7 +169,7 @@ object Optimize {
         try Await.result(
           Future.sequence(probed.map(d => Future(probe(d)))), Duration.Inf).toMap
         finally pool.shutdown()
-      }
+      })
     }
     val (fold, keep) = m.dirs.partition { d =>
       m.dvs.contains(d) || small.getOrElse(d, false)

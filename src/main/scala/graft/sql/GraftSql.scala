@@ -205,12 +205,18 @@ case class GraftRelation(root: String, manifest: Manifest,
 
   /** Manifest row counts feed the planner BEFORE expansion (join-order /
     * broadcast heuristics that consult logical stats must not see the
-    * unknown-size default when the manifest knows better). */
+    * unknown-size default when the manifest knows better). sizeInBytes
+    * is EXACT when every live dir carries the commit-time `__bytes`
+    * stat — rows × schema defaultSize underestimates wide string/binary
+    * corpora by 10×+, which could push a too-big side under the
+    * broadcast threshold; old manifests without the stat keep the
+    * estimate. */
   override def computeStats(): Statistics = {
     val rows = ManifestCommit.tableRowCountOf(manifest)
     val width = output.map(_.dataType.defaultSize).sum.max(1)
     Statistics(
-      sizeInBytes = rows.map(n => BigInt(n) * width)
+      sizeInBytes = ManifestCommit.tableBytesOf(manifest).map(BigInt(_))
+        .orElse(rows.map(n => BigInt(n) * width))
         .getOrElse(BigInt(conf.defaultSizeInBytes)),
       rowCount = rows.map(BigInt(_)))
   }
@@ -274,6 +280,7 @@ case class GraftResolveRelations(spark: SparkSession)
           org.apache.spark.sql.Row(
             d,
             stat(d, ManifestCommit.RowCountStat).map(Long.box).orNull,
+            stat(d, ManifestCommit.BytesStat).map(Long.box).orNull,
             m.dvs.get(d).orNull,
             m.stats.getOrElse(d, Nil)
               .filterNot(s => ManifestCommit.PseudoStats(s.col))
@@ -286,6 +293,8 @@ case class GraftResolveRelations(spark: SparkSession)
             org.apache.spark.sql.types.StructField("dir",
               org.apache.spark.sql.types.StringType, false),
             org.apache.spark.sql.types.StructField("rows",
+              org.apache.spark.sql.types.LongType, true),
+            org.apache.spark.sql.types.StructField("bytes",
               org.apache.spark.sql.types.LongType, true),
             org.apache.spark.sql.types.StructField("dv",
               org.apache.spark.sql.types.StringType, true),

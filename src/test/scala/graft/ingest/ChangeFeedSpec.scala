@@ -178,6 +178,53 @@ class ChangeFeedSpec extends SparkSpec {
     assert(g === u)
   }
 
+  test("a nested STRUCT key diffs correctly, still raises on duplicates, " +
+      "and keeps the shared-exchange shape (Literal.default covers " +
+      "struct/array/map, so every joinable key type rides the primary " +
+      "materialized-shape path; the raw-key fallback is defense-in-depth " +
+      "for types Literal.default cannot seed)") {
+    val root = Files.createTempDirectory("graft_cfspec_").toString + "/sk"
+    def rows(extra: Boolean, shift: Long) = {
+      val base = spark.range(0, 50).toDF("n")
+        .select(struct(col("n").as("a"),
+          concat(lit("k"), col("n")).as("b")).as("k"),
+          (col("n") * 2 + shift).as("v"))
+      if (extra) base.unionAll(spark.range(3, 4).toDF("n")
+        .select(struct(col("n").as("a"),
+          concat(lit("k"), col("n")).as("b")).as("k"), lit(777L).as("v")))
+      else base
+    }
+    val d1 = ManifestCommit.newDataDir(root)
+    rows(extra = false, 0).write.parquet(d1)
+    ManifestCommit.commitReplace(spark, root, Seq(d1),
+      pruneDisplaced = false, schema = Some(rows(extra = false, 0).schema))
+    val d2 = ManifestCommit.newDataDir(root)
+    rows(extra = false, 1).write.parquet(d2)
+    ManifestCommit.commitReplace(spark, root, Seq(d2), pruneDisplaced = false)
+    // correct feed: every key updated (v shifted by 1) → 50 pre + 50 post
+    val feed = ChangeFeed.diff(spark, root, 1, 2, Seq("k"))
+    val byType = feed.groupBy(ChangeFeed.ChangeType).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("update_preimage" -> 50L, "update_postimage" -> 50L))
+    // guarded == unguarded exchange/sort counts (the struct key takes the
+    // materialized-shape path, so the window shares the join's exchange)
+    def shape(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val plan = df.queryExecution.executedPlan.toString
+      ("Exchange".r.findAllIn(plan).size, "Sort \\[".r.findAllIn(plan).size)
+    }
+    assert(shape(ChangeFeed.diff(spark, root, 1, 2, Seq("k"))) ===
+      shape(ChangeFeed.diff(spark, root, 1, 2, Seq("k"), assumeUnique = true)))
+    // a duplicated struct key still raises, naming the key
+    val d3 = ManifestCommit.newDataDir(root)
+    rows(extra = true, 2).write.parquet(d3)
+    ManifestCommit.commitReplace(spark, root, Seq(d3), pruneDisplaced = false)
+    val e = intercept[Exception](
+      ChangeFeed.diff(spark, root, 2, 3, Seq("k")).count())
+    def msg(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msg(t.getCause)
+    assert(msg(e).contains("duplicated"), msg(e))
+  }
+
   test("assumeUnique skips the guard: a duplicate-key diff runs (caller's " +
       "responsibility), and NULL keys still pair null-safely either way") {
     val root = mkTable()

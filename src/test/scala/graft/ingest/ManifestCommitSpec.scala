@@ -155,9 +155,16 @@ class ManifestCommitSpec extends SparkSpec {
     write(Row(10L, "c"), Row(20L, "d"))(d2)
     val s1 = ManifestCommit.dirStats(spark, d1, Seq("id", "v"))
     val s2 = ManifestCommit.dirStats(spark, d2, Seq("id", "v"))
-    assert(s1 === Seq(
+    // data stats exact; the exact on-disk __bytes pseudo-stat (round 16)
+    // rides alongside and matches the dir's content length
+    assert(s1.filterNot(_.col == ManifestCommit.BytesStat) === Seq(
       ManifestCommit.ColStats("id", "num", "1", "5"),
       ManifestCommit.ColStats("v", "str", "a", "b")))
+    val onDisk = new org.apache.hadoop.fs.Path(d1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(d1)).getLength
+    assert(s1.find(_.col == ManifestCommit.BytesStat)
+      .map(_.min.toLong) === Some(onDisk))
     ManifestCommit.commitReplace(spark, root, Seq(d1), pruneDisplaced = false,
       stats = Map(d1 -> s1))
     ManifestCommit.commitAppend(spark, root, d2, stats = s2)
@@ -190,8 +197,9 @@ class ManifestCommitSpec extends SparkSpec {
       Row(2L, java.sql.Timestamp.valueOf("1997-06-15 12:30:45.5")))
       .write.mode("overwrite").parquet(d1)
     val st = ManifestCommit.dirStats(spark, d1, Seq("ts"))
-    assert(st === Seq(ManifestCommit.ColStats("ts", "str",
-      "1996-01-01T00:00:00.000", "1997-06-15T12:30:45.500")),
+    assert(st.filterNot(_.col == ManifestCommit.BytesStat) ===
+      Seq(ManifestCommit.ColStats("ts", "str",
+        "1996-01-01T00:00:00.000", "1997-06-15T12:30:45.500")),
       "LocalDateTime.toString's dropped-zero-seconds form must NOT leak into stats")
     assert(ManifestCommit.temporalBound("1996-01-01") === "1996-01-01T00:00:00.000")
     assert(ManifestCommit.temporalBound("1997-06-15T12:30") === "1997-06-15T12:30:00.000")
@@ -1214,6 +1222,62 @@ class ManifestCommitSpec extends SparkSpec {
       .filter(n => !n.startsWith("data_") && !n.startsWith("_") &&
         !n.startsWith("."))
     assert(stray.isEmpty, s"partition shells left at root: ${stray.toSeq}")
+  }
+
+  test("convertToGraft of a THREE-LEVEL hive layout with ESCAPED values at " +
+      "levels 1 and 3: values round-trip exactly, every dimension prunes, " +
+      "DML + time travel intact") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/hive3"
+    // level 1 (src) and level 3 (url) carry ':' and '/' — hive-escaped on
+    // disk (%3A / %2F); level 2 (year) is a plain int
+    val df = spark.range(0, 240).toDF("id")
+      .withColumn("src", org.apache.spark.sql.functions.when(
+        col("id") % 2 === 0, lit("db:main"))
+        .otherwise(lit("db:aux")))
+      .withColumn("year", lit(2023) + (col("id") % 2).cast("int"))
+      .withColumn("url", org.apache.spark.sql.functions.when(
+        col("id") % 3 === 0, lit("http://a/x"))
+        .otherwise(lit("http://b/y")))
+      .withColumn("v", (col("id") * 2).cast("double"))
+    df.write.partitionBy("src", "year", "url").parquet(root)
+    val m = ManifestCommit.convertToGraft(spark, root, Seq("id"))
+    // src and year are correlated (id%2) → 2 (src,year) pairs × 2 urls
+    assert(m.dirs.size === 4, m.dirs)
+    assert(m.slice ===
+      Some(ManifestCommit.compositeSlice(Seq("src", "year", "url"))))
+    // three-segment nesting marker on every leaf
+    assert(m.dirs.forall(d => ManifestCommit.partSuffixOf(m, d)
+      .exists(s0 => s0.split('/').length == 3 && s0.startsWith("src="))))
+    val back = ManifestCommit.read(spark, root)
+    assert(back.count() === 240L)
+    // ESCAPED values round-trip exactly at BOTH escaped levels
+    assert(back.select("src").distinct().collect().map(_.getString(0)).toSet
+      === Set("db:main", "db:aux"))
+    assert(back.select("url").distinct().collect().map(_.getString(0)).toSet
+      === Set("http://a/x", "http://b/y"))
+    // every dimension prunes independently from the manifest stats
+    val (p1, k1, t1) = ManifestCommit.readPruned(spark, root,
+      "src", Some("db:main"), Some("db:main"))
+    assert(t1 === 4 && k1 === 2, s"src pruning kept $k1 of $t1")
+    assert(p1.count() === 120L)
+    val (p2, k2, t2) = ManifestCommit.readPruned(spark, root,
+      "year", Some("2024"), Some("2024"))
+    assert(t2 === 4 && k2 === 2, s"year pruning kept $k2 of $t2")
+    assert(p2.count() === 120L)
+    val (p3, k3, t3) = ManifestCommit.readPruned(spark, root,
+      "url", Some("http://a/x"), Some("http://a/x"))
+    assert(t3 === 4 && k3 === 2, s"url pruning kept $k3 of $t3")
+    assert(p3.count() === 80L)
+    // row-level DML over the 3-level nested dirs
+    MergeInto.deleteRows(spark, root,
+      col("src") === "db:main" && col("url") === "http://a/x" &&
+        col("id") < 30)
+    // src=db:main → id even; url=http://a/x → id%3==0 → id%6==0 < 30: 5 rows
+    assert(ManifestCommit.read(spark, root).count() === 235L)
+    // time travel to the conversion generation = original content
+    val g1 = ManifestCommit.readAt(spark, root, 1L)
+    assert(g1.count() === 240L)
+    assert(g1.agg(sum("id")).collect()(0).getLong(0) === (0L until 240L).sum)
   }
 
   test("a DV-subtracted read still PUSHES data filters to the parquet scan " +

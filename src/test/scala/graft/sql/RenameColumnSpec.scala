@@ -258,6 +258,70 @@ class RenameColumnSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mini-fuzz (seed 1616): renames interleaved with INSERT / MERGE / " +
+      "DV delete / compaction — live == model every step, each retained " +
+      "generation serves its own column name") {
+    val (root, name) = mkTable()
+    import spark.implicits._
+    val rnd = new scala.util.Random(1616)
+    // model: id -> value of the (renamed) v/amount column
+    var model: Map[Long, Long] = (0L until 100L).map(i => i -> i).toMap
+    var nextId = 1000L
+    var colName = "v" // the value column's CURRENT logical name
+    var nameAt = Map(ManifestCommit.readManifest(spark, root).get.gen -> colName)
+    def live(): Map[Long, Long] =
+      spark.sql(s"SELECT id, `$colName` FROM graft.`$name`").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 18).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => // INSERT a fresh batch (sliced write under the mapping)
+          val ids = (0 until 1 + rnd.nextInt(5)).map { _ => nextId += 1; nextId }
+          val src = uniq("fzsrc")
+          ids.toDF("id")
+            .withColumn("ts", lit("2024-04-01 00:00:00").cast("timestamp"))
+            .withColumn(colName, col("id") * 7)
+            .createOrReplaceTempView(src)
+          spark.sql(s"INSERT INTO graft.`$name` SELECT id, ts, `$colName` FROM $src")
+          model ++= ids.map(i => i -> i * 7)
+        case 1 if model.nonEmpty => // MERGE update of a sample
+          val pick = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(4))
+          val src = uniq("fzmsrc")
+          pick.toDF("id")
+            .withColumn("ts", lit("2024-01-10 00:00:00").cast("timestamp"))
+            .withColumn(colName, col("id") + lit(step.toLong * 100000))
+            .createOrReplaceTempView(src)
+          spark.sql(s"""MERGE INTO graft.`$name` t USING $src s ON t.id = s.id
+                       |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+          model ++= pick.map(i => i -> (i + step.toLong * 100000))
+        case 2 if model.nonEmpty => // merge-on-read DV delete
+          val pick = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(3))
+          MergeInto.deleteWhere(spark, root, pick.toDF("id"))
+          model --= pick
+        case 3 => // minor compaction (folds DVs away, keeps the mapping)
+          Optimize.compactSmall(spark, root, smallBytes = 1L << 30)
+        case _ => // RENAME flip v <-> amount (guarded by DV presence:
+          // compact first so the rename is always legal)
+          Optimize.compactSmall(spark, root, smallBytes = 1L << 30)
+          val to = if (colName == "v") "amount" else "v"
+          spark.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN `$colName` TO `$to`")
+          colName = to
+      }
+      nameAt += ManifestCommit.readManifest(spark, root).get.gen -> colName
+      assert(live() === model, s"live != model after step $step")
+      assert(ManifestCommit.tableRowCount(spark, root) === Some(model.size.toLong),
+        s"manifest COUNT broke after step $step")
+    }
+    // every retained generation serves ITS OWN column name
+    ManifestCommit.snapshotGens(spark, root).foreach { g =>
+      nameAt.get(g).foreach { expected =>
+        val fields = ManifestCommit.readAt(spark, root, g).schema.fieldNames
+        assert(fields.contains(expected) &&
+          !fields.contains(if (expected == "v") "amount" else "v"),
+          s"gen $g serves ${fields.mkString(",")}, expected $expected")
+      }
+    }
+  }
+
   test("an untranslated writer is caught loudly at commit (footer guard)") {
     val (root, name) = mkTable()
     spark.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN v TO amount")
