@@ -727,6 +727,110 @@ object ManifestCommit {
     m2
   }
 
+  /** READ-TIME WIDENING whitelist — exactly the upcasts Spark 4's
+    * parquet readers perform when the requested schema is wider than
+    * the file's (the public Delta type-widening matrix; each pair is
+    * spec-PROVEN against this Spark build in AlterColumnTypeSpec, since
+    * the reader also silently tolerates some NARROWING we must refuse). */
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigitsNeeded(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(3); case ShortType => Some(5)
+      case IntegerType => Some(10); case LongType => Some(20)
+      case _ => None
+    }
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          (t.precision - t.scale) >= (f.precision - f.scale)
+      case (f, t: DecimalType) =>
+        intDigitsNeeded(f).exists(n => t.precision - t.scale >= n)
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c TYPE wider` as an O(metadata) commit
+    * (the public Delta TYPE WIDENING idea): the recorded schema widens,
+    * cold files keep their narrower physical type and the parquet
+    * reader upcasts at scan time — zero data I/O at any table size.
+    * Only the proven widening whitelist is accepted ([[widens]] — the
+    * reader tolerates some NARROWING silently, so the guard is ours).
+    * Date → timestamp_ntz additionally REWRITES the column's per-dir
+    * stats bounds to the timestamp rendering (a date bound compared
+    * lexicographically against a timestamp probe could WRONGLY prune
+    * the boundary day — a date value IS midnight, so the rewrite is
+    * exact). Slicing-referenced columns are refused (a bucket
+    * component's Murmur3 hash is width-sensitive: post-widening rows
+    * would land in different buckets than equal pre-widening values);
+    * DV-keyed columns are refused (the anti-join reads the DV file's
+    * recorded key type). */
+  def alterColumnType(spark: SparkSession, root: String, colName: String,
+      to: org.apache.spark.sql.types.DataType): Manifest =
+      commitLock(root).synchronized {
+    val m = readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    val cur = m.tableSchema.getOrElse(throw new IllegalArgumentException(
+      "graft ALTER COLUMN TYPE: the table has no recorded schema " +
+        "(pre-evolution table — rewrite it through a schema-recording " +
+        "commit first)"))
+    val resolver = spark.sessionState.conf.resolver
+    val field = cur.fields.find(f => resolver(f.name, colName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft ALTER COLUMN TYPE: no column $colName"))
+    require(field.dataType != to,
+      s"graft ALTER COLUMN TYPE: ${field.name} already has type " +
+        s"${to.simpleString}")
+    require(widens(field.dataType, to),
+      s"graft ALTER COLUMN TYPE: ${field.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a lossless read-time widening " +
+        "(supported: byte/short/int -> wider integral or double, " +
+        "float -> double, date -> timestamp_ntz, decimal scale/precision " +
+        "growth, integral -> sufficiently wide decimal); narrowing or " +
+        "re-typing requires rewriting into a new table")
+    m.slice.foreach { s =>
+      require(!exprRefCols(s, cur.fieldNames.toSeq)
+        .exists(resolver(_, field.name)),
+        s"graft ALTER COLUMN TYPE: the slicing expression $s references " +
+          s"${field.name} — bucket hashes and slice renderings are " +
+          "width-sensitive; rewrite the table under a new slicing " +
+          "expression instead")
+    }
+    m.dvs.values.toSeq.distinct.foreach { f =>
+      val keys = spark.read.parquet(dirAbs(root, f)).schema.fieldNames
+      require(!keys.exists(resolver(_, field.name)),
+        s"graft ALTER COLUMN TYPE: live deletion vectors key on " +
+          s"${field.name} — compact them away first (OPTIMIZE / " +
+          "Optimize.compactSmall)")
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
+      if (f.name == field.name) f.copy(dataType = to) else f))
+    // date -> timestamp stats bounds re-render (exact: a date IS its
+    // midnight instant); numeric widenings compare as BigDecimal and
+    // need no rewrite. Stats are keyed by LOGICAL name.
+    val statKey = field.name
+    val newStats =
+      if (field.dataType == org.apache.spark.sql.types.DateType)
+        m.stats.map { case (d, cs) => d -> cs.map(c =>
+          if (c.col == statKey && c.min.length == 10)
+            c.copy(min = temporalBound(c.min), max = temporalBound(c.max))
+          else c)
+        }
+      else m.stats
+    val m2 = Manifest(m.gen + 1, m.dirs, newStats, Some(newSchema),
+      Some("alter_column_type"), m.dvs, m.txns, m.slice, m.checks,
+      m.colmap, m.deadCols)
+    writeManifest(spark, root, m2, Some(m))
+    m2
+  }
+
   /** ZERO-COPY SHALLOW CLONE (the public Delta `CREATE TABLE ... SHALLOW
     * CLONE` idea): create a NEW manifest-committed table at `dstRoot`
     * whose first generation REFERENCES the source's immutable data dirs

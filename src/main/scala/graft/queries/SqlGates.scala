@@ -1233,9 +1233,68 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q165 — `ALTER TABLE ... ALTER COLUMN c TYPE <wider>` end-to-end
+    * (the Delta TYPE WIDENING idea): an int column widens to BIGINT as
+    * ONE O(metadata) commit (no dir touched), cold files keep the
+    * narrow physical type and the parquet reader upcasts at scan time,
+    * a post-widen INSERT lands values beyond int range, and time travel
+    * to the pre-widen generation still serves the NARROW type. 100-TB
+    * shape: widening cost is one manifest record; zero data I/O ever. */
+  val q165_alter_column_type = Q(
+    "q165_alter_column_type",
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_custkey % 1000 AS BIGINT) AS cust_small
+      |  FROM orders),
+      |ins AS (
+      |  SELECT o_orderkey, o_custkey + 3000000000 AS cust_small
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |fin AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(cust_small) AS BIGINT) AS sum_cust,
+      |  CAST(max(cust_small) AS BIGINT) AS max_cust,
+      |  CAST(1 AS BIGINT) AS widen_zero_io,
+      |  CAST(1 AS BIGINT) AS tt_narrow_type
+      |FROM fin""".stripMargin) { (s, dir) =>
+    val loc = tmpDir("graft_q165_") + "/orders"
+    val name = uniq("graft_q165")
+    val src = uniq("graft_q165_src")
+    Tables.load(s, dir, "orders").createOrReplaceTempView(src)
+    s.sql(s"""CREATE TABLE graft.$name LOCATION '$loc' AS
+             |SELECT o_orderkey, CAST(o_custkey % 1000 AS INT) AS cust_small
+             |FROM $src""".stripMargin)
+    try {
+      val m0 = ManifestCommit.readManifest(s, loc).get
+      s.sql(s"ALTER TABLE graft.$name ALTER COLUMN cust_small TYPE BIGINT")
+      val m1 = ManifestCommit.readManifest(s, loc).get
+      // zero data I/O: same dirs, one new metadata generation, wider type
+      val zeroIo = m1.dirs == m0.dirs && m1.gen == m0.gen + 1 &&
+        m1.tableSchema.get("cust_small").dataType ==
+          org.apache.spark.sql.types.LongType
+      s.sql(s"""INSERT INTO graft.$name
+               |SELECT o_orderkey, o_custkey + 3000000000 FROM $src
+               |WHERE o_orderkey % 7 = 0""".stripMargin)
+      val agg = s.sql(
+        s"""SELECT CAST(count(*) AS LONG) AS n_rows,
+           |  sum(cust_small) AS sum_cust, max(cust_small) AS max_cust
+           |FROM graft.$name""".stripMargin).collect()(0)
+      // time travel to the pre-widen generation serves the NARROW type
+      val ttNarrow = s.sql(
+        s"SELECT cust_small FROM graft.`$name@v${m0.gen}`")
+        .schema("cust_small").dataType ==
+        org.apache.spark.sql.types.IntegerType
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_rows"),
+        lit(agg.getLong(1)).as("sum_cust"),
+        lit(agg.getLong(2)).as("max_cust"),
+        lit(if (zeroIo) 1L else 0L).as("widen_zero_io"),
+        lit(if (ttNarrow) 1L else 0L).as("tt_narrow_type"))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
     q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned,
-    q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink)
+    q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink,
+    q165_alter_column_type)
 }

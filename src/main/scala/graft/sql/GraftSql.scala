@@ -521,6 +521,30 @@ case class GraftResolveRelations(spark: SparkSession)
         }
         GraftDropColumns(root, names, dc.ifExists)
 
+      // ALTER TABLE graft.<name> ALTER COLUMN c TYPE <wider>: an
+      // O(metadata) commit widening the recorded schema — cold files
+      // keep their narrower physical type, the parquet reader upcasts
+      // at scan time (the Delta type-widening idea; whitelist enforced
+      // in ManifestCommit.alterColumnType)
+      case ac: AlterColumns if graftTableRef(ac.table).isDefined =>
+        val (root, gen) = graftTableRef(ac.table).get
+        require(gen.isEmpty, "graft ALTER: cannot alter a @v time-travel reference")
+        val changes = ac.specs.map { sp =>
+          require(sp.newNullability.isEmpty && sp.newComment.isEmpty &&
+            sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty &&
+            !sp.dropDefault,
+            "graft ALTER COLUMN: only TYPE changes are supported " +
+              "(nullability/comment/position/default are not)")
+          val name = sp.column match {
+            case org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName(Seq(n)) => n
+            case other => throw new IllegalArgumentException(
+              s"graft ALTER COLUMN: only top-level columns (got $other)")
+          }
+          name -> sp.newDataType.getOrElse(throw new IllegalArgumentException(
+            "graft ALTER COLUMN: no TYPE given"))
+        }
+        GraftAlterColumnType(root, changes)
+
       // ALTER TABLE graft.<name> RENAME COLUMN a TO b: an O(metadata)
       // commit recording a COLUMN MAPPING (logical -> physical name) —
       // cold dirs keep their bytes under the old name, reads project
@@ -1007,6 +1031,18 @@ case class GraftRenameColumn(root: String, from: String, to: String)
   extends LeafCommand {
   override def simpleString(maxFields: Int): String =
     s"GraftRenameColumn $root $from -> $to"
+}
+
+/** Leaf command for `ALTER TABLE graft.<t> ALTER COLUMN c TYPE wider`:
+  * one O(metadata) commit per column (type widening — cold files keep
+  * their narrower physical type, the parquet reader upcasts at scan
+  * time); see [[graft.ingest.ManifestCommit.alterColumnType]]. */
+case class GraftAlterColumnType(root: String,
+    changes: Seq[(String, org.apache.spark.sql.types.DataType)])
+  extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftAlterColumnType $root ${changes.map { case (n, t) =>
+      s"$n:${t.simpleString}" }.mkString(",")}"
 }
 
 /** Leaf command for `OPTIMIZE graft.<name> [ZORDER BY (cols)]`: plain

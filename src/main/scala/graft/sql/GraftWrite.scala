@@ -338,6 +338,12 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
       GraftRowOpExec(s"GraftRenameColumnExec $root $from->$to", () => {
         ManifestCommit.renameColumn(spark, root, from, to); ()
       }) :: Nil
+    case GraftAlterColumnType(root, changes) =>
+      GraftRowOpExec(s"GraftAlterColumnTypeExec $root", () => {
+        changes.foreach { case (n, t) =>
+          ManifestCommit.alterColumnType(spark, root, n, t) }
+        ()
+      }) :: Nil
     case GraftRenameTable(from, to) =>
       GraftRowOpExec(s"GraftRenameTableExec $from->$to", () => {
         val root = GraftSql.lookup(from).map(_._1).getOrElse(

@@ -1,0 +1,150 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.ingest.{ManifestCommit, MergeInto}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** `ALTER TABLE graft.t ALTER COLUMN c TYPE <wider>` — type widening as
+  * an O(metadata) commit: cold files keep their narrower physical type
+  * and the parquet reader upcasts at scan time. The whitelist is ours,
+  * pair-by-pair PROVEN here against this Spark build (the reader also
+  * tolerates some NARROWING silently, which must stay refused). */
+class AlterColumnTypeSpec extends SparkSpec {
+
+  private var n = 0
+  private def uniq(p: String): String = { n += 1; s"${p}_act_$n" }
+
+  private def mkTable(col: org.apache.spark.sql.Column,
+      dt: String): (String, String) = {
+    val root = Files.createTempDirectory("graft_act_").toString + "/t"
+    val df = spark.range(0, 50).toDF("id").withColumn("c", col.cast(dt))
+    val d = ManifestCommit.newDataDir(root)
+    df.write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false,
+      stats = Map(d -> ManifestCommit.dirStats(spark, d,
+        Seq("id", "c", ManifestCommit.RowCountStat))),
+      schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))))
+    val name = uniq("acttab")
+    GraftSql.register(name, root)
+    (root, name)
+  }
+
+  test("every whitelist pair reads the old files correctly after the widen") {
+    val pairs: Seq[(String, DataType, Long => Any)] = Seq(
+      ("byte", ShortType, i => i.toShort),
+      ("byte", IntegerType, i => i.toInt),
+      ("byte", LongType, i => i),
+      ("byte", DoubleType, i => i.toDouble),
+      ("short", IntegerType, i => i.toInt),
+      ("short", LongType, i => i),
+      ("int", LongType, i => i),
+      ("int", DoubleType, i => i.toDouble),
+      ("float", DoubleType, i => i.toDouble),
+      ("int", DecimalType(20, 0), i => new java.math.BigDecimal(i)),
+      ("decimal(5,2)", DecimalType(12, 4),
+        i => new java.math.BigDecimal(i).setScale(4)))
+    pairs.foreach { case (from, to, expect) =>
+      val (root, name) = mkTable(col("id"), from)
+      spark.sql(s"ALTER TABLE graft.`$name` ALTER COLUMN c TYPE ${to.sql}")
+      val m = ManifestCommit.readManifest(spark, root).get
+      assert(m.tableSchema.get("c").dataType === to, s"$from -> $to")
+      assert(m.op === Some("alter_column_type"))
+      val got = spark.sql(s"SELECT c FROM graft.`$name` WHERE id = 7")
+        .head.get(0)
+      assert(got === expect(7L), s"$from -> $to read back $got")
+      // the full column survives (no silent null-fill)
+      assert(spark.sql(s"SELECT count(c) FROM graft.`$name`")
+        .head.getLong(0) === 50L)
+      GraftSql.unregister(name)
+    }
+  }
+
+  test("date -> timestamp_ntz: values upcast AND the per-dir stats " +
+      "re-render so boundary-day probes cannot wrongly prune") {
+    val root = Files.createTempDirectory("graft_act_").toString + "/t"
+    val df = spark.range(0, 40).toDF("id")
+      .withColumn("c", date_add(lit("2024-01-01").cast("date"),
+        col("id").cast("int")))
+    val d = ManifestCommit.newDataDir(root)
+    df.write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false,
+      stats = Map(d -> ManifestCommit.dirStats(spark, d,
+        Seq("c", ManifestCommit.RowCountStat))),
+      schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))))
+    val name = uniq("actdt")
+    GraftSql.register(name, root)
+    spark.sql(s"ALTER TABLE graft.`$name` ALTER COLUMN c TYPE TIMESTAMP_NTZ")
+    val m = ManifestCommit.readManifest(spark, root).get
+    val cs = m.stats(m.dirs.head).find(_.col == "c").get
+    assert(cs.min === "2024-01-01T00:00:00.000" &&
+      cs.max === "2024-02-09T00:00:00.000", cs.toString)
+    // the boundary-day probe that a date-rendered bound would wrongly
+    // prune: lo = max-day midnight — lexicographically ABOVE "2024-02-09"
+    // but equal to the re-rendered bound
+    val kept = ManifestCommit.prunedDirsOf(m, Seq(("c",
+      Some("2024-02-09T00:00:00.000"), None)))
+    assert(kept === m.dirs, "boundary-day probe wrongly pruned the dir")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$name` " +
+        "WHERE c >= timestamp_ntz'2024-02-09 00:00:00'").head.getLong(0) === 1L)
+  }
+
+  test("writers after the widen land the WIDE type; mixed files read as one") {
+    val (root, name) = mkTable(col("id"), "int")
+    spark.sql(s"ALTER TABLE graft.`$name` ALTER COLUMN c TYPE BIGINT")
+    val src = uniq("actsrc")
+    spark.range(100, 110).toDF("id")
+      .withColumn("c", col("id") * 3000000000L) // beyond int range
+      .createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO graft.`$name` SELECT id, c FROM $src")
+    assert(spark.sql(s"SELECT max(c) FROM graft.`$name`")
+      .head.getLong(0) === 109L * 3000000000L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$name` WHERE c < 50")
+      .head.getLong(0) === 50L)
+    // time travel serves the generation's own (narrow) type
+    assert(ManifestCommit.readAt(spark, root, 1L).schema("c").dataType
+      === IntegerType)
+  }
+
+  test("guards: narrowing and re-typing refused; slice-referenced and " +
+      "DV-keyed columns refused; composes with RENAME COLUMN") {
+    val (root, name) = mkTable(col("id"), "bigint")
+    val e1 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$name` ALTER COLUMN c TYPE INT"))
+    assert(e1.getMessage.contains("widening"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$name` ALTER COLUMN c TYPE STRING"))
+    assert(e2.getMessage.contains("widening"), e2.getMessage)
+    // DV keyed on id refuses widening id
+    MergeInto.deleteWhere(spark, root, spark.range(3, 4).toDF("id"))
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$name` ALTER COLUMN id TYPE DECIMAL(20,0)"))
+    assert(e3.getMessage.contains("deletion vector"), e3.getMessage)
+    // slice-referenced refused
+    val root2 = Files.createTempDirectory("graft_act_").toString + "/t"
+    val df2 = spark.range(0, 20).toDF("id").withColumn("b", col("id").cast("int"))
+    val dirs = ManifestCommit.writeSliced(spark, root2, df2,
+      expr("pmod(hash(b), 4)"),
+      Seq("b", "pmod(hash(b), 4)", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root2, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(df2.schema.fields.map(_.copy(nullable = true)))),
+      slice = Some("pmod(hash(b), 4)"))
+    val name2 = uniq("actslice")
+    GraftSql.register(name2, root2)
+    val e4 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$name2` ALTER COLUMN b TYPE BIGINT"))
+    assert(e4.getMessage.contains("slicing"), e4.getMessage)
+    // widen THEN rename: both metadata layers compose
+    val (root3, name3) = mkTable(col("id"), "int")
+    spark.sql(s"ALTER TABLE graft.`$name3` ALTER COLUMN c TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$name3` RENAME COLUMN c TO amount")
+    assert(spark.sql(s"SELECT sum(amount) FROM graft.`$name3`")
+      .head.getLong(0) === (0L until 50L).sum)
+    val m3 = ManifestCommit.readManifest(spark, root3).get
+    assert(m3.colmap === Map("amount" -> "c"))
+    assert(m3.tableSchema.get("amount").dataType === LongType)
+  }
+}
