@@ -322,6 +322,30 @@ class RenameColumnSpec extends SparkSpec {
     }
   }
 
+  test("a write staged BEFORE a rename commits safely after it: the dir's " +
+      "pre-rename names ARE the physical names, reads serve the new name") {
+    val (root, name) = mkTable()
+    // writer stages under the CURRENT (pre-rename) schema...
+    val d = ManifestCommit.newDataDir(root)
+    spark.range(500, 510).toDF("id")
+      .withColumn("ts", lit("2024-06-01 00:00:00").cast("timestamp"))
+      .withColumn("v", col("id"))
+      .write.parquet(d)
+    // ...a rename lands in between...
+    spark.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN v TO amount")
+    // ...and the append commits (no expectedGen: appends graft). The
+    // staged files carry `v` — exactly the PHYSICAL name the mapping
+    // records — so the footer guard passes and reads are correct; only
+    // this dir's stats (metered pre-rename, if any) would carry the
+    // stale key, which degrades pruning for it, never correctness.
+    ManifestCommit.commitAppend(spark, root, d)
+    assert(spark.sql(
+      s"SELECT sum(amount) FROM graft.`$name` WHERE id >= 500")
+      .head.getLong(0) === (500L until 510L).sum)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$name`")
+      .head.getLong(0) === 110L)
+  }
+
   test("an untranslated writer is caught loudly at commit (footer guard)") {
     val (root, name) = mkTable()
     spark.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN v TO amount")
