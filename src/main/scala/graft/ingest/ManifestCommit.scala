@@ -1958,10 +1958,10 @@ object ManifestCommit {
     * writer's uncommitted dir) are not this method's business — that is
     * `pruneOrphans`' freshness-guarded job. Returns deleted paths. */
   def expireSnapshots(spark: SparkSession, root: String,
-      keepLast: Int = 2): Seq[String] = {
+      keepLast: Int = 2, dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "must retain at least the current generation")
     expireWhere(spark, root, keepLast,
-      (_, _) => true) // count-based: everything beyond keepLast expires
+      (_, _) => true, dryRun) // count-based: everything beyond keepLast expires
   }
 
   /** TIME-based retention (the public `RETAIN N HOURS` / TTL shape):
@@ -1970,15 +1970,17 @@ object ManifestCommit {
     * Count-based [[expireSnapshots]] is this with an always-true age
     * test; both share the checkpoint-materialization discipline. */
   def expireSnapshotsOlderThan(spark: SparkSession, root: String,
-      maxAgeMs: Long, keepLast: Int = 1): Seq[String] = {
+      maxAgeMs: Long, keepLast: Int = 1,
+      dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "must retain at least the current generation")
     val cutoff = System.currentTimeMillis() - maxAgeMs
     expireWhere(spark, root, keepLast, (f, p) =>
-      f.getFileStatus(p).getModificationTime < cutoff)
+      f.getFileStatus(p).getModificationTime < cutoff, dryRun)
   }
 
   private def expireWhere(spark: SparkSession, root: String, keepLast: Int,
-      expiresToo: (org.apache.hadoop.fs.FileSystem, Path) => Boolean): Seq[String] =
+      expiresToo: (org.apache.hadoop.fs.FileSystem, Path) => Boolean,
+      dryRun: Boolean = false): Seq[String] =
       commitLock(root).synchronized {
     // the commit lock serializes the sweep against same-process commits
     // (an eager-prune replace deleting records this sweep is reading) —
@@ -2011,7 +2013,7 @@ object ManifestCommit {
     // expired — materialize it as a full checkpoint (byte-different,
     // semantically identical; the resolve cache stays valid) BEFORE any
     // record it transitively depends on is deleted
-    kept.headOption.foreach { g =>
+    kept.headOption.filter(_ => !dryRun).foreach { g =>
       if (readRaw(spark, root, snapshotPath(root, g)).exists(_.deltaBase.isDefined))
         readManifestAt(spark, root, g).foreach { m =>
           // the record's mtime IS the generation's commit timestamp
@@ -2029,6 +2031,10 @@ object ManifestCommit {
     val deleted =
       expired.map(g => snapshotPath(root, g)) ++
         (deadDirs ++ deadDvs).map(new Path(root, _))
+    // DRY RUN (the Delta VACUUM DRY RUN surface): report what WOULD go,
+    // touch nothing — no deletes, and the oldest-kept checkpoint
+    // materialization above is skipped too (a preview must not write)
+    if (dryRun) return deleted.map(_.toString)
     deleted.foreach(p => f.delete(p, true))
     expired.foreach(g => resolveCache.remove(cacheKey(root, g))) // must not resolve
     deleted.map(_.toString)
@@ -2871,7 +2877,8 @@ object ManifestCommit {
     * newest-mtime freshness check as `Maintenance.vacuumScratch`: an
     * uncommitted dir an ACTIVE writer is still filling must survive. */
   def pruneOrphans(spark: SparkSession, root: String,
-      minAgeMs: Long = 15 * 60 * 1000L): Seq[String] = {
+      minAgeMs: Long = 15 * 60 * 1000L,
+      dryRun: Boolean = false): Seq[String] = {
     val f = fs(spark, root)
     val rootP = new Path(root)
     if (!f.exists(rootP)) return Nil
@@ -2921,7 +2928,8 @@ object ManifestCommit {
         finally pool.shutdown()
       }
     candidates.zip(stale).collect { case (st, true) =>
-      f.delete(st.getPath, true); st.getPath.toString
+      if (!dryRun) f.delete(st.getPath, true)
+      st.getPath.toString
     }
   }
 }

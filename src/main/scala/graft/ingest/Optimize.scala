@@ -137,9 +137,77 @@ object Optimize {
       }
     }
 
+  /** PREDICATE-SCOPED compaction (the public Delta `OPTIMIZE t WHERE
+    * part = v` surface): fold only the small/dv'd dirs whose manifest
+    * stats can OVERLAP `cond` — the hot partition gets its maintenance,
+    * everything provably outside the predicate survives byte-identical
+    * and is never probed, listed or read. Overlap (not containment) is
+    * the right scope: compacting an extra boundary dir is harmless
+    * (same rows, new layout), excluding a matching one would silently
+    * skip requested maintenance. Conjuncts the stats can't parse
+    * contribute nothing (the scope widens, never narrows wrongly).
+    * Cost: O(in-scope dirs), not O(table) — the per-partition
+    * maintenance discipline at SQL-surface granularity. */
+  def compactWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column, smallBytes: Long,
+      bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): ManifestCommit.Manifest = {
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    val names = m.tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    // RESOLVE the predicate against the table schema before extraction:
+    // a DSL-built Column carries column-node comparisons the stats
+    // extractor doesn't parse (it would silently widen the scope to the
+    // whole table); analysis normalizes both DSL and expr-text forms to
+    // catalyst comparisons — and validates the referenced columns exist
+    val resolved = m.tableSchema.map { s0 =>
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s0)
+      empty.filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
+    }.getOrElse(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
+    // analysis promotes literal types by WRAPPING them in casts
+    // (GreaterThanOrEqual(x, cast(10 as bigint))) which the extractor's
+    // `l: Literal` patterns would miss — fold constant subtrees first
+    val folded = resolved.transformUp {
+      case e: org.apache.spark.sql.catalyst.expressions.Expression
+          if e.foldable &&
+            !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create(e.eval(null), e.dataType)
+    }
+    // fallback: when coercion wrapped the COLUMN side in a cast (e.g. a
+    // timestamp_ntz column compared to a TIMESTAMP literal — colOf
+    // refuses cast-wrapped attributes), the resolved form extracts
+    // nothing; the RAW unresolved form keeps the attribute bare and its
+    // literal rendering matches the stats under the session's pinned
+    // UTC. Still conservative: unparseable conjuncts widen, never
+    // narrow.
+    val ex = {
+      val e0 = StatsPredicate.extract(folded)
+      if (e0.bounds.nonEmpty || e0.points.nonEmpty) e0
+      else StatsPredicate.extract(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
+    }
+    val scope = ManifestCommit.prunedDirsOf(m,
+      ex.bounds.filter(b => names.isEmpty || names(b._1)) ++
+        ManifestCommit.bucketBoundsOf(m.slice,
+          ex.points.filter(p => names.isEmpty || names(p._1)),
+          c => m.tableSchema.flatMap(_.fields
+            .find(_.name.equalsIgnoreCase(c)).map(_.dataType)))).toSet
+    compactSmall(spark, root, smallBytes, bloomCols, bloomFpp,
+      scope = Some(scope))
+  }
+
   def compactSmall(spark: SparkSession, root: String,
       smallBytes: Long, bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): ManifestCommit.Manifest = {
+      bloomFpp: Double = 0.01,
+      scope: Option[Set[String]] = None): ManifestCommit.Manifest = {
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -147,11 +215,14 @@ object Optimize {
     // filesystem round-trip per dir, and a sequential sweep is a driver
     // latency wall at high dir counts (the resolveBloom lesson; dv'd
     // dirs always fold, so they skip the probe entirely)
+    // `scope` (compactWhere): dirs outside it are KEEP by fiat — never
+    // probed, never folded
+    val inScope: String => Boolean = d => scope.forall(_.contains(d))
     val small: Map[String, Boolean] = {
       // dirs whose manifest carries the exact __bytes stat answer from
       // METADATA (zero filesystem round-trips); only stat-less dirs
       // (old manifests) pay the content-summary probe
-      val candidates = m.dirs.filterNot(m.dvs.contains)
+      val candidates = m.dirs.filter(inScope).filterNot(m.dvs.contains)
       val viaStat: Map[String, Boolean] = candidates.flatMap(d =>
         m.stats.getOrElse(d, Nil).find(_.col == ManifestCommit.BytesStat)
           .map(cs => d -> (cs.min.toLong < smallBytes))).toMap
@@ -172,7 +243,7 @@ object Optimize {
       })
     }
     val (fold, keep) = m.dirs.partition { d =>
-      m.dvs.contains(d) || small.getOrElse(d, false)
+      inScope(d) && (m.dvs.contains(d) || small.getOrElse(d, false))
     }
     if (fold.size < 2 && fold.forall(!m.dvs.contains(_)))
       return m // nothing worth folding

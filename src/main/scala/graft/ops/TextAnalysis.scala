@@ -203,4 +203,39 @@ object TextAnalysis {
     spark.createDataFrame(rdd, schema)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Corpus-relative RARE-TOKEN quality filter (the Gopher "fraction of
+    * words not in a dictionary" rule with the corpus as its own
+    * dictionary — the CCNet/RefinedWeb shape where quality is judged
+    * against corpus statistics, not per-row heuristics): pass 1 builds
+    * the unigram LM (token → count — ONE hash shuffle with map-side
+    * combine, the only wide movement), pass 2 joins each document's
+    * tokens back against it and counts tokens rarer than `minCount`;
+    * a document is FLAGGED when rare tokens exceed `ratioPct` percent —
+    * compared by integer cross-multiplication (`n_rare·100 > n_tokens·
+    * ratioPct`), never a float ratio, so the decision is exact and
+    * engine-portable. Returns one row per document that has tokens:
+    * (idCol, n_tokens, n_rare, flagged).
+    *
+    * 100-TB shape: the LM shuffle carries (token, partial count) — the
+    * map-side combine bounds it by distinct-tokens-per-task; the join
+    * back is the textbook candidate for the COMMON-set inversion at
+    * production thresholds (tokens with count ≥ minCount are FEW —
+    * broadcast them, or a bloom of them, and treat misses as rare),
+    * which this exact form deliberately does not apply so the DuckDB
+    * oracle and the operator compute the identical relation. */
+  def rareTokenFlags(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, ratioPct: Int): DataFrame = {
+    require(minCount >= 1 && ratioPct >= 0 && ratioPct <= 100,
+      s"rareTokenFlags: minCount >= 1 and 0 <= ratioPct <= 100")
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("__tok"))
+    val lm = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    toks.join(lm, "__tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__c") < minCount, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("flagged",
+        col("n_rare") * 100 > col("n_tokens") * ratioPct)
+  }
 }

@@ -1658,7 +1658,45 @@ object LlmData {
       .select(col("qid"), col("rank"), col("nid"))
   }
 
+  /** q166 — corpus-relative rare-token quality filter (the Gopher
+    * non-dictionary-word rule with the corpus as its own dictionary):
+    * pass 1 builds the unigram LM (one hash shuffle, map-side combine),
+    * pass 2 joins each doc's tokens back and FLAGS documents whose
+    * corpus-rare share exceeds the threshold — by integer
+    * cross-multiplication, never a float ratio, so the decision (and
+    * this gate) is exact across engines. Distinct from the per-row q37
+    * heuristics: this is the two-pass corpus-statistics shape (CCNet/
+    * RefinedWeb) where quality needs a corpus aggregate first. */
+  val q166_rare_token_filter = Q(
+    "q166_rare_token_filter",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |lm AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      |per AS (
+      |  SELECT t.doc_id, t.lang, count(*) AS nt,
+      |    sum(CASE WHEN lm.c < 3 THEN 1 ELSE 0 END) AS nr
+      |  FROM toks t JOIN lm ON t.tok = lm.tok
+      |  GROUP BY t.doc_id, t.lang)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN nr * 100 > nt * 20 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged,
+      |  CAST(sum(nr) AS BIGINT) AS rare_tokens,
+      |  CAST(sum(nt) AS BIGINT) AS total_tokens
+      |FROM per GROUP BY lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val flags = TextAnalysis.rareTokenFlags(docs, "doc_id", "text",
+      minCount = 3L, ratioPct = 20)
+    flags.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum("n_rare").as("rare_tokens"),
+        sum("n_tokens").as("total_tokens"))
+  }
+
   val all: Seq[Q] = Seq(
+    q166_rare_token_filter,
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
     q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,

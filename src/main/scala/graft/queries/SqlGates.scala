@@ -1291,10 +1291,81 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q167 — `OPTIMIZE graft.t WHERE <pred>` (the Delta predicate-scoped
+    * OPTIMIZE): only the small dirs whose manifest stats can overlap the
+    * predicate fold — the hot month gets its maintenance in O(in-scope
+    * dirs) while every cold month survives BYTE-IDENTICAL (same dir
+    * names pinned) and is never probed or read. The per-partition
+    * maintenance discipline (the reference compacts per MergeTree
+    * partition) at SQL-surface granularity. */
+  val q167_optimize_where = Q(
+    "q167_optimize_where",
+    """WITH mar AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |    AND o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'),
+      |fin AS (
+      |  SELECT o_totalprice FROM orders
+      |  UNION ALL SELECT o_totalprice FROM mar
+      |  UNION ALL SELECT o_totalprice FROM mar)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price,
+      |  CAST(2 AS BIGINT) AS dirs_folded,
+      |  CAST(1 AS BIGINT) AS cold_byte_identical
+      |FROM fin""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q167_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      expr("date_format(o_orderdate, 'yyyyMM')"),
+      Seq("o_orderdate", "o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        orders.schema.fields.map(_.copy(nullable = true)))),
+      op = "create", slice = Some("date_format(o_orderdate, 'yyyyMM')"))
+    val name = uniq("graft_q167")
+    GraftSql.register(name, root)
+    try {
+      // two small March delta dirs (the streaming-append steady state)
+      val mk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val mar = orders.filter(
+        col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-03-31 23:59:59").cast("timestamp"))
+      Seq(1L, 2L).foreach { i =>
+        val src = uniq(s"graft_q167_src$i")
+        mar.withColumn("o_orderkey", col("o_orderkey") + mk * i)
+          .createOrReplaceTempView(src)
+        s.sql(s"INSERT INTO graft.$name SELECT * FROM $src")
+      }
+      val before = ManifestCommit.readManifest(s, root).get
+      s.sql(s"""OPTIMIZE graft.$name
+               |WHERE o_orderdate >= TIMESTAMP '1996-03-05 00:00:00'
+               |  AND o_orderdate <= TIMESTAMP '1996-03-20 23:59:59'""".stripMargin)
+      val after = ManifestCommit.readManifest(s, root).get
+      // the 3 March dirs (base month + 2 deltas) folded into 1;
+      // EVERY cold dir survives byte-identical (same manifest entry)
+      val cold = before.dirs.filterNot { d =>
+        before.stats.getOrElse(d, Nil).find(_.col == "o_orderdate")
+          .forall(_.overlaps(Some("1996-03-05T00:00:00.000"),
+            Some("1996-03-20T23:59:59.000")))
+      }.toSet
+      val coldIdentical = cold.subsetOf(after.dirs.toSet)
+      val agg = s.sql(
+        s"""SELECT CAST(count(*) AS LONG) AS n_rows,
+           |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+           |FROM graft.$name""".stripMargin).collect()(0)
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_rows"),
+        lit(agg.getDouble(1)).as("sum_price"),
+        lit((before.dirs.size - after.dirs.size).toLong).as("dirs_folded"),
+        lit(if (coldIdentical) 1L else 0L).as("cold_byte_identical"))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
     q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned,
     q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink,
-    q165_alter_column_type)
+    q165_alter_column_type, q167_optimize_where)
 }

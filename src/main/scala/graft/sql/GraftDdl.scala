@@ -48,12 +48,12 @@ case class GraftSqlParser(spark: org.apache.spark.sql.SparkSession,
 
 object GraftDdl {
 
-  // OPTIMIZE graft.<name-or-`quoted`> [ZORDER BY (c1, c2[, c3])]
+  // OPTIMIZE graft.<name-or-`quoted`> [WHERE <pred>] [ZORDER BY (c1, c2[, c3])]
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+graft\.(`[^`]+`|[\w.]+)\s*(?:ZORDER\s+BY\s*\(\s*([\w`,\s.]+?)\s*\))?\s*;?\s*""".r
-  // VACUUM graft.<name> [RETAIN <n> GENERATIONS | RETAIN <n> HOURS]
+    """(?is)\s*OPTIMIZE\s+graft\.(`[^`]+`|[\w.]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*([\w`,\s.]+?)\s*\))?\s*;?\s*""".r
+  // VACUUM graft.<name> [RETAIN <n> GENERATIONS | RETAIN <n> HOURS] [DRY RUN]
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+graft\.(`[^`]+`|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+(GENERATIONS|HOURS))?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+graft\.(`[^`]+`|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+(GENERATIONS|HOURS))?\s*(DRY\s+RUN)?\s*;?\s*""".r
   // RESTORE [TABLE] graft.<name> TO VERSION AS OF <n> | TO TIMESTAMP AS OF '<ts>'
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\.(`[^`]+`|[\w.]+)\s+TO\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'([^']*)'|([^\s;]+))\s*;?\s*""".r
@@ -115,15 +115,21 @@ object GraftDdl {
       val statCols = Option(stats).map(_.split(",").toSeq
         .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
       Some(GraftConvert(path, Option(name).map(unquote), statCols))
-    case OptimizeRe(name, zorder) =>
+    case OptimizeRe(name, where, zorder) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(
           s"graft OPTIMIZE: ${unquote(name)} is not a registered graft table"))
       require(gen.isEmpty, "graft OPTIMIZE: cannot optimize a @v time-travel reference")
       val zcols = Option(zorder).map(_.split(",").toSeq
         .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
-      Some(GraftOptimize(root, zcols))
-    case VacuumRe(name, n, unit) =>
+      // the Delta surface allows WHERE with Z-ORDER; ours refuses the
+      // combination (z-order is a whole-table re-layout here) rather
+      // than silently widening the scope
+      require(where == null || zcols.isEmpty,
+        "graft OPTIMIZE: WHERE cannot combine with ZORDER BY " +
+          "(z-order re-lays the whole table)")
+      Some(GraftOptimize(root, zcols, Option(where).map(_.trim)))
+    case VacuumRe(name, n, unit, dry) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(
           s"graft VACUUM: ${unquote(name)} is not a registered graft table"))
@@ -133,7 +139,7 @@ object GraftDdl {
         case (Some(h), Some("HOURS")) => (1, Some(h.toLong * 3600L * 1000L))
         case _ => (2, None) // bare VACUUM: keep the newest 2 generations
       }
-      Some(GraftVacuum(root, keepLast, maxAgeMs))
+      Some(GraftVacuum(root, keepLast, maxAgeMs, dryRun = dry != null))
     case RestoreRe(name, kind, quoted, bare) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(

@@ -1051,20 +1051,31 @@ case class GraftAlterColumnType(root: String,
   * multi-column interleave (`Optimize.zorderCompactN`), preserving the
   * current dir-count granularity and the table's established stat
   * columns. */
-case class GraftOptimize(root: String, zorderCols: Seq[String])
+case class GraftOptimize(root: String, zorderCols: Seq[String],
+    where: Option[String] = None)
   extends LeafCommand {
   override def simpleString(maxFields: Int): String =
     s"GraftOptimize $root" +
-      (if (zorderCols.nonEmpty) s" zorder=${zorderCols.mkString(",")}" else "")
+      (if (zorderCols.nonEmpty) s" zorder=${zorderCols.mkString(",")}" else "") +
+      where.map(w => s" where=$w").getOrElse("")
 }
 
 /** Leaf command for `VACUUM graft.<name> [RETAIN n GENERATIONS|HOURS]`:
   * snapshot retention (count- or age-based) plus an orphan sweep with
   * the standard 1-hour freshness guard (an in-flight writer's staged
   * dir must never be reclaimed). */
-case class GraftVacuum(root: String, keepLast: Int, maxAgeMs: Option[Long])
-  extends LeafCommand {
-  override def simpleString(maxFields: Int): String = s"GraftVacuum $root"
+/** `dryRun` (the Delta VACUUM DRY RUN surface): report the paths that
+  * WOULD be reclaimed — expired snapshot records, data dirs/DVs only
+  * they reference, stale orphans — as result rows, touching nothing. */
+case class GraftVacuum(root: String, keepLast: Int, maxAgeMs: Option[Long],
+    dryRun: Boolean = false) extends LeafCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    if (dryRun) Seq(org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("path", org.apache.spark.sql.types.StringType,
+        nullable = false)())
+    else Nil
+  override def simpleString(maxFields: Int): String =
+    s"GraftVacuum $root${if (dryRun) " DRY RUN" else ""}"
 }
 
 /** Leaf command for `RESTORE TABLE graft.<name> TO VERSION|TIMESTAMP AS

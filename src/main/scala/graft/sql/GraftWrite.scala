@@ -354,10 +354,17 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         GraftSql.register(to, root)
         GraftSql.unregister(from)
       }) :: Nil
-    case GraftOptimize(root, zcols) =>
+    case GraftOptimize(root, zcols, where) =>
       GraftRowOpExec(s"GraftOptimizeExec $root", () => {
         import graft.ingest.Optimize
-        if (zcols.isEmpty) {
+        if (where.isDefined) {
+          // predicate-scoped maintenance: fold only the small/dv'd dirs
+          // whose stats can overlap the predicate (Delta's OPTIMIZE WHERE)
+          Optimize.compactWhere(spark, root,
+            org.apache.spark.sql.functions.expr(where.get),
+            smallBytes = 128L << 20)
+          ()
+        } else if (zcols.isEmpty) {
           // Delta's OPTIMIZE file-size ballpark: fold dirs below 128 MB
           Optimize.compactSmall(spark, root, smallBytes = 128L << 20)
           ()
@@ -394,16 +401,19 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         ManifestCommit.restore(spark, root, gen)
         ()
       }) :: Nil
-    case GraftVacuum(root, keepLast, maxAgeMs) =>
-      GraftRowOpExec(s"GraftVacuumExec $root", () => {
-        maxAgeMs match {
+    case v @ GraftVacuum(root, keepLast, maxAgeMs, dryRun) =>
+      GraftRowsOpExec(s"GraftVacuumExec $root", v.output, () => {
+        val expired = maxAgeMs match {
           case Some(age) =>
-            ManifestCommit.expireSnapshotsOlderThan(spark, root, age, keepLast)
+            ManifestCommit.expireSnapshotsOlderThan(spark, root, age, keepLast,
+              dryRun = dryRun)
           case None =>
-            ManifestCommit.expireSnapshots(spark, root, keepLast)
+            ManifestCommit.expireSnapshots(spark, root, keepLast,
+              dryRun = dryRun)
         }
-        ManifestCommit.pruneOrphans(spark, root, minAgeMs = 3600L * 1000L)
-        ()
+        val orphans = ManifestCommit.pruneOrphans(spark, root,
+          minAgeMs = 3600L * 1000L, dryRun = dryRun)
+        if (dryRun) (expired ++ orphans).sorted else Nil
       }) :: Nil
     case _ => Nil
   }
@@ -462,6 +472,16 @@ case class GraftRowOpExec(label: String, op: () => Unit)
   extends V2CommandExec with LeafExecNode {
   override def output: Seq[Attribute] = Nil
   override def run(): Seq[InternalRow] = { op(); Nil }
+  override def simpleString(maxFields: Int): String = label
+}
+
+/** Driver-side command that RETURNS rows (one string column) — the
+  * VACUUM DRY RUN preview shape. */
+case class GraftRowsOpExec(label: String, override val output: Seq[Attribute],
+    op: () => Seq[String])
+  extends V2CommandExec with LeafExecNode {
+  override def run(): Seq[InternalRow] = op().map(s =>
+    InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
   override def simpleString(maxFields: Int): String = label
 }
 

@@ -312,4 +312,60 @@ class OptimizeSpec extends SparkSpec {
       ("x", None, Some("7")), ("y", None, Some("7"))))
     assert(kept.size === 1 && total === 1)
   }
+
+  test("compactWhere folds only stats-overlapping small dirs; out-of-scope " +
+      "small dirs and unparseable predicates widen safely") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/w"
+    // 4 range dirs on x: [0,7], [8,15], [16,23], [24,31] — all tiny
+    val dirs = (0 until 4).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      grid().filter(col("x") >= i * 8 && col("x") < (i + 1) * 8)
+        .write.parquet(d)
+      d -> ManifestCommit.dirStats(spark, d, Seq("x", "y"))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(st.fields.map(_.copy(nullable = true)))))
+    val before = ManifestCommit.readManifest(spark, root).get
+    val want = contents(ManifestCommit.read(spark, root))
+    // predicate overlaps dirs 1 and 2 only ([8,15] and [16,23])
+    Optimize.compactWhere(spark, root,
+      col("x") >= 10 && col("x") <= 20, smallBytes = 1L << 30)
+    val after = ManifestCommit.readManifest(spark, root).get
+    assert(after.dirs.size === before.dirs.size - 1,
+      s"expected 2 in-scope dirs -> 1: ${before.dirs.size} -> ${after.dirs.size}")
+    // dirs 0 and 3 survive BYTE-IDENTICAL (same manifest entries)
+    val out = Set(before.dirs.head, before.dirs.last)
+    assert(out.subsetOf(after.dirs.toSet), "out-of-scope dirs were touched")
+    assert(contents(ManifestCommit.read(spark, root)) === want)
+    // an unparseable predicate widens to the whole table (never narrows
+    // wrongly): everything small folds into one dir
+    Optimize.compactWhere(spark, root,
+      (col("x") * 2 - col("y")) > 3, smallBytes = 1L << 30)
+    assert(ManifestCommit.readManifest(spark, root).get.dirs.size === 1)
+    assert(contents(ManifestCommit.read(spark, root)) === want)
+  }
+
+  test("SQL: OPTIMIZE ... WHERE scopes; WHERE + ZORDER BY is refused") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/wsql"
+    val dirs = (0 until 3).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      grid().filter(col("x") >= i * 10 && col("x") < (i + 1) * 10)
+        .write.parquet(d)
+      d -> ManifestCommit.dirStats(spark, d, Seq("x", "y"))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(st.fields.map(_.copy(nullable = true)))))
+    graft.sql.GraftSql.register("optwhere_sql", root)
+    try {
+      // single-dir scope: a fold of ONE dir is a no-op (nothing to fold
+      // with), so scope two dirs
+      spark.sql("OPTIMIZE graft.optwhere_sql WHERE x >= 5 AND x <= 15")
+      assert(ManifestCommit.readManifest(spark, root).get.dirs.size === 2)
+      val e = intercept[Exception](spark.sql(
+        "OPTIMIZE graft.optwhere_sql WHERE x > 3 ZORDER BY (x, y)"))
+      assert(e.getMessage.contains("ZORDER"), e.getMessage)
+    } finally graft.sql.GraftSql.unregister("optwhere_sql")
+  }
 }

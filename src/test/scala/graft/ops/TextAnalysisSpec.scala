@@ -112,4 +112,29 @@ class TextAnalysisSpec extends SparkSpec {
       "zlib drift: the JDK's deflate byte count changed — re-derive the " +
         "q89 golden corpus_ratio VALUES (this is environment, not a code bug)")
   }
+
+  test("rareTokenFlags: corpus-relative rarity, exact integer threshold") {
+    // LM over the whole corpus: "the"x4, "cat"x2, "dog"x2, singletons
+    // "sat","mat","ran","xq","zz","qqq". minCount=2: singletons are rare.
+    val docs = mkDf(schema,
+      Row(1L, "the cat sat"),        // rare: sat -> 1/3 (33% > 25 -> flag)
+      Row(2L, "the cat mat"),        // rare: mat -> 1/3 flag
+      Row(3L, "the dog ran"),        // rare: ran -> 1/3 flag
+      Row(4L, "the dog"),            // rare: 0/2 -> clean
+      Row(5L, "xq zz qqq"))          // rare: 3/3 flag
+    val out = TextAnalysis.rareTokenFlags(docs, "id", "text",
+      minCount = 2L, ratioPct = 25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((3L, 1L, true)))
+    assert(out(2L) === ((3L, 1L, true)))
+    assert(out(3L) === ((3L, 1L, true)))
+    assert(out(4L) === ((2L, 0L, false)))
+    assert(out(5L) === ((3L, 3L, true)))
+    // the threshold is exact cross-multiplication: 1/3 at exactly 34%
+    // does NOT flag (100 > 102 false), at 33% it DOES (100 > 99)
+    val edge = TextAnalysis.rareTokenFlags(docs, "id", "text", 2L, 34)
+      .filter(col("id") === 1L).head
+    assert(!edge.getBoolean(3))
+  }
 }

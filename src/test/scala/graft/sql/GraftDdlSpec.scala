@@ -806,4 +806,41 @@ class GraftDdlSpec extends SparkSpec {
     ManifestCommit.restore(spark, loc, 2L)
     assert(ManifestCommit.readManifest(spark, loc).get.slice === Some("id % 2"))
   }
+
+  test("VACUUM ... DRY RUN previews the reclaim set without touching " +
+      "anything; the real VACUUM then deletes exactly it") {
+    val loc = Files.createTempDirectory("ddl_spec_").toString + "/vac"
+    val df = spark.range(0, 10).toDF("id")
+    (1 to 3).foreach { i =>
+      val d = ManifestCommit.newDataDir(loc)
+      df.withColumn("v", col("id") * i).write.parquet(d)
+      ManifestCommit.commitReplace(spark, loc, Seq(d),
+        pruneDisplaced = false,
+        schema = Some(org.apache.spark.sql.types.StructType(
+          df.withColumn("v", col("id")).schema.fields.map(_.copy(nullable = true)))))
+    }
+    graft.sql.GraftSql.register("ddl_vacuum_dry", loc)
+    try {
+      val preview = spark.sql(
+        "VACUUM graft.ddl_vacuum_dry RETAIN 1 GENERATIONS DRY RUN")
+      assert(preview.columns.toSeq === Seq("path"))
+      val previewed = preview.collect().map(_.getString(0)).toSet
+      assert(previewed.nonEmpty, "3 gens retained, keep 1 -> 2 must expire")
+      // NOTHING was touched: every previewed path still exists, every
+      // generation still time-travels
+      val f = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      previewed.foreach(p => assert(
+        f.exists(new org.apache.hadoop.fs.Path(p)), s"dry run deleted $p"))
+      (1L to 3L).foreach(g =>
+        assert(ManifestCommit.readAt(spark, loc, g).count() === 10L))
+      // the real VACUUM reclaims exactly the previewed set (orphan sweep
+      // adds nothing here — no crashed writers)
+      spark.sql("VACUUM graft.ddl_vacuum_dry RETAIN 1 GENERATIONS")
+      previewed.foreach(p => assert(
+        !f.exists(new org.apache.hadoop.fs.Path(p)), s"real vacuum spared $p"))
+      assert(ManifestCommit.readAt(spark, loc, 3L).count() === 10L)
+      intercept[Exception](ManifestCommit.readAt(spark, loc, 1L).collect())
+    } finally graft.sql.GraftSql.unregister("ddl_vacuum_dry")
+  }
 }
