@@ -88,10 +88,16 @@ object ChangeFeed {
         s"(${cols.filter(_.startsWith("__graft_")).mkString(", ")}) — " +
         "rename them before diffing")
     def readDirs(m: ManifestCommit.Manifest, dirs: Seq[String]): DataFrame = {
+      // BOTH sides read in toGen's schema AND toGen's column mapping:
+      // physical names are stable across a rename, so the TO mapping
+      // resolves any generation's dirs — the FROM generation's own
+      // (pre-rename) mapping would null-fill a renamed column and emit
+      // wrong pre-images
       val base =
         if (dirs.isEmpty) spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), readSchema)
-        else ManifestCommit.readDirsOf(spark, root, m, dirs, Some(readSchema))
+        else ManifestCommit.readDirsOf(spark, root, m, dirs, Some(readSchema),
+          colmapOverride = Some(to.colmap))
       base.select(cols.map(col): _*)
     }
     // The uniqueness CONTRACT above is enforced, not trusted (unless the

@@ -1370,11 +1370,18 @@ object ManifestCommit {
     * (schema + deletion vectors). `schemaOverride` forces a specific
     * read schema (ChangeFeed reads BOTH generations in toGen's schema).
     * Public for change-feed/maintenance composition. */
+  /** `colmapOverride`: the COLUMN MAPPING matching `schemaOverride`'s
+    * logical names, when that schema comes from a DIFFERENT generation
+    * than `m` (ChangeFeed reads the FROM generation's dirs in the TO
+    * generation's schema — physical names are stable across renames, so
+    * the TO mapping resolves them for any generation's dirs; using the
+    * FROM generation's own mapping would null-fill a renamed column). */
   def readDirsOf(spark: SparkSession, root: String, m: Manifest,
       dirs: Seq[String],
-      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None)
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] = None,
+      colmapOverride: Option[Map[String, String]] = None)
       : DataFrame =
-    try readDirsOfImpl(spark, root, m, dirs, schemaOverride)
+    try readDirsOfImpl(spark, root, m, dirs, schemaOverride, colmapOverride)
     catch { case e: org.apache.spark.sql.AnalysisException =>
       // a missing path here is USUALLY a reclaimed external reference —
       // name the clone ownership contract and the remedy instead of
@@ -1413,7 +1420,8 @@ object ManifestCommit {
 
   private def readDirsOfImpl(spark: SparkSession, root: String, m: Manifest,
       dirs: Seq[String],
-      schemaOverride: Option[org.apache.spark.sql.types.StructType])
+      schemaOverride: Option[org.apache.spark.sql.types.StructType],
+      colmapOverride: Option[Map[String, String]] = None)
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val schema = schemaOverride.orElse(m.tableSchema)
@@ -1423,9 +1431,10 @@ object ManifestCommit {
     // parquet scan (PushedFilters intact) — never a coalesce/expression
     // the scan couldn't push. Restricted to the read schema's fields
     // (a schemaOverride may name columns the mapping doesn't know).
+    val activeColmap = colmapOverride.getOrElse(m.colmap)
     val eff: Map[String, String] = schema.map(s =>
       s.fieldNames.flatMap(n =>
-        m.colmap.get(n).filter(_ != n).map(n -> _)).toMap)
+        activeColmap.get(n).filter(_ != n).map(n -> _)).toMap)
       .getOrElse(Map.empty)
     val physSchema = schema.map(s =>
       if (eff.isEmpty) s

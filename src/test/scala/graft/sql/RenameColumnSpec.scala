@@ -322,6 +322,37 @@ class RenameColumnSpec extends SparkSpec {
     }
   }
 
+  test("change feed ACROSS a rename boundary: pre-images carry the real " +
+      "pre-rename values under the new name (never null-filled)") {
+    val (root, name) = mkTable()
+    val gPre = ManifestCommit.readManifest(spark, root).get.gen
+    spark.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN v TO amount")
+    // a rewrite AFTER the rename: ids 0..4 updated via MERGE
+    val src = uniq("renxsrc")
+    spark.range(0, 5).toDF("id")
+      .withColumn("ts", lit("2024-01-10 00:00:00").cast("timestamp"))
+      .withColumn("amount", lit(7777L))
+      .createOrReplaceTempView(src)
+    spark.sql(s"""MERGE INTO graft.`$name` t USING $src s ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val gPost = ManifestCommit.readManifest(spark, root).get.gen
+    // the diff window SPANS the rename: the FROM side's dirs are
+    // pre-rename files (physical name v) read in toGen's schema —
+    // their pre-image `amount` must be the real old values, not null
+    val feed = ChangeFeed.diff(spark, root, gPre, gPost, Seq("id"))
+    val pre = feed.filter(col(ChangeFeed.ChangeType) === "update_preimage")
+      .select("id", "amount").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(pre.keySet === (0L until 5L).toSet, pre.toString)
+    (0L until 5L).foreach(i => assert(pre(i) === i,
+      s"pre-image of id=$i lost the pre-rename value: ${pre(i)}"))
+    val post = feed.filter(col(ChangeFeed.ChangeType) === "update_postimage")
+      .select("id", "amount").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(i => assert(post(i) === 7777L))
+  }
+
   test("a write staged BEFORE a rename commits safely after it: the dir's " +
       "pre-rename names ARE the physical names, reads serve the new name") {
     val (root, name) = mkTable()
