@@ -216,7 +216,27 @@ object ManifestCommit {
       checks: Map[String, String], colmap: Map[String, String],
       deadCols: Seq[String])
 
+  /** Highest `#vermin` (minimum-reader version) this build understands.
+    * Version 2 = column mapping (#colmap/#deadcols): logical names no
+    * longer match on-disk names, so a reader that ignores the mapping
+    * would silently null-fill renamed columns. The marker makes such a
+    * mixed-version deployment FAIL LOUDLY instead (the public Delta
+    * minReaderVersion idea): any commit carrying a mapping emits
+    * `#vermin 2`, and a build whose supported version is lower refuses
+    * the manifest with an upgrade remedy rather than serving wrong
+    * data. Unknown plain meta lines stay ignorable — only #vermin is a
+    * hard gate, which is exactly what lets FUTURE format features make
+    * themselves unreadable to THIS build. */
+  private[ingest] val SupportedReaderVersion = 2L
+
   private def interpretMeta(raw: RawManifest): MetaFields = {
+    raw.metaVal("#vermin").map(_.toLong)
+      .filter(_ > SupportedReaderVersion).foreach { v =>
+        throw new IllegalStateException(
+          s"manifest requires reader version $v but this build supports " +
+            s"up to $SupportedReaderVersion — the table uses a newer " +
+            "format feature; upgrade the graft library before reading it")
+      }
     val schema = raw.metaVal("#schema").map { s =>
       org.apache.spark.sql.types.DataType.fromJson(dec(s))
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -816,11 +836,29 @@ object ManifestCommit {
     // midnight instant); numeric widenings compare as BigDecimal and
     // need no rewrite. Stats are keyed by LOGICAL name.
     val statKey = field.name
+    // float -> double ALSO re-renders: a float's recorded bound is its
+    // shortest decimal rendering ("0.3") while the post-widen reader
+    // serves the exact double expansion (0.30000001192092896), which
+    // lies strictly OUTSIDE that bound under BigDecimal comparison — a
+    // probe for a value actually served from the table could silently
+    // prune its dir. Rewrite each bound to the double expansion of the
+    // float value (the exact value the reader now serves as an extreme).
+    def floatBound(s: String): String =
+      scala.util.Try(s.toFloat).toOption
+        .filter(f => !f.isNaN && !f.isInfinite)
+        .map(_.toDouble.toString).getOrElse(s)
     val newStats =
       if (field.dataType == org.apache.spark.sql.types.DateType)
         m.stats.map { case (d, cs) => d -> cs.map(c =>
           if (c.col == statKey && c.min.length == 10)
             c.copy(min = temporalBound(c.min), max = temporalBound(c.max))
+          else c)
+        }
+      else if (field.dataType == org.apache.spark.sql.types.FloatType &&
+               to == org.apache.spark.sql.types.DoubleType)
+        m.stats.map { case (d, cs) => d -> cs.map(c =>
+          if (c.col == statKey)
+            c.copy(min = floatBound(c.min), max = floatBound(c.max))
           else c)
         }
       else m.stats
@@ -1619,6 +1657,11 @@ object ManifestCommit {
   }
 
   private def metaLines(m: Manifest): Seq[String] =
+    // column mapping in play -> older readers must refuse, not null-fill
+    // (see [[SupportedReaderVersion]]); every record (full or delta)
+    // carries the gate because deltas re-state meta absolutely
+    (if (m.colmap.isEmpty && m.deadCols.isEmpty) Nil
+     else Seq("#vermin\t2")) ++
     m.tableSchema.map(s => "#schema\t" + enc(s.json)).toSeq ++
       m.op.map(o => "#op\t" + enc(o)).toSeq ++
       m.slice.map(s => "#slice\t" + enc(s)).toSeq ++
@@ -2262,6 +2305,15 @@ object ManifestCommit {
     // nonexistent column
     val real = cols.filterNot(PseudoStats)
     val wantRows = cols.contains(RowCountStat)
+    // a PSEUDO-ONLY request (statCols inherited from a dir whose only
+    // recorded stat is __bytes — e.g. MERGE into a table with no
+    // established stat columns meters bytes) must not crash the empty
+    // aggregate below; serve the requested pseudo stats directly.
+    // Pruning stays per-column (a missing column stat keeps the dir),
+    // so a bytes-only entry never wrongly prunes.
+    if (real.isEmpty && !wantRows)
+      return if (cols.contains(BytesStat)) Seq(dirBytesStat(spark, dir))
+             else Nil
     // under a column mapping, the just-written dir carries PHYSICAL
     // names while `cols` are logical — project back before aggregating
     // so stat keys stay logical (the name skipping resolves by)

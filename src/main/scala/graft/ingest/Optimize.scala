@@ -353,7 +353,10 @@ object Optimize {
       val newDirs = ManifestCommit.writeSliced(spark, root, collapsed,
         moExpr, statCols)
       newDirs.foreach { case (d, _) =>
-        rebuildBlooms(spark, d, bloomCols, bloomFpp)
+        // writeSliced lands files under PHYSICAL names (column mapping);
+        // bloom side files key on the on-disk name, same as the
+        // compactSmall and zorder paths
+        rebuildBlooms(spark, d, bloomCols.map(m.physNameOf), bloomFpp)
       }
       // rebasing commit: consumed = the rewritten month dirs + every
       // delta dir; a concurrently-appended batch grafts as a fresh delta

@@ -633,8 +633,15 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
         plain.foreach(enqueue(cur, _))
         if (dvd.nonEmpty) {
           flush()
+          // DV'd dirs must resolve physical names with the SAME pinned
+          // mapping as the plain-append scans: if a second rename lands
+          // mid-stream, cur.colmap no longer keys the pinned logical
+          // name and this path would silently null-fill while the
+          // plain-append path kept delivering (physical names are
+          // stable, so the pinned mapping resolves any generation)
           frames += align(
-            ManifestCommit.readDirsOf(spark, root, cur, dvd, Some(readSchema)))
+            ManifestCommit.readDirsOf(spark, root, cur, dvd, Some(readSchema),
+              colmapOverride = Some(pinnedColmap)))
         }
       } else if (CompactOps(cur.op.getOrElse("")) || skipChange) ()
       else throw new IllegalStateException(

@@ -1609,4 +1609,39 @@ class ManifestCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("DEEP CLONE"), e.getMessage)
     assert(e.getMessage.contains("materializeExternal"), e.getMessage)
   }
+
+  test("#vermin reader gate: column-mapping commits stamp the minimum " +
+      "reader version; an unsupported version refuses loudly") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"))(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false,
+      schema = Some(StructType(st.fields.map(_.copy(nullable = true)))))
+    // pre-mapping commits carry NO gate (old readers keep reading)
+    def genText(g: Long): String = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_manifest.g$g")), "UTF-8")
+    assert(!genText(1L).contains("#vermin"))
+    ManifestCommit.renameColumn(spark, root, "v", "w")
+    // the rename generation (and every later one, full or delta) is
+    // stamped: a reader build that ignored #colmap would null-fill
+    // renamed columns — it must fail instead of serving wrong data
+    assert(genText(2L).contains("#vermin\t2"), genText(2L))
+    val d2 = ManifestCommit.newDataDir(root)
+    write(Row(2L, "b"))(d2)
+    ManifestCommit.commitAppend(spark, root, d2)
+    assert(genText(3L).contains("#vermin\t2"), genText(3L))
+    // this build supports version 2: reads stay green
+    assert(ManifestCommit.read(spark, root).count() === 2L)
+    // a FUTURE format feature stamps a higher version -> this build
+    // must refuse the manifest, not misread it
+    val futRoot = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    Files.createDirectories(java.nio.file.Paths.get(futRoot))
+    Files.write(java.nio.file.Paths.get(s"$futRoot/_manifest"),
+      "1\n#vermin\t99\ndata_x".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      ManifestCommit.readManifest(spark, futRoot)
+    }
+    assert(e.getMessage.contains("reader version 99"), e.getMessage)
+    assert(e.getMessage.contains("upgrade"), e.getMessage)
+  }
 }

@@ -400,4 +400,47 @@ class MergeIntoSpec extends SparkSpec {
     // live read unaffected: both keys deleted
     assert(ManifestCommit.read(spark, root).count() === 0L)
   }
+
+  test("MERGE into a STATS-LESS table meters __bytes, and the later " +
+      "OPTIMIZE over the resulting bytes-only statCols does not crash") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/t"
+    // a table with NO established real stat columns, only the byte meter
+    // — exactly the per-dir shape MERGE itself leaves behind (a converted
+    // table's __part-only stats produce the same pseudo-only statCols)
+    val d0 = ManifestCommit.newDataDir(root)
+    df((1L, "a", 1.0), (2L, "b", 2.0)).write.parquet(d0)
+    ManifestCommit.commitReplace(spark, root, Seq(d0),
+      pruneDisplaced = false,
+      stats = Map(d0 -> Seq(ManifestCommit.dirBytesStat(spark, d0))),
+      schema = Some(StructType(schema.fields.map(_.copy(nullable = true)))))
+    MergeInto.merge(spark, root, df((2L, "B", 2.5), (3L, "c", 3.0)),
+      keys = Seq("id"))
+    val m1 = ManifestCommit.readManifest(spark, root).get
+    // the merged dir's ONLY stat is the exact byte meter (statCols were
+    // pseudo-only, so no real column was metered)
+    val merged = m1.dirs.head
+    assert(m1.stats(merged).map(_.col) === Seq(ManifestCommit.BytesStat))
+    // a second small dir so compaction has something to fold; its
+    // statCols derive RAW from the manifest -> cols = [__bytes] only
+    val d2 = ManifestCommit.newDataDir(root)
+    df((10L, "x", 10.0)).write.parquet(d2)
+    ManifestCommit.commitAppend(spark, root, d2)
+    // pre-fix: dirStats(cols=[__bytes]) built an EMPTY aggregate list and
+    // threw NoSuchElementException — OPTIMIZE crashed after any merge
+    // into a stats-less table
+    val m2 = Optimize.compactSmall(spark, root, smallBytes = Long.MaxValue)
+    assert(m2.dirs.size === 1)
+    assert(rowsOf(ManifestCommit.read(spark, root)) ===
+      Set((1L, "a", 1.0), (2L, "B", 2.5), (3L, "c", 3.0), (10L, "x", 10.0)))
+    // the compacted dir keeps an EXACT byte meter (sizeInBytes stays exact)
+    val bytes = m2.stats(m2.dirs.head)
+      .find(_.col == ManifestCommit.BytesStat).map(_.min.toLong)
+    val fsBytes = fileState(root, m2.dirs.head).values
+      .collect { case (len, _) => len }.sum
+    assert(bytes.exists(b => b > 0L && b <= fsBytes), s"$bytes vs $fsBytes")
+    // the direct unit shape: a pseudo-only request serves the pseudo stats
+    assert(ManifestCommit.dirStats(spark, s"$root/${m2.dirs.head}",
+      Seq(ManifestCommit.BytesStat)).map(_.col) ===
+      Seq(ManifestCommit.BytesStat))
+  }
 }

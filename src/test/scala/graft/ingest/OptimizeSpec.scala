@@ -221,6 +221,50 @@ class OptimizeSpec extends SparkSpec {
       .gen === m.gen)
   }
 
+  test("compactMonths under an active COLUMN MAPPING rebuilds blooms " +
+      "under the PHYSICAL on-disk name (renamed bloom column)") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
+    val st2 = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("v", LongType, false)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeDir(rows: Row*): String = {
+      val d = ManifestCommit.newDataDir(root)
+      mkDf(st2, rows: _*).write.parquet(d)
+      d
+    }
+    val jan = writeDir(Row(1L, ts("2024-01-10 00:00:00"), 0L),
+      Row(2L, ts("2024-01-20 00:00:00"), 0L))
+    ManifestCommit.commitReplace(spark, root, Seq(jan),
+      pruneDisplaced = false,
+      stats = Map(jan -> ManifestCommit.dirStats(spark, jan, Seq("ts", "id"))),
+      schema = Some(StructType(st2.fields.map(_.copy(nullable = true)))))
+    // rename the bloom/collapse key: files keep physical name "id"
+    ManifestCommit.renameColumn(spark, root, "id", "key")
+    // a delta touching jan forces the month collapse to WRITE a new dir
+    val delta = writeDir(Row(1L, ts("2024-01-11 00:00:00"), 1L))
+    ManifestCommit.commitAppend(spark, root, delta,
+      stats = ManifestCommit.dirStats(spark, delta, Seq("ts", "key"),
+        colmap = Map("key" -> "id")))
+    // pre-fix: rebuildBlooms probed countDistinct over the LOGICAL name
+    // "key" against a dir whose files carry physical "id" ->
+    // AnalysisException, the maintenance job failed
+    val m = Optimize.compactMonths(spark, root, "ts", Seq("key"),
+      Some("v"), bloomCols = Seq("key"))
+    val got = ManifestCommit.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 0L))
+    // the rebuilt bloom answers point lookups under the LOGICAL name
+    // (bloomNames probes the physical side file when the logical one
+    // is absent)
+    val kept = ManifestCommit.bloomDirsOf(spark, root, m, "key", 1L)
+    assert(kept.nonEmpty)
+    val none = ManifestCommit.bloomDirsOf(spark, root, m, "key", 999999L)
+    assert(none.size < m.dirs.size,
+      "bloom on the renamed column never excludes anything")
+  }
+
   test("compactMonths: NULL-month delta rows land in a residual dir, never lost") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/t"
     val st2 = StructType(Seq(

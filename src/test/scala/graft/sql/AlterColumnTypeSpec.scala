@@ -91,6 +91,45 @@ class AlterColumnTypeSpec extends SparkSpec {
         "WHERE c >= timestamp_ntz'2024-02-09 00:00:00'").head.getLong(0) === 1L)
   }
 
+  test("float -> double: per-dir stats bounds re-render to the double " +
+      "expansion so a probe for a value the table actually serves " +
+      "cannot wrongly prune") {
+    val root = Files.createTempDirectory("graft_act_").toString + "/t"
+    val df = mkDf(StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("c", FloatType, true))),
+      org.apache.spark.sql.Row(1L, 0.1f),
+      org.apache.spark.sql.Row(2L, 0.3f))
+    val d = ManifestCommit.newDataDir(root)
+    df.write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false,
+      stats = Map(d -> ManifestCommit.dirStats(spark, d,
+        Seq("c", ManifestCommit.RowCountStat))),
+      schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))))
+    val name = uniq("actfd")
+    GraftSql.register(name, root)
+    // the float's shortest decimal rendering is the recorded bound
+    val m0 = ManifestCommit.readManifest(spark, root).get
+    assert(m0.stats(m0.dirs.head).find(_.col == "c").get.max === "0.3")
+    spark.sql(s"ALTER TABLE graft.`$name` ALTER COLUMN c TYPE DOUBLE")
+    val m = ManifestCommit.readManifest(spark, root).get
+    val cs = m.stats(m.dirs.head).find(_.col == "c").get
+    // 0.3f upcast to double is EXACTLY 0.30000001192092896 — the value
+    // the reader now serves as this dir's max; the bound must cover it
+    assert(cs.max === 0.3f.toDouble.toString, cs.toString)
+    assert(cs.min === 0.1f.toDouble.toString, cs.toString)
+    val served = 0.3f.toDouble // 0.30000001192092896 > BigDecimal("0.3")
+    val kept = ManifestCommit.prunedDirsOf(m,
+      Seq(("c", Some(served.toString), None)))
+    assert(kept === m.dirs,
+      "probe for the served max value wrongly pruned the dir")
+    // end to end: the row is actually found after the widen
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$name` WHERE c >= $served")
+      .head.getLong(0) === 1L)
+    GraftSql.unregister(name)
+  }
+
   test("writers after the widen land the WIDE type; mixed files read as one") {
     val (root, name) = mkTable(col("id"), "int")
     spark.sql(s"ALTER TABLE graft.`$name` ALTER COLUMN c TYPE BIGINT")

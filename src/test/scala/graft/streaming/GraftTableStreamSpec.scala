@@ -930,4 +930,50 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(ManifestCommit.read(spark, target).count() === 522L * 5,
       "restarted AvailableNow run must deliver the post-drain commit")
   }
+
+  test("a SECOND rename mid-stream: DV-carrying appended dirs resolve " +
+      "through the PINNED mapping, consistent with plain appends") {
+    val root = mkTable() // columns id, v (physical names = logical)
+    // first rename BEFORE the stream starts: the stream pins colmap
+    // {w -> v} and logical schema (id, w)
+    ManifestCommit.renameColumn(spark, root, "v", "w")
+    val name = uniq("ren2")
+    val q = spark.readStream.format("graft-table").load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 100L)
+      // SECOND rename mid-stream: cur.colmap becomes {u -> v} — the
+      // pinned logical name "w" no longer keys it
+      ManifestCommit.renameColumn(spark, root, "w", "u")
+      // one commit ADDS a dir that already carries a DV (no dir removed
+      // -> the plain-append stream path takes it): files land PHYSICAL
+      // names (id, v), the DV deletes id=105
+      val m = ManifestCommit.readManifest(spark, root).get
+      val nd = ManifestCommit.newDataDir(root)
+      spark.range(100, 110).toDF("id").withColumn("v", col("id") * 2)
+        .write.parquet(nd)
+      val dvName =
+        s"_dv_${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}"
+      spark.range(105, 106).toDF("id").write.parquet(s"$root/$dvName")
+      val ndName = nd.split('/').last
+      ManifestCommit.commitReplace(spark, root,
+        m.dirs :+ ndName, pruneDisplaced = false,
+        dvs = m.dvs + (ndName -> dvName),
+        schema = m.tableSchema, op = "append",
+        expectedChecks = Some(m.checks))
+      q.processAllAvailable()
+      val got = spark.table(name)
+      assert(got.count() === 109L, "9 live rows of the DV'd dir delivered")
+      // pre-fix: this path read the DV'd dir with the CURRENT colmap
+      // {u -> v}, where pinned "w" resolves to itself — physical files
+      // have no "w", so every delivered value was silently NULL
+      val tail = got.filter(col("id") >= 100)
+      assert(tail.filter(col("w").isNull).count() === 0L,
+        "renamed column null-filled on the DV'd-dir stream path")
+      assert(tail.agg(sum("w")).head.getLong(0) ===
+        (100L until 110L).filter(_ != 105L).map(_ * 2).sum)
+    } finally q.stop()
+  }
 }
