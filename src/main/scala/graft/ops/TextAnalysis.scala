@@ -217,13 +217,11 @@ object TextAnalysis {
     * engine-portable. Returns one row per document that has tokens:
     * (idCol, n_tokens, n_rare, flagged).
     *
-    * 100-TB shape: the LM shuffle carries (token, partial count) — the
-    * map-side combine bounds it by distinct-tokens-per-task; the join
-    * back is the textbook candidate for the COMMON-set inversion at
-    * production thresholds (tokens with count ≥ minCount are FEW —
-    * broadcast them, or a bloom of them, and treat misses as rare),
-    * which this exact form deliberately does not apply so the DuckDB
-    * oracle and the operator compute the identical relation. */
+    * 100-TB shape: this is the ORACLE-SHAPED exact form (its join-back
+    * shuffles every token occurrence on the skewed token key, the same
+    * relation DuckDB computes) — production runs
+    * [[rareTokenFlagsBroadcast]], the common-set inversion, measured at
+    * 0.05× the shuffle volume (`RareTokenKernel`). */
   def rareTokenFlags(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long, ratioPct: Int): DataFrame = {
     require(minCount >= 1 && ratioPct >= 0 && ratioPct <= 100,
@@ -235,6 +233,55 @@ object TextAnalysis {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__c") < minCount, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("flagged",
+        col("n_rare") * 100 > col("n_tokens") * ratioPct)
+  }
+
+  /** The PRODUCTION plan of [[rareTokenFlags]] — identical relation,
+    * common-set inversion: tokens with count >= `minCount` are the FEW
+    * (Zipf: the common set is the head, rarity is the long tail), so
+    * instead of shuffling every token OCCURRENCE back onto a skewed
+    * string key ("the" is a classic hot key), pass 1's LM is filtered
+    * down to the common set, pulled once to the driver, and pass 2
+    * flags occurrences with a map-side BROADCAST hash join — a miss IS
+    * rare. Wide movement drops from (whole tokenized corpus, twice) to
+    * the LM shuffle plus ONE pre-aggregated row per document: explode →
+    * broadcast join → partial agg all fuse into one codegen span, and
+    * the per-doc groupBy ships (id, n_tokens, n_rare) only.
+    *
+    * `maxCommonTokens` bounds the driver/broadcast footprint: the
+    * common set is materialized with one `limit(max+1).collect()` over
+    * the LM (also what guarantees the LM is built once), and exceeding
+    * the bound fails crisply — raise `minCount` (a higher threshold
+    * shrinks the common set), raise the bound if the driver has room,
+    * or fall back to the exact-join [[rareTokenFlags]]. */
+  def rareTokenFlagsBroadcast(docs: DataFrame, idCol: String,
+      textCol: String, minCount: Long, ratioPct: Int,
+      maxCommonTokens: Int = 10 * 1000 * 1000): DataFrame = {
+    require(minCount >= 1 && ratioPct >= 0 && ratioPct <= 100,
+      s"rareTokenFlagsBroadcast: minCount >= 1 and 0 <= ratioPct <= 100")
+    require(maxCommonTokens >= 1, "rareTokenFlagsBroadcast: maxCommonTokens >= 1")
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("__tok"))
+    val common = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("__tok"))
+      .limit(maxCommonTokens + 1)
+      .collect().map(_.getString(0))
+    if (common.length > maxCommonTokens)
+      throw new IllegalStateException(
+        s"rareTokenFlagsBroadcast: more than $maxCommonTokens tokens " +
+          s"reach count >= $minCount — the common set does not fit the " +
+          "broadcast budget. Raise minCount (a stricter threshold " +
+          "shrinks the common set), raise maxCommonTokens if the " +
+          "driver has headroom, or use rareTokenFlags (exact join)")
+    import spark.implicits._
+    val commonDf = common.toSeq.toDF("__tok").withColumn("__common", lit(true))
+    toks.join(broadcast(commonDf), Seq("__tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__common").isNull, 1L).otherwise(0L)).as("n_rare"))
       .withColumn("flagged",
         col("n_rare") * 100 > col("n_tokens") * ratioPct)
   }

@@ -1695,8 +1695,25 @@ object LlmData {
         sum("n_tokens").as("total_tokens"))
   }
 
+  /** The PRODUCTION broadcast plan of q166 verified against the SAME
+    * DuckDB oracle: common-set inversion must compute the identical
+    * relation to the exact join (miss == rare iff count < minCount). */
+  val q168_rare_token_bcast = Q(
+    "q168_rare_token_bcast",
+    q166_rare_token_filter.oracle.get) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val flags = TextAnalysis.rareTokenFlagsBroadcast(docs, "doc_id", "text",
+      minCount = 3L, ratioPct = 20)
+    flags.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum("n_rare").as("rare_tokens"),
+        sum("n_tokens").as("total_tokens"))
+  }
+
   val all: Seq[Q] = Seq(
-    q166_rare_token_filter,
+    q166_rare_token_filter, q168_rare_token_bcast,
     q30_exact_dedup, q31_minhash_pairs, q32_simhash, q33_ngram_jaccard,
     q34_ann_bruteforce, q35_ann_lsh, q36_text_stats, q37_quality_scores,
     q38_lang_id, q39_multimodal_meta, q46_tfidf_top_terms,

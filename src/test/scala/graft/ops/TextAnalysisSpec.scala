@@ -137,4 +137,50 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("id") === 1L).head
     assert(!edge.getBoolean(3))
   }
+
+  test("rareTokenFlagsBroadcast == rareTokenFlags (common-set inversion " +
+      "is exact), plans map-side, and overflows the budget crisply") {
+    // a corpus where common/rare straddle minCount exactly (counts 1, 2,
+    // 3) so any off-by-one in the inversion (miss == rare iff c <
+    // minCount) flips a flag
+    val docs = mkDf(schema,
+      Row(1L, "the cat sat"), Row(2L, "the cat mat"),
+      Row(3L, "the dog ran"), Row(4L, "the dog"),
+      Row(5L, "xq zz qqq"), Row(6L, ""), Row(7L, null))
+    for (minCount <- Seq(1L, 2L, 3L, 4L); pct <- Seq(0, 25, 33, 34, 100)) {
+      val exact = TextAnalysis.rareTokenFlags(docs, "id", "text",
+        minCount, pct).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      val bcast = TextAnalysis.rareTokenFlagsBroadcast(docs, "id", "text",
+        minCount, pct).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+      assert(bcast === exact, s"minCount=$minCount pct=$pct")
+    }
+    // the production plan: the flag pass joins the common set BROADCAST —
+    // no shuffle of token occurrences on the token key anywhere in the
+    // flag-side plan (the only exchange left is the per-doc partial agg)
+    val plan = TextAnalysis.rareTokenFlagsBroadcast(docs, "id", "text", 2L, 25)
+      .queryExecution.executedPlan
+    def findShuffles(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findShuffles(a.executedPlan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        Seq(e.outputPartitioning.toString) ++ e.children.flatMap(findShuffles)
+      case other => other.children.flatMap(findShuffles) ++
+        other.subqueries.flatMap(findShuffles)
+    }
+    val shuffles = findShuffles(plan)
+    assert(!shuffles.exists(_.contains("__tok")),
+      s"flag pass still shuffles on the token key: $shuffles")
+    // budget overflow fails crisply with the remedies, never silently
+    val e = intercept[IllegalStateException] {
+      TextAnalysis.rareTokenFlagsBroadcast(docs, "id", "text",
+        minCount = 1L, ratioPct = 25, maxCommonTokens = 3)
+    }
+    assert(e.getMessage.contains("minCount"), e.getMessage)
+    assert(e.getMessage.contains("rareTokenFlags"), e.getMessage)
+  }
 }
