@@ -125,6 +125,18 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!none.contains("drift"))
   }
 
+  test("machine-kernel drift ruler: positive, warmed, repeatable — " +
+      "back-to-back ratio ~1 (the round-16 canary read 0.66 here)") {
+    val a = Bench.machineKernelSec()
+    val b = Bench.machineKernelSec()
+    assert(a > 0 && b > 0, s"kernel must time a real workload: $a / $b")
+    val r = b / a
+    // quiet-machine band, tolerant of test-suite background activity —
+    // wide enough to never flake, tight enough that the canary's JIT
+    // artifact (0.66) or a real contention episode (>1.5) would fail
+    assert(r > 0.7 && r < 1.4, s"kernel ratio $r — ruler not stable")
+  }
+
   test("oracle SQL carries no control characters that survive JSON escaping badly") {
     // Verify.q escapes them, but a literal NUL would still corrupt duckdb
     SparkEntry.oracleSql.foreach { case (k, sql) =>

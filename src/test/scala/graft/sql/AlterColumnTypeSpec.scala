@@ -1,7 +1,7 @@
 package graft.sql
 
 import graft.SparkSpec
-import graft.ingest.{ManifestCommit, MergeInto}
+import graft.ingest.{ChangeFeed, ManifestCommit, MergeInto}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.Files
@@ -185,5 +185,147 @@ class AlterColumnTypeSpec extends SparkSpec {
     val m3 = ManifestCommit.readManifest(spark, root3).get
     assert(m3.colmap === Map("amount" -> "c"))
     assert(m3.tableSchema.get("amount").dataType === LongType)
+  }
+
+  test("change feed ACROSS a widen boundary: pre-images carry the upcast " +
+      "values (never null-filled or corrupted)") {
+    val (root, name) = mkTable(col("id"), "int") // c = id as INT
+    val gPre = ManifestCommit.readManifest(spark, root).get.gen
+    spark.sql(s"ALTER TABLE graft.`$name` ALTER COLUMN c TYPE BIGINT")
+    // a rewrite AFTER the widen: ids 0..4 updated via MERGE, with a
+    // value only the WIDE type can hold — proving post-images are wide
+    val src = uniq("actcdfsrc")
+    spark.range(0, 5).toDF("id")
+      .withColumn("c", lit(Int.MaxValue.toLong + 7L))
+      .createOrReplaceTempView(src)
+    spark.sql(s"""MERGE INTO graft.`$name` t USING $src s ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val gPost = ManifestCommit.readManifest(spark, root).get.gen
+    // the diff window SPANS the widen: the FROM side's dirs are
+    // pre-widen files (physical type int32) read in toGen's WIDE schema
+    // — their pre-image `c` must be the real old values upcast to long
+    val feed = ChangeFeed.diff(spark, root, gPre, gPost, Seq("id"))
+    assert(feed.schema("c").dataType === LongType,
+      "feed must be emitted in the TO generation's (wide) schema")
+    val pre = feed.filter(col(ChangeFeed.ChangeType) === "update_preimage")
+      .select("id", "c").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(pre.keySet === (0L until 5L).toSet, pre.toString)
+    (0L until 5L).foreach(i => assert(pre(i) === i,
+      s"pre-image of id=$i lost the pre-widen value: ${pre(i)}"))
+    val post = feed.filter(col(ChangeFeed.ChangeType) === "update_postimage")
+      .select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach(i => assert(post(i) === Int.MaxValue.toLong + 7L))
+  }
+
+  test("change feed across widen-THEN-rename: pre-images carry upcast " +
+      "values under the NEW name") {
+    val (root, name) = mkTable(col("id"), "int")
+    val gPre = ManifestCommit.readManifest(spark, root).get.gen
+    spark.sql(s"ALTER TABLE graft.`$name` ALTER COLUMN c TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN c TO amount")
+    val src = uniq("actwrsrc")
+    spark.range(0, 5).toDF("id").withColumn("amount", lit(8888L))
+      .createOrReplaceTempView(src)
+    spark.sql(s"""MERGE INTO graft.`$name` t USING $src s ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val gPost = ManifestCommit.readManifest(spark, root).get.gen
+    val feed = ChangeFeed.diff(spark, root, gPre, gPost, Seq("id"))
+    assert(feed.schema("amount").dataType === LongType)
+    val pre = feed.filter(col(ChangeFeed.ChangeType) === "update_preimage")
+      .select("id", "amount").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+    assert(pre.keySet === (0L until 5L).toSet, pre.toString)
+    (0L until 5L).foreach(i => assert(pre(i) === i,
+      s"pre-image of id=$i across widen+rename: ${pre(i)}"))
+  }
+
+  test("mini-fuzz (seed 1717): a one-shot widen and rename flips " +
+      "interleaved with INSERT / MERGE / DV delete / compaction — " +
+      "live == model every step, whole-window change feed reconstructs " +
+      "exactly") {
+    import spark.implicits._
+    val (root, name) = mkTable(col("id"), "int") // c starts NARROW
+    val rnd = new scala.util.Random(1717)
+    val model0: Map[Long, Long] = (0L until 50L).map(i => i -> i).toMap
+    var model = model0
+    var nextId = 1000L
+    var colName = "c"
+    var widened = false
+    val g0 = ManifestCommit.readManifest(spark, root).get.gen
+    def live(): Map[Long, Long] =
+      spark.sql(s"SELECT id, cast(`$colName` as bigint) FROM graft.`$name`")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to 16).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => // INSERT a fresh batch (values stay int-safe pre-widen)
+          val ids = (0 until 1 + rnd.nextInt(4)).map { _ => nextId += 1; nextId }
+          val src = uniq("actfz")
+          ids.toDF("id").withColumn(colName,
+            (col("id") * 3).cast(if (widened) "bigint" else "int"))
+            .createOrReplaceTempView(src)
+          spark.sql(
+            s"INSERT INTO graft.`$name` SELECT id, `$colName` FROM $src")
+          model ++= ids.map(i => i -> i * 3)
+        case 1 if model.nonEmpty => // MERGE update of a sample
+          val pick = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(3))
+          val src = uniq("actfzm")
+          pick.toDF("id").withColumn(colName,
+            (col("id") + lit(step.toLong * 1000))
+              .cast(if (widened) "bigint" else "int"))
+            .createOrReplaceTempView(src)
+          spark.sql(s"""MERGE INTO graft.`$name` t USING $src s ON t.id = s.id
+                       |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+          model ++= pick.map(i => i -> (i + step.toLong * 1000))
+        case 2 if model.nonEmpty => // merge-on-read DV delete
+          val pick = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(3))
+          MergeInto.deleteWhere(spark, root, pick.toDF("id"))
+          model --= pick
+        case 3 => // minor compaction (folds DVs away, keeps mapping+type)
+          graft.ingest.Optimize.compactSmall(spark, root,
+            smallBytes = 1L << 30)
+        case 4 if !widened => // the ONE-SHOT widen, at a random step
+          spark.sql(
+            s"ALTER TABLE graft.`$name` ALTER COLUMN `$colName` TYPE BIGINT")
+          widened = true
+        case _ => // RENAME flip c <-> val (DVs block a rename: compact first)
+          graft.ingest.Optimize.compactSmall(spark, root,
+            smallBytes = 1L << 30)
+          val to = if (colName == "c") "val" else "c"
+          spark.sql(
+            s"ALTER TABLE graft.`$name` RENAME COLUMN `$colName` TO `$to`")
+          colName = to
+      }
+      assert(live() === model, s"live != model after step $step")
+    }
+    // whole-window change feed spanning every widen/rename boundary:
+    // inserts/deletes/updates derived from it must reconstruct the model
+    val gEnd = ManifestCommit.readManifest(spark, root).get.gen
+    val feed = ChangeFeed.diff(spark, root, g0, gEnd, Seq("id"))
+    val byType = feed
+      .select(col("id"), col(colName).cast("bigint").as("v"),
+        col(ChangeFeed.ChangeType))
+      .collect()
+      .groupBy(_.getString(2))
+      .map { case (t, rs) =>
+        t -> rs.map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap }
+    val ins = byType.getOrElse("insert", Map.empty)
+    val del = byType.getOrElse("delete", Map.empty)
+    val upPre = byType.getOrElse("update_preimage", Map.empty)
+    val upPost = byType.getOrElse("update_postimage", Map.empty)
+    assert(ins.keySet === model.keySet.diff(model0.keySet))
+    ins.foreach { case (k, v) => assert(v === model(k), s"insert $k") }
+    assert(del.keySet === model0.keySet.diff(model.keySet))
+    val updated = model0.keySet.intersect(model.keySet)
+      .filter(k => model0(k) != model(k))
+    assert(upPost.keySet === updated)
+    updated.foreach { k =>
+      assert(upPre(k) === model0(k), s"pre-image of $k across the window")
+      assert(upPost(k) === model(k), s"post-image of $k")
+    }
   }
 }

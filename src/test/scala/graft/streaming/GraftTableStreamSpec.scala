@@ -620,6 +620,85 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(ManifestCommit.tableRowCount(spark, target) === Some(85L))
   }
 
+  test("sliced sink into a WIDENED-then-RENAMED table: batches land " +
+      "physical names and wide types, slice pruning stays intact, " +
+      "replay absorbed") {
+    val target = Files.createTempDirectory("graft_sinkddl_").toString + "/r"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    ManifestCommit.commitReplace(spark, target, Nil, pruneDisplaced = false,
+      schema = Some(schema), op = "create",
+      slice = Some("date_format(ts, 'yyyyMM')"))
+    val name = uniq("sinkddl")
+    graft.sql.GraftSql.register(name, target)
+    val sink = new GraftTableSink(spark, Map("path" -> target, "txnAppId" -> "w"))
+    // batch 0 lands pre-DDL (narrow type, original name)
+    sink.addBatch(0, spark.range(0, 20).toDF("n")
+      .withColumn("ts", lit("2024-01-15 00:00:00").cast("timestamp"))
+      .withColumn("v", col("n").cast("int")).select("ts", "v"))
+    // the DDL pair: widen v -> BIGINT, rename v -> amount
+    spark.sql(s"ALTER TABLE graft.`$name` ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$name` RENAME COLUMN v TO amount")
+    // batch 1 arrives under the NEW logical name, narrow int values,
+    // spanning TWO months — the sliced path must translate to physical
+    // names, store-assign to the wide type, and stay slice-tight
+    val batch1 = spark.range(100, 140).toDF("n")
+      .withColumn("ts", when(col("n") < 120,
+        lit("2024-02-10 00:00:00")).otherwise(lit("2024-03-10 00:00:00"))
+        .cast("timestamp"))
+      .withColumn("amount", col("n").cast("int")).select("ts", "amount")
+    sink.addBatch(1, batch1)
+    val m = ManifestCommit.readManifest(spark, target).get
+    assert(m.dirs.size === 3, s"Jan + Feb + Mar dirs, got ${m.dirs.size}")
+    // the batch's files carry the PHYSICAL name (v) and the WIDE type
+    val newDirs = m.dirs.filterNot(
+      d => m.stats(d).exists(s => s.col == "ts" && s.min.startsWith("2024-01")))
+    newDirs.foreach { d =>
+      val footer = spark.read.parquet(
+        ManifestCommit.dirAbs(target, d)).schema
+      assert(footer.fieldNames.contains("v") &&
+        !footer.fieldNames.contains("amount"),
+        s"dir $d fields: ${footer.fieldNames.mkString(",")}")
+      assert(footer("v").dataType ===
+        org.apache.spark.sql.types.LongType, s"dir $d not widened")
+    }
+    // reads serve the logical name; values exact
+    assert(spark.sql(s"SELECT sum(amount) FROM graft.`$name`")
+      .head.getLong(0) === (0L until 20L).sum + (100L until 140L).sum)
+    // month probe still prunes to exactly 1 dir (slice-tight stats
+    // survived the physical-name translation)
+    val probe = spark.sql(s"SELECT sum(amount) FROM graft.`$name` " +
+      "WHERE ts >= timestamp'2024-02-01' AND ts <= timestamp'2024-02-28'")
+    val scanned = probe.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).filter(_.contains(target))
+              .flatMap(_.split("/").filter(s =>
+                s.startsWith("data_") && !s.contains("=")).lastOption)
+          case _ => Nil
+        }
+    }.flatten.distinct.size
+    assert(scanned === 1, s"month probe scanned $scanned dirs, want 1")
+    assert(probe.head.getLong(0) === (100L until 120L).sum)
+    // replay of batch 1 after the DDL: absorbed whole
+    val genBefore = m.gen
+    sink.addBatch(1, batch1)
+    assert(ManifestCommit.readManifest(spark, target).get.gen === genBefore,
+      "replay must be a no-op")
+    // an overflowing narrow value in a LATER batch is fine now (wide
+    // column): the store-assignment cast is int->bigint, never lossy
+    sink.addBatch(2, spark.range(0, 1).toDF("n")
+      .withColumn("ts", lit("2024-04-01 00:00:00").cast("timestamp"))
+      .withColumn("amount", lit(Long.MaxValue - 1)).select("ts", "amount"))
+    assert(spark.sql(
+      s"SELECT amount FROM graft.`$name` WHERE ts >= timestamp'2024-04-01'")
+      .head.getLong(0) === Long.MaxValue - 1)
+  }
+
   test("sink rejects .partitionBy()") {
     val target = Files.createTempDirectory("graft_sinkpart_").toString + "/r"
     val e = intercept[Exception] {
