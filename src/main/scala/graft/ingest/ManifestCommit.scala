@@ -1134,6 +1134,12 @@ object ManifestCommit {
           require(f.rename(new Path(s0), new Path(d0)),
             s"convert: could not move $s0 into $d0")
         } else distributeRenames(spark, root, pairs)
+        // exact on-disk bytes per promoted leaf (sizeInBytes exactness
+        // and OPTIMIZE's probe-free small-dir selection start life armed
+        // on converted tables too): one content-summary round-trip per
+        // leaf, overlapped on the same concurrent pool as discovery
+        val bytesOf: Map[String, ColStats] = concurrently(hiveLeaves)(n =>
+          n -> dirBytesStat(spark, dirOf(n))).toMap
         val stats = hiveLeaves.map { n =>
           val cs = groupedRows.get(leafValues(n)).map { r =>
             statColNames.zipWithIndex.flatMap { case (c, i) =>
@@ -1152,7 +1158,11 @@ object ManifestCommit {
             dirStats(spark, dirOf(n),
               (statColNames ++ partColPath :+ RowCountStat).distinct)
           }
-          dirOf(n) -> (cs :+ ColStats(PartStat, "str", n, n))
+          // the per-dir fallback already metered bytes via dirStats —
+          // don't double-append
+          val withBytes =
+            if (cs.exists(_.col == BytesStat)) cs else cs :+ bytesOf(n)
+          dirOf(n) -> (withBytes :+ ColStats(PartStat, "str", n, n))
         }.toMap
         val slice =
           if (nK == 1) partColPath.head else compositeSlice(partColPath)

@@ -97,6 +97,22 @@ object GraftSql {
     registry.keySet().asScala.toSeq
   }
 
+  /** Re-mirror every registered name backed by `root` after a
+    * SCHEMA-CHANGING DDL (RENAME/ALTER COLUMN TYPE/ADD/DROP COLUMNS):
+    * a catalog view captures its schema at creation, so the standing
+    * BI mirror's `getColumns` would keep serving the pre-DDL columns
+    * until the next full sync — a BI tool connected while the DDL
+    * lands must see the new name/type immediately. Same best-effort
+    * contract as [[biRefresh]]: a mirror hiccup never fails the DDL. */
+  private[sql] def biRefreshRoot(root: String): Unit =
+    if (biMirror.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val r = new org.apache.hadoop.fs.Path(root).toString
+      registry.entrySet().asScala
+        .filter(e => new org.apache.hadoop.fs.Path(e.getValue).toString == r)
+        .foreach(e => biRefresh(e.getKey, dropped = false))
+    }
+
   /** Mirror the graft registry into the Spark session catalog as a
     * database of VIEWs, so STOCK JDBC metadata discovery —
     * `DatabaseMetaData.getTables`/`getColumns`, the calls Superset and

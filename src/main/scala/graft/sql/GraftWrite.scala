@@ -280,6 +280,7 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           pruneDisplaced = false, stats = m.stats, dvs = m.dvs,
           schema = Some(widened), op = "add_columns",
           expectedGen = Some(m.gen))
+        GraftSql.biRefreshRoot(root)
         ()
       }) :: Nil
     case GraftDropColumns(root, names, ifExists) =>
@@ -332,16 +333,20 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           colmap = Some(m.colmap -- dropped),
           deadCols = Some(
             (m.deadCols ++ dropped.toSeq.map(m.physNameOf)).distinct))
+        GraftSql.biRefreshRoot(root)
         ()
       }) :: Nil
     case GraftRenameColumn(root, from, to) =>
       GraftRowOpExec(s"GraftRenameColumnExec $root $from->$to", () => {
-        ManifestCommit.renameColumn(spark, root, from, to); ()
+        ManifestCommit.renameColumn(spark, root, from, to)
+        GraftSql.biRefreshRoot(root)
+        ()
       }) :: Nil
     case GraftAlterColumnType(root, changes) =>
       GraftRowOpExec(s"GraftAlterColumnTypeExec $root", () => {
         changes.foreach { case (n, t) =>
           ManifestCommit.alterColumnType(spark, root, n, t) }
+        GraftSql.biRefreshRoot(root)
         ()
       }) :: Nil
     case GraftRenameTable(from, to) =>
@@ -399,6 +404,9 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         val gen = version.getOrElse(ManifestCommit.genAsOf(spark, root,
           GraftSql.parseTsMillis(spark, tsRaw.get)))
         ManifestCommit.restore(spark, root, gen)
+        // a restore across a rename/widen boundary changes the live
+        // schema — the standing BI mirror must re-describe
+        GraftSql.biRefreshRoot(root)
         ()
       }) :: Nil
     case v @ GraftVacuum(root, keepLast, maxAgeMs, dryRun) =>

@@ -1644,4 +1644,36 @@ class ManifestCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("reader version 99"), e.getMessage)
     assert(e.getMessage.contains("upgrade"), e.getMessage)
   }
+
+  test("the reserved __graft_ namespace is refused at COMMIT time on " +
+      "every schema-recording surface — never deferred to the first diff") {
+    val root = Files.createTempDirectory("manifest_spec_").toString + "/t"
+    val d = ManifestCommit.newDataDir(root)
+    spark.range(0, 5).toDF("id").withColumn("__graft_x", col("id"))
+      .write.parquet(d)
+    // create (commitReplace with schema)
+    val e1 = intercept[IllegalArgumentException] {
+      ManifestCommit.commitReplace(spark, root, Seq(d),
+        pruneDisplaced = false,
+        schema = Some(StructType(Seq(
+          StructField("id", LongType, nullable = true),
+          StructField("__graft_x", LongType, nullable = true)))))
+    }
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    assert(e1.getMessage.contains("rename"), e1.getMessage)
+    assert(ManifestCommit.readManifest(spark, root).isEmpty,
+      "the refused commit must not land")
+    // rename INTO the namespace (the evolution path's sibling)
+    val d2 = ManifestCommit.newDataDir(root)
+    write(Row(1L, "a"))(d2)
+    ManifestCommit.commitReplace(spark, root, Seq(d2),
+      pruneDisplaced = false,
+      schema = Some(StructType(st.fields.map(_.copy(nullable = true)))))
+    val e2 = intercept[IllegalArgumentException] {
+      ManifestCommit.renameColumn(spark, root, "v", "__graft_v")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    assert(ManifestCommit.readManifest(spark, root).get
+      .tableSchema.get.fieldNames.contains("v"), "rename must not land")
+  }
 }

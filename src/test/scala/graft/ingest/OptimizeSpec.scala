@@ -390,6 +390,82 @@ class OptimizeSpec extends SparkSpec {
     assert(contents(ManifestCommit.read(spark, root)) === want)
   }
 
+  test("compactWhere under an active COLUMN MAPPING: the RENAMED " +
+      "predicate column resolves to the re-keyed stats — out-of-scope " +
+      "dirs untouched") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/wren"
+    val dirs = (0 until 4).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      grid().filter(col("x") >= i * 8 && col("x") < (i + 1) * 8)
+        .write.parquet(d)
+      d -> ManifestCommit.dirStats(spark, d, Seq("x", "y"))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(st.fields.map(_.copy(nullable = true)))))
+    ManifestCommit.renameColumn(spark, root, "x", "xs")
+    val before = ManifestCommit.readManifest(spark, root).get
+    def renamedContents(): Set[(Long, Long, String)] =
+      ManifestCommit.read(spark, root).collect().toSet.map((r: Row) =>
+        (r.getAs[Long]("xs"), r.getAs[Long]("y"), r.getAs[String]("payload")))
+    val want = renamedContents()
+    // predicate on the NEW logical name overlaps dirs 1 and 2 only.
+    // Discriminator: if the scope extraction missed the re-keyed stats
+    // (bounds keyed `xs` against stats still keyed `x`), every dir would
+    // be vacuously in scope and ALL FOUR would fold to one.
+    Optimize.compactWhere(spark, root,
+      col("xs") >= 10 && col("xs") <= 20, smallBytes = 1L << 30)
+    val after = ManifestCommit.readManifest(spark, root).get
+    assert(after.dirs.size === before.dirs.size - 1,
+      s"expected 2 in-scope dirs -> 1: ${before.dirs.size} -> ${after.dirs.size}")
+    val out = Set(before.dirs.head, before.dirs.last)
+    assert(out.subsetOf(after.dirs.toSet), "out-of-scope dirs were touched")
+    // the folded dir landed under the PHYSICAL name and reads under the
+    // logical one: contents identical, stats re-keyed on xs still prune
+    assert(renamedContents() === want)
+    assert(after.colmap === Map("xs" -> "x"), "mapping must survive the fold")
+    val foldedDir = after.dirs.filterNot(out).head
+    val footer = spark.read.parquet(s"$root/$foldedDir").schema.fieldNames
+    assert(footer.contains("x") && !footer.contains("xs"),
+      s"folded dir must carry physical names: ${footer.mkString(",")}")
+  }
+
+  test("compactWhere on a multi-level CONVERTED table: partition-value " +
+      "stats scope the fold; cold partitions keep their nested dirs") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/wconv"
+    val df = spark.range(0, 240).toDF("id")
+      .withColumn("y", (lit(2024) + col("id") % 2).cast("int"))
+      .withColumn("m", (lit(1) + col("id") % 3).cast("int"))
+      .withColumn("v", (col("id") * 2).cast("double"))
+    df.write.partitionBy("y", "m").parquet(root)
+    val m0 = ManifestCommit.convertToGraft(spark, root, Seq("id"))
+    assert(m0.dirs.size === 6, m0.dirs) // 2 years x 3 months
+    val want = ManifestCommit.read(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    // scope = one year: its 3 month leaves fold, the other year's 3
+    // nested leaves survive byte-identical (never probed or read)
+    val before = ManifestCommit.readManifest(spark, root).get
+    val cold = before.dirs.filter(d =>
+      before.stats(d).exists(s => s.col == "y" && s.min == "2025"))
+    assert(cold.size === 3)
+    Optimize.compactWhere(spark, root, col("y") === 2024,
+      smallBytes = 1L << 30)
+    val after = ManifestCommit.readManifest(spark, root).get
+    assert(after.dirs.size === 4,
+      s"3 hot leaves -> 1 dir + 3 cold: ${after.dirs}")
+    assert(cold.toSet.subsetOf(after.dirs.toSet),
+      "cold partitions must keep their nested dirs")
+    // contents identical: the folded dir materialized the partition
+    // columns as real columns, the cold leaves still inject them
+    assert(ManifestCommit.read(spark, root)
+      .collect().map(_.toString).sorted.toSeq === want)
+    // pruning still live on the partition column across the mixed layout
+    val (pruned, kept, total) = ManifestCommit.readPruned(spark, root,
+      "y", Some("2025"), Some("2025"))
+    assert(total === 4 && kept === 3, s"kept $kept of $total")
+    assert(pruned.count() === 120L)
+  }
+
   test("SQL: OPTIMIZE ... WHERE scopes; WHERE + ZORDER BY is refused") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/wsql"
     val dirs = (0 until 3).map { i =>

@@ -153,4 +153,66 @@ class BytesStatSpec extends SparkSpec {
     assert(allHaveBytes(), "compactSmall missed __bytes")
     assert(ManifestCommit.tableBytesOf(after).isDefined)
   }
+
+  test("__bytes through the remaining commit families: CONVERT (flat + " +
+      "multi-level hive), SHALLOW CLONE inherits, DEEP CLONE carries " +
+      "exactly, zorder re-meters — sizeInBytes stays exact end to end") {
+    def bytesEverywhere(root: String): Unit = {
+      val m = ManifestCommit.readManifest(spark, root).get
+      m.dirs.foreach(d => assert(
+        m.stats.getOrElse(d, Nil).exists(_.col == ManifestCommit.BytesStat),
+        s"$root dir $d lost __bytes"))
+      assert(ManifestCommit.tableBytesOf(m).isDefined, s"$root total not exact")
+    }
+    def onDisk(root: String): Long = {
+      val m = ManifestCommit.readManifest(spark, root).get
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      m.dirs.map(d => f.getContentSummary(new org.apache.hadoop.fs.Path(
+        ManifestCommit.dirAbs(root, d))).getLength).sum
+    }
+    // multi-level hive CONVERT: the one grouped pass meters bytes too
+    val hive = Files.createTempDirectory("graft_bytes_").toString + "/h"
+    spark.range(0, 120).toDF("id")
+      .withColumn("y", (lit(2024) + col("id") % 2).cast("int"))
+      .withColumn("m", (lit(1) + (col("id") / 2) % 2).cast("int"))
+      .write.partitionBy("y", "m").parquet(hive)
+    val mh = ManifestCommit.convertToGraft(spark, hive, Seq("id"))
+    assert(mh.dirs.size === 4)
+    bytesEverywhere(hive)
+    assert(ManifestCommit.tableBytesOf(mh) === Some(onDisk(hive)),
+      "converted table's byte total must be the exact on-disk sum")
+    // flat CONVERT
+    val flat = Files.createTempDirectory("graft_bytes_").toString + "/f"
+    spark.range(0, 50).toDF("id").write.parquet(flat)
+    ManifestCommit.convertToGraft(spark, flat, Seq("id"))
+    bytesEverywhere(flat)
+    // SHALLOW CLONE inherits the source's exact bytes (external refs)
+    val clone = Files.createTempDirectory("graft_bytes_").toString + "/c"
+    ManifestCommit.shallowClone(spark, flat, clone)
+    bytesEverywhere(clone)
+    assert(ManifestCommit.tableBytesOf(
+      ManifestCommit.readManifest(spark, clone).get) ===
+      ManifestCommit.tableBytesOf(
+        ManifestCommit.readManifest(spark, flat).get))
+    // DEEP CLONE (materialize): byte-identical copies carry the stat
+    ManifestCommit.materializeExternal(spark, clone)
+    bytesEverywhere(clone)
+    assert(ManifestCommit.tableBytesOf(
+      ManifestCommit.readManifest(spark, clone).get) ===
+      Some(onDisk(clone)), "materialized bytes must stay exact")
+    // zorder rewrite re-meters
+    val z = Files.createTempDirectory("graft_bytes_").toString + "/z"
+    val dz = ManifestCommit.newDataDir(z)
+    spark.range(0, 200).toDF("a").withColumn("b", col("a") % 17)
+      .write.parquet(dz)
+    ManifestCommit.commitReplace(spark, z, Seq(dz), pruneDisplaced = false,
+      stats = Map(dz -> ManifestCommit.dirStats(spark, dz,
+        Seq("a", "b", ManifestCommit.RowCountStat))))
+    Optimize.zorderCompact(spark, z, "a", "b", targetDirs = 2)
+    bytesEverywhere(z)
+    assert(ManifestCommit.tableBytesOf(
+      ManifestCommit.readManifest(spark, z).get) === Some(onDisk(z)),
+      "zorder rewrite must re-meter, not carry stale bytes")
+  }
 }

@@ -807,6 +807,80 @@ class GraftDdlSpec extends SparkSpec {
     assert(ManifestCommit.readManifest(spark, loc).get.slice === Some("id % 2"))
   }
 
+  test("__graft_ columns refused at DDL time: CREATE, ADD COLUMNS, " +
+      "RENAME COLUMN — with the rename remedy, before any data lands") {
+    val loc = scratch() + "/ns"
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.ddl_ns_bad (id BIGINT, __graft_x BIGINT) " +
+        s"LOCATION '$loc'"))
+    assert(e1.getMessage.contains("reserved") &&
+      e1.getMessage.contains("rename"), e1.getMessage)
+    assert(ManifestCommit.readManifest(spark, loc).isEmpty,
+      "refused CREATE must leave no manifest behind")
+    val loc2 = scratch() + "/ns2"
+    spark.sql(s"CREATE TABLE graft.ddl_ns_ok (id BIGINT) LOCATION '$loc2'")
+    try {
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.ddl_ns_ok ADD COLUMNS (__graft_y BIGINT)"))
+      assert(e2.getMessage.contains("reserved"), e2.getMessage)
+      val e3 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.ddl_ns_ok RENAME COLUMN id TO __graft_id"))
+      assert(e3.getMessage.contains("reserved"), e3.getMessage)
+      // the table is untouched and fully usable after the refusals
+      spark.sql("INSERT INTO graft.ddl_ns_ok VALUES (7)")
+      assert(spark.sql("SELECT sum(id) FROM graft.ddl_ns_ok")
+        .head.getLong(0) === 7L)
+    } finally spark.sql("DROP TABLE graft.ddl_ns_ok")
+  }
+
+  test("VACUUM ... DRY RUN over a SHALLOW CLONE reports only locally-" +
+      "reclaimable paths — external (source-owned) refs never appear") {
+    val base = scratch()
+    val srcLoc = base + "/vsrc"; val cloneLoc = base + "/vclone"
+    spark.sql(s"CREATE TABLE graft.ddl_vds (id BIGINT) LOCATION '$srcLoc'")
+    try {
+      spark.sql("INSERT INTO graft.ddl_vds VALUES (1), (2)")
+      spark.sql(s"CREATE TABLE graft.ddl_vdc SHALLOW CLONE graft.ddl_vds " +
+        s"LOCATION '$cloneLoc'")
+      try {
+        // diverge the clone LOCALLY: a local dir (gen 2), then a full
+        // local rewrite (gen 3) that displaces BOTH the external ref and
+        // the local dir from the live set
+        spark.sql("INSERT INTO graft.ddl_vdc VALUES (9)")
+        val localDirs = ManifestCommit.readManifest(spark, cloneLoc).get
+          .dirs.filterNot(_.startsWith("/")).filterNot(_.contains(srcLoc))
+        assert(localDirs.size === 1, localDirs)
+        val d = ManifestCommit.newDataDir(cloneLoc)
+        spark.range(100, 103).toDF("id").write.parquet(d)
+        ManifestCommit.commitReplace(spark, cloneLoc, Seq(d),
+          pruneDisplaced = false)
+        val preview = spark.sql(
+          "VACUUM graft.ddl_vdc RETAIN 1 GENERATIONS DRY RUN")
+          .collect().map(_.getString(0)).toSet
+        // the clone's own displaced dir is reclaimable; the source's
+        // dirs are NOT the clone's to delete — even expired, they must
+        // never enter the reclaim set
+        assert(preview.exists(_.contains(localDirs.head)),
+          s"local displaced dir missing from preview: $preview")
+        assert(!preview.exists(_.contains(srcLoc)),
+          s"preview offered source-owned paths: $preview")
+        // dry run touched nothing: source still fully readable from the
+        // clone's pinned generation AND from the source itself
+        assert(ManifestCommit.readAt(spark, cloneLoc, 1L).count() === 2L)
+        assert(spark.sql("SELECT count(*) FROM graft.ddl_vds")
+          .head.getLong(0) === 2L)
+        // the REAL vacuum reclaims the local dir, leaves the source alone
+        spark.sql("VACUUM graft.ddl_vdc RETAIN 1 GENERATIONS")
+        val f = new org.apache.hadoop.fs.Path(cloneLoc)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assert(!f.exists(new org.apache.hadoop.fs.Path(
+          s"$cloneLoc/${localDirs.head}")), "local dir not reclaimed")
+        assert(spark.sql("SELECT count(*) FROM graft.ddl_vds")
+          .head.getLong(0) === 2L, "vacuum of a clone touched its source")
+      } finally spark.sql("DROP TABLE graft.ddl_vdc")
+    } finally spark.sql("DROP TABLE graft.ddl_vds")
+  }
+
   test("VACUUM ... DRY RUN previews the reclaim set without touching " +
       "anything; the real VACUUM then deletes exactly it") {
     val loc = Files.createTempDirectory("ddl_spec_").toString + "/vac"

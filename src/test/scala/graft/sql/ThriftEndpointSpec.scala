@@ -164,6 +164,47 @@ class ThriftEndpointSpec extends SparkSpec {
         val rsT3 = md.getTables(null, "graft_bi", "thriftspec_t", null)
         assert(rsT3.next(), "healthy table lost because a stale one aborted sync")
 
+        // SCHEMA-CHANGING DDL over a LIVE mirror: a rename + widen must
+        // surface through stock getColumns with NO re-sync (catalog
+        // views capture their schema at creation, so the engine
+        // re-mirrors the table's view inside the DDL itself)
+        locally {
+          val ddlLoc = Files.createTempDirectory("graft_thrift_")
+            .toString + "/ddl"
+          st.execute("CREATE TABLE graft.thriftspec_ddl (id BIGINT, v INT) " +
+            s"LOCATION '$ddlLoc'")
+          try {
+            st.execute("INSERT INTO graft.thriftspec_ddl VALUES (1, 10)")
+            def cols(): List[(String, String)] = {
+              val rs = md.getColumns(null, "graft_bi", "thriftspec_ddl", "%")
+              var out = List.empty[(String, String)]
+              while (rs.next()) out ::= ((rs.getString("COLUMN_NAME"),
+                rs.getString("TYPE_NAME").toLowerCase))
+              out.reverse
+            }
+            assert(cols() === List(("id", "bigint"), ("v", "int")), cols())
+            st.execute(
+              "ALTER TABLE graft.thriftspec_ddl ALTER COLUMN v TYPE BIGINT")
+            assert(cols() === List(("id", "bigint"), ("v", "bigint")),
+              s"widen invisible to the live mirror: ${cols()}")
+            st.execute(
+              "ALTER TABLE graft.thriftspec_ddl RENAME COLUMN v TO amount")
+            assert(cols() === List(("id", "bigint"), ("amount", "bigint")),
+              s"rename invisible to the live mirror: ${cols()}")
+            // the discovered name serves values under the new column
+            val rq2 = st.executeQuery(
+              "SELECT amount FROM graft_bi.thriftspec_ddl")
+            assert(rq2.next() && rq2.getLong(1) === 10L)
+            // ADD / DROP COLUMNS re-mirror too
+            st.execute(
+              "ALTER TABLE graft.thriftspec_ddl ADD COLUMNS (tag STRING)")
+            assert(cols().map(_._1) === List("id", "amount", "tag"), cols())
+            st.execute(
+              "ALTER TABLE graft.thriftspec_ddl DROP COLUMN tag")
+            assert(cols().map(_._1) === List("id", "amount"), cols())
+          } finally st.execute("DROP TABLE graft.thriftspec_ddl")
+        }
+
         // CONCURRENT DDL + mirror cycling: registrations race each other
         // AND the mirror session stopping/re-arming mid-churn (deltas are
         // best-effort and may be missed while disarmed). The pinned
