@@ -54,15 +54,50 @@ object Optimize {
       cols: Seq[String], targetDirs: Int,
       extraStatCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): ManifestCommit.Manifest = {
+      bloomFpp: Double = 0.01,
+      scope: Option[Set[String]] = None): ManifestCommit.Manifest = {
     require(targetDirs >= 1, "targetDirs must be >= 1")
     require(cols.size >= 2, "z-order needs at least 2 columns")
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
-    val live = ManifestCommit.read(spark, root)
+    // `scope` ([[zorderWhere]]): the rewrite reads and consumes ONLY the
+    // in-scope dirs (DV-aware); everything else is never touched
+    val inScope = scope.map(s => m.dirs.filter(s.contains))
+      .getOrElse(m.dirs)
+    if (inScope.isEmpty) return m
+    val live = scope match {
+      case None => ManifestCommit.read(spark, root)
+      case Some(_) => ManifestCommit.readDirsOf(spark, root, m, inScope)
+    }
 
+    // MAGNITUDE NORMALIZATION (why Delta z-orders on range_partition_id,
+    // never raw values): interleaving RAW bit patterns lets the widest-
+    // magnitude dimension own every high bit — a (custkey ~1e3,
+    // orderkey ~1e6) pair degrades to a plain orderkey sort and the
+    // custkey dimension never gains prunable rectangles. Each column is
+    // scaled into its ⌊63/n⌋-bit z-slot by its own min/max (ONE tiny agg
+    // over the rewrite's input — 2n doubles to the driver). Linear
+    // scaling is magnitude-robust; heavy value skew WITHIN a dimension
+    // would want rank bucketing instead (SCALE.md notes the swap). A
+    // constant or all-null column contributes bucket 0 (harmless); null
+    // values keep the pre-existing contract (null z-key, one partition).
+    val mmAggs = cols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c).cast("double")),
+      org.apache.spark.sql.functions.max(col(c).cast("double"))))
+    val mmRow = live.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+    val buckets = (1L << math.min(63 / cols.size, 20)).toDouble
+    val zcols = cols.zipWithIndex.map { case (c, i) =>
+      val lo = if (mmRow.isNullAt(2 * i)) 0.0 else mmRow.getDouble(2 * i)
+      val hi = if (mmRow.isNullAt(2 * i + 1)) 0.0 else mmRow.getDouble(2 * i + 1)
+      if (hi <= lo) lit(0L).cast("long")
+      else org.apache.spark.sql.functions.least(
+        lit(buckets - 1),
+        org.apache.spark.sql.functions.floor(
+          (col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(buckets)))
+        .cast("long")
+    }
     val keyed = live.withColumn("__z",
-      graft.functions.columns.zorderKeyN(cols.map(c => col(c)): _*))
+      graft.functions.columns.zorderKeyN(zcols: _*))
     // one range shuffle = the distributed sort; ordering WITHIN a dir is
     // irrelevant to dir-level stats, so no within-partition sort is paid
     val staged = keyed.repartitionByRange(targetDirs, col("__z"))
@@ -99,17 +134,26 @@ object Optimize {
     }
     f.delete(new Path(staging), true)
 
-    // rebasing commit: the rewrite consumed every base dir (pinned), but
-    // a concurrent APPEND always grafts — a row-preserving re-layout
-    // commutes with appends by construction (the delta dir simply stays
-    // unclustered until the next OPTIMIZE), so AlwaysDisjoint
+    // rebasing commit: the rewrite consumed every IN-SCOPE base dir
+    // (pinned), but a concurrent APPEND always grafts — a row-preserving
+    // re-layout commutes with appends by construction (the delta dir
+    // simply stays unclustered until the next OPTIMIZE), so
+    // AlwaysDisjoint. Out-of-scope dirs carry through untouched. The
+    // recorded schema stays the TABLE's: on an unrecorded-schema table a
+    // SCOPED read's mergeSchema union could miss columns living only in
+    // out-of-scope dirs — recording it would silently drop them.
+    val recordSchema = m.tableSchema
+      .map(s => StructType(s.fields.map(_.copy(nullable = true))))
+      .getOrElse(StructType((if (scope.isEmpty) live
+        else ManifestCommit.read(spark, root))
+        .schema.fields.map(_.copy(nullable = true))))
     ManifestCommit.commitReconciled(spark, root, base = m,
-      displaced = m.dirs,
+      displaced = inScope,
       added = promoted.map(_._1),
       addedStats = promoted.toMap,
-      schema = Some(StructType(live.schema.fields.map(_.copy(nullable = true)))),
+      schema = Some(recordSchema),
       op = "zorder",
-      pinned = m.dirs.toSet)
+      pinned = inScope.toSet)
   }
 
   /** MINOR compaction: fold only the live dirs smaller than
@@ -155,6 +199,20 @@ object Optimize {
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"$root is not a manifest-committed table"))
+    compactSmall(spark, root, smallBytes, bloomCols, bloomFpp,
+      scope = Some(whereScope(spark, m, cond)))
+  }
+
+  /** The manifest-stats OVERLAP scope of a maintenance predicate: the
+    * dirs whose recorded stats can hold rows matching `cond` (shared by
+    * [[compactWhere]] and [[zorderWhere]]). Overlap, not containment:
+    * touching an extra boundary dir is harmless (same rows, new layout),
+    * excluding a matching one would silently skip requested maintenance;
+    * unparseable conjuncts contribute nothing, so the scope widens,
+    * never narrows wrongly. */
+  private[graft] def whereScope(spark: SparkSession,
+      m: ManifestCommit.Manifest,
+      cond: org.apache.spark.sql.Column): Set[String] = {
     val names = m.tableSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
     // RESOLVE the predicate against the table schema before extraction:
     // a DSL-built Column carries column-node comparisons the stats
@@ -194,14 +252,36 @@ object Optimize {
       else StatsPredicate.extract(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
     }
-    val scope = ManifestCommit.prunedDirsOf(m,
+    ManifestCommit.prunedDirsOf(m,
       ex.bounds.filter(b => names.isEmpty || names(b._1)) ++
         ManifestCommit.bucketBoundsOf(m.slice,
           ex.points.filter(p => names.isEmpty || names(p._1)),
           c => m.tableSchema.flatMap(_.fields
             .find(_.name.equalsIgnoreCase(c)).map(_.dataType)))).toSet
-    compactSmall(spark, root, smallBytes, bloomCols, bloomFpp,
-      scope = Some(scope))
+  }
+
+  /** PREDICATE-SCOPED Z-ORDER (the Delta `OPTIMIZE t WHERE p ZORDER BY
+    * (a, b)` surface): re-cluster ONLY the dirs whose manifest stats can
+    * overlap `cond` — the hot partition gets its multi-dimensional
+    * re-layout in O(in-scope rows) while every cold dir survives
+    * byte-identical and is never probed, listed or read. Scope semantics
+    * are [[whereScope]]'s (overlap, widening conjuncts). `targetDirs`
+    * defaults to the in-scope dir count, keeping the table's dir-count
+    * granularity. No-op when the scope is empty. */
+  def zorderWhere(spark: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column, cols: Seq[String],
+      targetDirs: Option[Int] = None,
+      extraStatCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): ManifestCommit.Manifest = {
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    val scope = whereScope(spark, m, cond)
+    if (scope.isEmpty) return m
+    zorderCompactN(spark, root, cols,
+      targetDirs.getOrElse(math.max(1, scope.size)),
+      extraStatCols, bloomCols, bloomFpp, scope = Some(scope))
   }
 
   def compactSmall(spark: SparkSession, root: String,

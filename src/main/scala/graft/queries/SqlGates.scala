@@ -1362,10 +1362,90 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q169 — `OPTIMIZE graft.t WHERE <pred> ZORDER BY (a, b)` (the
+    * composed Delta surface, round 17): re-cluster ONLY the hot month's
+    * dirs into z-ordered rectangles — a second-dimension probe that the
+    * pre-zorder layout admitted everywhere now prunes, while every cold
+    * month survives BYTE-IDENTICAL and is never read. Hot-partition
+    * re-clustering in O(in-scope rows) at any table size. */
+  val q169_optimize_where_zorder = Q(
+    "q169_optimize_where_zorder",
+    """WITH mar AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |    AND o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'),
+      |fin AS (
+      |  SELECT o_custkey, o_totalprice FROM orders
+      |  UNION ALL SELECT o_custkey, o_totalprice FROM mar
+      |  UNION ALL SELECT o_custkey, o_totalprice FROM mar)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price,
+      |  CAST(1 AS BIGINT) AS cold_byte_identical,
+      |  CAST(1 AS BIGINT) AS probe_pruned
+      |FROM fin""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q169_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      expr("date_format(o_orderdate, 'yyyyMM')"),
+      Seq("o_orderdate", "o_custkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        orders.schema.fields.map(_.copy(nullable = true)))),
+      op = "create", slice = Some("date_format(o_orderdate, 'yyyyMM')"))
+    val name = uniq("graft_q169")
+    GraftSql.register(name, root)
+    try {
+      // two March delta dirs whose custkey range SPANS the full domain
+      // (replayed copies) — after them, every March dir admits every
+      // custkey probe
+      val mk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val mar = orders.filter(
+        col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-03-31 23:59:59").cast("timestamp"))
+      Seq(1L, 2L).foreach { i =>
+        val src = uniq(s"graft_q169_src$i")
+        mar.withColumn("o_orderkey", col("o_orderkey") + mk * i)
+          .createOrReplaceTempView(src)
+        s.sql(s"INSERT INTO graft.$name SELECT * FROM $src")
+      }
+      val before = ManifestCommit.readManifest(s, root).get
+      val cold = before.dirs.filterNot { d =>
+        before.stats.getOrElse(d, Nil).find(_.col == "o_orderdate")
+          .forall(_.overlaps(Some("1996-03-01T00:00:00.000"),
+            Some("1996-03-31T23:59:59.000")))
+      }.toSet
+      val hotCount = before.dirs.size - cold.size
+      s.sql(s"""OPTIMIZE graft.$name
+               |WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+               |  AND o_orderdate <= TIMESTAMP '1996-03-31 23:59:59'
+               |ZORDER BY (o_custkey, o_orderkey)""".stripMargin)
+      val after = ManifestCommit.readManifest(s, root).get
+      val coldIdentical = cold.subsetOf(after.dirs.toSet)
+      // the re-clustered March dirs are rectangles in (custkey, orderkey):
+      // a low-custkey slice admits fewer hot dirs than the replayed
+      // layout did (all of them)
+      val hotAfter = after.dirs.filterNot(cold)
+      val loCust = hotAfter.count(d =>
+        after.stats(d).find(_.col == "o_custkey")
+          .forall(_.overlaps(Some("1"), Some("50"))))
+      val probePruned = hotAfter.size == hotCount && loCust < hotAfter.size
+      val agg = s.sql(
+        s"""SELECT CAST(count(*) AS LONG) AS n_rows,
+           |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+           |FROM graft.$name""".stripMargin).collect()(0)
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_rows"),
+        lit(agg.getDouble(1)).as("sum_price"),
+        lit(if (coldIdentical) 1L else 0L).as("cold_byte_identical"),
+        lit(if (probePruned) 1L else 0L).as("probe_pruned"))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
     q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned,
     q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink,
-    q165_alter_column_type, q167_optimize_where)
+    q165_alter_column_type, q167_optimize_where, q169_optimize_where_zorder)
 }

@@ -122,12 +122,6 @@ object GraftDdl {
       require(gen.isEmpty, "graft OPTIMIZE: cannot optimize a @v time-travel reference")
       val zcols = Option(zorder).map(_.split(",").toSeq
         .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
-      // the Delta surface allows WHERE with Z-ORDER; ours refuses the
-      // combination (z-order is a whole-table re-layout here) rather
-      // than silently widening the scope
-      require(where == null || zcols.isEmpty,
-        "graft OPTIMIZE: WHERE cannot combine with ZORDER BY " +
-          "(z-order re-lays the whole table)")
       Some(GraftOptimize(root, zcols, Option(where).map(_.trim)))
     case VacuumRe(name, n, unit, dry) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(

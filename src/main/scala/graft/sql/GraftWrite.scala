@@ -362,7 +362,24 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
     case GraftOptimize(root, zcols, where) =>
       GraftRowOpExec(s"GraftOptimizeExec $root", () => {
         import graft.ingest.Optimize
-        if (where.isDefined) {
+        if (where.isDefined && zcols.nonEmpty) {
+          // predicate-scoped Z-ORDER (Delta's OPTIMIZE WHERE ... ZORDER
+          // BY): re-cluster only the stats-overlapping dirs; cold dirs
+          // byte-identical, never read
+          require(zcols.size >= 2,
+            "graft OPTIMIZE ZORDER: needs at least 2 columns")
+          val m = ManifestCommit.readManifest(spark, root).getOrElse(
+            throw new IllegalArgumentException(
+              s"$root is not a manifest-committed table"))
+          val extra = m.stats.values.flatten.map(_.col).toSeq.distinct
+            .filterNot(zcols.contains)
+            .filter(c => c == ManifestCommit.RowCountStat ||
+              !ManifestCommit.PseudoStats(c))
+          Optimize.zorderWhere(spark, root,
+            org.apache.spark.sql.functions.expr(where.get), zcols,
+            extraStatCols = extra)
+          ()
+        } else if (where.isDefined) {
           // predicate-scoped maintenance: fold only the small/dv'd dirs
           // whose stats can overlap the predicate (Delta's OPTIMIZE WHERE)
           Optimize.compactWhere(spark, root,

@@ -125,16 +125,19 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!none.contains("drift"))
   }
 
-  test("machine-kernel drift ruler: positive, warmed, repeatable — " +
-      "back-to-back ratio ~1 (the round-16 canary read 0.66 here)") {
-    val a = Bench.machineKernelSec()
-    val b = Bench.machineKernelSec()
-    assert(a > 0 && b > 0, s"kernel must time a real workload: $a / $b")
-    val r = b / a
-    // quiet-machine band, tolerant of test-suite background activity —
-    // wide enough to never flake, tight enough that the canary's JIT
-    // artifact (0.66) or a real contention episode (>1.5) would fail
-    assert(r > 0.7 && r < 1.4, s"kernel ratio $r — ruler not stable")
+  test("machine-kernel drift ruler: positive, warmed, and the drift " +
+      "statistic (median/min over samples) is >= 1 by construction — " +
+      "the round-16 canary's 0.66-on-a-quiet-machine artifact is " +
+      "structurally impossible") {
+    // warm (C2 compiles the hot loop within the first pass)
+    (1 to 3).foreach(_ => Bench.kernelPassSec())
+    val samples = (1 to 12).map(_ => Bench.kernelPassSec()).sorted
+    assert(samples.head > 0, s"kernel must time a real workload: $samples")
+    val drift = samples(samples.size / 2) / samples.head
+    assert(drift >= 1.0, s"median/min can never read below 1: $drift")
+    // a quiet-ish machine (this suite) keeps the median near the floor;
+    // wide band — the assertion is about sanity, not this machine's load
+    assert(drift < 3.0, s"kernel spread implausible on a test box: $samples")
   }
 
   test("oracle SQL carries no control characters that survive JSON escaping badly") {

@@ -466,7 +466,8 @@ class OptimizeSpec extends SparkSpec {
     assert(pruned.count() === 120L)
   }
 
-  test("SQL: OPTIMIZE ... WHERE scopes; WHERE + ZORDER BY is refused") {
+  test("SQL: OPTIMIZE ... WHERE scopes; WHERE + ZORDER BY re-clusters " +
+      "the scope only") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/wsql"
     val dirs = (0 until 3).map { i =>
       val d = ManifestCommit.newDataDir(root)
@@ -483,9 +484,68 @@ class OptimizeSpec extends SparkSpec {
       // with), so scope two dirs
       spark.sql("OPTIMIZE graft.optwhere_sql WHERE x >= 5 AND x <= 15")
       assert(ManifestCommit.readManifest(spark, root).get.dirs.size === 2)
-      val e = intercept[Exception](spark.sql(
-        "OPTIMIZE graft.optwhere_sql WHERE x > 3 ZORDER BY (x, y)"))
-      assert(e.getMessage.contains("ZORDER"), e.getMessage)
+      val before = ManifestCommit.readManifest(spark, root).get
+      val want = contents(ManifestCommit.read(spark, root))
+      // predicate-scoped Z-ORDER: the folded [0,15] dir re-clusters on
+      // (x, y); the untouched [20,29] dir stays byte-identical
+      val cold = before.dirs.filter(d =>
+        before.stats(d).exists(s => s.col == "x" && s.min == "20"))
+      assert(cold.size === 1)
+      spark.sql(
+        "OPTIMIZE graft.optwhere_sql WHERE x <= 15 ZORDER BY (x, y)")
+      val after = ManifestCommit.readManifest(spark, root).get
+      assert(after.op === Some("zorder"))
+      assert(cold.toSet.subsetOf(after.dirs.toSet),
+        "out-of-scope dir was rewritten by the scoped zorder")
+      assert(contents(ManifestCommit.read(spark, root)) === want)
     } finally graft.sql.GraftSql.unregister("optwhere_sql")
+  }
+
+  test("zorderWhere re-clusters only the stats-overlapping dirs: scoped " +
+      "box probes prune, cold dirs byte-identical, contents exact") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/zw"
+    // 2 HOT dirs (x in [0,15]) in a modulo layout — every dir spans the
+    // full y range, so (x,y) boxes cannot prune — plus 1 COLD range dir
+    val hot = (0 until 2).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      grid().filter(col("x") < 16 && (col("y") + col("x")) % 2 === i)
+        .write.parquet(d)
+      d -> ManifestCommit.dirStats(spark, d,
+        Seq("x", "y", ManifestCommit.RowCountStat))
+    }
+    val coldD = ManifestCommit.newDataDir(root)
+    grid().filter(col("x") >= 16).write.parquet(coldD)
+    val dirs = hot :+ (coldD -> ManifestCommit.dirStats(spark, coldD,
+      Seq("x", "y", ManifestCommit.RowCountStat)))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(st.fields.map(_.copy(nullable = true)))))
+    val want = contents(ManifestCommit.read(spark, root))
+    val before = ManifestCommit.readManifest(spark, root).get
+    Optimize.zorderWhere(spark, root, col("x") <= 15, Seq("x", "y"),
+      targetDirs = Some(4))
+    val after = ManifestCommit.readManifest(spark, root).get
+    // cold dir untouched; hot region now 4 z-clustered dirs
+    assert(after.dirs.contains(new org.apache.hadoop.fs.Path(coldD).getName),
+      "cold dir must survive byte-identical")
+    assert(after.dirs.size === 5, after.dirs)
+    assert(contents(ManifestCommit.read(spark, root)) === want)
+    // the re-clustered region prunes on a conjunctive box now: stats
+    // rectangles in (x, y) — the modulo layout admitted every dir
+    val hotDirs = after.dirs.filterNot(
+      _ == new org.apache.hadoop.fs.Path(coldD).getName)
+    val admitted = hotDirs.count { d =>
+      val sx = after.stats(d).find(_.col == "x").get
+      val sy = after.stats(d).find(_.col == "y").get
+      sx.overlaps(Some("0"), Some("7")) && sy.overlaps(Some("0"), Some("7"))
+    }
+    assert(admitted < hotDirs.size,
+      s"scoped zorder produced no prunable rectangles: $admitted of ${hotDirs.size}")
+    // manifest COUNT stays exact through the scoped rewrite
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(32L * 32))
+    // empty scope: a no-op, same generation
+    val g = after.gen
+    Optimize.zorderWhere(spark, root, col("x") > 999, Seq("x", "y"))
+    assert(ManifestCommit.readManifest(spark, root).get.gen === g)
   }
 }
