@@ -286,10 +286,14 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     * carry PHYSICAL names, so the source's own batched scans read the
     * physical schema and alias to the pinned logical names. A RENAME
     * COLUMN landing mid-stream is schema evolution under the pinned-
-    * schema contract: the appends path keeps delivering (physical names
-    * are stable across a rename), the CDF path null-fills the old name
-    * from post-rename generations (a rename reads as drop+add under a
-    * pinned schema) — restart the stream to adopt the new name. */
+    * schema contract: BOTH paths keep delivering real values under the
+    * pinned name (physical names are stable across a rename — appends
+    * read physically, and the CDF path's `cut` resolves each pinned
+    * name through its physical name to the commit's current logical
+    * name). An ALTER COLUMN TYPE widen mid-stream fails the CDF path
+    * crisply (post-widen values may not fit the pinned narrow type);
+    * a genuine DROP null-fills. Restart the stream to adopt new
+    * names/types. */
   private val pinnedColmap: Map[String, String] =
     ManifestCommit.readManifest(spark, root).map(_.colmap).getOrElse(Map.empty)
   private val effMap: Map[String, String] = readSchema.fieldNames.toSeq
@@ -483,11 +487,41 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
     * Generation 1 has no predecessor: its "diff" is the first commit's
     * content as inserts. */
   private def cdfBetween(from: Long, to: Long): DataFrame = {
-    def cut(d: DataFrame): DataFrame = {
+    // Align a diff frame (emitted under generation `cur`'s names/types)
+    // to the stream's PINNED schema. A column RENAMED since the stream
+    // started resolves through its stable PHYSICAL name to the current
+    // logical name — the feed keeps delivering REAL values under the
+    // pinned name, exactly like the appends path (null-filling it, the
+    // pre-round-17 contract, was silently degraded data for every
+    // merge/delete commit after a rename while appends kept working).
+    // A column WIDENED since the stream started fails CRISPLY: its
+    // post-widen values may not fit the pinned narrow type, and a
+    // narrowing cast would either corrupt or fail mid-write — restart
+    // the stream to adopt the wide type. Only a genuinely DROPPED (or
+    // pre-evolution) column null-fills.
+    def cut(d: DataFrame, cur: ManifestCommit.Manifest): DataFrame = {
       val have = d.columns.toSet
       d.select((readSchema.fields.toIndexedSeq.map { f =>
-        if (have(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        val srcName =
+          if (have(f.name)) Some(f.name)
+          else {
+            val pinnedPhys = pinnedColmap.getOrElse(f.name, f.name)
+            cur.tableSchema.map(_.fieldNames.toSeq).getOrElse(Nil)
+              .find(l => cur.colmap.getOrElse(l, l)
+                .equalsIgnoreCase(pinnedPhys)).filter(have)
+          }
+        srcName match {
+          case Some(n) =>
+            val dt = d.schema(d.schema.fieldIndex(n)).dataType
+            if (dt != f.dataType) throw new IllegalStateException(
+              s"graft CDF stream over $root: column ${f.name} was " +
+                s"ALTERed from ${f.dataType.sql} to ${dt.sql} after this " +
+                "stream started; its post-widen values may not fit the " +
+                "stream's pinned type. Remedy: restart the stream from a " +
+                "fresh checkpoint to adopt the widened schema")
+            col(n).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       } :+ col(ChangeFeed.ChangeType)): _*)
     }
     // Append-only commits need NO diff join — their changes ARE the
@@ -558,7 +592,7 @@ class GraftTableSource(spark: SparkSession, params: Map[String, String],
             if (g == 1) ManifestCommit.readAt(spark, root, 1L)
               .withColumn(ChangeFeed.ChangeType, lit("insert"))
             else ChangeFeed.diff(spark, root, g - 1, g, keys, assumeUnique)
-          frames += cut(changes).withColumn("_commit_version", lit(g))
+          frames += cut(changes, cur).withColumn("_commit_version", lit(g))
         }
       }
     }

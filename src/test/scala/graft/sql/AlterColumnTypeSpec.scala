@@ -243,6 +243,38 @@ class AlterColumnTypeSpec extends SparkSpec {
       s"pre-image of id=$i across widen+rename: ${pre(i)}"))
   }
 
+  test("change feed across a DROP COLUMN boundary: the dropped column " +
+      "is absent from the feed, surviving pre-images stay real") {
+    val root = Files.createTempDirectory("graft_act_").toString + "/t"
+    val df = spark.range(0, 30).toDF("id")
+      .withColumn("c", col("id") * 2).withColumn("extra", col("id") + 100)
+    val d = ManifestCommit.newDataDir(root)
+    df.write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d), pruneDisplaced = false,
+      schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))))
+    val name = uniq("actdrop")
+    GraftSql.register(name, root)
+    try {
+      val gPre = ManifestCommit.readManifest(spark, root).get.gen
+      spark.sql(s"ALTER TABLE graft.`$name` DROP COLUMN extra")
+      val src = uniq("actdropsrc")
+      spark.range(0, 4).toDF("id").withColumn("c", lit(4242L))
+        .createOrReplaceTempView(src)
+      spark.sql(s"""MERGE INTO graft.`$name` t USING $src s ON t.id = s.id
+                   |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val gPost = ManifestCommit.readManifest(spark, root).get.gen
+      val feed = ChangeFeed.diff(spark, root, gPre, gPost, Seq("id"))
+      // emitted in the TO generation's schema: the dropped column is gone
+      assert(!feed.columns.contains("extra"), feed.columns.mkString(","))
+      val pre = feed.filter(col(ChangeFeed.ChangeType) === "update_preimage")
+        .select("id", "c").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(pre.keySet === (0L until 4L).toSet, pre.toString)
+      (0L until 4L).foreach(i => assert(pre(i) === i * 2,
+        s"surviving pre-image of $i lost: ${pre(i)}"))
+    } finally GraftSql.unregister(name)
+  }
+
   test("mini-fuzz (seed 1717): a one-shot widen and rename flips " +
       "interleaved with INSERT / MERGE / DV delete / compaction — " +
       "live == model every step, whole-window change feed reconstructs " +

@@ -620,6 +620,71 @@ class GraftTableStreamSpec extends SparkSpec {
     assert(ManifestCommit.tableRowCount(spark, target) === Some(85L))
   }
 
+  test("CDF stream across a RENAME boundary: merge pre/post-images keep " +
+      "REAL values under the pinned name (the appends-path contract, " +
+      "now on the diff path too)") {
+    val root = mkTable(20)
+    val name = uniq("cdfren")
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "id")
+      .load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 20L) // snapshot as inserts
+      // the rename lands MID-STREAM; then a merge rewrites ids 0-2
+      ManifestCommit.renameColumn(spark, root, "v", "amount")
+      MergeInto.merge(spark, root,
+        spark.range(0, 3).toDF("id").withColumn("amount", lit(-7L)),
+        Seq("id"))
+      q.processAllAvailable()
+      val got = spark.table(name)
+      // pinned schema still serves the OLD name; values are REAL
+      assert(got.columns.contains("v") && !got.columns.contains("amount"))
+      val pre = got.filter(col("_change_type") === "update_preimage")
+        .collect().map(r => r.getAs[Long]("id") ->
+          (if (r.isNullAt(r.fieldIndex("v"))) null
+           else r.getAs[Long]("v"))).toMap
+      assert(pre.keySet === Set(0L, 1L, 2L), pre.toString)
+      pre.foreach { case (k, v) =>
+        assert(v === k * 2, s"pre-image of $k null-filled/lost: $v") }
+      val post = got.filter(col("_change_type") === "update_postimage")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+      post.foreach { case (_, v) => assert(v === -7L) }
+    } finally q.stop()
+  }
+
+  test("CDF stream across a WIDEN boundary fails crisply with the " +
+      "restart remedy — never a narrowing cast or silent corruption") {
+    val root = Files.createTempDirectory("graft_stream_").toString + "/t"
+    val df = spark.range(0, 10).toDF("id")
+      .withColumn("v", col("id").cast("int"))
+    val d = ManifestCommit.newDataDir(root)
+    df.write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d),
+      pruneDisplaced = false, schema = Some(org.apache.spark.sql.types
+        .StructType(df.schema.fields.map(_.copy(nullable = true)))))
+    val name = uniq("cdfwiden")
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("keys", "id")
+      .load(root)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      ManifestCommit.alterColumnType(spark, root, "v",
+        org.apache.spark.sql.types.LongType)
+      MergeInto.merge(spark, root,
+        spark.range(0, 2).toDF("id")
+          .withColumn("v", lit(Int.MaxValue.toLong + 5L)), Seq("id"))
+      val e = intercept[Exception](q.processAllAvailable())
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("ALTERed") && msg.contains("restart"), msg)
+    } finally q.stop()
+  }
+
   test("sliced sink into a WIDENED-then-RENAMED table: batches land " +
       "physical names and wide types, slice pruning stays intact, " +
       "replay absorbed") {
