@@ -869,6 +869,50 @@ object ManifestCommit {
     m2
   }
 
+  /** PARTITION EVOLUTION (the public Iceberg partition-spec-evolution
+    * idea): record a NEW slicing expression for FUTURE writes — or drop
+    * slicing entirely (`slice = None`) — as an O(metadata) commit.
+    * Existing dirs keep their bytes and their old layout untouched;
+    * because skipping here is STATS-based (per-dir min/max recorded at
+    * write time), not directory-layout-based, the mixed table needs no
+    * migration: old dirs keep pruning through their recorded stats, new
+    * writes land slice-tight under the new expression (INSERT, the
+    * streaming sink and writeSliced all read the slice from the
+    * manifest per write), and a probe on the NEW key simply keeps any
+    * old dir that never recorded that expression's stats — conservative,
+    * never wrong. The expression must analyze against the RECORDED
+    * table schema (logical names — writers compute the slice over the
+    * logical frame, so a column mapping needs no translation here). */
+  def setSlice(spark: SparkSession, root: String,
+      slice: Option[String]): Manifest = commitLock(root).synchronized {
+    val m = readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    slice.foreach { s =>
+      val cur = m.tableSchema.getOrElse(throw new IllegalArgumentException(
+        "graft SET PARTITIONED BY: the table has no recorded schema " +
+          "(pre-evolution table — rewrite it through a schema-recording " +
+          "commit first)"))
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), cur)
+      try {
+        empty.select(org.apache.spark.sql.functions.expr(s))
+          .queryExecution.analyzed
+        ()
+      } catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"graft SET PARTITIONED BY: slicing expression $s does not " +
+            s"resolve against the table schema " +
+            s"(${cur.fieldNames.mkString(", ")}): ${e.getMessage}")
+      }
+    }
+    val m2 = Manifest(m.gen + 1, m.dirs, m.stats, m.tableSchema,
+      Some("set_slice"), m.dvs, m.txns, slice, m.checks,
+      m.colmap, m.deadCols)
+    writeManifest(spark, root, m2, Some(m))
+    m2
+  }
+
   /** ZERO-COPY SHALLOW CLONE (the public Delta `CREATE TABLE ... SHALLOW
     * CLONE` idea): create a NEW manifest-committed table at `dstRoot`
     * whose first generation REFERENCES the source's immutable data dirs

@@ -328,11 +328,40 @@ object Optimize {
     if (fold.size < 2 && fold.forall(!m.dvs.contains(_)))
       return m // nothing worth folding
     val folded = ManifestCommit.readDirsOf(spark, root, m, fold)
+    val statCols = fold.flatMap(d => m.stats.getOrElse(d, Nil).map(_.col)).distinct
+    // A table with a RECORDED SLICE folds through writeSliced — one dir
+    // per slice value among the folded rows, slice-tight stats — the
+    // Delta per-partition OPTIMIZE discipline. Folding a sliced table's
+    // small dirs into ONE mixed dir (the pre-round-17 shape) silently
+    // destroyed the layout the table was DDL'd for: a compacted
+    // month-sliced table's folded dir spanned every month it absorbed,
+    // so the very maintenance meant to help reads degraded their
+    // pruning until rows were rewritten again. Unsliced tables keep the
+    // single-dir fold.
+    m.slice match {
+      case Some(sliceText) =>
+        val sliceStatCols = (statCols ++
+          graft.sql.GraftWriteUtil.sliceRefCols(
+            sliceText, folded.columns.toSeq) ++
+          ManifestCommit.sliceExprStatCols(
+            sliceText, folded.columns.toSeq)).distinct
+        val promoted = ManifestCommit.writeSliced(spark, root, folded,
+          org.apache.spark.sql.functions.expr(sliceText), sliceStatCols)
+        promoted.foreach { case (d, _) =>
+          rebuildBlooms(spark, d, bloomCols.map(m.physNameOf), bloomFpp) }
+        return ManifestCommit.commitReconciled(spark, root, base = m,
+          displaced = fold,
+          added = promoted.map(_._1),
+          addedStats = promoted.toMap,
+          schema = m.tableSchema,
+          op = "compact_minor",
+          pinned = fold.toSet)
+      case None => ()
+    }
     val newDir = ManifestCommit.newDataDir(root)
     // logical->physical rename under a column mapping (no-op otherwise)
     ManifestCommit.toPhysicalNames(spark, root, folded).write.parquet(newDir)
     rebuildBlooms(spark, newDir, bloomCols.map(m.physNameOf), bloomFpp)
-    val statCols = fold.flatMap(d => m.stats.getOrElse(d, Nil).map(_.col)).distinct
     val newName = new Path(newDir).getName
     // rebasing commit: only the folded dirs are consumed; concurrent
     // appends graft unconditionally (a new small dir just waits for the

@@ -1442,10 +1442,98 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q170 — `ALTER TABLE graft.t SET PARTITIONED BY (...)` (the Iceberg
+    * PARTITION-SPEC EVOLUTION idea, round 17): re-key the layout for
+    * FUTURE writes as an O(metadata) commit — old dirs keep their bytes
+    * and their month-granular pruning, new INSERTs land day-tight, and
+    * stats-based skipping covers the mixed table with no migration. A
+    * day probe on the new layout scans ONE dir (pinned from the plan);
+    * a month probe on the old layout still scans one. */
+  val q170_partition_evolution = Q(
+    "q170_partition_evolution",
+    """WITH mar AS (
+      |  SELECT * FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |    AND o_orderdate <= TIMESTAMP '1996-03-03 23:59:59'),
+      |fin AS (
+      |  SELECT o_totalprice FROM orders
+      |  UNION ALL SELECT o_totalprice FROM mar)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price,
+      |  CAST(1 AS BIGINT) AS day_probe_one_dir,
+      |  CAST(1 AS BIGINT) AS old_month_one_dir
+      |FROM fin""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q170_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val dirs = ManifestCommit.writeSliced(s, root, orders,
+      expr("date_format(o_orderdate, 'yyyyMM')"),
+      Seq("o_orderdate", "o_orderkey", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(org.apache.spark.sql.types.StructType(
+        orders.schema.fields.map(_.copy(nullable = true)))),
+      op = "create", slice = Some("date_format(o_orderdate, 'yyyyMM')"))
+    val name = uniq("graft_q170")
+    GraftSql.register(name, root)
+    try {
+      val before = ManifestCommit.readManifest(s, root).get
+      s.sql(s"ALTER TABLE graft.$name SET PARTITIONED BY (days(o_orderdate))")
+      // the evolution touched no dirs
+      val evolved = ManifestCommit.readManifest(s, root).get
+      val zeroIo = evolved.dirs == before.dirs &&
+        evolved.slice == Some("date_format(o_orderdate, 'yyyyMMdd')")
+      // re-ingest the first three March days (shifted keys): the INSERT
+      // lands DAY-tight dirs under the evolved layout
+      val mk = orders.agg(max("o_orderkey")).collect()(0).getLong(0)
+      val src = uniq("graft_q170_src")
+      orders.filter(
+        col("o_orderdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("o_orderdate") <= lit("1996-03-03 23:59:59").cast("timestamp"))
+        .withColumn("o_orderkey", col("o_orderkey") + mk)
+        .createOrReplaceTempView(src)
+      s.sql(s"INSERT INTO graft.$name SELECT * FROM $src")
+      val after = ManifestCommit.readManifest(s, root).get
+      val dayDirs = after.dirs.size - before.dirs.size // 3 new day dirs
+      def scanned(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString).filter(_.contains(root))
+                  .flatMap(_.split("/").filter(x =>
+                    x.startsWith("data_") && !x.contains("=")).lastOption)
+              case _ => Nil
+            }
+        }.flatten.distinct.size
+      // a probe INSIDE day 2 of the re-ingested window: the old March
+      // month dir overlaps it (conservative keep), the NEW layout
+      // contributes exactly its one day dir — 2 scanned, never 4
+      val day = s.sql(s"SELECT count(*) FROM graft.$name " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-03-02 00:00:00' " +
+        "AND o_orderdate <= TIMESTAMP '1996-03-02 12:00:00'")
+      val dayOk = dayDirs == 3 && zeroIo && scanned(day) == 2
+      // an old-layout month probe entirely OUTSIDE the re-ingest: 1 dir
+      val jan = s.sql(s"SELECT count(*) FROM graft.$name " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-05 00:00:00' " +
+        "AND o_orderdate <= TIMESTAMP '1996-01-25 23:59:59'")
+      val janOk = scanned(jan) == 1
+      val agg = s.sql(
+        s"""SELECT CAST(count(*) AS LONG) AS n_rows,
+           |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+           |FROM graft.$name""".stripMargin).collect()(0)
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_rows"),
+        lit(agg.getDouble(1)).as("sum_price"),
+        lit(if (dayOk) 1L else 0L).as("day_probe_one_dir"),
+        lit(if (janOk) 1L else 0L).as("old_month_one_dir"))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
     q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned,
     q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink,
-    q165_alter_column_type, q167_optimize_where, q169_optimize_where_zorder)
+    q165_alter_column_type, q167_optimize_where, q169_optimize_where_zorder,
+    q170_partition_evolution)
 }

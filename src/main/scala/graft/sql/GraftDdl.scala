@@ -76,8 +76,53 @@ object GraftDdl {
       """\s*(?:AS\s+graft\.(`[^`]+`|[\w.]+))?""" +
       """\s*(?:STATS\s*\(\s*([\w`,\s.]+?)\s*\))?\s*;?\s*""").r
 
+  // ALTER TABLE graft.<name> SET PARTITIONED BY (<transform>[, ...]) /
+  //   ALTER TABLE graft.<name> DROP PARTITIONING — partition evolution
+  //   (the Iceberg partition-spec-evolution idea) on the text route:
+  //   Spark's grammar has no ALTER ... PARTITIONED BY
+  private val SetPartitionRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+graft\.(`[^`]+`|[\w.]+)""" +
+      """\s+SET\s+PARTITIONED\s+BY\s*\(\s*(.+?)\s*\)\s*;?\s*""").r
+  private val DropPartitionRe =
+    """(?is)\s*ALTER\s+TABLE\s+graft\.(`[^`]+`|[\w.]+)\s+DROP\s+PARTITIONING\s*;?\s*""".r
+
   private def unquote(n: String): String =
     if (n.startsWith("`") && n.endsWith("`")) n.substring(1, n.length - 1) else n
+
+  // the CREATE-side transform vocabulary (TransformBridge.sliceSqlOf),
+  // re-parsed from TEXT for the ALTER route
+  private val YearsT = """(?i)^years\s*\(\s*(`[^`]+`|[\w.]+)\s*\)$""".r
+  private val MonthsT = """(?i)^months\s*\(\s*(`[^`]+`|[\w.]+)\s*\)$""".r
+  private val DaysT = """(?i)^days\s*\(\s*(`[^`]+`|[\w.]+)\s*\)$""".r
+  private val HoursT = """(?i)^hours\s*\(\s*(`[^`]+`|[\w.]+)\s*\)$""".r
+  private val BucketT = """(?i)^bucket\s*\(\s*(\d+)\s*,\s*(`[^`]+`|[\w.]+)\s*\)$""".r
+  private val IdentT = """^(`[^`]+`|[\w.]+)$""".r
+  private def sliceOfTransformTexts(raw: String): String = {
+    val parts = raw.split(',').map(_.trim).filter(_.nonEmpty)
+    // bucket(n, c) contains a comma — re-join split fragments whose
+    // paren balance is open
+    val joined = parts.foldLeft(List.empty[String]) { (acc, p) =>
+      acc match {
+        case h :: t if h.count(_ == '(') > h.count(_ == ')') =>
+          (h + ", " + p) :: t
+        case _ => p :: acc
+      }
+    }.reverse
+    val rendered = joined.map {
+      case YearsT(c) => s"date_format(${unquote(c)}, 'yyyy')"
+      case MonthsT(c) => s"date_format(${unquote(c)}, 'yyyyMM')"
+      case DaysT(c) => s"date_format(${unquote(c)}, 'yyyyMMdd')"
+      case HoursT(c) => s"date_format(${unquote(c)}, 'yyyyMMddHH')"
+      case BucketT(n, c) => s"pmod(hash(${unquote(c)}), $n)"
+      case IdentT(c) => unquote(c)
+      case other => throw new IllegalArgumentException(
+        s"graft SET PARTITIONED BY: unsupported partition transform " +
+          s"'$other' (supported: identity, years/months/days/hours(col), " +
+          "bucket(n, col))")
+    }
+    if (rendered.size == 1) rendered.head
+    else graft.ingest.ManifestCommit.compositeSlice(rendered)
+  }
 
   /** The maintenance verbs Spark's grammar lacks, recognized on the raw
     * statement text: `OPTIMIZE graft.t` (fold small dirs), `OPTIMIZE
@@ -115,6 +160,22 @@ object GraftDdl {
       val statCols = Option(stats).map(_.split(",").toSeq
         .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
       Some(GraftConvert(path, Option(name).map(unquote), statCols))
+    case SetPartitionRe(name, transforms) =>
+      val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft SET PARTITIONED BY: ${unquote(name)} is not a " +
+            "registered graft table"))
+      require(gen.isEmpty,
+        "graft SET PARTITIONED BY: cannot alter a @v time-travel reference")
+      Some(GraftSetSlice(root, Some(sliceOfTransformTexts(transforms))))
+    case DropPartitionRe(name) =>
+      val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft DROP PARTITIONING: ${unquote(name)} is not a " +
+            "registered graft table"))
+      require(gen.isEmpty,
+        "graft DROP PARTITIONING: cannot alter a @v time-travel reference")
+      Some(GraftSetSlice(root, None))
     case OptimizeRe(name, where, zorder) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(

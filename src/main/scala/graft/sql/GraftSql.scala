@@ -1083,6 +1083,15 @@ case class GraftOptimize(root: String, zorderCols: Seq[String],
 /** `dryRun` (the Delta VACUUM DRY RUN surface): report the paths that
   * WOULD be reclaimed — expired snapshot records, data dirs/DVs only
   * they reference, stale orphans — as result rows, touching nothing. */
+/** Partition evolution: record a new slicing expression (None = drop
+  * slicing) for future writes; see
+  * [[graft.ingest.ManifestCommit.setSlice]]. */
+case class GraftSetSlice(root: String, slice: Option[String])
+    extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftSetSlice $root ${slice.getOrElse("<none>")}"
+}
+
 case class GraftVacuum(root: String, keepLast: Int, maxAgeMs: Option[Long],
     dryRun: Boolean = false) extends LeafCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =

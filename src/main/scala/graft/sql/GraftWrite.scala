@@ -426,6 +426,10 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         GraftSql.biRefreshRoot(root)
         ()
       }) :: Nil
+    case GraftSetSlice(root, slice) =>
+      GraftRowOpExec(s"GraftSetSliceExec $root", () => {
+        ManifestCommit.setSlice(spark, root, slice); ()
+      }) :: Nil
     case v @ GraftVacuum(root, keepLast, maxAgeMs, dryRun) =>
       GraftRowsOpExec(s"GraftVacuumExec $root", v.output, () => {
         val expired = maxAgeMs match {
@@ -557,13 +561,20 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
     // a freshly DDL-created table has no dirs yet, hence no stats to
     // inherit — seed them from the slicing expression's referenced
     // columns (plus its non-identity components) so the FIRST insert
-    // already arms pruning and COUNT(*)
+    // already arms pruning and COUNT(*). The CURRENT slice's columns
+    // are ALWAYS unioned in even when stats are inherited: after
+    // PARTITION EVOLUTION onto a different column, inherited stat
+    // columns alone would leave the new key unmetered on every new dir
+    // — pruning on the evolved layout would never arm
+    val sliceSeed = prev.flatMap(_.slice).map(s =>
+      GraftWriteUtil.sliceRefCols(s, tableSchema.fieldNames.toSeq) ++
+        ManifestCommit.sliceExprStatCols(s, tableSchema.fieldNames.toSeq))
+      .getOrElse(Nil)
     val statCols =
-      if (recorded.nonEmpty) recorded
-      else prev.flatMap(_.slice).map(s =>
-        GraftWriteUtil.sliceRefCols(s, tableSchema.fieldNames.toSeq) ++
-          ManifestCommit.sliceExprStatCols(s, tableSchema.fieldNames.toSeq) :+
-          ManifestCommit.RowCountStat).getOrElse(Nil)
+      if (recorded.nonEmpty) (recorded ++ sliceSeed).distinct
+      else if (sliceSeed.nonEmpty)
+        (sliceSeed :+ ManifestCommit.RowCountStat).distinct
+      else Nil
     prev.flatMap(_.slice) match {
       // The table records a slicing expression: land the INSERT in its
       // established layout — one dir per slice value with slice-tight

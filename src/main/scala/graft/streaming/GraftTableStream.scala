@@ -767,12 +767,19 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
       .filter(c => c == ManifestCommit.RowCountStat ||
         (!ManifestCommit.PseudoStats(c) &&
           (aligned.columns.contains(c) || sliceComps(c))))
+    // the CURRENT slice's columns union in even when stats inherit:
+    // after PARTITION EVOLUTION the new key must be metered on every
+    // new dir or pruning on the evolved layout never arms (same rule
+    // as the INSERT path)
+    val sliceSeed = prev.flatMap(_.slice).map(s =>
+      graft.sql.GraftWriteUtil.sliceRefCols(s, aligned.columns.toSeq) ++
+        ManifestCommit.sliceExprStatCols(s, aligned.columns.toSeq))
+      .getOrElse(Nil)
     val statCols =
-      if (recorded.nonEmpty) recorded
-      else prev.flatMap(_.slice).map(s =>
-        graft.sql.GraftWriteUtil.sliceRefCols(s, aligned.columns.toSeq) ++
-          ManifestCommit.sliceExprStatCols(s, aligned.columns.toSeq) :+
-          ManifestCommit.RowCountStat).getOrElse(Nil)
+      if (recorded.nonEmpty) (recorded ++ sliceSeed).distinct
+      else if (sliceSeed.nonEmpty)
+        (sliceSeed :+ ManifestCommit.RowCountStat).distinct
+      else Nil
     prev.flatMap(_.slice) match {
       // The table records a slicing expression: land the batch in its
       // established layout — one dir PER SLICE VALUE with slice-tight

@@ -451,19 +451,82 @@ class OptimizeSpec extends SparkSpec {
     Optimize.compactWhere(spark, root, col("y") === 2024,
       smallBytes = 1L << 30)
     val after = ManifestCommit.readManifest(spark, root).get
-    assert(after.dirs.size === 4,
-      s"3 hot leaves -> 1 dir + 3 cold: ${after.dirs}")
+    // the fold is LAYOUT-PRESERVING (the table records a composite
+    // slice): the 3 hot leaves rewrite into 3 slice-tight dirs with the
+    // partition columns materialized — never one mixed dir that would
+    // destroy the layout the convert recorded
+    assert(after.dirs.size === 6, s"3 hot slice dirs + 3 cold: ${after.dirs}")
     assert(cold.toSet.subsetOf(after.dirs.toSet),
       "cold partitions must keep their nested dirs")
-    // contents identical: the folded dir materialized the partition
+    val hotAfter = after.dirs.filterNot(cold.toSet)
+    hotAfter.foreach { d =>
+      val sy = after.stats(d).find(_.col == "y").get
+      val sm = after.stats(d).find(_.col == "m").get
+      assert(sy.min === sy.max && sm.min === sm.max,
+        s"rewritten dir $d not slice-tight: y=$sy m=$sm")
+    }
+    // contents identical: the rewritten dirs materialized the partition
     // columns as real columns, the cold leaves still inject them
     assert(ManifestCommit.read(spark, root)
       .collect().map(_.toString).sorted.toSeq === want)
     // pruning still live on the partition column across the mixed layout
     val (pruned, kept, total) = ManifestCommit.readPruned(spark, root,
       "y", Some("2025"), Some("2025"))
-    assert(total === 4 && kept === 3, s"kept $kept of $total")
+    assert(total === 6 && kept === 3, s"kept $kept of $total")
     assert(pruned.count() === 120L)
+  }
+
+  test("compactSmall on a SLICED table folds per slice value: two delta " +
+      "dirs per month become one dir per month, month pruning intact") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/sl"
+    val df = spark.range(0, 60).toDF("id")
+      .withColumn("ts", when(col("id") % 2 === 0,
+        lit("2024-01-10 00:00:00")).otherwise(lit("2024-02-10 00:00:00"))
+        .cast("timestamp"))
+    // base generation: month-sliced
+    val dirs = ManifestCommit.writeSliced(spark, root, df,
+      expr("date_format(ts, 'yyyyMM')"),
+      Seq("ts", "id", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(df.schema.fields.map(f =>
+        f.copy(nullable = true)))),
+      slice = Some("date_format(ts, 'yyyyMM')"))
+    // four micro-batch deltas, two per month (the streaming steady state)
+    (0 until 4).foreach { i =>
+      val d = ManifestCommit.newDataDir(root)
+      spark.range(100 + i * 10, 110 + i * 10).toDF("id")
+        .withColumn("ts", lit(
+          if (i % 2 == 0) "2024-01-15 00:00:00" else "2024-02-15 00:00:00")
+          .cast("timestamp"))
+        .write.parquet(d)
+      ManifestCommit.commitAppend(spark, root, d,
+        stats = ManifestCommit.dirStats(spark, d,
+          Seq("ts", "id", ManifestCommit.RowCountStat)))
+    }
+    assert(ManifestCommit.readManifest(spark, root).get.dirs.size === 6)
+    val wantCount = ManifestCommit.read(spark, root).count()
+    val wantSum = ManifestCommit.read(spark, root)
+      .agg(sum("id")).head.getLong(0)
+    Optimize.compactSmall(spark, root, smallBytes = 1L << 30)
+    val m = ManifestCommit.readManifest(spark, root).get
+    // one dir per month — NOT one mixed dir spanning January..February
+    assert(m.dirs.size === 2, s"per-slice fold: ${m.dirs}")
+    m.dirs.foreach { d =>
+      val ts = m.stats(d).find(_.col == "ts").get
+      assert(ts.min.take(7) === ts.max.take(7),
+        s"folded dir $d spans months: [${ts.min}, ${ts.max}]")
+    }
+    assert(ManifestCommit.read(spark, root).count() === wantCount)
+    assert(ManifestCommit.read(spark, root)
+      .agg(sum("id")).head.getLong(0) === wantSum)
+    // manifest COUNT stays exact; a month probe scans exactly 1 dir
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(wantCount))
+    val (pruned, kept, total) = ManifestCommit.readPruned(spark, root,
+      "ts", Some("2024-02-01T00:00:00.000"), Some("2024-02-28T23:59:59.000"))
+    assert(total === 2 && kept === 1, s"kept $kept of $total")
+    assert(pruned.count() ===
+      df.filter(month(col("ts")) === 2).count() + 20)
   }
 
   test("SQL: OPTIMIZE ... WHERE scopes; WHERE + ZORDER BY re-clusters " +

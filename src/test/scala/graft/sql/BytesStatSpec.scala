@@ -149,7 +149,9 @@ class BytesStatSpec extends SparkSpec {
     assert(before > 1)
     Optimize.compactSmall(spark, root, smallBytes = 1L << 30)
     val after = ManifestCommit.readManifest(spark, root).get
-    assert(after.dirs.size === 1)
+    // sliced table: the fold is LAYOUT-PRESERVING (one dir per month
+    // among the folded rows — Jan, Feb, Mar, May), never one mixed dir
+    assert(after.dirs.size === 4, after.dirs.toString)
     assert(allHaveBytes(), "compactSmall missed __bytes")
     assert(ManifestCommit.tableBytesOf(after).isDefined)
   }

@@ -208,10 +208,12 @@ class GraftDdlSpec extends SparkSpec {
          |AS SELECT id, id % 4 AS k, id * 3 AS v FROM range(400)""".stripMargin)
     spark.sql("INSERT INTO graft.ddlspec_t6 VALUES (1000, 0, 3000)")
     assert(ManifestCommit.readManifest(spark, loc).get.dirs.size === 5)
-    // plain OPTIMIZE folds the small dirs into one
+    // plain OPTIMIZE folds the small dirs PER SLICE VALUE (the table is
+    // identity-sliced on k): the stray k=0 append merges into k=0's dir,
+    // the layout survives — never one mixed dir
     spark.sql("OPTIMIZE graft.ddlspec_t6")
     val m1 = ManifestCommit.readManifest(spark, loc).get
-    assert(m1.dirs.size === 1, m1.dirs)
+    assert(m1.dirs.size === 4, m1.dirs)
     assert(spark.sql("SELECT count(*) FROM graft.ddlspec_t6")
       .collect().head.getLong(0) === 401L)
     // ZORDER BY re-lays along (id, v) keeping dir-count granularity
