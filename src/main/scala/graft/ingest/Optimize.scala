@@ -517,4 +517,79 @@ object Optimize {
       case None =>
         (spark.read.option("mergeSchema", "true").parquet(root), 1, 1)
     }
+
+  /** `ANALYZE TABLE graft.t COMPUTE STATISTICS [FOR COLUMNS (a, b)]` —
+    * RETROFIT per-dir stats onto EXISTING dirs without rewriting a
+    * byte: each live dir missing any requested stat gets min/max for
+    * `cols` plus the exact row counter and on-disk bytes, computed in
+    * one pass over its own files and re-stated through
+    * `commitReconciled(statUpdates)` (an O(metadata) commit; the only
+    * data I/O is the one read per un-metered dir). Arms stats-based
+    * skipping, manifest-only COUNT(*) and exact sizeInBytes on tables
+    * created/converted without stat columns — the post-hoc half of the
+    * stats discipline (Delta meters at write time; Iceberg's analogue
+    * is rewrite_manifests). IDEMPOTENT and INCREMENTAL: a dir already
+    * carrying every requested stat skips its scan entirely, so a
+    * re-run after appends meters only the new dirs, and a fully-metered
+    * table commits nothing. `cols` resolve against the recorded schema
+    * (logical names under a column mapping — stat keys stay logical,
+    * exactly like write-time metering). */
+  def analyzeStats(spark: SparkSession, root: String,
+      cols: Seq[String] = Nil): ManifestCommit.Manifest = {
+    val m = ManifestCommit.readManifest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a manifest-committed table"))
+    val resolver = spark.sessionState.conf.resolver
+    val fieldNames = m.tableSchema.map(_.fieldNames.toSeq).getOrElse(Nil)
+    val canon = cols.map { c =>
+      if (fieldNames.isEmpty) c
+      else fieldNames.find(resolver(_, c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft ANALYZE: no column $c in the table schema " +
+            s"(${fieldNames.mkString(", ")})"))
+    }
+    val want = (canon :+ ManifestCommit.RowCountStat).distinct
+    val targets = m.dirs.filter { d =>
+      val have = m.stats.getOrElse(d, Nil).map(_.col).toSet
+      !(want.forall(have) && have(ManifestCommit.BytesStat))
+    }
+    if (targets.isEmpty) return m // fully metered — commit nothing
+    // per-dir jobs overlap on a driver pool (each is one small
+    // aggregate); a sequential sweep is a driver-latency wall at high
+    // dir counts — the resolveBloom lesson
+    def meter(d: String): Seq[ManifestCommit.ColStats] = {
+      val cs = ManifestCommit.dirStats(spark,
+        ManifestCommit.dirAbs(root, d), want, colmap = m.colmap)
+      if (cs.nonEmpty) cs
+      else Seq(ManifestCommit.dirBytesStat(spark,
+        ManifestCommit.dirAbs(root, d)))
+    }
+    val metered: Map[String, Seq[ManifestCommit.ColStats]] =
+      if (targets.size <= 4) targets.map(d => d -> meter(d)).toMap
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(targets.size, 8))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(
+          targets.map(d => Future(d -> meter(d)))), Duration.Inf).toMap
+        finally pool.shutdown()
+      }
+    // merge with any stats the dir already had (never drop an existing
+    // column's entry — a narrower ANALYZE must not disarm wider skipping)
+    val updates = metered.map { case (d, fresh) =>
+      val freshKeys = fresh.map(_.col).toSet
+      val kept = m.stats.getOrElse(d, Nil).filterNot(c => freshKeys(c.col))
+      // preserve a converted dir's nesting marker and partition-value
+      // stats (they live in `kept`)
+      d -> (kept ++ fresh)
+    }
+    ManifestCommit.commitReconciled(spark, root, base = m,
+      displaced = Nil, added = Nil,
+      statUpdates = updates,
+      schema = m.tableSchema,
+      op = "analyze",
+      pinned = targets.toSet)
+  }
 }

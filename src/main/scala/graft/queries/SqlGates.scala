@@ -1529,11 +1529,78 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q171 — `ANALYZE TABLE graft.t COMPUTE STATISTICS FOR COLUMNS …`
+    * (round 17): retrofit per-dir stats onto a table whose commits never
+    * metered any — a stats-only commit, no data rewritten — arming
+    * range skipping (year probe pinned to 1 of 3 dirs from the plan)
+    * and manifest-only COUNT(*) post-hoc. The migration story for
+    * converted/legacy tables at any size: the one-time read is
+    * O(un-metered dirs), everything after is metadata. */
+  val q171_analyze_stats = Q(
+    "q171_analyze_stats",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price,
+      |  CAST(1 AS BIGINT) AS count_from_manifest,
+      |  CAST(1 AS BIGINT) AS probe_pruned
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q171_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    // three year-range dirs, committed with NO stats at all (the
+    // legacy/converted-table shape)
+    val years = Seq(("1995-01-01", "1996-12-31 23:59:59"),
+      ("1997-01-01", "1998-12-31 23:59:59"),
+      ("1999-01-01", "2001-12-31 23:59:59"))
+    years.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val d = ManifestCommit.newDataDir(root)
+      orders.filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") <= lit(hi).cast("timestamp")).write.parquet(d)
+      if (i == 0) ManifestCommit.commitReplace(s, root, Seq(d),
+        pruneDisplaced = false,
+        schema = Some(org.apache.spark.sql.types.StructType(
+          orders.schema.fields.map(_.copy(nullable = true)))))
+      else ManifestCommit.commitAppend(s, root, d)
+    }
+    val name = uniq("graft_q171")
+    GraftSql.register(name, root)
+    try {
+      val preCount = ManifestCommit.tableRowCount(s, root)
+      s.sql(s"ANALYZE TABLE graft.$name COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderdate")
+      val m = ManifestCommit.readManifest(s, root).get
+      val armed = preCount.isEmpty && // was DEAD before the analyze
+        ManifestCommit.tableRowCount(s, root).isDefined &&
+        ManifestCommit.tableBytesOf(m).isDefined
+      // a 1996 probe scans exactly 1 of the 3 dirs — pinned from the plan
+      val probe = s.sql(s"SELECT count(*) FROM graft.$name " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00' " +
+        "AND o_orderdate <= TIMESTAMP '1996-11-30 23:59:59'")
+      val scanned = probe.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).filter(_.contains(root))
+                .flatMap(_.split("/").filter(x =>
+                  x.startsWith("data_") && !x.contains("=")).lastOption)
+            case _ => Nil
+          }
+      }.flatten.distinct.size
+      val agg = s.sql(
+        s"""SELECT CAST(count(*) AS LONG) AS n_rows,
+           |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+           |FROM graft.$name""".stripMargin).collect()(0)
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_rows"),
+        lit(agg.getDouble(1)).as("sum_price"),
+        lit(if (armed) 1L else 0L).as("count_from_manifest"),
+        lit(if (scanned == 1) 1L else 0L).as("probe_pruned"))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
     q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned,
     q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink,
     q165_alter_column_type, q167_optimize_where, q169_optimize_where_zorder,
-    q170_partition_evolution)
+    q170_partition_evolution, q171_analyze_stats)
 }

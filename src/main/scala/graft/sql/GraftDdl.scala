@@ -86,6 +86,13 @@ object GraftDdl {
   private val DropPartitionRe =
     """(?is)\s*ALTER\s+TABLE\s+graft\.(`[^`]+`|[\w.]+)\s+DROP\s+PARTITIONING\s*;?\s*""".r
 
+  // ANALYZE TABLE graft.<name> COMPUTE STATISTICS [FOR COLUMNS a, b] —
+  //   retrofit per-dir stats without rewriting data (claimed before the
+  //   delegate: Spark's own ANALYZE would fail resolution on graft.*)
+  private val AnalyzeRe =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+graft\.(`[^`]+`|[\w.]+)""" +
+      """\s+COMPUTE\s+STATISTICS\s*(?:FOR\s+COLUMNS\s+([\w`,\s.]+?))?\s*;?\s*""").r
+
   private def unquote(n: String): String =
     if (n.startsWith("`") && n.endsWith("`")) n.substring(1, n.length - 1) else n
 
@@ -160,6 +167,15 @@ object GraftDdl {
       val statCols = Option(stats).map(_.split(",").toSeq
         .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
       Some(GraftConvert(path, Option(name).map(unquote), statCols))
+    case AnalyzeRe(name, colsRaw) =>
+      val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft ANALYZE: ${unquote(name)} is not a registered graft table"))
+      require(gen.isEmpty,
+        "graft ANALYZE: cannot analyze a @v time-travel reference")
+      val cols = Option(colsRaw).map(_.split(",").toSeq
+        .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
+      Some(GraftAnalyze(root, cols))
     case SetPartitionRe(name, transforms) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(

@@ -1083,6 +1083,15 @@ case class GraftOptimize(root: String, zorderCols: Seq[String],
 /** `dryRun` (the Delta VACUUM DRY RUN surface): report the paths that
   * WOULD be reclaimed — expired snapshot records, data dirs/DVs only
   * they reference, stale orphans — as result rows, touching nothing. */
+/** ANALYZE TABLE: retrofit per-dir stats (min/max for `cols`, rows,
+  * bytes) onto existing dirs without rewriting data; see
+  * [[graft.ingest.Optimize.analyzeStats]]. */
+case class GraftAnalyze(root: String, cols: Seq[String])
+    extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftAnalyze $root (${cols.mkString(", ")})"
+}
+
 /** Partition evolution: record a new slicing expression (None = drop
   * slicing) for future writes; see
   * [[graft.ingest.ManifestCommit.setSlice]]. */

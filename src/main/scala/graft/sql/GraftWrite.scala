@@ -426,6 +426,10 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         GraftSql.biRefreshRoot(root)
         ()
       }) :: Nil
+    case GraftAnalyze(root, cols) =>
+      GraftRowOpExec(s"GraftAnalyzeExec $root", () => {
+        graft.ingest.Optimize.analyzeStats(spark, root, cols); ()
+      }) :: Nil
     case GraftSetSlice(root, slice) =>
       GraftRowOpExec(s"GraftSetSliceExec $root", () => {
         ManifestCommit.setSlice(spark, root, slice); ()
