@@ -276,17 +276,67 @@ case class GraftResolveRelations(spark: SparkSession)
     GraftRelation(root, m, readSchema, out, timeTraveled = gen.isDefined)
   }
 
-  /** `<name>#history` / `<name>#files` — the metadata-table idea
-    * (Iceberg's `db.table.history`, Delta's DESCRIBE HISTORY/DETAIL):
-    * commit provenance and per-dir file metadata queryable as ordinary
-    * relations. Both are manifest-only driver builds — zero data I/O. */
-  private val MetaRef = "^(.*)#(history|files)$".r
+  /** `<name>#history` / `<name>#files` / `<name>#detail` — the
+    * metadata-table idea (Iceberg's `db.table.history`, Delta's
+    * DESCRIBE HISTORY/DETAIL): commit provenance, per-dir file
+    * metadata and the one-row table summary queryable as ordinary
+    * relations. All are manifest-only driver builds — zero data I/O. */
+  private val MetaRef = "^(.*)#(history|files|detail)$".r
 
   private def metaRelation(base: String, kind: String): LogicalPlan = {
     val (root, gen) = GraftSql.lookup(base).get
     require(gen.isEmpty, s"graft.$base#$kind: metadata tables are not time-travelable")
     val df = kind match {
       case "history" => ManifestCommit.history(spark, root)
+      case "detail" =>
+        // the DESCRIBE DETAIL one-row summary: identity, layout, size.
+        // numRows/sizeInBytes are the EXACT manifest values when every
+        // live dir is metered, null otherwise (never an estimate
+        // masquerading as a count — run ANALYZE to arm them)
+        val m = ManifestCommit.readManifest(spark, root).getOrElse(
+          throw new IllegalArgumentException(s"graft.$base: no manifest at $root"))
+        val row = org.apache.spark.sql.Row(
+          "graft", base.takeWhile(_ != '@'), root,
+          m.gen,
+          m.dirs.size.toLong,
+          ManifestCommit.tableBytesOf(m).map(Long.box).orNull,
+          ManifestCommit.tableRowCount(spark, root).map(Long.box).orNull,
+          m.slice.orNull,
+          m.tableSchema.map(_.fieldNames.toSeq).orNull,
+          m.dvs.size.toLong,
+          m.checks.keys.toSeq.sorted,
+          m.colmap.map { case (l, p) => s"$l->$p" }.toSeq.sorted)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(row)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("format",
+              org.apache.spark.sql.types.StringType, false),
+            org.apache.spark.sql.types.StructField("name",
+              org.apache.spark.sql.types.StringType, false),
+            org.apache.spark.sql.types.StructField("location",
+              org.apache.spark.sql.types.StringType, false),
+            org.apache.spark.sql.types.StructField("generation",
+              org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("num_dirs",
+              org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("size_bytes",
+              org.apache.spark.sql.types.LongType, true),
+            org.apache.spark.sql.types.StructField("num_rows",
+              org.apache.spark.sql.types.LongType, true),
+            org.apache.spark.sql.types.StructField("partitioning",
+              org.apache.spark.sql.types.StringType, true),
+            org.apache.spark.sql.types.StructField("columns",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType), true),
+            org.apache.spark.sql.types.StructField("num_deletion_vectors",
+              org.apache.spark.sql.types.LongType, false),
+            org.apache.spark.sql.types.StructField("check_constraints",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType), true),
+            org.apache.spark.sql.types.StructField("column_mapping",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType), true))))
       case "files" =>
         val m = ManifestCommit.readManifest(spark, root).getOrElse(
           throw new IllegalArgumentException(s"graft.$base: no manifest at $root"))

@@ -297,6 +297,22 @@ class GraftSqlSpec extends SparkSpec {
       .queryExecution.optimizedPlan
     assert(plan.collect {
       case l: LogicalRelation => l }.isEmpty, plan.toString)
+    // #detail: the one-row DESCRIBE DETAIL summary, exact where the
+    // manifest is fully metered
+    val det = spark.sql(
+      """SELECT name, generation, num_dirs, num_rows, partitioning, columns
+        |FROM graft.`sqlspec_meta#detail`""".stripMargin).collect()
+    assert(det.length === 1)
+    val r = det.head
+    assert(r.getString(0) === "sqlspec_meta")
+    assert(r.getLong(2) === 5L)
+    assert(r.getLong(3) === 401L, "num_rows must be the exact count")
+    assert(Option(r.getString(4)).exists(_.nonEmpty), "slice recorded")
+    assert(r.getSeq[String](5).contains("id"))
+    val planD = spark.sql("SELECT * FROM graft.`sqlspec_meta#detail`")
+      .queryExecution.optimizedPlan
+    assert(planD.collect {
+      case l: LogicalRelation => l }.isEmpty, "detail must be manifest-only")
   }
 
   test("SQL conjunctions prune multi-dimensionally on a z-ordered table") {
