@@ -81,9 +81,26 @@ object Optimize {
     // would want rank bucketing instead (SCALE.md notes the swap). A
     // constant or all-null column contributes bucket 0 (harmless); null
     // values keep the pre-existing contract (null z-key, one partition).
+    // temporal columns map to epoch micros/days first (ANSI refuses a
+    // direct TIMESTAMP_NTZ→double cast; the session zone is pinned UTC
+    // so ntz→ltz is monotone), everything else keeps the plain
+    // double cast — the same contract the raw z-key had
+    def orderable(c: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types._
+      live.schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+        case Some(TimestampType) =>
+          org.apache.spark.sql.functions.unix_micros(col(c)).cast("double")
+        case Some(TimestampNTZType) =>
+          org.apache.spark.sql.functions.unix_micros(
+            col(c).cast("timestamp")).cast("double")
+        case Some(DateType) =>
+          org.apache.spark.sql.functions.unix_date(col(c)).cast("double")
+        case _ => col(c).cast("double")
+      }
+    }
     val mmAggs = cols.flatMap(c => Seq(
-      org.apache.spark.sql.functions.min(col(c).cast("double")),
-      org.apache.spark.sql.functions.max(col(c).cast("double"))))
+      org.apache.spark.sql.functions.min(orderable(c)),
+      org.apache.spark.sql.functions.max(orderable(c))))
     val mmRow = live.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
     val buckets = (1L << math.min(63 / cols.size, 20)).toDouble
     val zcols = cols.zipWithIndex.map { case (c, i) =>
@@ -93,7 +110,7 @@ object Optimize {
       else org.apache.spark.sql.functions.least(
         lit(buckets - 1),
         org.apache.spark.sql.functions.floor(
-          (col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(buckets)))
+          (orderable(c) - lit(lo)) / lit(hi - lo) * lit(buckets)))
         .cast("long")
     }
     val keyed = live.withColumn("__z",
@@ -239,15 +256,62 @@ object Optimize {
         org.apache.spark.sql.catalyst.expressions.Literal
           .create(e.eval(null), e.dataType)
     }
-    // fallback: when coercion wrapped the COLUMN side in a cast (e.g. a
-    // timestamp_ntz column compared to a TIMESTAMP literal — colOf
-    // refuses cast-wrapped attributes), the resolved form extracts
-    // nothing; the RAW unresolved form keeps the attribute bare and its
-    // literal rendering matches the stats under the session's pinned
-    // UTC. Still conservative: unparseable conjuncts widen, never
-    // narrow.
+    // UNWRAP analyzer-coerced casts on the COLUMN side before
+    // extraction: comparing a TIMESTAMP_NTZ column to an ltz literal —
+    // the common DSL shape `col(ts) >= lit(s).cast("timestamp")` —
+    // resolves as `cast(col AS timestamp) >= lit`, and the extractor
+    // rightly refuses cast-wrapped attributes (recorded stats describe
+    // the UNCAST column), which silently widened the scope to the whole
+    // table (caught by ZorderScopeKernel: "scoped" rewrote all 80
+    // dirs). When the cast pair is ORDER-PRESERVING and the literal
+    // ROUND-TRIPS exactly through the column's native type, the
+    // comparison is equivalent with the bare attribute against the
+    // back-cast literal; anything unprovable stays wrapped (widens,
+    // never narrows wrongly).
+    val normalized = {
+      import org.apache.spark.sql.catalyst.expressions.{
+        AttributeReference, BinaryComparison, Cast, EvalMode, Literal}
+      import org.apache.spark.sql.types._
+      def monotonePair(from: DataType, to: DataType): Boolean = {
+        val temporal = Set[DataType](DateType, TimestampType, TimestampNTZType)
+        val intOrder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        (temporal(from) && temporal(to)) ||
+          (intOrder.indexOf(from) >= 0 && intOrder.indexOf(to) >= 0 &&
+            intOrder.indexOf(from) < intOrder.indexOf(to)) ||
+          ((from, to) == (FloatType, DoubleType))
+      }
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      def backLit(c: Cast, l: Literal): Option[Literal] = {
+        val t1 = c.child.dataType
+        if (!monotonePair(t1, c.dataType) || l.value == null) return None
+        val back = scala.util.Try(
+          Cast(l, t1, tz, EvalMode.TRY).eval(null)).getOrElse(null)
+        if (back == null) return None
+        val fwd = scala.util.Try(Cast(Literal.create(back, t1), l.dataType,
+          tz, EvalMode.TRY).eval(null)).getOrElse(null)
+        if (fwd != l.value) return None // not round-trip exact
+        Some(Literal.create(back, t1))
+      }
+      folded.transformUp {
+        case bc: BinaryComparison => (bc.left, bc.right) match {
+          case (c: Cast, l: Literal)
+              if c.child.isInstanceOf[AttributeReference] =>
+            backLit(c, l).map(b =>
+              bc.withNewChildren(Seq(c.child, b))).getOrElse(bc)
+          case (l: Literal, c: Cast)
+              if c.child.isInstanceOf[AttributeReference] =>
+            backLit(c, l).map(b =>
+              bc.withNewChildren(Seq(b, c.child))).getOrElse(bc)
+          case _ => bc
+        }
+      }
+    }
+    // fallback: the RAW unresolved form keeps the attribute bare for
+    // shapes the normalization could not prove; its literal rendering
+    // matches the stats under the session's pinned UTC. Still
+    // conservative: unparseable conjuncts widen, never narrow.
     val ex = {
-      val e0 = StatsPredicate.extract(folded)
+      val e0 = StatsPredicate.extract(normalized)
       if (e0.bounds.nonEmpty || e0.points.nonEmpty) e0
       else StatsPredicate.extract(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
@@ -325,8 +389,24 @@ object Optimize {
     val (fold, keep) = m.dirs.partition { d =>
       inScope(d) && (m.dvs.contains(d) || small.getOrElse(d, false))
     }
-    if (fold.size < 2 && fold.forall(!m.dvs.contains(_)))
-      return m // nothing worth folding
+    if (fold.size < 2 && fold.forall(!m.dvs.contains(_))) {
+      // ONE clean small dir is normally nothing worth folding — EXCEPT
+      // under a recorded slice when its stats cannot prove it
+      // slice-TIGHT (every slice component's recorded stat a per-dir
+      // constant): then the rewrite IS the layout migration — e.g. a
+      // month-granular dir left behind by a partition evolution to
+      // days folds into day-tight dirs. A dir proven tight skips, so
+      // repeated OPTIMIZE converges instead of rewriting forever (the
+      // sliced fold below always records the component stats, so at
+      // worst one extra rewrite proves tightness).
+      val migrate = m.slice.exists { s =>
+        fold.size == 1 &&
+          !ManifestCommit.sliceComponents(s).forall(c =>
+            m.stats.getOrElse(fold.head, Nil)
+              .find(_.col == c).exists(cs => cs.min == cs.max))
+      }
+      if (!migrate) return m
+    }
     val folded = ManifestCommit.readDirsOf(spark, root, m, fold)
     val statCols = fold.flatMap(d => m.stats.getOrElse(d, Nil).map(_.col)).distinct
     // A table with a RECORDED SLICE folds through writeSliced — one dir

@@ -476,6 +476,49 @@ class OptimizeSpec extends SparkSpec {
     assert(pruned.count() === 120L)
   }
 
+  test("whereScope unwraps analyzer-coerced casts on the COLUMN side: " +
+      "an ltz-cast DSL predicate over an NTZ column scopes exactly; a " +
+      "non-round-trip literal stays whole-table (widens, never narrows)") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/ntz"
+    // 3 month dirs over a TIMESTAMP_NTZ column (the fixture shape
+    // that silently widened scoped maintenance before round 17)
+    val df = spark.range(0, 90).toDF("id")
+      .withColumn("ts", expr(
+        "timestamp_ntz'2024-01-15 00:00:00' + " +
+          "make_interval(0, 0, 0, cast(id / 3 as int), 0, 0, 0)"))
+    val dirs = ManifestCommit.writeSliced(spark, root, df,
+      expr("date_format(ts, 'yyyyMM')"),
+      Seq("ts", "id", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),
+      slice = Some("date_format(ts, 'yyyyMM')"))
+    val before = ManifestCommit.readManifest(spark, root).get
+    assert(before.dirs.size === 2) // Jan 15 .. Feb 13
+    assert(before.tableSchema.get("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    // the DSL shape: ltz literal → analyzer casts the NTZ COLUMN side
+    Optimize.zorderWhere(spark, root,
+      col("ts") >= lit("2024-02-01").cast("timestamp") &&
+        col("ts") <= lit("2024-02-28 23:59:59").cast("timestamp"),
+      Seq("ts", "id"))
+    val after = ManifestCommit.readManifest(spark, root).get
+    val displaced = before.dirs.filterNot(after.dirs.toSet)
+    assert(displaced.size === 1,
+      s"ntz DSL predicate must scope to ONE month dir, rewrote $displaced")
+    // a cast the normalization cannot prove (long→double is not in the
+    // order-preserving whitelist) keeps the WIDE scope: every small dir
+    // is eligible and folds — conservative, never a wrong exclusion
+    val before2 = ManifestCommit.readManifest(spark, root).get
+    Optimize.compactWhere(spark, root,
+      col("id").cast("double") >= lit(85.5), smallBytes = 1L << 30)
+    val after2 = ManifestCommit.readManifest(spark, root).get
+    val displaced2 = before2.dirs.filterNot(after2.dirs.toSet)
+    assert(displaced2.size === before2.dirs.size,
+      s"unprovable cast must widen to every dir: $displaced2")
+    assert(ManifestCommit.read(spark, root).count() === 90L)
+  }
+
   test("compactSmall on a SLICED table folds per slice value: two delta " +
       "dirs per month become one dir per month, month pruning intact") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/sl"

@@ -190,6 +190,43 @@ class PartitionEvolutionSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE graft.`$name`")
   }
 
+  test("OPTIMIZE after an evolution MIGRATES old-layout dirs to the new " +
+      "slice: the per-slice fold rewrites them day-tight, day probes " +
+      "prune the whole table") {
+    val loc = Files.createTempDirectory("graft_pev_").toString + "/t"
+    val name = uniq("evmig")
+    spark.sql(s"CREATE TABLE graft.`$name` (id BIGINT, ts TIMESTAMP) " +
+      s"PARTITIONED BY (months(ts)) LOCATION '$loc'")
+    try {
+      // one month dir spanning 3 distinct days (the OLD layout)
+      val src = uniq("src")
+      spark.range(0, 30).toDF("id")
+        .withColumn("ts", when(col("id") < 10, lit("2024-01-01 00:00:00"))
+          .when(col("id") < 20, lit("2024-01-02 00:00:00"))
+          .otherwise(lit("2024-01-03 00:00:00")).cast("timestamp"))
+        .createOrReplaceTempView(src)
+      spark.sql(s"INSERT INTO graft.`$name` SELECT * FROM $src")
+      assert(ManifestCommit.readManifest(spark, loc).get.dirs.size === 1)
+      spark.sql(s"ALTER TABLE graft.`$name` SET PARTITIONED BY (days(ts))")
+      // compaction IS the migration: the small old-layout dir folds
+      // through writeSliced under the CURRENT (day) slice
+      spark.sql(s"OPTIMIZE graft.`$name`")
+      val m = ManifestCommit.readManifest(spark, loc).get
+      assert(m.dirs.size === 3, s"3 day-tight dirs after OPTIMIZE: ${m.dirs}")
+      m.dirs.foreach { d =>
+        val ts = m.stats(d).find(_.col == "ts").get
+        assert(ts.min.take(10) === ts.max.take(10),
+          s"migrated dir $d spans days: [${ts.min}, ${ts.max}]")
+      }
+      val probe = spark.sql(s"SELECT count(*) FROM graft.`$name` " +
+        "WHERE ts >= timestamp'2024-01-02 00:00:00' " +
+        "AND ts <= timestamp'2024-01-02 12:00:00'")
+      assert(scannedDirs(probe, loc) === 1, "post-migration day probe")
+      assert(probe.head.getLong(0) === 10L)
+      assert(ManifestCommit.tableRowCount(spark, loc) === Some(30L))
+    } finally spark.sql(s"DROP TABLE graft.`$name`")
+  }
+
   test("RENAME COLUMN keeps refusing the CURRENT slice's references " +
       "after an evolution re-keys the layout") {
     val loc = Files.createTempDirectory("graft_pev_").toString + "/t"
