@@ -263,8 +263,8 @@ object Optimize {
     // rightly refuses cast-wrapped attributes (recorded stats describe
     // the UNCAST column), which silently widened the scope to the whole
     // table (caught by ZorderScopeKernel: "scoped" rewrote all 80
-    // dirs). When the cast pair is ORDER-PRESERVING and the literal
-    // ROUND-TRIPS exactly through the column's native type, the
+    // dirs). When the cast pair is an INJECTIVE order-embedding and the
+    // literal ROUND-TRIPS exactly through the column's native type, the
     // comparison is equivalent with the bare attribute against the
     // back-cast literal; anything unprovable stays wrapped (widens,
     // never narrows wrongly).
@@ -272,18 +272,39 @@ object Optimize {
       import org.apache.spark.sql.catalyst.expressions.{
         AttributeReference, BinaryComparison, Cast, EvalMode, Literal}
       import org.apache.spark.sql.types._
-      def monotonePair(from: DataType, to: DataType): Boolean = {
-        val temporal = Set[DataType](DateType, TimestampType, TimestampNTZType)
-        val intOrder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
-        (temporal(from) && temporal(to)) ||
-          (intOrder.indexOf(from) >= 0 && intOrder.indexOf(to) >= 0 &&
-            intOrder.indexOf(from) < intOrder.indexOf(to)) ||
-          ((from, to) == (FloatType, DoubleType))
-      }
+      // INJECTIVE order-embeddings only (round 18 — monotone is NOT
+      // enough): cast-to-date FLOORS a timestamp, so it is monotone yet
+      // not injective, and the rewrite `cast(ts AS date) ⊕ DATE'D'` →
+      // `ts ⊕ midnight(D)` is wrong for ⊕ ∈ {=, <=} — a dir holding only
+      // afternoon rows of day D has per-dir min past midnight and would
+      // be WRONGLY EXCLUDED from the maintenance scope (the round-17
+      // unwrap overcorrected the silent-widening defect into a
+      // silent-narrowing one). The literal round-trip check below cannot
+      // catch this: DATE'D' round-trips exactly through midnight even
+      // though the COLUMN-side cast collapses the whole day onto it.
+      // Admitted pairs: date→timestamp[_ntz] (one instant per day),
+      // strict integral widening, float→double, and ntz↔ltz ONLY under a
+      // fixed-offset session zone (a DST zone repeats the fall-back wall
+      // hour — not injective). Timestamp→date stays WRAPPED, so those
+      // conjuncts contribute nothing and the scope widens, never narrows.
       val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      def injectivePair(from: DataType, to: DataType): Boolean = {
+        val intOrder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+        lazy val fixedOffsetZone = scala.util.Try(
+          java.time.ZoneId.of(tz.get).getRules.isFixedOffset).getOrElse(false)
+        (from, to) match {
+          case (DateType, TimestampType) | (DateType, TimestampNTZType) => true
+          case (TimestampNTZType, TimestampType) |
+               (TimestampType, TimestampNTZType) => fixedOffsetZone
+          case (FloatType, DoubleType) => true
+          case _ =>
+            intOrder.indexOf(from) >= 0 && intOrder.indexOf(to) >= 0 &&
+              intOrder.indexOf(from) < intOrder.indexOf(to)
+        }
+      }
       def backLit(c: Cast, l: Literal): Option[Literal] = {
         val t1 = c.child.dataType
-        if (!monotonePair(t1, c.dataType) || l.value == null) return None
+        if (!injectivePair(t1, c.dataType) || l.value == null) return None
         val back = scala.util.Try(
           Cast(l, t1, tz, EvalMode.TRY).eval(null)).getOrElse(null)
         if (back == null) return None

@@ -519,6 +519,63 @@ class OptimizeSpec extends SparkSpec {
     assert(ManifestCommit.read(spark, root).count() === 90L)
   }
 
+  test("whereScope keeps FLOOR-casts wrapped: cast(ts AS date) =/<=/>= " +
+      "DATE scopes every same-day dir — an afternoon-only dir (per-dir " +
+      "min past midnight) is never wrongly excluded from maintenance") {
+    // cast-to-date is monotone but NOT injective: the round-17 unwrap
+    // rewrote `cast(ts AS date) ⊕ DATE'D'` to `ts ⊕ midnight(D)`, which
+    // excluded a dir holding only afternoon rows of day D. The repro the
+    // round-17 review confirmed live, now pinned.
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/floor"
+    def hourDir(day: String, startHour: Int) = {
+      val d = ManifestCommit.newDataDir(root)
+      val df = spark.range(0, 6).toDF("id")
+        .withColumn("ts", expr(
+          f"timestamp'$day $startHour%02d:00:00' + " +
+            "make_interval(0, 0, 0, 0, cast(id as int), 0, 0)"))
+      df.write.parquet(d)
+      d -> ManifestCommit.dirStats(spark, d, Seq("ts", "id"))
+    }
+    val morning = hourDir("2024-01-15", 0)   // 00:00–05:00
+    val afternoon = hourDir("2024-01-15", 12) // 12:00–17:00
+    val otherDay = hourDir("2024-03-20", 8)
+    val all = Seq(morning, afternoon, otherDay)
+    val schema = StructType(Seq(
+      StructField("id", LongType, true),
+      StructField("ts", TimestampType, true)))
+    ManifestCommit.commitReplace(spark, root, all.map(_._1),
+      pruneDisplaced = false, stats = all.toMap, schema = Some(schema))
+    val m = ManifestCommit.readManifest(spark, root).get
+    def name(p: (String, Seq[ManifestCommit.ColStats])) =
+      new org.apache.hadoop.fs.Path(p._1).getName
+    val sameDay = Set(name(morning), name(afternoon))
+    val d = lit(java.sql.Date.valueOf("2024-01-15"))
+    // every comparison direction on the floor-cast shape must keep BOTH
+    // same-day dirs in scope (the conjunct widens; it must never narrow)
+    Seq(col("ts").cast("date") === d,
+        col("ts").cast("date") <= d,
+        col("ts").cast("date") >= d).foreach { p =>
+      val scope = Optimize.whereScope(spark, m, p)
+      assert(sameDay.subsetOf(scope),
+        s"floor-cast $p wrongly excluded a same-day dir: scope=$scope")
+    }
+    // and the maintenance actually lands: OPTIMIZE WHERE folds the
+    // afternoon dir instead of silently skipping it
+    Optimize.compactWhere(spark, root,
+      col("ts").cast("date") === d, smallBytes = 1L << 30)
+    val after = ManifestCommit.readManifest(spark, root).get
+    assert(!after.dirs.contains(name(afternoon)),
+      s"afternoon dir skipped by OPTIMIZE WHERE: ${after.dirs}")
+    assert(ManifestCommit.read(spark, root).count() === 18L)
+    // the INJECTIVE unwrap is still live: a bare date→timestamp
+    // comparison over a DATE column would scope exactly (covered by the
+    // ntz case above); here pin that an uncast predicate still prunes
+    val exact = Optimize.whereScope(spark, m,
+      col("ts") >= lit("2024-03-01 00:00:00").cast("timestamp"))
+    assert(!exact.contains(name(morning)) && !exact.contains(name(afternoon)),
+      s"uncast predicate lost its exact scope: $exact")
+  }
+
   test("compactSmall on a SLICED table folds per slice value: two delta " +
       "dirs per month become one dir per month, month pruning intact") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/sl"
