@@ -17,6 +17,26 @@ object Bench {
     n => { val p = pref.getOrElse(n, n); if (dup(p)) n else p }
   }
 
+  /** The FULL-PRECISION per-query map as its own dedicated stderr line,
+    * printed LAST (after the [bench-diag] line): the stdout contract
+    * line degrades to 1-decimal/integer per-query values under its
+    * ~1900-char budget as the suite grows past ~155 queries, and the
+    * long [bench-diag] line loses its HEAD to the parent's tail-window
+    * capture — round 17's review could not adjudicate per-query deltas
+    * from the artifacts and had to re-bench by hand. Short keys +
+    * uniform 2 decimals keep ~170 queries near 2 KB, and last-line
+    * placement keeps it inside any tail window that retains anything.
+    * Failure sentinel matches the stdout map (clamped below -0.01 so a
+    * fast failure never rounds to -0.00 == 0.0). */
+  def queriesDiagLine(results: Seq[(String, Double)]): String = {
+    val shortOf = shortKeys(results.map(_._1))
+    results.map { case (n, v) =>
+      val vv = if (v < 0) math.min(v, -0.01) else v
+      "\"" + shortOf(n) + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(vv))
+    }.mkString("""[bench-queries] {""", ",", "}")
+  }
+
   /** The drift sentinel's ruler: ONE saturating pure-JVM spin pass
     * (one thread per core, a fixed LCG-fold workload each, ~30 ms). The
     * LCG result folds into a volatile sink so the loop cannot be
@@ -320,7 +340,10 @@ object Bench {
     val kernSorted = kernSamples.sorted
     val driftS =
       if (kernSorted.size < 8) ""
-      else fmt2(kernSorted(kernSorted.size / 2) / kernSorted(kernSorted.size / 10))
+      // ceiling-based p10 index: size/10 is 0 (the absolute min — the
+      // exact lucky-tail bias p10 exists to avoid) for sizes 8–19
+      else fmt2(kernSorted(kernSorted.size / 2) /
+        kernSorted(math.max(1, kernSorted.size / 10)))
     // Diagnostics (per-query task CPU, cold-run wall, per-query medians)
     // go to STDERR: the stdout JSON line is parsed by a parent process
     // whose line buffer is finite — keep it to the contract fields only.
@@ -349,6 +372,9 @@ object Bench {
     println(composeLine(fmt(total), fmt(medianTotal), qs, qs1, qs0,
       errors.size, errJson, medShown, medMore, medOutliers.size, sfName,
       rerunJson, drift = driftS))
+    // full-precision per-query map, LAST on stderr (tail-window safe) —
+    // see [[Bench.queriesDiagLine]]
+    System.err.println(Bench.queriesDiagLine(results))
     GraftTmp.purge()
     spark.stop()
   }

@@ -2735,12 +2735,22 @@ object ManifestCommit {
     if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
   }
 
+  /** Pseudo-stat recording WHICH columns an `ANALYZE TABLE` pass already
+    * examined on this dir (min == max == sorted comma-joined logical
+    * names). An all-null / absent column legitimately yields NO min/max
+    * entry ("no stats = never pruned"), so without this marker every
+    * re-ANALYZE would re-scan the dir and commit a fresh generation on
+    * an otherwise fully-metered table — the marker is what makes
+    * `analyzeStats` idempotent. Never prunes (no predicate references
+    * it), never inherited into rewrites (PseudoStats membership). */
+  val AnalyzedStat = "__analyzed"
+
   /** Stat pseudo-columns no data column backs — every consumer that
     * derives stat columns from a manifest must filter these before
     * touching the data (inheriting one into an aggregate was a real
     * crash class, caught in round-9 review). */
   val PseudoStats: Set[String] = Set(RowCountStat, DvDeadStat, PartStat,
-    BytesStat)
+    BytesStat, AnalyzedStat)
 
   /** The dir's hive partition suffix when it is a hive-nested convert
     * ([[PartStat]]), None for ordinary flat dirs. */

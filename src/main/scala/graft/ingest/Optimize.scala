@@ -116,31 +116,63 @@ object Optimize {
     val keyed = live.withColumn("__z",
       graft.functions.columns.zorderKeyN(zcols: _*))
     // one range shuffle = the distributed sort; ordering WITHIN a dir is
-    // irrelevant to dir-level stats, so no within-partition sort is paid
-    val staged = keyed.repartitionByRange(targetDirs, col("__z"))
-      .withColumn("__zbucket", spark_partition_id())
-      .drop("__z")
+    // irrelevant to dir-level stats, so no within-partition sort is paid.
+    // A table with a RECORDED SLICE z-orders WITHIN its layout (the Delta
+    // per-partition ZORDER discipline, same rule as compactSmall's
+    // per-slice fold): the range key is (slice value, z), the write
+    // partitions by BOTH, so a range partition straddling two slice
+    // values splits into one slice-PURE leaf per value — a WHERE scope
+    // spanning several slice values never folds them into mixed-slice
+    // dirs that would silently degrade the DDL'd layout. Cost: up to
+    // (#slice values − 1) extra dirs over `targetDirs`, no extra jobs.
+    val (staged, partCols) = m.slice match {
+      case Some(sliceText) =>
+        (keyed.withColumn("__slicev", expr(sliceText))
+          .repartitionByRange(targetDirs, col("__slicev"), col("__z"))
+          .withColumn("__zbucket", spark_partition_id())
+          .drop("__z"),
+          Seq("__slicev", "__zbucket"))
+      case None =>
+        (keyed.repartitionByRange(targetDirs, col("__z"))
+          .withColumn("__zbucket", spark_partition_id())
+          .drop("__z"),
+          Seq("__zbucket"))
+    }
 
     // ONE write job for all buckets (hive-style layout), then promote
-    // each bucket dir to an immutable data_* dir. The promotion is a
+    // each LEAF dir to an immutable data_* dir. The promotion is a
     // local/HDFS rename; an object-store deployment writes the buckets
     // as final dirs directly via its committer — the manifest protocol
     // above it is unchanged.
     val staging = s"$root/._zorder_staging_${java.util.UUID.randomUUID().toString.take(8)}"
-    // logical->physical rename under a column mapping (no-op otherwise)
+    // logical->physical rename under a column mapping (no-op otherwise;
+    // __slicev is computed over LOGICAL names before the rename)
     ManifestCommit.toPhysicalNames(spark, root, staged)
-      .write.partitionBy("__zbucket").parquet(staging)
+      .write.partitionBy(partCols: _*).parquet(staging)
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bucketDirs = f.listStatus(new Path(staging)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zbucket="))
-      .sortBy(st => st.getPath.getName.stripPrefix("__zbucket=").toInt)
+    def leaves(p: Path, depth: Int): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (depth == 0) f.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zbucket="))
+      else f.listStatus(p).toSeq.filter(_.isDirectory)
+        .sortBy(_.getPath.getName)
+        .flatMap(st => leaves(st.getPath, depth - 1))
+    val bucketDirs = leaves(new Path(staging), partCols.size - 1)
+      .sortBy(st => (st.getPath.getParent.getName,
+        st.getPath.getName.stripPrefix("__zbucket=").toInt))
     // a table answering COUNT(*) from the manifest keeps that ability
     // through the rewrite: __rows is folded into each new dir's stats
     val priorRows =
       if (m.stats.values.exists(_.exists(_.col == ManifestCommit.RowCountStat)))
         Seq(ManifestCommit.RowCountStat)
       else Nil
-    val statCols = (cols ++ extraStatCols).distinct ++ priorRows
+    // sliced rewrites record the slice components' stats (slice-tight
+    // per leaf), keeping the layout's pruning armed — same discipline
+    // as the sliced compactSmall fold
+    val sliceStatCols = m.slice.toSeq.flatMap(s =>
+      graft.sql.GraftWriteUtil.sliceRefCols(s, live.columns.toSeq) ++
+        ManifestCommit.sliceExprStatCols(s, live.columns.toSeq))
+    val statCols =
+      (cols ++ extraStatCols ++ sliceStatCols).distinct ++ priorRows
     val promoted = bucketDirs.map { st =>
       val d = ManifestCommit.newDataDir(root)
       f.rename(st.getPath, new Path(d))
@@ -649,21 +681,50 @@ object Optimize {
           s"graft ANALYZE: no column $c in the table schema " +
             s"(${fieldNames.mkString(", ")})"))
     }
-    val want = (canon :+ ManifestCommit.RowCountStat).distinct
+    // a column can LEGITIMATELY yield no min/max entry (all-null values,
+    // or absent from an old dir's files under schema evolution) — "no
+    // stats = never pruned" forbids recording a bound for it. The
+    // __analyzed marker records that the pass LOOKED, so the
+    // completeness check below treats looked-and-null as satisfied and
+    // a re-ANALYZE of a fully-metered table commits nothing (the
+    // idempotency contract; without it every re-run re-scanned the
+    // null-stat dirs and committed a fresh generation).
+    def analyzedSet(d: String): Set[String] =
+      m.stats.getOrElse(d, Nil)
+        .find(_.col == ManifestCommit.AnalyzedStat)
+        .map(_.min.split(",").filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
     val targets = m.dirs.filter { d =>
       val have = m.stats.getOrElse(d, Nil).map(_.col).toSet
-      !(want.forall(have) && have(ManifestCommit.BytesStat))
+      val seen = analyzedSet(d)
+      !(canon.forall(c => have(c) || seen(c)) &&
+        have(ManifestCommit.RowCountStat) && have(ManifestCommit.BytesStat))
     }
     if (targets.isEmpty) return m // fully metered — commit nothing
     // per-dir jobs overlap on a driver pool (each is one small
     // aggregate); a sequential sweep is a driver-latency wall at high
     // dir counts — the resolveBloom lesson
     def meter(d: String): Seq[ManifestCommit.ColStats] = {
-      val cs = ManifestCommit.dirStats(spark,
-        ManifestCommit.dirAbs(root, d), want, colmap = m.colmap)
-      if (cs.nonEmpty) cs
-      else Seq(ManifestCommit.dirBytesStat(spark,
-        ManifestCommit.dirAbs(root, d)))
+      val abs = ManifestCommit.dirAbs(root, d)
+      // a dir written before a column was ADDED has no backing field:
+      // skip it for this dir (footer-only check) — the marker still
+      // records it as examined, so the dir stays complete on re-runs
+      val footer = spark.read.parquet(abs).schema.fieldNames.toSet
+      val present = canon.filter(c => footer(m.physNameOf(c)))
+      val ask = (present :+ ManifestCommit.RowCountStat).distinct
+      val cs = ManifestCommit.dirStats(spark, abs, ask, colmap = m.colmap)
+      val base =
+        if (cs.nonEmpty) cs
+        else Seq(ManifestCommit.dirBytesStat(spark, abs))
+      // marker only when a requested column yielded no bound — the
+      // common fully-stat-ed dir carries no extra metadata
+      val gap = canon.filterNot(base.map(_.col).toSet)
+      if (gap.isEmpty) base
+      else {
+        val seen = (analyzedSet(d) ++ canon).toSeq.sorted.mkString(",")
+        base :+ ManifestCommit.ColStats(
+          ManifestCommit.AnalyzedStat, "str", seen, seen)
+      }
     }
     val metered: Map[String, Seq[ManifestCommit.ColStats]] =
       if (targets.size <= 4) targets.map(d => d -> meter(d)).toMap

@@ -47,6 +47,29 @@ class BenchContractSpec extends AnyFunSuite {
       "tiering dropped query keys")
   }
 
+  test("queriesDiagLine carries EVERY query at 2-decimal precision " +
+      "within a tail-window-sized budget") {
+    // realistic mix: the registry's actual size, sub-second majority,
+    // a few slow queries, one failure
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i == 0) -0.004 else if (i < 9) 12.345 else 0.456)
+    }
+    val line = Bench.queriesDiagLine(results)
+    assert(line.startsWith("[bench-queries] {"))
+    assert(names.size >= 168, s"suite shrank? ${names.size}")
+    val json = line.stripPrefix("[bench-queries] ")
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(parsed.size() === names.size, "diag line dropped query keys")
+    // ≥1-decimal (here exactly 2) per-query values — the adjudication
+    // precision the stdout tier loses at this suite size
+    assert(json.contains(":0.46") && json.contains(":12.35"))
+    // failure sentinel stays detectably negative
+    val shortFirst = Bench.shortKeys(names)(names.head)
+    assert(parsed.get(shortFirst).asDouble() < 0)
+    assert(line.length <= 2600,
+      s"diag line ${line.length} chars — must survive the tail window")
+  }
+
   test("rerun (interference self-adjudication) rides the line with " +
       "med_outliers and degrades away with it") {
     val med = (1 to 4).map(i => s""""q$i":9.99""").mkString("{", ",", "}")

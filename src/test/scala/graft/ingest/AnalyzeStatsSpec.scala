@@ -124,6 +124,52 @@ class AnalyzeStatsSpec extends SparkSpec {
     } finally graft.sql.GraftSql.unregister(name)
   }
 
+  test("idempotent on null-stat dirs: an all-null column and a dir " +
+      "missing the column entirely are marked examined — the second " +
+      "run commits nothing, pruning stays safe") {
+    val root = Files.createTempDirectory("graft_analyze_").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, true)))
+    // dir0: v present but ALL NULL (no min/max possible)
+    val d0 = ManifestCommit.newDataDir(root)
+    spark.range(0, 50).toDF("id")
+      .withColumn("v", lit(null).cast("long")).write.parquet(d0)
+    ManifestCommit.commitReplace(spark, root, Seq(d0),
+      pruneDisplaced = false, schema = Some(schema))
+    // dir1: written BEFORE v existed — no backing field at all
+    val d1 = ManifestCommit.newDataDir(root)
+    spark.range(100, 150).toDF("id").write.parquet(d1)
+    ManifestCommit.commitAppend(spark, root, d1)
+
+    val m1 = Optimize.analyzeStats(spark, root, Seq("id", "v"))
+    val g1 = m1.gen
+    // both dirs carry the examined marker instead of a fake v bound
+    m1.dirs.foreach { d =>
+      val ss = m1.stats(d)
+      assert(!ss.exists(_.col == "v"),
+        s"$d must NOT record a bound for a null/absent column: $ss")
+      assert(ss.exists(_.col == ManifestCommit.AnalyzedStat),
+        s"$d missing the examined marker: ${ss.map(_.col)}")
+      assert(ss.exists(_.col == "id") &&
+        ss.exists(_.col == ManifestCommit.RowCountStat))
+    }
+    // re-run: FULLY metered (marker satisfies v) -> no commit at all
+    Optimize.analyzeStats(spark, root, Seq("id", "v"))
+    assert(ManifestCommit.readManifest(spark, root).get.gen === g1,
+      "re-analyze of a marker-complete table must be a no-op")
+    // a narrower re-run is also complete
+    Optimize.analyzeStats(spark, root, Seq("v"))
+    assert(ManifestCommit.readManifest(spark, root).get.gen === g1)
+    // pruning on v keeps every dir (no stats = never a filter)
+    val (_, kept, total) = ManifestCommit.readPruned(spark, root,
+      "v", Some("10"), Some("20"))
+    assert(total === 2 && kept === 2, s"kept $kept of $total")
+    assert(ManifestCommit.tableRowCount(spark, root) === Some(100L))
+  }
+
   test("analyze under a COLUMN MAPPING: logical names resolve, stat " +
       "keys stay logical, skipping works on the renamed column") {
     val root = mkStatless()

@@ -576,6 +576,52 @@ class OptimizeSpec extends SparkSpec {
       s"uncast predicate lost its exact scope: $exact")
   }
 
+  test("zorderWhere on a SLICED table z-orders WITHIN the layout: a " +
+      "scope spanning two months rewrites into slice-PURE z-dirs — " +
+      "month pruning intact, never a mixed-slice dir") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/zsl"
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("ts", when(col("id") % 2 === 0,
+        lit("2024-01-10 00:00:00")).otherwise(lit("2024-02-10 00:00:00"))
+        .cast("timestamp"))
+      .withColumn("x", (col("id") * 7) % 50)
+    val dirs = ManifestCommit.writeSliced(spark, root, df,
+      expr("date_format(ts, 'yyyyMM')"),
+      Seq("ts", "id", "x", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(df.schema.fields.map(_.copy(nullable = true)))),
+      slice = Some("date_format(ts, 'yyyyMM')"))
+    val want = ManifestCommit.read(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    // the WHERE scope spans BOTH months — the pre-round-18 rewrite
+    // folded them into mixed-month z-dirs, silently degrading the
+    // layout the table was DDL'd for
+    val m = Optimize.zorderWhere(spark, root,
+      col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp"),
+      Seq("id", "x"), targetDirs = Some(8))
+    m.dirs.foreach { d =>
+      val ts = m.stats(d).find(_.col == "ts").get
+      assert(ts.min.take(7) === ts.max.take(7),
+        s"rewritten dir $d mixes months: $ts")
+    }
+    assert(m.dirs.size >= 8, s"z granularity kept: ${m.dirs.size}")
+    // month pruning still exact
+    val (_, kept, total) = ManifestCommit.readPruned(spark, root, "ts",
+      Some("2024-02-01"), Some("2024-02-28"))
+    assert(kept < total, s"month probe kept $kept of $total")
+    // and the z-rectangles prune WITHIN a month: a conjunctive (id, x)
+    // box probe skips same-month dirs holding other rectangles
+    val (keptZ, totalZ) = {
+      val (ds, tot) = Optimize.resolvePrunedMulti(spark, root,
+        Seq(("id", Some("0"), Some("40")), ("x", Some("0"), Some("10"))))
+      (ds.size, tot)
+    }
+    assert(keptZ < totalZ, s"z box probe kept $keptZ of $totalZ")
+    assert(ManifestCommit.read(spark, root)
+      .collect().map(_.toString).sorted.toSeq === want)
+  }
+
   test("compactSmall on a SLICED table folds per slice value: two delta " +
       "dirs per month become one dir per month, month pruning intact") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/sl"
