@@ -85,6 +85,53 @@ object ZorderScopeKernel {
         f"(${s / baseS}%.2fx)  rowsRewritten=$r%d " +
         f"(${r.toDouble / baseR}%.4fx, $d%d dirs)")
     }
+
+    // ---- rank-bucketed vs linear z-keys on a Zipf dimension (r18) ----
+    // 90% of rows carry head values 0..8, 10% scatter to ~1e9 (the hot-
+    // account / hot-domain shape). Linear min/max scaling maps the whole
+    // head onto ONE z-slot, so the head packs into a few fat dirs and a
+    // head-value probe scans ~90% of the table; rank bucketing
+    // (Delta's range_partition_id idea) spends ~90% of the slots on the
+    // head and the same probe scans a sliver.
+    val zipf = orders.select(
+      when(col("o_orderkey") % 10 < 9, col("o_orderkey") % 9)
+        .otherwise(pmod(hash(col("o_orderkey")).cast("long"),
+          lit(1000000000L)) + 10).cast("long").as("k"),
+      pmod(col("o_custkey"), lit(8)).cast("long").as("y"),
+      col("o_totalprice")).cache()
+    val zn = zipf.count()
+    def buildZ(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_zrk_")
+        .toString + "/t"
+      val d = ingest.ManifestCommit.newDataDir(root)
+      zipf.write.parquet(d)
+      ingest.ManifestCommit.commitReplace(spark, root, Seq(d),
+        pruneDisplaced = false,
+        stats = Map(d -> ingest.ManifestCommit.dirStats(spark, d,
+          Seq("k", "y", ingest.ManifestCommit.RowCountStat))),
+        schema = Some(org.apache.spark.sql.types.StructType(
+          zipf.schema.fields.map(_.copy(nullable = true)))))
+      root
+    }
+    def probeZ(root: String): (Long, Int, Int) = {
+      val (df, kept, total) = Optimize.readPrunedMulti(spark, root,
+        Seq(("k", Some("4"), Some("4"))))
+      (df.count(), kept, total)
+    }
+    Seq("linear" -> 0, "rank" -> 256).foreach { case (label, rb) =>
+      def once(): (Double, (Long, Int, Int)) = {
+        val root = buildZ()
+        val t0 = System.nanoTime()
+        Optimize.zorderCompactN(spark, root, Seq("k", "y"),
+          targetDirs = 64, rankBuckets = rb)
+        ((System.nanoTime() - t0) / 1e9, probeZ(root))
+      }
+      val reps = (1 to 3).map(_ => once())
+      val (sec, (rows, kept, total)) = (reps.map(_._1).min, reps.head._2)
+      println(f"[zrank-kernel] sf=$sfDir variant=$label%-6s min3=$sec%.3f s " +
+        f"headProbeRows=$rows%d (${rows.toDouble / zn}%.4f of $zn%d)  " +
+        f"dirsKept=$kept%d/$total%d")
+    }
     spark.stop()
   }
 }

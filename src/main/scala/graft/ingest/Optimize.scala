@@ -50,12 +50,25 @@ object Optimize {
   /** `bloomCols`: point-lookup bloom side files rebuilt per new dir (a
     * rewrite would otherwise silently lose the bloom index its inputs
     * carried — the maintenance op is exactly when to refresh it). */
+  /** `rankBuckets` > 0 swaps the per-dimension LINEAR min/max scaling
+    * for RANK bucketing (the public Delta `range_partition_id` idea):
+    * each dimension's z-slot is its rank among `rankBuckets` sampled
+    * quantile boundaries, so a heavily value-skewed dimension (Zipf
+    * keys, hot accounts) still spreads rows evenly across z-buckets —
+    * linear scaling collapses most rows into a few buckets and the
+    * z-rectangles stop pruning. Cost: the stats pass computes B−1
+    * approximate quantiles per dimension instead of min/max (same
+    * single aggregate job), and the key evaluation walks the broadcast
+    * boundary array per row (O(B), codegen'd) — keep B modest (64–1024;
+    * dir-level pruning needs no finer rank resolution than the dir
+    * count). 0 = linear scaling (default). */
   def zorderCompactN(spark: SparkSession, root: String,
       cols: Seq[String], targetDirs: Int,
       extraStatCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01,
-      scope: Option[Set[String]] = None): ManifestCommit.Manifest = {
+      scope: Option[Set[String]] = None,
+      rankBuckets: Int = 0): ManifestCommit.Manifest = {
     require(targetDirs >= 1, "targetDirs must be >= 1")
     require(cols.size >= 2, "z-order needs at least 2 columns")
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
@@ -98,20 +111,47 @@ object Optimize {
         case _ => col(c).cast("double")
       }
     }
-    val mmAggs = cols.flatMap(c => Seq(
-      org.apache.spark.sql.functions.min(orderable(c)),
-      org.apache.spark.sql.functions.max(orderable(c))))
-    val mmRow = live.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
-    val buckets = (1L << math.min(63 / cols.size, 20)).toDouble
-    val zcols = cols.zipWithIndex.map { case (c, i) =>
-      val lo = if (mmRow.isNullAt(2 * i)) 0.0 else mmRow.getDouble(2 * i)
-      val hi = if (mmRow.isNullAt(2 * i + 1)) 0.0 else mmRow.getDouble(2 * i + 1)
-      if (hi <= lo) lit(0L).cast("long")
-      else org.apache.spark.sql.functions.least(
-        lit(buckets - 1),
-        org.apache.spark.sql.functions.floor(
-          (orderable(c) - lit(lo)) / lit(hi - lo) * lit(buckets)))
-        .cast("long")
+    val zcols: Seq[org.apache.spark.sql.Column] = if (rankBuckets > 0) {
+      // RANK bucketing: one aggregate computes B−1 approximate quantile
+      // boundaries per dimension; each row's z-slot = how many
+      // boundaries it meets (functions.aggregate over the literal
+      // boundary array — codegen'd, no UDF, no extra shuffle). Equal
+      // quantiles (a constant or near-constant dimension) dedupe to
+      // fewer boundaries — harmless, the dimension just carries fewer
+      // distinct slots. Nulls fold to slot 0 (the z-key is a clustering
+      // hint, never a correctness surface).
+      val ps = (1 until rankBuckets).map(_.toDouble / rankBuckets)
+      val qAggs = cols.map(c => org.apache.spark.sql.functions
+        .percentile_approx(orderable(c),
+          lit(ps.toArray), lit(10000)))
+      val qRow = live.agg(qAggs.head, qAggs.tail: _*).collect()(0)
+      cols.zipWithIndex.map { case (c, i) =>
+        val bs =
+          if (qRow.isNullAt(i)) Nil
+          else qRow.getSeq[Any](i).collect { case d: Double => d }
+            .distinct.sorted
+        if (bs.isEmpty) lit(0L).cast("long")
+        else org.apache.spark.sql.functions.aggregate(
+          lit(bs.toArray),
+          lit(0L),
+          (acc, b) => acc + when(orderable(c) >= b, lit(1L)).otherwise(lit(0L)))
+      }
+    } else {
+      val mmAggs = cols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(orderable(c)),
+        org.apache.spark.sql.functions.max(orderable(c))))
+      val mmRow = live.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+      val buckets = (1L << math.min(63 / cols.size, 20)).toDouble
+      cols.zipWithIndex.map { case (c, i) =>
+        val lo = if (mmRow.isNullAt(2 * i)) 0.0 else mmRow.getDouble(2 * i)
+        val hi = if (mmRow.isNullAt(2 * i + 1)) 0.0 else mmRow.getDouble(2 * i + 1)
+        if (hi <= lo) lit(0L).cast("long")
+        else org.apache.spark.sql.functions.least(
+          lit(buckets - 1),
+          org.apache.spark.sql.functions.floor(
+            (orderable(c) - lit(lo)) / lit(hi - lo) * lit(buckets)))
+          .cast("long")
+      }
     }
     val keyed = live.withColumn("__z",
       graft.functions.columns.zorderKeyN(zcols: _*))
@@ -390,7 +430,8 @@ object Optimize {
       targetDirs: Option[Int] = None,
       extraStatCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
-      bloomFpp: Double = 0.01): ManifestCommit.Manifest = {
+      bloomFpp: Double = 0.01,
+      rankBuckets: Int = 0): ManifestCommit.Manifest = {
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"$root is not a manifest-committed table"))
@@ -398,7 +439,8 @@ object Optimize {
     if (scope.isEmpty) return m
     zorderCompactN(spark, root, cols,
       targetDirs.getOrElse(math.max(1, scope.size)),
-      extraStatCols, bloomCols, bloomFpp, scope = Some(scope))
+      extraStatCols, bloomCols, bloomFpp, scope = Some(scope),
+      rankBuckets = rankBuckets)
   }
 
   def compactSmall(spark: SparkSession, root: String,

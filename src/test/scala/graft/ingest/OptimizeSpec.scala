@@ -622,6 +622,53 @@ class OptimizeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === want)
   }
 
+  test("rank-bucketed z-keys prune a Zipf-skewed dimension where linear " +
+      "min/max scaling cannot: a head-value probe scans a fraction of " +
+      "the rows, contents exact either way") {
+    // 90% of rows carry head values 0..8; 10% scatter to ~1e9. Linear
+    // scaling maps the whole head to z-slot 0 (9 / 1e9 of the range),
+    // so dirs split the head by the OTHER dimension only and every
+    // head dir spans k=[0,8]; rank bucketing spends ~90% of the slots
+    // on the head and a head-value probe prunes within it.
+    def skewed() = spark.range(0, 4000).select(
+      when(col("id") % 10 < 9, col("id") % 9)
+        .otherwise((col("id") % 97) * 10000000L + 10).cast("long").as("k"),
+      (col("id") % 4).cast("long").as("y"),
+      concat(lit("p"), col("id")).as("payload"))
+    def build(): String = {
+      val root = Files.createTempDirectory("optimize_spec_").toString + "/rz"
+      val d = ManifestCommit.newDataDir(root)
+      skewed().write.parquet(d)
+      ManifestCommit.commitReplace(spark, root, Seq(d),
+        pruneDisplaced = false,
+        stats = Map(d -> ManifestCommit.dirStats(spark, d, Seq("k", "y"))),
+        schema = Some(StructType(skewed().schema.fields.map(_.copy(nullable = true)))))
+      root
+    }
+    // ROWS SCANNED is the honest metric: linear scaling collapses every
+    // head row onto one z-slot, so the range partitioner packs the head
+    // into a few FAT dirs — the kept-dir COUNT looks fine while the
+    // probe still scans ~90% of the table (and the layout is skewed:
+    // a handful of huge files among 12 near-empty ones)
+    def scannedFor(root: String): Long =
+      Optimize.readPrunedMulti(spark, root,
+        Seq(("k", Some("4"), Some("4"))))._1.count()
+    val lin = build()
+    Optimize.zorderCompactN(spark, lin, Seq("k", "y"), targetDirs = 16)
+    val rank = build()
+    Optimize.zorderCompactN(spark, rank, Seq("k", "y"), targetDirs = 16,
+      rankBuckets = 64)
+    val (rowsLin, rowsRank) = (scannedFor(lin), scannedFor(rank))
+    assert(rowsRank * 2 < rowsLin,
+      s"rank bucketing must cut the rows a Zipf-head probe scans: " +
+        s"rank=$rowsRank linear=$rowsLin of 4000")
+    // both layouts hold identical rows
+    def rows(root: String) = ManifestCommit.read(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(lin) === rows(rank))
+    assert(rows(rank).size === 4000)
+  }
+
   test("compactSmall on a SLICED table folds per slice value: two delta " +
       "dirs per month become one dir per month, month pruning intact") {
     val root = Files.createTempDirectory("optimize_spec_").toString + "/sl"
