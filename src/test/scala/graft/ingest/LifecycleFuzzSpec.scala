@@ -481,6 +481,202 @@ class LifecycleFuzzSpec extends SparkSpec {
     graft.sql.GraftSql.unregister(name)
   }
 
+  test("partition-evolution fuzz (seed 6161): re-slicing rides the full " +
+      "SQL op mix — RESTORE reverts the slice, the clone inherits it, " +
+      "OPTIMIZE migrates stale layouts, reads stay exact") {
+    // Every individual composition (evolution × OPTIMIZE migration,
+    // evolution × streaming sink, guard refusals) is spec'd in
+    // PartitionEvolutionSpec; this is the INTERLEAVING net — ≥3
+    // evolutions (month → day → composite bucket → none) mixed with
+    // INSERT/UPDATE/DELETE/MERGE, scoped and plain OPTIMIZE, ZORDER,
+    // VACUUM, RESTORE and a mid-run shallow-clone fork.
+    var root = Files.createTempDirectory("fuzz_evo_").toString + "/t"
+    var frozen = List.empty[(String, Map[Long, (String, Int, Double)])]
+    val name = s"fuzz_evo_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+    graft.sql.GraftSql.register(name, root)
+    val rnd = new scala.util.Random(6161)
+    val stE = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("amt", DoubleType, true)))
+    val monthsPool = Seq("2024-01", "2024-02", "2024-03")
+    // model: id -> (month, day, amt)
+    var model = Map.empty[Long, (String, Int, Double)]
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, (String, Int, Double))] = (1 to n).map { _ =>
+      nextId += 1
+      nextId -> ((monthsPool(rnd.nextInt(monthsPool.size)),
+        1 + rnd.nextInt(27), rnd.nextInt(100).toDouble))
+    }
+    def sample(k: Int): Seq[Long] =
+      rnd.shuffle(model.keys.toSeq.sorted).take(k.min(model.size))
+    def tsOf(mo: String, day: Int) =
+      java.sql.Timestamp.valueOf(s"$mo-${f"$day%02d"} 12:00:00")
+
+    locally { // initial layout: months(ts)
+      val rows = fresh(24)
+      val slice = expr("date_format(ts, 'yyyyMM')")
+      val dirs = ManifestCommit.writeSliced(spark, root,
+        mkDf(stE, rows.map { case (id, (mo, day, amt)) =>
+          Row(id, tsOf(mo, day), amt) }: _*),
+        slice, Seq("ts", "id", ManifestCommit.RowCountStat))
+      ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+        pruneDisplaced = false, stats = dirs.toMap,
+        schema = Some(StructType(stE.fields.map(_.copy(nullable = true)))),
+        slice = Some("date_format(ts, 'yyyyMM')"))
+      model = rows.toMap
+    }
+    var expectedSlice: Option[String] = Some("date_format(ts, 'yyyyMM')")
+    // (model, slice) per generation — RESTORE must revert BOTH
+    var history = Map.empty[Long, (Map[Long, (String, Int, Double)], Option[String])]
+    val evolutions = scala.collection.mutable.Queue[(String, Option[String])](
+      (s"ALTER TABLE graft.$name SET PARTITIONED BY (days(ts))",
+        Some("date_format(ts, 'yyyyMMdd')")),
+      (s"ALTER TABLE graft.$name SET PARTITIONED BY (months(ts), bucket(4, id))",
+        Some(ManifestCommit.compositeSlice(Seq(
+          "date_format(ts, 'yyyyMM')", "pmod(hash(id), 4)")))),
+      (s"ALTER TABLE graft.$name DROP PARTITIONING", None))
+
+    (1 to 27).foreach { step =>
+      if (step % 8 == 4 && evolutions.nonEmpty) {
+        // deterministic evolution points (steps 4, 12, 20) so every seed
+        // drives all three re-slicings whatever the random mix does
+        val (ddl, slice) = evolutions.dequeue()
+        spark.sql(ddl)
+        expectedSlice = slice
+      } else rnd.nextInt(7) match {
+        case 0 => // INSERT lands under the CURRENT slice
+          val rows = fresh(1 + rnd.nextInt(6))
+          val values = rows.map { case (id, (mo, day, amt)) =>
+            s"($id, TIMESTAMP '$mo-${f"$day%02d"} 12:00:00', $amt)"
+          }.mkString(", ")
+          spark.sql(s"INSERT INTO graft.$name VALUES $values")
+          model ++= rows
+        case 1 => // DELETE
+          val del = sample(1 + rnd.nextInt(3))
+          if (del.nonEmpty) {
+            spark.sql(
+              s"DELETE FROM graft.$name WHERE id IN (${del.mkString(",")})")
+            model --= del
+          }
+        case 2 => // UPDATE
+          val upd = sample(1 + rnd.nextInt(3))
+          if (upd.nonEmpty) {
+            spark.sql(s"UPDATE graft.$name SET amt = amt + 1 " +
+              s"WHERE id IN (${upd.mkString(",")})")
+            model ++= upd.map(id => id -> model(id)
+              .copy(_3 = model(id)._3 + 1))
+          }
+        case 3 => // MERGE: update + insert
+          val upd = sample(2).map(id => id -> model(id)
+            .copy(_3 = model(id)._3 + 2))
+          val ins = fresh(2)
+          val srcRows = upd ++ ins
+          mkDf(stE, srcRows.map { case (id, (mo, day, amt)) =>
+            Row(id, tsOf(mo, day), amt) }: _*)
+            .createOrReplaceTempView("fuzz_evo_src")
+          spark.sql(
+            s"""MERGE INTO graft.$name t USING fuzz_evo_src s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          model = model ++ upd ++ ins
+        case 4 => // maintenance: plain fold (migrates stale layouts),
+          // scoped fold, or scoped zorder
+          rnd.nextInt(3) match {
+            case 0 => spark.sql(s"OPTIMIZE graft.$name")
+            case 1 => spark.sql(s"OPTIMIZE graft.$name WHERE " +
+              s"ts >= TIMESTAMP '2024-02-01 00:00:00'")
+            case 2 => if (model.nonEmpty)
+              spark.sql(s"OPTIMIZE graft.$name ZORDER BY (id, amt)")
+          }
+        case 5 => // retention
+          spark.sql(s"VACUUM graft.$name RETAIN 4 GENERATIONS")
+          history = history.filter { case (g, _) =>
+            ManifestCommit.readManifestAt(spark, root, g).isDefined }
+        case 6 => // RESTORE — the slice is part of the restored identity
+          val targets = ManifestCommit.snapshotGens(spark, root)
+            .filter(history.contains)
+          if (targets.nonEmpty) {
+            val g = targets(rnd.nextInt(targets.size))
+            spark.sql(s"RESTORE TABLE graft.$name TO VERSION AS OF $g")
+            val (mdl, sl) = history(g)
+            model = mdl
+            expectedSlice = sl
+          }
+      }
+      ManifestCommit.clearResolveCache()
+      val m = ManifestCommit.readManifest(spark, root).get
+      // invariant 1: the recorded slice is exactly what the DDL/RESTORE
+      // history implies
+      assert(m.slice === expectedSlice,
+        s"slice drifted after step $step: ${m.slice} != $expectedSlice")
+      // invariant 2: live read == model
+      val got = spark.sql(s"SELECT id, ts, amt FROM graft.$name").collect()
+        .map { r =>
+          val ldt = r.getTimestamp(1).toLocalDateTime
+          r.getLong(0) -> ((f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d",
+            ldt.getDayOfMonth, r.getDouble(2)))
+        }.toMap
+      assert(got === model, s"live mismatch after step $step")
+      // invariant 3: manifest-only COUNT(*) parity
+      assert(spark.sql(s"SELECT count(*) FROM graft.$name")
+        .collect()(0).getLong(0) === model.size.toLong,
+        s"COUNT(*) parity broken after step $step")
+      // invariant 4: a month probe through stats skipping == the model's
+      // month slice, whatever mix of layouts the dirs carry right now
+      val mo = monthsPool(rnd.nextInt(monthsPool.size))
+      val (pdf, keptN, _) = ManifestCommit.readPruned(spark, root, "ts",
+        Some(ManifestCommit.temporalBound(s"$mo-01")),
+        Some(s"$mo-31T23:59:59.999"))
+      val gotMo =
+        if (keptN == 0) Set.empty[Long]
+        else pdf.filter(date_format(col("ts"), "yyyy-MM") === mo)
+          .select("id").collect().map(_.getLong(0)).toSet
+      assert(gotMo === model.collect {
+        case (id, (m2, _, _)) if m2 == mo => id }.toSet,
+        s"month probe mismatch for $mo after step $step")
+      history += m.gen -> ((model, expectedSlice))
+      // FORK at step 14: the clone must inherit the CURRENT slice and
+      // every later op (incl. the remaining evolutions) runs on it
+      if (step == 14) {
+        val fork = Files.createTempDirectory("fuzz_evo_clone_").toString + "/t"
+        ManifestCommit.shallowClone(spark, root, fork)
+        assert(ManifestCommit.readManifest(spark, fork).get.slice
+          === expectedSlice, "clone must inherit the slicing expression")
+        frozen ::= ((root, model))
+        root = fork
+        graft.sql.GraftSql.register(name, fork)
+        history = Map(ManifestCommit.readManifest(spark, fork).get.gen
+          -> ((model, expectedSlice)))
+      }
+    }
+    assert(evolutions.isEmpty, "all three evolutions must have run")
+    // deterministic pin (random RESTOREs may never have crossed one):
+    // restoring across a slice boundary reverts the slicing expression
+    val cross = history.toSeq
+      .filter { case (g, (_, sl)) => sl != expectedSlice &&
+        ManifestCommit.readManifestAt(spark, root, g).isDefined }
+      .sortBy(_._1).lastOption
+    cross.foreach { case (g, (mdl, sl)) =>
+      spark.sql(s"RESTORE TABLE graft.$name TO VERSION AS OF $g")
+      val m2 = ManifestCommit.readManifest(spark, root).get
+      assert(m2.slice === sl,
+        s"RESTORE to gen $g must revert the slice: ${m2.slice} != $sl")
+      assert(spark.sql(s"SELECT count(*) FROM graft.$name")
+        .collect()(0).getLong(0) === mdl.size.toLong)
+    }
+    // the fork never mutated its abandoned source
+    frozen.foreach { case (r, mdl) =>
+      ManifestCommit.clearResolveCache()
+      assert(ManifestCommit.read(spark, r).collect().map { x =>
+        val ldt = x.getTimestamp(1).toLocalDateTime
+        x.getLong(0) -> ((f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d",
+          ldt.getDayOfMonth, x.getDouble(2)))
+      }.toMap === mdl, s"fork mutated its abandoned source $r")
+    }
+    graft.sql.GraftSql.unregister(name)
+  }
+
   test("concurrent-writer fuzz (seed 1337): appends race every maintenance op, nothing lost") {
     // Every step races a REAL concurrent append (its own thread) against
     // a maintenance/mutation op on the same table. Fresh-id appends are
