@@ -2919,8 +2919,18 @@ object ManifestCommit {
       expectedItems: Long, fpp: Double = 0.01): Unit = {
     val bf = spark.read.parquet(dir).stat.bloomFilter(col, expectedItems, fpp)
     val f = fs(spark, dir)
-    val out = f.create(new Path(dir, s"_bloom_$col"), true)
+    // tmp + rename: ANALYZE retrofits blooms onto LIVE dirs (readers may
+    // probe concurrently), so the visible file must never be half-written
+    // — a truncated bloom would crash BloomFilter.readFrom mid-query
+    val tmp = new Path(dir,
+      s"._bloom_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
     try bf.writeTo(out) finally out.close()
+    if (!f.rename(tmp, new Path(dir, s"_bloom_$col"))) {
+      f.delete(new Path(dir, s"_bloom_$col"), false)
+      if (!f.rename(tmp, new Path(dir, s"_bloom_$col")))
+        throw new java.io.IOException(s"cannot install _bloom_$col in $dir")
+    }
   }
 
   /** Point-lookup resolve: live dirs whose `col` bloom might contain

@@ -443,10 +443,77 @@ object Optimize {
       rankBuckets = rankBuckets)
   }
 
+  /** The ONE fold-and-commit codepath every compaction flavor routes
+    * through (round 18 — compactSmall's sliced/unsliced folds and
+    * compactMonths' per-partition collapse used to be three write+commit
+    * paths, and only one understood colmap + partition evolution
+    * natively): `rows` (the folded dirs' live rows) optionally collapse
+    * LATEST-PER-KEY within each slice group (`collapse` = Replacing
+    * keys + version order — per-GROUP, a key appearing in two slice
+    * values keeps both rows, the ReplacingMergeTree contract), re-lay
+    * one dir per `slice` value (or one single dir when None), meter
+    * `statCols`, rebuild blooms under physical names, and commit as a
+    * rebasing `commitReconciled` that consumed exactly `fold`. */
+  private def foldCommit(spark: SparkSession, root: String,
+      m: ManifestCommit.Manifest, fold: Seq[String], rows: DataFrame,
+      sliceText: Option[String], statCols: Seq[String],
+      collapse: Option[(Seq[String], Option[String])],
+      bloomCols: Seq[String], bloomFpp: Double,
+      op: String): ManifestCommit.Manifest = {
+    val collapsed = (collapse, sliceText) match {
+      case (Some((keys, version)), Some(s)) =>
+        Ingest.dedupLatest(rows.withColumn("__slice_g", expr(s)),
+          keys :+ "__slice_g", version).drop("__slice_g")
+      case (Some((keys, version)), None) =>
+        Ingest.dedupLatest(rows, keys, version)
+      case (None, _) => rows
+    }
+    sliceText match {
+      case Some(s) =>
+        val promoted = ManifestCommit.writeSliced(spark, root, collapsed,
+          expr(s), statCols)
+        promoted.foreach { case (d, _) =>
+          rebuildBlooms(spark, d, bloomCols.map(m.physNameOf), bloomFpp) }
+        ManifestCommit.commitReconciled(spark, root, base = m,
+          displaced = fold,
+          added = promoted.map(_._1),
+          addedStats = promoted.map { case (d, cs) =>
+            new Path(d).getName -> cs }.toMap,
+          schema = m.tableSchema,
+          op = op,
+          pinned = fold.toSet)
+      case None =>
+        val newDir = ManifestCommit.newDataDir(root)
+        // logical->physical rename under a column mapping (no-op otherwise)
+        ManifestCommit.toPhysicalNames(spark, root, collapsed)
+          .write.parquet(newDir)
+        rebuildBlooms(spark, newDir, bloomCols.map(m.physNameOf), bloomFpp)
+        val newName = new Path(newDir).getName
+        ManifestCommit.commitReconciled(spark, root, base = m,
+          displaced = fold,
+          added = Seq(newName),
+          addedStats =
+            if (statCols.nonEmpty)
+              Map(newName -> ManifestCommit.dirStats(spark, newDir, statCols,
+                colmap = m.colmap))
+            else Map.empty,
+          schema = m.tableSchema,
+          op = op,
+          pinned = fold.toSet)
+    }
+  }
+
+  /** `collapse` = Some((keys, version)) additionally collapses the
+    * folded rows LATEST-PER-KEY within each slice group (the Replacing
+    * semantics [[compactMonths]] applies per month) — the generic fold
+    * carries the option natively, so any sliced layout gets the
+    * collapse without a dedicated codepath. */
   def compactSmall(spark: SparkSession, root: String,
       smallBytes: Long, bloomCols: Seq[String] = Nil,
       bloomFpp: Double = 0.01,
-      scope: Option[Set[String]] = None): ManifestCommit.Manifest = {
+      scope: Option[Set[String]] = None,
+      collapse: Option[(Seq[String], Option[String])] = None)
+      : ManifestCommit.Manifest = {
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
     val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -512,46 +579,18 @@ object Optimize {
     // month-sliced table's folded dir spanned every month it absorbed,
     // so the very maintenance meant to help reads degraded their
     // pruning until rows were rewritten again. Unsliced tables keep the
-    // single-dir fold.
-    m.slice match {
-      case Some(sliceText) =>
-        val sliceStatCols = (statCols ++
-          graft.sql.GraftWriteUtil.sliceRefCols(
-            sliceText, folded.columns.toSeq) ++
-          ManifestCommit.sliceExprStatCols(
-            sliceText, folded.columns.toSeq)).distinct
-        val promoted = ManifestCommit.writeSliced(spark, root, folded,
-          org.apache.spark.sql.functions.expr(sliceText), sliceStatCols)
-        promoted.foreach { case (d, _) =>
-          rebuildBlooms(spark, d, bloomCols.map(m.physNameOf), bloomFpp) }
-        return ManifestCommit.commitReconciled(spark, root, base = m,
-          displaced = fold,
-          added = promoted.map(_._1),
-          addedStats = promoted.toMap,
-          schema = m.tableSchema,
-          op = "compact_minor",
-          pinned = fold.toSet)
-      case None => ()
-    }
-    val newDir = ManifestCommit.newDataDir(root)
-    // logical->physical rename under a column mapping (no-op otherwise)
-    ManifestCommit.toPhysicalNames(spark, root, folded).write.parquet(newDir)
-    rebuildBlooms(spark, newDir, bloomCols.map(m.physNameOf), bloomFpp)
-    val newName = new Path(newDir).getName
-    // rebasing commit: only the folded dirs are consumed; concurrent
-    // appends graft unconditionally (a new small dir just waits for the
-    // next compaction cycle)
-    ManifestCommit.commitReconciled(spark, root, base = m,
-      displaced = fold,
-      added = Seq(newName),
-      addedStats =
-        if (statCols.nonEmpty)
-          Map(newName -> ManifestCommit.dirStats(spark, newDir, statCols,
-            colmap = m.colmap))
-        else Map.empty,
-      schema = m.tableSchema,
-      op = "compact_minor",
-      pinned = fold.toSet)
+    // single-dir fold. Rebasing commit either way: only the folded dirs
+    // are consumed; a concurrent append grafts unconditionally (the new
+    // small dir just waits for the next compaction cycle).
+    val sliceStatCols = m.slice.toSeq.flatMap(s =>
+      graft.sql.GraftWriteUtil.sliceRefCols(s, folded.columns.toSeq) ++
+        ManifestCommit.sliceExprStatCols(s, folded.columns.toSeq))
+    foldCommit(spark, root, m, fold, folded,
+      sliceText = m.slice,
+      statCols = (statCols ++ sliceStatCols).distinct,
+      collapse = collapse,
+      bloomCols = bloomCols, bloomFpp = bloomFpp,
+      op = "compact_minor")
   }
 
   /** The ClickHouse PER-PARTITION background merge, manifest-native (the
@@ -626,32 +665,21 @@ object Optimize {
       // single grouped pass. NULL-month delta rows ride the same pass:
       // their slice is null, writeSliced lands them in the
       // __HIVE_DEFAULT_PARTITION__-keyed residual dir.
-      val moExpr = date_format(col(monthCol), "yyyy-MM")
+      val moText = s"date_format($monthCol, 'yyyy-MM')"
       val pureDf =
         if (rewritten.isEmpty) None
         else Some(ManifestCommit.readDirsOf(spark, root, m, rewritten))
       val allParts = (pureDf.toSeq ++ deltaDfOpt.toSeq).reduce(_ unionByName _)
-      val collapsed = Ingest.dedupLatest(
-        allParts.withColumn("__mo", moExpr), keys :+ "__mo", version)
-        .drop("__mo")
-      val newDirs = ManifestCommit.writeSliced(spark, root, collapsed,
-        moExpr, statCols)
-      newDirs.foreach { case (d, _) =>
-        // writeSliced lands files under PHYSICAL names (column mapping);
-        // bloom side files key on the on-disk name, same as the
-        // compactSmall and zorder paths
-        rebuildBlooms(spark, d, bloomCols.map(m.physNameOf), bloomFpp)
-      }
-      // rebasing commit: consumed = the rewritten month dirs + every
-      // delta dir; a concurrently-appended batch grafts as a fresh delta
-      // for the next cycle (the per-partition-trigger discipline)
-      ManifestCommit.commitReconciled(spark, root, base = m,
-        displaced = rewritten ++ deltas,
-        added = newDirs.map(_._1),
-        addedStats = newDirs.map { case (d, cs) => new Path(d).getName -> cs }.toMap,
-        schema = m.tableSchema,
-        op = "compact_months",
-        pinned = (rewritten ++ deltas).toSet)
+      // consumed = the rewritten month dirs + every delta dir; a
+      // concurrently-appended batch grafts as a fresh delta for the next
+      // cycle (the per-partition-trigger discipline). The collapse runs
+      // per month inside the shared fold (keys + slice group).
+      foldCommit(spark, root, m, rewritten ++ deltas, allParts,
+        sliceText = Some(moText),
+        statCols = statCols,
+        collapse = Some((keys, version)),
+        bloomCols = bloomCols, bloomFpp = bloomFpp,
+        op = "compact_months")
     } finally { deltaDfOpt.foreach(_.unpersist()); () }
   }
 
@@ -709,19 +737,71 @@ object Optimize {
     * table commits nothing. `cols` resolve against the recorded schema
     * (logical names under a column mapping — stat keys stay logical,
     * exactly like write-time metering). */
+  /** `bloomCols` (`ANALYZE … WITH BLOOMS (a, b)`): retrofit point-lookup
+    * bloom side files onto live dirs that lack them — the legacy-table
+    * migration story for `key = x` probes (q130's index otherwise only
+    * arrives via rewrites). Presence of the side file IS the
+    * completeness marker (no manifest change, no new generation), so
+    * re-runs build nothing; each un-indexed dir pays one distinct-count
+    * aggregate + one bloom build, sized to its own cardinality. Dirs
+    * missing the column entirely are skipped (no bloom = never pruned,
+    * the resolveBloom contract). */
   def analyzeStats(spark: SparkSession, root: String,
-      cols: Seq[String] = Nil): ManifestCommit.Manifest = {
+      cols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomFpp: Double = 0.01): ManifestCommit.Manifest = {
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(
         s"$root is not a manifest-committed table"))
     val resolver = spark.sessionState.conf.resolver
     val fieldNames = m.tableSchema.map(_.fieldNames.toSeq).getOrElse(Nil)
-    val canon = cols.map { c =>
+    def canonOf(c: String): String =
       if (fieldNames.isEmpty) c
       else fieldNames.find(resolver(_, c)).getOrElse(
         throw new IllegalArgumentException(
           s"graft ANALYZE: no column $c in the table schema " +
             s"(${fieldNames.mkString(", ")})"))
+    val canon = cols.map(canonOf)
+
+    if (bloomCols.nonEmpty) {
+      val canonB = bloomCols.map(canonOf)
+      val f = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def missing(d: String): Seq[String] = canonB.filter { c =>
+        val abs = ManifestCommit.dirAbs(root, d)
+        val phys = m.physNameOf(c)
+        !f.exists(new Path(abs, s"_bloom_$c")) &&
+          !f.exists(new Path(abs, s"_bloom_$phys"))
+      }
+      def index(d: String, want: Seq[String]): Unit = {
+        val abs = ManifestCommit.dirAbs(root, d)
+        // a hive-nested converted dir serves its partition column from
+        // the path; data columns carry PHYSICAL names — build and name
+        // the bloom under the on-disk name, same as the write path
+        val footer = spark.read.parquet(abs).schema.fieldNames.toSet
+        val present = want.map(m.physNameOf).filter(footer)
+        if (present.nonEmpty) {
+          val aggs = present.map(c => countDistinct(col(c)).as(c))
+          val row = spark.read.parquet(abs)
+            .agg(aggs.head, aggs.tail: _*).collect()(0)
+          present.zipWithIndex.foreach { case (c, i) =>
+            ManifestCommit.writeDirBloom(spark, abs, c,
+              math.max(8L, row.getLong(i)), bloomFpp)
+          }
+        }
+      }
+      val bTargets = m.dirs.map(d => d -> missing(d)).filter(_._2.nonEmpty)
+      if (bTargets.size <= 4) bTargets.foreach { case (d, w) => index(d, w) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(bTargets.size, 8))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(Future.sequence(
+          bTargets.map { case (d, w) => Future(index(d, w)) }), Duration.Inf)
+        finally pool.shutdown()
+      }
     }
     // a column can LEGITIMATELY yield no min/max entry (all-null values,
     // or absent from an old dir's files under schema evolution) — "no

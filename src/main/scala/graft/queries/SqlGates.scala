@@ -1596,11 +1596,119 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q172 — `ANALYZE … WITH BLOOMS (k)` (round 18): retrofit the
+    * point-lookup bloom index onto dirs whose KEY RANGES fully overlap
+    * (keys striped by modulus), where min/max stats can never prune
+    * `k = x`. The legacy-table migration story for point lookups: no
+    * rewrite, one distinct-count + bloom build per un-indexed dir, and
+    * the side-file presence makes re-runs free. Flags pin that the
+    * probe plans ≤2 of 4 dirs (bloom fpp leaves ≤1 false positive) and
+    * an absent key resolves to ≤1 dir. */
+  val q172_analyze_blooms = Q(
+    "q172_analyze_blooms",
+    """SELECT CAST(o_orderkey AS BIGINT) AS probe_key,
+      |  cast(o_totalprice as double) AS probe_price,
+      |  CAST(1 AS BIGINT) AS bloom_pruned,
+      |  CAST(1 AS BIGINT) AS absent_pruned
+      |FROM orders
+      |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin) {
+    (s, dir) =>
+    val root = tmpDir("graft_q172_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    // 4 dirs striped by key MODULUS: every dir spans the full key range,
+    // so range stats are useless for a point probe — only the bloom
+    // says "definitely not here"
+    (0 until 4).foreach { i =>
+      val d = ManifestCommit.newDataDir(root)
+      orders.filter(pmod(col("o_orderkey"), lit(4)) === i).write.parquet(d)
+      if (i == 0) ManifestCommit.commitReplace(s, root, Seq(d),
+        pruneDisplaced = false,
+        stats = Map(d -> ManifestCommit.dirStats(s, d, Seq("o_orderkey"))),
+        schema = Some(org.apache.spark.sql.types.StructType(
+          orders.schema.fields.map(_.copy(nullable = true)))))
+      else ManifestCommit.commitAppend(s, root, d,
+        stats = ManifestCommit.dirStats(s, d, Seq("o_orderkey")))
+    }
+    val probeKey = orders.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    val absentKey = orders.agg(max(col("o_orderkey"))).collect()(0)
+      .getLong(0) + 1000000L
+    val name = uniq("graft_q172")
+    GraftSql.register(name, root)
+    try {
+      // un-indexed: the point probe keeps every dir
+      val pre = ManifestCommit.resolveBloom(s, root, "o_orderkey",
+        probeKey)._1.size
+      s.sql(s"ANALYZE TABLE graft.$name COMPUTE STATISTICS " +
+        "WITH BLOOMS (o_orderkey)")
+      val (df, kept, total) = ManifestCommit.readBloom(s, root,
+        "o_orderkey", probeKey)
+      val keptAbsent = ManifestCommit.resolveBloom(s, root, "o_orderkey",
+        absentKey)._1.size
+      val row = df.filter(col("o_orderkey") === probeKey).collect()(0)
+      s.range(1).select(
+        lit(row.getLong(0)).as("probe_key"),
+        lit(row.getDouble(1)).as("probe_price"),
+        lit(if (pre == 4 && total == 4 && kept <= 2) 1L else 0L)
+          .as("bloom_pruned"),
+        lit(if (keptAbsent <= 1) 1L else 0L).as("absent_pruned"))
+    } finally GraftSql.unregister(name)
+  }
+
+  /** q173 — rank-bucketed z-order on a Zipf-skewed dimension (round 18,
+    * the Delta `range_partition_id` idea): 90% of rows carry 9 head
+    * values while the tail stretches the range to ~1e9, so LINEAR
+    * min/max z-scaling maps the whole head onto one slot and a
+    * head-value probe scans ~90% of the table; `rankBuckets` spends the
+    * slots by mass and the same probe scans a sliver. The flag pins
+    * scanned-rows < half the table; the data columns hash against the
+    * DuckDB oracle computing the same head slice from `orders`. */
+  val q173_zorder_rank = Q(
+    "q173_zorder_rank",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS price_sum,
+      |  CAST(1 AS BIGINT) AS rank_pruned
+      |FROM orders
+      |WHERE o_orderkey % 10 < 9 AND o_orderkey % 9 = 4""".stripMargin) {
+    (s, dir) =>
+    val root = tmpDir("graft_q173_") + "/t"
+    val orders = Tables.load(s, dir, "orders")
+    val skewed = orders.select(
+      when(col("o_orderkey") % 10 < 9, col("o_orderkey") % 9)
+        .otherwise(pmod(hash(col("o_orderkey")).cast("long"),
+          lit(1000000000L)) + 10).cast("long").as("k"),
+      pmod(col("o_custkey"), lit(8)).cast("long").as("y"),
+      col("o_totalprice"))
+    val d = ManifestCommit.newDataDir(root)
+    skewed.write.parquet(d)
+    ManifestCommit.commitReplace(s, root, Seq(d),
+      pruneDisplaced = false,
+      stats = Map(d -> ManifestCommit.dirStats(s, d,
+        Seq("k", "y", ManifestCommit.RowCountStat))),
+      schema = Some(org.apache.spark.sql.types.StructType(
+        skewed.schema.fields.map(_.copy(nullable = true)))))
+    val totalRows = ManifestCommit.tableRowCount(s, root).get
+    graft.ingest.Optimize.zorderCompactN(s, root, Seq("k", "y"),
+      targetDirs = 32, rankBuckets = 256)
+    val (probe, _, _) = graft.ingest.Optimize.readPrunedMulti(s, root,
+      Seq(("k", Some("4"), Some("4"))))
+    val scanned = probe.count()
+    val agg = probe.filter(col("k") === 4L)
+      .agg(count(lit(1)),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .collect()(0)
+    s.range(1).select(
+      lit(agg.getLong(0)).as("n_rows"),
+      lit(agg.getDouble(1)).as("price_sum"),
+      lit(if (scanned * 2 < totalRows) 1L else 0L).as("rank_pruned"))
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
     q159_convert_to_graft, q160_composite_slicing, q161_convert_partitioned,
     q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink,
     q165_alter_column_type, q167_optimize_where, q169_optimize_where_zorder,
-    q170_partition_evolution, q171_analyze_stats)
+    q170_partition_evolution, q171_analyze_stats, q172_analyze_blooms,
+    q173_zorder_rank)
 }

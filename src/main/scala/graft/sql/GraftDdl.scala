@@ -91,7 +91,8 @@ object GraftDdl {
   //   delegate: Spark's own ANALYZE would fail resolution on graft.*)
   private val AnalyzeRe =
     ("""(?is)\s*ANALYZE\s+TABLE\s+graft\.(`[^`]+`|[\w.]+)""" +
-      """\s+COMPUTE\s+STATISTICS\s*(?:FOR\s+COLUMNS\s+([\w`,\s.]+?))?\s*;?\s*""").r
+      """\s+COMPUTE\s+STATISTICS\s*(?:FOR\s+COLUMNS\s+([\w`,\s.]+?))?""" +
+      """\s*(?:WITH\s+BLOOMS\s*\(\s*([\w`,\s.]+?)\s*\))?\s*;?\s*""").r
 
   private def unquote(n: String): String =
     if (n.startsWith("`") && n.endsWith("`")) n.substring(1, n.length - 1) else n
@@ -167,15 +168,15 @@ object GraftDdl {
       val statCols = Option(stats).map(_.split(",").toSeq
         .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
       Some(GraftConvert(path, Option(name).map(unquote), statCols))
-    case AnalyzeRe(name, colsRaw) =>
+    case AnalyzeRe(name, colsRaw, bloomsRaw) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(
           s"graft ANALYZE: ${unquote(name)} is not a registered graft table"))
       require(gen.isEmpty,
         "graft ANALYZE: cannot analyze a @v time-travel reference")
-      val cols = Option(colsRaw).map(_.split(",").toSeq
+      def split(raw: String) = Option(raw).map(_.split(",").toSeq
         .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
-      Some(GraftAnalyze(root, cols))
+      Some(GraftAnalyze(root, split(colsRaw), split(bloomsRaw)))
     case SetPartitionRe(name, transforms) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(

@@ -1134,12 +1134,16 @@ case class GraftOptimize(root: String, zorderCols: Seq[String],
   * WOULD be reclaimed — expired snapshot records, data dirs/DVs only
   * they reference, stale orphans — as result rows, touching nothing. */
 /** ANALYZE TABLE: retrofit per-dir stats (min/max for `cols`, rows,
-  * bytes) onto existing dirs without rewriting data; see
+  * bytes) onto existing dirs without rewriting data; `WITH BLOOMS`
+  * additionally retrofits point-lookup bloom side files for
+  * `bloomCols` onto un-indexed dirs; see
   * [[graft.ingest.Optimize.analyzeStats]]. */
-case class GraftAnalyze(root: String, cols: Seq[String])
+case class GraftAnalyze(root: String, cols: Seq[String],
+    bloomCols: Seq[String] = Nil)
     extends LeafCommand {
   override def simpleString(maxFields: Int): String =
-    s"GraftAnalyze $root (${cols.mkString(", ")})"
+    s"GraftAnalyze $root (${cols.mkString(", ")})" +
+      (if (bloomCols.isEmpty) "" else s" blooms (${bloomCols.mkString(", ")})")
 }
 
 /** Partition evolution: record a new slicing expression (None = drop

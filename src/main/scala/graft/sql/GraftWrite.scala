@@ -426,9 +426,10 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         GraftSql.biRefreshRoot(root)
         ()
       }) :: Nil
-    case GraftAnalyze(root, cols) =>
+    case GraftAnalyze(root, cols, bloomCols) =>
       GraftRowOpExec(s"GraftAnalyzeExec $root", () => {
-        graft.ingest.Optimize.analyzeStats(spark, root, cols); ()
+        graft.ingest.Optimize.analyzeStats(spark, root, cols,
+          bloomCols = bloomCols); ()
       }) :: Nil
     case GraftSetSlice(root, slice) =>
       GraftRowOpExec(s"GraftSetSliceExec $root", () => {

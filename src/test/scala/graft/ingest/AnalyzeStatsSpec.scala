@@ -170,6 +170,56 @@ class AnalyzeStatsSpec extends SparkSpec {
     assert(ManifestCommit.tableRowCount(spark, root) === Some(100L))
   }
 
+  test("ANALYZE ... WITH BLOOMS retrofits the point-lookup index onto " +
+      "a CONVERTED table: a key probe plans 1 dir where min/max cannot " +
+      "prune; re-runs build nothing") {
+    // two hive partitions with fully OVERLAPPING id ranges (evens vs
+    // odds) — range stats are useless for `id = x`, only a bloom can
+    // say "definitely not here"
+    val root = Files.createTempDirectory("graft_analyze_").toString + "/t"
+    spark.range(0, 400).toDF("id")
+      .withColumn("par", (col("id") % 2).cast("int"))
+      .withColumn("v", col("id") * 3)
+      .write.partitionBy("par").parquet(root)
+    val m0 = ManifestCommit.convertToGraft(spark, root, Seq("id"))
+    assert(m0.dirs.size === 2)
+    // un-indexed: the probe keeps both dirs
+    assert(ManifestCommit.resolveBloom(spark, root, "id", 42L)._1.size === 2)
+
+    val name = uniq("anblm")
+    graft.sql.GraftSql.register(name, root)
+    try {
+      spark.sql(s"ANALYZE TABLE graft.`$name` COMPUTE STATISTICS " +
+        "FOR COLUMNS id WITH BLOOMS (id)")
+      // the probe now plans exactly the owning dir — id=42 is even
+      val (kept, total) = ManifestCommit.resolveBloom(spark, root, "id", 42L)
+      assert(total === 2 && kept.size === 1, s"kept ${kept.size} of $total")
+      val (df, keptN, _) = ManifestCommit.readBloom(spark, root, "id", 42L)
+      assert(keptN === 1)
+      assert(df.filter(col("id") === 42L).count() === 1L)
+      // a key that exists nowhere resolves to zero dirs
+      assert(ManifestCommit.resolveBloom(spark, root, "id", 10000L)._1.isEmpty)
+      // idempotent: the side files are the completeness marker — a
+      // re-run rewrites nothing (same modification times)
+      def bloomStates(): Map[String, Long] = {
+        val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        ManifestCommit.readManifest(spark, root).get.dirs.map { d =>
+          val p = new org.apache.hadoop.fs.Path(
+            ManifestCommit.dirAbs(root, d), "_bloom_id")
+          d -> f.getFileStatus(p).getModificationTime
+        }.toMap
+      }
+      val before = bloomStates()
+      val gen = ManifestCommit.readManifest(spark, root).get.gen
+      spark.sql(s"ANALYZE TABLE graft.`$name` COMPUTE STATISTICS " +
+        "WITH BLOOMS (id)")
+      assert(bloomStates() === before, "re-run must not rebuild blooms")
+      assert(ManifestCommit.readManifest(spark, root).get.gen === gen,
+        "blooms-only re-run must not commit a generation")
+    } finally graft.sql.GraftSql.unregister(name)
+  }
+
   test("analyze under a COLUMN MAPPING: logical names resolve, stat " +
       "keys stay logical, skipping works on the renamed column") {
     val root = mkStatless()

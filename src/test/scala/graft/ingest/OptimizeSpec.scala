@@ -622,6 +622,55 @@ class OptimizeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === want)
   }
 
+  test("compactSmall with a Replacing collapse: the generic per-slice " +
+      "fold subsumes the month collapse — latest per key within each " +
+      "slice, a key living in two slices keeps both rows") {
+    val root = Files.createTempDirectory("optimize_spec_").toString + "/cl"
+    val stC = StructType(Seq(
+      StructField("id", LongType, false),
+      StructField("ts", TimestampType, false),
+      StructField("v", LongType, false)))
+    def rows(xs: (Long, String, Long)*) = mkDf(stC, xs.map { case (id, t, v) =>
+      Row(id, java.sql.Timestamp.valueOf(t), v) }: _*)
+    // base: ids 1..4 in Jan, id 10 in BOTH Jan and Feb (per-partition
+    // Replacing: the collapse key is (id, month), so both rows live)
+    val base = rows((1L, "2024-01-05 00:00:00", 0L),
+      (2L, "2024-01-06 00:00:00", 0L), (3L, "2024-01-07 00:00:00", 0L),
+      (4L, "2024-01-08 00:00:00", 0L), (10L, "2024-01-09 00:00:00", 0L),
+      (10L, "2024-02-09 00:00:00", 0L))
+    val dirs = ManifestCommit.writeSliced(spark, root, base,
+      expr("date_format(ts, 'yyyyMM')"),
+      Seq("ts", "id", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(stC.fields.map(_.copy(nullable = true)))),
+      slice = Some("date_format(ts, 'yyyyMM')"))
+    // two delta batches re-version ids 1..3 (higher v wins)
+    Seq(1L, 2L).foreach { ver =>
+      val d = ManifestCommit.newDataDir(root)
+      rows((1L, "2024-01-05 00:00:00", ver),
+        (2L, "2024-01-06 00:00:00", ver),
+        (3L, "2024-01-07 00:00:00", ver)).write.parquet(d)
+      ManifestCommit.commitAppend(spark, root, d,
+        stats = ManifestCommit.dirStats(spark, d,
+          Seq("ts", "id", ManifestCommit.RowCountStat)))
+    }
+    Optimize.compactSmall(spark, root, smallBytes = 1L << 30,
+      collapse = Some((Seq("id"), Some("v"))))
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.dirs.size === 2, s"one dir per month: ${m.dirs}")
+    m.dirs.foreach { d =>
+      val ts = m.stats(d).find(_.col == "ts").get
+      assert(ts.min.take(7) === ts.max.take(7), s"$d mixes months: $ts")
+    }
+    val got = ManifestCommit.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toLocalDateTime.getMonthValue,
+        r.getLong(2))).toSet
+    assert(got === Set((1L, 1, 2L), (2L, 1, 2L), (3L, 1, 2L),
+      (4L, 1, 0L), (10L, 1, 0L), (10L, 2, 0L)),
+      s"collapse must keep latest v per (id, month): $got")
+  }
+
   test("rank-bucketed z-keys prune a Zipf-skewed dimension where linear " +
       "min/max scaling cannot: a head-value probe scans a fraction of " +
       "the rows, contents exact either way") {
