@@ -317,6 +317,26 @@ object Bench {
       n -> (if (ok) sec else -math.max(sec, 0.01))
     }
     val rerunJson = jmap(rerunAll.take(4).map { case (n, v) => shortOf(n) -> v }, fmt2)
+    // SLOWEST-query isolated reruns (stderr diag only): the med-outlier
+    // self-adjudication catches queries whose REPS disagree, but a query
+    // consistently slow ACROSS its in-run reps — the streaming shape at
+    // 170 queries: suite-accumulated JVM/state pressure inflates q118
+    // ~2.5× in-run while an isolated run matches last round — never
+    // flags. Rerun the 4 slowest serially after the suite, so the
+    // artifact itself carries the quiet-machine number a reviewer would
+    // otherwise have to re-measure by hand.
+    val slowRerun = results.map { case (n, v) => n -> math.abs(v) }
+      .sortBy(-_._2).take(4).map(_._1)
+      .filterNot(medOutliers.map(_._1).toSet)
+      .map { n =>
+        val t0 = System.nanoTime()
+        val ok = scala.util.Try(SparkEntry.queries(n)(spark, sfDir).count())
+          .isSuccess
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        n -> (if (ok) sec else -math.max(sec, 0.01))
+      }
+    val slowJson = jmap(slowRerun, fmt2)
     // stdout errors: at most 3, 80 chars each (budget); full list → stderr
     val errJson = errors.take(3)
       .map { case (k, v) => "\"" + k + "\":\"" + v.take(80) + "\"" }
@@ -358,7 +378,7 @@ object Bench {
         "__kern_med" -> kernSorted(kernSorted.size / 2),
         "__kern_max" -> kernSorted.last)))
     System.err.println(
-      s"""[bench-diag] {"task_sec":$taskJson,"cold_sec":$coldJson,"med_sec":$medJson,"rerun_sec":$rerunFullJson,"canary_sec":$canaryJson,"errors":$errFullJson,"reps":$reps}""")
+      s"""[bench-diag] {"task_sec":$taskJson,"cold_sec":$coldJson,"med_sec":$medJson,"rerun_sec":$rerunFullJson,"slow_rerun_sec":$slowJson,"canary_sec":$canaryJson,"errors":$errFullJson,"reps":$reps}""")
     // sf is the directory BASENAME (e.g. "sf0.1") — the full path spends
     // ~20 chars of the tail budget on redundancy
     val sfName = new java.io.File(sfDir).getName

@@ -1688,6 +1688,10 @@ object SqlGates {
       schema = Some(org.apache.spark.sql.types.StructType(
         skewed.schema.fields.map(_.copy(nullable = true)))))
     val totalRows = ManifestCommit.tableRowCount(s, root).get
+    // 32 target dirs: the head occupies only ~9 DISTINCT rank slots
+    // (boundaries dedupe to the 9 head values), so 16 dirs leave the
+    // y-dimension owning enough interleave bits that boundary dirs span
+    // the whole head — the probe needs the one-level-deeper split
     graft.ingest.Optimize.zorderCompactN(s, root, Seq("k", "y"),
       targetDirs = 32, rankBuckets = 256)
     val (probe, _, _) = graft.ingest.Optimize.readPrunedMulti(s, root,

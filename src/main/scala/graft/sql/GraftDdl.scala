@@ -48,9 +48,12 @@ case class GraftSqlParser(spark: org.apache.spark.sql.SparkSession,
 
 object GraftDdl {
 
-  // OPTIMIZE graft.<name-or-`quoted`> [WHERE <pred>] [ZORDER BY (c1, c2[, c3])]
+  // OPTIMIZE graft.<name-or-`quoted`> [WHERE <pred>]
+  //   [ZORDER BY (c1, c2[, c3]) [RANKED]] — RANKED swaps linear min/max
+  //   z-scaling for per-dimension rank bucketing (skew-robust)
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+graft\.(`[^`]+`|[\w.]+)\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(\s*([\w`,\s.]+?)\s*\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+graft\.(`[^`]+`|[\w.]+)\s*(?:WHERE\s+(.+?)\s*)??""" +
+      """(?:ZORDER\s+BY\s*\(\s*([\w`,\s.]+?)\s*\)\s*(RANKED)?)?\s*;?\s*""").r
   // VACUUM graft.<name> [RETAIN <n> GENERATIONS | RETAIN <n> HOURS] [DRY RUN]
   private val VacuumRe =
     """(?is)\s*VACUUM\s+graft\.(`[^`]+`|[\w.]+)\s*(?:RETAIN\s+(\d+)\s+(GENERATIONS|HOURS))?\s*(DRY\s+RUN)?\s*;?\s*""".r
@@ -193,14 +196,15 @@ object GraftDdl {
       require(gen.isEmpty,
         "graft DROP PARTITIONING: cannot alter a @v time-travel reference")
       Some(GraftSetSlice(root, None))
-    case OptimizeRe(name, where, zorder) =>
+    case OptimizeRe(name, where, zorder, ranked) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(
           s"graft OPTIMIZE: ${unquote(name)} is not a registered graft table"))
       require(gen.isEmpty, "graft OPTIMIZE: cannot optimize a @v time-travel reference")
       val zcols = Option(zorder).map(_.split(",").toSeq
         .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
-      Some(GraftOptimize(root, zcols, Option(where).map(_.trim)))
+      Some(GraftOptimize(root, zcols, Option(where).map(_.trim),
+        ranked = ranked != null))
     case VacuumRe(name, n, unit, dry) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(

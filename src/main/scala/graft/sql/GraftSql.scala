@@ -1118,11 +1118,12 @@ case class GraftAlterColumnType(root: String,
   * current dir-count granularity and the table's established stat
   * columns. */
 case class GraftOptimize(root: String, zorderCols: Seq[String],
-    where: Option[String] = None)
+    where: Option[String] = None, ranked: Boolean = false)
   extends LeafCommand {
   override def simpleString(maxFields: Int): String =
     s"GraftOptimize $root" +
       (if (zorderCols.nonEmpty) s" zorder=${zorderCols.mkString(",")}" else "") +
+      (if (ranked) " ranked" else "") +
       where.map(w => s" where=$w").getOrElse("")
 }
 

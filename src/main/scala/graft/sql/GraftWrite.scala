@@ -359,9 +359,12 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         GraftSql.register(to, root)
         GraftSql.unregister(from)
       }) :: Nil
-    case GraftOptimize(root, zcols, where) =>
+    case GraftOptimize(root, zcols, where, ranked) =>
       GraftRowOpExec(s"GraftOptimizeExec $root", () => {
         import graft.ingest.Optimize
+        // RANKED: per-dimension rank bucketing (skew-robust z-keys);
+        // B=256 matches the kernel-measured default
+        val rb = if (ranked) 256 else 0
         if (where.isDefined && zcols.nonEmpty) {
           // predicate-scoped Z-ORDER (Delta's OPTIMIZE WHERE ... ZORDER
           // BY): re-cluster only the stats-overlapping dirs; cold dirs
@@ -377,7 +380,7 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
               !ManifestCommit.PseudoStats(c))
           Optimize.zorderWhere(spark, root,
             org.apache.spark.sql.functions.expr(where.get), zcols,
-            extraStatCols = extra)
+            extraStatCols = extra, rankBuckets = rb)
           ()
         } else if (where.isDefined) {
           // predicate-scoped maintenance: fold only the small/dv'd dirs
@@ -404,7 +407,8 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
             .filter(c => c == ManifestCommit.RowCountStat ||
               !ManifestCommit.PseudoStats(c))
           Optimize.zorderCompactN(spark, root, zcols,
-            targetDirs = math.max(1, m.dirs.size), extraStatCols = extra)
+            targetDirs = math.max(1, m.dirs.size), extraStatCols = extra,
+            rankBuckets = rb)
           ()
         }
       }) :: Nil

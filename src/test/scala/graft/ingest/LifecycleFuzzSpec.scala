@@ -481,9 +481,10 @@ class LifecycleFuzzSpec extends SparkSpec {
     graft.sql.GraftSql.unregister(name)
   }
 
-  test("partition-evolution fuzz (seed 6161): re-slicing rides the full " +
-      "SQL op mix — RESTORE reverts the slice, the clone inherits it, " +
-      "OPTIMIZE migrates stale layouts, reads stay exact") {
+  for (evoSeed <- Seq(6161, 7272))
+  test(s"partition-evolution fuzz (seed $evoSeed): re-slicing rides the " +
+      "full SQL op mix — RESTORE reverts the slice, the clone inherits " +
+      "it, OPTIMIZE migrates stale layouts, reads stay exact") {
     // Every individual composition (evolution × OPTIMIZE migration,
     // evolution × streaming sink, guard refusals) is spec'd in
     // PartitionEvolutionSpec; this is the INTERLEAVING net — ≥3
@@ -494,7 +495,7 @@ class LifecycleFuzzSpec extends SparkSpec {
     var frozen = List.empty[(String, Map[Long, (String, Int, Double)])]
     val name = s"fuzz_evo_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
     graft.sql.GraftSql.register(name, root)
-    val rnd = new scala.util.Random(6161)
+    val rnd = new scala.util.Random(evoSeed)
     val stE = StructType(Seq(
       StructField("id", LongType, false),
       StructField("ts", TimestampType, false),

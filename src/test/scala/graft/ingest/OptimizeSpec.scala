@@ -711,6 +711,17 @@ class OptimizeSpec extends SparkSpec {
     assert(rowsRank * 2 < rowsLin,
       s"rank bucketing must cut the rows a Zipf-head probe scans: " +
         s"rank=$rowsRank linear=$rowsLin of 4000")
+    // the SQL surface: `OPTIMIZE … ZORDER BY (…) RANKED` re-lays the
+    // linear root with rank keys — the same probe drops to rank level
+    val name = s"opt_rank_${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
+    graft.sql.GraftSql.register(name, lin)
+    try {
+      spark.sql(s"OPTIMIZE graft.`$name` ZORDER BY (k, y) RANKED")
+      val rowsSql = scannedFor(lin)
+      assert(rowsSql * 2 < rowsLin,
+        s"SQL RANKED must match the programmatic rank path: " +
+          s"sql=$rowsSql linear=$rowsLin")
+    } finally graft.sql.GraftSql.unregister(name)
     // both layouts hold identical rows
     def rows(root: String) = ManifestCommit.read(spark, root)
       .collect().map(_.toString).sorted.toSeq
