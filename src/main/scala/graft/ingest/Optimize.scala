@@ -125,16 +125,26 @@ object Optimize {
         .percentile_approx(orderable(c),
           lit(ps.toArray), lit(10000)))
       val qRow = live.agg(qAggs.head, qAggs.tail: _*).collect()(0)
+      val slotWidth = (1L << math.min(63 / cols.size, 20)).toDouble
       cols.zipWithIndex.map { case (c, i) =>
         val bs =
           if (qRow.isNullAt(i)) Nil
           else qRow.getSeq[Any](i).collect { case d: Double => d }
             .distinct.sorted
+        // SPREAD the ranks across the full z-slot width: boundaries
+        // DEDUPE, so a dimension whose mass sits on few distinct values
+        // (a 9-value Zipf head collapses 255 quantiles to ~9+tail
+        // boundaries) would otherwise occupy only the low slot bits and
+        // lose every high interleave bit to its co-dimensions — rank
+        // FRACTION, not raw rank, decides bit significance, keeping the
+        // dimensions' weights comparable whatever their cardinality
+        val scale = math.max(1L, (slotWidth / (bs.size + 1)).toLong)
         if (bs.isEmpty) lit(0L).cast("long")
         else org.apache.spark.sql.functions.aggregate(
           lit(bs.toArray),
           lit(0L),
           (acc, b) => acc + when(orderable(c) >= b, lit(1L)).otherwise(lit(0L)))
+          .*(lit(scale))
       }
     } else {
       val mmAggs = cols.flatMap(c => Seq(
