@@ -98,8 +98,124 @@ object StatsPredicate {
             bounds += ((cc, Some(ordered.head), Some(ordered.last)))
           }
         }
+      case o: Or => bounds ++= orBounds(o)
       case _ => ()
     }
     Extracted(bounds.toSeq, points.toSeq)
+  }
+
+  /** Disjunction ENVELOPE bounds (round 18 — `month = 1 OR month = 3`
+    * used to contribute nothing and scan every dir): for `a OR b [OR …]`,
+    * a column constrained in EVERY branch admits the union envelope of
+    * the branches' intervals — sound, because any row satisfying the OR
+    * satisfies some branch, whose interval lies inside the envelope.
+    * Branches may themselves be conjunctions (intersected per column);
+    * a branch leaf that doesn't fit the column-vs-literal grammar simply
+    * doesn't constrain its branch (supersets stay sound), and a column
+    * missing from ANY branch is dropped — `x = 1 OR x IS NULL` yields no
+    * x bound, exactly right since min/max never describe nulls.
+    *
+    * ORDERING MUST MATCH [[ColStats.overlaps]]: numeric literals compare
+    * as BigDecimal, everything else LEXICALLY on the canonical rendering
+    * — computing a string column's envelope numerically would build an
+    * interval that excludes a branch value under the stats ordering and
+    * prune a matching dir. A column whose leaves disagree on numeric-ness
+    * is dropped. Equality points never survive a disjunction (a bloom /
+    * bucket probe needs ONE value). */
+  private def orBounds(o: Or): Seq[(String, Option[String], Option[String])] = {
+    final case class Iv(lo: Option[String], hi: Option[String], num: Boolean)
+    def le(num: Boolean)(a: String, b: String): Boolean =
+      if (num) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) <= 0
+      else a <= b
+    def rv(l: Literal): Option[(String, Boolean)] =
+      render(l).map(v => (v, l.dataType.isInstanceOf[NumericType]))
+    def leafIv(e: Expression): Option[(String, Iv)] = e match {
+      case EqualTo(a, l: Literal) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(Some(v), Some(v), n))
+      case EqualTo(l: Literal, a) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(Some(v), Some(v), n))
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(Some(v), Some(v), n))
+      case EqualNullSafe(l: Literal, a) if l.value != null =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(Some(v), Some(v), n))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(Some(v), None, n))
+      case GreaterThan(a, l: Literal) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(Some(v), None, n))
+      case LessThanOrEqual(a, l: Literal) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(None, Some(v), n))
+      case LessThan(a, l: Literal) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(None, Some(v), n))
+      case GreaterThanOrEqual(l: Literal, a) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(None, Some(v), n))
+      case GreaterThan(l: Literal, a) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(None, Some(v), n))
+      case LessThanOrEqual(l: Literal, a) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(Some(v), None, n))
+      case LessThan(l: Literal, a) =>
+        for { c <- colOf(a); (v, n) <- rv(l) } yield (c, Iv(Some(v), None, n))
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        colOf(a).flatMap { c =>
+          val rvs = vs.map(v => rv(v.asInstanceOf[Literal]))
+          if (rvs.exists(_.isEmpty)) None
+          else {
+            val vals = rvs.flatten
+            val num = vals.head._2
+            if (!vals.forall(_._2 == num)) None
+            else {
+              val sorted =
+                if (num) vals.map(_._1).sortBy(new java.math.BigDecimal(_))
+                else vals.map(_._1).sorted
+              Some((c, Iv(Some(sorted.head), Some(sorted.last), num)))
+            }
+          }
+        }
+      case _ => None
+    }
+    def andSplit(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => andSplit(a) ++ andSplit(b)
+      case x => Seq(x)
+    }
+    def orSplit(e: Expression): Seq[Expression] = e match {
+      case Or(a, b) => orSplit(a) ++ orSplit(b)
+      case x => Seq(x)
+    }
+    // per branch: intersect the convertible leaves' intervals per column
+    val branchMaps: Seq[Map[String, Iv]] = orSplit(o).map { br =>
+      andSplit(br).flatMap(leafIv)
+        .groupBy(_._1).flatMap { case (c, ivs0) =>
+          val ivs = ivs0.map(_._2)
+          val num = ivs.head.num
+          if (!ivs.forall(_.num == num)) None
+          else {
+            val lo = ivs.flatMap(_.lo) match {
+              case Nil => None
+              case ls => Some(ls.reduce((a, b) => if (le(num)(a, b)) b else a))
+            }
+            val hi = ivs.flatMap(_.hi) match {
+              case Nil => None
+              case hs => Some(hs.reduce((a, b) => if (le(num)(a, b)) a else b))
+            }
+            Some(c -> Iv(lo, hi, num))
+          }
+        }
+    }
+    if (branchMaps.exists(_.isEmpty)) return Nil // an unconstrained branch
+    val common = branchMaps.map(_.keySet).reduce(_ intersect _)
+    common.toSeq.flatMap { c =>
+      val ivs = branchMaps.map(_(c))
+      val num = ivs.head.num
+      if (!ivs.forall(_.num == num)) None
+      else {
+        // union across branches: unbounded on any side wins
+        val lo =
+          if (ivs.exists(_.lo.isEmpty)) None
+          else Some(ivs.flatMap(_.lo).reduce((a, b) => if (le(num)(a, b)) a else b))
+        val hi =
+          if (ivs.exists(_.hi.isEmpty)) None
+          else Some(ivs.flatMap(_.hi).reduce((a, b) => if (le(num)(a, b)) b else a))
+        if (lo.isEmpty && hi.isEmpty) None else Some((c, lo, hi))
+      }
+    }
   }
 }

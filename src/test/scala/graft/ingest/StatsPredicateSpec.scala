@@ -1,0 +1,82 @@
+package graft.ingest
+
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Stats-language extraction unit tests — pure expression-tree in,
+  * bounds out (no Spark session). The round-18 addition is the
+  * DISJUNCTION envelope: `a OR b` admits per-column union bounds when
+  * every branch constrains the column, under the exact ColStats
+  * ordering (numeric as BigDecimal, everything else lexical on the
+  * canonical rendering). */
+class StatsPredicateSpec extends AnyFunSuite {
+
+  private val x = UnresolvedAttribute("x")
+  private val y = UnresolvedAttribute("y")
+
+  test("OR of equalities on one numeric column -> union envelope, no points") {
+    val e = StatsPredicate.extract(
+      Or(EqualTo(x, Literal(1L)), EqualTo(x, Literal(3L))))
+    assert(e.bounds === Seq(("x", Some("1"), Some("3"))))
+    assert(e.points.isEmpty, "a bloom probe needs ONE value")
+  }
+
+  test("OR of range conjunctions -> envelope spans both rectangles") {
+    val b1 = And(GreaterThanOrEqual(x, Literal(1L)), LessThanOrEqual(x, Literal(3L)))
+    val b2 = And(GreaterThanOrEqual(x, Literal(7L)), LessThanOrEqual(x, Literal(9L)))
+    val e = StatsPredicate.extract(Or(b1, b2))
+    assert(e.bounds === Seq(("x", Some("1"), Some("9"))))
+  }
+
+  test("string column uses the LEXICAL ordering ColStats compares with") {
+    // numeric ordering would build ['9','10'], which under the stats'
+    // lexical compare EXCLUDES '10' — the wrong-pruning trap
+    val e = StatsPredicate.extract(
+      Or(EqualTo(x, Literal("9")), EqualTo(x, Literal("10"))))
+    assert(e.bounds === Seq(("x", Some("10"), Some("9"))))
+    val (_, lo, hi) = e.bounds.head
+    // both branch values overlap their own envelope under lexical compare
+    assert(ManifestCommit.ColStats("x", "str", "9", "9").overlaps(lo, hi))
+    assert(ManifestCommit.ColStats("x", "str", "10", "10").overlaps(lo, hi))
+  }
+
+  test("a branch that cannot constrain the column drops it") {
+    // x = 1 OR x IS NULL: min/max never describe nulls — no bound
+    val e = StatsPredicate.extract(
+      Or(EqualTo(x, Literal(1L)), IsNull(x)))
+    assert(e.bounds.isEmpty)
+    // x = 1 OR y = 2: neither column constrained in BOTH branches
+    val e2 = StatsPredicate.extract(
+      Or(EqualTo(x, Literal(1L)), EqualTo(y, Literal(2L))))
+    assert(e2.bounds.isEmpty)
+  }
+
+  test("numeric/non-numeric disagreement on one column drops it") {
+    val e = StatsPredicate.extract(
+      Or(EqualTo(x, Literal(1L)), EqualTo(x, Literal("a"))))
+    assert(e.bounds.isEmpty)
+  }
+
+  test("IN inside a branch; unbounded side wins the union") {
+    val e = StatsPredicate.extract(Or(
+      In(x, Seq(Literal(1L), Literal(2L))), EqualTo(x, Literal(12L))))
+    assert(e.bounds === Seq(("x", Some("1"), Some("12"))))
+    val e2 = StatsPredicate.extract(Or(
+      LessThan(x, Literal(5L)), GreaterThan(x, Literal(20L))))
+    assert(e2.bounds.isEmpty, "(-inf, +inf) envelope proves nothing")
+  }
+
+  test("OR rides alongside ordinary conjuncts; disjoint() stays sound") {
+    val e = StatsPredicate.extract(And(
+      EqualTo(y, Literal(5L)),
+      Or(EqualTo(x, Literal(1L)), EqualTo(x, Literal(3L)))))
+    assert(e.bounds.toSet === Set(
+      ("y", Some("5"), Some("5")), ("x", Some("1"), Some("3"))))
+    assert(e.points === Seq(("y", 5L)))
+    // a dir whose x stats sit wholly outside the envelope is provably
+    // free of matching rows
+    assert(e.disjoint(Seq(ManifestCommit.ColStats("x", "num", "7", "9"))))
+    assert(!e.disjoint(Seq(ManifestCommit.ColStats("x", "num", "2", "8"))))
+  }
+}
