@@ -2887,10 +2887,19 @@ object ManifestCommit {
     * [[resolvePruned]] (skipping is an optimization, never a filter);
     * callers read the kept set DV-aware via [[readDirsOf]]. */
   def prunedDirsOf(m: Manifest,
-      bounds: Seq[(String, Option[String], Option[String])]): Seq[String] =
-    m.dirs.filter(d => bounds.forall { case (c, lo, hi) =>
-      m.stats.getOrElse(d, Nil).find(_.col == c).forall(_.overlaps(lo, hi))
-    })
+      bounds: Seq[(String, Option[String], Option[String])],
+      orGroups: Seq[Seq[Seq[(String, Option[String], Option[String])]]] = Nil)
+      : Seq[String] =
+    m.dirs.filter { d =>
+      val st = m.stats.getOrElse(d, Nil)
+      def ov(b: (String, Option[String], Option[String])): Boolean =
+        st.find(_.col == b._1).forall(_.overlaps(b._2, b._3))
+      // conjunctive bounds AND, per OR group, at least one branch whose
+      // bounds all overlap (StatsPredicate.Extracted.orGroups — the
+      // disjunctive-skipping shape `x < 5 OR x > 20` that no single
+      // envelope can serve)
+      bounds.forall(ov) && orGroups.forall(g => g.exists(_.forall(ov)))
+    }
 
   /** Pinned-manifest bloom point-lookup: [[resolveBloom]]'s kept NAMES
     * for an already-resolved manifest, without the raw-path contract

@@ -641,17 +641,18 @@ object MergeInto {
       m.tableSchema.getOrElse(
         ManifestCommit.readDirsOf(spark, root, m, m.dirs).schema)
         .fields.map(_.copy(nullable = true)))
+    val names = tSchema.fieldNames.toSet
     val ex = StatsPredicate.extract(
       org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
-    val names = tSchema.fieldNames.toSet
+      .restrict(names)
     // bucket slice components prune point predicates exactly (same
     // derivation as the SQL read path — DML rewrites prune identically)
     val bucketBounds = ManifestCommit.bucketBoundsOf(
-      m.slice, ex.points.filter(p => names(p._1)),
+      m.slice, ex.points,
       c => tSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
     var cand = ManifestCommit.prunedDirsOf(m,
-      ex.bounds.filter(b => names(b._1)) ++ bucketBounds)
-    ex.points.filter(p => names(p._1)).foreach { case (c, v) =>
+      ex.bounds ++ bucketBounds, ex.orGroups)
+    ex.points.foreach { case (c, v) =>
       if (cand.nonEmpty && cand.size <= 1024)
         cand = cand.filter(
           ManifestCommit.bloomDirsOf(spark, root, m, c, v).toSet)

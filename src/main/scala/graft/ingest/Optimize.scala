@@ -415,16 +415,19 @@ object Optimize {
     // conservative: unparseable conjuncts widen, never narrow.
     val ex = {
       val e0 = StatsPredicate.extract(normalized)
-      if (e0.bounds.nonEmpty || e0.points.nonEmpty) e0
-      else StatsPredicate.extract(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
+      val e1 =
+        if (e0.bounds.nonEmpty || e0.points.nonEmpty || e0.orGroups.nonEmpty)
+          e0
+        else StatsPredicate.extract(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
+      if (names.isEmpty) e1 else e1.restrict(names)
     }
     ManifestCommit.prunedDirsOf(m,
-      ex.bounds.filter(b => names.isEmpty || names(b._1)) ++
-        ManifestCommit.bucketBoundsOf(m.slice,
-          ex.points.filter(p => names.isEmpty || names(p._1)),
+      ex.bounds ++
+        ManifestCommit.bucketBoundsOf(m.slice, ex.points,
           c => m.tableSchema.flatMap(_.fields
-            .find(_.name.equalsIgnoreCase(c)).map(_.dataType)))).toSet
+            .find(_.name.equalsIgnoreCase(c)).map(_.dataType))),
+      ex.orGroups).toSet
   }
 
   /** PREDICATE-SCOPED Z-ORDER (the Delta `OPTIMIZE t WHERE p ZORDER BY

@@ -19,16 +19,41 @@ import graft.ingest.ManifestCommit.ColStats
   * extraction can only skip, never filter. */
 object StatsPredicate {
 
+  type Bound = (String, Option[String], Option[String])
+
+  /** `orGroups` (round 18 — TRUE disjunctive skipping, beyond the
+    * envelope): one entry per OR conjunct, holding the branches' own
+    * conjunctive bound sets. A dir passes a group iff SOME branch's
+    * bounds ALL overlap its stats — `x < 5 OR x > 20`, whose envelope
+    * is (-∞, +∞) and proves nothing, keeps exactly the dirs touching
+    * either range. Groups are only recorded when EVERY branch yielded
+    * at least one bound (a bound-less branch admits everything, making
+    * the group vacuous). Sound: each branch's recorded bounds are
+    * implied by that branch, so a row satisfying the OR satisfies some
+    * branch and lands in a dir that branch admits. */
   final case class Extracted(
-      bounds: Seq[(String, Option[String], Option[String])],
-      points: Seq[(String, Any)]) {
+      bounds: Seq[Bound],
+      points: Seq[(String, Any)],
+      orGroups: Seq[Seq[Seq[Bound]]] = Nil) {
     /** A dir with these stats provably holds NO row satisfying the
       * predicate — the disjointness proof rebasing commits need for
-      * concurrently-added dirs. Empty bounds prove nothing. */
-    def disjoint(stats: Seq[ColStats]): Boolean =
-      bounds.exists { case (c, lo, hi) =>
-        stats.find(_.col == c).exists(cs => !cs.overlaps(lo, hi))
-      }
+      * concurrently-added dirs. Empty bounds prove nothing. An OR group
+      * disproves the dir when EVERY branch has a non-overlapping bound. */
+    def disjoint(stats: Seq[ColStats]): Boolean = {
+      def off(b: Bound): Boolean =
+        stats.find(_.col == b._1).exists(cs => !cs.overlaps(b._2, b._3))
+      bounds.exists(off) ||
+        orGroups.exists(g => g.forall(br => br.exists(off)))
+    }
+    /** Drop anything referencing a column outside `names` (unknown to
+      * the caller's schema). A branch losing SOME bounds just weakens
+      * (sound); a branch losing ALL bounds admits everything, so its
+      * whole group drops. */
+    def restrict(names: Set[String]): Extracted =
+      Extracted(bounds.filter(b => names(b._1)),
+        points.filter(p => names(p._1)),
+        orGroups.map(_.map(_.filter(b => names(b._1))))
+          .filter(_.forall(_.nonEmpty)))
   }
 
   /** Column name of a plain attribute reference (resolved or not);
@@ -51,6 +76,7 @@ object StatsPredicate {
     val bounds = scala.collection.mutable.ArrayBuffer
       .empty[(String, Option[String], Option[String])]
     val points = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
+    val orGroups = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Bound]]]
 
     def lo(c: Option[String], l: Literal): Unit =
       c.foreach(cc => render(l).foreach(v => bounds += ((cc, Some(v), None))))
@@ -98,10 +124,13 @@ object StatsPredicate {
             bounds += ((cc, Some(ordered.head), Some(ordered.last)))
           }
         }
-      case o: Or => bounds ++= orBounds(o)
+      case o: Or =>
+        val (env, branches) = orExtract(o)
+        bounds ++= env
+        if (branches.nonEmpty) orGroups += branches
       case _ => ()
     }
-    Extracted(bounds.toSeq, points.toSeq)
+    Extracted(bounds.toSeq, points.toSeq, orGroups.toSeq)
   }
 
   /** Disjunction ENVELOPE bounds (round 18 — `month = 1 OR month = 3`
@@ -122,7 +151,7 @@ object StatsPredicate {
     * prune a matching dir. A column whose leaves disagree on numeric-ness
     * is dropped. Equality points never survive a disjunction (a bloom /
     * bucket probe needs ONE value). */
-  private def orBounds(o: Or): Seq[(String, Option[String], Option[String])] = {
+  private def orExtract(o: Or): (Seq[Bound], Seq[Seq[Bound]]) = {
     final case class Iv(lo: Option[String], hi: Option[String], num: Boolean)
     def le(num: Boolean)(a: String, b: String): Boolean =
       if (num) new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) <= 0
@@ -200,9 +229,14 @@ object StatsPredicate {
           }
         }
     }
-    if (branchMaps.exists(_.isEmpty)) return Nil // an unconstrained branch
+    if (branchMaps.exists(_.isEmpty)) return (Nil, Nil) // unconstrained branch
+    // branch bound sets for TRUE disjunctive resolution (dir kept iff
+    // some branch's bounds all overlap) — no cross-branch ordering
+    // needed, each bound compares under the dir's own stats kind
+    val branches: Seq[Seq[Bound]] =
+      branchMaps.map(_.toSeq.map { case (c, iv) => (c, iv.lo, iv.hi) })
     val common = branchMaps.map(_.keySet).reduce(_ intersect _)
-    common.toSeq.flatMap { c =>
+    val envelope = common.toSeq.flatMap { c =>
       val ivs = branchMaps.map(_(c))
       val num = ivs.head.num
       if (!ivs.forall(_.num == num)) None
@@ -217,5 +251,6 @@ object StatsPredicate {
         if (lo.isEmpty && hi.isEmpty) None else Some((c, lo, hi))
       }
     }
+    (envelope, branches)
   }
 }

@@ -1287,17 +1287,17 @@ case class GraftDataSkipping(spark: SparkSession)
     // (ingest.StatsPredicate) so SQL reads and DML rewrites prune
     // identically; restricted to the leaf's own column names
     val names = g.output.map(_.name).toSet
-    val ex = graft.ingest.StatsPredicate.extract(cond)
+    val ex = graft.ingest.StatsPredicate.extract(cond).restrict(names)
     // bucket slice components give point predicates an EXACT per-dir
     // bound: `domain = v` pins `pmod(hash(domain), n)` to one value,
     // recorded per dir as a component stat (Iceberg partition-tuple
     // pruning through the ordinary stats channel)
     val bucketBounds = ManifestCommit.bucketBoundsOf(
-      g.manifest.slice, ex.points.filter(p => names(p._1)),
+      g.manifest.slice, ex.points,
       c => g.output.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
     var kept = ManifestCommit.prunedDirsOf(g.manifest,
-      ex.bounds.filter(b => names(b._1)) ++ bucketBounds)
-    ex.points.filter(p => names(p._1)).foreach { case (c, v) =>
+      ex.bounds ++ bucketBounds, ex.orGroups)
+    ex.points.foreach { case (c, v) =>
       if (kept.nonEmpty && kept.size <= BloomProbeMaxDirs) {
         val hit = ManifestCommit.bloomDirsOf(spark, g.root, g.manifest, c, v).toSet
         kept = kept.filter(hit)

@@ -415,6 +415,32 @@ class OptimizeSpec extends SparkSpec {
     val out = Set(before.dirs(2), before.dirs(3))
     assert(out.subsetOf(after.dirs.toSet), "out-of-envelope dirs touched")
     assert(contents(ManifestCommit.read(spark, root)) === want)
+    // RANGE-SPLIT OR — the shape no envelope can serve: (x <= 5) OR
+    // (x >= 26) scopes the FIRST and LAST dirs only; the middle dirs in
+    // the gap are never touched (per-branch disjunctive resolution)
+    val root2 = Files.createTempDirectory("optimize_spec_").toString + "/or2"
+    val dirs2 = (0 until 4).map { i =>
+      val d = ManifestCommit.newDataDir(root2)
+      grid().filter(col("x") >= i * 8 && col("x") < (i + 1) * 8)
+        .write.parquet(d)
+      d -> ManifestCommit.dirStats(spark, d, Seq("x", "y"))
+    }
+    ManifestCommit.commitReplace(spark, root2, dirs2.map(_._1),
+      pruneDisplaced = false, stats = dirs2.toMap,
+      schema = Some(StructType(st.fields.map(_.copy(nullable = true)))))
+    val before2 = ManifestCommit.readManifest(spark, root2).get
+    val want2 = contents(ManifestCommit.read(spark, root2))
+    val scope2 = Optimize.whereScope(spark, before2,
+      col("x") <= 5 || col("x") >= 26)
+    assert(scope2 === Set(before2.dirs.head, before2.dirs.last),
+      s"range-split OR must scope the two edge dirs only: $scope2")
+    Optimize.compactWhere(spark, root2,
+      col("x") <= 5 || col("x") >= 26, smallBytes = 1L << 30)
+    val after2 = ManifestCommit.readManifest(spark, root2).get
+    assert(after2.dirs.size === 3, s"edge dirs fold to one: ${after2.dirs}")
+    assert(Set(before2.dirs(1), before2.dirs(2))
+      .subsetOf(after2.dirs.toSet), "gap dirs must stay untouched")
+    assert(contents(ManifestCommit.read(spark, root2)) === want2)
   }
 
   test("compactWhere under an active COLUMN MAPPING: the RENAMED " +

@@ -67,6 +67,47 @@ class StatsPredicateSpec extends AnyFunSuite {
     assert(e2.bounds.isEmpty, "(-inf, +inf) envelope proves nothing")
   }
 
+  test("range-split OR: the envelope proves nothing but the OR GROUP " +
+      "resolves per branch — x < 5 OR x > 20") {
+    val e = StatsPredicate.extract(Or(
+      LessThan(x, Literal(5L)), GreaterThan(x, Literal(20L))))
+    assert(e.orGroups.size === 1)
+    assert(e.orGroups.head.toSet === Set(
+      Seq(("x", None, Some("5"))), Seq(("x", Some("20"), None))))
+    // a dir wholly inside the GAP is disproved by every branch
+    assert(e.disjoint(Seq(ManifestCommit.ColStats("x", "num", "8", "15"))))
+    assert(!e.disjoint(Seq(ManifestCommit.ColStats("x", "num", "3", "4"))))
+    assert(!e.disjoint(Seq(ManifestCommit.ColStats("x", "num", "25", "30"))))
+    // cross-column OR also records a group (each branch constrains ITS
+    // column): dir disproved only when both branches are
+    val e2 = StatsPredicate.extract(Or(
+      EqualTo(x, Literal(1L)), EqualTo(y, Literal(2L))))
+    assert(e2.bounds.isEmpty && e2.orGroups.size === 1)
+    assert(e2.disjoint(Seq(
+      ManifestCommit.ColStats("x", "num", "5", "9"),
+      ManifestCommit.ColStats("y", "num", "5", "9"))))
+    assert(!e2.disjoint(Seq(
+      ManifestCommit.ColStats("x", "num", "5", "9"),
+      ManifestCommit.ColStats("y", "num", "1", "3"))))
+  }
+
+  test("restrict drops a group whose branch loses every bound") {
+    val z = UnresolvedAttribute("z")
+    val e = StatsPredicate.extract(Or(
+      EqualTo(x, Literal(1L)), EqualTo(z, Literal(5L))))
+    assert(e.orGroups.size === 1)
+    val r = e.restrict(Set("x"))
+    assert(r.orGroups.isEmpty,
+      "a branch with no evaluable bound admits everything")
+    // a branch merely WEAKENED keeps its group
+    val e2 = StatsPredicate.extract(Or(
+      And(EqualTo(x, Literal(1L)), EqualTo(z, Literal(5L))),
+      EqualTo(x, Literal(9L))))
+    val r2 = e2.restrict(Set("x"))
+    assert(r2.orGroups === Seq(Seq(
+      Seq(("x", Some("1"), Some("1"))), Seq(("x", Some("9"), Some("9"))))))
+  }
+
   test("OR rides alongside ordinary conjuncts; disjoint() stays sound") {
     val e = StatsPredicate.extract(And(
       EqualTo(y, Literal(5L)),
