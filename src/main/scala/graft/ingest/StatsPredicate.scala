@@ -72,7 +72,36 @@ object StatsPredicate {
     if (l.value == null) None
     else Some(ManifestCommit.renderBound(toScala(l)))
 
-  def extract(cond: Expression): Extracted = {
+  /** Push NOT down to the leaves before extraction (round 18): the
+    * analyzer does not run BooleanSimplification on the shapes we
+    * receive, so `NOT (x > 5)` arrived as an opaque conjunct and
+    * contributed nothing. De Morgan over And/Or, comparison flips at
+    * the leaves; a NOT that reaches anything else (NOT(x = 5), NOT
+    * over null-sensitive shapes) stays wrapped — the leaf grammar
+    * ignores it, conservative as ever. Comparison flips are null-safe:
+    * both `x > 5` and `x <= 5` are false for null x, so the flipped
+    * bound admits exactly the same non-null rows and nulls never
+    * satisfied either side. */
+  private def pushNot(e: Expression): Expression = e match {
+    case Not(x) => pushNeg(x)
+    case And(a, b) => And(pushNot(a), pushNot(b))
+    case Or(a, b) => Or(pushNot(a), pushNot(b))
+    case other => other
+  }
+  /** The negation of `e`, with NOT pushed to the leaves. */
+  private def pushNeg(e: Expression): Expression = e match {
+    case Not(x) => pushNot(x)
+    case And(a, b) => Or(pushNeg(a), pushNeg(b))
+    case Or(a, b) => And(pushNeg(a), pushNeg(b))
+    case GreaterThan(a, b) => LessThanOrEqual(a, b)
+    case GreaterThanOrEqual(a, b) => LessThan(a, b)
+    case LessThan(a, b) => GreaterThanOrEqual(a, b)
+    case LessThanOrEqual(a, b) => GreaterThan(a, b)
+    case other => Not(other)
+  }
+
+  def extract(cond0: Expression): Extracted = {
+    val cond = pushNot(cond0)
     val bounds = scala.collection.mutable.ArrayBuffer
       .empty[(String, Option[String], Option[String])]
     val points = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]

@@ -91,6 +91,29 @@ class StatsPredicateSpec extends AnyFunSuite {
       ManifestCommit.ColStats("y", "num", "1", "3"))))
   }
 
+  test("NOT pushes to the leaves: flips, De Morgan, double negation") {
+    // NOT (x > 5) — null-safe flip: both sides are false for null x
+    val e = StatsPredicate.extract(Not(GreaterThan(x, Literal(5L))))
+    assert(e.bounds === Seq(("x", None, Some("5"))))
+    // NOT (x < 2 OR x > 8) -> x >= 2 AND x <= 8
+    val e2 = StatsPredicate.extract(Not(Or(
+      LessThan(x, Literal(2L)), GreaterThan(x, Literal(8L)))))
+    assert(e2.bounds.toSet === Set(
+      ("x", Some("2"), None), ("x", None, Some("8"))))
+    // NOT NOT x >= 3
+    val e3 = StatsPredicate.extract(Not(Not(GreaterThanOrEqual(x, Literal(3L)))))
+    assert(e3.bounds === Seq(("x", Some("3"), None)))
+    // NOT (x = 5) proves nothing (the dir may hold other values)
+    val e4 = StatsPredicate.extract(Not(EqualTo(x, Literal(5L))))
+    assert(e4.bounds.isEmpty && e4.orGroups.isEmpty)
+    // De Morgan producing an OR group: NOT (x >= 5 AND x <= 20) ->
+    // x < 5 OR x > 20, the range split
+    val e5 = StatsPredicate.extract(Not(And(
+      GreaterThanOrEqual(x, Literal(5L)), LessThanOrEqual(x, Literal(20L)))))
+    assert(e5.orGroups.size === 1)
+    assert(e5.disjoint(Seq(ManifestCommit.ColStats("x", "num", "8", "15"))))
+  }
+
   test("restrict drops a group whose branch loses every bound") {
     val z = UnresolvedAttribute("z")
     val e = StatsPredicate.extract(Or(
