@@ -657,6 +657,13 @@ object MergeInto {
         cand = cand.filter(
           ManifestCommit.bloomDirsOf(spark, root, m, c, v).toSet)
     }
+    // disjunctive per-value probe for IN / OR-of-equality predicates
+    // (DELETE WHERE id IN (…) — the common point-DML shape)
+    ex.anyPoints.foreach { case (c, vs) =>
+      if (cand.nonEmpty && cand.size <= 1024)
+        cand = cand.filter(vs.flatMap(v =>
+          ManifestCommit.bloomDirsOf(spark, root, m, c, v)).toSet)
+    }
     if (cand.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 
     // exact matched-dir witness on the plain candidates, one job per

@@ -31,10 +31,19 @@ object StatsPredicate {
     * the group vacuous). Sound: each branch's recorded bounds are
     * implied by that branch, so a row satisfying the OR satisfies some
     * branch and lands in a dir that branch admits. */
+  /** `anyPoints` (round 18): one entry per IN conjunct (including
+    * `x = a OR x = b`, normalized to IN) — the column and its candidate
+    * values, for DISJUNCTIVE bloom probing: a dir is kept iff its bloom
+    * might contain ANY of the values. The conjunctive `points` channel
+    * cannot carry these (each of its entries must hold for every
+    * matching row); the min/max envelope spans the whole list and
+    * prunes nothing on modulo/hash layouts, while per-value blooms nail
+    * the owning dirs. Capped at extraction so probe cost stays bounded. */
   final case class Extracted(
       bounds: Seq[Bound],
       points: Seq[(String, Any)],
-      orGroups: Seq[Seq[Seq[Bound]]] = Nil) {
+      orGroups: Seq[Seq[Seq[Bound]]] = Nil,
+      anyPoints: Seq[(String, Seq[Any])] = Nil) {
     /** A dir with these stats provably holds NO row satisfying the
       * predicate — the disjointness proof rebasing commits need for
       * concurrently-added dirs. Empty bounds prove nothing. An OR group
@@ -53,7 +62,8 @@ object StatsPredicate {
       Extracted(bounds.filter(b => names(b._1)),
         points.filter(p => names(p._1)),
         orGroups.map(_.map(_.filter(b => names(b._1))))
-          .filter(_.forall(_.nonEmpty)))
+          .filter(_.forall(_.nonEmpty)),
+        anyPoints.filter(p => names(p._1)))
   }
 
   /** Column name of a plain attribute reference (resolved or not);
@@ -100,12 +110,35 @@ object StatsPredicate {
     case other => Not(other)
   }
 
+  /** `x = a OR x = b [OR …]` normalizes to `x IN (a, b, …)` so the one
+    * IN path serves the envelope bound AND the per-value bloom probes
+    * (transformDown: the OUTERMOST or-tree flattens all its equality
+    * leaves at once — bottom-up would fold inner pairs into In nodes
+    * the outer pass no longer recognizes). */
+  private def orToIn(e: Expression): Expression = e.transformDown {
+    case o: Or =>
+      def leaves(x: Expression): Seq[Expression] = x match {
+        case Or(a, b) => leaves(a) ++ leaves(b)
+        case l => Seq(l)
+      }
+      val parts = leaves(o).map {
+        case EqualTo(a, l: Literal) if colOf(a).isDefined => Some((colOf(a).get, a, l))
+        case EqualTo(l: Literal, a) if colOf(a).isDefined => Some((colOf(a).get, a, l))
+        case _ => None
+      }
+      if (parts.forall(_.isDefined) &&
+          parts.flatten.map(_._1).distinct.size == 1)
+        In(parts.head.get._2, parts.map(_.get._3))
+      else o
+  }
+
   def extract(cond0: Expression): Extracted = {
-    val cond = pushNot(cond0)
+    val cond = orToIn(pushNot(cond0))
     val bounds = scala.collection.mutable.ArrayBuffer
       .empty[(String, Option[String], Option[String])]
     val points = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]
     val orGroups = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Bound]]]
+    val anyPoints = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Any])]
 
     def lo(c: Option[String], l: Literal): Unit =
       c.foreach(cc => render(l).foreach(v => bounds += ((cc, Some(v), None))))
@@ -142,15 +175,27 @@ object StatsPredicate {
         colOf(a).foreach { cc =>
           val lits = vs.map(_.asInstanceOf[Literal])
           val rendered = lits.map(render)
-          if (rendered.forall(_.isDefined)) {
+          // uniform numeric-ness required: a mixed-type list (reachable
+          // via the OR-of-equalities normalization) has no single STATS
+          // ordering to envelope under — skip the bound, stay safe
+          val numerics = lits.map(_.dataType.isInstanceOf[NumericType])
+          if (rendered.forall(_.isDefined) && numerics.distinct.size == 1) {
             // bound the IN-list by its min/max in the STATS ordering
             // (numeric compare for numeric literals, else string)
             val rs = rendered.flatten
-            val numeric = lits.head.dataType.isInstanceOf[NumericType]
             val ordered =
-              if (numeric) rs.sortBy(new java.math.BigDecimal(_))
+              if (numerics.head) rs.sortBy(new java.math.BigDecimal(_))
               else rs.sorted
             bounds += ((cc, Some(ordered.head), Some(ordered.last)))
+          }
+          // per-value DISJUNCTIVE bloom probe (bounded: probe cost is
+          // values × dirs); bloom-eligible types only, same set the
+          // single-point channel admits
+          if (lits.size <= 16) {
+            val scl = lits.map(toScala).collect {
+              case v @ (_: Long | _: Int | _: Short | _: Byte | _: String) => v
+            }
+            if (scl.size == lits.size) anyPoints += ((cc, scl))
           }
         }
       case o: Or =>
@@ -159,7 +204,7 @@ object StatsPredicate {
         if (branches.nonEmpty) orGroups += branches
       case _ => ()
     }
-    Extracted(bounds.toSeq, points.toSeq, orGroups.toSeq)
+    Extracted(bounds.toSeq, points.toSeq, orGroups.toSeq, anyPoints.toSeq)
   }
 
   /** Disjunction ENVELOPE bounds (round 18 — `month = 1 OR month = 3`

@@ -1303,6 +1303,16 @@ case class GraftDataSkipping(spark: SparkSession)
         kept = kept.filter(hit)
       }
     }
+    // IN-lists / OR-of-equalities probe DISJUNCTIVELY: keep a dir iff
+    // its bloom might contain ANY listed value (the envelope spans the
+    // whole list and prunes nothing on modulo/hash layouts)
+    ex.anyPoints.foreach { case (c, vs) =>
+      if (kept.nonEmpty && kept.size <= BloomProbeMaxDirs) {
+        val hit = vs.flatMap(v =>
+          ManifestCommit.bloomDirsOf(spark, g.root, g.manifest, c, v)).toSet
+        kept = kept.filter(hit)
+      }
+    }
     kept
   }
 

@@ -91,6 +91,27 @@ class StatsPredicateSpec extends AnyFunSuite {
       ManifestCommit.ColStats("y", "num", "1", "3"))))
   }
 
+  test("IN and OR-of-equalities carry per-value bloom candidates " +
+      "(anyPoints); bounded; restrict filters them") {
+    val e = StatsPredicate.extract(In(x, Seq(Literal(1L), Literal(3L))))
+    assert(e.anyPoints === Seq(("x", Seq(1L, 3L))))
+    // OR-of-equalities normalizes to IN — same envelope, same probes
+    val e2 = StatsPredicate.extract(
+      Or(EqualTo(x, Literal(1L)), EqualTo(x, Literal(3L))))
+    assert(e2.anyPoints === Seq(("x", Seq(1L, 3L))))
+    assert(e2.bounds === Seq(("x", Some("1"), Some("3"))))
+    // a 3-way OR flattens through the nested tree
+    val e3 = StatsPredicate.extract(Or(
+      Or(EqualTo(x, Literal(1L)), EqualTo(x, Literal(3L))),
+      EqualTo(x, Literal(7L))))
+    assert(e3.anyPoints === Seq(("x", Seq(1L, 3L, 7L))))
+    // probe cost stays bounded: a 17-value list records no candidates
+    val e4 = StatsPredicate.extract(
+      In(x, (1 to 17).map(i => Literal(i.toLong))))
+    assert(e4.anyPoints.isEmpty && e4.bounds.nonEmpty)
+    assert(e.restrict(Set("y")).anyPoints.isEmpty)
+  }
+
   test("NOT pushes to the leaves: flips, De Morgan, double negation") {
     // NOT (x > 5) — null-safe flip: both sides are false for null x
     val e = StatsPredicate.extract(Not(GreaterThan(x, Literal(5L))))

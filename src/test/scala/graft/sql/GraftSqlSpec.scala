@@ -154,6 +154,20 @@ class GraftSqlSpec extends SparkSpec {
     assert(scannedDirs(q).size <= 2,
       s"bloom must prune the 4-dir modulo layout: ${scannedDirs(q)}")
     assert(q.collect().map(_.getLong(0)).toSeq === Seq(246L))
+    // IN probes DISJUNCTIVELY (round 18): the envelope [123, 250] spans
+    // every modulo dir, only per-value blooms prune — ids land in dirs
+    // 123%4=3 and 250%4=2, so ≤3 of 4 survive (≤1 bloom false positive)
+    val q2 = spark.sql(
+      "SELECT v FROM graft.sqlspec_bloom WHERE id IN (123, 250)")
+    assert(scannedDirs(q2).size <= 3,
+      s"IN must bloom-prune per value: ${scannedDirs(q2)}")
+    assert(q2.collect().map(_.getLong(0)).toSet === Set(246L, 500L))
+    // the OR-of-equalities spelling prunes identically (normalized)
+    val q3 = spark.sql(
+      "SELECT v FROM graft.sqlspec_bloom WHERE id = 123 OR id = 250")
+    assert(scannedDirs(q3).size <= 3,
+      s"OR-of-equals must bloom-prune per value: ${scannedDirs(q3)}")
+    assert(q3.collect().map(_.getLong(0)).toSet === Set(246L, 500L))
   }
 
   test("INSERT INTO appends through the manifest and keeps stats alive") {
