@@ -2504,22 +2504,45 @@ object ManifestCommit {
     * hashing; a value that cannot be represented exactly — or an
     * unknown column — contributes NO bound (skipping stays an
     * optimization, never a wrong filter). */
+  /** LOSSLESS coercion of a caller-typed probe value to the COLUMN's own
+    * type — shared by bucket-component pinning and bloom probing, both
+    * of which are TYPE-SENSITIVE (Murmur3 is width-sensitive; a bloom
+    * built from a long column answers `mightContainLong`, so probing it
+    * with the String "1" reads false and would WRONGLY prune the owning
+    * dir — the skipping-as-filter failure mode). The analyzed SQL path
+    * always hands over literals of the column's type, but programmatic
+    * DML (`deleteRows(col("k").isin("1", "2"))`) extracts from
+    * UNRESOLVED expressions where the literal keeps whatever the caller
+    * typed. A value that cannot be represented exactly — numeric string
+    * to integral included (SQL coerces `longcol = '1'` to a numeric
+    * compare) — or an unknown column yields None: the caller SKIPS the
+    * probe, dirs stay, correctness is untouched. */
+  def coerceExact(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    def num(n: => BigDecimal): Option[BigDecimal] = scala.util.Try(n).toOption
+    val asNum: Option[BigDecimal] = v match {
+      case n: Number => num(BigDecimal(n.toString))
+      case s: String => num(BigDecimal(s.trim))
+      case _ => None
+    }
+    dt match {
+      case StringType => v match {
+        case s: String => Some(s)
+        case _ => None // a bloom over strings never saw numeric probes
+      }
+      case LongType => asNum.filter(_.isValidLong).map(_.longValue)
+      case IntegerType => asNum.filter(_.isValidInt).map(_.intValue)
+      case ShortType => asNum.filter(_.isValidShort).map(_.shortValue)
+      case ByteType => asNum.filter(_.isValidByte).map(_.byteValue)
+      case _ => None
+    }
+  }
+
   def bucketBoundsOf(slice: Option[String], points: Seq[(String, Any)],
       colType: String => Option[org.apache.spark.sql.types.DataType])
       : Seq[(String, Option[String], Option[String])] = {
-    import org.apache.spark.sql.types._
-    def coerce(v: Any, dt: DataType): Option[Any] = (v, dt) match {
-      case (s: String, StringType) => Some(s)
-      case (n: Number, LongType)
-          if BigDecimal(n.toString).isValidLong => Some(n.longValue)
-      case (n: Number, IntegerType)
-          if BigDecimal(n.toString).isValidInt => Some(n.intValue)
-      case (n: Number, ShortType)
-          if BigDecimal(n.toString).isValidShort => Some(n.shortValue)
-      case (n: Number, ByteType)
-          if BigDecimal(n.toString).isValidByte => Some(n.byteValue)
-      case _ => None
-    }
+    def coerce(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Any] =
+      coerceExact(v, dt)
     slice.toSeq.flatMap(sliceComponents).flatMap {
       case comp @ BucketComponent(col, n) =>
         points.filter(_._1.equalsIgnoreCase(col)).flatMap { case (_, v) =>
@@ -2966,7 +2989,19 @@ object ManifestCommit {
     * end to end — the driver-side latency wall, not a data-size cost.
     * Probe order doesn't matter; the kept set preserves manifest order. */
   private def bloomNames(spark: SparkSession, root: String, m: Manifest,
-      col: String, value: Any): Seq[String] = {
+      col: String, value: Any): Seq[String] =
+    bloomNamesAny(spark, root, m, col, Seq(value))
+
+  /** Multi-value disjunctive probe (IN-lists): keep a dir iff its bloom
+    * might contain ANY of `values` — ONE open + deserialize per dir for
+    * the whole list, not one per value (a 16-value IN over 1000 dirs is
+    * 1000 file round-trips, not 16,000). */
+  def bloomDirsOfAny(spark: SparkSession, root: String, m: Manifest,
+      col: String, values: Seq[Any]): Seq[String] =
+    bloomNamesAny(spark, root, m, col, values)
+
+  private def bloomNamesAny(spark: SparkSession, root: String, m: Manifest,
+      col: String, values: Seq[Any]): Seq[String] = {
     val f = fs(spark, root)
     // under a column mapping, dirs written before the rename carry their
     // bloom under the PHYSICAL name — probe it when the logical file is
@@ -2984,7 +3019,7 @@ object ManifestCommit {
           val in = f.open(path)
           val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
                    finally in.close()
-          bf.mightContain(value)
+          values.exists(bf.mightContain)
       }
     }
     val flags: Seq[Boolean] =

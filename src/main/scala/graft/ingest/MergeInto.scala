@@ -652,17 +652,33 @@ object MergeInto {
       c => tSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
     var cand = ManifestCommit.prunedDirsOf(m,
       ex.bounds ++ bucketBounds, ex.orGroups)
+    // bloom probes coerce to the COLUMN's type or skip (coerceExact):
+    // the programmatic path carries UNRESOLVED literals, and a
+    // wrong-typed probe reads false from every bloom — pruning dirs
+    // whose rows DO match under SQL's own coercion (the
+    // skipping-as-filter failure mode)
+    def probeType(c: String) =
+      tSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     ex.points.foreach { case (c, v) =>
       if (cand.nonEmpty && cand.size <= 1024)
-        cand = cand.filter(
-          ManifestCommit.bloomDirsOf(spark, root, m, c, v).toSet)
+        probeType(c).flatMap(dt => ManifestCommit.coerceExact(v, dt))
+          .foreach { cv =>
+            cand = cand.filter(
+              ManifestCommit.bloomDirsOf(spark, root, m, c, cv).toSet)
+          }
     }
     // disjunctive per-value probe for IN / OR-of-equality predicates
-    // (DELETE WHERE id IN (…) — the common point-DML shape)
+    // (DELETE WHERE id IN (…) — the common point-DML shape); one bloom
+    // open per dir for the whole list, entry skipped whole if any value
+    // resists exact coercion
     ex.anyPoints.foreach { case (c, vs) =>
       if (cand.nonEmpty && cand.size <= 1024)
-        cand = cand.filter(vs.flatMap(v =>
-          ManifestCommit.bloomDirsOf(spark, root, m, c, v)).toSet)
+        probeType(c).foreach { dt =>
+          val cvs = vs.map(v => ManifestCommit.coerceExact(v, dt))
+          if (cvs.forall(_.isDefined))
+            cand = cand.filter(ManifestCommit.bloomDirsOfAny(
+              spark, root, m, c, cvs.flatten).toSet)
+        }
     }
     if (cand.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 

@@ -71,6 +71,10 @@ object Optimize {
       rankBuckets: Int = 0): ManifestCommit.Manifest = {
     require(targetDirs >= 1, "targetDirs must be >= 1")
     require(cols.size >= 2, "z-order needs at least 2 columns")
+    require(rankBuckets <= (1L << math.min(63 / cols.size, 20)),
+      s"rankBuckets=$rankBuckets exceeds the ${63 / cols.size}-bit z-slot " +
+        s"of a ${cols.size}-column key — ranks would spill into " +
+        "co-dimensions' interleave bits and silently degrade clustering")
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
     // `scope` ([[zorderWhere]]): the rewrite reads and consumes ONLY the
@@ -204,7 +208,6 @@ object Optimize {
       if (depth == 0) f.listStatus(p).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zbucket="))
       else f.listStatus(p).toSeq.filter(_.isDirectory)
-        .sortBy(_.getPath.getName)
         .flatMap(st => leaves(st.getPath, depth - 1))
     val bucketDirs = leaves(new Path(staging), partCols.size - 1)
       .sortBy(st => (st.getPath.getParent.getName,
@@ -678,7 +681,10 @@ object Optimize {
       // single grouped pass. NULL-month delta rows ride the same pass:
       // their slice is null, writeSliced lands them in the
       // __HIVE_DEFAULT_PARTITION__-keyed residual dir.
-      val moText = s"date_format($monthCol, 'yyyy-MM')"
+      // backtick-quoted: monthCol is a NAME (the old col() contract) —
+      // bare interpolation would let expr() parse `event-ts` as
+      // subtraction
+      val moText = s"date_format(`$monthCol`, 'yyyy-MM')"
       val pureDf =
         if (rewritten.isEmpty) None
         else Some(ManifestCommit.readDirsOf(spark, root, m, rewritten))

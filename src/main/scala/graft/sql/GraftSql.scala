@@ -1297,21 +1297,36 @@ case class GraftDataSkipping(spark: SparkSession)
       c => g.output.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
     var kept = ManifestCommit.prunedDirsOf(g.manifest,
       ex.bounds ++ bucketBounds, ex.orGroups)
+    // bloom probes are TYPE-SENSITIVE: the value must coerce LOSSLESSLY
+    // to the column's own type (ManifestCommit.coerceExact) or the
+    // probe is skipped — a String "1" against a long column's bloom
+    // reads false and would wrongly prune the owning dir
+    def probeType(c: String) =
+      g.output.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
     ex.points.foreach { case (c, v) =>
-      if (kept.nonEmpty && kept.size <= BloomProbeMaxDirs) {
-        val hit = ManifestCommit.bloomDirsOf(spark, g.root, g.manifest, c, v).toSet
-        kept = kept.filter(hit)
-      }
+      if (kept.nonEmpty && kept.size <= BloomProbeMaxDirs)
+        probeType(c).flatMap(dt => ManifestCommit.coerceExact(v, dt))
+          .foreach { cv =>
+            val hit = ManifestCommit
+              .bloomDirsOf(spark, g.root, g.manifest, c, cv).toSet
+            kept = kept.filter(hit)
+          }
     }
     // IN-lists / OR-of-equalities probe DISJUNCTIVELY: keep a dir iff
     // its bloom might contain ANY listed value (the envelope spans the
-    // whole list and prunes nothing on modulo/hash layouts)
+    // whole list and prunes nothing on modulo/hash layouts). One bloom
+    // open per dir for the whole list; any un-coercible value skips the
+    // entire entry (it might still match under SQL's own coercion)
     ex.anyPoints.foreach { case (c, vs) =>
-      if (kept.nonEmpty && kept.size <= BloomProbeMaxDirs) {
-        val hit = vs.flatMap(v =>
-          ManifestCommit.bloomDirsOf(spark, g.root, g.manifest, c, v)).toSet
-        kept = kept.filter(hit)
-      }
+      if (kept.nonEmpty && kept.size <= BloomProbeMaxDirs)
+        probeType(c).foreach { dt =>
+          val cvs = vs.map(v => ManifestCommit.coerceExact(v, dt))
+          if (cvs.forall(_.isDefined)) {
+            val hit = ManifestCommit.bloomDirsOfAny(
+              spark, g.root, g.manifest, c, cvs.flatten).toSet
+            kept = kept.filter(hit)
+          }
+        }
     }
     kept
   }

@@ -37,6 +37,40 @@ class MergeIntoSpec extends SparkSpec {
       st.getPath.getName -> (st.getLen, st.getModificationTime)).toMap
   }
 
+  test("bloom probes COERCE to the column type: string-typed IN over a " +
+      "long column still deletes every matching row (a raw-typed probe " +
+      "read false from every bloom and wrongly pruned the owning dirs)") {
+    val root = Files.createTempDirectory("merge_spec_").toString + "/coerce"
+    // 4 modulo dirs on a LONG id, each with a bloom — min/max stats
+    // overlap fully, only the bloom can prune a point probe
+    val base = spark.range(0, 400).toDF("id")
+      .withColumn("v", concat(lit("v"), col("id")).cast("string"))
+      .withColumn("amt", (col("id") * 2).cast("double"))
+    val dirs = (0 until 4).map { i =>
+      val d = ManifestCommit.newDataDir(root)
+      base.filter(pmod(col("id"), lit(4)) === i).write.parquet(d)
+      ManifestCommit.writeDirBloom(spark, d, "id", 100)
+      d -> ManifestCommit.dirStats(spark, d, Seq("id"))
+    }
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap,
+      schema = Some(StructType(base.schema.fields.map(_.copy(nullable = true)))))
+    // UNRESOLVED string literals against the long column — SQL coercion
+    // makes these real matches; the probe must coerce or skip, never
+    // probe the long blooms with java Strings
+    MergeInto.deleteRows(spark, root, col("id").isin("5", "6"))
+    val left = ManifestCommit.read(spark, root)
+    assert(left.count() === 398L, "both string-keyed matches must delete")
+    assert(left.filter(col("id").isin(5L, 6L)).count() === 0L)
+    // single-point '=' channel, same hazard
+    MergeInto.deleteRows(spark, root, col("id") === lit("7"))
+    assert(ManifestCommit.read(spark, root).count() === 397L)
+    // a STRING column probed with numbers: coercion refuses (SQL would
+    // coerce the COLUMN side), the probe is skipped, the delete lands
+    MergeInto.deleteRows(spark, root, col("v") === lit("v8"))
+    assert(ManifestCommit.read(spark, root).count() === 396L)
+  }
+
   private def rowsOf(d: DataFrame): Set[(Long, String, Double)] =
     d.collect().toSet.map((r: Row) => (r.getLong(0), r.getString(1), r.getDouble(2)))
 
