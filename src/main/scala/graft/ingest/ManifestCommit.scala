@@ -2936,6 +2936,68 @@ object ManifestCommit {
     * consistently against recorded min/max). */
   def renderBound(v: Any): String = renderStatValue(v)
 
+  /** Inverse of [[renderBound]]: a recorded stat string back to the
+    * EXTERNAL value of `dt` (the shape `CatalystTypeConverters`
+    * accepts), or None when the type isn't exactly round-trippable —
+    * the manifest-only MIN/MAX read path must then fall back to a scan.
+    * Numerics, strings and the zone-free temporal types (date, ntz)
+    * round-trip always (Java guarantees toString→parse exactness for
+    * float/double); zoned TIMESTAMP only under a UTC JVM zone, because
+    * [[renderStatValue]] renders `java.sql.Timestamp` through the JVM
+    * default zone and a DST zone's fall-back hour makes the wall text
+    * ambiguous (the injectivePair precedent in Optimize.whereScope). */
+  private def utcJvmZone: Boolean = {
+    val r = java.time.ZoneId.systemDefault().getRules
+    r.isFixedOffset && r.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+  }
+
+  def parseStatValue(s: String, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    def utcJvm: Boolean = utcJvmZone
+    val parse: Option[() => Any] = dt match {
+      case ByteType => Some(() => s.toByte)
+      case ShortType => Some(() => s.toShort)
+      case IntegerType => Some(() => s.toInt)
+      case LongType => Some(() => s.toLong)
+      case FloatType => Some(() => s.toFloat)
+      case DoubleType => Some(() => s.toDouble)
+      case _: DecimalType => Some(() => new java.math.BigDecimal(s))
+      case StringType => Some(() => s)
+      case DateType => Some(() => java.time.LocalDate.parse(s))
+      case TimestampNTZType => Some(() => java.time.LocalDateTime.parse(s, TsFormat))
+      case TimestampType if utcJvm =>
+        Some(() => java.time.LocalDateTime.parse(s, TsFormat)
+          .toInstant(java.time.ZoneOffset.UTC))
+      case _ => None
+    }
+    parse.flatMap(p => scala.util.Try(p()).toOption)
+  }
+
+  /** Whether [[parseStatValue]] can round-trip `dt` at all (the
+    * eligibility probe the manifest-aggregate rewrite runs before
+    * trusting stats for a column). */
+  def statParseable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType | TimestampNTZType => true
+      case _: DecimalType => true
+      case TimestampType => utcJvmZone
+      case _ => false
+    }
+  }
+
+  /** The columns an ANALYZE pass has EXAMINED on `dir` even when they
+    * yielded no min/max bound (all-null / absent under evolution) — the
+    * [[AnalyzedStat]] marker's decoded set. Lets metadata-only readers
+    * distinguish "looked and found no values" (contributes nothing to a
+    * MIN/MAX) from "never metered" (must scan). */
+  def analyzedColsOf(m: Manifest, dir: String): Set[String] =
+    m.stats.getOrElse(dir, Nil)
+      .find(_.col == AnalyzedStat)
+      .map(_.min.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
   /** Build and store a per-dir bloom filter for `col`, as a HIDDEN side
     * file `_bloom_<col>` INSIDE the dir it describes (underscore-prefixed
     * files are invisible to parquet scans, and the bloom's lifetime is

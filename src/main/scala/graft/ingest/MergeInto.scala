@@ -591,6 +591,25 @@ object MergeInto {
         (df, c) => df.filter(!coalesce(c, lit(false))))
     }
 
+  /** Predicate-scoped OVERWRITE (the public Delta `replaceWhere` idea):
+    * atomically delete every row satisfying `cond` and insert `data` —
+    * the idempotent backfill primitive (`REPLACE WHERE day = D` re-lands
+    * one day without touching the rest of a 100-TB table). Scale shape:
+    * only stats-overlapping dirs are even READ (cold dirs never listed),
+    * a witness pass drops candidates that turn out to hold no matching
+    * rows, survivors rewrite once, and the new rows land in the table's
+    * own recorded layout. The staged insert is validated to CONFORM to
+    * `cond` (rows outside the replaced range are refused — Delta's
+    * contract, and what makes the op idempotent) and against CHECK
+    * constraints; delete + insert are ONE commit, CAS-rebased only onto
+    * concurrent commits provably disjoint from the predicate. */
+  def replaceWhere(spark: SparkSession, root: String, data: DataFrame,
+      cond: Column, retries: Int = 0): RowOpResult =
+    rowOpRetrying(retries) {
+      rowOp(spark, root, cond, "replace_where",
+        (df, c) => df.filter(!coalesce(c, lit(false))), insert = Some(data))
+    }
+
   /** Update `assignments` (name → expression over the row's own columns)
     * on every row satisfying `cond`; other rows and columns unchanged. */
   def updateRows(spark: SparkSession, root: String,
@@ -633,7 +652,8 @@ object MergeInto {
         "row-level DML contract rejects nondeterministic conditions)")
 
   private def rowOp(spark: SparkSession, root: String, cond: Column,
-      op: String, transform: (DataFrame, Column) => DataFrame): RowOpResult = {
+      op: String, transform: (DataFrame, Column) => DataFrame,
+      insert: Option[DataFrame] = None): RowOpResult = {
     requireDeterministic(s"$op condition", cond)
     val m = ManifestCommit.readManifest(spark, root).getOrElse(
       throw new IllegalArgumentException(s"$root is not a manifest-committed table"))
@@ -680,7 +700,8 @@ object MergeInto {
               spark, root, m, c, cvs.flatten).toSet)
         }
     }
-    if (cand.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
+    if (cand.isEmpty && insert.isEmpty)
+      return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 
     // exact matched-dir witness on the plain candidates, one job per
     // layout group (hive-nested converted dirs scan apart from flat
@@ -726,46 +747,100 @@ object MergeInto {
             .select("__dir").distinct().collect().map(_.getString(0)).toSeq
       }.flatMap(byBase.get)
     val affected = (matchedPlain ++ dvCand).sorted
-    if (affected.isEmpty) return RowOpResult(m.gen, m.dirs.size, 0, 0L)
+    if (affected.isEmpty && insert.isEmpty)
+      return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 
     val sliceComps =
       m.slice.map(ManifestCommit.sliceComponents(_).toSet).getOrElse(Set.empty)
     val statCols = m.stats.values.flatten.map(_.col).toSeq.distinct
       .filter(c => c == ManifestCommit.RowCountStat ||
         (!ManifestCommit.PseudoStats(c) && (names(c) || sliceComps(c))))
-    val src = ManifestCommit.readDirsOf(spark, root, m, affected, Some(tSchema))
-    val obs = Observation()
-    val out = transform(src.observe(obs,
-      sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as("matched"),
-      count(lit(1)).as("total")), cond)
-    val newDir = ManifestCommit.newDataDir(root)
-    // logical->physical rename under a column mapping (no-op otherwise)
-    ManifestCommit.toPhysicalNames(spark, root, out).write.parquet(newDir)
-    val row = obs.get
-    val matched = Option(row("matched")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val total = row("total").asInstanceOf[Long]
-    val written = if (op == "delete") total - matched else total
-    val added =
-      if (written == 0L) { // everything in the affected set deleted
-        new org.apache.hadoop.fs.Path(newDir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-          .delete(new org.apache.hadoop.fs.Path(newDir), true)
-        Nil
-      } else Seq(newDir)
-    // UPDATE can move a row OUT of a CHECK constraint: the staged
-    // rewrite is validated byte-for-byte before commit (DELETE only
-    // removes rows and needs no proof)
-    if (op == "update")
-      ManifestCommit.validateWrittenChecks(spark, root, m.checks, added, "UPDATE")
-    val stats = added.map(d =>
+    val (delAdded, matched): (Seq[String], Long) = if (affected.isEmpty) (Nil, 0L)
+    else {
+      val src = ManifestCommit.readDirsOf(spark, root, m, affected, Some(tSchema))
+      val obs = Observation()
+      val out = transform(src.observe(obs,
+        sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as("matched"),
+        count(lit(1)).as("total")), cond)
+      val newDir = ManifestCommit.newDataDir(root)
+      // logical->physical rename under a column mapping (no-op otherwise)
+      ManifestCommit.toPhysicalNames(spark, root, out).write.parquet(newDir)
+      val row = obs.get
+      val hit = Option(row("matched")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val total = row("total").asInstanceOf[Long]
+      val written = if (op == "delete" || op == "replace_where") total - hit else total
+      val added =
+        if (written == 0L) { // everything in the affected set deleted
+          new org.apache.hadoop.fs.Path(newDir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(newDir), true)
+          Nil
+        } else Seq(newDir)
+      // UPDATE can move a row OUT of a CHECK constraint: the staged
+      // rewrite is validated byte-for-byte before commit (DELETE only
+      // removes rows and needs no proof)
+      if (op == "update")
+        ManifestCommit.validateWrittenChecks(spark, root, m.checks, added, "UPDATE")
+      (added, hit)
+    }
+    // REPLACE WHERE's insert side: the new rows land in the table's own
+    // layout (sliced when one is recorded), are proven to CONFORM to the
+    // predicate on the staged bytes (the Delta replaceWhere contract —
+    // post-write, so a nondeterministic source can't smuggle a row the
+    // validation never saw), and ride the SAME atomic commit as the
+    // delete — no reader ever sees the range half-replaced.
+    val insDirs: Seq[(String, Seq[ManifestCommit.ColStats])] = insert match {
+      case None => Nil
+      case Some(data) =>
+        val aligned = data.select(tSchema.fields.toIndexedSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        val written = m.slice match {
+          case Some(sl) => ManifestCommit.writeSliced(spark, root, aligned,
+            org.apache.spark.sql.functions.expr(sl), statCols)
+          case None =>
+            val d = ManifestCommit.newDataDir(root)
+            ManifestCommit.toPhysicalNames(spark, root, aligned).write.parquet(d)
+            Seq(d -> (if (statCols.isEmpty) Nil
+                      else ManifestCommit.dirStats(spark, d, statCols,
+                        colmap = m.colmap)))
+        }
+        val staged = written.map(_._1)
+        if (staged.nonEmpty) {
+          // read the staged bytes back under LOGICAL names so `cond`
+          // resolves (files carry physical names under a column mapping)
+          val df0 = spark.read.parquet(staged.map(
+            ManifestCommit.dirAbs(root, _)): _*)
+          val dfL = m.colmap.foldLeft(df0) { case (d, (log, phys)) =>
+            if (log != phys) d.withColumnRenamed(phys, log) else d }
+          val bad = dfL.filter(!coalesce(cond, lit(false))).limit(1).count()
+          if (bad > 0) {
+            val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            staged.foreach(d => f.delete(new org.apache.hadoop.fs.Path(
+              ManifestCommit.dirAbs(root, d)), true))
+            throw new IllegalArgumentException(
+              s"REPLACE WHERE to $root: written data does not conform to " +
+                "the replace predicate — nothing was committed")
+          }
+          ManifestCommit.validateWrittenChecks(spark, root, m.checks,
+            staged, "REPLACE WHERE")
+        }
+        written
+    }
+    val added = delAdded ++ insDirs.map(_._1)
+    val stats = delAdded.map(d =>
       d -> (if (statCols.isEmpty) Nil
             else ManifestCommit.dirStats(spark, d, statCols,
-              colmap = m.colmap))).toMap
+              colmap = m.colmap))).toMap ++ insDirs.toMap
     val committed = ManifestCommit.commitReconciled(spark, root, m,
       displaced = affected, added = added, addedStats = stats,
       schema = m.tableSchema, op = op, pinned = affected.toSet,
       disjoint = (_, st) => ex.disjoint(st),
-      expectedChecks = if (op == "update") Some(m.checks) else None)
+      // inserting rows must CAS against concurrent constraint changes,
+      // exactly like SQL INSERT (a concurrent ADD CONSTRAINT validated
+      // only the rows visible to it)
+      expectedChecks =
+        if (op == "update" || insert.isDefined) Some(m.checks) else None)
     RowOpResult(committed.gen, m.dirs.size, affected.size, matched)
   }
 }

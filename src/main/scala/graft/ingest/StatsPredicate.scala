@@ -1,7 +1,7 @@
 package graft.ingest
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.types.NumericType
 
@@ -132,8 +132,39 @@ object StatsPredicate {
       else o
   }
 
+  /** Programmatic Columns arrive as `UnresolvedFunction('and'/'>='/…)`
+    * in Spark 4 (the Column DSL builds a ColumnNode AST whose bridge
+    * renders operators as unresolved FUNCTION CALLS, not the catalyst
+    * comparison nodes the analyzer later resolves them to) — without
+    * this normalization, `deleteRows(root, col("id") <= 5)` extracted
+    * NOTHING: every stats-overlapping dir was read by the witness and
+    * the rebase disjointness proof never armed. Rewrite the known
+    * boolean/comparison names to their catalyst nodes; anything else
+    * stays a function call and contributes nothing, conservative as
+    * ever. */
+  private def fnsToCatalyst(e: Expression): Expression = e.transformUp {
+    case f: UnresolvedFunction
+        if f.nameParts.length == 1 && !f.isDistinct && f.filter.isEmpty =>
+      (f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+        f.arguments) match {
+        case ("and", Seq(a, b)) => And(a, b)
+        case ("or", Seq(a, b)) => Or(a, b)
+        case ("not" | "!", Seq(a)) => Not(a)
+        case ("=" | "==", Seq(a, b)) => EqualTo(a, b)
+        case ("<=>", Seq(a, b)) => EqualNullSafe(a, b)
+        case (">", Seq(a, b)) => GreaterThan(a, b)
+        case (">=", Seq(a, b)) => GreaterThanOrEqual(a, b)
+        case ("<", Seq(a, b)) => LessThan(a, b)
+        case ("<=", Seq(a, b)) => LessThanOrEqual(a, b)
+        case ("in", a +: rest) if rest.nonEmpty => In(a, rest)
+        case ("between", Seq(a, l, u)) =>
+          And(GreaterThanOrEqual(a, l), LessThanOrEqual(a, u))
+        case _ => f
+      }
+  }
+
   def extract(cond0: Expression): Extracted = {
-    val cond = orToIn(pushNot(cond0))
+    val cond = orToIn(pushNot(fnsToCatalyst(cond0)))
     val bounds = scala.collection.mutable.ArrayBuffer
       .empty[(String, Option[String], Option[String])]
     val points = scala.collection.mutable.ArrayBuffer.empty[(String, Any)]

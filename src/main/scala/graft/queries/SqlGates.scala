@@ -1707,6 +1707,152 @@ object SqlGates {
       lit(if (scanned * 2 < totalRows) 1L else 0L).as("rank_pruned"))
   }
 
+  /** q174 — metadata-only MIN/MAX at the SQL surface (round 18, the
+    * Delta/Iceberg metadata-aggregate idea): on a fully-metered DV-free
+    * table, `SELECT min/max/count(*)` optimizes to a LocalRelation
+    * folded from per-dir stats — NO scan operator, ZERO Spark jobs
+    * (both pinned). After a point DELETE repoints one dir onto a
+    * deletion vector (its stats become bounds, not witnesses), the same
+    * MAX goes HYBRID: the plan scans ONLY the DV'd dir and unions the
+    * other dirs' stats in as literal rows — pinned at 1 scanned dir of
+    * many. At 100 TB that is `max(ts)` after a point delete reading one
+    * dir, not the table. */
+  val q174_sql_minmax = Q(
+    "q174_sql_minmax",
+    """SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+      |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  1 AS local_before, 0 AS probe_jobs,
+      |  CAST(max(CASE WHEN o_orderkey <>
+      |    (SELECT max(o_orderkey) FROM orders) THEN o_orderkey END)
+      |    AS BIGINT) AS max_after,
+      |  1 AS hybrid_dirs
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val (root, name, months) = ordersTable(s, dir, "graft_q174_")
+    val orders = Tables.load(s, dir, "orders")
+    // o_orderdate may surface as TIMESTAMP or TIMESTAMP_NTZ depending on
+    // parquet inference — format either to the oracle's wall text
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    def fmtTs(v: Any): String = v match {
+      case t: java.sql.Timestamp => t.toLocalDateTime.format(tsFmt)
+      case l: java.time.LocalDateTime => l.format(tsFmt)
+      case i: java.time.Instant => java.time.LocalDateTime
+        .ofInstant(i, java.time.ZoneOffset.UTC).format(tsFmt)
+      case other => String.valueOf(other)
+    }
+    val group = s"q174_probe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            group == e.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      // probe 1: fully metered, DV-free → LocalRelation, zero jobs
+      s.sparkContext.setJobGroup(group, "SQL metadata MIN/MAX probe", false)
+      val (row, isLocal) = try {
+        val df = s.sql(
+          s"""SELECT min(o_orderdate) AS mind, max(o_orderdate) AS maxd,
+             |  min(o_orderkey) AS mink, max(o_orderkey) AS maxk,
+             |  count(*) AS n
+             |FROM graft.$name""".stripMargin)
+        (df.collect()(0), df.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      } finally s.sparkContext.clearJobGroup()
+      // point DELETE: the global-max key's dir gains a deletion vector —
+      // its recorded max is now a bound, not a witness
+      val maxKey = row.getLong(3)
+      MergeInto.deleteWhere(s, root,
+        orders.filter(col("o_orderkey") === maxKey).select("o_orderkey"))
+      // probe 2: hybrid — scan ONLY the DV'd dir, stats serve the rest
+      val after = s.sql(s"SELECT max(o_orderkey) AS maxk FROM graft.$name")
+      val scanned = scannedDataDirs(after, root)
+      val hybridOk = scanned == 1 && months > 10
+      Thread.sleep(500) // listener events are async
+      s.range(1).select(
+        lit(fmtTs(row.get(0))).as("min_date"),
+        lit(fmtTs(row.get(1))).as("max_date"),
+        lit(row.getLong(2)).as("min_key"),
+        lit(maxKey).as("max_key"),
+        lit(row.getLong(4)).as("n"),
+        lit(if (isLocal) 1 else 0).as("local_before"),
+        lit(jobs.get()).as("probe_jobs"),
+        lit(after.collect()(0).getLong(0)).as("max_after"),
+        lit(if (hybridOk) 1 else 0).as("hybrid_dirs"))
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      GraftSql.unregister(name)
+    }
+  }
+
+  /** q175 — `INSERT INTO … REPLACE WHERE` (round 18, the public Delta
+    * replaceWhere surface): predicate-scoped atomic overwrite — one
+    * month of a month-sliced table re-lands with doubled prices in ONE
+    * commit (delete + insert never separately visible), every cold dir
+    * carried over untouched (pinned from the manifest), and an insert
+    * whose rows fall OUTSIDE the predicate is refused atomically with
+    * nothing committed. The idempotent-backfill primitive: at 100 TB,
+    * re-landing a day touches that day's dirs and nothing else. */
+  val q175_replace_where = Q(
+    "q175_replace_where",
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  cast(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |    THEN cast(o_totalprice*2 as decimal(18,2))
+      |    ELSE cast(o_totalprice as decimal(18,2)) END) as double) AS revenue,
+      |  1 AS cold_preserved, 1 AS one_commit, 1 AS conform_refused
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val (root, name, _) = ordersTable(s, dir, "graft_q175_")
+    val orders = Tables.load(s, dir, "orders")
+    val m1 = ManifestCommit.readManifest(s, root).get
+    val view = uniq("q175_src")
+    orders.filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .createOrReplaceTempView(view)
+    val selectList = orders.columns.map(c =>
+      if (c == "o_totalprice") "o_totalprice * 2 AS o_totalprice" else c)
+      .mkString(", ")
+    try {
+      s.sql(s"INSERT INTO graft.$name REPLACE WHERE " +
+        "o_orderdate >= TIMESTAMP '1997-03-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP '1997-04-01 00:00:00' " +
+        s"SELECT $selectList FROM $view")
+      val m2 = ManifestCommit.readManifest(s, root).get
+      // exactly the March-1997 dir displaced; every other dir carried
+      val coldPreserved =
+        m1.dirs.toSet.intersect(m2.dirs.toSet).size == m1.dirs.size - 1
+      val oneCommit = m2.gen == m1.gen + 1
+      // rows outside the predicate are refused with nothing committed
+      val refused = try {
+        MergeInto.replaceWhere(s, root, orders.limit(5),
+          col("o_orderdate") >= lit("2099-01-01").cast("timestamp"))
+        false
+      } catch {
+        case e: IllegalArgumentException => e.getMessage.contains("conform")
+      }
+      val refusedClean = refused &&
+        ManifestCommit.readManifest(s, root).get.gen == m2.gen
+      val agg = ManifestCommit.read(s, root).agg(
+        count(lit(1)),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .collect()(0)
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n"),
+        lit(agg.getDouble(1)).as("revenue"),
+        lit(if (coldPreserved) 1 else 0).as("cold_preserved"),
+        lit(if (oneCommit) 1 else 0).as("one_commit"),
+        lit(if (refusedClean) 1 else 0).as("conform_refused"))
+    } finally GraftSql.unregister(name)
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
@@ -1714,5 +1860,5 @@ object SqlGates {
     q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink,
     q165_alter_column_type, q167_optimize_where, q169_optimize_where_zorder,
     q170_partition_evolution, q171_analyze_stats, q172_analyze_blooms,
-    q173_zorder_rank)
+    q173_zorder_rank, q174_sql_minmax, q175_replace_where)
 }

@@ -89,6 +89,16 @@ object GraftDdl {
   private val DropPartitionRe =
     """(?is)\s*ALTER\s+TABLE\s+graft\.(`[^`]+`|[\w.]+)\s+DROP\s+PARTITIONING\s*;?\s*""".r
 
+  // INSERT INTO graft.<name> REPLACE WHERE <pred> <query> — Delta's
+  //   replaceWhere on the text route (Spark's INSERT grammar has no
+  //   REPLACE WHERE). The reluctant predicate capture ends at the first
+  //   query-opening keyword, so the predicate itself may not contain a
+  //   subquery — the executor's expr() parse would reject one anyway
+  //   (rowOp requires a deterministic, stats-extractable condition).
+  private val ReplaceWhereRe =
+    ("""(?is)\s*INSERT\s+INTO\s+graft\.(`[^`]+`|[\w.]+)""" +
+      """\s+REPLACE\s+WHERE\s+(.+?)\s*((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)""").r
+
   // ANALYZE TABLE graft.<name> COMPUTE STATISTICS [FOR COLUMNS a, b] —
   //   retrofit per-dir stats without rewriting data (claimed before the
   //   delegate: Spark's own ANALYZE would fail resolution on graft.*)
@@ -171,6 +181,13 @@ object GraftDdl {
       val statCols = Option(stats).map(_.split(",").toSeq
         .map(c => unquote(c.trim)).filter(_.nonEmpty)).getOrElse(Nil)
       Some(GraftConvert(path, Option(name).map(unquote), statCols))
+    case ReplaceWhereRe(name, pred, query) =>
+      val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft REPLACE WHERE: ${unquote(name)} is not a registered graft table"))
+      require(gen.isEmpty,
+        "graft REPLACE WHERE: cannot write to a @v time-travel reference")
+      Some(GraftReplaceWhere(root, pred.trim, query))
     case AnalyzeRe(name, colsRaw, bloomsRaw) =>
       val (root, gen) = GraftSql.lookup(unquote(name)).getOrElse(
         throw new IllegalArgumentException(

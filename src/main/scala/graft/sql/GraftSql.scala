@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{MultiInstanceRelation, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.optimizer.{CollapseProject, ColumnPruning, PushDownPredicates, RemoveNoopOperators}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -1147,6 +1147,20 @@ case class GraftAnalyze(root: String, cols: Seq[String],
       (if (bloomCols.isEmpty) "" else s" blooms (${bloomCols.mkString(", ")})")
 }
 
+/** Leaf command for `INSERT INTO graft.<name> REPLACE WHERE <pred>
+  * <query>` (the public Delta replaceWhere surface): predicate-scoped
+  * atomic overwrite — delete every row matching the predicate, insert
+  * the query's rows, ONE commit. Carries raw texts: the executor
+  * parses the query with the session parser (so it may reference graft
+  * tables) and the predicate with `expr`, both resolved at run time;
+  * query columns bind POSITIONALLY to the table schema, the SQL insert
+  * contract. */
+case class GraftReplaceWhere(root: String, predText: String,
+    queryText: String) extends LeafCommand {
+  override def simpleString(maxFields: Int): String =
+    s"GraftReplaceWhere $root where=$predText"
+}
+
 /** Partition evolution: record a new slicing expression (None = drop
   * slicing) for future writes; see
   * [[graft.ingest.ManifestCommit.setSlice]]. */
@@ -1222,8 +1236,8 @@ case class GraftDataSkipping(spark: SparkSession)
   private val BloomProbeMaxDirs = 1024
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg: Aggregate if metadataCount(agg).isDefined =>
-      metadataCount(agg).get
+    case agg: Aggregate if metadataAgg(agg).isDefined =>
+      metadataAgg(agg).get
     case Project(ps, Filter(cond, g: GraftRelation)) if ps.forall(_.deterministic) =>
       localOptimize(Project(ps, Filter(cond, expand(g, keptDirs(cond, g)))))
     case Filter(cond, g: GraftRelation) =>
@@ -1331,34 +1345,140 @@ case class GraftDataSkipping(spark: SparkSession)
     kept
   }
 
-  /** `SELECT count(*) FROM graft.t` (no filter, no grouping) answered
-    * from manifest pseudo-stats — zero Spark jobs, zero data I/O; the
-    * SQL face of [[ManifestCommit.tableRowCountOf]]. None (→ ordinary
-    * expansion) when any live dir lacks the row-count stat or carries a
-    * pre-counter deletion vector. */
-  private def metadataCount(agg: Aggregate): Option[LogicalPlan] = {
+  /** Classification of one aggregate output the manifest can serve. */
+  private sealed trait AggSpec
+  private case object CountStar extends AggSpec
+  private case class MinOf(a: AttributeReference) extends AggSpec
+  private case class MaxOf(a: AttributeReference) extends AggSpec
+
+  /** `SELECT count(*) / min(c) / max(c) FROM graft.t` (no filter, no
+    * grouping) answered from manifest stats — the Delta/Iceberg
+    * metadata-only aggregate idea, three tiers:
+    *
+    *  - COUNT(*) from `__rows` minus per-dir DV dead counts (exact
+    *    through deletes — carried from the original count shortcut);
+    *  - MIN/MAX from per-dir min/max stats with ZERO scan when every
+    *    live dir is DV-free and either carries the stat or an
+    *    `__analyzed` marker proving the column is all-null there (a DV
+    *    may have deleted the extreme row, so a DV'd dir's stats are
+    *    bounds, not witnesses — never served from metadata);
+    *  - HYBRID otherwise: scan ONLY the DV'd / unmetered dirs and union
+    *    the metered dirs' stats in as two literal rows (per-column min
+    *    and max), leaving the original Aggregate to fold them — at 100
+    *    TB a `SELECT max(ts)` after a point DELETE reads one dir, not
+    *    the table.
+    *
+    * Sound by construction: stats are EXACT per-dir min/max aggregates
+    * (dirStats/observe), values round-trip through
+    * [[ManifestCommit.parseStatValue]] or the rewrite bails to the
+    * ordinary expansion, and MIN/MAX ignore nulls so all-null dirs
+    * contribute nothing. */
+  private def metadataAgg(agg: Aggregate): Option[LogicalPlan] = {
     if (agg.groupingExpressions.nonEmpty) return None
+    if (agg.aggregateExpressions.isEmpty) return None
     val g = agg.child match {
       case gr: GraftRelation => gr
       case Project(ps, gr: GraftRelation) if ps.forall(_.deterministic) => gr
       case _ => return None
     }
-    def isCountStar(ae: AggregateExpression): Boolean =
-      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-        case c: Count => c.children match {
-          case Seq(l: Literal) => l.value != null
-          case _ => false
+    def specOf(e: NamedExpression): Option[AggSpec] = e match {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case c: Count => c.children match {
+            case Seq(l: Literal) if l.value != null => Some(CountStar)
+            case _ => None
+          }
+          case m: Min => m.child match {
+            case a: AttributeReference if ManifestCommit.statParseable(a.dataType) =>
+              Some(MinOf(a))
+            case _ => None
+          }
+          case m: Max => m.child match {
+            case a: AttributeReference if ManifestCommit.statParseable(a.dataType) =>
+              Some(MaxOf(a))
+            case _ => None
+          }
+          case _ => None
         }
-        case _ => false
-      })
-    val countShaped = agg.aggregateExpressions.forall {
-      case Alias(ae: AggregateExpression, _) => isCountStar(ae)
-      case _ => false
+      case _ => None
     }
-    if (!countShaped || agg.aggregateExpressions.isEmpty) return None
-    ManifestCommit.tableRowCountOf(g.manifest).map { n =>
-      LocalRelation(agg.output,
-        Seq(InternalRow.fromSeq(agg.aggregateExpressions.map(_ => n))))
+    val specOpts = agg.aggregateExpressions.map(specOf)
+    if (specOpts.exists(_.isEmpty)) return None
+    val specs = specOpts.flatten
+    val m = g.manifest
+    val mmCols: Seq[AttributeReference] = specs.collect {
+      case MinOf(a) => a
+      case MaxOf(a) => a
+    }.distinctBy(_.exprId)
+    // stats describe LEAF columns: a min/max arg must be the leaf's own
+    // attribute (by exprId, not name — a derived projection aliased to a
+    // leaf column's name must never read the leaf's stats)
+    if (!mmCols.forall(a => g.output.exists(_.exprId == a.exprId))) return None
+    // a dir is metadata-servable for MIN/MAX iff it is DV-free and, per
+    // column, either records the stat or an ANALYZE marker proves the
+    // column held no values there
+    def statOf(d: String, c: String) =
+      m.stats.getOrElse(d, Nil).find(_.col.equalsIgnoreCase(c))
+    val scanDirs = m.dirs.filter { d =>
+      mmCols.nonEmpty && (m.dvs.contains(d) || {
+        lazy val seen = ManifestCommit.analyzedColsOf(m, d)
+        mmCols.exists(a => statOf(d, a.name).isEmpty &&
+          !seen.exists(_.equalsIgnoreCase(a.name)))
+      })
+    }
+    val statsDirs = m.dirs.filterNot(scanDirs.toSet)
+    // fold the metered dirs' bounds; None = no dir holds a value (the
+    // column is all-null on the stats side — contributes nothing);
+    // a value that fails to round-trip poisons the whole rewrite
+    var poisoned = false
+    def fold(a: AttributeReference, wantMin: Boolean): Option[Any] = {
+      val sts = statsDirs.flatMap(statOf(_, a.name))
+      if (sts.isEmpty) None
+      else {
+        val vals = sts.map(s => if (wantMin) s.min else s.max)
+        val best =
+          if (sts.head.kind == "num") {
+            val ord = Ordering.by((v: String) => new java.math.BigDecimal(v))
+            if (wantMin) vals.min(ord) else vals.max(ord)
+          } else if (wantMin) vals.min else vals.max
+        val parsed = ManifestCommit.parseStatValue(best, a.dataType)
+        if (parsed.isEmpty) poisoned = true
+        parsed
+      }
+    }
+    def toInternal(a: AttributeReference, v: Option[Any]): Any =
+      v.map(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(a.dataType)(_)).orNull
+    if (scanDirs.isEmpty) {
+      // zero-scan: every output comes from the manifest
+      val count: Option[Long] =
+        if (specs.contains(CountStar)) ManifestCommit.tableRowCountOf(m)
+        else Some(0L)
+      if (count.isEmpty) return None
+      val cells = specs.map {
+        case CountStar => count.get
+        case MinOf(a) => toInternal(a, fold(a, wantMin = true))
+        case MaxOf(a) => toInternal(a, fold(a, wantMin = false))
+      }
+      if (poisoned) return None
+      Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(cells))))
+    } else {
+      // hybrid: COUNT can't ride a union (it would double-count), and a
+      // rewrite that scans everything anyway buys nothing
+      if (specs.contains(CountStar)) return None
+      if (statsDirs.isEmpty) return None
+      val minRow = InternalRow.fromSeq(
+        mmCols.map(a => toInternal(a, fold(a, wantMin = true))))
+      val maxRow = InternalRow.fromSeq(
+        mmCols.map(a => toInternal(a, fold(a, wantMin = false))))
+      if (poisoned) return None
+      val localAttrs = mmCols.map(a =>
+        AttributeReference(a.name, a.dataType, nullable = true)())
+      val scanChild = Project(mmCols, expand(g, scanDirs))
+      val union = Union(Seq(scanChild,
+        LocalRelation(localAttrs, Seq(minRow, maxRow))))
+      Some(localOptimize(agg.copy(child = union)))
     }
   }
 }

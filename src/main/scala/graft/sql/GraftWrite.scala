@@ -430,6 +430,24 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
         GraftSql.biRefreshRoot(root)
         ()
       }) :: Nil
+    case GraftReplaceWhere(root, predText, queryText) =>
+      GraftRowOpExec(s"GraftReplaceWhereExec $root", () => {
+        val df = spark.sql(queryText)
+        val m = ManifestCommit.readManifest(spark, root).getOrElse(
+          throw new IllegalArgumentException(
+            s"$root is not a manifest-committed table"))
+        // positional binding to the table schema (the SQL insert
+        // contract); replaceWhere then applies store casts by name
+        val names = m.tableSchema
+          .map(_.fieldNames.toSeq)
+          .getOrElse(ManifestCommit.read(spark, root).schema.fieldNames.toSeq)
+        require(df.columns.length == names.size,
+          s"graft REPLACE WHERE: query provides ${df.columns.length} " +
+            s"columns, table has ${names.size}")
+        MergeInto.replaceWhere(spark, root, df.toDF(names: _*),
+          org.apache.spark.sql.functions.expr(predText))
+        ()
+      }) :: Nil
     case GraftAnalyze(root, cols, bloomCols) =>
       GraftRowOpExec(s"GraftAnalyzeExec $root", () => {
         graft.ingest.Optimize.analyzeStats(spark, root, cols,

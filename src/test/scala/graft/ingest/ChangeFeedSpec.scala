@@ -148,6 +148,29 @@ class ChangeFeedSpec extends SparkSpec {
     assert(stateOf(rep) === stateOf(src), "replayed apply moved the replica")
   }
 
+  test("replication across a REPLACE WHERE commit: one consume/apply, replica converges") {
+    val src = mkTable() // ids 0..99, v = id*2
+    val rep = Files.createTempDirectory("graft_cfspec_").toString + "/rep"
+    val cursor = src + "_cursor"
+    val c1 = ChangeFeed.consume(spark, src, cursor, Seq("id")).get
+    val d0 = ManifestCommit.newDataDir(rep)
+    c1.changes.drop(ChangeFeed.ChangeType).write.parquet(d0)
+    ManifestCommit.commitReplace(spark, rep, Seq(d0), pruneDisplaced = false)
+    ChangeFeed.advanceCursor(spark, cursor, c1.toGen)
+    // ONE replace_where commit: drop ids [20,40), land 5 replacements
+    MergeInto.replaceWhere(spark, src,
+      spark.range(20, 25).toDF("id").withColumn("v", col("id") * 100),
+      col("id") >= 20 && col("id") < 40)
+    val c2 = ChangeFeed.consume(spark, src, cursor, Seq("id")).get
+    // the diff is row-level: 5 upserts (changed v), 15 deletes (21 of
+    // [20,40) removed, 5 re-landed with new values, id 20..24 changed)
+    val res = ChangeFeed.applyTo(spark, rep, c2.changes, Seq("id"))
+    assert(res.deleted === 15L, res.toString)
+    def stateOf(root: String) = ManifestCommit.read(spark, root)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(stateOf(rep) === stateOf(src), "replica diverged across replace_where")
+  }
+
   test("the uniqueness guard reuses the join's Exchange+Sort: guarded and " +
       "assumeUnique plans shuffle the same number of times") {
     val root = mkTable() // gen 1

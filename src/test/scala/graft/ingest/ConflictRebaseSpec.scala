@@ -268,6 +268,64 @@ class ConflictRebaseSpec extends SparkSpec {
       "conflict cleanup should leave no orphan staged dirs")
   }
 
+  test("replaceWhere rebases over a concurrent append provably OUTSIDE the predicate") {
+    val root = rangedTable() // ids 1..100, 101..200
+    val entered = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    // replacement rows gated: replaceWhere blocks after its manifest
+    // read + witness, before the insert write
+    val src = gated(
+      mkDf(st, (50L to 59L).map(i => Row(i, "rw")): _*), entered, proceed)
+    @volatile var res: MergeInto.RowOpResult = null
+    val t = new Thread(() => {
+      res = MergeInto.replaceWhere(spark, root, src,
+        col("id") >= 1 && col("id") <= 100)
+    })
+    t.start()
+    assert(entered.await(60, TimeUnit.SECONDS), "replaceWhere never started")
+    // concurrent append outside [1,100]: stats prove disjoint → rebase
+    val (capp, cstats) = writeDir(root, 301, 400)
+    ManifestCommit.commitAppend(spark, root, capp, stats = cstats)
+    proceed.countDown()
+    t.join(120000)
+    assert(res != null, "replaceWhere did not complete")
+    assert(ids(root) === ((50L to 59L) ++ (101L to 200L) ++ (301L to 400L)).toSet)
+    val m = ManifestCommit.readManifest(spark, root).get
+    assert(m.dirs.contains(new org.apache.hadoop.fs.Path(capp).getName),
+      "concurrent append's dir must survive the replace_where commit")
+  }
+
+  test("replaceWhere aborts on a concurrent append possibly INSIDE the predicate") {
+    val root = rangedTable()
+    val entered = new CountDownLatch(1)
+    val proceed = new CountDownLatch(1)
+    val src = gated(
+      mkDf(st, (50L to 59L).map(i => Row(i, "rw")): _*), entered, proceed)
+    @volatile var failed: Throwable = null
+    val t = new Thread(() => {
+      try MergeInto.replaceWhere(spark, root, src,
+        col("id") >= 1 && col("id") <= 100)
+      catch { case e: Throwable => failed = e }
+    })
+    t.start()
+    assert(entered.await(60, TimeUnit.SECONDS), "replaceWhere never started")
+    // concurrent append INSIDE the replaced range: our commit would
+    // silently delete or double the appended rows — must abort
+    val (capp, cstats) = writeDir(root, 60, 80)
+    ManifestCommit.commitAppend(spark, root, capp, stats = cstats)
+    proceed.countDown()
+    t.join(120000)
+    assert(failed != null &&
+      failed.isInstanceOf[ManifestCommit.ConcurrentCommitException],
+      s"expected ConcurrentCommitException, got $failed")
+    // the append survives untouched; the replace left no trace (ids
+    // 60..80 now legitimately appear twice — 200 + 21 live rows)
+    assert(ids(root) === (1L to 200L).toSet)
+    assert(ManifestCommit.read(spark, root).count() === 221L)
+    assert(ManifestCommit.read(spark, root)
+      .filter(col("v") === "rw").count() === 0L)
+  }
+
   test("compactStates never loses a concurrently-appended state part (lost-update fix)") {
     import IncrementalAgg.Measure
     val root = freshRoot()

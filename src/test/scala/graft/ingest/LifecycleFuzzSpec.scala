@@ -372,7 +372,21 @@ class LifecycleFuzzSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE graft.$name ADD CONSTRAINT amt_nonneg CHECK (amt >= 0)")
 
     (1 to 24).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
+        case 8 => // SQL REPLACE WHERE: re-land an id range in ONE commit
+          val lo = 1L + rnd.nextInt(nextId.toInt.max(1))
+          val hi = lo + rnd.nextInt(8)
+          val repl = (lo to hi).filter(model.contains).map { id =>
+            id -> model(id).copy(v = s"v$id-r$step")
+          }
+          if (repl.nonEmpty) {
+            val values = repl.map { case (id, m) =>
+              s"($id, '${m.v}', ${m.amt})" }.mkString(", ")
+            spark.sql(s"INSERT INTO graft.$name REPLACE WHERE " +
+              s"id >= $lo AND id <= $hi VALUES $values")
+            model = model.filterNot { case (id, _) =>
+              id >= lo && id <= hi } ++ repl
+          }
         case 0 => // SQL INSERT VALUES — fresh ids span multiple slices
           val rows = fresh(1 + rnd.nextInt(10))
           val values = rows.map { case (id, m) =>

@@ -164,4 +164,33 @@ class StatsPredicateSpec extends AnyFunSuite {
     assert(e.disjoint(Seq(ManifestCommit.ColStats("x", "num", "7", "9"))))
     assert(!e.disjoint(Seq(ManifestCommit.ColStats("x", "num", "2", "8"))))
   }
+
+  test("programmatic Column DSL predicates extract: the Spark-4 Column " +
+      "bridge renders operators as UnresolvedFunction calls, which must " +
+      "normalize to the catalyst grammar (round-18 fix: they extracted " +
+      "NOTHING — no pruning, no disjointness proof)") {
+    import org.apache.spark.sql.functions.col
+    def exprOf(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+    val e = StatsPredicate.extract(
+      exprOf(col("id") >= 1 && col("id") <= 100))
+    assert(e.bounds.toSet ===
+      Set(("id", Some("1"), None), ("id", None, Some("100"))))
+    assert(e.disjoint(Seq(ManifestCommit.ColStats("id", "num", "301", "400"))))
+    // equality carries a bloom point; isin carries per-value candidates
+    val eq = StatsPredicate.extract(exprOf(col("k") === "a"))
+    assert(eq.points === Seq(("k", "a")))
+    val in = StatsPredicate.extract(exprOf(col("id").isin(3L, 5L)))
+    assert(in.anyPoints === Seq(("id", Seq(3L, 5L))))
+    // OR + NOT ride the same machinery
+    val or = StatsPredicate.extract(
+      exprOf(col("x") < 5 || col("x") > 20))
+    assert(or.orGroups.nonEmpty)
+    val not = StatsPredicate.extract(exprOf(!(col("x") > 5)))
+    assert(not.bounds === Seq(("x", None, Some("5"))))
+    // an unknown function still contributes nothing (conservative)
+    val opaque = StatsPredicate.extract(
+      exprOf(org.apache.spark.sql.functions.abs(col("x")) > 5))
+    assert(opaque.bounds.isEmpty && opaque.orGroups.isEmpty)
+  }
 }

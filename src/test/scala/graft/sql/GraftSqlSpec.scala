@@ -97,6 +97,87 @@ class GraftSqlSpec extends SparkSpec {
     assert(q3.collect().head.getLong(0) === 300L)
   }
 
+  test("bare MIN/MAX (+COUNT) answer from manifest stats with a LocalRelation plan") {
+    mkTable("sqlspec_minmax")
+    val q = spark.sql(
+      """SELECT min(id) AS mn, max(id) AS mx, count(*) AS n
+        |FROM graft.sqlspec_minmax""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().head.toSeq === Seq(0L, 399L, 400L))
+    // an unmetered column can NOT be served from metadata — full scan,
+    // same answer
+    val q2 = spark.sql("SELECT min(k) AS mn FROM graft.sqlspec_minmax")
+    assert(!q2.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q2.collect().head.getLong(0) === 0L)
+    // a filtered min is NOT metadata-answerable — must expand and agree
+    val q3 = spark.sql(
+      "SELECT max(id) AS mx FROM graft.sqlspec_minmax WHERE id < 250")
+    assert(!q3.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q3.collect().head.getLong(0) === 249L)
+  }
+
+  test("a derived alias sharing a leaf column's name never reads the leaf's stats") {
+    mkTable("sqlspec_mmalias")
+    // inner projection rebinds `id` to id+1000: stats describe the LEAF
+    // id, so serving min from them would answer 0 instead of 1000
+    val q = spark.sql(
+      """SELECT min(id) AS mn
+        |FROM (SELECT id + 1000 AS id FROM graft.sqlspec_mmalias)""".stripMargin)
+    assert(!q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().head.getLong(0) === 1000L)
+  }
+
+  test("MIN/MAX goes hybrid after a DV: scan only the DV'd dir, stats serve the rest") {
+    val root = mkTable("sqlspec_mmdv")
+    // delete the global max — its dir's recorded max is now a bound,
+    // not a witness
+    MergeInto.deleteWhere(spark, root, spark.range(399, 400).toDF("id"))
+    val mx = spark.sql("SELECT max(id) AS mx FROM graft.sqlspec_mmdv")
+    assert(!mx.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(scannedDirs(mx).size === 1,
+      s"hybrid must scan ONLY the DV'd dir: ${scannedDirs(mx)}")
+    assert(mx.collect().head.getLong(0) === 398L)
+    // min rides the same scan set; its value comes from the stats side
+    val mn = spark.sql("SELECT min(id) AS mn FROM graft.sqlspec_mmdv")
+    assert(scannedDirs(mn).size === 1)
+    assert(mn.collect().head.getLong(0) === 0L)
+    // mixed COUNT+MIN can't ride the hybrid union (count would double-
+    // count) — ordinary expansion, same answers
+    val both = spark.sql(
+      "SELECT count(*) AS n, min(id) AS mn FROM graft.sqlspec_mmdv")
+    assert(!both.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(both.collect().head.toSeq === Seq(399L, 0L))
+    // bare COUNT(*) stays metadata-only through the DV (dead counts)
+    val n = spark.sql("SELECT count(*) AS n FROM graft.sqlspec_mmdv")
+    assert(n.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(n.collect().head.getLong(0) === 399L)
+  }
+
+  test("metadata MIN/MAX round-trips strings and timestamps") {
+    val root = Files.createTempDirectory("graft_sqlspec_").toString + "/t"
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("s", concat(lit("key_"), format_string("%03d", col("id"))))
+      .withColumn("ts", to_timestamp(
+        concat(lit("2024-01-"), format_string("%02d", col("id") % 28 + 1),
+          lit(" 12:30:00"))))
+    val slice = floor(col("id") / lit(50))
+    val dirs = ManifestCommit.writeSliced(spark, root, df, slice,
+      Seq("s", "ts", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema))
+    GraftSql.register("sqlspec_mmtypes", root)
+    val q = spark.sql(
+      """SELECT min(s) AS mns, max(s) AS mxs, min(ts) AS mnt, max(ts) AS mxt
+        |FROM graft.sqlspec_mmtypes""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      q.queryExecution.optimizedPlan.toString)
+    val want = ManifestCommit.read(spark, root)
+      .agg(min("s"), max("s"), min("ts"), max("ts")).collect().head
+    assert(q.collect().head.toSeq === want.toSeq)
+  }
+
   test("deletion vectors apply to SQL reads, including pruned ones") {
     val root = mkTable("sqlspec_dv")
     MergeInto.deleteWhere(spark, root,
