@@ -735,10 +735,14 @@ object ManifestCommit {
     val newSchema = org.apache.spark.sql.types.StructType(cur.fields.map(f =>
       if (f.name == fromCanon) f.copy(name = to) else f))
     // per-dir stats re-key to the new logical name in the same commit
-    // (skipping resolves by logical name); pseudo/expression stats and
-    // other columns carry unchanged
+    // (skipping resolves by logical name), INCLUDING the column's
+    // non-null counter; pseudo/expression stats and other columns carry
+    // unchanged
     val newStats = m.stats.map { case (d, cs) =>
-      d -> cs.map(c => if (c.col == fromCanon) c.copy(col = to) else c)
+      d -> cs.map(c =>
+        if (c.col == fromCanon) c.copy(col = to)
+        else if (c.col == nnStat(fromCanon)) c.copy(col = nnStat(to))
+        else c)
     }
     val m2 = Manifest(m.gen + 1, m.dirs, newStats, Some(newSchema),
       Some("rename_column"), m.dvs, m.txns, m.slice, m.checks,
@@ -2357,7 +2361,7 @@ object ManifestCommit {
     // rewrite whose statCols inherit `__rows` from the prior manifest
     // keeps the manifest-only COUNT(*) alive instead of crashing on a
     // nonexistent column
-    val real = cols.filterNot(PseudoStats)
+    val real = cols.filterNot(isPseudoStat)
     val wantRows = cols.contains(RowCountStat)
     // a PSEUDO-ONLY request (statCols inherited from a dir whose only
     // recorded stat is __bytes — e.g. MERGE into a table with no
@@ -2375,14 +2379,20 @@ object ManifestCommit {
     val df = colmap.foldLeft(df0) { case (d, (log, phys)) =>
       if (log != phys) d.withColumnRenamed(phys, log) else d
     }
-    val aggs = real.flatMap(c => Seq(min(statCol(df, c)), max(statCol(df, c)))) ++
+    // min/max + NON-NULL count per column, one aggregate pass (the
+    // count is what IS NULL skipping, metadata COUNT(c) and predicate
+    // DML's no-nulls witness read — see [[NullCountPrefix]])
+    val aggs = real.flatMap(c => Seq(min(statCol(df, c)),
+      max(statCol(df, c)), count(statCol(df, c)))) ++
       (if (wantRows) Seq(count(lit(1))) else Nil)
     val aggDf = df.agg(aggs.head, aggs.tail: _*)
     val row = aggDf.collect()(0)
     val base = real.zipWithIndex.flatMap { case (c, i) =>
-      colStatsOf(c, aggDf.schema(2 * i).dataType, row.get(2 * i), row.get(2 * i + 1))
+      val nn = row.getLong(3 * i + 2)
+      colStatsOf(c, aggDf.schema(3 * i).dataType, row.get(3 * i), row.get(3 * i + 1))
+        .toSeq :+ ColStats(nnStat(c), "num", nn.toString, nn.toString)
     } ++ (if (wantRows) {
-      val n = row.getLong(2 * real.size)
+      val n = row.getLong(3 * real.size)
       Seq(ColStats(RowCountStat, "num", n.toString, n.toString))
     } else Nil)
     // exact on-disk bytes ride every metered dir (one driver-side
@@ -2572,7 +2582,7 @@ object ManifestCommit {
       .write.partitionBy("__slice").parquet(staging)
     val dirColmap = readManifest(spark, root).map(_.colmap).getOrElse(Map.empty)
     val f = fs(spark, root)
-    val real = statCols.filterNot(PseudoStats)
+    val real = statCols.filterNot(isPseudoStat)
     val wantRows = statCols.contains(RowCountStat)
     // the per-slice stat MATCH is keyed on Spark's own cast-to-string of
     // the slice value — the exact rendering partitionBy used for the dir
@@ -2586,7 +2596,8 @@ object ManifestCommit {
       if (statCols.isEmpty) Map.empty
       else {
         val aggs = real.flatMap(c =>
-          Seq(min(statCol(df, c)), max(statCol(df, c)))) ++
+          Seq(min(statCol(df, c)), max(statCol(df, c)),
+            count(statCol(df, c)))) ++
           (if (wantRows) Seq(count(lit(1))) else Nil)
         df.groupBy(slice.cast("string").as("__slice"))
           .agg(aggs.head, aggs.tail: _*)
@@ -2603,10 +2614,12 @@ object ManifestCommit {
       f.rename(st.getPath, new Path(d))
       val stats = statRows.get(key).map { r =>
         real.zipWithIndex.flatMap { case (c, i) =>
-          colStatsOf(c, r.schema(1 + 2 * i).dataType,
-            r.get(1 + 2 * i), r.get(2 + 2 * i))
+          val nn = r.getLong(3 + 3 * i)
+          colStatsOf(c, r.schema(1 + 3 * i).dataType,
+            r.get(1 + 3 * i), r.get(2 + 3 * i)).toSeq :+
+            ColStats(nnStat(c), "num", nn.toString, nn.toString)
         } ++ (if (wantRows) {
-          val n = r.getLong(1 + 2 * real.size)
+          val n = r.getLong(1 + 3 * real.size)
           Seq(ColStats(RowCountStat, "num", n.toString, n.toString))
         } else Nil)
       }.getOrElse {
@@ -2775,6 +2788,33 @@ object ManifestCommit {
   val PseudoStats: Set[String] = Set(RowCountStat, DvDeadStat, PartStat,
     BytesStat, AnalyzedStat)
 
+  /** Per-column NON-NULL COUNT stats (round 18, the Delta/Iceberg
+    * nullCount idea): every metered column `c` records a companion
+    * `__nn_c` entry (min == max == exact non-null count, same aggregate
+    * pass as min/max, so the cost is a column in an existing job). What
+    * it arms — none of which min/max can serve:
+    *  - `c IS NULL` prunes dirs whose non-null count equals their row
+    *    count (no nulls there); `c IS NOT NULL` prunes all-null dirs;
+    *  - metadata-only `COUNT(c)` (sum of non-null counts, zero scan);
+    *  - the NO-NULLS witness predicate DML needs to prove "every row in
+    *    this dir satisfies the predicate" — min/max bounds only speak
+    *    for non-null values, so without `__nn_c == __rows` a whole-dir
+    *    drop could destroy rows where the predicate evaluates NULL. */
+  val NullCountPrefix = "__nn_"
+  def nnStat(c: String): String = NullCountPrefix + c
+
+  /** A stat entry name that is NOT a data column (fixed pseudo names or
+    * a per-column non-null counter). */
+  def isPseudoStat(c: String): Boolean =
+    PseudoStats(c) || c.startsWith(NullCountPrefix)
+
+  /** The data column a recorded stat entry meters: `__nn_x` -> `x`,
+    * fixed pseudo names and plain columns unchanged — stat-column
+    * INHERITANCE derives its request from recorded entry names, and a
+    * dropped `__nn_x` must re-request `x`, not vanish. */
+  def baseStatCol(c: String): String =
+    if (c.startsWith(NullCountPrefix)) c.stripPrefix(NullCountPrefix) else c
+
   /** The dir's hive partition suffix when it is a hive-nested convert
     * ([[PartStat]]), None for ordinary flat dirs. */
   def partSuffixOf(m: Manifest, dir: String): Option[String] =
@@ -2911,7 +2951,8 @@ object ManifestCommit {
     * callers read the kept set DV-aware via [[readDirsOf]]. */
   def prunedDirsOf(m: Manifest,
       bounds: Seq[(String, Option[String], Option[String])],
-      orGroups: Seq[Seq[Seq[(String, Option[String], Option[String])]]] = Nil)
+      orGroups: Seq[Seq[Seq[(String, Option[String], Option[String])]]] = Nil,
+      extraOff: Seq[ColStats] => Boolean = _ => false)
       : Seq[String] =
     m.dirs.filter { d =>
       val st = m.stats.getOrElse(d, Nil)
@@ -2920,8 +2961,10 @@ object ManifestCommit {
       // conjunctive bounds AND, per OR group, at least one branch whose
       // bounds all overlap (StatsPredicate.Extracted.orGroups — the
       // disjunctive-skipping shape `x < 5 OR x > 20` that no single
-      // envelope can serve)
-      bounds.forall(ov) && orGroups.forall(g => g.exists(_.forall(ov)))
+      // envelope can serve); `extraOff` disproves on the full stat list
+      // (nullness conjuncts against the per-column non-null counters)
+      bounds.forall(ov) && orGroups.forall(g => g.exists(_.forall(ov))) &&
+        !extraOff(st)
     }
 
   /** Pinned-manifest bloom point-lookup: [[resolveBloom]]'s kept NAMES

@@ -270,7 +270,7 @@ object MergeInto {
     // preserve kept dirs' stats; the SAME cols for the new dir are
     // metered by observe on the write pass itself — no post-write
     // dirStats re-read of the dir we just produced
-    val statCols = m.stats.values.flatten.map(_.col).toSeq.distinct match {
+    val statCols = m.stats.values.flatten.map(s => ManifestCommit.baseStatCol(s.col)).toSeq.distinct match {
       case Nil => keys
       case cs => cs
     }
@@ -290,7 +290,10 @@ object MergeInto {
       if (cols.contains(c)) col(c) else org.apache.spark.sql.functions.expr(c)
     val statAggs = realStatCols.flatMap(c => Seq(
       min(when(written, statCol(c, outCols))).as(s"__mn_$c"),
-      max(when(written, statCol(c, outCols))).as(s"__mx_$c")))
+      max(when(written, statCol(c, outCols))).as(s"__mx_$c"),
+      // non-null counter, same pass — observe-computed stats stay
+      // interchangeable with a dirStats re-read (MergeIntoSpec pins it)
+      count(when(written, statCol(c, outCols))).as(s"__nn_$c")))
     val out = joined
       .select((outCols.map(c => when(action === "keep", tgt(c)).otherwise(src(c)).as(c)) :+
         action.as("__action")): _*)
@@ -327,6 +330,9 @@ object MergeInto {
             .schema.head.dataType
         ManifestCommit.colStatsOf(c, dt,
           metrics.get(s"__mn_$c").orNull, metrics.get(s"__mx_$c").orNull)
+          .toSeq :+ ColStats(ManifestCommit.nnStat(c), "num",
+            metrics.get(s"__nn_$c").map(_.toString).getOrElse("0"),
+            metrics.get(s"__nn_$c").map(_.toString).getOrElse("0"))
       } ++ (if (wantRows)
         Seq(ColStats(ManifestCommit.RowCountStat, "num",
           (upd + ins + keep).toString, (upd + ins + keep).toString))
@@ -670,8 +676,10 @@ object MergeInto {
     val bucketBounds = ManifestCommit.bucketBoundsOf(
       m.slice, ex.points,
       c => tSchema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+    // extraOff = ex.disjoint: strict-aware disproof (open bounds,
+    // or-groups, nullness counters); closed tuples carry bucket bounds
     var cand = ManifestCommit.prunedDirsOf(m,
-      ex.bounds ++ bucketBounds, ex.orGroups)
+      ex.bounds ++ bucketBounds, ex.orGroups, ex.disjoint)
     // bloom probes coerce to the COLUMN's type or skip (coerceExact):
     // the programmatic path carries UNRESOLVED literals, and a
     // wrong-typed probe reads false from every bloom — pruning dirs
@@ -703,11 +711,59 @@ object MergeInto {
     if (cand.isEmpty && insert.isEmpty)
       return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 
+    // WHOLE-DIR FAST PATH for delete-shaped ops (round 18, the Delta
+    // partition-delete idea): a candidate dir is dropped WITHOUT being
+    // read — not even by the witness — when stats prove every row in it
+    // satisfies the predicate:
+    //  (a) extract(NOT cond) is DISJOINT from the dir's stats: no row
+    //      can satisfy the predicate's negation, and
+    //  (b) every column the predicate REFERENCES is proven null-free
+    //      there (`__nn_c == __rows`) — min/max bounds speak only for
+    //      non-null values, and a row where the predicate evaluates
+    //      NULL satisfies neither side and must be KEPT, so without the
+    //      no-nulls witness the drop would destroy it.
+    // A DV'd dir stays eligible: its file-level counters include dead
+    // rows, and "every file row matches" implies every LIVE row does.
+    // `DELETE FROM t WHERE month = X` on a month-sliced table is then
+    // ZERO Spark jobs — a pure metadata commit. UPDATE gains nothing
+    // (it must rewrite the rows anyway) and stays on the witness path.
+    val fastEligible = op == "delete" || op == "replace_where"
+    val refCols: Set[String] =
+      if (!fastEligible) Set.empty
+      else org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts.length == 1 => a.name
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }.flatMap(n => tSchema.fieldNames.find(_.equalsIgnoreCase(n))).toSet
+    lazy val exNot = StatsPredicate.extract(
+      org.apache.spark.sql.catalyst.expressions.Not(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond)))
+      .restrict(names)
+    def statN(d: String, c: String): Option[Long] =
+      m.stats.getOrElse(d, Nil).find(_.col == c)
+        .flatMap(s => scala.util.Try(s.min.toLong).toOption)
+    def fullCover(d: String): Boolean = {
+      val st = m.stats.getOrElse(d, Nil)
+      val rows = statN(d, ManifestCommit.RowCountStat)
+      refCols.nonEmpty && rows.isDefined && exNot.disjoint(st) &&
+        refCols.forall(c =>
+          statN(d, ManifestCommit.nnStat(c)).contains(rows.get))
+    }
+    val (covered, candRest) =
+      if (fastEligible) cand.partition(fullCover) else (Nil, cand)
+    val coveredMatched: Long = covered.map(d =>
+      statN(d, ManifestCommit.RowCountStat).getOrElse(0L) -
+        (if (m.dvs.contains(d))
+           statN(d, ManifestCommit.DvDeadStat).getOrElse(0L)
+         else 0L)).sum
+
     // exact matched-dir witness on the plain candidates, one job per
     // layout group (hive-nested converted dirs scan apart from flat
     // ones — mixing the two in one read raises "conflicting directory
     // structures")
-    val (dvCand, plainCand) = cand.partition(m.dvs.contains)
+    val (dvCand, plainCand) = candRest.partition(m.dvs.contains)
     // the witness identifies dirs by the data-dir BASENAME from the file
     // path ([[ManifestCommit.dirIdCol]], nesting-proof) — map back to
     // the manifest's entry string (a clone's external entries are
@@ -746,18 +802,22 @@ object MergeInto {
             .filter(cond)
             .select("__dir").distinct().collect().map(_.getString(0)).toSeq
       }.flatMap(byBase.get)
-    val affected = (matchedPlain ++ dvCand).sorted
+    val witnessed = (matchedPlain ++ dvCand).sorted
+    val affected = (witnessed ++ covered).sorted
     if (affected.isEmpty && insert.isEmpty)
       return RowOpResult(m.gen, m.dirs.size, 0, 0L)
 
     val sliceComps =
       m.slice.map(ManifestCommit.sliceComponents(_).toSet).getOrElse(Set.empty)
-    val statCols = m.stats.values.flatten.map(_.col).toSeq.distinct
+    val statCols = m.stats.values.flatten.map(s => ManifestCommit.baseStatCol(s.col)).toSeq.distinct
       .filter(c => c == ManifestCommit.RowCountStat ||
         (!ManifestCommit.PseudoStats(c) && (names(c) || sliceComps(c))))
-    val (delAdded, matched): (Seq[String], Long) = if (affected.isEmpty) (Nil, 0L)
+    // the survivor rewrite reads ONLY the witnessed dirs — fully-covered
+    // dirs are displaced whole, their row counts folded in from stats
+    val (delAdded, matched): (Seq[String], Long) =
+      if (witnessed.isEmpty) (Nil, coveredMatched)
     else {
-      val src = ManifestCommit.readDirsOf(spark, root, m, affected, Some(tSchema))
+      val src = ManifestCommit.readDirsOf(spark, root, m, witnessed, Some(tSchema))
       val obs = Observation()
       val out = transform(src.observe(obs,
         sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L)).as("matched"),
@@ -781,7 +841,7 @@ object MergeInto {
       // removes rows and needs no proof)
       if (op == "update")
         ManifestCommit.validateWrittenChecks(spark, root, m.checks, added, "UPDATE")
-      (added, hit)
+      (added, hit + coveredMatched)
     }
     // REPLACE WHERE's insert side: the new rows land in the table's own
     // layout (sliced when one is recorded), are proven to CONFORM to the

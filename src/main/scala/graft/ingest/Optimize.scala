@@ -425,12 +425,15 @@ object Optimize {
           org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond))
       if (names.isEmpty) e1 else e1.restrict(names)
     }
+    // extraOff = ex.disjoint (round 18): strict bounds, or-group and
+    // nullness-counter disproofs narrow the maintenance scope the same
+    // way they narrow reads — still widening-only for unparseable shapes
     ManifestCommit.prunedDirsOf(m,
       ex.bounds ++
         ManifestCommit.bucketBoundsOf(m.slice, ex.points,
           c => m.tableSchema.flatMap(_.fields
             .find(_.name.equalsIgnoreCase(c)).map(_.dataType))),
-      ex.orGroups).toSet
+      ex.orGroups, ex.disjoint).toSet
   }
 
   /** PREDICATE-SCOPED Z-ORDER (the Delta `OPTIMIZE t WHERE p ZORDER BY
@@ -838,7 +841,12 @@ object Optimize {
     val targets = m.dirs.filter { d =>
       val have = m.stats.getOrElse(d, Nil).map(_.col).toSet
       val seen = analyzedSet(d)
-      !(canon.forall(c => have(c) || seen(c)) &&
+      // complete per column: a bound (or looked-and-null marker) AND the
+      // non-null counter (round 18 — a pre-counter dir re-meters once so
+      // IS NULL skipping / COUNT(c) / whole-dir DML proofs arm on it;
+      // a footer-absent column is covered by the marker alone)
+      !(canon.forall(c => (have(c) || seen(c)) &&
+          (have(ManifestCommit.nnStat(c)) || seen(c))) &&
         have(ManifestCommit.RowCountStat) && have(ManifestCommit.BytesStat))
     }
     if (targets.isEmpty) return m // fully metered — commit nothing

@@ -1853,6 +1853,189 @@ object SqlGates {
     } finally GraftSql.unregister(name)
   }
 
+  /** q176 — per-column NULL-COUNT stats (round 18, the Delta/Iceberg
+    * nullCount idea): every metered column records an exact non-null
+    * counter in the same aggregate pass, arming (a) metadata-only
+    * COUNT(col) — zero jobs, LocalRelation pinned — and (b) IS NULL /
+    * IS NOT NULL dir skipping, which min/max stats can never serve
+    * (pinned: the null probe plans ONLY the one dir that actually holds
+    * nulls, out of 4 modulus stripes). */
+  val q176_null_stats = Q(
+    "q176_null_stats",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(CASE WHEN o_orderkey % 4 = 1 AND o_orderkey % 3 = 0
+      |    THEN NULL ELSE o_orderpriority END) AS BIGINT) AS n_filled,
+      |  1 AS count_local, 0 AS probe_jobs, 1 AS null_probe_pruned
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q176_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    // `note` is null ONLY on stripe 1 (o_orderkey%4==1, every 3rd key):
+    // three of the four dirs are provably null-free
+    val df = orders.withColumn("note",
+      when(pmod(col("o_orderkey"), lit(4)) === 1 &&
+        pmod(col("o_orderkey"), lit(3)) === 0, lit(null))
+        .otherwise(col("o_orderpriority")))
+    val slice = pmod(col("o_orderkey"), lit(4))
+    val dirs = ManifestCommit.writeSliced(s, root, df, slice,
+      Seq("o_orderkey", "note", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema),
+      slice = Some(ManifestCommit.sliceSql(slice)))
+    val name = uniq("graft_q176")
+    GraftSql.register(name, root)
+    val group = s"q176_probe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            group == e.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      // probe 1: COUNT(note) + COUNT(*) from the counters — zero jobs
+      s.sparkContext.setJobGroup(group, "metadata COUNT(col) probe", false)
+      val (row, isLocal) = try {
+        val q = s.sql(
+          s"SELECT count(*) AS n, count(note) AS nf FROM graft.$name")
+        (q.collect()(0), q.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      } finally s.sparkContext.clearJobGroup()
+      // probe 2: IS NULL plans only the null-bearing stripe
+      val nullProbe = s.sql(
+        s"SELECT o_orderkey FROM graft.$name WHERE note IS NULL")
+      val prunedOk = scannedDataDirs(nullProbe, root) == 1
+      Thread.sleep(500)
+      s.range(1).select(
+        lit(row.getLong(0)).as("n_rows"),
+        lit(row.getLong(1)).as("n_filled"),
+        lit(if (isLocal) 1 else 0).as("count_local"),
+        lit(jobs.get()).as("probe_jobs"),
+        lit(if (prunedOk) 1 else 0).as("null_probe_pruned"))
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      GraftSql.unregister(name)
+    }
+  }
+
+  /** q177 — metadata-only PARTITION DROP (round 18): `DELETE FROM t
+    * WHERE <whole month>` proves every candidate dir fully covered —
+    * strict-bound negation disjointness + the per-column non-null
+    * counters (a row where the predicate evaluates NULL must survive,
+    * so the no-nulls witness is part of the proof) — and displaces the
+    * month dir in a pure metadata commit: ZERO Spark jobs pinned. The
+    * partition-retention shape every 100-TB table runs nightly. */
+  val q177_partition_drop = Q(
+    "q177_partition_drop",
+    """SELECT CAST(count(*) AS BIGINT) AS n_after,
+      |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS revenue_after,
+      |  0 AS delete_jobs, 1 AS dir_dropped
+      |FROM orders
+      |WHERE NOT (o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00')""".stripMargin) {
+    (s, dir) =>
+    val (root, name, _) = ordersTable(s, dir, "graft_q177_")
+    val m1 = ManifestCommit.readManifest(s, root).get
+    val group = s"q177_probe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            group == e.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      s.sparkContext.setJobGroup(group, "partition-drop DELETE probe", false)
+      try s.sql(s"DELETE FROM graft.$name WHERE " +
+        "o_orderdate >= TIMESTAMP '1997-03-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP '1997-04-01 00:00:00'")
+      finally s.sparkContext.clearJobGroup()
+      Thread.sleep(500)
+      val m2 = ManifestCommit.readManifest(s, root).get
+      val dropped = m2.dirs.size == m1.dirs.size - 1 &&
+        m1.dirs.toSet.intersect(m2.dirs.toSet).size == m2.dirs.size
+      val agg = ManifestCommit.read(s, root).agg(
+        count(lit(1)),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .collect()(0)
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n_after"),
+        lit(agg.getDouble(1)).as("revenue_after"),
+        lit(jobs.get()).as("delete_jobs"),
+        lit(if (dropped) 1 else 0).as("dir_dropped"))
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      GraftSql.unregister(name)
+    }
+  }
+
+  /** q178 — GROUP-BY-partition-key rollup from the manifest (round 18,
+    * the public Spark OptimizeMetadataOnlyQuery / Iceberg
+    * partition-rollup idea on stats): on a table sliced by an identity
+    * column, `SELECT key, count(*), min(x), max(x) GROUP BY key` folds
+    * per-dir constants + counters + bounds driver-side — LocalRelation
+    * plan, ZERO Spark jobs, both pinned. The BI daily-counts dashboard
+    * over a 100-TB sliced table becomes a metadata read. */
+  val q178_group_rollup = Q(
+    "q178_group_rollup",
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+      |  cast(min(o_totalprice) as double) AS min_price,
+      |  cast(max(o_totalprice) as double) AS max_price,
+      |  1 AS rollup_local, 0 AS probe_jobs
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val root = tmpDir("graft_q178_") + "/orders"
+    val orders = Tables.load(s, dir, "orders")
+    val slice = col("o_orderstatus")
+    val dirs = ManifestCommit.writeSliced(s, root, orders, slice,
+      Seq("o_orderstatus", "o_totalprice", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(s, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(orders.schema),
+      slice = Some(ManifestCommit.sliceSql(slice)))
+    val name = uniq("graft_q178")
+    GraftSql.register(name, root)
+    val group = s"q178_probe_${java.util.UUID.randomUUID().toString.take(8)}"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (e.properties != null &&
+            group == e.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet(); ()
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      s.sparkContext.setJobGroup(group, "metadata GROUP BY rollup probe", false)
+      val (rows, isLocal) = try {
+        val q = s.sql(
+          s"""SELECT o_orderstatus AS status, count(*) AS n,
+             |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+             |FROM graft.$name GROUP BY o_orderstatus""".stripMargin)
+        (q.collect(), q.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      } finally s.sparkContext.clearJobGroup()
+      Thread.sleep(500)
+      val sorted = rows.sortBy(_.getString(0)).toSeq
+      s.createDataFrame(sorted.map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))))
+        .toDF("status", "n", "min_price", "max_price")
+        .withColumn("rollup_local", lit(if (isLocal) 1 else 0))
+        .withColumn("probe_jobs", lit(jobs.get()))
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      GraftSql.unregister(name)
+    }
+  }
+
   val all: Seq[Q] = Seq(q144_sql_skipping, q145_sql_count, q146_sql_join,
     q148_sql_dml, q149_sql_merge, q151_sql_ddl, q154_timestamp_travel,
     q155_sql_restore, q157_check_constraints, q158_shallow_clone,
@@ -1860,5 +2043,6 @@ object SqlGates {
     q162_convert_multilevel, q163_rename_column, q164_stream_sliced_sink,
     q165_alter_column_type, q167_optimize_where, q169_optimize_where_zorder,
     q170_partition_evolution, q171_analyze_stats, q172_analyze_blooms,
-    q173_zorder_rank, q174_sql_minmax, q175_replace_where)
+    q173_zorder_rank, q174_sql_minmax, q175_replace_where,
+    q176_null_stats, q177_partition_drop, q178_group_rollup)
 }

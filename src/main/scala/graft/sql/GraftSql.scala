@@ -349,7 +349,7 @@ case class GraftResolveRelations(spark: SparkSession)
             stat(d, ManifestCommit.BytesStat).map(Long.box).orNull,
             m.dvs.get(d).orNull,
             m.stats.getOrElse(d, Nil)
-              .filterNot(s => ManifestCommit.PseudoStats(s.col))
+              .filterNot(s => ManifestCommit.isPseudoStat(s.col))
               .map(s => s.col -> s"[${s.min}, ${s.max}]").toMap)
         }
         spark.createDataFrame(
@@ -946,8 +946,14 @@ case class GraftResolveRelations(spark: SparkSession)
           case r: CommonExpressionRef => defs(r.id)
         }
     }
+    // normalize casts WHILE the condition is still resolved (fold
+    // literal-side casts, unwrap injective column-side casts): the
+    // name-rekeying below loses the child types the unwrap needs, and
+    // an analyzer-inserted ntz↔ltz cast would otherwise make the DML
+    // condition extract nothing — no pruning, no whole-dir proof
     org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      inlineWith(e).transform {
+      graft.ingest.StatsPredicate.normalizeAnalyzedCasts(inlineWith(e))
+        .transform {
         case a: AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
       })
@@ -1309,8 +1315,11 @@ case class GraftDataSkipping(spark: SparkSession)
     val bucketBounds = ManifestCommit.bucketBoundsOf(
       g.manifest.slice, ex.points,
       c => g.output.find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+    // extraOff = ex.disjoint: the STRICT-aware disproof (open bounds,
+    // or-groups, nullness counters) — the closed tuple channel still
+    // carries the bucket-component bounds
     var kept = ManifestCommit.prunedDirsOf(g.manifest,
-      ex.bounds ++ bucketBounds, ex.orGroups)
+      ex.bounds ++ bucketBounds, ex.orGroups, ex.disjoint)
     // bloom probes are TYPE-SENSITIVE: the value must coerce LOSSLESSLY
     // to the column's own type (ManifestCommit.coerceExact) or the
     // probe is skipped — a String "1" against a long column's bloom
@@ -1348,8 +1357,35 @@ case class GraftDataSkipping(spark: SparkSession)
   /** Classification of one aggregate output the manifest can serve. */
   private sealed trait AggSpec
   private case object CountStar extends AggSpec
+  private case class CountCol(a: AttributeReference) extends AggSpec
   private case class MinOf(a: AttributeReference) extends AggSpec
   private case class MaxOf(a: AttributeReference) extends AggSpec
+
+  private def aggSpecOf(e: NamedExpression): Option[AggSpec] = e match {
+    case Alias(ae: AggregateExpression, _)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case c: Count => c.children match {
+          case Seq(l: Literal) if l.value != null => Some(CountStar)
+          // COUNT(c) = non-null count: served by the per-column
+          // __nn_ counters (any column type — no parse round-trip)
+          case Seq(a: AttributeReference) => Some(CountCol(a))
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference if ManifestCommit.statParseable(a.dataType) =>
+            Some(MinOf(a))
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference if ManifestCommit.statParseable(a.dataType) =>
+            Some(MaxOf(a))
+          case _ => None
+        }
+        case _ => None
+      }
+    case _ => None
+  }
 
   /** `SELECT count(*) / min(c) / max(c) FROM graft.t` (no filter, no
     * grouping) answered from manifest stats — the Delta/Iceberg
@@ -1374,36 +1410,14 @@ case class GraftDataSkipping(spark: SparkSession)
     * ordinary expansion, and MIN/MAX ignore nulls so all-null dirs
     * contribute nothing. */
   private def metadataAgg(agg: Aggregate): Option[LogicalPlan] = {
-    if (agg.groupingExpressions.nonEmpty) return None
+    if (agg.groupingExpressions.nonEmpty) return metadataGroupedAgg(agg)
     if (agg.aggregateExpressions.isEmpty) return None
     val g = agg.child match {
       case gr: GraftRelation => gr
       case Project(ps, gr: GraftRelation) if ps.forall(_.deterministic) => gr
       case _ => return None
     }
-    def specOf(e: NamedExpression): Option[AggSpec] = e match {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case c: Count => c.children match {
-            case Seq(l: Literal) if l.value != null => Some(CountStar)
-            case _ => None
-          }
-          case m: Min => m.child match {
-            case a: AttributeReference if ManifestCommit.statParseable(a.dataType) =>
-              Some(MinOf(a))
-            case _ => None
-          }
-          case m: Max => m.child match {
-            case a: AttributeReference if ManifestCommit.statParseable(a.dataType) =>
-              Some(MaxOf(a))
-            case _ => None
-          }
-          case _ => None
-        }
-      case _ => None
-    }
-    val specOpts = agg.aggregateExpressions.map(specOf)
+    val specOpts = agg.aggregateExpressions.map(aggSpecOf)
     if (specOpts.exists(_.isEmpty)) return None
     val specs = specOpts.flatten
     val m = g.manifest
@@ -1411,21 +1425,29 @@ case class GraftDataSkipping(spark: SparkSession)
       case MinOf(a) => a
       case MaxOf(a) => a
     }.distinctBy(_.exprId)
-    // stats describe LEAF columns: a min/max arg must be the leaf's own
-    // attribute (by exprId, not name — a derived projection aliased to a
-    // leaf column's name must never read the leaf's stats)
-    if (!mmCols.forall(a => g.output.exists(_.exprId == a.exprId))) return None
-    // a dir is metadata-servable for MIN/MAX iff it is DV-free and, per
-    // column, either records the stat or an ANALYZE marker proves the
-    // column held no values there
+    val ccCols: Seq[AttributeReference] = specs.collect {
+      case CountCol(a) => a
+    }.distinctBy(_.exprId)
+    // stats describe LEAF columns: a min/max/count arg must be the
+    // leaf's own attribute (by exprId, not name — a derived projection
+    // aliased to a leaf column's name must never read the leaf's stats)
+    if (!(mmCols ++ ccCols).forall(a =>
+      g.output.exists(_.exprId == a.exprId))) return None
+    // a dir is metadata-servable iff it is DV-free (a DV may have
+    // deleted the extreme row / rows of unknown nullness) and, per
+    // min/max column, either records the stat or an ANALYZE marker
+    // proves the column held no values there; per count column, records
+    // the non-null counter
     def statOf(d: String, c: String) =
       m.stats.getOrElse(d, Nil).find(_.col.equalsIgnoreCase(c))
     val scanDirs = m.dirs.filter { d =>
-      mmCols.nonEmpty && (m.dvs.contains(d) || {
+      ((mmCols.nonEmpty || ccCols.nonEmpty) && m.dvs.contains(d)) || {
         lazy val seen = ManifestCommit.analyzedColsOf(m, d)
         mmCols.exists(a => statOf(d, a.name).isEmpty &&
-          !seen.exists(_.equalsIgnoreCase(a.name)))
-      })
+          !seen.exists(_.equalsIgnoreCase(a.name))) ||
+          ccCols.exists(a =>
+            statOf(d, ManifestCommit.nnStat(a.name)).isEmpty)
+      }
     }
     val statsDirs = m.dirs.filterNot(scanDirs.toSet)
     // fold the metered dirs' bounds; None = no dir holds a value (the
@@ -1458,6 +1480,10 @@ case class GraftDataSkipping(spark: SparkSession)
       if (count.isEmpty) return None
       val cells = specs.map {
         case CountStar => count.get
+        case CountCol(a) =>
+          // every dir passed the nn-presence check above
+          statsDirs.map(d => statOf(d, ManifestCommit.nnStat(a.name))
+            .get.min.toLong).sum
         case MinOf(a) => toInternal(a, fold(a, wantMin = true))
         case MaxOf(a) => toInternal(a, fold(a, wantMin = false))
       }
@@ -1466,7 +1492,8 @@ case class GraftDataSkipping(spark: SparkSession)
     } else {
       // hybrid: COUNT can't ride a union (it would double-count), and a
       // rewrite that scans everything anyway buys nothing
-      if (specs.contains(CountStar)) return None
+      if (specs.exists {
+        case CountStar | CountCol(_) => true; case _ => false }) return None
       if (statsDirs.isEmpty) return None
       val minRow = InternalRow.fromSeq(
         mmCols.map(a => toInternal(a, fold(a, wantMin = true))))
@@ -1480,5 +1507,130 @@ case class GraftDataSkipping(spark: SparkSession)
         LocalRelation(localAttrs, Seq(minRow, maxRow))))
       Some(localOptimize(agg.copy(child = union)))
     }
+  }
+
+  /** `GROUP BY <per-dir-constant column>` answered from the manifest
+    * (the public Spark OptimizeMetadataOnlyQuery / Iceberg
+    * partition-rollup idea, on stats instead of paths): when every live
+    * dir records min == max for the grouping column — each dir belongs
+    * wholly to ONE group, exactly what slicing produces — and the
+    * non-null counters prove no dir hides NULL group keys, the rollup
+    * folds driver-side with ZERO scan:
+    *  - COUNT(*) per group = Σ (row counter − DV dead counter) over the
+    *    group's dirs (exact through deletes — a DV'd dir's dead rows
+    *    carry the same constant);
+    *  - COUNT(c) per group = Σ non-null counters (DV-free dirs only);
+    *  - MIN(c)/MAX(c) per group fold the member dirs' bounds (DV-free,
+    *    metered-or-marked, same rules as the ungrouped path).
+    * The BI daily-counts dashboard over a 100-TB sliced table becomes a
+    * metadata read. Any unmet condition returns None — ordinary scan. */
+  private def metadataGroupedAgg(agg: Aggregate): Option[LogicalPlan] = {
+    val g = agg.child match {
+      case gr: GraftRelation => gr
+      case Project(ps, gr: GraftRelation) if ps.forall(_.deterministic) => gr
+      case _ => return None
+    }
+    val gCol = agg.groupingExpressions match {
+      case Seq(a: AttributeReference)
+          if g.output.exists(_.exprId == a.exprId) &&
+            ManifestCommit.statParseable(a.dataType) => a
+      case _ => return None
+    }
+    val m = g.manifest
+    def statOf(d: String, c: String) =
+      m.stats.getOrElse(d, Nil).find(_.col.equalsIgnoreCase(c))
+    def statN(d: String, c: String): Option[Long] =
+      m.stats.getOrElse(d, Nil).find(_.col == c)
+        .flatMap(s => scala.util.Try(s.min.toLong).toOption)
+    // every dir constant on the grouping column, with no null keys
+    // anywhere (a null group key is invisible to min/max stats)
+    val dirConst: Map[String, String] = m.dirs.flatMap(d =>
+      statOf(d, gCol.name).filter(s => s.min == s.max).map(d -> _.min)).toMap
+    if (dirConst.size != m.dirs.size) return None
+    val noNullKeys = m.dirs.forall { d =>
+      (for {
+        r <- statN(d, ManifestCommit.RowCountStat)
+        nn <- statN(d, ManifestCommit.nnStat(gCol.name))
+      } yield nn == r).getOrElse(false)
+    }
+    if (!noNullKeys) return None
+    // classify outputs: the grouping key itself or a servable aggregate
+    sealed trait Cell
+    case object Key extends Cell
+    case class Agg(s: AggSpec) extends Cell
+    val cells: Seq[Cell] = agg.aggregateExpressions.map {
+      case a: AttributeReference if a.exprId == gCol.exprId => Key
+      case Alias(a: AttributeReference, _) if a.exprId == gCol.exprId => Key
+      case e => aggSpecOf(e) match {
+        case Some(s) => Agg(s)
+        case None => return None
+      }
+    }
+    val specs = cells.collect { case Agg(s) => s }
+    // leaf-identity guard for aggregate args
+    val argCols = specs.collect {
+      case CountCol(a) => a; case MinOf(a) => a; case MaxOf(a) => a }
+    if (!argCols.forall(a => g.output.exists(_.exprId == a.exprId)))
+      return None
+    val anyDv = m.dirs.exists(m.dvs.contains)
+    // per-kind eligibility over ALL dirs (groups share the dir set)
+    val ok = specs.forall {
+      case CountStar =>
+        m.dirs.forall(d => statN(d, ManifestCommit.RowCountStat).isDefined &&
+          (!m.dvs.contains(d) ||
+            statN(d, ManifestCommit.DvDeadStat).isDefined))
+      case CountCol(a) => !anyDv &&
+        m.dirs.forall(d => statOf(d, ManifestCommit.nnStat(a.name)).isDefined)
+      case MinOf(a) => !anyDv && m.dirs.forall(d =>
+        statOf(d, a.name).isDefined || ManifestCommit.analyzedColsOf(m, d)
+          .exists(_.equalsIgnoreCase(a.name)))
+      case MaxOf(a) => !anyDv && m.dirs.forall(d =>
+        statOf(d, a.name).isDefined || ManifestCommit.analyzedColsOf(m, d)
+          .exists(_.equalsIgnoreCase(a.name)))
+    }
+    if (!ok) return None
+    val groups: Map[String, Seq[String]] =
+      m.dirs.groupBy(dirConst).map { case (k, ds) => k -> ds.toSeq }
+    var poisoned = false
+    def toInternal(dt: org.apache.spark.sql.types.DataType, v: Option[Any]): Any =
+      v.map(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(dt)(_)).orNull
+    def foldGroup(ds: Seq[String], a: AttributeReference,
+        wantMin: Boolean): Option[Any] = {
+      val sts = ds.flatMap(statOf(_, a.name))
+      if (sts.isEmpty) None
+      else {
+        val vals = sts.map(s => if (wantMin) s.min else s.max)
+        val best =
+          if (sts.head.kind == "num") {
+            val ord = Ordering.by((v: String) => new java.math.BigDecimal(v))
+            if (wantMin) vals.min(ord) else vals.max(ord)
+          } else if (wantMin) vals.min else vals.max
+        val parsed = ManifestCommit.parseStatValue(best, a.dataType)
+        if (parsed.isEmpty) poisoned = true
+        parsed
+      }
+    }
+    val rows: Seq[InternalRow] = groups.toSeq.map { case (k, ds) =>
+      val keyInternal = {
+        val parsed = ManifestCommit.parseStatValue(k, gCol.dataType)
+        if (parsed.isEmpty) poisoned = true
+        toInternal(gCol.dataType, parsed)
+      }
+      InternalRow.fromSeq(cells.map {
+        case Key => keyInternal
+        case Agg(CountStar) => ds.map(d =>
+          statN(d, ManifestCommit.RowCountStat).getOrElse(0L) -
+            (if (m.dvs.contains(d))
+               statN(d, ManifestCommit.DvDeadStat).getOrElse(0L)
+             else 0L)).sum
+        case Agg(CountCol(a)) =>
+          ds.map(d => statN(d, ManifestCommit.nnStat(a.name)).getOrElse(0L)).sum
+        case Agg(MinOf(a)) => toInternal(a.dataType, foldGroup(ds, a, wantMin = true))
+        case Agg(MaxOf(a)) => toInternal(a.dataType, foldGroup(ds, a, wantMin = false))
+      })
+    }
+    if (poisoned) return None
+    Some(LocalRelation(agg.output, rows))
   }
 }

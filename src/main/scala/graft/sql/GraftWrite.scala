@@ -374,7 +374,7 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           val m = ManifestCommit.readManifest(spark, root).getOrElse(
             throw new IllegalArgumentException(
               s"$root is not a manifest-committed table"))
-          val extra = m.stats.values.flatten.map(_.col).toSeq.distinct
+          val extra = m.stats.values.flatten.map(s => ManifestCommit.baseStatCol(s.col)).toSeq.distinct
             .filterNot(zcols.contains)
             .filter(c => c == ManifestCommit.RowCountStat ||
               !ManifestCommit.PseudoStats(c))
@@ -402,7 +402,7 @@ case class GraftWriteStrategy(spark: SparkSession) extends SparkStrategy {
           // keep the current dir-count granularity; carry the table's
           // established stat columns (incl. the row counter) that the
           // z-rewrite wouldn't meter on its own
-          val extra = m.stats.values.flatten.map(_.col).toSeq.distinct
+          val extra = m.stats.values.flatten.map(s => ManifestCommit.baseStatCol(s.col)).toSeq.distinct
             .filterNot(zcols.contains)
             .filter(c => c == ManifestCommit.RowCountStat ||
               !ManifestCommit.PseudoStats(c))
@@ -581,7 +581,7 @@ case class GraftInsertExec(@transient spark: SparkSession, root: String,
     val sliceComps = prev.flatMap(_.slice)
       .map(ManifestCommit.sliceComponents(_).toSet).getOrElse(Set.empty)
     val recorded = prev
-      .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
+      .map(_.stats.values.flatten.map(s => ManifestCommit.baseStatCol(s.col)).toSeq.distinct).getOrElse(Nil)
       .filter(c => c == ManifestCommit.RowCountStat ||
         (!ManifestCommit.PseudoStats(c) &&
           (tableSchema.fieldNames.contains(c) || sliceComps(c))))

@@ -763,7 +763,7 @@ class GraftTableSink(spark: SparkSession, params: Map[String, String])
     val sliceComps = prev.flatMap(_.slice)
       .map(ManifestCommit.sliceComponents(_).toSet).getOrElse(Set.empty)
     val recorded = prev
-      .map(_.stats.values.flatten.map(_.col).toSeq.distinct).getOrElse(Nil)
+      .map(_.stats.values.flatten.map(s => ManifestCommit.baseStatCol(s.col)).toSeq.distinct).getOrElse(Nil)
       .filter(c => c == ManifestCommit.RowCountStat ||
         (!ManifestCommit.PseudoStats(c) &&
           (aligned.columns.contains(c) || sliceComps(c))))

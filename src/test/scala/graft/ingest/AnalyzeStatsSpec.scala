@@ -43,11 +43,11 @@ class AnalyzeStatsSpec extends SparkSpec {
     val m = Optimize.analyzeStats(spark, root, Seq("id"))
     assert(m.gen === before.gen + 1)
     assert(m.dirs === before.dirs, "analyze must not touch data dirs")
-    // every dir now carries id min/max + rows + bytes
+    // every dir now carries id min/max + non-null counter + rows + bytes
     m.dirs.foreach { d =>
       val cols = m.stats.getOrElse(d, Nil).map(_.col).toSet
-      assert(cols === Set("id", ManifestCommit.RowCountStat,
-        ManifestCommit.BytesStat), s"$d: $cols")
+      assert(cols === Set("id", ManifestCommit.nnStat("id"),
+        ManifestCommit.RowCountStat, ManifestCommit.BytesStat), s"$d: $cols")
     }
     assert(ManifestCommit.tableRowCount(spark, root) === Some(300L))
     assert(ManifestCommit.tableBytesOf(m).isDefined)

@@ -159,7 +159,9 @@ class ManifestCommitSpec extends SparkSpec {
     // rides alongside and matches the dir's content length
     assert(s1.filterNot(_.col == ManifestCommit.BytesStat) === Seq(
       ManifestCommit.ColStats("id", "num", "1", "5"),
-      ManifestCommit.ColStats("v", "str", "a", "b")))
+      ManifestCommit.ColStats(ManifestCommit.nnStat("id"), "num", "2", "2"),
+      ManifestCommit.ColStats("v", "str", "a", "b"),
+      ManifestCommit.ColStats(ManifestCommit.nnStat("v"), "num", "2", "2")))
     val onDisk = new org.apache.hadoop.fs.Path(d1)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(new org.apache.hadoop.fs.Path(d1)).getLength
@@ -199,14 +201,21 @@ class ManifestCommitSpec extends SparkSpec {
     val st = ManifestCommit.dirStats(spark, d1, Seq("ts"))
     assert(st.filterNot(_.col == ManifestCommit.BytesStat) ===
       Seq(ManifestCommit.ColStats("ts", "str",
-        "1996-01-01T00:00:00.000", "1997-06-15T12:30:45.500")),
+        "1996-01-01T00:00:00.000", "1997-06-15T12:30:45.500"),
+        ManifestCommit.ColStats(ManifestCommit.nnStat("ts"), "num", "2", "2")),
       "LocalDateTime.toString's dropped-zero-seconds form must NOT leak into stats")
     assert(ManifestCommit.temporalBound("1996-01-01") === "1996-01-01T00:00:00.000")
     assert(ManifestCommit.temporalBound("1997-06-15T12:30") === "1997-06-15T12:30:00.000")
-    // an empty dir yields all-null min/max → no stats → never pruned
+    // an empty dir yields all-null min/max → NO range bounds (never
+    // range-pruned); since round 18 it still carries the EXACT non-null
+    // counter (0 — which IS NOT NULL probes may legitimately prune on)
+    // and the bytes pseudo-stat
     val d2 = ManifestCommit.newDataDir(root)
     mkDf(tsSchema).write.mode("overwrite").parquet(d2)
-    assert(ManifestCommit.dirStats(spark, d2, Seq("ts")).isEmpty)
+    val empty = ManifestCommit.dirStats(spark, d2, Seq("ts"))
+    assert(!empty.exists(_.col == "ts"), "no range bounds on an empty dir")
+    assert(empty.find(_.col == ManifestCommit.nnStat("ts"))
+      .map(_.min) === Some("0"))
   }
 
   test("expectedGen turns a lost race into ConcurrentCommitException, retry succeeds") {

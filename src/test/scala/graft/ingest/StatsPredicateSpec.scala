@@ -165,6 +165,27 @@ class StatsPredicateSpec extends AnyFunSuite {
     assert(!e.disjoint(Seq(ManifestCommit.ColStats("x", "num", "2", "8"))))
   }
 
+  test("strict bounds: the half-open partition negation is disjoint at a " +
+      "touching boundary; the closed variant is not") {
+    // NOT(ts >= A AND ts < B) = ts < A OR ts >= B — a dir spanning
+    // exactly [A, B) must be PROVEN free of matching rows for the
+    // whole-dir DML fast path to fire on the partition-drop shape
+    val e = StatsPredicate.extract(
+      Or(LessThan(x, Literal(100L)), GreaterThanOrEqual(x, Literal(200L))))
+    assert(e.disjoint(Seq(ManifestCommit.ColStats("x", "num", "100", "199"))))
+    // x <= 100 admits the dir's min — NOT disjoint
+    val c = StatsPredicate.extract(
+      Or(LessThanOrEqual(x, Literal(100L)), GreaterThanOrEqual(x, Literal(200L))))
+    assert(!c.disjoint(Seq(ManifestCommit.ColStats("x", "num", "100", "199"))))
+    // plain conjunct strictness: x > 99 excludes a dir topping at 99
+    assert(StatsPredicate.extract(GreaterThan(x, Literal(99L)))
+      .disjoint(Seq(ManifestCommit.ColStats("x", "num", "0", "99"))))
+    assert(!StatsPredicate.extract(GreaterThanOrEqual(x, Literal(99L)))
+      .disjoint(Seq(ManifestCommit.ColStats("x", "num", "0", "99"))))
+    // pruning stays CLOSED (conservative): x > 99 still keeps the dir
+    assert(e.bounds.nonEmpty || e.orGroups.nonEmpty)
+  }
+
   test("programmatic Column DSL predicates extract: the Spark-4 Column " +
       "bridge renders operators as UnresolvedFunction calls, which must " +
       "normalize to the catalyst grammar (round-18 fix: they extracted " +

@@ -155,6 +155,48 @@ class GraftSqlSpec extends SparkSpec {
     assert(n.collect().head.getLong(0) === 399L)
   }
 
+  test("GROUP BY a per-dir-constant column rolls up from the manifest — zero scan") {
+    val root = Files.createTempDirectory("graft_sqlspec_").toString + "/t"
+    val df = spark.range(0, 400).toDF("id")
+      .withColumn("grp", floor(col("id") / lit(100)))
+      .withColumn("v", concat(lit("v"), col("id")))
+    val slice = col("grp")
+    val dirs = ManifestCommit.writeSliced(spark, root, df, slice,
+      Seq("grp", "id", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema),
+      slice = Some(ManifestCommit.sliceSql(slice)))
+    GraftSql.register("sqlspec_rollup", root)
+    val q = spark.sql(
+      """SELECT grp, count(*) AS n, min(id) AS mn, max(id) AS mx
+        |FROM graft.sqlspec_rollup GROUP BY grp""".stripMargin)
+    assert(q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation],
+      q.queryExecution.optimizedPlan.toString)
+    val got = q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === (0 to 3).map(i =>
+      (i.toLong, 100L, i * 100L, i * 100L + 99L)))
+    // COUNT(*)-only rollup stays metadata-only THROUGH a deletion
+    // vector (dead rows carry the group's own constant)
+    MergeInto.deleteWhere(spark, root, spark.range(0, 10).toDF("id"))
+    val q2 = spark.sql(
+      "SELECT grp, count(*) AS n FROM graft.sqlspec_rollup GROUP BY grp")
+    assert(q2.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q2.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .toSeq === Seq((0L, 90L), (1L, 100L), (2L, 100L), (3L, 100L)))
+    // ... but MIN/MAX per group can NOT ride a DV'd dir — ordinary scan
+    val q3 = spark.sql(
+      "SELECT grp, min(id) AS mn FROM graft.sqlspec_rollup GROUP BY grp")
+    assert(!q3.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q3.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .toSeq === Seq((0L, 10L), (1L, 100L), (2L, 200L), (3L, 300L)))
+    // a NON-constant grouping column falls through to the scan
+    val q4 = spark.sql(
+      "SELECT id % 7 AS k, count(*) AS n FROM graft.sqlspec_rollup GROUP BY id % 7")
+    assert(!q4.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q4.collect().map(_.getLong(1)).sum === 390L)
+  }
+
   test("metadata MIN/MAX round-trips strings and timestamps") {
     val root = Files.createTempDirectory("graft_sqlspec_").toString + "/t"
     val df = spark.range(0, 100).toDF("id")
