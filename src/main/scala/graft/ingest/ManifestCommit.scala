@@ -739,10 +739,19 @@ object ManifestCommit {
     // non-null counter; pseudo/expression stats and other columns carry
     // unchanged
     val newStats = m.stats.map { case (d, cs) =>
-      d -> cs.map(c =>
+      d -> cs.map { c =>
         if (c.col == fromCanon) c.copy(col = to)
         else if (c.col == nnStat(fromCanon)) c.copy(col = nnStat(to))
-        else c)
+        else if (c.col == AnalyzedStat) {
+          // the ANALYZE marker's column LIST must follow the rename too,
+          // or the marked dir reads as never-examined for the new name
+          // (metadata MIN/MAX falls back to scans, re-ANALYZE re-meters
+          // forever — the idempotency the marker exists for)
+          val seen = c.min.split(",").filter(_.nonEmpty)
+            .map(n => if (n == fromCanon) to else n).sorted.mkString(",")
+          c.copy(min = seen, max = seen)
+        } else c
+      }
     }
     val m2 = Manifest(m.gen + 1, m.dirs, newStats, Some(newSchema),
       Some("rename_column"), m.dvs, m.txns, m.slice, m.checks,

@@ -866,24 +866,37 @@ object MergeInto {
         }
         val staged = written.map(_._1)
         if (staged.nonEmpty) {
-          // read the staged bytes back under LOGICAL names so `cond`
-          // resolves (files carry physical names under a column mapping)
-          val df0 = spark.read.parquet(staged.map(
-            ManifestCommit.dirAbs(root, _)): _*)
-          val dfL = m.colmap.foldLeft(df0) { case (d, (log, phys)) =>
-            if (log != phys) d.withColumnRenamed(phys, log) else d }
-          val bad = dfL.filter(!coalesce(cond, lit(false))).limit(1).count()
-          if (bad > 0) {
+          def reclaim(dirs: Seq[String]): Unit = {
             val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
               spark.sparkContext.hadoopConfiguration)
-            staged.foreach(d => f.delete(new org.apache.hadoop.fs.Path(
+            dirs.foreach(d => f.delete(new org.apache.hadoop.fs.Path(
               ManifestCommit.dirAbs(root, d)), true))
-            throw new IllegalArgumentException(
-              s"REPLACE WHERE to $root: written data does not conform to " +
-                "the replace predicate — nothing was committed")
           }
-          ManifestCommit.validateWrittenChecks(spark, root, m.checks,
-            staged, "REPLACE WHERE")
+          // a REFUSED insert must leave NO staged bytes behind — the
+          // delete-side survivor rewrite (delAdded) is equally
+          // uncommitted and equally orphaned without cleanup
+          try {
+            // read the staged bytes back under LOGICAL names so `cond`
+            // resolves (files carry physical names under a column mapping)
+            val df0 = spark.read.parquet(staged.map(
+              ManifestCommit.dirAbs(root, _)): _*)
+            val dfL = m.colmap.foldLeft(df0) { case (d, (log, phys)) =>
+              if (log != phys) d.withColumnRenamed(phys, log) else d }
+            val bad = dfL.filter(!coalesce(cond, lit(false))).limit(1).count()
+            if (bad > 0) {
+              reclaim(staged)
+              throw new IllegalArgumentException(
+                s"REPLACE WHERE to $root: written data does not conform to " +
+                  "the replace predicate — nothing was committed")
+            }
+            // validateWrittenChecks reclaims `staged` itself on violation
+            ManifestCommit.validateWrittenChecks(spark, root, m.checks,
+              staged, "REPLACE WHERE")
+          } catch {
+            case e: Throwable =>
+              reclaim(delAdded)
+              throw e
+          }
         }
         written
     }

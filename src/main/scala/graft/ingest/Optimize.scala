@@ -589,7 +589,11 @@ object Optimize {
       if (!migrate) return m
     }
     val folded = ManifestCommit.readDirsOf(spark, root, m, fold)
-    val statCols = fold.flatMap(d => m.stats.getOrElse(d, Nil).map(_.col)).distinct
+    // baseStatCol: an all-null column's only recorded entry is its
+    // __nn_ counter — inheritance must re-request the COLUMN, not let
+    // the counter vanish through the pseudo filter
+    val statCols = fold.flatMap(d => m.stats.getOrElse(d, Nil)
+      .map(s => ManifestCommit.baseStatCol(s.col))).distinct
     // A table with a RECORDED SLICE folds through writeSliced — one dir
     // per slice value among the folded rows, slice-tight stats — the
     // Delta per-partition OPTIMIZE discipline. Folding a sliced table's

@@ -95,9 +95,12 @@ object GraftDdl {
   //   query-opening keyword, so the predicate itself may not contain a
   //   subquery — the executor's expr() parse would reject one anyway
   //   (rowOp requires a deterministic, stats-extractable condition).
+  //   The query keyword must follow WHITESPACE, not just a word
+  //   boundary: `ts_from >= 5` would otherwise split mid-identifier
+  //   (pred "ts_", query "from >= 5 …").
   private val ReplaceWhereRe =
     ("""(?is)\s*INSERT\s+INTO\s+graft\.(`[^`]+`|[\w.]+)""" +
-      """\s+REPLACE\s+WHERE\s+(.+?)\s*((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)""").r
+      """\s+REPLACE\s+WHERE\s+(.+?)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)""").r
 
   // ANALYZE TABLE graft.<name> COMPUTE STATISTICS [FOR COLUMNS a, b] —
   //   retrofit per-dir stats without rewriting data (claimed before the

@@ -1242,8 +1242,9 @@ case class GraftDataSkipping(spark: SparkSession)
   private val BloomProbeMaxDirs = 1024
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg: Aggregate if metadataAgg(agg).isDefined =>
-      metadataAgg(agg).get
+    // extractor, not guard-plus-body: the metadata fold walks every
+    // dir's stat list and must run ONCE per matching aggregate
+    case MetadataServed(p) => p
     case Project(ps, Filter(cond, g: GraftRelation)) if ps.forall(_.deterministic) =>
       localOptimize(Project(ps, Filter(cond, expand(g, keptDirs(cond, g)))))
     case Filter(cond, g: GraftRelation) =>
@@ -1354,12 +1355,45 @@ case class GraftDataSkipping(spark: SparkSession)
     kept
   }
 
+  private object MetadataServed {
+    def unapply(agg: Aggregate): Option[LogicalPlan] = metadataAgg(agg)
+  }
+
   /** Classification of one aggregate output the manifest can serve. */
   private sealed trait AggSpec
   private case object CountStar extends AggSpec
   private case class CountCol(a: AttributeReference) extends AggSpec
   private case class MinOf(a: AttributeReference) extends AggSpec
   private case class MaxOf(a: AttributeReference) extends AggSpec
+
+  /** Fold per-dir ColStats entries to the extreme bound, parsed to the
+    * column's external value. Some(None) = no dir holds a value (the
+    * column is all-null on the stats side — contributes nothing to a
+    * MIN/MAX); None = POISONED — an un-orderable "num" rendering
+    * (NaN/Infinity from a float/double column crash BigDecimal) or a
+    * failed parse round-trip — the caller must fall back to the scan,
+    * never throw from inside the optimizer rule. */
+  private def foldStatBounds(sts: Seq[ManifestCommit.ColStats],
+      a: AttributeReference, wantMin: Boolean): Option[Option[Any]] = {
+    if (sts.isEmpty) return Some(None)
+    val vals = sts.map(s => if (wantMin) s.min else s.max)
+    scala.util.Try {
+      if (sts.head.kind == "num") {
+        val ord = Ordering.by((v: String) => new java.math.BigDecimal(v))
+        if (wantMin) vals.min(ord) else vals.max(ord)
+      } else if (wantMin) vals.min else vals.max
+    }.toOption match {
+      case None => None
+      case Some(best) => ManifestCommit.parseStatValue(best, a.dataType) match {
+        case None => None
+        case some => Some(some)
+      }
+    }
+  }
+
+  private def statLong(m: Manifest, d: String, c: String): Option[Long] =
+    m.stats.getOrElse(d, Nil).find(_.col == c)
+      .flatMap(s => scala.util.Try(s.min.toLong).toOption)
 
   private def aggSpecOf(e: NamedExpression): Option[AggSpec] = e match {
     case Alias(ae: AggregateExpression, _)
@@ -1454,21 +1488,11 @@ case class GraftDataSkipping(spark: SparkSession)
     // column is all-null on the stats side — contributes nothing);
     // a value that fails to round-trip poisons the whole rewrite
     var poisoned = false
-    def fold(a: AttributeReference, wantMin: Boolean): Option[Any] = {
-      val sts = statsDirs.flatMap(statOf(_, a.name))
-      if (sts.isEmpty) None
-      else {
-        val vals = sts.map(s => if (wantMin) s.min else s.max)
-        val best =
-          if (sts.head.kind == "num") {
-            val ord = Ordering.by((v: String) => new java.math.BigDecimal(v))
-            if (wantMin) vals.min(ord) else vals.max(ord)
-          } else if (wantMin) vals.min else vals.max
-        val parsed = ManifestCommit.parseStatValue(best, a.dataType)
-        if (parsed.isEmpty) poisoned = true
-        parsed
+    def fold(a: AttributeReference, wantMin: Boolean): Option[Any] =
+      foldStatBounds(statsDirs.flatMap(statOf(_, a.name)), a, wantMin) match {
+        case Some(v) => v
+        case None => poisoned = true; None
       }
-    }
     def toInternal(a: AttributeReference, v: Option[Any]): Any =
       v.map(org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToCatalystConverter(a.dataType)(_)).orNull
@@ -1539,9 +1563,7 @@ case class GraftDataSkipping(spark: SparkSession)
     val m = g.manifest
     def statOf(d: String, c: String) =
       m.stats.getOrElse(d, Nil).find(_.col.equalsIgnoreCase(c))
-    def statN(d: String, c: String): Option[Long] =
-      m.stats.getOrElse(d, Nil).find(_.col == c)
-        .flatMap(s => scala.util.Try(s.min.toLong).toOption)
+    def statN(d: String, c: String): Option[Long] = statLong(m, d, c)
     // every dir constant on the grouping column, with no null keys
     // anywhere (a null group key is invisible to min/max stats)
     val dirConst: Map[String, String] = m.dirs.flatMap(d =>
@@ -1596,39 +1618,41 @@ case class GraftDataSkipping(spark: SparkSession)
       v.map(org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToCatalystConverter(dt)(_)).orNull
     def foldGroup(ds: Seq[String], a: AttributeReference,
-        wantMin: Boolean): Option[Any] = {
-      val sts = ds.flatMap(statOf(_, a.name))
-      if (sts.isEmpty) None
+        wantMin: Boolean): Option[Any] =
+      foldStatBounds(ds.flatMap(statOf(_, a.name)), a, wantMin) match {
+        case Some(v) => v
+        case None => poisoned = true; None
+      }
+    def liveOf(ds: Seq[String]): Long = ds.map(d =>
+      statN(d, ManifestCommit.RowCountStat).getOrElse(0L) -
+        (if (m.dvs.contains(d))
+           statN(d, ManifestCommit.DvDeadStat).getOrElse(0L)
+         else 0L)).sum
+    val rows: Seq[InternalRow] = groups.toSeq.flatMap { case (k, ds) =>
+      // a group whose dirs are fully DV-dead has NO live rows: a real
+      // GROUP BY emits no row for it (reachable only on the CountStar
+      // path — the DV-free paths bail on empty dirs at dirConst). The
+      // min-only path may lack row counters entirely; every dir there
+      // is DV-free and non-empty (it recorded a constant), so live > 0.
+      val live =
+        if (m.dirs.exists(d => statN(d, ManifestCommit.RowCountStat).isEmpty)) 1L
+        else liveOf(ds)
+      if (live == 0L) None
       else {
-        val vals = sts.map(s => if (wantMin) s.min else s.max)
-        val best =
-          if (sts.head.kind == "num") {
-            val ord = Ordering.by((v: String) => new java.math.BigDecimal(v))
-            if (wantMin) vals.min(ord) else vals.max(ord)
-          } else if (wantMin) vals.min else vals.max
-        val parsed = ManifestCommit.parseStatValue(best, a.dataType)
-        if (parsed.isEmpty) poisoned = true
-        parsed
+        val keyInternal = {
+          val parsed = ManifestCommit.parseStatValue(k, gCol.dataType)
+          if (parsed.isEmpty) poisoned = true
+          toInternal(gCol.dataType, parsed)
+        }
+        Some(InternalRow.fromSeq(cells.map {
+          case Key => keyInternal
+          case Agg(CountStar) => liveOf(ds)
+          case Agg(CountCol(a)) =>
+            ds.map(d => statN(d, ManifestCommit.nnStat(a.name)).getOrElse(0L)).sum
+          case Agg(MinOf(a)) => toInternal(a.dataType, foldGroup(ds, a, wantMin = true))
+          case Agg(MaxOf(a)) => toInternal(a.dataType, foldGroup(ds, a, wantMin = false))
+        }))
       }
-    }
-    val rows: Seq[InternalRow] = groups.toSeq.map { case (k, ds) =>
-      val keyInternal = {
-        val parsed = ManifestCommit.parseStatValue(k, gCol.dataType)
-        if (parsed.isEmpty) poisoned = true
-        toInternal(gCol.dataType, parsed)
-      }
-      InternalRow.fromSeq(cells.map {
-        case Key => keyInternal
-        case Agg(CountStar) => ds.map(d =>
-          statN(d, ManifestCommit.RowCountStat).getOrElse(0L) -
-            (if (m.dvs.contains(d))
-               statN(d, ManifestCommit.DvDeadStat).getOrElse(0L)
-             else 0L)).sum
-        case Agg(CountCol(a)) =>
-          ds.map(d => statN(d, ManifestCommit.nnStat(a.name)).getOrElse(0L)).sum
-        case Agg(MinOf(a)) => toInternal(a.dataType, foldGroup(ds, a, wantMin = true))
-        case Agg(MaxOf(a)) => toInternal(a.dataType, foldGroup(ds, a, wantMin = false))
-      })
     }
     if (poisoned) return None
     Some(LocalRelation(agg.output, rows))

@@ -170,6 +170,29 @@ class AnalyzeStatsSpec extends SparkSpec {
     assert(ManifestCommit.tableRowCount(spark, root) === Some(100L))
   }
 
+  test("the examined marker FOLLOWS a column rename: re-analyze after " +
+      "RENAME COLUMN still commits nothing") {
+    val root = Files.createTempDirectory("graft_analyze_").toString + "/t"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType, true)))
+    val d0 = ManifestCommit.newDataDir(root)
+    spark.range(0, 50).toDF("id")
+      .withColumn("v", lit(null).cast("long")).write.parquet(d0)
+    ManifestCommit.commitReplace(spark, root, Seq(d0),
+      pruneDisplaced = false, schema = Some(schema))
+    Optimize.analyzeStats(spark, root, Seq("id", "v")) // v -> marker
+    val renamed = ManifestCommit.renameColumn(spark, root, "v", "amount")
+    val gAfterRename = renamed.gen
+    // the marker list was re-keyed with the column: analyzing the NEW
+    // name finds the dir already examined — no commit
+    Optimize.analyzeStats(spark, root, Seq("id", "amount"))
+    assert(ManifestCommit.readManifest(spark, root).get.gen === gAfterRename,
+      "re-analyze after a rename must be a no-op (marker must follow the name)")
+  }
+
   test("ANALYZE ... WITH BLOOMS retrofits the point-lookup index onto " +
       "a CONVERTED table: a key probe plans 1 dir where min/max cannot " +
       "prune; re-runs build nothing") {

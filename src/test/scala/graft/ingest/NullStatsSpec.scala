@@ -138,6 +138,35 @@ class NullStatsSpec extends SparkSpec {
     assert(kept.filter(col("c").isNotNull).count() === 0L)
   }
 
+  test("compaction re-requests an all-null column through baseStatCol: " +
+      "the __nn_ counter survives the fold") {
+    val root = Files.createTempDirectory("graft_nn_").toString + "/t"
+    val df = spark.range(0, 40).toDF("id")
+      .withColumn("c", lit(null).cast("string")) // all null everywhere
+    // two small dirs so compactSmall folds them
+    (0 until 2).foreach { i =>
+      val d = ManifestCommit.newDataDir(root)
+      df.filter(col("id") % 2 === i).write.parquet(d)
+      val st = ManifestCommit.dirStats(spark, d,
+        Seq("id", "c", ManifestCommit.RowCountStat))
+      if (i == 0) ManifestCommit.commitReplace(spark, root, Seq(d),
+        pruneDisplaced = false, stats = Map(d -> st), schema = Some(df.schema))
+      else ManifestCommit.commitAppend(spark, root, d, stats = st)
+    }
+    val pre = ManifestCommit.readManifest(spark, root).get
+    assert(pre.dirs.forall(d => pre.stats(d)
+      .exists(_.col == ManifestCommit.nnStat("c"))))
+    Optimize.compactSmall(spark, root, smallBytes = 128L << 20)
+    val post = ManifestCommit.readManifest(spark, root).get
+    assert(post.dirs.size === 1)
+    val cols = post.stats(post.dirs.head).map(_.col).toSet
+    assert(cols.contains(ManifestCommit.nnStat("c")),
+      s"folded dir lost the all-null column's counter: $cols")
+    // the counter still proves all-null: IS NOT NULL scans nothing
+    assert(ManifestCommit.read(spark, root)
+      .filter(col("c").isNotNull).count() === 0L)
+  }
+
   test("REPLACE WHERE takes the whole-dir fast path: the covered dir is " +
       "never read (corrupted), the insert still lands sliced") {
     val root = mkTable("nn_rw")

@@ -195,6 +195,35 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT id % 7 AS k, count(*) AS n FROM graft.sqlspec_rollup GROUP BY id % 7")
     assert(!q4.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
     assert(q4.collect().map(_.getLong(1)).sum === 390L)
+    // a group whose dirs are FULLY DV-dead emits NO row (a real GROUP BY
+    // produces nothing for it), and the rollup stays metadata-only
+    MergeInto.deleteWhere(spark, root, spark.range(10, 100).toDF("id"))
+    val q5 = spark.sql(
+      "SELECT grp, count(*) AS n FROM graft.sqlspec_rollup GROUP BY grp")
+    assert(q5.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q5.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .toSeq === Seq((1L, 100L), (2L, 100L), (3L, 100L)),
+      "the fully-deleted group 0 must not appear with a zero count")
+  }
+
+  test("NaN/Infinity double stats poison the metadata fold — scan fallback, never a crash") {
+    val root = Files.createTempDirectory("graft_sqlspec_").toString + "/t"
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("d", when(col("id") === 7, lit(Double.NaN))
+        .when(col("id") === 8, lit(Double.PositiveInfinity))
+        .otherwise(col("id").cast("double")))
+    val slice = floor(col("id") / lit(50))
+    val dirs = ManifestCommit.writeSliced(spark, root, df, slice,
+      Seq("id", "d", ManifestCommit.RowCountStat))
+    ManifestCommit.commitReplace(spark, root, dirs.map(_._1),
+      pruneDisplaced = false, stats = dirs.toMap, schema = Some(df.schema))
+    GraftSql.register("sqlspec_nan", root)
+    // Spark's max over {…, NaN} is NaN; the "num"-kind stat rendering
+    // of NaN cannot be BigDecimal-ordered — the fold must bail to the
+    // scan, not throw from inside the optimizer rule
+    val q = spark.sql("SELECT max(d) AS mx FROM graft.sqlspec_nan")
+    assert(!q.queryExecution.optimizedPlan.isInstanceOf[LocalRelation])
+    assert(q.collect().head.getDouble(0).isNaN)
   }
 
   test("metadata MIN/MAX round-trips strings and timestamps") {

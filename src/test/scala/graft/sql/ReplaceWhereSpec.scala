@@ -120,6 +120,45 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(ManifestCommit.read(spark, root).count() === 306)
   }
 
+  test("a predicate identifier ENDING in a query keyword parses whole (ts_from)") {
+    val root = Files.createTempDirectory("graft_rw_").toString + "/t"
+    val df = spark.range(0, 10).toDF("ts_from")
+      .withColumn("v", concat(lit("v"), col("ts_from")))
+    val d = ManifestCommit.newDataDir(root)
+    df.write.parquet(d)
+    ManifestCommit.commitReplace(spark, root, Seq(d),
+      pruneDisplaced = false, schema = Some(df.schema))
+    GraftSql.register("rw_kw", root)
+    // the regex must not split "ts_from" into pred "ts_" + query "from …"
+    spark.sql(
+      "INSERT INTO graft.rw_kw REPLACE WHERE ts_from >= 5 " +
+        "SELECT id + 5 AS a, concat('n', id) AS b FROM range(2)")
+    val got = ManifestCommit.read(spark, root)
+    assert(got.count() === 7) // 5 kept + 2 replacements
+    assert(got.filter(col("v") === "n0").count() === 1)
+  }
+
+  test("a refused insert reclaims the delete-side survivor rewrite too — no orphan dirs") {
+    val root = mkTable("rw_orphan")
+    val m1 = ManifestCommit.readManifest(spark, root).get
+    // partial-dir predicate → a survivor rewrite dir is written before
+    // the insert stages; the non-conforming insert must reclaim BOTH
+    intercept[IllegalArgumentException] {
+      MergeInto.replaceWhere(spark, root,
+        mkRows(Seq(150L, 9999L)), // 9999 violates the predicate
+        col("id") >= 150 && col("id") < 250)
+    }
+    assert(ManifestCommit.readManifest(spark, root).get.gen === m1.gen)
+    // on-disk data_* dirs are exactly the manifest's — nothing staged left
+    val f = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val onDisk = f.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("data_")).toSet
+    assert(onDisk === m1.dirs.map(d =>
+      new org.apache.hadoop.fs.Path(ManifestCommit.dirAbs(root, d)).getName).toSet,
+      s"orphaned staged dirs left behind: ${onDisk.size} vs ${m1.dirs.size}")
+  }
+
   test("empty predicate match still inserts; empty insert still deletes") {
     val root = mkTable("rw_edges")
     // predicate matches nothing → pure insert, one commit
